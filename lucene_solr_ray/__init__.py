@@ -1,0 +1,20 @@
+"""lucene_solr_ray — a Ray-Data-native inverted-index + BM25 engine.
+
+A from-scratch reimplementation of the *capabilities* of Lucene/Solr
+(reference: fullstorydev/lucene-solr @ 7.7.1, read-only at /root/reference)
+expressed as Ray Data pipelines over zero-copy Arrow batches:
+
+- ``analysis``  — StandardAnalyzer-equivalent tokenize/lowercase/stopword kernel
+- ``util``      — SmallFloat norm quantization, FOR/delta posting codec
+- ``index``     — distributed segment build (doc-id assignment, postings,
+                  manifest/commit, CheckIndex-style validation)
+- ``search``    — BM25 scoring (float32-faithful), boolean ops, block-max WAND,
+                  top-k merge
+- ``pipelines`` — training-data operators: dedup (exact/minhash/simhash),
+                  ANN similarity search, text analysis, windowed events,
+                  multimodal stubs
+
+Nothing here calls ``ray.init``; callers own the Ray session.
+"""
+
+__version__ = "0.1.0"

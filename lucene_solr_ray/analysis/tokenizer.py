@@ -1,0 +1,158 @@
+"""StandardAnalyzer-equivalent analysis chain, vectorized for Arrow batches.
+
+Reference semantics reproduced (all paths under /root/reference/lucene/core/src/java):
+
+- Tokenize on word characters — the ALPHANUM/NUM subset of UAX#29 used by
+  ``org/apache/lucene/analysis/standard/StandardTokenizer.java`` (JFlex DFA):
+  runs of letters / digits / underscore form one token (``foo_bar`` is one
+  token, ``baz.qux`` splits at the dot). Python ``\\w`` ≡ RE2 ``[\\p{L}\\p{N}_]``
+  which keeps the oracle SQL (DuckDB ``regexp_extract_all``) bit-identical.
+- Tokens longer than ``maxTokenLength = 255`` are skipped but still consume a
+  position (``StandardTokenizer.java:143-166``, ``StandardAnalyzer.java:62``).
+- ``LowerCaseFilter`` (``analysis/LowerCaseFilter.java:40-45``).
+- ``StopFilter`` with the 33-word default English set
+  (``analysis/standard/StandardAnalyzer.java:49-57``); position increments of
+  dropped tokens accumulate onto the next kept token
+  (``analysis/FilteringTokenFilter.java:46-61``).
+- Field length for norms = number of kept tokens (all posIncr > 0 here, so
+  ``numOverlap == 0``; ``index/DefaultIndexingChain.java:763-880``).
+
+Two APIs:
+
+- :func:`analyze_with_positions` — per-string, returns ``[(term, position)]``;
+  used by golden tests mirroring ``BaseTokenStreamTestCase``.
+- :func:`analyze_batch` — vectorized per-batch term-frequency fold used by the
+  indexing pipeline; returns per-doc unique terms + tfs + field lengths.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+# analysis/standard/StandardAnalyzer.java:49-57
+ENGLISH_STOP_WORDS: frozenset[str] = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+# StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH (StandardAnalyzer.java:62)
+MAX_TOKEN_LENGTH = 255
+
+# \w+ with Unicode: runs of [\p{L}\p{N}_] — matches DuckDB RE2 '[\p{L}\p{N}_]+'
+TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+
+@dataclass(frozen=True)
+class StandardAnalyzer:
+    """Configuration of the analysis chain; immutable and cheaply shippable."""
+
+    max_token_length: int = MAX_TOKEN_LENGTH
+    stopwords: frozenset[str] = field(default_factory=lambda: ENGLISH_STOP_WORDS)
+    lowercase: bool = True
+
+
+_DEFAULT = StandardAnalyzer()
+
+
+def analyze_with_positions(
+    text: str, analyzer: StandardAnalyzer = _DEFAULT
+) -> list[tuple[str, int]]:
+    """Full position-increment semantics; for golden tests and phrase support.
+
+    Position = index among all tokenizer-emitted tokens (skipped overlong
+    tokens and removed stopwords consume a position; FilteringTokenFilter
+    accumulates their increments onto the next kept token).
+    """
+    out: list[tuple[str, int]] = []
+    for pos, raw in enumerate(TOKEN_RE.findall(text)):
+        if len(raw) > analyzer.max_token_length:
+            continue  # skipped, but `pos` advances (StandardTokenizer.java:154-164)
+        term = raw.lower() if analyzer.lowercase else raw
+        if term in analyzer.stopwords:
+            continue  # dropped, position accumulates (FilteringTokenFilter.java:46-61)
+        out.append((term, pos))
+    return out
+
+
+@dataclass
+class BatchTokenStats:
+    """Vectorized analysis result for a batch of documents.
+
+    ``terms``/``tfs`` are flat arrays; document *d*'s unique terms are
+    ``terms[offsets[d]:offsets[d+1]]`` (sorted ascending within the doc).
+    """
+
+    terms: np.ndarray  # object array of str
+    tfs: np.ndarray  # int32
+    offsets: np.ndarray  # int64, len == n_docs + 1
+    field_lens: np.ndarray  # int32, kept-token counts per doc
+
+
+def analyze_batch(
+    contents: list[str] | np.ndarray, analyzer: StandardAnalyzer = _DEFAULT
+) -> BatchTokenStats:
+    """Tokenize + lowercase + stop + per-doc term-frequency fold, batch-at-once.
+
+    The per-doc regex scan is the only Python-level loop; filtering, counting
+    and grouping are numpy/pandas vector ops over the flattened token stream.
+    """
+    n = len(contents)
+    tok_lists = []
+    for s in contents:
+        if s is None:
+            tok_lists.append([])
+        else:
+            # lowercase the whole string first (C-speed); \w is case-insensitive
+            # so token boundaries are unchanged.
+            tok_lists.append(TOKEN_RE.findall(s.lower() if analyzer.lowercase else s))
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    if counts.sum() == 0:
+        return BatchTokenStats(
+            terms=np.empty(0, dtype=object),
+            tfs=np.empty(0, dtype=np.int32),
+            offsets=np.zeros(n + 1, dtype=np.int64),
+            field_lens=np.zeros(n, dtype=np.int32),
+        )
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    ser = pd.Series(flat, dtype=object)
+    keep = ~ser.isin(analyzer.stopwords).to_numpy()
+    if analyzer.max_token_length:
+        lens = ser.str.len().to_numpy()
+        keep &= lens <= analyzer.max_token_length
+    flat, doc_idx = flat[keep], doc_idx[keep]
+
+    field_lens = np.bincount(doc_idx, minlength=n).astype(np.int32)
+
+    # unique (doc, term) pairs + counts, vectorized via factorize
+    codes, uniques = pd.factorize(pd.Series(flat, dtype=object), sort=False)
+    pair_key = doc_idx * np.int64(len(uniques)) + codes
+    order = np.argsort(pair_key, kind="stable")
+    pk = pair_key[order]
+    boundary = np.empty(len(pk), dtype=bool)
+    if len(pk):
+        boundary[0] = True
+        boundary[1:] = pk[1:] != pk[:-1]
+    starts = np.flatnonzero(boundary)
+    group_sizes = np.diff(np.append(starts, len(pk)))
+    uniq_keys = pk[starts]
+    u_doc = uniq_keys // len(uniques)
+    u_code = (uniq_keys % len(uniques)).astype(np.int64)
+
+    # within each doc, sort unique terms lexicographically (stable, deterministic)
+    uarr = np.asarray(uniques, dtype=object)
+    term_vals = uarr[u_code]
+    final_order = np.lexsort((term_vals, u_doc))
+    u_doc = u_doc[final_order]
+    term_vals = term_vals[final_order]
+    tfs = group_sizes[final_order].astype(np.int32)
+
+    per_doc_uniques = np.bincount(u_doc, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(per_doc_uniques, out=offsets[1:])
+    return BatchTokenStats(terms=term_vals, tfs=tfs, offsets=offsets, field_lens=field_lens)

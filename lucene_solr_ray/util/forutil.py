@@ -1,0 +1,165 @@
+"""FOR (Frame-of-Reference) bit-packing codec for posting lists.
+
+Re-expresses the computation of Lucene's postings compression
+(``codecs/lucene50/Lucene50PostingsWriter.java:214-351`` — delta-encoded doc
+IDs in 128-int blocks, ``codecs/lucene50/ForUtil.java:157-204`` — per-block
+bitwidth = bits(max), special bitwidth-0 all-equal case) as vectorized numpy
+kernels over Arrow-native buffers. The on-disk layout is our own (designed for
+Parquet binary columns), not Lucene's file format.
+
+Blob layout per value sequence (length known externally, e.g. ``df``):
+blocks of ``BLOCK_SIZE=128`` values, each block serialized as
+
+- ``[w:uint8]`` bitwidth header;
+- ``w == 0``: all values in the block are equal; ``[value:uint32 LE]`` follows
+  (ForUtil.java:158-162 analog);
+- ``w > 0``: ``ceil(block_len * w / 8)`` bytes of little-endian bit-packed
+  values.
+
+Doc IDs are stored as deltas with ``delta[0] = id[0] + 1`` (strictly positive
+for sorted unique ids → decode is ``cumsum(deltas) - 1``). Frequencies are
+stored raw (≥ 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # Lucene50PostingsFormat.BLOCK_SIZE (Lucene50PostingsFormat.java:397)
+
+
+def _bit_width(maxval: np.ndarray) -> np.ndarray:
+    """bits needed per block: 0 if all-equal handled separately; else bits(max)."""
+    _, e = np.frexp(maxval.astype(np.float64))
+    return e.astype(np.int64)
+
+
+def encode_blocks(values: np.ndarray) -> bytes:
+    """FOR-encode a non-negative int sequence (< 2**31) into the blob layout."""
+    v = np.asarray(values, dtype=np.uint32)
+    n = len(v)
+    if n == 0:
+        return b""
+    out = bytearray()
+    n_full = n // BLOCK_SIZE
+    # vectorized path for the full blocks, grouped by bitwidth
+    if n_full:
+        blocks = v[: n_full * BLOCK_SIZE].reshape(n_full, BLOCK_SIZE)
+        mx = blocks.max(axis=1)
+        mn = blocks.min(axis=1)
+        widths = _bit_width(mx)
+        widths[mx == mn] = 0
+        payloads: dict[int, np.ndarray] = {}
+        for w in np.unique(widths):
+            sel = widths == w
+            if w == 0:
+                continue
+            sub = blocks[sel]
+            bits = ((sub[:, :, None] >> np.arange(w, dtype=np.uint32)) & 1).astype(np.uint8)
+            packed = np.packbits(bits.reshape(len(sub), BLOCK_SIZE * int(w)), axis=1, bitorder="little")
+            payloads[int(w)] = packed
+        counters = {int(w): 0 for w in np.unique(widths)}
+        for bi in range(n_full):
+            w = int(widths[bi])
+            out.append(w)
+            if w == 0:
+                out += int(mx[bi]).to_bytes(4, "little")
+            else:
+                k = counters[w]
+                out += payloads[w][k].tobytes()
+                counters[w] = k + 1
+    # tail block
+    tail = v[n_full * BLOCK_SIZE :]
+    if len(tail):
+        mx, mn = int(tail.max()), int(tail.min())
+        if mx == mn:
+            out.append(0)
+            out += mx.to_bytes(4, "little")
+        else:
+            w = int(_bit_width(np.array([mx]))[0])
+            out.append(w)
+            bits = ((tail[:, None] >> np.arange(w, dtype=np.uint32)) & 1).astype(np.uint8)
+            out += np.packbits(bits.reshape(1, len(tail) * w), axis=1, bitorder="little").tobytes()
+    return bytes(out)
+
+
+def block_layout(blob: bytes | memoryview, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Scan headers → (byte_offset, width) per block. Cheap: n/128 iterations."""
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    offs = np.empty(n_blocks, dtype=np.int64)
+    widths = np.empty(n_blocks, dtype=np.int64)
+    mv = memoryview(blob)
+    pos = 0
+    for bi in range(n_blocks):
+        blen = BLOCK_SIZE if bi < n // BLOCK_SIZE else (n - bi * BLOCK_SIZE)
+        w = mv[pos]
+        offs[bi], widths[bi] = pos, w
+        pos += 1 + (4 if w == 0 else (blen * w + 7) // 8)
+    return offs, widths
+
+
+def decode_block(blob: bytes | memoryview, offset: int, width: int, blen: int) -> np.ndarray:
+    """Decode one block starting at its header byte; returns uint32[blen]."""
+    mv = memoryview(blob)
+    if width == 0:
+        val = int.from_bytes(mv[offset + 1 : offset + 5], "little")
+        return np.full(blen, val, dtype=np.uint32)
+    nbytes = (blen * width + 7) // 8
+    raw = np.frombuffer(mv[offset + 1 : offset + 1 + nbytes], dtype=np.uint8)
+    bits = np.unpackbits(raw, count=blen * width, bitorder="little").reshape(blen, width)
+    weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))
+    return (bits.astype(np.uint64) @ weights).astype(np.uint32)
+
+
+def decode_blocks(blob: bytes | memoryview, n: int) -> np.ndarray:
+    """Decode the full sequence of n values."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    offs, widths = block_layout(blob, n)
+    parts = []
+    for bi in range(len(offs)):
+        blen = min(BLOCK_SIZE, n - bi * BLOCK_SIZE)
+        parts.append(decode_block(blob, int(offs[bi]), int(widths[bi]), blen))
+    return np.concatenate(parts)
+
+
+# ---------------------------------------------------------------------------
+# posting-level helpers: delta handling + block-max metadata
+# ---------------------------------------------------------------------------
+
+
+def encode_postings(doc_ids: np.ndarray, freqs: np.ndarray) -> dict:
+    """Encode one term's postings (sorted unique local doc ids + freqs ≥ 1).
+
+    Returns blobs plus per-128-block metadata used for skipping and block-max
+    WAND upper bounds (replaces Lucene's skip lists,
+    ``Lucene50SkipWriter.java:46-144``; block-max per Ding & Suel 2011):
+    ``block_first_doc``, ``block_last_doc``, ``block_max_freq``.
+    """
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    f = np.asarray(freqs, dtype=np.int64)
+    deltas = np.empty(len(ids), dtype=np.int64)
+    if len(ids):
+        deltas[0] = ids[0] + 1
+        np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+    n_blocks = (len(ids) + BLOCK_SIZE - 1) // BLOCK_SIZE
+    firsts = ids[::BLOCK_SIZE].astype(np.int32)
+    lasts = ids[np.minimum(np.arange(1, n_blocks + 1) * BLOCK_SIZE - 1, len(ids) - 1)].astype(np.int32)
+    pad = (-len(f)) % BLOCK_SIZE
+    fpad = np.pad(f, (0, pad), constant_values=0).reshape(n_blocks, BLOCK_SIZE) if len(f) else np.zeros((0, BLOCK_SIZE), dtype=np.int64)
+    max_freq = fpad.max(axis=1).astype(np.int32)
+    return {
+        "doc_blob": encode_blocks(deltas),
+        "freq_blob": encode_blocks(f),
+        "block_first_doc": firsts,
+        "block_last_doc": lasts,
+        "block_max_freq": max_freq,
+    }
+
+
+def decode_postings(doc_blob: bytes, freq_blob: bytes, df: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_postings` → (local doc ids int64, freqs int32)."""
+    deltas = decode_blocks(doc_blob, df).astype(np.int64)
+    ids = np.cumsum(deltas) - 1
+    freqs = decode_blocks(freq_blob, df).astype(np.int32)
+    return ids, freqs

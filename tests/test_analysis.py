@@ -1,0 +1,85 @@
+"""Golden analyzer fixtures (FIXTURES.md §2), in the spirit of
+BaseTokenStreamTestCase.assertTokenStreamContents
+(test-framework .../analysis/BaseTokenStreamTestCase.java:127) and
+TestStandardAnalyzer / TestStopFilter."""
+
+import numpy as np
+
+from lucene_solr_ray.analysis import (
+    ENGLISH_STOP_WORDS,
+    analyze_batch,
+    analyze_with_positions,
+)
+
+
+def terms(text):
+    return [t for t, _ in analyze_with_positions(text)]
+
+
+def test_alphanumeric_mixes():
+    assert terms("B2B") == ["b2b"]
+    assert terms("2B") == ["2b"]
+
+
+def test_lowercasing():
+    assert terms("QUICK brown FoX") == ["quick", "brown", "fox"]
+
+
+def test_stopword_position_increment_accumulation():
+    # StopFilter posIncr semantics (FilteringTokenFilter.java:46-61):
+    # "the quick and the dead" -> quick@1, dead@4
+    out = analyze_with_positions("the quick and the dead")
+    assert out == [("quick", 1), ("dead", 4)]
+
+
+def test_code_punctuation_uax29():
+    # underscore joins, dot splits
+    assert terms("foo_bar baz.qux(arg1)") == ["foo_bar", "baz", "qux", "arg1"]
+
+
+def test_overlong_token_skipped_but_positions_advance():
+    long_tok = "x" * 256
+    out = analyze_with_positions(f"alpha {long_tok} beta")
+    assert out == [("alpha", 0), ("beta", 2)]
+    # exactly 255 chars is kept
+    ok = "y" * 255
+    assert terms(f"alpha {ok}") == ["alpha", ok]
+
+
+def test_empty_and_unicode():
+    assert terms("") == []
+    assert terms("   \n\t ") == []
+    assert terms("héllo wörld") == ["héllo", "wörld"]
+
+
+def test_stopword_list_is_the_33_default_words():
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert "the" in ENGLISH_STOP_WORDS and "with" in ENGLISH_STOP_WORDS
+    assert "quick" not in ENGLISH_STOP_WORDS
+
+
+def test_batch_matches_positional_api():
+    docs = [
+        "the quick and the dead",
+        "B2B foo_bar foo_bar baz.qux",
+        "",
+        "the the the",
+        "alpha " + "x" * 256 + " beta alpha",
+    ]
+    stats = analyze_batch(docs)
+    for d, text in enumerate(docs):
+        expected = {}
+        for t, _ in analyze_with_positions(text):
+            expected[t] = expected.get(t, 0) + 1
+        got_terms = stats.terms[stats.offsets[d] : stats.offsets[d + 1]]
+        got_tfs = stats.tfs[stats.offsets[d] : stats.offsets[d + 1]]
+        assert dict(zip(got_terms.tolist(), got_tfs.tolist())) == expected
+        assert stats.field_lens[d] == sum(expected.values())
+        # unique terms sorted within the doc
+        assert list(got_terms) == sorted(got_terms)
+
+
+def test_batch_field_len_counts_kept_tokens_only():
+    stats = analyze_batch(["the quick and the dead"])
+    assert stats.field_lens.tolist() == [2]
+    assert stats.field_lens.dtype == np.int32
