@@ -1,0 +1,192 @@
+"""Index build orchestration — the IndexWriter analog, Ray-Data-first.
+
+Pipeline (SURVEY.md §3.1 "Ours"):
+
+1. :func:`~.plan.compute_plan` — deterministic segment ranges + doc bases
+   (column-pruned passes over the 3 key columns only).
+2. ``map_batches(AnalyzeInvert, batch_format='pyarrow', concurrency=...)`` —
+   tokenize + invert + norms per batch (actor pool; DWPT analog).
+3. ``groupby('range_id').map_groups(SegmentWriter)`` — the single all-to-all
+   shuffle; each group builds + atomically commits one segment.
+4. Global stats aggregate from the tiny manifest rows; two-phase
+   ``manifest.json`` commit (``segments_N`` analog,
+   ``index/SegmentInfos.java:57-138``).
+
+Resume: a re-run with the same ``index_dir`` reloads ``plan.json``, drops rows
+of already-committed segments inside the analyze stage (cheap mask — they
+never enter the shuffle), and keeps their manifest entries. Doc IDs are dense
+ranks of ``(repo, path, commit)``, so any parallelism level and any resume
+point produce byte-identical segments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..analysis.tokenizer import StandardAnalyzer
+from .plan import BuildPlan, compute_plan
+from .segment import AnalyzeInvert, SegmentWriter, load_segment_meta
+
+
+@dataclass
+class IndexStats:
+    """CollectionStatistics analog (search/IndexSearcher.java:808)."""
+
+    doc_count: int
+    sum_ttf: int
+    sum_df: int
+    num_terms: int  # sum over segments (terms counted once per segment)
+
+    @property
+    def avgdl(self) -> np.float32:
+        # (float)(sumTotalTermFreq / (double) docCount), BM25Similarity.java:87-101
+        if self.doc_count == 0:
+            return np.float32(1.0)
+        return np.float32(self.sum_ttf / float(self.doc_count))
+
+    def to_dict(self) -> dict:
+        return {
+            "doc_count": self.doc_count,
+            "sum_ttf": self.sum_ttf,
+            "sum_df": self.sum_df,
+            "num_terms": self.num_terms,
+        }
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    generation: int
+    stats: IndexStats
+    segments: list[dict] = field(default_factory=list)
+    resumed_segments: int = 0
+
+
+def build_index(
+    corpus,
+    index_dir: str,
+    *,
+    docs_per_segment: int = 100_000,
+    analyzer: StandardAnalyzer | None = None,
+    concurrency: int | None = None,
+    batch_size: int = 1024,
+    resume: bool = True,
+) -> BuildResult:
+    """Build (or resume) the inverted index for a 5-column corpus.
+
+    ``corpus``: a ``ray.data.Dataset`` with columns
+    (repo, path, commit, lang, content), or a parquet path/dir.
+    """
+    import ray
+    import ray.data
+
+    if isinstance(corpus, (str, os.PathLike)):
+        corpus = ray.data.read_parquet(str(corpus))
+
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    plan_path = os.path.join(index_dir, "plan.json")
+    if resume and os.path.exists(plan_path):
+        plan = BuildPlan.load(plan_path)
+    else:
+        plan = compute_plan(corpus, docs_per_segment)
+        plan.save(plan_path)
+
+    done = frozenset(
+        rid for rid in range(plan.n_segments) if resume and load_segment_meta(index_dir, rid) is not None
+    )
+
+    analyzer = analyzer or StandardAnalyzer()
+    manifest_rows: list[dict] = []
+    todo = [rid for rid in range(plan.n_segments) if rid not in done and plan.counts[rid] > 0]
+    if concurrency is None:
+        # autoscaling actor pool: leave headroom for the read + shuffle stages
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, ncpu - 2))
+    if todo:
+        analyzed = corpus.map_batches(
+            AnalyzeInvert,
+            fn_constructor_kwargs={"plan": plan, "analyzer": analyzer, "done_ranges": done},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        out = analyzed.groupby("range_id").map_groups(
+            SegmentWriter,
+            fn_constructor_kwargs={"index_dir": index_dir, "plan": plan},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        for b in out.iter_batches(batch_format="pyarrow"):
+            for row in b.to_pylist():
+                manifest_rows.append(row)
+
+    # include previously-committed segments in the manifest
+    built = {r["seg"] for r in manifest_rows}
+    n_resumed = sum(1 for r in manifest_rows if r.get("resumed"))
+    for rid in sorted(done):
+        if rid not in built:
+            meta = load_segment_meta(index_dir, rid)
+            manifest_rows.append(
+                {
+                    "seg": meta["seg"],
+                    "doc_base": meta["doc_base"],
+                    "doc_count": meta["doc_count"],
+                    "sum_len": meta["sum_len"],
+                    "num_terms": meta["num_terms"],
+                    "sum_df": meta["sum_df"],
+                    "sum_ttf": meta["sum_ttf"],
+                    "resumed": True,
+                }
+            )
+            n_resumed += 1
+    manifest_rows.sort(key=lambda r: r["seg"])
+
+    stats = IndexStats(
+        doc_count=sum(r["doc_count"] for r in manifest_rows),
+        sum_ttf=sum(r["sum_ttf"] for r in manifest_rows),
+        sum_df=sum(r["sum_df"] for r in manifest_rows),
+        num_terms=sum(r["num_terms"] for r in manifest_rows),
+    )
+    generation = _next_generation(index_dir)
+    manifest = {
+        "generation": generation,
+        "docs_per_segment": docs_per_segment,
+        "analyzer": {
+            "max_token_length": analyzer.max_token_length,
+            "lowercase": analyzer.lowercase,
+            "n_stopwords": len(analyzer.stopwords),
+        },
+        "stats": stats.to_dict(),
+        "segments": [
+            {k: r[k] for k in ("seg", "doc_base", "doc_count", "sum_len", "num_terms", "sum_df", "sum_ttf")}
+            for r in manifest_rows
+        ],
+    }
+    tmp = os.path.join(index_dir, f".pending_manifest_{generation}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))  # two-phase commit analog
+
+    return BuildResult(
+        index_dir=index_dir,
+        generation=generation,
+        stats=stats,
+        segments=manifest["segments"],
+        resumed_segments=n_resumed,
+    )
+
+
+def _next_generation(index_dir: str) -> int:
+    p = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(p):
+        try:
+            with open(p) as f:
+                return int(json.load(f).get("generation", 0)) + 1
+        except (OSError, json.JSONDecodeError, ValueError):
+            return 1
+    return 1

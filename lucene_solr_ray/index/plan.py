@@ -1,0 +1,158 @@
+"""Build planning: deterministic doc-ID assignment across any parallelism.
+
+Lucene assigns docIDs in ingest order inside thread-private DWPT segments
+(``index/DocumentsWriterPerThread.java:230``) — nondeterministic across thread
+counts. Our north rule requires *identical* indexes at N and 4N parallelism,
+so doc IDs must derive from the data, not execution order:
+
+    doc_id = dense rank of (repo, path, commit) over the whole corpus
+
+computed scalably as: (1) cut the key space into ``n_segments`` contiguous
+ranges using a deterministic hash-sample of keys (no RNG, no order
+dependence); (2) count rows per range with a column-pruned pass
+(pre-aggregated per batch → tiny driver-side sum); (3) prefix-sum → per-range
+``doc_base``; (4) within a range, local rank = lexicographic sort position.
+Ranges double as *segments* (Lucene's doc-contiguous leaf analog,
+``index/SegmentInfos.java:119``), so postings construction is entirely
+partition-local — the only all-to-all exchange in the build is the
+``groupby(range_id)`` shuffle itself.
+
+The plan (boundaries + bases) is persisted to ``plan.json`` so resumed builds
+reuse identical ranges.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+KEY_COLS = ["repo", "path", "commit"]
+SEP = "\x00"  # sorts below any key byte → concat order == tuple order
+
+
+def sort_keys(batch: pa.Table) -> np.ndarray:
+    """Concatenated sort key; ordering identical to tuple (repo, path, commit)."""
+    import pyarrow.compute as pc
+
+    joined = pc.binary_join_element_wise(
+        batch["repo"].cast(pa.string()),
+        batch["path"].cast(pa.string()),
+        batch["commit"].cast(pa.string()),
+        SEP,
+    )
+    return np.asarray(joined.to_pylist(), dtype=object)
+
+
+def _stable_hash_mask(keys: np.ndarray, mod: int) -> np.ndarray:
+    """Deterministic (execution-order-free) sample: md5(key) % mod == 0."""
+    out = np.empty(len(keys), dtype=bool)
+    for i, k in enumerate(keys):
+        h = int.from_bytes(hashlib.md5(k.encode()).digest()[:8], "big")
+        out[i] = (h % mod) == 0
+    return out
+
+
+@dataclass
+class BuildPlan:
+    boundaries: list[str]  # len == n_segments - 1, upper-exclusive cut points
+    bases: list[int]  # len == n_segments, doc_base per segment (dense prefix sum)
+    counts: list[int]  # rows per segment
+    total_rows: int
+
+    @property
+    def n_segments(self) -> int:
+        return len(self.bases)
+
+    def range_ids(self, keys: np.ndarray) -> np.ndarray:
+        return np.searchsorted(np.asarray(self.boundaries, dtype=object), keys, side="right").astype(np.int32)
+
+    def save(self, path: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "boundaries": self.boundaries,
+                    "bases": self.bases,
+                    "counts": self.counts,
+                    "total_rows": self.total_rows,
+                },
+                f,
+            )
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "BuildPlan":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(d["boundaries"], d["bases"], d["counts"], d["total_rows"])
+
+
+def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_000) -> BuildPlan:
+    """Derive segment boundaries + exact per-segment counts.
+
+    Small corpora (≤ ``small_threshold`` rows): collect keys driver-side and
+    cut into exactly-balanced ranges. Large: hash-sampled quantile boundaries
+    (approximate balance) + an exact column-pruned counting pass. Both are
+    deterministic functions of the data alone.
+    """
+    keys_ds = corpus_ds.select_columns(KEY_COLS)
+    total = keys_ds.count()
+    n_segments = max(1, -(-total // docs_per_segment))
+
+    if total <= small_threshold:
+        tbl = (
+            pa.concat_tables(list(keys_ds.iter_batches(batch_format="pyarrow")))
+            if total
+            else pa.table({c: pa.array([], pa.string()) for c in KEY_COLS})
+        )
+        keys = np.sort(sort_keys(tbl)) if total else np.empty(0, dtype=object)
+        cuts = [int(round(i * total / n_segments)) for i in range(1, n_segments)]
+        boundaries = [str(keys[c - 1]) + SEP for c in cuts]  # key+SEP: upper-inclusive of keys[c-1]
+        counts = np.diff([0] + cuts + [total]).tolist()
+        bases = (np.cumsum([0] + counts[:-1])).tolist()
+        return BuildPlan(boundaries, bases, counts, total)
+
+    # --- large path: deterministic hash sample → boundaries ---
+    target_sample = max(20_000, n_segments * 64)
+    mod = max(1, total // target_sample)
+
+    def sample_batch(batch: pa.Table) -> pa.Table:
+        ks = sort_keys(batch)
+        sel = _stable_hash_mask(ks, mod)
+        return pa.table({"k": pa.array(ks[sel].tolist(), pa.string())})
+
+    sample = [
+        k
+        for b in keys_ds.map_batches(sample_batch, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        for k in b["k"].to_pylist()
+    ]
+    sample = np.sort(np.asarray(sample, dtype=object))
+    if len(sample) < n_segments:
+        # degenerate sample; fall back to collecting all keys
+        return compute_plan(corpus_ds, docs_per_segment, small_threshold=total)
+    qpos = [int(round(i * len(sample) / n_segments)) for i in range(1, n_segments)]
+    boundaries = [str(sample[q]) for q in qpos]
+    # dedupe equal boundaries (possible under heavy key skew)
+    boundaries = sorted(set(boundaries))
+    n_segments = len(boundaries) + 1
+
+    # --- exact counts pass (pre-aggregated per batch; driver sums tiny partials) ---
+    barr = np.asarray(boundaries, dtype=object)
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        ks = sort_keys(batch)
+        rid = np.searchsorted(barr, ks, side="right")
+        cnt = np.bincount(rid, minlength=n_segments)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"rid": pa.array(nz, pa.int32()), "cnt": pa.array(cnt[nz], pa.int64())})
+
+    counts = np.zeros(n_segments, dtype=np.int64)
+    for b in keys_ds.map_batches(count_batch, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        counts[b["rid"].to_numpy()] += b["cnt"].to_numpy()
+    bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return BuildPlan(list(boundaries), bases.tolist(), counts.tolist(), total)

@@ -1,0 +1,84 @@
+"""Index reader — DirectoryReader/LeafReader analog over the segment layout.
+
+``DirectoryReader.open`` (``index/DirectoryReader.java:62``) resolves the
+latest ``segments_N``; we read ``manifest.json``. Per-segment access uses
+Parquet predicate pushdown on the sorted ``term`` column (the term-dictionary
+analog of ``codecs/blocktree/BlockTreeTermsWriter.java`` — Parquet row-group
+stats replace the FST index).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from .build import IndexStats
+from .segment import segment_dir
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        s = self.manifest["stats"]
+        self.stats = IndexStats(
+            doc_count=s["doc_count"],
+            sum_ttf=s["sum_ttf"],
+            sum_df=s["sum_df"],
+            num_terms=s["num_terms"],
+        )
+        self.segments = self.manifest["segments"]
+        self._seg_by_id = {s["seg"]: s for s in self.segments}
+
+    # ------------------------------------------------------------------
+    def postings_files(self) -> list[str]:
+        return [os.path.join(segment_dir(self.index_dir, s["seg"]), "postings.parquet") for s in self.segments]
+
+    def docs_files(self) -> list[str]:
+        return [os.path.join(segment_dir(self.index_dir, s["seg"]), "docs.parquet") for s in self.segments]
+
+    def doc_base(self, seg: int) -> int:
+        return self._seg_by_id[seg]["doc_base"]
+
+    def seg_doc_count(self, seg: int) -> int:
+        return self._seg_by_id[seg]["doc_count"]
+
+    # ------------------------------------------------------------------
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """Global (df, ttf) per term — TermStatistics analog
+        (search/IndexSearcher.java:797). Sums per-segment rows via a pruned
+        parquet scan (term + df + ttf columns, term-isin pushdown)."""
+        if not terms:
+            return {}
+        dset = pads.dataset(self.postings_files())
+        tbl = dset.to_table(columns=["term", "df", "ttf"], filter=pc.field("term").isin(terms))
+        out: dict[str, tuple[int, int]] = {t: (0, 0) for t in terms}
+        for t, df, ttf in zip(
+            tbl["term"].to_pylist(), tbl["df"].to_numpy(), tbl["ttf"].to_numpy()
+        ):
+            d0, t0 = out[t]
+            out[t] = (d0 + int(df), t0 + int(ttf))
+        return out
+
+    def postings_for_terms(self, terms: list[str], columns: list[str] | None = None) -> pa.Table:
+        """All segments' posting rows for the given terms (pushdown scan)."""
+        dset = pads.dataset(self.postings_files())
+        return dset.to_table(columns=columns, filter=pc.field("term").isin(terms))
+
+    def segment_norms(self, seg: int) -> np.ndarray:
+        """norm_byte array indexed by local doc id (docs.parquet is doc_id-sorted)."""
+        p = os.path.join(segment_dir(self.index_dir, seg), "docs.parquet")
+        return pq.read_table(p, columns=["norm_byte"])["norm_byte"].to_numpy()
+
+    def fetch_docs(self, doc_ids: list[int], columns: list[str] | None = None) -> pa.Table:
+        """Stored-fields lookup by global doc id (two-phase fetch analog,
+        solr QueryComponent.java:996-998)."""
+        dset = pads.dataset(self.docs_files())
+        return dset.to_table(columns=columns, filter=pc.field("doc_id").isin(doc_ids))

@@ -1,0 +1,327 @@
+"""Segment construction: the analyze → invert → encode → write stages.
+
+Replaces Lucene's in-heap postings accumulation
+(``index/TermsHashPerField.java:147-151``, ``index/FreqProxTermsWriter.java:68-105``)
+and codec flush (``codecs/lucene50/Lucene50PostingsWriter.java:214-351``) with
+Arrow-native explode + integer-key sort + numpy FOR packing inside a single
+``map_groups`` task per segment. A segment is a doc-ID-contiguous partition
+(Lucene leaf analog) laid out as::
+
+    <index_dir>/segments/seg=<rid>/docs.parquet      doc_id-sorted doc metadata + norms
+    <index_dir>/segments/seg=<rid>/postings.parquet  term-sorted postings + block-max meta
+    <index_dir>/segments/seg=<rid>/_SEGMENT.json     per-partition lineage + metrics
+
+Segment dirs are written to a temp dir then renamed (atomic commit per
+partition → resumable builds; ``index/SegmentInfos.java:57-138`` two-phase
+analog).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..analysis.tokenizer import StandardAnalyzer, analyze_batch
+from ..util.forutil import BLOCK_SIZE, encode_postings
+from ..util.smallfloat import LENGTH_TABLE, int_to_byte4
+from .plan import BuildPlan, sort_keys
+
+DOCS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content_sha256", pa.string()),
+        ("field_len", pa.int32()),
+        ("norm_byte", pa.uint8()),
+    ]
+)
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("seg", pa.int32()),
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("ttf", pa.int64()),
+        ("doc_blob", pa.large_binary()),
+        ("freq_blob", pa.large_binary()),
+        ("block_first_doc", pa.list_(pa.int32())),
+        ("block_last_doc", pa.list_(pa.int32())),
+        ("block_max_freq", pa.list_(pa.int32())),
+        ("block_min_len", pa.list_(pa.int32())),
+    ]
+)
+
+MANIFEST_ROW_SCHEMA = pa.schema(
+    [
+        ("seg", pa.int32()),
+        ("doc_base", pa.int64()),
+        ("doc_count", pa.int64()),
+        ("sum_len", pa.int64()),
+        ("num_terms", pa.int64()),
+        ("sum_df", pa.int64()),
+        ("sum_ttf", pa.int64()),
+        ("resumed", pa.bool_()),
+    ]
+)
+
+
+class AnalyzeInvert:
+    """Actor-pool map_batches stage: tokenize + invert + doc metadata.
+
+    Stateful setup (analyzer config, plan boundaries) happens once per actor
+    in ``__init__`` (DWPT analog: all per-doc indexing state is task-private,
+    ``index/DocumentsWriterPerThread.java:50``). Per batch it emits one row
+    per doc: identity cols, sha256, field_len, norm_byte and the per-doc
+    unique ``terms``/``tfs`` lists (inversion:
+    ``index/DefaultIndexingChain.java:763-880``).
+    """
+
+    def __init__(self, plan: BuildPlan, analyzer: StandardAnalyzer | None = None,
+                 done_ranges: frozenset[int] = frozenset()):
+        self.plan = plan
+        self.boundaries = np.asarray(plan.boundaries, dtype=object)
+        self.analyzer = analyzer or StandardAnalyzer()
+        self.done = done_ranges
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = sort_keys(batch)
+        rid = np.searchsorted(self.boundaries, keys, side="right").astype(np.int32)
+        if self.done:
+            keep = ~np.isin(rid, list(self.done))
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                rid = rid[keep]
+            if len(batch) == 0:
+                return _empty_analyzed()
+        contents = batch["content"].to_pylist()
+        stats = analyze_batch(contents, self.analyzer)
+        sha = [hashlib.sha256((c or "").encode("utf-8")).hexdigest() for c in contents]
+        norm = int_to_byte4(stats.field_lens.astype(np.int64))
+        terms_arr = pa.ListArray.from_arrays(
+            pa.array(stats.offsets, pa.int32()), pa.array(stats.terms.tolist(), pa.string())
+        )
+        tfs_arr = pa.ListArray.from_arrays(
+            pa.array(stats.offsets, pa.int32()), pa.array(stats.tfs, pa.int32())
+        )
+        return pa.table(
+            {
+                "range_id": pa.array(rid, pa.int32()),
+                "repo": batch["repo"].cast(pa.string()),
+                "path": batch["path"].cast(pa.string()),
+                "commit": batch["commit"].cast(pa.string()),
+                "lang": batch["lang"].cast(pa.string()),
+                "content_sha256": pa.array(sha, pa.string()),
+                "field_len": pa.array(stats.field_lens, pa.int32()),
+                "norm_byte": pa.array(norm, pa.uint8()),
+                "terms": terms_arr,
+                "tfs": tfs_arr,
+            }
+        )
+
+
+def _empty_analyzed() -> pa.Table:
+    return pa.table(
+        {
+            "range_id": pa.array([], pa.int32()),
+            "repo": pa.array([], pa.string()),
+            "path": pa.array([], pa.string()),
+            "commit": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "content_sha256": pa.array([], pa.string()),
+            "field_len": pa.array([], pa.int32()),
+            "norm_byte": pa.array([], pa.uint8()),
+            "terms": pa.array([], pa.list_(pa.string())),
+            "tfs": pa.array([], pa.list_(pa.int32())),
+        }
+    )
+
+
+def segment_dir(index_dir: str, rid: int) -> str:
+    return os.path.join(index_dir, "segments", f"seg={rid:06d}")
+
+
+def segment_meta_path(index_dir: str, rid: int) -> str:
+    return os.path.join(segment_dir(index_dir, rid), "_SEGMENT.json")
+
+
+def load_segment_meta(index_dir: str, rid: int) -> dict | None:
+    p = segment_meta_path(index_dir, rid)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+class SegmentWriter:
+    """map_groups stage: one call = one segment (range_id group).
+
+    Sorts the group by (repo, path, commit), assigns dense doc IDs from the
+    plan's doc_base, explodes to (term, local_doc, tf), builds FOR-encoded
+    posting lists with block-max metadata, and writes the segment atomically.
+    Returns a one-row manifest table (tiny) as the stage output.
+    """
+
+    def __init__(self, index_dir: str, plan: BuildPlan):
+        self.index_dir = index_dir
+        self.plan = plan
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        rid = int(group["range_id"][0].as_py())
+        existing = load_segment_meta(self.index_dir, rid)
+        if existing is not None:
+            return _manifest_row(existing, resumed=True)
+
+        doc_base = self.plan.bases[rid]
+        n = len(group)
+        order = np.lexsort(
+            (
+                np.asarray(group["commit"].to_pylist(), dtype=object),
+                np.asarray(group["path"].to_pylist(), dtype=object),
+                np.asarray(group["repo"].to_pylist(), dtype=object),
+            )
+        )
+        group = group.take(pa.array(order))
+        doc_ids = doc_base + np.arange(n, dtype=np.int64)
+
+        docs_tbl = pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "repo": group["repo"],
+                "path": group["path"],
+                "commit": group["commit"],
+                "lang": group["lang"],
+                "content_sha256": group["content_sha256"],
+                "field_len": group["field_len"],
+                "norm_byte": group["norm_byte"],
+            },
+        ).cast(DOCS_SCHEMA)
+
+        postings_tbl = self._build_postings(rid, group, n)
+
+        seg_d = segment_dir(self.index_dir, rid)
+        tmp_d = os.path.join(self.index_dir, "segments", f".tmp-{rid:06d}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(tmp_d, exist_ok=True)
+        pq.write_table(docs_tbl, os.path.join(tmp_d, "docs.parquet"), row_group_size=65536)
+        pq.write_table(
+            postings_tbl,
+            os.path.join(tmp_d, "postings.parquet"),
+            row_group_size=8192,  # sorted term column + row-group stats → term-range pruning
+        )
+        meta = {
+            "seg": rid,
+            "doc_base": int(doc_base),
+            "doc_count": int(n),
+            "sum_len": int(np.asarray(group["field_len"].to_numpy()).sum()) if n else 0,
+            "num_terms": int(len(postings_tbl)),
+            "sum_df": int(postings_tbl["df"].to_numpy().sum()) if len(postings_tbl) else 0,
+            "sum_ttf": int(postings_tbl["ttf"].to_numpy().sum()) if len(postings_tbl) else 0,
+            "lineage": {"range_id": rid, "key_range": self._key_range(rid)},
+        }
+        with open(os.path.join(tmp_d, "_SEGMENT.json"), "w") as f:
+            json.dump(meta, f)
+        try:
+            os.rename(tmp_d, seg_d)
+        except OSError:
+            # another (retried) task committed the same deterministic segment first
+            import shutil
+
+            shutil.rmtree(tmp_d, ignore_errors=True)
+        return _manifest_row(meta, resumed=False)
+
+    def _key_range(self, rid: int) -> list[str | None]:
+        lo = self.plan.boundaries[rid - 1] if rid > 0 else None
+        hi = self.plan.boundaries[rid] if rid < len(self.plan.boundaries) else None
+        return [lo, hi]
+
+    def _build_postings(self, rid: int, group: pa.Table, n: int) -> pa.Table:
+        terms_col = group["terms"].combine_chunks()
+        tfs_col = group["tfs"].combine_chunks()
+        if isinstance(terms_col, pa.ChunkedArray):  # single chunk after combine
+            terms_col = terms_col.chunk(0)
+            tfs_col = tfs_col.chunk(0)
+        offsets = terms_col.offsets.to_numpy()
+        flat_tfs = tfs_col.values.to_numpy().astype(np.int64)
+        lens = np.diff(offsets)
+        local_doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+        if len(flat_tfs) == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in POSTINGS_SCHEMA})
+
+        # dictionary-encode + rank terms (all C++) so the heavy sort is int64-keyed
+        import pyarrow.compute as pc
+
+        dict_arr = pc.dictionary_encode(terms_col.values)
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        codes = dict_arr.indices.to_numpy().astype(np.int64)
+        uniq = dict_arr.dictionary
+        uorder = pc.sort_indices(uniq).to_numpy().astype(np.int64)
+        rank_of = np.empty(len(uniq), dtype=np.int64)
+        rank_of[uorder] = np.arange(len(uniq))
+        key = rank_of[codes] * np.int64(n) + local_doc  # docs already sorted per term
+        order = np.argsort(key, kind="stable")
+        s_term_rank = rank_of[codes][order]
+        s_doc = local_doc[order]
+        s_tf = flat_tfs[order]
+
+        starts = np.flatnonzero(np.diff(s_term_rank, prepend=-1))
+        dfs = np.diff(np.append(starts, len(s_term_rank)))
+        ttfs = np.add.reduceat(s_tf, starts)
+        sorted_terms = uniq.take(pa.array(uorder))
+
+        norm_len = LENGTH_TABLE[group["norm_byte"].to_numpy().astype(np.int64)]
+        doc_lens = norm_len[s_doc]  # quantized length per posting (WAND bound input)
+
+        doc_blobs, freq_blobs = [], []
+        firsts, lasts, maxfs, minls = [], [], [], []
+        for t in range(len(starts)):
+            a, b = starts[t], starts[t] + dfs[t]
+            enc = encode_postings(s_doc[a:b], s_tf[a:b])
+            doc_blobs.append(enc["doc_blob"])
+            freq_blobs.append(enc["freq_blob"])
+            firsts.append(enc["block_first_doc"])
+            lasts.append(enc["block_last_doc"])
+            maxfs.append(enc["block_max_freq"])
+            dl = doc_lens[a:b]
+            block_starts = np.arange(0, b - a, BLOCK_SIZE)
+            minls.append(np.minimum.reduceat(dl, block_starts).astype(np.int32))
+
+        return pa.table(
+            {
+                "seg": pa.array(np.full(len(starts), rid, dtype=np.int32)),
+                "term": sorted_terms.cast(pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+                "ttf": pa.array(ttfs, pa.int64()),
+                "doc_blob": pa.array(doc_blobs, pa.large_binary()),
+                "freq_blob": pa.array(freq_blobs, pa.large_binary()),
+                "block_first_doc": pa.array([x.tolist() for x in firsts], pa.list_(pa.int32())),
+                "block_last_doc": pa.array([x.tolist() for x in lasts], pa.list_(pa.int32())),
+                "block_max_freq": pa.array([x.tolist() for x in maxfs], pa.list_(pa.int32())),
+                "block_min_len": pa.array([x.tolist() for x in minls], pa.list_(pa.int32())),
+            }
+        )
+
+
+def _manifest_row(meta: dict, resumed: bool) -> pa.Table:
+    return pa.table(
+        {
+            "seg": pa.array([meta["seg"]], pa.int32()),
+            "doc_base": pa.array([meta["doc_base"]], pa.int64()),
+            "doc_count": pa.array([meta["doc_count"]], pa.int64()),
+            "sum_len": pa.array([meta["sum_len"]], pa.int64()),
+            "num_terms": pa.array([meta["num_terms"]], pa.int64()),
+            "sum_df": pa.array([meta["sum_df"]], pa.int64()),
+            "sum_ttf": pa.array([meta["sum_ttf"]], pa.int64()),
+            "resumed": pa.array([resumed], pa.bool_()),
+        }
+    )

@@ -1,0 +1,239 @@
+"""IndexSearcher analog: scatter queries over segments, gather top-k.
+
+Execution mirrors SURVEY.md §3.2/§3.3 ("ours"): the driver resolves global
+term stats (one pruned parquet scan — ``IndexSearcher.termStatistics``
+:797 analog), precomputes BM25 weights + the 256-entry norm cache, then runs a
+Ray Data pipeline::
+
+    read_parquet(postings, filter=term∈query_terms)   # predicate pushdown
+      .groupby('seg').map_groups(ScoreSegmentGroup)   # per-leaf scoring
+      → tiny per-(segment, query) top-k tables → driver TopDocs.merge
+
+A batch of queries is scored in ONE pass over the postings (scatter once,
+score all). For small indexes / unit tests ``use_ray=False`` runs the same
+kernels in-process.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..index.reader import IndexReader
+from .bm25 import BM25Similarity
+from .query import BooleanQuery, MatchAllQuery, Query, TermQuery, query_terms
+from .scorer import SegmentScorer, merge_topk, select_topk
+from .wand import LazyPostingsDict, build_lazy
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.string()),
+        ("rank", pa.int32()),
+        ("doc_id", pa.int64()),
+        ("score", pa.float32()),
+    ]
+)
+
+
+class ScoreSegmentGroup:
+    """map_groups callable: one call = all queries against one segment."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        queries: dict[str, Query],
+        weights: dict[str, float],
+        cache: np.ndarray,
+        doc_bases: dict[int, int],
+        k: int,
+        sim_params: tuple,
+        method: str = "auto",
+    ):
+        self.index_dir = index_dir
+        self.queries = queries
+        self.weights = weights
+        self.cache = cache
+        self.doc_bases = doc_bases
+        self.k = k
+        k1, b, dtype = sim_params
+        self.sim = BM25Similarity(k1, b, dtype=dtype)
+        self.method = method
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        import os
+
+        from ..index.segment import segment_dir
+
+        seg = int(group["seg"][0].as_py())
+        norms = pq.read_table(
+            os.path.join(segment_dir(self.index_dir, seg), "docs.parquet"), columns=["norm_byte"]
+        )["norm_byte"].to_numpy()
+        lazy = build_lazy(group)
+        base = self.doc_bases[seg]
+
+        out_qid: list[str] = []
+        out_ids: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        for qid, q in self.queries.items():
+            ids, scores = score_one(
+                q, self.sim, lazy, self.weights, self.cache, norms, self.k, self.method
+            )
+            out_qid.append(qid)
+            out_ids.append(ids + base)
+            out_scores.append(scores)
+        qid_arr = pa.array(
+            np.repeat(np.asarray(out_qid, dtype=object), [len(x) for x in out_ids]).tolist(),
+            pa.string(),
+        )
+        ids_cat = np.concatenate(out_ids) if out_ids else np.empty(0, dtype=np.int64)
+        sc_cat = np.concatenate(out_scores) if out_scores else np.empty(0, dtype=np.float32)
+        return pa.table(
+            {
+                "query_id": qid_arr,
+                "doc_id": pa.array(ids_cat, pa.int64()),
+                "score": pa.array(sc_cat.astype(np.float32), pa.float32()),
+            }
+        )
+
+
+def score_one(q, sim, lazy, weights, cache, norms, k, method="auto"):
+    """Score one query against one segment → per-segment top-k.
+
+    ``lazy``: {term: LazyTermPostings} for the segment. WAND decodes only the
+    blocks it visits; the exhaustive path decodes terms fully on demand.
+    """
+    if method in ("auto", "wand") and _wand_applicable(q):
+        from .wand import wand_topk
+
+        ids, scores = wand_topk(q, sim, lazy, weights, cache, norms, k)
+    else:
+        scorer = SegmentScorer(sim, LazyPostingsDict(lazy), weights, cache, norms)
+        ids, scores = scorer.score_query(q)
+        ids, scores = select_topk(ids, scores, k)
+    return ids, scores
+
+
+def _wand_applicable(q) -> bool:
+    return isinstance(q, BooleanQuery) and bool(q.should) and not q.must and not q.must_not \
+        and q.min_should_match <= 1 and all(isinstance(c, TermQuery) for c in q.should)
+
+
+class Searcher:
+    def __init__(self, index_dir: str, k1: float = 1.2, b: float = 0.75, dtype=np.float32):
+        self.reader = IndexReader(index_dir)
+        self.sim = BM25Similarity(k1, b, dtype=dtype)
+        st = self.reader.stats
+        self.avgdl = self.sim.avgdl(st.sum_ttf, st.doc_count)
+        self.cache = self.sim.norm_cache(self.avgdl)
+
+    # ------------------------------------------------------------------
+    def _weights(self, terms: set[str]) -> dict[str, float]:
+        stats = self.reader.term_stats(sorted(terms))
+        dc = self.reader.stats.doc_count
+        return {t: float(self.sim.weight_value(df, dc)) for t, (df, ttf) in stats.items()}
+
+    def search(
+        self,
+        queries: dict[str, Query] | Query,
+        k: int = 10,
+        *,
+        use_ray: bool = True,
+        method: str = "auto",
+    ) -> pa.Table:
+        """Batch search → Arrow table (query_id, rank, doc_id, score).
+
+        Ranks are 0-based; rows sorted by (query_id, rank). Tie-break and
+        float32 semantics per SURVEY.md §2.6.
+        """
+        if isinstance(queries, Query):
+            queries = {"q0": queries}
+        all_terms: set[str] = set()
+        for q in queries.values():
+            all_terms |= query_terms(q)
+        weights = self._weights(all_terms)
+        doc_bases = {s["seg"]: s["doc_base"] for s in self.reader.segments}
+
+        has_matchall = any(_contains_matchall(q) for q in queries.values())
+        parts_by_qid: dict[str, list] = {qid: [] for qid in queries}
+
+        if use_ray and not has_matchall:
+            import ray.data
+
+            if all_terms:
+                ds = ray.data.read_parquet(
+                    self.reader.postings_files(),
+                    filter=pa.compute.field("term").isin(sorted(all_terms)),
+                )
+                grouped = ds.groupby("seg").map_groups(
+                    ScoreSegmentGroup,
+                    fn_constructor_kwargs=dict(
+                        index_dir=self.reader.index_dir,
+                        queries=queries,
+                        weights=weights,
+                        cache=self.cache,
+                        doc_bases=doc_bases,
+                        k=k,
+                        sim_params=(self.sim.k1, self.sim.b, self.sim.dtype),
+                        method=method,
+                    ),
+                    batch_format="pyarrow",
+                    concurrency=(1, 8),
+                )
+                for b in grouped.iter_batches(batch_format="pyarrow"):
+                    qids = b["query_id"].to_pylist()
+                    ids = b["doc_id"].to_numpy()
+                    scores = b["score"].to_numpy()
+                    for qid in set(qids):
+                        m = np.asarray([x == qid for x in qids])
+                        parts_by_qid[qid].append((ids[m], scores[m]))
+        else:
+            self._search_local(queries, k, weights, doc_bases, parts_by_qid, method)
+
+        rows_q, rows_r, rows_d, rows_s = [], [], [], []
+        for qid in queries:
+            ids, scores = merge_topk(parts_by_qid[qid], k)
+            rows_q.extend([qid] * len(ids))
+            rows_r.extend(range(len(ids)))
+            rows_d.extend(ids.tolist())
+            rows_s.extend(np.asarray(scores, dtype=np.float32).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.string()),
+                "rank": pa.array(rows_r, pa.int32()),
+                "doc_id": pa.array(rows_d, pa.int64()),
+                "score": pa.array(rows_s, pa.float32()),
+            }
+        )
+
+    # ------------------------------------------------------------------
+    def _search_local(self, queries, k, weights, doc_bases, parts_by_qid, method):
+        """In-process scan path (small indexes, unit tests, MatchAll)."""
+        all_terms: set[str] = set()
+        for q in queries.values():
+            all_terms |= query_terms(q)
+        tbl = self.reader.postings_for_terms(sorted(all_terms)) if all_terms else None
+        for s in self.reader.segments:
+            seg = s["seg"]
+            seg_tbl = (
+                tbl.filter(pa.compute.equal(tbl["seg"], seg))
+                if tbl is not None
+                else pa.table({"term": pa.array([], pa.string())})
+            )
+            lazy = build_lazy(seg_tbl) if len(seg_tbl) else {}
+            norms = self.reader.segment_norms(seg)
+            for qid, q in queries.items():
+                ids, scores = score_one(
+                    q, self.sim, lazy, weights, self.cache, norms, k, method
+                )
+                parts_by_qid[qid].append((ids + doc_bases[seg], scores))
+
+
+def _contains_matchall(q: Query) -> bool:
+    if isinstance(q, MatchAllQuery):
+        return True
+    if isinstance(q, BooleanQuery):
+        return any(
+            _contains_matchall(c) for c in (*q.must, *q.should, *q.must_not)
+        )
+    return False

@@ -1,0 +1,118 @@
+"""Index build: CheckIndex invariants (FIXTURES.md §5), resume/determinism
+(FIXTURES.md §7), content-sha fidelity (BASELINE.json per-row invariant)."""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from lucene_solr_ray.corpus import corpus_sha256, generate_corpus
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.index.checkindex import check_index
+from lucene_solr_ray.index.plan import compute_plan
+
+
+@pytest.fixture(scope="module")
+def small_corpus():
+    tbl = generate_corpus(300)
+    sha = dict(
+        zip(
+            zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(), tbl["commit"].to_pylist()),
+            corpus_sha256(tbl),
+        )
+    )
+    return tbl, sha
+
+
+def _index_fingerprint(d: str) -> dict:
+    """Canonical content digest of every segment (order-independent layout)."""
+    out = {}
+    for seg_dir in sorted(glob.glob(os.path.join(d, "segments", "seg=*"))):
+        post = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
+        docs = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
+        out[os.path.basename(seg_dir)] = (
+            hash(post.to_pandas().to_csv(index=False)),
+            hash(docs.to_pandas().to_csv(index=False)),
+        )
+    return out
+
+
+def test_build_and_checkindex(ray_session, small_corpus, tmp_path):
+    tbl, sha = small_corpus
+    d = str(tmp_path / "idx")
+    res = build_index(ray.data.from_arrow(tbl), d, docs_per_segment=100)
+    assert res.stats.doc_count == 300
+    summary = check_index(d, sha)
+    assert summary["docs"] == 300
+    assert summary["segments"] == len(res.segments)
+
+
+def test_deterministic_across_parallelism(ray_session, small_corpus, tmp_path):
+    tbl, _ = small_corpus
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    ds1 = ray.data.from_arrow(tbl)  # single block
+    # different physical partitioning of the same data
+    ds2 = ray.data.from_arrow(tbl).repartition(7)
+    build_index(ds1, d1, docs_per_segment=100, batch_size=64)
+    build_index(ds2, d2, docs_per_segment=100, batch_size=17)
+    assert _index_fingerprint(d1) == _index_fingerprint(d2)
+
+
+def test_resume_skips_completed_and_is_identical(ray_session, small_corpus, tmp_path):
+    tbl, sha = small_corpus
+    d_full = str(tmp_path / "full")
+    d_resume = str(tmp_path / "resume")
+    build_index(ray.data.from_arrow(tbl), d_full, docs_per_segment=100)
+
+    # simulate a crashed build: copy plan + a subset of committed segments
+    os.makedirs(os.path.join(d_resume, "segments"), exist_ok=True)
+    shutil.copy(os.path.join(d_full, "plan.json"), os.path.join(d_resume, "plan.json"))
+    segs = sorted(glob.glob(os.path.join(d_full, "segments", "seg=*")))
+    shutil.copytree(segs[0], os.path.join(d_resume, "segments", os.path.basename(segs[0])))
+
+    res = build_index(ray.data.from_arrow(tbl), d_resume, docs_per_segment=100)
+    assert res.resumed_segments == 1
+    assert _index_fingerprint(d_full) == _index_fingerprint(d_resume)
+    check_index(d_resume, sha)
+
+
+def test_plan_deterministic(ray_session, small_corpus):
+    tbl, _ = small_corpus
+    p1 = compute_plan(ray.data.from_arrow(tbl), 100)
+    p2 = compute_plan(ray.data.from_arrow(tbl).repartition(5), 100)
+    assert p1.boundaries == p2.boundaries
+    assert p1.bases == p2.bases
+    assert p1.counts == p2.counts
+    assert sum(p1.counts) == 300
+
+
+def test_manifest_generation_increments(ray_session, small_corpus, tmp_path):
+    tbl, _ = small_corpus
+    d = str(tmp_path / "gen")
+    r1 = build_index(ray.data.from_arrow(tbl), d, docs_per_segment=200)
+    r2 = build_index(ray.data.from_arrow(tbl), d, docs_per_segment=200)
+    assert r2.generation == r1.generation + 1
+    with open(os.path.join(d, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["generation"] == r2.generation
+    assert all(s["doc_count"] > 0 for s in m["segments"])
+
+
+def test_large_plan_sampled_path(ray_session):
+    # force the sampled-boundary path with a low small_threshold
+    tbl = generate_corpus(2000, seed=7)
+    ds = ray.data.from_arrow(tbl)
+    plan = compute_plan(ds, 500, small_threshold=100)
+    assert plan.total_rows == 2000
+    assert sum(plan.counts) == 2000
+    assert len(plan.bases) == len(plan.counts)
+    # bases are the prefix sums of counts
+    np.testing.assert_array_equal(
+        np.asarray(plan.bases), np.concatenate([[0], np.cumsum(plan.counts)[:-1]])
+    )

@@ -1,0 +1,161 @@
+"""End-to-end search correctness: index-based engines (exhaustive + WAND, Ray
+and local paths) must be (doc_id, float32-score-bit) identical to the
+independent brute-force oracle — FIXTURES.md §6; mirrors Lucene's
+TestWANDScorer-style oracle checks."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from lucene_solr_ray.corpus import generate_corpus
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.search import BooleanQuery, Searcher, TermQuery, parse_query
+from lucene_solr_ray.search.query import MatchAllQuery
+
+from oracle import BruteForceIndex
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    tbl = generate_corpus(N_DOCS)
+    d = str(tmp_path_factory.mktemp("index"))
+    res = build_index(ray.data.from_arrow(tbl), d, docs_per_segment=150)
+    oracle = BruteForceIndex(tbl)
+    return d, res, oracle, tbl
+
+
+def _pick_terms(oracle):
+    by_df = sorted(oracle.df.items(), key=lambda kv: (kv[1], kv[0]))
+    rare = by_df[0][0]
+    mid = by_df[len(by_df) // 2][0]
+    mega = by_df[-1][0]  # license-header term, df ≈ 0.6N
+    return rare, mid, mega
+
+
+QUERY_CASES = []
+
+
+def _queries(oracle):
+    rare, mid, mega = _pick_terms(oracle)
+    return {
+        "term_rare": TermQuery(rare),
+        "term_mid": TermQuery(mid),
+        "term_mega": TermQuery(mega),
+        "bool_and": BooleanQuery(must=[TermQuery(mid), TermQuery(mega)]),
+        "bool_or": BooleanQuery(should=[TermQuery(rare), TermQuery(mid), TermQuery(mega)]),
+        "bool_and_not": BooleanQuery(must=[TermQuery(mega)], must_not=[TermQuery(mid)]),
+        "req_opt": BooleanQuery(must=[TermQuery(mega)], should=[TermQuery(mid)]),
+        "msm_2of3": BooleanQuery(
+            should=[TermQuery(rare), TermQuery(mid), TermQuery(mega)], min_should_match=2
+        ),
+        "or_big": BooleanQuery(
+            should=[TermQuery(t) for t, _ in sorted(oracle.df.items())[:8]]
+        ),
+    }
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+@pytest.mark.parametrize("use_ray", [False, True])
+def test_engine_matches_oracle(built, k, use_ray):
+    d, _, oracle, _ = built
+    searcher = Searcher(d)
+    queries = _queries(oracle)
+    got = searcher.search(queries, k=k, use_ray=use_ray, method="exhaustive")
+    gp = got.to_pandas()
+    for qid, q in queries.items():
+        exp_ids, exp_scores = oracle.topk(q, k)
+        sub = gp[gp.query_id == qid].sort_values("rank")
+        assert sub.doc_id.tolist() == exp_ids.tolist(), f"{qid} doc ids"
+        np.testing.assert_array_equal(
+            sub.score.to_numpy().view(np.uint32),
+            exp_scores.astype(np.float32).view(np.uint32),
+            err_msg=f"{qid} float32 score bits",
+        )
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_wand_rank_identical_to_exhaustive(built, k):
+    d, _, oracle, _ = built
+    searcher = Searcher(d)
+    rare, mid, mega = _pick_terms(oracle)
+    disjunctions = {
+        "or3": BooleanQuery(should=[TermQuery(rare), TermQuery(mid), TermQuery(mega)]),
+        "or8": BooleanQuery(
+            should=[TermQuery(t) for t, _ in sorted(oracle.df.items(), key=lambda kv: -kv[1])[:8]]
+        ),
+        "or2_mega": BooleanQuery(should=[TermQuery(mega), TermQuery(mid)]),
+    }
+    ex = searcher.search(disjunctions, k=k, use_ray=False, method="exhaustive").to_pandas()
+    wd = searcher.search(disjunctions, k=k, use_ray=False, method="wand").to_pandas()
+    for qid in disjunctions:
+        a = ex[ex.query_id == qid].sort_values("rank")
+        b = wd[wd.query_id == qid].sort_values("rank")
+        assert a.doc_id.tolist() == b.doc_id.tolist(), qid
+        np.testing.assert_array_equal(
+            a.score.to_numpy().view(np.uint32), b.score.to_numpy().view(np.uint32), err_msg=qid
+        )
+
+
+def test_wand_actually_prunes(built):
+    from lucene_solr_ray.search.wand import build_lazy, wand_topk
+    from lucene_solr_ray.index.reader import IndexReader
+
+    d, _, oracle, _ = built
+    searcher = Searcher(d)
+    reader = IndexReader(d)
+    rare, mid, mega = _pick_terms(oracle)
+    q = BooleanQuery(should=[TermQuery(mega), TermQuery(mid)])
+    weights = searcher._weights({mega, mid})
+    seg = reader.segments[0]["seg"]
+    tbl = reader.postings_for_terms([mega, mid])
+    seg_tbl = tbl.filter(pa.compute.equal(tbl["seg"], seg))
+    lazy = build_lazy(seg_tbl)
+    norms = reader.segment_norms(seg)
+    stats = {}
+    wand_topk(q, searcher.sim, lazy, weights, searcher.cache, norms, 1, stats=stats)
+    # with k=1 the threshold rises fast; some intervals must be skipped
+    assert stats["intervals_visited"] <= stats["intervals_total"]
+    assert stats["blocks_decoded"] <= stats["blocks_total"]
+
+
+def test_matchall(built):
+    d, res, oracle, _ = built
+    searcher = Searcher(d)
+    got = searcher.search({"all": MatchAllQuery()}, k=N_DOCS + 10, use_ray=False).to_pandas()
+    assert len(got) == N_DOCS
+    assert got.doc_id.tolist() == list(range(N_DOCS))  # tie on score → doc id asc
+
+
+def test_pagination_semantics(built):
+    # searchAfter analog: rows below the anchor rank equal a fresh search's tail
+    d, _, oracle, _ = built
+    searcher = Searcher(d)
+    _, mid, mega = _pick_terms(oracle)
+    q = BooleanQuery(should=[TermQuery(mid), TermQuery(mega)])
+    full = searcher.search({"q": q}, k=50, use_ray=False).to_pandas()
+    page1 = full.iloc[:10]
+    page2_expected = full.iloc[10:20]
+    assert len(page1) == 10
+    assert page2_expected["rank"].tolist() == list(range(10, 20))
+
+
+def test_parser():
+    q = parse_query("Foo AND bar")
+    assert isinstance(q, BooleanQuery) and len(q.must) == 2
+    assert TermQuery("foo") in q.must
+    q2 = parse_query("foo bar baz")
+    assert isinstance(q2, BooleanQuery) and len(q2.should) == 3
+    q3 = parse_query("foo OR bar")
+    assert len(q3.should) == 2
+    q4 = parse_query("foo AND NOT bar")
+    assert len(q4.must) == 1 and len(q4.must_not) == 1
+    q5 = parse_query("+foo -bar baz")
+    assert len(q5.must) == 1 and len(q5.must_not) == 1 and len(q5.should) == 1
+    q6 = parse_query("(foo OR bar) AND baz")
+    assert len(q6.must) == 2
+    q7 = parse_query("the")  # pure stopword → matches nothing
+    assert isinstance(q7, BooleanQuery) and not q7.must and not q7.should
