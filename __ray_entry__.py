@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (full index build + BM25 search over
+the sf0.001 documents corpus). ``queries()`` exposes every implemented
+operator/pipeline from SURVEY.md §2 as ``sf_dir -> table`` callables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL the driver compares against
+(row-count + schema + order-insensitive value hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,86 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from lucene_solr_ray.pipelines import ann, dedup, events, facets, fulltext, multimodal, text
+from lucene_solr_ray.pipelines import fulltext_sql as fs
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001's documents corpus and
+    run the reference query set (terms + booleans) through the BM25 engine."""
+    sf_dir = "/root/testdata/sf0.001"
+    import pyarrow as pa
+
+    terms = fulltext.ft_topk_terms(sf_dir)
+    bools = fulltext.ft_topk_bool(sf_dir)
+    return pa.concat_tables(
+        [terms.select(["query_id", "rank", "doc_id"]), bools.select(["query_id", "rank", "doc_id"])]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- fulltext engine (SURVEY.md §2: analysis, norms, stats, postings,
+        #     BM25 scoring, boolean ops, WAND) ---
+        "ft_collection_stats": fulltext.ft_collection_stats,
+        "ft_doc_norms": fulltext.ft_doc_norms,
+        "ft_term_stats": fulltext.ft_term_stats,
+        "ft_topk_terms": fulltext.ft_topk_terms,
+        "ft_topk_bool": fulltext.ft_topk_bool,
+        "ft_wand_topk": fulltext.ft_wand_topk,  # no SQL oracle: WAND ≡ exhaustive, pinned in pytest
+        # --- text analysis ---
+        "token_count": text.token_count,
+        "lang_id": text.lang_id,
+        "quality": text.quality,
+        "fingerprint": text.fingerprint,
+        # --- dedup family ---
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_shingle_set": dedup.dedup_shingle_set,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash": dedup.simhash,
+        "embed_dup_pairs": dedup.embed_dup_pairs,
+        # --- similarity search ---
+        "ann_topk": ann.ann_topk,
+        "ann_lsh_topk": ann.ann_lsh_topk,  # approximate: rows-only check; recall pinned in pytest
+        # --- events / windows ---
+        "events_hourly": events.events_hourly,
+        "events_sessionize": events.events_sessionize,
+        "events_type_stats": events.events_type_stats,
+        # --- facets / grouping / stats ---
+        "facet_counts": facets.facet_counts,
+        "grouped_topk": facets.grouped_topk,
+        "lang_char_stats": facets.lang_char_stats,
+        # --- multimodal plumbing ---
+        "mm_payload_features": multimodal.mm_payload_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    term_specs = [
+        {"qid": t, "kind": "term", "terms": [t], "k": fulltext.TOPK_K, "with_score": True}
+        for t in fulltext.TERM_QUERIES
+    ]
+    return {
+        "ft_collection_stats": fs.sql_collection_stats(),
+        "ft_doc_norms": fs.sql_doc_norms(),
+        "ft_term_stats": fs.sql_term_stats(),
+        "ft_topk_terms": fs.sql_topk_union(term_specs),
+        "ft_topk_bool": fs.sql_topk_union(fulltext.BOOL_SPECS),
+        "token_count": text.SQL_TOKEN_COUNT,
+        "lang_id": text.SQL_LANG_ID,
+        "quality": text.SQL_QUALITY,
+        "fingerprint": text.SQL_FINGERPRINT,
+        "dedup_exact": dedup.SQL_DEDUP_EXACT,
+        "dedup_shingle_set": dedup.SQL_DEDUP_SHINGLE_SET,
+        "minhash_lsh_pairs": dedup.SQL_MINHASH_LSH_PAIRS,
+        "simhash": dedup.SQL_SIMHASH,
+        "embed_dup_pairs": dedup.SQL_EMBED_DUP_PAIRS,
+        "ann_topk": ann.SQL_ANN_TOPK,
+        "events_hourly": events.SQL_EVENTS_HOURLY,
+        "events_sessionize": events.SQL_EVENTS_SESSIONIZE,
+        "events_type_stats": events.SQL_EVENTS_TYPE_STATS,
+        "facet_counts": facets.SQL_FACET_COUNTS,
+        "grouped_topk": facets.SQL_GROUPED_TOPK,
+        "lang_char_stats": facets.SQL_LANG_CHAR_STATS,
+        "mm_payload_features": multimodal.SQL_MM_PAYLOAD_FEATURES,
+    }

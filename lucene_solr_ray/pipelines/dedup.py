@@ -1,0 +1,390 @@
+"""Deduplication operators: exact, shingle-set, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale shapes (ray_guide.md "Aggregation at scale" / SURVEY.md §2.5):
+
+- exact dedup: hash column added in a vectorized ``map_batches``, then
+  ``groupby(hash)`` aggregate (Min doc_id + Count) — one shuffle of tiny
+  (hash, id) pairs, never the payload.
+- MinHash+LSH: per-batch shingle→minhash signatures (map), explode to
+  (band, band_hash, doc_id) rows, ``groupby(band_hash)`` → candidate pairs →
+  exact Jaccard verification with an integer threshold test
+  (``2*|A∩B| >= |A∪B|`` ⇔ J ≥ 0.5 — exact, no float compare).
+- SimHash: 32-bit signature from md5-derived feature bits (md5 keeps the SQL
+  oracle bit-identical; swap in a faster 64-bit hash at production scale —
+  the pipeline shape is unchanged).
+- Embedding near-dup: label-blocked pairwise cosine (blocking keeps the
+  pairing quadratic only within a block).
+
+Hashes are md5-based so every step is replicable in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+
+from ..analysis.tokenizer import ENGLISH_STOP_WORDS
+from .text import normalize
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+_SHINGLE_CTES = """
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - {K} + 1, 1))) AS i
+  FROM norm WHERE t <> ''
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN length(t) <= {K} THEN t ELSE substr(t, i, {K}) END AS sh
+  FROM pos
+)"""
+
+SHINGLE_K = 8
+N_PERM = 16
+BAND_R = 2  # minhashes per band → N_PERM/BAND_R bands
+JACCARD_NUM = 1  # threshold J >= 1/2 as integer test: 2*inter >= union
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str) -> pa.Table:
+    """(content_md5, kept_doc_id, group_size): first (min doc_id) per exact
+    content hash — `updateDocument`-by-unique-key analog (SURVEY.md §2.5)."""
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "content_md5": pa.array(h, pa.string()),
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(add_hash, batch_format="pyarrow")
+    out = ds.groupby("content_md5").aggregate(
+        Min("doc_id", alias_name="kept_doc_id"), Count(alias_name="group_size")
+    )
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return pa.table(
+        {
+            "content_md5": tbl["content_md5"].cast(pa.string()),
+            "kept_doc_id": tbl["kept_doc_id"].cast(pa.int64()),
+            "group_size": tbl["group_size"].cast(pa.int64()),
+        }
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_md5, CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM documents GROUP BY md5(text) ORDER BY kept_doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingles (shared by shingle-set dedup + minhash)
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text: str) -> set[str]:
+    t = normalize(text)
+    if len(t) <= SHINGLE_K:
+        return {t} if t else set()
+    return {t[i : i + SHINGLE_K] for i in range(len(t) - SHINGLE_K + 1)}
+
+
+def dedup_shingle_set(sf_dir: str) -> pa.Table:
+    """(set_md5, kept_doc_id, group_size): docs with the identical distinct
+    shingle SET — order/whitespace-insensitive near-exact dedup."""
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = []
+        for t in batch["text"].to_pylist():
+            sh = sorted(_shingles(t or ""))
+            hs.append(hashlib.md5("|".join(sh).encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "set_md5": pa.array(hs, pa.string()),
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(add_hash, batch_format="pyarrow")
+    out = ds.groupby("set_md5").aggregate(
+        Min("doc_id", alias_name="kept_doc_id"), Count(alias_name="group_size")
+    )
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return pa.table(
+        {
+            "set_md5": tbl["set_md5"].cast(pa.string()),
+            "kept_doc_id": tbl["kept_doc_id"].cast(pa.int64()),
+            "group_size": tbl["group_size"].cast(pa.int64()),
+        }
+    )
+
+
+SQL_DEDUP_SHINGLE_SET = f"""
+WITH {_SHINGLE_CTES.format(K=SHINGLE_K)},
+sets AS (
+  SELECT doc_id, md5(string_agg(sh, '|' ORDER BY sh)) AS set_md5 FROM sh GROUP BY doc_id
+)
+SELECT set_md5, CAST(min(doc_id) AS BIGINT) AS kept_doc_id, CAST(count(*) AS BIGINT) AS group_size
+FROM sets GROUP BY set_md5 ORDER BY kept_doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: set[str]) -> list[str]:
+    """N_PERM md5-min signatures; perm p hashes 'p:shingle'. md5 keeps the
+    DuckDB oracle identical; the permutation family is the classic
+    hash-per-perm MinHash (Broder 1997)."""
+    sig = []
+    for p in range(N_PERM):
+        pref = f"{p}:".encode()
+        sig.append(min(hashlib.md5(pref + s.encode("utf-8")).hexdigest() for s in shingles))
+    return sig
+
+
+def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
+    """(doc_a, doc_b): LSH candidates (equal band hash) verified at exact
+    Jaccard ≥ 0.5 via the integer test 2*inter ≥ union."""
+    import ray.data
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        rows_doc, rows_band, rows_hash = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = _shingles(t or "")
+            if not sh:
+                continue
+            sig = minhash_signature(sh)
+            for band in range(N_PERM // BAND_R):
+                bh = hashlib.md5(
+                    "|".join(sig[band * BAND_R : (band + 1) * BAND_R]).encode()
+                ).hexdigest()
+                rows_doc.append(d)
+                rows_band.append(band)
+                rows_hash.append(bh)
+        return pa.table(
+            {
+                "doc_id": pa.array(rows_doc, pa.int64()),
+                "band": pa.array(rows_band, pa.int32()),
+                "band_hash": pa.array(rows_hash, pa.string()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(sigs, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        pairs = list(combinations(ids, 2))
+        return pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+                "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+
+    cand = ds.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    cand_tbl = pa.concat_tables([empty, *cand.iter_batches(batch_format="pyarrow")])
+    if len(cand_tbl) == 0:
+        return empty
+    import pandas as pd
+
+    cp = cand_tbl.to_pandas().drop_duplicates().reset_index(drop=True)
+
+    # verification: exact Jaccard on the (small) candidate set — broadcastable
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    keep_a, keep_b = [], []
+    sh_cache: dict[int, set[str]] = {}
+
+    def sh_of(d: int) -> set[str]:
+        if d not in sh_cache:
+            sh_cache[d] = _shingles(text_of.get(d) or "")
+        return sh_cache[d]
+
+    for a, b in zip(cp["doc_a"], cp["doc_b"]):
+        A, B = sh_of(int(a)), sh_of(int(b))
+        inter = len(A & B)
+        union = len(A | B)
+        if union and 2 * inter >= union:
+            keep_a.append(int(a))
+            keep_b.append(int(b))
+    tbl = pa.table(
+        {
+            "doc_a": pa.array(np.asarray(keep_a, dtype=np.int64), pa.int64()),
+            "doc_b": pa.array(np.asarray(keep_b, dtype=np.int64), pa.int64()),
+        }
+    )
+    return tbl.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {_SHINGLE_CTES.format(K=SHINGLE_K)},
+mh AS (
+  SELECT doc_id, p, min(md5(p::VARCHAR || ':' || sh)) AS mh
+  FROM sh, (SELECT unnest(generate_series(0, {N_PERM - 1})) AS p) perms
+  GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, p // {BAND_R} AS band, md5(string_agg(mh, '|' ORDER BY p)) AS bh
+  FROM mh GROUP BY doc_id, p // {BAND_R}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND x.sh = y.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 2 * i.i >= (sa.n + sb.n - i.i)
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash32(tokens_with_tf: list[tuple[str, int]]) -> int:
+    """32-bit SimHash (Charikar 2002): bit b set iff Σ tf·(±1 by md5-bit) > 0.
+    Bits come from the first 8 hex chars of md5(token)."""
+    votes = np.zeros(32, dtype=np.int64)
+    for tok, tf in tokens_with_tf:
+        v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+        bits = (v >> np.arange(32)) & 1
+        votes += tf * (2 * bits - 1)
+    return int(((votes > 0).astype(np.int64) << np.arange(32)).sum())
+
+
+def simhash(sf_dir: str) -> pa.Table:
+    """(doc_id, simhash) over analyzer tokens (tf-weighted)."""
+    from ..analysis.tokenizer import analyze_batch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stats = analyze_batch(batch["text"].to_pylist())
+        out = []
+        for d in range(len(batch)):
+            toks = stats.terms[stats.offsets[d] : stats.offsets[d + 1]]
+            tfs = stats.tfs[stats.offsets[d] : stats.offsets[d + 1]]
+            out.append(simhash32(list(zip(toks.tolist(), tfs.tolist()))))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "simhash": pa.array(out, pa.int64()),
+            }
+        )
+
+    import ray.data
+
+    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+')) AS tok
+  FROM documents
+),
+kept AS (SELECT doc_id, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({_STOPLIST_SQL})),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM kept GROUP BY doc_id, tok),
+hashed AS (
+  SELECT doc_id, tok, tf,
+         (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 268435456
+       + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16777216
+       + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 1048576
+       + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) * 65536
+       + (strpos('0123456789abcdef', substr(md5(tok), 5, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(md5(tok), 6, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5(tok), 7, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1) AS h32
+  FROM tf
+),
+votes AS (
+  SELECT doc_id, b.b AS bit,
+         sum(tf * (2 * ((h32 >> b.b) & 1) - 1)) AS v
+  FROM hashed, (SELECT unnest(generate_series(0, 31)) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT d.doc_id,
+       CAST(coalesce(sum(CASE WHEN v.v > 0 THEN 1 << v.bit ELSE 0 END), 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (label-blocked)
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_TAU = 0.95
+
+
+def embed_dup_pairs(sf_dir: str) -> pa.Table:
+    """(vec_a, vec_b): same-label pairs with cosine ≥ 0.95. Blocking by label
+    bounds the quadratic join; per-block work is one numpy matmul."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def block_pairs(group) -> pa.Table:
+        import pandas as pd
+
+        ids = group["vec_id"].to_numpy()
+        mat = np.stack(group["embedding"].to_list()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = sims[ai, bi] >= COSINE_DUP_TAU
+        a, b = ids[ai[keep]], ids[bi[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"vec_a": pa.array(lo, pa.int64()), "vec_b": pa.array(hi, pa.int64())})
+
+    out = ds.groupby("label").map_groups(block_pairs, batch_format="pandas")
+    empty = pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())})
+    tbl = pa.concat_tables([empty, *out.iter_batches(batch_format="pyarrow")])
+    return tbl.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+SQL_EMBED_DUP_PAIRS = f"""
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_DUP_TAU}
+ORDER BY vec_a, vec_b
+"""

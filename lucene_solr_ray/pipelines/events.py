@@ -1,0 +1,166 @@
+"""Stream-shaped operators over the ``events`` log table (event-time
+windows; ray_guide.md "Streaming-shaped workloads").
+
+Ray Data has no watermarks; the table is treated as a partitioned log:
+partition by ``user_id``, sort by ``ts`` within the group, window with
+pandas inside ``map_groups``. Ordering assumption: per-user processing is
+in event-time order (enforced by the in-group sort), late data is simply
+part of the batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SESSION_GAP_MIN = 30
+
+
+def _events(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def events_hourly(sf_dir: str) -> pa.Table:
+    """(user_id, hour, n_events, sum_value) — tumbling 1h event-time window.
+
+    Pre-aggregated inside map_batches (one row per (user, hour) per batch)
+    before the groupby — the shuffle moves partial aggregates, not events.
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "ts", "value"]).to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["user_id", "hour"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby(["user_id", "hour"]).aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
+    )
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    df = tbl.to_pandas()
+    return pa.table(
+        {
+            "user_id": pa.array(df["user_id"].astype(np.int64), pa.int64()),
+            "hour": pa.array(df["hour"], pa.timestamp("us")),
+            "n_events": pa.array(df["n_events"].astype(np.int64), pa.int64()),
+            "sum_value": pa.array(df["sum_value"].round(3), pa.float64()),
+        }
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       time_bucket(INTERVAL '1 hour', ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 3) AS sum_value
+FROM events GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+ORDER BY user_id, hour
+"""
+
+
+def events_sessionize(sf_dir: str) -> pa.Table:
+    """(user_id, session_id, n_events, first_ts, last_ts) — session windows
+    with a 30-minute inactivity gap, per user, in event-time order."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        sid = gap.cumsum().astype(np.int64)
+        out = g.assign(session_id=sid).groupby("session_id", as_index=False).agg(
+            n_events=("ts", "size"), first_ts=("ts", "min"), last_ts=("ts", "max")
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    ds = _events(sf_dir).groupby("user_id").map_groups(sessions, batch_format="pandas")
+    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    df = tbl.to_pandas()
+    return pa.table(
+        {
+            "user_id": pa.array(df["user_id"].astype(np.int64), pa.int64()),
+            "session_id": pa.array(df["session_id"].astype(np.int64), pa.int64()),
+            "n_events": pa.array(df["n_events"].astype(np.int64), pa.int64()),
+            "first_ts": pa.array(df["first_ts"], pa.timestamp("us")),
+            "last_ts": pa.array(df["last_ts"], pa.timestamp("us")),
+        }
+    )
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '{SESSION_GAP_MIN} minutes' THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
+FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def events_type_stats(sf_dir: str) -> pa.Table:
+    """(event_type, n, n_users, min_v_millis, max_v_millis) — global per-type
+    aggregate with integer-safe value bounds (Solr stats-component analog).
+
+    Exact distinct users = two-stage groupby: dedupe (event_type, user_id)
+    pairs first (the pre-aggregated shuffle carries pairs, not events), then
+    count per type.
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["event_type", "user_id", "value"]).to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), min_v=("value", "min"), max_v=("value", "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
+    agg = ds.groupby("event_type").aggregate(
+        Sum("n", alias_name="n"), Min("min_v", alias_name="min_v"), Max("max_v", alias_name="max_v")
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["event_type", "user_id"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = _events(sf_dir).map_batches(pair_partial, batch_format="pyarrow")
+    distinct_pairs = pairs.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c"))
+    users = distinct_pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+    a = pa.concat_tables(agg.iter_batches(batch_format="pyarrow")).to_pandas()
+    u = pa.concat_tables(users.iter_batches(batch_format="pyarrow")).to_pandas()
+    df = a.merge(u, on="event_type").sort_values("event_type")
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "n": pa.array(df["n"].astype(np.int64), pa.int64()),
+            "n_users": pa.array(df["n_users"].astype(np.int64), pa.int64()),
+            "min_v_millis": pa.array((df["min_v"] * 1000).round().astype(np.int64), pa.int64()),
+            "max_v_millis": pa.array((df["max_v"] * 1000).round().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_EVENTS_TYPE_STATS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(round(min(value) * 1000) AS BIGINT) AS min_v_millis,
+       CAST(round(max(value) * 1000) AS BIGINT) AS max_v_millis
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -1,0 +1,110 @@
+"""Facet / grouping / stats operators — Solr faceting
+(``lucene/facet``, ``FacetsCollector``), result grouping
+(``lucene/grouping/FirstPassGroupingCollector``) and the stats component, as
+Ray Data groupby pipelines (SURVEY.md §2.5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def facet_counts(sf_dir: str) -> pa.Table:
+    """(lang, source, n) — two-dim facet counts."""
+    from ray.data.aggregate import Count
+
+    out = _docs(sf_dir).groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return pa.table(
+        {
+            "lang": tbl["lang"].cast(pa.string()),
+            "source": tbl["source"].cast(pa.string()),
+            "n": tbl["n"].cast(pa.int64()),
+        }
+    )
+
+
+SQL_FACET_COUNTS = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+def grouped_topk(sf_dir: str, per_group: int = 2) -> pa.Table:
+    """(source, rnk, doc_id, n_chars) — top-N docs per source by
+    (n_chars desc, doc_id asc); two-pass grouping collector analog."""
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(per_group)
+        g = g.assign(rnk=np.arange(len(g), dtype=np.int64))
+        return g[["source", "rnk", "doc_id", "n_chars"]]
+
+    out = _docs(sf_dir).groupby("source").map_groups(topn, batch_format="pandas")
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return pa.table(
+        {
+            "source": tbl["source"].cast(pa.string()),
+            "rnk": tbl["rnk"].cast(pa.int64()),
+            "doc_id": tbl["doc_id"].cast(pa.int64()),
+            "n_chars": tbl["n_chars"].cast(pa.int64()),
+        }
+    )
+
+
+SQL_GROUPED_TOPK = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) - 1 AS rnk
+  FROM documents
+)
+SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM r WHERE rnk < 2 ORDER BY source, rnk
+"""
+
+
+def lang_char_stats(sf_dir: str) -> pa.Table:
+    """(lang, n, min_chars, max_chars, sum_chars) — stats component analog,
+    pre-aggregated per batch before the tiny groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["lang", "n_chars"]).to_pandas()
+        g = df.groupby("lang", as_index=False).agg(
+            n=("n_chars", "size"),
+            min_chars=("n_chars", "min"),
+            max_chars=("n_chars", "max"),
+            sum_chars=("n_chars", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("lang").aggregate(
+        Sum("n", alias_name="n"),
+        Min("min_chars", alias_name="min_chars"),
+        Max("max_chars", alias_name="max_chars"),
+        Sum("sum_chars", alias_name="sum_chars"),
+    )
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return pa.table(
+        {
+            "lang": tbl["lang"].cast(pa.string()),
+            "n": tbl["n"].cast(pa.int64()),
+            "min_chars": tbl["min_chars"].cast(pa.int64()),
+            "max_chars": tbl["max_chars"].cast(pa.int64()),
+            "sum_chars": tbl["sum_chars"].cast(pa.int64()),
+        }
+    )
+
+
+SQL_LANG_CHAR_STATS = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""

@@ -1,0 +1,189 @@
+"""Driver-facing fulltext pipeline entries over the ``documents`` testdata
+table (mapped to the 5-column corpus schema). Each function takes ``sf_dir``
+and returns a pyarrow Table whose columns match the SQL in
+:mod:`fulltext_sql` exactly (names, types, value semantics).
+
+The index for an ``sf_dir`` is built once into a /tmp cache keyed by the
+corpus row count + content fingerprint and reused across entries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from ..corpus import documents_as_corpus
+from ..index.build import build_index
+from ..index.reader import IndexReader
+from ..search.query import BooleanQuery, TermQuery
+from ..search.searcher import Searcher
+
+_SEARCHERS: dict[str, Searcher] = {}
+
+#: fixed reference query set over the documents vocabulary (FIXTURES.md §6 spirit)
+TOPK_K = 10
+TERM_QUERIES = ["spark", "merge", "window", "customer", "vector", "zzz_missing_term"]
+BOOL_SPECS = [
+    {"qid": "and_spark_merge", "kind": "and", "terms": ["spark", "merge"], "k": TOPK_K},
+    {"qid": "and3", "kind": "and", "terms": ["window", "customer", "join"], "k": TOPK_K},
+    {"qid": "or3", "kind": "or", "terms": ["spark", "vector", "window"], "k": TOPK_K},
+    {"qid": "or_mega", "kind": "or", "terms": ["data", "row", "merge", "slow"], "k": TOPK_K},
+    {
+        "qid": "andnot",
+        "kind": "and_not",
+        "terms": ["merge"],
+        "not_terms": ["customer"],
+        "k": TOPK_K,
+    },
+    {
+        "qid": "msm2of4",
+        "kind": "msm",
+        "terms": ["spark", "window", "customer", "vector"],
+        "msm": 2,
+        "k": TOPK_K,
+    },
+]
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    import pyarrow.parquet as pq
+
+    meta = pq.read_metadata(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(f"{sf_dir}|{meta.num_rows}|{meta.serialized_size}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"lsr_ft_index_{key}")
+
+
+def get_searcher(sf_dir: str, dtype=np.float64) -> Searcher:
+    """Build (or reuse) the index for sf_dir; float64 scoring for SQL parity."""
+    key = f"{sf_dir}|{np.dtype(dtype).name}"
+    s = _SEARCHERS.get(key)
+    if s is not None:
+        return s
+    idx = _index_dir_for(sf_dir)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        corpus = documents_as_corpus(sf_dir)
+        build_index(corpus, idx, docs_per_segment=2_000)
+    s = Searcher(idx, dtype=dtype)
+    _SEARCHERS[key] = s
+    return s
+
+
+# ---------------------------------------------------------------------------
+# entries
+# ---------------------------------------------------------------------------
+
+
+def ft_doc_norms(sf_dir: str) -> pa.Table:
+    r = get_searcher(sf_dir).reader
+    tbl = pads.dataset(r.docs_files()).to_table(columns=["doc_id", "field_len", "norm_byte"])
+    return pa.table(
+        {
+            "doc_id": tbl["doc_id"].cast(pa.int64()),
+            "field_len": tbl["field_len"].cast(pa.int64()),
+            "norm_byte": tbl["norm_byte"].cast(pa.int64()),
+        }
+    )
+
+
+def ft_term_stats(sf_dir: str, limit: int = 200) -> pa.Table:
+    r = get_searcher(sf_dir).reader
+    tbl = pads.dataset(r.postings_files()).to_table(columns=["term", "df", "ttf"])
+    import pandas as pd
+
+    df = tbl.to_pandas().groupby("term", as_index=False).agg(df=("df", "sum"), ttf=("ttf", "sum"))
+    df = df.sort_values(["df", "term"], ascending=[False, True]).head(limit)
+    return pa.table(
+        {
+            "term": pa.array(df["term"], pa.string()),
+            "df": pa.array(df["df"], pa.int64()),
+            "ttf": pa.array(df["ttf"], pa.int64()),
+        }
+    )
+
+
+def ft_collection_stats(sf_dir: str) -> pa.Table:
+    r = get_searcher(sf_dir).reader
+    tbl = pads.dataset(r.postings_files()).to_table(columns=["term"])
+    distinct = len(pa.compute.unique(tbl["term"]))
+    st = r.stats
+    return pa.table(
+        {
+            "doc_count": pa.array([st.doc_count], pa.int64()),
+            "sum_ttf": pa.array([st.sum_ttf], pa.int64()),
+            "sum_df": pa.array([st.sum_df], pa.int64()),
+            "distinct_terms": pa.array([distinct], pa.int64()),
+        }
+    )
+
+
+def ft_topk_terms(sf_dir: str) -> pa.Table:
+    """Single-term BM25 top-k (float64 sql-compat mode) with exact scores."""
+    s = get_searcher(sf_dir)
+    queries = {t: TermQuery(t) for t in TERM_QUERIES}
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+            "score": pa.array(
+                np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+def _bool_query(spec: dict) -> BooleanQuery:
+    terms = sorted(spec["terms"])
+    kind = spec["kind"]
+    if kind == "or":
+        return BooleanQuery(should=[TermQuery(t) for t in terms])
+    if kind == "and":
+        return BooleanQuery(must=[TermQuery(t) for t in terms])
+    if kind == "and_not":
+        return BooleanQuery(
+            must=[TermQuery(t) for t in terms],
+            must_not=[TermQuery(t) for t in sorted(spec["not_terms"])],
+        )
+    if kind == "msm":
+        return BooleanQuery(should=[TermQuery(t) for t in terms], min_should_match=spec["msm"])
+    raise ValueError(kind)
+
+
+def ft_topk_bool(sf_dir: str) -> pa.Table:
+    """Boolean BM25 top-k; rank+doc_id only (float64 sum order at the last ulp
+    is unspecified in SQL — ranks are stable, scores are dropped)."""
+    s = get_searcher(sf_dir)
+    queries = {spec["qid"]: _bool_query(spec) for spec in BOOL_SPECS}
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+        }
+    )
+
+
+def ft_wand_topk(sf_dir: str) -> pa.Table:
+    """Same disjunctions via the block-max WAND path (no SQL oracle needed —
+    it must equal ft_topk_bool's disjunction rows; also asserted in pytest)."""
+    s = get_searcher(sf_dir)
+    queries = {
+        spec["qid"]: _bool_query(spec)
+        for spec in BOOL_SPECS
+        if spec["kind"] in ("or",)
+    }
+    res = s.search(queries, k=TOPK_K, use_ray=False, method="wand")
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+        }
+    )

@@ -1,0 +1,167 @@
+"""DuckDB oracle-SQL builder for the fulltext engine entries.
+
+Replicates the engine's semantics exactly in ANSI-ish SQL so the driver's
+side-by-side comparison (CORRECTNESS gate) verifies the whole pipeline:
+
+- tokenization: ``regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+')`` is
+  bit-identical to the Python analyzer's ``\\w+`` on this data;
+- maxTokenLength=255 + the 33 StandardAnalyzer stopwords;
+- doc ids: dense rank over the (source, path, commit) mapping used by
+  ``corpus.documents_as_corpus``;
+- SmallFloat intToByte4/byte4ToInt quantization via integer bit ops;
+- BM25 with the engine's float64 op order (the engine's sql-compat mode;
+  the reference-faithful float32 mode is verified against the in-repo
+  brute-force oracle in pytest instead — SURVEY.md §2.6).
+
+All float constants are injected with ``repr()`` so DuckDB parses the exact
+same doubles Python computes with.
+"""
+
+from __future__ import annotations
+
+from ..analysis.tokenizer import ENGLISH_STOP_WORDS
+
+K1 = 1.2
+B = 0.75
+W_COEF = K1 + 1  # 2.2000000000000002; repr-injected below
+
+STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+TOKEN_RE_SQL = r"[\p{L}\p{N}_]+"
+
+# dense doc ids over the documents_as_corpus mapping (corpus.py)
+CORPUS_CTE = """
+corpus AS (
+  SELECT row_number() OVER (ORDER BY source, 'doc/' || doc_id, printf('%040x', doc_id)) - 1 AS did,
+         doc_id AS orig_id, source, lang, text
+  FROM documents
+)"""
+
+# v >= 8: keep top 4 significant bits (SmallFloat.longToInt4 floor quantization)
+_QUANT = """
+CASE WHEN flen < 32 THEN flen
+     ELSE 24 + (((flen-24) >> (length(bin(flen-24))-4)) << (length(bin(flen-24))-4))
+END"""
+
+_NORM_BYTE = """
+CASE WHEN flen < 24 THEN flen
+     WHEN flen - 24 < 8 THEN flen
+     ELSE 24 + ((((flen-24) >> (length(bin(flen-24))-4)) & 7) | ((length(bin(flen-24))-3) << 3))
+END"""
+
+
+def prelude() -> str:
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL})
+),
+tf AS (SELECT did, tok, count(*) AS tf FROM kept GROUP BY did, tok),
+fl AS (
+  SELECT c.did, count(k.tok) AS flen FROM corpus c LEFT JOIN kept k ON c.did = k.did GROUP BY c.did
+),
+quant AS (SELECT did, flen, {_QUANT} AS qlen, {_NORM_BYTE} AS nbyte FROM fl),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS dc,
+         (SELECT coalesce(sum(flen), 0) FROM fl) AS sttf
+),
+idf AS (
+  SELECT tok, count(*) AS df,
+         ln(1 + ((SELECT dc FROM stats) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM tf GROUP BY tok
+),
+avg_dl AS (SELECT CAST(sttf AS DOUBLE) / dc AS avgdl FROM stats)
+"""
+
+
+def sql_doc_norms() -> str:
+    return prelude() + """
+SELECT CAST(did AS BIGINT) AS doc_id, CAST(flen AS BIGINT) AS field_len,
+       CAST(nbyte AS BIGINT) AS norm_byte
+FROM quant ORDER BY did
+"""
+
+
+def sql_term_stats(limit: int = 200) -> str:
+    return prelude() + f"""
+SELECT i.tok AS term, CAST(i.df AS BIGINT) AS df, CAST(sum(t.tf) AS BIGINT) AS ttf
+FROM idf i JOIN tf t ON i.tok = t.tok
+GROUP BY i.tok, i.df
+ORDER BY df DESC, term ASC LIMIT {limit}
+"""
+
+
+def sql_collection_stats() -> str:
+    return prelude() + """
+SELECT CAST((SELECT dc FROM stats) AS BIGINT) AS doc_count,
+       CAST((SELECT sttf FROM stats) AS BIGINT) AS sum_ttf,
+       CAST((SELECT count(*) FROM tf) AS BIGINT) AS sum_df,
+       CAST((SELECT count(DISTINCT tok) FROM tf) AS BIGINT) AS distinct_terms
+"""
+
+
+def _score_cte(terms: list[str]) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    # engine float64 op order: weight = (idf*boost)*(k1+1); norm = k1*((1-b) + (b*qlen)/avgdl);
+    # score = (weight*tf)/(tf+norm)
+    return f"""
+sc AS (
+  SELECT k.did, k.tok,
+         ((i.idf * {1.0!r}) * {K1 + 1!r}) * k.tf
+           / (k.tf + {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen) / (SELECT avgdl FROM avg_dl))) AS s
+  FROM tf k JOIN quant q USING (did) JOIN idf i ON k.tok = i.tok
+  WHERE k.tok IN ({tl})
+),
+agg AS (SELECT did, sum(s) AS score, count(*) AS nmatch FROM sc GROUP BY did)
+"""
+
+
+def sql_topk(qid: str, kind: str, terms: list[str], k: int,
+             not_terms: list[str] | None = None, msm: int = 0,
+             with_score: bool = False) -> str:
+    """One top-k query → (query_id, rank, doc_id[, score]).
+
+    kind: 'term' | 'or' | 'and' | 'and_not' | 'msm'. ``score`` is emitted only
+    for single-term queries (float64 bit-exact); boolean sums drop it because
+    SQL's sum() order is unspecified at the last-ulp level (rank is stable).
+    """
+    terms = sorted(terms)
+    if kind == "term":
+        assert len(terms) == 1
+        cond = "nmatch >= 1"
+    elif kind == "or":
+        cond = "nmatch >= 1"
+    elif kind == "and":
+        cond = f"nmatch = {len(terms)}"
+    elif kind == "and_not":
+        cond = f"nmatch = {len(terms)}"
+    elif kind == "msm":
+        cond = f"nmatch >= {msm}"
+    else:
+        raise ValueError(kind)
+    notclause = ""
+    if not_terms:
+        ntl = ", ".join(f"'{t}'" for t in sorted(not_terms))
+        notclause = f" AND did NOT IN (SELECT did FROM tf WHERE tok IN ({ntl}))"
+    score_col = ", score" if with_score else ""
+    return prelude() + "," + _score_cte(terms) + f"""
+SELECT '{qid}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id{score_col}
+FROM agg WHERE {cond}{notclause}
+ORDER BY score DESC, did ASC LIMIT {k}
+"""
+
+
+def sql_topk_union(specs: list[dict]) -> str:
+    """UNION ALL of several sql_topk queries (shared column set)."""
+    with_score = all(s.get("with_score") for s in specs)
+    parts = [
+        sql_topk(s["qid"], s["kind"], s["terms"], s["k"],
+                 s.get("not_terms"), s.get("msm", 0), with_score)
+        for s in specs
+    ]
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)

@@ -1,0 +1,205 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+language ID (stopword-hit heuristic), quality scoring, fingerprinting.
+
+Each entry returns a pyarrow Table matching its ``SQL_*`` oracle exactly.
+Ray side: one vectorized ``map_batches`` per entry (analysis is per-row regex
++ numpy/pandas folds; stateless → task pool). Scale shape: all entries are
+embarrassingly parallel maps + (for nothing here) no shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..analysis.tokenizer import ENGLISH_STOP_WORDS, analyze_batch
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+_WS = re.compile(r"\s+")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "was"),
+    "es": ("el", "los", "y", "es", "una", "en", "que", "por", "del", "las"),
+    "fr": ("le", "les", "et", "est", "dans", "pour", "ce", "ne", "pas", "vous"),
+}
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def token_count(sf_dir: str) -> pa.Table:
+    """(doc_id, n_tokens) with the engine's full analysis chain
+    (lower → \\w+ → maxlen 255 → stopwords)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stats = analyze_batch(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(stats.field_lens.astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+
+
+SQL_TOKEN_COUNT = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+')) AS tok
+  FROM documents
+),
+kept AS (SELECT doc_id, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({_STOPLIST_SQL}))
+SELECT d.doc_id, CAST(count(k.tok) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    """(doc_id, pred_lang) — argmax of per-language marker-word hits; ties go
+    to the lexicographically smallest code; all-zero → 'und'."""
+    markers = {lang: frozenset(ws) for lang, ws in LANG_MARKERS.items()}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        toks = [re.findall(r"\w+", (t or "").lower()) for t in texts]
+        langs = sorted(markers)
+        counts = {
+            lang: np.array([sum(w in markers[lang] for w in ts) for ts in toks], dtype=np.int64)
+            for lang in langs
+        }
+        pred = []
+        for i in range(len(texts)):
+            best, best_c = "und", 0
+            for lang in langs:  # lexicographic order → ties pick smallest code
+                if counts[lang][i] > best_c:
+                    best, best_c = lang, counts[lang][i]
+            pred.append(best)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "pred_lang": pa.array(pred, pa.string()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+
+
+def _lang_count_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"count(*) FILTER (tok IN ({words}))"
+
+
+SQL_LANG_ID = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+')) AS tok
+  FROM documents
+),
+hits AS (
+  SELECT d.doc_id,
+         {_lang_count_sql('de')} AS c_de,
+         {_lang_count_sql('en')} AS c_en,
+         {_lang_count_sql('es')} AS c_es,
+         {_lang_count_sql('fr')} AS c_fr
+  FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CASE WHEN c_de > 0 AND c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+            WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+            WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+            WHEN c_fr > 0 THEN 'fr'
+            ELSE 'und' END AS pred_lang
+FROM hits ORDER BY doc_id
+"""
+
+
+def quality(sf_dir: str) -> pa.Table:
+    """(doc_id, n_chars, n_alpha, n_digit, n_tokens, quality_bucket) —
+    integer quality features + a bucketed verdict (threshold rules)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object).fillna("")
+        n_chars = texts.str.len().to_numpy(dtype=np.int64)
+        n_alpha = texts.str.count(r"[A-Za-z]").to_numpy(dtype=np.int64)
+        n_digit = texts.str.count(r"[0-9]").to_numpy(dtype=np.int64)
+        stats = analyze_batch(texts.tolist())
+        n_tokens = stats.field_lens.astype(np.int64)
+        bucket = np.where(
+            n_tokens < 5, "too_short",
+            np.where(n_alpha * 2 < n_chars, "low_alpha", "ok"),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_alpha": pa.array(n_alpha, pa.int64()),
+                "n_digit": pa.array(n_digit, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "quality_bucket": pa.array(bucket.tolist(), pa.string()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+
+
+SQL_QUALITY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+')) AS tok
+  FROM documents
+),
+kept AS (SELECT doc_id, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({_STOPLIST_SQL})),
+tc AS (
+  SELECT d.doc_id, count(k.tok) AS n_tokens FROM documents d
+  LEFT JOIN kept k ON d.doc_id = k.doc_id GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       CAST(length(regexp_replace(d.text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+       CAST(tc.n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN tc.n_tokens < 5 THEN 'too_short'
+            WHEN length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) * 2 < length(d.text)
+              THEN 'low_alpha'
+            ELSE 'ok' END AS quality_bucket
+FROM documents d JOIN tc ON d.doc_id = tc.doc_id ORDER BY d.doc_id
+"""
+
+
+def normalize(text: str) -> str:
+    """Whitespace-collapsed lowercase text (shared with dedup shingling)."""
+    return _WS.sub(" ", (text or "").lower()).strip()
+
+
+def fingerprint(sf_dir: str) -> pa.Table:
+    """(doc_id, fp) — md5 document fingerprint of normalized text."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(normalize(t).encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+"""

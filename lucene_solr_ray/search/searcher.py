@@ -87,12 +87,16 @@ class ScoreSegmentGroup:
             pa.string(),
         )
         ids_cat = np.concatenate(out_ids) if out_ids else np.empty(0, dtype=np.int64)
-        sc_cat = np.concatenate(out_scores) if out_scores else np.empty(0, dtype=np.float32)
+        sc_cat = (
+            np.concatenate(out_scores) if out_scores else np.empty(0, dtype=self.sim.dtype)
+        )
         return pa.table(
             {
                 "query_id": qid_arr,
                 "doc_id": pa.array(ids_cat, pa.int64()),
-                "score": pa.array(sc_cat.astype(np.float32), pa.float32()),
+                "score": pa.array(
+                    sc_cat.astype(self.sim.dtype), pa.from_numpy_dtype(self.sim.dtype)
+                ),
             }
         )
 
@@ -196,13 +200,14 @@ class Searcher:
             rows_q.extend([qid] * len(ids))
             rows_r.extend(range(len(ids)))
             rows_d.extend(ids.tolist())
-            rows_s.extend(np.asarray(scores, dtype=np.float32).tolist())
+            rows_s.extend(np.asarray(scores, dtype=self.sim.dtype).tolist())
+        score_type = pa.from_numpy_dtype(self.sim.dtype)
         return pa.table(
             {
                 "query_id": pa.array(rows_q, pa.string()),
                 "rank": pa.array(rows_r, pa.int32()),
                 "doc_id": pa.array(rows_d, pa.int64()),
-                "score": pa.array(rows_s, pa.float32()),
+                "score": pa.array(rows_s, score_type),
             }
         )
 

@@ -1,0 +1,191 @@
+"""Pipeline operators vs their DuckDB oracles (the driver's CORRECTNESS gate,
+mirrored at sf0.001) + planted-duplicate recall tests on synthetic tables."""
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import importlib
+
+    return importlib.import_module("__ray_entry__")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+FAST_ENTRIES = [
+    "ft_collection_stats",
+    "ft_doc_norms",
+    "ft_term_stats",
+    "ft_topk_terms",
+    "ft_topk_bool",
+    "token_count",
+    "lang_id",
+    "quality",
+    "fingerprint",
+    "dedup_exact",
+    "dedup_shingle_set",
+    "minhash_lsh_pairs",
+    "simhash",
+    "embed_dup_pairs",
+    "ann_topk",
+    "events_hourly",
+    "events_sessionize",
+    "events_type_stats",
+    "facet_counts",
+    "grouped_topk",
+    "lang_char_stats",
+    "mm_payload_features",
+]
+
+
+@pytest.mark.parametrize("name", FAST_ENTRIES)
+def test_query_matches_oracle(entry_mod, con, name):
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = fn(SF)
+    got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    exp = con.sql(sql).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns), f"{name} schema"
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    e = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+
+
+def test_wand_equals_bool_disjunctions(entry_mod):
+    from lucene_solr_ray.pipelines import fulltext
+
+    bools = fulltext.ft_topk_bool(SF).to_pandas()
+    wand = fulltext.ft_wand_topk(SF).to_pandas()
+    for qid in wand.query_id.unique():
+        a = bools[bools.query_id == qid].sort_values("rank")[["rank", "doc_id"]]
+        b = wand[wand.query_id == qid].sort_values("rank")[["rank", "doc_id"]]
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_ann_lsh_recall(entry_mod):
+    """LSH-bucketed ANN must find a decent fraction of the true neighbors —
+    and must be a subset of the corpus with correct ranks."""
+    from lucene_solr_ray.pipelines import ann
+
+    exact = ann.ann_topk(SF).to_pandas()
+    approx = ann.ann_lsh_topk(SF).to_pandas()
+    hits = tot = 0
+    for qid in exact.query_id.unique():
+        t = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(t & a)
+        tot += len(t)
+    assert tot > 0
+    assert hits / tot > 0.15  # 6 hyperplanes → 1/64 of the corpus scanned
+
+
+# ---------------------------------------------------------------------------
+# planted duplicates on a synthetic sf_dir
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("planted")
+    rng = np.random.default_rng(7)
+    base = [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "delta", "eps"], size=40))
+        for _ in range(20)
+    ]
+    texts, srcs = [], []
+    for i, b in enumerate(base):
+        texts.append(b)
+        srcs.append(f"src{i % 3}")
+    # exact dup of doc 0, near dup of doc 1 (one word changed)
+    texts.append(base[0])
+    srcs.append("srcX")
+    words = base[1].split()
+    words[5] = "zzz"
+    texts.append(" ".join(words))
+    srcs.append("srcY")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(srcs, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    vecs = rng.standard_normal((30, 16))
+    vecs[29] = vecs[0] + rng.standard_normal(16) * 0.01  # near-identical pair
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(30), pa.int64()),
+                "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs],
+                                      pa.list_(pa.float32())),
+                "label": pa.array([0] * 30, pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def test_planted_exact_dup_found(ray_session, planted_dir):
+    from lucene_solr_ray.pipelines import dedup
+
+    out = dedup.dedup_exact(planted_dir).to_pandas()
+    dup_groups = out[out.group_size > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups.iloc[0].kept_doc_id == 0 and dup_groups.iloc[0].group_size == 2
+
+
+def test_planted_near_dup_found_by_minhash(ray_session, planted_dir):
+    from lucene_solr_ray.pipelines import dedup
+
+    pairs = dedup.minhash_lsh_pairs(planted_dir).to_pandas()
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (0, 20) in got  # exact dup pair
+    assert (1, 21) in got  # near dup pair (1 word of 40 changed)
+
+
+def test_planted_embedding_dup_found(ray_session, planted_dir):
+    from lucene_solr_ray.pipelines import dedup
+
+    pairs = dedup.embed_dup_pairs(planted_dir).to_pandas()
+    assert (0, 29) in set(zip(pairs.vec_a, pairs.vec_b))
+
+
+def test_planted_simhash_close(ray_session, planted_dir):
+    from lucene_solr_ray.pipelines import dedup
+
+    sh = dedup.simhash(planted_dir).to_pandas().set_index("doc_id")["simhash"]
+    assert sh.loc[0] == sh.loc[20]  # identical docs → identical simhash
+    ham = bin(int(sh.loc[1]) ^ int(sh.loc[21])).count("1")
+    assert ham <= 8  # near-dup → small hamming distance
+
+
+def test_entry_smoke(entry_mod):
+    res = entry_mod.entry()
+    tbl = res if isinstance(res, pa.Table) else pa.table(res)
+    assert tbl.num_rows >= 0
+    assert set(tbl.column_names) == {"query_id", "rank", "doc_id"}
