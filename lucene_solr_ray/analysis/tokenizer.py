@@ -83,7 +83,9 @@ class BatchTokenStats:
     """Vectorized analysis result for a batch of documents.
 
     ``terms``/``tfs`` are flat arrays; document *d*'s unique terms are
-    ``terms[offsets[d]:offsets[d+1]]`` (sorted ascending within the doc).
+    ``terms[offsets[d]:offsets[d+1]]`` (first-appearance order within the doc
+    — downstream postings construction sorts globally by term, so per-doc
+    order is irrelevant and we skip an expensive object-array sort).
     """
 
     terms: np.ndarray  # object array of str
@@ -144,13 +146,9 @@ def analyze_batch(
     u_doc = uniq_keys // len(uniques)
     u_code = (uniq_keys % len(uniques)).astype(np.int64)
 
-    # within each doc, sort unique terms lexicographically (stable, deterministic)
     uarr = np.asarray(uniques, dtype=object)
-    term_vals = uarr[u_code]
-    final_order = np.lexsort((term_vals, u_doc))
-    u_doc = u_doc[final_order]
-    term_vals = term_vals[final_order]
-    tfs = group_sizes[final_order].astype(np.int32)
+    term_vals = uarr[u_code]  # doc-major already (pair_key is doc*V + code)
+    tfs = group_sizes.astype(np.int32)
 
     per_doc_uniques = np.bincount(u_doc, minlength=n)
     offsets = np.zeros(n + 1, dtype=np.int64)

@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..analysis.tokenizer import StandardAnalyzer, analyze_batch
-from ..util.forutil import BLOCK_SIZE, encode_postings
+from ..util.forutil import encode_sequences
 from ..util.smallfloat import LENGTH_TABLE, int_to_byte4
 from .plan import BuildPlan, sort_keys
 
@@ -282,19 +282,26 @@ class SegmentWriter:
         norm_len = LENGTH_TABLE[group["norm_byte"].to_numpy().astype(np.int64)]
         doc_lens = norm_len[s_doc]  # quantized length per posting (WAND bound input)
 
-        doc_blobs, freq_blobs = [], []
-        firsts, lasts, maxfs, minls = [], [], [], []
-        for t in range(len(starts)):
-            a, b = starts[t], starts[t] + dfs[t]
-            enc = encode_postings(s_doc[a:b], s_tf[a:b])
-            doc_blobs.append(enc["doc_blob"])
-            freq_blobs.append(enc["freq_blob"])
-            firsts.append(enc["block_first_doc"])
-            lasts.append(enc["block_last_doc"])
-            maxfs.append(enc["block_max_freq"])
-            dl = doc_lens[a:b]
-            block_starts = np.arange(0, b - a, BLOCK_SIZE)
-            minls.append(np.minimum.reduceat(dl, block_starts).astype(np.int32))
+        # batch FOR encode: every term's postings in one vectorized pass
+        deltas = np.empty(len(s_doc), dtype=np.int64)
+        if len(s_doc):
+            deltas[1:] = s_doc[1:] - s_doc[:-1]
+        deltas[starts] = s_doc[starts] + 1
+        dbuf, doffs, gstart, blen, block_ptr = encode_sequences(deltas, starts, dfs)
+        fbuf, foffs, _, _, _ = encode_sequences(s_tf, starts, dfs)
+
+        firsts = s_doc[gstart].astype(np.int32)
+        lasts = s_doc[gstart + blen - 1].astype(np.int32)
+        maxfs = np.maximum.reduceat(s_tf, gstart).astype(np.int32) if len(gstart) else np.empty(0, np.int32)
+        minls = np.minimum.reduceat(doc_lens, gstart).astype(np.int32) if len(gstart) else np.empty(0, np.int32)
+        lofs = pa.array(block_ptr.astype(np.int32))
+
+        def large_bin(buf: np.ndarray, offs: np.ndarray) -> pa.Array:
+            return pa.Array.from_buffers(
+                pa.large_binary(),
+                len(offs) - 1,
+                [None, pa.py_buffer(offs.astype(np.int64).tobytes()), pa.py_buffer(buf.tobytes())],
+            )
 
         return pa.table(
             {
@@ -302,12 +309,12 @@ class SegmentWriter:
                 "term": sorted_terms.cast(pa.string()),
                 "df": pa.array(dfs, pa.int64()),
                 "ttf": pa.array(ttfs, pa.int64()),
-                "doc_blob": pa.array(doc_blobs, pa.large_binary()),
-                "freq_blob": pa.array(freq_blobs, pa.large_binary()),
-                "block_first_doc": pa.array([x.tolist() for x in firsts], pa.list_(pa.int32())),
-                "block_last_doc": pa.array([x.tolist() for x in lasts], pa.list_(pa.int32())),
-                "block_max_freq": pa.array([x.tolist() for x in maxfs], pa.list_(pa.int32())),
-                "block_min_len": pa.array([x.tolist() for x in minls], pa.list_(pa.int32())),
+                "doc_blob": large_bin(dbuf, doffs),
+                "freq_blob": large_bin(fbuf, foffs),
+                "block_first_doc": pa.ListArray.from_arrays(lofs, pa.array(firsts, pa.int32())),
+                "block_last_doc": pa.ListArray.from_arrays(lofs, pa.array(lasts, pa.int32())),
+                "block_max_freq": pa.ListArray.from_arrays(lofs, pa.array(maxfs, pa.int32())),
+                "block_min_len": pa.ListArray.from_arrays(lofs, pa.array(minls, pa.int32())),
             }
         )
 

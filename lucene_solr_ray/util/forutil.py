@@ -163,3 +163,80 @@ def decode_postings(doc_blob: bytes, freq_blob: bytes, df: int) -> tuple[np.ndar
     ids = np.cumsum(deltas) - 1
     freqs = decode_blocks(freq_blob, df).astype(np.int32)
     return ids, freqs
+
+
+# ---------------------------------------------------------------------------
+# batch encoder: ALL sequences of a segment in one vectorized pass
+# ---------------------------------------------------------------------------
+
+
+def encode_sequences(values: np.ndarray, starts: np.ndarray, counts: np.ndarray):
+    """FOR-encode many value sequences at once (same blob layout as
+    :func:`encode_blocks`, byte-identical output).
+
+    ``values`` is the concatenation of all sequences; sequence *i* occupies
+    ``values[starts[i] : starts[i]+counts[i]]``. Returns
+    ``(buf, seq_offsets, gstart, blen, block_ptr)`` where ``buf`` is one
+    uint8 buffer holding every sequence's blob back-to-back and
+    ``seq_offsets`` (int64, n+1) delimits them — ready for a zero-copy
+    ``pyarrow.LargeBinaryArray``.
+
+    The hot path is a single global bit-scatter + one ``np.packbits`` call
+    for the whole segment (the transient bit array is 8× the payload bytes;
+    segments are sized so this stays comfortably in a worker's heap).
+    """
+    N = len(values)
+    n = len(starts)
+    v32 = np.ascontiguousarray(values, dtype=np.uint32)
+    nb = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total_blocks = int(nb.sum())
+    block_ptr = np.concatenate([[0], np.cumsum(nb)]).astype(np.int64)
+    seq_of_block = np.repeat(np.arange(n), nb)
+    within_blk = np.arange(total_blocks) - block_ptr[seq_of_block]
+    gstart = starts[seq_of_block] + within_blk * BLOCK_SIZE
+    ends = (starts + counts)[seq_of_block]
+    blen = np.minimum(BLOCK_SIZE, ends - gstart)
+    if total_blocks == 0:
+        return (
+            np.zeros(0, dtype=np.uint8),
+            np.zeros(n + 1, dtype=np.int64),
+            gstart,
+            blen,
+            block_ptr,
+        )
+    bmax = np.maximum.reduceat(v32, gstart)
+    bmin = np.minimum.reduceat(v32, gstart)
+    width = _bit_width(bmax.astype(np.int64))
+    width[bmax == bmin] = 0
+    payload = np.where(width == 0, 4, (blen * width + 7) // 8).astype(np.int64)
+    btot = 1 + payload
+    block_off = np.concatenate([[0], np.cumsum(btot)]).astype(np.int64)
+    total_bytes = int(block_off[-1])
+    buf = np.zeros(total_bytes, dtype=np.uint8)
+    buf[block_off[:-1]] = width.astype(np.uint8)
+    # all-equal blocks: uint32 LE value after the header
+    z = np.flatnonzero(width == 0)
+    if len(z):
+        v = bmax[z].astype(np.uint32)
+        for j in range(4):
+            buf[block_off[z] + 1 + j] = ((v >> np.uint32(8 * j)) & np.uint32(0xFF)).astype(np.uint8)
+    # bit-packed blocks: one global bit array, one packbits
+    if np.any(width > 0):
+        val_block = np.repeat(np.arange(total_blocks), blen)
+        within = np.arange(N) - gstart[val_block]
+        flat = np.zeros(total_bytes * 8, dtype=np.uint8)
+        for w in np.unique(width):
+            if w == 0:
+                continue
+            w = int(w)
+            vmask = (width == w)[val_block]
+            vals_w = v32[vmask]
+            vb = val_block[vmask]
+            bitbase = (block_off[vb] + 1) * 8 + within[vmask] * w
+            pos = (bitbase[:, None] + np.arange(w)).ravel()
+            bits = ((vals_w[:, None] >> np.arange(w, dtype=np.uint32)) & 1).astype(np.uint8).ravel()
+            flat[pos] = bits
+        packed = np.packbits(flat, bitorder="little")
+        np.bitwise_or(buf, packed, out=buf)
+    seq_offsets = block_off[block_ptr]
+    return buf, seq_offsets, gstart, blen, block_ptr

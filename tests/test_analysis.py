@@ -75,8 +75,8 @@ def test_batch_matches_positional_api():
         got_tfs = stats.tfs[stats.offsets[d] : stats.offsets[d + 1]]
         assert dict(zip(got_terms.tolist(), got_tfs.tolist())) == expected
         assert stats.field_lens[d] == sum(expected.values())
-        # unique terms sorted within the doc
-        assert list(got_terms) == sorted(got_terms)
+        # unique terms, no duplicates within a doc
+        assert len(set(got_terms)) == len(got_terms)
 
 
 def test_batch_field_len_counts_kept_tokens_only():
