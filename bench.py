@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: full inverted-index build (analyze → shuffle → segments → commit)
+over the deterministic synthetic bench corpus (FIXTURES.md §1), then the
+reference BM25 query set through the Ray query engine. Secondary: the
+training-data pipelines over $GRAFT_SF_DIR.
+
+Env:
+  RAY_GRAFT_CPUS   num_cpus for ray.init (default 32)
+  GRAFT_SF_DIR     testdata dir for pipeline timings (default /root/testdata/sf0.1)
+  BENCH_DOCS       bench corpus rows (default 200_000)
+
+``--scaling``: run the headline twice in fresh processes (num_cpus=8 then 32)
+on the same pre-generated input and report both + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
+CORPUS_DIR = f"/tmp/lsr_bench_corpus_{BENCH_DOCS}"
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ensure_corpus() -> str:
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.corpus import CHUNK_ROWS, write_corpus
+
+    n_files = -(-BENCH_DOCS // CHUNK_ROWS)
+    try:
+        import glob
+
+        files = sorted(glob.glob(f"{CORPUS_DIR}/part-*.parquet"))
+        if len(files) == n_files and sum(pq.read_metadata(f).num_rows for f in files) == BENCH_DOCS:
+            return CORPUS_DIR
+    except Exception:
+        pass
+    shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+    t0 = time.time()
+    write_corpus(CORPUS_DIR, BENCH_DOCS)
+    log(f"[bench] corpus generated in {time.time() - t0:.1f}s")
+    return CORPUS_DIR
+
+
+def bench_query_set() -> dict:
+    """Fixed reference query set over the synthetic vocabulary: license-header
+    mega-terms, keywords, zipf identifiers."""
+    from lucene_solr_ray.search.query import BooleanQuery, TermQuery
+
+    mega = ["license", "apache", "software", "the"]  # header terms (df≈0.6N) + stopword
+    kws = ["def", "return", "class", "public", "static", "struct"]
+    idents = ["get_set1", "buf_idx2", "hash_term3", "read_write4"]
+    q: dict = {}
+    for t in mega + kws + idents[:2]:
+        q[f"term_{t}"] = TermQuery(t)
+    q["and_2"] = BooleanQuery(must=[TermQuery("license"), TermQuery("apache")])
+    q["and_3"] = BooleanQuery(must=[TermQuery("def"), TermQuery("return"), TermQuery("class")])
+    q["and_not"] = BooleanQuery(must=[TermQuery("apache")], must_not=[TermQuery("markdown")])
+    q["or_4"] = BooleanQuery(should=[TermQuery(t) for t in kws[:4]])
+    q["or_mega"] = BooleanQuery(should=[TermQuery(t) for t in mega[:3]])
+    q["msm_2of4"] = BooleanQuery(should=[TermQuery(t) for t in kws[2:6]], min_should_match=2)
+    return q
+
+
+def run_bench(ncpus: int) -> dict:
+    import ray
+
+    from lucene_solr_ray.util.mem import MALLOC_ENV
+
+    # env-level malloc tuning is inherited by raylet-spawned workers; a
+    # runtime_env would force dedicated (cold) worker processes instead —
+    # measured 3x slower. In-code mallopt (package import) covers our stages.
+    os.environ.update(MALLOC_ENV)
+    ray.init(
+        address="local",
+        num_cpus=ncpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import Searcher
+
+    corpus = ensure_corpus()
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    import pyarrow.dataset as pads
+
+    pads.dataset(corpus).to_table(columns=["repo"])
+
+    index_dir = f"/tmp/lsr_bench_index_{os.getpid()}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    queries: dict[str, float] = {}
+
+    # segment count independent of parallelism (identical work at 8 vs 32 cpus;
+    # doc ids are parallelism-invariant anyway) and >> workers, like real scale
+    dps = max(2_000, BENCH_DOCS // 100)
+    t0 = time.time()
+    res = build_index(corpus, index_dir, docs_per_segment=dps, batch_size=512)
+    t_build = time.time() - t0
+    queries["index_build"] = round(t_build, 3)
+    log(f"[bench] build: {t_build:.1f}s ({res.stats.doc_count / t_build:.0f} docs/s, "
+        f"{len(res.segments)} segments)")
+
+    searcher = Searcher(index_dir)
+    qset = bench_query_set()
+    t0 = time.time()
+    out = searcher.search(qset, k=10, use_ray=True)
+    t_query = time.time() - t0
+    queries["bm25_topk_batch"] = round(t_query, 3)
+    log(f"[bench] query batch ({len(qset)} queries): {t_query:.2f}s, rows={out.num_rows}")
+
+    # single-query latency (local in-process path, the per-query floor)
+    from lucene_solr_ray.search.query import TermQuery
+
+    lat = []
+    for t in ["license", "get_set1", "def"]:
+        t0 = time.time()
+        searcher.search({"q": TermQuery(t)}, k=10, use_ray=False)
+        lat.append(time.time() - t0)
+    queries["bm25_single_query_p50"] = round(sorted(lat)[len(lat) // 2], 4)
+
+    # secondary: training-data pipelines over GRAFT_SF_DIR
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if os.path.isdir(sf_dir):
+        from lucene_solr_ray.pipelines import ann, dedup, events, text
+
+        for name, fn in [
+            ("token_count", text.token_count),
+            ("dedup_exact", dedup.dedup_exact),
+            ("minhash_lsh_pairs", dedup.minhash_lsh_pairs),
+            ("ann_topk", ann.ann_topk),
+            ("events_hourly", events.events_hourly),
+        ]:
+            t0 = time.time()
+            fn(sf_dir)
+            queries[name] = round(time.time() - t0, 3)
+            log(f"[bench] {name}: {queries[name]}s")
+
+    headline = queries["index_build"] + queries["bm25_topk_batch"]
+    result = {
+        "metric": "index_build_plus_bm25_query_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": ncpus,
+        "bench_docs": BENCH_DOCS,
+        "docs_per_sec": round(res.stats.doc_count / t_build, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    # same input, two parallelism levels, fresh processes (sandbox substitute
+    # for N vs 4N nodes — BASELINE.md scaling protocol). Uses a larger corpus
+    # by default so compute dominates the fixed Ray/session overheads that a
+    # real multi-node deployment would amortize.
+    docs = os.environ.get("BENCH_DOCS", "800000")
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_DOCS=docs)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo = r_lo["queries"]["index_build"]
+    t_hi = r_hi["queries"]["index_build"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_index_build",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "docs_per_sec_8": r_lo["docs_per_sec"],
+                "docs_per_sec_32": r_hi["docs_per_sec"],
+                "bench_docs": BENCH_DOCS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(ncpus)))

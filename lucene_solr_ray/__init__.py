@@ -18,3 +18,7 @@ Nothing here calls ``ray.init``; callers own the Ray session.
 """
 
 __version__ = "0.1.0"
+
+from .util.mem import tune_malloc as _tune_malloc  # noqa: E402
+
+_tune_malloc()  # once per process; see util/mem.py for why

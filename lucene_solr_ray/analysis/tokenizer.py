@@ -78,6 +78,78 @@ def analyze_with_positions(
     return out
 
 
+class ArrowAnalyzer:
+    """Arrow-native analysis chain — the hot-path twin of
+    :func:`analyze_batch` with identical semantics, zero Python strings.
+
+    utf8_lower → split_pattern_regex on ``[^\\p{L}\\p{N}_]+`` (RE2; the
+    complement of the token class, so token boundaries match Python ``\\w+``
+    exactly) → length/stopword masks → dictionary_encode; the per-doc
+    term-frequency fold is an int64 key sort. Compile-once state (stopword
+    value_set) lives on the instance → use from actor ``__init__``.
+    """
+
+    SPLIT_PATTERN = r"[^\p{L}\p{N}_]+"
+
+    def __init__(self, analyzer: StandardAnalyzer = _DEFAULT):
+        import pyarrow as pa
+
+        self.analyzer = analyzer
+        self.stop_arr = pa.array(sorted(analyzer.stopwords), pa.string())
+
+    def __call__(self, content) -> "BatchTokenStats":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+        n = len(arr)
+        arr = pc.fill_null(arr, "")
+        low = pc.utf8_lower(arr) if self.analyzer.lowercase else arr
+        toks = pc.split_pattern_regex(low, pattern=self.SPLIT_PATTERN)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        offs = toks.offsets.to_numpy()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+
+        length = pc.utf8_length(flat)
+        keep = pc.and_(pc.greater(length, 0), pc.less_equal(length, self.analyzer.max_token_length))
+        keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=self.stop_arr)))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        kept = pc.filter(flat, keep)
+        doc_idx = doc_idx[keep_np]
+
+        field_lens = np.bincount(doc_idx, minlength=n).astype(np.int32)
+        if len(kept) == 0:
+            return BatchTokenStats(
+                terms=pa.array([], pa.string()),
+                tfs=np.empty(0, dtype=np.int32),
+                offsets=np.zeros(n + 1, dtype=np.int64),
+                field_lens=field_lens,
+            )
+
+        de = pc.dictionary_encode(kept)
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        codes = de.indices.to_numpy().astype(np.int64)
+        vocab = de.dictionary
+        V = np.int64(len(vocab))
+        pair_key = doc_idx * V + codes
+        uniq_keys, tfs = np.unique(pair_key, return_counts=True)
+        u_doc = uniq_keys // V
+        u_code = uniq_keys % V
+        term_vals = pc.take(vocab, pa.array(u_code, pa.int64()))
+        per_doc = np.bincount(u_doc, minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(per_doc, out=offsets[1:])
+        return BatchTokenStats(
+            terms=term_vals,
+            tfs=tfs.astype(np.int32),
+            offsets=offsets,
+            field_lens=field_lens,
+        )
+
+
 @dataclass
 class BatchTokenStats:
     """Vectorized analysis result for a batch of documents.

@@ -53,54 +53,61 @@ def _identifier_vocab(rng: np.random.Generator, n: int = 10_000) -> np.ndarray:
     return vocab
 
 
-def generate_corpus(n_rows: int, seed: int = 42) -> pa.Table:
-    """Deterministic corpus table; same (n_rows, seed) → byte-identical table."""
-    rng = np.random.default_rng(seed)
-    vocab = _identifier_vocab(rng)
+CHUNK_ROWS = 10_000  # generation chunk: rng seeded per (seed, chunk) → parallelizable
 
-    # zipf-ish ranks over the vocab (s ≈ 1.2), deterministic
+
+def _vocab_and_probs(seed: int):
+    rng = np.random.default_rng([seed, 777001])
+    vocab = _identifier_vocab(rng)
     ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
     probs = ranks ** -1.2
     probs /= probs.sum()
+    return vocab, probs
 
-    repo = np.array([f"org{i % 7}/repo{i % 23}" for i in range(n_rows)], dtype=object)
-    ext_idx = rng.integers(0, len(_EXTS), size=n_rows)
-    dir_idx = rng.integers(0, len(_DIRS), size=n_rows)
+
+def generate_chunk(start: int, n: int, seed: int = 42) -> pa.Table:
+    """Rows [start, start+n) of the corpus; deterministic per (seed, chunk) —
+    independent of how many chunks are generated or in what order."""
+    vocab, probs = _vocab_and_probs(seed)
+    rng = np.random.default_rng([seed, start // CHUNK_ROWS + 1])
+    idx = np.arange(start, start + n)
+
+    repo = np.array([f"org{i % 7}/repo{i % 23}" for i in idx], dtype=object)
+    ext_idx = rng.integers(0, len(_EXTS), size=n)
+    dir_idx = rng.integers(0, len(_DIRS), size=n)
     path = np.array(
-        [f"src/{_DIRS[dir_idx[i]]}/file_{i}.{_EXTS[ext_idx[i]]}" for i in range(n_rows)],
+        [f"src/{_DIRS[dir_idx[j]]}/file_{i}.{_EXTS[ext_idx[j]]}" for j, i in enumerate(idx)],
         dtype=object,
     )
-    commit = np.array(
-        [rng.bytes(20).hex() for _ in range(n_rows)],
-        dtype=object,
-    )
-    lang = np.array([_LANG[_EXTS[i]] for i in ext_idx], dtype=object)
+    commit = np.array([rng.bytes(20).hex() for _ in range(n)], dtype=object)
+    lang = np.array([_LANG[_EXTS[j]] for j in ext_idx], dtype=object)
 
-    has_header = rng.random(n_rows) < 0.6
-    n_idents = rng.integers(30, 220, size=n_rows)
+    has_header = rng.random(n) < 0.6
+    n_idents = rng.integers(30, 220, size=n)
 
-    contents = np.empty(n_rows, dtype=object)
-    for i in range(n_rows):
-        k = int(n_idents[i])
+    contents = np.empty(n, dtype=object)
+    for j in range(n):
+        i = int(idx[j])
+        k = int(n_idents[j])
         idents = vocab[rng.choice(len(vocab), size=k, p=probs)]
-        kws = [ _KEYWORDS[j] for j in rng.integers(0, len(_KEYWORDS), size=max(4, k // 6)) ]
+        kws = [_KEYWORDS[x] for x in rng.integers(0, len(_KEYWORDS), size=max(4, k // 6))]
         nums = [str(int(x)) for x in rng.integers(0, 99999, size=max(2, k // 10))]
         parts: list[str] = []
-        if has_header[i]:
+        if has_header[j]:
             parts.append(LICENSE_HEADER)
         body: list[str] = []
-        for j in range(k):
-            body.append(idents[j])
-            if j < len(kws):
-                body.append(kws[j])
-            if j < len(nums):
-                body.append(f"{nums[j]};")
-            if j % 7 == 3:
-                body.append(f"{idents[j]}.call(arg{j % 5})")
+        for t in range(k):
+            body.append(idents[t])
+            if t < len(kws):
+                body.append(kws[t])
+            if t < len(nums):
+                body.append(f"{nums[t]};")
+            if t % 7 == 3:
+                body.append(f"{idents[t]}.call(arg{t % 5})")
         parts.append(" ".join(body))
         if i % 97 == 13:  # occasional overlong token: skipped by the analyzer
             parts.append("x" * 300)
-        contents[i] = "\n".join(parts)
+        contents[j] = "\n".join(parts)
 
     return pa.table(
         {
@@ -113,26 +120,52 @@ def generate_corpus(n_rows: int, seed: int = 42) -> pa.Table:
     )
 
 
+def generate_corpus(n_rows: int, seed: int = 42) -> pa.Table:
+    """Deterministic corpus table; same (n_rows, seed) → byte-identical table."""
+    chunks = [
+        generate_chunk(s, min(CHUNK_ROWS, n_rows - s), seed)
+        for s in range(0, n_rows, CHUNK_ROWS)
+    ] or [generate_chunk(0, 0, seed)]
+    return pa.concat_tables(chunks)
+
+
 def corpus_sha256(table: pa.Table) -> list[str]:
     return [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in table["content"].to_pylist()]
 
 
-def write_corpus(out_dir: str, n_rows: int, seed: int = 42, rows_per_file: int = 50_000) -> list[str]:
-    """Write the corpus as a directory of Parquet files with a deterministic
-    layout (fixed rows_per_file → identical files regardless of parallelism)."""
+def write_corpus(
+    out_dir: str, n_rows: int, seed: int = 42, parallel: bool | None = None
+) -> list[str]:
+    """Write the corpus as one Parquet file per generation chunk —
+    a deterministic layout regardless of parallelism. If a Ray session is
+    live, chunks are generated as parallel Ray tasks."""
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    table = generate_corpus(n_rows, seed)
-    paths = []
-    for start in range(0, n_rows, rows_per_file):
-        part = table.slice(start, rows_per_file)
-        p = os.path.join(out_dir, f"part-{start // rows_per_file:05d}.parquet")
-        pq.write_table(part, p)
-        paths.append(p)
-    return paths
+    chunk_starts = list(range(0, n_rows, CHUNK_ROWS)) or [0]
+
+    def write_one(start: int) -> str:
+        n = min(CHUNK_ROWS, n_rows - start) if n_rows else 0
+        p = os.path.join(out_dir, f"part-{start // CHUNK_ROWS:05d}.parquet")
+        pq.write_table(generate_chunk(start, n, seed), p)
+        return p
+
+    use_ray = parallel
+    if use_ray is None:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized() and len(chunk_starts) > 1
+        except ImportError:
+            use_ray = False
+    if use_ray:
+        import ray
+
+        task = ray.remote(write_one)
+        return ray.get([task.remote(s) for s in chunk_starts])
+    return [write_one(s) for s in chunk_starts]
 
 
 def documents_as_corpus(sf_dir: str):

@@ -82,8 +82,17 @@ def build_index(
     ``corpus``: a ``ray.data.Dataset`` with columns
     (repo, path, commit, lang, content), or a parquet path/dir.
     """
+    import time
+
     import ray
     import ray.data
+
+    debug = os.environ.get("LSR_DEBUG")
+    t_start = time.time()
+
+    def _dbg(msg: str) -> None:
+        if debug:
+            print(f"[build +{time.time() - t_start:6.1f}s] {msg}", flush=True)
 
     if isinstance(corpus, (str, os.PathLike)):
         corpus = ray.data.read_parquet(str(corpus))
@@ -95,6 +104,7 @@ def build_index(
     else:
         plan = compute_plan(corpus, docs_per_segment)
         plan.save(plan_path)
+    _dbg(f"plan ready: {plan.n_segments} segments, {plan.total_rows} rows")
 
     done = frozenset(
         rid for rid in range(plan.n_segments) if resume and load_segment_meta(index_dir, rid) is not None
@@ -124,6 +134,7 @@ def build_index(
         for b in out.iter_batches(batch_format="pyarrow"):
             for row in b.to_pylist():
                 manifest_rows.append(row)
+        _dbg(f"pipeline done: {len(manifest_rows)} segments built")
 
     # include previously-committed segments in the manifest
     built = {r["seg"] for r in manifest_rows}

@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..analysis.tokenizer import StandardAnalyzer, analyze_batch
+from ..analysis.tokenizer import ArrowAnalyzer, StandardAnalyzer
 from ..util.forutil import encode_sequences
 from ..util.smallfloat import LENGTH_TABLE, int_to_byte4
 from .plan import BuildPlan, sort_keys
@@ -90,6 +90,7 @@ class AnalyzeInvert:
         self.plan = plan
         self.boundaries = np.asarray(plan.boundaries, dtype=object)
         self.analyzer = analyzer or StandardAnalyzer()
+        self.arrow_analyzer = ArrowAnalyzer(self.analyzer)  # compiled once per actor
         self.done = done_ranges
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -102,12 +103,14 @@ class AnalyzeInvert:
                 rid = rid[keep]
             if len(batch) == 0:
                 return _empty_analyzed()
-        contents = batch["content"].to_pylist()
-        stats = analyze_batch(contents, self.analyzer)
-        sha = [hashlib.sha256((c or "").encode("utf-8")).hexdigest() for c in contents]
+        content = batch["content"].cast(pa.large_string())
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        stats = self.arrow_analyzer(content)
+        sha = _sha256_column(content)
         norm = int_to_byte4(stats.field_lens.astype(np.int64))
         terms_arr = pa.ListArray.from_arrays(
-            pa.array(stats.offsets, pa.int32()), pa.array(stats.terms.tolist(), pa.string())
+            pa.array(stats.offsets, pa.int32()), stats.terms.cast(pa.string())
         )
         tfs_arr = pa.ListArray.from_arrays(
             pa.array(stats.offsets, pa.int32()), pa.array(stats.tfs, pa.int32())
@@ -126,6 +129,15 @@ class AnalyzeInvert:
                 "tfs": tfs_arr,
             }
         )
+
+
+def _sha256_column(arr: pa.Array) -> list[str]:
+    """Per-row sha256 of a large_string column, zero-copy over the Arrow data
+    buffer (the BASELINE.json per-row content invariant)."""
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8)
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return [hashlib.sha256(data[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(arr))]
 
 
 def _empty_analyzed() -> pa.Table:

@@ -130,6 +130,13 @@ class Searcher:
         st = self.reader.stats
         self.avgdl = self.sim.avgdl(st.sum_ttf, st.doc_count)
         self.cache = self.sim.norm_cache(self.avgdl)
+        self._norms_cache: dict[int, np.ndarray] = {}
+
+    def _norms(self, seg: int) -> np.ndarray:
+        n = self._norms_cache.get(seg)
+        if n is None:
+            n = self._norms_cache[seg] = self.reader.segment_norms(seg)
+        return n
 
     # ------------------------------------------------------------------
     def _weights(self, terms: set[str]) -> dict[str, float]:
@@ -226,7 +233,7 @@ class Searcher:
                 else pa.table({"term": pa.array([], pa.string())})
             )
             lazy = build_lazy(seg_tbl) if len(seg_tbl) else {}
-            norms = self.reader.segment_norms(seg)
+            norms = self._norms(seg)
             for qid, q in queries.items():
                 ids, scores = score_one(
                     q, self.sim, lazy, weights, self.cache, norms, k, method

@@ -79,6 +79,33 @@ def test_batch_matches_positional_api():
         assert len(set(got_terms)) == len(got_terms)
 
 
+def test_arrow_analyzer_matches_python_path():
+    import pyarrow as pa
+
+    from lucene_solr_ray.analysis.tokenizer import ArrowAnalyzer
+    from lucene_solr_ray.corpus import generate_corpus
+
+    tbl = generate_corpus(200)
+    docs = tbl["content"].to_pylist() + [
+        "the quick and the dead",
+        "",
+        "B2B foo_bar foo_bar baz.qux",
+        "alpha " + "x" * 256 + " beta",
+        "héllo wörld",
+    ]
+    py = analyze_batch(docs)
+    ar = ArrowAnalyzer()(pa.array(docs, pa.large_string()))
+    assert np.array_equal(py.field_lens, ar.field_lens)
+    assert np.array_equal(py.offsets, ar.offsets)
+    ar_terms = ar.terms.to_pylist()
+    for d in range(len(docs)):
+        a = dict(zip(py.terms[py.offsets[d] : py.offsets[d + 1]].tolist(),
+                     py.tfs[py.offsets[d] : py.offsets[d + 1]].tolist()))
+        b = dict(zip(ar_terms[ar.offsets[d] : ar.offsets[d + 1]],
+                     ar.tfs[ar.offsets[d] : ar.offsets[d + 1]].tolist()))
+        assert a == b, f"doc {d}"
+
+
 def test_batch_field_len_counts_kept_tokens_only():
     stats = analyze_batch(["the quick and the dead"])
     assert stats.field_lens.tolist() == [2]
