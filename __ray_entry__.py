@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_term_stats": fulltext.ft_term_stats,
         "ft_topk_terms": fulltext.ft_topk_terms,
         "ft_topk_bool": fulltext.ft_topk_bool,
+        "ft_phrase": fulltext.ft_phrase,
+        "ft_prefix": fulltext.ft_prefix,
         "ft_wand_topk": fulltext.ft_wand_topk,  # no SQL oracle: WAND ≡ exhaustive, pinned in pytest
         # --- text analysis ---
         "token_count": text.token_count,
@@ -80,6 +82,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_term_stats": fs.sql_term_stats(),
         "ft_topk_terms": fs.sql_topk_union(term_specs),
         "ft_topk_bool": fs.sql_topk_union(fulltext.BOOL_SPECS),
+        "ft_phrase": fs.sql_phrase_union(fulltext.PHRASE_SPECS),
+        "ft_prefix": fs.sql_prefix_union(fulltext.PREFIX_SPECS),
         "token_count": text.SQL_TOKEN_COUNT,
         "lang_id": text.SQL_LANG_ID,
         "quality": text.SQL_QUALITY,

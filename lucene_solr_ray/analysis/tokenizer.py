@@ -97,7 +97,7 @@ class ArrowAnalyzer:
         self.analyzer = analyzer
         self.stop_arr = pa.array(sorted(analyzer.stopwords), pa.string())
 
-    def __call__(self, content) -> "BatchTokenStats":
+    def __call__(self, content, with_positions: bool = False) -> "BatchTokenStats":
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -109,14 +109,28 @@ class ArrowAnalyzer:
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = toks.values
-        offs = toks.offsets.to_numpy()
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        if offs[0] != 0 or len(flat) != offs[-1] - offs[0]:
+            flat = flat.slice(offs[0], offs[-1] - offs[0])  # normalize list offset
+            offs = offs - offs[0]
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
 
         length = pc.utf8_length(flat)
-        keep = pc.and_(pc.greater(length, 0), pc.less_equal(length, self.analyzer.max_token_length))
+        nonempty = pc.greater(length, 0)
+        keep = pc.and_(nonempty, pc.less_equal(length, self.analyzer.max_token_length))
         keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=self.stop_arr)))
         keep_np = keep.to_numpy(zero_copy_only=False)
         kept = pc.filter(flat, keep)
+        positions = None
+        if with_positions:
+            # position = index among emitted tokens of the doc (empties are
+            # split artifacts, not tokens; overlong + stopword tokens DO
+            # consume a position — StandardTokenizer/FilteringTokenFilter)
+            ne = nonempty.to_numpy(zero_copy_only=False)
+            csum = np.cumsum(ne)
+            doc_base = np.concatenate([[0], csum[offs[1:-1] - 1]]) if n > 1 else np.zeros(1, np.int64)
+            tok_pos = csum - 1 - doc_base[doc_idx]
+            positions = tok_pos[keep_np].astype(np.int32)
         doc_idx = doc_idx[keep_np]
 
         field_lens = np.bincount(doc_idx, minlength=n).astype(np.int32)
@@ -126,6 +140,7 @@ class ArrowAnalyzer:
                 tfs=np.empty(0, dtype=np.int32),
                 offsets=np.zeros(n + 1, dtype=np.int64),
                 field_lens=field_lens,
+                positions=np.empty(0, dtype=np.int32) if with_positions else None,
             )
 
         de = pc.dictionary_encode(kept)
@@ -135,7 +150,14 @@ class ArrowAnalyzer:
         vocab = de.dictionary
         V = np.int64(len(vocab))
         pair_key = doc_idx * V + codes
-        uniq_keys, tfs = np.unique(pair_key, return_counts=True)
+        order = np.argsort(pair_key, kind="stable")  # stable → positions stay ascending per pair
+        pk = pair_key[order]
+        boundary = np.empty(len(pk), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = pk[1:] != pk[:-1]
+        starts = np.flatnonzero(boundary)
+        tfs = np.diff(np.append(starts, len(pk)))
+        uniq_keys = pk[starts]
         u_doc = uniq_keys // V
         u_code = uniq_keys % V
         term_vals = pc.take(vocab, pa.array(u_code, pa.int64()))
@@ -147,6 +169,7 @@ class ArrowAnalyzer:
             tfs=tfs.astype(np.int32),
             offsets=offsets,
             field_lens=field_lens,
+            positions=positions[order] if with_positions else None,
         )
 
 
@@ -160,10 +183,13 @@ class BatchTokenStats:
     order is irrelevant and we skip an expensive object-array sort).
     """
 
-    terms: np.ndarray  # object array of str
+    terms: np.ndarray  # object array of str (or pa.Array from ArrowAnalyzer)
     tfs: np.ndarray  # int32
     offsets: np.ndarray  # int64, len == n_docs + 1
     field_lens: np.ndarray  # int32, kept-token counts per doc
+    #: flat ascending positions per (doc, term) pair, aligned with cumsum(tfs);
+    #: only set by ArrowAnalyzer(with_positions=True)
+    positions: np.ndarray | None = None
 
 
 def analyze_batch(

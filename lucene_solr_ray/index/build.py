@@ -76,6 +76,7 @@ def build_index(
     concurrency: int | None = None,
     batch_size: int = 1024,
     resume: bool = True,
+    positions: bool = True,
 ) -> BuildResult:
     """Build (or resume) the inverted index for a 5-column corpus.
 
@@ -120,7 +121,12 @@ def build_index(
     if todo:
         analyzed = corpus.map_batches(
             AnalyzeInvert,
-            fn_constructor_kwargs={"plan": plan, "analyzer": analyzer, "done_ranges": done},
+            fn_constructor_kwargs={
+                "plan": plan,
+                "analyzer": analyzer,
+                "done_ranges": done,
+                "positions": positions,
+            },
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -172,6 +178,7 @@ def build_index(
             "lowercase": analyzer.lowercase,
             "n_stopwords": len(analyzer.stopwords),
         },
+        "positions": positions,
         "stats": stats.to_dict(),
         "segments": [
             {k: r[k] for k in ("seg", "doc_base", "doc_count", "sum_len", "num_terms", "sum_df", "sum_ttf")}

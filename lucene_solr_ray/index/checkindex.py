@@ -82,6 +82,24 @@ def check_index(index_dir: str, corpus_sha: dict[tuple, str] | None = None) -> d
             if int(freqs.sum()) != int(ttfs[i]):
                 problems.append(f"seg {seg['seg']}: ttf mismatch for {terms[i]!r}")
                 break
+            pos_blob = posts["pos_blob"][i].as_py() if "pos_blob" in posts.column_names else b""
+            if pos_blob:
+                from ..util.forutil import decode_blocks
+
+                vals = decode_blocks(pos_blob, int(ttfs[i])).astype(np.int64)
+                f_off = np.concatenate([[0], np.cumsum(freqs)])
+                c = np.cumsum(vals)
+                base = np.where(f_off[:-1] > 0, c[np.maximum(f_off[:-1] - 1, 0)], 0)
+                pos = c - np.repeat(base, freqs)
+                if np.any(pos < 0):
+                    problems.append(f"seg {seg['seg']}: negative position for {terms[i]!r}")
+                    break
+                # strictly increasing within each doc
+                same_doc = np.ones(len(pos), dtype=bool)
+                same_doc[f_off[:-1]] = False
+                if np.any((np.diff(pos, prepend=pos[0] if len(pos) else 0) <= 0) & same_doc):
+                    problems.append(f"seg {seg['seg']}: positions not increasing for {terms[i]!r}")
+                    break
             last = np.asarray(posts["block_last_doc"][i].as_py())
             maxf = np.asarray(posts["block_max_freq"][i].as_py())
             if not np.all(np.diff(last) > 0):

@@ -22,6 +22,25 @@ from .build import IndexStats
 from .segment import segment_dir
 
 
+def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+    """Levenshtein distance ≤ k with row-min early exit
+    (FuzzyTermsEnum automaton analog; candidates are length-pruned first)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i]
+        for j in range(1, lb + 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1])))
+        if min(cur) > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
 class IndexReader:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
@@ -65,6 +84,73 @@ class IndexReader:
         ):
             d0, t0 = out[t]
             out[t] = (d0 + int(df), t0 + int(ttf))
+        return out
+
+    MAX_EXPANSIONS = 65_536
+
+    def distinct_terms(self, flt=None) -> pa.Array:
+        """Distinct terms across segments, optional pushdown filter
+        (term-dictionary scan; Parquet row-group stats prune term ranges)."""
+        dset = pads.dataset(self.postings_files())
+        tbl = dset.to_table(columns=["term"], filter=flt)
+        return pc.unique(tbl["term"])
+
+    def expand_terms(self, q) -> list[str]:
+        """Multi-term query → concrete terms (AutomatonQuery-family rewrite,
+        SURVEY.md §2.4). Prefix/range push the scan down; wildcard/regexp
+        filter the dictionary with Arrow kernels; fuzzy applies a banded
+        Levenshtein over length/prefix-pruned candidates."""
+        from ..search.query import (
+            FuzzyQuery,
+            PrefixQuery,
+            RegexpQuery,
+            TermRangeQuery,
+            WildcardQuery,
+        )
+
+        if isinstance(q, PrefixQuery):
+            flt = (pc.field("term") >= q.prefix) & (
+                pc.field("term") <= q.prefix + "\U0010FFFF"
+            )
+            cand = self.distinct_terms(flt)
+            mask = pc.starts_with(cand, q.prefix)
+            out = pc.filter(cand, mask).to_pylist()
+        elif isinstance(q, TermRangeQuery):
+            flt = None
+            if q.lower is not None:
+                flt = (pc.field("term") >= q.lower) if q.include_lower else (pc.field("term") > q.lower)
+            if q.upper is not None:
+                f2 = (pc.field("term") <= q.upper) if q.include_upper else (pc.field("term") < q.upper)
+                flt = f2 if flt is None else (flt & f2)
+            out = self.distinct_terms(flt).to_pylist()
+        elif isinstance(q, WildcardQuery):
+            like = (
+                q.pattern.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+                .replace("*", "%").replace("?", "_")
+            )
+            cand = self.distinct_terms()
+            out = pc.filter(cand, pc.match_like(cand, like)).to_pylist()
+        elif isinstance(q, RegexpQuery):
+            cand = self.distinct_terms()
+            out = pc.filter(
+                cand, pc.match_substring_regex(cand, f"^(?:{q.pattern})$")
+            ).to_pylist()
+        elif isinstance(q, FuzzyQuery):
+            cand = self.distinct_terms()
+            if q.prefix_length:
+                cand = pc.filter(cand, pc.starts_with(cand, q.term[: q.prefix_length]))
+            lens = pc.utf8_length(cand).to_numpy()
+            tl = len(q.term)
+            keep = np.abs(lens - tl) <= q.max_edits
+            out = [
+                t
+                for t in pc.filter(cand, pa.array(keep)).to_pylist()
+                if _levenshtein_leq(q.term, t, q.max_edits)
+            ]
+        else:
+            raise TypeError(f"not a multi-term query: {type(q)}")
+        if len(out) > self.MAX_EXPANSIONS:
+            raise ValueError(f"multi-term query expands to {len(out)} terms (cap {self.MAX_EXPANSIONS})")
         return out
 
     def postings_for_terms(self, terms: list[str], columns: list[str] | None = None) -> pa.Table:

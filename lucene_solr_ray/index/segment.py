@@ -32,6 +32,9 @@ from ..util.forutil import encode_sequences
 from ..util.smallfloat import LENGTH_TABLE, int_to_byte4
 from .plan import BuildPlan, sort_keys
 
+#: bump when the on-disk segment layout changes (cache invalidation)
+FORMAT_VERSION = 2
+
 DOCS_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),
@@ -53,6 +56,10 @@ POSTINGS_SCHEMA = pa.schema(
         ("ttf", pa.int64()),
         ("doc_blob", pa.large_binary()),
         ("freq_blob", pa.large_binary()),
+        # per-term position stream (ttf values): within-doc delta encoding,
+        # FOR blocks; empty when the index is built without positions
+        # (IndexOptions.DOCS_AND_FREQS vs ..._AND_POSITIONS analog)
+        ("pos_blob", pa.large_binary()),
         ("block_first_doc", pa.list_(pa.int32())),
         ("block_last_doc", pa.list_(pa.int32())),
         ("block_max_freq", pa.list_(pa.int32())),
@@ -86,12 +93,13 @@ class AnalyzeInvert:
     """
 
     def __init__(self, plan: BuildPlan, analyzer: StandardAnalyzer | None = None,
-                 done_ranges: frozenset[int] = frozenset()):
+                 done_ranges: frozenset[int] = frozenset(), positions: bool = True):
         self.plan = plan
         self.boundaries = np.asarray(plan.boundaries, dtype=object)
         self.analyzer = analyzer or StandardAnalyzer()
         self.arrow_analyzer = ArrowAnalyzer(self.analyzer)  # compiled once per actor
         self.done = done_ranges
+        self.positions = positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = sort_keys(batch)
@@ -106,7 +114,7 @@ class AnalyzeInvert:
         content = batch["content"].cast(pa.large_string())
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
-        stats = self.arrow_analyzer(content)
+        stats = self.arrow_analyzer(content, with_positions=self.positions)
         sha = _sha256_column(content)
         norm = int_to_byte4(stats.field_lens.astype(np.int64))
         terms_arr = pa.ListArray.from_arrays(
@@ -114,6 +122,14 @@ class AnalyzeInvert:
         )
         tfs_arr = pa.ListArray.from_arrays(
             pa.array(stats.offsets, pa.int32()), pa.array(stats.tfs, pa.int32())
+        )
+        # per-doc flat positions (pair-major, aligned with cumsum(tfs))
+        tf_off = np.zeros(len(batch) + 1, dtype=np.int64)
+        np.cumsum(stats.field_lens.astype(np.int64), out=tf_off[1:])
+        pos_flat = stats.positions if self.positions else np.empty(0, dtype=np.int32)
+        pos_arr = pa.ListArray.from_arrays(
+            pa.array(tf_off if self.positions else np.zeros(len(batch) + 1, np.int64), pa.int32()),
+            pa.array(pos_flat, pa.int32()),
         )
         return pa.table(
             {
@@ -127,6 +143,7 @@ class AnalyzeInvert:
                 "norm_byte": pa.array(norm, pa.uint8()),
                 "terms": terms_arr,
                 "tfs": tfs_arr,
+                "positions": pos_arr,
             }
         )
 
@@ -153,6 +170,7 @@ def _empty_analyzed() -> pa.Table:
             "norm_byte": pa.array([], pa.uint8()),
             "terms": pa.array([], pa.list_(pa.string())),
             "tfs": pa.array([], pa.list_(pa.int32())),
+            "positions": pa.array([], pa.list_(pa.int32())),
         }
     )
 
@@ -302,6 +320,28 @@ class SegmentWriter:
         dbuf, doffs, gstart, blen, block_ptr = encode_sequences(deltas, starts, dfs)
         fbuf, foffs, _, _, _ = encode_sequences(s_tf, starts, dfs)
 
+        # per-term position streams (within-doc delta encoding)
+        pos_col = group["positions"].combine_chunks()
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.chunk(0)
+        flat_pos = pos_col.values.to_numpy().astype(np.int64)
+        if len(flat_pos):
+            pair_off = np.zeros(len(flat_tfs) + 1, dtype=np.int64)
+            np.cumsum(flat_tfs, out=pair_off[1:])
+            sorted_cum = np.zeros(len(s_tf) + 1, dtype=np.int64)
+            np.cumsum(s_tf, out=sorted_cum[1:])
+            within = np.arange(sorted_cum[-1]) - np.repeat(sorted_cum[:-1], s_tf)
+            src_idx = np.repeat(pair_off[order], s_tf) + within
+            sorted_pos = flat_pos[src_idx]
+            pdeltas = np.empty(len(sorted_pos), dtype=np.int64)
+            pdeltas[1:] = sorted_pos[1:] - sorted_pos[:-1]
+            pdeltas[sorted_cum[:-1]] = sorted_pos[sorted_cum[:-1]]  # raw first position per pair
+            term_pos_starts = sorted_cum[:-1][starts]
+            pbuf, poffs, _, _, _ = encode_sequences(pdeltas, term_pos_starts, ttfs)
+        else:
+            pbuf = np.zeros(0, dtype=np.uint8)
+            poffs = np.zeros(len(starts) + 1, dtype=np.int64)
+
         firsts = s_doc[gstart].astype(np.int32)
         lasts = s_doc[gstart + blen - 1].astype(np.int32)
         maxfs = np.maximum.reduceat(s_tf, gstart).astype(np.int32) if len(gstart) else np.empty(0, np.int32)
@@ -323,6 +363,7 @@ class SegmentWriter:
                 "ttf": pa.array(ttfs, pa.int64()),
                 "doc_blob": large_bin(dbuf, doffs),
                 "freq_blob": large_bin(fbuf, foffs),
+                "pos_blob": large_bin(pbuf, poffs),
                 "block_first_doc": pa.ListArray.from_arrays(lofs, pa.array(firsts, pa.int32())),
                 "block_last_doc": pa.ListArray.from_arrays(lofs, pa.array(lasts, pa.int32())),
                 "block_max_freq": pa.ListArray.from_arrays(lofs, pa.array(maxfs, pa.int32())),

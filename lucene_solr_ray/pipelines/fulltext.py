@@ -20,7 +20,7 @@ import pyarrow.dataset as pads
 from ..corpus import documents_as_corpus
 from ..index.build import build_index
 from ..index.reader import IndexReader
-from ..search.query import BooleanQuery, TermQuery
+from ..search.query import BooleanQuery, PhraseQuery, PrefixQuery, TermQuery
 from ..search.searcher import Searcher
 
 _SEARCHERS: dict[str, Searcher] = {}
@@ -53,8 +53,12 @@ BOOL_SPECS = [
 def _index_dir_for(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
+    from ..index.segment import FORMAT_VERSION
+
     meta = pq.read_metadata(os.path.join(sf_dir, "documents.parquet"))
-    key = hashlib.md5(f"{sf_dir}|{meta.num_rows}|{meta.serialized_size}".encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        f"{sf_dir}|{meta.num_rows}|{meta.serialized_size}|v{FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"lsr_ft_index_{key}")
 
 
@@ -168,6 +172,45 @@ def ft_topk_bool(sf_dir: str) -> pa.Table:
             "doc_id": res["doc_id"],
         }
     )
+
+
+PHRASE_SPECS = [
+    {"qid": "ph_spark_merge", "terms": ["spark", "merge"], "rel": [0, 1], "k": TOPK_K},
+    {"qid": "ph_data_row", "terms": ["data", "row"], "rel": [0, 1], "k": TOPK_K},
+    {"qid": "ph_join_order", "terms": ["join", "order"], "rel": [0, 1], "k": TOPK_K},
+]
+
+PREFIX_SPECS = [
+    {"qid": "pre_sp", "prefix": "sp"},
+    {"qid": "pre_win", "prefix": "win"},
+    {"qid": "pre_zz", "prefix": "zz"},
+]
+
+
+def ft_phrase(sf_dir: str) -> pa.Table:
+    """Exact PhraseQuery top-k with float64 scores (positions path)."""
+    s = get_searcher(sf_dir)
+    queries = {
+        spec["qid"]: PhraseQuery(tuple(spec["terms"]), tuple(spec["rel"]))
+        for spec in PHRASE_SPECS
+    }
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+            "score": pa.array(np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()),
+        }
+    )
+
+
+def ft_prefix(sf_dir: str) -> pa.Table:
+    """PrefixQuery constant-score retrieval: full matching doc sets."""
+    s = get_searcher(sf_dir)
+    queries = {spec["qid"]: PrefixQuery(spec["prefix"]) for spec in PREFIX_SPECS}
+    res = s.search(queries, k=1_000_000, use_ray=True)
+    return pa.table({"query_id": res["query_id"], "doc_id": res["doc_id"]})
 
 
 def ft_wand_topk(sf_dir: str) -> pa.Table:

@@ -156,6 +156,68 @@ ORDER BY score DESC, did ASC LIMIT {k}
 """
 
 
+_TOKPOS_CTES = f"""
+rawt AS (
+  SELECT did, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks FROM corpus
+),
+tpos AS (
+  SELECT did, unnest(generate_series(1, greatest(len(toks), 1))) AS i, toks
+  FROM rawt WHERE len(toks) > 0
+),
+tp AS (SELECT did, toks[i] AS tok, i - 1 AS p FROM tpos WHERE i <= len(toks)),
+ktp AS (
+  SELECT did, tok, p FROM tp
+  WHERE length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL})
+)"""
+
+
+def sql_phrase(qid: str, terms: list[str], rel: list[int], k: int) -> str:
+    """Exact-phrase top-k: self-joins on the emitted-token position column;
+    freq = matching start count; weight = summed idf (engine float64 order)."""
+    joins = []
+    conds = [f"t0.tok = '{terms[0]}'"]
+    for i in range(1, len(terms)):
+        joins.append(
+            f"JOIN ktp t{i} ON t{i}.did = t0.did AND t{i}.p = t0.p + {rel[i] - rel[0]}"
+        )
+        conds.append(f"t{i}.tok = '{terms[i]}'")
+    idf_sum = " + ".join(f"(SELECT idf FROM idf WHERE tok = '{t}')" for t in terms)
+    return prelude() + f""",
+{_TOKPOS_CTES},
+ph AS (
+  SELECT t0.did, count(*) AS freq
+  FROM ktp t0 {' '.join(joins)}
+  WHERE {' AND '.join(conds)}
+  GROUP BY t0.did
+),
+scored AS (
+  SELECT ph.did,
+         ((({idf_sum}) * {1.0!r}) * {K1 + 1!r}) * ph.freq
+           / (ph.freq + {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen) / (SELECT avgdl FROM avg_dl))) AS score
+  FROM ph JOIN quant q ON q.did = ph.did
+)
+SELECT '{qid}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM scored ORDER BY score DESC, did ASC LIMIT {k}
+"""
+
+
+def sql_phrase_union(specs: list[dict]) -> str:
+    parts = [sql_phrase(s["qid"], s["terms"], s["rel"], s["k"]) for s in specs]
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
+
+
+def sql_prefix_union(specs: list[dict]) -> str:
+    """Constant-score prefix retrieval: (query_id, doc_id) sets."""
+    parts = [
+        f"""SELECT '{s["qid"]}' AS query_id, CAST(did AS BIGINT) AS doc_id
+FROM (SELECT DISTINCT did FROM tf WHERE tok LIKE '{s["prefix"]}%')"""
+        for s in specs
+    ]
+    return prelude() + " " + " UNION ALL ".join(parts)
+
+
 def sql_topk_union(specs: list[dict]) -> str:
     """UNION ALL of several sql_topk queries (shared column set)."""
     with_score = all(s.get("with_score") for s in specs)

@@ -57,9 +57,13 @@ class BM25Similarity:
 
     def weight_value(self, df: int, doc_count: int, boost: float = 1.0):
         """boost*idf*(k1+1) in dtype op order (:238, :302)."""
+        return self.weight_from_idf(self.idf(df, doc_count), boost)
+
+    def weight_from_idf(self, idf, boost: float = 1.0):
+        """(idf*boost)*(k1+1) in dtype op order; ``idf`` may be a single
+        term's idf or a summed phrase idf (PhraseWeight)."""
         t = self.dtype.type
-        w = self.idf(df, doc_count) * t(boost)  # stats.weight = idf * boost
-        return w * t(self.k1 + 1)
+        return (t(idf) * t(boost)) * t(self.k1 + 1)
 
     def score_freqs(self, weight_value, freqs: np.ndarray, norm_bytes: np.ndarray, cache: np.ndarray) -> np.ndarray:
         """Vectorized BM25DocScorer.score (:250-263)."""

@@ -32,6 +32,113 @@ class MatchAllQuery(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Exact phrase (slop=0): terms at relative positions (gaps from removed
+    stopwords preserved, like the classic parser's analyzed phrases).
+    search/PhraseQuery.java + ExactPhraseMatcher.java semantics; scoring uses
+    the summed idf of all term occurrences (PhraseWeight / idfExplain over
+    the TermStatistics array)."""
+
+    terms: tuple[str, ...]
+    rel_positions: tuple[int, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Union of terms scored as if one term: stats = (max df, max ttf) of the
+    set, per-doc freq = Σ tf across synonyms (search/SynonymQuery.java)."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """Every matching doc scores ``boost`` (search/ConstantScoreQuery.java)."""
+
+    query: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    """Multiply the wrapped query's scores (search/BoostQuery.java); rewritten
+    into the wrapped node's boost where possible."""
+
+    query: "Query"
+    boost: float
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """score = max(sub) + tie_breaker * Σ(other subs)
+    (search/DisjunctionMaxQuery.java, DisjunctionMaxScorer.score)."""
+
+    disjuncts: tuple["Query", ...]
+    tie_breaker: float = 0.0
+
+
+# --- multi-term queries: expanded against the term dictionary at rewrite time
+#     (AutomatonQuery family; Lucene 7 default CONSTANT_SCORE_REWRITE) ---
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str  # ``*`` = any run, ``?`` = one char (search/WildcardQuery.java)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    pattern: str  # anchored full-term match (search/RegexpQuery.java)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    term: str
+    max_edits: int = 2  # Levenshtein ≤ 2 (search/FuzzyQuery.java)
+    prefix_length: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    """Semi-join vs a set of terms, constant-score (search/TermInSetQuery.java)."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+MULTI_TERM_TYPES = (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, FuzzyQuery)
+
+
+@dataclass(frozen=True)
+class ExpandedTermsQuery(Query):
+    """Internal: a rewritten multi-term query — constant-score union over the
+    expanded concrete terms (CONSTANT_SCORE_REWRITE result)."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
 @dataclass
 class BooleanQuery(Query):
     must: list = field(default_factory=list)
@@ -49,9 +156,58 @@ class BooleanQuery(Query):
 def query_terms(q: Query) -> set[str]:
     if isinstance(q, TermQuery):
         return {q.term}
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, (SynonymQuery, ExpandedTermsQuery, TermInSetQuery)):
+        return set(q.terms)
+    if isinstance(q, (ConstantScoreQuery, BoostQuery)):
+        return query_terms(q.query)
+    if isinstance(q, DisjunctionMaxQuery):
+        out: set[str] = set()
+        for d in q.disjuncts:
+            out |= query_terms(d)
+        return out
     if isinstance(q, BooleanQuery):
         return q.terms()
     return set()
+
+
+def rewrite(q: Query, reader) -> Query:
+    """Query.rewrite analog (search/IndexSearcher.java:683-689): expand
+    multi-term queries against the term dictionary, fold boosts down."""
+    if isinstance(q, BoostQuery):
+        inner = rewrite(q.query, reader)
+        if isinstance(inner, TermQuery):
+            return TermQuery(inner.term, inner.boost * q.boost)
+        if isinstance(inner, PhraseQuery):
+            return PhraseQuery(inner.terms, inner.rel_positions, inner.boost * q.boost)
+        if isinstance(inner, (SynonymQuery, ExpandedTermsQuery, TermInSetQuery)):
+            return type(inner)(inner.terms, inner.boost * q.boost)
+        if isinstance(inner, ConstantScoreQuery):
+            return ConstantScoreQuery(inner.query, inner.boost * q.boost)
+        return BoostQuery(inner, q.boost)
+    if isinstance(q, MULTI_TERM_TYPES):
+        return ExpandedTermsQuery(tuple(sorted(reader.expand_terms(q))), _mt_boost(q))
+    if isinstance(q, TermInSetQuery):
+        return ExpandedTermsQuery(tuple(sorted(q.terms)), q.boost)
+    if isinstance(q, ConstantScoreQuery):
+        return ConstantScoreQuery(rewrite(q.query, reader), q.boost)
+    if isinstance(q, DisjunctionMaxQuery):
+        return DisjunctionMaxQuery(
+            tuple(rewrite(d, reader) for d in q.disjuncts), q.tie_breaker
+        )
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            must=[rewrite(c, reader) for c in q.must],
+            should=[rewrite(c, reader) for c in q.should],
+            must_not=[rewrite(c, reader) for c in q.must_not],
+            min_should_match=q.min_should_match,
+        )
+    return q
+
+
+def _mt_boost(q) -> float:
+    return getattr(q, "boost", 1.0)
 
 
 _TOKEN = re.compile(r"\(|\)|\"[^\"]*\"|AND\b|OR\b|NOT\b|[+\-]?[^\s()]+")
@@ -134,7 +290,16 @@ def parse_query(s: str, analyzer=None) -> Query:
         elif tok.startswith("-"):
             neg, tok = True, tok[1:]
         if tok.startswith('"'):
-            raise NotImplementedError("phrase queries require positional indexing (v2)")
+            analyzed = analyze_with_positions(tok.strip('"'), analyzer)
+            if not analyzed:
+                return None
+            if len(analyzed) == 1:
+                return TermQuery(analyzed[0][0])
+            base = analyzed[0][1]
+            return PhraseQuery(
+                terms=tuple(t for t, _ in analyzed),
+                rel_positions=tuple(p - base for _, p in analyzed),
+            )
         analyzed = analyze_with_positions(tok, analyzer)
         if not analyzed:
             return None

@@ -23,7 +23,18 @@ import pyarrow as pa
 
 from ..util.forutil import decode_postings
 from .bm25 import BM25Similarity
-from .query import BooleanQuery, MatchAllQuery, Query, TermQuery
+from .query import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    ExpandedTermsQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    Query,
+    SynonymQuery,
+    TermQuery,
+)
 
 
 def decode_segment_postings(group: pa.Table) -> dict[str, tuple[np.ndarray, np.ndarray]]:
@@ -48,16 +59,18 @@ class SegmentScorer:
     def __init__(
         self,
         sim: BM25Similarity,
-        postings: dict[str, tuple[np.ndarray, np.ndarray]],
+        postings,
         weights: dict[str, float],
         cache: np.ndarray,
         norms: np.ndarray,
+        lazy: dict | None = None,
     ):
         self.sim = sim
         self.postings = postings
-        self.weights = weights
+        self.weights = weights  # term → idf (global stats)
         self.cache = cache
         self.norms = norms
+        self.lazy = lazy  # {term: LazyTermPostings} for positional queries
         self._term_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     # ------------------------------------------------------------------
@@ -70,11 +83,60 @@ class SegmentScorer:
             res = (np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype))
         else:
             ids, freqs = self.postings[q.term]
-            w = self.sim.dtype.type(self.weights[q.term] * (q.boost if q.boost != 1.0 else 1.0))
+            w = self.sim.weight_from_idf(self.weights[q.term], q.boost)
             scores = self.sim.score_freqs(w, freqs, self.norms[ids], self.cache)
             res = (ids, scores)
         self._term_cache[key] = res
         return res
+
+    def phrase_match(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
+        """ExactPhraseMatcher analog: intersect doc sets, verify aligned
+        positions; freq = number of phrase occurrences; weight = summed idf
+        of all term occurrences (PhraseWeight)."""
+        if self.lazy is None:
+            raise ValueError("phrase queries need positional postings (lazy=None)")
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype))
+        tps = []
+        for t in q.terms:
+            tp = self.lazy.get(t)
+            if tp is None or tp.df == 0:
+                return empty
+            tps.append(tp)
+        cand = tps[0].full()[0]
+        for tp in tps[1:]:
+            cand = _intersect_sorted(cand, tp.full()[0])
+            if len(cand) == 0:
+                return empty
+        # per-term positions, sliced per candidate doc
+        per_term = []
+        for tp in tps:
+            ids, freqs = tp.full()
+            f_off, pos = tp.positions()
+            idx = np.searchsorted(ids, cand)
+            per_term.append((f_off, pos, idx))
+        out_ids, out_freqs = [], []
+        for ci in range(len(cand)):
+            starts = None
+            for ti, (f_off, pos, idx) in enumerate(per_term):
+                j = idx[ci]
+                p = pos[f_off[j] : f_off[j + 1]].astype(np.int64) - q.rel_positions[ti]
+                starts = p if starts is None else _intersect_sorted(starts, p)
+                if len(starts) == 0:
+                    break
+            if starts is not None and len(starts):
+                out_ids.append(cand[ci])
+                out_freqs.append(len(starts))
+        if not out_ids:
+            return empty
+        ids = np.asarray(out_ids, dtype=np.int64)
+        freqs = np.asarray(out_freqs, dtype=np.int64)
+        t32 = self.sim.dtype.type
+        idf_sum = t32(0.0)
+        for t in q.terms:  # occurrence order, float accumulation in dtype
+            idf_sum = idf_sum + t32(self.weights[t])
+        w = self.sim.weight_from_idf(idf_sum, q.boost)
+        scores = self.sim.score_freqs(w, freqs, self.norms[ids], self.cache)
+        return ids, scores
 
     def score_query(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
         """→ (local doc ids ascending, scores). Matching docs only."""
@@ -83,9 +145,57 @@ class SegmentScorer:
         if isinstance(q, MatchAllQuery):
             ids = np.arange(len(self.norms), dtype=np.int64)
             return ids, np.full(len(ids), q.boost, dtype=self.sim.dtype)
+        if isinstance(q, PhraseQuery):
+            return self.phrase_match(q)
+        if isinstance(q, ExpandedTermsQuery):
+            # CONSTANT_SCORE_REWRITE result: union of doc sets, score = boost
+            parts = [self.postings[t][0] for t in q.terms if t in self.postings]
+            ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+            return ids, np.full(len(ids), q.boost, dtype=self.sim.dtype)
+        if isinstance(q, ConstantScoreQuery):
+            ids, _ = self.score_query(q.query)
+            return ids, np.full(len(ids), q.boost, dtype=self.sim.dtype)
+        if isinstance(q, BoostQuery):
+            ids, s = self.score_query(q.query)
+            return ids, (s * self.sim.dtype.type(q.boost)).astype(self.sim.dtype)
+        if isinstance(q, SynonymQuery):
+            return self._synonym_match(q)
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._dismax(q)
         if isinstance(q, BooleanQuery):
             return self._score_boolean(q)
         raise TypeError(f"unsupported query node: {type(q)}")
+
+    def _synonym_match(self, q: SynonymQuery) -> tuple[np.ndarray, np.ndarray]:
+        """SynonymQuery.java: freq = Σ tf across synonyms; stats as if one
+        term with the max docFreq (⇔ the minimum idf of the set)."""
+        present = [t for t in q.terms if t in self.postings]
+        if not present:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype)
+        cat_ids = np.concatenate([self.postings[t][0] for t in present])
+        cat_tfs = np.concatenate([self.postings[t][1] for t in present]).astype(np.int64)
+        uids, inv = np.unique(cat_ids, return_inverse=True)
+        fsum = np.zeros(len(uids), dtype=np.int64)
+        np.add.at(fsum, inv, cat_tfs)
+        idf = min(self.weights[t] for t in q.terms)  # idf of the max-df synonym
+        w = self.sim.weight_from_idf(idf, q.boost)
+        return uids, self.sim.score_freqs(w, fsum, self.norms[uids], self.cache)
+
+    def _dismax(self, q: DisjunctionMaxQuery) -> tuple[np.ndarray, np.ndarray]:
+        """DisjunctionMaxScorer.score: max + (sum - max) * tieBreaker."""
+        t = self.sim.dtype.type
+        n = len(self.norms)
+        ssum = np.zeros(n, dtype=self.sim.dtype)
+        smax = np.zeros(n, dtype=self.sim.dtype)
+        matched = np.zeros(n, dtype=bool)
+        for d in sorted(q.disjuncts, key=repr):  # canonical deterministic order
+            ids, s = self.score_query(d)
+            ssum[ids] += s
+            np.maximum.at(smax, ids, s)
+            matched[ids] = True
+        ids = np.flatnonzero(matched).astype(np.int64)
+        scores = (smax[ids] + (ssum[ids] - smax[ids]) * t(q.tie_breaker)).astype(self.sim.dtype)
+        return ids, scores
 
     # ------------------------------------------------------------------
     def _clauses(self, qs: list) -> list[tuple[np.ndarray, np.ndarray]]:

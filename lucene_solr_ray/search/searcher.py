@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from ..index.reader import IndexReader
 from .bm25 import BM25Similarity
-from .query import BooleanQuery, MatchAllQuery, Query, TermQuery, query_terms
+from .query import BooleanQuery, MatchAllQuery, Query, TermQuery, query_terms, rewrite
 from .scorer import SegmentScorer, merge_topk, select_topk
 from .wand import LazyPostingsDict, build_lazy
 
@@ -112,7 +112,7 @@ def score_one(q, sim, lazy, weights, cache, norms, k, method="auto"):
 
         ids, scores = wand_topk(q, sim, lazy, weights, cache, norms, k)
     else:
-        scorer = SegmentScorer(sim, LazyPostingsDict(lazy), weights, cache, norms)
+        scorer = SegmentScorer(sim, LazyPostingsDict(lazy), weights, cache, norms, lazy=lazy)
         ids, scores = scorer.score_query(q)
         ids, scores = select_topk(ids, scores, k)
     return ids, scores
@@ -140,9 +140,10 @@ class Searcher:
 
     # ------------------------------------------------------------------
     def _weights(self, terms: set[str]) -> dict[str, float]:
+        """term → idf (global stats; scorers derive weightValue per clause)."""
         stats = self.reader.term_stats(sorted(terms))
         dc = self.reader.stats.doc_count
-        return {t: float(self.sim.weight_value(df, dc)) for t, (df, ttf) in stats.items()}
+        return {t: float(self.sim.idf(df, dc)) for t, (df, ttf) in stats.items()}
 
     def search(
         self,
@@ -159,6 +160,8 @@ class Searcher:
         """
         if isinstance(queries, Query):
             queries = {"q0": queries}
+        # rewrite loop: multi-term expansion + boost folding (IndexSearcher:683-689)
+        queries = {qid: rewrite(q, self.reader) for qid, q in queries.items()}
         all_terms: set[str] = set()
         for q in queries.values():
             all_terms |= query_terms(q)

@@ -35,7 +35,8 @@ class LazyTermPostings:
     """Per-term postings with per-block decode + cache (skip-friendly)."""
 
     def __init__(self, doc_blob: bytes, freq_blob: bytes, df: int,
-                 first: np.ndarray, last: np.ndarray, maxf: np.ndarray, minl: np.ndarray):
+                 first: np.ndarray, last: np.ndarray, maxf: np.ndarray, minl: np.ndarray,
+                 pos_blob: bytes = b"", ttf: int = 0):
         self.doc_blob = doc_blob
         self.freq_blob = freq_blob
         self.df = df
@@ -43,9 +44,31 @@ class LazyTermPostings:
         self.last = last
         self.maxf = maxf
         self.minl = minl
+        self.pos_blob = pos_blob
+        self.ttf = ttf
         self._layout = None
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._positions: tuple[np.ndarray, np.ndarray] | None = None
         self.blocks_decoded = 0
+
+    def positions(self) -> tuple[np.ndarray, np.ndarray]:
+        """Decode the position stream → (per-doc offsets int64[df+1], flat
+        ascending positions). Deltas reset per doc (first raw, then diffs)."""
+        if self._positions is not None:
+            return self._positions
+        if not self.pos_blob:
+            raise ValueError("index built without positions")
+        from ..util.forutil import decode_blocks
+
+        _, freqs = self.full()
+        vals = decode_blocks(self.pos_blob, self.ttf).astype(np.int64)
+        f_off = np.zeros(self.df + 1, dtype=np.int64)
+        np.cumsum(freqs, out=f_off[1:])
+        c = np.cumsum(vals)
+        base = np.where(f_off[:-1] > 0, c[np.maximum(f_off[:-1] - 1, 0)], 0)
+        pos = c - np.repeat(base, freqs)
+        self._positions = (f_off, pos)
+        return self._positions
 
     @property
     def n_blocks(self) -> int:
@@ -94,6 +117,8 @@ class LazyPostingsDict:
 def build_lazy(group: pa.Table) -> dict[str, LazyTermPostings]:
     out = {}
     dfs = group["df"].to_numpy()
+    ttfs = group["ttf"].to_numpy()
+    has_pos = "pos_blob" in group.column_names
     for i, t in enumerate(group["term"].to_pylist()):
         out[t] = LazyTermPostings(
             group["doc_blob"][i].as_py(),
@@ -103,6 +128,8 @@ def build_lazy(group: pa.Table) -> dict[str, LazyTermPostings]:
             np.asarray(group["block_last_doc"][i].as_py(), dtype=np.int64),
             np.asarray(group["block_max_freq"][i].as_py(), dtype=np.int64),
             np.asarray(group["block_min_len"][i].as_py(), dtype=np.int64),
+            pos_blob=group["pos_blob"][i].as_py() if has_pos else b"",
+            ttf=int(ttfs[i]),
         )
     return out
 
@@ -120,7 +147,7 @@ def wand_topk(q: BooleanQuery, sim, lazy: dict[str, LazyTermPostings],
         tp = lazy.get(c.term)
         if tp is None or tp.df == 0:
             continue
-        w = t32(weights[c.term] * (c.boost if c.boost != 1.0 else 1.0))
+        w = sim.weight_from_idf(weights[c.term], c.boost)
         mf = tp.maxf.astype(sim.dtype)
         nb = int_to_byte4(tp.minl).astype(np.int64)
         ub = (w * mf / (mf + cache[nb])).astype(sim.dtype)

@@ -37,6 +37,8 @@ FAST_ENTRIES = [
     "ft_term_stats",
     "ft_topk_terms",
     "ft_topk_bool",
+    "ft_phrase",
+    "ft_prefix",
     "token_count",
     "lang_id",
     "quality",

@@ -143,6 +143,110 @@ def test_pagination_semantics(built):
     assert page2_expected["rank"].tolist() == list(range(10, 20))
 
 
+@pytest.mark.parametrize("use_ray", [False, True])
+def test_phrase_matches_oracle(built, use_ray):
+    from lucene_solr_ray.search.query import PhraseQuery
+
+    d, _, oracle, _ = built
+    searcher = Searcher(d)
+    queries = {
+        "ph_header": parse_query('"licensed to the apache"'),  # stopword gap preserved
+        "ph3": parse_query('"apache software foundation"'),
+        "ph_wrong_order": PhraseQuery(("software", "apache"), (0, 1)),
+        "ph_single_hit": parse_query('"compliance with the license"'),
+    }
+    got = searcher.search(queries, k=20, use_ray=use_ray).to_pandas()
+    for qid, q in queries.items():
+        exp_ids, exp_scores = oracle.topk(q, 20)
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert sub.doc_id.tolist() == exp_ids.tolist(), qid
+        np.testing.assert_array_equal(
+            sub.score.to_numpy().view(np.uint32),
+            exp_scores.astype(np.float32).view(np.uint32),
+            err_msg=qid,
+        )
+    # the header phrase must actually match (60% of docs carry the header)
+    assert (got.query_id == "ph_header").sum() == 20
+
+
+def test_phrase_in_boolean(built):
+    from lucene_solr_ray.search.query import PhraseQuery
+
+    d, _, oracle, _ = built
+    searcher = Searcher(d)
+    rare, mid, mega = _pick_terms(oracle)
+    q = BooleanQuery(
+        must=[PhraseQuery(("apache", "software"), (0, 1))],
+        must_not=[TermQuery(mid)],
+    )
+    got = searcher.search({"q": q}, k=10, use_ray=False).to_pandas()
+    exp_ids, exp_scores = oracle.topk(q, 10)
+    assert got.doc_id.tolist() == exp_ids.tolist()
+
+
+@pytest.mark.parametrize("use_ray", [False, True])
+def test_multiterm_synonym_dismax_match_oracle(built, use_ray):
+    from lucene_solr_ray.search.query import (
+        BoostQuery,
+        ConstantScoreQuery,
+        DisjunctionMaxQuery,
+        FuzzyQuery,
+        PrefixQuery,
+        RegexpQuery,
+        SynonymQuery,
+        TermInSetQuery,
+        TermRangeQuery,
+        WildcardQuery,
+    )
+
+    d, _, oracle, _ = built
+    searcher = Searcher(d)
+    rare, mid, mega = _pick_terms(oracle)
+    some = sorted(oracle.df)[:3]
+    queries = {
+        "prefix": PrefixQuery("lic"),
+        "prefix_boost": PrefixQuery("apa", boost=2.5),
+        "wildcard": WildcardQuery("lic*se"),
+        "wildcard_q": WildcardQuery("apach?"),
+        "regexp": RegexpQuery("fo.nda.*"),
+        "range": TermRangeQuery("a", "c", include_upper=False),
+        "fuzzy1": FuzzyQuery("licanse", max_edits=2),
+        "inset": TermInSetQuery((rare, mid, "zz_missing")),
+        "synonym": SynonymQuery((rare, mid)),
+        "synonym_mega": SynonymQuery((mid, mega)),
+        "dismax": DisjunctionMaxQuery((TermQuery(mid), TermQuery(mega)), tie_breaker=0.3),
+        "dismax0": DisjunctionMaxQuery((TermQuery(rare), TermQuery(mid))),
+        "constant": ConstantScoreQuery(TermQuery(mega), boost=1.5),
+        "boosted_bool": BoostQuery(BooleanQuery(should=[TermQuery(rare), TermQuery(mid)]), 3.0),
+        "mt_in_bool": BooleanQuery(must=[PrefixQuery("apa"), TermQuery(mega)]),
+    }
+    got = searcher.search(queries, k=50, use_ray=use_ray).to_pandas()
+    for qid, q in queries.items():
+        exp_ids, exp_scores = oracle.topk(q, 50)
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert sub.doc_id.tolist() == exp_ids.tolist(), qid
+        np.testing.assert_array_equal(
+            sub.score.to_numpy().view(np.uint32),
+            exp_scores.astype(np.float32).view(np.uint32),
+            err_msg=qid,
+        )
+    assert (got.query_id == "prefix").sum() > 0  # license terms exist
+    assert (got.query_id == "fuzzy1").sum() > 0  # 'license' within 2 edits
+
+
+def test_expansion_cap(built):
+    from lucene_solr_ray.search.query import WildcardQuery
+    from lucene_solr_ray.index.reader import IndexReader
+
+    d, _, _, _ = built
+    r = IndexReader(d)
+    r2 = IndexReader(d)
+    r2.MAX_EXPANSIONS = 3
+    with pytest.raises(ValueError, match="expands to"):
+        r2.expand_terms(WildcardQuery("*"))
+    assert len(r.expand_terms(WildcardQuery("lic*"))) >= 1
+
+
 def test_parser():
     q = parse_query("Foo AND bar")
     assert isinstance(q, BooleanQuery) and len(q.must) == 2
@@ -159,3 +263,10 @@ def test_parser():
     assert len(q6.must) == 2
     q7 = parse_query("the")  # pure stopword → matches nothing
     assert isinstance(q7, BooleanQuery) and not q7.must and not q7.should
+    from lucene_solr_ray.search.query import PhraseQuery
+
+    q8 = parse_query('"the quick and the dead"')
+    assert isinstance(q8, PhraseQuery)
+    assert q8.terms == ("quick", "dead") and q8.rel_positions == (0, 3)
+    q9 = parse_query('"quick"')  # single analyzed term → plain TermQuery
+    assert q9 == TermQuery("quick")
