@@ -117,7 +117,7 @@ def build_index(
     if concurrency is None:
         # autoscaling actor pool: leave headroom for the read + shuffle stages
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, ncpu - 2))
+        concurrency = (1, max(1, ncpu - 1))
     if todo:
         analyzed = corpus.map_batches(
             AnalyzeInvert,
@@ -131,11 +131,12 @@ def build_index(
             batch_size=batch_size,
             concurrency=concurrency,
         )
+        # task-based (no CPU reservation): SegmentWriter holds no amortizable
+        # state, and a second actor pool can starve tiny CPU budgets
         out = analyzed.groupby("range_id").map_groups(
-            SegmentWriter,
-            fn_constructor_kwargs={"index_dir": index_dir, "plan": plan},
+            _write_segment_group,
+            fn_kwargs={"index_dir": index_dir, "plan": plan},
             batch_format="pyarrow",
-            concurrency=concurrency,
         )
         for b in out.iter_batches(batch_format="pyarrow"):
             for row in b.to_pylist():
@@ -197,6 +198,12 @@ def build_index(
         segments=manifest["segments"],
         resumed_segments=n_resumed,
     )
+
+
+def _write_segment_group(group, *, index_dir: str, plan: BuildPlan):
+    from .segment import SegmentWriter
+
+    return SegmentWriter(index_dir, plan)(group)
 
 
 def _next_generation(index_dir: str) -> int:

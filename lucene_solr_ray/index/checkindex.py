@@ -33,7 +33,7 @@ def check_index(index_dir: str, corpus_sha: dict[tuple, str] | None = None) -> d
     seen_doc_ids: list[np.ndarray] = []
 
     for seg in r.segments:
-        sd = segment_dir(index_dir, seg["seg"])
+        sd = r.seg_dir(seg["seg"])
         docs = pq.read_table(os.path.join(sd, "docs.parquet"))
         posts = pq.read_table(os.path.join(sd, "postings.parquet"))
         n = len(docs)

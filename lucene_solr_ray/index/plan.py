@@ -100,8 +100,10 @@ def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_00
     (approximate balance) + an exact column-pruned counting pass. Both are
     deterministic functions of the data alone.
     """
+    # count on the raw dataset: metadata-only for parquet reads (a count on
+    # the projected dataset would execute a full scan)
+    total = corpus_ds.count()
     keys_ds = corpus_ds.select_columns(KEY_COLS)
-    total = keys_ds.count()
     n_segments = max(1, -(-total // docs_per_segment))
 
     if total <= small_threshold:

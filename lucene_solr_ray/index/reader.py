@@ -57,11 +57,21 @@ class IndexReader:
         self._seg_by_id = {s["seg"]: s for s in self.segments}
 
     # ------------------------------------------------------------------
+    def seg_dir(self, seg: int) -> str:
+        """Segment directory; merged segments carry an explicit "dir"."""
+        ent = self._seg_by_id[seg]
+        if "dir" in ent:
+            return os.path.join(self.index_dir, "segments", ent["dir"])
+        return segment_dir(self.index_dir, seg)
+
+    def seg_dirs(self) -> dict[int, str]:
+        return {s["seg"]: self.seg_dir(s["seg"]) for s in self.segments}
+
     def postings_files(self) -> list[str]:
-        return [os.path.join(segment_dir(self.index_dir, s["seg"]), "postings.parquet") for s in self.segments]
+        return [os.path.join(self.seg_dir(s["seg"]), "postings.parquet") for s in self.segments]
 
     def docs_files(self) -> list[str]:
-        return [os.path.join(segment_dir(self.index_dir, s["seg"]), "docs.parquet") for s in self.segments]
+        return [os.path.join(self.seg_dir(s["seg"]), "docs.parquet") for s in self.segments]
 
     def doc_base(self, seg: int) -> int:
         return self._seg_by_id[seg]["doc_base"]
@@ -160,7 +170,7 @@ class IndexReader:
 
     def segment_norms(self, seg: int) -> np.ndarray:
         """norm_byte array indexed by local doc id (docs.parquet is doc_id-sorted)."""
-        p = os.path.join(segment_dir(self.index_dir, seg), "docs.parquet")
+        p = os.path.join(self.seg_dir(seg), "docs.parquet")
         return pq.read_table(p, columns=["norm_byte"])["norm_byte"].to_numpy()
 
     def fetch_docs(self, doc_ids: list[int], columns: list[str] | None = None) -> pa.Table:

@@ -312,15 +312,8 @@ class SegmentWriter:
         norm_len = LENGTH_TABLE[group["norm_byte"].to_numpy().astype(np.int64)]
         doc_lens = norm_len[s_doc]  # quantized length per posting (WAND bound input)
 
-        # batch FOR encode: every term's postings in one vectorized pass
-        deltas = np.empty(len(s_doc), dtype=np.int64)
-        if len(s_doc):
-            deltas[1:] = s_doc[1:] - s_doc[:-1]
-        deltas[starts] = s_doc[starts] + 1
-        dbuf, doffs, gstart, blen, block_ptr = encode_sequences(deltas, starts, dfs)
-        fbuf, foffs, _, _, _ = encode_sequences(s_tf, starts, dfs)
-
-        # per-term position streams (within-doc delta encoding)
+        # per-term position streams (within-doc delta encoding), gathered in
+        # sorted (term, doc) pair order
         pos_col = group["positions"].combine_chunks()
         if isinstance(pos_col, pa.ChunkedArray):
             pos_col = pos_col.chunk(0)
@@ -336,40 +329,72 @@ class SegmentWriter:
             pdeltas = np.empty(len(sorted_pos), dtype=np.int64)
             pdeltas[1:] = sorted_pos[1:] - sorted_pos[:-1]
             pdeltas[sorted_cum[:-1]] = sorted_pos[sorted_cum[:-1]]  # raw first position per pair
-            term_pos_starts = sorted_cum[:-1][starts]
-            pbuf, poffs, _, _, _ = encode_sequences(pdeltas, term_pos_starts, ttfs)
         else:
-            pbuf = np.zeros(0, dtype=np.uint8)
-            poffs = np.zeros(len(starts) + 1, dtype=np.int64)
+            pdeltas = None
 
-        firsts = s_doc[gstart].astype(np.int32)
-        lasts = s_doc[gstart + blen - 1].astype(np.int32)
-        maxfs = np.maximum.reduceat(s_tf, gstart).astype(np.int32) if len(gstart) else np.empty(0, np.int32)
-        minls = np.minimum.reduceat(doc_lens, gstart).astype(np.int32) if len(gstart) else np.empty(0, np.int32)
-        lofs = pa.array(block_ptr.astype(np.int32))
-
-        def large_bin(buf: np.ndarray, offs: np.ndarray) -> pa.Array:
-            return pa.Array.from_buffers(
-                pa.large_binary(),
-                len(offs) - 1,
-                [None, pa.py_buffer(offs.astype(np.int64).tobytes()), pa.py_buffer(buf.tobytes())],
-            )
-
-        return pa.table(
-            {
-                "seg": pa.array(np.full(len(starts), rid, dtype=np.int32)),
-                "term": sorted_terms.cast(pa.string()),
-                "df": pa.array(dfs, pa.int64()),
-                "ttf": pa.array(ttfs, pa.int64()),
-                "doc_blob": large_bin(dbuf, doffs),
-                "freq_blob": large_bin(fbuf, foffs),
-                "pos_blob": large_bin(pbuf, poffs),
-                "block_first_doc": pa.ListArray.from_arrays(lofs, pa.array(firsts, pa.int32())),
-                "block_last_doc": pa.ListArray.from_arrays(lofs, pa.array(lasts, pa.int32())),
-                "block_max_freq": pa.ListArray.from_arrays(lofs, pa.array(maxfs, pa.int32())),
-                "block_min_len": pa.ListArray.from_arrays(lofs, pa.array(minls, pa.int32())),
-            }
+        return postings_table_from_flat(
+            rid, sorted_terms, starts, dfs, ttfs, s_doc, s_tf, doc_lens, pdeltas
         )
+
+
+def postings_table_from_flat(
+    seg_id: int,
+    sorted_terms: pa.Array,
+    starts: np.ndarray,
+    dfs: np.ndarray,
+    ttfs: np.ndarray,
+    s_doc: np.ndarray,
+    s_tf: np.ndarray,
+    doc_lens: np.ndarray,
+    pos_deltas: np.ndarray | None,
+) -> pa.Table:
+    """Encode flat (term,doc)-sorted postings into the segment postings table
+    (shared by the initial build and the merge job). ``pos_deltas``: per-pair
+    within-doc delta stream aligned with cumsum(s_tf), or None."""
+    # batch FOR encode: every term's postings in one vectorized pass
+    deltas = np.empty(len(s_doc), dtype=np.int64)
+    if len(s_doc):
+        deltas[1:] = s_doc[1:] - s_doc[:-1]
+    deltas[starts] = s_doc[starts] + 1
+    dbuf, doffs, gstart, blen, block_ptr = encode_sequences(deltas, starts, dfs)
+    fbuf, foffs, _, _, _ = encode_sequences(s_tf, starts, dfs)
+    if pos_deltas is not None and len(pos_deltas):
+        sorted_cum = np.zeros(len(s_tf) + 1, dtype=np.int64)
+        np.cumsum(s_tf, out=sorted_cum[1:])
+        term_pos_starts = sorted_cum[:-1][starts]
+        pbuf, poffs, _, _, _ = encode_sequences(pos_deltas, term_pos_starts, ttfs)
+    else:
+        pbuf = np.zeros(0, dtype=np.uint8)
+        poffs = np.zeros(len(starts) + 1, dtype=np.int64)
+
+    firsts = s_doc[gstart].astype(np.int32)
+    lasts = s_doc[gstart + blen - 1].astype(np.int32)
+    maxfs = np.maximum.reduceat(s_tf, gstart).astype(np.int32) if len(gstart) else np.empty(0, np.int32)
+    minls = np.minimum.reduceat(doc_lens, gstart).astype(np.int32) if len(gstart) else np.empty(0, np.int32)
+    lofs = pa.array(block_ptr.astype(np.int32))
+
+    def large_bin(buf: np.ndarray, offs: np.ndarray) -> pa.Array:
+        return pa.Array.from_buffers(
+            pa.large_binary(),
+            len(offs) - 1,
+            [None, pa.py_buffer(offs.astype(np.int64).tobytes()), pa.py_buffer(buf.tobytes())],
+        )
+
+    return pa.table(
+        {
+            "seg": pa.array(np.full(len(starts), seg_id, dtype=np.int32)),
+            "term": sorted_terms.cast(pa.string()),
+            "df": pa.array(dfs, pa.int64()),
+            "ttf": pa.array(ttfs, pa.int64()),
+            "doc_blob": large_bin(dbuf, doffs),
+            "freq_blob": large_bin(fbuf, foffs),
+            "pos_blob": large_bin(pbuf, poffs),
+            "block_first_doc": pa.ListArray.from_arrays(lofs, pa.array(firsts, pa.int32())),
+            "block_last_doc": pa.ListArray.from_arrays(lofs, pa.array(lasts, pa.int32())),
+            "block_max_freq": pa.ListArray.from_arrays(lofs, pa.array(maxfs, pa.int32())),
+            "block_min_len": pa.ListArray.from_arrays(lofs, pa.array(minls, pa.int32())),
+        }
+    )
 
 
 def _manifest_row(meta: dict, resumed: bool) -> pa.Table:

@@ -48,12 +48,14 @@ class ScoreSegmentGroup:
         k: int,
         sim_params: tuple,
         method: str = "auto",
+        seg_dirs: dict[int, str] | None = None,
     ):
         self.index_dir = index_dir
         self.queries = queries
         self.weights = weights
         self.cache = cache
         self.doc_bases = doc_bases
+        self.seg_dirs = seg_dirs or {}
         self.k = k
         k1, b, dtype = sim_params
         self.sim = BM25Similarity(k1, b, dtype=dtype)
@@ -66,8 +68,9 @@ class ScoreSegmentGroup:
         from ..index.segment import segment_dir
 
         seg = int(group["seg"][0].as_py())
+        seg_d = self.seg_dirs.get(seg) or segment_dir(self.index_dir, seg)
         norms = pq.read_table(
-            os.path.join(segment_dir(self.index_dir, seg), "docs.parquet"), columns=["norm_byte"]
+            os.path.join(seg_d, "docs.parquet"), columns=["norm_byte"]
         )["norm_byte"].to_numpy()
         lazy = build_lazy(group)
         base = self.doc_bases[seg]
@@ -190,6 +193,7 @@ class Searcher:
                         k=k,
                         sim_params=(self.sim.k1, self.sim.b, self.sim.dtype),
                         method=method,
+                        seg_dirs=self.reader.seg_dirs(),
                     ),
                     batch_format="pyarrow",
                     concurrency=(1, 8),

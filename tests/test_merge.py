@@ -1,0 +1,85 @@
+"""Tiered merge: results must be identical across generations
+(SegmentMerger/TieredMergePolicy analog; FIXTURES.md §7 spirit)."""
+
+import glob
+import os
+
+import pytest
+
+import ray.data
+
+from lucene_solr_ray.corpus import generate_corpus
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.index.checkindex import check_index
+from lucene_solr_ray.index.merge import merge_index, plan_merges
+from lucene_solr_ray.search import BooleanQuery, Searcher, TermQuery, parse_query
+
+
+@pytest.fixture(scope="module")
+def merged_setup(ray_session, tmp_path_factory):
+    tbl = generate_corpus(600)
+    d = str(tmp_path_factory.mktemp("midx"))
+    res = build_index(ray.data.from_arrow(tbl), d, docs_per_segment=60)
+    assert len(res.segments) == 10
+    s = Searcher(d)
+    queries = {
+        "t": parse_query("license"),
+        "b": parse_query("apache AND foundation"),
+        "o": parse_query("def OR return OR class"),
+        "ph": parse_query('"apache software foundation"'),
+    }
+    before = s.search(queries, k=25, use_ray=False).to_pandas()
+    info = merge_index(d, segs_per_tier=4)
+    return d, queries, before, info
+
+
+def test_merge_reduces_segments(merged_setup):
+    d, _, _, info = merged_setup
+    assert info["merges"] >= 2
+    assert info["segments_after"] < info["segments_before"]
+    assert info["segments_after"] <= 3
+
+
+def test_merged_index_valid(merged_setup):
+    d, *_ = merged_setup
+    summary = check_index(d)
+    assert summary["docs"] == 600
+
+
+def test_results_identical_across_generations(merged_setup):
+    import pandas as pd
+
+    d, queries, before, _ = merged_setup
+    s2 = Searcher(d)  # fresh reader → new manifest generation
+    after = s2.search(queries, k=25, use_ray=False).to_pandas()
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
+    after_ray = s2.search(queries, k=25, use_ray=True).to_pandas()
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after_ray.reset_index(drop=True)
+    )
+
+
+def test_old_dirs_deleted(merged_setup):
+    d, *_ = merged_setup
+    # merged members' dirs are gone; only live dirs remain
+    live = set()
+    from lucene_solr_ray.index.reader import IndexReader
+
+    r = IndexReader(d)
+    for s in r.segments:
+        live.add(os.path.basename(r.seg_dir(s["seg"])))
+    on_disk = {os.path.basename(p) for p in glob.glob(os.path.join(d, "segments", "seg=*"))}
+    assert on_disk == live
+
+
+def test_plan_merges_grouping():
+    segs = [
+        {"seg": i, "doc_base": i * 100, "doc_count": 100} for i in range(7)
+    ]
+    groups = plan_merges(segs, segs_per_tier=3)
+    assert [len(g) for g in groups] == [3, 3]  # trailing singleton not merged
+    assert groups[0][0]["seg"] == 0 and groups[1][0]["seg"] == 3
+    capped = plan_merges(segs, segs_per_tier=5, max_docs_per_segment=250)
+    assert all(sum(m["doc_count"] for m in g) <= 250 for g in capped)
