@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_bool": fulltext.ft_topk_bool,
         "ft_phrase": fulltext.ft_phrase,
         "ft_prefix": fulltext.ft_prefix,
+        "ft_facets": fulltext.ft_facets,
+        "ft_sorted_by_path": fulltext.ft_sorted_by_path,
         "ft_wand_topk": fulltext.ft_wand_topk,  # no SQL oracle: WAND ≡ exhaustive, pinned in pytest
         # --- text analysis ---
         "token_count": text.token_count,
@@ -84,6 +86,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_topk_bool": fs.sql_topk_union(fulltext.BOOL_SPECS),
         "ft_phrase": fs.sql_phrase_union(fulltext.PHRASE_SPECS),
         "ft_prefix": fs.sql_prefix_union(fulltext.PREFIX_SPECS),
+        "ft_facets": fs.sql_facets(fulltext.FACET_TERM, "source"),
+        "ft_sorted_by_path": fs.sql_sorted_by_field(fulltext.SORT_TERM, "path", 10),
         "token_count": text.SQL_TOKEN_COUNT,
         "lang_id": text.SQL_LANG_ID,
         "quality": text.SQL_QUALITY,

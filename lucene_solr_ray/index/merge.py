@@ -141,6 +141,19 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(docs, os.path.join(tmp, "docs.parquet"), row_group_size=65536)
     pq.write_table(postings_tbl, os.path.join(tmp, "postings.parquet"), row_group_size=8192)
+    # carry member tombstones forward (liveDocs survive merges; local ids shift by base)
+    del_parts = []
+    for mi, d in enumerate(dirs):
+        dp = os.path.join(d, "deletes.parquet")
+        if os.path.exists(dp):
+            dl = pq.read_table(dp)["local_id"].to_numpy().astype(np.int64)
+            if len(dl):
+                del_parts.append(dl + bases[mi])
+    if del_parts:
+        pq.write_table(
+            pa.table({"local_id": pa.array(np.unique(np.concatenate(del_parts)), pa.int64())}),
+            os.path.join(tmp, "deletes.parquet"),
+        )
     meta = {
         "seg": seg_id,
         "dir": dir_name,

@@ -168,6 +168,19 @@ class IndexReader:
         dset = pads.dataset(self.postings_files())
         return dset.to_table(columns=columns, filter=pc.field("term").isin(terms))
 
+    def live_mask(self, seg: int) -> np.ndarray | None:
+        """Boolean live-docs mask for the segment (liveDocs bitset analog),
+        or None when nothing is deleted."""
+        p = os.path.join(self.seg_dir(seg), "deletes.parquet")
+        if not os.path.exists(p):
+            return None
+        deleted = pq.read_table(p)["local_id"].to_numpy().astype(np.int64)
+        if len(deleted) == 0:
+            return None
+        mask = np.ones(self.seg_doc_count(seg), dtype=bool)
+        mask[deleted] = False
+        return mask
+
     def segment_norms(self, seg: int) -> np.ndarray:
         """norm_byte array indexed by local doc id (docs.parquet is doc_id-sorted)."""
         p = os.path.join(self.seg_dir(seg), "docs.parquet")

@@ -201,17 +201,18 @@ class SegmentWriter:
     Returns a one-row manifest table (tiny) as the stage output.
     """
 
-    def __init__(self, index_dir: str, plan: BuildPlan):
+    def __init__(self, index_dir: str, plan: BuildPlan, seg_offset: int = 0):
         self.index_dir = index_dir
         self.plan = plan
+        self.seg_offset = seg_offset  # delta builds append after existing seg ids
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        rid = int(group["range_id"][0].as_py())
+        rid = int(group["range_id"][0].as_py()) + self.seg_offset
         existing = load_segment_meta(self.index_dir, rid)
         if existing is not None:
             return _manifest_row(existing, resumed=True)
 
-        doc_base = self.plan.bases[rid]
+        doc_base = self.plan.bases[rid - self.seg_offset]
         n = len(group)
         order = np.lexsort(
             (
@@ -269,6 +270,7 @@ class SegmentWriter:
         return _manifest_row(meta, resumed=False)
 
     def _key_range(self, rid: int) -> list[str | None]:
+        rid = rid - self.seg_offset
         lo = self.plan.boundaries[rid - 1] if rid > 0 else None
         hi = self.plan.boundaries[rid] if rid < len(self.plan.boundaries) else None
         return [lo, hi]

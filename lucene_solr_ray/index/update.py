@@ -1,0 +1,190 @@
+"""Incremental index maintenance — IndexWriter add/delete/update analogs.
+
+- :func:`add_documents` — the ``addDocuments`` path: a delta corpus becomes a
+  new batch of segments appended to the manifest (Lucene's additive segment
+  publication, ``index/DirectoryReader.java:78`` near-real-time model). New
+  docs get IDs after the current maximum (dense rank *within* the delta),
+  deterministic given (existing index, delta). Global stats re-aggregate;
+  norms are absolute lengths so existing segments are untouched.
+- :func:`delete_by_keys` / :func:`delete_by_query` — ``deleteDocuments``:
+  per-segment tombstone files (liveDocs bitset analog,
+  ``index/IndexWriter.java:1607-1611``). Statistics keep counting deleted
+  docs until segments are rewritten, exactly like Lucene's docFreq behavior.
+- :func:`update_documents` — ``updateDocument(Term, doc)``: delete-by-key
+  then add.
+
+Doc IDs of live documents never change (unlike Lucene's merge remapping) —
+the dense-rank contract holds for the original build; deltas extend the ID
+space monotonically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..analysis.tokenizer import StandardAnalyzer
+from .build import IndexStats, _next_generation
+from .plan import compute_plan
+from .reader import IndexReader
+from .segment import AnalyzeInvert, SegmentWriter
+
+
+def add_documents(
+    index_dir: str,
+    corpus,
+    *,
+    docs_per_segment: int = 100_000,
+    analyzer: StandardAnalyzer | None = None,
+    batch_size: int = 1024,
+    positions: bool = True,
+) -> dict:
+    """Append a delta corpus as new segments; returns the new manifest dict."""
+    import ray
+    import ray.data
+
+    if isinstance(corpus, (str, os.PathLike)):
+        corpus = ray.data.read_parquet(str(corpus))
+    reader = IndexReader(index_dir)
+    doc_base_offset = max(
+        (s["doc_base"] + s["doc_count"] for s in reader.segments), default=0
+    )
+    seg_offset = max((s["seg"] for s in reader.segments), default=-1) + 1
+
+    plan = compute_plan(corpus, docs_per_segment)
+    plan.bases = [b + doc_base_offset for b in plan.bases]
+
+    analyzer = analyzer or StandardAnalyzer()
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    analyzed = corpus.map_batches(
+        AnalyzeInvert,
+        fn_constructor_kwargs={"plan": plan, "analyzer": analyzer, "positions": positions},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, max(1, ncpu - 1)),
+    )
+    out = analyzed.groupby("range_id").map_groups(
+        _write_delta_group,
+        fn_kwargs={"index_dir": index_dir, "plan": plan, "seg_offset": seg_offset},
+        batch_format="pyarrow",
+    )
+    new_rows = [row for b in out.iter_batches(batch_format="pyarrow") for row in b.to_pylist()]
+
+    segments = reader.manifest["segments"] + [
+        {k: r[k] for k in ("seg", "doc_base", "doc_count", "sum_len", "num_terms", "sum_df", "sum_ttf")}
+        for r in sorted(new_rows, key=lambda r: r["seg"])
+    ]
+    return _commit_manifest(index_dir, reader, segments)
+
+
+def _write_delta_group(group, *, index_dir: str, plan, seg_offset: int):
+    return SegmentWriter(index_dir, plan, seg_offset=seg_offset)(group)
+
+
+def _commit_manifest(index_dir: str, reader: IndexReader, segments: list[dict]) -> dict:
+    stats = IndexStats(
+        doc_count=sum(s["doc_count"] for s in segments),
+        sum_ttf=sum(s["sum_ttf"] for s in segments),
+        sum_df=sum(s["sum_df"] for s in segments),
+        num_terms=sum(s["num_terms"] for s in segments),
+    )
+    manifest = dict(reader.manifest)
+    manifest["generation"] = _next_generation(index_dir)
+    manifest["stats"] = stats.to_dict()
+    manifest["segments"] = sorted(segments, key=lambda s: s["doc_base"])
+    tmp = os.path.join(index_dir, f".pending_manifest_{manifest['generation']}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+    return manifest
+
+
+# ---------------------------------------------------------------------------
+# deletes (liveDocs tombstones)
+# ---------------------------------------------------------------------------
+
+DELETES_FILE = "deletes.parquet"
+
+
+def _segment_deletes(seg_dir: str) -> np.ndarray:
+    p = os.path.join(seg_dir, DELETES_FILE)
+    if not os.path.exists(p):
+        return np.empty(0, dtype=np.int64)
+    return pq.read_table(p)["local_id"].to_numpy().astype(np.int64)
+
+
+def _write_segment_deletes(seg_dir: str, local_ids: np.ndarray) -> None:
+    tmp = os.path.join(seg_dir, f".{DELETES_FILE}.tmp")
+    pq.write_table(
+        pa.table({"local_id": pa.array(np.unique(local_ids), pa.int64())}), tmp
+    )
+    os.replace(tmp, os.path.join(seg_dir, DELETES_FILE))
+
+
+def delete_by_keys(index_dir: str, keys: list[tuple[str, str, str]]) -> int:
+    """Tombstone every doc whose (repo, path, commit) is in ``keys``.
+    Returns the number of newly deleted docs."""
+    reader = IndexReader(index_dir)
+    key_set = {tuple(k) for k in keys}
+    n_new = 0
+    for s in reader.segments:
+        sd = reader.seg_dir(s["seg"])
+        docs = pq.read_table(
+            os.path.join(sd, "docs.parquet"), columns=["repo", "path", "commit"]
+        )
+        mask = np.array(
+            [
+                (r, p, c) in key_set
+                for r, p, c in zip(
+                    docs["repo"].to_pylist(), docs["path"].to_pylist(), docs["commit"].to_pylist()
+                )
+            ],
+            dtype=bool,
+        )
+        if mask.any():
+            hit = np.flatnonzero(mask).astype(np.int64)
+            existing = _segment_deletes(sd)
+            merged = np.union1d(existing, hit)
+            n_new += len(merged) - len(existing)
+            _write_segment_deletes(sd, merged)
+    _commit_manifest(index_dir, reader, reader.manifest["segments"])
+    return n_new
+
+
+def delete_by_query(index_dir: str, query) -> int:
+    """Tombstone every doc matching ``query`` (deleteDocuments(Query))."""
+    from ..search.searcher import Searcher
+
+    searcher = Searcher(index_dir)
+    n_new = 0
+    reader = searcher.reader
+    for seg, _base, ids in searcher._matches_per_segment(query):
+        if len(ids) == 0:
+            continue
+        sd = reader.seg_dir(seg)
+        existing = _segment_deletes(sd)
+        merged = np.union1d(existing, ids.astype(np.int64))
+        n_new += len(merged) - len(existing)
+        _write_segment_deletes(sd, merged)
+    _commit_manifest(index_dir, reader, reader.manifest["segments"])
+    return n_new
+
+
+def update_documents(index_dir: str, corpus, **add_kwargs) -> dict:
+    """updateDocument(Term, doc) analog: delete-by-unique-key then add."""
+    import ray.data
+
+    if isinstance(corpus, (str, os.PathLike)):
+        corpus = ray.data.read_parquet(str(corpus))
+    keys = [
+        (r["repo"], r["path"], r["commit"])
+        for b in corpus.select_columns(["repo", "path", "commit"]).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    delete_by_keys(index_dir, keys)
+    return add_documents(index_dir, corpus, **add_kwargs)

@@ -213,6 +213,25 @@ def ft_prefix(sf_dir: str) -> pa.Table:
     return pa.table({"query_id": res["query_id"], "doc_id": res["doc_id"]})
 
 
+FACET_TERM = "merge"
+SORT_TERM = "window"
+
+
+def ft_facets(sf_dir: str) -> pa.Table:
+    """Facet counts by source over docs matching FACET_TERM."""
+    s = get_searcher(sf_dir)
+    return s.facet_counts(TermQuery(FACET_TERM), field="repo").rename_columns(["value", "count"])
+
+
+def ft_sorted_by_path(sf_dir: str) -> pa.Table:
+    """Top-10 docs matching SORT_TERM ordered by the stored path field."""
+    s = get_searcher(sf_dir)
+    res = s.search_by_field(TermQuery(SORT_TERM), k=10, field="path")
+    return pa.table(
+        {"doc_id": res["doc_id"], "path": res["path"].cast(pa.string())}
+    )
+
+
 def ft_wand_topk(sf_dir: str) -> pa.Table:
     """Same disjunctions via the block-max WAND path (no SQL oracle needed —
     it must equal ft_topk_bool's disjunction rows; also asserted in pytest)."""

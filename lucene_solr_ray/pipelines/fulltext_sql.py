@@ -33,7 +33,7 @@ TOKEN_RE_SQL = r"[\p{L}\p{N}_]+"
 CORPUS_CTE = """
 corpus AS (
   SELECT row_number() OVER (ORDER BY source, 'doc/' || doc_id, printf('%040x', doc_id)) - 1 AS did,
-         doc_id AS orig_id, source, lang, text
+         doc_id AS orig_id, source, lang, 'doc/' || doc_id AS path, text
   FROM documents
 )"""
 
@@ -216,6 +216,25 @@ FROM (SELECT DISTINCT did FROM tf WHERE tok LIKE '{s["prefix"]}%')"""
         for s in specs
     ]
     return prelude() + " " + " UNION ALL ".join(parts)
+
+
+def sql_facets(term: str, field: str = "source") -> str:
+    """Facet counts over docs matching ``term`` → (value, count)."""
+    return prelude() + f"""
+SELECT c.{field} AS value, CAST(count(*) AS BIGINT) AS count
+FROM (SELECT DISTINCT did FROM tf WHERE tok = '{term}') m JOIN corpus c USING (did)
+GROUP BY c.{field} ORDER BY count DESC, value
+"""
+
+
+def sql_sorted_by_field(term: str, field: str = "path", k: int = 10, desc: bool = False) -> str:
+    """Top-k matching docs ordered by a stored field (TopFieldCollector)."""
+    direction = "DESC" if desc else "ASC"
+    return prelude() + f"""
+SELECT CAST(m.did AS BIGINT) AS doc_id, c.{field} AS {field}
+FROM (SELECT DISTINCT did FROM tf WHERE tok = '{term}') m JOIN corpus c USING (did)
+ORDER BY c.{field} {direction}, m.did ASC LIMIT {k}
+"""
 
 
 def sql_topk_union(specs: list[dict]) -> str:

@@ -16,8 +16,17 @@ kernels in-process.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
+
+
+def _invert_order(vals: np.ndarray) -> np.ndarray:
+    """Key that sorts ``vals`` descending under np.lexsort (works for object
+    arrays): negated dense rank."""
+    _, inv = np.unique(vals, return_inverse=True)
+    return -inv
 
 from ..index.reader import IndexReader
 from .bm25 import BM25Similarity
@@ -49,6 +58,7 @@ class ScoreSegmentGroup:
         sim_params: tuple,
         method: str = "auto",
         seg_dirs: dict[int, str] | None = None,
+        after: tuple[float, int] | None = None,
     ):
         self.index_dir = index_dir
         self.queries = queries
@@ -56,6 +66,7 @@ class ScoreSegmentGroup:
         self.cache = cache
         self.doc_bases = doc_bases
         self.seg_dirs = seg_dirs or {}
+        self.after = after
         self.k = k
         k1, b, dtype = sim_params
         self.sim = BM25Similarity(k1, b, dtype=dtype)
@@ -72,6 +83,13 @@ class ScoreSegmentGroup:
         norms = pq.read_table(
             os.path.join(seg_d, "docs.parquet"), columns=["norm_byte"]
         )["norm_byte"].to_numpy()
+        live = None
+        del_path = os.path.join(seg_d, "deletes.parquet")
+        if os.path.exists(del_path):
+            deleted = pq.read_table(del_path)["local_id"].to_numpy()
+            if len(deleted):
+                live = np.ones(len(norms), dtype=bool)
+                live[deleted] = False
         lazy = build_lazy(group)
         base = self.doc_bases[seg]
 
@@ -80,7 +98,8 @@ class ScoreSegmentGroup:
         out_scores: list[np.ndarray] = []
         for qid, q in self.queries.items():
             ids, scores = score_one(
-                q, self.sim, lazy, self.weights, self.cache, norms, self.k, self.method
+                q, self.sim, lazy, self.weights, self.cache, norms, self.k, self.method,
+                after=self.after, doc_base=base, live=live,
             )
             out_qid.append(qid)
             out_ids.append(ids + base)
@@ -104,19 +123,33 @@ class ScoreSegmentGroup:
         )
 
 
-def score_one(q, sim, lazy, weights, cache, norms, k, method="auto"):
+def score_one(q, sim, lazy, weights, cache, norms, k, method="auto",
+              after=None, doc_base=0, live=None):
     """Score one query against one segment → per-segment top-k.
 
     ``lazy``: {term: LazyTermPostings} for the segment. WAND decodes only the
     blocks it visits; the exhaustive path decodes terms fully on demand.
+    ``after=(score, global_doc_id)``: searchAfter anchor applied BEFORE the
+    per-segment truncation (the anchor filter must see every match).
+    ``live``: liveDocs mask — deleted docs never surface (filtered before
+    truncation; WAND is bypassed when present, like Lucene's liveDocs check
+    inside the scorer loop).
     """
-    if method in ("auto", "wand") and _wand_applicable(q):
+    if live is None and after is None and method in ("auto", "wand") and _wand_applicable(q):
         from .wand import wand_topk
 
         ids, scores = wand_topk(q, sim, lazy, weights, cache, norms, k)
     else:
         scorer = SegmentScorer(sim, LazyPostingsDict(lazy), weights, cache, norms, lazy=lazy)
         ids, scores = scorer.score_query(q)
+        if live is not None and len(ids):
+            keep = live[ids]
+            ids, scores = ids[keep], scores[keep]
+        if after is not None:
+            a_score = sim.dtype.type(after[0])
+            a_doc = int(after[1]) - doc_base  # anchor in local id space
+            keep = (scores < a_score) | ((scores == a_score) & (ids > a_doc))
+            ids, scores = ids[keep], scores[keep]
         ids, scores = select_topk(ids, scores, k)
     return ids, scores
 
@@ -155,11 +188,15 @@ class Searcher:
         *,
         use_ray: bool = True,
         method: str = "auto",
+        after: tuple[float, int] | None = None,
     ) -> pa.Table:
         """Batch search → Arrow table (query_id, rank, doc_id, score).
 
         Ranks are 0-based; rows sorted by (query_id, rank). Tie-break and
-        float32 semantics per SURVEY.md §2.6.
+        float32 semantics per SURVEY.md §2.6. ``after=(score, doc_id)`` is
+        the searchAfter anchor (IndexSearcher.searchAfter:419-446): only hits
+        strictly below the anchor in (score desc, doc_id asc) order are
+        returned — deep pagination without growing k.
         """
         if isinstance(queries, Query):
             queries = {"q0": queries}
@@ -194,6 +231,7 @@ class Searcher:
                         sim_params=(self.sim.k1, self.sim.b, self.sim.dtype),
                         method=method,
                         seg_dirs=self.reader.seg_dirs(),
+                        after=after,
                     ),
                     batch_format="pyarrow",
                     concurrency=(1, 8),
@@ -206,7 +244,7 @@ class Searcher:
                         m = np.asarray([x == qid for x in qids])
                         parts_by_qid[qid].append((ids[m], scores[m]))
         else:
-            self._search_local(queries, k, weights, doc_bases, parts_by_qid, method)
+            self._search_local(queries, k, weights, doc_bases, parts_by_qid, method, after)
 
         rows_q, rows_r, rows_d, rows_s = [], [], [], []
         for qid in queries:
@@ -226,7 +264,118 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------
-    def _search_local(self, queries, k, weights, doc_bases, parts_by_qid, method):
+    def _matches_per_segment(self, query: Query):
+        """→ iterator of (seg, doc_base, local match ids) — shared by the
+        field-sort / facet paths (scores ignored)."""
+        query = rewrite(query, self.reader)
+        terms = sorted(query_terms(query))
+        weights = self._weights(set(terms))
+        tbl = self.reader.postings_for_terms(terms) if terms else None
+        from .wand import build_lazy
+
+        for s in self.reader.segments:
+            seg = s["seg"]
+            seg_tbl = (
+                tbl.filter(pa.compute.equal(tbl["seg"], seg))
+                if tbl is not None
+                else pa.table({"term": pa.array([], pa.string())})
+            )
+            lazy = build_lazy(seg_tbl) if len(seg_tbl) else {}
+            norms = self._norms(seg)
+            scorer = SegmentScorer(
+                self.sim, LazyPostingsDict(lazy), weights, self.cache, norms, lazy=lazy
+            )
+            ids, _ = scorer.score_query(query)
+            live = self.reader.live_mask(seg)
+            if live is not None and len(ids):
+                ids = ids[live[ids]]
+            yield seg, s["doc_base"], ids
+
+    def search_by_field(
+        self, query: Query, k: int = 10, field: str = "path", descending: bool = False
+    ) -> pa.Table:
+        """Top-k matches ordered by a stored field — TopFieldCollector analog
+        (search/TopFieldCollector.java); tie-break by doc_id asc."""
+        import pyarrow.parquet as pq_mod
+
+        vals_parts, ids_parts = [], []
+        for seg, base, ids in self._matches_per_segment(query):
+            if len(ids) == 0:
+                continue
+            col = pq_mod.read_table(
+                os.path.join(self.reader.seg_dir(seg), "docs.parquet"), columns=[field]
+            )[field].to_numpy(zero_copy_only=False)
+            vals = col[ids]
+            order = np.argsort(vals, kind="stable")
+            if descending:
+                order = order[::-1]
+            order = order[:k]  # per-segment prune
+            vals_parts.append(vals[order])
+            ids_parts.append(ids[order] + base)
+        if not ids_parts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), field: pa.array([], pa.string())}
+            )
+        vals = np.concatenate(vals_parts)
+        ids = np.concatenate(ids_parts)
+        order = np.lexsort((ids, vals))
+        if descending:
+            # descending field, still ascending doc_id on ties
+            order = np.lexsort((ids, _invert_order(vals)))
+        order = order[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                field: pa.array(vals[order].tolist()),
+            }
+        )
+
+    def facet_counts(self, query: Query, field: str = "lang") -> pa.Table:
+        """Facet counts over the matching docs — FacetsCollector / Solr field
+        facet analog (SURVEY.md §2.5)."""
+        import pyarrow.parquet as pq_mod
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for seg, _base, ids in self._matches_per_segment(query):
+            if len(ids) == 0:
+                continue
+            col = pq_mod.read_table(
+                os.path.join(self.reader.seg_dir(seg), "docs.parquet"), columns=[field]
+            )[field].to_numpy(zero_copy_only=False)
+            vals, cnts = np.unique(col[ids], return_counts=True)
+            for v, c in zip(vals.tolist(), cnts.tolist()):
+                counts[v] += c
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pa.table(
+            {
+                "value": pa.array([v for v, _ in items], pa.string()),
+                "count": pa.array([c for _, c in items], pa.int64()),
+            }
+        )
+
+    def explain(self, query: Query, doc_id: int) -> dict:
+        """Score explanation tree — Explanation/Weight.explain analog."""
+        query = rewrite(query, self.reader)
+        res = self.search({"q": query}, k=self.reader.stats.doc_count, use_ray=False)
+        row = [
+            (d, s)
+            for d, s in zip(res["doc_id"].to_pylist(), res["score"].to_pylist())
+            if d == doc_id
+        ]
+        if not row:
+            return {"match": False, "value": 0.0, "description": "no match"}
+        out = {"match": True, "value": row[0][1], "description": repr(query)}
+        if isinstance(query, TermQuery):
+            df, ttf = self.reader.term_stats([query.term])[query.term]
+            out["details"] = [
+                {"description": f"idf(df={df}, docCount={self.reader.stats.doc_count})",
+                 "value": float(self.sim.idf(df, self.reader.stats.doc_count))},
+                {"description": f"avgdl", "value": float(self.avgdl)},
+            ]
+        return out
+
+    def _search_local(self, queries, k, weights, doc_bases, parts_by_qid, method, after=None):
         """In-process scan path (small indexes, unit tests, MatchAll)."""
         all_terms: set[str] = set()
         for q in queries.values():
@@ -241,9 +390,11 @@ class Searcher:
             )
             lazy = build_lazy(seg_tbl) if len(seg_tbl) else {}
             norms = self._norms(seg)
+            live = self.reader.live_mask(seg)
             for qid, q in queries.items():
                 ids, scores = score_one(
-                    q, self.sim, lazy, weights, self.cache, norms, k, method
+                    q, self.sim, lazy, weights, self.cache, norms, k, method,
+                    after=after, doc_base=doc_bases[seg], live=live,
                 )
                 parts_by_qid[qid].append((ids + doc_bases[seg], scores))
 

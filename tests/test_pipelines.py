@@ -39,6 +39,8 @@ FAST_ENTRIES = [
     "ft_topk_bool",
     "ft_phrase",
     "ft_prefix",
+    "ft_facets",
+    "ft_sorted_by_path",
     "token_count",
     "lang_id",
     "quality",

@@ -247,6 +247,59 @@ def test_expansion_cap(built):
     assert len(r.expand_terms(WildcardQuery("lic*"))) >= 1
 
 
+@pytest.mark.parametrize("use_ray", [False, True])
+def test_search_after_pagination(built, use_ray):
+    d, _, oracle, _ = built
+    searcher = Searcher(d)
+    _, mid, mega = _pick_terms(oracle)
+    q = BooleanQuery(should=[TermQuery(mid), TermQuery(mega)])
+    full = searcher.search({"q": q}, k=60, use_ray=use_ray).to_pandas()
+    page1 = searcher.search({"q": q}, k=20, use_ray=use_ray).to_pandas()
+    anchor = (float(page1.iloc[-1].score), int(page1.iloc[-1].doc_id))
+    page2 = searcher.search({"q": q}, k=20, use_ray=use_ray, after=anchor).to_pandas()
+    # page1 + page2 == first 40 of the full list
+    got = page1.doc_id.tolist() + page2.doc_id.tolist()
+    assert got == full.doc_id.tolist()[:40]
+
+
+def test_search_by_field_and_facets(built):
+    d, _, oracle, tbl = built
+    searcher = Searcher(d)
+    _, mid, mega = _pick_terms(oracle)
+    q = TermQuery(mega)
+
+    res = searcher.search_by_field(q, k=10, field="path")
+    paths = res["path"].to_pylist()
+    assert paths == sorted(paths) and len(paths) == 10
+    res_d = searcher.search_by_field(q, k=10, field="path", descending=True)
+    paths_d = res_d["path"].to_pylist()
+    assert paths_d == sorted(paths_d, reverse=True)
+
+    # facets vs brute force: count matches per lang
+    fc = searcher.facet_counts(q, field="lang").to_pandas()
+    exp_ids, _ = oracle.topk(q, oracle.n)
+    # rebuild doc_id -> lang via the oracle's key order
+    keys = list(zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(), tbl["commit"].to_pylist()))
+    order = sorted(range(len(keys)), key=lambda i: keys[i])
+    langs = tbl["lang"].to_pylist()
+    from collections import Counter
+
+    exp = Counter(langs[order[d0]] for d0 in exp_ids)
+    got = dict(zip(fc.value, fc["count"]))
+    assert got == dict(exp)
+
+
+def test_explain(built):
+    d, _, oracle, _ = built
+    searcher = Searcher(d)
+    _, mid, _ = _pick_terms(oracle)
+    top = searcher.search({"q": TermQuery(mid)}, k=1, use_ray=False).to_pandas()
+    ex = searcher.explain(TermQuery(mid), int(top.iloc[0].doc_id))
+    assert ex["match"] and abs(ex["value"] - float(top.iloc[0].score)) < 1e-6
+    ex2 = searcher.explain(TermQuery("zzz_notaterm"), 0)
+    assert not ex2["match"]
+
+
 def test_parser():
     q = parse_query("Foo AND bar")
     assert isinstance(q, BooleanQuery) and len(q.must) == 2

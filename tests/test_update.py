@@ -1,0 +1,116 @@
+"""Incremental maintenance: addDocuments / deleteDocuments / updateDocument
+analogs (index/IndexWriter.java:1234,1607-1611 semantics; additive segment
+generations per DirectoryReader near-real-time model)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from lucene_solr_ray.corpus import generate_corpus
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.index.checkindex import check_index
+from lucene_solr_ray.index.merge import merge_index
+from lucene_solr_ray.index.update import (
+    add_documents,
+    delete_by_keys,
+    delete_by_query,
+    update_documents,
+)
+from lucene_solr_ray.search import Searcher, TermQuery, parse_query
+
+
+def _delta_corpus(n=50, seed=777):
+    t = generate_corpus(n, seed=seed)
+    # distinct repo so keys can't collide with the base corpus
+    repo = pa.array([f"zorg/newrepo{i % 3}" for i in range(n)], pa.string())
+    return t.set_column(0, "repo", repo)
+
+
+@pytest.fixture()
+def base_index(ray_session, tmp_path):
+    tbl = generate_corpus(300)
+    d = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(tbl), d, docs_per_segment=100)
+    return d, tbl
+
+
+def test_add_documents_appends_segments(base_index):
+    d, tbl = base_index
+    delta = _delta_corpus(50)
+    manifest = add_documents(d, ray.data.from_arrow(delta), docs_per_segment=25)
+    assert manifest["stats"]["doc_count"] == 350
+    s = Searcher(d)
+    # new docs must be searchable (delta vocab overlaps: keywords/license)
+    res = s.search({"q": TermQuery("apache")}, k=400, use_ray=False).to_pandas()
+    assert res.doc_id.max() >= 300  # hits inside the delta id range
+    check_index(d)
+    # old doc ids unchanged: doc 0..299 still dense
+    from lucene_solr_ray.index.reader import IndexReader
+
+    r = IndexReader(d)
+    bases = sorted(s2["doc_base"] for s2 in r.segments)
+    assert bases[0] == 0 and max(
+        s2["doc_base"] + s2["doc_count"] for s2 in r.segments
+    ) == 350
+
+
+def test_delete_by_keys_hides_docs(base_index):
+    d, tbl = base_index
+    s = Searcher(d)
+    res = s.search({"q": TermQuery("apache")}, k=10, use_ray=False).to_pandas()
+    victim_gid = int(res.iloc[0].doc_id)
+    from lucene_solr_ray.index.reader import IndexReader
+
+    r = IndexReader(d)
+    doc = r.fetch_docs([victim_gid], columns=["doc_id", "repo", "path", "commit"]).to_pylist()[0]
+    n = delete_by_keys(d, [(doc["repo"], doc["path"], doc["commit"])])
+    assert n == 1
+    s2 = Searcher(d)
+    res2 = s2.search({"q": TermQuery("apache")}, k=400, use_ray=False).to_pandas()
+    assert victim_gid not in set(res2.doc_id)
+    res2_ray = s2.search({"q": TermQuery("apache")}, k=400, use_ray=True).to_pandas()
+    assert victim_gid not in set(res2_ray.doc_id)
+    # idempotent
+    assert delete_by_keys(d, [(doc["repo"], doc["path"], doc["commit"])]) == 0
+
+
+def test_delete_by_query_and_merge_carries_tombstones(base_index):
+    d, _ = base_index
+    s = Searcher(d)
+    before = s.search({"q": TermQuery("license")}, k=400, use_ray=False).to_pandas()
+    n = delete_by_query(d, parse_query("license AND apache"))
+    assert n > 0
+    s2 = Searcher(d)
+    after = s2.search({"q": parse_query("license AND apache")}, k=400, use_ray=False).to_pandas()
+    assert len(after) == 0
+    # merge must not resurrect deleted docs
+    merge_index(d, segs_per_tier=3)
+    s3 = Searcher(d)
+    after_merge = s3.search({"q": parse_query("license AND apache")}, k=400, use_ray=False).to_pandas()
+    assert len(after_merge) == 0
+
+
+def test_update_documents_replaces(base_index):
+    d, tbl = base_index
+    # re-submit 5 existing docs with new content containing a marker term
+    sub = tbl.slice(0, 5)
+    new_content = pa.array(
+        [c + " zzupdatedmarker" for c in sub["content"].to_pylist()], pa.large_string()
+    )
+    delta = sub.set_column(4, "content", new_content)
+    update_documents(d, ray.data.from_arrow(delta), docs_per_segment=10)
+    s = Searcher(d)
+    res = s.search({"q": TermQuery("zzupdatedmarker")}, k=10, use_ray=False).to_pandas()
+    assert len(res) == 5
+    # the old versions are gone: searching a key-specific path returns one live doc
+    from lucene_solr_ray.index.reader import IndexReader
+
+    r = IndexReader(d)
+    # total live = 300 (305 ids minus 5 tombstoned)
+    live = 0
+    for seg in r.segments:
+        m = r.live_mask(seg["seg"])
+        live += int(m.sum()) if m is not None else seg["doc_count"]
+    assert live == 300
