@@ -121,6 +121,14 @@ def run_bench(ncpus: int) -> dict:
         f"{len(res.segments)} segments)")
 
     if not os.environ.get("BENCH_SKIP_QUERIES"):
+        # tiered merge (lifecycle step; also consolidates query-side reads)
+        from lucene_solr_ray.index.merge import merge_index
+
+        t0 = time.time()
+        minfo = merge_index(index_dir, segs_per_tier=10)
+        queries["merge"] = round(time.time() - t0, 3)
+        log(f"[bench] merge: {queries['merge']}s ({minfo['segments_before']}→{minfo['segments_after']} segments)")
+
         searcher = Searcher(index_dir)
         qset = bench_query_set()
         t0 = time.time()

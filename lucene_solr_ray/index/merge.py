@@ -24,8 +24,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..util.forutil import decode_blocks, decode_postings
+from ..util.forutil import decode_sequences
 from ..util.smallfloat import LENGTH_TABLE
+
+
+def _within(lens: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated."""
+    total = int(lens.sum())
+    starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    return np.arange(total) - np.repeat(starts[:-1], lens)
 from .build import IndexStats, _next_generation
 from .reader import IndexReader
 from .segment import postings_table_from_flat
@@ -54,6 +62,47 @@ def plan_merges(segments: list[dict], segs_per_tier: int = SEGS_PER_TIER,
     return [g for g in groups if len(g) >= 2]
 
 
+def _decode_member(tbl: pa.Table, base: int):
+    """Decode a member's whole postings table with the batch decoder
+    (zero-copy over the Arrow binary buffers) → flat arrays + row offsets."""
+    dfs = tbl["df"].to_numpy().astype(np.int64)
+    ttfs = tbl["ttf"].to_numpy().astype(np.int64)
+
+    def col_buf(name):
+        arr = tbl[name].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0) if arr.num_chunks else pa.array([], pa.large_binary())
+        if len(arr) == 0:
+            return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8)
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        return data, offs
+
+    dbuf, doffs = col_buf("doc_blob")
+    deltas = decode_sequences(dbuf, doffs, dfs)
+    # segmented cumsum → absolute local ids (delta[0] = id0 + 1)
+    row_vstart = np.zeros(len(dfs) + 1, dtype=np.int64)
+    np.cumsum(dfs, out=row_vstart[1:])
+    c = np.cumsum(deltas)
+    seg_base = np.where(row_vstart[:-1] > 0, c[np.maximum(row_vstart[:-1] - 1, 0)], 0)
+    ids = c - np.repeat(seg_base, dfs) - 1 + base
+
+    fbuf, foffs = col_buf("freq_blob")
+    tfs = decode_sequences(fbuf, foffs, dfs)
+
+    pbuf, poffs = col_buf("pos_blob")
+    has_pos = len(pbuf) > 0
+    pos = decode_sequences(pbuf, poffs, ttfs) if has_pos else None
+    row_pstart = np.zeros(len(dfs) + 1, dtype=np.int64)
+    np.cumsum(ttfs, out=row_pstart[1:])
+    return ids, tfs, pos, row_vstart, row_pstart
+
+
 def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generation: int) -> dict:
     """Merge one run of adjacent segments into a new segment dir; returns the
     new manifest entry. Pure function of its inputs → safe to retry."""
@@ -65,68 +114,75 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
     norms = docs["norm_byte"].to_numpy().astype(np.int64)
     norm_len = LENGTH_TABLE[norms]
 
+    bases = np.array([m["doc_base"] - new_base for m in members], dtype=np.int64)
     member_posts = []
+    decoded = []
     for mi, d in enumerate(dirs):
         t = pq.read_table(os.path.join(d, "postings.parquet"))
+        decoded.append(_decode_member(t, int(bases[mi])))
         t = t.append_column("morder", pa.array(np.full(len(t), mi, dtype=np.int32)))
-        member_posts.append(t)
-    posts = pa.concat_tables(member_posts).sort_by([("term", "ascending"), ("morder", "ascending")])
+        t = t.append_column("mrow", pa.array(np.arange(len(t), dtype=np.int64)))
+        member_posts.append(t.select(["term", "df", "ttf", "morder", "mrow"]))
+    posts = pa.concat_tables(member_posts).sort_by(
+        [("term", "ascending"), ("morder", "ascending")]
+    )
+    has_pos = any(d[2] is not None for d in decoded)
 
-    terms = posts["term"].to_pylist()
-    dfs_in = posts["df"].to_numpy()
+    dfs_sorted = posts["df"].to_numpy().astype(np.int64)
+    ttfs_sorted = posts["ttf"].to_numpy().astype(np.int64)
     morder = posts["morder"].to_numpy()
-    bases = np.array([m["doc_base"] - new_base for m in members], dtype=np.int64)
-    has_pos = bool(len(posts)) and any(len(posts["pos_blob"][i].as_py() or b"") for i in range(len(posts)))
-
-    out_terms: list[str] = []
-    starts: list[int] = []
-    dfs_out: list[int] = []
-    ttfs_out: list[int] = []
-    id_parts: list[np.ndarray] = []
-    tf_parts: list[np.ndarray] = []
-    pos_parts: list[np.ndarray] = []
-    total = 0
-    i = 0
+    mrow = posts["mrow"].to_numpy()
     n_rows = len(posts)
-    while i < n_rows:
-        j = i
-        t_ids, t_tfs, t_pos = [], [], []
-        while j < n_rows and terms[j] == terms[i]:
-            df = int(dfs_in[j])
-            ids, freqs = decode_postings(
-                posts["doc_blob"][j].as_py(), posts["freq_blob"][j].as_py(), df
-            )
-            t_ids.append(ids + bases[morder[j]])
-            t_tfs.append(freqs.astype(np.int64))
-            if has_pos:
-                pb = posts["pos_blob"][j].as_py() or b""
-                ttf_j = int(freqs.sum())
-                t_pos.append(decode_blocks(pb, ttf_j).astype(np.int64))
-            j += 1
-        ids = np.concatenate(t_ids)
-        tfs = np.concatenate(t_tfs)
-        out_terms.append(terms[i])
-        starts.append(total)
-        dfs_out.append(len(ids))
-        ttfs_out.append(int(tfs.sum()))
-        id_parts.append(ids)
-        tf_parts.append(tfs)
-        if has_pos:
-            pos_parts.append(np.concatenate(t_pos))
-        total += len(ids)
-        i = j
+    N = int(dfs_sorted.sum())
+    P = int(ttfs_sorted.sum())
 
-    s_doc = np.concatenate(id_parts) if id_parts else np.empty(0, dtype=np.int64)
-    s_tf = np.concatenate(tf_parts) if tf_parts else np.empty(0, dtype=np.int64)
-    pos_deltas = np.concatenate(pos_parts) if (has_pos and pos_parts) else None
-    starts_np = np.asarray(starts, dtype=np.int64)
-    dfs_np = np.asarray(dfs_out, dtype=np.int64)
-    ttfs_np = np.asarray(ttfs_out, dtype=np.int64)
+    out_vstart = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(dfs_sorted, out=out_vstart[1:])
+    out_pstart = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(ttfs_sorted, out=out_pstart[1:])
+
+    s_doc = np.empty(N, dtype=np.int64)
+    s_tf = np.empty(N, dtype=np.int64)
+    pos_deltas = np.empty(P, dtype=np.int64) if has_pos else None
+    for mi in range(len(dirs)):
+        ids_m, tfs_m, pos_m, rv, rp = decoded[mi]
+        rmask = morder == mi
+        rows = mrow[rmask]
+        lens = dfs_sorted[rmask]
+        within = _within(lens)
+        src = np.repeat(rv[rows], lens) + within
+        dst = np.repeat(out_vstart[:-1][rmask], lens) + within
+        s_doc[dst] = ids_m[src]
+        s_tf[dst] = tfs_m[src]
+        if has_pos and pos_m is not None:
+            plens = ttfs_sorted[rmask]
+            pwithin = _within(plens)
+            psrc = np.repeat(rp[rows], plens) + pwithin
+            pdst = np.repeat(out_pstart[:-1][rmask], plens) + pwithin
+            pos_deltas[pdst] = pos_m[psrc]
+
+    # term groups over the sorted rows
+    terms_sorted = posts["term"]
+    if isinstance(terms_sorted, pa.ChunkedArray):
+        terms_sorted = terms_sorted.combine_chunks()
+    import pyarrow.compute as pc
+
+    neq = np.ones(n_rows, dtype=bool)
+    if n_rows > 1:
+        neq[1:] = ~pc.equal(terms_sorted.slice(1), terms_sorted.slice(0, n_rows - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    row_group_starts = np.flatnonzero(neq)
+    starts_np = out_vstart[:-1][row_group_starts]
+    group_sizes = np.diff(np.append(row_group_starts, n_rows))
+    dfs_np = np.add.reduceat(dfs_sorted, row_group_starts) if n_rows else np.empty(0, np.int64)
+    ttfs_np = np.add.reduceat(ttfs_sorted, row_group_starts) if n_rows else np.empty(0, np.int64)
+    out_terms = terms_sorted.take(pa.array(row_group_starts)) if n_rows else pa.array([], pa.string())
     doc_lens = norm_len[s_doc]
 
     postings_tbl = postings_table_from_flat(
         seg_id,
-        pa.array(out_terms, pa.string()),
+        out_terms,
         starts_np,
         dfs_np,
         ttfs_np,
@@ -190,7 +246,10 @@ def merge_index(index_dir: str, *, segs_per_tier: int = SEGS_PER_TIER,
     if use_ray:
         import ray
 
-        task = ray.remote(_merge_group)
+        # num_cpus=2: merge kernels are memory-heavy; fewer concurrent workers
+        # each handle several groups, amortizing per-process warmup (and the
+        # reduceat/packbits kernels are near bandwidth-bound anyway)
+        task = ray.remote(num_cpus=2)(_merge_group)
         new_entries = ray.get([
             task.remote(index_dir, g, dirs, generation) for g, dirs in zip(groups, group_dirs)
         ])

@@ -181,6 +181,16 @@ class Searcher:
         dc = self.reader.stats.doc_count
         return {t: float(self.sim.idf(df, dc)) for t, (df, ttf) in stats.items()}
 
+    def _weights_from_table(self, tbl: pa.Table | None, terms: set[str]) -> dict[str, float]:
+        """Same as _weights but from an already-loaded postings table
+        (single-scan local path: df = Σ per-segment df)."""
+        dc = self.reader.stats.doc_count
+        dfs: dict[str, int] = {t: 0 for t in terms}
+        if tbl is not None and len(tbl):
+            for t, df in zip(tbl["term"].to_pylist(), tbl["df"].to_numpy()):
+                dfs[t] += int(df)
+        return {t: float(self.sim.idf(df, dc)) for t, df in dfs.items()}
+
     def search(
         self,
         queries: dict[str, Query] | Query,
@@ -205,13 +215,13 @@ class Searcher:
         all_terms: set[str] = set()
         for q in queries.values():
             all_terms |= query_terms(q)
-        weights = self._weights(all_terms)
         doc_bases = {s["seg"]: s["doc_base"] for s in self.reader.segments}
 
         has_matchall = any(_contains_matchall(q) for q in queries.values())
         parts_by_qid: dict[str, list] = {qid: [] for qid in queries}
 
         if use_ray and not has_matchall:
+            weights = self._weights(all_terms)
             import ray.data
 
             if all_terms:
@@ -244,7 +254,7 @@ class Searcher:
                         m = np.asarray([x == qid for x in qids])
                         parts_by_qid[qid].append((ids[m], scores[m]))
         else:
-            self._search_local(queries, k, weights, doc_bases, parts_by_qid, method, after)
+            self._search_local(queries, k, doc_bases, parts_by_qid, method, after)
 
         rows_q, rows_r, rows_d, rows_s = [], [], [], []
         for qid in queries:
@@ -375,12 +385,15 @@ class Searcher:
             ]
         return out
 
-    def _search_local(self, queries, k, weights, doc_bases, parts_by_qid, method, after=None):
-        """In-process scan path (small indexes, unit tests, MatchAll)."""
+    def _search_local(self, queries, k, doc_bases, parts_by_qid, method, after=None):
+        """In-process scan path (small indexes, unit tests, MatchAll).
+        Single postings scan: global term stats are aggregated from the same
+        table that gets scored."""
         all_terms: set[str] = set()
         for q in queries.values():
             all_terms |= query_terms(q)
         tbl = self.reader.postings_for_terms(sorted(all_terms)) if all_terms else None
+        weights = self._weights_from_table(tbl, all_terms)
         for s in self.reader.segments:
             seg = s["seg"]
             seg_tbl = (

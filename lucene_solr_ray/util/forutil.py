@@ -240,3 +240,66 @@ def encode_sequences(values: np.ndarray, starts: np.ndarray, counts: np.ndarray)
         np.bitwise_or(buf, packed, out=buf)
     seq_offsets = block_off[block_ptr]
     return buf, seq_offsets, gstart, blen, block_ptr
+
+
+def decode_sequences(buf: np.ndarray, seq_offsets: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Vectorized inverse of :func:`encode_sequences`: decode MANY sequences
+    stored back-to-back in one uint8 buffer (e.g. a whole postings column's
+    Arrow data buffer, zero-copy) → flat int64 values (len == counts.sum()).
+
+    One unpackbits + per-width vectorized gathers; the only Python loop is
+    the per-block header scan."""
+    counts = np.asarray(counts, dtype=np.int64)
+    n = len(counts)
+    N = int(counts.sum())
+    if N == 0:
+        return np.empty(0, dtype=np.int64)
+    nb = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total_blocks = int(nb.sum())
+    # header scan (python loop over blocks; light)
+    b_off = np.empty(total_blocks, dtype=np.int64)
+    b_w = np.empty(total_blocks, dtype=np.int64)
+    b_len = np.empty(total_blocks, dtype=np.int64)
+    bi = 0
+    for i in range(n):
+        p = int(seq_offsets[i])
+        remaining = int(counts[i])
+        while remaining > 0:
+            blen = min(BLOCK_SIZE, remaining)
+            w = int(buf[p])
+            b_off[bi] = p
+            b_w[bi] = w
+            b_len[bi] = blen
+            p += 1 + (4 if w == 0 else (blen * w + 7) // 8)
+            remaining -= blen
+            bi += 1
+    v_start = np.zeros(total_blocks + 1, dtype=np.int64)
+    np.cumsum(b_len, out=v_start[1:])
+    out = np.empty(N, dtype=np.int64)
+    # whole-buffer bit view once
+    bits = np.unpackbits(buf, bitorder="little")
+    val_block = np.repeat(np.arange(total_blocks), b_len)
+    within = np.arange(N) - v_start[val_block]
+    for w in np.unique(b_w):
+        w = int(w)
+        bsel = b_w == w
+        vmask = bsel[val_block]
+        if w == 0:
+            zsel = np.flatnonzero(bsel)
+            v = (
+                buf[b_off[zsel] + 1].astype(np.int64)
+                | (buf[b_off[zsel] + 2].astype(np.int64) << 8)
+                | (buf[b_off[zsel] + 3].astype(np.int64) << 16)
+                | (buf[b_off[zsel] + 4].astype(np.int64) << 24)
+            )
+            fill = np.empty(total_blocks, dtype=np.int64)
+            fill[zsel] = v
+            out[vmask] = fill[val_block[vmask]]
+            continue
+        vb = val_block[vmask]
+        bitbase = (b_off[vb] + 1) * 8 + within[vmask] * w
+        acc = np.zeros(int(vmask.sum()), dtype=np.int64)
+        for j in range(w):
+            acc |= bits[bitbase + j].astype(np.int64) << j
+        out[vmask] = acc
+    return out
