@@ -107,6 +107,26 @@ def build_index(
         plan.save(plan_path)
     _dbg(f"plan ready: {plan.n_segments} segments, {plan.total_rows} rows")
 
+    # full-coverage early exit: a committed manifest for this plan means the
+    # build is done (segments may since have been merged/renamed — their raw
+    # dirs are gone, but the manifest is authoritative)
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if resume and os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                m = json.load(f)
+            if m.get("stats", {}).get("doc_count") == plan.total_rows:
+                stats = IndexStats(**{k: m["stats"][k] for k in ("doc_count", "sum_ttf", "sum_df", "num_terms")})
+                return BuildResult(
+                    index_dir=index_dir,
+                    generation=m["generation"],
+                    stats=stats,
+                    segments=m["segments"],
+                    resumed_segments=len(m["segments"]),
+                )
+        except (OSError, json.JSONDecodeError, KeyError):
+            pass
+
     done = frozenset(
         rid for rid in range(plan.n_segments) if resume and load_segment_meta(index_dir, rid) is not None
     )

@@ -92,15 +92,17 @@ def test_plan_deterministic(ray_session, small_corpus):
     assert sum(p1.counts) == 300
 
 
-def test_manifest_generation_increments(ray_session, small_corpus, tmp_path):
+def test_rebuild_is_idempotent_noop(ray_session, small_corpus, tmp_path):
     tbl, _ = small_corpus
     d = str(tmp_path / "gen")
     r1 = build_index(ray.data.from_arrow(tbl), d, docs_per_segment=200)
     r2 = build_index(ray.data.from_arrow(tbl), d, docs_per_segment=200)
-    assert r2.generation == r1.generation + 1
+    # a completed build is covered by the manifest → rebuild is a no-op
+    assert r2.generation == r1.generation
+    assert r2.resumed_segments == len(r1.segments)
     with open(os.path.join(d, "manifest.json")) as f:
         m = json.load(f)
-    assert m["generation"] == r2.generation
+    assert m["generation"] == r1.generation
     assert all(s["doc_count"] > 0 for s in m["segments"])
 
 
