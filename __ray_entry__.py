@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.ann_lsh_topk,  # approximate: rows-only check; recall pinned in pytest
         # --- events / windows ---
         "events_hourly": events.events_hourly,
+        "events_hopping": events.events_hopping,
         "events_sessionize": events.events_sessionize,
         "events_type_stats": events.events_type_stats,
         # --- facets / grouping / stats ---
@@ -99,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_dup_pairs": dedup.SQL_EMBED_DUP_PAIRS,
         "ann_topk": ann.SQL_ANN_TOPK,
         "events_hourly": events.SQL_EVENTS_HOURLY,
+        "events_hopping": events.SQL_EVENTS_HOPPING,
         "events_sessionize": events.SQL_EVENTS_SESSIONIZE,
         "events_type_stats": events.SQL_EVENTS_TYPE_STATS,
         "facet_counts": facets.SQL_FACET_COUNTS,

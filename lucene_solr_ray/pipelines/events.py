@@ -66,6 +66,58 @@ ORDER BY user_id, hour
 """
 
 
+def events_hopping(sf_dir: str) -> pa.Table:
+    """(event_type, window_start, n_events, sum_value) — 1-hour windows
+    hopping every 30 minutes (every event lands in two overlapping windows).
+
+    Shape: each batch explodes events into their member windows and
+    pre-aggregates; the shuffle carries (type, window) partials only.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["event_type", "ts", "value"]).to_pandas()
+        w1 = df["ts"].dt.floor("30min")
+        rows = pd.concat(
+            [
+                df.assign(window_start=w1),
+                df.assign(window_start=w1 - pd.Timedelta(minutes=30)),
+            ]
+        )
+        g = rows.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
+    )
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    df = tbl.to_pandas()
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "window_start": pa.array(df["window_start"], pa.timestamp("us")),
+            "n_events": pa.array(df["n_events"].astype(np.int64), pa.int64()),
+            "sum_value": pa.array(df["sum_value"].round(3), pa.float64()),
+        }
+    )
+
+
+SQL_EVENTS_HOPPING = """
+WITH member AS (
+  SELECT event_type, value, time_bucket(INTERVAL '30 minutes', ts) AS w FROM events
+  UNION ALL
+  SELECT event_type, value,
+         time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS w FROM events
+)
+SELECT event_type, w AS window_start, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 3) AS sum_value
+FROM member GROUP BY event_type, w ORDER BY event_type, w
+"""
+
+
 def events_sessionize(sf_dir: str) -> pa.Table:
     """(user_id, session_id, n_events, first_ts, last_ts) — session windows
     with a 30-minute inactivity gap, per user, in event-time order."""

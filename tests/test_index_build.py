@@ -106,6 +106,59 @@ def test_rebuild_is_idempotent_noop(ray_session, small_corpus, tmp_path):
     assert all(s["doc_count"] > 0 for s in m["segments"])
 
 
+def test_kill_mid_build_then_resume_byte_identical(small_corpus, tmp_path):
+    """FIXTURES.md §7: SIGKILL a build part-way, resume, final index must be
+    byte-identical to an uninterrupted build (own Ray sessions in
+    subprocesses so the kill can't corrupt the test session)."""
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    tbl, _ = small_corpus
+    corpus_dir = str(tmp_path / "corpus")
+    os.makedirs(corpus_dir)
+    pq.write_table(tbl, os.path.join(corpus_dir, "part-0.parquet"))
+    d_kill = str(tmp_path / "killed")
+    d_clean = str(tmp_path / "clean")
+
+    script = textwrap.dedent(
+        """
+        import sys, ray, logging
+        ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        from lucene_solr_ray.index.build import build_index
+        build_index(sys.argv[1], sys.argv[2], docs_per_segment=15, batch_size=32)
+        ray.shutdown()
+        """
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    # clean reference build
+    subprocess.run([sys.executable, "-c", script, corpus_dir, d_clean], env=env,
+                   check=True, capture_output=True, timeout=300)
+    # killed build: SIGKILL as soon as the first segment commits
+    proc = subprocess.Popen([sys.executable, "-c", script, corpus_dir, d_kill], env=env,
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    deadline = time.time() + 240
+    n_done = 0
+    while time.time() < deadline:
+        n_done = len(glob.glob(os.path.join(d_kill, "segments", "seg=*")))
+        if n_done >= 1 or proc.poll() is not None:
+            break
+        time.sleep(0.05)
+    if proc.poll() is None:
+        proc.kill()
+        proc.wait()
+    if os.path.exists(os.path.join(d_kill, "manifest.json")):
+        pytest.skip("build finished before the kill landed (timing-dependent)")
+    assert n_done >= 1, "kill came too early (no segments committed)"
+    # resume in a fresh process
+    subprocess.run([sys.executable, "-c", script, corpus_dir, d_kill], env=env,
+                   check=True, capture_output=True, timeout=300)
+    assert _index_fingerprint(d_clean) == _index_fingerprint(d_kill)
+
+
 def test_large_plan_sampled_path(ray_session):
     # force the sampled-boundary path with a low small_threshold
     tbl = generate_corpus(2000, seed=7)

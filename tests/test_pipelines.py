@@ -52,6 +52,7 @@ FAST_ENTRIES = [
     "embed_dup_pairs",
     "ann_topk",
     "events_hourly",
+    "events_hopping",
     "events_sessionize",
     "events_type_stats",
     "facet_counts",
