@@ -14,7 +14,6 @@ import pyarrow.parquet as pq
 from ..util.forutil import decode_postings
 from ..util.smallfloat import int_to_byte4
 from .reader import IndexReader
-from .segment import segment_dir
 
 
 class CheckIndexError(AssertionError):
