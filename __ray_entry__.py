@@ -45,7 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_prefix": fulltext.ft_prefix,
         "ft_facets": fulltext.ft_facets,
         "ft_sorted_by_path": fulltext.ft_sorted_by_path,
-        "ft_wand_topk": fulltext.ft_wand_topk,  # no SQL oracle: WAND ≡ exhaustive, pinned in pytest
+        "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         # --- text analysis ---
         "token_count": text.token_count,
         "lang_id": text.lang_id,
@@ -85,6 +85,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_term_stats": fs.sql_term_stats(),
         "ft_topk_terms": fs.sql_topk_union(term_specs),
         "ft_topk_bool": fs.sql_topk_union(fulltext.BOOL_SPECS),
+        # WAND is rank-identical to the exhaustive disjunctions — same SQL
+        # oracle as ft_topk_bool's 'or' subset (rank + doc_id, no score col)
+        "ft_wand_topk": fs.sql_topk_union(
+            [s for s in fulltext.BOOL_SPECS if s["kind"] == "or"]
+        ),
         "ft_phrase": fs.sql_phrase_union(fulltext.PHRASE_SPECS),
         "ft_prefix": fs.sql_prefix_union(fulltext.PREFIX_SPECS),
         "ft_facets": fs.sql_facets(fulltext.FACET_TERM, "source"),

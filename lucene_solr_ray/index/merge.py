@@ -9,8 +9,9 @@ Ours is simpler *and* cheaper than Lucene's: segments are doc-ID-contiguous
 ranges, so merging ADJACENT segments never remaps doc IDs (no ``DocIDMerger``)
 — per term it is concat-of-decoded-streams + one re-encode. Each merge group
 runs as an independent Ray task; the new manifest (generation+1) is committed
-atomically, then obsolete segment dirs are deleted (IndexFileDeleter
-refcount analog: nothing references them once the manifest flips).
+atomically. Merged-away dirs are retained for ONE further generation before
+deletion (IndexFileDeleter grace analog), so a reader holding the previous
+manifest keeps working across a single concurrent merge commit.
 """
 
 from __future__ import annotations
@@ -126,7 +127,17 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
     posts = pa.concat_tables(member_posts).sort_by(
         [("term", "ascending"), ("morder", "ascending")]
     )
-    has_pos = any(d[2] is not None for d in decoded)
+    # positions must be all-or-none across members: a member without a
+    # pos stream would leave uninitialized slots in the merged pos_blob
+    # (silent phrase corruption). Members with zero posting rows are vacuous.
+    pos_flags = [d[2] is not None for d, mp in zip(decoded, member_posts) if len(mp)]
+    if any(pos_flags) and not all(pos_flags):
+        raise ValueError(
+            "cannot merge segments with mixed positions options "
+            "(some members were built with positions=False); "
+            "rebuild the delta with matching IndexOptions"
+        )
+    has_pos = bool(pos_flags) and all(pos_flags)
 
     dfs_sorted = posts["df"].to_numpy().astype(np.int64)
     ttfs_sorted = posts["ttf"].to_numpy().astype(np.int64)
@@ -275,15 +286,24 @@ def merge_index(index_dir: str, *, segs_per_tier: int = SEGS_PER_TIER,
         | ({"dir": s["dir"]} if "dir" in s else {})
         for s in segments
     ]
+    # one-generation retention (IndexFileDeleter grace analog): dirs merged
+    # away NOW stay on disk until the NEXT manifest flip, so a reader holding
+    # the previous manifest keeps working across this commit; dirs obsoleted
+    # by earlier generations are reclaimed here.
+    old_dirs = sorted({d for dirs in group_dirs for d in dirs})
+    reclaim = [
+        e for e in reader.manifest.get("obsolete", []) if e["generation"] < generation
+    ]
+    manifest["obsolete"] = [
+        e for e in reader.manifest.get("obsolete", []) if e["generation"] >= generation
+    ] + [{"dir": os.path.relpath(d, index_dir), "generation": generation} for d in old_dirs]
     tmp = os.path.join(index_dir, f".pending_manifest_{generation}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(index_dir, "manifest.json"))
 
-    # delete obsolete dirs (nothing references them after the manifest flip)
-    old_dirs = {d for dirs in group_dirs for d in dirs}
-    for d in old_dirs:
-        shutil.rmtree(d, ignore_errors=True)
+    for e in reclaim:
+        shutil.rmtree(os.path.join(index_dir, e["dir"]), ignore_errors=True)
     return {
         "merges": len(groups),
         "segments_before": len(reader.segments),

@@ -115,7 +115,13 @@ def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_00
         keys = np.sort(sort_keys(tbl)) if total else np.empty(0, dtype=object)
         cuts = [int(round(i * total / n_segments)) for i in range(1, n_segments)]
         boundaries = [str(keys[c - 1]) + SEP for c in cuts]  # key+SEP: upper-inclusive of keys[c-1]
-        counts = np.diff([0] + cuts + [total]).tolist()
+        # duplicate keys straddling a cut all sort into the lower range, so
+        # counts MUST come from the same searchsorted the runtime uses — a
+        # positional diff would plan overlapping doc-id ranges (see ADVICE r1)
+        boundaries = sorted(set(boundaries))
+        barr = np.asarray(boundaries, dtype=object)
+        rid = np.searchsorted(barr, keys, side="right")
+        counts = np.bincount(rid, minlength=len(boundaries) + 1).tolist()
         bases = (np.cumsum([0] + counts[:-1])).tolist()
         return BuildPlan(boundaries, bases, counts, total)
 

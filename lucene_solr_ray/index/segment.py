@@ -214,14 +214,21 @@ class SegmentWriter:
 
         doc_base = self.plan.bases[rid - self.seg_offset]
         n = len(group)
-        order = np.lexsort(
-            (
-                np.asarray(group["commit"].to_pylist(), dtype=object),
-                np.asarray(group["path"].to_pylist(), dtype=object),
-                np.asarray(group["repo"].to_pylist(), dtype=object),
-            )
+        # Arrow C++ multi-key sort (no per-row Python); content_sha256 is the
+        # final tie-break so duplicate (repo,path,commit) keys still get
+        # deterministic doc ids at any parallelism
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("repo", "ascending"),
+                ("path", "ascending"),
+                ("commit", "ascending"),
+                ("content_sha256", "ascending"),
+            ],
         )
-        group = group.take(pa.array(order))
+        group = group.take(order)
         doc_ids = doc_base + np.arange(n, dtype=np.int64)
 
         docs_tbl = pa.table(

@@ -51,6 +51,14 @@ def add_documents(
     if isinstance(corpus, (str, os.PathLike)):
         corpus = ray.data.read_parquet(str(corpus))
     reader = IndexReader(index_dir)
+    # IndexOptions are sticky per index (FieldInfos validation analog): a
+    # positions mismatch would corrupt later merges (merge.py mixed-pos guard)
+    existing_pos = reader.manifest.get("positions", True)
+    if positions != existing_pos:
+        raise ValueError(
+            f"index was built with positions={existing_pos}; "
+            f"add_documents(positions={positions}) would mix IndexOptions"
+        )
     doc_base_offset = max(
         (s["doc_base"] + s["doc_count"] for s in reader.segments), default=0
     )

@@ -130,9 +130,18 @@ def lsh_buckets(mat: np.ndarray, dim: int) -> np.ndarray:
     return out
 
 
-def ann_lsh_topk(sf_dir: str) -> pa.Table:
-    """Approximate top-k: queries only scan their own LSH bucket. At scale the
-    bucket id becomes the partition key (groupby → per-bucket brute force)."""
+def ann_lsh_topk(sf_dir: str, stats: dict | None = None) -> pa.Table:
+    """Approximate top-k via BUCKET-PARTITIONED LSH: vectors are exploded to
+    one row per hash table, shuffled by ``(table, bucket)``, and each bucket
+    group scores ONLY the queries that hash into it — scanned rows are
+    proportional to the matching buckets' sizes, not the corpus (the round-1
+    version re-scanned every row per batch).
+
+    At 100 TB the explode+groupby becomes a one-time bucketed Parquet write
+    (partition dir per (table, bucket)) reused across query batches; the
+    per-bucket scoring stage is unchanged. ``stats`` (optional dict) receives
+    ``scanned_rows`` (Σ bucket_size × matching queries) and ``corpus_rows`` —
+    pinned ≪ brute force in pytest."""
     import ray
 
     qids, qmat = _query_matrix(sf_dir)
@@ -141,41 +150,78 @@ def ann_lsh_topk(sf_dir: str) -> pa.Table:
     qnorm = np.linalg.norm(qmat, axis=1)
     qref = ray.put((qids, qmat, qnorm, qbuckets))
 
-    class BucketScorer:
-        def __init__(self):
-            self.qids, self.qmat, self.qnorm, self.qbuckets = ray.get(qref)
+    def add_buckets(batch: pa.Table) -> pa.Table:
+        """Explode each vector to LSH_TABLES (table, bucket) rows."""
+        ids = batch["vec_id"].to_numpy()
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        buckets = lsh_buckets(mat, mat.shape[1])  # (n, LSH_TABLES)
+        n = len(ids)
+        take = pa.array(np.repeat(np.arange(n, dtype=np.int64), LSH_TABLES))
+        return pa.table(
+            {
+                "tbl": pa.array(np.tile(np.arange(LSH_TABLES, dtype=np.int32), n), pa.int32()),
+                "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, LSH_TABLES).astype(np.int64), pa.int64()),
+                "embedding": batch["embedding"].take(take),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["vec_id"].to_numpy()
-            mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
-            buckets = lsh_buckets(mat, mat.shape[1])
-            out_q, out_n, out_s = [], [], []
-            for qi, qid in enumerate(self.qids):
-                m = (buckets == self.qbuckets[qi]).any(axis=1) & (ids != qid)
-                if not m.any():
-                    continue
-                s = (mat[m] @ self.qmat[qi]) / (np.linalg.norm(mat[m], axis=1) * self.qnorm[qi])
-                out_q.append(np.full(m.sum(), qid, dtype=np.int64))
-                out_n.append(ids[m].astype(np.int64))
-                out_s.append(s)
-            if not out_q:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], pa.int64()),
-                        "neighbor_id": pa.array([], pa.int64()),
-                        "sim": pa.array([], pa.float64()),
-                    }
-                )
-            return pa.table(
-                {
-                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                    "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-                    "sim": pa.array(np.concatenate(out_s), pa.float64()),
-                }
-            )
+    def score_bucket(group: pa.Table) -> pa.Table:
+        """One (table, bucket) group: brute-force cosine against the queries
+        routed to this bucket. Emits one sentinel row (query_id = -1) carrying
+        the scanned-row count for the driver-side counter."""
+        qids_b, qmat_b, qnorm_b, qbuckets_b = ray.get(qref)
+        tblid = int(group["tbl"][0].as_py())
+        bucket = int(group["bucket"][0].as_py())
+        qsel = np.flatnonzero(qbuckets_b[:, tblid] == bucket)
+        empty = {
+            "query_id": np.empty(0, np.int64),
+            "neighbor_id": np.empty(0, np.int64),
+            "sim": np.empty(0, np.float64),
+            "scanned": np.empty(0, np.int64),
+        }
+        if len(qsel) == 0:
+            return pa.table({k: pa.array(v) for k, v in empty.items()})
+        ids = group["vec_id"].to_numpy()
+        mat = np.stack(group["embedding"].to_pylist()).astype(np.float64)
+        sims = (mat @ qmat_b[qsel].T) / np.outer(np.linalg.norm(mat, axis=1), qnorm_b[qsel])
+        out_q, out_n, out_s = [], [], []
+        for ci, qi in enumerate(qsel):
+            qid = int(qids_b[qi])
+            m = ids != qid
+            out_q.append(np.full(int(m.sum()), qid, dtype=np.int64))
+            out_n.append(ids[m].astype(np.int64))
+            out_s.append(sims[m, ci])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate([*out_q, [-1]]), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate([*out_n, [-1]]), pa.int64()),
+                "sim": pa.array(np.concatenate([*out_s, [0.0]]), pa.float64()),
+                "scanned": pa.array(
+                    np.concatenate([np.zeros(sum(map(len, out_q)), np.int64), [len(ids) * len(qsel)]]),
+                    pa.int64(),
+                ),
+            }
+        )
 
-    ds = _emb(sf_dir).map_batches(BucketScorer, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+    ds = (
+        _emb(sf_dir)
+        .map_batches(add_buckets, batch_format="pyarrow", batch_size=4096)
+        .groupby(["tbl", "bucket"])
+        .map_groups(score_bucket, batch_format="pyarrow")
+    )
     parts = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    scanned = 0
+    if len(parts):
+        sentinel = pa.compute.equal(parts["query_id"], -1)
+        scanned = int(pa.compute.sum(parts.filter(sentinel)["scanned"]).as_py() or 0)
+        parts = parts.filter(pa.compute.invert(sentinel))
+    if stats is not None:
+        import pyarrow.parquet as _pq
+
+        stats["scanned_rows"] = scanned
+        stats["corpus_rows"] = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+        stats["n_queries"] = len(qids)
     if len(parts) == 0:
         return pa.table(
             {
@@ -184,4 +230,17 @@ def ann_lsh_topk(sf_dir: str) -> pa.Table:
                 "neighbor_id": pa.array([], pa.int64()),
             }
         )
+    # same neighbor can surface from several tables — collapse duplicates
+    # (identical sim) before the top-k merge
+    q = parts["query_id"].to_numpy()
+    n = parts["neighbor_id"].to_numpy()
+    s = parts["sim"].to_numpy()
+    _, keep = np.unique(np.stack([q, n], axis=1), axis=0, return_index=True)
+    parts = pa.table(
+        {
+            "query_id": pa.array(q[keep], pa.int64()),
+            "neighbor_id": pa.array(n[keep], pa.int64()),
+            "sim": pa.array(s[keep], pa.float64()),
+        }
+    )
     return _merge_topk(parts)

@@ -156,43 +156,72 @@ FROM sets GROUP BY set_md5 ORDER BY kept_doc_id
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup pairs
 # ---------------------------------------------------------------------------
+#
+# Vectorized MinHash (Broder 1997): each shingle is hashed ONCE to a 32-bit
+# polynomial value (one numpy pass over the codepoints), then all N_PERM
+# multiply-shift permutations run as a single (N_PERM × n_shingles) uint64 op
+# — no per-(perm, shingle) Python hashing (the round-1 scale-killer). All
+# constants are integer literals injected into the DuckDB oracle verbatim, so
+# both sides stay bit-identical.
+
+_P = 4294967291  # largest prime < 2^32: products stay < 2^64 (uint64-exact)
+_B_BASE = 1000003
+_PW = np.array([pow(_B_BASE, j, _P) for j in range(SHINGLE_K)], dtype=np.uint64)
+_PERM_A = np.array([(2654435761 * (p + 1)) % _P for p in range(N_PERM)], dtype=np.uint64)
+_PERM_B = np.array([(2246822519 * (p + 1)) % _P for p in range(N_PERM)], dtype=np.uint64)
 
 
-def minhash_signature(shingles: set[str]) -> list[str]:
-    """N_PERM md5-min signatures; perm p hashes 'p:shingle'. md5 keeps the
-    DuckDB oracle identical; the permutation family is the classic
-    hash-per-perm MinHash (Broder 1997)."""
-    sig = []
-    for p in range(N_PERM):
-        pref = f"{p}:".encode()
-        sig.append(min(hashlib.md5(pref + s.encode("utf-8")).hexdigest() for s in shingles))
-    return sig
+def shingle_hashes(t: str) -> np.ndarray:
+    """uint64 hashes of every K-char shingle of (already normalized) ``t``:
+    h = Σ_j codepoint(s_j)·B^j mod P. One vectorized pass; multiset (min is
+    set-insensitive). Short texts (≤K chars) hash as a single whole-string
+    shingle, matching the SQL shingle CTE."""
+    if not t:
+        return np.empty(0, dtype=np.uint64)
+    cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    L = len(cp)
+    if L <= SHINGLE_K:
+        return np.array([int((cp * _PW[:L]).sum() % _P)], dtype=np.uint64)
+    n = L - SHINGLE_K + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(SHINGLE_K):
+        acc += cp[j : j + n] * _PW[j]
+    return acc % _P
+
+
+def minhash_signature(h: np.ndarray) -> np.ndarray:
+    """N_PERM multiply-shift minima over the shingle hashes → uint64[N_PERM]."""
+    v = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % _P
+    return v.min(axis=1)
 
 
 def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
-    """(doc_a, doc_b): LSH candidates (equal band hash) verified at exact
-    Jaccard ≥ 0.5 via the integer test 2*inter ≥ union."""
+    """(doc_a, doc_b): LSH candidates (equal band signature) verified at exact
+    Jaccard ≥ 0.5 via the integer test 2*inter ≥ union.
+
+    Scale shape: signatures are a vectorized map; banding shuffles only tiny
+    (doc_id, band, h0, h1) rows; candidate verification fetches ONLY the
+    candidate docs (predicate-pushdown read), never the corpus."""
     import ray.data
 
     def sigs(batch: pa.Table) -> pa.Table:
-        rows_doc, rows_band, rows_hash = [], [], []
+        n_bands = N_PERM // BAND_R
+        rows_doc, rows_h0, rows_h1 = [], [], []
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sh = _shingles(t or "")
-            if not sh:
+            h = shingle_hashes(normalize(t or ""))
+            if len(h) == 0:
                 continue
-            sig = minhash_signature(sh)
-            for band in range(N_PERM // BAND_R):
-                bh = hashlib.md5(
-                    "|".join(sig[band * BAND_R : (band + 1) * BAND_R]).encode()
-                ).hexdigest()
-                rows_doc.append(d)
-                rows_band.append(band)
-                rows_hash.append(bh)
+            sig = minhash_signature(h)
+            rows_doc.append(d)
+            rows_h0.append(sig[0::2].astype(np.int64))
+            rows_h1.append(sig[1::2].astype(np.int64))
+        n = len(rows_doc)
         return pa.table(
             {
-                "doc_id": pa.array(rows_doc, pa.int64()),
-                "band": pa.array(rows_band, pa.int32()),
-                "band_hash": pa.array(rows_hash, pa.string()),
+                "doc_id": pa.array(np.repeat(np.asarray(rows_doc, dtype=np.int64), n_bands), pa.int64()),
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n), pa.int32()),
+                "h0": pa.array(np.concatenate(rows_h0) if n else np.empty(0, np.int64), pa.int64()),
+                "h1": pa.array(np.concatenate(rows_h1) if n else np.empty(0, np.int64), pa.int64()),
             }
         )
 
@@ -208,23 +237,24 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
             }
         )
 
-    cand = ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    cand = ds.groupby(["band", "h0", "h1"]).map_groups(bucket_pairs, batch_format="pyarrow")
     empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
     cand_tbl = pa.concat_tables([empty, *cand.iter_batches(batch_format="pyarrow")])
     if len(cand_tbl) == 0:
         return empty
-    import pandas as pd
+    pairs = np.unique(
+        np.stack([cand_tbl["doc_a"].to_numpy(), cand_tbl["doc_b"].to_numpy()], axis=1), axis=0
+    )
 
-    cp = cand_tbl.to_pandas().drop_duplicates().reset_index(drop=True)
+    # verification: exact Jaccard over the candidate docs ONLY (pushdown read)
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
 
-    # verification: exact Jaccard on the (small) candidate set — broadcastable
-    import pyarrow.parquet as pq
-
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand_ids = np.unique(pairs).tolist()
+    docs = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"], filter=pc.field("doc_id").isin(cand_ids)
+    )
     text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    keep_a, keep_b = [], []
     sh_cache: dict[int, set[str]] = {}
 
     def sh_of(d: int) -> set[str]:
@@ -232,7 +262,8 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
             sh_cache[d] = _shingles(text_of.get(d) or "")
         return sh_cache[d]
 
-    for a, b in zip(cp["doc_a"], cp["doc_b"]):
+    keep_a, keep_b = [], []
+    for a, b in pairs:
         A, B = sh_of(int(a)), sh_of(int(b))
         inter = len(A & B)
         union = len(A | B)
@@ -248,20 +279,35 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     return tbl.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
+# h = Σ_j unicode(sh[j])·B^j mod P — same polynomial as shingle_hashes;
+# per-term products < 2^53 so BIGINT suffices, the permutation product needs
+# HUGEINT (operands < 2^32 → product < 2^64)
+_SH_HASH_SQL = "(" + " + ".join(
+    f"CASE WHEN length(sh) >= {j + 1} "
+    f"THEN CAST(unicode(substr(sh, {j + 1}, 1)) AS BIGINT) * {int(_PW[j])} ELSE 0 END"
+    for j in range(SHINGLE_K)
+) + f") % {_P}"
+
 SQL_MINHASH_LSH_PAIRS = f"""
 WITH {_SHINGLE_CTES.format(K=SHINGLE_K)},
+shh AS (SELECT doc_id, {_SH_HASH_SQL} AS h FROM sh),
 mh AS (
-  SELECT doc_id, p, min(md5(p::VARCHAR || ':' || sh)) AS mh
-  FROM sh, (SELECT unnest(generate_series(0, {N_PERM - 1})) AS p) perms
+  SELECT doc_id, p,
+         min((CAST((2654435761 * (p + 1)) % {_P} AS HUGEINT) * h
+              + (2246822519 * (p + 1)) % {_P}) % {_P}) AS mh
+  FROM shh, (SELECT unnest(generate_series(0, {N_PERM - 1})) AS p) perms
   GROUP BY doc_id, p
 ),
 bands AS (
-  SELECT doc_id, p // {BAND_R} AS band, md5(string_agg(mh, '|' ORDER BY p)) AS bh
+  SELECT doc_id, p // {BAND_R} AS band,
+         CAST(max(CASE WHEN p % {BAND_R} = 0 THEN mh END) AS BIGINT) AS h0,
+         CAST(max(CASE WHEN p % {BAND_R} = 1 THEN mh END) AS BIGINT) AS h1
   FROM mh GROUP BY doc_id, p // {BAND_R}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -281,32 +327,42 @@ ORDER BY doc_a, doc_b
 # ---------------------------------------------------------------------------
 
 
-def simhash32(tokens_with_tf: list[tuple[str, int]]) -> int:
-    """32-bit SimHash (Charikar 2002): bit b set iff Σ tf·(±1 by md5-bit) > 0.
-    Bits come from the first 8 hex chars of md5(token)."""
-    votes = np.zeros(32, dtype=np.int64)
-    for tok, tf in tokens_with_tf:
-        v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
-        bits = (v >> np.arange(32)) & 1
-        votes += tf * (2 * bits - 1)
-    return int(((votes > 0).astype(np.int64) << np.arange(32)).sum())
-
-
 def simhash(sf_dir: str) -> pa.Table:
-    """(doc_id, simhash) over analyzer tokens (tf-weighted)."""
+    """(doc_id, simhash) — 32-bit SimHash (Charikar 2002) over analyzer
+    tokens, tf-weighted: bit b set iff Σ tf·(±1 by md5-bit-b of the token) > 0.
+
+    Vectorized: md5 runs once per DISTINCT term in the batch (dictionary
+    encode), the per-doc ±1 vote accumulation is two numpy cumsum/gather ops —
+    no per-token Python (round-1 hotspot)."""
     from ..analysis.tokenizer import analyze_batch
 
     def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         stats = analyze_batch(batch["text"].to_pylist())
-        out = []
-        for d in range(len(batch)):
-            toks = stats.terms[stats.offsets[d] : stats.offsets[d + 1]]
-            tfs = stats.tfs[stats.offsets[d] : stats.offsets[d + 1]]
-            out.append(simhash32(list(zip(toks.tolist(), tfs.tolist()))))
+        n = len(batch)
+        offsets = np.asarray(stats.offsets, dtype=np.int64)
+        sims = np.zeros(n, dtype=np.int64)
+        if offsets[-1] > 0:
+            dict_arr = pc.dictionary_encode(stats.terms)
+            if isinstance(dict_arr, pa.ChunkedArray):
+                dict_arr = dict_arr.combine_chunks()
+            codes = dict_arr.indices.to_numpy().astype(np.int64)
+            uniq = dict_arr.dictionary.to_pylist()
+            h32 = np.array(
+                [int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16) for u in uniq],
+                dtype=np.int64,
+            )
+            contrib = 2 * ((h32[:, None] >> np.arange(32)) & 1) - 1  # (U, 32) ±1
+            tfs = np.asarray(stats.tfs, dtype=np.int64)
+            per_tok = contrib[codes] * tfs[:, None]  # (T, 32)
+            cs = np.vstack([np.zeros((1, 32), dtype=np.int64), np.cumsum(per_tok, axis=0)])
+            votes = cs[offsets[1:]] - cs[offsets[:-1]]  # (n, 32) segment sums
+            sims = ((votes > 0).astype(np.int64) << np.arange(32)).sum(axis=1)
         return pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
-                "simhash": pa.array(out, pa.int64()),
+                "simhash": pa.array(sims, pa.int64()),
             }
         )
 

@@ -233,8 +233,9 @@ def ft_sorted_by_path(sf_dir: str) -> pa.Table:
 
 
 def ft_wand_topk(sf_dir: str) -> pa.Table:
-    """Same disjunctions via the block-max WAND path (no SQL oracle needed —
-    it must equal ft_topk_bool's disjunction rows; also asserted in pytest)."""
+    """Same disjunctions via the block-max WAND path — rank-identical to the
+    exhaustive scorer, so its SQL oracle is ft_topk_bool's 'or' subset
+    (also score-identity-pinned in pytest)."""
     s = get_searcher(sf_dir)
     queries = {
         spec["qid"]: _bool_query(spec)

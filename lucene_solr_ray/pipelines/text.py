@@ -20,7 +20,10 @@ from ..analysis.tokenizer import ENGLISH_STOP_WORDS, analyze_batch
 
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
 
-_WS = re.compile(r"\s+")
+# pinned to RE2's ASCII \s class ([\t\n\f\r ]) so normalize() stays
+# bit-identical to the DuckDB oracles on text containing Unicode whitespace
+# (Python's \s would also match U+00A0, U+2028, ... — ADVICE r1)
+_WS = re.compile(r"[\t\n\f\r ]+")
 
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
@@ -179,8 +182,10 @@ FROM documents d JOIN tc ON d.doc_id = tc.doc_id ORDER BY d.doc_id
 
 
 def normalize(text: str) -> str:
-    """Whitespace-collapsed lowercase text (shared with dedup shingling)."""
-    return _WS.sub(" ", (text or "").lower()).strip()
+    """Whitespace-collapsed lowercase text (shared with dedup shingling).
+    ASCII-whitespace collapse + space-only strip == DuckDB
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` exactly."""
+    return _WS.sub(" ", (text or "").lower()).strip(" ")
 
 
 def fingerprint(sf_dir: str) -> pa.Table:

@@ -130,11 +130,12 @@ class SegmentScorer:
             return empty
         ids = np.asarray(out_ids, dtype=np.int64)
         freqs = np.asarray(out_freqs, dtype=np.int64)
-        t32 = self.sim.dtype.type
-        idf_sum = t32(0.0)
-        for t in q.terms:  # occurrence order, float accumulation in dtype
-            idf_sum = idf_sum + t32(self.weights[t])
-        w = self.sim.weight_from_idf(idf_sum, q.boost)
+        # idfExplain sums per-term idfs "into a double before casting into a
+        # float" (BM25Similarity.java idfExplain) — accumulate float64, cast once
+        idf_sum = 0.0
+        for t in q.terms:  # occurrence order
+            idf_sum += float(self.weights[t])
+        w = self.sim.weight_from_idf(self.sim.dtype.type(idf_sum), q.boost)
         scores = self.sim.score_freqs(w, freqs, self.norms[ids], self.cache)
         return ids, scores
 

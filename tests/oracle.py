@@ -95,11 +95,11 @@ class BruteForceIndex:
         ids = np.asarray(ids, dtype=np.int64)
         if len(ids) == 0:
             return ids, np.empty(0, dtype=sim.dtype)
-        t32 = sim.dtype.type
-        idf_sum = t32(0.0)
+        # double accumulation, single cast (BM25Similarity idfExplain)
+        idf_sum = 0.0
         for t in q.terms:
-            idf_sum = idf_sum + sim.idf(self.df.get(t, 0), self.n)
-        w = sim.weight_from_idf(idf_sum, q.boost)
+            idf_sum += float(sim.idf(self.df.get(t, 0), self.n))
+        w = sim.weight_from_idf(sim.dtype.type(idf_sum), q.boost)
         return ids, sim.score_freqs(w, np.asarray(freqs), self.norm_byte[ids], cache)
 
     def _expand(self, q) -> list[str]:

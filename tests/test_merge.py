@@ -61,17 +61,25 @@ def test_results_identical_across_generations(merged_setup):
     )
 
 
-def test_old_dirs_deleted(merged_setup):
+def test_old_dirs_retained_one_generation_then_reclaimed(merged_setup):
     d, *_ = merged_setup
-    # merged members' dirs are gone; only live dirs remain
-    live = set()
     from lucene_solr_ray.index.reader import IndexReader
 
     r = IndexReader(d)
-    for s in r.segments:
-        live.add(os.path.basename(r.seg_dir(s["seg"])))
+    live = {os.path.basename(r.seg_dir(s["seg"])) for s in r.segments}
+    obsolete = {os.path.basename(e["dir"]) for e in r.manifest.get("obsolete", [])}
     on_disk = {os.path.basename(p) for p in glob.glob(os.path.join(d, "segments", "seg=*"))}
-    assert on_disk == live
+    # grace period: merged-away dirs survive the flip (readers holding the
+    # previous manifest keep working), tracked as obsolete
+    assert obsolete and on_disk == live | obsolete
+    # the next merge generation reclaims them
+    merge_index(d, segs_per_tier=2)
+    r2 = IndexReader(d)
+    live2 = {os.path.basename(r2.seg_dir(s["seg"])) for s in r2.segments}
+    on_disk2 = {os.path.basename(p) for p in glob.glob(os.path.join(d, "segments", "seg=*"))}
+    assert on_disk2.isdisjoint(obsolete)
+    obsolete2 = {os.path.basename(e["dir"]) for e in r2.manifest.get("obsolete", [])}
+    assert on_disk2 == live2 | obsolete2
 
 
 def test_plan_merges_grouping():

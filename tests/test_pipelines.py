@@ -93,7 +93,8 @@ def test_ann_lsh_recall(entry_mod):
     from lucene_solr_ray.pipelines import ann
 
     exact = ann.ann_topk(SF).to_pandas()
-    approx = ann.ann_lsh_topk(SF).to_pandas()
+    stats: dict = {}
+    approx = ann.ann_lsh_topk(SF, stats=stats).to_pandas()
     hits = tot = 0
     for qid in exact.query_id.unique():
         t = set(exact[exact.query_id == qid].neighbor_id)
@@ -102,6 +103,10 @@ def test_ann_lsh_recall(entry_mod):
         tot += len(t)
     assert tot > 0
     assert hits / tot > 0.15  # 6 hyperplanes → 1/64 of the corpus scanned
+    # bucket partitioning must actually prune: scanned (rows × routed queries)
+    # ≪ brute force (rows × all queries)
+    brute = stats["corpus_rows"] * stats["n_queries"]
+    assert 0 < stats["scanned_rows"] < brute / 3
 
 
 # ---------------------------------------------------------------------------
