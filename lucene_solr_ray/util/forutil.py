@@ -220,22 +220,22 @@ def encode_sequences(values: np.ndarray, starts: np.ndarray, counts: np.ndarray)
         v = bmax[z].astype(np.uint32)
         for j in range(4):
             buf[block_off[z] + 1 + j] = ((v >> np.uint32(8 * j)) & np.uint32(0xFF)).astype(np.uint8)
-    # bit-packed blocks: one global bit array, one packbits
+    # bit-packed blocks: one global bit array, one packbits. Packing runs as a
+    # bitplane loop (j-th bit of every value scattered at once) so every
+    # transient is N-sized — an (N × width) expansion would allocate ~8·w
+    # bytes/value and first-touch page faults dominate on big segments.
     if np.any(width > 0):
         val_block = np.repeat(np.arange(total_blocks), blen)
         within = np.arange(N) - gstart[val_block]
         flat = np.zeros(total_bytes * 8, dtype=np.uint8)
-        for w in np.unique(width):
-            if w == 0:
-                continue
-            w = int(w)
-            vmask = (width == w)[val_block]
-            vals_w = v32[vmask]
-            vb = val_block[vmask]
-            bitbase = (block_off[vb] + 1) * 8 + within[vmask] * w
-            pos = (bitbase[:, None] + np.arange(w)).ravel()
-            bits = ((vals_w[:, None] >> np.arange(w, dtype=np.uint32)) & 1).astype(np.uint8).ravel()
-            flat[pos] = bits
+        wvals = width[val_block]
+        nz = wvals > 0
+        base = (block_off[val_block[nz]] + 1) * 8 + within[nz] * wvals[nz]
+        vals_nz = v32[nz]
+        wn = wvals[nz]
+        for j in range(int(width.max())):
+            sel = wn > j
+            flat[base[sel] + j] = ((vals_nz[sel] >> np.uint32(j)) & np.uint32(1)).astype(np.uint8)
         packed = np.packbits(flat, bitorder="little")
         np.bitwise_or(buf, packed, out=buf)
     seq_offsets = block_off[block_ptr]
