@@ -138,21 +138,24 @@ def delete_by_keys(index_dir: str, keys: list[tuple[str, str, str]]) -> int:
     """Tombstone every doc whose (repo, path, commit) is in ``keys``.
     Returns the number of newly deleted docs."""
     reader = IndexReader(index_dir)
-    key_set = {tuple(k) for k in keys}
+    # vectorized membership: joined key column vs the key set (Arrow is_in),
+    # no per-row Python tuples
+    sep = "\x00"
+    key_list = [sep.join(k) for k in keys]
     n_new = 0
     for s in reader.segments:
         sd = reader.seg_dir(s["seg"])
         docs = pq.read_table(
             os.path.join(sd, "docs.parquet"), columns=["repo", "path", "commit"]
         )
-        mask = np.array(
-            [
-                (r, p, c) in key_set
-                for r, p, c in zip(
-                    docs["repo"].to_pylist(), docs["path"].to_pylist(), docs["commit"].to_pylist()
-                )
-            ],
-            dtype=bool,
+        joined = pc.binary_join_element_wise(
+            docs["repo"].cast(pa.string()),
+            docs["path"].cast(pa.string()),
+            docs["commit"].cast(pa.string()),
+            sep,
+        )
+        mask = pc.is_in(joined, value_set=pa.array(key_list, pa.string())).to_numpy(
+            zero_copy_only=False
         )
         if mask.any():
             hit = np.flatnonzero(mask).astype(np.int64)
@@ -164,16 +167,32 @@ def delete_by_keys(index_dir: str, keys: list[tuple[str, str, str]]) -> int:
     return n_new
 
 
-def delete_by_query(index_dir: str, query) -> int:
-    """Tombstone every doc matching ``query`` (deleteDocuments(Query))."""
+def delete_by_query(index_dir: str, query, use_ray: bool = True) -> int:
+    """Tombstone every doc matching ``query`` (deleteDocuments(Query)).
+
+    Matching is scattered over segments (MatchFieldGroup 'ids' mode); the
+    driver groups the returned (seg, local_id) rows and writes per-segment
+    tombstones (the match set must reach the tombstone files regardless)."""
     from ..search.searcher import Searcher
 
     searcher = Searcher(index_dir)
     n_new = 0
     reader = searcher.reader
-    for seg, _base, ids in searcher._matches_per_segment(query):
-        if len(ids) == 0:
-            continue
+    per_seg: dict[int, list[np.ndarray]] = {}
+    scattered = searcher._scatter_match(query, "ids") if use_ray else None
+    if scattered is not None:
+        for b in scattered.iter_batches(batch_format="pyarrow"):
+            if len(b):
+                segs = b["seg"].to_numpy()
+                lids = b["local_id"].to_numpy().astype(np.int64)
+                for sv in np.unique(segs):
+                    per_seg.setdefault(int(sv), []).append(lids[segs == sv])
+    else:
+        for seg, _base, ids in searcher._matches_per_segment(query):
+            if len(ids):
+                per_seg.setdefault(seg, []).append(ids.astype(np.int64))
+    for seg, parts in per_seg.items():
+        ids = np.concatenate(parts)
         sd = reader.seg_dir(seg)
         existing = _segment_deletes(sd)
         merged = np.union1d(existing, ids.astype(np.int64))

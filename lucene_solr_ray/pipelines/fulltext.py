@@ -95,25 +95,43 @@ def ft_doc_norms(sf_dir: str) -> pa.Table:
 
 
 def ft_term_stats(sf_dir: str, limit: int = 200) -> pa.Table:
+    """Global per-term (df, ttf) — distributed: column-pruned postings read →
+    ``groupby(term).aggregate(Sum)`` (only (term, df, ttf) rows shuffle) →
+    distributed sort → tiny limit() take (round 1 aggregated the whole
+    vocabulary in driver pandas)."""
     r = get_searcher(sf_dir).reader
-    tbl = pads.dataset(r.postings_files()).to_table(columns=["term", "df", "ttf"])
-    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
 
-    df = tbl.to_pandas().groupby("term", as_index=False).agg(df=("df", "sum"), ttf=("ttf", "sum"))
-    df = df.sort_values(["df", "term"], ascending=[False, True]).head(limit)
+    ds = ray.data.read_parquet(r.postings_files(), columns=["term", "df", "ttf"])
+    top = (
+        ds.groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        .sort(["df", "term"], descending=[True, False])
+        .limit(limit)
+    )
+    tbl = pa.concat_tables(top.iter_batches(batch_format="pyarrow"))
     return pa.table(
         {
-            "term": pa.array(df["term"], pa.string()),
-            "df": pa.array(df["df"], pa.int64()),
-            "ttf": pa.array(df["ttf"], pa.int64()),
+            "term": tbl["term"].cast(pa.string()),
+            "df": tbl["df"].cast(pa.int64()),
+            "ttf": tbl["ttf"].cast(pa.int64()),
         }
     )
 
 
 def ft_collection_stats(sf_dir: str) -> pa.Table:
     r = get_searcher(sf_dir).reader
-    tbl = pads.dataset(r.postings_files()).to_table(columns=["term"])
-    distinct = len(pa.compute.unique(tbl["term"]))
+    import ray.data
+
+    # distributed distinct-term count: groupby shuffles only the term column;
+    # .count() on the grouped dataset is a metadata row count
+    distinct = (
+        ray.data.read_parquet(r.postings_files(), columns=["term"])
+        .groupby("term")
+        .count()
+        .count()
+    )
     st = r.stats
     return pa.table(
         {
@@ -206,11 +224,35 @@ def ft_phrase(sf_dir: str) -> pa.Table:
 
 
 def ft_prefix(sf_dir: str) -> pa.Table:
-    """PrefixQuery constant-score retrieval: full matching doc sets."""
+    """PrefixQuery constant-score retrieval: full matching doc sets, streamed
+    through the per-segment match scatter (no top-k heap with an unbounded k
+    — round 1 pushed k=1M through the scoring machinery)."""
     s = get_searcher(sf_dir)
-    queries = {spec["qid"]: PrefixQuery(spec["prefix"]) for spec in PREFIX_SPECS}
-    res = s.search(queries, k=1_000_000, use_ray=True)
-    return pa.table({"query_id": res["query_id"], "doc_id": res["doc_id"]})
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    out_q: list[str] = []
+    out_d: list[np.ndarray] = []
+    for spec in PREFIX_SPECS:
+        scattered = s._scatter_match(PrefixQuery(spec["prefix"]), "ids")
+        gids: list[np.ndarray] = []
+        if scattered is not None:  # None ⇔ the prefix expands to zero terms
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                if len(b):
+                    segs = b["seg"].to_numpy()
+                    lids = b["local_id"].to_numpy().astype(np.int64)
+                    for sv in np.unique(segs):
+                        m = segs == sv
+                        gids.append(lids[m] + doc_bases[int(sv)])
+        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        out_q.extend([spec["qid"]] * len(ids))
+        out_d.append(ids)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(
+                np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+            ),
+        }
+    )
 
 
 FACET_TERM = "merge"

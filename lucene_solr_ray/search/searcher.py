@@ -123,6 +123,101 @@ class ScoreSegmentGroup:
         )
 
 
+class MatchFieldGroup:
+    """map_groups callable: one segment's posting rows → per-segment PARTIALS
+    for the non-scoring paths (facets, sort-by-field, delete-by-query).
+
+    Replaces the round-1 driver-sequential per-segment loop
+    (``_matches_per_segment``): segments now match in parallel inside Ray
+    tasks and only tiny partials travel to the driver —
+    ``facet``: (value, count) rows; ``sort``: ≤k (doc_id, value) candidates;
+    ``ids``: (seg, local_id) rows (delete path — the full match set must
+    reach the tombstone writer anyway).
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        query: Query,
+        weights: dict[str, float],
+        cache: np.ndarray,
+        doc_bases: dict[int, int],
+        sim_params: tuple,
+        mode: str,
+        field: str | None = None,
+        k: int = 10,
+        descending: bool = False,
+        seg_dirs: dict[int, str] | None = None,
+    ):
+        self.index_dir = index_dir
+        self.query = query
+        self.weights = weights
+        self.cache = cache
+        self.doc_bases = doc_bases
+        self.seg_dirs = seg_dirs or {}
+        k1, b, dtype = sim_params
+        self.sim = BM25Similarity(k1, b, dtype=dtype)
+        self.mode = mode
+        self.field = field
+        self.k = k
+        self.descending = descending
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        from ..index.segment import segment_dir
+
+        seg = int(group["seg"][0].as_py())
+        seg_d = self.seg_dirs.get(seg) or segment_dir(self.index_dir, seg)
+        norms = pq.read_table(
+            os.path.join(seg_d, "docs.parquet"), columns=["norm_byte"]
+        )["norm_byte"].to_numpy()
+        lazy = build_lazy(group)
+        scorer = SegmentScorer(
+            self.sim, LazyPostingsDict(lazy), self.weights, self.cache, norms, lazy=lazy
+        )
+        ids, _ = scorer.score_query(self.query)
+        del_path = os.path.join(seg_d, "deletes.parquet")
+        if os.path.exists(del_path) and len(ids):
+            deleted = pq.read_table(del_path)["local_id"].to_numpy()
+            if len(deleted):
+                live = np.ones(len(norms), dtype=bool)
+                live[deleted] = False
+                ids = ids[live[ids]]
+        if self.mode == "ids":
+            return pa.table(
+                {
+                    "seg": pa.array(np.full(len(ids), seg, dtype=np.int32)),
+                    "local_id": pa.array(ids, pa.int64()),
+                }
+            )
+        col = pq.read_table(os.path.join(seg_d, "docs.parquet"), columns=[self.field])[
+            self.field
+        ].to_numpy(zero_copy_only=False)
+        vals = col[ids]
+        if self.mode == "facet":
+            u, c = np.unique(vals, return_counts=True)
+            return pa.table(
+                {
+                    "value": pa.array(u.tolist(), pa.string()),
+                    "count": pa.array(c.astype(np.int64), pa.int64()),
+                }
+            )
+        # mode == "sort": per-segment candidate prune to k
+        order = np.argsort(vals, kind="stable")
+        if self.descending:
+            order = order[::-1]
+        order = order[: self.k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order] + self.doc_bases[seg], pa.int64()),
+                "value": pa.array(vals[order].tolist()),
+            }
+        )
+
+
 def score_one(q, sim, lazy, weights, cache, norms, k, method="auto",
               after=None, doc_base=0, live=None):
     """Score one query against one segment → per-segment top-k.
@@ -274,9 +369,46 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------
+    def _scatter_match(self, query: Query, mode: str, field: str | None = None,
+                       k: int = 10, descending: bool = False):
+        """Scatter the match computation over segments (groupby('seg') →
+        MatchFieldGroup) — returns the partials Dataset, or None when the
+        query can't be routed through the postings read (no terms /
+        MatchAll), in which case callers use the local per-segment loop."""
+        query = rewrite(query, self.reader)
+        terms = sorted(query_terms(query))
+        if not terms or _contains_matchall(query):
+            return None
+        weights = self._weights(set(terms))
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            self.reader.postings_files(),
+            filter=pa.compute.field("term").isin(terms),
+        )
+        return ds.groupby("seg").map_groups(
+            MatchFieldGroup,
+            fn_constructor_kwargs=dict(
+                index_dir=self.reader.index_dir,
+                query=query,
+                weights=weights,
+                cache=self.cache,
+                doc_bases={s["seg"]: s["doc_base"] for s in self.reader.segments},
+                sim_params=(self.sim.k1, self.sim.b, self.sim.dtype),
+                mode=mode,
+                field=field,
+                k=k,
+                descending=descending,
+                seg_dirs=self.reader.seg_dirs(),
+            ),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+
     def _matches_per_segment(self, query: Query):
-        """→ iterator of (seg, doc_base, local match ids) — shared by the
-        field-sort / facet paths (scores ignored)."""
+        """→ iterator of (seg, doc_base, local match ids) — the LOCAL
+        fallback for the field-sort / facet / delete paths (used for no-term
+        and MatchAll queries, and when use_ray=False)."""
         query = rewrite(query, self.reader)
         terms = sorted(query_terms(query))
         weights = self._weights(set(terms))
@@ -302,26 +434,40 @@ class Searcher:
             yield seg, s["doc_base"], ids
 
     def search_by_field(
-        self, query: Query, k: int = 10, field: str = "path", descending: bool = False
+        self, query: Query, k: int = 10, field: str = "path", descending: bool = False,
+        use_ray: bool = True,
     ) -> pa.Table:
         """Top-k matches ordered by a stored field — TopFieldCollector analog
-        (search/TopFieldCollector.java); tie-break by doc_id asc."""
+        (search/TopFieldCollector.java); tie-break by doc_id asc. Segments
+        match in parallel (MatchFieldGroup scatter) and emit ≤k candidates
+        each; the driver merges the tiny partials."""
         import pyarrow.parquet as pq_mod
 
         vals_parts, ids_parts = [], []
-        for seg, base, ids in self._matches_per_segment(query):
-            if len(ids) == 0:
-                continue
-            col = pq_mod.read_table(
-                os.path.join(self.reader.seg_dir(seg), "docs.parquet"), columns=[field]
-            )[field].to_numpy(zero_copy_only=False)
-            vals = col[ids]
-            order = np.argsort(vals, kind="stable")
-            if descending:
-                order = order[::-1]
-            order = order[:k]  # per-segment prune
-            vals_parts.append(vals[order])
-            ids_parts.append(ids[order] + base)
+        scattered = (
+            self._scatter_match(query, "sort", field=field, k=k, descending=descending)
+            if use_ray
+            else None
+        )
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                if len(b):
+                    ids_parts.append(b["doc_id"].to_numpy())
+                    vals_parts.append(b["value"].to_numpy(zero_copy_only=False))
+        else:
+            for seg, base, ids in self._matches_per_segment(query):
+                if len(ids) == 0:
+                    continue
+                col = pq_mod.read_table(
+                    os.path.join(self.reader.seg_dir(seg), "docs.parquet"), columns=[field]
+                )[field].to_numpy(zero_copy_only=False)
+                vals = col[ids]
+                order = np.argsort(vals, kind="stable")
+                if descending:
+                    order = order[::-1]
+                order = order[:k]  # per-segment prune
+                vals_parts.append(vals[order])
+                ids_parts.append(ids[order] + base)
         if not ids_parts:
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()), field: pa.array([], pa.string())}
@@ -340,22 +486,30 @@ class Searcher:
             }
         )
 
-    def facet_counts(self, query: Query, field: str = "lang") -> pa.Table:
+    def facet_counts(self, query: Query, field: str = "lang", use_ray: bool = True) -> pa.Table:
         """Facet counts over the matching docs — FacetsCollector / Solr field
-        facet analog (SURVEY.md §2.5)."""
+        facet analog (SURVEY.md §2.5). Per-segment (value, count) partials are
+        computed inside the MatchFieldGroup scatter; the driver sums the tiny
+        partials (#segments × #values rows)."""
         import pyarrow.parquet as pq_mod
         from collections import Counter
 
         counts: Counter = Counter()
-        for seg, _base, ids in self._matches_per_segment(query):
-            if len(ids) == 0:
-                continue
-            col = pq_mod.read_table(
-                os.path.join(self.reader.seg_dir(seg), "docs.parquet"), columns=[field]
-            )[field].to_numpy(zero_copy_only=False)
-            vals, cnts = np.unique(col[ids], return_counts=True)
-            for v, c in zip(vals.tolist(), cnts.tolist()):
-                counts[v] += c
+        scattered = self._scatter_match(query, "facet", field=field) if use_ray else None
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                for v, c in zip(b["value"].to_pylist(), b["count"].to_pylist()):
+                    counts[v] += c
+        else:
+            for seg, _base, ids in self._matches_per_segment(query):
+                if len(ids) == 0:
+                    continue
+                col = pq_mod.read_table(
+                    os.path.join(self.reader.seg_dir(seg), "docs.parquet"), columns=[field]
+                )[field].to_numpy(zero_copy_only=False)
+                vals, cnts = np.unique(col[ids], return_counts=True)
+                for v, c in zip(vals.tolist(), cnts.tolist()):
+                    counts[v] += c
         items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         return pa.table(
             {
