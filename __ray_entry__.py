@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_facets": fulltext.ft_facets,
         "ft_sorted_by_path": fulltext.ft_sorted_by_path,
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
+        "ft_field_search": fulltext.ft_field_search,
         # --- text analysis ---
         "token_count": text.token_count,
         "lang_id": text.lang_id,
@@ -90,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_wand_topk": fs.sql_topk_union(
             [s for s in fulltext.BOOL_SPECS if s["kind"] == "or"]
         ),
+        "ft_field_search": fs.sql_field_search(fulltext.FIELD_SPECS),
         "ft_phrase": fs.sql_phrase_union(fulltext.PHRASE_SPECS),
         "ft_prefix": fs.sql_prefix_union(fulltext.PREFIX_SPECS),
         "ft_facets": fs.sql_facets(fulltext.FACET_TERM, "source"),

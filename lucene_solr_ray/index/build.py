@@ -30,7 +30,13 @@ import pyarrow as pa
 
 from ..analysis.tokenizer import StandardAnalyzer
 from .plan import BuildPlan, compute_plan
-from .segment import AnalyzeInvert, SegmentWriter, load_segment_meta
+from .segment import (
+    CONTENT_FIELD,
+    DEFAULT_KEYWORD_FIELDS,
+    AnalyzeInvert,
+    SegmentWriter,
+    load_segment_meta,
+)
 
 
 @dataclass
@@ -77,6 +83,7 @@ def build_index(
     batch_size: int = 1024,
     resume: bool = True,
     positions: bool = True,
+    keyword_fields: tuple[str, ...] = DEFAULT_KEYWORD_FIELDS,
 ) -> BuildResult:
     """Build (or resume) the inverted index for a 5-column corpus.
 
@@ -155,13 +162,33 @@ def build_index(
         # state, and a second actor pool can starve tiny CPU budgets
         out = analyzed.groupby("range_id").map_groups(
             _write_segment_group,
-            fn_kwargs={"index_dir": index_dir, "plan": plan},
+            fn_kwargs={
+                "index_dir": index_dir,
+                "plan": plan,
+                "keyword_fields": keyword_fields,
+                "positions": positions,
+            },
             batch_format="pyarrow",
         )
         for b in out.iter_batches(batch_format="pyarrow"):
             for row in b.to_pylist():
                 manifest_rows.append(row)
         _dbg(f"pipeline done: {len(manifest_rows)} segments built")
+
+    # per-field stats (FieldInfos/CollectionStatistics analog): aggregate the
+    # per-segment field_stats dicts from the committed _SEGMENT.json files
+    field_stats: dict[str, dict] = {}
+    for rid in range(plan.n_segments):
+        meta = load_segment_meta(index_dir, rid)
+        if meta is None:
+            continue
+        for f, fs in meta.get("field_stats", {}).items():
+            agg = field_stats.setdefault(
+                f, {"doc_count": 0, "num_terms": 0, "sum_df": 0, "sum_ttf": 0,
+                    "has_norms": fs.get("has_norms", f == CONTENT_FIELD)}
+            )
+            for k in ("doc_count", "num_terms", "sum_df", "sum_ttf"):
+                agg[k] += fs.get(k, 0)
 
     # include previously-committed segments in the manifest
     built = {r["seg"] for r in manifest_rows}
@@ -200,7 +227,9 @@ def build_index(
             "n_stopwords": len(analyzer.stopwords),
         },
         "positions": positions,
+        "keyword_fields": list(keyword_fields),
         "stats": stats.to_dict(),
+        "field_stats": field_stats,
         "segments": [
             {k: r[k] for k in ("seg", "doc_base", "doc_count", "sum_len", "num_terms", "sum_df", "sum_ttf")}
             for r in manifest_rows
@@ -220,10 +249,13 @@ def build_index(
     )
 
 
-def _write_segment_group(group, *, index_dir: str, plan: BuildPlan):
+def _write_segment_group(group, *, index_dir: str, plan: BuildPlan,
+                         keyword_fields=DEFAULT_KEYWORD_FIELDS, positions=True):
     from .segment import SegmentWriter
 
-    return SegmentWriter(index_dir, plan)(group)
+    return SegmentWriter(
+        index_dir, plan, keyword_fields=keyword_fields, positions=positions
+    )(group)
 
 
 def _next_generation(index_dir: str) -> int:

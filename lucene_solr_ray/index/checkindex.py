@@ -61,14 +61,20 @@ def check_index(index_dir: str, corpus_sha: dict[tuple, str] | None = None) -> d
                     break
 
         terms = posts["term"].to_pylist()
-        if terms != sorted(terms):
-            problems.append(f"seg {seg['seg']}: terms not sorted")
+        fields = (
+            posts["field"].to_pylist()
+            if "field" in posts.column_names
+            else ["content"] * len(terms)
+        )
+        if list(zip(fields, terms)) != sorted(zip(fields, terms)):
+            problems.append(f"seg {seg['seg']}: (field, term) rows not sorted")
         dfs = posts["df"].to_numpy()
         ttfs = posts["ttf"].to_numpy()
-        pair_count = 0
+        pair_count = 0  # content-field sums (top-level stats cover content)
         ttf_count = 0
         for i in range(len(posts)):
             df = int(dfs[i])
+            is_content = fields[i] == "content"
             ids, freqs = decode_postings(
                 posts["doc_blob"][i].as_py(), posts["freq_blob"][i].as_py(), df
             )
@@ -109,8 +115,9 @@ def check_index(index_dir: str, corpus_sha: dict[tuple, str] | None = None) -> d
                 if maxf[bi] != blk.max():
                     problems.append(f"seg {seg['seg']}: block_max_freq wrong for {terms[i]!r}")
                     break
-            pair_count += df
-            ttf_count += int(ttfs[i])
+            if is_content:
+                pair_count += df
+                ttf_count += int(ttfs[i])
         if pair_count != seg["sum_df"]:
             problems.append(f"seg {seg['seg']}: sum_df mismatch")
         if ttf_count != seg["sum_ttf"]:

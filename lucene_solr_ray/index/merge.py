@@ -123,9 +123,9 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
         decoded.append(_decode_member(t, int(bases[mi])))
         t = t.append_column("morder", pa.array(np.full(len(t), mi, dtype=np.int32)))
         t = t.append_column("mrow", pa.array(np.arange(len(t), dtype=np.int64)))
-        member_posts.append(t.select(["term", "df", "ttf", "morder", "mrow"]))
+        member_posts.append(t.select(["field", "term", "df", "ttf", "morder", "mrow"]))
     posts = pa.concat_tables(member_posts).sort_by(
-        [("term", "ascending"), ("morder", "ascending")]
+        [("field", "ascending"), ("term", "ascending"), ("morder", "ascending")]
     )
     # positions must be all-or-none across members: a member without a
     # pos stream would leave uninitialized slots in the merged pos_blob
@@ -172,23 +172,31 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
             pdst = np.repeat(out_pstart[:-1][rmask], plens) + pwithin
             pos_deltas[pdst] = pos_m[psrc]
 
-    # term groups over the sorted rows
+    # (field, term) groups over the sorted rows
     terms_sorted = posts["term"]
     if isinstance(terms_sorted, pa.ChunkedArray):
         terms_sorted = terms_sorted.combine_chunks()
+    fields_sorted = posts["field"]
+    if isinstance(fields_sorted, pa.ChunkedArray):
+        fields_sorted = fields_sorted.combine_chunks()
     import pyarrow.compute as pc
 
     neq = np.ones(n_rows, dtype=bool)
     if n_rows > 1:
-        neq[1:] = ~pc.equal(terms_sorted.slice(1), terms_sorted.slice(0, n_rows - 1)).to_numpy(
+        t_neq = ~pc.equal(terms_sorted.slice(1), terms_sorted.slice(0, n_rows - 1)).to_numpy(
             zero_copy_only=False
         )
+        f_neq = ~pc.equal(fields_sorted.slice(1), fields_sorted.slice(0, n_rows - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        neq[1:] = t_neq | f_neq
     row_group_starts = np.flatnonzero(neq)
     starts_np = out_vstart[:-1][row_group_starts]
     group_sizes = np.diff(np.append(row_group_starts, n_rows))
     dfs_np = np.add.reduceat(dfs_sorted, row_group_starts) if n_rows else np.empty(0, np.int64)
     ttfs_np = np.add.reduceat(ttfs_sorted, row_group_starts) if n_rows else np.empty(0, np.int64)
     out_terms = terms_sorted.take(pa.array(row_group_starts)) if n_rows else pa.array([], pa.string())
+    out_fields = fields_sorted.take(pa.array(row_group_starts)) if n_rows else pa.array([], pa.string())
     doc_lens = norm_len[s_doc]
 
     postings_tbl = postings_table_from_flat(
@@ -201,6 +209,7 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
         s_tf,
         doc_lens,
         pos_deltas,
+        field=out_fields,
     )
 
     dir_name = f"seg={seg_id:06d}-g{generation}"
@@ -221,15 +230,31 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
             pa.table({"local_id": pa.array(np.unique(np.concatenate(del_parts)), pa.int64())}),
             os.path.join(tmp, "deletes.parquet"),
         )
+    # per-field stats from the merged rows (top-level stats = content field)
+    from .segment import CONTENT_FIELD
+
+    out_fields_np = np.asarray(out_fields.to_pylist(), dtype=object)
+    field_stats = {}
+    for f in np.unique(out_fields_np) if n_rows else []:
+        m = out_fields_np == f
+        field_stats[str(f)] = {
+            "doc_count": int(len(docs)),
+            "num_terms": int(m.sum()),
+            "sum_df": int(dfs_np[m].sum()),
+            "sum_ttf": int(ttfs_np[m].sum()),
+            "has_norms": str(f) == CONTENT_FIELD,
+        }
+    c = field_stats.get(CONTENT_FIELD, {"num_terms": 0, "sum_df": 0, "sum_ttf": 0})
     meta = {
         "seg": seg_id,
         "dir": dir_name,
         "doc_base": int(new_base),
         "doc_count": int(len(docs)),
         "sum_len": int(docs["field_len"].to_numpy().sum()) if len(docs) else 0,
-        "num_terms": int(len(postings_tbl)),
-        "sum_df": int(dfs_np.sum()),
-        "sum_ttf": int(ttfs_np.sum()),
+        "num_terms": c["num_terms"],
+        "sum_df": c["sum_df"],
+        "sum_ttf": c["sum_ttf"],
+        "field_stats": field_stats,
         "lineage": {"merged_from": [m["seg"] for m in members], "generation": generation},
     }
     with open(os.path.join(tmp, "_SEGMENT.json"), "w") as f:
@@ -290,9 +315,29 @@ def merge_index(index_dir: str, *, segs_per_tier: int = SEGS_PER_TIER,
         sum_df=sum(s["sum_df"] for s in segments),
         num_terms=sum(s["num_terms"] for s in segments),
     )
+    # re-aggregate per-field stats: kept segments' _SEGMENT.json + new metas
+    field_stats: dict[str, dict] = {}
+    kept_metas = []
+    for s in keep:
+        try:
+            with open(os.path.join(reader.seg_dir(s["seg"]), "_SEGMENT.json")) as f:
+                kept_metas.append(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            pass
+    for meta in kept_metas + list(new_entries):
+        for fname, fs in meta.get("field_stats", {}).items():
+            agg = field_stats.setdefault(
+                fname,
+                {"doc_count": 0, "num_terms": 0, "sum_df": 0, "sum_ttf": 0,
+                 "has_norms": fs.get("has_norms", False)},
+            )
+            for k in ("doc_count", "num_terms", "sum_df", "sum_ttf"):
+                agg[k] += fs.get(k, 0)
+
     manifest = dict(reader.manifest)
     manifest["generation"] = generation
     manifest["stats"] = stats.to_dict()
+    manifest["field_stats"] = field_stats or reader.manifest.get("field_stats", {})
     manifest["segments"] = [
         {k: s[k] for k in ("seg", "doc_base", "doc_count", "sum_len", "num_terms", "sum_df", "sum_ttf")}
         | ({"dir": s["dir"]} if "dir" in s else {})

@@ -19,7 +19,20 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from .build import IndexStats
-from .segment import segment_dir
+from .segment import CONTENT_FIELD, segment_dir
+
+
+def pairs_filter(pairs):
+    """(field, term) pairs → pushdown filter expression over the postings
+    files: OR of per-field ``field == f & term ∈ {..}`` clauses."""
+    by_field: dict[str, set[str]] = {}
+    for f, t in pairs:
+        by_field.setdefault(f, set()).add(t)
+    expr = None
+    for f in sorted(by_field):
+        e = (pc.field("field") == f) & pc.field("term").isin(sorted(by_field[f]))
+        expr = e if expr is None else (expr | e)
+    return expr
 
 
 def _levenshtein_leq(a: str, b: str, k: int) -> bool:
@@ -55,6 +68,19 @@ class IndexReader:
         )
         self.segments = self.manifest["segments"]
         self._seg_by_id = {s["seg"]: s for s in self.segments}
+        #: per-field CollectionStatistics (FieldInfos analog); content-only
+        #: indexes built before multi-field fall back to the global stats
+        self.field_stats: dict[str, dict] = self.manifest.get(
+            "field_stats",
+            {CONTENT_FIELD: {
+                "doc_count": self.stats.doc_count, "sum_df": self.stats.sum_df,
+                "sum_ttf": self.stats.sum_ttf, "num_terms": self.stats.num_terms,
+                "has_norms": True,
+            }},
+        )
+
+    def field_doc_count(self, field: str) -> int:
+        return int(self.field_stats.get(field, {}).get("doc_count", self.stats.doc_count))
 
     # ------------------------------------------------------------------
     def seg_dir(self, seg: int) -> str:
@@ -80,27 +106,34 @@ class IndexReader:
         return self._seg_by_id[seg]["doc_count"]
 
     # ------------------------------------------------------------------
-    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """Global (df, ttf) per term — TermStatistics analog
+    def term_stats(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], tuple[int, int]]:
+        """Global (df, ttf) per (field, term) — TermStatistics analog
         (search/IndexSearcher.java:797). Sums per-segment rows via a pruned
-        parquet scan (term + df + ttf columns, term-isin pushdown)."""
-        if not terms:
+        parquet scan (field/term/df/ttf columns, field+term pushdown)."""
+        pairs = [p if isinstance(p, tuple) else (CONTENT_FIELD, p) for p in pairs]
+        if not pairs:
             return {}
         dset = pads.dataset(self.postings_files())
-        tbl = dset.to_table(columns=["term", "df", "ttf"], filter=pc.field("term").isin(terms))
-        out: dict[str, tuple[int, int]] = {t: (0, 0) for t in terms}
-        for t, df, ttf in zip(
-            tbl["term"].to_pylist(), tbl["df"].to_numpy(), tbl["ttf"].to_numpy()
+        tbl = dset.to_table(
+            columns=["field", "term", "df", "ttf"], filter=pairs_filter(pairs)
+        )
+        out: dict[tuple[str, str], tuple[int, int]] = {p: (0, 0) for p in pairs}
+        for f, t, df, ttf in zip(
+            tbl["field"].to_pylist(), tbl["term"].to_pylist(),
+            tbl["df"].to_numpy(), tbl["ttf"].to_numpy()
         ):
-            d0, t0 = out[t]
-            out[t] = (d0 + int(df), t0 + int(ttf))
+            if (f, t) in out:
+                d0, t0 = out[(f, t)]
+                out[(f, t)] = (d0 + int(df), t0 + int(ttf))
         return out
 
     MAX_EXPANSIONS = 65_536
 
-    def distinct_terms(self, flt=None) -> pa.Array:
-        """Distinct terms across segments, optional pushdown filter
-        (term-dictionary scan; Parquet row-group stats prune term ranges)."""
+    def distinct_terms(self, flt=None, field: str = CONTENT_FIELD) -> pa.Array:
+        """Distinct terms of one field across segments, optional pushdown
+        filter (term-dictionary scan; row-group stats prune term ranges)."""
+        ffilter = pc.field("field") == field
+        flt = ffilter if flt is None else (ffilter & flt)
         dset = pads.dataset(self.postings_files())
         tbl = dset.to_table(columns=["term"], filter=flt)
         return pc.unique(tbl["term"])
@@ -122,7 +155,7 @@ class IndexReader:
             flt = (pc.field("term") >= q.prefix) & (
                 pc.field("term") <= q.prefix + "\U0010FFFF"
             )
-            cand = self.distinct_terms(flt)
+            cand = self.distinct_terms(flt, field=q.field)
             mask = pc.starts_with(cand, q.prefix)
             out = pc.filter(cand, mask).to_pylist()
         elif isinstance(q, TermRangeQuery):
@@ -132,21 +165,21 @@ class IndexReader:
             if q.upper is not None:
                 f2 = (pc.field("term") <= q.upper) if q.include_upper else (pc.field("term") < q.upper)
                 flt = f2 if flt is None else (flt & f2)
-            out = self.distinct_terms(flt).to_pylist()
+            out = self.distinct_terms(flt, field=q.field).to_pylist()
         elif isinstance(q, WildcardQuery):
             like = (
                 q.pattern.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
                 .replace("*", "%").replace("?", "_")
             )
-            cand = self.distinct_terms()
+            cand = self.distinct_terms(field=q.field)
             out = pc.filter(cand, pc.match_like(cand, like)).to_pylist()
         elif isinstance(q, RegexpQuery):
-            cand = self.distinct_terms()
+            cand = self.distinct_terms(field=q.field)
             out = pc.filter(
                 cand, pc.match_substring_regex(cand, f"^(?:{q.pattern})$")
             ).to_pylist()
         elif isinstance(q, FuzzyQuery):
-            cand = self.distinct_terms()
+            cand = self.distinct_terms(field=q.field)
             if q.prefix_length:
                 cand = pc.filter(cand, pc.starts_with(cand, q.term[: q.prefix_length]))
             lens = pc.utf8_length(cand).to_numpy()
@@ -163,10 +196,12 @@ class IndexReader:
             raise ValueError(f"multi-term query expands to {len(out)} terms (cap {self.MAX_EXPANSIONS})")
         return out
 
-    def postings_for_terms(self, terms: list[str], columns: list[str] | None = None) -> pa.Table:
-        """All segments' posting rows for the given terms (pushdown scan)."""
+    def postings_for_terms(self, pairs: list, columns: list[str] | None = None) -> pa.Table:
+        """All segments' posting rows for the given (field, term) pairs
+        (pushdown scan); bare term strings mean the content field."""
+        pairs = [p if isinstance(p, tuple) else (CONTENT_FIELD, p) for p in pairs]
         dset = pads.dataset(self.postings_files())
-        return dset.to_table(columns=columns, filter=pc.field("term").isin(terms))
+        return dset.to_table(columns=columns, filter=pairs_filter(pairs))
 
     def live_mask(self, seg: int) -> np.ndarray | None:
         """Boolean live-docs mask for the segment (liveDocs bitset analog),

@@ -33,7 +33,14 @@ from ..util.smallfloat import LENGTH_TABLE, int_to_byte4
 from .plan import BuildPlan, sort_keys
 
 #: bump when the on-disk segment layout changes (cache invalidation)
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
+
+#: the analyzed full-text field (TextField analog — tokenized, with norms);
+#: all other indexed fields are keyword fields (StringField analog — one
+#: verbatim term, position 0, omitNorms). Lucene models this per-field in
+#: FieldInfos (``index/FieldInfos.java``, ``index/IndexOptions.java``).
+CONTENT_FIELD = "content"
+DEFAULT_KEYWORD_FIELDS = ("repo", "path", "lang")
 
 DOCS_SCHEMA = pa.schema(
     [
@@ -51,6 +58,7 @@ DOCS_SCHEMA = pa.schema(
 POSTINGS_SCHEMA = pa.schema(
     [
         ("seg", pa.int32()),
+        ("field", pa.string()),
         ("term", pa.string()),
         ("df", pa.int64()),
         ("ttf", pa.int64()),
@@ -201,10 +209,14 @@ class SegmentWriter:
     Returns a one-row manifest table (tiny) as the stage output.
     """
 
-    def __init__(self, index_dir: str, plan: BuildPlan, seg_offset: int = 0):
+    def __init__(self, index_dir: str, plan: BuildPlan, seg_offset: int = 0,
+                 keyword_fields: tuple[str, ...] = DEFAULT_KEYWORD_FIELDS,
+                 positions: bool = True):
         self.index_dir = index_dir
         self.plan = plan
         self.seg_offset = seg_offset  # delta builds append after existing seg ids
+        self.keyword_fields = tuple(keyword_fields)
+        self.positions = positions
 
     def __call__(self, group: pa.Table) -> pa.Table:
         rid = int(group["range_id"][0].as_py()) + self.seg_offset
@@ -244,7 +256,13 @@ class SegmentWriter:
             },
         ).cast(DOCS_SCHEMA)
 
-        postings_tbl = self._build_postings(rid, group, n)
+        # per-field posting tables, concatenated in field-name order so the
+        # whole table is sorted by (field, term) — Parquet row-group stats
+        # prune on both columns
+        parts = {CONTENT_FIELD: self._build_postings(rid, group, n)}
+        for kf in self.keyword_fields:
+            parts[kf] = self._build_keyword_postings(rid, group, n, kf, with_pos=self.positions)
+        postings_tbl = pa.concat_tables([parts[f] for f in sorted(parts)])
 
         seg_d = segment_dir(self.index_dir, rid)
         tmp_d = os.path.join(self.index_dir, "segments", f".tmp-{rid:06d}-{uuid.uuid4().hex[:8]}")
@@ -255,14 +273,26 @@ class SegmentWriter:
             os.path.join(tmp_d, "postings.parquet"),
             row_group_size=8192,  # sorted term column + row-group stats → term-range pruning
         )
+        content_tbl = parts[CONTENT_FIELD]
         meta = {
             "seg": rid,
             "doc_base": int(doc_base),
             "doc_count": int(n),
             "sum_len": int(np.asarray(group["field_len"].to_numpy()).sum()) if n else 0,
-            "num_terms": int(len(postings_tbl)),
-            "sum_df": int(postings_tbl["df"].to_numpy().sum()) if len(postings_tbl) else 0,
-            "sum_ttf": int(postings_tbl["ttf"].to_numpy().sum()) if len(postings_tbl) else 0,
+            # top-level stats are the CONTENT field's (BM25 avgdl inputs)
+            "num_terms": int(len(content_tbl)),
+            "sum_df": int(content_tbl["df"].to_numpy().sum()) if len(content_tbl) else 0,
+            "sum_ttf": int(content_tbl["ttf"].to_numpy().sum()) if len(content_tbl) else 0,
+            "field_stats": {
+                f: {
+                    "doc_count": int(n),
+                    "num_terms": int(len(t)),
+                    "sum_df": int(t["df"].to_numpy().sum()) if len(t) else 0,
+                    "sum_ttf": int(t["ttf"].to_numpy().sum()) if len(t) else 0,
+                    "has_norms": f == CONTENT_FIELD,
+                }
+                for f, t in parts.items()
+            },
             "lineage": {"range_id": rid, "key_range": self._key_range(rid)},
         }
         with open(os.path.join(tmp_d, "_SEGMENT.json"), "w") as f:
@@ -345,6 +375,37 @@ class SegmentWriter:
             rid, sorted_terms, starts, dfs, ttfs, s_doc, s_tf, doc_lens, pdeltas
         )
 
+    def _build_keyword_postings(self, rid: int, group: pa.Table, n: int, field: str,
+                                with_pos: bool) -> pa.Table:
+        """Keyword-field postings (StringField analog): one verbatim term per
+        doc, tf=1, position 0, omitNorms (block_min_len is unused — scoring
+        treats missing norms as norm=k1, BM25Similarity.java:263)."""
+        import pyarrow.compute as pc
+
+        if n == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in POSTINGS_SCHEMA})
+        col = group[field].combine_chunks()
+        dict_arr = pc.dictionary_encode(col)
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        codes = dict_arr.indices.to_numpy().astype(np.int64)
+        uniq = dict_arr.dictionary
+        uorder = pc.sort_indices(uniq).to_numpy().astype(np.int64)
+        rank_of = np.empty(len(uniq), dtype=np.int64)
+        rank_of[uorder] = np.arange(len(uniq))
+        local_doc = np.arange(n, dtype=np.int64)
+        order = np.argsort(rank_of[codes] * np.int64(n) + local_doc, kind="stable")
+        s_term_rank = rank_of[codes][order]
+        s_doc = local_doc[order]
+        s_tf = np.ones(n, dtype=np.int64)
+        starts = np.flatnonzero(np.diff(s_term_rank, prepend=-1))
+        dfs = np.diff(np.append(starts, n))
+        pdeltas = np.zeros(n, dtype=np.int64) if with_pos else None
+        return postings_table_from_flat(
+            rid, uniq.take(pa.array(uorder)), starts, dfs, dfs.copy(), s_doc, s_tf,
+            np.ones(n, dtype=np.int64), pdeltas, field=field,
+        )
+
 
 def postings_table_from_flat(
     seg_id: int,
@@ -356,10 +417,12 @@ def postings_table_from_flat(
     s_tf: np.ndarray,
     doc_lens: np.ndarray,
     pos_deltas: np.ndarray | None,
+    field: str | pa.Array = CONTENT_FIELD,
 ) -> pa.Table:
     """Encode flat (term,doc)-sorted postings into the segment postings table
     (shared by the initial build and the merge job). ``pos_deltas``: per-pair
-    within-doc delta stream aligned with cumsum(s_tf), or None."""
+    within-doc delta stream aligned with cumsum(s_tf), or None. ``field``: a
+    constant field name, or a per-row array (merge path)."""
     # batch FOR encode: every term's postings in one vectorized pass
     deltas = np.empty(len(s_doc), dtype=np.int64)
     if len(s_doc):
@@ -389,9 +452,14 @@ def postings_table_from_flat(
             [None, pa.py_buffer(offs.astype(np.int64).tobytes()), pa.py_buffer(buf.tobytes())],
         )
 
+    if isinstance(field, str):
+        field_arr = pa.array(np.full(len(starts), field, dtype=object), pa.string())
+    else:
+        field_arr = field.cast(pa.string())
     return pa.table(
         {
             "seg": pa.array(np.full(len(starts), seg_id, dtype=np.int32)),
+            "field": field_arr,
             "term": sorted_terms.cast(pa.string()),
             "df": pa.array(dfs, pa.int64()),
             "ttf": pa.array(ttfs, pa.int64()),

@@ -32,6 +32,7 @@ from ..analysis.tokenizer import StandardAnalyzer
 from .build import IndexStats, _next_generation
 from .plan import compute_plan
 from .reader import IndexReader
+from .segment import DEFAULT_KEYWORD_FIELDS as _DEFAULT_KW
 from .segment import AnalyzeInvert, SegmentWriter
 
 
@@ -76,9 +77,18 @@ def add_documents(
         batch_size=batch_size,
         concurrency=(1, max(1, ncpu - 1)),
     )
+    keyword_fields = tuple(
+        reader.manifest.get("keyword_fields", list(_DEFAULT_KW))
+    )  # sticky per index, like all IndexOptions
     out = analyzed.groupby("range_id").map_groups(
         _write_delta_group,
-        fn_kwargs={"index_dir": index_dir, "plan": plan, "seg_offset": seg_offset},
+        fn_kwargs={
+            "index_dir": index_dir,
+            "plan": plan,
+            "seg_offset": seg_offset,
+            "keyword_fields": keyword_fields,
+            "positions": positions,
+        },
         batch_format="pyarrow",
     )
     new_rows = [row for b in out.iter_batches(batch_format="pyarrow") for row in b.to_pylist()]
@@ -90,18 +100,46 @@ def add_documents(
     return _commit_manifest(index_dir, reader, segments)
 
 
-def _write_delta_group(group, *, index_dir: str, plan, seg_offset: int):
-    return SegmentWriter(index_dir, plan, seg_offset=seg_offset)(group)
+def _write_delta_group(group, *, index_dir: str, plan, seg_offset: int,
+                       keyword_fields=None, positions=True):
+    return SegmentWriter(
+        index_dir, plan, seg_offset=seg_offset,
+        keyword_fields=keyword_fields or _DEFAULT_KW, positions=positions,
+    )(group)
 
 
 def _commit_manifest(index_dir: str, reader: IndexReader, segments: list[dict]) -> dict:
+    from .segment import segment_dir
+
     stats = IndexStats(
         doc_count=sum(s["doc_count"] for s in segments),
         sum_ttf=sum(s["sum_ttf"] for s in segments),
         sum_df=sum(s["sum_df"] for s in segments),
         num_terms=sum(s["num_terms"] for s in segments),
     )
+    # re-aggregate per-field stats from the live segments' _SEGMENT.json
+    field_stats: dict[str, dict] = {}
+    for s in segments:
+        try:
+            sd = reader.seg_dir(s["seg"])
+        except KeyError:
+            sd = segment_dir(index_dir, s["seg"])  # freshly appended delta segment
+        try:
+            with open(os.path.join(sd, "_SEGMENT.json")) as f:
+                meta = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for fname, fs in meta.get("field_stats", {}).items():
+            agg = field_stats.setdefault(
+                fname,
+                {"doc_count": 0, "num_terms": 0, "sum_df": 0, "sum_ttf": 0,
+                 "has_norms": fs.get("has_norms", False)},
+            )
+            for k in ("doc_count", "num_terms", "sum_df", "sum_ttf"):
+                agg[k] += fs.get(k, 0)
     manifest = dict(reader.manifest)
+    if field_stats:
+        manifest["field_stats"] = field_stats
     manifest["generation"] = _next_generation(index_dir)
     manifest["stats"] = stats.to_dict()
     manifest["segments"] = sorted(segments, key=lambda s: s["doc_base"])

@@ -103,7 +103,11 @@ def ft_term_stats(sf_dir: str, limit: int = 200) -> pa.Table:
     import ray.data
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(r.postings_files(), columns=["term", "df", "ttf"])
+    ds = ray.data.read_parquet(
+        r.postings_files(),
+        columns=["term", "df", "ttf"],
+        filter=pa.compute.field("field") == "content",
+    )
     top = (
         ds.groupby("term")
         .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
@@ -127,7 +131,11 @@ def ft_collection_stats(sf_dir: str) -> pa.Table:
     # distributed distinct-term count: groupby shuffles only the term column;
     # .count() on the grouped dataset is a metadata row count
     distinct = (
-        ray.data.read_parquet(r.postings_files(), columns=["term"])
+        ray.data.read_parquet(
+            r.postings_files(),
+            columns=["term"],
+            filter=pa.compute.field("field") == "content",
+        )
         .groupby("term")
         .count()
         .count()
@@ -253,6 +261,74 @@ def ft_prefix(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+#: field:term query set (FieldInfos / QueryParserBase field-syntax analog)
+FIELD_SPECS = [
+    {"qid": "kw_lang_de", "kind": "kw", "col": "lang", "value": "de", "k": TOPK_K},
+    {"qid": "lang_en_and_merge", "kind": "kw_and_content", "col": "lang", "value": "en",
+     "term": "merge", "k": TOPK_K},
+    {"qid": "repo_src1_window", "kind": "kw_and_content", "col": "source", "value": "src1",
+     "term": "window", "k": TOPK_K},
+    {"qid": "path_prefix_doc10", "kind": "path_prefix", "prefix": "doc/10"},
+]
+
+#: keyword-field name in the INDEX for each spec's documents column
+_FIELD_COL_TO_INDEX = {"lang": "lang", "source": "repo"}
+
+
+def ft_field_search(sf_dir: str) -> pa.Table:
+    """Multi-field search: keyword-field terms (StringField semantics —
+    verbatim, omitNorms) standalone and combined with scored content terms,
+    plus a keyword-field prefix query. Exercises per-field postings, per-field
+    collection stats and the missing-norms scoring path."""
+    from ..search.query import parse_query
+
+    s = get_searcher(sf_dir)
+    queries = {}
+    for sp in FIELD_SPECS:
+        if sp["kind"] == "kw":
+            queries[sp["qid"]] = TermQuery(sp["value"], field=_FIELD_COL_TO_INDEX[sp["col"]])
+        elif sp["kind"] == "kw_and_content":
+            # parser round-trip: "lang:en AND merge" (field:term syntax)
+            queries[sp["qid"]] = parse_query(
+                f"{_FIELD_COL_TO_INDEX[sp['col']]}:{sp['value']} AND {sp['term']}"
+            )
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    tables = [
+        pa.table(
+            {
+                "query_id": res["query_id"],
+                "rank": res["rank"].cast(pa.int64()),
+                "doc_id": res["doc_id"],
+            }
+        )
+    ]
+    # path prefix: constant-score doc set, rank = doc order
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    for sp in FIELD_SPECS:
+        if sp["kind"] != "path_prefix":
+            continue
+        scattered = s._scatter_match(PrefixQuery(sp["prefix"], field="path"), "ids")
+        gids: list[np.ndarray] = []
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                if len(b):
+                    segs = b["seg"].to_numpy()
+                    lids = b["local_id"].to_numpy().astype(np.int64)
+                    for sv in np.unique(segs):
+                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
+        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        tables.append(
+            pa.table(
+                {
+                    "query_id": pa.array([sp["qid"]] * len(ids), pa.string()),
+                    "rank": pa.array(np.arange(len(ids)), pa.int64()),
+                    "doc_id": pa.array(ids, pa.int64()),
+                }
+            )
+        )
+    return pa.concat_tables(tables)
 
 
 FACET_TERM = "merge"

@@ -237,6 +237,53 @@ ORDER BY c.{field} {direction}, m.did ASC LIMIT {k}
 """
 
 
+def _kw_score_sql(col: str, value: str) -> str:
+    """BM25 score of one keyword-field term (StringField: tf=1, omitNorms →
+    norm=k1, BM25Similarity.java:263), engine float64 op order."""
+    dfk = f"(SELECT count(*) FROM corpus WHERE {col} = '{value}')"
+    idf = f"ln(1 + ((SELECT dc FROM stats) - {dfk} + 0.5) / ({dfk} + 0.5))"
+    return f"((({idf}) * {1.0!r}) * {K1 + 1!r}) * {1.0!r} / ({1.0!r} + {K1!r})"
+
+
+def sql_field_search(specs: list[dict]) -> str:
+    """field:term query set → (query_id, rank, doc_id).
+
+    kinds: 'kw' (keyword term only — constant score, rank = doc order),
+    'kw_and_content' (MUST keyword + MUST content term; score = kw_const +
+    content_score, the engine's canonical clause order), 'path_prefix'
+    (constant-score doc set, rank = doc order)."""
+    parts = []
+    for sp in specs:
+        qid = sp["qid"]
+        if sp["kind"] == "kw":
+            parts.append(prelude() + f"""
+SELECT '{qid}' AS query_id,
+       CAST(row_number() OVER (ORDER BY did) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id
+FROM corpus WHERE {sp['col']} = '{sp['value']}' ORDER BY did LIMIT {sp['k']}
+""")
+        elif sp["kind"] == "kw_and_content":
+            kw = _kw_score_sql(sp["col"], sp["value"])
+            parts.append(prelude() + "," + _score_cte([sp["term"]]) + f"""
+SELECT '{qid}' AS query_id,
+       CAST(row_number() OVER (ORDER BY {kw} + a.score DESC, a.did ASC) - 1 AS BIGINT) AS rank,
+       CAST(a.did AS BIGINT) AS doc_id
+FROM agg a JOIN corpus c USING (did)
+WHERE c.{sp['col']} = '{sp['value']}' AND a.nmatch >= 1
+ORDER BY {kw} + a.score DESC, a.did ASC LIMIT {sp['k']}
+""")
+        elif sp["kind"] == "path_prefix":
+            parts.append(prelude() + f"""
+SELECT '{qid}' AS query_id,
+       CAST(row_number() OVER (ORDER BY did) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id
+FROM corpus WHERE path LIKE '{sp['prefix']}%' ORDER BY did
+""")
+        else:
+            raise ValueError(sp["kind"])
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
+
+
 def sql_topk_union(specs: list[dict]) -> str:
     """UNION ALL of several sql_topk queries (shared column set)."""
     with_score = all(s.get("with_score") for s in specs)

@@ -16,6 +16,9 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+#: the analyzed full-text field; every query node defaults to it
+CONTENT_FIELD = "content"
+
 
 class Query:
     pass
@@ -23,8 +26,12 @@ class Query:
 
 @dataclass(frozen=True)
 class TermQuery(Query):
+    """Single-term query; ``field`` selects the indexed field (FieldInfos
+    analog — keyword fields are matched verbatim, content is analyzed)."""
+
     term: str
     boost: float = 1.0
+    field: str = CONTENT_FIELD
 
 
 @dataclass(frozen=True)
@@ -43,6 +50,7 @@ class PhraseQuery(Query):
     terms: tuple[str, ...]
     rel_positions: tuple[int, ...]
     boost: float = 1.0
+    field: str = CONTENT_FIELD
 
 
 @dataclass(frozen=True)
@@ -52,6 +60,7 @@ class SynonymQuery(Query):
 
     terms: tuple[str, ...]
     boost: float = 1.0
+    field: str = CONTENT_FIELD
 
 
 @dataclass(frozen=True)
@@ -88,18 +97,21 @@ class DisjunctionMaxQuery(Query):
 class PrefixQuery(Query):
     prefix: str
     boost: float = 1.0
+    field: str = CONTENT_FIELD
 
 
 @dataclass(frozen=True)
 class WildcardQuery(Query):
     pattern: str  # ``*`` = any run, ``?`` = one char (search/WildcardQuery.java)
     boost: float = 1.0
+    field: str = CONTENT_FIELD
 
 
 @dataclass(frozen=True)
 class RegexpQuery(Query):
     pattern: str  # anchored full-term match (search/RegexpQuery.java)
     boost: float = 1.0
+    field: str = CONTENT_FIELD
 
 
 @dataclass(frozen=True)
@@ -109,6 +121,7 @@ class TermRangeQuery(Query):
     include_lower: bool = True
     include_upper: bool = True
     boost: float = 1.0
+    field: str = CONTENT_FIELD
 
 
 @dataclass(frozen=True)
@@ -117,6 +130,7 @@ class FuzzyQuery(Query):
     max_edits: int = 2  # Levenshtein ≤ 2 (search/FuzzyQuery.java)
     prefix_length: int = 0
     boost: float = 1.0
+    field: str = CONTENT_FIELD
 
 
 @dataclass(frozen=True)
@@ -125,6 +139,7 @@ class TermInSetQuery(Query):
 
     terms: tuple[str, ...]
     boost: float = 1.0
+    field: str = CONTENT_FIELD
 
 
 MULTI_TERM_TYPES = (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, FuzzyQuery)
@@ -137,6 +152,7 @@ class ExpandedTermsQuery(Query):
 
     terms: tuple[str, ...]
     boost: float = 1.0
+    field: str = CONTENT_FIELD
 
 
 @dataclass
@@ -146,20 +162,21 @@ class BooleanQuery(Query):
     must_not: list = field(default_factory=list)
     min_should_match: int = 0
 
-    def terms(self) -> set[str]:
-        out: set[str] = set()
+    def terms(self) -> set[tuple[str, str]]:
+        out: set[tuple[str, str]] = set()
         for q in (*self.must, *self.should, *self.must_not):
             out |= query_terms(q)
         return out
 
 
-def query_terms(q: Query) -> set[str]:
+def query_terms(q: Query) -> set[tuple[str, str]]:
+    """→ set of (field, term) pairs the query touches (TermContext analog)."""
     if isinstance(q, TermQuery):
-        return {q.term}
+        return {(q.field, q.term)}
     if isinstance(q, PhraseQuery):
-        return set(q.terms)
+        return {(q.field, t) for t in q.terms}
     if isinstance(q, (SynonymQuery, ExpandedTermsQuery, TermInSetQuery)):
-        return set(q.terms)
+        return {(q.field, t) for t in q.terms}
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return query_terms(q.query)
     if isinstance(q, DisjunctionMaxQuery):
@@ -178,18 +195,18 @@ def rewrite(q: Query, reader) -> Query:
     if isinstance(q, BoostQuery):
         inner = rewrite(q.query, reader)
         if isinstance(inner, TermQuery):
-            return TermQuery(inner.term, inner.boost * q.boost)
+            return TermQuery(inner.term, inner.boost * q.boost, inner.field)
         if isinstance(inner, PhraseQuery):
-            return PhraseQuery(inner.terms, inner.rel_positions, inner.boost * q.boost)
+            return PhraseQuery(inner.terms, inner.rel_positions, inner.boost * q.boost, inner.field)
         if isinstance(inner, (SynonymQuery, ExpandedTermsQuery, TermInSetQuery)):
-            return type(inner)(inner.terms, inner.boost * q.boost)
+            return type(inner)(inner.terms, inner.boost * q.boost, inner.field)
         if isinstance(inner, ConstantScoreQuery):
             return ConstantScoreQuery(inner.query, inner.boost * q.boost)
         return BoostQuery(inner, q.boost)
     if isinstance(q, MULTI_TERM_TYPES):
-        return ExpandedTermsQuery(tuple(sorted(reader.expand_terms(q))), _mt_boost(q))
+        return ExpandedTermsQuery(tuple(sorted(reader.expand_terms(q))), _mt_boost(q), q.field)
     if isinstance(q, TermInSetQuery):
-        return ExpandedTermsQuery(tuple(sorted(q.terms)), q.boost)
+        return ExpandedTermsQuery(tuple(sorted(q.terms)), q.boost, q.field)
     if isinstance(q, ConstantScoreQuery):
         return ConstantScoreQuery(rewrite(q.query, reader), q.boost)
     if isinstance(q, DisjunctionMaxQuery):
@@ -211,17 +228,25 @@ def _mt_boost(q) -> float:
 
 
 _TOKEN = re.compile(r"\(|\)|\"[^\"]*\"|AND\b|OR\b|NOT\b|[+\-]?[^\s()]+")
+_FIELD_TOKEN = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", re.S)
+
+#: fields parsed VERBATIM (StringField analog); everything else is analyzed
+DEFAULT_KEYWORD_FIELDS = ("repo", "path", "lang")
 
 
-def parse_query(s: str, analyzer=None) -> Query:
-    """Recursive-descent parser for the classic subset.
+def parse_query(s: str, analyzer=None,
+                keyword_fields: tuple[str, ...] = DEFAULT_KEYWORD_FIELDS) -> Query:
+    """Recursive-descent parser for the classic subset, incl. ``field:term``
+    (``queryparser/classic/QueryParserBase.java:105``).
 
     Terms are passed through the analyzer (lowercase etc.) like
-    ``QueryParserBase`` analyzes query text with the index analyzer.
+    ``QueryParserBase`` analyzes query text with the index analyzer; values
+    of ``keyword_fields`` are kept verbatim (StringField semantics).
     """
     from ..analysis.tokenizer import StandardAnalyzer, analyze_with_positions
 
     analyzer = analyzer or StandardAnalyzer()
+    kw_fields = set(keyword_fields)
     toks = _TOKEN.findall(s)
     pos = 0
 
@@ -289,24 +314,32 @@ def parse_query(s: str, analyzer=None) -> Query:
             req, tok = True, tok[1:]
         elif tok.startswith("-"):
             neg, tok = True, tok[1:]
+        fld = CONTENT_FIELD
+        m = _FIELD_TOKEN.match(tok)
+        if m and not tok.startswith('"'):
+            fld, tok = m.group(1), m.group(2)
+            if fld in kw_fields:  # verbatim term (StringField)
+                q: Query = TermQuery(tok.strip('"'), field=fld)
+                return _Neg(q) if neg else (_Req(q) if req else q)
         if tok.startswith('"'):
             analyzed = analyze_with_positions(tok.strip('"'), analyzer)
             if not analyzed:
                 return None
             if len(analyzed) == 1:
-                return TermQuery(analyzed[0][0])
+                return TermQuery(analyzed[0][0], field=fld)
             base = analyzed[0][1]
             return PhraseQuery(
                 terms=tuple(t for t, _ in analyzed),
                 rel_positions=tuple(p - base for _, p in analyzed),
+                field=fld,
             )
         analyzed = analyze_with_positions(tok, analyzer)
         if not analyzed:
             return None
         if len(analyzed) == 1:
-            q: Query = TermQuery(analyzed[0][0])
+            q = TermQuery(analyzed[0][0], field=fld)
         else:  # one input word analyzed into several terms → OR them
-            q = BooleanQuery(should=[TermQuery(t0) for t0, _ in analyzed])
+            q = BooleanQuery(should=[TermQuery(t0, field=fld) for t0, _ in analyzed])
         if neg:
             return _Neg(q)
         if req:

@@ -24,6 +24,7 @@ import pyarrow as pa
 from ..util.forutil import decode_postings
 from .bm25 import BM25Similarity
 from .query import (
+    CONTENT_FIELD,
     BooleanQuery,
     BoostQuery,
     ConstantScoreQuery,
@@ -37,13 +38,18 @@ from .query import (
 )
 
 
-def decode_segment_postings(group: pa.Table) -> dict[str, tuple[np.ndarray, np.ndarray]]:
-    """posting rows of ONE segment → {term: (local_ids int64, freqs int32)}."""
-    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+def decode_segment_postings(group: pa.Table) -> dict:
+    """posting rows of ONE segment → {(field, term): (local_ids, freqs)}."""
+    out: dict = {}
     terms = group["term"].to_pylist()
+    fields = (
+        group["field"].to_pylist()
+        if "field" in group.column_names
+        else [CONTENT_FIELD] * len(terms)
+    )
     dfs = group["df"].to_numpy()
-    for i, t in enumerate(terms):
-        out[t] = decode_postings(
+    for i, (f, t) in enumerate(zip(fields, terms)):
+        out[(f, t)] = decode_postings(
             group["doc_blob"][i].as_py(), group["freq_blob"][i].as_py(), int(dfs[i])
         )
     return out
@@ -60,31 +66,42 @@ class SegmentScorer:
         self,
         sim: BM25Similarity,
         postings,
-        weights: dict[str, float],
+        weights: dict[tuple[str, str], float],
         cache: np.ndarray,
         norms: np.ndarray,
         lazy: dict | None = None,
     ):
         self.sim = sim
-        self.postings = postings
-        self.weights = weights  # term → idf (global stats)
-        self.cache = cache
-        self.norms = norms
-        self.lazy = lazy  # {term: LazyTermPostings} for positional queries
-        self._term_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self.postings = postings  # {(field, term): (ids, freqs)}
+        self.weights = weights  # (field, term) → idf (global per-field stats)
+        self.cache = cache  # content-field norm cache
+        self.norms = norms  # content-field norm bytes per local doc
+        self.lazy = lazy  # {(field, term): LazyTermPostings} for positional queries
+        self._term_cache: dict = {}
+        # keyword fields omit norms: missing norms score with norm = k1
+        # (BM25Similarity.java:263); a constant cache + zero norm bytes
+        # reproduces that through the same score_freqs kernel
+        self._nonorm_cache = np.full(256, sim.dtype.type(sim.k1), dtype=sim.dtype)
+
+    def _norm_inputs(self, field: str, ids: np.ndarray):
+        """→ (norm_bytes, cache) for the field (content has real norms)."""
+        if field == CONTENT_FIELD:
+            return self.norms[ids], self.cache
+        return np.zeros(len(ids), dtype=np.int64), self._nonorm_cache
 
     # ------------------------------------------------------------------
     def term_match(self, q: TermQuery) -> tuple[np.ndarray, np.ndarray]:
-        key = q.term if q.boost == 1.0 else f"{q.term}\x00{q.boost}"
+        key = (q.field, q.term, q.boost)
         hit = self._term_cache.get(key)
         if hit is not None:
             return hit
-        if q.term not in self.postings:
+        if (q.field, q.term) not in self.postings:
             res = (np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype))
         else:
-            ids, freqs = self.postings[q.term]
-            w = self.sim.weight_from_idf(self.weights[q.term], q.boost)
-            scores = self.sim.score_freqs(w, freqs, self.norms[ids], self.cache)
+            ids, freqs = self.postings[(q.field, q.term)]
+            w = self.sim.weight_from_idf(self.weights[(q.field, q.term)], q.boost)
+            nb, cache = self._norm_inputs(q.field, ids)
+            scores = self.sim.score_freqs(w, freqs, nb, cache)
             res = (ids, scores)
         self._term_cache[key] = res
         return res
@@ -98,7 +115,7 @@ class SegmentScorer:
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype))
         tps = []
         for t in q.terms:
-            tp = self.lazy.get(t)
+            tp = self.lazy.get((q.field, t))
             if tp is None or tp.df == 0:
                 return empty
             tps.append(tp)
@@ -134,9 +151,10 @@ class SegmentScorer:
         # float" (BM25Similarity.java idfExplain) — accumulate float64, cast once
         idf_sum = 0.0
         for t in q.terms:  # occurrence order
-            idf_sum += float(self.weights[t])
+            idf_sum += float(self.weights[(q.field, t)])
         w = self.sim.weight_from_idf(self.sim.dtype.type(idf_sum), q.boost)
-        scores = self.sim.score_freqs(w, freqs, self.norms[ids], self.cache)
+        nb, cache = self._norm_inputs(q.field, ids)
+        scores = self.sim.score_freqs(w, freqs, nb, cache)
         return ids, scores
 
     def score_query(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
@@ -150,7 +168,11 @@ class SegmentScorer:
             return self.phrase_match(q)
         if isinstance(q, ExpandedTermsQuery):
             # CONSTANT_SCORE_REWRITE result: union of doc sets, score = boost
-            parts = [self.postings[t][0] for t in q.terms if t in self.postings]
+            parts = [
+                self.postings[(q.field, t)][0]
+                for t in q.terms
+                if (q.field, t) in self.postings
+            ]
             ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
             return ids, np.full(len(ids), q.boost, dtype=self.sim.dtype)
         if isinstance(q, ConstantScoreQuery):
@@ -170,17 +192,20 @@ class SegmentScorer:
     def _synonym_match(self, q: SynonymQuery) -> tuple[np.ndarray, np.ndarray]:
         """SynonymQuery.java: freq = Σ tf across synonyms; stats as if one
         term with the max docFreq (⇔ the minimum idf of the set)."""
-        present = [t for t in q.terms if t in self.postings]
+        present = [t for t in q.terms if (q.field, t) in self.postings]
         if not present:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype)
-        cat_ids = np.concatenate([self.postings[t][0] for t in present])
-        cat_tfs = np.concatenate([self.postings[t][1] for t in present]).astype(np.int64)
+        cat_ids = np.concatenate([self.postings[(q.field, t)][0] for t in present])
+        cat_tfs = np.concatenate(
+            [self.postings[(q.field, t)][1] for t in present]
+        ).astype(np.int64)
         uids, inv = np.unique(cat_ids, return_inverse=True)
         fsum = np.zeros(len(uids), dtype=np.int64)
         np.add.at(fsum, inv, cat_tfs)
-        idf = min(self.weights[t] for t in q.terms)  # idf of the max-df synonym
+        idf = min(self.weights[(q.field, t)] for t in q.terms)  # idf of the max-df synonym
         w = self.sim.weight_from_idf(idf, q.boost)
-        return uids, self.sim.score_freqs(w, fsum, self.norms[uids], self.cache)
+        nb, cache = self._norm_inputs(q.field, uids)
+        return uids, self.sim.score_freqs(w, fsum, nb, cache)
 
     def _dismax(self, q: DisjunctionMaxQuery) -> tuple[np.ndarray, np.ndarray]:
         """DisjunctionMaxScorer.score: max + (sum - max) * tieBreaker."""

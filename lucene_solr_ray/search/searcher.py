@@ -250,8 +250,10 @@ def score_one(q, sim, lazy, weights, cache, norms, k, method="auto",
 
 
 def _wand_applicable(q) -> bool:
+    # content-field-only: WAND block bounds use the content norm cache
     return isinstance(q, BooleanQuery) and bool(q.should) and not q.must and not q.must_not \
-        and q.min_should_match <= 1 and all(isinstance(c, TermQuery) for c in q.should)
+        and q.min_should_match <= 1 \
+        and all(isinstance(c, TermQuery) and c.field == "content" for c in q.should)
 
 
 class Searcher:
@@ -270,21 +272,29 @@ class Searcher:
         return n
 
     # ------------------------------------------------------------------
-    def _weights(self, terms: set[str]) -> dict[str, float]:
-        """term → idf (global stats; scorers derive weightValue per clause)."""
-        stats = self.reader.term_stats(sorted(terms))
-        dc = self.reader.stats.doc_count
-        return {t: float(self.sim.idf(df, dc)) for t, (df, ttf) in stats.items()}
+    def _weights(self, pairs: set[tuple[str, str]]) -> dict[tuple[str, str], float]:
+        """(field, term) → idf (per-field global stats; scorers derive
+        weightValue per clause — collectionStatistics is per field)."""
+        stats = self.reader.term_stats(sorted(pairs))
+        return {
+            (f, t): float(self.sim.idf(df, self.reader.field_doc_count(f)))
+            for (f, t), (df, ttf) in stats.items()
+        }
 
-    def _weights_from_table(self, tbl: pa.Table | None, terms: set[str]) -> dict[str, float]:
+    def _weights_from_table(self, tbl: pa.Table | None, pairs: set) -> dict:
         """Same as _weights but from an already-loaded postings table
         (single-scan local path: df = Σ per-segment df)."""
-        dc = self.reader.stats.doc_count
-        dfs: dict[str, int] = {t: 0 for t in terms}
+        dfs: dict[tuple[str, str], int] = {p: 0 for p in pairs}
         if tbl is not None and len(tbl):
-            for t, df in zip(tbl["term"].to_pylist(), tbl["df"].to_numpy()):
-                dfs[t] += int(df)
-        return {t: float(self.sim.idf(df, dc)) for t, df in dfs.items()}
+            for f, t, df in zip(
+                tbl["field"].to_pylist(), tbl["term"].to_pylist(), tbl["df"].to_numpy()
+            ):
+                if (f, t) in dfs:
+                    dfs[(f, t)] += int(df)
+        return {
+            (f, t): float(self.sim.idf(df, self.reader.field_doc_count(f)))
+            for (f, t), df in dfs.items()
+        }
 
     def search(
         self,
@@ -320,9 +330,11 @@ class Searcher:
             import ray.data
 
             if all_terms:
+                from ..index.reader import pairs_filter
+
                 ds = ray.data.read_parquet(
                     self.reader.postings_files(),
-                    filter=pa.compute.field("term").isin(sorted(all_terms)),
+                    filter=pairs_filter(sorted(all_terms)),
                 )
                 grouped = ds.groupby("seg").map_groups(
                     ScoreSegmentGroup,
@@ -376,15 +388,16 @@ class Searcher:
         query can't be routed through the postings read (no terms /
         MatchAll), in which case callers use the local per-segment loop."""
         query = rewrite(query, self.reader)
-        terms = sorted(query_terms(query))
-        if not terms or _contains_matchall(query):
+        pairs = sorted(query_terms(query))
+        if not pairs or _contains_matchall(query):
             return None
-        weights = self._weights(set(terms))
+        weights = self._weights(set(pairs))
         import ray.data
+        from ..index.reader import pairs_filter
 
         ds = ray.data.read_parquet(
             self.reader.postings_files(),
-            filter=pa.compute.field("term").isin(terms),
+            filter=pairs_filter(pairs),
         )
         return ds.groupby("seg").map_groups(
             MatchFieldGroup,
@@ -410,9 +423,9 @@ class Searcher:
         fallback for the field-sort / facet / delete paths (used for no-term
         and MatchAll queries, and when use_ray=False)."""
         query = rewrite(query, self.reader)
-        terms = sorted(query_terms(query))
-        weights = self._weights(set(terms))
-        tbl = self.reader.postings_for_terms(terms) if terms else None
+        pairs = sorted(query_terms(query))
+        weights = self._weights(set(pairs))
+        tbl = self.reader.postings_for_terms(pairs) if pairs else None
         from .wand import build_lazy
 
         for s in self.reader.segments:
@@ -531,10 +544,12 @@ class Searcher:
             return {"match": False, "value": 0.0, "description": "no match"}
         out = {"match": True, "value": row[0][1], "description": repr(query)}
         if isinstance(query, TermQuery):
-            df, ttf = self.reader.term_stats([query.term])[query.term]
+            key = (query.field, query.term)
+            df, ttf = self.reader.term_stats([key])[key]
+            dc = self.reader.field_doc_count(query.field)
             out["details"] = [
-                {"description": f"idf(df={df}, docCount={self.reader.stats.doc_count})",
-                 "value": float(self.sim.idf(df, self.reader.stats.doc_count))},
+                {"description": f"idf(df={df}, docCount={dc})",
+                 "value": float(self.sim.idf(df, dc))},
                 {"description": f"avgdl", "value": float(self.avgdl)},
             ]
         return out

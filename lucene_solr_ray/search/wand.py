@@ -114,13 +114,20 @@ class LazyPostingsDict:
         return hit
 
 
-def build_lazy(group: pa.Table) -> dict[str, LazyTermPostings]:
+def build_lazy(group: pa.Table) -> dict:
+    """→ {(field, term): LazyTermPostings} for one segment's posting rows."""
     out = {}
     dfs = group["df"].to_numpy()
     ttfs = group["ttf"].to_numpy()
     has_pos = "pos_blob" in group.column_names
-    for i, t in enumerate(group["term"].to_pylist()):
-        out[t] = LazyTermPostings(
+    terms = group["term"].to_pylist()
+    fields = (
+        group["field"].to_pylist()
+        if "field" in group.column_names
+        else ["content"] * len(terms)
+    )
+    for i, t in enumerate(terms):
+        out[(fields[i], t)] = LazyTermPostings(
             group["doc_blob"][i].as_py(),
             group["freq_blob"][i].as_py(),
             int(dfs[i]),
@@ -144,10 +151,10 @@ def wand_topk(q: BooleanQuery, sim, lazy: dict[str, LazyTermPostings],
     terms = []
     for c in clauses:
         assert isinstance(c, TermQuery)
-        tp = lazy.get(c.term)
+        tp = lazy.get((c.field, c.term))
         if tp is None or tp.df == 0:
             continue
-        w = sim.weight_from_idf(weights[c.term], c.boost)
+        w = sim.weight_from_idf(weights[(c.field, c.term)], c.boost)
         mf = tp.maxf.astype(sim.dtype)
         nb = int_to_byte4(tp.minl).astype(np.int64)
         ub = (w * mf / (mf + cache[nb])).astype(sim.dtype)
