@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_sorted_by_path": fulltext.ft_sorted_by_path,
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
+        "ft_numeric_range": fulltext.ft_numeric_range,
         # --- text analysis ---
         "token_count": text.token_count,
         "lang_id": text.lang_id,
@@ -92,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
             [s for s in fulltext.BOOL_SPECS if s["kind"] == "or"]
         ),
         "ft_field_search": fs.sql_field_search(fulltext.FIELD_SPECS),
+        "ft_numeric_range": fs.sql_numeric_range(fulltext.NUMERIC_SPECS),
         "ft_phrase": fs.sql_phrase_union(fulltext.PHRASE_SPECS),
         "ft_prefix": fs.sql_prefix_union(fulltext.PREFIX_SPECS),
         "ft_facets": fs.sql_facets(fulltext.FACET_TERM, "source"),

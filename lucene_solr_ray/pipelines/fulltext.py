@@ -331,6 +331,48 @@ def ft_field_search(sf_dir: str) -> pa.Table:
     return pa.concat_tables(tables)
 
 
+#: numeric range query set over the per-doc field_len column
+#: (PointRangeQuery analog — search/PointRangeQuery.java semantics via the
+#: docs-file numeric column; constant score, top-k tie-break = doc order)
+NUMERIC_SPECS = [
+    {"qid": "len_50_100", "lower": 50, "upper": 100, "k": TOPK_K},
+    {"qid": "len_gt_70", "lower": 70, "include_lower": False, "k": TOPK_K},
+    {"qid": "len_le_30", "upper": 30, "k": TOPK_K},
+    {"qid": "merge_len_20_80", "term": "merge", "lower": 20, "upper": 80, "k": TOPK_K},
+]
+
+
+def ft_numeric_range(sf_dir: str) -> pa.Table:
+    """Numeric range retrieval on ``field_len`` (content token count):
+    pure ranges (constant score → top-k = first k doc ids) and a range
+    combined with a scored MUST term (IndexOrDocValuesQuery-style filtering:
+    BM25 term score + constant-score clause)."""
+    from ..search.query import NumericRangeQuery
+
+    s = get_searcher(sf_dir)
+    queries: dict[str, object] = {}
+    for sp in NUMERIC_SPECS:
+        rq = NumericRangeQuery(
+            "field_len",
+            lower=sp.get("lower"),
+            upper=sp.get("upper"),
+            include_lower=sp.get("include_lower", True),
+            include_upper=sp.get("include_upper", True),
+        )
+        if "term" in sp:
+            queries[sp["qid"]] = BooleanQuery(must=[TermQuery(sp["term"]), rq])
+        else:
+            queries[sp["qid"]] = rq
+    res = s.search(queries, k=TOPK_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+        }
+    )
+
+
 FACET_TERM = "merge"
 SORT_TERM = "window"
 

@@ -284,6 +284,44 @@ FROM corpus WHERE path LIKE '{sp['prefix']}%' ORDER BY did
     return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
 
 
+def sql_numeric_range(specs: list[dict]) -> str:
+    """Numeric range query set over field_len → (query_id, rank, doc_id).
+
+    Pure ranges are constant-score: top-k = first k doc ids. The combined
+    spec ('term' present) is MUST(term) + MUST(range): score = 1.0 (the
+    range clause's constant, accumulated first in the engine's canonical
+    clause order) + the term's BM25 score, ranked desc with doc-id asc
+    tie-break."""
+    parts = []
+    for sp in specs:
+        qid, k = sp["qid"], sp["k"]
+        conds = []
+        if sp.get("lower") is not None:
+            op = ">=" if sp.get("include_lower", True) else ">"
+            conds.append(f"flen {op} {sp['lower']}")
+        if sp.get("upper") is not None:
+            op = "<=" if sp.get("include_upper", True) else "<"
+            conds.append(f"flen {op} {sp['upper']}")
+        cond = " AND ".join(conds) if conds else "TRUE"
+        if "term" in sp:
+            parts.append(prelude() + "," + _score_cte([sp["term"]]) + f"""
+SELECT '{qid}' AS query_id,
+       CAST(row_number() OVER (ORDER BY {1.0!r} + a.score DESC, a.did ASC) - 1 AS BIGINT) AS rank,
+       CAST(a.did AS BIGINT) AS doc_id
+FROM agg a JOIN quant q USING (did)
+WHERE a.nmatch >= 1 AND {cond.replace('flen', 'q.flen')}
+ORDER BY {1.0!r} + a.score DESC, a.did ASC LIMIT {k}
+""")
+        else:
+            parts.append(prelude() + f"""
+SELECT '{qid}' AS query_id,
+       CAST(row_number() OVER (ORDER BY did) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id
+FROM fl WHERE {cond} ORDER BY did LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
+
+
 def sql_topk_union(specs: list[dict]) -> str:
     """UNION ALL of several sql_topk queries (shared column set)."""
     with_score = all(s.get("with_score") for s in specs)

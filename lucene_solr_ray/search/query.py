@@ -142,6 +142,21 @@ class TermInSetQuery(Query):
     field: str = CONTENT_FIELD
 
 
+@dataclass(frozen=True)
+class NumericRangeQuery(Query):
+    """Numeric range over a stored numeric doc column — PointRangeQuery
+    analog (``search/PointRangeQuery.java``, BKD tree replaced by Parquet
+    row-group statistics pushdown on the docs files). Constant-score
+    (ConstantScoreWeight: every match scores ``boost``)."""
+
+    field: str  # numeric docs column, e.g. "field_len"
+    lower: float | int | None = None
+    upper: float | int | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
 MULTI_TERM_TYPES = (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, FuzzyQuery)
 
 
@@ -186,6 +201,25 @@ def query_terms(q: Query) -> set[tuple[str, str]]:
         return out
     if isinstance(q, BooleanQuery):
         return q.terms()
+    return set()
+
+
+def numeric_fields(q: Query) -> set[str]:
+    """Numeric doc-value columns the query needs (PointValues analog)."""
+    if isinstance(q, NumericRangeQuery):
+        return {q.field}
+    if isinstance(q, (ConstantScoreQuery, BoostQuery)):
+        return numeric_fields(q.query)
+    if isinstance(q, DisjunctionMaxQuery):
+        out: set[str] = set()
+        for d in q.disjuncts:
+            out |= numeric_fields(d)
+        return out
+    if isinstance(q, BooleanQuery):
+        out = set()
+        for c in (*q.must, *q.should, *q.must_not):
+            out |= numeric_fields(c)
+        return out
     return set()
 
 

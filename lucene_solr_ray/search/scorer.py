@@ -31,6 +31,7 @@ from .query import (
     DisjunctionMaxQuery,
     ExpandedTermsQuery,
     MatchAllQuery,
+    NumericRangeQuery,
     PhraseQuery,
     Query,
     SynonymQuery,
@@ -70,6 +71,7 @@ class SegmentScorer:
         cache: np.ndarray,
         norms: np.ndarray,
         lazy: dict | None = None,
+        doc_values: dict[str, np.ndarray] | None = None,
     ):
         self.sim = sim
         self.postings = postings  # {(field, term): (ids, freqs)}
@@ -77,6 +79,7 @@ class SegmentScorer:
         self.cache = cache  # content-field norm cache
         self.norms = norms  # content-field norm bytes per local doc
         self.lazy = lazy  # {(field, term): LazyTermPostings} for positional queries
+        self.doc_values = doc_values or {}  # numeric columns for range queries
         self._term_cache: dict = {}
         # keyword fields omit norms: missing norms score with norm = k1
         # (BM25Similarity.java:263); a constant cache + zero norm bytes
@@ -174,6 +177,19 @@ class SegmentScorer:
                 if (q.field, t) in self.postings
             ]
             ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+            return ids, np.full(len(ids), q.boost, dtype=self.sim.dtype)
+        if isinstance(q, NumericRangeQuery):
+            vals = self.doc_values.get(q.field)
+            if vals is None:
+                raise KeyError(
+                    f"numeric doc values for {q.field!r} not loaded into this scorer"
+                )
+            mask = np.ones(len(vals), dtype=bool)
+            if q.lower is not None:
+                mask &= (vals >= q.lower) if q.include_lower else (vals > q.lower)
+            if q.upper is not None:
+                mask &= (vals <= q.upper) if q.include_upper else (vals < q.upper)
+            ids = np.flatnonzero(mask).astype(np.int64)
             return ids, np.full(len(ids), q.boost, dtype=self.sim.dtype)
         if isinstance(q, ConstantScoreQuery):
             ids, _ = self.score_query(q.query)

@@ -30,7 +30,15 @@ def _invert_order(vals: np.ndarray) -> np.ndarray:
 
 from ..index.reader import IndexReader
 from .bm25 import BM25Similarity
-from .query import BooleanQuery, MatchAllQuery, Query, TermQuery, query_terms, rewrite
+from .query import (
+    BooleanQuery,
+    MatchAllQuery,
+    Query,
+    TermQuery,
+    numeric_fields,
+    query_terms,
+    rewrite,
+)
 from .scorer import SegmentScorer, merge_topk, select_topk
 from .wand import LazyPostingsDict, build_lazy
 
@@ -83,6 +91,8 @@ class ScoreSegmentGroup:
         norms = pq.read_table(
             os.path.join(seg_d, "docs.parquet"), columns=["norm_byte"]
         )["norm_byte"].to_numpy()
+        num_fields = sorted({f for q in self.queries.values() for f in numeric_fields(q)})
+        doc_values = _load_doc_values(seg_d, num_fields)
         live = None
         del_path = os.path.join(seg_d, "deletes.parquet")
         if os.path.exists(del_path):
@@ -99,7 +109,7 @@ class ScoreSegmentGroup:
         for qid, q in self.queries.items():
             ids, scores = score_one(
                 q, self.sim, lazy, self.weights, self.cache, norms, self.k, self.method,
-                after=self.after, doc_base=base, live=live,
+                after=self.after, doc_base=base, live=live, doc_values=doc_values,
             )
             out_qid.append(qid)
             out_ids.append(ids + base)
@@ -175,8 +185,10 @@ class MatchFieldGroup:
             os.path.join(seg_d, "docs.parquet"), columns=["norm_byte"]
         )["norm_byte"].to_numpy()
         lazy = build_lazy(group)
+        doc_values = _load_doc_values(seg_d, sorted(numeric_fields(self.query)))
         scorer = SegmentScorer(
-            self.sim, LazyPostingsDict(lazy), self.weights, self.cache, norms, lazy=lazy
+            self.sim, LazyPostingsDict(lazy), self.weights, self.cache, norms,
+            lazy=lazy, doc_values=doc_values,
         )
         ids, _ = scorer.score_query(self.query)
         del_path = os.path.join(seg_d, "deletes.parquet")
@@ -218,8 +230,19 @@ class MatchFieldGroup:
         )
 
 
+def _load_doc_values(seg_d: str, fields: list[str]) -> dict[str, np.ndarray]:
+    """Numeric doc-value columns of one segment (PointValues analog; the
+    Parquet column read is pruned to exactly these fields)."""
+    if not fields:
+        return {}
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(seg_d, "docs.parquet"), columns=list(fields))
+    return {f: tbl[f].to_numpy() for f in fields}
+
+
 def score_one(q, sim, lazy, weights, cache, norms, k, method="auto",
-              after=None, doc_base=0, live=None):
+              after=None, doc_base=0, live=None, doc_values=None):
     """Score one query against one segment → per-segment top-k.
 
     ``lazy``: {term: LazyTermPostings} for the segment. WAND decodes only the
@@ -235,7 +258,8 @@ def score_one(q, sim, lazy, weights, cache, norms, k, method="auto",
 
         ids, scores = wand_topk(q, sim, lazy, weights, cache, norms, k)
     else:
-        scorer = SegmentScorer(sim, LazyPostingsDict(lazy), weights, cache, norms, lazy=lazy)
+        scorer = SegmentScorer(sim, LazyPostingsDict(lazy), weights, cache, norms,
+                               lazy=lazy, doc_values=doc_values)
         ids, scores = scorer.score_query(q)
         if live is not None and len(ids):
             keep = live[ids]
@@ -323,6 +347,10 @@ class Searcher:
         doc_bases = {s["seg"]: s["doc_base"] for s in self.reader.segments}
 
         has_matchall = any(_contains_matchall(q) for q in queries.values())
+        # numeric-only queries produce no postings groups — score locally
+        has_matchall = has_matchall or any(
+            numeric_fields(q) and not query_terms(q) for q in queries.values()
+        )
         parts_by_qid: dict[str, list] = {qid: [] for qid in queries}
 
         if use_ray and not has_matchall:
@@ -426,10 +454,12 @@ class Searcher:
         pairs = sorted(query_terms(query))
         weights = self._weights(set(pairs))
         tbl = self.reader.postings_for_terms(pairs) if pairs else None
+        num_fields = sorted(numeric_fields(query))
         from .wand import build_lazy
 
         for s in self.reader.segments:
             seg = s["seg"]
+            doc_values = _load_doc_values(self.reader.seg_dir(seg), num_fields)
             seg_tbl = (
                 tbl.filter(pa.compute.equal(tbl["seg"], seg))
                 if tbl is not None
@@ -438,7 +468,8 @@ class Searcher:
             lazy = build_lazy(seg_tbl) if len(seg_tbl) else {}
             norms = self._norms(seg)
             scorer = SegmentScorer(
-                self.sim, LazyPostingsDict(lazy), weights, self.cache, norms, lazy=lazy
+                self.sim, LazyPostingsDict(lazy), weights, self.cache, norms,
+                lazy=lazy, doc_values=doc_values,
             )
             ids, _ = scorer.score_query(query)
             live = self.reader.live_mask(seg)
@@ -563,8 +594,10 @@ class Searcher:
             all_terms |= query_terms(q)
         tbl = self.reader.postings_for_terms(sorted(all_terms)) if all_terms else None
         weights = self._weights_from_table(tbl, all_terms)
+        num_fields = sorted({f for q in queries.values() for f in numeric_fields(q)})
         for s in self.reader.segments:
             seg = s["seg"]
+            doc_values = _load_doc_values(self.reader.seg_dir(seg), num_fields)
             seg_tbl = (
                 tbl.filter(pa.compute.equal(tbl["seg"], seg))
                 if tbl is not None
@@ -576,7 +609,7 @@ class Searcher:
             for qid, q in queries.items():
                 ids, scores = score_one(
                     q, self.sim, lazy, weights, self.cache, norms, k, method,
-                    after=after, doc_base=doc_bases[seg], live=live,
+                    after=after, doc_base=doc_bases[seg], live=live, doc_values=doc_values,
                 )
                 parts_by_qid[qid].append((ids + doc_bases[seg], scores))
 

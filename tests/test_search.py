@@ -323,3 +323,44 @@ def test_parser():
     assert q8.terms == ("quick", "dead") and q8.rel_positions == (0, 3)
     q9 = parse_query('"quick"')  # single analyzed term → plain TermQuery
     assert q9 == TermQuery("quick")
+
+
+@pytest.mark.parametrize("use_ray", [False, True])
+def test_numeric_range_matches_bruteforce(built, use_ray):
+    """NumericRangeQuery (PointRangeQuery analog) over the field_len docs
+    column: pure ranges (constant score, doc-order top-k) and a MUST
+    combination with a scored term — both verified against a brute-force
+    scan of the docs files."""
+    import pyarrow.dataset as pads
+
+    from lucene_solr_ray.search.query import NumericRangeQuery
+
+    d, _, oracle, _ = built
+    searcher = Searcher(d)
+    docs = pads.dataset(searcher.reader.docs_files()).to_table(
+        columns=["doc_id", "field_len"]
+    )
+    flen = dict(zip(docs["doc_id"].to_pylist(), docs["field_len"].to_pylist()))
+    lo, hi = 20, 60
+    exp_ids = sorted(i for i, fl in flen.items() if lo <= fl <= hi)
+
+    q = NumericRangeQuery("field_len", lower=lo, upper=hi)
+    got = searcher.search({"r": q}, k=15, use_ray=use_ray).to_pandas()
+    assert got.doc_id.tolist() == exp_ids[:15]
+    assert (got.score == 1.0).all()
+
+    # exclusive bounds
+    q2 = NumericRangeQuery("field_len", lower=lo, upper=hi,
+                           include_lower=False, include_upper=False)
+    exp2 = sorted(i for i, fl in flen.items() if lo < fl < hi)
+    got2 = searcher.search({"r": q2}, k=10**6, use_ray=use_ray).to_pandas()
+    assert got2.doc_id.tolist() == exp2
+
+    # MUST term + range filter: same ranking as the term alone, restricted
+    _, mid, _ = _pick_terms(oracle)
+    comb = BooleanQuery(must=[TermQuery(mid), q])
+    got3 = searcher.search({"c": comb}, k=50, use_ray=use_ray).to_pandas()
+    term_only = searcher.search({"t": TermQuery(mid)}, k=10**6, use_ray=use_ray).to_pandas()
+    exp3 = [int(r.doc_id) for r in term_only.itertuples()
+            if lo <= flen[int(r.doc_id)] <= hi][:50]
+    assert got3.doc_id.tolist() == exp3
