@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_terms": fulltext.ft_topk_terms,
         "ft_topk_bool": fulltext.ft_topk_bool,
         "ft_phrase": fulltext.ft_phrase,
+        "ft_phrase_sloppy": fulltext.ft_phrase_sloppy,
         "ft_prefix": fulltext.ft_prefix,
         "ft_facets": fulltext.ft_facets,
         "ft_sorted_by_path": fulltext.ft_sorted_by_path,
@@ -95,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_field_search": fs.sql_field_search(fulltext.FIELD_SPECS),
         "ft_numeric_range": fs.sql_numeric_range(fulltext.NUMERIC_SPECS),
         "ft_phrase": fs.sql_phrase_union(fulltext.PHRASE_SPECS),
+        "ft_phrase_sloppy": fs.sql_phrase_sloppy_union(fulltext.SLOPPY_SPECS),
         "ft_prefix": fs.sql_prefix_union(fulltext.PREFIX_SPECS),
         "ft_facets": fs.sql_facets(fulltext.FACET_TERM, "source"),
         "ft_sorted_by_path": fs.sql_sorted_by_field(fulltext.SORT_TERM, "path", 10),

@@ -231,6 +231,49 @@ def ft_phrase(sf_dir: str) -> pa.Table:
     )
 
 
+#: sloppy-phrase query set (SloppyPhraseMatcher semantics; the oracle checks
+#: the match SET — a doc matches iff some alignment has width ≤ slop, which
+#: is exact for distinct-term phrases)
+SLOPPY_SPECS = [
+    {"qid": "sl_spark_merge_2", "terms": ["spark", "merge"], "slop": 2},
+    {"qid": "sl_data_row_1", "terms": ["data", "row"], "slop": 1},
+    {"qid": "sl_window_customer_join_3", "terms": ["window", "customer", "join"], "slop": 3},
+]
+
+
+def ft_phrase_sloppy(sf_dir: str) -> pa.Table:
+    """Sloppy-phrase retrieval: full matching doc sets per query, matched in
+    parallel per segment via the MatchFieldGroup scatter."""
+    s = get_searcher(sf_dir)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    out_q: list[str] = []
+    out_d: list[np.ndarray] = []
+    for spec in SLOPPY_SPECS:
+        q = PhraseQuery(
+            tuple(spec["terms"]), tuple(range(len(spec["terms"]))), slop=spec["slop"]
+        )
+        scattered = s._scatter_match(q, "ids")
+        gids: list[np.ndarray] = []
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                if len(b):
+                    segs = b["seg"].to_numpy()
+                    lids = b["local_id"].to_numpy().astype(np.int64)
+                    for sv in np.unique(segs):
+                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
+        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        out_q.extend([spec["qid"]] * len(ids))
+        out_d.append(ids)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(
+                np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 def ft_prefix(sf_dir: str) -> pa.Table:
     """PrefixQuery constant-score retrieval: full matching doc sets, streamed
     through the per-segment match scatter (no top-k heap with an unbounded k

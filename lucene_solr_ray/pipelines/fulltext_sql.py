@@ -203,6 +203,29 @@ FROM scored ORDER BY score DESC, did ASC LIMIT {k}
 """
 
 
+def sql_phrase_sloppy_union(specs: list[dict]) -> str:
+    """Sloppy-phrase match sets → (query_id, doc_id).
+
+    A doc matches iff some choice of one position per term has normalized
+    width ``greatest(p_i - i) - least(p_i - i) <= slop`` — equivalent to the
+    engine's SloppyPhraseMatcher existence result for distinct-term phrases
+    (the heap propagation always discovers a minimal-width alignment)."""
+    parts = []
+    for s in specs:
+        terms, slop, qid = s["terms"], s["slop"], s["qid"]
+        joins = " ".join(
+            f"JOIN ktp t{i} ON t{i}.did = t0.did" for i in range(1, len(terms))
+        )
+        conds = " AND ".join(f"t{i}.tok = '{t}'" for i, t in enumerate(terms))
+        norm = [f"(t{i}.p - {i})" for i in range(len(terms))]
+        width = f"greatest({', '.join(norm)}) - least({', '.join(norm)})"
+        parts.append(f"""
+SELECT '{qid}' AS query_id, CAST(did AS BIGINT) AS doc_id
+FROM (SELECT DISTINCT t0.did AS did FROM ktp t0 {joins}
+      WHERE {conds} AND {width} <= {slop})""")
+    return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
+
+
 def sql_phrase_union(specs: list[dict]) -> str:
     parts = [sql_phrase(s["qid"], s["terms"], s["rel"], s["k"]) for s in specs]
     return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)

@@ -41,16 +41,34 @@ class MatchAllQuery(Query):
 
 @dataclass(frozen=True)
 class PhraseQuery(Query):
-    """Exact phrase (slop=0): terms at relative positions (gaps from removed
+    """Phrase query: terms at relative positions (gaps from removed
     stopwords preserved, like the classic parser's analyzed phrases).
-    search/PhraseQuery.java + ExactPhraseMatcher.java semantics; scoring uses
-    the summed idf of all term occurrences (PhraseWeight / idfExplain over
-    the TermStatistics array)."""
+    ``slop=0`` → search/PhraseQuery.java + ExactPhraseMatcher.java semantics;
+    ``slop>0`` → SloppyPhraseMatcher.java: freq = Σ 1/(1+matchLength) over
+    the heap-propagated match sequence. Scoring uses the summed idf of all
+    term occurrences (PhraseWeight / idfExplain over the TermStatistics
+    array)."""
 
     terms: tuple[str, ...]
     rel_positions: tuple[int, ...]
     boost: float = 1.0
     field: str = CONTENT_FIELD
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase where each position holds one or more alternative terms
+    (search/MultiPhraseQuery.java): per-slot postings are the union of the
+    slot's terms (UnionPostingsEnum — merged sorted positions), matched by
+    the same exact/sloppy matchers; idf = Σ idf over ALL terms of all slots
+    (MultiPhraseWeight termStatistics loop)."""
+
+    terms: tuple[tuple[str, ...], ...]  # one inner tuple per phrase slot
+    rel_positions: tuple[int, ...]
+    boost: float = 1.0
+    field: str = CONTENT_FIELD
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -190,6 +208,8 @@ def query_terms(q: Query) -> set[tuple[str, str]]:
         return {(q.field, q.term)}
     if isinstance(q, PhraseQuery):
         return {(q.field, t) for t in q.terms}
+    if isinstance(q, MultiPhraseQuery):
+        return {(q.field, t) for slot in q.terms for t in slot}
     if isinstance(q, (SynonymQuery, ExpandedTermsQuery, TermInSetQuery)):
         return {(q.field, t) for t in q.terms}
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
@@ -231,7 +251,11 @@ def rewrite(q: Query, reader) -> Query:
         if isinstance(inner, TermQuery):
             return TermQuery(inner.term, inner.boost * q.boost, inner.field)
         if isinstance(inner, PhraseQuery):
-            return PhraseQuery(inner.terms, inner.rel_positions, inner.boost * q.boost, inner.field)
+            return PhraseQuery(inner.terms, inner.rel_positions, inner.boost * q.boost,
+                               inner.field, inner.slop)
+        if isinstance(inner, MultiPhraseQuery):
+            return MultiPhraseQuery(inner.terms, inner.rel_positions, inner.boost * q.boost,
+                                    inner.field, inner.slop)
         if isinstance(inner, (SynonymQuery, ExpandedTermsQuery, TermInSetQuery)):
             return type(inner)(inner.terms, inner.boost * q.boost, inner.field)
         if isinstance(inner, ConstantScoreQuery):
@@ -356,6 +380,14 @@ def parse_query(s: str, analyzer=None,
                 q: Query = TermQuery(tok.strip('"'), field=fld)
                 return _Neg(q) if neg else (_Req(q) if req else q)
         if tok.startswith('"'):
+            slop = 0
+            nxt = peek()
+            if nxt is not None and nxt.startswith("~"):  # "a b"~2 slop suffix
+                advance()
+                try:
+                    slop = int(nxt[1:])
+                except ValueError:
+                    slop = 0
             analyzed = analyze_with_positions(tok.strip('"'), analyzer)
             if not analyzed:
                 return None
@@ -366,6 +398,7 @@ def parse_query(s: str, analyzer=None,
                 terms=tuple(t for t, _ in analyzed),
                 rel_positions=tuple(p - base for _, p in analyzed),
                 field=fld,
+                slop=slop,
             )
         analyzed = analyze_with_positions(tok, analyzer)
         if not analyzed:

@@ -31,6 +31,7 @@ from .query import (
     DisjunctionMaxQuery,
     ExpandedTermsQuery,
     MatchAllQuery,
+    MultiPhraseQuery,
     NumericRangeQuery,
     PhraseQuery,
     Query,
@@ -109,52 +110,94 @@ class SegmentScorer:
         self._term_cache[key] = res
         return res
 
-    def phrase_match(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
-        """ExactPhraseMatcher analog: intersect doc sets, verify aligned
-        positions; freq = number of phrase occurrences; weight = summed idf
-        of all term occurrences (PhraseWeight)."""
+    def phrase_match(self, q) -> tuple[np.ndarray, np.ndarray]:
+        """Phrase scoring for PhraseQuery and MultiPhraseQuery.
+
+        slop=0 → ExactPhraseMatcher analog: intersect doc sets, count aligned
+        positions. slop>0 → SloppyPhraseMatcher analog (:mod:`sloppy`):
+        float freq = Σ 1/(1+matchLength). Multi-term slots union their terms'
+        postings (MultiPhraseQuery.UnionPostingsEnum — merged sorted
+        positions). Weight = summed idf of all terms with stats (PhraseWeight
+        / MultiPhraseWeight), float64 accumulation cast once (idfExplain sums
+        "into a double before casting into a float")."""
+        from .query import MultiPhraseQuery
+        from .sloppy import sloppy_freq
+
         if self.lazy is None:
             raise ValueError("phrase queries need positional postings (lazy=None)")
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype))
-        tps = []
-        for t in q.terms:
-            tp = self.lazy.get((q.field, t))
-            if tp is None or tp.df == 0:
+        multi = isinstance(q, MultiPhraseQuery)
+        slots = [tuple(ts) for ts in q.terms] if multi else [(t,) for t in q.terms]
+        offsets = [int(o) for o in q.rel_positions]
+
+        # per-slot present postings; a slot with no present term kills the doc set
+        slot_data = []  # per slot: [(ids, f_off, pos), ...] one per present term
+        cand = None
+        for ts in slots:
+            datas = []
+            union_ids = []
+            for t in ts:
+                tp = self.lazy.get((q.field, t))
+                if tp is None or tp.df == 0:
+                    continue
+                ids, _ = tp.full()
+                f_off, pos = tp.positions()
+                datas.append((ids, f_off, pos))
+                union_ids.append(ids)
+            if not datas:
                 return empty
-            tps.append(tp)
-        cand = tps[0].full()[0]
-        for tp in tps[1:]:
-            cand = _intersect_sorted(cand, tp.full()[0])
+            sids = (
+                union_ids[0]
+                if len(union_ids) == 1
+                else np.unique(np.concatenate(union_ids))
+            )
+            cand = sids if cand is None else _intersect_sorted(cand, sids)
             if len(cand) == 0:
                 return empty
-        # per-term positions, sliced per candidate doc
-        per_term = []
-        for tp in tps:
-            ids, freqs = tp.full()
-            f_off, pos = tp.positions()
-            idx = np.searchsorted(ids, cand)
-            per_term.append((f_off, pos, idx))
-        out_ids, out_freqs = [], []
-        for ci in range(len(cand)):
-            starts = None
-            for ti, (f_off, pos, idx) in enumerate(per_term):
-                j = idx[ci]
-                p = pos[f_off[j] : f_off[j + 1]].astype(np.int64) - q.rel_positions[ti]
-                starts = p if starts is None else _intersect_sorted(starts, p)
-                if len(starts) == 0:
+            slot_data.append(datas)
+
+        out_ids: list[int] = []
+        out_freqs: list = []
+        for d in cand:
+            pls = []
+            for datas in slot_data:
+                parts = []
+                for ids, f_off, pos in datas:
+                    j = np.searchsorted(ids, d)
+                    if j < len(ids) and ids[j] == d:
+                        parts.append(pos[f_off[j] : f_off[j + 1]])
+                if not parts:
+                    pls = None
                     break
-            if starts is not None and len(starts):
-                out_ids.append(cand[ci])
-                out_freqs.append(len(starts))
+                pl = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+                pls.append(pl.astype(np.int64))
+            if pls is None:
+                continue
+            if q.slop == 0:
+                starts = None
+                for off, pl in zip(offsets, pls):
+                    p = pl - off
+                    starts = p if starts is None else _intersect_sorted(starts, p)
+                    if len(starts) == 0:
+                        break
+                f = len(starts) if starts is not None else 0
+            else:
+                f = sloppy_freq(pls, offsets, q.slop, slots, self.sim.dtype.type)
+            if f:
+                out_ids.append(int(d))
+                out_freqs.append(f)
         if not out_ids:
             return empty
         ids = np.asarray(out_ids, dtype=np.int64)
-        freqs = np.asarray(out_freqs, dtype=np.int64)
+        freqs = np.asarray(out_freqs, dtype=np.float64 if q.slop else np.int64)
         # idfExplain sums per-term idfs "into a double before casting into a
         # float" (BM25Similarity.java idfExplain) — accumulate float64, cast once
         idf_sum = 0.0
-        for t in q.terms:  # occurrence order
-            idf_sum += float(self.weights[(q.field, t)])
+        for ts in slots:  # declared slot/term order
+            for t in ts:
+                w_t = self.weights.get((q.field, t))
+                if w_t is not None:  # terms without stats contribute no idf
+                    idf_sum += float(w_t)
         w = self.sim.weight_from_idf(self.sim.dtype.type(idf_sum), q.boost)
         nb, cache = self._norm_inputs(q.field, ids)
         scores = self.sim.score_freqs(w, freqs, nb, cache)
@@ -168,6 +211,8 @@ class SegmentScorer:
             ids = np.arange(len(self.norms), dtype=np.int64)
             return ids, np.full(len(ids), q.boost, dtype=self.sim.dtype)
         if isinstance(q, PhraseQuery):
+            return self.phrase_match(q)
+        if isinstance(q, MultiPhraseQuery):
             return self.phrase_match(q)
         if isinstance(q, ExpandedTermsQuery):
             # CONSTANT_SCORE_REWRITE result: union of doc sets, score = boost
@@ -218,7 +263,8 @@ class SegmentScorer:
         uids, inv = np.unique(cat_ids, return_inverse=True)
         fsum = np.zeros(len(uids), dtype=np.int64)
         np.add.at(fsum, inv, cat_tfs)
-        idf = min(self.weights[(q.field, t)] for t in q.terms)  # idf of the max-df synonym
+        cand_w = [w for t in q.terms if (w := self.weights.get((q.field, t))) is not None]
+        idf = min(cand_w)  # idf of the max-df synonym (df=0 terms have no stats)
         w = self.sim.weight_from_idf(idf, q.boost)
         nb, cache = self._norm_inputs(q.field, uids)
         return uids, self.sim.score_freqs(w, fsum, nb, cache)

@@ -300,9 +300,12 @@ class Searcher:
         """(field, term) → idf (per-field global stats; scorers derive
         weightValue per clause — collectionStatistics is per field)."""
         stats = self.reader.term_stats(sorted(pairs))
+        # df==0 terms have no TermStatistics in the reference (termStatistics
+        # returns null) — they contribute no idf anywhere, so omit them
         return {
             (f, t): float(self.sim.idf(df, self.reader.field_doc_count(f)))
             for (f, t), (df, ttf) in stats.items()
+            if df > 0
         }
 
     def _weights_from_table(self, tbl: pa.Table | None, pairs: set) -> dict:
@@ -318,6 +321,7 @@ class Searcher:
         return {
             (f, t): float(self.sim.idf(df, self.reader.field_doc_count(f)))
             for (f, t), df in dfs.items()
+            if df > 0
         }
 
     def search(
