@@ -157,6 +157,10 @@ def build_index(
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
+            # no actor restarts: a lost actor fails fast (instead of the
+            # silent restart loop of ray#53727) and the job-level resume —
+            # idempotent segment writes + persisted plan — recovers the build
+            max_restarts=0,
         )
         # task-based (no CPU reservation): SegmentWriter holds no amortizable
         # state, and a second actor pool can starve tiny CPU budgets

@@ -23,7 +23,7 @@ reuse identical ranges.
 
 from __future__ import annotations
 
-import hashlib
+
 import json
 import os
 from dataclasses import dataclass
@@ -49,12 +49,15 @@ def sort_keys(batch: pa.Table) -> np.ndarray:
 
 
 def _stable_hash_mask(keys: np.ndarray, mod: int) -> np.ndarray:
-    """Deterministic (execution-order-free) sample: md5(key) % mod == 0."""
-    out = np.empty(len(keys), dtype=bool)
-    for i, k in enumerate(keys):
-        h = int.from_bytes(hashlib.md5(k.encode()).digest()[:8], "big")
-        out[i] = (h % mod) == 0
-    return out
+    """Deterministic (execution-order-free) sample: siphash(key) % mod == 0.
+
+    ``pandas.util.hash_array`` is a fixed-key siphash — stable across
+    processes/machines and vectorized in C (the round-1 per-row hashlib loop
+    was the planning pass's hotspot)."""
+    from pandas.util import hash_array
+
+    h = hash_array(keys, categorize=False)
+    return (h % np.uint64(mod)) == 0
 
 
 @dataclass

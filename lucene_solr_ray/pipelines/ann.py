@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..util.vectors import vec_matrix
+
 N_QUERIES = 10
 TOP_K = 10
 LSH_PLANES = 5  # planes per table → 2^5 buckets
@@ -23,9 +25,9 @@ LSH_SEED = 42
 
 
 def _emb(sf_dir: str):
-    import ray.data
+    from .io import sized_read
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return sized_read(f"{sf_dir}/embeddings.parquet")
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -35,7 +37,7 @@ def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     t = t.filter(pc.less(t["vec_id"], N_QUERIES))
     ids = t["vec_id"].to_numpy()
-    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    mat = vec_matrix(t["embedding"])
     order = np.argsort(ids)
     return ids[order], mat[order]
 
@@ -55,7 +57,7 @@ def ann_topk(sf_dir: str) -> pa.Table:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["vec_id"].to_numpy()
-            mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+            mat = vec_matrix(batch["embedding"])
             sims = (mat @ self.qmat.T) / np.outer(np.linalg.norm(mat, axis=1), self.qnorm)
             out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(self.qids):
@@ -78,7 +80,10 @@ def ann_topk(sf_dir: str) -> pa.Table:
                 }
             )
 
-    ds = _emb(sf_dir).map_batches(BatchScorer, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+    ds = _emb(sf_dir).map_batches(
+        BatchScorer, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+        max_restarts=0,
+    )
     parts = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
     return _merge_topk(parts)
 
@@ -153,7 +158,7 @@ def ann_lsh_topk(sf_dir: str, stats: dict | None = None) -> pa.Table:
     def add_buckets(batch: pa.Table) -> pa.Table:
         """Explode each vector to LSH_TABLES (table, bucket) rows."""
         ids = batch["vec_id"].to_numpy()
-        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        mat = vec_matrix(batch["embedding"])
         buckets = lsh_buckets(mat, mat.shape[1])  # (n, LSH_TABLES)
         n = len(ids)
         take = pa.array(np.repeat(np.arange(n, dtype=np.int64), LSH_TABLES))
@@ -183,7 +188,7 @@ def ann_lsh_topk(sf_dir: str, stats: dict | None = None) -> pa.Table:
         if len(qsel) == 0:
             return pa.table({k: pa.array(v) for k, v in empty.items()})
         ids = group["vec_id"].to_numpy()
-        mat = np.stack(group["embedding"].to_pylist()).astype(np.float64)
+        mat = vec_matrix(group["embedding"])
         sims = (mat @ qmat_b[qsel].T) / np.outer(np.linalg.norm(mat, axis=1), qnorm_b[qsel])
         out_q, out_n, out_s = [], [], []
         for ci, qi in enumerate(qsel):

@@ -47,15 +47,15 @@ sh AS (
 )"""
 
 SHINGLE_K = 8
-N_PERM = 16
-BAND_R = 2  # minhashes per band → N_PERM/BAND_R bands
+N_PERM = 32
+BAND_R = 4  # minhashes per band → N_PERM/BAND_R bands (b=8, r=4: s* ≈ 0.59)
 JACCARD_NUM = 1  # threshold J >= 1/2 as integer test: 2*inter >= union
 
 
 def _docs(sf_dir: str):
-    import ray.data
+    from .io import sized_read
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return sized_read(f"{sf_dir}/documents.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -195,88 +195,145 @@ def minhash_signature(h: np.ndarray) -> np.ndarray:
     return v.min(axis=1)
 
 
+def batch_signatures(hash_arrays: list[np.ndarray]) -> np.ndarray:
+    """Signatures for a whole batch in N_PERM vectorized passes over the
+    concatenated shingle hashes (per-perm ``minimum.reduceat`` segment
+    minima) — no per-doc temporaries. → uint64[(n_docs, N_PERM)]."""
+    if not hash_arrays:
+        return np.empty((0, N_PERM), dtype=np.uint64)
+    H = np.concatenate(hash_arrays)
+    offs = np.zeros(len(hash_arrays), dtype=np.int64)
+    np.cumsum([len(a) for a in hash_arrays[:-1]], out=offs[1:])
+    out = np.empty((len(hash_arrays), N_PERM), dtype=np.uint64)
+    for p in range(N_PERM):
+        v = (_PERM_A[p] * H + _PERM_B[p]) % _P
+        out[:, p] = np.minimum.reduceat(v, offs)
+    return out
+
+
+def _shingle_u8(t: str) -> np.ndarray:
+    """Normalized text → unique shingles as a sorted ``<U8`` numpy array
+    (fixed-width exact strings; K == 8 chars == one U8 slot)."""
+    if not t:
+        return np.empty(0, dtype="<U8")
+    if len(t) <= SHINGLE_K:
+        return np.array([t], dtype="<U8")
+    cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    win = np.lib.stride_tricks.sliding_window_view(cp, SHINGLE_K)
+    return np.unique(np.ascontiguousarray(win).view("<U8").reshape(-1))
+
+
+_BAND_COLS = [f"h{j}" for j in range(BAND_R)]
+
+
 def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b): LSH candidates (equal band signature) verified at exact
     Jaccard ≥ 0.5 via the integer test 2*inter ≥ union.
 
-    Scale shape: signatures are a vectorized map; banding shuffles only tiny
-    (doc_id, band, h0, h1) rows; candidate verification fetches ONLY the
-    candidate docs (predicate-pushdown read), never the corpus."""
-    import ray.data
+    Scale shape:
+    1. signatures: vectorized ``map_batches`` → (doc_id, band, h0..h{r-1})
+       rows, materialized once (the 100-TB analog is a bucketed Parquet
+       checkpoint; the object store holds it here).
+    2. hot buckets: per-block PARTIAL bucket counts (combiner pattern — only
+       (bucket, count) partials reach the driver), keep buckets with ≥ 2
+       docs. No all-to-all groupby: bucket cardinality ~ corpus, but the
+       partials per block are pre-deduplicated, and the hot set is bounded
+       by the duplicate volume.
+    3. pairs: a filter pass fetches ONLY hot-bucket rows; pair-gen runs on
+       those (tiny by the near-dup-rarity assumption, documented here).
+    4. verify: exact Jaccard over candidate docs ONLY (predicate-pushdown
+       read), vectorized fixed-width-string set intersection.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    n_bands = N_PERM // BAND_R
 
     def sigs(batch: pa.Table) -> pa.Table:
-        n_bands = N_PERM // BAND_R
-        rows_doc, rows_h0, rows_h1 = [], [], []
+        ids, hs = [], []
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             h = shingle_hashes(normalize(t or ""))
             if len(h) == 0:
                 continue
-            sig = minhash_signature(h)
-            rows_doc.append(d)
-            rows_h0.append(sig[0::2].astype(np.int64))
-            rows_h1.append(sig[1::2].astype(np.int64))
-        n = len(rows_doc)
-        return pa.table(
-            {
-                "doc_id": pa.array(np.repeat(np.asarray(rows_doc, dtype=np.int64), n_bands), pa.int64()),
-                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n), pa.int32()),
-                "h0": pa.array(np.concatenate(rows_h0) if n else np.empty(0, np.int64), pa.int64()),
-                "h1": pa.array(np.concatenate(rows_h1) if n else np.empty(0, np.int64), pa.int64()),
-            }
+            ids.append(d)
+            hs.append(h)
+        sig = batch_signatures(hs).astype(np.int64)  # (n, N_PERM)
+        n = len(ids)
+        cols = {
+            "doc_id": pa.array(np.repeat(np.asarray(ids, dtype=np.int64), n_bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n), pa.int32()),
+        }
+        for j in range(BAND_R):
+            cols[f"h{j}"] = pa.array(sig[:, j::BAND_R].reshape(-1), pa.int64())
+        return pa.table(cols)
+
+    sig_ds = _docs(sf_dir).map_batches(sigs, batch_format="pyarrow").materialize()
+
+    key_cols = ["band", *_BAND_COLS]
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        g = df.groupby(key_cols, sort=False).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(g[g.cnt >= 1], preserve_index=False)
+
+    import pandas as pd
+
+    parts = pa.concat_tables(
+        sig_ds.map_batches(partial_counts, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
         )
-
-    ds = _docs(sf_dir).map_batches(sigs, batch_format="pyarrow")
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        pairs = list(combinations(ids, 2))
-        return pa.table(
-            {
-                "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
-                "doc_b": pa.array([b for _, b in pairs], pa.int64()),
-            }
-        )
-
-    cand = ds.groupby(["band", "h0", "h1"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    ).to_pandas() if sig_ds.count() else pd.DataFrame(columns=[*key_cols, "cnt"])
+    totals = parts.groupby(key_cols, sort=False).cnt.sum() if len(parts) else pd.Series(dtype=np.int64)
+    hot = set(totals[totals >= 2].index)
     empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-    cand_tbl = pa.concat_tables([empty, *cand.iter_batches(batch_format="pyarrow")])
-    if len(cand_tbl) == 0:
+    if not hot:
         return empty
-    pairs = np.unique(
-        np.stack([cand_tbl["doc_a"].to_numpy(), cand_tbl["doc_b"].to_numpy()], axis=1), axis=0
-    )
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keys = list(zip(*(df[c] for c in key_cols)))
+        return pa.Table.from_pandas(
+            df[[k in hot for k in keys]], preserve_index=False
+        )
+
+    hot_rows = pa.concat_tables(
+        sig_ds.map_batches(only_hot, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ).to_pandas()
+    pair_set: set[tuple[int, int]] = set()
+    for _, grp in hot_rows.groupby(key_cols, sort=False):
+        ids = sorted(set(grp.doc_id))
+        pair_set.update(combinations(ids, 2))
+    if not pair_set:
+        return empty
+    pairs = np.array(sorted(pair_set), dtype=np.int64)
 
     # verification: exact Jaccard over the candidate docs ONLY (pushdown read)
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
-
     cand_ids = np.unique(pairs).tolist()
     docs = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
         columns=["doc_id", "text"], filter=pc.field("doc_id").isin(cand_ids)
     )
-    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    sh_cache: dict[int, set[str]] = {}
-
-    def sh_of(d: int) -> set[str]:
-        if d not in sh_cache:
-            sh_cache[d] = _shingles(text_of.get(d) or "")
-        return sh_cache[d]
-
+    sh_of = {
+        int(d): _shingle_u8(normalize(t or ""))
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
     keep_a, keep_b = [], []
     for a, b in pairs:
-        A, B = sh_of(int(a)), sh_of(int(b))
-        inter = len(A & B)
-        union = len(A | B)
+        A, B = sh_of[int(a)], sh_of[int(b)]
+        inter = len(np.intersect1d(A, B, assume_unique=True))
+        union = len(A) + len(B) - inter
         if union and 2 * inter >= union:
             keep_a.append(int(a))
             keep_b.append(int(b))
-    tbl = pa.table(
+    return pa.table(
         {
             "doc_a": pa.array(np.asarray(keep_a, dtype=np.int64), pa.int64()),
             "doc_b": pa.array(np.asarray(keep_b, dtype=np.int64), pa.int64()),
         }
     )
-    return tbl.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 # h = Σ_j unicode(sh[j])·B^j mod P — same polynomial as shingle_hashes;
@@ -301,13 +358,15 @@ mh AS (
 bands AS (
   SELECT doc_id, p // {BAND_R} AS band,
          CAST(max(CASE WHEN p % {BAND_R} = 0 THEN mh END) AS BIGINT) AS h0,
-         CAST(max(CASE WHEN p % {BAND_R} = 1 THEN mh END) AS BIGINT) AS h1
+         CAST(max(CASE WHEN p % {BAND_R} = 1 THEN mh END) AS BIGINT) AS h1,
+         CAST(max(CASE WHEN p % {BAND_R} = 2 THEN mh END) AS BIGINT) AS h2,
+         CAST(max(CASE WHEN p % {BAND_R} = 3 THEN mh END) AS BIGINT) AS h3
   FROM mh GROUP BY doc_id, p // {BAND_R}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -416,22 +475,38 @@ def embed_dup_pairs(sf_dir: str) -> pa.Table:
     bounds the quadratic join; per-block work is one numpy matmul."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from .io import sized_read
 
-    def block_pairs(group) -> pa.Table:
-        import pandas as pd
+    ds = sized_read(f"{sf_dir}/embeddings.parquet")
+
+    TILE = 2048  # bounds the sims matrix to TILE x TILE regardless of label size
+
+    def block_pairs(group: pa.Table) -> pa.Table:
+        from ..util.vectors import vec_matrix
 
         ids = group["vec_id"].to_numpy()
-        mat = np.stack(group["embedding"].to_list()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        sims = (mat @ mat.T) / np.outer(norms, norms)
-        ai, bi = np.triu_indices(len(ids), k=1)
-        keep = sims[ai, bi] >= COSINE_DUP_TAU
-        a, b = ids[ai[keep]], ids[bi[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table({"vec_a": pa.array(lo, pa.int64()), "vec_b": pa.array(hi, pa.int64())})
+        mat = vec_matrix(group["embedding"])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        n = len(ids)
+        out_a, out_b = [], []
+        # tiled upper-triangle scan: memory O(TILE^2), works for hot labels
+        # (one label = one map_groups task; sub-blocking caps the matmul)
+        for i0 in range(0, n, TILE):
+            a_blk = mat[i0 : i0 + TILE]
+            for j0 in range(i0, n, TILE):
+                sims = a_blk @ mat[j0 : j0 + TILE].T
+                ai, bi = np.nonzero(sims >= COSINE_DUP_TAU)
+                gi, gj = ai + i0, bi + j0
+                keep = gi < gj  # strict upper triangle in global index space
+                gi, gj = gi[keep], gj[keep]
+                a, b = ids[gi], ids[gj]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table({"vec_a": pa.array(a, pa.int64()), "vec_b": pa.array(b, pa.int64())})
 
-    out = ds.groupby("label").map_groups(block_pairs, batch_format="pandas")
+    out = ds.groupby("label").map_groups(block_pairs, batch_format="pyarrow")
     empty = pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())})
     tbl = pa.concat_tables([empty, *out.iter_batches(batch_format="pyarrow")])
     return tbl.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])

@@ -20,7 +20,9 @@ SESSION_GAP_MIN = 30
 def _events(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    from .io import sized_read
+
+    return sized_read(f"{sf_dir}/events.parquet")
 
 
 def events_hourly(sf_dir: str) -> pa.Table:

@@ -13,7 +13,9 @@ import pyarrow as pa
 def _docs(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    from .io import sized_read
+
+    return sized_read(f"{sf_dir}/documents.parquet")
 
 
 def facet_counts(sf_dir: str) -> pa.Table:

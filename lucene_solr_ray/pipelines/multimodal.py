@@ -58,7 +58,9 @@ def mm_payload_features(sf_dir: str) -> pa.Table:
     """(doc_id, n_bytes, payload_md5, feat0_255) via the actor-pool stage."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
+    from .io import sized_read
+
+    ds = sized_read(f"{sf_dir}/documents.parquet").map_batches(
         PayloadFeaturizer,
         batch_format="pyarrow",
         batch_size=256,  # wide binary rows → small batches

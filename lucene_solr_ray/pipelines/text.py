@@ -36,7 +36,9 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def _docs(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    from .io import sized_read
+
+    return sized_read(f"{sf_dir}/documents.parquet")
 
 
 def token_count(sf_dir: str) -> pa.Table:

@@ -384,6 +384,7 @@ class Searcher:
                     ),
                     batch_format="pyarrow",
                     concurrency=(1, 8),
+                    max_restarts=0,  # fail fast; scatter is cheap to re-run
                 )
                 for b in grouped.iter_batches(batch_format="pyarrow"):
                     qids = b["query_id"].to_pylist()
@@ -448,6 +449,7 @@ class Searcher:
             ),
             batch_format="pyarrow",
             concurrency=(1, 8),
+            max_restarts=0,  # fail fast; scatter is cheap to re-run
         )
 
     def _matches_per_segment(self, query: Query):
