@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
         "ft_numeric_range": fulltext.ft_numeric_range,
+        "ft_highlight": fulltext.ft_highlight,  # rows-only: snippets pinned in pytest
         # --- text analysis ---
         "token_count": text.token_count,
         "lang_id": text.lang_id,

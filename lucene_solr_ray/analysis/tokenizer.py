@@ -78,6 +78,25 @@ def analyze_with_positions(
     return out
 
 
+def analyze_with_offsets(
+    text: str, analyzer: StandardAnalyzer = _DEFAULT
+) -> list[tuple[str, int, int, int]]:
+    """Like :func:`analyze_with_positions` but with char offsets:
+    (term, position, start_offset, end_offset). The UnifiedHighlighter
+    ANALYSIS offset source (uhighlight/AnalysisOffsetStrategy.java) —
+    offsets come from re-tokenizing stored text, not the postings."""
+    out: list[tuple[str, int, int, int]] = []
+    for pos, m in enumerate(TOKEN_RE.finditer(text)):
+        raw = m.group()
+        if len(raw) > analyzer.max_token_length:
+            continue
+        term = raw.lower() if analyzer.lowercase else raw
+        if term in analyzer.stopwords:
+            continue
+        out.append((term, pos, m.start(), m.end()))
+    return out
+
+
 class ArrowAnalyzer:
     """Arrow-native analysis chain — the hot-path twin of
     :func:`analyze_batch` with identical semantics, zero Python strings.

@@ -84,6 +84,7 @@ def build_index(
     resume: bool = True,
     positions: bool = True,
     keyword_fields: tuple[str, ...] = DEFAULT_KEYWORD_FIELDS,
+    store_content: bool = False,
 ) -> BuildResult:
     """Build (or resume) the inverted index for a 5-column corpus.
 
@@ -153,6 +154,7 @@ def build_index(
                 "analyzer": analyzer,
                 "done_ranges": done,
                 "positions": positions,
+                "store_content": store_content,
             },
             batch_format="pyarrow",
             batch_size=batch_size,

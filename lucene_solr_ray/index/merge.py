@@ -111,7 +111,10 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
     new_base = members[0]["doc_base"]
     seg_id = members[0]["seg"]
 
-    docs = pa.concat_tables([pq.read_table(os.path.join(d, "docs.parquet")) for d in dirs])
+    docs = pa.concat_tables(
+        [pq.read_table(os.path.join(d, "docs.parquet")) for d in dirs],
+        promote_options="default",  # stored-content column may be partial across members
+    )
     norms = docs["norm_byte"].to_numpy().astype(np.int64)
     norm_len = LENGTH_TABLE[norms]
 

@@ -33,7 +33,7 @@ from ..util.smallfloat import LENGTH_TABLE, int_to_byte4
 from .plan import BuildPlan, sort_keys
 
 #: bump when the on-disk segment layout changes (cache invalidation)
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 #: the analyzed full-text field (TextField analog — tokenized, with norms);
 #: all other indexed fields are keyword fields (StringField analog — one
@@ -101,13 +101,15 @@ class AnalyzeInvert:
     """
 
     def __init__(self, plan: BuildPlan, analyzer: StandardAnalyzer | None = None,
-                 done_ranges: frozenset[int] = frozenset(), positions: bool = True):
+                 done_ranges: frozenset[int] = frozenset(), positions: bool = True,
+                 store_content: bool = False):
         self.plan = plan
         self.boundaries = np.asarray(plan.boundaries, dtype=object)
         self.analyzer = analyzer or StandardAnalyzer()
         self.arrow_analyzer = ArrowAnalyzer(self.analyzer)  # compiled once per actor
         self.done = done_ranges
         self.positions = positions
+        self.store_content = store_content  # storedFields analog (highlighting)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = sort_keys(batch)
@@ -118,7 +120,7 @@ class AnalyzeInvert:
                 batch = batch.filter(pa.array(keep))
                 rid = rid[keep]
             if len(batch) == 0:
-                return _empty_analyzed()
+                return _empty_analyzed(self.store_content)
         content = batch["content"].cast(pa.large_string())
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
@@ -152,6 +154,7 @@ class AnalyzeInvert:
                 "terms": terms_arr,
                 "tfs": tfs_arr,
                 "positions": pos_arr,
+                **({"content": content} if self.store_content else {}),
             }
         )
 
@@ -165,22 +168,23 @@ def _sha256_column(arr: pa.Array) -> list[str]:
     return [hashlib.sha256(data[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(arr))]
 
 
-def _empty_analyzed() -> pa.Table:
-    return pa.table(
-        {
-            "range_id": pa.array([], pa.int32()),
-            "repo": pa.array([], pa.string()),
-            "path": pa.array([], pa.string()),
-            "commit": pa.array([], pa.string()),
-            "lang": pa.array([], pa.string()),
-            "content_sha256": pa.array([], pa.string()),
-            "field_len": pa.array([], pa.int32()),
-            "norm_byte": pa.array([], pa.uint8()),
-            "terms": pa.array([], pa.list_(pa.string())),
-            "tfs": pa.array([], pa.list_(pa.int32())),
-            "positions": pa.array([], pa.list_(pa.int32())),
-        }
-    )
+def _empty_analyzed(store_content: bool = False) -> pa.Table:
+    cols = {
+        "range_id": pa.array([], pa.int32()),
+        "repo": pa.array([], pa.string()),
+        "path": pa.array([], pa.string()),
+        "commit": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "content_sha256": pa.array([], pa.string()),
+        "field_len": pa.array([], pa.int32()),
+        "norm_byte": pa.array([], pa.uint8()),
+        "terms": pa.array([], pa.list_(pa.string())),
+        "tfs": pa.array([], pa.list_(pa.int32())),
+        "positions": pa.array([], pa.list_(pa.int32())),
+    }
+    if store_content:
+        cols["content"] = pa.array([], pa.large_string())
+    return pa.table(cols)
 
 
 def segment_dir(index_dir: str, rid: int) -> str:
@@ -243,6 +247,12 @@ class SegmentWriter:
         group = group.take(order)
         doc_ids = doc_base + np.arange(n, dtype=np.int64)
 
+        stored = "content" in group.column_names
+        docs_schema = (
+            DOCS_SCHEMA.append(pa.field("content", pa.large_string()))
+            if stored
+            else DOCS_SCHEMA
+        )
         docs_tbl = pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
@@ -253,8 +263,9 @@ class SegmentWriter:
                 "content_sha256": group["content_sha256"],
                 "field_len": group["field_len"],
                 "norm_byte": group["norm_byte"],
+                **({"content": group["content"]} if stored else {}),
             },
-        ).cast(DOCS_SCHEMA)
+        ).cast(docs_schema)
 
         # per-field posting tables, concatenated in field-name order so the
         # whole table is sorted by (field, term) — Parquet row-group stats

@@ -71,7 +71,7 @@ def get_searcher(sf_dir: str, dtype=np.float64) -> Searcher:
     idx = _index_dir_for(sf_dir)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         corpus = documents_as_corpus(sf_dir)
-        build_index(corpus, idx, docs_per_segment=2_000)
+        build_index(corpus, idx, docs_per_segment=2_000, store_content=True)
     s = Searcher(idx, dtype=dtype)
     _SEARCHERS[key] = s
     return s
@@ -412,6 +412,34 @@ def ft_numeric_range(sf_dir: str) -> pa.Table:
             "query_id": res["query_id"],
             "rank": res["rank"].cast(pa.int64()),
             "doc_id": res["doc_id"],
+        }
+    )
+
+
+HIGHLIGHT_TERMS = ["spark", "merge", "window"]
+
+
+def ft_highlight(sf_dir: str) -> pa.Table:
+    """Top-10 BM25 hits per term with UnifiedHighlighter-style snippets
+    (ANALYSIS offsets over stored content; PassageScorer formulas). Snippet
+    structure is pinned by golden pytest tests — the driver row is a
+    rows-only check (no SQL analog for passage scoring)."""
+    s = get_searcher(sf_dir)
+    out_q, out_d, out_s = [], [], []
+    for t in HIGHLIGHT_TERMS:
+        q = TermQuery(t)
+        res = s.search({t: q}, k=TOPK_K, use_ray=False)
+        ids = res["doc_id"].to_pylist()
+        snips = s.highlight(q, ids)
+        for d in ids:
+            out_q.append(t)
+            out_d.append(d)
+            out_s.append(snips.get(int(d)) or "")
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "snippet": pa.array(out_s, pa.string()),
         }
     )
 

@@ -568,6 +568,15 @@ class Searcher:
             }
         )
 
+    def highlight(self, query: Query, doc_ids: list[int], *, field: str = "content",
+                  max_passages: int = 3) -> dict[int, str | None]:
+        """UnifiedHighlighter-style snippets for hit docs (two-phase stored
+        fields fetch + ANALYSIS-offset passage scoring; see
+        :mod:`highlight`). Requires ``build_index(store_content=True)``."""
+        from .highlight import highlight_hits
+
+        return highlight_hits(self, query, doc_ids, fld=field, max_passages=max_passages)
+
     def explain(self, query: Query, doc_id: int) -> dict:
         """Score explanation tree — Explanation/Weight.explain analog."""
         query = rewrite(query, self.reader)
