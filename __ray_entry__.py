@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from lucene_solr_ray.pipelines import ann, dedup, events, facets, fulltext, multimodal, text
+from lucene_solr_ray.pipelines import ann, dedup, events, facets, fulltext, multimodal, solr_facets, text
 from lucene_solr_ray.pipelines import fulltext_sql as fs
 
 
@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": facets.facet_counts,
         "grouped_topk": facets.grouped_topk,
         "lang_char_stats": facets.lang_char_stats,
+        "solr_json_facets": solr_facets.solr_json_facets,
         # --- multimodal plumbing ---
         "mm_payload_features": multimodal.mm_payload_features,
     }
@@ -118,5 +119,6 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts": facets.SQL_FACET_COUNTS,
         "grouped_topk": facets.SQL_GROUPED_TOPK,
         "lang_char_stats": facets.SQL_LANG_CHAR_STATS,
+        "solr_json_facets": solr_facets.SQL_SOLR_JSON_FACETS,
         "mm_payload_features": multimodal.SQL_MM_PAYLOAD_FEATURES,
     }

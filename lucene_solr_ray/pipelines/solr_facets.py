@@ -1,0 +1,247 @@
+"""Solr JSON Facet API aggregates (SURVEY.md §2.5; ``solr/core/src/java/org/
+apache/solr/search/facet/{StddevAgg,VarianceAgg,PercentileAgg,HLLAgg,
+UniqueAgg}.java``) re-expressed Ray-Data-first.
+
+Facet buckets = ``lang``; metrics over the char length of ``text``; set
+cardinality over ``source``. One vectorized ``map_batches`` pass emits tiny
+per-block PARTIALS in long format (stats moments, a value-count histogram,
+HLL registers, distinct pairs); the driver merges partials — the combiner
+pattern, nothing but (bucket, value, count) rows ever move.
+
+Exact-parity design (every metric is derived from exact integer partials, so
+the float math on both sides is the same short, deterministic op sequence):
+
+- stddev/variance: sample variance from integer (count, sum, sumsq) —
+  ``(sumsq − sum²/count)/(count−1)`` like StddevAgg's
+  ``(sumSq − sum*sum/count)/(count−1)``.
+- percentile: exact from the merged value histogram with DuckDB's
+  ``quantile_disc`` rule ``sorted[floor(p·(n−1))]`` (Solr's PercentileAgg is
+  a t-digest approximation — the exact-histogram form is the deterministic
+  analog; the t-digest sketch is the unbounded-value-domain scale path).
+- unique: exact distinct via merged per-block distinct pairs (UniqueAgg).
+- hll: real HyperLogLog (Flajolet et al. 2007, m=64 registers) on a
+  60-bit md5-derived hash — register maxima merge associatively
+  (HLLAgg semantics); the estimator's harmonic sum is computed from exact
+  integers (Σ 2^(Rmax−reg)) so the float result is order-free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+
+HLL_M = 64  # 2^6 registers
+HLL_B = 6
+_HLL_ALPHA_MM = 0.709 * HLL_M * HLL_M  # alpha_64 · m²  (Flajolet Fig. 3)
+PCTS = [0.5, 0.9]
+
+
+def _hll_hash(values: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """→ (bucket, rho) per value: 60-bit hash from md5 hex (15 nibbles —
+    fits BIGINT for the SQL twin), low HLL_B bits = bucket, remaining 54
+    bits w → rho = 55 − bit_length(w) (position of the leftmost 1)."""
+    h = np.array(
+        [int(hashlib.md5(v.encode("utf-8")).hexdigest()[:15], 16) for v in values],
+        dtype=np.int64,
+    )
+    bucket = h & (HLL_M - 1)
+    w = h >> HLL_B
+    rho = np.array([55 - int(x).bit_length() if x > 0 else 55 for x in w], dtype=np.int64)
+    return bucket, rho
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """HLL cardinality from HLL_M register maxima (0 = never hit).
+
+    Harmonic mean via exact integers: Σ 2^(−reg) = Σ 2^(Rmax−reg) / 2^Rmax,
+    so E = alpha·m² · 2^Rmax / Σ 2^(Rmax−reg) has one float divide. Small-
+    range correction (E ≤ 2.5m, zero registers) → linear counting m·ln(m/V).
+    """
+    rmax = int(registers.max())
+    num = int(sum(1 << (rmax - int(r)) for r in registers))  # exact python int
+    e = _HLL_ALPHA_MM * float(2.0 ** rmax) / float(num)
+    v = int((registers == 0).sum())
+    if e <= 2.5 * HLL_M and v > 0:
+        e = HLL_M * math.log(HLL_M / v)
+    return e
+
+
+def _quantile_disc(values: np.ndarray, counts: np.ndarray, p: float) -> int:
+    """DuckDB quantile_disc over a (value → count) histogram:
+    sorted[ceil(p·n) − 1] (lower nearest-rank) without expansion."""
+    order = np.argsort(values)
+    values, counts = values[order], counts[order]
+    n = int(counts.sum())
+    idx = max(0, math.ceil(p * n) - 1)
+    cum = np.cumsum(counts)
+    return int(values[int(np.searchsorted(cum, idx, side="right"))])
+
+
+def solr_json_facets(sf_dir: str) -> pa.Table:
+    """Per-lang bucket: count, sum/min/max/avg/stddev/variance of char
+    length, exact p50/p90, exact distinct sources, HLL estimate."""
+    from .io import sized_read
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "source": batch["source"].to_pandas(),
+                "n": pc.utf8_length(batch["text"].cast(pa.string())).to_numpy(),
+            }
+        )
+        rows_lang, rows_kind, rows_a, rows_b, rows_s = [], [], [], [], []
+
+        def emit(lang, kind, a, b=0, s=None):
+            rows_lang.append(lang)
+            rows_kind.append(kind)
+            rows_a.append(int(a))
+            rows_b.append(int(b))
+            rows_s.append(s)
+
+        for lang, g in df.groupby("lang", sort=False):
+            n = g["n"].to_numpy(dtype=np.int64)
+            emit(lang, "cnt", len(n))
+            emit(lang, "sum", n.sum())
+            emit(lang, "sumsq", (n * n).sum())
+            emit(lang, "min", n.min())
+            emit(lang, "max", n.max())
+            vals, cnts = np.unique(n, return_counts=True)
+            for v, c in zip(vals, cnts):
+                emit(lang, "hist", v, c)
+            srcs = sorted(set(g["source"]))
+            for s_ in srcs:
+                emit(lang, "src", 0, 0, s_)
+            bucket, rho = _hll_hash(srcs)
+            for bk in np.unique(bucket):
+                emit(lang, "hll", bk, rho[bucket == bk].max())
+        return pa.table(
+            {
+                "lang": pa.array(rows_lang, pa.string()),
+                "kind": pa.array(rows_kind, pa.string()),
+                "a": pa.array(rows_a, pa.int64()),
+                "b": pa.array(rows_b, pa.int64()),
+                "s": pa.array(rows_s, pa.string()),
+            }
+        )
+
+    ds = sized_read(f"{sf_dir}/documents.parquet").map_batches(partials, batch_format="pyarrow")
+    parts = pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).to_pandas()
+
+    out: dict[str, list] = {k: [] for k in (
+        "lang", "count", "sum_len", "min_len", "max_len", "avg_len",
+        "variance_len", "stddev_len", "p50_len", "p90_len",
+        "unique_sources", "hll_sources",
+    )}
+    for lang in sorted(parts["lang"].unique()):
+        g = parts[parts["lang"] == lang]
+        cnt = int(g[g.kind == "cnt"].a.sum())
+        s_ = int(g[g.kind == "sum"].a.sum())
+        ssq = int(g[g.kind == "sumsq"].a.sum())
+        mn = int(g[g.kind == "min"].a.min())
+        mx = int(g[g.kind == "max"].a.max())
+        hist = g[g.kind == "hist"].groupby("a").b.sum()
+        vals = hist.index.to_numpy(dtype=np.int64)
+        cnts = hist.to_numpy(dtype=np.int64)
+        variance = (ssq - s_ * s_ / cnt) / (cnt - 1) if cnt > 1 else 0.0
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        hll = g[g.kind == "hll"].groupby("a").b.max()
+        regs[hll.index.to_numpy(dtype=np.int64)] = hll.to_numpy(dtype=np.int64)
+        out["lang"].append(lang)
+        out["count"].append(cnt)
+        out["sum_len"].append(s_)
+        out["min_len"].append(mn)
+        out["max_len"].append(mx)
+        out["avg_len"].append(s_ / cnt)
+        out["variance_len"].append(variance)
+        out["stddev_len"].append(math.sqrt(variance))
+        out["p50_len"].append(_quantile_disc(vals, cnts, 0.5))
+        out["p90_len"].append(_quantile_disc(vals, cnts, 0.9))
+        out["unique_sources"].append(len(set(g[g.kind == "src"].s)))
+        out["hll_sources"].append(hll_estimate(regs))
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "count": pa.array(out["count"], pa.int64()),
+            "sum_len": pa.array(out["sum_len"], pa.int64()),
+            "min_len": pa.array(out["min_len"], pa.int64()),
+            "max_len": pa.array(out["max_len"], pa.int64()),
+            "avg_len": pa.array(out["avg_len"], pa.float64()),
+            "variance_len": pa.array(out["variance_len"], pa.float64()),
+            "stddev_len": pa.array(out["stddev_len"], pa.float64()),
+            "p50_len": pa.array(out["p50_len"], pa.int64()),
+            "p90_len": pa.array(out["p90_len"], pa.int64()),
+            "unique_sources": pa.array(out["unique_sources"], pa.int64()),
+            "hll_sources": pa.array(out["hll_sources"], pa.float64()),
+        }
+    )
+
+
+# 60-bit hash from md5 hex (15 nibbles), matching _hll_hash exactly
+_H60 = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(source), {i + 1}, 1)) - 1) * "
+        f"{16 ** (14 - i)}"
+        for i in range(15)
+    )
+    + ")"
+)
+
+SQL_SOLR_JSON_FACETS = f"""
+WITH base AS (
+  SELECT lang, source, length(text) AS n FROM documents
+),
+stats AS (
+  SELECT lang,
+         count(*) AS cnt, sum(n) AS s, sum(n*n) AS ssq,
+         min(n) AS mn, max(n) AS mx,
+         quantile_disc(n, 0.5) AS p50, quantile_disc(n, 0.9) AS p90,
+         count(DISTINCT source) AS uniq
+  FROM base GROUP BY lang
+),
+srcs AS (SELECT DISTINCT lang, source FROM base),
+hashed AS (
+  SELECT lang, {_H60} AS h FROM srcs
+),
+regs AS (
+  SELECT lang, h % {HLL_M} AS bucket,
+         max(CASE WHEN h // {HLL_M} > 0
+                  THEN 55 - length(bin(h // {HLL_M}))
+                  ELSE 55 END) AS rho
+  FROM hashed GROUP BY lang, h % {HLL_M}
+),
+rmx AS (SELECT lang, max(rho) AS rmax FROM regs GROUP BY lang),
+hllagg AS (
+  -- zero (never-hit) registers each contribute 2^rmax to the harmonic sum
+  SELECT r.lang, m.rmax,
+         sum(CAST(power(2.0, m.rmax - r.rho) AS HUGEINT))
+           + ({HLL_M} - count(*)) * CAST(power(2.0, m.rmax) AS HUGEINT) AS num,
+         count(*) AS filled
+  FROM regs r JOIN rmx m USING (lang) GROUP BY r.lang, m.rmax
+)
+SELECT s.lang,
+       CAST(s.cnt AS BIGINT) AS count,
+       CAST(s.s AS BIGINT) AS sum_len,
+       CAST(s.mn AS BIGINT) AS min_len,
+       CAST(s.mx AS BIGINT) AS max_len,
+       CAST(s.s AS DOUBLE) / s.cnt AS avg_len,
+       CASE WHEN s.cnt > 1 THEN (s.ssq - CAST(s.s AS DOUBLE) * s.s / s.cnt) / (s.cnt - 1) ELSE 0.0 END AS variance_len,
+       sqrt(CASE WHEN s.cnt > 1 THEN (s.ssq - CAST(s.s AS DOUBLE) * s.s / s.cnt) / (s.cnt - 1) ELSE 0.0 END) AS stddev_len,
+       CAST(s.p50 AS BIGINT) AS p50_len,
+       CAST(s.p90 AS BIGINT) AS p90_len,
+       CAST(s.uniq AS BIGINT) AS unique_sources,
+       CASE WHEN {_HLL_ALPHA_MM!r} * power(2.0, h.rmax) / h.num <= {2.5 * HLL_M}
+                 AND h.filled < {HLL_M}
+            THEN {HLL_M} * ln({HLL_M} / CAST({HLL_M} - h.filled AS DOUBLE))
+            ELSE {_HLL_ALPHA_MM!r} * power(2.0, h.rmax) / h.num
+       END AS hll_sources
+FROM stats s JOIN hllagg h USING (lang)
+ORDER BY s.lang
+"""

@@ -199,3 +199,46 @@ def test_entry_smoke(entry_mod):
     tbl = res if isinstance(res, pa.Table) else pa.table(res)
     assert tbl.num_rows >= 0
     assert set(tbl.column_names) == {"query_id", "rank", "doc_id"}
+
+
+def test_solr_json_facets(ray_session):
+    """HLL estimate within ~3σ of exact distinct (1.04/√64 ≈ 13% rel σ);
+    quantile_disc rule and moment math pinned against brute force."""
+    import math
+
+    from lucene_solr_ray.pipelines import solr_facets
+
+    out = solr_facets.solr_json_facets(SF).to_pandas().set_index("lang")
+    import duckdb
+
+    exp = duckdb.sql(
+        f"""SELECT lang, count(*) c, sum(length(text)) s,
+                   count(DISTINCT source) u
+            FROM '{SF}/documents.parquet' GROUP BY lang"""
+    ).df().set_index("lang")
+    for lang in exp.index:
+        row = out.loc[lang]
+        assert row["count"] == exp.loc[lang, "c"]
+        assert row["sum_len"] == exp.loc[lang, "s"]
+        u = int(exp.loc[lang, "u"])
+        assert row["unique_sources"] == u
+        assert abs(row["hll_sources"] - u) <= max(3 * 1.04 / math.sqrt(64) * u, 3)
+        assert row["min_len"] <= row["p50_len"] <= row["p90_len"] <= row["max_len"]
+        assert row["stddev_len"] == pytest.approx(math.sqrt(row["variance_len"]))
+
+
+def test_hll_estimate_accuracy():
+    """HLL over n random values stays within 3σ for a range of n."""
+    import numpy as np
+
+    from lucene_solr_ray.pipelines.solr_facets import HLL_M, _hll_hash, hll_estimate
+
+    rng = np.random.default_rng(3)
+    for n in (5, 50, 500, 5000):
+        vals = [f"value-{rng.integers(0, 10**12)}-{i}" for i in range(n)]
+        bucket, rho = _hll_hash(vals)
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        for b, r in zip(bucket, rho):
+            regs[b] = max(regs[b], r)
+        est = hll_estimate(regs)
+        assert abs(est - n) <= 3 * 1.04 / HLL_M**0.5 * n + 3, (n, est)
