@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_field_search": fulltext.ft_field_search,
         "ft_numeric_range": fulltext.ft_numeric_range,
         "ft_highlight": fulltext.ft_highlight,  # rows-only: snippets pinned in pytest
+        "ft_topk_classic": fulltext.ft_topk_classic,
+        "ft_topk_lmdirichlet": fulltext.ft_topk_lmdirichlet,
         # --- text analysis ---
         "token_count": text.token_count,
         "lang_id": text.lang_id,
@@ -97,6 +99,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_field_search": fs.sql_field_search(fulltext.FIELD_SPECS),
         "ft_numeric_range": fs.sql_numeric_range(fulltext.NUMERIC_SPECS),
+        "ft_topk_classic": fs.sql_topk_classic(fulltext.SIM_TERMS, fulltext.TOPK_K),
+        "ft_topk_lmdirichlet": fs.sql_topk_lmdirichlet(fulltext.SIM_TERMS, fulltext.TOPK_K, 2000.0),
         "ft_phrase": fs.sql_phrase_union(fulltext.PHRASE_SPECS),
         "ft_phrase_sloppy": fs.sql_phrase_sloppy_union(fulltext.SLOPPY_SPECS),
         "ft_prefix": fs.sql_prefix_union(fulltext.PREFIX_SPECS),

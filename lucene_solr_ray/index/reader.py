@@ -82,6 +82,9 @@ class IndexReader:
     def field_doc_count(self, field: str) -> int:
         return int(self.field_stats.get(field, {}).get("doc_count", self.stats.doc_count))
 
+    def field_sum_ttf(self, field: str) -> int:
+        return int(self.field_stats.get(field, {}).get("sum_ttf", self.stats.sum_ttf))
+
     # ------------------------------------------------------------------
     def seg_dir(self, seg: int) -> str:
         """Segment directory; merged segments carry an explicit "dir"."""

@@ -481,3 +481,47 @@ def ft_wand_topk(sf_dir: str) -> pa.Table:
             "doc_id": res["doc_id"],
         }
     )
+
+
+#: single-term query set for the alternative similarities (float64 sql-compat)
+SIM_TERMS = ["spark", "merge", "window", "customer"]
+
+
+def _sim_searcher(sf_dir: str, name: str) -> Searcher:
+    key = f"{sf_dir}|{name}"
+    s = _SEARCHERS.get(key)
+    if s is not None:
+        return s
+    get_searcher(sf_dir)  # ensure the index exists
+    from ..search.similarities import ClassicSimilarity, LMDirichletSimilarity
+
+    sim = ClassicSimilarity(np.float64) if name == "classic" else LMDirichletSimilarity(2000.0, np.float64)
+    s = Searcher(_index_dir_for(sf_dir), similarity=sim)
+    _SEARCHERS[key] = s
+    return s
+
+
+def _sim_topk(sf_dir: str, name: str) -> pa.Table:
+    s = _sim_searcher(sf_dir, name)
+    queries = {t: TermQuery(t) for t in SIM_TERMS}
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+            "score": pa.array(
+                np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+def ft_topk_classic(sf_dir: str) -> pa.Table:
+    """Single-term TF-IDF top-k (ClassicSimilarity, float64 sql-compat)."""
+    return _sim_topk(sf_dir, "classic")
+
+
+def ft_topk_lmdirichlet(sf_dir: str) -> pa.Table:
+    """Single-term LM-Dirichlet top-k (mu=2000, float64 sql-compat)."""
+    return _sim_topk(sf_dir, "lmd")

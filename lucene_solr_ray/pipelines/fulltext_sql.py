@@ -354,3 +354,47 @@ def sql_topk_union(specs: list[dict]) -> str:
         for s in specs
     ]
     return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
+
+
+def sql_topk_classic(terms: list[str], k: int) -> str:
+    """ClassicSimilarity (TF-IDF) single-term top-k with exact float64 scores:
+    score = (sqrt(tf) * idf) * (1/sqrt(qlen)), idf = ln((dc+1)/(df+1)) + 1
+    (ClassicSimilarity.java:40-74, TFIDFSimilarity.java:599-612)."""
+    parts = []
+    for t in sorted(terms):
+        parts.append(prelude() + f""",
+scored AS (
+  SELECT k.did,
+         (sqrt(k.tf) * ({1.0!r} * (ln(((SELECT dc FROM stats) + 1) / CAST((SELECT count(DISTINCT did) FROM tf WHERE tok = '{t}') + 1 AS DOUBLE)) + {1.0!r})))
+           * ({1.0!r} / sqrt(q.qlen)) AS score
+  FROM tf k JOIN quant q USING (did) WHERE k.tok = '{t}'
+)
+SELECT '{t}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM scored ORDER BY score DESC, did ASC LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def sql_topk_lmdirichlet(terms: list[str], k: int, mu: float) -> str:
+    """LM-Dirichlet single-term top-k, float64:
+    p = (ttf+1)/(sumTTF+1); score = max(0, boost*(ln(1 + tf/(mu*p)) +
+    ln(mu/(docLen+mu)))) with docLen = quantized length
+    (LMDirichletSimilarity.java:66-71, LMSimilarity.java:154-156)."""
+    parts = []
+    for t in sorted(terms):
+        pexpr = (f"(CAST((SELECT sum(tf) FROM tf WHERE tok = '{t}') + 1 AS DOUBLE)"
+                 f" / ((SELECT sttf FROM stats) + 1))")
+        parts.append(prelude() + f""",
+scored AS (
+  SELECT k.did,
+         greatest({1.0!r} * (ln(1 + k.tf / ({mu!r} * {pexpr})) + ln({mu!r} / (q.qlen + {mu!r}))), 0.0) AS score
+  FROM tf k JOIN quant q USING (did) WHERE k.tok = '{t}'
+)
+SELECT '{t}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM scored ORDER BY score DESC, did ASC LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)

@@ -29,6 +29,9 @@ B = 0.75
 
 
 class BM25Similarity:
+    supports_wand = True
+    supports_phrases = True
+
     def __init__(self, k1: float = K1, b: float = B, dtype=np.float32):
         if not (k1 >= 0 and math.isfinite(k1)):
             raise ValueError(f"illegal k1 value: {k1}")  # BM25Similarity.java:54-66
@@ -37,6 +40,16 @@ class BM25Similarity:
         self.k1 = k1
         self.b = b
         self.dtype = np.dtype(dtype)
+
+    def spec(self):
+        return ("bm25", self.k1, self.b, self.dtype.name)
+
+    def term_weight_stat(self, df: int, ttf: int, doc_count: int, sum_ttf: int):
+        return float(self.idf(df, doc_count))
+
+    def nonorm_cache(self) -> np.ndarray:
+        """Fields without norms score with norm = k1 (BM25Similarity.java:263)."""
+        return np.full(256, self.dtype.type(self.k1), dtype=self.dtype)
 
     def idf(self, df: int, doc_count: int):
         """BM25Similarity.java:72-74 (double math, cast to dtype)."""

@@ -82,10 +82,10 @@ class SegmentScorer:
         self.lazy = lazy  # {(field, term): LazyTermPostings} for positional queries
         self.doc_values = doc_values or {}  # numeric columns for range queries
         self._term_cache: dict = {}
-        # keyword fields omit norms: missing norms score with norm = k1
-        # (BM25Similarity.java:263); a constant cache + zero norm bytes
-        # reproduces that through the same score_freqs kernel
-        self._nonorm_cache = np.full(256, sim.dtype.type(sim.k1), dtype=sim.dtype)
+        # fields without norms use the similarity's no-norm table through
+        # the same score_freqs kernel (BM25: norm=k1, BM25Similarity.java:263;
+        # TFIDF: raw score; SimilarityBase: docLen=1)
+        self._nonorm_cache = sim.nonorm_cache()
 
     def _norm_inputs(self, field: str, ids: np.ndarray):
         """→ (norm_bytes, cache) for the field (content has real norms)."""
@@ -125,6 +125,10 @@ class SegmentScorer:
 
         if self.lazy is None:
             raise ValueError("phrase queries need positional postings (lazy=None)")
+        if not getattr(self.sim, "supports_phrases", True):
+            raise TypeError(
+                f"{type(self.sim).__name__} does not support phrase scoring"
+            )
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype))
         multi = isinstance(q, MultiPhraseQuery)
         slots = [tuple(ts) for ts in q.terms] if multi else [(t,) for t in q.terms]

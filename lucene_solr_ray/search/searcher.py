@@ -76,8 +76,9 @@ class ScoreSegmentGroup:
         self.seg_dirs = seg_dirs or {}
         self.after = after
         self.k = k
-        k1, b, dtype = sim_params
-        self.sim = BM25Similarity(k1, b, dtype=dtype)
+        from .similarities import similarity_from_spec
+
+        self.sim = similarity_from_spec(sim_params)
         self.method = method
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -165,8 +166,9 @@ class MatchFieldGroup:
         self.cache = cache
         self.doc_bases = doc_bases
         self.seg_dirs = seg_dirs or {}
-        k1, b, dtype = sim_params
-        self.sim = BM25Similarity(k1, b, dtype=dtype)
+        from .similarities import similarity_from_spec
+
+        self.sim = similarity_from_spec(sim_params)
         self.mode = mode
         self.field = field
         self.k = k
@@ -253,7 +255,7 @@ def score_one(q, sim, lazy, weights, cache, norms, k, method="auto",
     truncation; WAND is bypassed when present, like Lucene's liveDocs check
     inside the scorer loop).
     """
-    if live is None and after is None and method in ("auto", "wand") and _wand_applicable(q):
+    if live is None and after is None and method in ("auto", "wand") and _wand_applicable(q, sim):
         from .wand import wand_topk
 
         ids, scores = wand_topk(q, sim, lazy, weights, cache, norms, k)
@@ -273,17 +275,24 @@ def score_one(q, sim, lazy, weights, cache, norms, k, method="auto",
     return ids, scores
 
 
-def _wand_applicable(q) -> bool:
-    # content-field-only: WAND block bounds use the content norm cache
+def _wand_applicable(q, sim=None) -> bool:
+    # content-field-only: WAND block bounds use the content norm cache; the
+    # block-max upper-bound math is BM25's (sim must support it)
+    if sim is not None and not getattr(sim, "supports_wand", False):
+        return False
     return isinstance(q, BooleanQuery) and bool(q.should) and not q.must and not q.must_not \
         and q.min_should_match <= 1 \
         and all(isinstance(c, TermQuery) and c.field == "content" for c in q.should)
 
 
 class Searcher:
-    def __init__(self, index_dir: str, k1: float = 1.2, b: float = 0.75, dtype=np.float32):
+    def __init__(self, index_dir: str, k1: float = 1.2, b: float = 0.75, dtype=np.float32,
+                 similarity=None):
+        """``similarity``: any object implementing the similarity interface
+        (default BM25; see :mod:`similarities` for Classic TF-IDF and
+        LM-Dirichlet — IndexSearcher.setSimilarity analog)."""
         self.reader = IndexReader(index_dir)
-        self.sim = BM25Similarity(k1, b, dtype=dtype)
+        self.sim = similarity if similarity is not None else BM25Similarity(k1, b, dtype=dtype)
         st = self.reader.stats
         self.avgdl = self.sim.avgdl(st.sum_ttf, st.doc_count)
         self.cache = self.sim.norm_cache(self.avgdl)
@@ -301,9 +310,11 @@ class Searcher:
         weightValue per clause — collectionStatistics is per field)."""
         stats = self.reader.term_stats(sorted(pairs))
         # df==0 terms have no TermStatistics in the reference (termStatistics
-        # returns null) — they contribute no idf anywhere, so omit them
+        # returns null) — they contribute no weight anywhere, so omit them
         return {
-            (f, t): float(self.sim.idf(df, self.reader.field_doc_count(f)))
+            (f, t): self.sim.term_weight_stat(
+                df, ttf, self.reader.field_doc_count(f), self.reader.field_sum_ttf(f)
+            )
             for (f, t), (df, ttf) in stats.items()
             if df > 0
         }
@@ -311,16 +322,20 @@ class Searcher:
     def _weights_from_table(self, tbl: pa.Table | None, pairs: set) -> dict:
         """Same as _weights but from an already-loaded postings table
         (single-scan local path: df = Σ per-segment df)."""
-        dfs: dict[tuple[str, str], int] = {p: 0 for p in pairs}
+        dfs: dict[tuple[str, str], list[int]] = {p: [0, 0] for p in pairs}
         if tbl is not None and len(tbl):
-            for f, t, df in zip(
-                tbl["field"].to_pylist(), tbl["term"].to_pylist(), tbl["df"].to_numpy()
+            for f, t, df, ttf in zip(
+                tbl["field"].to_pylist(), tbl["term"].to_pylist(),
+                tbl["df"].to_numpy(), tbl["ttf"].to_numpy(),
             ):
                 if (f, t) in dfs:
-                    dfs[(f, t)] += int(df)
+                    dfs[(f, t)][0] += int(df)
+                    dfs[(f, t)][1] += int(ttf)
         return {
-            (f, t): float(self.sim.idf(df, self.reader.field_doc_count(f)))
-            for (f, t), df in dfs.items()
+            (f, t): self.sim.term_weight_stat(
+                df, ttf, self.reader.field_doc_count(f), self.reader.field_sum_ttf(f)
+            )
+            for (f, t), (df, ttf) in dfs.items()
             if df > 0
         }
 
@@ -377,7 +392,7 @@ class Searcher:
                         cache=self.cache,
                         doc_bases=doc_bases,
                         k=k,
-                        sim_params=(self.sim.k1, self.sim.b, self.sim.dtype),
+                        sim_params=self.sim.spec(),
                         method=method,
                         seg_dirs=self.reader.seg_dirs(),
                         after=after,
@@ -440,7 +455,7 @@ class Searcher:
                 weights=weights,
                 cache=self.cache,
                 doc_bases={s["seg"]: s["doc_base"] for s in self.reader.segments},
-                sim_params=(self.sim.k1, self.sim.b, self.sim.dtype),
+                sim_params=self.sim.spec(),
                 mode=mode,
                 field=field,
                 k=k,
