@@ -52,6 +52,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_highlight": fulltext.ft_highlight,  # rows-only: snippets pinned in pytest
         "ft_topk_classic": fulltext.ft_topk_classic,
         "ft_topk_lmdirichlet": fulltext.ft_topk_lmdirichlet,
+        "ft_mlt": fulltext.ft_mlt,
+        "ft_suggest_prefix": fulltext.ft_suggest_prefix,
+        "ft_spellcheck": fulltext.ft_spellcheck,
         # --- text analysis ---
         "token_count": text.token_count,
         "lang_id": text.lang_id,
@@ -101,6 +104,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_numeric_range": fs.sql_numeric_range(fulltext.NUMERIC_SPECS),
         "ft_topk_classic": fs.sql_topk_classic(fulltext.SIM_TERMS, fulltext.TOPK_K),
         "ft_topk_lmdirichlet": fs.sql_topk_lmdirichlet(fulltext.SIM_TERMS, fulltext.TOPK_K, 2000.0),
+        "ft_mlt": fs.sql_mlt(fulltext.MLT_SRC_DOCS, fulltext.TOPK_K),
+        "ft_suggest_prefix": fs.sql_suggest_prefix(fulltext.SUGGEST_PREFIXES),
+        "ft_spellcheck": fs.sql_spellcheck(fulltext.SPELL_INPUTS),
         "ft_phrase": fs.sql_phrase_union(fulltext.PHRASE_SPECS),
         "ft_phrase_sloppy": fs.sql_phrase_sloppy_union(fulltext.SLOPPY_SPECS),
         "ft_prefix": fs.sql_prefix_union(fulltext.PREFIX_SPECS),

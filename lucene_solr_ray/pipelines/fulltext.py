@@ -525,3 +525,83 @@ def ft_topk_classic(sf_dir: str) -> pa.Table:
 def ft_topk_lmdirichlet(sf_dir: str) -> pa.Table:
     """Single-term LM-Dirichlet top-k (mu=2000, float64 sql-compat)."""
     return _sim_topk(sf_dir, "lmd")
+
+
+MLT_SRC_DOCS = [0, 7, 42]
+SUGGEST_PREFIXES = ["sp", "me", "wi"]
+SPELL_INPUTS = ["mergee", "windoww", "sprk"]
+
+
+def ft_mlt(sf_dir: str) -> pa.Table:
+    """MoreLikeThis: top-10 similar docs per source doc (source excluded).
+
+    Ranking uses the score rounded to 6 decimals (ties → doc id asc): the
+    25-term SHOULD sum is float-order-dependent at the ulp level, and the
+    SQL oracle's sum() order is unspecified — rounding collapses that noise
+    identically on both sides."""
+    from ..search.mlt import mlt_query
+
+    s = get_searcher(sf_dir)
+    queries = {str(src): mlt_query(s, src) for src in MLT_SRC_DOCS}
+    res = s.search(queries, k=TOPK_K + 10, use_ray=True)  # one batched scatter
+    all_q = res["query_id"].to_pylist()
+    all_ids = res["doc_id"].to_numpy()
+    all_scores = np.round(res["score"].to_numpy().astype(np.float64), 6)
+    tables = []
+    for src in MLT_SRC_DOCS:
+        m = np.asarray([q == str(src) for q in all_q])
+        ids, scores = all_ids[m], all_scores[m]
+        keep = ids != src
+        ids, scores = ids[keep], scores[keep]
+        order = np.lexsort((ids, -scores))[:TOPK_K]
+        tables.append(
+            pa.table(
+                {
+                    "query_id": pa.array([str(src)] * len(order), pa.string()),
+                    "rank": pa.array(np.arange(len(order)), pa.int64()),
+                    "doc_id": pa.array(ids[order], pa.int64()),
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
+def ft_suggest_prefix(sf_dir: str) -> pa.Table:
+    """Completion suggester: top-5 terms by df under each prefix."""
+    from ..search.suggest import suggest_prefix
+
+    s = get_searcher(sf_dir)
+    tables = []
+    for pre in SUGGEST_PREFIXES:
+        r = suggest_prefix(s.reader, pre, num=5)
+        tables.append(
+            pa.table(
+                {
+                    "query_id": pa.array([pre] * r.num_rows, pa.string()),
+                    "term": r["term"],
+                    "df": r["df"],
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
+def ft_spellcheck(sf_dir: str) -> pa.Table:
+    """DirectSpellChecker analog: closest more-popular terms per input."""
+    from ..search.suggest import spell_suggest
+
+    s = get_searcher(sf_dir)
+    tables = []
+    for w in SPELL_INPUTS:
+        r = spell_suggest(s.reader, w, max_edits=2, num=5)
+        tables.append(
+            pa.table(
+                {
+                    "query_id": pa.array([w] * r.num_rows, pa.string()),
+                    "term": r["term"],
+                    "dist": r["dist"],
+                    "df": r["df"],
+                }
+            )
+        )
+    return pa.concat_tables(tables)

@@ -398,3 +398,61 @@ SELECT '{t}' AS query_id,
 FROM scored ORDER BY score DESC, did ASC LIMIT {k}
 """)
     return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def sql_mlt(srcs: list[int], k: int, min_tf: int = 2, min_df: int = 5,
+            max_terms: int = 25) -> str:
+    """MoreLikeThis oracle: interesting terms by tf*(ln((dc+1)/(df+1))+1)
+    (filters tf>=min_tf, df>=min_df; top max_terms, tie term asc), then a
+    BM25 SHOULD query over them; rank+doc_id, source doc excluded."""
+    parts = []
+    for src in srcs:
+        parts.append(prelude() + f""",
+sel AS (
+  SELECT k.tok,
+         k.tf * (ln(((SELECT dc FROM stats) + 1) / CAST(i.df + 1 AS DOUBLE)) + {1.0!r}) AS ms
+  FROM tf k JOIN idf i USING (tok)
+  WHERE k.did = {src} AND k.tf >= {min_tf} AND i.df >= {min_df}
+  ORDER BY ms DESC, k.tok ASC LIMIT {max_terms}
+),
+sc AS (
+  SELECT k.did,
+         ((i.idf * {1.0!r}) * {K1 + 1!r}) * k.tf
+           / (k.tf + {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen) / (SELECT avgdl FROM avg_dl))) AS s
+  FROM tf k JOIN quant q USING (did) JOIN idf i ON k.tok = i.tok
+  WHERE k.tok IN (SELECT tok FROM sel)
+),
+agg AS (SELECT did, sum(s) AS score FROM sc GROUP BY did)
+SELECT '{src}' AS query_id,
+       CAST(row_number() OVER (ORDER BY round(score, 6) DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id
+FROM agg WHERE did <> {src}
+ORDER BY round(score, 6) DESC, did ASC LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def sql_suggest_prefix(prefixes: list[str], num: int = 5) -> str:
+    parts = []
+    for pre in prefixes:
+        parts.append(prelude() + f"""
+SELECT '{pre}' AS query_id, tok AS term, CAST(df AS BIGINT) AS df
+FROM idf WHERE tok LIKE '{pre}%'
+ORDER BY df DESC, tok ASC LIMIT {num}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def sql_spellcheck(inputs: list[str], max_edits: int = 2, num: int = 5) -> str:
+    parts = []
+    for w in inputs:
+        parts.append(prelude() + f""",
+indf AS (SELECT coalesce((SELECT df FROM idf WHERE tok = '{w}'), 0) AS v)
+SELECT '{w}' AS query_id, tok AS term,
+       CAST(levenshtein(tok, '{w}') AS BIGINT) AS dist, CAST(df AS BIGINT) AS df
+FROM idf
+WHERE tok <> '{w}' AND levenshtein(tok, '{w}') <= {max_edits}
+  AND df > (SELECT v FROM indf)
+ORDER BY dist ASC, df DESC, tok ASC LIMIT {num}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)

@@ -1,0 +1,115 @@
+"""Suggest + spellcheck over the term dictionary (SURVEY.md §2 "suggest").
+
+- :func:`suggest_prefix` — completion suggester: top terms by collection df
+  under a prefix (``lucene/suggest/.../analyzing/AnalyzingSuggester.java``
+  with weight = docFreq, over the postings term dictionary instead of a
+  dedicated FST — the term dict's sorted parquet column IS the automaton
+  analog here).
+- :func:`spell_suggest` — DirectSpellChecker analog
+  (``lucene/suggest/.../spell/DirectSpellChecker.java``): candidate terms
+  within ``max_edits`` Levenshtein of the input, more frequent than the
+  input term, ranked (distance asc, df desc, term asc) — the reference
+  ranks by a distance-derived score then docFreq; the integer ordering here
+  is the deterministic equivalent.
+
+Both run as one column-pruned distributed pass over the postings files
+(term + df only), with a cheap per-block prefilter before the exact
+Levenshtein (length band |len−len(q)| ≤ max_edits).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .query import CONTENT_FIELD
+
+
+def _term_df(reader, field: str, flt) -> pa.Table:
+    """Distributed (term, df) aggregation over postings blocks with a
+    per-block vectorized filter ``flt(term_array) -> mask``; only surviving
+    (term, df) partials reach the driver, summed per term there."""
+    import ray.data
+
+    def pick(batch: pa.Table) -> pa.Table:
+        terms = batch["term"]
+        mask = flt(terms)
+        sel = batch.filter(pa.array(mask))
+        return pa.table({"term": sel["term"], "df": sel["df"]})
+
+    ds = ray.data.read_parquet(
+        reader.postings_files(),
+        columns=["field", "term", "df"],
+        filter=pa.compute.field("field") == field,
+    ).map_batches(pick, batch_format="pyarrow")
+    empty = pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    parts = pa.concat_tables(
+        [empty, *ds.iter_batches(batch_format="pyarrow")], promote_options="default"
+    )
+    if not len(parts):
+        return empty
+    import pandas as pd
+
+    agg = parts.to_pandas().groupby("term", sort=False).df.sum().reset_index()
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def suggest_prefix(reader, prefix: str, num: int = 5, field: str = CONTENT_FIELD) -> pa.Table:
+    """→ (term, df) top-``num`` by (df desc, term asc)."""
+    import pyarrow.compute as pc
+
+    tbl = _term_df(reader, field, lambda t: pc.starts_with(t, prefix).to_numpy(zero_copy_only=False))
+    df = tbl.to_pandas().sort_values(["df", "term"], ascending=[False, True]).head(num)
+    return pa.table(
+        {"term": pa.array(df["term"], pa.string()), "df": pa.array(df["df"], pa.int64())}
+    )
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def spell_suggest(reader, term: str, max_edits: int = 2, num: int = 5,
+                  field: str = CONTENT_FIELD, more_popular: bool = True) -> pa.Table:
+    """→ (term, dist, df) top-``num`` by (dist asc, df desc, term asc).
+
+    ``more_popular``: only suggest terms with df > the input term's df
+    (DirectSpellChecker's docfreq comparison; an unknown input has df 0)."""
+
+    def flt(terms: pa.Array):
+        lens = pa.compute.utf8_length(terms).to_numpy(zero_copy_only=False)
+        return np.abs(lens - len(term)) <= max_edits
+
+    tbl = _term_df(reader, field, flt)
+    terms = tbl["term"].to_pylist()
+    dfs = tbl["df"].to_numpy() if len(tbl) else np.empty(0, np.int64)
+    in_df = 0
+    rows = []
+    for t, df in zip(terms, dfs):
+        if t == term:
+            in_df = int(df)
+            continue
+        d = _levenshtein(term, t)
+        if d <= max_edits:
+            rows.append((d, -int(df), t))
+    if more_popular:
+        rows = [r for r in rows if -r[1] > in_df]
+    rows.sort()
+    rows = rows[:num]
+    return pa.table(
+        {
+            "term": pa.array([t for _d, _nd, t in rows], pa.string()),
+            "dist": pa.array([d for d, _nd, _t in rows], pa.int64()),
+            "df": pa.array([-nd for _d, nd, _t in rows], pa.int64()),
+        }
+    )
