@@ -282,13 +282,18 @@ def merge_index(index_dir: str, *, segs_per_tier: int = SEGS_PER_TIER,
     generation = _next_generation(index_dir)
 
     group_dirs = [[reader.seg_dir(m["seg"]) for m in g] for g in groups]
+    # a merge group runs in ~4s warm but pays ~20-35s of per-PROCESS
+    # first-touch warmup (page faults on fresh numpy arenas). Few groups →
+    # run sequentially in the (already warm) driver: measured 39s vs 86-196s
+    # in fresh workers for 10 groups. Many groups → fan out to FEW workers so
+    # each warms once and streams its chunk (the 100-TB regime, where
+    # thousands of groups amortize the per-worker warmup).
+    seq_threshold = int(os.environ.get("LSR_MERGE_SEQ_THRESHOLD", "16"))
+    if use_ray and len(groups) <= seq_threshold:
+        use_ray = False
     if use_ray:
         import ray
 
-        # a merge group runs in ~3s warm but pays ~15-20s of per-PROCESS
-        # first-touch warmup (page faults on fresh numpy arenas) — so route
-        # MANY groups through FEW workers: each worker warms once and streams
-        # its chunk sequentially (measured 239s → ~40s on 100→10 segments)
         n_workers = min(len(groups), int(os.environ.get("LSR_MERGE_WORKERS", "4")))
         work = list(zip(groups, group_dirs))
         chunks = [work[i::n_workers] for i in range(n_workers)]

@@ -256,23 +256,29 @@ def decode_sequences(buf: np.ndarray, seq_offsets: np.ndarray, counts: np.ndarra
         return np.empty(0, dtype=np.int64)
     nb = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
     total_blocks = int(nb.sum())
-    # header scan (python loop over blocks; light)
+    # header scan, vectorized by block ordinal: round r reads the r-th block
+    # of every still-active sequence at once (offsets chain within a
+    # sequence, so rounds are the only sequential dependency)
+    block_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nb, out=block_ptr[1:])
     b_off = np.empty(total_blocks, dtype=np.int64)
     b_w = np.empty(total_blocks, dtype=np.int64)
     b_len = np.empty(total_blocks, dtype=np.int64)
-    bi = 0
-    for i in range(n):
-        p = int(seq_offsets[i])
-        remaining = int(counts[i])
-        while remaining > 0:
-            blen = min(BLOCK_SIZE, remaining)
-            w = int(buf[p])
-            b_off[bi] = p
-            b_w[bi] = w
-            b_len[bi] = blen
-            p += 1 + (4 if w == 0 else (blen * w + 7) // 8)
-            remaining -= blen
-            bi += 1
+    cursor = np.asarray(seq_offsets[:n], dtype=np.int64).copy()
+    remaining = counts.copy()
+    active = np.flatnonzero(remaining > 0)
+    r = 0
+    while len(active):
+        blen = np.minimum(BLOCK_SIZE, remaining[active])
+        w = buf[cursor[active]].astype(np.int64)
+        dst = block_ptr[active] + r
+        b_off[dst] = cursor[active]
+        b_w[dst] = w
+        b_len[dst] = blen
+        cursor[active] += 1 + np.where(w == 0, 4, (blen * w + 7) >> 3)
+        remaining[active] -= blen
+        active = active[remaining[active] > 0]
+        r += 1
     v_start = np.zeros(total_blocks + 1, dtype=np.int64)
     np.cumsum(b_len, out=v_start[1:])
     out = np.empty(N, dtype=np.int64)
