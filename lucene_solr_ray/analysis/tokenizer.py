@@ -45,6 +45,30 @@ MAX_TOKEN_LENGTH = 255
 # \w+ with Unicode: runs of [\p{L}\p{N}_] — matches DuckDB RE2 '[\p{L}\p{N}_]+'
 TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
+# --- UAX#29 word classes beyond ALPHANUM (StandardTokenizerImpl.jflex) ---
+# IDEOGRAPHIC and HIRAGANA emit ONE char per token; KATAKANA and HANGUL emit
+# runs; EMOJI sequences (incl. ZWJ joins) are one token — mirroring the
+# reference DFA's token types (analysis/standard/StandardTokenizer.java:58-78).
+_IDEO = "\u3006\u3007\u4E00-\u9FFF\u3400-\u4DBF\uF900-\uFAFF"
+_HIRA = "\u3041-\u309F"
+_KATA = "\u30A0-\u30FF\u31F0-\u31FF\uFF66-\uFF9D"
+_HANG = "\u1100-\u11FF\u3130-\u318F\uAC00-\uD7A3"
+_EMOJ = "\u2600-\u27BF\u2B00-\u2BFF\U0001F000-\U0001FAFF"
+_CJK_ALL = _IDEO + _HIRA + _KATA + _HANG
+UAX29_TOKEN_RE = re.compile(
+    f"[{_KATA}]+"
+    f"|[{_HANG}]+"
+    f"|[{_IDEO}]"
+    f"|[{_HIRA}]"
+    f"|[{_EMOJ}](?:\u200D[{_EMOJ}])*"
+    f"|(?:(?![{_CJK_ALL}])\w)+",
+    re.UNICODE,
+)
+
+
+def token_re(analyzer: "StandardAnalyzer") -> "re.Pattern":
+    return UAX29_TOKEN_RE if analyzer.unicode_segmentation else TOKEN_RE
+
 
 @dataclass(frozen=True)
 class StandardAnalyzer:
@@ -53,6 +77,10 @@ class StandardAnalyzer:
     max_token_length: int = MAX_TOKEN_LENGTH
     stopwords: frozenset[str] = field(default_factory=lambda: ENGLISH_STOP_WORDS)
     lowercase: bool = True
+    #: full UAX#29 word classes (CJK/Hangul/Katakana/emoji) instead of the
+    #: ALPHANUM-subset default; analysis runs through the Python tokenizer
+    #: (the Arrow fast path covers only the default mode)
+    unicode_segmentation: bool = False
 
 
 _DEFAULT = StandardAnalyzer()
@@ -68,7 +96,7 @@ def analyze_with_positions(
     accumulates their increments onto the next kept token).
     """
     out: list[tuple[str, int]] = []
-    for pos, raw in enumerate(TOKEN_RE.findall(text)):
+    for pos, raw in enumerate(token_re(analyzer).findall(text)):
         if len(raw) > analyzer.max_token_length:
             continue  # skipped, but `pos` advances (StandardTokenizer.java:154-164)
         term = raw.lower() if analyzer.lowercase else raw
@@ -86,7 +114,7 @@ def analyze_with_offsets(
     ANALYSIS offset source (uhighlight/AnalysisOffsetStrategy.java) —
     offsets come from re-tokenizing stored text, not the postings."""
     out: list[tuple[str, int, int, int]] = []
-    for pos, m in enumerate(TOKEN_RE.finditer(text)):
+    for pos, m in enumerate(token_re(analyzer).finditer(text)):
         raw = m.group()
         if len(raw) > analyzer.max_token_length:
             continue
@@ -123,16 +151,31 @@ class ArrowAnalyzer:
         arr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
         n = len(arr)
         arr = pc.fill_null(arr, "")
-        low = pc.utf8_lower(arr) if self.analyzer.lowercase else arr
-        toks = pc.split_pattern_regex(low, pattern=self.SPLIT_PATTERN)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.values
-        offs = toks.offsets.to_numpy().astype(np.int64)
-        if offs[0] != 0 or len(flat) != offs[-1] - offs[0]:
-            flat = flat.slice(offs[0], offs[-1] - offs[0])  # normalize list offset
-            offs = offs - offs[0]
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        if self.analyzer.unicode_segmentation:
+            # UAX#29 word classes can't be expressed as an RE2 split pattern
+            # (single-char ideograph tokens); tokenize per doc in Python and
+            # rejoin the vectorized fold below
+            pat = token_re(self.analyzer)
+            lower = self.analyzer.lowercase
+            pylists = [
+                pat.findall(s_.lower() if lower else s_) for s_ in (x or "" for x in arr.to_pylist())
+            ]
+            counts = np.fromiter((len(t) for t in pylists), dtype=np.int64, count=n)
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            flat = pa.array((t for lst in pylists for t in lst), pa.string(), size=int(counts.sum()))
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        else:
+            low = pc.utf8_lower(arr) if self.analyzer.lowercase else arr
+            toks = pc.split_pattern_regex(low, pattern=self.SPLIT_PATTERN)
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = toks.values
+            offs = toks.offsets.to_numpy().astype(np.int64)
+            if offs[0] != 0 or len(flat) != offs[-1] - offs[0]:
+                flat = flat.slice(offs[0], offs[-1] - offs[0])  # normalize list offset
+                offs = offs - offs[0]
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
 
         length = pc.utf8_length(flat)
         nonempty = pc.greater(length, 0)
@@ -227,7 +270,7 @@ def analyze_batch(
         else:
             # lowercase the whole string first (C-speed); \w is case-insensitive
             # so token boundaries are unchanged.
-            tok_lists.append(TOKEN_RE.findall(s.lower() if analyzer.lowercase else s))
+            tok_lists.append(token_re(analyzer).findall(s.lower() if analyzer.lowercase else s))
     counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
     if counts.sum() == 0:
         return BatchTokenStats(

@@ -110,3 +110,47 @@ def test_batch_field_len_counts_kept_tokens_only():
     stats = analyze_batch(["the quick and the dead"])
     assert stats.field_lens.tolist() == [2]
     assert stats.field_lens.dtype == np.int32
+
+
+def test_uax29_segmentation_golden():
+    """Extended UAX#29 classes (StandardTokenizerImpl.jflex): ideographs and
+    hiragana one char per token, katakana/hangul runs, emoji ZWJ sequences
+    one token, ALPHANUM unchanged."""
+    from lucene_solr_ray.analysis.tokenizer import StandardAnalyzer, analyze_with_positions
+
+    a = StandardAnalyzer(unicode_segmentation=True, stopwords=frozenset())
+    assert [t for t, _ in analyze_with_positions("今日は晴れ", a)] == ["今", "日", "は", "晴", "れ"]
+    assert [t for t, _ in analyze_with_positions("Hello世界abc", a)] == ["hello", "世", "界", "abc"]
+    assert [t for t, _ in analyze_with_positions("コンピュータ 안녕하세요", a)] == ["コンピュータ", "안녕하세요"]
+    toks = [t for t, _ in analyze_with_positions("go \U0001F389\U0001F389 \U0001F468‍\U0001F469‍\U0001F467 now", a)]
+    assert toks == ["go", "\U0001F389", "\U0001F389", "\U0001F468‍\U0001F469‍\U0001F467", "now"]
+    # positions advance per emitted token
+    assert analyze_with_positions("漢字 kanji", a) == [("漢", 0), ("字", 1), ("kanji", 2)]
+    # default mode unchanged (CJK run glued, oracle-compatible)
+    d = StandardAnalyzer(stopwords=frozenset())
+    assert [t for t, _ in analyze_with_positions("Hello世界abc", d)] == ["hello世界abc"]
+
+
+def test_uax29_arrow_batch_matches_python():
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_solr_ray.analysis.tokenizer import (
+        ArrowAnalyzer,
+        StandardAnalyzer,
+        analyze_with_positions,
+    )
+
+    a = StandardAnalyzer(unicode_segmentation=True)
+    docs = ["今日は the 晴れ test", "コンピュータ and data 漢字", "", "plain ascii only"]
+    stats = ArrowAnalyzer(a)(pa.array(docs, pa.large_string()), with_positions=True)
+    for i, doc in enumerate(docs):
+        expected = analyze_with_positions(doc, a)
+        lo, hi = stats.offsets[i], stats.offsets[i + 1]
+        terms = stats.terms[lo:hi].to_pylist() if hasattr(stats.terms, "to_pylist") else list(stats.terms[lo:hi])
+        exp_tf = {}
+        for t, _p in expected:
+            exp_tf[t] = exp_tf.get(t, 0) + 1
+        got_tf = dict(zip(terms, stats.tfs[lo:hi].tolist()))
+        assert got_tf == exp_tf, (i, got_tf, exp_tf)
+        assert stats.field_lens[i] == len(expected)
