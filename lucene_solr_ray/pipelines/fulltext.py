@@ -605,3 +605,40 @@ def ft_spellcheck(sf_dir: str) -> pa.Table:
             )
         )
     return pa.concat_tables(tables)
+
+
+#: query-time join specs: (from docs matching term, join from_col -> to_col)
+JOIN_SPECS = [
+    {"qid": "join_repo_dup", "term": "dup", "col": "source", "index_field": "repo"},
+    {"qid": "join_lang_vector", "term": "vector", "col": "lang", "index_field": "lang"},
+]
+
+
+def ft_join(sf_dir: str) -> pa.Table:
+    """JoinUtil.createJoinQuery (ScoreMode.None): full doc sets whose join
+    field value appears among the from-side matches."""
+    s = get_searcher(sf_dir)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    out_q, out_d = [], []
+    for sp in JOIN_SPECS:
+        jq = s.join_query(TermQuery(sp["term"]), sp["index_field"], sp["index_field"])
+        scattered = s._scatter_match(jq, "ids")
+        gids = []
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                if len(b):
+                    segs = b["seg"].to_numpy()
+                    lids = b["local_id"].to_numpy().astype(np.int64)
+                    for sv in np.unique(segs):
+                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
+        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        out_q.extend([sp["qid"]] * len(ids))
+        out_d.append(ids)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(
+                np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+            ),
+        }
+    )

@@ -456,3 +456,17 @@ WHERE tok <> '{w}' AND levenshtein(tok, '{w}') <= {max_edits}
 ORDER BY dist ASC, df DESC, tok ASC LIMIT {num}
 """)
     return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def sql_join(specs: list[dict]) -> str:
+    """Query-time join oracle: semi-join on the from-side's distinct values."""
+    parts = []
+    for sp in specs:
+        parts.append(prelude() + f"""
+SELECT '{sp["qid"]}' AS query_id, CAST(did AS BIGINT) AS doc_id
+FROM corpus WHERE {sp["col"]} IN (
+  SELECT DISTINCT c.{sp["col"]}
+  FROM corpus c JOIN (SELECT DISTINCT did FROM tf WHERE tok = '{sp["term"]}') m USING (did)
+)
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)

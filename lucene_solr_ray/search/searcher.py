@@ -583,6 +583,41 @@ class Searcher:
             }
         )
 
+    def join_query(self, from_query: Query, from_field: str, to_field: str) -> Query:
+        """Query-time join — JoinUtil.createJoinQuery analog
+        (``lucene/join/src/java/org/apache/lucene/search/join/JoinUtil.java``,
+        ScoreMode.None): collect the distinct ``from_field`` values of docs
+        matching ``from_query`` (scattered per segment; only (seg, local_id)
+        partials + a tiny value set travel), then return a constant-score
+        TermInSetQuery on ``to_field``. The value set is broadcast inside the
+        returned query — no shuffle join."""
+        import pyarrow.parquet as pq_mod
+
+        from .query import TermInSetQuery
+
+        values: set[str] = set()
+        scattered = self._scatter_match(from_query, "ids")
+        per_seg: dict[int, list[np.ndarray]] = {}
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                if len(b):
+                    segs = b["seg"].to_numpy()
+                    lids = b["local_id"].to_numpy().astype(np.int64)
+                    for sv in np.unique(segs):
+                        per_seg.setdefault(int(sv), []).append(lids[segs == sv])
+        else:
+            for seg, _base, ids in self._matches_per_segment(from_query):
+                if len(ids):
+                    per_seg.setdefault(int(seg), []).append(ids)
+        for seg, parts in per_seg.items():
+            ids = np.concatenate(parts)
+            col = pq_mod.read_table(
+                os.path.join(self.reader.seg_dir(seg), "docs.parquet"),
+                columns=[from_field],
+            )[from_field].to_numpy(zero_copy_only=False)
+            values.update(map(str, np.unique(col[ids])))
+        return TermInSetQuery(tuple(sorted(values)), field=to_field)
+
     def highlight(self, query: Query, doc_ids: list[int], *, field: str = "content",
                   max_passages: int = 3) -> dict[int, str | None]:
         """UnifiedHighlighter-style snippets for hit docs (two-phase stored

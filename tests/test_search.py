@@ -364,3 +364,22 @@ def test_numeric_range_matches_bruteforce(built, use_ray):
     exp3 = [int(r.doc_id) for r in term_only.itertuples()
             if lo <= flen[int(r.doc_id)] <= hi][:50]
     assert got3.doc_id.tolist() == exp3
+
+
+def test_join_query(built):
+    """JoinUtil.createJoinQuery (ScoreMode.None) vs brute force: docs whose
+    lang appears among the from-side matches."""
+    d, _, oracle, tbl = built
+    searcher = Searcher(d)
+    _, mid, _ = _pick_terms(oracle)
+    jq = searcher.join_query(TermQuery(mid), "lang", "lang")
+    res = searcher.search({"q": jq}, k=N_DOCS + 10, use_ray=False).to_pandas()
+    # brute force through the oracle key order
+    keys = list(zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(), tbl["commit"].to_pylist()))
+    order = sorted(range(len(keys)), key=lambda i: keys[i])
+    langs = [tbl["lang"].to_pylist()[order[d0]] for d0 in range(len(keys))]
+    from_ids, _ = oracle.topk(TermQuery(mid), oracle.n)
+    want_langs = {langs[d0] for d0 in from_ids}
+    exp = sorted(d0 for d0 in range(oracle.n) if langs[d0] in want_langs)
+    assert sorted(res.doc_id) == exp
+    assert (res.score == 1.0).all()
