@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_suggest_prefix": fulltext.ft_suggest_prefix,
         "ft_spellcheck": fulltext.ft_spellcheck,
         "ft_join": fulltext.ft_join,
+        "ft_span_near": fulltext.ft_span_near,
         # --- text analysis ---
         "token_count": text.token_count,
         "lang_id": text.lang_id,
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_suggest_prefix": fs.sql_suggest_prefix(fulltext.SUGGEST_PREFIXES),
         "ft_spellcheck": fs.sql_spellcheck(fulltext.SPELL_INPUTS),
         "ft_join": fs.sql_join(fulltext.JOIN_SPECS),
+        "ft_span_near": fs.sql_span_near(fulltext.SPAN_SPECS),
         "ft_phrase": fs.sql_phrase_union(fulltext.PHRASE_SPECS),
         "ft_phrase_sloppy": fs.sql_phrase_sloppy_union(fulltext.SLOPPY_SPECS),
         "ft_prefix": fs.sql_prefix_union(fulltext.PREFIX_SPECS),

@@ -642,3 +642,43 @@ def ft_join(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+#: ordered span-near specs (match SETS: existence of an ordered alignment
+#: with total gap <= slop is exact for distinct-term clauses)
+SPAN_SPECS = [
+    {"qid": "span_spark_merge_2", "terms": ["spark", "merge"], "slop": 2},
+    {"qid": "span_data_row_0", "terms": ["data", "row"], "slop": 0},
+    {"qid": "span_window_join_4", "terms": ["window", "join"], "slop": 4},
+]
+
+
+def ft_span_near(sf_dir: str) -> pa.Table:
+    """SpanNearQuery (ordered) full match sets per spec."""
+    from ..search.spans import SpanNearQuery, SpanTermQuery
+
+    s = get_searcher(sf_dir)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    out_q, out_d = [], []
+    for sp in SPAN_SPECS:
+        q = SpanNearQuery(tuple(SpanTermQuery(t) for t in sp["terms"]), slop=sp["slop"])
+        scattered = s._scatter_match(q, "ids")
+        gids = []
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                if len(b):
+                    segs = b["seg"].to_numpy()
+                    lids = b["local_id"].to_numpy().astype(np.int64)
+                    for sv in np.unique(segs):
+                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
+        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        out_q.extend([sp["qid"]] * len(ids))
+        out_d.append(ids)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(
+                np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+            ),
+        }
+    )

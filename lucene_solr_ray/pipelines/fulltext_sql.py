@@ -470,3 +470,23 @@ FROM corpus WHERE {sp["col"]} IN (
 )
 """)
     return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def sql_span_near(specs: list[dict]) -> str:
+    """Ordered span-near match sets: exists p1 < p2 < ... (non-overlapping,
+    term spans are width-1) with total gap Σ(p_{i+1} - p_i - 1) <= slop."""
+    parts = []
+    for sp in specs:
+        terms, slop, qid = sp["terms"], sp["slop"], sp["qid"]
+        joins = " ".join(
+            f"JOIN ktp t{i} ON t{i}.did = t0.did AND t{i}.p > t{i-1}.p"
+            for i in range(1, len(terms))
+        )
+        conds = " AND ".join(f"t{i}.tok = '{t}'" for i, t in enumerate(terms))
+        n = len(terms)
+        width = f"(t{n-1}.p - t0.p - {n - 1})"
+        parts.append(f"""
+SELECT '{qid}' AS query_id, CAST(did AS BIGINT) AS doc_id
+FROM (SELECT DISTINCT t0.did AS did FROM ktp t0 {joins}
+      WHERE {conds} AND {width} <= {slop})""")
+    return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)

@@ -204,6 +204,10 @@ class BooleanQuery(Query):
 
 def query_terms(q: Query) -> set[tuple[str, str]]:
     """→ set of (field, term) pairs the query touches (TermContext analog)."""
+    from .spans import SPAN_TYPES, span_terms
+
+    if isinstance(q, SPAN_TYPES):
+        return span_terms(q)
     if isinstance(q, TermQuery):
         return {(q.field, q.term)}
     if isinstance(q, PhraseQuery):

@@ -252,7 +252,69 @@ class SegmentScorer:
             return self._dismax(q)
         if isinstance(q, BooleanQuery):
             return self._score_boolean(q)
+        from .spans import SPAN_TYPES
+
+        if isinstance(q, SPAN_TYPES):
+            return self.span_match(q)
         raise TypeError(f"unsupported query node: {type(q)}")
+
+    def span_match(self, q) -> tuple[np.ndarray, np.ndarray]:
+        """Span query scoring (see :mod:`spans`): enumerate per-doc spans,
+        float freq = Σ 1/(1+width), weight = summed idf of clause terms
+        (SpanWeight.buildSimWeight), same norm-cache kernel as phrases."""
+        from .spans import SpanNearQuery, span_freq, span_terms
+
+        if self.lazy is None:
+            raise ValueError("span queries need positional postings (lazy=None)")
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype))
+        pairs = sorted(span_terms(q))
+        data = {}
+        for f, t in pairs:
+            tp = self.lazy.get((f, t))
+            if tp is not None and tp.df > 0:
+                ids, _ = tp.full()
+                f_off, pos = tp.positions()
+                data[t] = (ids, f_off, pos)
+        if not data:
+            return empty
+        if isinstance(q, SpanNearQuery):
+            # candidate docs: every clause's term-union must be present
+            cand = None
+            for c in q.clauses:
+                parts = [data[t][0] for _f, t in sorted(span_terms(c)) if t in data]
+                if not parts:
+                    return empty
+                u = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+                cand = u if cand is None else _intersect_sorted(cand, u)
+                if len(cand) == 0:
+                    return empty
+        else:
+            cand = np.unique(np.concatenate([ids for ids, _f, _p in data.values()]))
+        out_ids: list[int] = []
+        out_freqs: list[float] = []
+        for d in cand:
+            pos_of = {}
+            for t, (ids, f_off, pos) in data.items():
+                j = np.searchsorted(ids, d)
+                if j < len(ids) and ids[j] == d:
+                    pos_of[t] = pos[f_off[j] : f_off[j + 1]].astype(np.int64)
+            f = span_freq(q, pos_of, self.sim.dtype.type)
+            if f:
+                out_ids.append(int(d))
+                out_freqs.append(f)
+        if not out_ids:
+            return empty
+        ids = np.asarray(out_ids, dtype=np.int64)
+        freqs = np.asarray(out_freqs, dtype=np.float64)
+        idf_sum = 0.0
+        for f, t in pairs:
+            w_t = self.weights.get((f, t))
+            if w_t is not None:
+                idf_sum += float(w_t)
+        w = self.sim.weight_from_idf(self.sim.dtype.type(idf_sum), q.boost)
+        nb, cache = self._norm_inputs(q.field, ids)
+        scores = self.sim.score_freqs(w, freqs, nb, cache)
+        return ids, scores
 
     def _synonym_match(self, q: SynonymQuery) -> tuple[np.ndarray, np.ndarray]:
         """SynonymQuery.java: freq = Σ tf across synonyms; stats as if one

@@ -1,0 +1,138 @@
+"""Span queries — ``lucene/core/src/java/org/apache/lucene/search/spans/``.
+
+Implemented: SpanTermQuery, SpanNearQuery (ordered), SpanOrQuery,
+SpanFirstQuery. Per-doc span enumeration follows the reference iterators:
+
+- term spans: each position p is a span [p, p+1), width 0 (TermSpans).
+- ordered near (NearSpansOrdered.java:60-120): iterate the first clause's
+  spans; for each, advance every later clause's cursor monotonically ("as
+  little as necessary") to the first span starting at or after the previous
+  clause's end; matchWidth = Σ inter-clause gaps; match iff width ≤ slop.
+  Cursors never reset within a doc, so overlapping fragments match exactly
+  like the class javadoc's ``t1 t2 t1 t3 t2 t3`` example.
+- or: all sub-spans merged by (start, end) (SpanOrQuery's ByPositionQueue).
+- first: spans of the inner query with end ≤ n (SpanFirstQuery /
+  SpanPositionRangeQuery with start 0).
+
+Scoring (SpanScorer.java:80-115): float freq = Σ computeSlopFactor(width)
+= Σ 1/(1+width) over enumerated spans; weight = summed idf of all clause
+terms with stats (SpanWeight.buildSimWeight), scored through the same
+norm-cache kernel as phrases.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .query import CONTENT_FIELD, Query
+
+
+@dataclass(frozen=True)
+class SpanTermQuery(Query):
+    term: str
+    field: str = CONTENT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Ordered proximity: clauses must appear in order, non-overlapping,
+    with total gap ≤ slop."""
+
+    clauses: tuple  # tuple[SpanQuery-like, ...]
+    slop: int = 0
+    field: str = CONTENT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanOrQuery(Query):
+    clauses: tuple
+    field: str = CONTENT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    """Inner spans ending within the first ``end`` positions."""
+
+    match: Query
+    end: int
+    field: str = CONTENT_FIELD
+    boost: float = 1.0
+
+
+SPAN_TYPES = (SpanTermQuery, SpanNearQuery, SpanOrQuery, SpanFirstQuery)
+
+
+def span_terms(q) -> set[tuple[str, str]]:
+    if isinstance(q, SpanTermQuery):
+        return {(q.field, q.term)}
+    if isinstance(q, (SpanNearQuery, SpanOrQuery)):
+        out: set[tuple[str, str]] = set()
+        for c in q.clauses:
+            out |= span_terms(c)
+        return out
+    if isinstance(q, SpanFirstQuery):
+        return span_terms(q.match)
+    return set()
+
+
+def doc_spans(q, pos_of: dict[str, np.ndarray]) -> list[tuple[int, int, int]]:
+    """Enumerate one doc's spans for ``q`` → [(start, end, width)] in start
+    order. ``pos_of``: term → ascending positions in the doc (absent terms
+    omitted)."""
+    if isinstance(q, SpanTermQuery):
+        p = pos_of.get(q.term)
+        if p is None:
+            return []
+        return [(int(x), int(x) + 1, 0) for x in p]
+    if isinstance(q, SpanOrQuery):
+        spans: list[tuple[int, int, int]] = []
+        for c in q.clauses:
+            spans.extend(doc_spans(c, pos_of))
+        spans.sort(key=lambda s: (s[0], s[1]))
+        return spans
+    if isinstance(q, SpanFirstQuery):
+        return [s for s in doc_spans(q.match, pos_of) if s[1] <= q.end]
+    if isinstance(q, SpanNearQuery):
+        subs = [doc_spans(c, pos_of) for c in q.clauses]
+        if any(not s for s in subs):
+            return []
+        out: list[tuple[int, int, int]] = []
+        n = len(subs)
+        cur = [0] * n  # monotone cursors for clauses 1..n-1
+        for first in subs[0]:
+            prev_end = first[1]
+            width = 0
+            ok = True
+            for i in range(1, n):
+                spans_i = subs[i]
+                j = cur[i]
+                while j < len(spans_i) and spans_i[j][0] < prev_end:
+                    j += 1
+                cur[i] = j
+                if j >= len(spans_i):
+                    return out  # this clause is exhausted for the doc
+                s_i = spans_i[j]
+                width += s_i[0] - prev_end
+                prev_end = s_i[1]
+                ok = True
+            if ok and width <= q.slop:
+                out.append((first[0], prev_end, width))
+        return out
+    raise TypeError(f"not a span query: {type(q)}")
+
+
+def span_freq(q, pos_of: dict[str, np.ndarray], ftype) -> float:
+    """SpanScorer.setFreqCurrentDoc: freq = Σ 1/(1+width), float accumulation."""
+    spans = doc_spans(q, pos_of)
+    if not spans:
+        return 0.0
+    one = ftype(1)
+    freq = ftype(0)
+    for _s, _e, w in spans:
+        freq = ftype(freq + one / (one + ftype(w)))
+    return float(freq)
