@@ -142,14 +142,18 @@ def build_index(
     analyzer = analyzer or StandardAnalyzer()
     manifest_rows: list[dict] = []
     todo = [rid for rid in range(plan.n_segments) if rid not in done and plan.counts[rid] > 0]
-    if concurrency is None:
-        # autoscaling actor pool: leave headroom for the read + shuffle stages
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(1, ncpu - 1))
     if todo:
+        from .segment import analyze_invert_fn
+
+        # TASK-based analyze (not an actor pool): tasks run in Ray's
+        # reusable warm workers — a fresh actor-pool process pays 20-35 s of
+        # first-touch page faults per build (and a (1,1) pool deadlocks a
+        # 1-cpu budget). Per-worker compiled state is cached inside
+        # analyze_invert_fn; ``concurrency`` (when given) caps the task
+        # parallelism, otherwise Ray autoscales to available CPUs.
         analyzed = corpus.map_batches(
-            AnalyzeInvert,
-            fn_constructor_kwargs={
+            analyze_invert_fn,
+            fn_kwargs={
                 "plan": plan,
                 "analyzer": analyzer,
                 "done_ranges": done,
@@ -158,11 +162,7 @@ def build_index(
             },
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency,
-            # no actor restarts: a lost actor fails fast (instead of the
-            # silent restart loop of ray#53727) and the job-level resume —
-            # idempotent segment writes + persisted plan — recovers the build
-            max_restarts=0,
+            **({"concurrency": concurrency} if concurrency is not None else {}),
         )
         # task-based (no CPU reservation): SegmentWriter holds no amortizable
         # state, and a second actor pool can starve tiny CPU budgets

@@ -159,6 +159,38 @@ class AnalyzeInvert:
         )
 
 
+_ANALYZE_CACHE: dict = {}
+
+
+def analyze_invert_fn(batch: pa.Table, *, plan: BuildPlan,
+                      analyzer: StandardAnalyzer | None,
+                      done_ranges: frozenset[int],
+                      positions: bool, store_content: bool) -> pa.Table:
+    """Task-based twin of :class:`AnalyzeInvert` for ``map_batches(fn)``.
+
+    Runs in Ray's REUSABLE task workers: an actor pool spawns fresh
+    processes per build whose first-touch page faults cost 20-35 s each
+    (measured; the kernel-side fault path is also what saturates at ~8
+    concurrent workers on this host) — task workers instead stay warm across
+    stages AND across builds in a session. Compiled state is cached
+    per-worker keyed by the plan/analyzer identity, so the DWPT-style
+    amortization of :class:`AnalyzeInvert.__init__` is preserved."""
+    key = (
+        plan.total_rows, plan.n_segments,
+        plan.boundaries[0] if plan.boundaries else "",
+        plan.boundaries[-1] if plan.boundaries else "",
+        analyzer, done_ranges, positions, store_content,
+    )
+    inst = _ANALYZE_CACHE.get(key)
+    if inst is None:
+        if len(_ANALYZE_CACHE) > 4:
+            _ANALYZE_CACHE.clear()
+        inst = _ANALYZE_CACHE[key] = AnalyzeInvert(
+            plan, analyzer, done_ranges, positions=positions, store_content=store_content
+        )
+    return inst(batch)
+
+
 def _sha256_column(arr: pa.Array) -> list[str]:
     """Per-row sha256 of a large_string column, zero-copy over the Arrow data
     buffer (the BASELINE.json per-row content invariant)."""

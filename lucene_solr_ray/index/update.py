@@ -33,7 +33,23 @@ from .build import IndexStats, _next_generation
 from .plan import compute_plan
 from .reader import IndexReader
 from .segment import DEFAULT_KEYWORD_FIELDS as _DEFAULT_KW
-from .segment import AnalyzeInvert, SegmentWriter
+from .segment import SegmentWriter
+
+
+def _has_stored_content(reader) -> bool:
+    """True iff the base index stores the content column (storedFields)."""
+    import pyarrow.parquet as pq
+
+    segs = reader.segments
+    if not segs:
+        return False
+    try:
+        schema = pq.read_schema(
+            __import__("os").path.join(reader.seg_dir(segs[0]["seg"]), "docs.parquet")
+        )
+        return "content" in schema.names
+    except Exception:
+        return False
 
 
 def add_documents(
@@ -69,13 +85,22 @@ def add_documents(
     plan.bases = [b + doc_base_offset for b in plan.bases]
 
     analyzer = analyzer or StandardAnalyzer()
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    from .segment import analyze_invert_fn
+
+    # task-based like build_index: warm reusable workers, no per-build
+    # actor-pool process warmup, no small-CPU-budget pool deadlock
     analyzed = corpus.map_batches(
-        AnalyzeInvert,
-        fn_constructor_kwargs={"plan": plan, "analyzer": analyzer, "positions": positions},
+        analyze_invert_fn,
+        fn_kwargs={
+            "plan": plan,
+            "analyzer": analyzer,
+            "done_ranges": frozenset(),
+            "positions": positions,
+            # sticky like IndexOptions: store content iff the base index does
+            "store_content": _has_stored_content(reader),
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, max(1, ncpu - 1)),
     )
     keyword_fields = tuple(
         reader.manifest.get("keyword_fields", list(_DEFAULT_KW))
