@@ -59,6 +59,16 @@ def check_index(index_dir: str, corpus_sha: dict[tuple, str] | None = None) -> d
                 if corpus_sha.get(k) != sha:
                     problems.append(f"seg {seg['seg']}: sha mismatch for {k}")
                     break
+        # stored content (store_content=True) must hash to content_sha256
+        if "content" in docs.column_names:
+            import hashlib
+
+            for sha, text in zip(
+                docs["content_sha256"].to_pylist(), docs["content"].to_pylist()
+            ):
+                if hashlib.sha256((text or "").encode("utf-8")).hexdigest() != sha:
+                    problems.append(f"seg {seg['seg']}: stored content != content_sha256")
+                    break
 
         terms = posts["term"].to_pylist()
         fields = (

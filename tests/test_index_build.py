@@ -171,3 +171,38 @@ def test_large_plan_sampled_path(ray_session):
     np.testing.assert_array_equal(
         np.asarray(plan.bases), np.concatenate([[0], np.cumsum(plan.counts)[:-1]])
     )
+
+
+def test_checkindex_verifies_stored_content(ray_session, tmp_path):
+    """store_content indexes pass check_index; corrupting the stored text is
+    detected against content_sha256."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from lucene_solr_ray.corpus import generate_corpus
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.checkindex import check_index
+
+    tbl = generate_corpus(50)
+    d = str(tmp_path / "sc_idx")
+    build_index(ray.data.from_arrow(tbl), d, docs_per_segment=25, store_content=True)
+    check_index(d)  # raises CheckIndexError on problems
+    # corrupt one stored doc's content
+    seg_dir = os.path.join(d, "segments", sorted(os.listdir(os.path.join(d, "segments")))[0])
+    p = os.path.join(seg_dir, "docs.parquet")
+    t = pq.read_table(p)
+    import pyarrow as pa
+
+    col = t["content"].to_pylist()
+    col[0] = (col[0] or "") + " TAMPERED"
+    t = t.set_column(t.schema.get_field_index("content"), "content", pa.array(col, pa.large_string()))
+    pq.write_table(t, p, row_group_size=65536)
+    import pytest as _pytest
+
+    from lucene_solr_ray.index.checkindex import CheckIndexError
+
+    with _pytest.raises(CheckIndexError, match="stored content"):
+        check_index(d)
