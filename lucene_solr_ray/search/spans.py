@@ -107,7 +107,6 @@ def doc_spans(q, pos_of: dict[str, np.ndarray]) -> list[tuple[int, int, int]]:
         for first in subs[0]:
             prev_end = first[1]
             width = 0
-            ok = True
             for i in range(1, n):
                 spans_i = subs[i]
                 j = cur[i]
@@ -119,8 +118,7 @@ def doc_spans(q, pos_of: dict[str, np.ndarray]) -> list[tuple[int, int, int]]:
                 s_i = spans_i[j]
                 width += s_i[0] - prev_end
                 prev_end = s_i[1]
-                ok = True
-            if ok and width <= q.slop:
+            if width <= q.slop:
                 out.append((first[0], prev_end, width))
         return out
     raise TypeError(f"not a span query: {type(q)}")
