@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase_sloppy": fulltext.ft_phrase_sloppy,
         "ft_prefix": fulltext.ft_prefix,
         "ft_facets": fulltext.ft_facets,
+        "ft_facet_hierarchy": fulltext.ft_facet_hierarchy,
+        "ft_facet_sampled": fulltext.ft_facet_sampled,
         "ft_sorted_by_path": fulltext.ft_sorted_by_path,
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
@@ -52,6 +54,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_highlight": fulltext.ft_highlight,  # rows-only: snippets pinned in pytest
         "ft_topk_classic": fulltext.ft_topk_classic,
         "ft_topk_lmdirichlet": fulltext.ft_topk_lmdirichlet,
+        "ft_common_terms": fulltext.ft_common_terms,
+        "ft_function_boost": fulltext.ft_function_boost,
+        "ft_topk_dfr": fulltext.ft_topk_dfr,
+        "ft_topk_ib": fulltext.ft_topk_ib,
+        "ft_topk_jm": fulltext.ft_topk_jm,
         "ft_mlt": fulltext.ft_mlt,
         "ft_suggest_prefix": fulltext.ft_suggest_prefix,
         "ft_spellcheck": fulltext.ft_spellcheck,
@@ -71,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,  # approximate: rows-only check; recall pinned in pytest
+        "ann_ivf_topk": ann.ann_ivf_topk,  # approximate (IVF): rows-only; recall + scan bound in pytest
         # --- events / windows ---
         "events_hourly": events.events_hourly,
         "events_hopping": events.events_hopping,
@@ -106,6 +114,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_numeric_range": fs.sql_numeric_range(fulltext.NUMERIC_SPECS),
         "ft_topk_classic": fs.sql_topk_classic(fulltext.SIM_TERMS, fulltext.TOPK_K),
         "ft_topk_lmdirichlet": fs.sql_topk_lmdirichlet(fulltext.SIM_TERMS, fulltext.TOPK_K, 2000.0),
+        "ft_common_terms": fs.sql_common_terms(fulltext.CTQ_SPECS),
+        "ft_function_boost": fs.sql_function_boost(fulltext.SIM_TERMS, fulltext.TOPK_K),
+        "ft_topk_dfr": fs.sql_topk_dfr(fulltext.SIM_TERMS, fulltext.TOPK_K),
+        "ft_topk_ib": fs.sql_topk_ib(fulltext.SIM_TERMS, fulltext.TOPK_K),
+        "ft_topk_jm": fs.sql_topk_jm(fulltext.SIM_TERMS, fulltext.TOPK_K, fulltext.JM_LAMBDA),
         "ft_mlt": fs.sql_mlt(fulltext.MLT_SRC_DOCS, fulltext.TOPK_K),
         "ft_suggest_prefix": fs.sql_suggest_prefix(fulltext.SUGGEST_PREFIXES),
         "ft_spellcheck": fs.sql_spellcheck(fulltext.SPELL_INPUTS),
@@ -115,6 +128,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_sloppy": fs.sql_phrase_sloppy_union(fulltext.SLOPPY_SPECS),
         "ft_prefix": fs.sql_prefix_union(fulltext.PREFIX_SPECS),
         "ft_facets": fs.sql_facets(fulltext.FACET_TERM, "source"),
+        "ft_facet_hierarchy": fs.sql_facet_hierarchy(fulltext.FACET_TERM, "source", "lang"),
+        "ft_facet_sampled": fs.sql_facet_sampled(fulltext.FACET_TERM, "source", 40),
         "ft_sorted_by_path": fs.sql_sorted_by_field(fulltext.SORT_TERM, "path", 10),
         "token_count": text.SQL_TOKEN_COUNT,
         "lang_id": text.SQL_LANG_ID,

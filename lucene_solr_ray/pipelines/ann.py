@@ -123,6 +123,136 @@ FROM r WHERE rnk < {TOP_K} ORDER BY query_id, rank
 """
 
 
+IVF_K = 16  # centroids (nlist)
+IVF_NPROBE = 4  # centroids probed per query
+IVF_ITERS = 5  # Lloyd iterations
+IVF_TRAIN_N = 512  # training-sample cap (vec_id order — deterministic)
+
+
+def train_ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded sample: train vectors are
+    the first IVF_TRAIN_N by vec_id, init = evenly spaced sample rows, fixed
+    IVF_ITERS Lloyd steps on L2-normalized vectors (cosine ⇔ dot). No RNG —
+    identical centroids at any parallelism (the 100-TB path trains once on a
+    driver-side sample and broadcasts, standard IVF practice)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids)[:IVF_TRAIN_N]
+    mat = vec_matrix(t["embedding"])[order].astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    k = min(IVF_K, len(mat))
+    cent = mat[np.linspace(0, len(mat) - 1, k).astype(np.int64)].copy()
+    for _ in range(IVF_ITERS):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = mat[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cent[c] = v / n
+    return cent
+
+
+def ann_ivf_topk(sf_dir: str, stats: dict | None = None) -> pa.Table:
+    """Approximate top-k via an IVF (inverted-file) index — the second scale
+    path next to LSH: vectors are assigned to their nearest centroid
+    (map_batches, broadcast centroids), shuffled ONCE by centroid id, and each
+    query probes only its IVF_NPROBE nearest centroid groups — scanned rows ∝
+    probed-list sizes, not the corpus.
+
+    At 100 TB the assignment becomes a one-time centroid-partitioned Parquet
+    write (reused across query batches); scoring stays per-group. ``stats``
+    receives ``scanned_rows`` / ``corpus_rows`` (pinned ≪ brute force in
+    pytest, together with recall vs the exact oracle)."""
+    import ray
+
+    cent = train_ivf_centroids(sf_dir)
+    qids, qmat = _query_matrix(sf_dir)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qn = qmat / np.maximum(qnorm[:, None], 1e-12)
+    nprobe = min(IVF_NPROBE, len(cent))
+    qprobes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    qref = ray.put((qids, qmat, qnorm, qprobes))
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = vec_matrix(batch["embedding"]).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pa.table(
+            {
+                "centroid": pa.array(np.argmax(mat @ c.T, axis=1).astype(np.int32), pa.int32()),
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    def score_list(group: pa.Table) -> pa.Table:
+        qids_b, qmat_b, qnorm_b, qprobes_b = ray.get(qref)
+        cid = int(group["centroid"][0].as_py())
+        qsel = np.flatnonzero((qprobes_b == cid).any(axis=1))
+        empty = {
+            "query_id": np.empty(0, np.int64),
+            "neighbor_id": np.empty(0, np.int64),
+            "sim": np.empty(0, np.float64),
+            "scanned": np.empty(0, np.int64),
+        }
+        if len(qsel) == 0:
+            return pa.table({k: pa.array(v) for k, v in empty.items()})
+        ids = group["vec_id"].to_numpy()
+        mat = vec_matrix(group["embedding"])
+        sims = (mat @ qmat_b[qsel].T) / np.outer(np.linalg.norm(mat, axis=1), qnorm_b[qsel])
+        out_q, out_n, out_s = [], [], []
+        for ci, qi in enumerate(qsel):
+            qid = int(qids_b[qi])
+            m = ids != qid
+            out_q.append(np.full(int(m.sum()), qid, dtype=np.int64))
+            out_n.append(ids[m].astype(np.int64))
+            out_s.append(sims[m, ci])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate([*out_q, [-1]]), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate([*out_n, [-1]]), pa.int64()),
+                "sim": pa.array(np.concatenate([*out_s, [0.0]]), pa.float64()),
+                "scanned": pa.array(
+                    np.concatenate([np.zeros(sum(map(len, out_q)), np.int64), [len(ids) * len(qsel)]]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ds = (
+        _emb(sf_dir)
+        .map_batches(assign, batch_format="pyarrow", batch_size=4096)
+        .groupby("centroid")
+        .map_groups(score_list, batch_format="pyarrow")
+    )
+    parts = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    scanned = 0
+    if len(parts):
+        sentinel = pa.compute.equal(parts["query_id"], -1)
+        scanned = int(pa.compute.sum(parts.filter(sentinel)["scanned"]).as_py() or 0)
+        parts = parts.filter(pa.compute.invert(sentinel))
+    if stats is not None:
+        import pyarrow.parquet as _pq
+
+        stats["scanned_rows"] = scanned
+        stats["corpus_rows"] = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+        stats["n_queries"] = len(qids)
+    if len(parts) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+            }
+        )
+    return _merge_topk(parts)
+
+
 def lsh_buckets(mat: np.ndarray, dim: int) -> np.ndarray:
     """Deterministic random-hyperplane bucket ids, one per hash table →
     shape (n, LSH_TABLES). Sign patterns of LSH_PLANES projections."""

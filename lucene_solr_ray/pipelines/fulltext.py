@@ -454,6 +454,20 @@ def ft_facets(sf_dir: str) -> pa.Table:
     return s.facet_counts(TermQuery(FACET_TERM), field="repo").rename_columns(["value", "count"])
 
 
+def ft_facet_hierarchy(sf_dir: str) -> pa.Table:
+    """Taxonomy facet counts over the repo/lang dimension path for docs
+    matching FACET_TERM (FastTaxonomyFacetCounts + rollup analog)."""
+    s = get_searcher(sf_dir)
+    return s.facet_hierarchy(TermQuery(FACET_TERM), fields=("repo", "lang"))
+
+
+def ft_facet_sampled(sf_dir: str) -> pa.Table:
+    """Sampled facet counts (RandomSamplingFacetsCollector analog with a
+    deterministic md5 doc sampler, 40%) by repo over FACET_TERM matches."""
+    s = get_searcher(sf_dir)
+    return s.facet_counts_sampled(TermQuery(FACET_TERM), field="repo", rate_pct=40)
+
+
 def ft_sorted_by_path(sf_dir: str) -> pa.Table:
     """Top-10 docs matching SORT_TERM ordered by the stored path field."""
     s = get_searcher(sf_dir)
@@ -483,6 +497,45 @@ def ft_wand_topk(sf_dir: str) -> pa.Table:
     )
 
 
+#: CommonTermsQuery specs — 'dup' (df≈5% of docs) is the only low-frequency
+#: term in the synthetic vocabulary; common terms sit at ~78% df, so
+#: maxtf=0.1 splits them cleanly. ctq_all_high exercises the
+#: high-group-promoted-to-MUST rule (CommonTermsQuery.java:179-187).
+CTQ_SPECS = [
+    {"qid": "ctq_should", "terms": ["dup", "merge", "data"], "maxtf": 0.1,
+     "low": "should", "high": "should", "k": TOPK_K},
+    {"qid": "ctq_must_low", "terms": ["dup", "spark", "row"], "maxtf": 0.1,
+     "low": "must", "high": "should", "k": TOPK_K},
+    {"qid": "ctq_all_high", "terms": ["spark", "window"], "maxtf": 0.1,
+     "low": "should", "high": "should", "k": TOPK_K},
+]
+
+
+def ft_common_terms(sf_dir: str) -> pa.Table:
+    """CommonTermsQuery (queries/CommonTermsQuery.java): df-split rewrite to
+    MUST(low-frequency group) + SHOULD(high-frequency group); rank+doc_id."""
+    from ..search.query import CommonTermsQuery
+
+    s = get_searcher(sf_dir)
+    queries = {
+        sp["qid"]: CommonTermsQuery(
+            terms=tuple(sp["terms"]),
+            max_term_frequency=sp["maxtf"],
+            low_freq_occur=sp["low"],
+            high_freq_occur=sp["high"],
+        )
+        for sp in CTQ_SPECS
+    }
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+        }
+    )
+
+
 #: single-term query set for the alternative similarities (float64 sql-compat)
 SIM_TERMS = ["spark", "merge", "window", "customer"]
 
@@ -493,9 +546,22 @@ def _sim_searcher(sf_dir: str, name: str) -> Searcher:
     if s is not None:
         return s
     get_searcher(sf_dir)  # ensure the index exists
-    from ..search.similarities import ClassicSimilarity, LMDirichletSimilarity
+    from ..search.similarities import (
+        ClassicSimilarity,
+        DFRSimilarity,
+        IBSimilarity,
+        LMDirichletSimilarity,
+        LMJelinekMercerSimilarity,
+    )
 
-    sim = ClassicSimilarity(np.float64) if name == "classic" else LMDirichletSimilarity(2000.0, np.float64)
+    sims = {
+        "classic": lambda: ClassicSimilarity(np.float64),
+        "lmd": lambda: LMDirichletSimilarity(2000.0, np.float64),
+        "dfr": lambda: DFRSimilarity("in", "b", "h2", 1.0, np.float64),
+        "ib": lambda: IBSimilarity("ll", "df", "h2", 1.0, np.float64),
+        "jm": lambda: LMJelinekMercerSimilarity(JM_LAMBDA, np.float64),
+    }
+    sim = sims[name]()
     s = Searcher(_index_dir_for(sf_dir), similarity=sim)
     _SEARCHERS[key] = s
     return s
@@ -525,6 +591,48 @@ def ft_topk_classic(sf_dir: str) -> pa.Table:
 def ft_topk_lmdirichlet(sf_dir: str) -> pa.Table:
     """Single-term LM-Dirichlet top-k (mu=2000, float64 sql-compat)."""
     return _sim_topk(sf_dir, "lmd")
+
+
+#: Jelinek-Mercer mixing weight (LMJelinekMercerSimilarity constructor arg)
+JM_LAMBDA = 0.7
+
+
+def ft_function_boost(sf_dir: str) -> pa.Table:
+    """FunctionScoreQuery.boostByValue: BM25 × ln(1 + field_len) per doc,
+    float64 sql-compat, exact scores."""
+    from ..search.query import FunctionScoreQuery
+
+    s = get_searcher(sf_dir)
+    queries = {
+        t: FunctionScoreQuery(TermQuery(t), field="field_len", transform="log1p")
+        for t in SIM_TERMS
+    }
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+            "score": pa.array(
+                np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+def ft_topk_dfr(sf_dir: str) -> pa.Table:
+    """Single-term DFR In-B-H2 top-k (DFRSimilarity, float64 sql-compat)."""
+    return _sim_topk(sf_dir, "dfr")
+
+
+def ft_topk_ib(sf_dir: str) -> pa.Table:
+    """Single-term IB LL-DF-H2 top-k (IBSimilarity, float64 sql-compat)."""
+    return _sim_topk(sf_dir, "ib")
+
+
+def ft_topk_jm(sf_dir: str) -> pa.Table:
+    """Single-term LM Jelinek-Mercer top-k (λ=0.7, float64 sql-compat)."""
+    return _sim_topk(sf_dir, "jm")
 
 
 MLT_SRC_DOCS = [0, 7, 42]

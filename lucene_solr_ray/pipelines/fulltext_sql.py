@@ -250,6 +250,41 @@ GROUP BY c.{field} ORDER BY count DESC, value
 """
 
 
+def sql_facet_hierarchy(term: str, f1: str = "source", f2: str = "lang") -> str:
+    """Taxonomy facet oracle: counts at both levels of the ``f1/f2`` dimension
+    path over docs matching ``term``; level-1 = roll-up of children.
+    → (level, path, count), count desc / path asc within level."""
+    return prelude() + f""",
+m AS (SELECT DISTINCT did FROM tf WHERE tok = '{term}'),
+l2 AS (
+  SELECT c.{f1} AS v1, c.{f2} AS v2, count(*) AS n
+  FROM m JOIN corpus c USING (did) GROUP BY c.{f1}, c.{f2}
+)
+SELECT CAST(1 AS BIGINT) AS level, v1 AS path, CAST(sum(n) AS BIGINT) AS count
+FROM l2 GROUP BY v1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS level, v1 || '/' || v2 AS path, CAST(n AS BIGINT) AS count
+FROM l2
+ORDER BY level, count DESC, path
+"""
+
+
+def sql_facet_sampled(term: str, field: str = "source", rate_pct: int = 40) -> str:
+    """Sampled facet oracle: deterministic md5 doc sampler
+    (first 15 hex nibbles of md5(str(doc_id)) mod 100 < rate_pct), counts over
+    the sample → (value, count)."""
+    return prelude() + f""",
+m AS (SELECT DISTINCT did FROM tf WHERE tok = '{term}'),
+s AS (
+  SELECT did FROM m
+  WHERE CAST(('0x' || substr(md5(CAST(did AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < {rate_pct}
+)
+SELECT c.{field} AS value, CAST(count(*) AS BIGINT) AS count
+FROM s JOIN corpus c USING (did)
+GROUP BY c.{field} ORDER BY count DESC, value
+"""
+
+
 def sql_sorted_by_field(term: str, field: str = "path", k: int = 10, desc: bool = False) -> str:
     """Top-k matching docs ordered by a stored field (TopFieldCollector)."""
     direction = "DESC" if desc else "ASC"
@@ -390,6 +425,166 @@ def sql_topk_lmdirichlet(terms: list[str], k: int, mu: float) -> str:
 scored AS (
   SELECT k.did,
          greatest({1.0!r} * (ln(1 + k.tf / ({mu!r} * {pexpr})) + ln({mu!r} / (q.qlen + {mu!r}))), 0.0) AS score
+  FROM tf k JOIN quant q USING (did) WHERE k.tok = '{t}'
+)
+SELECT '{t}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM scored ORDER BY score DESC, did ASC LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def sql_function_boost(terms: list[str], k: int) -> str:
+    """FunctionScoreQuery.boostByValue oracle
+    (queries/function/FunctionScoreQuery.java:76-78,176-177): score =
+    (bm25(term) · ln(1 + field_len)) · boost, float64, exact scores."""
+    parts = []
+    for t in sorted(terms):
+        parts.append(prelude() + f""",
+scored AS (
+  SELECT k.did,
+         ((((i.idf * {1.0!r}) * {K1 + 1!r}) * k.tf
+            / (k.tf + {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen) / (SELECT avgdl FROM avg_dl))))
+          * ln({1.0!r} + q.flen)) * {1.0!r} AS score
+  FROM tf k JOIN quant q USING (did) JOIN idf i ON k.tok = i.tok
+  WHERE k.tok = '{t}'
+)
+SELECT '{t}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM scored ORDER BY score DESC, did ASC LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def sql_common_terms(specs: list[dict]) -> str:
+    """CommonTermsQuery oracle (queries/CommonTermsQuery.java:148-209):
+    terms split low/high at ``df > ceil(float32(maxtf)·float32(maxDoc))``
+    (computed dynamically in SQL so classification follows the data), rewritten
+    to MUST(low group) + SHOULD(high group). Supports low_occur must|should
+    with msm=0 and high_occur=should; when no low terms remain the high group
+    is a conjunction (:179-187). rank+doc_id (BM25 float64 sums)."""
+    parts = []
+    for sp in specs:
+        qid, k, terms, maxtf = sp["qid"], sp["k"], sp["terms"], sp["maxtf"]
+        assert sp.get("high", "should") == "should" and maxtf < 1.0
+        low_cond = ("agg.nlow = nq.nlowq" if sp.get("low", "should") == "must"
+                    else "agg.nlow >= 1")
+        tl = ", ".join(f"'{t}'" for t in terms)
+        parts.append(prelude() + f""",
+sc AS (
+  SELECT k.did, k.tok,
+         ((i.idf * {1.0!r}) * {K1 + 1!r}) * k.tf
+           / (k.tf + {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen) / (SELECT avgdl FROM avg_dl))) AS s
+  FROM tf k JOIN quant q USING (did) JOIN idf i ON k.tok = i.tok
+  WHERE k.tok IN ({tl})
+),
+cls AS (
+  SELECT i.tok,
+         CASE WHEN i.df > CAST(ceil(CAST({maxtf!r} AS FLOAT) * CAST((SELECT dc FROM stats) AS FLOAT)) AS BIGINT)
+              THEN 1 ELSE 0 END AS ishigh
+  FROM idf i WHERE i.tok IN ({tl})
+),
+nq AS (
+  SELECT {len(terms)} - (SELECT count(*) FROM cls WHERE ishigh = 1) AS nlowq,
+         (SELECT count(*) FROM cls WHERE ishigh = 1) AS nhighq
+),
+agg AS (
+  SELECT s.did,
+         sum(CASE WHEN c.ishigh = 0 THEN s.s END) AS slow,
+         count(CASE WHEN c.ishigh = 0 THEN 1 END) AS nlow,
+         sum(CASE WHEN c.ishigh = 1 THEN s.s END) AS shigh,
+         count(CASE WHEN c.ishigh = 1 THEN 1 END) AS nhigh
+  FROM sc s JOIN cls c USING (tok) GROUP BY s.did
+)
+SELECT '{qid}' AS query_id,
+       CAST(row_number() OVER (
+         ORDER BY (CASE WHEN nq.nlowq = 0 THEN agg.shigh
+                        ELSE agg.slow + coalesce(agg.shigh, 0) END) DESC, agg.did ASC
+       ) - 1 AS BIGINT) AS rank,
+       CAST(agg.did AS BIGINT) AS doc_id
+FROM agg, nq
+WHERE CASE WHEN nq.nlowq = 0 THEN agg.nhigh = nq.nhighq ELSE {low_cond} END
+ORDER BY (CASE WHEN nq.nlowq = 0 THEN agg.shigh
+               ELSE agg.slow + coalesce(agg.shigh, 0) END) DESC, agg.did ASC
+LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+#: precomputed ln(2) — injected verbatim so SQL divides by the exact same
+#: double the engine's ``similarities._LOG2`` holds (SimilarityBase.java:50)
+LOG2 = 0.6931471805599453
+
+
+def sql_topk_dfr(terms: list[str], k: int) -> str:
+    """DFR In-B-H2 (c=1) single-term top-k, float64 sql-compat
+    (DFRSimilarity.java:110-114, BasicModelIn.java:33-37, AfterEffectB.java:32-36,
+    NormalizationH2.java:52): tfn = tf·log2(1 + avgdl/len);
+    score = (boost·(tfn·log2((N+1)/(df+0.5))))·((ttf+2)/((df+1)·(tfn+1)))."""
+    parts = []
+    for t in sorted(terms):
+        df = f"(SELECT count(DISTINCT did) FROM tf WHERE tok = '{t}')"
+        ttf = f"(SELECT CAST(sum(tf) AS BIGINT) FROM tf WHERE tok = '{t}')"
+        parts.append(prelude() + f""",
+base AS (
+  SELECT k.did,
+         k.tf * (ln({1.0!r} + ({1.0!r} * (SELECT avgdl FROM avg_dl)) / q.qlen) / {LOG2!r}) AS tfn
+  FROM tf k JOIN quant q USING (did) WHERE k.tok = '{t}'
+),
+scored AS (
+  SELECT did,
+         ({1.0!r} * (tfn * (ln(((SELECT dc FROM stats) + 1) / ({df} + 0.5)) / {LOG2!r})))
+           * (CAST({ttf} + 2 AS DOUBLE) / (({df} + 1) * (tfn + {1.0!r}))) AS score
+  FROM base
+)
+SELECT '{t}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM scored ORDER BY score DESC, did ASC LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def sql_topk_ib(terms: list[str], k: int) -> str:
+    """IB LL-DF-H2 (c=1) single-term top-k, float64 sql-compat
+    (IBSimilarity.java:98-104, DistributionLL.java:33-35, LambdaDF.java:32-34):
+    λ = (df+1)/(N+1); score = boost·(-ln(λ/(tfn+λ)))."""
+    parts = []
+    for t in sorted(terms):
+        df = f"(SELECT count(DISTINCT did) FROM tf WHERE tok = '{t}')"
+        lam = f"(({df} + {1.0!r}) / ((SELECT dc FROM stats) + {1.0!r}))"
+        parts.append(prelude() + f""",
+base AS (
+  SELECT k.did,
+         k.tf * (ln({1.0!r} + ({1.0!r} * (SELECT avgdl FROM avg_dl)) / q.qlen) / {LOG2!r}) AS tfn
+  FROM tf k JOIN quant q USING (did) WHERE k.tok = '{t}'
+),
+scored AS (
+  SELECT did, {1.0!r} * (- ln({lam} / (tfn + {lam}))) AS score FROM base
+)
+SELECT '{t}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM scored ORDER BY score DESC, did ASC LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def sql_topk_jm(terms: list[str], k: int, lam: float) -> str:
+    """LM Jelinek-Mercer single-term top-k, float64 sql-compat
+    (LMJelinekMercerSimilarity.java:54-59, LMSimilarity.java:154-156):
+    p = (ttf+1)/(sumTTF+1); score = boost·ln(1 + ((1-λ)·tf/len)/(λ·p))."""
+    oml = 1.0 - lam
+    parts = []
+    for t in sorted(terms):
+        p = (f"(CAST((SELECT sum(tf) FROM tf WHERE tok = '{t}') + 1 AS DOUBLE)"
+             f" / ((SELECT sttf FROM stats) + {1.0!r}))")
+        parts.append(prelude() + f""",
+scored AS (
+  SELECT k.did,
+         {1.0!r} * ln({1.0!r} + (({oml!r} * k.tf) / q.qlen) / ({lam!r} * {p})) AS score
   FROM tf k JOIN quant q USING (did) WHERE k.tok = '{t}'
 )
 SELECT '{t}' AS query_id,

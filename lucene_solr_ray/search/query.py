@@ -13,8 +13,11 @@ until positional indexing lands (v2).
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
+
+import numpy as np
 
 #: the analyzed full-text field; every query node defaults to it
 CONTENT_FIELD = "content"
@@ -178,6 +181,21 @@ class NumericRangeQuery(Query):
 MULTI_TERM_TYPES = (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, FuzzyQuery)
 
 
+@dataclass
+class FunctionScoreQuery(Query):
+    """``queries/function/FunctionScoreQuery.java:76-78,168-181``
+    (boostByValue): score = ``(float)((innerScore · fieldValue) · boost)``
+    with fieldValue from a numeric doc-value column
+    (DoubleValuesSource.fromLongField analog). ``transform='log1p'`` composes
+    ``ln(1 + value)`` on the source (a common saturating popularity boost);
+    match set = the inner query's."""
+
+    query: Query = None
+    field: str = "field_len"
+    transform: str = "identity"  # or "log1p"
+    boost: float = 1.0
+
+
 @dataclass(frozen=True)
 class ExpandedTermsQuery(Query):
     """Internal: a rewritten multi-term query — constant-score union over the
@@ -186,6 +204,72 @@ class ExpandedTermsQuery(Query):
     terms: tuple[str, ...]
     boost: float = 1.0
     field: str = CONTENT_FIELD
+
+
+@dataclass
+class CommonTermsQuery(Query):
+    """``queries/CommonTermsQuery.java:90-209``: split terms into low/high
+    document frequency at ``df > ceil(maxTermFrequency·maxDoc)`` (fractional
+    cutoff; an absolute cutoff applies when ``max_term_frequency >= 1``,
+    :157-159), then rewrite to
+    ``MUST(Bool(lowFreqOccur lows, lowMsm)) SHOULD(Bool(highFreqOccur highs,
+    highMsm))`` (:188-208). If no low-frequency terms remain, the
+    high-frequency group is promoted to a conjunction (``highFreqOccur=MUST``)
+    "to prevent slow queries" (:179-187). Fractional minimum-should-match
+    values are ``Math.round(frac · numOptional)`` (:141-146)."""
+
+    terms: tuple[str, ...] = ()
+    max_term_frequency: float = 0.01
+    high_freq_occur: str = "should"  # MUST_NOT is rejected (:92-99)
+    low_freq_occur: str = "should"
+    low_freq_min_should_match: float = 0.0
+    high_freq_min_should_match: float = 0.0
+    field: str = CONTENT_FIELD
+
+    def __post_init__(self):
+        if "must_not" in (self.high_freq_occur, self.low_freq_occur):
+            raise ValueError("occur should be MUST or SHOULD but was MUST_NOT")
+
+
+def _ctq_min_should_match(frac: float, num_optional: int) -> int:
+    # CommonTermsQuery.java:141-146 (Math.round = floor(x + 0.5))
+    if frac >= 1.0 or frac == 0.0:
+        return int(frac)
+    return math.floor(frac * num_optional + 0.5)
+
+
+def _rewrite_common_terms(q: CommonTermsQuery, reader) -> Query:
+    stats = reader.term_stats(sorted((q.field, t) for t in set(q.terms)))
+    max_doc = reader.stats.doc_count
+    # (int) Math.ceil(maxTermFrequency * (float) maxDoc) — float32 product (:158)
+    cutoff = math.ceil(float(np.float32(q.max_term_frequency) * np.float32(max_doc)))
+    low: list[TermQuery] = []
+    high: list[TermQuery] = []
+    for t in q.terms:  # clause order preserved (:152-166)
+        df = stats.get((q.field, t), (0, 0))[0]
+        is_high = df > 0 and (
+            (q.max_term_frequency >= 1.0 and df > q.max_term_frequency)
+            or df > cutoff
+        )
+        (high if is_high else low).append(TermQuery(t, field=q.field))
+    low_occur, high_occur = q.low_freq_occur, q.high_freq_occur
+    low_msm = high_msm = 0
+    if low_occur == "should" and low:
+        low_msm = _ctq_min_should_match(q.low_freq_min_should_match, len(low))
+    if high_occur == "should" and high:
+        high_msm = _ctq_min_should_match(q.high_freq_min_should_match, len(high))
+    if not low and high_msm == 0 and high_occur != "must":
+        high_occur = "must"  # :179-187
+    outer = BooleanQuery()
+    if low:
+        lb = BooleanQuery(min_should_match=low_msm)
+        (lb.must if low_occur == "must" else lb.should).extend(low)
+        outer.must.append(lb)
+    if high:
+        hb = BooleanQuery(min_should_match=high_msm)
+        (hb.must if high_occur == "must" else hb.should).extend(high)
+        outer.should.append(hb)
+    return rewrite(outer, reader)
 
 
 @dataclass
@@ -214,9 +298,9 @@ def query_terms(q: Query) -> set[tuple[str, str]]:
         return {(q.field, t) for t in q.terms}
     if isinstance(q, MultiPhraseQuery):
         return {(q.field, t) for slot in q.terms for t in slot}
-    if isinstance(q, (SynonymQuery, ExpandedTermsQuery, TermInSetQuery)):
+    if isinstance(q, (SynonymQuery, ExpandedTermsQuery, TermInSetQuery, CommonTermsQuery)):
         return {(q.field, t) for t in q.terms}
-    if isinstance(q, (ConstantScoreQuery, BoostQuery)):
+    if isinstance(q, (ConstantScoreQuery, BoostQuery, FunctionScoreQuery)):
         return query_terms(q.query)
     if isinstance(q, DisjunctionMaxQuery):
         out: set[str] = set()
@@ -232,6 +316,8 @@ def numeric_fields(q: Query) -> set[str]:
     """Numeric doc-value columns the query needs (PointValues analog)."""
     if isinstance(q, NumericRangeQuery):
         return {q.field}
+    if isinstance(q, FunctionScoreQuery):
+        return {q.field} | numeric_fields(q.query)
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return numeric_fields(q.query)
     if isinstance(q, DisjunctionMaxQuery):
@@ -269,8 +355,12 @@ def rewrite(q: Query, reader) -> Query:
         return ExpandedTermsQuery(tuple(sorted(reader.expand_terms(q))), _mt_boost(q), q.field)
     if isinstance(q, TermInSetQuery):
         return ExpandedTermsQuery(tuple(sorted(q.terms)), q.boost, q.field)
+    if isinstance(q, CommonTermsQuery):
+        return _rewrite_common_terms(q, reader)
     if isinstance(q, ConstantScoreQuery):
         return ConstantScoreQuery(rewrite(q.query, reader), q.boost)
+    if isinstance(q, FunctionScoreQuery):
+        return FunctionScoreQuery(rewrite(q.query, reader), q.field, q.transform, q.boost)
     if isinstance(q, DisjunctionMaxQuery):
         return DisjunctionMaxQuery(
             tuple(rewrite(d, reader) for d in q.disjuncts), q.tie_breaker

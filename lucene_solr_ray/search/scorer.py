@@ -18,6 +18,8 @@ scorer iterators (SURVEY.md §2.4).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -30,6 +32,7 @@ from .query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     ExpandedTermsQuery,
+    FunctionScoreQuery,
     MatchAllQuery,
     MultiPhraseQuery,
     NumericRangeQuery,
@@ -246,6 +249,20 @@ class SegmentScorer:
         if isinstance(q, BoostQuery):
             ids, s = self.score_query(q.query)
             return ids, (s * self.sim.dtype.type(q.boost)).astype(self.sim.dtype)
+        if isinstance(q, FunctionScoreQuery):
+            # (float)((innerScore · value) · boost) in double math
+            # (FunctionScoreQuery.java:176-177, MultiplicativeBoostValuesSource)
+            ids, s = self.score_query(q.query)
+            vals = self.doc_values.get(q.field)
+            if vals is None:
+                raise KeyError(
+                    f"numeric doc values for {q.field!r} not loaded into this scorer"
+                )
+            v = vals[ids].astype(np.float64)
+            if q.transform == "log1p":
+                v = np.array([math.log(1.0 + x) for x in v], dtype=np.float64)
+            out = (s.astype(np.float64) * v) * np.float64(q.boost)
+            return ids, out.astype(self.sim.dtype)
         if isinstance(q, SynonymQuery):
             return self._synonym_match(q)
         if isinstance(q, DisjunctionMaxQuery):
@@ -262,7 +279,7 @@ class SegmentScorer:
         """Span query scoring (see :mod:`spans`): enumerate per-doc spans,
         float freq = Σ 1/(1+width), weight = summed idf of clause terms
         (SpanWeight.buildSimWeight), same norm-cache kernel as phrases."""
-        from .spans import SpanNearQuery, span_freq, span_terms
+        from .spans import SpanNearQuery, SpanNotQuery, span_freq, span_scoring_terms, span_terms
 
         if self.lazy is None:
             raise ValueError("span queries need positional postings (lazy=None)")
@@ -277,10 +294,12 @@ class SegmentScorer:
                 data[t] = (ids, f_off, pos)
         if not data:
             return empty
-        if isinstance(q, SpanNearQuery):
+        # candidates come from the matching side only (SpanNot: include)
+        target = q.include if isinstance(q, SpanNotQuery) else q
+        if isinstance(target, SpanNearQuery):
             # candidate docs: every clause's term-union must be present
             cand = None
-            for c in q.clauses:
+            for c in target.clauses:
                 parts = [data[t][0] for _f, t in sorted(span_terms(c)) if t in data]
                 if not parts:
                     return empty
@@ -289,7 +308,10 @@ class SegmentScorer:
                 if len(cand) == 0:
                     return empty
         else:
-            cand = np.unique(np.concatenate([ids for ids, _f, _p in data.values()]))
+            parts = [data[t][0] for _f, t in sorted(span_terms(target)) if t in data]
+            if not parts:
+                return empty
+            cand = np.unique(np.concatenate(parts))
         out_ids: list[int] = []
         out_freqs: list[float] = []
         for d in cand:
@@ -307,7 +329,7 @@ class SegmentScorer:
         ids = np.asarray(out_ids, dtype=np.int64)
         freqs = np.asarray(out_freqs, dtype=np.float64)
         idf_sum = 0.0
-        for f, t in pairs:
+        for f, t in sorted(span_scoring_terms(q)):
             w_t = self.weights.get((f, t))
             if w_t is not None:
                 idf_sum += float(w_t)

@@ -207,11 +207,41 @@ class MatchFieldGroup:
                     "local_id": pa.array(ids, pa.int64()),
                 }
             )
+        if self.mode == "facet2":
+            # hierarchical (taxonomy) partials: per-segment (value1, value2,
+            # count) over the matching docs — two pruned column reads
+            f1, f2 = self.field.split(",")
+            tbl2 = pq.read_table(os.path.join(seg_d, "docs.parquet"), columns=[f1, f2])
+            v1 = tbl2[f1].to_numpy(zero_copy_only=False)[ids]
+            v2 = tbl2[f2].to_numpy(zero_copy_only=False)[ids]
+            pairs, c = np.unique(np.char.add(np.char.add(
+                v1.astype(str), "\x1f"), v2.astype(str)), return_counts=True)
+            split = [p.split("\x1f", 1) for p in pairs.tolist()]
+            return pa.table(
+                {
+                    "value1": pa.array([a for a, _ in split], pa.string()),
+                    "value2": pa.array([b for _, b in split], pa.string()),
+                    "count": pa.array(c.astype(np.int64), pa.int64()),
+                }
+            )
+        if self.mode == "facet_sample":
+            # RandomSamplingFacetsCollector analog with a DETERMINISTIC
+            # hash-based sampler: keep doc iff the first 15 md5 hex nibbles of
+            # str(global_id), mod 100, fall below rate_pct
+            import hashlib
+
+            gids = ids + self.doc_bases[seg]
+            keep = np.fromiter(
+                (int(hashlib.md5(str(g).encode()).hexdigest()[:15], 16) % 100 < self.k
+                 for g in gids.tolist()),
+                dtype=bool, count=len(gids),
+            )
+            ids = ids[keep]
         col = pq.read_table(os.path.join(seg_d, "docs.parquet"), columns=[self.field])[
             self.field
         ].to_numpy(zero_copy_only=False)
         vals = col[ids]
-        if self.mode == "facet":
+        if self.mode in ("facet", "facet_sample"):
             u, c = np.unique(vals, return_counts=True)
             return pa.table(
                 {
@@ -575,6 +605,106 @@ class Searcher:
                 vals, cnts = np.unique(col[ids], return_counts=True)
                 for v, c in zip(vals.tolist(), cnts.tolist()):
                     counts[v] += c
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pa.table(
+            {
+                "value": pa.array([v for v, _ in items], pa.string()),
+                "count": pa.array([c for _, c in items], pa.int64()),
+            }
+        )
+
+    def facet_hierarchy(self, query: Query, fields: tuple[str, str] = ("repo", "lang"),
+                        use_ray: bool = True) -> pa.Table:
+        """Hierarchical (taxonomy) facet counts — TaxonomyFacetCounts /
+        getTopChildren analog (``lucene/facet/src/java/org/apache/lucene/facet/
+        taxonomy/FastTaxonomyFacetCounts.java``): counts at every level of the
+        dimension path ``fields[0]/fields[1]`` over the docs matching
+        ``query``. Level-1 counts are the roll-up of their children (ordinal
+        parent accumulation, ``TaxonomyFacets.rollup`` analog) — computed by
+        summing the tiny per-segment (value1, value2, count) partials on the
+        driver. → (level, path, count), count desc / path asc within level."""
+        import pyarrow.parquet as pq_mod
+        from collections import Counter
+
+        pair_counts: Counter = Counter()
+        scattered = (
+            self._scatter_match(query, "facet2", field=",".join(fields))
+            if use_ray
+            else None
+        )
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                for v1, v2, c in zip(
+                    b["value1"].to_pylist(), b["value2"].to_pylist(), b["count"].to_pylist()
+                ):
+                    pair_counts[(v1, v2)] += c
+        else:
+            for seg, _base, ids in self._matches_per_segment(query):
+                if len(ids) == 0:
+                    continue
+                tbl = pq_mod.read_table(
+                    os.path.join(self.reader.seg_dir(seg), "docs.parquet"),
+                    columns=list(fields),
+                )
+                v1 = tbl[fields[0]].to_numpy(zero_copy_only=False)[ids]
+                v2 = tbl[fields[1]].to_numpy(zero_copy_only=False)[ids]
+                for a, b2 in zip(v1.tolist(), v2.tolist()):
+                    pair_counts[(str(a), str(b2))] += 1
+        top: Counter = Counter()
+        for (v1, _v2), c in pair_counts.items():
+            top[v1] += c  # rollup
+        rows = sorted(((1, v, c) for v, c in top.items()),
+                      key=lambda r: (-r[2], r[1]))
+        rows += sorted(((2, f"{v1}/{v2}", c) for (v1, v2), c in pair_counts.items()),
+                       key=lambda r: (-r[2], r[1]))
+        return pa.table(
+            {
+                "level": pa.array([r[0] for r in rows], pa.int64()),
+                "path": pa.array([r[1] for r in rows], pa.string()),
+                "count": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    def facet_counts_sampled(self, query: Query, field: str = "lang",
+                             rate_pct: int = 40, use_ray: bool = True) -> pa.Table:
+        """Sampled facet counts — RandomSamplingFacetsCollector analog
+        (``lucene/facet/.../RandomSamplingFacetsCollector.java``) with a
+        deterministic hash sampler instead of XORShift64 (reproducible across
+        runs/parallelism and expressible in the SQL oracle): a matching doc is
+        sampled iff ``int(md5(str(doc_id))[:15], 16) % 100 < rate_pct``.
+        Counts are over the sample (unamortized, like getFacetResults)."""
+        import hashlib
+        import pyarrow.parquet as pq_mod
+        from collections import Counter
+
+        counts: Counter = Counter()
+        scattered = (
+            self._scatter_match(query, "facet_sample", field=field, k=rate_pct)
+            if use_ray
+            else None
+        )
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                for v, c in zip(b["value"].to_pylist(), b["count"].to_pylist()):
+                    counts[v] += c
+        else:
+            for seg, base, ids in self._matches_per_segment(query):
+                if len(ids) == 0:
+                    continue
+                gids = ids + base
+                keep = np.fromiter(
+                    (int(hashlib.md5(str(g).encode()).hexdigest()[:15], 16) % 100 < rate_pct
+                     for g in gids.tolist()),
+                    dtype=bool, count=len(gids),
+                )
+                ids = ids[keep]
+                if len(ids) == 0:
+                    continue
+                col = pq_mod.read_table(
+                    os.path.join(self.reader.seg_dir(seg), "docs.parquet"), columns=[field]
+                )[field].to_numpy(zero_copy_only=False)
+                for v in col[ids].tolist():
+                    counts[str(v)] += 1
         items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         return pa.table(
             {

@@ -38,13 +38,16 @@ class SpanTermQuery(Query):
 
 @dataclass(frozen=True)
 class SpanNearQuery(Query):
-    """Ordered proximity: clauses must appear in order, non-overlapping,
-    with total gap ≤ slop."""
+    """Proximity query. ``ordered=True``: clauses must appear in order,
+    non-overlapping, total gap ≤ slop (NearSpansOrdered). ``ordered=False``:
+    clauses in any order; window matches when ``maxEnd - minStart -
+    totalSpanLength ≤ slop`` (NearSpansUnordered.java:93-96)."""
 
     clauses: tuple  # tuple[SpanQuery-like, ...]
     slop: int = 0
     field: str = CONTENT_FIELD
     boost: float = 1.0
+    ordered: bool = True
 
 
 @dataclass(frozen=True)
@@ -64,10 +67,26 @@ class SpanFirstQuery(Query):
     boost: float = 1.0
 
 
-SPAN_TYPES = (SpanTermQuery, SpanNearQuery, SpanOrQuery, SpanFirstQuery)
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """Spans of ``include`` with no overlapping ``exclude`` span
+    (SpanNotQuery.java:146-186): an include span is rejected iff some exclude
+    span has ``end > include.start - pre`` and ``start - post < include.end``.
+    Only include terms contribute to the weight (extractTerms, :190-193)."""
+
+    include: Query
+    exclude: Query
+    pre: int = 0
+    post: int = 0
+    field: str = CONTENT_FIELD
+    boost: float = 1.0
+
+
+SPAN_TYPES = (SpanTermQuery, SpanNearQuery, SpanOrQuery, SpanFirstQuery, SpanNotQuery)
 
 
 def span_terms(q) -> set[tuple[str, str]]:
+    """All terms whose positions the matcher needs (include AND exclude)."""
     if isinstance(q, SpanTermQuery):
         return {(q.field, q.term)}
     if isinstance(q, (SpanNearQuery, SpanOrQuery)):
@@ -77,7 +96,24 @@ def span_terms(q) -> set[tuple[str, str]]:
         return out
     if isinstance(q, SpanFirstQuery):
         return span_terms(q.match)
+    if isinstance(q, SpanNotQuery):
+        return span_terms(q.include) | span_terms(q.exclude)
     return set()
+
+
+def span_scoring_terms(q) -> set[tuple[str, str]]:
+    """Terms contributing to the simWeight idf sum — SpanNot excludes its
+    exclude side (SpanNotQuery.extractTerms delegates to includeWeight)."""
+    if isinstance(q, SpanNotQuery):
+        return span_scoring_terms(q.include)
+    if isinstance(q, (SpanNearQuery, SpanOrQuery)):
+        out: set[tuple[str, str]] = set()
+        for c in q.clauses:
+            out |= span_scoring_terms(c)
+        return out
+    if isinstance(q, SpanFirstQuery):
+        return span_scoring_terms(q.match)
+    return span_terms(q)
 
 
 def doc_spans(q, pos_of: dict[str, np.ndarray]) -> list[tuple[int, int, int]]:
@@ -97,6 +133,21 @@ def doc_spans(q, pos_of: dict[str, np.ndarray]) -> list[tuple[int, int, int]]:
         return spans
     if isinstance(q, SpanFirstQuery):
         return [s for s in doc_spans(q.match, pos_of) if s[1] <= q.end]
+    if isinstance(q, SpanNotQuery):
+        inc = doc_spans(q.include, pos_of)
+        exc = doc_spans(q.exclude, pos_of)
+        if not exc:
+            return inc
+        out_n: list[tuple[int, int, int]] = []
+        j = 0  # monotone exclude cursor (SpanNotQuery.java:173-178)
+        for s, e, w in inc:
+            while j < len(exc) and exc[j][1] <= s - q.pre:
+                j += 1
+            if j >= len(exc) or exc[j][0] - q.post >= e:
+                out_n.append((s, e, w))
+        return out_n
+    if isinstance(q, SpanNearQuery) and not q.ordered:
+        return _unordered_near(q, pos_of)
     if isinstance(q, SpanNearQuery):
         subs = [doc_spans(c, pos_of) for c in q.clauses]
         if any(not s for s in subs):
@@ -122,6 +173,36 @@ def doc_spans(q, pos_of: dict[str, np.ndarray]) -> list[tuple[int, int, int]]:
                 out.append((first[0], prev_end, width))
         return out
     raise TypeError(f"not a span query: {type(q)}")
+
+
+def _unordered_near(q: SpanNearQuery, pos_of: dict[str, np.ndarray]) -> list[tuple[int, int, int]]:
+    """NearSpansUnordered: one live span per clause in a window ordered by
+    (start, end) (positionsOrdered, :105-110); match when ``maxEnd - minStart
+    - totalSpanLength ≤ slop`` (atMatch, :93-96); each step advances the
+    minimum span (SpanTotalLengthEndPositionWindow.nextPosition, :75-91).
+    Emitted width = ``maxEnd - minStart`` (width(), :165-169)."""
+    subs = [doc_spans(c, pos_of) for c in q.clauses]
+    if any(not s for s in subs):
+        return []
+    n = len(subs)
+    cur = [0] * n
+    total_len = sum(subs[i][0][1] - subs[i][0][0] for i in range(n))
+    max_end = max(subs[i][0][1] for i in range(n))
+    out: list[tuple[int, int, int]] = []
+    while True:
+        top_i = min(range(n), key=lambda i: (subs[i][cur[i]][0], subs[i][cur[i]][1]))
+        s_top = subs[top_i][cur[top_i]]
+        if max_end - s_top[0] - total_len <= q.slop:
+            out.append((s_top[0], max_end, max_end - s_top[0]))
+        nxt = cur[top_i] + 1
+        if nxt >= len(subs[top_i]):
+            return out
+        total_len -= s_top[1] - s_top[0]
+        cur[top_i] = nxt
+        s_new = subs[top_i][nxt]
+        total_len += s_new[1] - s_new[0]
+        if s_new[1] > max_end:
+            max_end = s_new[1]
 
 
 def span_freq(q, pos_of: dict[str, np.ndarray], ftype) -> float:

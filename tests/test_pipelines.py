@@ -109,6 +109,31 @@ def test_ann_lsh_recall(entry_mod):
     assert 0 < stats["scanned_rows"] < brute / 3
 
 
+def test_ann_ivf_recall(entry_mod):
+    """IVF ANN: decent recall vs the exact oracle, deterministic centroids,
+    and probed-list pruning (scanned ≪ brute force)."""
+    import numpy as np
+
+    from lucene_solr_ray.pipelines import ann
+
+    c1 = ann.train_ivf_centroids(SF)
+    c2 = ann.train_ivf_centroids(SF)
+    assert np.array_equal(c1, c2)
+    exact = ann.ann_topk(SF).to_pandas()
+    stats: dict = {}
+    approx = ann.ann_ivf_topk(SF, stats=stats).to_pandas()
+    hits = tot = 0
+    for qid in exact.query_id.unique():
+        t = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(t & a)
+        tot += len(t)
+    assert tot > 0
+    assert hits / tot > 0.3  # nprobe=4 of 16 lists
+    brute = stats["corpus_rows"] * stats["n_queries"]
+    assert 0 < stats["scanned_rows"] < brute / 2
+
+
 # ---------------------------------------------------------------------------
 # planted duplicates on a synthetic sf_dir
 # ---------------------------------------------------------------------------

@@ -383,3 +383,128 @@ def test_join_query(built):
     exp = sorted(d0 for d0 in range(oracle.n) if langs[d0] in want_langs)
     assert sorted(res.doc_id) == exp
     assert (res.score == 1.0).all()
+
+
+def test_common_terms_query(built):
+    """CommonTermsQuery rewrite vs the equivalent explicit BooleanQuery
+    (CommonTermsQuery.java:148-209): df-split at ceil(maxtf·maxDoc), MUST(low
+    group) + SHOULD(high group), high group promoted to conjunction when no
+    low terms remain."""
+    import math
+
+    from lucene_solr_ray.search.query import CommonTermsQuery, rewrite
+
+    d, _, oracle, tbl = built
+    searcher = Searcher(d)
+    rare, mid, mega = _pick_terms(oracle)
+    # pick maxtf so mid/rare are low and mega is high
+    frac = (oracle.df[mid] + oracle.df[mega]) / 2 / oracle.n
+    q = CommonTermsQuery(terms=(rare, mid, mega), max_term_frequency=frac)
+    explicit = BooleanQuery(
+        must=[BooleanQuery(should=[TermQuery(rare), TermQuery(mid)])],
+        should=[BooleanQuery(should=[TermQuery(mega)])],
+    )
+    got = searcher.search({"q": q}, k=200, use_ray=False).to_pandas()
+    exp = searcher.search({"q": explicit}, k=200, use_ray=False).to_pandas()
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert np.array_equal(got.score.to_numpy(), exp.score.to_numpy())
+
+    # low=MUST variant
+    q2 = CommonTermsQuery(terms=(mid, mega), max_term_frequency=frac,
+                          low_freq_occur="must")
+    exp2 = searcher.search(
+        {"q": BooleanQuery(must=[BooleanQuery(must=[TermQuery(mid)])],
+                           should=[BooleanQuery(should=[TermQuery(mega)])])},
+        k=200, use_ray=False).to_pandas()
+    got2 = searcher.search({"q": q2}, k=200, use_ray=False).to_pandas()
+    assert got2.doc_id.tolist() == exp2.doc_id.tolist()
+
+    # all terms high → high group promoted to MUST (conjunction)
+    by_df = sorted(oracle.df.items(), key=lambda kv: kv[1])
+    t1, t2 = by_df[-1][0], by_df[-2][0]
+    q3 = CommonTermsQuery(terms=(t1, t2), max_term_frequency=0.01)
+    r3 = rewrite(q3, searcher.reader)
+    got3 = searcher.search({"q": q3}, k=N_DOCS, use_ray=False).to_pandas()
+    exp3 = searcher.search(
+        {"q": BooleanQuery(must=[TermQuery(t1), TermQuery(t2)])},
+        k=N_DOCS, use_ray=False).to_pandas()
+    assert set(got3.doc_id) == set(exp3.doc_id)
+
+    # fractional minimum-should-match rounds like Math.round (:141-146)
+    from lucene_solr_ray.search.query import _ctq_min_should_match
+
+    assert _ctq_min_should_match(0.5, 3) == 2  # floor(1.5 + .5)
+    assert _ctq_min_should_match(0.0, 5) == 0
+    assert _ctq_min_should_match(2.0, 5) == 2
+
+    # zero-df terms land in the low group (termContext null, :154-155)
+    q4 = CommonTermsQuery(terms=("zzqqxx_missing", mega), max_term_frequency=frac,
+                          low_freq_occur="must")
+    got4 = searcher.search({"q": q4}, k=10, use_ray=False).to_pandas()
+    assert len(got4) == 0
+
+
+def test_facet_hierarchy_and_sampled(built):
+    """Taxonomy rollup + deterministic sampled facets vs brute force."""
+    import hashlib
+    from collections import Counter
+
+    d, _, oracle, tbl = built
+    searcher = Searcher(d)
+    # use the mega (license-header) term: the sampling assertion below needs
+    # a query with many matches, and the median-df term can match 1 doc
+    _, _, mid = _pick_terms(oracle)
+    # brute force: field values in doc-id (sorted key) order
+    keys = list(zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(), tbl["commit"].to_pylist()))
+    order = sorted(range(len(keys)), key=lambda i: keys[i])
+    repo = [tbl["repo"].to_pylist()[i] for i in order]
+    lang = [tbl["lang"].to_pylist()[i] for i in order]
+    ids, _ = oracle.topk(TermQuery(mid), oracle.n)
+
+    got = searcher.facet_hierarchy(TermQuery(mid), ("repo", "lang"), use_ray=False).to_pandas()
+    l2 = Counter((repo[i], lang[i]) for i in ids)
+    l1 = Counter(repo[i] for i in ids)
+    exp_rows = sorted(((1, v, c) for v, c in l1.items()), key=lambda r: (-r[2], r[1]))
+    exp_rows += sorted(((2, f"{a}/{b}", c) for (a, b), c in l2.items()), key=lambda r: (-r[2], r[1]))
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp_rows
+
+    rate = 40
+    got_s = searcher.facet_counts_sampled(TermQuery(mid), field="repo",
+                                          rate_pct=rate, use_ray=False).to_pandas()
+    sampled = [i for i in ids
+               if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100 < rate]
+    exp_s = Counter(repo[i] for i in sampled)
+    assert dict(zip(got_s.value, got_s["count"])) == dict(exp_s)
+    # sampling actually subsampled (with ~hundreds of matches this is robust)
+    total = sum(exp_s.values())
+    assert 0 < total < len(ids)
+
+
+@pytest.mark.parametrize("use_ray", [False, True])
+def test_function_score_query(built, use_ray):
+    """FunctionScoreQuery.boostByValue: score = (float)((inner · value) · boost)."""
+    import math
+
+    from lucene_solr_ray.search.query import FunctionScoreQuery
+
+    d, _, oracle, tbl = built
+    searcher = Searcher(d)
+    _, mid, _ = _pick_terms(oracle)
+    base = searcher.search({"q": TermQuery(mid)}, k=10**6, use_ray=use_ray).to_pandas()
+    fq = FunctionScoreQuery(TermQuery(mid), field="field_len", transform="log1p", boost=2.0)
+    got = searcher.search({"q": fq}, k=10**6, use_ray=use_ray).to_pandas()
+    assert set(got.doc_id) == set(base.doc_id)
+    flen = {int(r.doc_id): oracle.field_len[int(r.doc_id)] for r in base.itertuples()}
+    bscore = {int(r.doc_id): np.float64(r.score) for r in base.itertuples()}
+    for row in got.itertuples():
+        d0 = int(row.doc_id)
+        exp = np.float32((bscore[d0] * math.log(1.0 + float(flen[d0]))) * np.float64(2.0))
+        assert np.float32(row.score) == exp, (d0, row.score, exp)
+
+    # identity transform: score = inner · field_len
+    fq2 = FunctionScoreQuery(TermQuery(mid), field="field_len")
+    got2 = searcher.search({"q": fq2}, k=20, use_ray=use_ray).to_pandas()
+    for row in got2.itertuples():
+        d0 = int(row.doc_id)
+        exp = np.float32((bscore[d0] * np.float64(flen[d0])) * np.float64(1.0))
+        assert np.float32(row.score) == exp

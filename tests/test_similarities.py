@@ -12,8 +12,13 @@ from lucene_solr_ray.corpus import generate_corpus
 from lucene_solr_ray.index.build import build_index
 from lucene_solr_ray.search import Searcher, TermQuery
 from lucene_solr_ray.search.similarities import (
+    BooleanSimilarity,
     ClassicSimilarity,
+    DFISimilarity,
+    DFRSimilarity,
+    IBSimilarity,
     LMDirichletSimilarity,
+    LMJelinekMercerSimilarity,
     similarity_from_spec,
 )
 from lucene_solr_ray.util.smallfloat import LENGTH_TABLE
@@ -96,6 +101,137 @@ def test_spec_roundtrip():
 
     b = similarity_from_spec(BM25Similarity(1.4, 0.6).spec())
     assert isinstance(b, BM25Similarity) and b.k1 == 1.4 and b.b == 0.6
+
+
+def _stats_for(oracle, t):
+    df = oracle.df[t]
+    ttf = sum(tf[t] for tf in oracle.tf if t in tf)
+    sum_ttf = sum(oracle.field_len)
+    return df, ttf, oracle.n, sum_ttf
+
+
+def _tfn_h2(avg, f, dl):
+    inner = np.float64(np.float32(1.0) + (np.float32(1.0) * avg) / np.float32(dl))
+    return np.float32(np.float64(np.float32(f)) * (np.log(inner) / math.log(2.0)))
+
+
+def test_dfr_in_b_h2_matches_formula(built):
+    d, oracle = built
+    t = _mid_term(oracle)
+    df, ttf, n, sum_ttf = _stats_for(oracle, t)
+    s = Searcher(d, similarity=DFRSimilarity("in", "b", "h2", 1.0, np.float32))
+    got = s.search({"q": TermQuery(t)}, k=1000, use_ray=False).to_pandas()
+    assert len(got) == df
+    avg = np.float32(sum_ttf / float(n))
+    for row in got.itertuples():
+        d0 = int(row.doc_id)
+        f = oracle.tf[d0][t]
+        dl = float(LENGTH_TABLE[oracle.norm_byte[d0]])
+        tfn = _tfn_h2(avg, f, dl)
+        model = tfn * np.float32(math.log((n + 1) / (df + 0.5)) / math.log(2.0))
+        effect = np.float32(ttf + 2) / (np.float32(df + 1) * (tfn + np.float32(1.0)))
+        exp = np.float32((np.float32(1.0) * model) * effect)
+        assert abs(np.float32(row.score) - exp) <= 2e-6 * abs(exp), (d0, row.score, exp)
+
+
+def test_ib_ll_df_h2_matches_formula(built):
+    d, oracle = built
+    t = _mid_term(oracle)
+    df, ttf, n, sum_ttf = _stats_for(oracle, t)
+    s = Searcher(d, similarity=IBSimilarity("ll", "df", "h2", 1.0, np.float32))
+    got = s.search({"q": TermQuery(t)}, k=1000, use_ray=False).to_pandas()
+    assert len(got) == df
+    avg = np.float32(sum_ttf / float(n))
+    lam = np.float32(df + 1.0) / np.float32(n + 1.0)
+    for row in got.itertuples():
+        d0 = int(row.doc_id)
+        f = oracle.tf[d0][t]
+        dl = float(LENGTH_TABLE[oracle.norm_byte[d0]])
+        tfn = _tfn_h2(avg, f, dl)
+        exp = np.float32(np.float32(1.0) * np.float32(-math.log(np.float64(lam / (tfn + lam)))))
+        assert abs(np.float32(row.score) - exp) <= 2e-6 * abs(exp), (d0, row.score, exp)
+
+
+def test_jm_matches_formula(built):
+    d, oracle = built
+    t = _mid_term(oracle)
+    df, ttf, n, sum_ttf = _stats_for(oracle, t)
+    lam = 0.7
+    s = Searcher(d, similarity=LMJelinekMercerSimilarity(lam, np.float32))
+    got = s.search({"q": TermQuery(t)}, k=1000, use_ray=False).to_pandas()
+    assert len(got) == df
+    p = np.float32(ttf + 1.0) / np.float32(sum_ttf + 1.0)
+    for row in got.itertuples():
+        d0 = int(row.doc_id)
+        f = oracle.tf[d0][t]
+        dl = float(LENGTH_TABLE[oracle.norm_byte[d0]])
+        inner = np.float32(1.0) + ((np.float32(1.0) - np.float32(lam)) * np.float32(f) / np.float32(dl)) / (
+            np.float32(lam) * p
+        )
+        exp = np.float32(np.float32(1.0) * np.float32(math.log(np.float64(inner))))
+        assert abs(np.float32(row.score) - exp) <= 2e-6 * abs(exp), (d0, row.score, exp)
+
+
+def test_dfi_zero_below_expected_and_formula(built):
+    d, oracle = built
+    # the most frequent term: many docs where tf <= expected → score 0 dropped
+    by_df = sorted(oracle.df.items(), key=lambda kv: kv[1])
+    t = by_df[-1][0]
+    df, ttf, n, sum_ttf = _stats_for(oracle, t)
+    s = Searcher(d, similarity=DFISimilarity(np.float32))
+    got = s.search({"q": TermQuery(t)}, k=1000, use_ray=False).to_pandas()
+    assert (got.score >= 0).all()
+    for row in got.head(20).itertuples():
+        d0 = int(row.doc_id)
+        f = oracle.tf[d0][t]
+        dl = np.float32(LENGTH_TABLE[oracle.norm_byte[d0]])
+        expected = (np.float32(ttf + 1) * dl) / np.float32(sum_ttf + 1)
+        if np.float32(f) <= expected:
+            assert np.float32(row.score) == np.float32(0.0)
+        else:
+            measure = ((np.float32(f) - expected) ** 2) / expected
+            exp = np.float32(1.0) * np.float32(math.log(np.float64(measure + np.float32(1.0))) / math.log(2.0))
+            assert abs(np.float32(row.score) - exp) <= 2e-6 * abs(exp)
+
+
+def test_boolean_similarity_scores_boost(built):
+    d, oracle = built
+    t = _mid_term(oracle)
+    s = Searcher(d, similarity=BooleanSimilarity())
+    got = s.search({"q": TermQuery(t, boost=2.5)}, k=1000, use_ray=False).to_pandas()
+    assert len(got) == oracle.df[t]
+    assert (got.score.to_numpy() == np.float32(2.5)).all()
+    # ranking degenerates to doc-id order (HitQueue tie-break)
+    assert list(got.doc_id) == sorted(got.doc_id)
+
+
+def test_new_spec_roundtrips():
+    for sim in (
+        DFRSimilarity("g", "l", "h1", 1.0, np.float64),
+        IBSimilarity("spl", "ttf", "h2", 1.0, np.float32),
+        LMJelinekMercerSimilarity(0.3, np.float64),
+        DFISimilarity(np.float32),
+        BooleanSimilarity(np.float32),
+    ):
+        clone = similarity_from_spec(sim.spec())
+        assert type(clone) is type(sim) and clone.dtype == sim.dtype
+        assert clone.spec() == sim.spec()
+
+
+def test_dfr_variants_all_positive(built):
+    d, oracle = built
+    t = _mid_term(oracle)
+    for bm in ("in", "g"):
+        for ae in ("b", "l"):
+            for nm in ("h1", "h2"):
+                s = Searcher(d, similarity=DFRSimilarity(bm, ae, nm))
+                got = s.search({"q": TermQuery(t)}, k=10, use_ray=False).to_pandas()
+                assert len(got) > 0 and (got.score > 0).all(), (bm, ae, nm)
+    for dist in ("ll", "spl"):
+        for lamk in ("df", "ttf"):
+            s = Searcher(d, similarity=IBSimilarity(dist, lamk))
+            got = s.search({"q": TermQuery(t)}, k=10, use_ray=False).to_pandas()
+            assert len(got) > 0 and (got.score > 0).all(), (dist, lamk)
 
 
 def test_classic_ranking_differs_from_bm25(built):

@@ -117,3 +117,103 @@ def test_engine_span_near_matches_bruteforce(built, use_ray):
             exp.add(doc_id)
     assert set(got.doc_id) == exp
     assert (got.score > 0).all()
+
+
+def test_span_not_matcher():
+    from lucene_solr_ray.search.spans import SpanNotQuery
+
+    pos = _pos("a b a c a".split())
+    inc = SpanTermQuery("a")
+    # exclude 'b': the a at 0 is fine, a at 2 is fine (b at 1 doesn't overlap
+    # [2,3)), all spans kept with pre=post=0
+    assert doc_spans(SpanNotQuery(inc, SpanTermQuery("b")), pos) == [
+        (0, 1, 0), (2, 3, 0), (4, 5, 0)
+    ]
+    # pre=1: b at 1 kills the a at 2 (exclude.end=2 > 2-1=1 and start-post=1 < 3)
+    assert doc_spans(SpanNotQuery(inc, SpanTermQuery("b"), pre=1), pos) == [
+        (0, 1, 0), (4, 5, 0)
+    ]
+    # post=1: b at 1 kills the a at 0 (end+post window)
+    assert doc_spans(SpanNotQuery(inc, SpanTermQuery("b"), post=1), pos) == [
+        (2, 3, 0), (4, 5, 0)
+    ]
+    # exclude a phrase: NOT(a near-0 c) removes the a at 2? span [2,4) overlaps [2,3)
+    near_ac = SpanNearQuery((SpanTermQuery("a"), SpanTermQuery("c")), slop=0)
+    assert doc_spans(SpanNotQuery(inc, near_ac), pos) == [(0, 1, 0), (4, 5, 0)]
+    # no exclude spans in doc → all include spans pass
+    assert doc_spans(SpanNotQuery(inc, SpanTermQuery("zz")), pos) == doc_spans(inc, pos)
+
+
+def test_unordered_near_matcher():
+    from lucene_solr_ray.search.spans import SpanNotQuery
+
+    # b before a — ordered fails, unordered matches
+    pos = _pos("b x a".split())
+    qo = SpanNearQuery((SpanTermQuery("a"), SpanTermQuery("b")), slop=1)
+    qu = SpanNearQuery((SpanTermQuery("a"), SpanTermQuery("b")), slop=1, ordered=False)
+    assert doc_spans(qo, pos) == []
+    spans = doc_spans(qu, pos)
+    # window [0,3): maxEnd=3, minStart=0, totalLen=2 → 3-0-2=1 <= slop
+    assert spans == [(0, 3, 3)]
+    assert span_freq(qu, pos, F32) == pytest.approx(1.0 / 4.0)
+    # too far apart
+    pos2 = _pos("b x x a".split())
+    assert doc_spans(SpanNearQuery((SpanTermQuery("a"), SpanTermQuery("b")),
+                                   slop=1, ordered=False), pos2) == []
+    # multiple occurrences enumerate sliding windows
+    pos3 = _pos("a b a".split())
+    spans3 = doc_spans(SpanNearQuery((SpanTermQuery("a"), SpanTermQuery("b")),
+                                     slop=0, ordered=False), pos3)
+    # windows: (a0,b1) then (b1,a2) — both adjacent
+    assert spans3 == [(0, 2, 2), (1, 3, 2)]
+
+
+@pytest.mark.parametrize("use_ray", [False, True])
+def test_engine_span_not_and_unordered(built, use_ray):
+    from collections import Counter
+
+    from lucene_solr_ray.analysis.tokenizer import analyze_with_positions
+    from lucene_solr_ray.search.spans import SpanNotQuery
+
+    d, tbl = built
+    s = Searcher(d)
+    docs_tokens = [analyze_with_positions(t or "") for t in tbl["content"].to_pylist()]
+    cnt = Counter()
+    for toks in docs_tokens[:80]:
+        for (a, pa), (b, pb) in zip(toks, toks[2:]):
+            if a != b:
+                cnt[(a, b)] += 1
+    (t1, t2), _ = cnt.most_common(1)[0]
+    t3 = max(
+        (t for toks in docs_tokens[:40] for t, _p in toks if t not in (t1, t2)),
+        key=lambda t: sum(1 for toks in docs_tokens for tt, _ in toks if tt == t),
+    )
+    keys = list(zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(), tbl["commit"].to_pylist()))
+    order = sorted(range(len(keys)), key=lambda i: keys[i])
+
+    # unordered near: existence = some window with both terms, extent-2 <= slop
+    qu = SpanNearQuery((SpanTermQuery(t1), SpanTermQuery(t2)), slop=2, ordered=False)
+    got = s.search({"q": qu}, k=400, use_ray=use_ray).to_pandas()
+    exp = set()
+    for doc_id, row in enumerate(order):
+        toks = docs_tokens[row]
+        p1 = [p for t, p in toks if t == t1]
+        p2 = [p for t, p in toks if t == t2]
+        if any(abs(a - b) - 1 <= 2 for a in p1 for b in p2):
+            exp.add(doc_id)
+    assert set(got.doc_id) == exp
+
+    # span-not: t1 spans not immediately followed by t2 (post=1)
+    qn = SpanNotQuery(SpanTermQuery(t1), SpanTermQuery(t2), post=1)
+    gotn = s.search({"q": qn}, k=400, use_ray=use_ray).to_pandas()
+    expn = set()
+    for doc_id, row in enumerate(order):
+        toks = docs_tokens[row]
+        p1 = [p for t, p in toks if t == t1]
+        p2 = set(p for t, p in toks if t == t2)
+        # keep a t1 at p unless a t2 sits at p+1 within the widened window:
+        # exclude [e, e+1) overlaps [p, p+1+post) iff e in {p, p+1}; e==p
+        # impossible (distinct terms share no position here) → e == p+1
+        if any((a + 1) not in p2 and a not in p2 for a in p1):
+            expn.add(doc_id)
+    assert set(gotn.doc_id) == expn
