@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_facets": fulltext.ft_facets,
         "ft_facet_hierarchy": fulltext.ft_facet_hierarchy,
         "ft_facet_sampled": fulltext.ft_facet_sampled,
+        "ft_facet_range": fulltext.ft_facet_range,
         "ft_sorted_by_path": fulltext.ft_sorted_by_path,
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
@@ -59,6 +60,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_dfr": fulltext.ft_topk_dfr,
         "ft_topk_ib": fulltext.ft_topk_ib,
         "ft_topk_jm": fulltext.ft_topk_jm,
+        "ft_shingle": fulltext.ft_shingle,
+        "ft_edge_ngram": fulltext.ft_edge_ngram,
+        "ft_synonym": fulltext.ft_synonym,
+        "ft_english": fulltext.ft_english,  # rows-only: Porter not SQL-expressible
         "ft_mlt": fulltext.ft_mlt,
         "ft_suggest_prefix": fulltext.ft_suggest_prefix,
         "ft_spellcheck": fulltext.ft_spellcheck,
@@ -119,6 +124,13 @@ def oracle_sql() -> dict[str, str]:
         "ft_topk_dfr": fs.sql_topk_dfr(fulltext.SIM_TERMS, fulltext.TOPK_K),
         "ft_topk_ib": fs.sql_topk_ib(fulltext.SIM_TERMS, fulltext.TOPK_K),
         "ft_topk_jm": fs.sql_topk_jm(fulltext.SIM_TERMS, fulltext.TOPK_K, fulltext.JM_LAMBDA),
+        "ft_shingle": fs.sql_topk_variant(fs.prelude_shingle(2, 2), fulltext.SHINGLE_SPECS),
+        "ft_edge_ngram": fs.sql_topk_variant(
+            fs.prelude_edge_ngram(*fulltext.EDGE_NGRAM_RANGE), fulltext.EDGE_SPECS
+        ),
+        "ft_synonym": fs.sql_topk_variant(
+            fs.prelude_synonyms(fulltext.SYNONYM_PAIRS), fulltext.SYNONYM_SPECS
+        ),
         "ft_mlt": fs.sql_mlt(fulltext.MLT_SRC_DOCS, fulltext.TOPK_K),
         "ft_suggest_prefix": fs.sql_suggest_prefix(fulltext.SUGGEST_PREFIXES),
         "ft_spellcheck": fs.sql_spellcheck(fulltext.SPELL_INPUTS),
@@ -130,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_facets": fs.sql_facets(fulltext.FACET_TERM, "source"),
         "ft_facet_hierarchy": fs.sql_facet_hierarchy(fulltext.FACET_TERM, "source", "lang"),
         "ft_facet_sampled": fs.sql_facet_sampled(fulltext.FACET_TERM, "source", 40),
+        "ft_facet_range": fs.sql_facet_range(fulltext.FACET_TERM, *fulltext.FACET_RANGE),
         "ft_sorted_by_path": fs.sql_sorted_by_field(fulltext.SORT_TERM, "path", 10),
         "token_count": text.SQL_TOKEN_COUNT,
         "lang_id": text.SQL_LANG_ID,

@@ -122,7 +122,13 @@ def run_bench(ncpus: int) -> dict:
     import ray.data as _rd
 
     warm_tbl = _pads.dataset(corpus).head(max(10_000, BENCH_DOCS // 20))
-    build_index(_rd.from_arrow(warm_tbl), warm_dir, docs_per_segment=dps, batch_size=512)
+    # the warmup must warm EVERY worker through EVERY stage: the
+    # segment-write stage in particular costs ~15-20x its steady-state CPU on
+    # a worker's first touch (measured: 7.5s cold vs 0.32s warm for one
+    # 4000-doc segment), so use >= 3 write tasks per cpu — a warmup with
+    # fewer segments than workers leaves cold workers inside the timed run
+    warm_dps = max(64, len(warm_tbl) // (3 * ncpus))
+    build_index(_rd.from_arrow(warm_tbl), warm_dir, docs_per_segment=warm_dps, batch_size=512)
     shutil.rmtree(warm_dir, ignore_errors=True)
     log("[bench] warmup build done")
 

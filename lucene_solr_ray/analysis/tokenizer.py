@@ -72,7 +72,15 @@ def token_re(analyzer: "StandardAnalyzer") -> "re.Pattern":
 
 @dataclass(frozen=True)
 class StandardAnalyzer:
-    """Configuration of the analysis chain; immutable and cheaply shippable."""
+    """Configuration of the analysis chain; immutable and cheaply shippable.
+
+    Chain order (mirroring ``EnglishAnalyzer.createComponents``,
+    ``analysis/common/.../en/EnglishAnalyzer.java:110-119``, and the common
+    filter factories): tokenize → maxTokenLength skip → lowercase →
+    [ascii_folding] → stopwords → [stem] → [synonyms | shingle | edge_ngrams].
+    ``EnglishPossessiveFilter`` is omitted: the ``\\w+`` ALPHANUM tokenizer
+    already splits at apostrophes, so it would be a no-op.
+    """
 
     max_token_length: int = MAX_TOKEN_LENGTH
     stopwords: frozenset[str] = field(default_factory=lambda: ENGLISH_STOP_WORDS)
@@ -81,29 +89,129 @@ class StandardAnalyzer:
     #: ALPHANUM-subset default; analysis runs through the Python tokenizer
     #: (the Arrow fast path covers only the default mode)
     unicode_segmentation: bool = False
+    #: ASCIIFoldingFilter analog via NFD-decompose + strip combining marks
+    #: (bit-identical to DuckDB ``strip_accents``; diverges from Lucene's
+    #: hand-written table on ligatures like ß/œ, which NFD leaves alone)
+    ascii_folding: bool = False
+    #: "porter" → PorterStemFilter (analysis/en/PorterStemmer.java); applied
+    #: after stopword removal, per EnglishAnalyzer's chain order
+    stem: str | None = None
+    #: SynonymFilter analog: each (term → synonym) pair ADDS the synonym at
+    #: the same position as the matched term (posIncr 0 ⇒ overlap; excluded
+    #: from the norm length under discountOverlaps)
+    synonyms: tuple[tuple[str, str], ...] = ()
+    #: ShingleFilter (min_size, max_size): emit unigrams plus space-joined
+    #: n-grams of consecutive kept tokens; a shingle sits at its first
+    #: member's position as an overlap. Exactly Lucene's ShingleFilter when
+    #: ``stopwords`` is empty (no filler-token question arises).
+    shingle: tuple[int, int] | None = None
+    #: EdgeNGramTokenFilter (min_gram, max_gram): REPLACE each token by its
+    #: prefixes of length min..max (capped at the token length; tokens
+    #: shorter than min vanish); the first gram keeps the token's position,
+    #: the rest are overlaps.
+    edge_ngrams: tuple[int, int] | None = None
+
+    @property
+    def structural(self) -> bool:
+        """Filters that change the token-stream shape (need expansion)."""
+        return bool(self.synonyms) or self.shingle is not None or self.edge_ngrams is not None
+
+
+def EnglishAnalyzer(**kw) -> StandardAnalyzer:
+    """EnglishAnalyzer preset: StandardAnalyzer chain + PorterStemFilter
+    (``analysis/common/.../en/EnglishAnalyzer.java:110-119``)."""
+    return StandardAnalyzer(stem="porter", **kw)
+
+
+def _fold_ascii(term: str) -> str:
+    """NFD-decompose and drop combining marks (Mn) — ASCIIFoldingFilter's
+    Latin-accent core, chosen to equal DuckDB ``strip_accents`` exactly."""
+    import unicodedata
+
+    if term.isascii():
+        return term
+    return "".join(
+        c for c in unicodedata.normalize("NFD", term) if not unicodedata.combining(c)
+    )
+
+
+def _term_mapper(analyzer: "StandardAnalyzer"):
+    """Post-stopword per-term map (stemming), or None. Applied per unique
+    vocabulary entry, never per token."""
+    if analyzer.stem == "porter":
+        from .porter import porter_stem
+
+        return porter_stem
+    if analyzer.stem is not None:
+        raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
+    return None
 
 
 _DEFAULT = StandardAnalyzer()
 
 
-def analyze_with_positions(
-    text: str, analyzer: StandardAnalyzer = _DEFAULT
-) -> list[tuple[str, int]]:
-    """Full position-increment semantics; for golden tests and phrase support.
+def _analyze_full(
+    text: str, analyzer: StandardAnalyzer
+) -> list[tuple[str, int, int, int, bool]]:
+    """Run the whole chain on one string → (term, position, start_offset,
+    end_offset, is_overlap) in token-stream order (stable by position;
+    expansions follow their anchor, matching Lucene's emission order).
 
     Position = index among all tokenizer-emitted tokens (skipped overlong
     tokens and removed stopwords consume a position; FilteringTokenFilter
-    accumulates their increments onto the next kept token).
+    accumulates their increments onto the next kept token,
+    ``analysis/FilteringTokenFilter.java:46-61``).
     """
-    out: list[tuple[str, int]] = []
-    for pos, raw in enumerate(token_re(analyzer).findall(text)):
+    kept: list[tuple[str, int, int, int]] = []
+    for pos, m in enumerate(token_re(analyzer).finditer(text)):
+        raw = m.group()
         if len(raw) > analyzer.max_token_length:
             continue  # skipped, but `pos` advances (StandardTokenizer.java:154-164)
         term = raw.lower() if analyzer.lowercase else raw
+        if analyzer.ascii_folding:
+            term = _fold_ascii(term)
         if term in analyzer.stopwords:
-            continue  # dropped, position accumulates (FilteringTokenFilter.java:46-61)
-        out.append((term, pos))
+            continue
+        kept.append((term, pos, m.start(), m.end()))
+    mapper = _term_mapper(analyzer)
+    if mapper is not None:
+        kept = [(mapper(t), p, s, e) for t, p, s, e in kept]
+    if not analyzer.structural:
+        return [(t, p, s, e, False) for t, p, s, e in kept]
+
+    if analyzer.edge_ngrams is not None:
+        lo, hi = analyzer.edge_ngrams
+        out = [
+            (t[:g], p, s, e, g > lo)
+            for t, p, s, e in kept
+            for g in range(lo, min(hi, len(t)) + 1)
+        ]
+    else:
+        out = [(t, p, s, e, False) for t, p, s, e in kept]
+    if analyzer.shingle is not None:
+        lo, hi = analyzer.shingle
+        for n in range(lo, hi + 1):
+            for i in range(len(kept) - n + 1):
+                grp = kept[i : i + n]
+                out.append(
+                    (" ".join(t for t, _, _, _ in grp), grp[0][1], grp[0][2], grp[-1][3], True)
+                )
+    if analyzer.synonyms:
+        smap: dict[str, list[str]] = {}
+        for a, b in analyzer.synonyms:
+            smap.setdefault(a, []).append(b)
+        for t, p, s, e in kept:
+            for syn in smap.get(t, ()):
+                out.append((syn, p, s, e, True))
+    out.sort(key=lambda r: r[1])  # stable: anchors before their expansions
     return out
+
+
+def analyze_with_positions(
+    text: str, analyzer: StandardAnalyzer = _DEFAULT
+) -> list[tuple[str, int]]:
+    """Full position-increment semantics; for golden tests and phrase support."""
+    return [(t, p) for t, p, _s, _e, _o in _analyze_full(text, analyzer)]
 
 
 def analyze_with_offsets(
@@ -113,16 +221,7 @@ def analyze_with_offsets(
     (term, position, start_offset, end_offset). The UnifiedHighlighter
     ANALYSIS offset source (uhighlight/AnalysisOffsetStrategy.java) —
     offsets come from re-tokenizing stored text, not the postings."""
-    out: list[tuple[str, int, int, int]] = []
-    for pos, m in enumerate(token_re(analyzer).finditer(text)):
-        raw = m.group()
-        if len(raw) > analyzer.max_token_length:
-            continue
-        term = raw.lower() if analyzer.lowercase else raw
-        if term in analyzer.stopwords:
-            continue
-        out.append((term, pos, m.start(), m.end()))
-    return out
+    return [(t, p, s, e) for t, p, s, e, _o in _analyze_full(text, analyzer)]
 
 
 class ArrowAnalyzer:
@@ -143,6 +242,115 @@ class ArrowAnalyzer:
 
         self.analyzer = analyzer
         self.stop_arr = pa.array(sorted(analyzer.stopwords), pa.string())
+
+    @staticmethod
+    def _map_vocab(arr, fn):
+        """Apply a str→str map per unique vocabulary entry (one dictionary
+        encode + take; never a per-token Python call)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if len(arr) == 0:
+            return arr
+        de = pc.dictionary_encode(arr)
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        mapped = pa.array([fn(v) for v in de.dictionary.to_pylist()], pa.string())
+        return pc.take(mapped, de.indices)
+
+    def _expand(self, kept, doc_idx, positions):
+        """Structural filters (synonyms/shingle/edge_ngrams) over the kept
+        token stream → (terms, doc_idx, positions, overlap_mask). Expansion
+        terms are overlaps (posIncr 0): excluded from the norm length
+        (discountOverlaps, BM25Similarity.java:107)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        a = self.analyzer
+        if a.shingle is not None and a.edge_ngrams is not None:
+            raise ValueError("shingle and edge_ngrams are mutually exclusive")
+        if kept.type != pa.string():
+            kept = kept.cast(pa.string())  # unify with expansion parts
+            # (corpus content is large_string; tokens are short)
+        parts_t: list = []
+        parts_d: list = []
+        parts_p: list = []
+        parts_o: list = []
+
+        def add(terms, d, p, overlap):
+            parts_t.append(terms)
+            parts_d.append(d)
+            parts_p.append(p if p is not None else None)
+            parts_o.append(np.full(len(d), overlap))
+
+        de = pc.dictionary_encode(kept)
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        codes = de.indices.to_numpy().astype(np.int64)
+        vocab = de.dictionary.to_pylist()
+
+        if a.edge_ngrams is not None:
+            lo, hi = a.edge_ngrams
+            vlens = np.fromiter((len(v) for v in vocab), dtype=np.int64, count=len(vocab))
+            lens = vlens[codes] if len(codes) else np.empty(0, np.int64)
+            for g in range(lo, hi + 1):
+                mask = lens >= g
+                if not mask.any():
+                    continue
+                grams_vocab = pa.array([v[:g] for v in vocab], pa.string())
+                add(
+                    pc.take(grams_vocab, pa.array(codes[mask], pa.int64())),
+                    doc_idx[mask],
+                    positions[mask] if positions is not None else None,
+                    g > lo,
+                )
+        else:
+            add(kept, doc_idx, positions, False)
+
+        if a.shingle is not None:
+            lo, hi = a.shingle
+            for n in range(lo, hi + 1):
+                L = len(kept) - n + 1
+                if L <= 0:
+                    break
+                valid = doc_idx[:L] == doc_idx[n - 1 :]
+                if not valid.any():
+                    continue
+                cols = [kept.slice(i, L) for i in range(n)]
+                joined = pc.binary_join_element_wise(*cols, " ")
+                vm = pa.array(valid)
+                add(
+                    pc.filter(joined, vm),
+                    doc_idx[:L][valid],
+                    positions[:L][valid] if positions is not None else None,
+                    True,
+                )
+
+        if a.synonyms:
+            code_of = {v: i for i, v in enumerate(vocab)}
+            for src, syn in a.synonyms:
+                c = code_of.get(src)
+                if c is None:
+                    continue
+                sel = np.flatnonzero(codes == c)
+                if len(sel) == 0:
+                    continue
+                add(
+                    pa.array([syn] * len(sel), pa.string()),
+                    doc_idx[sel],
+                    positions[sel] if positions is not None else None,
+                    True,
+                )
+
+        terms = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts_t])
+        d_out = np.concatenate(parts_d) if parts_d else np.empty(0, np.int64)
+        p_out = (
+            np.concatenate([p for p in parts_p])
+            if positions is not None and parts_p
+            else None
+        )
+        o_out = np.concatenate(parts_o) if parts_o else np.empty(0, bool)
+        return terms, d_out, p_out, o_out
 
     def __call__(self, content, with_positions: bool = False) -> "BatchTokenStats":
         import pyarrow as pa
@@ -177,7 +385,10 @@ class ArrowAnalyzer:
                 offs = offs - offs[0]
             doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
 
-        length = pc.utf8_length(flat)
+        length = pc.utf8_length(flat)  # ORIGINAL token length (maxTokenLength
+        # is enforced by the tokenizer, before any filter — StandardTokenizer.java:154)
+        if self.analyzer.ascii_folding:
+            flat = self._map_vocab(flat, _fold_ascii)
         nonempty = pc.greater(length, 0)
         keep = pc.and_(nonempty, pc.less_equal(length, self.analyzer.max_token_length))
         keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=self.stop_arr)))
@@ -195,7 +406,18 @@ class ArrowAnalyzer:
             positions = tok_pos[keep_np].astype(np.int32)
         doc_idx = doc_idx[keep_np]
 
-        field_lens = np.bincount(doc_idx, minlength=n).astype(np.int32)
+        mapper = _term_mapper(self.analyzer)
+        if mapper is not None and len(kept):
+            kept = self._map_vocab(kept, mapper)
+
+        overlap = None
+        if self.analyzer.structural:
+            if isinstance(kept, pa.ChunkedArray):
+                kept = kept.combine_chunks()
+            kept, doc_idx, positions, overlap = self._expand(kept, doc_idx, positions)
+            field_lens = np.bincount(doc_idx[~overlap], minlength=n).astype(np.int32)
+        else:
+            field_lens = np.bincount(doc_idx, minlength=n).astype(np.int32)
         if len(kept) == 0:
             return BatchTokenStats(
                 terms=pa.array([], pa.string()),
@@ -212,7 +434,12 @@ class ArrowAnalyzer:
         vocab = de.dictionary
         V = np.int64(len(vocab))
         pair_key = doc_idx * V + codes
-        order = np.argsort(pair_key, kind="stable")  # stable → positions stay ascending per pair
+        if overlap is not None and positions is not None:
+            # expansions were concatenated out of stream order: co-sort
+            # positions so each (doc, term) pair's positions stay ascending
+            order = np.lexsort((positions, pair_key))
+        else:
+            order = np.argsort(pair_key, kind="stable")  # stable → positions stay ascending per pair
         pk = pair_key[order]
         boundary = np.empty(len(pk), dtype=bool)
         boundary[0] = True
@@ -262,6 +489,12 @@ def analyze_batch(
     The per-doc regex scan is the only Python-level loop; filtering, counting
     and grouping are numpy/pandas vector ops over the flattened token stream.
     """
+    if analyzer.ascii_folding or analyzer.stem is not None or analyzer.structural:
+        # the filter-chain machinery lives on the Arrow path; delegate
+        import pyarrow as pa
+
+        arr = pa.array([c if c is not None else "" for c in contents], pa.string())
+        return ArrowAnalyzer(analyzer)(arr)
     n = len(contents)
     tok_lists = []
     for s in contents:

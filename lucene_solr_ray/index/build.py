@@ -180,6 +180,11 @@ def build_index(
             for row in b.to_pylist():
                 manifest_rows.append(row)
         _dbg(f"pipeline done: {len(manifest_rows)} segments built")
+        if debug:
+            try:
+                print(out.stats(), flush=True)
+            except Exception:
+                pass
 
     # per-field stats (FieldInfos/CollectionStatistics analog): aggregate the
     # per-segment field_stats dicts from the committed _SEGMENT.json files

@@ -133,9 +133,12 @@ class AnalyzeInvert:
         tfs_arr = pa.ListArray.from_arrays(
             pa.array(stats.offsets, pa.int32()), pa.array(stats.tfs, pa.int32())
         )
-        # per-doc flat positions (pair-major, aligned with cumsum(tfs))
-        tf_off = np.zeros(len(batch) + 1, dtype=np.int64)
-        np.cumsum(stats.field_lens.astype(np.int64), out=tf_off[1:])
+        # per-doc flat positions (pair-major, aligned with cumsum(tfs)); the
+        # per-doc count is sum(tfs), NOT field_len — overlap tokens emitted by
+        # structural filters (shingles/synonyms/edge grams) carry positions
+        # but are excluded from the norm length (discountOverlaps)
+        tf_cum = np.concatenate([[0], np.cumsum(stats.tfs, dtype=np.int64)])
+        tf_off = tf_cum[stats.offsets]
         pos_flat = stats.positions if self.positions else np.empty(0, dtype=np.int32)
         pos_arr = pa.ListArray.from_arrays(
             pa.array(tf_off if self.positions else np.zeros(len(batch) + 1, np.int64), pa.int32()),

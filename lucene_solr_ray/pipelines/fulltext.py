@@ -790,3 +790,127 @@ def ft_span_near(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# analyzer-variant indexes (filter chain: stem / shingle / edge-ngram /
+# synonyms). Each variant builds its own small cached index over the same
+# documents corpus; the cache key carries the variant tag.
+# ---------------------------------------------------------------------------
+
+#: EnglishAnalyzer (PorterStemFilter) queries — morphological variants in the
+#: corpus vocabulary all collapse onto the same stem
+ENGLISH_QUERIES = ["merge", "window", "customer", "vector", "query"]
+
+SHINGLE_SPECS = [
+    {"qid": f"sh_{a}_{b}", "kind": "term", "terms": [f"{a} {b}"], "k": TOPK_K}
+    for a, b in [("merge", "data"), ("table", "scan"), ("the", "customer"), ("row", "data")]
+]
+
+EDGE_NGRAM_RANGE = (3, 6)
+EDGE_SPECS = [
+    {"qid": f"eg_{g}", "kind": "term", "terms": [g], "k": TOPK_K}
+    for g in ["mer", "windo", "cust", "vecto"]
+]
+
+SYNONYM_PAIRS = [("spark", "lightning"), ("window", "pane")]
+SYNONYM_SPECS = [
+    {"qid": f"syn_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["lightning", "pane"]
+]
+
+
+def get_searcher_variant(sf_dir: str, tag: str, analyzer, dtype=np.float64) -> Searcher:
+    """Build (or reuse) an analyzer-variant index for sf_dir."""
+    key = f"{sf_dir}|{tag}|{np.dtype(dtype).name}"
+    s = _SEARCHERS.get(key)
+    if s is not None:
+        return s
+    idx = _index_dir_for(sf_dir) + f"_{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        corpus = documents_as_corpus(sf_dir)
+        build_index(corpus, idx, docs_per_segment=2_000, analyzer=analyzer)
+    s = Searcher(idx, dtype=dtype)
+    _SEARCHERS[key] = s
+    return s
+
+
+def _variant_topk(s: Searcher, specs: list[dict], with_score: bool = True) -> pa.Table:
+    queries = {sp["qid"]: TermQuery(sp["terms"][0]) for sp in specs}
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    cols = {
+        "query_id": res["query_id"],
+        "rank": res["rank"].cast(pa.int64()),
+        "doc_id": res["doc_id"],
+    }
+    if with_score:
+        cols["score"] = pa.array(
+            np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()
+        )
+    return pa.table(cols)
+
+
+def ft_shingle(sf_dir: str) -> pa.Table:
+    """ShingleFilter index (no stopwords, shingle sizes 2..2): BM25 top-k for
+    2-gram shingle terms, exact float64 scores (shingles are overlaps — norm
+    length counts unigrams only, discountOverlaps)."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    an = StandardAnalyzer(stopwords=frozenset(), shingle=(2, 2))
+    return _variant_topk(get_searcher_variant(sf_dir, "shingle22", an), SHINGLE_SPECS)
+
+
+def ft_edge_ngram(sf_dir: str) -> pa.Table:
+    """EdgeNGramTokenFilter index (grams 3..6, default stopwords): BM25 top-k
+    for prefix-gram terms (autocomplete-style), exact float64 scores."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    lo, hi = EDGE_NGRAM_RANGE
+    an = StandardAnalyzer(edge_ngrams=(lo, hi))
+    return _variant_topk(get_searcher_variant(sf_dir, f"edge{lo}{hi}", an), EDGE_SPECS)
+
+
+def ft_synonym(sf_dir: str) -> pa.Table:
+    """SynonymFilter index: querying an added synonym matches its source's
+    docs; the synonym token is an overlap (posIncr 0), so norms are those of
+    the base stream. Exact float64 scores."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    an = StandardAnalyzer(synonyms=tuple(SYNONYM_PAIRS))
+    return _variant_topk(get_searcher_variant(sf_dir, "syn", an), SYNONYM_SPECS)
+
+
+def ft_english(sf_dir: str) -> pa.Table:
+    """EnglishAnalyzer (PorterStemFilter) index: queries are analyzed with the
+    same chain, so morphological variants match. No SQL oracle (Porter is not
+    expressible in DuckDB) — the stemmer itself is golden-tested in
+    tests/test_analysis_filters.py; this entry is a rows-only driver check."""
+    from ..analysis.tokenizer import EnglishAnalyzer
+    from ..search.query import parse_query
+
+    an = EnglishAnalyzer()
+    s = get_searcher_variant(sf_dir, "english", an)
+    queries = {f"en_{t}": parse_query(t, analyzer=an) for t in ENGLISH_QUERIES}
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+            "score": pa.array(
+                np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+#: Solr facet.range spec over field_len: [start, end) in gap-sized buckets
+FACET_RANGE = (0, 60, 10)
+
+
+def ft_facet_range(sf_dir: str) -> pa.Table:
+    """Numeric range facets (Solr facet.range) on field_len over docs
+    matching FACET_TERM — 'before' + half-open buckets + 'after'."""
+    s = get_searcher(sf_dir)
+    start, end, gap = FACET_RANGE
+    return s.facet_range(TermQuery(FACET_TERM), "field_len", start, end, gap)

@@ -250,6 +250,30 @@ GROUP BY c.{field} ORDER BY count DESC, value
 """
 
 
+def sql_facet_range(term: str, start: int, end: int, gap: int) -> str:
+    """Range-facet oracle over field_len for docs matching ``term``:
+    'before', every [lo, lo+gap) bucket of [start, end) (zero counts
+    included), 'after' — ordered before, ascending starts, after."""
+    n_buckets = (end - start + gap - 1) // gap
+    return prelude() + f""",
+matched AS (
+  SELECT q.flen FROM (SELECT DISTINCT did FROM tf WHERE tok = '{term}') m
+  JOIN quant q USING (did)
+),
+buckets AS (
+  SELECT 0 AS ord, 'before' AS bucket, count(*) FILTER (flen < {start}) AS count FROM matched
+  UNION ALL
+  SELECT 1 + i AS ord, CAST({start} + i * {gap} AS VARCHAR) AS bucket,
+         (SELECT count(*) FROM matched
+          WHERE flen >= {start} + i * {gap} AND flen < {start} + (i + 1) * {gap}) AS count
+  FROM (SELECT unnest(generate_series(0, {n_buckets - 1})) AS i)
+  UNION ALL
+  SELECT {n_buckets + 1} AS ord, 'after' AS bucket, count(*) FILTER (flen >= {end}) AS count FROM matched
+)
+SELECT bucket, CAST(count AS BIGINT) AS count FROM buckets ORDER BY ord
+"""
+
+
 def sql_facet_hierarchy(term: str, f1: str = "source", f2: str = "lang") -> str:
     """Taxonomy facet oracle: counts at both levels of the ``f1/f2`` dimension
     path over docs matching ``term``; level-1 = roll-up of children.
@@ -388,6 +412,123 @@ def sql_topk_union(specs: list[dict]) -> str:
                  s.get("not_terms"), s.get("msm", 0), with_score)
         for s in specs
     ]
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
+
+
+# ---------------------------------------------------------------------------
+# analyzer-variant preludes (filter chains): the CTE names (tf, fl, quant,
+# stats, idf, avg_dl) are kept identical to prelude()'s so _score_cte and the
+# top-k SELECT bodies work verbatim over any variant index.
+# ---------------------------------------------------------------------------
+
+_VARIANT_TAIL = f"""
+tf AS (SELECT did, tok, count(*) AS tf FROM emitted GROUP BY did, tok),
+fl AS (
+  SELECT c.did, count(b.tok) AS flen FROM corpus c LEFT JOIN base b ON c.did = b.did GROUP BY c.did
+),
+quant AS (SELECT did, flen, {_QUANT} AS qlen, {_NORM_BYTE} AS nbyte FROM fl),
+stats AS (
+  -- avgdl divides sumTotalTermFreq (ALL emitted tokens, overlaps included —
+  -- BM25Similarity.avgFieldLength:87-101) even though per-doc norm lengths
+  -- discount overlaps; Lucene's own asymmetry, kept faithfully
+  SELECT (SELECT count(*) FROM corpus) AS dc,
+         (SELECT count(*) FROM emitted) AS sttf
+),
+idf AS (
+  SELECT tok, count(*) AS df,
+         ln(1 + ((SELECT dc FROM stats) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM tf GROUP BY tok
+),
+avg_dl AS (SELECT CAST(sttf AS DOUBLE) / dc AS avgdl FROM stats)
+"""
+
+
+def prelude_shingle(lo: int, hi: int) -> str:
+    """ShingleFilter index (no stopwords): emitted = unigrams + space-joined
+    n-grams of consecutive tokens for n in lo..hi; norm length counts only
+    unigrams (shingles are posIncr-0 overlaps under discountOverlaps)."""
+    shingle_selects = "\n".join(
+        f"  UNION ALL SELECT did, unnest([array_to_string(ts[i:i+{n - 1}], ' ')"
+        f" for i in generate_series(1, len(ts) - {n - 1})]) AS tok FROM tokl"
+        for n in range(lo, hi + 1)
+    )
+    return f"""
+WITH {CORPUS_CTE},
+tokl AS (
+  SELECT did, list_filter(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'),
+                          t -> length(t) <= 255) AS ts
+  FROM corpus
+),
+base AS (SELECT did, unnest(ts) AS tok FROM tokl),
+emitted AS (
+  SELECT did, tok FROM base
+{shingle_selects}
+),{_VARIANT_TAIL}"""
+
+
+def prelude_edge_ngram(lo: int, hi: int) -> str:
+    """EdgeNGramTokenFilter index (default stopwords): each kept token is
+    REPLACED by its prefixes of length lo..min(hi, len); tokens shorter than
+    lo vanish; norm length counts one position per surviving token (the first
+    gram; the rest are overlaps)."""
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL})
+),
+base AS (SELECT did, tok FROM kept WHERE length(tok) >= {lo}),
+emitted AS (
+  SELECT did, unnest([tok[1:g] for g in generate_series({lo}, {hi}) if length(tok) >= g]) AS tok
+  FROM kept
+),{_VARIANT_TAIL}"""
+
+
+def prelude_synonyms(pairs: list[tuple[str, str]]) -> str:
+    """SynonymFilter index: each (src → syn) pair ADDS the synonym token at
+    the source's position (overlap; excluded from the norm length)."""
+    syn_selects = "\n".join(
+        f"  UNION ALL SELECT did, '{syn}' AS tok FROM base WHERE tok = '{src}'"
+        for src, syn in pairs
+    )
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+base AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL})
+),
+emitted AS (
+  SELECT did, tok FROM base
+{syn_selects}
+),{_VARIANT_TAIL}"""
+
+
+def sql_topk_variant(prelude_sql: str, specs: list[dict]) -> str:
+    """UNION ALL of single/boolean top-k queries over an analyzer-variant
+    prelude. Scores are emitted only for single-term queries (float64 exact,
+    like sql_topk)."""
+    parts = []
+    with_score = all(s["kind"] == "term" for s in specs)
+    for s in specs:
+        terms = sorted(s["terms"])
+        cond = "nmatch >= 1" if s["kind"] in ("term", "or") else f"nmatch = {len(terms)}"
+        score_col = ", score" if with_score else ""
+        parts.append(
+            prelude_sql
+            + ","
+            + _score_cte(terms)
+            + f"""
+SELECT '{s["qid"]}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id{score_col}
+FROM agg WHERE {cond}
+ORDER BY score DESC, did ASC LIMIT {s["k"]}
+"""
+        )
     return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
 
 

@@ -159,6 +159,7 @@ class MatchFieldGroup:
         k: int = 10,
         descending: bool = False,
         seg_dirs: dict[int, str] | None = None,
+        params: tuple | None = None,
     ):
         self.index_dir = index_dir
         self.query = query
@@ -173,6 +174,7 @@ class MatchFieldGroup:
         self.field = field
         self.k = k
         self.descending = descending
+        self.params = params
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import os
@@ -205,6 +207,29 @@ class MatchFieldGroup:
                 {
                     "seg": pa.array(np.full(len(ids), seg, dtype=np.int32)),
                     "local_id": pa.array(ids, pa.int64()),
+                }
+            )
+        if self.mode == "facet_range":
+            # numeric range-facet partials (Solr facet.range,
+            # solr/core/.../request/SimpleFacets.getFacetRangeCounts /
+            # RangeFacetProcessor): half-open [lo, lo+gap) buckets over
+            # [start, end) plus 'before' / 'after' counts
+            start, end, gap = self.params
+            vals = pq.read_table(
+                os.path.join(seg_d, "docs.parquet"), columns=[self.field]
+            )[self.field].to_numpy(zero_copy_only=False)[ids].astype(np.int64)
+            n_buckets = (end - start + gap - 1) // gap
+            before = int((vals < start).sum())
+            after = int((vals >= end).sum())
+            inr = vals[(vals >= start) & (vals < end)]
+            counts = np.bincount((inr - start) // gap, minlength=n_buckets).astype(np.int64)
+            labels = ["before", "after"] + [str(start + i * gap) for i in range(n_buckets)]
+            return pa.table(
+                {
+                    "bucket": pa.array(labels, pa.string()),
+                    "count": pa.array(
+                        np.concatenate([[before, after], counts]).astype(np.int64), pa.int64()
+                    ),
                 }
             )
         if self.mode == "facet2":
@@ -460,7 +485,8 @@ class Searcher:
 
     # ------------------------------------------------------------------
     def _scatter_match(self, query: Query, mode: str, field: str | None = None,
-                       k: int = 10, descending: bool = False):
+                       k: int = 10, descending: bool = False,
+                       params: tuple | None = None):
         """Scatter the match computation over segments (groupby('seg') →
         MatchFieldGroup) — returns the partials Dataset, or None when the
         query can't be routed through the postings read (no terms /
@@ -490,6 +516,7 @@ class Searcher:
                 field=field,
                 k=k,
                 descending=descending,
+                params=params,
                 seg_dirs=self.reader.seg_dirs(),
             ),
             batch_format="pyarrow",
@@ -710,6 +737,52 @@ class Searcher:
             {
                 "value": pa.array([v for v, _ in items], pa.string()),
                 "count": pa.array([c for _, c in items], pa.int64()),
+            }
+        )
+
+    def facet_range(self, query: Query, field: str, start: int, end: int,
+                    gap: int, use_ray: bool = True) -> pa.Table:
+        """Numeric range facets — Solr ``facet.range`` analog
+        (``solr/core/src/java/org/apache/solr/handler/component/
+        RangeFacetProcessor.java``; ``SimpleFacets.getFacetRangeCounts``):
+        half-open ``[lo, lo+gap)`` buckets covering ``[start, end)`` over the
+        docs matching ``query``, plus ``before`` / ``after`` counts — all
+        buckets emitted, zero counts included (facet.mincount=0 default).
+        → (bucket, count): 'before', each bucket start ascending, 'after'."""
+        import pyarrow.parquet as pq_mod
+        from collections import Counter
+
+        agg: Counter = Counter()
+        scattered = (
+            self._scatter_match(query, "facet_range", field=field,
+                                params=(start, end, gap))
+            if use_ray
+            else None
+        )
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                for lbl, c in zip(b["bucket"].to_pylist(), b["count"].to_pylist()):
+                    agg[lbl] += c
+        else:
+            for seg, _base, ids in self._matches_per_segment(query):
+                if len(ids) == 0:
+                    continue
+                vals = pq_mod.read_table(
+                    os.path.join(self.reader.seg_dir(seg), "docs.parquet"),
+                    columns=[field],
+                )[field].to_numpy(zero_copy_only=False)[ids].astype(np.int64)
+                agg["before"] += int((vals < start).sum())
+                agg["after"] += int((vals >= end).sum())
+                inr = vals[(vals >= start) & (vals < end)]
+                for i, c in enumerate(np.bincount((inr - start) // gap)):
+                    agg[str(start + i * gap)] += int(c)
+        rows = [("before", agg.get("before", 0))]
+        rows += [(str(lo), agg.get(str(lo), 0)) for lo in range(start, end, gap)]
+        rows.append(("after", agg.get("after", 0)))
+        return pa.table(
+            {
+                "bucket": pa.array([r[0] for r in rows], pa.string()),
+                "count": pa.array([r[1] for r in rows], pa.int64()),
             }
         )
 

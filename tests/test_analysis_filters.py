@@ -1,0 +1,180 @@
+"""Filter-chain golden tests: PorterStemFilter, EnglishAnalyzer,
+ASCIIFolding, SynonymFilter, ShingleFilter, EdgeNGramTokenFilter.
+
+Porter expectations are from the published Porter vocabulary (the same
+word → stem pairs exercised by the reference's stemmer tests; semantics
+ported from analysis/common/.../en/PorterStemmer.java)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.analysis.porter import porter_stem
+from lucene_solr_ray.analysis.tokenizer import (
+    ArrowAnalyzer,
+    EnglishAnalyzer,
+    StandardAnalyzer,
+    analyze_batch,
+    analyze_with_positions,
+)
+
+# fmt: off
+PORTER_GOLDEN = {
+    # step1 examples (PorterStemmer.java:232-252)
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+    "cats": "cat", "feed": "feed", "agreed": "agre", "disabled": "disabl",
+    "matting": "mat", "mating": "mate", "meeting": "meet", "milling": "mill",
+    "messing": "mess", "meetings": "meet",
+    # step3 double suffices (:292-332)
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+    "conformabli": "conform", "radicalli": "radic", "differentli": "differ",
+    "vileli": "vile", "analogousli": "analog", "vietnamization": "vietnam",
+    "predication": "predic", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    "analogi": "analog",
+    # step4 (:336-354)
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good",
+    # step5 (:358-409)
+    "revival": "reviv", "allowance": "allow", "inference": "infer",
+    "airliner": "airlin", "gyroscopic": "gyroscop", "adjustable": "adjust",
+    "defensible": "defens", "irritant": "irrit", "replacement": "replac",
+    "adjustment": "adjust", "dependent": "depend", "adoption": "adopt",
+    "homologou": "homolog", "communism": "commun", "activate": "activ",
+    "angulariti": "angular", "homologous": "homolog", "effective": "effect",
+    "bowdlerize": "bowdler",
+    # step6 final -e / -ll (:413-422)
+    "probate": "probat", "rate": "rate", "cease": "ceas",
+    "controll": "control", "roll": "roll", "oscillators": "oscil",
+    # short words untouched (stem(int):479 requires k > k0+1)
+    "a": "a", "is": "is", "be": "be", "sky": "sky", "sing": "sing",
+    # y handling
+    "happy": "happi", "cry": "cry", "by": "by", "say": "sai",
+    # bug-guard words (Bug 1 / Bug 2 comments in the reference)
+    "aed": "a", "eed": "eed", "ion": "ion",
+    # code-ish tokens: digits/underscore are consonants for m()
+    "foo_bar": "foo_bar", "abc123": "abc123",
+}
+# fmt: on
+
+
+def test_porter_golden_vocabulary():
+    bad = {w: (porter_stem(w), e) for w, e in PORTER_GOLDEN.items() if porter_stem(w) != e}
+    assert not bad, bad
+
+
+def test_english_analyzer_chain_order():
+    # stop removal happens BEFORE stemming (EnglishAnalyzer.java:110-119):
+    # "this" is dropped as a stopword, never stemmed to "thi"
+    out = analyze_with_positions("This meeting was agreed", EnglishAnalyzer())
+    assert out == [("meet", 1), ("agre", 3)]
+
+
+def test_ascii_folding_matches_nfd_strip():
+    an = StandardAnalyzer(ascii_folding=True)
+    assert analyze_with_positions("café naïve Größe", an) == [
+        ("cafe", 0),
+        ("naive", 1),
+        ("große", 2),  # ö folds to o; ß is not a combining mark — NFD leaves it (DuckDB strip_accents ditto)
+    ]
+
+
+def test_ascii_folding_feeds_stopword_filter():
+    # a folded token that becomes a stopword is dropped
+    an = StandardAnalyzer(ascii_folding=True)
+    assert analyze_with_positions("thé cat", an) == [("cat", 1)]
+
+
+def test_synonym_filter_adds_overlap_token():
+    an = StandardAnalyzer(synonyms=(("quick", "fast"),))
+    out = analyze_with_positions("the quick fox", an)
+    # synonym at the same position as its anchor (posIncr 0)
+    assert out == [("quick", 1), ("fast", 1), ("fox", 2)]
+    # overlap excluded from field length (discountOverlaps)
+    st = analyze_batch(["the quick fox"], an)
+    assert st.field_lens.tolist() == [2]
+
+
+def test_shingle_filter_unigrams_and_shingles():
+    an = StandardAnalyzer(stopwords=frozenset(), shingle=(2, 3))
+    out = analyze_with_positions("please divide this sentence", an)
+    assert ("please divide", 0) in out
+    assert ("divide this", 1) in out
+    assert ("please divide this", 0) in out
+    assert ("divide this sentence", 1) in out
+    assert [t for t, _ in out if " " not in t] == ["please", "divide", "this", "sentence"]
+    st = analyze_batch(["please divide this sentence"], an)
+    assert st.field_lens.tolist() == [4]  # shingles are overlaps
+
+
+def test_shingles_do_not_cross_documents():
+    an = StandardAnalyzer(stopwords=frozenset(), shingle=(2, 2))
+    st = ArrowAnalyzer(an)(pa.array(["alpha beta", "gamma delta"], pa.string()))
+    all_terms = st.terms.to_pylist()
+    assert "beta gamma" not in all_terms
+    assert "alpha beta" in all_terms and "gamma delta" in all_terms
+
+
+def test_edge_ngram_filter():
+    an = StandardAnalyzer(stopwords=frozenset(), edge_ngrams=(3, 5))
+    out = analyze_with_positions("sparkle ab", an)
+    # grams 3..5 of "sparkle"; "ab" (len < min) vanishes
+    assert out == [("spa", 0), ("spar", 0), ("spark", 0)]
+    st = analyze_batch(["sparkle ab"], an)
+    assert st.field_lens.tolist() == [1]  # only the first gram consumes a position
+
+
+def test_structural_positions_ascending_per_pair():
+    # same shingle occurring twice: positions must come back ascending
+    an = StandardAnalyzer(stopwords=frozenset(), shingle=(2, 2))
+    st = ArrowAnalyzer(an)(pa.array(["x y z x y"], pa.string()), with_positions=True)
+    terms = st.terms.to_pylist()
+    tfs_start = np.concatenate([[0], np.cumsum(st.tfs)])
+    i = terms.index("x y")
+    ps = st.positions[tfs_start[i] : tfs_start[i + 1]].tolist()
+    assert ps == [0, 3]
+
+
+def test_shingle_edge_mutually_exclusive():
+    an = StandardAnalyzer(shingle=(2, 2), edge_ngrams=(2, 3))
+    with pytest.raises(ValueError):
+        ArrowAnalyzer(an)(pa.array(["a b"], pa.string()))
+
+
+def test_end_to_end_stemmed_index(tmp_path):
+    """Index with EnglishAnalyzer; a query analyzed with the same analyzer
+    matches morphological variants (running → run ← runs)."""
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.query import parse_query
+    from lucene_solr_ray.search.searcher import Searcher
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    tbl = pa.table(
+        {
+            "repo": ["r"] * 3,
+            "path": ["a", "b", "c"],
+            "commit": ["1", "2", "3"],
+            "lang": ["en"] * 3,
+            "content": pa.array(
+                [
+                    "the dogs were running fast",
+                    "he runs a marathon",
+                    "completely unrelated text here",
+                ],
+                pa.large_string(),
+            ),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, corpus / "part.parquet")
+    an = EnglishAnalyzer()
+    idx = tmp_path / "idx"
+    build_index(str(corpus), str(idx), docs_per_segment=10, analyzer=an)
+    s = Searcher(str(idx))
+    got = s.search({"q": parse_query("running", analyzer=an)}, k=10, use_ray=False)
+    assert sorted(got["doc_id"].to_pylist()) == [0, 1]  # both dog docs, not doc c

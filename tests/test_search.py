@@ -508,3 +508,25 @@ def test_function_score_query(built, use_ray):
         d0 = int(row.doc_id)
         exp = np.float32((bscore[d0] * np.float64(flen[d0])) * np.float64(1.0))
         assert np.float32(row.score) == exp
+
+
+def test_facet_range(built):
+    """Solr facet.range analog: before/buckets/after vs brute force."""
+    from collections import Counter
+
+    d, _, oracle, tbl = built
+    searcher = Searcher(d)
+    _, _, mega = _pick_terms(oracle)
+    ids, _ = oracle.topk(TermQuery(mega), oracle.n)
+    flens = oracle.field_len  # doc-id order
+    start, end, gap = 10, 50, 10
+    for use_ray in (False, True):
+        got = searcher.facet_range(TermQuery(mega), "field_len", start, end, gap,
+                                   use_ray=use_ray).to_pandas()
+        vals = [int(flens[i]) for i in ids]
+        exp = {"before": sum(v < start for v in vals), "after": sum(v >= end for v in vals)}
+        for lo in range(start, end, gap):
+            exp[str(lo)] = sum(lo <= v < lo + gap for v in vals)
+        assert dict(zip(got.bucket, got["count"])) == exp
+        # ordering: before, ascending bucket starts, after
+        assert got.bucket.tolist() == ["before"] + [str(x) for x in range(start, end, gap)] + ["after"]
