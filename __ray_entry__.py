@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_spellcheck": fulltext.ft_spellcheck,
         "ft_join": fulltext.ft_join,
         "ft_span_near": fulltext.ft_span_near,
+        "ft_grouped_search": fulltext.ft_grouped_search,
+        "ft_termvectors": fulltext.ft_termvectors,
         # --- text analysis ---
         "token_count": text.token_count,
         "lang_id": text.lang_id,
@@ -136,6 +138,10 @@ def oracle_sql() -> dict[str, str]:
         "ft_spellcheck": fs.sql_spellcheck(fulltext.SPELL_INPUTS),
         "ft_join": fs.sql_join(fulltext.JOIN_SPECS),
         "ft_span_near": fs.sql_span_near(fulltext.SPAN_SPECS),
+        "ft_grouped_search": fs.sql_grouped_search(
+            fulltext.FACET_TERM, fulltext.GROUPED_N, fulltext.GROUPED_K
+        ),
+        "ft_termvectors": fs.sql_termvectors(fulltext.TV_DOC_IDS),
         "ft_phrase": fs.sql_phrase_union(fulltext.PHRASE_SPECS),
         "ft_phrase_sloppy": fs.sql_phrase_sloppy_union(fulltext.SLOPPY_SPECS),
         "ft_prefix": fs.sql_prefix_union(fulltext.PREFIX_SPECS),

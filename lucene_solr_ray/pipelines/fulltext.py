@@ -914,3 +914,25 @@ def ft_facet_range(sf_dir: str) -> pa.Table:
     s = get_searcher(sf_dir)
     start, end, gap = FACET_RANGE
     return s.facet_range(TermQuery(FACET_TERM), "field_len", start, end, gap)
+
+
+#: grouped search spec: top groups by best BM25 score for FACET_TERM
+GROUPED_N, GROUPED_K = 5, 3
+
+#: term-vector doc ids (stored-content re-analysis, Fields/Terms surface)
+TV_DOC_IDS = [3, 17, 42, 99]
+
+
+def ft_grouped_search(sf_dir: str) -> pa.Table:
+    """Two-pass grouped top-k (grouping module FirstPass/TopGroups analog):
+    top GROUPED_N repo groups by best score, GROUPED_K docs each."""
+    s = get_searcher(sf_dir)
+    return s.search_grouped(
+        TermQuery(FACET_TERM), "repo", n_groups=GROUPED_N, docs_per_group=GROUPED_K
+    )
+
+
+def ft_termvectors(sf_dir: str) -> pa.Table:
+    """Per-doc term vectors from stored content → (doc_id, term, tf)."""
+    s = get_searcher(sf_dir)
+    return s.term_vectors(TV_DOC_IDS)

@@ -274,6 +274,38 @@ SELECT bucket, CAST(count AS BIGINT) AS count FROM buckets ORDER BY ord
 """
 
 
+def sql_grouped_search(term: str, n_groups: int, docs_per_group: int) -> str:
+    """Grouped top-k oracle: top groups by best float64 BM25 score for
+    ``term`` (tie: value asc), docs within a group by (score desc, did asc).
+    → (group, group_rank, rank, doc_id, score)."""
+    return prelude() + "," + _score_cte([term]) + f""",
+g AS (SELECT c.source AS grp, a.did, a.score FROM agg a JOIN corpus c USING (did)),
+best AS (SELECT grp, max(score) AS best FROM g GROUP BY grp),
+sel AS (
+  SELECT grp, row_number() OVER (ORDER BY best DESC, grp ASC) - 1 AS group_rank
+  FROM best ORDER BY best DESC, grp ASC LIMIT {n_groups}
+),
+ranked AS (
+  SELECT g.grp, s.group_rank,
+         row_number() OVER (PARTITION BY g.grp ORDER BY g.score DESC, g.did ASC) - 1 AS rank,
+         g.did, g.score
+  FROM g JOIN sel s ON g.grp = s.grp
+)
+SELECT grp AS "group", CAST(group_rank AS BIGINT) AS group_rank,
+       CAST(rank AS BIGINT) AS rank, CAST(did AS BIGINT) AS doc_id, score
+FROM ranked WHERE rank < {docs_per_group} ORDER BY group_rank, rank
+"""
+
+
+def sql_termvectors(doc_ids: list[int]) -> str:
+    """Term-vector oracle: per-doc (term, tf) for the fixed doc ids."""
+    dl = ", ".join(str(d) for d in sorted(doc_ids))
+    return prelude() + f"""
+SELECT CAST(did AS BIGINT) AS doc_id, tok AS term, CAST(tf AS BIGINT) AS tf
+FROM tf WHERE did IN ({dl}) ORDER BY did, tok
+"""
+
+
 def sql_facet_hierarchy(term: str, f1: str = "source", f2: str = "lang") -> str:
     """Taxonomy facet oracle: counts at both levels of the ``f1/f2`` dimension
     path over docs matching ``term``; level-1 = roll-up of children.

@@ -194,14 +194,65 @@ class MatchFieldGroup:
             self.sim, LazyPostingsDict(lazy), self.weights, self.cache, norms,
             lazy=lazy, doc_values=doc_values,
         )
-        ids, _ = scorer.score_query(self.query)
+        ids, scores = scorer.score_query(self.query)
         del_path = os.path.join(seg_d, "deletes.parquet")
         if os.path.exists(del_path) and len(ids):
             deleted = pq.read_table(del_path)["local_id"].to_numpy()
             if len(deleted):
                 live = np.ones(len(norms), dtype=bool)
                 live[deleted] = False
-                ids = ids[live[ids]]
+                keep_live = live[ids]
+                ids = ids[keep_live]
+                scores = scores[keep_live]
+        if self.mode == "group1":
+            # grouping first pass (FirstPassGroupingCollector analog,
+            # lucene/grouping/.../FirstPassGroupingCollector.java): per-segment
+            # (group value, best score) partials; the driver merges and keeps
+            # the top N groups by (best score desc, value asc)
+            col = pq.read_table(os.path.join(seg_d, "docs.parquet"), columns=[self.field])[
+                self.field
+            ].to_numpy(zero_copy_only=False)
+            vals = col[ids].astype(str)
+            order = np.lexsort((-scores.astype(np.float64), vals))
+            sv = vals[order]
+            first = np.concatenate([[True], sv[1:] != sv[:-1]]) if len(sv) else np.empty(0, bool)
+            return pa.table(
+                {
+                    "value": pa.array(sv[first], pa.string()),
+                    "best": pa.array(scores.astype(np.float64)[order][first], pa.float64()),
+                }
+            )
+        if self.mode == "group2":
+            # grouping second pass (TopGroups/GroupReducer analog): for the
+            # selected groups only, per-segment top-k docs per group
+            sel_values, k_per = self.params
+            col = pq.read_table(os.path.join(seg_d, "docs.parquet"), columns=[self.field])[
+                self.field
+            ].to_numpy(zero_copy_only=False)
+            vals = col[ids].astype(str)
+            mask = np.isin(vals, np.asarray(sel_values, dtype=vals.dtype))
+            gids = ids[mask] + self.doc_bases[seg]
+            gsc = scores[mask].astype(np.float64)
+            gv = vals[mask]
+            out_v, out_d, out_s = [], [], []
+            for v in np.unique(gv):
+                m2 = gv == v
+                d2, s2 = gids[m2], gsc[m2]
+                order = np.lexsort((d2, -s2))[:k_per]
+                out_v.extend([v] * len(order))
+                out_d.append(d2[order])
+                out_s.append(s2[order])
+            return pa.table(
+                {
+                    "value": pa.array(out_v, pa.string()),
+                    "doc_id": pa.array(
+                        np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+                    ),
+                    "score": pa.array(
+                        np.concatenate(out_s) if out_s else np.empty(0, np.float64), pa.float64()
+                    ),
+                }
+            )
         if self.mode == "ids":
             return pa.table(
                 {
@@ -783,6 +834,122 @@ class Searcher:
             {
                 "bucket": pa.array([r[0] for r in rows], pa.string()),
                 "count": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+
+    def search_grouped(self, query: Query, group_field: str, n_groups: int = 10,
+                       docs_per_group: int = 3, use_ray: bool = True) -> pa.Table:
+        """Grouped top-k — the grouping module's two-pass collectors
+        (``lucene/grouping/src/java/org/apache/lucene/search/grouping/
+        FirstPassGroupingCollector.java`` selects the top N groups by best
+        score; the second pass collects top docs per selected group). Both
+        passes run scattered per segment; only (value, best) and per-group
+        top-k partials reach the driver. Groups ordered by (best score desc,
+        value asc); docs within a group by (score desc, doc_id asc).
+        → (group, group_rank, rank, doc_id, score)."""
+        if use_ray:
+            scattered = self._scatter_match(query, "group1", field=group_field)
+        else:
+            scattered = None
+        if scattered is None:
+            # non-routable query (MatchAll) or local mode: brute force via a
+            # full search, grouped on the driver
+            full = self.search({"q": query}, k=self.reader.stats.doc_count,
+                               use_ray=False).to_pandas()
+            import pyarrow.parquet as pq_mod
+
+            import pyarrow.dataset as pads
+
+            docs = pads.dataset(self.reader.docs_files()).to_table(
+                columns=["doc_id", group_field]
+            )
+            fmap = dict(zip(docs["doc_id"].to_pylist(),
+                            (str(v) for v in docs[group_field].to_pylist())))
+            full["value"] = [fmap[d] for d in full["doc_id"]]
+            best = (
+                full.groupby("value")["score"].max().reset_index()
+                .sort_values(["score", "value"], ascending=[False, True])
+                .head(n_groups)
+            )
+            sel = best["value"].tolist()
+            rows = []
+            for gr, v in enumerate(sel):
+                sub = full[full["value"] == v].sort_values(["score", "doc_id"],
+                                                           ascending=[False, True])
+                for r, (_, row) in enumerate(sub.head(docs_per_group).iterrows()):
+                    rows.append((v, gr, r, int(row["doc_id"]), float(row["score"])))
+            return pa.table(
+                {
+                    "group": pa.array([r[0] for r in rows], pa.string()),
+                    "group_rank": pa.array([r[1] for r in rows], pa.int64()),
+                    "rank": pa.array([r[2] for r in rows], pa.int64()),
+                    "doc_id": pa.array([r[3] for r in rows], pa.int64()),
+                    "score": pa.array([r[4] for r in rows], pa.float64()),
+                }
+            )
+        best: dict[str, float] = {}
+        for b in scattered.iter_batches(batch_format="pyarrow"):
+            for v, s in zip(b["value"].to_pylist(), b["best"].to_pylist()):
+                if v not in best or s > best[v]:
+                    best[v] = s
+        sel = [v for v, _ in sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:n_groups]]
+        if not sel:
+            return pa.table(
+                {
+                    "group": pa.array([], pa.string()),
+                    "group_rank": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        scattered2 = self._scatter_match(query, "group2", field=group_field,
+                                         params=(tuple(sel), docs_per_group))
+        cand: dict[str, list[tuple[float, int]]] = {v: [] for v in sel}
+        for b in scattered2.iter_batches(batch_format="pyarrow"):
+            for v, d, s in zip(b["value"].to_pylist(), b["doc_id"].to_pylist(),
+                               b["score"].to_pylist()):
+                cand[v].append((s, d))
+        rows = []
+        for gr, v in enumerate(sel):
+            top = sorted(cand[v], key=lambda t: (-t[0], t[1]))[:docs_per_group]
+            for r, (s, d) in enumerate(top):
+                rows.append((v, gr, r, d, s))
+        return pa.table(
+            {
+                "group": pa.array([r[0] for r in rows], pa.string()),
+                "group_rank": pa.array([r[1] for r in rows], pa.int64()),
+                "rank": pa.array([r[2] for r in rows], pa.int64()),
+                "doc_id": pa.array([r[3] for r in rows], pa.int64()),
+                "score": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+
+    def term_vectors(self, doc_ids: list[int]) -> pa.Table:
+        """Per-document term vectors — the reader-side ``Fields``/``Terms``
+        surface (``index/TermVectors``; MoreLikeThis and the
+        UnifiedHighlighter consume it). Our index re-analyzes stored content
+        (store_content=True) exactly like the uhighlight ANALYSIS offset
+        source, instead of persisting a second per-doc postings copy.
+        → (doc_id, term, tf) sorted by (doc_id, term)."""
+        from collections import Counter
+
+        from ..analysis.tokenizer import analyze_with_positions
+
+        fetched = self.reader.fetch_docs(sorted(doc_ids), columns=["doc_id", "content"])
+        out_d, out_t, out_f = [], [], []
+        contents = dict(zip(fetched["doc_id"].to_pylist(), fetched["content"].to_pylist()))
+        for d in sorted(doc_ids):
+            counts = Counter(t for t, _ in analyze_with_positions(contents[d] or ""))
+            for t in sorted(counts):
+                out_d.append(d)
+                out_t.append(t)
+                out_f.append(counts[t])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "term": pa.array(out_t, pa.string()),
+                "tf": pa.array(out_f, pa.int64()),
             }
         )
 

@@ -530,3 +530,22 @@ def test_facet_range(built):
         assert dict(zip(got.bucket, got["count"])) == exp
         # ordering: before, ascending bucket starts, after
         assert got.bucket.tolist() == ["before"] + [str(x) for x in range(start, end, gap)] + ["after"]
+
+
+def test_search_grouped_two_pass_vs_brute(built):
+    """Grouped top-k: the scattered two-pass path must equal the brute-force
+    driver grouping (and both must respect group/doc ordering rules)."""
+    d, _, oracle, tbl = built
+    searcher = Searcher(d)
+    _, _, mega = _pick_terms(oracle)
+    q = TermQuery(mega)
+    brute = searcher.search_grouped(q, "repo", n_groups=4, docs_per_group=2,
+                                    use_ray=False).to_pandas()
+    dist = searcher.search_grouped(q, "repo", n_groups=4, docs_per_group=2,
+                                   use_ray=True).to_pandas()
+    assert brute[["group", "group_rank", "rank", "doc_id"]].values.tolist() == \
+        dist[["group", "group_rank", "rank", "doc_id"]].values.tolist()
+    np.testing.assert_allclose(brute.score.to_numpy(), dist.score.to_numpy(), rtol=1e-6)
+    # group ordering: best scores non-increasing
+    firsts = dist[dist["rank"] == 0].sort_values("group_rank")
+    assert (np.diff(firsts.score.to_numpy()) <= 1e-12).all()
