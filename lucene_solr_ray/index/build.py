@@ -85,6 +85,7 @@ def build_index(
     positions: bool = True,
     keyword_fields: tuple[str, ...] = DEFAULT_KEYWORD_FIELDS,
     store_content: bool = False,
+    sort_fields: tuple[str, ...] = (),
 ) -> BuildResult:
     """Build (or resume) the inverted index for a 5-column corpus.
 
@@ -111,7 +112,7 @@ def build_index(
     if resume and os.path.exists(plan_path):
         plan = BuildPlan.load(plan_path)
     else:
-        plan = compute_plan(corpus, docs_per_segment)
+        plan = compute_plan(corpus, docs_per_segment, sort_fields=sort_fields)
         plan.save(plan_path)
     _dbg(f"plan ready: {plan.n_segments} segments, {plan.total_rows} rows")
 
@@ -239,6 +240,7 @@ def build_index(
         },
         "positions": positions,
         "keyword_fields": list(keyword_fields),
+        "sort_fields": plan.key_cols,
         "stats": stats.to_dict(),
         "field_stats": field_stats,
         "segments": [

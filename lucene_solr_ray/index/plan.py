@@ -35,14 +35,18 @@ KEY_COLS = ["repo", "path", "commit"]
 SEP = "\x00"  # sorts below any key byte → concat order == tuple order
 
 
-def sort_keys(batch: pa.Table) -> np.ndarray:
-    """Concatenated sort key; ordering identical to tuple (repo, path, commit)."""
+def sort_keys(batch: pa.Table, cols: list[str] | None = None) -> np.ndarray:
+    """Concatenated sort key; ordering identical to the column tuple.
+
+    ``cols`` defaults to KEY_COLS; an index-sort build
+    (``IndexWriterConfig.setIndexSort`` analog) prepends its sort fields, so
+    the key stays unique (the KEY_COLS suffix is a total tiebreak) and doc
+    ids come out in index-sort order."""
     import pyarrow.compute as pc
 
+    cols = cols or KEY_COLS
     joined = pc.binary_join_element_wise(
-        batch["repo"].cast(pa.string()),
-        batch["path"].cast(pa.string()),
-        batch["commit"].cast(pa.string()),
+        *[batch[c].cast(pa.string()) for c in cols],
         SEP,
     )
     return np.asarray(joined.to_pylist(), dtype=object)
@@ -66,6 +70,12 @@ class BuildPlan:
     bases: list[int]  # len == n_segments, doc_base per segment (dense prefix sum)
     counts: list[int]  # rows per segment
     total_rows: int
+    #: columns forming the sort key (index-sort fields + KEY_COLS tiebreak)
+    key_cols: list[str] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.key_cols is None:
+            self.key_cols = list(KEY_COLS)
 
     @property
     def n_segments(self) -> int:
@@ -83,6 +93,7 @@ class BuildPlan:
                     "bases": self.bases,
                     "counts": self.counts,
                     "total_rows": self.total_rows,
+                    "key_cols": self.key_cols,
                 },
                 f,
             )
@@ -92,10 +103,12 @@ class BuildPlan:
     def load(cls, path: str) -> "BuildPlan":
         with open(path) as f:
             d = json.load(f)
-        return cls(d["boundaries"], d["bases"], d["counts"], d["total_rows"])
+        return cls(d["boundaries"], d["bases"], d["counts"], d["total_rows"],
+                   d.get("key_cols") or list(KEY_COLS))
 
 
-def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_000) -> BuildPlan:
+def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_000,
+                 sort_fields: tuple[str, ...] = ()) -> BuildPlan:
     """Derive segment boundaries + exact per-segment counts.
 
     Small corpora (≤ ``small_threshold`` rows): collect keys driver-side and
@@ -106,16 +119,17 @@ def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_00
     # count on the raw dataset: metadata-only for parquet reads (a count on
     # the projected dataset would execute a full scan)
     total = corpus_ds.count()
-    keys_ds = corpus_ds.select_columns(KEY_COLS)
+    key_cols = [c for c in sort_fields if c not in KEY_COLS] + KEY_COLS
+    keys_ds = corpus_ds.select_columns(key_cols)
     n_segments = max(1, -(-total // docs_per_segment))
 
     if total <= small_threshold:
         tbl = (
             pa.concat_tables(list(keys_ds.iter_batches(batch_format="pyarrow")))
             if total
-            else pa.table({c: pa.array([], pa.string()) for c in KEY_COLS})
+            else pa.table({c: pa.array([], pa.string()) for c in key_cols})
         )
-        keys = np.sort(sort_keys(tbl)) if total else np.empty(0, dtype=object)
+        keys = np.sort(sort_keys(tbl, key_cols)) if total else np.empty(0, dtype=object)
         cuts = [int(round(i * total / n_segments)) for i in range(1, n_segments)]
         boundaries = [str(keys[c - 1]) + SEP for c in cuts]  # key+SEP: upper-inclusive of keys[c-1]
         # duplicate keys straddling a cut all sort into the lower range, so
@@ -126,14 +140,14 @@ def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_00
         rid = np.searchsorted(barr, keys, side="right")
         counts = np.bincount(rid, minlength=len(boundaries) + 1).tolist()
         bases = (np.cumsum([0] + counts[:-1])).tolist()
-        return BuildPlan(boundaries, bases, counts, total)
+        return BuildPlan(boundaries, bases, counts, total, key_cols)
 
     # --- large path: deterministic hash sample → boundaries ---
     target_sample = max(20_000, n_segments * 64)
     mod = max(1, total // target_sample)
 
     def sample_batch(batch: pa.Table) -> pa.Table:
-        ks = sort_keys(batch)
+        ks = sort_keys(batch, key_cols)
         sel = _stable_hash_mask(ks, mod)
         return pa.table({"k": pa.array(ks[sel].tolist(), pa.string())})
 
@@ -145,7 +159,8 @@ def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_00
     sample = np.sort(np.asarray(sample, dtype=object))
     if len(sample) < n_segments:
         # degenerate sample; fall back to collecting all keys
-        return compute_plan(corpus_ds, docs_per_segment, small_threshold=total)
+        return compute_plan(corpus_ds, docs_per_segment, small_threshold=total,
+                            sort_fields=sort_fields)
     qpos = [int(round(i * len(sample) / n_segments)) for i in range(1, n_segments)]
     boundaries = [str(sample[q]) for q in qpos]
     # dedupe equal boundaries (possible under heavy key skew)
@@ -156,7 +171,7 @@ def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_00
     barr = np.asarray(boundaries, dtype=object)
 
     def count_batch(batch: pa.Table) -> pa.Table:
-        ks = sort_keys(batch)
+        ks = sort_keys(batch, key_cols)
         rid = np.searchsorted(barr, ks, side="right")
         cnt = np.bincount(rid, minlength=n_segments)
         nz = np.flatnonzero(cnt)
@@ -166,4 +181,4 @@ def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_00
     for b in keys_ds.map_batches(count_batch, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
         counts[b["rid"].to_numpy()] += b["cnt"].to_numpy()
     bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    return BuildPlan(list(boundaries), bases.tolist(), counts.tolist(), total)
+    return BuildPlan(list(boundaries), bases.tolist(), counts.tolist(), total, key_cols)

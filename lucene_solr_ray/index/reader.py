@@ -66,8 +66,15 @@ class IndexReader:
             sum_df=s["sum_df"],
             num_terms=s["num_terms"],
         )
-        self.segments = self.manifest["segments"]
+        # doc_base order: segment iteration == global doc-id order (required
+        # by the index-sort early-termination path, and harmless elsewhere)
+        self.segments = sorted(self.manifest["segments"], key=lambda s: s["doc_base"])
         self._seg_by_id = {s["seg"]: s for s in self.segments}
+        #: index-sort key (IndexWriterConfig.setIndexSort analog): doc ids are
+        #: dense ranks over these columns, so doc_id order == this sort order
+        self.sort_fields: list[str] = self.manifest.get("sort_fields") or [
+            "repo", "path", "commit"
+        ]
         #: per-field CollectionStatistics (FieldInfos analog); content-only
         #: indexes built before multi-field fall back to the global stats
         self.field_stats: dict[str, dict] = self.manifest.get(

@@ -112,7 +112,7 @@ class AnalyzeInvert:
         self.store_content = store_content  # storedFields analog (highlighting)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = sort_keys(batch)
+        keys = sort_keys(batch, self.plan.key_cols)
         rid = np.searchsorted(self.boundaries, keys, side="right").astype(np.int32)
         if self.done:
             keep = ~np.isin(rid, list(self.done))
@@ -272,12 +272,8 @@ class SegmentWriter:
 
         order = pc.sort_indices(
             group,
-            sort_keys=[
-                ("repo", "ascending"),
-                ("path", "ascending"),
-                ("commit", "ascending"),
-                ("content_sha256", "ascending"),
-            ],
+            sort_keys=[(c, "ascending") for c in self.plan.key_cols]
+            + [("content_sha256", "ascending")],
         )
         group = group.take(order)
         doc_ids = doc_base + np.arange(n, dtype=np.int64)

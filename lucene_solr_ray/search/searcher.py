@@ -616,6 +616,36 @@ class Searcher:
         each; the driver merges the tiny partials."""
         import pyarrow.parquet as pq_mod
 
+        if not descending and field == self.reader.sort_fields[0]:
+            # index-sort early termination (EarlyTerminatingSortingCollector /
+            # TopFieldCollector with an index sort, search/
+            # EarlyTerminatingSortingCollector.java): doc_id order IS the
+            # requested sort order (doc ids are dense ranks over sort_fields,
+            # and segments partition the key space in order), so the first k
+            # matches in doc order are the answer — later segments are never
+            # scanned. `last_sorted_segments_scanned` records the cutoff.
+            out_ids: list[int] = []
+            scanned = 0
+            for seg, base, ids in self._matches_per_segment(query):
+                scanned += 1
+                if len(ids):
+                    out_ids.extend((ids + base)[: k - len(out_ids)].tolist())
+                if len(out_ids) >= k:
+                    break
+            self.last_sorted_segments_scanned = scanned
+            if not out_ids:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()), field: pa.array([], pa.string())}
+                )
+            fetched = self.reader.fetch_docs(out_ids, columns=["doc_id", field])
+            fmap = dict(zip(fetched["doc_id"].to_pylist(), fetched[field].to_pylist()))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_ids, pa.int64()),
+                    field: pa.array([fmap[d] for d in out_ids]),
+                }
+            )
+
         vals_parts, ids_parts = [], []
         scattered = (
             self._scatter_match(query, "sort", field=field, k=k, descending=descending)

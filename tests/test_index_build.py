@@ -206,3 +206,47 @@ def test_checkindex_verifies_stored_content(ray_session, tmp_path):
 
     with _pytest.raises(CheckIndexError, match="stored content"):
         check_index(d)
+
+
+def test_index_sort_early_termination(ray_session, tmp_path):
+    """IndexWriterConfig.setIndexSort analog: a build with sort_fields=("lang",)
+    assigns doc ids in (lang, repo, path, commit) order, so an ascending
+    sort-by-lang query early-terminates (EarlyTerminatingSortingCollector,
+    ref lucene/core/src/java/org/apache/lucene/search/
+    EarlyTerminatingSortingCollector.java) after the first segments, and the
+    result is identical to the exhaustive sorted-search path on an unsorted
+    index."""
+    import ray.data
+
+    from lucene_solr_ray.corpus import generate_corpus
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search import Searcher
+    from lucene_solr_ray.search.query import MatchAllQuery
+
+    tbl = generate_corpus(300)
+    d_sorted = str(tmp_path / "idx_sorted")
+    d_plain = str(tmp_path / "idx_plain")
+    build_index(ray.data.from_arrow(tbl), d_sorted, docs_per_segment=50,
+                sort_fields=("lang",))
+    build_index(ray.data.from_arrow(tbl), d_plain, docs_per_segment=50)
+
+    s_sorted = Searcher(d_sorted)
+    s_plain = Searcher(d_plain)
+    assert s_sorted.reader.sort_fields[0] == "lang"
+
+    q = MatchAllQuery()
+    res = s_sorted.search_by_field(q, k=7, field="lang")
+    # early termination actually kicked in: not every segment scanned
+    assert s_sorted.last_sorted_segments_scanned < len(s_sorted.reader.segments)
+    res_plain = s_plain.search_by_field(q, k=7, field="lang", use_ray=False)
+    assert res["lang"].to_pylist() == res_plain["lang"].to_pylist()
+    # values are the globally-smallest langs
+    langs = sorted(tbl["lang"].to_pylist())
+    assert res["lang"].to_pylist() == langs[:7]
+
+    # descending / non-sort-field queries fall through to the exhaustive
+    # path and stay correct on the sorted index
+    res_d = s_sorted.search_by_field(q, k=7, field="lang", descending=True, use_ray=False)
+    assert res_d["lang"].to_pylist() == sorted(tbl["lang"].to_pylist(), reverse=True)[:7]
+    res_p = s_sorted.search_by_field(q, k=7, field="path", use_ray=False)
+    assert res_p["path"].to_pylist() == sorted(tbl["path"].to_pylist())[:7]
