@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_facet_sampled": fulltext.ft_facet_sampled,
         "ft_facet_range": fulltext.ft_facet_range,
         "ft_sorted_by_path": fulltext.ft_sorted_by_path,
+        "ft_index_sorted": fulltext.ft_index_sorted,
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
         "ft_numeric_range": fulltext.ft_numeric_range,
@@ -150,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_facet_sampled": fs.sql_facet_sampled(fulltext.FACET_TERM, "source", 40),
         "ft_facet_range": fs.sql_facet_range(fulltext.FACET_TERM, *fulltext.FACET_RANGE),
         "ft_sorted_by_path": fs.sql_sorted_by_field(fulltext.SORT_TERM, "path", 10),
+        "ft_index_sorted": fs.sql_index_sorted(fulltext.SORT_TERM, 10),
         "token_count": text.SQL_TOKEN_COUNT,
         "lang_id": text.SQL_LANG_ID,
         "quality": text.SQL_QUALITY,

@@ -477,6 +477,35 @@ def ft_sorted_by_path(sf_dir: str) -> pa.Table:
     )
 
 
+def get_sorted_searcher(sf_dir: str, dtype=np.float64) -> Searcher:
+    """Build (or reuse) a lang-index-sorted index for sf_dir
+    (``IndexWriterConfig.setIndexSort`` analog — doc ids are dense ranks
+    over (lang, repo, path, commit))."""
+    key = f"{sf_dir}|langsort|{np.dtype(dtype).name}"
+    s = _SEARCHERS.get(key)
+    if s is not None:
+        return s
+    idx = _index_dir_for(sf_dir) + "_langsort"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        corpus = documents_as_corpus(sf_dir)
+        build_index(corpus, idx, docs_per_segment=100, sort_fields=("lang",))
+    s = Searcher(idx, dtype=dtype)
+    _SEARCHERS[key] = s
+    return s
+
+
+def ft_index_sorted(sf_dir: str) -> pa.Table:
+    """Top-10 docs matching SORT_TERM ordered by lang on the lang-sorted
+    index — the early-terminating sorted-search path
+    (EarlyTerminatingSortingCollector analog): only a prefix of segments is
+    scanned because doc-id order IS lang order."""
+    s = get_sorted_searcher(sf_dir)
+    res = s.search_by_field(TermQuery(SORT_TERM), k=10, field="lang")
+    return pa.table(
+        {"doc_id": res["doc_id"], "lang": res["lang"].cast(pa.string())}
+    )
+
+
 def ft_wand_topk(sf_dir: str) -> pa.Table:
     """Same disjunctions via the block-max WAND path — rank-identical to the
     exhaustive scorer, so its SQL oracle is ft_topk_bool's 'or' subset

@@ -351,6 +351,32 @@ ORDER BY c.{field} {direction}, m.did ASC LIMIT {k}
 """
 
 
+def sql_index_sorted(term: str, k: int = 10) -> str:
+    """Oracle for the lang-index-sorted build (``setIndexSort`` analog):
+    doc ids are dense ranks over (lang, repo, path, commit), so the
+    early-terminating sorted search's answer is the first k matches in
+    doc-id order → (doc_id, lang)."""
+    return f"""
+WITH corpus AS (
+  SELECT row_number() OVER (
+           ORDER BY lang, source, 'doc/' || doc_id, printf('%040x', doc_id)
+         ) - 1 AS did,
+         lang, text
+  FROM documents
+),
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+m AS (
+  SELECT DISTINCT did FROM toks
+  WHERE tok = '{term}' AND length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL})
+)
+SELECT CAST(m.did AS BIGINT) AS doc_id, c.lang AS lang
+FROM m JOIN corpus c USING (did)
+ORDER BY c.lang ASC, m.did ASC LIMIT {k}
+"""
+
+
 def _kw_score_sql(col: str, value: str) -> str:
     """BM25 score of one keyword-field term (StringField: tf=1, omitNorms →
     norm=k1, BM25Similarity.java:263), engine float64 op order."""
