@@ -50,6 +50,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_facet_range": fulltext.ft_facet_range,
         "ft_sorted_by_path": fulltext.ft_sorted_by_path,
         "ft_index_sorted": fulltext.ft_index_sorted,
+        "ft_rescore": fulltext.ft_rescore,
+        "ft_field_stats": fulltext.ft_field_stats,
+        "ft_drill_sideways": fulltext.ft_drill_sideways,
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
         "ft_numeric_range": fulltext.ft_numeric_range,
@@ -152,6 +155,13 @@ def oracle_sql() -> dict[str, str]:
         "ft_facet_range": fs.sql_facet_range(fulltext.FACET_TERM, *fulltext.FACET_RANGE),
         "ft_sorted_by_path": fs.sql_sorted_by_field(fulltext.SORT_TERM, "path", 10),
         "ft_index_sorted": fs.sql_index_sorted(fulltext.SORT_TERM, 10),
+        "ft_rescore": fs.sql_rescore(fulltext.RESCORE_FIRST, fulltext.RESCORE_SECOND,
+                                     fulltext.RESCORE_FIRST_K, fulltext.TOPK_K,
+                                     fulltext.RESCORE_WEIGHT),
+        "ft_field_stats": fs.sql_field_stats(fulltext.STATS_TERM),
+        "ft_drill_sideways": fs.sql_drill_sideways(
+            fulltext.FACET_TERM, fulltext.DRILL_DIMS["repo"], fulltext.DRILL_DIMS["lang"]
+        ),
         "token_count": text.SQL_TOKEN_COUNT,
         "lang_id": text.SQL_LANG_ID,
         "quality": text.SQL_QUALITY,

@@ -477,6 +477,43 @@ def ft_sorted_by_path(sf_dir: str) -> pa.Table:
     )
 
 
+DRILL_DIMS = {"repo": "src3", "lang": "en"}
+
+
+def ft_drill_sideways(sf_dir: str) -> pa.Table:
+    """DrillSideways facets: base query FACET_TERM drilled down to
+    repo=src3 ∧ lang=en; each dim's counts computed with its own filter
+    removed (the other dim's filter + base applied)."""
+    s = get_searcher(sf_dir)
+    return s.drill_sideways(TermQuery(FACET_TERM), DRILL_DIMS)
+
+
+STATS_TERM = "merge"
+
+
+def ft_field_stats(sf_dir: str) -> pa.Table:
+    """Numeric stats (Solr StatsComponent analog) of ``field_len`` over the
+    docs matching STATS_TERM → one row (count, min, max, sum, mean, stddev)."""
+    s = get_searcher(sf_dir)
+    return s.field_stats(TermQuery(STATS_TERM), field="field_len")
+
+
+RESCORE_FIRST = "merge"
+RESCORE_SECOND = "window"
+RESCORE_FIRST_K = 50
+RESCORE_WEIGHT = 2.0
+
+
+def ft_rescore(sf_dir: str) -> pa.Table:
+    """Two-pass re-ranking (QueryRescorer analog): BM25 top-50 for
+    RESCORE_FIRST, rescored by RESCORE_SECOND with weight 2.0, top-10."""
+    s = get_searcher(sf_dir)
+    return s.rescore(
+        TermQuery(RESCORE_FIRST), TermQuery(RESCORE_SECOND),
+        first_k=RESCORE_FIRST_K, k=TOPK_K, weight=RESCORE_WEIGHT,
+    )
+
+
 def get_sorted_searcher(sf_dir: str, dtype=np.float64) -> Searcher:
     """Build (or reuse) a lang-index-sorted index for sf_dir
     (``IndexWriterConfig.setIndexSort`` analog — doc ids are dense ranks

@@ -351,6 +351,79 @@ ORDER BY c.{field} {direction}, m.did ASC LIMIT {k}
 """
 
 
+def _term_score_cte(name: str, term: str) -> str:
+    """CTE ``name`` = (did, score) BM25 float64 scores of one term (engine op
+    order; same expression as ``_score_cte``)."""
+    return f"""
+{name} AS (
+  SELECT k.did,
+         ((i.idf * {1.0!r}) * {K1 + 1!r}) * k.tf
+           / (k.tf + {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen) / (SELECT avgdl FROM avg_dl))) AS score
+  FROM tf k JOIN quant q USING (did) JOIN idf i ON k.tok = i.tok
+  WHERE k.tok = '{term}'
+)"""
+
+
+def sql_drill_sideways(term: str, repo_val: str, lang_val: str) -> str:
+    """DrillSideways oracle over dims repo (=source) and lang: each dim's
+    counts with its own filter removed, the other dim's filter + the base
+    term query applied → (dim, value, count)."""
+    return prelude() + f""",
+m AS (SELECT DISTINCT did FROM tf WHERE tok = '{term}')
+SELECT 'lang' AS dim, c.lang AS value, CAST(count(*) AS BIGINT) AS count
+FROM m JOIN corpus c USING (did) WHERE c.source = '{repo_val}'
+GROUP BY c.lang
+UNION ALL
+SELECT 'repo' AS dim, c.source AS value, CAST(count(*) AS BIGINT) AS count
+FROM m JOIN corpus c USING (did) WHERE c.lang = '{lang_val}'
+GROUP BY c.source
+"""
+
+
+def sql_field_stats(term: str) -> str:
+    """StatsComponent oracle: exact integer moments of field_len over the
+    docs matching ``term``; mean/stddev computed from the integer moments in
+    float64 with the engine's op order (Solr StatsValuesFactory stddev:
+    sqrt((count*sumsq - sum^2)/(count*(count-1)))."""
+    return prelude() + f""",
+m AS (SELECT DISTINCT did FROM tf WHERE tok = '{term}'),
+v AS (SELECT q.flen FROM m JOIN quant q USING (did)),
+mo AS (
+  SELECT count(*) AS n, CAST(coalesce(sum(flen), 0) AS BIGINT) AS s,
+         CAST(coalesce(sum(flen * flen), 0) AS BIGINT) AS sq,
+         min(flen) AS mn, max(flen) AS mx
+  FROM v
+)
+SELECT CAST(n AS BIGINT) AS count, CAST(mn AS BIGINT) AS min,
+       CAST(mx AS BIGINT) AS max, s AS sum,
+       CASE WHEN n = 0 THEN NULL ELSE CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END AS mean,
+       CASE WHEN n = 0 THEN NULL
+            WHEN n = 1 THEN 0.0
+            ELSE sqrt((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+       END AS stddev
+FROM mo
+"""
+
+
+def sql_rescore(first_term: str, second_term: str, first_k: int, k: int,
+                weight: float) -> str:
+    """QueryRescorer oracle: top-``first_k`` hits of ``first_term``, combined
+    score = first + weight*second (0 when the hit doesn't match the second
+    term), re-sorted (score desc, did asc), top ``k``."""
+    return prelude() + "," + _term_score_cte("s1", first_term) + "," \
+        + _term_score_cte("s2", second_term) + f""",
+first_pass AS (SELECT did, score FROM s1 ORDER BY score DESC, did ASC LIMIT {first_k}),
+comb AS (
+  SELECT f.did, f.score + {weight!r} * coalesce(s2.score, 0.0) AS score
+  FROM first_pass f LEFT JOIN s2 USING (did)
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM comb ORDER BY score DESC, did ASC LIMIT {k}
+"""
+
+
 def sql_index_sorted(term: str, k: int = 10) -> str:
     """Oracle for the lang-index-sorted build (``setIndexSort`` analog):
     doc ids are dense ranks over (lang, repo, path, commit), so the

@@ -260,6 +260,24 @@ class MatchFieldGroup:
                     "local_id": pa.array(ids, pa.int64()),
                 }
             )
+        if self.mode == "stats":
+            # StatsComponent partials (solr/core/.../component/StatsValuesFactory.java
+            # NumericStatsValues.accumulate): per-segment exact integer moments
+            # (n, sum, sumsq) + min/max over the matching docs' doc values;
+            # the driver combines (same merge as Solr's distributed stats)
+            vals = pq.read_table(
+                os.path.join(seg_d, "docs.parquet"), columns=[self.field]
+            )[self.field].to_numpy(zero_copy_only=False)[ids].astype(np.int64)
+            n = len(vals)
+            return pa.table(
+                {
+                    "n": pa.array([n], pa.int64()),
+                    "sum": pa.array([int(vals.sum()) if n else 0], pa.int64()),
+                    "sumsq": pa.array([int((vals * vals).sum()) if n else 0], pa.int64()),
+                    "min": pa.array([int(vals.min()) if n else None], pa.int64()),
+                    "max": pa.array([int(vals.max()) if n else None], pa.int64()),
+                }
+            )
         if self.mode == "facet_range":
             # numeric range-facet partials (Solr facet.range,
             # solr/core/.../request/SimpleFacets.getFacetRangeCounts /
@@ -773,6 +791,37 @@ class Searcher:
             }
         )
 
+    def drill_sideways(self, base: Query, dims: dict[str, str],
+                       use_ray: bool = True) -> pa.Table:
+        """DrillSideways analog (lucene/facet/src/java/org/apache/lucene/
+        facet/DrillSideways.java): given a base query and per-dimension
+        drill-down filters (keyword field=value), compute each dimension's
+        facet counts with THAT dimension's filter removed and every other
+        dimension's filter + the base query applied (so the UI can show the
+        counts a user would get by switching this dimension's selection).
+
+        → (dim, value, count), dims in sorted order, counts desc / value asc
+        within a dim."""
+        from .query import BooleanQuery as BQ, TermQuery as TQ
+
+        out_d: list[str] = []
+        out_v: list[str] = []
+        out_c: list[int] = []
+        for dim in sorted(dims):
+            others = [TQ(v, field=f) for f, v in sorted(dims.items()) if f != dim]
+            q = BQ(must=[base, *others]) if others else base
+            fc = self.facet_counts(q, field=dim, use_ray=use_ray)
+            out_d.extend([dim] * len(fc))
+            out_v.extend(fc["value"].to_pylist())
+            out_c.extend(fc["count"].to_pylist())
+        return pa.table(
+            {
+                "dim": pa.array(out_d, pa.string()),
+                "value": pa.array(out_v, pa.string()),
+                "count": pa.array(out_c, pa.int64()),
+            }
+        )
+
     def facet_counts_sampled(self, query: Query, field: str = "lang",
                              rate_pct: int = 40, use_ray: bool = True) -> pa.Table:
         """Sampled facet counts — RandomSamplingFacetsCollector analog
@@ -866,6 +915,67 @@ class Searcher:
                 "count": pa.array([r[1] for r in rows], pa.int64()),
             }
         )
+
+    def field_stats(self, query: Query, field: str = "field_len",
+                    use_ray: bool = True) -> pa.Table:
+        """Numeric field statistics over the matching docs — Solr
+        StatsComponent analog (solr/core/src/java/org/apache/solr/handler/
+        component/StatsComponent.java, StatsValuesFactory.java): count, min,
+        max, sum, mean, sample stddev (Solr's formula
+        ``sqrt((count*sumsq - sum^2)/(count*(count-1)))``). Per-segment exact
+        integer moment partials travel to the driver; float64 math happens
+        once, on the combined moments."""
+        import pyarrow.parquet as pq_mod
+
+        n = tot = totsq = 0
+        mn = mx = None
+        scattered = self._scatter_match(query, "stats", field=field) if use_ray else None
+        if scattered is not None:
+            parts = list(scattered.iter_batches(batch_format="pyarrow"))
+        else:
+            parts = []
+            for seg, _base, ids in self._matches_per_segment(query):
+                if not len(ids):
+                    continue
+                vals = pq_mod.read_table(
+                    os.path.join(self.reader.seg_dir(seg), "docs.parquet"),
+                    columns=[field],
+                )[field].to_numpy(zero_copy_only=False)[ids].astype(np.int64)
+                parts.append(pa.table({
+                    "n": pa.array([len(vals)], pa.int64()),
+                    "sum": pa.array([int(vals.sum())], pa.int64()),
+                    "sumsq": pa.array([int((vals * vals).sum())], pa.int64()),
+                    "min": pa.array([int(vals.min())], pa.int64()),
+                    "max": pa.array([int(vals.max())], pa.int64()),
+                }))
+        for b in parts:
+            for i in range(b.num_rows):
+                pn = b["n"][i].as_py()
+                if not pn:
+                    continue
+                n += pn
+                tot += b["sum"][i].as_py()
+                totsq += b["sumsq"][i].as_py()
+                pmn, pmx = b["min"][i].as_py(), b["max"][i].as_py()
+                mn = pmn if mn is None else min(mn, pmn)
+                mx = pmx if mx is None else max(mx, pmx)
+        if n == 0:
+            mean = stddev = None
+        else:
+            mean = float(tot) / float(n)
+            if n > 1:
+                nf, sf, qf = float(n), float(tot), float(totsq)
+                stddev = float(np.sqrt((nf * qf - sf * sf) / (nf * (nf - 1.0))))
+            else:
+                stddev = 0.0
+        return pa.table({
+            "count": pa.array([n], pa.int64()),
+            "min": pa.array([mn], pa.int64()),
+            "max": pa.array([mx], pa.int64()),
+            "sum": pa.array([tot], pa.int64()),
+            "mean": pa.array([mean], pa.float64()),
+            "stddev": pa.array([stddev], pa.float64()),
+        })
 
     def search_grouped(self, query: Query, group_field: str, n_groups: int = 10,
                        docs_per_group: int = 3, use_ray: bool = True) -> pa.Table:
@@ -1026,6 +1136,74 @@ class Searcher:
         from .highlight import highlight_hits
 
         return highlight_hits(self, query, doc_ids, fld=field, max_passages=max_passages)
+
+    def second_pass_scores(self, query: Query, global_ids: np.ndarray) -> np.ndarray:
+        """Scores of ``query`` on exactly the given docs (0.0 for docs it
+        doesn't match) — the second pass of QueryRescorer.rescore (ref
+        lucene/core/src/java/org/apache/lucene/search/QueryRescorer.java:55-101,
+        which advances the scorer only over the first-pass hits). Segments
+        with no candidate docs are skipped entirely."""
+        query = rewrite(query, self.reader)
+        pairs = sorted(query_terms(query))
+        tbl = self.reader.postings_for_terms(pairs) if pairs else None
+        weights = self._weights_from_table(tbl, set(pairs))
+        num_fields = sorted(numeric_fields(query))
+        out = np.zeros(len(global_ids), dtype=self.sim.dtype)
+        for s in self.reader.segments:
+            seg, base = s["seg"], s["doc_base"]
+            in_seg = (global_ids >= base) & (global_ids < base + s["doc_count"])
+            if not in_seg.any():
+                continue
+            seg_tbl = (
+                tbl.filter(pa.compute.equal(tbl["seg"], seg))
+                if tbl is not None
+                else pa.table({"term": pa.array([], pa.string())})
+            )
+            lazy = build_lazy(seg_tbl) if len(seg_tbl) else {}
+            scorer = SegmentScorer(
+                self.sim, LazyPostingsDict(lazy), weights, self.cache,
+                self._norms(seg), lazy=lazy,
+                doc_values=_load_doc_values(self.reader.seg_dir(seg), num_fields),
+            )
+            ids, scores = scorer.score_query(query)  # local ids ascending
+            local = global_ids[in_seg] - base
+            pos = np.searchsorted(ids, local)
+            hit = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == local) \
+                if len(ids) else np.zeros(len(local), dtype=bool)
+            vals = np.zeros(len(local), dtype=self.sim.dtype)
+            vals[hit] = scores[pos[hit]]
+            out[in_seg] = vals
+        return out
+
+    def rescore(self, first_query: Query, second_query: Query, *,
+                first_k: int = 100, k: int = 10, weight: float = 2.0) -> pa.Table:
+        """Two-pass re-ranking — QueryRescorer analog (ref
+        lucene/core/src/java/org/apache/lucene/search/QueryRescorer.java:50-109
+        and its default combine in QueryRescorer.rescore(IndexSearcher,
+        TopDocs, Query, double, int)): first-pass top-``first_k`` hits of
+        ``first_query``; each hit that also matches ``second_query`` gets
+        ``first + weight * second``, non-matches keep the first-pass score;
+        re-sorted by (combined desc, doc_id asc), truncated to ``k``.
+
+        → (rank, doc_id, score); float64 when the searcher was built with
+        dtype=float64 (SQL parity), float32 otherwise."""
+        first = self.search(first_query, k=first_k, use_ray=False)
+        fids = first["doc_id"].to_numpy()
+        if not len(fids):
+            return pa.table({
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.from_numpy_dtype(self.sim.dtype)),
+            })
+        fscores = first["score"].to_numpy().astype(self.sim.dtype)
+        second = self.second_pass_scores(second_query, fids)
+        combined = (fscores + self.sim.dtype.type(weight) * second).astype(self.sim.dtype)
+        order = np.lexsort((fids, -combined))[:k]
+        return pa.table({
+            "rank": pa.array(np.arange(len(order)), pa.int64()),
+            "doc_id": pa.array(fids[order], pa.int64()),
+            "score": pa.array(combined[order], pa.from_numpy_dtype(self.sim.dtype)),
+        })
 
     def explain(self, query: Query, doc_id: int) -> dict:
         """Score explanation tree — Explanation/Weight.explain analog."""

@@ -1,0 +1,114 @@
+"""Rescore / StatsComponent / DrillSideways vs brute-force oracles on the
+fixture corpus (FIXTURES.md §6 spirit)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from lucene_solr_ray.corpus import generate_corpus
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.search import BooleanQuery, Searcher, TermQuery
+
+from oracle import BruteForceIndex
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    tbl = generate_corpus(N_DOCS)
+    d = str(tmp_path_factory.mktemp("cmp_index"))
+    build_index(ray.data.from_arrow(tbl), d, docs_per_segment=100)
+    return d, BruteForceIndex(tbl), tbl
+
+
+def _two_terms(oracle):
+    by_df = sorted(oracle.df.items(), key=lambda kv: (kv[1], kv[0]))
+    return by_df[len(by_df) // 2][0], by_df[-1][0]
+
+
+def test_rescore_matches_manual_combination(built):
+    d, oracle, _ = built
+    s = Searcher(d, dtype=np.float64)
+    a, b = _two_terms(oracle)
+    first_k, k, w = 30, 10, 2.0
+
+    res = s.rescore(TermQuery(a), TermQuery(b), first_k=first_k, k=k, weight=w)
+
+    first = s.search(TermQuery(a), k=first_k, use_ray=False)
+    fids = first["doc_id"].to_numpy()
+    fsc = first["score"].to_numpy()
+    second = s.search(TermQuery(b), k=oracle.n, use_ray=False)
+    smap = dict(zip(second["doc_id"].to_pylist(), second["score"].to_pylist()))
+    comb = fsc + w * np.array([smap.get(int(i), 0.0) for i in fids])
+    order = np.lexsort((fids, -comb))[:k]
+    assert res["doc_id"].to_pylist() == fids[order].tolist()
+    assert res["score"].to_pylist() == comb[order].tolist()
+
+    # weight=0 → first-pass order unchanged
+    r0 = s.rescore(TermQuery(a), TermQuery(b), first_k=first_k, k=k, weight=0.0)
+    assert r0["doc_id"].to_pylist() == first["doc_id"].to_pylist()[:k]
+
+    # no first-pass hits → empty result
+    r_none = s.rescore(TermQuery("zzz_does_not_exist"), TermQuery(b), k=k)
+    assert r_none.num_rows == 0
+
+
+@pytest.mark.parametrize("use_ray", [True, False])
+def test_field_stats_vs_numpy(built, use_ray):
+    d, oracle, _ = built
+    s = Searcher(d)
+    _, mega = _two_terms(oracle)
+    st = s.field_stats(TermQuery(mega), field="field_len", use_ray=use_ray)
+
+    ids, _ = oracle.topk(TermQuery(mega), oracle.n)
+    lens = np.asarray([oracle.field_len[i] for i in ids], dtype=np.int64)
+    assert st["count"][0].as_py() == len(lens)
+    assert st["min"][0].as_py() == int(lens.min())
+    assert st["max"][0].as_py() == int(lens.max())
+    assert st["sum"][0].as_py() == int(lens.sum())
+    assert st["mean"][0].as_py() == pytest.approx(lens.mean())
+    n, sm, sq = float(len(lens)), float(lens.sum()), float((lens * lens).sum())
+    assert st["stddev"][0].as_py() == pytest.approx(
+        np.sqrt((n * sq - sm * sm) / (n * (n - 1.0)))
+    )
+
+
+def test_field_stats_no_matches(built):
+    d, _, _ = built
+    s = Searcher(d)
+    st = s.field_stats(TermQuery("zzz_does_not_exist"), field="field_len")
+    assert st["count"][0].as_py() == 0
+    assert st["mean"][0].as_py() is None
+
+
+@pytest.mark.parametrize("use_ray", [True, False])
+def test_drill_sideways_vs_counter(built, use_ray):
+    from collections import Counter
+
+    d, oracle, tbl = built
+    s = Searcher(d)
+    _, mega = _two_terms(oracle)
+
+    # doc order: (repo, path, commit) sort of the corpus keys
+    keys = list(zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(), tbl["commit"].to_pylist()))
+    order = sorted(range(len(keys)), key=lambda i: keys[i])
+    repos = [tbl["repo"].to_pylist()[i] for i in order]
+    langs = [tbl["lang"].to_pylist()[i] for i in order]
+
+    base_ids, _ = oracle.topk(TermQuery(mega), oracle.n)
+    base_set = set(int(i) for i in base_ids)
+    r_val = repos[next(iter(sorted(base_set)))]
+    l_val = langs[next(iter(sorted(base_set)))]
+
+    res = s.drill_sideways(TermQuery(mega), {"repo": r_val, "lang": l_val},
+                           use_ray=use_ray).to_pandas()
+
+    exp_lang = Counter(langs[i] for i in base_set if repos[i] == r_val)
+    exp_repo = Counter(repos[i] for i in base_set if langs[i] == l_val)
+    got_lang = dict(zip(res[res.dim == "lang"].value, res[res.dim == "lang"]["count"]))
+    got_repo = dict(zip(res[res.dim == "repo"].value, res[res.dim == "repo"]["count"]))
+    assert got_lang == dict(exp_lang)
+    assert got_repo == dict(exp_repo)
