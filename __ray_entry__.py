@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_rescore": fulltext.ft_rescore,
         "ft_field_stats": fulltext.ft_field_stats,
         "ft_drill_sideways": fulltext.ft_drill_sideways,
+        "ft_join_scored": fulltext.ft_join_scored,
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
         "ft_numeric_range": fulltext.ft_numeric_range,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
                                      fulltext.RESCORE_FIRST_K, fulltext.TOPK_K,
                                      fulltext.RESCORE_WEIGHT),
         "ft_field_stats": fs.sql_field_stats(fulltext.STATS_TERM),
+        "ft_join_scored": fs.sql_join_scored(fulltext.JOIN_SCORED_SPECS),
         "ft_drill_sideways": fs.sql_drill_sideways(
             fulltext.FACET_TERM, fulltext.DRILL_DIMS["repo"], fulltext.DRILL_DIMS["lang"]
         ),

@@ -477,6 +477,36 @@ def ft_sorted_by_path(sf_dir: str) -> pa.Table:
     )
 
 
+JOIN_SCORED_SPECS = [
+    {"qid": "jmax_lang", "term": "merge", "field": "lang", "col": "lang", "mode": "max"},
+    {"qid": "jtot_lang", "term": "merge", "field": "lang", "col": "lang", "mode": "total"},
+    {"qid": "javg_lang", "term": "merge", "field": "lang", "col": "lang", "mode": "avg"},
+    {"qid": "jmax_repo", "term": "vector", "field": "repo", "col": "source", "mode": "max"},
+    {"qid": "jtot_repo", "term": "vector", "field": "repo", "col": "source", "mode": "total"},
+]
+
+
+def ft_join_scored(sf_dir: str) -> pa.Table:
+    """Scored query-time joins (JoinUtil ScoreMode.Max/Total/Avg): from-docs
+    matching a term aggregate their BM25 scores per from_field value; to-docs
+    with that value score the aggregate → top-10 (query_id, rank, doc_id).
+    Scores are rank-compared only (SQL sum order is ulp-unstable; max-mode
+    scores are additionally pinned bit-exact in pytest)."""
+    s = get_searcher(sf_dir)
+    parts = []
+    for sp in JOIN_SCORED_SPECS:
+        res = s.join_query_scored(
+            TermQuery(sp["term"]), from_field=sp["field"], to_field=sp["field"],
+            score_mode=sp["mode"], k=TOPK_K,
+        )
+        parts.append(pa.table({
+            "query_id": pa.array([sp["qid"]] * res.num_rows, pa.string()),
+            "rank": res["rank"],
+            "doc_id": res["doc_id"],
+        }))
+    return pa.concat_tables(parts)
+
+
 DRILL_DIMS = {"repo": "src3", "lang": "en"}
 
 

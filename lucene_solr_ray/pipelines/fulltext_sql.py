@@ -364,6 +364,26 @@ def _term_score_cte(name: str, term: str) -> str:
 )"""
 
 
+def sql_join_scored(specs: list[dict]) -> str:
+    """Scored-join oracle (JoinUtil ScoreMode.Max/Total/Avg): per-value
+    aggregate of from-doc BM25 scores, every doc with that value scored by
+    the aggregate → (query_id, rank, doc_id)."""
+    agg_sql = {"max": "max(score)", "total": "sum(score)",
+               "avg": "sum(score) / count(*)"}
+    parts = []
+    for sp in specs:
+        parts.append(prelude() + "," + _term_score_cte("s1", sp["term"]) + f""",
+fv AS (SELECT s1.did, s1.score, c.{sp["col"]} AS v FROM s1 JOIN corpus c USING (did)),
+va AS (SELECT v, {agg_sql[sp["mode"]]} AS vs FROM fv GROUP BY v),
+hits AS (SELECT c.did, va.vs FROM corpus c JOIN va ON c.{sp["col"]} = va.v)
+SELECT '{sp["qid"]}' AS query_id,
+       CAST(row_number() OVER (ORDER BY vs DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id
+FROM hits ORDER BY vs DESC, did ASC LIMIT 10
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
 def sql_drill_sideways(term: str, repo_val: str, lang_val: str) -> str:
     """DrillSideways oracle over dims repo (=source) and lang: each dim's
     counts with its own filter removed, the other dim's filter + the base

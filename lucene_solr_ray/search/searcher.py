@@ -260,6 +260,44 @@ class MatchFieldGroup:
                     "local_id": pa.array(ids, pa.int64()),
                 }
             )
+        if self.mode == "join_agg":
+            # scored-join partials (JoinUtil ScoreMode.Max/Total/Avg,
+            # lucene/join/src/java/org/apache/lucene/search/join/
+            # TermsWithScoreCollector.java): per-(from_field value) score
+            # moments of this segment's matching from-docs — only
+            # (value, sum, max, n) rows travel to the driver
+            col = pq.read_table(
+                os.path.join(seg_d, "docs.parquet"), columns=[self.field]
+            )[self.field].to_numpy(zero_copy_only=False)
+            vals = col[ids].astype(str)
+            sc = scores.astype(np.float64)
+            u, inv = np.unique(vals, return_inverse=True)
+            sums = np.zeros(len(u), dtype=np.float64)
+            np.add.at(sums, inv, sc)
+            maxs = np.full(len(u), -np.inf, dtype=np.float64)
+            np.maximum.at(maxs, inv, sc)
+            ns = np.bincount(inv, minlength=len(u)).astype(np.int64)
+            return pa.table(
+                {
+                    "value": pa.array(u.tolist(), pa.string()),
+                    "sum": pa.array(sums, pa.float64()),
+                    "max": pa.array(maxs, pa.float64()),
+                    "n": pa.array(ns, pa.int64()),
+                }
+            )
+        if self.mode == "field_vals":
+            # (global doc id, keyword value) for ALL matching docs — used by
+            # the scored join's to-side with a df-bounded TermInSetQuery, so
+            # the result size is bounded by the selected values' df sum
+            col = pq.read_table(
+                os.path.join(seg_d, "docs.parquet"), columns=[self.field]
+            )[self.field].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids + self.doc_bases[seg], pa.int64()),
+                    "value": pa.array(col[ids].astype(str).tolist(), pa.string()),
+                }
+            )
         if self.mode == "stats":
             # StatsComponent partials (solr/core/.../component/StatsValuesFactory.java
             # NumericStatsValues.accumulate): per-segment exact integer moments
@@ -1127,6 +1165,156 @@ class Searcher:
             )[from_field].to_numpy(zero_copy_only=False)
             values.update(map(str, np.unique(col[ids])))
         return TermInSetQuery(tuple(sorted(values)), field=to_field)
+
+    def join_query_scored(self, from_query: Query, from_field: str, to_field: str,
+                          score_mode: str = "max", k: int = 10,
+                          use_ray: bool = True) -> pa.Table:
+        """Scored query-time join — JoinUtil.createJoinQuery with
+        ScoreMode.Max / Total / Avg (lucene/join/src/java/org/apache/lucene/
+        search/join/JoinUtil.java, TermsWithScoreCollector.java): every
+        from-doc matching ``from_query`` contributes its score to its
+        ``from_field`` value's aggregate (max / sum / sum÷count); each to-doc
+        whose ``to_field`` equals a collected value is scored with that
+        value's aggregate. → top-k (rank, doc_id, score), score desc /
+        doc_id asc.
+
+        Scale shape: per-segment (value, sum, max, n) partials travel for the
+        from side; the to side only materializes docs of the df-bounded value
+        prefix that can reach the top k (greedy by aggregate desc until the
+        cumulative keyword df covers k)."""
+        import pyarrow.parquet as pq_mod
+
+        from .query import TermInSetQuery
+
+        if score_mode not in ("max", "total", "avg"):
+            raise ValueError(score_mode)
+        # --- from side: per-value score moments ---
+        agg: dict[str, list] = {}  # value -> [sum, max, n]
+
+        def _absorb(vals, sums, maxs, ns):
+            for v, s_, m_, n_ in zip(vals, sums, maxs, ns):
+                a = agg.setdefault(v, [0.0, -np.inf, 0])
+                a[0] += s_
+                a[1] = max(a[1], m_)
+                a[2] += n_
+
+        scattered = (
+            self._scatter_match(from_query, "join_agg", field=from_field)
+            if use_ray else None
+        )
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                _absorb(b["value"].to_pylist(), b["sum"].to_pylist(),
+                        b["max"].to_pylist(), b["n"].to_pylist())
+        else:
+            q = rewrite(from_query, self.reader)
+            pairs = sorted(query_terms(q))
+            tbl = self.reader.postings_for_terms(pairs) if pairs else None
+            weights = self._weights_from_table(tbl, set(pairs))
+            num_fields = sorted(numeric_fields(q))
+            for s in self.reader.segments:
+                seg = s["seg"]
+                seg_tbl = (
+                    tbl.filter(pa.compute.equal(tbl["seg"], seg))
+                    if tbl is not None
+                    else pa.table({"term": pa.array([], pa.string())})
+                )
+                lazy = build_lazy(seg_tbl) if len(seg_tbl) else {}
+                scorer = SegmentScorer(
+                    self.sim, LazyPostingsDict(lazy), weights, self.cache,
+                    self._norms(seg), lazy=lazy,
+                    doc_values=_load_doc_values(self.reader.seg_dir(seg), num_fields),
+                )
+                ids, scores = scorer.score_query(q)
+                live = self.reader.live_mask(seg)
+                if live is not None and len(ids):
+                    keep = live[ids]
+                    ids, scores = ids[keep], scores[keep]
+                if not len(ids):
+                    continue
+                col = pq_mod.read_table(
+                    os.path.join(self.reader.seg_dir(seg), "docs.parquet"),
+                    columns=[from_field],
+                )[from_field].to_numpy(zero_copy_only=False)
+                vals = col[ids].astype(str)
+                sc = scores.astype(np.float64)
+                u, inv = np.unique(vals, return_inverse=True)
+                sums = np.zeros(len(u), dtype=np.float64)
+                np.add.at(sums, inv, sc)
+                maxs = np.full(len(u), -np.inf, dtype=np.float64)
+                np.maximum.at(maxs, inv, sc)
+                _absorb(u.tolist(), sums.tolist(), maxs.tolist(),
+                        np.bincount(inv, minlength=len(u)).tolist())
+        empty = pa.table({
+            "rank": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+        if not agg:
+            return empty
+        if score_mode == "max":
+            vscore = {v: a[1] for v, a in agg.items()}
+        elif score_mode == "total":
+            vscore = {v: a[0] for v, a in agg.items()}
+        else:
+            vscore = {v: a[0] / a[2] for v, a in agg.items()}
+        # --- greedy df-bounded value prefix: only values that can reach the
+        # top k (build-time df is an upper bound on live matches) ---
+        ordered = sorted(vscore, key=lambda v: (-vscore[v], v))
+        stats = self.reader.term_stats([(to_field, v) for v in ordered])
+        cum = 0
+        selected: list[str] = []
+        for v in ordered:
+            selected.append(v)
+            cum += stats[(to_field, v)][0]
+            if cum >= k:
+                break
+        # score-tied values past the cutoff can still win on doc_id asc
+        for v in ordered[len(selected):]:
+            if vscore[v] == vscore[selected[-1]]:
+                selected.append(v)
+            else:
+                break
+        # --- to side: (doc_id, value) for docs of the selected values;
+        # build-time df over-counts deleted docs, so if live matches come up
+        # short of k, widen to the full value set once (rare: deletes only) ---
+        def _fetch(vals_sel: list[str]):
+            to_q = TermInSetQuery(tuple(vals_sel), field=to_field)
+            ids_parts, val_parts = [], []
+            scattered2 = (
+                self._scatter_match(to_q, "field_vals", field=to_field)
+                if use_ray else None
+            )
+            if scattered2 is not None:
+                for b in scattered2.iter_batches(batch_format="pyarrow"):
+                    if len(b):
+                        ids_parts.append(b["doc_id"].to_numpy())
+                        val_parts.extend(b["value"].to_pylist())
+            else:
+                for seg, base, ids in self._matches_per_segment(to_q):
+                    if not len(ids):
+                        continue
+                    col = pq_mod.read_table(
+                        os.path.join(self.reader.seg_dir(seg), "docs.parquet"),
+                        columns=[to_field],
+                    )[to_field].to_numpy(zero_copy_only=False)
+                    ids_parts.append(ids + base)
+                    val_parts.extend(col[ids].astype(str).tolist())
+            return ids_parts, val_parts
+
+        ids_parts, val_parts = _fetch(selected)
+        if sum(len(p) for p in ids_parts) < k and len(selected) < len(ordered):
+            ids_parts, val_parts = _fetch(ordered)
+        if not ids_parts:
+            return empty
+        doc_ids = np.concatenate(ids_parts)
+        doc_scores = np.asarray([vscore[v] for v in val_parts], dtype=np.float64)
+        order = np.lexsort((doc_ids, -doc_scores))[:k]
+        return pa.table({
+            "rank": pa.array(np.arange(len(order)), pa.int64()),
+            "doc_id": pa.array(doc_ids[order], pa.int64()),
+            "score": pa.array(doc_scores[order], pa.float64()),
+        })
 
     def highlight(self, query: Query, doc_ids: list[int], *, field: str = "content",
                   max_passages: int = 3) -> dict[int, str | None]:

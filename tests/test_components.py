@@ -112,3 +112,54 @@ def test_drill_sideways_vs_counter(built, use_ray):
     got_repo = dict(zip(res[res.dim == "repo"].value, res[res.dim == "repo"]["count"]))
     assert got_lang == dict(exp_lang)
     assert got_repo == dict(exp_repo)
+
+
+@pytest.mark.parametrize("use_ray", [True, False])
+def test_join_scored_vs_brute(built, use_ray):
+    """JoinUtil ScoreMode.Max/Total/Avg vs a brute-force recompute: from-doc
+    BM25 scores aggregated per lang value; every doc with that lang scores
+    the aggregate; top-k (score desc, doc_id asc)."""
+    d, oracle, tbl = built
+    s = Searcher(d, dtype=np.float64)
+    _, mega = _two_terms(oracle)
+    k = 10
+
+    keys = list(zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(), tbl["commit"].to_pylist()))
+    order = sorted(range(len(keys)), key=lambda i: keys[i])
+    langs = [tbl["lang"].to_pylist()[i] for i in order]
+
+    full = s.search(TermQuery(mega), k=oracle.n, use_ray=False)
+    fids = full["doc_id"].to_pylist()
+    fsc = full["score"].to_pylist()
+
+    for mode, combine in (
+        ("max", lambda xs: max(xs)),
+        ("total", lambda xs: float(np.sum(np.asarray(xs, dtype=np.float64)))),
+        ("avg", lambda xs: float(np.sum(np.asarray(xs, dtype=np.float64))) / len(xs)),
+    ):
+        per_val: dict[str, list] = {}
+        for i, sc in zip(fids, fsc):
+            per_val.setdefault(langs[i], []).append(sc)
+        vscore = {v: combine(xs) for v, xs in per_val.items()}
+        exp = sorted(
+            ((vscore[langs[i]], i) for i in range(oracle.n) if langs[i] in vscore),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        res = s.join_query_scored(
+            TermQuery(mega), from_field="lang", to_field="lang",
+            score_mode=mode, k=k, use_ray=use_ray,
+        )
+        assert res["doc_id"].to_pylist() == [i for _, i in exp], mode
+        if mode == "max":  # order-free aggregate: scores are bit-exact
+            assert res["score"].to_pylist() == [sc for sc, _ in exp]
+        else:
+            np.testing.assert_allclose(
+                res["score"].to_numpy(), [sc for sc, _ in exp], rtol=1e-12
+            )
+
+
+def test_join_scored_no_matches(built):
+    d, _, _ = built
+    s = Searcher(d)
+    res = s.join_query_scored(TermQuery("zzz_does_not_exist"), "lang", "lang")
+    assert res.num_rows == 0
