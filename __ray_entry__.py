@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_field_stats": fulltext.ft_field_stats,
         "ft_drill_sideways": fulltext.ft_drill_sideways,
         "ft_join_scored": fulltext.ft_join_scored,
+        "ft_dismax": fulltext.ft_dismax,
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
         "ft_numeric_range": fulltext.ft_numeric_range,
@@ -161,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
                                      fulltext.RESCORE_WEIGHT),
         "ft_field_stats": fs.sql_field_stats(fulltext.STATS_TERM),
         "ft_join_scored": fs.sql_join_scored(fulltext.JOIN_SCORED_SPECS),
+        "ft_dismax": fs.sql_dismax(fulltext.DISMAX_SPECS),
         "ft_drill_sideways": fs.sql_drill_sideways(
             fulltext.FACET_TERM, fulltext.DRILL_DIMS["repo"], fulltext.DRILL_DIMS["lang"]
         ),

@@ -43,10 +43,19 @@ def check_index(index_dir: str, corpus_sha: dict[tuple, str] | None = None) -> d
             doc_ids[0] == seg["doc_base"] and np.array_equal(doc_ids, seg["doc_base"] + np.arange(n))
         ):
             problems.append(f"seg {seg['seg']}: doc_ids not dense from base")
-        # doc sort order == (repo, path, commit)
-        keys = list(zip(docs["repo"].to_pylist(), docs["path"].to_pylist(), docs["commit"].to_pylist()))
-        if keys != sorted(keys):
-            problems.append(f"seg {seg['seg']}: docs not sorted by key")
+        # doc sort order == index sort (sort_fields + KEY_COLS tiebreak);
+        # [] (post-addIndexes) keeps the per-segment check on the default key
+        # order of the segment's ORIGINATING build, which we can't know —
+        # skip the order check, the dense-id + uniqueness checks still run
+        sort_cols = r.sort_fields or None
+        if sort_cols is not None:
+            cols = list(dict.fromkeys([*sort_cols, "repo", "path", "commit"]))
+            keys = list(zip(*(docs[c].to_pylist() for c in cols)))
+            if keys != sorted(keys):
+                problems.append(f"seg {seg['seg']}: docs not sorted by key")
+        else:
+            keys = list(zip(docs["repo"].to_pylist(), docs["path"].to_pylist(),
+                            docs["commit"].to_pylist()))
         if len(set(keys)) != len(keys):
             problems.append(f"seg {seg['seg']}: duplicate (repo,path,commit) keys")
         # norms consistent with field_len

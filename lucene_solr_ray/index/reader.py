@@ -71,10 +71,11 @@ class IndexReader:
         self.segments = sorted(self.manifest["segments"], key=lambda s: s["doc_base"])
         self._seg_by_id = {s["seg"]: s for s in self.segments}
         #: index-sort key (IndexWriterConfig.setIndexSort analog): doc ids are
-        #: dense ranks over these columns, so doc_id order == this sort order
-        self.sort_fields: list[str] = self.manifest.get("sort_fields") or [
-            "repo", "path", "commit"
-        ]
+        #: dense ranks over these columns, so doc_id order == this sort order.
+        #: [] = NO index sort (e.g. after addIndexes concatenation); a missing
+        #: key (pre-round-2 index) means the default (repo, path, commit) sort
+        sf = self.manifest.get("sort_fields", ["repo", "path", "commit"])
+        self.sort_fields: list[str] = list(sf) if sf else []
         #: per-field CollectionStatistics (FieldInfos analog); content-only
         #: indexes built before multi-field fall back to the global stats
         self.field_stats: dict[str, dict] = self.manifest.get(

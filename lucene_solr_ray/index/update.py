@@ -133,7 +133,99 @@ def _write_delta_group(group, *, index_dir: str, plan, seg_offset: int,
     )(group)
 
 
-def _commit_manifest(index_dir: str, reader: IndexReader, segments: list[dict]) -> dict:
+def add_indexes(index_dir: str, *source_dirs: str) -> dict:
+    """Publish other indexes' segments into this one WITHOUT re-analysis —
+    IndexWriter.addIndexes(Directory...) analog
+    (``lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:2680``,
+    the no-merge copy path). Each incoming segment directory is copied under
+    a fresh segment id with a ``doc_base`` after the current maximum;
+    ``docs.parquet``'s global ``doc_id`` column is rewritten to the new range
+    (postings/positions store LOCAL doc ids and are byte-identical);
+    tombstones (``deletes.parquet``, local ids) copy verbatim.
+
+    IndexOptions are validated like Lucene's FieldInfos checks: positions,
+    keyword_fields and stored-content must match the destination. The
+    destination's index sort is CLEARED (doc order becomes concatenation, so
+    the global doc_id = sort-rank contract no longer holds; Lucene similarly
+    refuses mismatched index sorts — we keep the docs and drop the sort
+    property instead). Returns the committed manifest."""
+    import shutil
+
+    from .segment import segment_dir
+
+    reader = IndexReader(index_dir)
+    dest_pos = reader.manifest.get("positions", True)
+    dest_kw = list(reader.manifest.get("keyword_fields", list(_DEFAULT_KW)))
+    dest_sc = _has_stored_content(reader)
+    doc_base = max(
+        (s["doc_base"] + s["doc_count"] for s in reader.segments), default=0
+    )
+    seg_next = max((s["seg"] for s in reader.segments), default=-1) + 1
+    segments = list(reader.manifest["segments"])
+
+    for src in source_dirs:
+        sreader = IndexReader(src)
+        if sreader.manifest.get("positions", True) != dest_pos:
+            raise ValueError(
+                f"addIndexes positions mismatch: dest={dest_pos}, {src} differs"
+            )
+        if list(sreader.manifest.get("keyword_fields", list(_DEFAULT_KW))) != dest_kw:
+            raise ValueError(f"addIndexes keyword_fields mismatch with {src}")
+        if _has_stored_content(sreader) != dest_sc:
+            raise ValueError(f"addIndexes stored-content mismatch with {src}")
+        for s in sorted(sreader.segments, key=lambda r: r["doc_base"]):
+            sd = sreader.seg_dir(s["seg"])
+            new_seg = seg_next
+            seg_next += 1
+            seg_d = segment_dir(index_dir, new_seg)
+            tmp_d = seg_d + ".adding"
+            if os.path.exists(tmp_d):
+                shutil.rmtree(tmp_d)
+            shutil.copytree(sd, tmp_d)
+            # rewrite global doc ids (rows stay in doc order)
+            p = os.path.join(tmp_d, "docs.parquet")
+            t = pq.read_table(p)
+            new_ids = pa.array(
+                doc_base + np.arange(t.num_rows, dtype=np.int64), pa.int64()
+            )
+            t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id", new_ids)
+            pq.write_table(t, p, row_group_size=65536)
+            # rewrite the postings' seg column (scatter paths filter the
+            # concatenated postings by seg — a stale id would collide with an
+            # existing segment and double its postings)
+            pp = os.path.join(tmp_d, "postings.parquet")
+            pt = pq.read_table(pp)
+            pt = pt.set_column(
+                pt.schema.get_field_index("seg"), "seg",
+                pa.array(np.full(pt.num_rows, new_seg, dtype=np.int32), pa.int32()),
+            )
+            pq.write_table(pt, pp, row_group_size=8192)
+            meta_p = os.path.join(tmp_d, "_SEGMENT.json")
+            try:
+                with open(meta_p) as f:
+                    meta = json.load(f)
+                meta["seg"] = new_seg
+                meta["doc_base"] = int(doc_base)
+                with open(meta_p, "w") as f:
+                    json.dump(meta, f)
+            except (OSError, json.JSONDecodeError):
+                pass
+            os.rename(tmp_d, seg_d)
+            segments.append(
+                {
+                    "seg": new_seg,
+                    "doc_base": int(doc_base),
+                    **{k: s[k] for k in ("doc_count", "sum_len", "num_terms",
+                                          "sum_df", "sum_ttf")},
+                }
+            )
+            doc_base += s["doc_count"]
+    return _commit_manifest(index_dir, reader, segments,
+                            overrides={"sort_fields": []})
+
+
+def _commit_manifest(index_dir: str, reader: IndexReader, segments: list[dict],
+                     overrides: dict | None = None) -> dict:
     from .segment import segment_dir
 
     stats = IndexStats(
@@ -165,6 +257,8 @@ def _commit_manifest(index_dir: str, reader: IndexReader, segments: list[dict]) 
     manifest = dict(reader.manifest)
     if field_stats:
         manifest["field_stats"] = field_stats
+    if overrides:
+        manifest.update(overrides)
     manifest["generation"] = _next_generation(index_dir)
     manifest["stats"] = stats.to_dict()
     manifest["segments"] = sorted(segments, key=lambda s: s["doc_base"])

@@ -477,6 +477,37 @@ def ft_sorted_by_path(sf_dir: str) -> pa.Table:
     )
 
 
+DISMAX_SPECS = [
+    {"qid": "dm_merge_en", "term": "merge", "kw_field": "lang", "kw_col": "lang",
+     "kw_val": "en", "tie": 0.3},
+    {"qid": "dm_vector_src3", "term": "vector", "kw_field": "repo", "kw_col": "source",
+     "kw_val": "src3", "tie": 0.0},
+]
+
+
+def ft_dismax(sf_dir: str) -> pa.Table:
+    """Multi-field DisMax (Solr dismax / DisjunctionMaxQuery across a text
+    and a keyword field): score = max(sub) + tie * (sum - max), float64
+    bit-exact vs SQL → (query_id, rank, doc_id, score)."""
+    from ..search.query import DisjunctionMaxQuery
+
+    s = get_searcher(sf_dir)
+    queries = {
+        sp["qid"]: DisjunctionMaxQuery(
+            (TermQuery(sp["term"]), TermQuery(sp["kw_val"], field=sp["kw_field"])),
+            tie_breaker=sp["tie"],
+        )
+        for sp in DISMAX_SPECS
+    }
+    res = s.search(queries, k=TOPK_K, use_ray=False)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"].cast(pa.int64()),
+        "doc_id": res["doc_id"],
+        "score": res["score"],
+    })
+
+
 JOIN_SCORED_SPECS = [
     {"qid": "jmax_lang", "term": "merge", "field": "lang", "col": "lang", "mode": "max"},
     {"qid": "jtot_lang", "term": "merge", "field": "lang", "col": "lang", "mode": "total"},

@@ -364,6 +364,34 @@ def _term_score_cte(name: str, term: str) -> str:
 )"""
 
 
+def sql_dismax(specs: list[dict]) -> str:
+    """DisMax oracle (DisjunctionMaxScorer.score): per doc,
+    max + ((sum) - max) * tie over {content BM25 score, keyword constant
+    score}, engine float64 op order (sum first, subtract max, scale, add)."""
+    parts = []
+    for sp in specs:
+        kw = _kw_score_sql(sp["kw_col"] if sp["kw_col"] != "source" else "source",
+                           sp["kw_val"])
+        parts.append(prelude() + "," + _term_score_cte("s1", sp["term"]) + f""",
+kw AS (SELECT did, {kw} AS score FROM corpus WHERE {sp["kw_col"]} = '{sp["kw_val"]}'),
+u AS (
+  SELECT coalesce(s1.did, kw.did) AS did,
+         coalesce(s1.score, 0.0) AS sa, coalesce(kw.score, 0.0) AS sb
+  FROM s1 FULL OUTER JOIN kw ON s1.did = kw.did
+),
+sc2 AS (
+  SELECT did,
+         greatest(sa, sb) + ((sa + sb) - greatest(sa, sb)) * {sp["tie"]!r} AS score
+  FROM u
+)
+SELECT '{sp["qid"]}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM sc2 ORDER BY score DESC, did ASC LIMIT 10
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
 def sql_join_scored(specs: list[dict]) -> str:
     """Scored-join oracle (JoinUtil ScoreMode.Max/Total/Avg): per-value
     aggregate of from-doc BM25 scores, every doc with that value scored by

@@ -672,7 +672,8 @@ class Searcher:
         each; the driver merges the tiny partials."""
         import pyarrow.parquet as pq_mod
 
-        if not descending and field == self.reader.sort_fields[0]:
+        if (not descending and self.reader.sort_fields
+                and field == self.reader.sort_fields[0]):
             # index-sort early termination (EarlyTerminatingSortingCollector /
             # TopFieldCollector with an index sort, search/
             # EarlyTerminatingSortingCollector.java): doc_id order IS the

@@ -114,3 +114,57 @@ def test_update_documents_replaces(base_index):
         m = r.live_mask(seg["seg"])
         live += int(m.sum()) if m is not None else seg["doc_count"]
     assert live == 300
+
+
+def test_add_indexes_copies_segments(ray_session, tmp_path):
+    """addIndexes(Directory) analog: segments copy in without re-analysis;
+    doc ids renumber into a fresh global range; BM25 scores equal a fresh
+    single build over the concatenated corpus (global stats are additive)."""
+    import pyarrow.compute as pc
+
+    from lucene_solr_ray.index.update import add_indexes
+
+    t1 = generate_corpus(200)
+    t2 = _delta_corpus(120, seed=999)
+    d1 = str(tmp_path / "idx1")
+    d2 = str(tmp_path / "idx2")
+    dall = str(tmp_path / "idx_all")
+    build_index(ray.data.from_arrow(t1), d1, docs_per_segment=70)
+    build_index(ray.data.from_arrow(t2), d2, docs_per_segment=70)
+    build_index(ray.data.from_arrow(pa.concat_tables([t1, t2])), dall,
+                docs_per_segment=70)
+
+    m = add_indexes(d1, d2)
+    assert m["stats"]["doc_count"] == 320
+    assert m["sort_fields"] == []  # concatenation voids the index sort
+    check_index(d1)  # doc-id contract + stored sha still hold
+
+    s = Searcher(d1)
+    s_all = Searcher(dall)
+    assert s.reader.sort_fields == []
+    q = parse_query("license OR apache")
+    got = s.search({"q": q}, k=50, use_ray=False)
+    exp = s_all.search({"q": q}, k=50, use_ray=False)
+    # doc ids differ (concatenation vs global key sort) but the score
+    # multiset is identical: global df/ttf/avgdl are the same either way
+    assert sorted(got["score"].to_pylist()) == pytest.approx(
+        sorted(exp["score"].to_pylist())
+    )
+    # hits cover both source corpora
+    fetched = s.reader.fetch_docs(got["doc_id"].to_pylist(), columns=["doc_id", "repo"])
+    repos = set(fetched["repo"].to_pylist())
+    assert any(r.startswith("zorg/") for r in repos)
+    assert any(not r.startswith("zorg/") for r in repos)
+
+
+def test_add_indexes_rejects_mismatched_options(ray_session, tmp_path):
+    from lucene_solr_ray.index.update import add_indexes
+
+    t1 = generate_corpus(60)
+    t2 = _delta_corpus(40, seed=31)
+    d1 = str(tmp_path / "p_idx1")
+    d2 = str(tmp_path / "p_idx2")
+    build_index(ray.data.from_arrow(t1), d1, docs_per_segment=30, positions=True)
+    build_index(ray.data.from_arrow(t2), d2, docs_per_segment=30, positions=False)
+    with pytest.raises(ValueError, match="positions"):
+        add_indexes(d1, d2)
