@@ -477,6 +477,25 @@ def ft_sorted_by_path(sf_dir: str) -> pa.Table:
     )
 
 
+def ft_filter_query(sf_dir: str) -> pa.Table:
+    """BooleanClause.Occur.FILTER: non-scoring constraints — MUST+FILTER,
+    pure FILTER (score 0 → doc-order ranks), SHOULD-disjunction+FILTER →
+    (query_id, rank, doc_id)."""
+    s = get_searcher(sf_dir)
+    queries = {
+        "fm": BooleanQuery(must=[TermQuery("merge")], filter=[TermQuery("window")]),
+        "ff": BooleanQuery(filter=[TermQuery("spark")]),
+        "fo": BooleanQuery(should=[TermQuery("vector"), TermQuery("customer")],
+                           filter=[TermQuery("data")]),
+    }
+    res = s.search(queries, k=TOPK_K, use_ray=False)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"].cast(pa.int64()),
+        "doc_id": res["doc_id"],
+    })
+
+
 DISMAX_SPECS = [
     {"qid": "dm_merge_en", "term": "merge", "kw_field": "lang", "kw_col": "lang",
      "kw_val": "en", "tie": 0.3},

@@ -364,6 +364,34 @@ def _term_score_cte(name: str, term: str) -> str:
 )"""
 
 
+def sql_filter_query(k: int = 10) -> str:
+    """FILTER-clause oracle: fm = MUST merge + FILTER window (score = merge's
+    BM25 only), ff = pure FILTER spark (score 0 → doc-id order), fo = SHOULD
+    (vector, customer) + FILTER data."""
+    fm = prelude() + "," + _term_score_cte("s1", "merge") + f""",
+fb AS (SELECT DISTINCT did FROM tf WHERE tok = 'window')
+SELECT 'fm' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id
+FROM s1 JOIN fb USING (did) ORDER BY score DESC, did ASC LIMIT {k}
+"""
+    ff = prelude() + f"""
+SELECT 'ff' AS query_id,
+       CAST(row_number() OVER (ORDER BY did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id
+FROM (SELECT DISTINCT did FROM tf WHERE tok = 'spark') ORDER BY did ASC LIMIT {k}
+"""
+    fo = prelude() + "," + _score_cte(["customer", "vector"]) + f""",
+fb AS (SELECT DISTINCT did FROM tf WHERE tok = 'data')
+SELECT 'fo' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id
+FROM agg JOIN fb USING (did) WHERE nmatch >= 1
+ORDER BY score DESC, did ASC LIMIT {k}
+"""
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in (fm, ff, fo))
+
+
 def sql_dismax(specs: list[dict]) -> str:
     """DisMax oracle (DisjunctionMaxScorer.score): per doc,
     max + ((sum) - max) * tie over {content BM25 score, keyword constant

@@ -274,14 +274,19 @@ def _rewrite_common_terms(q: CommonTermsQuery, reader) -> Query:
 
 @dataclass
 class BooleanQuery(Query):
+    """MUST / SHOULD / MUST_NOT / FILTER clauses (BooleanClause.Occur;
+    FILTER constrains matches like MUST but contributes no score,
+    search/BooleanWeight.java)."""
+
     must: list = field(default_factory=list)
     should: list = field(default_factory=list)
     must_not: list = field(default_factory=list)
     min_should_match: int = 0
+    filter: list = field(default_factory=list)
 
     def terms(self) -> set[tuple[str, str]]:
         out: set[tuple[str, str]] = set()
-        for q in (*self.must, *self.should, *self.must_not):
+        for q in (*self.must, *self.should, *self.must_not, *self.filter):
             out |= query_terms(q)
         return out
 
@@ -327,7 +332,7 @@ def numeric_fields(q: Query) -> set[str]:
         return out
     if isinstance(q, BooleanQuery):
         out = set()
-        for c in (*q.must, *q.should, *q.must_not):
+        for c in (*q.must, *q.should, *q.must_not, *q.filter):
             out |= numeric_fields(c)
         return out
     return set()
@@ -371,6 +376,7 @@ def rewrite(q: Query, reader) -> Query:
             should=[rewrite(c, reader) for c in q.should],
             must_not=[rewrite(c, reader) for c in q.must_not],
             min_should_match=q.min_should_match,
+            filter=[rewrite(c, reader) for c in q.filter],
         )
     return q
 

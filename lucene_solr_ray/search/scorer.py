@@ -382,13 +382,21 @@ class SegmentScorer:
         must = self._clauses(q.must)
         should = self._clauses(q.should)
         must_not = self._clauses(q.must_not)
+        filt = self._clauses(q.filter)
 
         if not q.must and not q.should:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype)
-
-        if q.must:
+            if not q.filter:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype)
+            # pure-filter query: matches = filter intersection, score 0
+            # (BooleanWeight: FILTER clauses never contribute to the score)
+            fil_sorted = sorted(filt, key=lambda p: len(p[0]))
+            ids = fil_sorted[0][0]
+            for fids, _ in fil_sorted[1:]:
+                ids = _intersect_sorted(ids, fids)
+            scores = np.zeros(len(ids), dtype=self.sim.dtype)
+        elif q.must:
             # leapfrog: intersect starting from the smallest clause
-            must_sorted = sorted(must, key=lambda p: len(p[0]))
+            must_sorted = sorted(must + filt, key=lambda p: len(p[0]))
             ids = must_sorted[0][0]
             for mids, _ in must_sorted[1:]:
                 ids = _intersect_sorted(ids, mids)
@@ -416,6 +424,9 @@ class SegmentScorer:
             thresh = max(1, q.min_should_match)
             ids = np.flatnonzero(cnt >= thresh).astype(np.int64)
             scores = acc[ids]
+            for fids, _ in filt:  # FILTER restricts the disjunction, scoreless
+                keep, _pos = _member_mask(fids, ids)
+                ids, scores = ids[keep], scores[keep]
 
         if must_not and len(ids):
             for nids, _ in must_not:

@@ -443,7 +443,7 @@ def _wand_applicable(q, sim=None) -> bool:
     if sim is not None and not getattr(sim, "supports_wand", False):
         return False
     return isinstance(q, BooleanQuery) and bool(q.should) and not q.must and not q.must_not \
-        and q.min_should_match <= 1 \
+        and not q.filter and q.min_should_match <= 1 \
         and all(isinstance(c, TermQuery) and c.field == "content" for c in q.should)
 
 
@@ -1451,6 +1451,6 @@ def _contains_matchall(q: Query) -> bool:
         return True
     if isinstance(q, BooleanQuery):
         return any(
-            _contains_matchall(c) for c in (*q.must, *q.should, *q.must_not)
+            _contains_matchall(c) for c in (*q.must, *q.should, *q.must_not, *q.filter)
         )
     return False

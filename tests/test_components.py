@@ -163,3 +163,30 @@ def test_join_scored_no_matches(built):
     s = Searcher(d)
     res = s.join_query_scored(TermQuery("zzz_does_not_exist"), "lang", "lang")
     assert res.num_rows == 0
+
+
+@pytest.mark.parametrize("use_ray", [True, False])
+def test_filter_clause_semantics(built, use_ray):
+    """Occur.FILTER: same doc set as MUST, zero score contribution."""
+    d, oracle, _ = built
+    s = Searcher(d)
+    mid, mega = _two_terms(oracle)
+
+    fq = BooleanQuery(must=[TermQuery(mid)], filter=[TermQuery(mega)])
+    res = s.search(fq, k=oracle.n, use_ray=use_ray)
+
+    both = s.search(BooleanQuery(must=[TermQuery(mid), TermQuery(mega)]),
+                    k=oracle.n, use_ray=False)
+    only = s.search(TermQuery(mid), k=oracle.n, use_ray=False)
+    omap = dict(zip(only["doc_id"].to_pylist(), only["score"].to_pylist()))
+    # same matches as MUST-both...
+    assert set(res["doc_id"].to_pylist()) == set(both["doc_id"].to_pylist())
+    # ...but scored by the MUST clause alone
+    for did, sc in zip(res["doc_id"].to_pylist(), res["score"].to_pylist()):
+        assert sc == omap[did]
+
+    # pure filter: constant 0 scores, doc-id order
+    pf = s.search(BooleanQuery(filter=[TermQuery(mega)]), k=10, use_ray=use_ray)
+    assert set(pf["score"].to_pylist()) == {0.0}
+    ids = pf["doc_id"].to_pylist()
+    assert ids == sorted(ids)
