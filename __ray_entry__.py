@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_join_scored": fulltext.ft_join_scored,
         "ft_dismax": fulltext.ft_dismax,
         "ft_filter_query": fulltext.ft_filter_query,
+        "ft_terms_enum": fulltext.ft_terms_enum,
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
         "ft_numeric_range": fulltext.ft_numeric_range,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_join_scored": fs.sql_join_scored(fulltext.JOIN_SCORED_SPECS),
         "ft_dismax": fs.sql_dismax(fulltext.DISMAX_SPECS),
         "ft_filter_query": fs.sql_filter_query(fulltext.TOPK_K),
+        "ft_terms_enum": fs.sql_terms_enum(fulltext.TERMS_ENUM_PREFIXES),
         "ft_drill_sideways": fs.sql_drill_sideways(
             fulltext.FACET_TERM, fulltext.DRILL_DIMS["repo"], fulltext.DRILL_DIMS["lang"]
         ),

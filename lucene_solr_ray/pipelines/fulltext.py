@@ -477,6 +477,32 @@ def ft_sorted_by_path(sf_dir: str) -> pa.Table:
     )
 
 
+TERMS_ENUM_PREFIXES = ["s", "co", "w"]
+
+
+def ft_terms_enum(sf_dir: str) -> pa.Table:
+    """Term enumeration by prefix with document frequency — Solr
+    TermsComponent analog (solr/core/src/java/org/apache/solr/handler/
+    component/TermsComponent.java, terms.prefix + terms.sort=index): for each
+    prefix, the matching dictionary terms with global df, ordered by term."""
+    r = get_searcher(sf_dir).reader
+    out_p, out_t, out_df = [], [], []
+    for pref in TERMS_ENUM_PREFIXES:
+        terms = sorted(r.expand_terms(PrefixQuery(pref)))
+        stats = r.term_stats([("content", t) for t in terms])
+        for t in terms:
+            df = stats[("content", t)][0]
+            if df:
+                out_p.append(pref)
+                out_t.append(t)
+                out_df.append(df)
+    return pa.table({
+        "prefix": pa.array(out_p, pa.string()),
+        "term": pa.array(out_t, pa.string()),
+        "df": pa.array(out_df, pa.int64()),
+    })
+
+
 def ft_filter_query(sf_dir: str) -> pa.Table:
     """BooleanClause.Occur.FILTER: non-scoring constraints — MUST+FILTER,
     pure FILTER (score 0 → doc-order ranks), SHOULD-disjunction+FILTER →

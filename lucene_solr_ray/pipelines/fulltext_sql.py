@@ -364,6 +364,19 @@ def _term_score_cte(name: str, term: str) -> str:
 )"""
 
 
+def sql_terms_enum(prefixes: list[str]) -> str:
+    """TermsComponent oracle: per prefix, matching kept-token dictionary
+    entries with global df, term-ordered."""
+    parts = [
+        prelude() + f"""
+SELECT '{p}' AS prefix, tok AS term, CAST(df AS BIGINT) AS df
+FROM idf WHERE tok LIKE '{p}%' ORDER BY tok
+"""
+        for p in prefixes
+    ]
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
 def sql_filter_query(k: int = 10) -> str:
     """FILTER-clause oracle: fm = MUST merge + FILTER window (score = merge's
     BM25 only), ff = pure FILTER spark (score 0 → doc-id order), fo = SHOULD
