@@ -477,6 +477,46 @@ def ft_sorted_by_path(sf_dir: str) -> pa.Table:
     )
 
 
+PHRASE_PREFIX_SPECS = [
+    {"qid": "pp_spark_me", "terms": ["spark"], "prefix": "me"},
+    {"qid": "pp_data_d", "terms": ["data"], "prefix": "d"},
+    {"qid": "pp_spark_zz", "terms": ["spark"], "prefix": "zz"},
+]
+
+
+def ft_phrase_prefix(sf_dir: str) -> pa.Table:
+    """match_phrase_prefix (MultiPhrasePrefix pattern): fixed leading terms +
+    a dictionary-expanded prefix in the last slot → full match sets
+    (query_id, doc_id)."""
+    from ..search.query import PhrasePrefixQuery
+
+    s = get_searcher(sf_dir)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    out_q: list[str] = []
+    out_d: list[np.ndarray] = []
+    for sp in PHRASE_PREFIX_SPECS:
+        q = PhrasePrefixQuery(tuple(sp["terms"]), sp["prefix"])
+        gids: list[np.ndarray] = []
+        scattered = s._scatter_match(q, "ids")
+        if scattered is not None:  # None ⇔ the prefix expands to zero terms
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                if len(b):
+                    segs = b["seg"].to_numpy()
+                    lids = b["local_id"].to_numpy().astype(np.int64)
+                    for sv in np.unique(segs):
+                        m = segs == sv
+                        gids.append(lids[m] + doc_bases[int(sv)])
+        arr = np.concatenate(gids) if gids else np.empty(0, dtype=np.int64)
+        out_q.extend([sp["qid"]] * len(arr))
+        out_d.append(arr)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.string()),
+        "doc_id": pa.array(
+            np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+        ),
+    })
+
+
 TERMS_ENUM_PREFIXES = ["s", "co", "w"]
 
 

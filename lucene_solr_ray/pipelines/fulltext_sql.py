@@ -231,6 +231,28 @@ def sql_phrase_union(specs: list[dict]) -> str:
     return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
 
 
+def sql_phrase_prefix(specs: list[dict]) -> str:
+    """match_phrase_prefix oracle: fixed leading terms at consecutive kept
+    positions, any kept token with the prefix at the next position →
+    (query_id, doc_id) match sets. (The engine caps dictionary expansion at
+    max_expansions=50; spec prefixes are chosen to expand below the cap, so
+    the unbounded LIKE is equivalent.)"""
+    parts = []
+    for s in specs:
+        terms = s["terms"]
+        n = len(terms)
+        joins = " ".join(
+            f"JOIN ktp t{i} ON t{i}.did = t0.did AND t{i}.p = t0.p + {i}"
+            for i in range(1, n + 1)
+        )
+        conds = " AND ".join(f"t{i}.tok = '{t}'" for i, t in enumerate(terms))
+        parts.append(f"""
+SELECT '{s["qid"]}' AS query_id, CAST(did AS BIGINT) AS doc_id
+FROM (SELECT DISTINCT t0.did AS did FROM ktp t0 {joins}
+      WHERE {conds} AND t{n}.tok LIKE '{s["prefix"]}%')""")
+    return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
+
+
 def sql_prefix_union(specs: list[dict]) -> str:
     """Constant-score prefix retrieval: (query_id, doc_id) sets."""
     parts = [

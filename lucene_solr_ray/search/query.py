@@ -75,6 +75,23 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class PhrasePrefixQuery(Query):
+    """Phrase whose LAST position is a prefix — match_phrase_prefix semantics
+    (the MultiPhrasePrefix pattern over search/MultiPhraseQuery.java):
+    rewrite expands the prefix against the term dictionary (first
+    ``max_expansions`` terms in dictionary order, like
+    MultiPhrasePrefixQuery's maxExpansions) and scores as a MultiPhraseQuery.
+    No expansions → matches nothing."""
+
+    terms: tuple[str, ...]  # fixed leading phrase terms (may be empty)
+    prefix: str
+    max_expansions: int = 50
+    boost: float = 1.0
+    field: str = CONTENT_FIELD
+    slop: int = 0
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Union of terms scored as if one term: stats = (max df, max ttf) of the
     set, per-doc freq = Σ tf across synonyms (search/SynonymQuery.java)."""
@@ -362,6 +379,14 @@ def rewrite(q: Query, reader) -> Query:
         return ExpandedTermsQuery(tuple(sorted(q.terms)), q.boost, q.field)
     if isinstance(q, CommonTermsQuery):
         return _rewrite_common_terms(q, reader)
+    if isinstance(q, PhrasePrefixQuery):
+        exp = sorted(reader.expand_terms(PrefixQuery(q.prefix, field=q.field)))
+        exp = exp[: q.max_expansions]
+        if not exp:
+            return BooleanQuery()  # no dictionary term matches → match nothing
+        slots = tuple([(t,) for t in q.terms] + [tuple(exp)])
+        return MultiPhraseQuery(slots, tuple(range(len(slots))), q.boost,
+                                q.field, q.slop)
     if isinstance(q, ConstantScoreQuery):
         return ConstantScoreQuery(rewrite(q.query, reader), q.boost)
     if isinstance(q, FunctionScoreQuery):

@@ -190,3 +190,59 @@ def test_filter_clause_semantics(built, use_ray):
     assert set(pf["score"].to_pylist()) == {0.0}
     ids = pf["doc_id"].to_pylist()
     assert ids == sorted(ids)
+
+
+def test_phrase_prefix_vs_positions_oracle(built):
+    """match_phrase_prefix: docs where `a` is immediately followed by any
+    dictionary term starting with the prefix — checked against the
+    brute-force position lists."""
+    from lucene_solr_ray.search.query import PhrasePrefixQuery
+
+    d, oracle, _ = built
+    s = Searcher(d)
+    # pick a bigram that actually occurs: first term + prefix of its successor
+    mid = pre = None
+    for doc in range(oracle.n):
+        inv = {}
+        for t, ps in oracle.pos[doc].items():
+            for p in ps:
+                inv[p] = t
+        for p, t in sorted(inv.items()):
+            if p + 1 in inv:
+                mid, pre = t, inv[p + 1][:2]
+                break
+        if mid:
+            break
+    assert mid is not None
+
+    q = PhrasePrefixQuery((mid,), pre)
+    got = set()
+    for _seg, base, ids in s._matches_per_segment(q):
+        got.update((ids + base).tolist())
+
+    exp = set()
+    for doc in range(oracle.n):
+        pos_a = oracle.pos[doc].get(mid, [])
+        nxt = {p + 1 for p in pos_a}
+        for t, ps in oracle.pos[doc].items():
+            if t.startswith(pre) and nxt.intersection(ps):
+                exp.add(doc)
+                break
+    assert got == exp and exp  # non-trivial match set
+
+    # no expansion → no matches
+    q0 = PhrasePrefixQuery((mid,), "zzzz_nothing")
+    assert all(len(ids) == 0 for _s, _b, ids in s._matches_per_segment(q0))
+
+
+def test_phrase_prefix_respects_max_expansions(built):
+    from lucene_solr_ray.search.query import PhrasePrefixQuery, MultiPhraseQuery
+    from lucene_solr_ray.search.query import rewrite
+
+    d, oracle, _ = built
+    s = Searcher(d)
+    r = rewrite(PhrasePrefixQuery(("the",), "a", max_expansions=3), s.reader)
+    assert isinstance(r, MultiPhraseQuery)
+    assert len(r.terms[-1]) <= 3
+    # expansions come in dictionary order
+    assert list(r.terms[-1]) == sorted(r.terms[-1])
