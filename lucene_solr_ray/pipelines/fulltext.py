@@ -623,6 +623,13 @@ def ft_join_scored(sf_dir: str) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def ft_pivot_facets(sf_dir: str) -> pa.Table:
+    """Solr pivot facets (facet.pivot=repo,lang) over FACET_TERM matches →
+    nested (repo, lang, count)."""
+    s = get_searcher(sf_dir)
+    return s.pivot_facets(TermQuery(FACET_TERM), fields=("repo", "lang"))
+
+
 DRILL_DIMS = {"repo": "src3", "lang": "en"}
 
 

@@ -475,6 +475,17 @@ FROM hits ORDER BY vs DESC, did ASC LIMIT 10
     return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
 
 
+def sql_pivot_facets(term: str) -> str:
+    """Pivot-facet oracle: nested (repo=source, lang, count) over docs
+    matching ``term`` (column NAMES follow the engine's repo/lang fields)."""
+    return prelude() + f""",
+m AS (SELECT DISTINCT did FROM tf WHERE tok = '{term}')
+SELECT c.source AS repo, c.lang AS lang, CAST(count(*) AS BIGINT) AS count
+FROM m JOIN corpus c USING (did)
+GROUP BY c.source, c.lang
+"""
+
+
 def sql_drill_sideways(term: str, repo_val: str, lang_val: str) -> str:
     """DrillSideways oracle over dims repo (=source) and lang: each dim's
     counts with its own filter removed, the other dim's filter + the base

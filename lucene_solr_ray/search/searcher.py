@@ -830,6 +830,54 @@ class Searcher:
             }
         )
 
+    def pivot_facets(self, query: Query, fields: tuple[str, str] = ("repo", "lang"),
+                     use_ray: bool = True) -> pa.Table:
+        """Solr pivot facets (facet.pivot=f1,f2 — solr/core/src/java/org/
+        apache/solr/handler/component/PivotFacetProcessor.java): nested
+        (parent value, child value, count) over the matching docs, ordered by
+        parent total desc / parent asc, then child count desc / child asc.
+        Reuses the taxonomy scatter's (value1, value2, count) partials."""
+        from collections import Counter
+
+        pair_counts: Counter = Counter()
+        scattered = (
+            self._scatter_match(query, "facet2", field=",".join(fields))
+            if use_ray else None
+        )
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                for v1, v2, c in zip(b["value1"].to_pylist(), b["value2"].to_pylist(),
+                                     b["count"].to_pylist()):
+                    pair_counts[(v1, v2)] += c
+        else:
+            import pyarrow.parquet as pq_mod
+
+            for seg, _base, ids in self._matches_per_segment(query):
+                if not len(ids):
+                    continue
+                tbl = pq_mod.read_table(
+                    os.path.join(self.reader.seg_dir(seg), "docs.parquet"),
+                    columns=list(fields),
+                )
+                v1 = tbl[fields[0]].to_numpy(zero_copy_only=False)[ids]
+                v2 = tbl[fields[1]].to_numpy(zero_copy_only=False)[ids]
+                for a, b2 in zip(v1.tolist(), v2.tolist()):
+                    pair_counts[(str(a), str(b2))] += 1
+        totals: Counter = Counter()
+        for (v1, _v2), c in pair_counts.items():
+            totals[v1] += c
+        rows = sorted(
+            pair_counts.items(),
+            key=lambda kv: (-totals[kv[0][0]], kv[0][0], -kv[1], kv[0][1]),
+        )
+        return pa.table(
+            {
+                fields[0]: pa.array([v1 for (v1, _), _c in rows], pa.string()),
+                fields[1]: pa.array([v2 for (_, v2), _c in rows], pa.string()),
+                "count": pa.array([c for _, c in rows], pa.int64()),
+            }
+        )
+
     def drill_sideways(self, base: Query, dims: dict[str, str],
                        use_ray: bool = True) -> pa.Table:
         """DrillSideways analog (lucene/facet/src/java/org/apache/lucene/
