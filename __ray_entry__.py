@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_terms_enum": fulltext.ft_terms_enum,
         "ft_phrase_prefix": fulltext.ft_phrase_prefix,
         "ft_pivot_facets": fulltext.ft_pivot_facets,
+        "ft_classify_nb": fulltext.ft_classify_nb,
+        "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
         "ft_numeric_range": fulltext.ft_numeric_range,
@@ -171,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_terms_enum": fs.sql_terms_enum(fulltext.TERMS_ENUM_PREFIXES),
         "ft_phrase_prefix": fs.sql_phrase_prefix(fulltext.PHRASE_PREFIX_SPECS),
         "ft_pivot_facets": fs.sql_pivot_facets(fulltext.FACET_TERM),
+        "ft_classify_nb": fs.sql_classify_nb(fulltext.NB_SAMPLE),
         "ft_drill_sideways": fs.sql_drill_sideways(
             fulltext.FACET_TERM, fulltext.DRILL_DIMS["repo"], fulltext.DRILL_DIMS["lang"]
         ),

@@ -623,6 +623,29 @@ def ft_join_scored(sf_dir: str) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+NB_SAMPLE = 100
+KNN_DOC_IDS = [0, 7, 23, 55, 90]
+
+
+def ft_classify_nb(sf_dir: str) -> pa.Table:
+    """SimpleNaiveBayesClassifier over the index: classify the first
+    NB_SAMPLE docs into lang classes → (doc_id, assigned)."""
+    from ..search.classify import classify_naive_bayes
+
+    s = get_searcher(sf_dir)
+    return classify_naive_bayes(s, sample_max=NB_SAMPLE, class_field="lang")
+
+
+def ft_classify_knn(sf_dir: str) -> pa.Table:
+    """KNearestNeighborClassifier: MLT top-10 neighbor vote on lang for a
+    fixed doc sample → (doc_id, assigned). Rows-only driver check; vote
+    semantics pinned in pytest."""
+    from ..search.classify import classify_knn
+
+    s = get_searcher(sf_dir)
+    return classify_knn(s, KNN_DOC_IDS, k=10, class_field="lang")
+
+
 def ft_pivot_facets(sf_dir: str) -> pa.Table:
     """Solr pivot facets (facet.pivot=repo,lang) over FACET_TERM matches →
     nested (repo, lang, count)."""

@@ -475,6 +475,43 @@ FROM hits ORDER BY vs DESC, did ASC LIMIT 10
     return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
 
 
+def sql_classify_nb(sample_max: int) -> str:
+    """Naive Bayes oracle (SimpleNaiveBayesClassifier formulas): per sampled
+    doc and class, ln(nc) - ln(N) + Σ tf·ln((co+1)/(avgU·nc + N)); assigned
+    = argmax (lexicographic tie-break). Docs with no kept tokens are skipped
+    (no likelihood evidence)."""
+    return prelude() + f""",
+dt AS (SELECT DISTINCT did, tok FROM kept),
+co AS (
+  SELECT dt.tok, c.lang, count(*) AS n
+  FROM dt JOIN corpus c USING (did) GROUP BY dt.tok, c.lang
+),
+cls AS (SELECT lang, count(*) AS nc FROM corpus GROUP BY lang),
+st AS (
+  SELECT (SELECT count(*) FROM corpus) AS n_docs,
+         (SELECT count(*) FROM dt) AS sum_df
+),
+tfs AS (
+  SELECT did, tok, count(*) AS tf FROM kept WHERE did < {sample_max}
+  GROUP BY did, tok
+),
+sc AS (
+  SELECT t.did, cl.lang,
+         ln(CAST(cl.nc AS DOUBLE)) - ln(CAST(st.n_docs AS DOUBLE))
+         + sum(t.tf * ln((coalesce(co.n, 0) + 1)
+                         / (CAST(st.sum_df AS DOUBLE) / st.n_docs * cl.nc + st.n_docs))) AS score
+  FROM tfs t CROSS JOIN cls cl CROSS JOIN st
+  LEFT JOIN co ON co.tok = t.tok AND co.lang = cl.lang
+  GROUP BY t.did, cl.lang, cl.nc, st.n_docs, st.sum_df
+)
+SELECT CAST(did AS BIGINT) AS doc_id, lang AS assigned
+FROM (SELECT did, lang,
+             row_number() OVER (PARTITION BY did ORDER BY score DESC, lang ASC) AS rn
+      FROM sc)
+WHERE rn = 1 ORDER BY did
+"""
+
+
 def sql_pivot_facets(term: str) -> str:
     """Pivot-facet oracle: nested (repo=source, lang, count) over docs
     matching ``term`` (column NAMES follow the engine's repo/lang fields)."""

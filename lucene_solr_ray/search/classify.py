@@ -1,0 +1,209 @@
+"""Lucene classification-module analogs over the inverted index.
+
+- Naive Bayes — SimpleNaiveBayesClassifier (ref lucene/classification/src/
+  java/org/apache/lucene/classification/SimpleNaiveBayesClassifier.java):
+  per input doc and class c,
+
+      score(d, c) = ln(df_c) - ln(N)                       (calculateLogPrior)
+                  + Σ_w tf_w(d) · ln((hits(w, c) + 1) / (avgU · df_c + N))
+
+  with hits(w, c) = |docs containing w with class c| (getWordFreqForClass),
+  avgU = sumDocFreq/docCount of the text field (getTextTermFreqForClass) and
+  N = docs carrying the class field. This mirrors the CODE at :203-230 (the
+  denominator adds docsWithClass, not the "+|V|" the comment claims).
+  Tie-break: lexicographically first class (the reference iterates classes
+  in TermsEnum order and only replaces on strictly-greater).
+
+  All token statistics come from the index itself: one Ray pass over the
+  postings (groupby('seg') → per-segment (term, class, count) partials +
+  (doc, term, tf) rows for the sampled docs). Only vocab×classes co-counts
+  and the sample's tf rows travel to the driver — never documents.
+
+- KNN — KNearestNeighborClassifier (same dir, :51): MoreLikeThis top-k
+  neighbors of the input doc, class = max neighbor count, ties by higher
+  summed neighbor score then lexicographic class.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+
+class NBSegmentPartials:
+    """map_groups callable over postings ``groupby('seg')``: emits
+    kind='co' rows (term, class, doc-count) for the whole segment and
+    kind='tf' rows (doc_id, term, tf) for sampled docs (global id <
+    ``sample_max``)."""
+
+    def __init__(self, seg_dirs: dict, doc_bases: dict, class_field: str,
+                 sample_max: int):
+        self.seg_dirs = seg_dirs
+        self.doc_bases = doc_bases
+        self.class_field = class_field
+        self.sample_max = sample_max
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from .scorer import decode_segment_postings
+
+        seg = int(group["seg"][0].as_py())
+        base = self.doc_bases[seg]
+        cls_col = pq.read_table(
+            os.path.join(self.seg_dirs[seg], "docs.parquet"),
+            columns=[self.class_field],
+        )[self.class_field].to_numpy(zero_copy_only=False).astype(str)
+        classes, codes = np.unique(cls_col, return_inverse=True)
+        decoded = decode_segment_postings(group)
+
+        out_kind: list[str] = []
+        out_term: list[str] = []
+        out_cls: list[str] = []
+        out_n: list[int] = []
+        out_doc: list[int] = []
+        for (field, term), (ids, freqs) in decoded.items():
+            if field != "content":
+                continue
+            cnt = np.bincount(codes[ids], minlength=len(classes))
+            nz = np.flatnonzero(cnt)
+            out_kind.extend(["co"] * len(nz))
+            out_term.extend([term] * len(nz))
+            out_cls.extend(classes[nz].tolist())
+            out_n.extend(cnt[nz].tolist())
+            out_doc.extend([0] * len(nz))
+            if base < self.sample_max:
+                gids = ids + base
+                m = gids < self.sample_max
+                k = int(m.sum())
+                if k:
+                    out_kind.extend(["tf"] * k)
+                    out_term.extend([term] * k)
+                    out_cls.extend([""] * k)
+                    out_n.extend(freqs[m].tolist())
+                    out_doc.extend(gids[m].tolist())
+        return pa.table(
+            {
+                "kind": pa.array(out_kind, pa.string()),
+                "term": pa.array(out_term, pa.string()),
+                "cls": pa.array(out_cls, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+            }
+        )
+
+
+def classify_naive_bayes(searcher, sample_max: int = 100,
+                         class_field: str = "lang") -> pa.Table:
+    """Classify the first ``sample_max`` docs (by global id) of the index
+    with the index-trained Naive Bayes model → (doc_id, assigned).
+
+    Docs whose analyzed text is empty never appear in the postings and are
+    skipped (no likelihood evidence), matching the SQL oracle's join shape.
+    """
+    import math
+
+    import ray.data
+
+    r = searcher.reader
+    co: dict[tuple[str, str], int] = {}
+    doc_tf: dict[int, list[tuple[str, int]]] = {}
+    ds = ray.data.read_parquet(
+        r.postings_files(), filter=pa.compute.field("field") == "content"
+    )
+    parts = ds.groupby("seg").map_groups(
+        NBSegmentPartials,
+        fn_constructor_kwargs=dict(
+            seg_dirs=r.seg_dirs(),
+            doc_bases={s["seg"]: s["doc_base"] for s in r.segments},
+            class_field=class_field,
+            sample_max=sample_max,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        max_restarts=0,
+    )
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        kinds = b["kind"].to_pylist()
+        terms = b["term"].to_pylist()
+        clss = b["cls"].to_pylist()
+        ns = b["n"].to_pylist()
+        docs = b["doc_id"].to_pylist()
+        for kind, term, cls, n, doc in zip(kinds, terms, clss, ns, docs):
+            if kind == "co":
+                co[(term, cls)] = co.get((term, cls), 0) + n
+            else:
+                doc_tf.setdefault(doc, []).append((term, n))
+
+    classes = sorted({c for _t, c in co})
+    n_docs = r.stats.doc_count
+    content_stats = r.field_stats.get("content") or {
+        "sum_df": r.stats.sum_df, "doc_count": n_docs
+    }
+    avg_u = content_stats["sum_df"] / content_stats["doc_count"]
+    df_c = {
+        c: r.term_stats([(class_field, c)])[(class_field, c)][0] for c in classes
+    }
+
+    out_doc: list[int] = []
+    out_cls: list[str] = []
+    for doc in sorted(doc_tf):
+        best_c, best_s = None, None
+        for c in classes:  # lexicographic order; replace on strictly greater
+            den = avg_u * df_c[c] + n_docs
+            s = math.log(df_c[c]) - math.log(n_docs)
+            for term, tf in doc_tf[doc]:
+                s += tf * math.log((co.get((term, c), 0) + 1) / den)
+            if best_s is None or s > best_s:
+                best_c, best_s = c, s
+        out_doc.append(doc)
+        out_cls.append(best_c)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "assigned": pa.array(out_cls, pa.string()),
+        }
+    )
+
+
+def classify_knn(searcher, doc_ids: list[int], k: int = 10,
+                 class_field: str = "lang", **mlt_kwargs) -> pa.Table:
+    """KNN classification of existing docs — KNearestNeighborClassifier
+    (classifyFromTopDocs): MLT top-k neighbors (the query doc itself
+    excluded), class = max neighbor count, ties by summed neighbor score
+    desc then class asc → (doc_id, assigned)."""
+    from collections import Counter
+
+    from .mlt import mlt_query
+
+    out_doc: list[int] = []
+    out_cls: list[str] = []
+    for did in doc_ids:
+        q = mlt_query(searcher, did, **mlt_kwargs)
+        if not q.should:
+            continue
+        res = searcher.search({"q": q}, k=k + 1, use_ray=False)
+        ids = [i for i in res["doc_id"].to_pylist() if i != did][:k]
+        scores = {
+            i: s for i, s in zip(res["doc_id"].to_pylist(), res["score"].to_pylist())
+        }
+        if not ids:
+            continue
+        fetched = searcher.reader.fetch_docs(ids, columns=["doc_id", class_field])
+        cmap = dict(zip(fetched["doc_id"].to_pylist(),
+                        fetched[class_field].to_pylist()))
+        counts: Counter = Counter(cmap[i] for i in ids)
+        ssum: dict[str, float] = {}
+        for i in ids:
+            ssum[cmap[i]] = ssum.get(cmap[i], 0.0) + float(scores[i])
+        best = sorted(counts, key=lambda c: (-counts[c], -ssum[c], c))[0]
+        out_doc.append(did)
+        out_cls.append(best)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "assigned": pa.array(out_cls, pa.string()),
+        }
+    )

@@ -20,7 +20,8 @@ N_DOCS = 300
 def built(ray_session, tmp_path_factory):
     tbl = generate_corpus(N_DOCS)
     d = str(tmp_path_factory.mktemp("cmp_index"))
-    build_index(ray.data.from_arrow(tbl), d, docs_per_segment=100)
+    build_index(ray.data.from_arrow(tbl), d, docs_per_segment=100,
+                store_content=True)
     return d, BruteForceIndex(tbl), tbl
 
 
@@ -246,3 +247,79 @@ def test_phrase_prefix_respects_max_expansions(built):
     assert len(r.terms[-1]) <= 3
     # expansions come in dictionary order
     assert list(r.terms[-1]) == sorted(r.terms[-1])
+
+
+def test_classify_naive_bayes_vs_brute(built):
+    """SimpleNaiveBayesClassifier vs an in-test recompute from the oracle's
+    token lists (priors + add-1 likelihoods, reference denominator)."""
+    import math
+
+    from lucene_solr_ray.search.classify import classify_naive_bayes
+
+    d, oracle, tbl = built
+    s = Searcher(d)
+    res = classify_naive_bayes(s, sample_max=40, class_field="lang")
+
+    keys = list(zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(), tbl["commit"].to_pylist()))
+    order = sorted(range(len(keys)), key=lambda i: keys[i])
+    langs = [tbl["lang"].to_pylist()[i] for i in order]
+
+    classes = sorted(set(langs))
+    n = oracle.n
+    df_c = {c: langs.count(c) for c in classes}
+    sum_df = sum(len(tf) for tf in oracle.tf)  # distinct (doc, term) pairs
+    avg_u = sum_df / n
+    co: dict = {}
+    for doc in range(n):
+        for t in oracle.tf[doc]:
+            co[(t, langs[doc])] = co.get((t, langs[doc]), 0) + 1
+
+    exp = {}
+    for doc in range(40):
+        if not oracle.tf[doc]:
+            continue
+        best_c, best_s = None, None
+        for c in classes:
+            den = avg_u * df_c[c] + n
+            sc = math.log(df_c[c]) - math.log(n)
+            for t, tf in oracle.tf[doc].items():
+                sc += tf * math.log((co.get((t, c), 0) + 1) / den)
+            if best_s is None or sc > best_s:
+                best_c, best_s = c, sc
+        exp[doc] = best_c
+
+    got = dict(zip(res["doc_id"].to_pylist(), res["assigned"].to_pylist()))
+    assert got == exp
+
+
+def test_classify_knn_vote(built):
+    """KNN classifier: assignment equals the majority lang of the MLT top-k
+    neighbors (count desc, summed score desc, lang asc)."""
+    from collections import Counter
+
+    from lucene_solr_ray.search.classify import classify_knn
+    from lucene_solr_ray.search.mlt import mlt_query
+
+    d, oracle, tbl = built
+    s = Searcher(d)
+    keys = list(zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(), tbl["commit"].to_pylist()))
+    order = sorted(range(len(keys)), key=lambda i: keys[i])
+    langs = [tbl["lang"].to_pylist()[i] for i in order]
+
+    doc_ids = [0, 5, 17]
+    res = classify_knn(s, doc_ids, k=7, class_field="lang")
+    got = dict(zip(res["doc_id"].to_pylist(), res["assigned"].to_pylist()))
+    for did in doc_ids:
+        q = mlt_query(s, did)
+        if not q.should:
+            assert did not in got
+            continue
+        r = s.search({"q": q}, k=8, use_ray=False)
+        ids = [i for i in r["doc_id"].to_pylist() if i != did][:7]
+        smap = dict(zip(r["doc_id"].to_pylist(), r["score"].to_pylist()))
+        counts = Counter(langs[i] for i in ids)
+        ssum: dict = {}
+        for i in ids:
+            ssum[langs[i]] = ssum.get(langs[i], 0.0) + float(smap[i])
+        exp = sorted(counts, key=lambda c: (-counts[c], -ssum[c], c))[0]
+        assert got[did] == exp
