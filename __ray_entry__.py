@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase_prefix": fulltext.ft_phrase_prefix,
         "ft_pivot_facets": fulltext.ft_pivot_facets,
         "ft_classify_nb": fulltext.ft_classify_nb,
+        "ft_elevate": fulltext.ft_elevate,
         "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_prefix": fs.sql_phrase_prefix(fulltext.PHRASE_PREFIX_SPECS),
         "ft_pivot_facets": fs.sql_pivot_facets(fulltext.FACET_TERM),
         "ft_classify_nb": fs.sql_classify_nb(fulltext.NB_SAMPLE),
+        "ft_elevate": fs.sql_elevate(fulltext.ELEVATE_TERM, fulltext.ELEVATE_IDS, fulltext.TOPK_K),
         "ft_drill_sideways": fs.sql_drill_sideways(
             fulltext.FACET_TERM, fulltext.DRILL_DIMS["repo"], fulltext.DRILL_DIMS["lang"]
         ),

@@ -623,6 +623,17 @@ def ft_join_scored(sf_dir: str) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+ELEVATE_TERM = "merge"
+ELEVATE_IDS = [42, 7, 300]
+
+
+def ft_elevate(sf_dir: str) -> pa.Table:
+    """QueryElevationComponent: pin ELEVATE_IDS to the top of ELEVATE_TERM's
+    results in configured order → (rank, doc_id, elevated)."""
+    s = get_searcher(sf_dir)
+    return s.search_elevated(TermQuery(ELEVATE_TERM), ELEVATE_IDS, k=TOPK_K)
+
+
 NB_SAMPLE = 100
 KNN_DOC_IDS = [0, 7, 23, 55, 90]
 

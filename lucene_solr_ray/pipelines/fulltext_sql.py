@@ -1116,3 +1116,35 @@ SELECT '{qid}' AS query_id, CAST(did AS BIGINT) AS doc_id
 FROM (SELECT DISTINCT t0.did AS did FROM ktp t0 {joins}
       WHERE {conds} AND {width} <= {slop})""")
     return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
+
+
+def sql_elevate(term: str, elevated: list[int], k: int) -> str:
+    """QueryElevationComponent oracle: configured ids (valid, in configured
+    order, truncated to k) are pinned to the top whether or not they match;
+    organic BM25 hits follow with the pinned ids excluded → (rank, doc_id,
+    elevated)."""
+    vals = ", ".join(f"({pos}, {did})" for pos, did in enumerate(elevated))
+    return prelude() + "," + _score_cte([term]) + f""",
+elev(pos, did) AS (VALUES {vals}),
+pinned AS (
+  -- valid ids keep configured order, then truncate to k (engine: filter
+  -- invalid first, slice [:k] second)
+  SELECT pos2 - 1 AS pos, did FROM (
+    SELECT row_number() OVER (ORDER BY pos) AS pos2, did FROM elev
+    WHERE did >= 0 AND did < (SELECT dc FROM stats)
+  ) WHERE pos2 <= {k}
+),
+np AS (SELECT count(*) AS n FROM pinned),
+organic AS (
+  SELECT did, row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS orank
+  FROM agg WHERE did NOT IN (SELECT did FROM pinned)
+),
+combined AS (
+  SELECT pos AS r, did, TRUE AS elevated FROM pinned
+  UNION ALL
+  SELECT (SELECT n FROM np) + orank AS r, did, FALSE AS elevated
+  FROM organic WHERE orank < {k} - (SELECT n FROM np)
+)
+SELECT CAST(r AS BIGINT) AS rank, CAST(did AS BIGINT) AS doc_id, elevated
+FROM combined ORDER BY r
+"""

@@ -1374,6 +1374,28 @@ class Searcher:
 
         return highlight_hits(self, query, doc_ids, fld=field, max_passages=max_passages)
 
+    def search_elevated(self, query: Query, elevated: list[int], k: int = 10,
+                        use_ray: bool = True) -> pa.Table:
+        """Editorial result pinning — Solr QueryElevationComponent analog
+        (solr/core/src/java/org/apache/solr/handler/component/
+        QueryElevationComponent.java): the configured doc ids are forced to
+        the top IN CONFIGURED ORDER (whether or not they match), organic hits
+        follow in score order with the elevated ids excluded.
+
+        → (rank, doc_id, elevated) truncated to k."""
+        n_total = self.reader.stats.doc_count
+        pinned = [d for d in elevated if 0 <= d < n_total][:k]
+        res = self.search(query, k=k + len(pinned), use_ray=use_ray)
+        organic = [d for d in res["doc_id"].to_pylist() if d not in set(pinned)]
+        ids = pinned + organic[: k - len(pinned)]
+        return pa.table({
+            "rank": pa.array(np.arange(len(ids)), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "elevated": pa.array(
+                [i < len(pinned) for i in range(len(ids))], pa.bool_()
+            ),
+        })
+
     def second_pass_scores(self, query: Query, global_ids: np.ndarray) -> np.ndarray:
         """Scores of ``query`` on exactly the given docs (0.0 for docs it
         doesn't match) — the second pass of QueryRescorer.rescore (ref
