@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from lucene_solr_ray.pipelines import ann, dedup, events, facets, fulltext, multimodal, solr_facets, text
+from lucene_solr_ray.pipelines import ann, dedup, events, facets, fulltext, multimodal, solr_facets, streaming_exprs, text
 from lucene_solr_ray.pipelines import fulltext_sql as fs
 
 
@@ -109,6 +109,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": facets.grouped_topk,
         "lang_char_stats": facets.lang_char_stats,
         "solr_json_facets": solr_facets.solr_json_facets,
+        # --- Solr streaming expressions (parser + stream algebra on Ray Data) ---
+        "st_rollup": streaming_exprs.st_rollup,
+        "st_join_topk": streaming_exprs.st_join_topk,
+        "st_unique_having": streaming_exprs.st_unique_having,
+        "st_facet": streaming_exprs.st_facet,
+        "st_complement": streaming_exprs.st_complement,
+        "st_fetch_rollup": streaming_exprs.st_fetch_rollup,
         # --- multimodal plumbing ---
         "mm_payload_features": multimodal.mm_payload_features,
     }
@@ -197,5 +204,11 @@ def oracle_sql() -> dict[str, str]:
         "grouped_topk": facets.SQL_GROUPED_TOPK,
         "lang_char_stats": facets.SQL_LANG_CHAR_STATS,
         "solr_json_facets": solr_facets.SQL_SOLR_JSON_FACETS,
+        "st_rollup": streaming_exprs.SQL_ST_ROLLUP,
+        "st_join_topk": streaming_exprs.SQL_ST_JOIN_TOPK,
+        "st_unique_having": streaming_exprs.SQL_ST_UNIQUE_HAVING,
+        "st_facet": streaming_exprs.SQL_ST_FACET,
+        "st_complement": streaming_exprs.SQL_ST_COMPLEMENT,
+        "st_fetch_rollup": streaming_exprs.SQL_ST_FETCH_ROLLUP,
         "mm_payload_features": multimodal.SQL_MM_PAYLOAD_FEATURES,
     }

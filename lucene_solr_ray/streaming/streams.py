@@ -1,0 +1,595 @@
+"""Stream constructors: each Solr stream class becomes a Ray Data pipeline.
+
+Reference semantics (all under
+``solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/``):
+
+- ``search``   → ``CloudSolrStream.java`` (q pushed down to the shards; here:
+  parquet predicate + column pruning at the read)
+- ``rollup``   → ``RollupStream.java:60-120`` (buckets via ``over``, metrics
+  ``sum/min/max/avg/count`` from ``metrics/``)
+- ``facet``    → ``FacetStream.java`` (aggregates pushed into the engine;
+  ``buckets``, ``bucketSorts``, ``bucketSizeLimit``)
+- ``stats``    → ``StatsStream.java`` (single aggregate tuple)
+- ``innerJoin``/``leftOuterJoin`` → ``InnerJoinStream.java`` /
+  ``LeftOuterJoinStream.java`` (``on="l=r, ..."``; merged tuple = left fields
+  with right fields added, right wins on collisions — ``Tuple.merge``)
+- ``hashJoin``/``outerHashJoin`` → ``HashJoinStream.java:40-60`` (hashed
+  stream fully materialized in memory — here: broadcast via ``ray.put``)
+- ``unique``   → ``UniqueStream.java:55-90`` (first tuple per ``over`` key in
+  the stream's declared sort order)
+- ``top``      → ``RankStream.java:59-70`` (bounded priority queue, global
+  top-n re-sorted by the comparator)
+- ``sort``     → ``SortStream.java`` (full re-sort by ``by``)
+- ``select``   → ``SelectStream.java`` (projection + ``as`` renames)
+- ``having``   → ``HavingStream.java`` + the boolean evaluators
+  (``eq/gt/lt/gteq/lteq/and/or/not`` in ``io/eval/``)
+- ``merge``    → ``MergeStream.java`` (union of two streams; ``on`` declares
+  the combined order)
+- ``intersect``/``complement`` → ``IntersectStream.java`` /
+  ``ComplementStream.java`` (left tuples whose ``on`` key does / does not
+  appear in the right stream)
+- ``fetch``    → ``FetchStream.java`` (decorate tuples with extra fields
+  looked up from a collection by key)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .parser import StreamExpression, parse_expression
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+METRIC_OPS = {"sum", "min", "max", "avg", "count"}
+
+
+# ---------------------------------------------------------------------------
+# sort specs and q parsing
+# ---------------------------------------------------------------------------
+
+def parse_sort_spec(spec: str) -> list[tuple[str, bool]]:
+    """``"a asc, b desc"`` → ``[("a", True), ("b", False)]`` (bool = asc)."""
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        bits = part.split()
+        col = bits[0]
+        asc = True if len(bits) == 1 else bits[1].lower() != "desc"
+        out.append((col, asc))
+    return out
+
+
+def _coerce(value: str, typ: pa.DataType):
+    value = value.strip().strip('"')
+    if pa.types.is_integer(typ):
+        return int(value)
+    if pa.types.is_floating(typ):
+        return float(value)
+    if pa.types.is_timestamp(typ):
+        return datetime.fromisoformat(value)
+    return value
+
+
+def parse_q(q: str | None, schema: pa.Schema):
+    """Structured-query subset of CloudSolrStream's ``q`` parameter
+    (the reference pushes ``q`` down to the shards; we push it down to the
+    parquet scan): ``*:*``, ``field:value``, inclusive/exclusive ranges
+    ``field:[lo TO hi]`` / ``field:{lo TO hi}``, joined with ``AND``."""
+    if q is None or q.strip() in ("*:*", "", "*"):
+        return None
+    import pyarrow.dataset as pads
+
+    expr = None
+    for clause in q.split(" AND "):
+        clause = clause.strip()
+        fieldname, _, rhs = clause.partition(":")
+        fieldname = fieldname.strip()
+        if fieldname not in schema.names:
+            raise ValueError(f"unknown field in q: {fieldname!r}")
+        typ = schema.field(fieldname).type
+        rhs = rhs.strip()
+        if rhs and rhs[0] in "[{" and rhs[-1] in "]}":
+            lo_inc, hi_inc = rhs[0] == "[", rhs[-1] == "]"
+            lo, _, hi = rhs[1:-1].partition(" TO ")
+            e = None
+            if lo.strip() != "*":
+                v = _coerce(lo, typ)
+                cmp = pads.field(fieldname) >= v if lo_inc else pads.field(fieldname) > v
+                e = cmp
+            if hi.strip() != "*":
+                v = _coerce(hi, typ)
+                cmp = pads.field(fieldname) <= v if hi_inc else pads.field(fieldname) < v
+                e = cmp if e is None else (e & cmp)
+            clause_expr = e
+        else:
+            clause_expr = pads.field(fieldname) == _coerce(rhs, typ)
+        if clause_expr is not None:
+            expr = clause_expr if expr is None else (expr & clause_expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# stream node
+# ---------------------------------------------------------------------------
+
+@dataclass
+class StreamNode:
+    """A lazy Ray ``Dataset`` plus the stream's declared tuple order.
+
+    Solr streams ARE their sort order (merge-sorted iterators); Ray Data
+    blocks stream unordered, so the order is carried as metadata and applied
+    only where semantics need it (``unique``; ``top``/``sort`` sort for
+    real). ``ordered=True`` marks nodes whose block order is the declared
+    order (post-``sort``/``top``)."""
+
+    ds: object  # ray.data.Dataset
+    sort: list[tuple[str, bool]] = dc_field(default_factory=list)
+    ordered: bool = False
+
+    def to_table(self) -> pa.Table:
+        """Materialize (stream endpoint). Applies the declared order so the
+        emitted tuple sequence matches the Solr stream's."""
+        batches = list(self.ds.iter_batches(batch_format="pyarrow"))
+        if not batches:
+            sch = self.ds.schema()
+            base = getattr(sch, "base_schema", None)
+            return base.empty_table() if isinstance(base, pa.Schema) else pa.table({})
+        tbl = pa.concat_tables(batches)
+        if self.sort and not self.ordered:
+            cols = [c for c, _ in self.sort if c in tbl.column_names]
+            if cols:
+                tbl = tbl.sort_by(
+                    [(c, "ascending" if asc else "descending") for c, asc in self.sort if c in tbl.column_names]
+                )
+        return tbl
+
+
+# ---------------------------------------------------------------------------
+# metric helpers (metrics/SumMetric.java, MinMetric, MaxMetric, MeanMetric,
+# CountMetric — tuple keys are the metric identifiers, e.g. "sum(a_i)")
+# ---------------------------------------------------------------------------
+
+def _parse_metrics(expr: StreamExpression) -> list[tuple[str, str]]:
+    out = []
+    for sub in expr.sub_expressions():
+        if sub.name in METRIC_OPS:
+            col = sub.positionals[0] if sub.positionals else "*"
+            out.append((sub.name, col))
+    return out
+
+
+_ONES = "__ones__"
+
+
+def _partial_aggs(metrics: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """pyarrow TableGroupBy aggregation list for the partial pass."""
+    aggs = set()
+    for op, col in metrics:
+        if op == "count":
+            aggs.add((_ONES, "sum"))
+        elif op == "avg":
+            aggs.add((col, "sum"))
+            aggs.add((_ONES, "sum"))
+        else:
+            aggs.add((col, op))
+    return sorted(aggs)
+
+
+def _rollup_partial(keys: list[str], metrics: list[tuple[str, str]]):
+    aggs = _partial_aggs(metrics)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = batch.append_column(_ONES, pa.array([1] * batch.num_rows, pa.int64()))
+        return pa.TableGroupBy(b, keys).aggregate(aggs)
+
+    return fn
+
+
+def _rollup_final(keys: list[str], metrics: list[tuple[str, str]]):
+    aggs = _partial_aggs(metrics)
+    # combining partials: sums/counts re-sum, mins re-min, maxes re-max
+    combine = [(f"{col}_{op}", "sum" if op == "sum" else op) for col, op in aggs]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        g = pa.TableGroupBy(batch, keys).aggregate(combine)
+        cols: dict[str, pa.Array] = {k: g[k] for k in keys}
+        for op, col in metrics:
+            if op == "count":
+                cols[f"count({col})"] = g[f"{_ONES}_sum_sum"].cast(pa.int64())
+            elif op == "avg":
+                s = g[f"{col}_sum_sum"].cast(pa.float64())
+                n = g[f"{_ONES}_sum_sum"].cast(pa.float64())
+                cols[f"avg({col})"] = pc.divide(s, n)
+            else:
+                cols[f"{op}({col})"] = g[f"{col}_{op}_{'sum' if op == 'sum' else op}"]
+        return pa.table(cols)
+
+    return fn
+
+
+def _combiner_aggregate(ds, keys: list[str], metrics: list[tuple[str, str]]):
+    """Per-block partials → single combine block. Partials (≤ |distinct keys|
+    rows per block) move through the exchange, never input rows; at high key
+    cardinality swap the repartition(1) for a hash-partition repartition on
+    ``keys`` — the partial/final split stays identical."""
+    partial = ds.map_batches(
+        _rollup_partial(keys, metrics), batch_format="pyarrow", batch_size=None
+    )
+    return partial.repartition(1).map_batches(
+        _rollup_final(keys, metrics), batch_format="pyarrow", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# having evaluators (io/eval/{EqualTo,GreaterThan,...}Evaluator.java)
+# ---------------------------------------------------------------------------
+
+_CMP = {"eq": "==", "gt": ">", "lt": "<", "gteq": ">=", "lteq": "<="}
+
+
+def _operand_name(x) -> str:
+    if isinstance(x, StreamExpression):  # metric identifier, e.g. sum(a_i)
+        return f"{x.name}({x.positionals[0] if x.positionals else '*'})"
+    return str(x)
+
+
+def _eval_predicate(expr: StreamExpression, batch: pa.Table):
+    name = expr.name
+    if name == "and":
+        m = _eval_predicate(expr.positionals[0], batch)
+        for sub in expr.positionals[1:]:
+            m = pc.and_kleene(m, _eval_predicate(sub, batch))
+        return m
+    if name == "or":
+        m = _eval_predicate(expr.positionals[0], batch)
+        for sub in expr.positionals[1:]:
+            m = pc.or_kleene(m, _eval_predicate(sub, batch))
+        return m
+    if name == "not":
+        return pc.invert(_eval_predicate(expr.positionals[0], batch))
+    if name in _CMP:
+        lhs, rhs = expr.positionals[0], expr.positionals[1]
+        col = _operand_name(lhs)
+        if col not in batch.column_names:
+            raise ValueError(f"having: unknown field {col!r}")
+        arr = batch[col]
+        rname = _operand_name(rhs)
+        if rname in batch.column_names:
+            other = batch[rname]
+        else:
+            typ = arr.type
+            other = _coerce(rname, typ) if not pa.types.is_string(typ) else rname.strip('"')
+        fn = {"==": pc.equal, ">": pc.greater, "<": pc.less,
+              ">=": pc.greater_equal, "<=": pc.less_equal}[_CMP[name]]
+        return fn(arr, other)
+    raise ValueError(f"unknown having evaluator: {name}")
+
+
+# ---------------------------------------------------------------------------
+# stream builders
+# ---------------------------------------------------------------------------
+
+def _sized_parquet(path: str, columns: list[str] | None, filter_expr):
+    import ray
+    import ray.data
+
+    try:
+        rows = pq.read_metadata(path).num_rows
+    except Exception:
+        rows = None
+    kwargs = {}
+    if columns:
+        kwargs["columns"] = columns
+    if filter_expr is not None:
+        kwargs["filter"] = filter_expr
+    if rows is not None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        blocks = max(1, min(ncpu * 2, rows // 1024))
+        if blocks < ncpu * 2:
+            kwargs["override_num_blocks"] = blocks
+    return ray.data.read_parquet(path, **kwargs)
+
+
+def _search(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    coll = expr.positionals[0]
+    if coll not in TABLES:
+        raise ValueError(f"unknown collection {coll!r}")
+    path = f"{sf_dir}/{coll}.parquet"
+    schema = pq.read_schema(path)
+    q = expr.named.get("q")
+    fl = expr.named.get("fl")
+    sort = parse_sort_spec(expr.named["sort"]) if "sort" in expr.named else []
+    cols = [c.strip() for c in fl.split(",")] if fl else None
+    if cols:
+        # sort fields ride along even when not in fl (CloudSolrStream does
+        # the same so the merge comparator can see them)
+        for c, _ in sort:
+            if c not in cols and c in schema.names:
+                cols.append(c)
+    ds = _sized_parquet(path, cols, parse_q(q, schema))
+    aliases = expr.named.get("aliases")
+    if aliases:
+        ren = {}
+        for pair in aliases.split(","):
+            src, _, dst = pair.partition("=")
+            ren[src.strip()] = dst.strip()
+        ds = ds.map_batches(
+            lambda b, ren=ren: b.rename_columns([ren.get(c, c) for c in b.column_names]),
+            batch_format="pyarrow",
+        )
+        sort = [(ren.get(c, c), asc) for c, asc in sort]
+    return StreamNode(ds, sort)
+
+
+def _rollup(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    src = _build(_stream_subs(expr)[0], sf_dir)
+    keys = [c.strip() for c in expr.named["over"].split(",")]
+    metrics = _parse_metrics(expr)
+    out = _combiner_aggregate(src.ds, keys, metrics)
+    return StreamNode(out, [(k, True) for k in keys])
+
+
+def _facet(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    coll = expr.positionals[0]
+    search = StreamExpression("search", positionals=[coll],
+                              named={k: v for k, v in expr.named.items() if k == "q"})
+    keys = [c.strip() for c in expr.named["buckets"].split(",")]
+    metrics = _parse_metrics(expr)
+    need = sorted({c for _, c in metrics if c != "*"} | set(keys))
+    search.named["fl"] = ",".join(need)
+    src = _search(search, sf_dir)
+    out = _combiner_aggregate(src.ds, keys, metrics)
+    node = StreamNode(out, [(k, True) for k in keys])
+    tbl = node.to_table()
+    if "bucketSorts" in expr.named:
+        spec = parse_sort_spec(expr.named["bucketSorts"])
+        tbl = tbl.sort_by([(c, "ascending" if asc else "descending") for c, asc in spec])
+    limit = int(expr.named.get("bucketSizeLimit", 0))
+    if limit:
+        tbl = tbl.slice(0, limit)
+    import ray.data
+
+    return StreamNode(ray.data.from_arrow(tbl),
+                      parse_sort_spec(expr.named.get("bucketSorts", "")), ordered=True)
+
+
+def _stats(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    coll = expr.positionals[0]
+    metrics = _parse_metrics(expr)
+    need = sorted({c for _, c in metrics if c != "*"})
+    search = StreamExpression("search", positionals=[coll],
+                              named={"fl": ",".join(need) or "*"})
+    if "q" in expr.named:
+        search.named["q"] = expr.named["q"]
+    src = _search(search, sf_dir)
+    const = "__all__"
+    ds = src.ds.map_batches(
+        lambda b: b.append_column(const, pa.array([0] * b.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    out = _combiner_aggregate(ds, [const], metrics)
+    out = out.map_batches(lambda b: b.drop_columns([const]), batch_format="pyarrow")
+    return StreamNode(out)
+
+
+def _join(expr: StreamExpression, sf_dir: str, how: str) -> StreamNode:
+    import ray
+
+    left_e, right_e = _stream_subs(expr)[:2]
+    left = _build(left_e, sf_dir)
+    right = _build(right_e, sf_dir)
+    lkeys, rkeys = [], []
+    for pair in expr.named["on"].split(","):
+        l, _, r = pair.partition("=")
+        lkeys.append(l.strip())
+        rkeys.append((r or l).strip())
+    rtbl = right.to_table()
+    # Tuple.merge: right wins on non-key collisions → drop them from left
+    rnonkey = [c for c in rtbl.column_names if c not in rkeys]
+    ref = ray.put(rtbl)
+
+    def join_batch(batch: pa.Table, ref=ref, lkeys=lkeys, rkeys=rkeys,
+                   how=how, rnonkey=rnonkey) -> pa.Table:
+        rt = ray.get(ref)
+        drop = [c for c in batch.column_names if c in rnonkey and c not in lkeys]
+        if drop:
+            batch = batch.drop_columns(drop)
+        return batch.join(rt, keys=lkeys, right_keys=rkeys, join_type=how)
+
+    out = left.ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
+    return StreamNode(out, left.sort)
+
+
+def _semi(expr: StreamExpression, sf_dir: str, anti: bool) -> StreamNode:
+    import ray
+
+    left_e, right_e = _stream_subs(expr)[:2]
+    left = _build(left_e, sf_dir)
+    right = _build(right_e, sf_dir)
+    lkeys, rkeys = [], []
+    for pair in expr.named["on"].split(","):
+        l, _, r = pair.partition("=")
+        lkeys.append(l.strip())
+        rkeys.append((r or l).strip())
+    rtbl = right.to_table().select(rkeys)
+    ref = ray.put(rtbl)
+    how = "left anti" if anti else "left semi"
+
+    def fn(batch: pa.Table, ref=ref, lkeys=lkeys, rkeys=rkeys, how=how) -> pa.Table:
+        rt = ray.get(ref)
+        return batch.join(rt, keys=lkeys, right_keys=rkeys, join_type=how)
+
+    out = left.ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+    return StreamNode(out, left.sort)
+
+
+def _fetch(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    import ray
+
+    coll = expr.positionals[0]
+    src = _build(_stream_subs(expr)[0], sf_dir)
+    l, _, r = expr.named["on"].partition("=")
+    lkey, rkey = l.strip(), (r or l).strip()
+    fl = [c.strip() for c in expr.named["fl"].split(",")]
+    path = f"{sf_dir}/{coll}.parquet"
+    cols = list(dict.fromkeys([rkey] + fl))
+    rtbl = pq.read_table(path, columns=cols)
+    ref = ray.put(rtbl)
+
+    def fn(batch: pa.Table, ref=ref) -> pa.Table:
+        rt = ray.get(ref)
+        return batch.join(rt, keys=[lkey], right_keys=[rkey], join_type="left outer")
+
+    out = src.ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+    return StreamNode(out, src.sort)
+
+
+def _unique(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    src = _build(_stream_subs(expr)[0], sf_dir)
+    over = [c.strip() for c in expr.named["over"].split(",")]
+    spec = src.sort or [(c, True) for c in over]
+    # UniqueStream.java:87 requires the substream sort to lead with the
+    # equalitor fields; the representative is then the sort-order-first
+    # tuple per key — an associative reduction (min by trailing sort key).
+    sort_cols = [c for c, _ in spec]
+    asc = [a for _, a in spec]
+
+    def reduce_first(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = batch.to_pandas()
+        df = df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+        return pa.Table.from_pandas(df.groupby(over, sort=False).head(1),
+                                    preserve_index=False, schema=batch.schema)
+
+    partial = src.ds.map_batches(reduce_first, batch_format="pyarrow", batch_size=None)
+    out = partial.repartition(1).map_batches(
+        reduce_first, batch_format="pyarrow", batch_size=None
+    )
+    return StreamNode(out, spec)
+
+
+def _top(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    src = _build(_stream_subs(expr)[0], sf_dir)
+    n = int(expr.named["n"])
+    spec = parse_sort_spec(expr.named["sort"])
+    ds = src.ds.sort([c for c, _ in spec], descending=[not a for _, a in spec]).limit(n)
+    return StreamNode(ds, spec, ordered=True)
+
+
+def _sort(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    src = _build(_stream_subs(expr)[0], sf_dir)
+    spec = parse_sort_spec(expr.named["by"])
+    ds = src.ds.sort([c for c, _ in spec], descending=[not a for _, a in spec])
+    return StreamNode(ds, spec, ordered=True)
+
+
+def _select(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    src = _build(_stream_subs(expr)[0], sf_dir)
+    fields: list[tuple[str, str]] = []
+    for v in expr.values():
+        for part in v.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if " as " in part:
+                a, _, b = part.partition(" as ")
+                fields.append((a.strip(), b.strip()))
+            else:
+                fields.append((part, part))
+
+    def fn(batch: pa.Table, fields=fields) -> pa.Table:
+        return pa.table({dst: batch[srcc] for srcc, dst in fields})
+
+    out = src.ds.map_batches(fn, batch_format="pyarrow")
+    ren = dict(fields)
+    sort = [(ren.get(c, c), asc) for c, asc in src.sort if c in ren]
+    return StreamNode(out, sort, src.ordered)
+
+
+def _having(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    subs = _stream_subs(expr)
+    src = _build(subs[0], sf_dir)
+    pred = [s for s in expr.sub_expressions() if s is not subs[0]][0]
+
+    def fn(batch: pa.Table, pred=pred) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(_eval_predicate(pred, batch))
+
+    out = src.ds.map_batches(fn, batch_format="pyarrow")
+    return StreamNode(out, src.sort, src.ordered)
+
+
+def _merge(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    subs = _stream_subs(expr)
+    nodes = [_build(s, sf_dir) for s in subs]
+    ds = nodes[0].ds
+    for n_ in nodes[1:]:
+        ds = ds.union(n_.ds)
+    spec = parse_sort_spec(expr.named["on"]) if "on" in expr.named else nodes[0].sort
+    return StreamNode(ds, spec)
+
+
+_BUILDERS = {
+    "search": _search,
+    "rollup": _rollup,
+    "facet": _facet,
+    "stats": _stats,
+    "unique": _unique,
+    "top": _top,
+    "sort": _sort,
+    "select": _select,
+    "having": _having,
+    "merge": _merge,
+}
+
+
+_STREAM_NAMES = set(_BUILDERS) | {
+    "innerJoin", "hashJoin", "leftOuterJoin", "outerHashJoin",
+    "intersect", "complement", "fetch",
+}
+
+
+def _stream_subs(expr: StreamExpression) -> list[StreamExpression]:
+    """Sub-expressions that are streams (vs metrics / evaluators)."""
+    return [s for s in expr.sub_expressions() if s.name in _STREAM_NAMES]
+
+
+def _build(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    name = expr.name
+    if name in ("innerJoin", "hashJoin"):
+        return _join(expr, sf_dir, "inner")
+    if name in ("leftOuterJoin", "outerHashJoin"):
+        return _join(expr, sf_dir, "left outer")
+    if name == "intersect":
+        return _semi(expr, sf_dir, anti=False)
+    if name == "complement":
+        return _semi(expr, sf_dir, anti=True)
+    if name == "fetch":
+        return _fetch(expr, sf_dir)
+    if name in _BUILDERS:
+        return _BUILDERS[name](expr, sf_dir)
+    raise ValueError(f"unknown stream function: {name}")
+
+
+def build_stream(expr: StreamExpression | str, sf_dir: str) -> StreamNode:
+    if isinstance(expr, str):
+        expr = parse_expression(expr)
+    return _build(expr, sf_dir)
+
+
+def run_expression(expr: str, sf_dir: str) -> pa.Table:
+    """Parse, build and materialize a streaming expression → Arrow table."""
+    return build_stream(expr, sf_dir).to_table()

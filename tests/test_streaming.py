@@ -1,0 +1,239 @@
+"""Streaming-expression surface: parser golden tests (grammar mirrors
+``StreamExpressionParser.java``), decorator semantics vs DuckDB, and
+composition — modeled on ``StreamDecoratorTest.java``."""
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from lucene_solr_ray.streaming import parse_expression, run_expression
+from lucene_solr_ray.streaming.parser import StreamExpression
+from lucene_solr_ray.streaming.streams import parse_q, parse_sort_spec
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+def test_parse_basic_search():
+    e = parse_expression('search(collection1, q=*:*, fl="id,a_s", sort="a_f asc, a_i asc")')
+    assert e.name == "search"
+    assert e.positionals == ["collection1"]
+    assert e.named == {"q": "*:*", "fl": "id,a_s", "sort": "a_f asc, a_i asc"}
+
+
+def test_parse_nested_and_trailing_comma():
+    e = parse_expression(
+        'rollup(search(c, q=*:*, fl="a_s,a_i", sort="a_s asc"), over="a_s", '
+        "sum(a_i), count(*),)"
+    )
+    assert e.name == "rollup"
+    subs = e.sub_expressions()
+    assert [s.name for s in subs] == ["search", "sum", "count"]
+    assert subs[1].positionals == ["a_i"]
+    assert subs[2].positionals == ["*"]
+    assert e.named["over"] == "a_s"
+
+
+def test_parse_quoted_escapes_and_named_expression():
+    e = parse_expression('having(search(c, q="id:(0 3 \\"x\\")", sort="a asc"), eq(a_i, 9))')
+    assert e.sub_expressions()[0].named["q"] == 'id:(0 3 "x")'
+    pred = e.sub_expressions()[1]
+    assert pred.name == "eq" and pred.positionals == ["a_i", "9"]
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        parse_expression("search(c")
+    with pytest.raises(ValueError):
+        parse_expression('search(c, q="unterminated)')
+    with pytest.raises(ValueError):
+        parse_expression("search(c)x")
+
+
+def test_sort_spec():
+    assert parse_sort_spec("a_f asc, a_i desc") == [("a_f", True), ("a_i", False)]
+    assert parse_sort_spec("a_f") == [("a_f", True)]
+
+
+def test_parse_q_subset():
+    import pyarrow as pa
+
+    sch = pa.schema([("k", pa.int64()), ("s", pa.string())])
+    assert parse_q("*:*", sch) is None
+    assert parse_q("k:5", sch) is not None
+    assert parse_q("k:[2 TO 8] AND s:x", sch) is not None
+    with pytest.raises(ValueError):
+        parse_q("nope:1", sch)
+
+
+# ---------------------------------------------------------------------------
+# stream semantics vs DuckDB (sf0.001)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in "part lineitem orders customer nation supplier events documents".split():
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def test_rollup_matches_sql(ray_session, con):
+    t = run_expression(
+        'rollup(search(lineitem, q=*:*, fl="l_returnflag,l_quantity", '
+        'sort="l_returnflag asc"), over="l_returnflag", '
+        "sum(l_quantity), avg(l_quantity), count(*))",
+        SF,
+    ).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    e = con.sql(
+        "SELECT l_returnflag, sum(l_quantity) AS s, sum(l_quantity)/count(*) AS a, "
+        "count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert list(t["sum(l_quantity)"]) == list(e["s"])
+    assert list(t["avg(l_quantity)"]) == list(e["a"])
+    assert list(t["count(*)"]) == list(e["n"])
+
+
+def test_q_pushdown_range(ray_session, con):
+    t = run_expression(
+        'search(lineitem, q="l_quantity:{10 TO 20] AND l_returnflag:A", '
+        'fl="l_orderkey,l_quantity", sort="l_orderkey asc")',
+        SF,
+    )
+    n = con.sql(
+        "SELECT count(*) FROM lineitem WHERE l_quantity > 10 AND l_quantity <= 20 "
+        "AND l_returnflag = 'A'"
+    ).fetchone()[0]
+    assert t.num_rows == n
+
+
+def test_inner_join_and_top(ray_session, con):
+    t = run_expression(
+        'top(innerJoin(search(orders, fl="o_orderkey,o_custkey", sort="o_custkey asc"), '
+        'search(customer, fl="c_custkey,c_name", sort="c_custkey asc"), '
+        'on="o_custkey=c_custkey"), n=7, sort="o_orderkey desc")'
+        , SF,
+    )
+    e = con.sql(
+        "SELECT o_orderkey, o_custkey, c_name FROM orders JOIN customer "
+        "ON o_custkey=c_custkey ORDER BY o_orderkey DESC LIMIT 7"
+    ).df()
+    assert t.num_rows == 7
+    # top() emits in comparator order
+    assert t["o_orderkey"].to_pylist() == list(e["o_orderkey"])
+    assert t["c_name"].to_pylist() == list(e["c_name"])
+
+
+def test_left_outer_join_keeps_unmatched(ray_session, con):
+    t = run_expression(
+        'leftOuterJoin(search(customer, fl="c_custkey,c_name", sort="c_custkey asc"), '
+        'search(orders, q="o_orderstatus:F", fl="o_custkey,o_orderkey", '
+        'sort="o_custkey asc"), on="c_custkey=o_custkey")',
+        SF,
+    )
+    n = con.sql(
+        "SELECT count(*) FROM customer LEFT JOIN "
+        "(SELECT * FROM orders WHERE o_orderstatus='F') o ON c_custkey=o_custkey"
+    ).fetchone()[0]
+    assert t.num_rows == n
+    assert t["o_orderkey"].null_count > 0
+
+
+def test_unique_picks_sort_order_first(ray_session, con):
+    t = run_expression(
+        'unique(search(events, fl="event_id,user_id", '
+        'sort="user_id asc, event_id asc"), over="user_id")',
+        SF,
+    )
+    e = con.sql(
+        "SELECT user_id, min(event_id) AS event_id FROM events GROUP BY user_id"
+    ).df()
+    got = dict(zip(t["user_id"].to_pylist(), t["event_id"].to_pylist()))
+    exp = dict(zip(e["user_id"], e["event_id"]))
+    assert got == exp
+
+
+def test_unique_desc_order(ray_session, con):
+    t = run_expression(
+        'unique(search(events, fl="event_id,user_id", '
+        'sort="user_id asc, event_id desc"), over="user_id")',
+        SF,
+    )
+    e = con.sql(
+        "SELECT user_id, max(event_id) AS event_id FROM events GROUP BY user_id"
+    ).df()
+    got = dict(zip(t["user_id"].to_pylist(), t["event_id"].to_pylist()))
+    assert got == dict(zip(e["user_id"], e["event_id"]))
+
+
+def test_having_evaluator_tree(ray_session, con):
+    t = run_expression(
+        'having(search(events, fl="event_id,value", sort="event_id asc"), '
+        "and(gt(value, 10), not(gteq(value, 100))))",
+        SF,
+    )
+    n = con.sql("SELECT count(*) FROM events WHERE value > 10 AND value < 100").fetchone()[0]
+    assert t.num_rows == n
+
+
+def test_intersect_complement_partition(ray_session, con):
+    inter = run_expression(
+        'intersect(search(part, fl="p_partkey", sort="p_partkey asc"), '
+        'search(lineitem, fl="l_partkey", sort="l_partkey asc"), '
+        'on="p_partkey=l_partkey")',
+        SF,
+    )
+    comp = run_expression(
+        'complement(search(part, fl="p_partkey", sort="p_partkey asc"), '
+        'search(lineitem, fl="l_partkey", sort="l_partkey asc"), '
+        'on="p_partkey=l_partkey")',
+        SF,
+    )
+    total = con.sql("SELECT count(*) FROM part").fetchone()[0]
+    assert inter.num_rows + comp.num_rows == total
+
+
+def test_select_renames_and_merge(ray_session):
+    t = run_expression(
+        'merge(select(search(nation, fl="n_nationkey,n_name", sort="n_nationkey asc"), '
+        '"n_nationkey as k", "n_name as name"), '
+        'select(search(region, fl="r_regionkey,r_name", sort="r_regionkey asc"), '
+        '"r_regionkey as k", "r_name as name"), on="k asc")',
+        SF,
+    )
+    assert t.column_names == ["k", "name"]
+    assert t.num_rows == 30  # 25 nations + 5 regions
+    assert t["k"].to_pylist() == sorted(t["k"].to_pylist())
+
+
+def test_stats_stream(ray_session, con):
+    t = run_expression('stats(lineitem, q="l_returnflag:A", sum(l_quantity), count(*))', SF)
+    s, n = con.sql(
+        "SELECT sum(l_quantity), count(*) FROM lineitem WHERE l_returnflag='A'"
+    ).fetchone()
+    assert t.num_rows == 1
+    assert t["sum(l_quantity)"][0].as_py() == s
+    assert t["count(*)"][0].as_py() == n
+
+
+def test_tuple_merge_right_wins(ray_session):
+    """Non-key column collisions: right stream's field survives
+    (Tuple.merge semantics in BiJoinStream)."""
+    t = run_expression(
+        'innerJoin(search(nation, fl="n_nationkey,n_name,n_regionkey", '
+        'sort="n_nationkey asc"), '
+        'select(search(region, fl="r_regionkey,r_name", sort="r_regionkey asc"), '
+        '"r_regionkey as n_regionkey2", "r_name as n_name"), '
+        'on="n_regionkey=n_regionkey2")',
+        SF,
+    )
+    # n_name collides → right (region name) wins
+    assert set(t["n_name"].to_pylist()) <= {
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"
+    }
