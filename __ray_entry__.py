@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "st_facet": streaming_exprs.st_facet,
         "st_complement": streaming_exprs.st_complement,
         "st_fetch_rollup": streaming_exprs.st_fetch_rollup,
+        "st_timeseries": streaming_exprs.st_timeseries,
+        "st_random": streaming_exprs.st_random,
+        "st_knn": streaming_exprs.st_knn,
+        "st_significant": streaming_exprs.st_significant,
         # --- multimodal plumbing ---
         "mm_payload_features": multimodal.mm_payload_features,
     }
@@ -210,5 +214,9 @@ def oracle_sql() -> dict[str, str]:
         "st_facet": streaming_exprs.SQL_ST_FACET,
         "st_complement": streaming_exprs.SQL_ST_COMPLEMENT,
         "st_fetch_rollup": streaming_exprs.SQL_ST_FETCH_ROLLUP,
+        "st_timeseries": streaming_exprs.SQL_ST_TIMESERIES,
+        "st_random": streaming_exprs.SQL_ST_RANDOM,
+        "st_knn": fs.sql_mlt([streaming_exprs.ST_KNN_ID], 10),
+        "st_significant": streaming_exprs.sql_st_significant(),
         "mm_payload_features": multimodal.SQL_MM_PAYLOAD_FEATURES,
     }

@@ -144,3 +144,94 @@ SELECT n_name, CAST(count(*) AS BIGINT) AS "count(*)"
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
 """
+
+
+ST_TIMESERIES_EXPR = (
+    'timeseries(events, q=*:*, field="ts", start="2024-01-01T00:00:00Z", '
+    'end="2024-01-31T00:00:00Z", gap="+2DAYS", count(*), min(value), max(value))'
+)
+
+
+def st_timeseries(sf_dir: str) -> pa.Table:
+    """TimeSeriesStream: fixed-gap date buckets with metrics; empty buckets
+    emitted (count 0, metrics null)."""
+    return run_expression(ST_TIMESERIES_EXPR, sf_dir)
+
+
+SQL_ST_TIMESERIES = """
+WITH b AS (
+  SELECT unnest(range(TIMESTAMP '2024-01-01 00:00:00',
+                      TIMESTAMP '2024-01-31 00:00:00', INTERVAL 2 DAY)) AS lo
+),
+agg AS (
+  SELECT lo, count(e.event_id) AS c, min(e.value) AS mn, max(e.value) AS mx
+  FROM b LEFT JOIN events e ON e.ts >= b.lo AND e.ts < b.lo + INTERVAL 2 DAY
+  GROUP BY lo
+)
+SELECT strftime(lo, '%Y-%m-%dT%H:%M:%SZ') AS ts,
+       CAST(c AS BIGINT) AS "count(*)", mn AS "min(value)", mx AS "max(value)"
+FROM agg ORDER BY lo
+"""
+
+
+ST_RANDOM_EXPR = 'random(events, q="event_type:click", rows=25, fl="event_id,user_id", seed="7")'
+
+
+def st_random(sf_dir: str) -> pa.Table:
+    """RandomStream: deterministic md5-order sample (distributed hash-order
+    top-k; the reference's random_<seed> sort field analog)."""
+    return run_expression(ST_RANDOM_EXPR, sf_dir)
+
+
+SQL_ST_RANDOM = """
+SELECT event_id, user_id FROM events WHERE event_type = 'click'
+ORDER BY md5('7|' || CAST(event_id AS VARCHAR)) LIMIT 25
+"""
+
+
+ST_KNN_ID = 7
+ST_KNN_EXPR = f'knn(documents, id={ST_KNN_ID}, qf="content", k=10)'
+
+
+def st_knn(sf_dir: str) -> pa.Table:
+    """KnnStream: MoreLikeThis neighbors of one doc via the index."""
+    return run_expression(ST_KNN_EXPR, sf_dir)
+
+
+ST_SIG_EXPR = (
+    'significantTerms(documents, q="merge", limit=20, minDocFreq=5, '
+    "maxDocFreq=0.95, minTermLength=3)"
+)
+
+
+def st_significant(sf_dir: str) -> pa.Table:
+    """significantTerms: foreground-vs-background term scan over the index
+    (full postings decode, combiner partials)."""
+    return run_expression(ST_SIG_EXPR, sf_dir)
+
+
+def sql_st_significant(qterm: str = "merge", limit: int = 20, min_df: int = 5,
+                       max_frac: float = 0.95, min_len: int = 3) -> str:
+    """Oracle: SignificantTermsQParserPlugin.java:209 score
+    log(fg)*(log((numDocs+1)/(df+1))+1), rank by (round(score,6) desc,
+    term asc)."""
+    from . import fulltext_sql as _fs
+
+    return _fs.prelude() + f""",
+fgd AS (SELECT DISTINCT did FROM tf WHERE tok = '{qterm}'),
+cand AS (
+  SELECT t.tok, i.df, count(*) AS fg
+  FROM tf t JOIN idf i USING (tok) JOIN fgd USING (did)
+  WHERE length(t.tok) >= {min_len}
+  GROUP BY t.tok, i.df
+),
+flt AS (
+  SELECT tok, df, fg,
+         round(ln(fg) * (ln(((SELECT dc FROM stats) + 1) / CAST(df + 1 AS DOUBLE)) + {1.0!r}), 6) AS sc
+  FROM cand
+  WHERE fg > 0 AND df >= {min_df} AND df <= {max_frac!r} * (SELECT dc FROM stats)
+)
+SELECT CAST(row_number() OVER (ORDER BY sc DESC, tok ASC) - 1 AS BIGINT) AS rank,
+       tok AS term, CAST(fg AS BIGINT) AS fg, CAST(df AS BIGINT) AS df
+FROM flt ORDER BY sc DESC, tok ASC LIMIT {limit}
+"""

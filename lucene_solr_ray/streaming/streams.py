@@ -593,3 +593,186 @@ def build_stream(expr: StreamExpression | str, sf_dir: str) -> StreamNode:
 def run_expression(expr: str, sf_dir: str) -> pa.Table:
     """Parse, build and materialize a streaming expression → Arrow table."""
     return build_stream(expr, sf_dir).to_table()
+
+
+# ---------------------------------------------------------------------------
+# timeseries / random / knn / significantTerms
+# ---------------------------------------------------------------------------
+
+_GAP_UNITS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+
+
+def _parse_gap(gap: str) -> int:
+    """``+1DAY`` / ``+30MINUTES`` → seconds (TimeSeriesStream gap syntax)."""
+    import re
+
+    m = re.fullmatch(r"\+(\d+)(SECOND|MINUTE|HOUR|DAY)S?", gap.strip())
+    if not m:
+        raise ValueError(f"unsupported gap: {gap!r}")
+    return int(m.group(1)) * _GAP_UNITS[m.group(2)]
+
+
+def _timeseries(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    """TimeSeriesStream.java: date-range buckets [start, end) at a fixed gap
+    over a timestamp field, with metrics per bucket; empty buckets are
+    emitted (count 0, other metrics null) like json.facet range facets."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data
+
+    coll = expr.positionals[0]
+    path = f"{sf_dir}/{coll}.parquet"
+    schema = pq.read_schema(path)
+    fieldname = expr.named.get("field", "ts")
+    start = datetime.fromisoformat(expr.named["start"].replace("Z", ""))
+    end = datetime.fromisoformat(expr.named["end"].replace("Z", ""))
+    gap_s = _parse_gap(expr.named["gap"])
+    metrics = _parse_metrics(expr)
+    need = sorted({c for _, c in metrics if c != "*"} | {fieldname})
+    flt = (pads.field(fieldname) >= start) & (pads.field(fieldname) < end)
+    qf = parse_q(expr.named.get("q"), schema)
+    if qf is not None:
+        flt = flt & qf
+    ds = _sized_parquet(path, need, flt)
+    start64 = np.datetime64(start, "us")
+    gap_us = np.int64(gap_s) * 1_000_000
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = batch[fieldname].cast(pa.timestamp("us")).to_numpy()
+        idx = (ts - start64).astype("timedelta64[us]").astype(np.int64) // gap_us
+        bucket = start64 + (idx * gap_us).astype("timedelta64[us]")
+        labels = np.char.add(np.datetime_as_string(bucket, unit="s"), "Z")
+        return batch.drop_columns([fieldname]).append_column(
+            fieldname, pa.array(labels, pa.string())
+        )
+
+    agg = _combiner_aggregate(ds.map_batches(bucketize, batch_format="pyarrow"),
+                              [fieldname], metrics)
+    batches = list(agg.iter_batches(batch_format="pyarrow"))
+    if batches:
+        got = pa.concat_tables(batches)
+    else:  # empty window: no partials at all — synthesize the agg schema
+        def mtyp(op, col):
+            if op == "count":
+                return pa.int64()
+            if op == "avg":
+                return pa.float64()
+            base = schema.field(col).type
+            if op == "sum":
+                return pa.int64() if pa.types.is_integer(base) else pa.float64()
+            return base
+        got = pa.table(
+            {fieldname: pa.array([], pa.string()),
+             **{f"{op}({col})": pa.array([], mtyp(op, col)) for op, col in metrics}}
+        )
+    # reindex to the full bucket range (Solr emits empty buckets)
+    n = int((np.datetime64(end, "us") - start64).astype(np.int64) // gap_us)
+    if int((np.datetime64(end, "us") - start64).astype(np.int64) % gap_us):
+        n += 1
+    all_buckets = start64 + (np.arange(n, dtype=np.int64) * gap_us).astype("timedelta64[us]")
+    full = pa.table({fieldname: pa.array(
+        np.char.add(np.datetime_as_string(all_buckets, unit="s"), "Z"), pa.string()
+    )})
+    joined = full.join(got, keys=[fieldname], join_type="left outer")
+    cols = {fieldname: joined[fieldname]}
+    for op, col in metrics:
+        name = f"{op}({col})"
+        arr = joined[name]
+        if op == "count":
+            arr = pc.coalesce(arr, pa.scalar(0, pa.int64()))
+        cols[name] = arr
+    out = pa.table(cols).sort_by(fieldname)
+    import ray.data as rd
+
+    return StreamNode(rd.from_arrow(out), [(fieldname, True)], ordered=True)
+
+
+def _random(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    """RandomStream.java: pseudo-random sample of ``rows`` tuples. The
+    reference sorts on a server-side ``random_<seed>`` field; here the
+    deterministic analog is an md5 order key over the first fl column
+    (reproducible across runs/parallelism AND expressible in SQL) — the
+    sample is a distributed hash-order top-k, never a full collect."""
+    import hashlib
+
+    coll = expr.positionals[0]
+    path = f"{sf_dir}/{coll}.parquet"
+    schema = pq.read_schema(path)
+    fl = [c.strip() for c in expr.named["fl"].split(",")]
+    rows = int(expr.named.get("rows", 10))
+    seed = expr.named.get("seed", "0")
+    keycol = fl[0]
+    ds = _sized_parquet(path, fl, parse_q(expr.named.get("q"), schema))
+    hcol = "__rand__"
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        vals = batch[keycol].to_pylist()
+        h = [hashlib.md5(f"{seed}|{v}".encode()).hexdigest() for v in vals]
+        return batch.append_column(hcol, pa.array(h, pa.string()))
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .sort(hcol)
+        .limit(rows)
+        .map_batches(lambda b: b.drop_columns([hcol]), batch_format="pyarrow")
+    )
+    return StreamNode(out)
+
+
+def _knn(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    """KnnStream.java: MoreLikeThis neighbors of one document
+    (``{!mlt qf=...}id`` under the hood — KnnStream.java:196-210). Reuses the
+    engine's MLT machinery over the documents index; ranking collapses
+    float-order ulps via round(score, 6) exactly like the MLT oracle."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..pipelines.fulltext import get_searcher
+    from ..search.mlt import mlt_query
+
+    doc = int(expr.named["id"])
+    k = int(expr.named.get("k", 10))
+    s = get_searcher(sf_dir)
+    res = s.search({str(doc): mlt_query(s, doc)}, k=k + 10, use_ray=True)
+    ids = res["doc_id"].to_numpy()
+    scores = np.round(res["score"].to_numpy().astype(np.float64), 6)
+    keep = ids != doc
+    ids, scores = ids[keep], scores[keep]
+    order = np.lexsort((ids, -scores))[:k]
+    tbl = pa.table({
+        "query_id": pa.array([str(doc)] * len(order), pa.string()),
+        "rank": pa.array(np.arange(len(order)), pa.int64()),
+        "doc_id": pa.array(ids[order], pa.int64()),
+    })
+    return StreamNode(rd.from_arrow(tbl), [("rank", True)], ordered=True)
+
+
+def _significant(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    """SignificantTermsStream.java → the sigterms scan over the documents
+    index (see ``search/significant.py``); q goes through the classic query
+    parser."""
+    import ray.data as rd
+
+    from ..pipelines.fulltext import get_searcher
+    from ..search.query import parse_query
+    from ..search.significant import significant_terms
+
+    s = get_searcher(sf_dir)
+    tbl = significant_terms(
+        s,
+        parse_query(expr.named["q"]),
+        limit=int(expr.named.get("limit", 20)),
+        min_doc_freq=float(expr.named.get("minDocFreq", 5)),
+        max_doc_freq=float(expr.named.get("maxDocFreq", 0.3)),
+        min_term_length=int(expr.named.get("minTermLength", 4)),
+    )
+    return StreamNode(rd.from_arrow(tbl), [("rank", True)], ordered=True)
+
+
+_BUILDERS.update({
+    "timeseries": _timeseries,
+    "random": _random,
+    "knn": _knn,
+    "significantTerms": _significant,
+})
+_STREAM_NAMES.update({"timeseries", "random", "knn", "significantTerms"})

@@ -237,3 +237,63 @@ def test_tuple_merge_right_wins(ray_session):
     assert set(t["n_name"].to_pylist()) <= {
         "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"
     }
+
+
+def test_timeseries_buckets_and_empties(ray_session, con):
+    t = run_expression(
+        'timeseries(events, q=*:*, field="ts", start="2024-01-01T00:00:00Z", '
+        'end="2024-01-31T00:00:00Z", gap="+5DAYS", count(*))',
+        SF,
+    )
+    assert t.num_rows == 6  # ceil(30/5)
+    assert t["ts"][0].as_py() == "2024-01-01T00:00:00Z"
+    n = con.sql(
+        "SELECT count(*) FROM events WHERE ts >= TIMESTAMP '2024-01-01' "
+        "AND ts < TIMESTAMP '2024-01-31'"
+    ).fetchone()[0]
+    assert sum(t["count(*)"].to_pylist()) == n
+    # far-future window → all-empty buckets still emitted with count 0
+    empty = run_expression(
+        'timeseries(events, q=*:*, field="ts", start="2030-01-01T00:00:00Z", '
+        'end="2030-01-03T00:00:00Z", gap="+1DAY", count(*))',
+        SF,
+    )
+    assert empty.num_rows == 2 and empty["count(*)"].to_pylist() == [0, 0]
+
+
+def test_random_deterministic_sample(ray_session, con):
+    a = run_expression('random(events, q=*:*, rows=9, fl="event_id,user_id", seed="s1")', SF)
+    b = run_expression('random(events, q=*:*, rows=9, fl="event_id,user_id", seed="s1")', SF)
+    c = run_expression('random(events, q=*:*, rows=9, fl="event_id,user_id", seed="s2")', SF)
+    assert a.equals(b)
+    assert a["event_id"].to_pylist() != c["event_id"].to_pylist()
+    exp = con.sql(
+        "SELECT event_id FROM events ORDER BY md5('s1|' || CAST(event_id AS VARCHAR)) LIMIT 9"
+    ).df()
+    assert a["event_id"].to_pylist() == list(exp["event_id"])
+
+
+def test_knn_matches_mlt(ray_session):
+    from lucene_solr_ray.pipelines.fulltext import get_searcher
+    from lucene_solr_ray.search.mlt import mlt_search
+
+    t = run_expression('knn(documents, id=5, qf="content", k=8)', SF)
+    assert t.num_rows == 8
+    assert 5 not in t["doc_id"].to_pylist()
+    assert t["rank"].to_pylist() == list(range(8))
+
+
+def test_significant_terms_scores(ray_session, con):
+    """Engine scan vs a brute-force tokenization oracle (score formula from
+    SignificantTermsQParserPlugin.java:209)."""
+    from lucene_solr_ray.pipelines.streaming_exprs import sql_st_significant
+
+    t = run_expression(
+        'significantTerms(documents, q="merge", limit=12, minDocFreq=5, '
+        "maxDocFreq=0.95, minTermLength=3)",
+        SF,
+    )
+    exp = con.sql(sql_st_significant("merge", 12)).df()
+    assert t["term"].to_pylist() == list(exp["term"])
+    assert t["fg"].to_pylist() == list(exp["fg"])
+    assert t["df"].to_pylist() == list(exp["df"])
