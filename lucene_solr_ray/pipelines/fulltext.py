@@ -1189,3 +1189,47 @@ def ft_termvectors(sf_dir: str) -> pa.Table:
     """Per-doc term vectors from stored content → (doc_id, term, tf)."""
     s = get_searcher(sf_dir)
     return s.term_vectors(TV_DOC_IDS)
+
+
+RTG_IDS = [0, 7, 42, 123, 999_999_999]  # last id absent → silently omitted
+
+
+def ft_realtime_get(sf_dir: str) -> pa.Table:
+    """Solr RealTimeGet (/get) analog: stored-fields lookup by id list
+    (solr/core/src/java/org/apache/solr/handler/component/
+    RealTimeGetComponent.java — missing ids are omitted, not errors)."""
+    s = get_searcher(sf_dir)
+    tbl = s.reader.fetch_docs(
+        RTG_IDS, columns=["doc_id", "repo", "path", "lang", "content_sha256"]
+    )
+    return tbl.sort_by("doc_id")
+
+
+#: facet.query counts (SimpleFacets.getFacetQueryCounts — arbitrary queries
+#: as facet buckets)
+FACET_QUERY_SPECS = [
+    ("merge_and_join", "merge AND join"),
+    ("window_or_vector", "window OR vector"),
+    ("spark_not_merge", "spark AND NOT merge"),
+    ("customer", "customer"),
+]
+
+
+def ft_facet_query(sf_dir: str) -> pa.Table:
+    """(facet_query, n) — match count per configured query, each computed by
+    the per-segment match scatter (no scoring pass)."""
+    from ..search.query import parse_query
+
+    s = get_searcher(sf_dir)
+    qids, counts = [], []
+    for qid, qs in FACET_QUERY_SPECS:
+        scattered = s._scatter_match(parse_query(qs), "ids")
+        n = 0
+        if scattered is not None:
+            n = sum(len(b) for b in scattered.iter_batches(batch_format="pyarrow"))
+        qids.append(qid)
+        counts.append(n)
+    return pa.table({
+        "facet_query": pa.array(qids, pa.string()),
+        "n": pa.array(counts, pa.int64()),
+    })

@@ -1148,3 +1148,40 @@ combined AS (
 SELECT CAST(r AS BIGINT) AS rank, CAST(did AS BIGINT) AS doc_id, elevated
 FROM combined ORDER BY r
 """
+
+
+def sql_realtime_get(ids: list[int]) -> str:
+    """RealTimeGet oracle: stored fields by dense doc id; sha256 invariant
+    checked end-to-end (per-row content sha256 equality)."""
+    idl = ", ".join(str(i) for i in ids)
+    return f"""
+WITH {CORPUS_CTE}
+SELECT CAST(did AS BIGINT) AS doc_id, source AS repo, path, lang,
+       sha256(text) AS content_sha256
+FROM corpus WHERE did IN ({idl}) ORDER BY did
+"""
+
+
+def sql_facet_query(specs: list[tuple[str, str]]) -> str:
+    """facet.query oracle: each spec is (qid, parsed-kind) where the engine
+    side runs the classic parser; the SQL twins are hand-expanded per query
+    shape (AND / OR / AND-NOT / term)."""
+    parts = []
+    for qid, kind, terms, not_terms in specs:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        if kind == "and":
+            sub = f"""SELECT count(*) FROM (
+  SELECT did FROM tf WHERE tok IN ({tl}) GROUP BY did
+  HAVING count(DISTINCT tok) = {len(terms)})"""
+        elif kind == "or":
+            sub = f"SELECT count(DISTINCT did) FROM tf WHERE tok IN ({tl})"
+        elif kind == "and_not":
+            ntl = ", ".join(f"'{t}'" for t in not_terms)
+            sub = f"""SELECT count(*) FROM (
+  (SELECT did FROM tf WHERE tok IN ({tl}) GROUP BY did
+   HAVING count(DISTINCT tok) = {len(terms)})
+  EXCEPT (SELECT DISTINCT did FROM tf WHERE tok IN ({ntl})))"""
+        else:
+            raise ValueError(kind)
+        parts.append(f"SELECT '{qid}' AS facet_query, CAST(({sub}) AS BIGINT) AS n")
+    return prelude() + " " + " UNION ALL ".join(parts)

@@ -59,6 +59,14 @@ FAST_ENTRIES = [
     "grouped_topk",
     "lang_char_stats",
     "mm_payload_features",
+    "ft_realtime_get",
+    "ft_facet_query",
+    "ft_elevate",
+    "st_rollup",
+    "st_join_topk",
+    "st_unique_having",
+    "st_facet",
+    "st_fetch_rollup",
 ]
 
 
