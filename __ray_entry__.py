@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_spellcheck": fulltext.ft_spellcheck,
         "ft_join": fulltext.ft_join,
         "ft_span_near": fulltext.ft_span_near,
+        "ft_span_contain": fulltext.ft_span_contain,
         "ft_grouped_search": fulltext.ft_grouped_search,
         "ft_termvectors": fulltext.ft_termvectors,
         # --- text analysis ---
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_spellcheck": fs.sql_spellcheck(fulltext.SPELL_INPUTS),
         "ft_join": fs.sql_join(fulltext.JOIN_SPECS),
         "ft_span_near": fs.sql_span_near(fulltext.SPAN_SPECS),
+        "ft_span_contain": fs.sql_span_contain(fulltext.SPAN_CONTAIN_SPECS),
         "ft_grouped_search": fs.sql_grouped_search(
             fulltext.FACET_TERM, fulltext.GROUPED_N, fulltext.GROUPED_K
         ),

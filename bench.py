@@ -178,7 +178,7 @@ def run_bench(ncpus: int) -> dict:
     # secondary: training-data pipelines over GRAFT_SF_DIR
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if os.path.isdir(sf_dir):
-        from lucene_solr_ray.pipelines import ann, dedup, events, text
+        from lucene_solr_ray.pipelines import ann, dedup, events, streaming_exprs, text
 
         for name, fn in [
             ("token_count", text.token_count),
@@ -186,6 +186,7 @@ def run_bench(ncpus: int) -> dict:
             ("minhash_lsh_pairs", dedup.minhash_lsh_pairs),
             ("ann_topk", ann.ann_topk),
             ("events_hourly", events.events_hourly),
+            ("st_rollup", streaming_exprs.st_rollup),
         ]:
             t0 = time.time()
             fn(sf_dir)

@@ -1233,3 +1233,55 @@ def ft_facet_query(sf_dir: str) -> pa.Table:
         "facet_query": pa.array(qids, pa.string()),
         "n": pa.array(counts, pa.int64()),
     })
+
+
+#: SpanContaining/SpanWithin specs: big = ordered near(a, b, slop),
+#: little = term. Match SETS are identical for the two directions (∃ big ⊇
+#: little); the engine runs both orientations through their distinct cursors.
+SPAN_CONTAIN_SPECS = [
+    {"qid": "containing_merge_join_hash", "kind": "containing",
+     "a": "merge", "b": "join", "slop": 6, "little": "hash"},
+    {"qid": "within_data_group_order", "kind": "within",
+     "a": "group", "b": "order", "slop": 8, "little": "data"},
+    {"qid": "containing_spark_window_key", "kind": "containing",
+     "a": "spark", "b": "window", "slop": 4, "little": "key"},
+]
+
+
+def ft_span_contain(sf_dir: str) -> pa.Table:
+    """SpanContainingQuery / SpanWithinQuery full match sets per spec."""
+    from ..search.spans import (
+        SpanContainingQuery,
+        SpanNearQuery,
+        SpanTermQuery,
+        SpanWithinQuery,
+    )
+
+    s = get_searcher(sf_dir)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    out_q, out_d = [], []
+    for sp in SPAN_CONTAIN_SPECS:
+        big = SpanNearQuery((SpanTermQuery(sp["a"]), SpanTermQuery(sp["b"])), slop=sp["slop"])
+        little = SpanTermQuery(sp["little"])
+        cls = SpanContainingQuery if sp["kind"] == "containing" else SpanWithinQuery
+        q = cls(big, little)
+        scattered = s._scatter_match(q, "ids")
+        gids = []
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                if len(b):
+                    segs = b["seg"].to_numpy()
+                    lids = b["local_id"].to_numpy().astype(np.int64)
+                    for sv in np.unique(segs):
+                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
+        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        out_q.extend([sp["qid"]] * len(ids))
+        out_d.append(ids)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(
+                np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+            ),
+        }
+    )

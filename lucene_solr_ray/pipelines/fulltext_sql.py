@@ -1185,3 +1185,26 @@ def sql_facet_query(specs: list[tuple[str, str]]) -> str:
             raise ValueError(kind)
         parts.append(f"SELECT '{qid}' AS facet_query, CAST(({sub}) AS BIGINT) AS n")
     return prelude() + " " + " UNION ALL ".join(parts)
+
+
+def sql_span_contain(specs: list[dict]) -> str:
+    """SpanContaining/SpanWithin match-set oracle. Big spans follow
+    NearSpansOrdered's enumeration exactly — for each first-clause position
+    p0, the span ends at the FIRST second-clause position p1 > p0 (cursor
+    advances "as little as necessary"), kept iff p1 - p0 - 1 <= slop; a doc
+    matches iff some such span contains a little-term position (the monotone
+    ContainSpans cursors are exact for width-1 littles)."""
+    parts = []
+    for sp in specs:
+        parts.append(f"""
+SELECT '{sp["qid"]}' AS query_id, CAST(did AS BIGINT) AS doc_id FROM (
+  SELECT DISTINCT big.did FROM (
+    SELECT t0.did, t0.p AS p0, min(t1.p) AS p1
+    FROM ktp t0 JOIN ktp t1 ON t1.did = t0.did AND t1.p > t0.p AND t1.tok = '{sp["b"]}'
+    WHERE t0.tok = '{sp["a"]}' GROUP BY t0.did, t0.p
+    HAVING min(t1.p) - t0.p - 1 <= {sp["slop"]}
+  ) big
+  JOIN ktp lt ON lt.did = big.did AND lt.tok = '{sp["little"]}'
+                AND lt.p BETWEEN big.p0 AND big.p1
+)""")
+    return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)

@@ -279,7 +279,15 @@ class SegmentScorer:
         """Span query scoring (see :mod:`spans`): enumerate per-doc spans,
         float freq = Σ 1/(1+width), weight = summed idf of clause terms
         (SpanWeight.buildSimWeight), same norm-cache kernel as phrases."""
-        from .spans import SpanNearQuery, SpanNotQuery, span_freq, span_scoring_terms, span_terms
+        from .spans import (
+            SpanContainingQuery,
+            SpanNearQuery,
+            SpanNotQuery,
+            SpanWithinQuery,
+            span_freq,
+            span_scoring_terms,
+            span_terms,
+        )
 
         if self.lazy is None:
             raise ValueError("span queries need positional postings (lazy=None)")
@@ -296,7 +304,19 @@ class SegmentScorer:
             return empty
         # candidates come from the matching side only (SpanNot: include)
         target = q.include if isinstance(q, SpanNotQuery) else q
-        if isinstance(target, SpanNearQuery):
+        if isinstance(target, (SpanContainingQuery, SpanWithinQuery)):
+            # prepareConjunction (SpanContainQuery.java): docs must have both
+            # big and little spans
+            cand = None
+            for side in (target.big, target.little):
+                parts = [data[t][0] for _f, t in sorted(span_terms(side)) if t in data]
+                if not parts:
+                    return empty
+                u = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+                cand = u if cand is None else _intersect_sorted(cand, u)
+                if len(cand) == 0:
+                    return empty
+        elif isinstance(target, SpanNearQuery):
             # candidate docs: every clause's term-union must be present
             cand = None
             for c in target.clauses:

@@ -82,7 +82,32 @@ class SpanNotQuery(Query):
     boost: float = 1.0
 
 
-SPAN_TYPES = (SpanTermQuery, SpanNearQuery, SpanOrQuery, SpanFirstQuery, SpanNotQuery)
+@dataclass(frozen=True)
+class SpanContainingQuery(Query):
+    """Spans of ``big`` that contain at least one span of ``little``
+    (SpanContainingQuery.java:60-90: monotone little cursor — advance while
+    ``little.start < big.start``, match iff ``big.end >= little.end``)."""
+
+    big: Query
+    little: Query
+    field: str = CONTENT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery(Query):
+    """Spans of ``little`` contained in a span of ``big``
+    (SpanWithinQuery.java:66-95: advance big while ``big.end < little.end``,
+    match iff ``big.start <= little.start``)."""
+
+    big: Query
+    little: Query
+    field: str = CONTENT_FIELD
+    boost: float = 1.0
+
+
+SPAN_TYPES = (SpanTermQuery, SpanNearQuery, SpanOrQuery, SpanFirstQuery,
+              SpanNotQuery, SpanContainingQuery, SpanWithinQuery)
 
 
 def span_terms(q) -> set[tuple[str, str]]:
@@ -98,6 +123,8 @@ def span_terms(q) -> set[tuple[str, str]]:
         return span_terms(q.match)
     if isinstance(q, SpanNotQuery):
         return span_terms(q.include) | span_terms(q.exclude)
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        return span_terms(q.big) | span_terms(q.little)
     return set()
 
 
@@ -113,6 +140,8 @@ def span_scoring_terms(q) -> set[tuple[str, str]]:
         return out
     if isinstance(q, SpanFirstQuery):
         return span_scoring_terms(q.match)
+    # SpanContainQuery passes BOTH sides into getTermContexts
+    # (SpanContainingQuery.java:49-50), so both contribute to the weight
     return span_terms(q)
 
 
@@ -146,6 +175,32 @@ def doc_spans(q, pos_of: dict[str, np.ndarray]) -> list[tuple[int, int, int]]:
             if j >= len(exc) or exc[j][0] - q.post >= e:
                 out_n.append((s, e, w))
         return out_n
+    if isinstance(q, SpanContainingQuery):
+        big = doc_spans(q.big, pos_of)
+        little = doc_spans(q.little, pos_of)
+        out_c: list[tuple[int, int, int]] = []
+        j = 0
+        for bs, be, bw in big:
+            while j < len(little) and little[j][0] < bs:
+                j += 1
+            if j >= len(little):
+                break
+            if be >= little[j][1]:
+                out_c.append((bs, be, bw))
+        return out_c
+    if isinstance(q, SpanWithinQuery):
+        big = doc_spans(q.big, pos_of)
+        little = doc_spans(q.little, pos_of)
+        out_w: list[tuple[int, int, int]] = []
+        j = 0
+        for ls, le, lw in little:
+            while j < len(big) and big[j][1] < le:
+                j += 1
+            if j >= len(big):
+                break
+            if big[j][0] <= ls:
+                out_w.append((ls, le, lw))
+        return out_w
     if isinstance(q, SpanNearQuery) and not q.ordered:
         return _unordered_near(q, pos_of)
     if isinstance(q, SpanNearQuery):

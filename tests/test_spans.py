@@ -217,3 +217,55 @@ def test_engine_span_not_and_unordered(built, use_ray):
         if any((a + 1) not in p2 and a not in p2 for a in p1):
             expn.add(doc_id)
     assert set(gotn.doc_id) == expn
+
+
+def test_containing_within_unit():
+    """ContainSpans cursor algorithms on hand-built position sets
+    (SpanContainingQuery.java:60-90 / SpanWithinQuery.java:66-95)."""
+    import numpy as np
+
+    from lucene_solr_ray.search.spans import (
+        SpanContainingQuery,
+        SpanNearQuery,
+        SpanTermQuery,
+        SpanWithinQuery,
+        doc_spans,
+    )
+
+    pos = {
+        "a": np.array([0, 10]),
+        "b": np.array([3, 12]),
+        "c": np.array([2, 40]),
+    }
+    big = SpanNearQuery((SpanTermQuery("a"), SpanTermQuery("b")), slop=5)
+    # big spans: (0,4) and (10,13)
+    assert [(s, e) for s, e, _ in doc_spans(big, pos)] == [(0, 4), (10, 13)]
+    # containing: only (0,4) contains c@2
+    got = doc_spans(SpanContainingQuery(big, SpanTermQuery("c")), pos)
+    assert [(s, e) for s, e, _ in got] == [(0, 4)]
+    # within: c@2 sits inside (0,4); c@40 in nothing
+    got_w = doc_spans(SpanWithinQuery(big, SpanTermQuery("c")), pos)
+    assert [(s, e) for s, e, _ in got_w] == [(2, 3)]
+    # no little at all → empty both ways
+    pos2 = {"a": np.array([0]), "b": np.array([2])}
+    assert doc_spans(SpanContainingQuery(big, SpanTermQuery("c")), pos2) == []
+    assert doc_spans(SpanWithinQuery(big, SpanTermQuery("c")), pos2) == []
+
+
+def test_containing_first_following_b_only():
+    """NearSpansOrdered pairs each 'a' with the FIRST following 'b'; a later
+    b that would contain the little term does NOT create a span."""
+    import numpy as np
+
+    from lucene_solr_ray.search.spans import (
+        SpanContainingQuery,
+        SpanNearQuery,
+        SpanTermQuery,
+        doc_spans,
+    )
+
+    pos = {"a": np.array([0]), "b": np.array([2, 5]), "c": np.array([4])}
+    big = SpanNearQuery((SpanTermQuery("a"), SpanTermQuery("b")), slop=10)
+    assert [(s, e) for s, e, _ in doc_spans(big, pos)] == [(0, 3)]
+    # c@4 lies only in the non-enumerated (0,6) alignment → no match
+    assert doc_spans(SpanContainingQuery(big, SpanTermQuery("c")), pos) == []
