@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from lucene_solr_ray.pipelines import ann, dedup, events, facets, fulltext, multimodal, solr_facets, streaming_exprs, text
+from lucene_solr_ray.pipelines import ann, dedup, events, facets, fulltext, multimodal, percolate, solr_facets, streaming_exprs, text
 from lucene_solr_ray.pipelines import fulltext_sql as fs
 
 
@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "st_significant": streaming_exprs.st_significant,
         # --- multimodal plumbing ---
         "mm_payload_features": multimodal.mm_payload_features,
+        # --- percolator (MemoryIndex reverse search) ---
+        "percolate": percolate.percolate,
     }
 
 
@@ -230,4 +232,5 @@ def oracle_sql() -> dict[str, str]:
         "st_knn": fs.sql_mlt([streaming_exprs.ST_KNN_ID], 10),
         "st_significant": streaming_exprs.sql_st_significant(),
         "mm_payload_features": multimodal.SQL_MM_PAYLOAD_FEATURES,
+        "percolate": percolate.SQL_PERCOLATE,
     }

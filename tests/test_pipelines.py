@@ -67,6 +67,7 @@ FAST_ENTRIES = [
     "st_unique_having",
     "st_facet",
     "st_fetch_rollup",
+    "percolate",
 ]
 
 
