@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from lucene_solr_ray.pipelines import ann, dedup, events, facets, fulltext, multimodal, percolate, solr_facets, streaming_exprs, text
+from lucene_solr_ray.pipelines import ann, dedup, events, facets, fulltext, multimodal, percolate, solr_facets, spatial, streaming_exprs, text
 from lucene_solr_ray.pipelines import fulltext_sql as fs
 
 
@@ -127,6 +127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_payload_features": multimodal.mm_payload_features,
         # --- percolator (MemoryIndex reverse search) ---
         "percolate": percolate.percolate,
+        # --- spatial (LatLonPoint / geodist analogs over derived points) ---
+        "geo_box": spatial.geo_box,
+        "geo_distance_topk": spatial.geo_distance_topk,
     }
 
 
@@ -233,4 +236,6 @@ def oracle_sql() -> dict[str, str]:
         "st_significant": streaming_exprs.sql_st_significant(),
         "mm_payload_features": multimodal.SQL_MM_PAYLOAD_FEATURES,
         "percolate": percolate.SQL_PERCOLATE,
+        "geo_box": spatial.SQL_GEO_BOX,
+        "geo_distance_topk": spatial.SQL_GEO_DISTANCE_TOPK,
     }

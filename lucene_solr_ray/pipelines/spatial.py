@@ -1,0 +1,154 @@
+"""Spatial search — LatLonPoint analog over derived point columns.
+
+Reference surface: ``lucene/core/src/java/org/apache/lucene/document/
+LatLonPoint.java`` (``newBoxQuery`` / ``newDistanceQuery``), the haversine in
+``lucene/core/src/java/org/apache/lucene/util/SloppyMath.java:50-80``, and
+Solr's ``geodist()`` sort
+(``solr/core/.../search/function/distance/GeoDistValueSourceParser.java``).
+
+The testdata carries no geo columns, so each customer gets a DETERMINISTIC
+synthetic point derived from md5 of its key — reproducible across runs and
+expressible verbatim in the DuckDB oracle (the repo-wide md5 parity trick):
+
+    lat = (md5_int60("lat|" || c_custkey) % 1_800_000) / 10_000 - 90
+    lon = (md5_int60("lon|" || c_custkey) % 3_600_000) / 10_000 - 180
+
+Ray shape: points are computed per batch inside ``map_batches`` (never
+driver-side); the box query is pure comparisons at the scan; the distance
+top-k computes per-batch haversine + a partial top-k, merging tiny partials.
+Distance ranks are compared at round(km, 3) (metre precision) because numpy's
+SIMD trig and DuckDB's libm differ in final-ulp — same collapse used for MLT
+score sums. BKD pruning maps to lat/lon min/max column stats at the read at
+scale (the parquet row-group analog of LatLonPoint's 2-D BKD tree).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+#: box query corners and distance-query origin/k
+BOX = {"min_lat": -30.0, "max_lat": 30.0, "min_lon": -60.0, "max_lon": 60.0}
+ORIGIN = (48.8566, 2.3522)  # Paris
+GEO_K = 20
+EARTH_R_KM = 6371.0088  # SloppyMath.TO_KILOMETERS mean earth radius
+
+
+def _md5_int60(s: str) -> int:
+    # 15 hex nibbles = 60 bits → fits BIGINT on the SQL side
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _points(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lat = np.array(
+        [(_md5_int60(f"lat|{k}") % 1_800_000) / 10_000 - 90 for k in keys.tolist()]
+    )
+    lon = np.array(
+        [(_md5_int60(f"lon|{k}") % 3_600_000) / 10_000 - 180 for k in keys.tolist()]
+    )
+    return lat, lon
+
+
+def _haversine_km(lat: np.ndarray, lon: np.ndarray, olat: float, olon: float) -> np.ndarray:
+    """SloppyMath.haversinKilometers' formula in float64 numpy (the reference
+    uses table-quantized cos for speed; we keep the exact formula)."""
+    la, lo = np.radians(lat), np.radians(lon)
+    ola, olo = np.radians(olat), np.radians(olon)
+    h = (np.sin((la - ola) / 2) ** 2
+         + np.cos(ola) * np.cos(la) * np.sin((lo - olo) / 2) ** 2)
+    return 2 * EARTH_R_KM * np.arcsin(np.sqrt(h))
+
+
+def _customers(sf_dir: str):
+    from .io import sized_read
+
+    return sized_read(f"{sf_dir}/customer.parquet").select_columns(["c_custkey"])
+
+
+def geo_box(sf_dir: str) -> pa.Table:
+    """LatLonPoint.newBoxQuery analog: customers whose derived point lies in
+    BOX (inclusive corners) → (c_custkey, lat, lon)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy()
+        lat, lon = _points(keys)
+        m = ((lat >= BOX["min_lat"]) & (lat <= BOX["max_lat"])
+             & (lon >= BOX["min_lon"]) & (lon <= BOX["max_lon"]))
+        return pa.table({
+            "c_custkey": pa.array(keys[m], pa.int64()),
+            "lat": pa.array(lat[m], pa.float64()),
+            "lon": pa.array(lon[m], pa.float64()),
+        })
+
+    out = _customers(sf_dir).map_batches(fn, batch_format="pyarrow")
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return tbl.sort_by("c_custkey")
+
+
+SQL_GEO_BOX = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (CAST(('0x' || substr(md5('lat|' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1800000) / 10000.0 - 90 AS lat,
+         (CAST(('0x' || substr(md5('lon|' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 3600000) / 10000.0 - 180 AS lon
+  FROM customer
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, lat, lon FROM pts
+WHERE lat BETWEEN {BOX["min_lat"]!r} AND {BOX["max_lat"]!r}
+  AND lon BETWEEN {BOX["min_lon"]!r} AND {BOX["max_lon"]!r}
+ORDER BY c_custkey
+"""
+
+
+def geo_distance_topk(sf_dir: str) -> pa.Table:
+    """LatLonPoint.newDistanceQuery + geodist() sort: the GEO_K customers
+    nearest ORIGIN → (rank, c_custkey, dist_km3). Per-batch haversine and
+    partial top-k; only (key, dist) partials reach the driver merge."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy()
+        lat, lon = _points(keys)
+        d = np.round(_haversine_km(lat, lon, *ORIGIN), 3)
+        order = np.lexsort((keys, d))[:GEO_K]  # partial top-k per batch
+        return pa.table({
+            "c_custkey": pa.array(keys[order], pa.int64()),
+            "dist_km3": pa.array(d[order], pa.float64()),
+        })
+
+    out = _customers(sf_dir).map_batches(fn, batch_format="pyarrow")
+    parts = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    keys = parts["c_custkey"].to_numpy()
+    d = parts["dist_km3"].to_numpy()
+    order = np.lexsort((keys, d))[:GEO_K]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order)), pa.int64()),
+        "c_custkey": pa.array(keys[order], pa.int64()),
+        "dist_km3": pa.array(d[order], pa.float64()),
+    })
+
+
+SQL_GEO_DISTANCE_TOPK = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (CAST(('0x' || substr(md5('lat|' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1800000) / 10000.0 - 90 AS lat,
+         (CAST(('0x' || substr(md5('lon|' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 3600000) / 10000.0 - 180 AS lon
+  FROM customer
+),
+dist AS (
+  SELECT c_custkey,
+         round(2 * {EARTH_R_KM!r} * asin(sqrt(
+             pow(sin((radians(lat) - radians({ORIGIN[0]!r})) / 2), 2)
+             + cos(radians({ORIGIN[0]!r})) * cos(radians(lat))
+               * pow(sin((radians(lon) - radians({ORIGIN[1]!r})) / 2), 2)
+         )), 3) AS dist_km3
+  FROM pts
+)
+SELECT CAST(row_number() OVER (ORDER BY dist_km3, c_custkey) - 1 AS BIGINT) AS rank,
+       CAST(c_custkey AS BIGINT) AS c_custkey, dist_km3
+FROM dist ORDER BY dist_km3, c_custkey LIMIT {GEO_K}
+"""

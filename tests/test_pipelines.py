@@ -68,6 +68,8 @@ FAST_ENTRIES = [
     "st_facet",
     "st_fetch_rollup",
     "percolate",
+    "geo_box",
+    "geo_distance_topk",
 ]
 
 

@@ -1,0 +1,47 @@
+"""Spatial analogs: derived-point determinism, box/distance semantics
+(LatLonPoint.java newBoxQuery/newDistanceQuery, SloppyMath haversine)."""
+
+import numpy as np
+
+from lucene_solr_ray.pipelines.spatial import (
+    BOX,
+    GEO_K,
+    ORIGIN,
+    _haversine_km,
+    _points,
+    geo_box,
+    geo_distance_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_points_deterministic_and_in_range():
+    keys = np.arange(100)
+    lat1, lon1 = _points(keys)
+    lat2, lon2 = _points(keys)
+    assert np.array_equal(lat1, lat2) and np.array_equal(lon1, lon2)
+    assert lat1.min() >= -90 and lat1.max() < 90
+    assert lon1.min() >= -180 and lon1.max() < 180
+
+
+def test_haversine_known_values():
+    # Paris -> London ≈ 343-344 km
+    d = _haversine_km(np.array([51.5074]), np.array([-0.1278]), *ORIGIN)
+    assert 340 < d[0] < 348
+    # zero distance at the origin
+    z = _haversine_km(np.array([ORIGIN[0]]), np.array([ORIGIN[1]]), *ORIGIN)
+    assert z[0] == 0.0
+
+
+def test_box_and_topk(ray_session):
+    box = geo_box(SF)
+    lat = box["lat"].to_numpy()
+    lon = box["lon"].to_numpy()
+    assert ((lat >= BOX["min_lat"]) & (lat <= BOX["max_lat"])).all()
+    assert ((lon >= BOX["min_lon"]) & (lon <= BOX["max_lon"])).all()
+    top = geo_distance_topk(SF)
+    assert top.num_rows == GEO_K
+    d = top["dist_km3"].to_numpy()
+    assert (np.diff(d) >= 0).all()  # ascending distance
+    assert top["rank"].to_pylist() == list(range(GEO_K))
