@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_elevate": fulltext.ft_elevate,
         "ft_realtime_get": fulltext.ft_realtime_get,
         "ft_facet_query": fulltext.ft_facet_query,
+        "ft_export": fulltext.ft_export,
         "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
@@ -197,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_classify_nb": fs.sql_classify_nb(fulltext.NB_SAMPLE),
         "ft_elevate": fs.sql_elevate(fulltext.ELEVATE_TERM, fulltext.ELEVATE_IDS, fulltext.TOPK_K),
         "ft_realtime_get": fs.sql_realtime_get(fulltext.RTG_IDS),
+        "ft_export": fs.sql_export(fulltext.EXPORT_TERM),
         "ft_facet_query": fs.sql_facet_query([
             ("merge_and_join", "and", ["join", "merge"], None),
             ("window_or_vector", "or", ["vector", "window"], None),

@@ -1285,3 +1285,24 @@ def ft_span_contain(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+EXPORT_TERM = "vector"
+
+
+def ft_export(sf_dir: str) -> pa.Table:
+    """Solr /export handler analog (solr/core/.../handler/export/
+    ExportWriter.java): ALL matching docs in sort order, streamed — the
+    per-segment match scatter emits (doc_id, sort-field value) pairs and a
+    distributed sort orders them; no top-k heap, no driver-side per-segment
+    loop → (rank, doc_id, path)."""
+    s = get_searcher(sf_dir)
+    scattered = s._scatter_match(TermQuery(EXPORT_TERM), "field_vals", field="path")
+    out = scattered.sort("value")
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    order = np.lexsort((tbl["doc_id"].to_numpy(), np.asarray(tbl["value"].to_pylist(), dtype=object)))
+    return pa.table({
+        "rank": pa.array(np.arange(len(order)), pa.int64()),
+        "doc_id": pa.array(tbl["doc_id"].to_numpy()[order], pa.int64()),
+        "path": pa.array(np.asarray(tbl["value"].to_pylist(), dtype=object)[order], pa.string()),
+    })

@@ -1208,3 +1208,13 @@ SELECT '{sp["qid"]}' AS query_id, CAST(did AS BIGINT) AS doc_id FROM (
                 AND lt.p BETWEEN big.p0 AND big.p1
 )""")
     return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
+
+
+def sql_export(term: str) -> str:
+    """/export oracle: full sorted match set (sort = path asc, doc id asc)."""
+    return prelude() + f"""
+SELECT CAST(row_number() OVER (ORDER BY c.path, c.did) - 1 AS BIGINT) AS rank,
+       CAST(c.did AS BIGINT) AS doc_id, c.path
+FROM corpus c JOIN (SELECT DISTINCT did FROM tf WHERE tok = '{term}') m USING (did)
+ORDER BY c.path, c.did
+"""

@@ -72,28 +72,43 @@ GROUP BY d.doc_id ORDER BY d.doc_id
 
 def lang_id(sf_dir: str) -> pa.Table:
     """(doc_id, pred_lang) — argmax of per-language marker-word hits; ties go
-    to the lexicographically smallest code; all-zero → 'und'."""
-    markers = {lang: frozenset(ws) for lang, ws in LANG_MARKERS.items()}
+    to the lexicographically smallest code; all-zero → 'und'.
+
+    Vectorized (round-1 hotspot was a per-token Python loop): one Arrow
+    regex split per batch (``[^\p{L}\p{N}_]+`` complement ≡ ``\w+``
+    boundaries), then per-language ``is_in`` masks + ``bincount`` over the
+    flat token stream; the argmax over the (langs × docs) count matrix picks
+    the first (lexicographically smallest) max."""
+    langs = sorted(LANG_MARKERS)
+    marker_arrs = {lang: pa.array(sorted(LANG_MARKERS[lang]), pa.string()) for lang in langs}
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        toks = [re.findall(r"\w+", (t or "").lower()) for t in texts]
-        langs = sorted(markers)
-        counts = {
-            lang: np.array([sum(w in markers[lang] for w in ts) for ts in toks], dtype=np.int64)
-            for lang in langs
-        }
-        pred = []
-        for i in range(len(texts)):
-            best, best_c = "und", 0
-            for lang in langs:  # lexicographic order → ties pick smallest code
-                if counts[lang][i] > best_c:
-                    best, best_c = lang, counts[lang][i]
-            pred.append(best)
+        import pyarrow.compute as pc
+
+        arr = batch["text"].combine_chunks()
+        n = len(arr)
+        low = pc.utf8_lower(pc.fill_null(arr, ""))
+        toks = pc.split_pattern_regex(low, pattern=r"[^\p{L}\p{N}_]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        if offs[0] != 0 or len(flat) != offs[-1] - offs[0]:
+            flat = flat.slice(offs[0], offs[-1] - offs[0])
+            offs = offs - offs[0]
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        counts = np.zeros((len(langs), n), dtype=np.int64)
+        for i, lang in enumerate(langs):
+            m = pc.is_in(flat, value_set=marker_arrs[lang]).to_numpy(zero_copy_only=False)
+            counts[i] = np.bincount(doc_idx[m & nonempty], minlength=n)
+        best = np.argmax(counts, axis=0)  # first max → smallest code on ties
+        best_c = counts[best, np.arange(n)]
+        pred = np.where(best_c > 0, np.asarray(langs, dtype=object)[best], "und")
         return pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
-                "pred_lang": pa.array(pred, pa.string()),
+                "pred_lang": pa.array(pred.tolist(), pa.string()),
             }
         )
 
