@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash": dedup.simhash,
         "embed_dup_pairs": dedup.embed_dup_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,  # approximate: rows-only check; recall pinned in pytest
@@ -217,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": dedup.SQL_MINHASH_LSH_PAIRS,
         "simhash": dedup.SQL_SIMHASH,
         "embed_dup_pairs": dedup.SQL_EMBED_DUP_PAIRS,
+        "dedup_clusters": dedup.SQL_DEDUP_CLUSTERS,
         "ann_topk": ann.SQL_ANN_TOPK,
         "events_hourly": events.SQL_EVENTS_HOURLY,
         "events_hopping": events.SQL_EVENTS_HOPPING,

@@ -380,6 +380,32 @@ WHERE 2 * i.i >= (sa.n + sb.n - i.i)
 ORDER BY doc_a, doc_b
 """
 
+#: same CTE chain, reusable under WITH RECURSIVE for the clusters oracle
+_PAIRS_CTES = SQL_MINHASH_LSH_PAIRS.strip()[len("WITH "):].rsplit("SELECT i.doc_a, i.doc_b", 1)[0].rstrip().rstrip(",")
+_PAIRS_SELECT = (
+    "SELECT i.doc_a, i.doc_b FROM inter i "
+    "JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b "
+    "WHERE 2 * i.i >= (sa.n + sb.n - i.i)"
+)
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_PAIRS_CTES},
+edges AS ({_PAIRS_SELECT}),
+nodes AS (SELECT doc_a AS n FROM edges UNION SELECT doc_b FROM edges),
+bidir AS (SELECT doc_a AS a, doc_b AS b FROM edges UNION SELECT doc_b, doc_a FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, b.b FROM reach r JOIN bidir b ON b.a = r.m
+),
+rep AS (SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id, CAST(r.cluster_rep AS BIGINT) AS cluster_rep,
+       CAST(c.sz AS BIGINT) AS cluster_size
+FROM rep r JOIN (SELECT cluster_rep, count(*) AS sz FROM rep GROUP BY cluster_rep) c
+  USING (cluster_rep)
+ORDER BY doc_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # SimHash
@@ -519,3 +545,43 @@ FROM embeddings a JOIN embeddings b
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_DUP_TAU}
 ORDER BY vec_a, vec_b
 """
+
+
+def dedup_clusters(sf_dir: str) -> pa.Table:
+    """(doc_id, cluster_rep, cluster_size) — connected components over the
+    verified MinHash near-dup pairs; rep = min doc id in the component (the
+    doc a dedup pass would keep).
+
+    Scale shape: the pair set is ≪ corpus (near-dup rarity — the same
+    assumption the pair generator documents), so union-find runs where the
+    pairs land. At 100 TB this becomes iterated min-label propagation over a
+    hash-partitioned edge list; the pair volume, not the corpus, bounds it."""
+    pairs = minhash_lsh_pairs(sf_dir)
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by min id so the root IS the representative
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    nodes = sorted(set(a.tolist()) | set(b.tolist()))
+    reps = [find(n) for n in nodes]
+    from collections import Counter
+
+    sizes = Counter(reps)
+    return pa.table({
+        "doc_id": pa.array(nodes, pa.int64()),
+        "cluster_rep": pa.array(reps, pa.int64()),
+        "cluster_size": pa.array([sizes[r] for r in reps], pa.int64()),
+    })

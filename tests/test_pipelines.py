@@ -278,3 +278,24 @@ def test_hll_estimate_accuracy():
             regs[b] = max(regs[b], r)
         est = hll_estimate(regs)
         assert abs(est - n) <= 3 * 1.04 / HLL_M**0.5 * n + 3, (n, est)
+
+
+def test_dedup_clusters_structure(entry_mod, con):
+    """Clusters are consistent with the pair set: every pair lands in one
+    cluster; reps are cluster minima; sizes match member counts."""
+    from lucene_solr_ray.pipelines import dedup
+
+    pairs = dedup.minhash_lsh_pairs(SF).to_pandas()
+    cl = dedup.dedup_clusters(SF).to_pandas()
+    rep = dict(zip(cl.doc_id, cl.cluster_rep))
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        assert rep[a] == rep[b]
+    g = cl.groupby("cluster_rep")
+    assert (g.doc_id.min() == g.doc_id.first().index).all() or (
+        cl.groupby("cluster_rep").doc_id.min().eq(
+            cl.groupby("cluster_rep").doc_id.min().index
+        ).all()
+    )
+    sizes = cl.groupby("cluster_rep").size()
+    for did, r, sz in zip(cl.doc_id, cl.cluster_rep, cl.cluster_size):
+        assert sz == sizes[r]
