@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_realtime_get": fulltext.ft_realtime_get,
         "ft_facet_query": fulltext.ft_facet_query,
         "ft_export": fulltext.ft_export,
+        "ft_collapse": fulltext.ft_collapse,
         "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
@@ -82,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_english": fulltext.ft_english,  # rows-only: Porter not SQL-expressible
         "ft_mlt": fulltext.ft_mlt,
         "ft_suggest_prefix": fulltext.ft_suggest_prefix,
+        "ft_suggest_infix": fulltext.ft_suggest_infix,
         "ft_spellcheck": fulltext.ft_spellcheck,
         "ft_join": fulltext.ft_join,
         "ft_span_near": fulltext.ft_span_near,
@@ -169,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_mlt": fs.sql_mlt(fulltext.MLT_SRC_DOCS, fulltext.TOPK_K),
         "ft_suggest_prefix": fs.sql_suggest_prefix(fulltext.SUGGEST_PREFIXES),
+        "ft_suggest_infix": fs.sql_suggest_infix(fulltext.INFIX_SUBSTRINGS),
         "ft_spellcheck": fs.sql_spellcheck(fulltext.SPELL_INPUTS),
         "ft_join": fs.sql_join(fulltext.JOIN_SPECS),
         "ft_span_near": fs.sql_span_near(fulltext.SPAN_SPECS),
@@ -200,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_elevate": fs.sql_elevate(fulltext.ELEVATE_TERM, fulltext.ELEVATE_IDS, fulltext.TOPK_K),
         "ft_realtime_get": fs.sql_realtime_get(fulltext.RTG_IDS),
         "ft_export": fs.sql_export(fulltext.EXPORT_TERM),
+        "ft_collapse": fs.sql_collapse(fulltext.FACET_TERM, fulltext.COLLAPSE_K, fulltext.EXPAND_ROWS),
         "ft_facet_query": fs.sql_facet_query([
             ("merge_and_join", "and", ["join", "merge"], None),
             ("window_or_vector", "or", ["vector", "window"], None),

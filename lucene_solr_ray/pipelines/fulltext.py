@@ -1306,3 +1306,56 @@ def ft_export(sf_dir: str) -> pa.Table:
         "doc_id": pa.array(tbl["doc_id"].to_numpy()[order], pa.int64()),
         "path": pa.array(np.asarray(tbl["value"].to_pylist(), dtype=object)[order], pa.string()),
     })
+
+
+COLLAPSE_K = 8
+EXPAND_ROWS = 2
+
+
+def ft_collapse(sf_dir: str) -> pa.Table:
+    """Solr field collapsing + expand (solr/core/.../search/
+    CollapsingQParserPlugin.java + handler/component/ExpandComponent.java):
+    the main list keeps only each group's best-scoring doc, ranked by score;
+    the expanded section carries the next EXPAND_ROWS docs per collapsed
+    group. Both ride the existing two-pass grouped scatter (group heads ≡
+    groups ordered by best score) → (section, group_val, rank, doc_id,
+    score)."""
+    s = get_searcher(sf_dir)
+    g = s.search_grouped(
+        TermQuery(FACET_TERM), "repo",
+        n_groups=COLLAPSE_K, docs_per_group=1 + EXPAND_ROWS,
+    )
+    grp = g["group"].to_pylist()
+    grank = g["group_rank"].to_numpy()
+    rank = g["rank"].to_numpy()
+    dids = g["doc_id"].to_numpy()
+    scores = g["score"].to_numpy()
+    head = rank == 0
+    return pa.table({
+        "section": pa.array(
+            ["collapsed" if h else "expanded" for h in head], pa.string()
+        ),
+        "group_val": pa.array(grp, pa.string()),
+        "rank": pa.array(np.where(head, grank, rank - 1), pa.int64()),
+        "doc_id": pa.array(dids, pa.int64()),
+        "score": pa.array(scores, pa.float64()),
+    })
+
+
+INFIX_SUBSTRINGS = ["er", "ind", "at"]
+
+
+def ft_suggest_infix(sf_dir: str) -> pa.Table:
+    """Infix suggester: top-5 terms by df containing each substring."""
+    from ..search.suggest import suggest_infix
+
+    s = get_searcher(sf_dir)
+    tables = []
+    for sub in INFIX_SUBSTRINGS:
+        r = suggest_infix(s.reader, sub, num=5)
+        tables.append(pa.table({
+            "substring": pa.array([sub] * len(r), pa.string()),
+            "term": r["term"],
+            "df": r["df"],
+        }))
+    return pa.concat_tables(tables)

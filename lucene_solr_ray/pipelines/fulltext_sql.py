@@ -1218,3 +1218,38 @@ SELECT CAST(row_number() OVER (ORDER BY c.path, c.did) - 1 AS BIGINT) AS rank,
 FROM corpus c JOIN (SELECT DISTINCT did FROM tf WHERE tok = '{term}') m USING (did)
 ORDER BY c.path, c.did
 """
+
+
+def sql_collapse(term: str, k: int, expand_rows: int) -> str:
+    """Collapse/expand oracle: heads = per-group best (score desc, did asc),
+    ranked (score desc, group asc); expanded = next rows of head groups."""
+    return prelude() + "," + _score_cte([term]) + f""",
+vals AS (SELECT did, source AS v FROM corpus),
+scored AS (SELECT a.did, a.score, v.v FROM agg a JOIN vals v USING (did)),
+rn AS (
+  SELECT did, score, v,
+         row_number() OVER (PARTITION BY v ORDER BY score DESC, did ASC) AS r
+  FROM scored
+),
+heads AS (
+  SELECT v, did, score,
+         row_number() OVER (ORDER BY score DESC, v ASC) - 1 AS grank
+  FROM rn WHERE r = 1 ORDER BY score DESC, v ASC LIMIT {k}
+)
+SELECT 'collapsed' AS section, v AS group_val,
+       CAST(grank AS BIGINT) AS rank, CAST(did AS BIGINT) AS doc_id, score
+FROM heads
+UNION ALL
+SELECT 'expanded', rn.v, CAST(rn.r - 2 AS BIGINT), CAST(rn.did AS BIGINT), rn.score
+FROM rn JOIN heads USING (v) WHERE rn.r BETWEEN 2 AND {1 + expand_rows}
+"""
+
+
+def sql_suggest_infix(substrings: list[str], num: int = 5) -> str:
+    parts = []
+    for sub in substrings:
+        parts.append(f"""
+SELECT '{sub}' AS substring, tok AS term, CAST(df AS BIGINT) AS df
+FROM (SELECT tok, df FROM idf WHERE tok LIKE '%{sub}%'
+      ORDER BY df DESC, tok ASC LIMIT {num})""")
+    return prelude() + " " + " UNION ALL ".join(parts)

@@ -113,3 +113,26 @@ def spell_suggest(reader, term: str, max_edits: int = 2, num: int = 5,
             "df": pa.array([-nd for _d, nd, _t in rows], pa.int64()),
         }
     )
+
+
+def suggest_infix(reader, substring: str, num: int = 5,
+                  field: str = CONTENT_FIELD) -> pa.Table:
+    """AnalyzingInfixSuggester analog
+    (``lucene/suggest/.../analyzing/AnalyzingInfixSuggester.java`` — matches
+    the query anywhere inside the suggestion, not just at its start): terms
+    CONTAINING ``substring``, ranked (df desc, term asc) → (term, df)."""
+    import pyarrow.compute as pc
+
+    def flt(terms):
+        return pc.match_substring(terms, substring).to_numpy(zero_copy_only=False)
+
+    tbl = _term_df(reader, field, flt)
+    if not len(tbl):
+        return tbl
+    df = tbl["df"].to_numpy()
+    terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
+    order = np.lexsort((terms, -df))[:num]
+    return pa.table({
+        "term": pa.array(terms[order], pa.string()),
+        "df": pa.array(df[order].astype(np.int64), pa.int64()),
+    })
