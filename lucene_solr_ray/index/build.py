@@ -243,10 +243,30 @@ def build_index(
         "sort_fields": plan.key_cols,
         "stats": stats.to_dict(),
         "field_stats": field_stats,
+        # per-partition lineage: the sort-key range each segment was planned
+        # from (plan boundaries are upper-exclusive cut points) + planned vs
+        # actual row counts — a failed run's survivor segments are
+        # attributable to exact input ranges, and a resume can prove it
+        # re-covered precisely the missing ranges
         "segments": [
-            {k: r[k] for k in ("seg", "doc_base", "doc_count", "sum_len", "num_terms", "sum_df", "sum_ttf")}
+            {
+                **{k: r[k] for k in ("seg", "doc_base", "doc_count", "sum_len", "num_terms", "sum_df", "sum_ttf")},
+                "lineage": {
+                    "key_lo": plan.boundaries[r["seg"] - 1] if r["seg"] > 0 and plan.boundaries else None,
+                    "key_hi": plan.boundaries[r["seg"]] if r["seg"] < len(plan.boundaries) else None,
+                    "planned_rows": plan.counts[r["seg"]] if r["seg"] < len(plan.counts) else None,
+                    "resumed": bool(r.get("resumed")),
+                },
+            }
             for r in manifest_rows
         ],
+        # build metrics (checkpointed with the commit, ray-job-observable)
+        "metrics": {
+            "build_wall_sec": round(time.time() - t_start, 3),
+            "segments_built": len(built),
+            "segments_resumed": n_resumed,
+            "docs_per_sec": round(stats.doc_count / max(time.time() - t_start, 1e-9), 1),
+        },
     }
     tmp = os.path.join(index_dir, f".pending_manifest_{generation}.json")
     with open(tmp, "w") as f:
