@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_facet_query": fulltext.ft_facet_query,
         "ft_export": fulltext.ft_export,
         "ft_collapse": fulltext.ft_collapse,
+        "ft_deep_page": fulltext.ft_deep_page,
         "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_realtime_get": fs.sql_realtime_get(fulltext.RTG_IDS),
         "ft_export": fs.sql_export(fulltext.EXPORT_TERM),
         "ft_collapse": fs.sql_collapse(fulltext.FACET_TERM, fulltext.COLLAPSE_K, fulltext.EXPAND_ROWS),
+        "ft_deep_page": fs.sql_deep_page(fulltext.PAGE_TERM, fulltext.PAGE_SIZE, fulltext.N_PAGES),
         "ft_facet_query": fs.sql_facet_query([
             ("merge_and_join", "and", ["join", "merge"], None),
             ("window_or_vector", "or", ["vector", "window"], None),

@@ -372,3 +372,57 @@ def update_documents(index_dir: str, corpus, **add_kwargs) -> dict:
     ]
     delete_by_keys(index_dir, keys)
     return add_documents(index_dir, corpus, **add_kwargs)
+
+
+def atomic_update(index_dir: str, key: tuple[str, str, str], ops: dict) -> dict:
+    """Solr atomic update (``solr/core/src/java/org/apache/solr/update/
+    processor/AtomicUpdateDocumentMerger.java``): fetch the stored document
+    by unique key, apply field modifiers, then ``updateDocument`` the merged
+    doc. Supported modifiers per field: ``{"set": v}`` (replace) and
+    ``{"add": v}`` (append — string concat with a space, the single-valued
+    analog of multi-value add). Requires a ``store_content=True`` index (the
+    stored-fields fetch is the RealTimeGet path the reference also uses)."""
+    import ray.data
+
+    from .reader import IndexReader
+
+    reader = IndexReader(index_dir)
+    repo, path, commit = key
+    rows: list[dict] = []
+    for seg_ent in reader.segments:
+        seg = seg_ent["seg"]
+        t = pq.read_table(
+            os.path.join(reader.seg_dir(seg), "docs.parquet"),
+            filters=[("repo", "=", repo), ("path", "=", path), ("commit", "=", commit)],
+        )
+        if t.num_rows == 0:
+            continue
+        if "content" not in t.column_names:
+            raise ValueError("atomic_update requires a store_content=True index")
+        live = reader.live_mask(seg)
+        for r in t.to_pylist():
+            local = r["doc_id"] - seg_ent["doc_base"]
+            if live is None or bool(live[local]):
+                rows.append(r)
+    if not rows:
+        raise KeyError(f"no live document with key {key}")
+    row = rows[0]
+    doc = {
+        "repo": row["repo"],
+        "path": row["path"],
+        "commit": row["commit"],
+        "lang": row["lang"],
+        "content": row["content"],
+    }
+    for f, mod in ops.items():
+        if f not in doc:
+            raise KeyError(f"unknown field {f!r}")
+        if "set" in mod:
+            doc[f] = mod["set"]
+        elif "add" in mod:
+            doc[f] = f"{doc[f]} {mod['add']}"
+        else:
+            raise ValueError(f"unsupported modifier {mod!r} (set/add)")
+    delta = ray.data.from_arrow(pa.table({k: pa.array([v], pa.string()) for k, v in doc.items()}))
+    # add_documents inherits the index's stored-content setting
+    return update_documents(index_dir, delta)

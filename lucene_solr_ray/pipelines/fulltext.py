@@ -1359,3 +1359,32 @@ def ft_suggest_infix(sf_dir: str) -> pa.Table:
             "df": r["df"],
         }))
     return pa.concat_tables(tables)
+
+
+PAGE_TERM = "window"
+PAGE_SIZE = 5
+N_PAGES = 3
+
+
+def ft_deep_page(sf_dir: str) -> pa.Table:
+    """Solr cursorMark deep paging (solr/core/.../CursorMark.java over
+    IndexSearcher.searchAfter): N_PAGES pages of PAGE_SIZE, each anchored at
+    the previous page's last (score, doc_id) — k never grows with depth →
+    (page, rank, doc_id, score)."""
+    s = get_searcher(sf_dir)
+    q = TermQuery(PAGE_TERM)
+    after = None
+    tables = []
+    for page in range(N_PAGES):
+        res = s.search({"q": q}, k=PAGE_SIZE, after=after)
+        if res.num_rows == 0:
+            break
+        tables.append(pa.table({
+            "page": pa.array([page] * res.num_rows, pa.int64()),
+            "rank": res["rank"],
+            "doc_id": res["doc_id"],
+            "score": res["score"].cast(pa.float64()),
+        }))
+        after = (res["score"][res.num_rows - 1].as_py(),
+                 res["doc_id"][res.num_rows - 1].as_py())
+    return pa.concat_tables(tables)

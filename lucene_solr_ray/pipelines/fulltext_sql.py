@@ -1253,3 +1253,16 @@ SELECT '{sub}' AS substring, tok AS term, CAST(df AS BIGINT) AS df
 FROM (SELECT tok, df FROM idf WHERE tok LIKE '%{sub}%'
       ORDER BY df DESC, tok ASC LIMIT {num})""")
     return prelude() + " " + " UNION ALL ".join(parts)
+
+
+def sql_deep_page(term: str, page_size: int, n_pages: int) -> str:
+    """cursorMark oracle: global rank // page_size = page, rank within page."""
+    return prelude() + "," + _score_cte([term]) + f"""
+SELECT CAST((row_number() OVER w - 1) // {page_size} AS BIGINT) AS page,
+       CAST((row_number() OVER w - 1) % {page_size} AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM agg
+WINDOW w AS (ORDER BY score DESC, did ASC)
+QUALIFY row_number() OVER w <= {page_size * n_pages}
+ORDER BY page, rank
+"""

@@ -168,3 +168,42 @@ def test_add_indexes_rejects_mismatched_options(ray_session, tmp_path):
     build_index(ray.data.from_arrow(t2), d2, docs_per_segment=30, positions=False)
     with pytest.raises(ValueError, match="positions"):
         add_indexes(d1, d2)
+
+
+def test_atomic_update(ray_session):
+    """Atomic set/add modifiers: unmodified fields survive, the doc keeps its
+    key, and search reflects the new content."""
+    import tempfile
+
+    from lucene_solr_ray.corpus import write_corpus
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.index.update import atomic_update
+    from lucene_solr_ray.search import Searcher
+    from lucene_solr_ray.search.query import TermQuery, parse_query
+
+    cdir = tempfile.mkdtemp()
+    write_corpus(cdir, 120)
+    idir = tempfile.mkdtemp()
+    build_index(cdir, idir, docs_per_segment=60, store_content=True)
+
+    import pyarrow.parquet as pq
+    import glob
+
+    row = pq.read_table(glob.glob(f"{cdir}/*.parquet")[0]).to_pylist()[0]
+    key = (row["repo"], row["path"], row["commit"])
+
+    atomic_update(idir, key, {"content": {"set": "zebrafied unique token"},
+                              "lang": {"set": "zz"}})
+    s = Searcher(idir)
+    hit = s.search({"q": TermQuery("zebrafied")}, k=5, use_ray=False)
+    assert hit.num_rows == 1
+    # keyword field updated too
+    kw = s.search({"q": parse_query("lang:zz")}, k=5, use_ray=False)
+    assert kw.num_rows == 1
+    assert kw["doc_id"][0].as_py() == hit["doc_id"][0].as_py()
+
+    # add modifier appends
+    atomic_update(idir, key, {"content": {"add": "quaggamorph"}})
+    both = s2 = Searcher(idir).search(
+        {"q": parse_query("zebrafied AND quaggamorph")}, k=5, use_ray=False)
+    assert both.num_rows == 1
