@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_export": fulltext.ft_export,
         "ft_collapse": fulltext.ft_collapse,
         "ft_deep_page": fulltext.ft_deep_page,
+        "ft_blended": fulltext.ft_blended,
         "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_export": fs.sql_export(fulltext.EXPORT_TERM),
         "ft_collapse": fs.sql_collapse(fulltext.FACET_TERM, fulltext.COLLAPSE_K, fulltext.EXPAND_ROWS),
         "ft_deep_page": fs.sql_deep_page(fulltext.PAGE_TERM, fulltext.PAGE_SIZE, fulltext.N_PAGES),
+        "ft_blended": fs.sql_blended(fulltext.BLENDED_SPECS, fulltext.TOPK_K),
         "ft_facet_query": fs.sql_facet_query([
             ("merge_and_join", "and", ["join", "merge"], None),
             ("window_or_vector", "or", ["vector", "window"], None),

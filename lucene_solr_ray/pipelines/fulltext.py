@@ -1388,3 +1388,26 @@ def ft_deep_page(sf_dir: str) -> pa.Table:
         after = (res["score"][res.num_rows - 1].as_py(),
                  res["doc_id"][res.num_rows - 1].as_py())
     return pa.concat_tables(tables)
+
+
+#: BlendedTermQuery specs — 2-term blends keep the SHOULD sum commutative
+#: (bit-exact vs SQL's order-unspecified 2-row sum)
+BLENDED_SPECS = [
+    {"qid": "blend_merge_join", "terms": ["merge", "join"]},
+    {"qid": "blend_spark_vector", "terms": ["spark", "vector"]},
+]
+
+
+def ft_blended(sf_dir: str) -> pa.Table:
+    """BlendedTermQuery (BOOLEAN_REWRITE) top-k with blended-df scoring."""
+    from ..search.query import BlendedTermQuery
+
+    s = get_searcher(sf_dir)
+    queries = {sp["qid"]: BlendedTermQuery(tuple(sp["terms"])) for sp in BLENDED_SPECS}
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": res["doc_id"],
+        "score": res["score"].cast(pa.float64()),
+    })

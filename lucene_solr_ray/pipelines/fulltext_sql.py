@@ -1266,3 +1266,27 @@ WINDOW w AS (ORDER BY score DESC, did ASC)
 QUALIFY row_number() OVER w <= {page_size * n_pages}
 ORDER BY page, rank
 """
+
+
+def sql_blended(specs: list[dict], k: int) -> str:
+    """BlendedTermQuery oracle: every term scores with the set's minimum idf
+    (= max df — BlendedTermQuery.java:275-288), SHOULD-summed."""
+    parts = []
+    for sp in specs:
+        tl = ", ".join(f"'{t}'" for t in sorted(sp["terms"]))
+        parts.append(prelude() + f""",
+bidf AS (SELECT min(idf) AS v FROM idf WHERE tok IN ({tl})),
+sc AS (
+  SELECT k.did,
+         (((SELECT v FROM bidf) * {1.0!r}) * {K1 + 1!r}) * k.tf
+           / (k.tf + {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen) / (SELECT avgdl FROM avg_dl))) AS s
+  FROM tf k JOIN quant q USING (did)
+  WHERE k.tok IN ({tl})
+),
+agg AS (SELECT did, sum(s) AS score FROM sc GROUP BY did)
+SELECT '{sp["qid"]}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM agg ORDER BY score DESC, did ASC LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)

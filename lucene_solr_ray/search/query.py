@@ -43,6 +43,21 @@ class MatchAllQuery(Query):
 
 
 @dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """Cross-term stats blending (``search/BlendedTermQuery.java:275-288``):
+    every term scores with df = max(df_i) (⇔ the minimum idf of the set; ttf
+    blending is moot for BM25). ``rewrite="boolean"`` sums the per-term
+    scores (BOOLEAN_REWRITE, :133); ``rewrite="dismax"`` takes
+    max + (sum-max)·tie (DisjunctionMaxRewrite, :150)."""
+
+    terms: tuple[str, ...]
+    rewrite: str = "boolean"
+    tie_breaker: float = 0.01
+    boost: float = 1.0
+    field: str = CONTENT_FIELD
+
+
+@dataclass(frozen=True)
 class PhraseQuery(Query):
     """Phrase query: terms at relative positions (gaps from removed
     stopwords preserved, like the classic parser's analyzed phrases).
@@ -320,7 +335,8 @@ def query_terms(q: Query) -> set[tuple[str, str]]:
         return {(q.field, t) for t in q.terms}
     if isinstance(q, MultiPhraseQuery):
         return {(q.field, t) for slot in q.terms for t in slot}
-    if isinstance(q, (SynonymQuery, ExpandedTermsQuery, TermInSetQuery, CommonTermsQuery)):
+    if isinstance(q, (SynonymQuery, ExpandedTermsQuery, TermInSetQuery, CommonTermsQuery,
+                      BlendedTermQuery)):
         return {(q.field, t) for t in q.terms}
     if isinstance(q, (ConstantScoreQuery, BoostQuery, FunctionScoreQuery)):
         return query_terms(q.query)

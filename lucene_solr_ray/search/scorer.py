@@ -265,6 +265,10 @@ class SegmentScorer:
             return ids, out.astype(self.sim.dtype)
         if isinstance(q, SynonymQuery):
             return self._synonym_match(q)
+        from .query import BlendedTermQuery
+
+        if isinstance(q, BlendedTermQuery):
+            return self._blended(q)
         if isinstance(q, DisjunctionMaxQuery):
             return self._dismax(q)
         if isinstance(q, BooleanQuery):
@@ -376,6 +380,33 @@ class SegmentScorer:
         w = self.sim.weight_from_idf(idf, q.boost)
         nb, cache = self._norm_inputs(q.field, uids)
         return uids, self.sim.score_freqs(w, fsum, nb, cache)
+
+    def _blended(self, q) -> tuple[np.ndarray, np.ndarray]:
+        """BlendedTermQuery: every present term scores with the blended
+        weight (idf of the max-df term), combined per the rewrite method."""
+        t = self.sim.dtype.type
+        present = [tm for tm in q.terms if (q.field, tm) in self.postings]
+        cand_w = [w for tm in q.terms if (w := self.weights.get((q.field, tm))) is not None]
+        if not present or not cand_w:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype)
+        w = self.sim.weight_from_idf(min(cand_w), q.boost)
+        n = len(self.norms)
+        ssum = np.zeros(n, dtype=self.sim.dtype)
+        smax = np.zeros(n, dtype=self.sim.dtype)
+        matched = np.zeros(n, dtype=bool)
+        for tm in present:  # fixed clause order = q.terms order
+            ids_t, tfs_t = self.postings[(q.field, tm)]
+            nb, cache = self._norm_inputs(q.field, ids_t)
+            s = self.sim.score_freqs(w, tfs_t.astype(np.int64), nb, cache)
+            ssum[ids_t] += s
+            np.maximum.at(smax, ids_t, s)
+            matched[ids_t] = True
+        ids = np.flatnonzero(matched).astype(np.int64)
+        if q.rewrite == "dismax":
+            scores = (smax[ids] + (ssum[ids] - smax[ids]) * t(q.tie_breaker)).astype(self.sim.dtype)
+        else:
+            scores = ssum[ids].astype(self.sim.dtype)
+        return ids, scores
 
     def _dismax(self, q: DisjunctionMaxQuery) -> tuple[np.ndarray, np.ndarray]:
         """DisjunctionMaxScorer.score: max + (sum - max) * tieBreaker."""

@@ -549,3 +549,25 @@ def test_search_grouped_two_pass_vs_brute(built):
     # group ordering: best scores non-increasing
     firsts = dist[dist["rank"] == 0].sort_values("group_rank")
     assert (np.diff(firsts.score.to_numpy()) <= 1e-12).all()
+
+
+def test_blended_term_query(built):
+    """BlendedTermQuery: blended idf = min over the set; boolean rewrite sums
+    per-term scores; dismax rewrite = max + tie*(sum-max)."""
+    from lucene_solr_ray.search.query import BlendedTermQuery, TermQuery
+
+    d, _res, _oracle, _tbl = built
+    s = Searcher(d)
+    b = s.search({"q": BlendedTermQuery(("license", "apache"))}, k=400, use_ray=False)
+    d = s.search({"q": BlendedTermQuery(("license", "apache"), rewrite="dismax",
+                                        tie_breaker=0.0)}, k=400, use_ray=False)
+    # dismax(tie=0) <= boolean sum everywhere, same match set
+    assert set(b["doc_id"].to_pylist()) == set(d["doc_id"].to_pylist())
+    bm = dict(zip(b["doc_id"].to_pylist(), b["score"].to_pylist()))
+    dm = dict(zip(d["doc_id"].to_pylist(), d["score"].to_pylist()))
+    assert all(dm[k] <= bm[k] + 1e-6 for k in dm)
+    # a doc matching only the max-df term scores LOWER under blending than
+    # under its solo TermQuery iff the other term is rarer... sanity: blended
+    # single-term-doc score uses min idf of the set
+    solo = s.search({"q": TermQuery("license")}, k=400, use_ray=False)
+    assert solo.num_rows > 0
