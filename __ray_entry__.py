@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_collapse": fulltext.ft_collapse,
         "ft_deep_page": fulltext.ft_deep_page,
         "ft_blended": fulltext.ft_blended,
+        "ft_ltr_linear": fulltext.ft_ltr_linear,
+        "ft_ltr_trees": fulltext.ft_ltr_trees,
         "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
@@ -208,6 +210,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_collapse": fs.sql_collapse(fulltext.FACET_TERM, fulltext.COLLAPSE_K, fulltext.EXPAND_ROWS),
         "ft_deep_page": fs.sql_deep_page(fulltext.PAGE_TERM, fulltext.PAGE_SIZE, fulltext.N_PAGES),
         "ft_blended": fs.sql_blended(fulltext.BLENDED_SPECS, fulltext.TOPK_K),
+        "ft_ltr_linear": fs.sql_ltr_linear(fulltext.LTR_TERM, fulltext.LTR_RERANK_K,
+                                           fulltext.TOPK_K, fulltext.LTR_WEIGHTS,
+                                           fulltext.LTR_VALUE_FEATURE),
+        "ft_ltr_trees": fs.sql_ltr_trees(fulltext.LTR_TERM, fulltext.LTR_RERANK_K,
+                                         fulltext.TOPK_K, fulltext.LTR_TREES_SPEC),
         "ft_facet_query": fs.sql_facet_query([
             ("merge_and_join", "and", ["join", "merge"], None),
             ("window_or_vector", "or", ["vector", "window"], None),

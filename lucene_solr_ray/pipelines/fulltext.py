@@ -1411,3 +1411,49 @@ def ft_blended(sf_dir: str) -> pa.Table:
         "doc_id": res["doc_id"],
         "score": res["score"].cast(pa.float64()),
     })
+
+
+LTR_TERM = "merge"
+LTR_RERANK_K = 50
+LTR_WEIGHTS = (0.7, 0.02, 1.5)
+LTR_VALUE_FEATURE = 0.5
+#: 2-tree MART ensemble over (original_score, field_length):
+#: (tree_weight, nested (feature, threshold, left, right) | leaf value)
+LTR_TREES_SPEC = (
+    (1.0, (1, 40.0, (0, 1.2, 0.1, 0.4), 0.8)),
+    (0.5, (0, 2.0, 0.0, 1.0)),
+)
+
+
+def _tree_from_spec(spec):
+    from ..search.ltr import TreeNode
+
+    if not isinstance(spec, tuple):
+        return TreeNode(value=float(spec))
+    f, thr, l, r = spec
+    return TreeNode(feature=f, threshold=thr,
+                    left=_tree_from_spec(l), right=_tree_from_spec(r))
+
+
+def ft_ltr_linear(sf_dir: str) -> pa.Table:
+    """LTR LinearModel rerank of the BM25 top-50 → (rank, doc_id,
+    ltr_score)."""
+    from ..search.ltr import LinearModel, rerank
+
+    s = get_searcher(sf_dir)
+    return rerank(s, TermQuery(LTR_TERM), LinearModel(LTR_WEIGHTS),
+                  k=TOPK_K, rerank_k=LTR_RERANK_K,
+                  value_feature=LTR_VALUE_FEATURE)
+
+
+def ft_ltr_trees(sf_dir: str) -> pa.Table:
+    """LTR MultipleAdditiveTreesModel rerank (node rule: feature ≤ threshold
+    → left) → (rank, doc_id, ltr_score)."""
+    from ..search.ltr import MultipleAdditiveTreesModel, rerank
+
+    model = MultipleAdditiveTreesModel(
+        tuple((w, _tree_from_spec(t)) for w, t in LTR_TREES_SPEC)
+    )
+    s = get_searcher(sf_dir)
+    return rerank(s, TermQuery(LTR_TERM), model, k=TOPK_K,
+                  rerank_k=LTR_RERANK_K, value_feature=LTR_VALUE_FEATURE)

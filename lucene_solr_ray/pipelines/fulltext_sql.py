@@ -1290,3 +1290,42 @@ SELECT '{sp["qid"]}' AS query_id,
 FROM agg ORDER BY score DESC, did ASC LIMIT {k}
 """)
     return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def _ltr_first_pass(term: str, rerank_k: int) -> str:
+    return prelude() + "," + _score_cte([term]) + f""",
+fp AS (SELECT did, score FROM agg ORDER BY score DESC, did ASC LIMIT {rerank_k}),
+feats AS (
+  SELECT fp.did, fp.score, CAST(q.qlen AS DOUBLE) AS flen
+  FROM fp JOIN quant q USING (did)
+)"""
+
+
+def sql_ltr_linear(term: str, rerank_k: int, k: int,
+                   weights: tuple, vf: float) -> str:
+    w0, w1, w2 = weights
+    return _ltr_first_pass(term, rerank_k) + f"""
+SELECT CAST(row_number() OVER (ORDER BY ltr_score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, ltr_score
+FROM (SELECT did, (({w0!r} * score + {w1!r} * flen) + {w2!r} * {vf!r}) AS ltr_score FROM feats)
+ORDER BY ltr_score DESC, did ASC LIMIT {k}
+"""
+
+
+def _tree_case(spec) -> str:
+    if not isinstance(spec, tuple):
+        return repr(float(spec))
+    f, thr, l, r = spec
+    col = {0: "score", 1: "flen"}[f]
+    return (f"CASE WHEN {col} <= {thr!r} THEN {_tree_case(l)} "
+            f"ELSE {_tree_case(r)} END")
+
+
+def sql_ltr_trees(term: str, rerank_k: int, k: int, trees: tuple) -> str:
+    expr = " + ".join(f"{w!r} * ({_tree_case(t)})" for w, t in trees)
+    return _ltr_first_pass(term, rerank_k) + f"""
+SELECT CAST(row_number() OVER (ORDER BY ltr_score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, ltr_score
+FROM (SELECT did, ({expr}) AS ltr_score FROM feats)
+ORDER BY ltr_score DESC, did ASC LIMIT {k}
+"""
