@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "quality": text.quality,
         "fingerprint": text.fingerprint,
+        "scrub": text.scrub,
+        "split_assign": text.split_assign,
+        "pack_greedy": text.pack_greedy,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_shingle_set": dedup.dedup_shingle_set,
@@ -228,6 +231,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text.SQL_LANG_ID,
         "quality": text.SQL_QUALITY,
         "fingerprint": text.SQL_FINGERPRINT,
+        "scrub": text.SQL_SCRUB,
+        "split_assign": text.SQL_SPLIT_ASSIGN,
+        "pack_greedy": text.SQL_PACK_GREEDY,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_shingle_set": dedup.SQL_DEDUP_SHINGLE_SET,
         "minhash_lsh_pairs": dedup.SQL_MINHASH_LSH_PAIRS,

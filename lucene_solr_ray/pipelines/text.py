@@ -225,3 +225,130 @@ SQL_FINGERPRINT = """
 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
 FROM documents ORDER BY doc_id
 """
+
+
+_SCRUB_EMAIL = re.compile(r"[A-Za-z0-9_.]+@[A-Za-z0-9_.]+")
+_SCRUB_NUM = re.compile(r"[0-9]{6,}")
+
+
+def scrub(sf_dir: str) -> pa.Table:
+    """(doc_id, content_md5, n_masked) — PII-style masking pass (emails →
+    ``<EMAIL>`` then long digit runs → ``<NUM>``; ASCII classes so Python and
+    RE2 agree). The oracle compares the scrubbed text via md5, so the whole
+    transform is verified byte-for-byte."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_h, out_n = [], []
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            s1, n1 = _SCRUB_EMAIL.subn("<EMAIL>", t)
+            s2, n2 = _SCRUB_NUM.subn("<NUM>", s1)
+            out_h.append(hashlib.md5(s2.encode("utf-8")).hexdigest())
+            out_n.append(n1 + n2)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "content_md5": pa.array(out_h, pa.string()),
+            "n_masked": pa.array(out_n, pa.int64()),
+        })
+
+    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+
+
+SQL_SCRUB = """
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+', '<EMAIL>', 'g'),
+                          '[0-9]{6,}', '<NUM>', 'g')) AS content_md5,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+'))
+            + len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+', '<EMAIL>', 'g'),
+                                     '[0-9]{6,}')) AS BIGINT) AS n_masked
+FROM documents
+"""
+
+
+SPLIT_PCTS = (80, 10)  # train < 80, valid < 90, else test
+
+
+def split_assign(sf_dir: str) -> pa.Table:
+    """(doc_id, split) — deterministic hash split (train/valid/test by md5
+    bucket; reproducible at any parallelism, the standard training-data
+    split idiom)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        buckets = [int(hashlib.md5(f"split|{d}".encode()).hexdigest()[:15], 16) % 100
+                   for d in ids]
+        split = ["train" if b < SPLIT_PCTS[0]
+                 else "valid" if b < SPLIT_PCTS[0] + SPLIT_PCTS[1]
+                 else "test" for b in buckets]
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "split": pa.array(split, pa.string()),
+        })
+
+    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+
+
+SQL_SPLIT_ASSIGN = """
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+      FROM documents)
+"""
+
+
+PACK_CAPACITY = 2000  # chars per packed training sequence
+
+
+def pack_greedy(sf_dir: str) -> pa.Table:
+    """(doc_id, source, bin_id) — greedy sequence packing for training:
+    within each source (doc_id order), documents accumulate into bins of
+    PACK_CAPACITY chars; overflow starts the next bin. Packing is inherently
+    sequential, so the partitioning contract is: sequential WITHIN a source
+    group, parallel ACROSS groups (``groupby(source).map_groups``) — at
+    100 TB the group key is the shard key."""
+    import pandas as pd
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        bins = np.empty(len(g), dtype=np.int64)
+        acc, b = 0, 0
+        for i, n in enumerate(g["n_chars"].tolist()):
+            if acc + n > PACK_CAPACITY and acc > 0:
+                b += 1
+                acc = n
+            else:
+                acc += n
+            bins[i] = b
+        return pd.DataFrame({"doc_id": g["doc_id"].values,
+                             "source": g["source"].values, "bin_id": bins})
+
+    ds = _docs(sf_dir).groupby("source").map_groups(pack, batch_format="pandas")
+    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    return pa.table({
+        "doc_id": tbl["doc_id"].cast(pa.int64()),
+        "source": tbl["source"].cast(pa.string()),
+        "bin_id": tbl["bin_id"].cast(pa.int64()),
+    })
+
+
+SQL_PACK_GREEDY = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+st(source, rn, doc_id, acc, bin) AS (
+  SELECT source, rn, doc_id, n_chars, 0 FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.doc_id,
+         CASE WHEN st.acc + d.n_chars > {PACK_CAPACITY} AND st.acc > 0
+              THEN d.n_chars ELSE st.acc + d.n_chars END,
+         CASE WHEN st.acc + d.n_chars > {PACK_CAPACITY} AND st.acc > 0
+              THEN st.bin + 1 ELSE st.bin END
+  FROM st JOIN d ON d.source = st.source AND d.rn = st.rn + 1
+)
+SELECT doc_id, source, CAST(bin AS BIGINT) AS bin_id FROM st
+"""
