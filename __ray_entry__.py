@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- fulltext engine (SURVEY.md §2: analysis, norms, stats, postings,
         #     BM25 scoring, boolean ops, WAND) ---
         "ft_collection_stats": fulltext.ft_collection_stats,
+        "ft_schema_info": fulltext.ft_schema_info,
         "ft_doc_norms": fulltext.ft_doc_norms,
         "ft_term_stats": fulltext.ft_term_stats,
         "ft_topk_terms": fulltext.ft_topk_terms,
@@ -123,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": facets.grouped_topk,
         "lang_char_stats": facets.lang_char_stats,
         "solr_json_facets": solr_facets.solr_json_facets,
+        "solr_json_nested": solr_facets.solr_json_nested,
         # --- Solr streaming expressions (parser + stream algebra on Ray Data) ---
         "st_rollup": streaming_exprs.st_rollup,
         "st_join_topk": streaming_exprs.st_join_topk,
@@ -151,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
     ]
     return {
         "ft_collection_stats": fs.sql_collection_stats(),
+        "ft_schema_info": fs.sql_schema_info(),
         "ft_doc_norms": fs.sql_doc_norms(),
         "ft_term_stats": fs.sql_term_stats(),
         "ft_topk_terms": fs.sql_topk_union(term_specs),
@@ -249,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_topk": facets.SQL_GROUPED_TOPK,
         "lang_char_stats": facets.SQL_LANG_CHAR_STATS,
         "solr_json_facets": solr_facets.SQL_SOLR_JSON_FACETS,
+        "solr_json_nested": solr_facets.SQL_SOLR_JSON_NESTED,
         "st_rollup": streaming_exprs.SQL_ST_ROLLUP,
         "st_join_topk": streaming_exprs.SQL_ST_JOIN_TOPK,
         "st_unique_having": streaming_exprs.SQL_ST_UNIQUE_HAVING,

