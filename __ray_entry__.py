@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_blended": fulltext.ft_blended,
         "ft_ltr_linear": fulltext.ft_ltr_linear,
         "ft_ltr_trees": fulltext.ft_ltr_trees,
+        "ft_expr_sort": fulltext.ft_expr_sort,
         "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
@@ -221,6 +222,8 @@ def oracle_sql() -> dict[str, str]:
                                            fulltext.LTR_VALUE_FEATURE),
         "ft_ltr_trees": fs.sql_ltr_trees(fulltext.LTR_TERM, fulltext.LTR_RERANK_K,
                                          fulltext.TOPK_K, fulltext.LTR_TREES_SPEC),
+        "ft_expr_sort": fs.sql_expr_sort(fulltext.LTR_TERM, fulltext.LTR_RERANK_K,
+                                         fulltext.TOPK_K, fulltext.EXPR_SORT),
         "ft_facet_query": fs.sql_facet_query([
             ("merge_and_join", "and", ["join", "merge"], None),
             ("window_or_vector", "or", ["vector", "window"], None),

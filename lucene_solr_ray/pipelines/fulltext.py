@@ -1475,3 +1475,28 @@ def ft_schema_info(sf_dir: str) -> pa.Table:
         "sum_ttf": pa.array([fs[f]["sum_ttf"] for f in fields], pa.int64()),
         "has_norms": pa.array([fs[f]["has_norms"] for f in fields], pa.bool_()),
     })
+
+
+EXPR_SORT = "0.3 * _score + ln(1.0 + field_len) - 0.001 * field_len"
+
+
+def ft_expr_sort(sf_dir: str) -> pa.Table:
+    """Expression-sorted rerank (lucene/expressions JavascriptCompiler +
+    Expression.getSortField): compile EXPR_SORT, bind (_score, field_len)
+    per top-LTR_RERANK_K candidate, sort by the expression value →
+    (rank, doc_id, expr_score)."""
+    from ..search.expressions import compile_expression, evaluate
+    from ..search.ltr import extract_features
+
+    s = get_searcher(sf_dir)
+    first = s.search({"q": TermQuery(LTR_TERM)}, k=LTR_RERANK_K, use_ray=True)
+    feats = extract_features(s, first, 0.0)
+    vals = evaluate(compile_expression(EXPR_SORT),
+                    {"_score": feats[:, 0], "field_len": feats[:, 1]})
+    ids = first["doc_id"].to_numpy()
+    order = np.lexsort((ids, -vals))[:TOPK_K]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order)), pa.int64()),
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "expr_score": pa.array(vals[order], pa.float64()),
+    })

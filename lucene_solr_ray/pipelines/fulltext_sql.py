@@ -1356,3 +1356,18 @@ SELECT * FROM (
          (SELECT count(*) FROM corpus), (SELECT count(*) FROM corpus), FALSE
 ) ORDER BY field
 """
+
+
+def sql_expr_sort(term: str, rerank_k: int, k: int, expr: str) -> str:
+    """Expression-sort oracle: the compiled AST renders to SQL with the same
+    association order, over the same first-pass candidates."""
+    from ..search.expressions import compile_expression, to_sql
+
+    sql_expr = to_sql(compile_expression(expr),
+                      {"_score": "score", "field_len": "flen"})
+    return _ltr_first_pass(term, rerank_k) + f"""
+SELECT CAST(row_number() OVER (ORDER BY expr_score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, expr_score
+FROM (SELECT did, {sql_expr} AS expr_score FROM feats)
+ORDER BY expr_score DESC, did ASC LIMIT {k}
+"""

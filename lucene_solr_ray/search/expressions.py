@@ -1,0 +1,170 @@
+"""Scoring expressions — Lucene expressions module analog
+(``lucene/expressions/src/java/org/apache/lucene/expressions/js/
+JavascriptCompiler.java`` + ``Expression.java``): a compiled arithmetic
+expression over the document's score and doc-value bindings, usable as a
+sort/rescore value source (``Expression.getSortField`` /
+``ExpressionValueSource``).
+
+Grammar (the JS-compiler subset the reference's docs lead with)::
+
+    expr   := term (('+' | '-') term)*
+    term   := unary (('*' | '/') unary)*
+    unary  := '-' unary | factor
+    factor := NUMBER | IDENT | FUNC '(' expr (',' expr)* ')' | '(' expr ')'
+
+Functions: ``ln``, ``log10``, ``sqrt``, ``abs``, ``min``, ``max``, ``pow``.
+Identifiers resolve against the caller's bindings dict (e.g. ``_score``,
+``field_len``) — ``SimpleBindings`` analog.
+
+Evaluation is scalar ``math.*`` in float64 (the sql-compat discipline: numpy's
+SIMD transcendentals differ from libm in the last ulp; expression reranks run
+over top-k candidates, so the scalar loop is not a hot path).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+_TOK = re.compile(r"\s*(?:(\d+\.\d*|\.\d+|\d+)|([A-Za-z_][A-Za-z0-9_]*)|(.))")
+
+_FUNCS = {
+    "ln": (1, math.log),
+    "log10": (1, math.log10),
+    "sqrt": (1, math.sqrt),
+    "abs": (1, abs),
+    "min": (2, min),
+    "max": (2, max),
+    "pow": (2, math.pow),
+}
+
+_SQL_FUNCS = {"ln": "ln", "log10": "log10", "sqrt": "sqrt", "abs": "abs",
+              "min": "least", "max": "greatest", "pow": "pow"}
+
+
+def _tokenize(s: str) -> list:
+    out = []
+    for m in _TOK.finditer(s):
+        num, ident, punct = m.groups()
+        if num is not None:
+            out.append(("num", float(num)))
+        elif ident is not None:
+            out.append(("ident", ident))
+        elif punct.strip():
+            out.append(("op", punct))
+    return out
+
+
+class _P:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expr(self):
+        node = self.term()
+        while self.peek() == ("op", "+") or self.peek() == ("op", "-"):
+            op = self.next()[1]
+            node = (op, node, self.term())
+        return node
+
+    def term(self):
+        node = self.unary()
+        while self.peek() == ("op", "*") or self.peek() == ("op", "/"):
+            op = self.next()[1]
+            node = (op, node, self.unary())
+        return node
+
+    def unary(self):
+        if self.peek() == ("op", "-"):
+            self.next()
+            return ("neg", self.unary())
+        return self.factor()
+
+    def factor(self):
+        kind, val = self.next()
+        if kind == "num":
+            return ("num", val)
+        if kind == "ident":
+            if self.peek() == ("op", "("):
+                self.next()
+                if val not in _FUNCS:
+                    raise ValueError(f"unknown function {val!r}")
+                args = [self.expr()]
+                while self.peek() == ("op", ","):
+                    self.next()
+                    args.append(self.expr())
+                if self.next() != ("op", ")"):
+                    raise ValueError("expected ')'")
+                if len(args) != _FUNCS[val][0]:
+                    raise ValueError(f"{val} expects {_FUNCS[val][0]} args")
+                return ("call", val, args)
+            return ("var", val)
+        if (kind, val) == ("op", "("):
+            node = self.expr()
+            if self.next() != ("op", ")"):
+                raise ValueError("expected ')'")
+            return node
+        raise ValueError(f"unexpected token {val!r}")
+
+
+def compile_expression(s: str):
+    """→ AST; raises ValueError on syntax errors / unknown functions."""
+    p = _P(_tokenize(s))
+    node = p.expr()
+    if p.peek() != (None, None):
+        raise ValueError(f"trailing tokens in expression: {s!r}")
+    return node
+
+
+def _eval_one(node, binds: dict) -> float:
+    k = node[0]
+    if k == "num":
+        return node[1]
+    if k == "var":
+        return binds[node[1]]
+    if k == "neg":
+        return -_eval_one(node[1], binds)
+    if k == "call":
+        fn = _FUNCS[node[1]][1]
+        return float(fn(*(_eval_one(a, binds) for a in node[2])))
+    a = _eval_one(node[1], binds)
+    b = _eval_one(node[2], binds)
+    return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[k]
+
+
+def evaluate(node, bindings: dict[str, np.ndarray]) -> np.ndarray:
+    """Evaluate for every row of the bindings (each an equal-length float64
+    array) → float64 array; scalar libm per row (see module docstring)."""
+    names = list(bindings)
+    n = len(bindings[names[0]]) if names else 0
+    cols = {k: np.asarray(v, dtype=np.float64) for k, v in bindings.items()}
+    out = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        out[i] = _eval_one(node, {k: float(cols[k][i]) for k in names})
+    return out
+
+
+def to_sql(node, col_map: dict[str, str]) -> str:
+    """AST → SQL with IDENTICAL association order (left-assoc, parenthesized
+    per node) so DuckDB computes the same float64 sequence."""
+    k = node[0]
+    if k == "num":
+        return repr(node[1])
+    if k == "var":
+        return col_map[node[1]]
+    if k == "neg":
+        return f"(- {to_sql(node[1], col_map)})"
+    if k == "call":
+        args = ", ".join(to_sql(a, col_map) for a in node[2])
+        return f"{_SQL_FUNCS[node[1]]}({args})"
+    return f"({to_sql(node[1], col_map)} {k} {to_sql(node[2], col_map)})"
