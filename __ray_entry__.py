@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "st_random": streaming_exprs.st_random,
         "st_knn": streaming_exprs.st_knn,
         "st_significant": streaming_exprs.st_significant,
+        "st_update": streaming_exprs.st_update,
+        "st_cartesian": streaming_exprs.st_cartesian,
         # --- multimodal plumbing ---
         "mm_payload_features": multimodal.mm_payload_features,
         # --- percolator (MemoryIndex reverse search) ---
@@ -266,6 +268,8 @@ def oracle_sql() -> dict[str, str]:
         "st_random": streaming_exprs.SQL_ST_RANDOM,
         "st_knn": fs.sql_mlt([streaming_exprs.ST_KNN_ID], 10),
         "st_significant": streaming_exprs.sql_st_significant(),
+        "st_update": streaming_exprs.SQL_ST_UPDATE,
+        "st_cartesian": streaming_exprs.SQL_ST_CARTESIAN,
         "mm_payload_features": multimodal.SQL_MM_PAYLOAD_FEATURES,
         "percolate": percolate.SQL_PERCOLATE,
         "geo_box": spatial.SQL_GEO_BOX,

@@ -235,3 +235,39 @@ SELECT CAST(row_number() OVER (ORDER BY sc DESC, tok ASC) - 1 AS BIGINT) AS rank
        tok AS term, CAST(fg AS BIGINT) AS fg, CAST(df AS BIGINT) AS df
 FROM flt ORDER BY sc DESC, tok ASC LIMIT {limit}
 """
+
+
+ST_UPDATE_DEST = "/tmp/lsr_st_update_out"
+ST_UPDATE_EXPR = (
+    f'update({ST_UPDATE_DEST}, search(orders, q="o_orderstatus:F", '
+    'fl="o_orderkey,o_totalprice", sort="o_orderkey asc"))'
+)
+
+
+def st_update(sf_dir: str) -> pa.Table:
+    """UpdateStream sink: write the stream to partitioned parquet (one file
+    per block → resumable output), emit the indexed-count ack."""
+    return run_expression(ST_UPDATE_EXPR, sf_dir)
+
+
+SQL_ST_UPDATE = """
+SELECT CAST(count(*) AS BIGINT) AS batchIndexed FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+ST_CARTESIAN_EXPR = (
+    'parallel(cartesianProduct(search(embeddings, q="vec_id:[0 TO 9]", '
+    'fl="vec_id,embedding", sort="vec_id asc"), embedding), '
+    'partitionKeys="vec_id")'
+)
+
+
+def st_cartesian(sf_dir: str) -> pa.Table:
+    """CartesianProductStream under parallel(): one tuple per list element."""
+    return run_expression(ST_CARTESIAN_EXPR, sf_dir)
+
+
+SQL_ST_CARTESIAN = """
+SELECT vec_id, unnest(embedding) AS embedding
+FROM embeddings WHERE vec_id BETWEEN 0 AND 9
+"""

@@ -776,3 +776,74 @@ _BUILDERS.update({
     "significantTerms": _significant,
 })
 _STREAM_NAMES.update({"timeseries", "random", "knn", "significantTerms"})
+
+
+# ---------------------------------------------------------------------------
+# update / parallel / cartesianProduct
+# ---------------------------------------------------------------------------
+
+def _update(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    """UpdateStream + CommitStream (``UpdateStream.java`` — sends each batch
+    to a destination collection): the Ray-native sink is partitioned parquet
+    under the destination path (resumable output: one file per block). Emits
+    the per-batch ack tuples (``batchIndexed`` counts) like the reference."""
+    import ray.data as rd
+
+    dest = expr.positionals[0]
+    if not str(dest).startswith("/tmp/"):
+        raise ValueError("update destination must live under /tmp")
+    import shutil
+
+    shutil.rmtree(dest, ignore_errors=True)  # idempotent re-run of the sink
+    src = _build(_stream_subs(expr)[0], sf_dir)
+    src.ds.write_parquet(dest)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(dest).count_rows()
+    tbl = pa.table({"batchIndexed": pa.array([n], pa.int64())})
+    return StreamNode(rd.from_arrow(tbl), ordered=True)
+
+
+def _parallel(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    """ParallelStream (``ParallelStream.java`` — ships the inner expression
+    to N workers hash-partitioned on ``partitionKeys``): the Ray Data
+    pipeline IS the parallel execution (blocks are the partitions), so this
+    validates the partition keys exist and builds the inner stream; the
+    ``workers`` parameter is advisory (block parallelism is the executor's)."""
+    inner = _stream_subs(expr)[0]
+    node = _build(inner, sf_dir)
+    keys = [k.strip() for k in expr.named.get("partitionKeys", "").split(",") if k.strip()]
+    schema = node.ds.schema()
+    names = getattr(schema, "names", None) or []
+    for k in keys:
+        if names and k not in names:
+            raise ValueError(f"partitionKeys field {k!r} not in stream schema")
+    return node
+
+
+def _cartesian(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    """CartesianProductStream (``CartesianProductStream.java``): one output
+    tuple per element of a list-valued field, the scalar fields repeated."""
+    src = _build(_stream_subs(expr)[0], sf_dir)
+    fieldname = expr.values()[0]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch[fieldname].combine_chunks()
+        lens = pc.list_value_length(col).fill_null(0).to_numpy().astype("int64")
+        import numpy as np
+
+        idx = np.repeat(np.arange(batch.num_rows), lens)
+        flat = pc.list_flatten(col)
+        out = batch.drop_columns([fieldname]).take(idx)
+        return out.append_column(fieldname, flat)
+
+    out = src.ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+    return StreamNode(out, src.sort)
+
+
+_BUILDERS.update({
+    "update": _update,
+    "parallel": _parallel,
+    "cartesianProduct": _cartesian,
+})
+_STREAM_NAMES.update({"update", "parallel", "cartesianProduct"})

@@ -79,7 +79,7 @@ def test_parse_q_subset():
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in "part lineitem orders customer nation supplier events documents".split():
+    for t in "part lineitem orders customer nation supplier events documents embeddings".split():
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return c
 
@@ -297,3 +297,45 @@ def test_significant_terms_scores(ray_session, con):
     assert t["term"].to_pylist() == list(exp["term"])
     assert t["fg"].to_pylist() == list(exp["fg"])
     assert t["df"].to_pylist() == list(exp["df"])
+
+
+def test_update_sink_writes_parquet(ray_session, con):
+    import pyarrow.dataset as pads
+
+    t = run_expression(
+        'update(/tmp/lsr_test_update_sink, search(nation, fl="n_nationkey,n_name", '
+        'sort="n_nationkey asc"))',
+        SF,
+    )
+    assert t["batchIndexed"][0].as_py() == 25
+    d = pads.dataset("/tmp/lsr_test_update_sink")
+    assert d.count_rows() == 25
+    # idempotent re-run: same count, no append-doubling
+    t2 = run_expression(
+        'update(/tmp/lsr_test_update_sink, search(nation, fl="n_nationkey,n_name", '
+        'sort="n_nationkey asc"))',
+        SF,
+    )
+    assert t2["batchIndexed"][0].as_py() == 25
+
+
+def test_parallel_validates_partition_keys(ray_session):
+    with pytest.raises(ValueError):
+        run_expression(
+            'parallel(search(nation, fl="n_name", sort="n_name asc"), '
+            'partitionKeys="nope")',
+            SF,
+        )
+
+
+def test_cartesian_product_explodes(ray_session, con):
+    t = run_expression(
+        'cartesianProduct(search(embeddings, q="vec_id:[0 TO 2]", '
+        'fl="vec_id,embedding", sort="vec_id asc"), embedding)',
+        SF,
+    )
+    n = con.sql(
+        "SELECT sum(len(embedding)) FROM "
+        f"'{SF}/embeddings.parquet' WHERE vec_id BETWEEN 0 AND 2"
+    ).fetchone()[0]
+    assert t.num_rows == n
