@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_join": fulltext.ft_join,
         "ft_span_near": fulltext.ft_span_near,
         "ft_span_contain": fulltext.ft_span_contain,
+        "ft_span_posrange": fulltext.ft_span_posrange,
+        "ft_facets_prefix": fulltext.ft_facets_prefix,
+        "ft_facet_interval": fulltext.ft_facet_interval,
         "ft_grouped_search": fulltext.ft_grouped_search,
         "ft_termvectors": fulltext.ft_termvectors,
         # --- text analysis ---
@@ -189,6 +192,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_join": fs.sql_join(fulltext.JOIN_SPECS),
         "ft_span_near": fs.sql_span_near(fulltext.SPAN_SPECS),
         "ft_span_contain": fs.sql_span_contain(fulltext.SPAN_CONTAIN_SPECS),
+        "ft_span_posrange": fs.sql_span_posrange(fulltext.SPAN_POSRANGE_SPECS),
+        "ft_facets_prefix": fs.sql_facets_prefix(fulltext.FACET_TERM, fulltext.FACET_PREFIX),
+        "ft_facet_interval": fs.sql_facet_interval(fulltext.FACET_TERM, fulltext.FACET_INTERVALS),
         "ft_grouped_search": fs.sql_grouped_search(
             fulltext.FACET_TERM, fulltext.GROUPED_N, fulltext.GROUPED_K
         ),

@@ -1500,3 +1500,89 @@ def ft_expr_sort(sf_dir: str) -> pa.Table:
         "doc_id": pa.array(ids[order], pa.int64()),
         "expr_score": pa.array(vals[order], pa.float64()),
     })
+
+
+#: SpanPositionRange specs: term occurrences inside the position window
+SPAN_POSRANGE_SPECS = [
+    {"qid": "posrange_merge_5_30", "term": "merge", "start": 5, "end": 30},
+    {"qid": "posrange_spark_0_10", "term": "spark", "start": 0, "end": 10},
+]
+
+
+def ft_span_posrange(sf_dir: str) -> pa.Table:
+    """SpanPositionRangeQuery match sets (term occurrence with start ≥ s and
+    end ≤ e)."""
+    from ..search.spans import SpanPositionRangeQuery, SpanTermQuery
+
+    s = get_searcher(sf_dir)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    out_q, out_d = [], []
+    for sp in SPAN_POSRANGE_SPECS:
+        q = SpanPositionRangeQuery(SpanTermQuery(sp["term"]), sp["start"], sp["end"])
+        scattered = s._scatter_match(q, "ids")
+        gids = []
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                if len(b):
+                    segs = b["seg"].to_numpy()
+                    lids = b["local_id"].to_numpy().astype(np.int64)
+                    for sv in np.unique(segs):
+                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
+        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        out_q.extend([sp["qid"]] * len(ids))
+        out_d.append(ids)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.string()),
+        "doc_id": pa.array(
+            np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+        ),
+    })
+
+
+#: facet.prefix: only buckets whose value starts with the prefix
+FACET_PREFIX = "src1"
+#: facet.interval: custom bounds, bracket syntax [lo,hi) / (lo,hi] / [lo,*]
+FACET_INTERVALS = ["[0,100)", "[100,200)", "[200,*]"]
+
+
+def ft_facets_prefix(sf_dir: str) -> pa.Table:
+    """facet.prefix (SimpleFacets: bucket enumeration constrained to a
+    prefix) over the repo dimension of FACET_TERM's matches."""
+    s = get_searcher(sf_dir)
+    t = s.facet_counts(TermQuery(FACET_TERM), field="repo")
+    import pyarrow.compute as pc2
+
+    t = t.filter(pc2.starts_with(t["value"], FACET_PREFIX))
+    return pa.table({
+        "value": t["value"].cast(pa.string()),
+        "n": t["count"].cast(pa.int64()),
+    })
+
+
+def ft_facet_interval(sf_dir: str) -> pa.Table:
+    """Interval facets (solr IntervalFacets.java: arbitrary per-interval
+    bounds with open/closed ends, intervals may overlap) over the field_len
+    doc value of FACET_TERM's matches → (interval, n)."""
+    s = get_searcher(sf_dir)
+    ids_t = s.search({"q": TermQuery(FACET_TERM)}, k=s.reader.stats.doc_count,
+                     use_ray=False)
+    ids = ids_t["doc_id"].to_pylist()
+    fl = s.reader.fetch_docs(ids, columns=["doc_id", "field_len"])
+    vals = fl["field_len"].to_numpy().astype(np.int64)
+    rows = []
+    for spec in FACET_INTERVALS:
+        lo_inc = spec[0] == "["
+        hi_inc = spec[-1] == "]"
+        lo_s, hi_s = spec[1:-1].split(",")
+        m = np.ones(len(vals), dtype=bool)
+        if lo_s != "*":
+            lo = int(lo_s)
+            m &= (vals >= lo) if lo_inc else (vals > lo)
+        if hi_s != "*":
+            hi = int(hi_s)
+            m &= (vals <= hi) if hi_inc else (vals < hi)
+        rows.append((spec, int(m.sum())))
+    return pa.table({
+        "interval": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+    })

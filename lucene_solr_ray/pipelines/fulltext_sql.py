@@ -1371,3 +1371,42 @@ SELECT CAST(row_number() OVER (ORDER BY expr_score DESC, did ASC) - 1 AS BIGINT)
 FROM (SELECT did, {sql_expr} AS expr_score FROM feats)
 ORDER BY expr_score DESC, did ASC LIMIT {k}
 """
+
+
+def sql_span_posrange(specs: list[dict]) -> str:
+    parts = []
+    for sp in specs:
+        parts.append(f"""
+SELECT '{sp["qid"]}' AS query_id, CAST(did AS BIGINT) AS doc_id
+FROM (SELECT DISTINCT did FROM ktp
+      WHERE tok = '{sp["term"]}' AND p >= {sp["start"]} AND p + 1 <= {sp["end"]})""")
+    return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
+
+
+def sql_facets_prefix(term: str, prefix: str) -> str:
+    return prelude() + f""",
+m AS (SELECT DISTINCT did FROM tf WHERE tok = '{term}')
+SELECT c.source AS value, CAST(count(*) AS BIGINT) AS n
+FROM corpus c JOIN m USING (did)
+WHERE c.source LIKE '{prefix}%'
+GROUP BY c.source ORDER BY value
+"""
+
+
+def sql_facet_interval(term: str, intervals: list[str]) -> str:
+    parts = []
+    for spec in intervals:
+        lo_inc = spec[0] == "["
+        hi_inc = spec[-1] == "]"
+        lo_s, hi_s = spec[1:-1].split(",")
+        conds = []
+        if lo_s != "*":
+            conds.append(f"flen {'>=' if lo_inc else '>'} {int(lo_s)}")
+        if hi_s != "*":
+            conds.append(f"flen {'<=' if hi_inc else '<'} {int(hi_s)}")
+        where = " AND ".join(conds) or "TRUE"
+        parts.append(f"""
+SELECT '{spec}' AS interval, CAST(count(*) AS BIGINT) AS n
+FROM quant JOIN (SELECT DISTINCT did FROM tf WHERE tok = '{term}') m USING (did)
+WHERE {where}""")
+    return prelude() + " " + " UNION ALL ".join(parts)

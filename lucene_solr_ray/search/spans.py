@@ -68,6 +68,19 @@ class SpanFirstQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanPositionRangeQuery(Query):
+    """Inner spans fully inside the position window [start, end]
+    (SpanPositionRangeQuery.java acceptPosition: start() >= start and
+    end() <= end)."""
+
+    match: Query
+    start: int
+    end: int
+    field: str = CONTENT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanNotQuery(Query):
     """Spans of ``include`` with no overlapping ``exclude`` span
     (SpanNotQuery.java:146-186): an include span is rejected iff some exclude
@@ -107,7 +120,8 @@ class SpanWithinQuery(Query):
 
 
 SPAN_TYPES = (SpanTermQuery, SpanNearQuery, SpanOrQuery, SpanFirstQuery,
-              SpanNotQuery, SpanContainingQuery, SpanWithinQuery)
+              SpanNotQuery, SpanContainingQuery, SpanWithinQuery,
+              SpanPositionRangeQuery)
 
 
 def span_terms(q) -> set[tuple[str, str]]:
@@ -119,7 +133,7 @@ def span_terms(q) -> set[tuple[str, str]]:
         for c in q.clauses:
             out |= span_terms(c)
         return out
-    if isinstance(q, SpanFirstQuery):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         return span_terms(q.match)
     if isinstance(q, SpanNotQuery):
         return span_terms(q.include) | span_terms(q.exclude)
@@ -138,7 +152,7 @@ def span_scoring_terms(q) -> set[tuple[str, str]]:
         for c in q.clauses:
             out |= span_scoring_terms(c)
         return out
-    if isinstance(q, SpanFirstQuery):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         return span_scoring_terms(q.match)
     # SpanContainQuery passes BOTH sides into getTermContexts
     # (SpanContainingQuery.java:49-50), so both contribute to the weight
@@ -162,6 +176,9 @@ def doc_spans(q, pos_of: dict[str, np.ndarray]) -> list[tuple[int, int, int]]:
         return spans
     if isinstance(q, SpanFirstQuery):
         return [s for s in doc_spans(q.match, pos_of) if s[1] <= q.end]
+    if isinstance(q, SpanPositionRangeQuery):
+        return [s for s in doc_spans(q.match, pos_of)
+                if s[0] >= q.start and s[1] <= q.end]
     if isinstance(q, SpanNotQuery):
         inc = doc_spans(q.include, pos_of)
         exc = doc_spans(q.exclude, pos_of)
