@@ -106,6 +106,22 @@ def run_bench(ncpus: int) -> dict:
 
     pads.dataset(corpus).to_table(columns=["repo"])
 
+    # host-throttle calibration: single-core analyze-kernel docs/s on a fixed
+    # 5k-doc slice (calm host ≈ 10.9k). This host's noisy neighbor throttles
+    # CPU/memory without showing in load average (observed 13-19x kernel
+    # slowdowns at load<0.5); recording the calibration makes each bench
+    # artifact interpretable relative to BENCH/BASELINE.md's calm numbers.
+    from lucene_solr_ray.analysis.tokenizer import ArrowAnalyzer
+    from lucene_solr_ray.corpus import generate_corpus as _gen
+
+    _cal_tbl = _gen(5000)
+    _az = ArrowAnalyzer()
+    _az(_cal_tbl["content"].slice(0, 500), with_positions=True)
+    _t0 = time.time()
+    _az(_cal_tbl["content"], with_positions=True)
+    calibration = round(5000 / (time.time() - _t0), 1)
+    log(f"[bench] calibration: analyze kernel {calibration:.0f} docs/s/core (calm ~10900)")
+
     index_dir = f"/tmp/lsr_bench_index_{os.getpid()}"
     shutil.rmtree(index_dir, ignore_errors=True)
     queries: dict[str, float] = {}
@@ -203,6 +219,7 @@ def run_bench(ncpus: int) -> dict:
         "num_cpus": ncpus,
         "bench_docs": BENCH_DOCS,
         "docs_per_sec": round(res.stats.doc_count / t_build, 1),
+        "calibration_kernel_docs_per_sec": calibration,
     }
     ray.shutdown()
     return result
