@@ -1562,27 +1562,44 @@ def ft_facets_prefix(sf_dir: str) -> pa.Table:
 def ft_facet_interval(sf_dir: str) -> pa.Table:
     """Interval facets (solr IntervalFacets.java: arbitrary per-interval
     bounds with open/closed ends, intervals may overlap) over the field_len
-    doc value of FACET_TERM's matches → (interval, n)."""
+    doc value of FACET_TERM's matches → (interval, n).
+
+    Scale shape: the match scatter streams (doc, field value) pairs; a
+    per-batch partial reduces each block to |intervals| counts, so only tiny
+    partials reach the driver — never the match list."""
     s = get_searcher(sf_dir)
-    ids_t = s.search({"q": TermQuery(FACET_TERM)}, k=s.reader.stats.doc_count,
-                     use_ray=False)
-    ids = ids_t["doc_id"].to_pylist()
-    fl = s.reader.fetch_docs(ids, columns=["doc_id", "field_len"])
-    vals = fl["field_len"].to_numpy().astype(np.int64)
-    rows = []
+    scattered = s._scatter_match(TermQuery(FACET_TERM), "field_vals",
+                                 field="field_len")
+
+    bounds = []
     for spec in FACET_INTERVALS:
-        lo_inc = spec[0] == "["
-        hi_inc = spec[-1] == "]"
+        lo_inc, hi_inc = spec[0] == "[", spec[-1] == "]"
         lo_s, hi_s = spec[1:-1].split(",")
-        m = np.ones(len(vals), dtype=bool)
-        if lo_s != "*":
-            lo = int(lo_s)
-            m &= (vals >= lo) if lo_inc else (vals > lo)
-        if hi_s != "*":
-            hi = int(hi_s)
-            m &= (vals <= hi) if hi_inc else (vals < hi)
-        rows.append((spec, int(m.sum())))
+        bounds.append((spec,
+                       None if lo_s == "*" else int(lo_s), lo_inc,
+                       None if hi_s == "*" else int(hi_s), hi_inc))
+
+    def partial(batch: pa.Table, bounds=tuple(bounds)) -> pa.Table:
+        vals = np.asarray([int(v) for v in batch["value"].to_pylist()], dtype=np.int64)
+        out_s, out_n = [], []
+        for spec, lo, lo_inc, hi, hi_inc in bounds:
+            m = np.ones(len(vals), dtype=bool)
+            if lo is not None:
+                m &= (vals >= lo) if lo_inc else (vals > lo)
+            if hi is not None:
+                m &= (vals <= hi) if hi_inc else (vals < hi)
+            out_s.append(spec)
+            out_n.append(int(m.sum()))
+        return pa.table({
+            "interval": pa.array(out_s, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    partials = scattered.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
+    g = pa.TableGroupBy(merged, ["interval"]).aggregate([("n", "sum")])
+    by = dict(zip(g["interval"].to_pylist(), g["n_sum"].to_pylist()))
     return pa.table({
-        "interval": pa.array([r[0] for r in rows], pa.string()),
-        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "interval": pa.array(FACET_INTERVALS, pa.string()),
+        "n": pa.array([int(by.get(spec, 0)) for spec in FACET_INTERVALS], pa.int64()),
     })
