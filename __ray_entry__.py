@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_ltr_linear": fulltext.ft_ltr_linear,
         "ft_ltr_trees": fulltext.ft_ltr_trees,
         "ft_expr_sort": fulltext.ft_expr_sort,
+        "ft_cluster_results": fulltext.ft_cluster_results,  # rows-only: k-means pinned in pytest
         "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,

@@ -1603,3 +1603,55 @@ def ft_facet_interval(sf_dir: str) -> pa.Table:
         "interval": pa.array(FACET_INTERVALS, pa.string()),
         "n": pa.array([int(by.get(spec, 0)) for spec in FACET_INTERVALS], pa.int64()),
     })
+
+
+CLUSTER_K = 4
+CLUSTER_TOPN = 60
+CLUSTER_ITERS = 8
+
+
+def ft_cluster_results(sf_dir: str) -> pa.Table:
+    """Search-result clustering — Solr ClusteringComponent analog
+    (solr/contrib/clustering/.../CarrotClusteringEngine.java; the carrot2
+    algorithms are replaced by the repo's deterministic spherical k-means,
+    no external lib): cluster the top CLUSTER_TOPN hits of FACET_TERM by
+    their embedding vectors (vec_id ≡ doc_id on the synthetic tables) →
+    (doc_id, cluster, cluster_size). Deterministic: evenly-spaced init,
+    fixed Lloyd steps, no RNG — identical at any parallelism.
+
+    rows-only driver check (iterative clustering isn't SQL-expressible);
+    invariants pinned in pytest."""
+    import pyarrow.parquet as pq_mod
+
+    from ..util.vectors import vec_matrix
+
+    s = get_searcher(sf_dir)
+    res = s.search({"q": TermQuery(FACET_TERM)}, k=CLUSTER_TOPN, use_ray=True)
+    ids = res["doc_id"].to_numpy()
+    t = pq_mod.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", ids.tolist())],
+    )
+    vids = t["vec_id"].to_numpy()
+    mat = vec_matrix(t["embedding"]).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(vids)
+    vids, mat = vids[order], mat[order]
+    k = min(CLUSTER_K, len(mat))
+    cent = mat[np.linspace(0, len(mat) - 1, k).astype(np.int64)].copy()
+    assign = np.zeros(len(mat), dtype=np.int64)
+    for _ in range(CLUSTER_ITERS):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = mat[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cent[c] = v / n
+    sizes = np.bincount(assign, minlength=k)
+    return pa.table({
+        "doc_id": pa.array(vids, pa.int64()),
+        "cluster": pa.array(assign, pa.int64()),
+        "cluster_size": pa.array(sizes[assign], pa.int64()),
+    })

@@ -299,3 +299,17 @@ def test_dedup_clusters_structure(entry_mod, con):
     sizes = cl.groupby("cluster_rep").size()
     for did, r, sz in zip(cl.doc_id, cl.cluster_rep, cl.cluster_size):
         assert sz == sizes[r]
+
+
+def test_cluster_results_invariants(entry_mod):
+    """Deterministic k-means clustering of search results: stable across
+    runs, every hit assigned, sizes consistent, >1 cluster used."""
+    from lucene_solr_ray.pipelines import fulltext
+
+    a = fulltext.ft_cluster_results(SF).to_pandas()
+    b = fulltext.ft_cluster_results(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert a.cluster.nunique() > 1
+    sizes = a.groupby("cluster").size()
+    for _, row in a.iterrows():
+        assert row.cluster_size == sizes[row.cluster]
