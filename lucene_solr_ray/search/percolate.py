@@ -45,6 +45,7 @@ class BatchIndex:
         self.pstart = np.zeros(len(self.tfs) + 1, dtype=np.int64)
         np.cumsum(self.tfs, out=self.pstart[1:])
         self.positions = stats.positions
+        self._row_of: dict | None = None  # (doc, term) → flat row, built lazily
 
     def term_mask(self, term: str) -> np.ndarray:
         import pyarrow.compute as pc
@@ -56,16 +57,17 @@ class BatchIndex:
         return m
 
     def positions_of(self, doc: int, term: str) -> np.ndarray:
-        import pyarrow.compute as pc
-
-        hits = pc.and_(
-            pc.equal(self.terms, term),
-            pc.equal(pa.array(self.doc_idx), doc),
-        ).to_numpy(zero_copy_only=False)
-        idx = np.flatnonzero(hits)
-        if len(idx) == 0:
+        if self._row_of is None:
+            # one pass over the flat (doc, term) rows; later phrase checks
+            # are dict lookups instead of per-call column scans
+            self._row_of = {
+                (int(d), t): i
+                for i, (d, t) in enumerate(zip(self.doc_idx.tolist(),
+                                               self.terms.to_pylist()))
+            }
+        i = self._row_of.get((doc, term))
+        if i is None:
             return np.empty(0, dtype=np.int64)
-        i = int(idx[0])
         return self.positions[self.pstart[i]:self.pstart[i + 1]].astype(np.int64)
 
     def eval(self, q: Query) -> np.ndarray:
