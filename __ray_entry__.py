@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_ltr_trees": fulltext.ft_ltr_trees,
         "ft_expr_sort": fulltext.ft_expr_sort,
         "ft_cluster_results": fulltext.ft_cluster_results,  # rows-only: k-means pinned in pytest
+        "ft_explain": fulltext.ft_explain,
         "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
                                          fulltext.TOPK_K, fulltext.LTR_TREES_SPEC),
         "ft_expr_sort": fs.sql_expr_sort(fulltext.LTR_TERM, fulltext.LTR_RERANK_K,
                                          fulltext.TOPK_K, fulltext.EXPR_SORT),
+        "ft_explain": fs.sql_explain(fulltext.EXPLAIN_TERM, fulltext.EXPLAIN_TOP),
         "ft_facet_query": fs.sql_facet_query([
             ("merge_and_join", "and", ["join", "merge"], None),
             ("window_or_vector", "or", ["vector", "window"], None),

@@ -1655,3 +1655,51 @@ def ft_cluster_results(sf_dir: str) -> pa.Table:
         "cluster": pa.array(assign, pa.int64()),
         "cluster_size": pa.array(sizes[assign], pa.int64()),
     })
+
+
+EXPLAIN_TERM = "vector"
+EXPLAIN_TOP = 3
+
+
+def ft_explain(sf_dir: str) -> pa.Table:
+    """Explanation decomposition (Explanation / BM25Similarity
+    BM25DocScorer.explain): for the top EXPLAIN_TOP hits of EXPLAIN_TERM,
+    every scoring component → (doc_id, tf, qlen, df, idf, weight, norm,
+    score), all float64 bit-exact vs the oracle's same-op-order formulas."""
+    import math
+
+    from ..util.smallfloat import LENGTH_TABLE
+
+    s = get_searcher(sf_dir)
+    res = s.search({"q": TermQuery(EXPLAIN_TERM)}, k=EXPLAIN_TOP, use_ray=True)
+    ids = res["doc_id"].to_pylist()
+    scores = res["score"].to_numpy().astype(np.float64)
+    tv = s.term_vectors(ids)
+    tf_by = {d: t for d, term, t in zip(tv["doc_id"].to_pylist(),
+                                        tv["term"].to_pylist(),
+                                        tv["tf"].to_pylist())
+             if term == EXPLAIN_TERM}
+    nb = s.reader.fetch_docs(ids, columns=["doc_id", "norm_byte"])
+    nb_by = dict(zip(nb["doc_id"].to_pylist(), nb["norm_byte"].to_pylist()))
+    key = ("content", EXPLAIN_TERM)
+    df, _ttf = s.reader.term_stats([key])[key]
+    dc = s.reader.field_doc_count("content")
+    idf = math.log(1 + (dc - df + 0.5) / (df + 0.5))
+    k1, b = 1.2, 0.75
+    rows = []
+    for d, sc in zip(ids, scores.tolist()):
+        tf = tf_by[d]
+        qlen = float(LENGTH_TABLE[nb_by[d]])
+        weight = (idf * 1.0) * (k1 + 1)
+        norm = k1 * ((1.0 - b) + (b * qlen) / s.avgdl)
+        rows.append((d, tf, qlen, float(df), idf, weight, norm, sc))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "tf": pa.array([r[1] for r in rows], pa.int64()),
+        "qlen": pa.array([r[2] for r in rows], pa.float64()),
+        "df": pa.array([r[3] for r in rows], pa.float64()),
+        "idf": pa.array([r[4] for r in rows], pa.float64()),
+        "weight": pa.array([r[5] for r in rows], pa.float64()),
+        "norm": pa.array([r[6] for r in rows], pa.float64()),
+        "score": pa.array([r[7] for r in rows], pa.float64()),
+    })

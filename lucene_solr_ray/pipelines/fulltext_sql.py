@@ -1410,3 +1410,23 @@ SELECT '{spec}' AS interval, CAST(count(*) AS BIGINT) AS n
 FROM quant JOIN (SELECT DISTINCT did FROM tf WHERE tok = '{term}') m USING (did)
 WHERE {where}""")
     return prelude() + " " + " UNION ALL ".join(parts)
+
+
+def sql_explain(term: str, top: int) -> str:
+    """Explanation oracle: the same component formulas in the same float64
+    op order over the top hits."""
+    return prelude() + "," + _score_cte([term]) + f""",
+topd AS (SELECT did, score FROM agg ORDER BY score DESC, did ASC LIMIT {top})
+SELECT CAST(t.did AS BIGINT) AS doc_id,
+       CAST(k.tf AS BIGINT) AS tf,
+       CAST(q.qlen AS DOUBLE) AS qlen,
+       CAST(i.df AS DOUBLE) AS df,
+       i.idf AS idf,
+       (i.idf * {1.0!r}) * {K1 + 1!r} AS weight,
+       {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen) / (SELECT avgdl FROM avg_dl)) AS norm,
+       t.score AS score
+FROM topd t
+JOIN tf k ON k.did = t.did AND k.tok = '{term}'
+JOIN quant q ON q.did = t.did
+JOIN idf i ON i.tok = '{term}'
+"""
