@@ -426,3 +426,45 @@ def atomic_update(index_dir: str, key: tuple[str, str, str], ops: dict) -> dict:
     delta = ray.data.from_arrow(pa.table({k: pa.array([v], pa.string()) for k, v in doc.items()}))
     # add_documents inherits the index's stored-content setting
     return update_documents(index_dir, delta)
+
+
+def update_numeric_doc_values(index_dir: str,
+                              updates: list[tuple[int, str, int]]) -> int:
+    """``IndexWriter.updateNumericDocValue(Term, field, value)`` analog:
+    in-place numeric doc-value overrides WITHOUT reindexing the document.
+    Per-segment sidecar ``dv_updates.parquet`` (local_id, field, value) —
+    the docvalue-update "stacked" files of ``index/ReadersAndUpdates.java``;
+    last write wins. Norms and postings are untouched (exactly the
+    reference's semantics: only the doc value changes, scoring norms don't).
+
+    ``updates``: (global_doc_id, field, value) triples. → #rows written."""
+    from .reader import IndexReader
+
+    reader = IndexReader(index_dir)
+    per_seg: dict[int, list[tuple[int, str, int]]] = {}
+    for gid, field, value in updates:
+        ent = next((s for s in reader.segments
+                    if s["doc_base"] <= gid < s["doc_base"] + s["doc_count"]), None)
+        if ent is None:
+            raise KeyError(f"doc id {gid} out of range")
+        per_seg.setdefault(ent["seg"], []).append((gid - ent["doc_base"], field, value))
+    n = 0
+    for seg, rows in per_seg.items():
+        path = os.path.join(reader.seg_dir(seg), "dv_updates.parquet")
+        existing: list[tuple[int, str, int]] = []
+        if os.path.exists(path):
+            t = pq.read_table(path)
+            existing = list(zip(t["local_id"].to_pylist(), t["field"].to_pylist(),
+                                t["value"].to_pylist()))
+        superseded = {(lid, f) for lid, f, _ in rows}
+        merged = [r for r in existing if (r[0], r[1]) not in superseded] + rows
+        tbl = pa.table({
+            "local_id": pa.array([r[0] for r in merged], pa.int64()),
+            "field": pa.array([r[1] for r in merged], pa.string()),
+            "value": pa.array([r[2] for r in merged], pa.int64()),
+        })
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        n += len(rows)
+    return n

@@ -396,13 +396,23 @@ class MatchFieldGroup:
 
 def _load_doc_values(seg_d: str, fields: list[str]) -> dict[str, np.ndarray]:
     """Numeric doc-value columns of one segment (PointValues analog; the
-    Parquet column read is pruned to exactly these fields)."""
+    Parquet column read is pruned to exactly these fields). Sidecar
+    ``dv_updates.parquet`` overrides (updateNumericDocValue stacked files —
+    ``index/ReadersAndUpdates.java``) are applied last-write-wins."""
     if not fields:
         return {}
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(os.path.join(seg_d, "docs.parquet"), columns=list(fields))
-    return {f: tbl[f].to_numpy() for f in fields}
+    out = {f: tbl[f].to_numpy().copy() for f in fields}
+    upd_path = os.path.join(seg_d, "dv_updates.parquet")
+    if os.path.exists(upd_path):
+        u = pq.read_table(upd_path)
+        for lid, f, v in zip(u["local_id"].to_pylist(), u["field"].to_pylist(),
+                             u["value"].to_pylist()):
+            if f in out:
+                out[f][lid] = v
+    return out
 
 
 def score_one(q, sim, lazy, weights, cache, norms, k, method="auto",

@@ -207,3 +207,37 @@ def test_atomic_update(ray_session):
     both = s2 = Searcher(idir).search(
         {"q": parse_query("zebrafied AND quaggamorph")}, k=5, use_ray=False)
     assert both.num_rows == 1
+
+
+def test_numeric_doc_values_update(ray_session):
+    """updateNumericDocValue: range-query visibility flips, scores untouched,
+    last write wins."""
+    import tempfile
+
+    from lucene_solr_ray.corpus import write_corpus
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.index.update import update_numeric_doc_values
+    from lucene_solr_ray.search import Searcher
+    from lucene_solr_ray.search.query import NumericRangeQuery, TermQuery
+
+    cdir = tempfile.mkdtemp()
+    write_corpus(cdir, 150)
+    idir = tempfile.mkdtemp()
+    build_index(cdir, idir, docs_per_segment=75)
+
+    s = Searcher(idir)
+    huge = NumericRangeQuery("field_len", lower=100_000)
+    assert s.search({"q": huge}, k=5, use_ray=False).num_rows == 0
+    base_score = s.search({"q": TermQuery("license")}, k=3, use_ray=False)
+
+    n = update_numeric_doc_values(idir, [(7, "field_len", 123_456)])
+    assert n == 1
+    s2 = Searcher(idir)
+    hit = s2.search({"q": huge}, k=5, use_ray=False)
+    assert hit["doc_id"].to_pylist() == [7]
+    # norms/scoring untouched
+    after_score = s2.search({"q": TermQuery("license")}, k=3, use_ray=False)
+    assert after_score.equals(base_score)
+    # last write wins
+    update_numeric_doc_values(idir, [(7, "field_len", 5)])
+    assert Searcher(idir).search({"q": huge}, k=5, use_ray=False).num_rows == 0
