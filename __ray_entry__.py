@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_expr_sort": fulltext.ft_expr_sort,
         "ft_cluster_results": fulltext.ft_cluster_results,  # rows-only: k-means pinned in pytest
         "ft_explain": fulltext.ft_explain,
+        "ft_multi_sort": fulltext.ft_multi_sort,
         "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
@@ -235,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_expr_sort": fs.sql_expr_sort(fulltext.LTR_TERM, fulltext.LTR_RERANK_K,
                                          fulltext.TOPK_K, fulltext.EXPR_SORT),
         "ft_explain": fs.sql_explain(fulltext.EXPLAIN_TERM, fulltext.EXPLAIN_TOP),
+        "ft_multi_sort": fs.sql_multi_sort(fulltext.MULTI_SORT_TERM, fulltext.TOPK_K),
         "ft_facet_query": fs.sql_facet_query([
             ("merge_and_join", "and", ["join", "merge"], None),
             ("window_or_vector", "or", ["vector", "window"], None),

@@ -1703,3 +1703,46 @@ def ft_explain(sf_dir: str) -> pa.Table:
         "norm": pa.array([r[6] for r in rows], pa.float64()),
         "score": pa.array([r[7] for r in rows], pa.float64()),
     })
+
+
+MULTI_SORT_TERM = "merge"
+
+
+def ft_multi_sort(sf_dir: str) -> pa.Table:
+    """Multi-key field sort — TopFieldCollector with several SortFields
+    (search/Sort.java: Sort(SortField("lang"), SortField("field_len",
+    reverse))): match scatter attaches the sort columns per segment, then a
+    distributed sort over (lang asc, field_len desc, doc asc) → top-10 as
+    (rank, doc_id, lang, field_len)."""
+    import pyarrow.parquet as pq_mod
+
+    s = get_searcher(sf_dir)
+    scattered = s._scatter_match(TermQuery(MULTI_SORT_TERM), "ids")
+    seg_dirs = s.reader.seg_dirs()
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+
+    def attach(batch: pa.Table) -> pa.Table:
+        parts = []
+        segs = batch["seg"].to_numpy()
+        lids_all = batch["local_id"].to_numpy().astype(np.int64)
+        for sv in np.unique(segs):
+            lids = lids_all[segs == sv]
+            t = pq_mod.read_table(
+                os.path.join(seg_dirs[int(sv)], "docs.parquet"),
+                columns=["lang", "field_len"],
+            )
+            idx = pa.array(lids)
+            parts.append(pa.table({
+                "doc_id": pa.array(lids + doc_bases[int(sv)], pa.int64()),
+                "lang": t["lang"].take(idx).combine_chunks().cast(pa.string()),
+                "field_len": t["field_len"].take(idx).combine_chunks().cast(pa.int64()),
+            }))
+        return pa.concat_tables(parts)
+
+    out = (
+        scattered.map_batches(attach, batch_format="pyarrow", batch_size=None)
+        .sort(["lang", "field_len", "doc_id"], descending=[False, True, False])
+        .limit(TOPK_K)
+    )
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return tbl.append_column("rank", pa.array(np.arange(tbl.num_rows), pa.int64()))

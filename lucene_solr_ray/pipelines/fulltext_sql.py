@@ -1430,3 +1430,14 @@ JOIN tf k ON k.did = t.did AND k.tok = '{term}'
 JOIN quant q ON q.did = t.did
 JOIN idf i ON i.tok = '{term}'
 """
+
+
+def sql_multi_sort(term: str, k: int) -> str:
+    return prelude() + f""",
+m AS (SELECT DISTINCT did FROM tf WHERE tok = '{term}')
+SELECT CAST(did AS BIGINT) AS doc_id, c.lang,
+       CAST(q.flen AS BIGINT) AS field_len,
+       CAST(row_number() OVER (ORDER BY c.lang ASC, q.flen DESC, did ASC) - 1 AS BIGINT) AS rank
+FROM m JOIN corpus c USING (did) JOIN fl q USING (did)
+ORDER BY c.lang ASC, q.flen DESC, did ASC LIMIT {k}
+"""
