@@ -1746,3 +1746,53 @@ def ft_multi_sort(sf_dir: str) -> pa.Table:
     )
     tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
     return tbl.append_column("rank", pa.array(np.arange(tbl.num_rows), pa.int64()))
+
+
+#: multi-term (AutomatonQuery family) specs — full constant-score match sets
+MULTI_TERM_SPECS = [
+    {"qid": "wild_ar", "kind": "wildcard", "pattern": "*ar*"},
+    {"qid": "re_merge_join_dow", "kind": "regexp", "pattern": "(merge|join|.*dow)"},
+    {"qid": "fuzzy_jion", "kind": "fuzzy", "term": "jion", "max_edits": 2},
+    {"qid": "range_query_sort", "kind": "range", "lower": "query", "upper": "sort",
+     "include_upper": False},
+]
+
+
+def ft_multi_term(sf_dir: str) -> pa.Table:
+    """Wildcard / Regexp / Fuzzy / TermRange full match sets (dictionary
+    expansion + constant-score retrieval through the match scatter —
+    MultiTermQuery CONSTANT_SCORE_REWRITE)."""
+    from ..search.query import FuzzyQuery, RegexpQuery, TermRangeQuery, WildcardQuery
+
+    s = get_searcher(sf_dir)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    out_q, out_d = [], []
+    for sp in MULTI_TERM_SPECS:
+        if sp["kind"] == "wildcard":
+            q = WildcardQuery(sp["pattern"])
+        elif sp["kind"] == "regexp":
+            q = RegexpQuery(sp["pattern"])
+        elif sp["kind"] == "fuzzy":
+            q = FuzzyQuery(sp["term"], max_edits=sp["max_edits"])
+        else:
+            q = TermRangeQuery(sp.get("lower"), sp.get("upper"),
+                               include_lower=sp.get("include_lower", True),
+                               include_upper=sp.get("include_upper", True))
+        scattered = s._scatter_match(q, "ids")
+        gids = []
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                if len(b):
+                    segs = b["seg"].to_numpy()
+                    lids = b["local_id"].to_numpy().astype(np.int64)
+                    for sv in np.unique(segs):
+                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
+        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        out_q.extend([sp["qid"]] * len(ids))
+        out_d.append(ids)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.string()),
+        "doc_id": pa.array(
+            np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+        ),
+    })

@@ -1441,3 +1441,29 @@ SELECT CAST(did AS BIGINT) AS doc_id, c.lang,
 FROM m JOIN corpus c USING (did) JOIN fl q USING (did)
 ORDER BY c.lang ASC, q.flen DESC, did ASC LIMIT {k}
 """
+
+
+def sql_multi_term(specs: list[dict]) -> str:
+    """Multi-term match-set oracle: dictionary predicate per kind (wildcard
+    → LIKE; regexp → anchored full match; fuzzy → plain Levenshtein ≤ k;
+    range → lexicographic bounds)."""
+    parts = []
+    for sp in specs:
+        if sp["kind"] == "wildcard":
+            like = sp["pattern"].replace("*", "%").replace("?", "_")
+            cond = f"tok LIKE '{like}'"
+        elif sp["kind"] == "regexp":
+            cond = f"regexp_full_match(tok, '{sp['pattern']}')"
+        elif sp["kind"] == "fuzzy":
+            cond = f"levenshtein(tok, '{sp['term']}') <= {sp['max_edits']}"
+        else:
+            cs = []
+            if sp.get("lower") is not None:
+                cs.append(f"tok {'>=' if sp.get('include_lower', True) else '>'} '{sp['lower']}'")
+            if sp.get("upper") is not None:
+                cs.append(f"tok {'<=' if sp.get('include_upper', True) else '<'} '{sp['upper']}'")
+            cond = " AND ".join(cs) or "TRUE"
+        parts.append(f"""
+SELECT '{sp["qid"]}' AS query_id, CAST(did AS BIGINT) AS doc_id
+FROM (SELECT DISTINCT did FROM tf WHERE {cond})""")
+    return prelude() + " " + " UNION ALL ".join(parts)
