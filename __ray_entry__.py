@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": events.events_hopping,
         "events_sessionize": events.events_sessionize,
         "events_type_stats": events.events_type_stats,
+        "events_cumulative": events.events_cumulative,
         # --- facets / grouping / stats ---
         "facet_counts": facets.facet_counts,
         "grouped_topk": facets.grouped_topk,
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping": events.SQL_EVENTS_HOPPING,
         "events_sessionize": events.SQL_EVENTS_SESSIONIZE,
         "events_type_stats": events.SQL_EVENTS_TYPE_STATS,
+        "events_cumulative": events.SQL_EVENTS_CUMULATIVE,
         "facet_counts": facets.SQL_FACET_COUNTS,
         "grouped_topk": facets.SQL_GROUPED_TOPK,
         "lang_char_stats": facets.SQL_LANG_CHAR_STATS,

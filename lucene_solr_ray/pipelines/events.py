@@ -218,3 +218,42 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(round(max(value) * 1000) AS BIGINT) AS max_v_millis
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def events_cumulative(sf_dir: str) -> pa.Table:
+    """(event_id, user_id, cum_count, cum_value_int) — per-user running
+    totals in event-time order (streaming cumulative aggregation; the window
+    function `SUM() OVER (PARTITION BY user ORDER BY ts)` shape). The value
+    running sum accumulates CENTS (round(value*100)) so every partial is an
+    exact integer — float cumsum order never matters.
+
+    Partitioning: per-user groups sort by (ts, event_id) inside
+    ``map_groups`` — the same per-user-log contract as sessionize."""
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].values,
+            "user_id": g["user_id"].values,
+            "cum_count": np.arange(1, len(g) + 1, dtype=np.int64),
+            "cum_value_int": np.cumsum(cents),
+        })
+
+    out = _events(sf_dir).groupby("user_id").map_groups(cum, batch_format="pandas")
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return pa.table({
+        "event_id": tbl["event_id"].cast(pa.int64()),
+        "user_id": tbl["user_id"].cast(pa.int64()),
+        "cum_count": tbl["cum_count"].cast(pa.int64()),
+        "cum_value_int": tbl["cum_value_int"].cast(pa.int64()),
+    })
+
+
+SQL_EVENTS_CUMULATIVE = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS cum_count,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cum_value_int
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
