@@ -1796,3 +1796,81 @@ def ft_multi_term(sf_dir: str) -> pa.Table:
             np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
         ),
     })
+
+
+def ft_lm_logprob(sf_dir: str) -> pa.Table:
+    """Unigram-LM token scoring for data-quality filtering: every (doc,
+    term) pair gets ln p(term) with p = collection ttf / sumTTF (the
+    LM-Dirichlet collection model's P(t|C); term-level so every float is ONE
+    ln() — no order-dependent sums in the gate). Collection stats broadcast
+    from the index; term vectors stream from the postings
+    → (doc_id, term, tf, ln_p)."""
+    import math
+
+    import ray
+    import ray.data
+    from ..util.forutil import decode_sequences
+
+    s = get_searcher(sf_dir)
+    key_stats = s.reader.stats
+    # broadcast the tiny collection LM: term → ln(ttf/sumTTF)
+    tstats = ft_term_stats(sf_dir, limit=1_000_000)
+    lnp = {t: math.log(ttf / key_stats.sum_ttf)
+           for t, ttf in zip(tstats["term"].to_pylist(), tstats["ttf"].to_pylist())}
+    lnp_ref = ray.put(lnp)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        table = ray.get(lnp_ref)
+        out_d, out_t, out_tf, out_p = [], [], [], []
+        segs = batch["seg"].to_numpy()
+        for sv in np.unique(segs):
+            t = batch.filter(pa.compute.equal(batch["seg"], sv))
+            dfs = t["df"].to_numpy().astype(np.int64)
+            arr = t["doc_blob"].combine_chunks()
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.chunk(0)
+            bufs = arr.buffers()
+            offs = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1,
+                                 offset=arr.offset * 8)
+            data = (np.frombuffer(bufs[2], dtype=np.uint8)
+                    if bufs[2] is not None else np.zeros(0, np.uint8))
+            deltas = decode_sequences(data, offs, dfs)
+            starts = np.zeros(len(dfs) + 1, dtype=np.int64)
+            np.cumsum(dfs, out=starts[1:])
+            c = np.cumsum(deltas)
+            base = np.where(starts[:-1] > 0, c[np.maximum(starts[:-1] - 1, 0)], 0)
+            lids = c - np.repeat(base, dfs) - 1
+            fbuf_arr = t["freq_blob"].combine_chunks()
+            if isinstance(fbuf_arr, pa.ChunkedArray):
+                fbuf_arr = fbuf_arr.chunk(0)
+            fb = fbuf_arr.buffers()
+            foffs = np.frombuffer(fb[1], dtype=np.int64, count=len(fbuf_arr) + 1,
+                                  offset=fbuf_arr.offset * 8)
+            fdata = (np.frombuffer(fb[2], dtype=np.uint8)
+                     if fb[2] is not None else np.zeros(0, np.uint8))
+            tfs = decode_sequences(fdata, foffs, dfs)
+            terms = t["term"].to_pylist()
+            gids = lids + doc_bases[int(sv)]
+            for row, term in enumerate(terms):
+                p = table.get(term)
+                if p is None:
+                    continue
+                lo, hi = starts[row], starts[row + 1]
+                out_d.extend(gids[lo:hi].tolist())
+                out_t.extend([term] * (hi - lo))
+                out_tf.extend(tfs[lo:hi].tolist())
+                out_p.extend([p] * (hi - lo))
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "term": pa.array(out_t, pa.string()),
+            "tf": pa.array(out_tf, pa.int64()),
+            "ln_p": pa.array(out_p, pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(
+        s.reader.postings_files(),
+        columns=["seg", "term", "df", "doc_blob", "freq_blob"],
+        filter=pa.compute.field("field") == "content",
+    ).map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))

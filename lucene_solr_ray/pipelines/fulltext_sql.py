@@ -1467,3 +1467,14 @@ def sql_multi_term(specs: list[dict]) -> str:
 SELECT '{sp["qid"]}' AS query_id, CAST(did AS BIGINT) AS doc_id
 FROM (SELECT DISTINCT did FROM tf WHERE {cond})""")
     return prelude() + " " + " UNION ALL ".join(parts)
+
+
+def sql_lm_logprob() -> str:
+    """Unigram-LM oracle: one ln() per (doc, term) — scalar libm both sides."""
+    return prelude() + """,
+ttfs AS (SELECT tok, sum(tf) AS ttf FROM tf GROUP BY tok)
+SELECT CAST(k.did AS BIGINT) AS doc_id, k.tok AS term,
+       CAST(k.tf AS BIGINT) AS tf,
+       ln(CAST(s.ttf AS DOUBLE) / (SELECT sttf FROM stats)) AS ln_p
+FROM tf k JOIN ttfs s USING (tok)
+"""
