@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_multi_sort": fulltext.ft_multi_sort,
         "ft_multi_term": fulltext.ft_multi_term,
         "ft_lm_logprob": fulltext.ft_lm_logprob,
+        "ft_multi_phrase": fulltext.ft_multi_phrase,
         "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
         "ft_wand_topk": fulltext.ft_wand_topk,  # oracle: same SQL as the 'or' disjunctions
         "ft_field_search": fulltext.ft_field_search,
@@ -242,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_multi_sort": fs.sql_multi_sort(fulltext.MULTI_SORT_TERM, fulltext.TOPK_K),
         "ft_multi_term": fs.sql_multi_term(fulltext.MULTI_TERM_SPECS),
         "ft_lm_logprob": fs.sql_lm_logprob(),
+        "ft_multi_phrase": fs.sql_multi_phrase(fulltext.MULTI_PHRASE_SPECS),
         "ft_facet_query": fs.sql_facet_query([
             ("merge_and_join", "and", ["join", "merge"], None),
             ("window_or_vector", "or", ["vector", "window"], None),

@@ -1874,3 +1874,41 @@ def ft_lm_logprob(sf_dir: str) -> pa.Table:
         filter=pa.compute.field("field") == "content",
     ).map_batches(per_batch, batch_format="pyarrow", batch_size=None)
     return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+
+
+#: MultiPhraseQuery specs: one tuple of alternatives per phrase slot
+MULTI_PHRASE_SPECS = [
+    {"qid": "mp_tablehash_scan", "slots": [["hash", "table"], ["scan"]]},
+    {"qid": "mp_order_sortbatch", "slots": [["order"], ["batch", "sort"]]},
+]
+
+
+def ft_multi_phrase(sf_dir: str) -> pa.Table:
+    """MultiPhraseQuery full match sets (per-slot term unions —
+    UnionPostingsEnum — matched by the exact phrase matcher)."""
+    from ..search.query import MultiPhraseQuery
+
+    s = get_searcher(sf_dir)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    out_q, out_d = [], []
+    for sp in MULTI_PHRASE_SPECS:
+        q = MultiPhraseQuery(tuple(tuple(slot) for slot in sp["slots"]),
+                             tuple(range(len(sp["slots"]))))
+        scattered = s._scatter_match(q, "ids")
+        gids = []
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                if len(b):
+                    segs = b["seg"].to_numpy()
+                    lids = b["local_id"].to_numpy().astype(np.int64)
+                    for sv in np.unique(segs):
+                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
+        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        out_q.extend([sp["qid"]] * len(ids))
+        out_d.append(ids)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.string()),
+        "doc_id": pa.array(
+            np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+        ),
+    })

@@ -1478,3 +1478,24 @@ SELECT CAST(k.did AS BIGINT) AS doc_id, k.tok AS term,
        ln(CAST(s.ttf AS DOUBLE) / (SELECT sttf FROM stats)) AS ln_p
 FROM tf k JOIN ttfs s USING (tok)
 """
+
+
+def sql_multi_phrase(specs: list[dict]) -> str:
+    """MultiPhrase match-set oracle: slot i's token ∈ its alternative set at
+    position p0 + i."""
+    parts = []
+    for sp in specs:
+        slots = sp["slots"]
+        joins, conds = [], []
+        for i, slot in enumerate(slots):
+            inl = ", ".join(f"'{t}'" for t in sorted(slot))
+            if i == 0:
+                conds.append(f"t0.tok IN ({inl})")
+            else:
+                joins.append(f"JOIN ktp t{i} ON t{i}.did = t0.did AND t{i}.p = t0.p + {i}")
+                conds.append(f"t{i}.tok IN ({inl})")
+        parts.append(f"""
+SELECT '{sp["qid"]}' AS query_id, CAST(did AS BIGINT) AS doc_id
+FROM (SELECT DISTINCT t0.did AS did FROM ktp t0 {' '.join(joins)}
+      WHERE {' AND '.join(conds)})""")
+    return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
