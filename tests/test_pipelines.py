@@ -70,6 +70,19 @@ FAST_ENTRIES = [
     "percolate",
     "geo_box",
     "geo_distance_topk",
+    "ft_multi_term",
+    "ft_multi_phrase",
+    "ft_explain",
+    "ft_multi_sort",
+    "events_cumulative",
+    "scrub",
+    "split_assign",
+    "pack_greedy",
+    "solr_json_nested",
+    "ft_schema_info",
+    "dedup_clusters",
+    "st_timeseries",
+    "st_random",
 ]
 
 
