@@ -1912,3 +1912,49 @@ def ft_multi_phrase(sf_dir: str) -> pa.Table:
             np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
         ),
     })
+
+
+def ft_model_rerank(sf_dir: str) -> pa.Table:
+    """Cross-encoder-style model reranking plumbing: first-pass BM25 top-50,
+    then a batched "inference" stage on a Ray actor pool (model loaded once
+    per actor in __init__; here a DETERMINISTIC STUB — md5-derived
+    pseudo-logit — because the container ships no model runtime; the
+    batching/actor/broadcast shape is the real thing, like the multimodal
+    decode stub) → (rank, doc_id, model_score)."""
+    import hashlib
+
+    import ray.data
+
+    s = get_searcher(sf_dir)
+    first = s.search({"q": TermQuery(LTR_TERM)}, k=LTR_RERANK_K, use_ray=True)
+
+    class FakeCrossEncoder:
+        def __init__(self):
+            # real model load happens here, once per actor
+            self.prefix = f"xenc|{LTR_TERM}|"
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            scores = [
+                int(hashlib.md5(f"{self.prefix}{d}".encode()).hexdigest()[:15], 16)
+                % 1_000_000 / 1_000_000
+                for d in ids
+            ]
+            return pa.table({
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "model_score": pa.array(scores, pa.float64()),
+            })
+
+    ds = ray.data.from_arrow(first.select(["doc_id"])).map_batches(
+        FakeCrossEncoder, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 4), max_restarts=0,
+    )
+    scored = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    ids = scored["doc_id"].to_numpy()
+    ms = scored["model_score"].to_numpy()
+    order = np.lexsort((ids, -ms))[:TOPK_K]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order)), pa.int64()),
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "model_score": pa.array(ms[order], pa.float64()),
+    })

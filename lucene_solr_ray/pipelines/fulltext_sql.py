@@ -1499,3 +1499,19 @@ SELECT '{sp["qid"]}' AS query_id, CAST(did AS BIGINT) AS doc_id
 FROM (SELECT DISTINCT t0.did AS did FROM ktp t0 {' '.join(joins)}
       WHERE {' AND '.join(conds)})""")
     return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
+
+
+def sql_model_rerank(term: str, rerank_k: int, k: int) -> str:
+    """Model-rerank oracle: the deterministic stub logit is md5-replicable."""
+    return prelude() + "," + _score_cte([term]) + f""",
+fp AS (SELECT did FROM agg ORDER BY score DESC, did ASC LIMIT {rerank_k}),
+m AS (
+  SELECT did,
+         (CAST(('0x' || substr(md5('xenc|{term}|' || CAST(did AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1000000) / 1000000.0 AS model_score
+  FROM fp
+)
+SELECT CAST(row_number() OVER (ORDER BY model_score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, model_score
+FROM m ORDER BY model_score DESC, did ASC LIMIT {k}
+"""
