@@ -1958,3 +1958,20 @@ def ft_model_rerank(sf_dir: str) -> pa.Table:
         "doc_id": pa.array(ids[order], pa.int64()),
         "model_score": pa.array(ms[order], pa.float64()),
     })
+
+
+def ft_check_index(sf_dir: str) -> pa.Table:
+    """CheckIndex as a driver entry (index/CheckIndex.java invariants: every
+    posting decoded, stats re-derived, norms re-encoded, sha256 invariant):
+    the walk's summary metrics are recomputed from the raw documents by the
+    oracle, so the ENTIRE index layout is driver-gated → one row
+    (docs, term_doc_pairs, sum_ttf)."""
+    from ..index.checkindex import check_index
+
+    s = get_searcher(sf_dir)
+    m = check_index(s.reader.index_dir)
+    return pa.table({
+        "docs": pa.array([m["docs"]], pa.int64()),
+        "term_doc_pairs": pa.array([m["term_doc_pairs"]], pa.int64()),
+        "sum_ttf": pa.array([m["sum_ttf"]], pa.int64()),
+    })

@@ -1515,3 +1515,11 @@ SELECT CAST(row_number() OVER (ORDER BY model_score DESC, did ASC) - 1 AS BIGINT
        CAST(did AS BIGINT) AS doc_id, model_score
 FROM m ORDER BY model_score DESC, did ASC LIMIT {k}
 """
+
+
+def sql_check_index() -> str:
+    return prelude() + """
+SELECT CAST((SELECT dc FROM stats) AS BIGINT) AS docs,
+       CAST((SELECT count(*) FROM tf) AS BIGINT) AS term_doc_pairs,
+       CAST((SELECT sttf FROM stats) AS BIGINT) AS sum_ttf
+"""
