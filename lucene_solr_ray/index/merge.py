@@ -298,7 +298,11 @@ def merge_index(index_dir: str, *, segs_per_tier: int = SEGS_PER_TIER,
         work = list(zip(groups, group_dirs))
         chunks = [work[i::n_workers] for i in range(n_workers)]
 
-        @ray.remote(num_cpus=2)
+        # num_cpus=1 so the tasks REUSE the build's already-warm default
+        # workers — a custom num_cpus forces fresh worker processes, each
+        # paying the 20-35s first-touch warmup (measured: 10 groups 218s at
+        # num_cpus=2/fresh vs 63s sequential-warm)
+        @ray.remote(num_cpus=1)
         def _merge_chunk(index_dir: str, chunk: list, generation: int) -> list[dict]:
             return [_merge_group(index_dir, g, dirs, generation) for g, dirs in chunk]
 
