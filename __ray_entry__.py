@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_multi_term": fulltext.ft_multi_term,
         "ft_lm_logprob": fulltext.ft_lm_logprob,
         "ft_multi_phrase": fulltext.ft_multi_phrase,
+        "ft_multi_phrase_sloppy": fulltext.ft_multi_phrase_sloppy,
         "ft_model_rerank": fulltext.ft_model_rerank,
         "ft_check_index": fulltext.ft_check_index,
         "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_multi_term": fs.sql_multi_term(fulltext.MULTI_TERM_SPECS),
         "ft_lm_logprob": fs.sql_lm_logprob(),
         "ft_multi_phrase": fs.sql_multi_phrase(fulltext.MULTI_PHRASE_SPECS),
+        "ft_multi_phrase_sloppy": fs.sql_multi_phrase_sloppy(fulltext.MULTI_PHRASE_SLOPPY_SPECS),
         "ft_model_rerank": fs.sql_model_rerank(fulltext.LTR_TERM, fulltext.LTR_RERANK_K, fulltext.TOPK_K),
         "ft_check_index": fs.sql_check_index(),
         "ft_facet_query": fs.sql_facet_query([

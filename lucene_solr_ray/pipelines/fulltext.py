@@ -1975,3 +1975,43 @@ def ft_check_index(sf_dir: str) -> pa.Table:
         "term_doc_pairs": pa.array([m["term_doc_pairs"]], pa.int64()),
         "sum_ttf": pa.array([m["sum_ttf"]], pa.int64()),
     })
+
+
+#: sloppy MultiPhrase specs (slot alternative sets are pairwise disjoint —
+#: the distinct-term condition for the min-width-alignment oracle)
+MULTI_PHRASE_SLOPPY_SPECS = [
+    {"qid": "mps_tablehash_scan_3", "slots": [["hash", "table"], ["scan"]], "slop": 3},
+    {"qid": "mps_spark_windowvector_5", "slots": [["spark"], ["vector", "window"]], "slop": 5},
+]
+
+
+def ft_multi_phrase_sloppy(sf_dir: str) -> pa.Table:
+    """Sloppy MultiPhraseQuery match sets (slot unions through the
+    SloppyPhraseMatcher; existence ⇔ some one-position-per-slot alignment
+    with normalized width ≤ slop)."""
+    from ..search.query import MultiPhraseQuery
+
+    s = get_searcher(sf_dir)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    out_q, out_d = [], []
+    for sp in MULTI_PHRASE_SLOPPY_SPECS:
+        q = MultiPhraseQuery(tuple(tuple(slot) for slot in sp["slots"]),
+                             tuple(range(len(sp["slots"]))), slop=sp["slop"])
+        scattered = s._scatter_match(q, "ids")
+        gids = []
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                if len(b):
+                    segs = b["seg"].to_numpy()
+                    lids = b["local_id"].to_numpy().astype(np.int64)
+                    for sv in np.unique(segs):
+                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
+        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        out_q.extend([sp["qid"]] * len(ids))
+        out_d.append(ids)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.string()),
+        "doc_id": pa.array(
+            np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+        ),
+    })

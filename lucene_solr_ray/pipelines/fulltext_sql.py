@@ -1523,3 +1523,25 @@ SELECT CAST((SELECT dc FROM stats) AS BIGINT) AS docs,
        CAST((SELECT count(*) FROM tf) AS BIGINT) AS term_doc_pairs,
        CAST((SELECT sttf FROM stats) AS BIGINT) AS sum_ttf
 """
+
+
+def sql_multi_phrase_sloppy(specs: list[dict]) -> str:
+    """Sloppy MultiPhrase oracle: one position per slot (token ∈ slot set),
+    normalized width ≤ slop — exact for pairwise-disjoint slot sets."""
+    parts = []
+    for sp in specs:
+        slots, slop, qid = sp["slots"], sp["slop"], sp["qid"]
+        joins = " ".join(
+            f"JOIN ktp t{i} ON t{i}.did = t0.did" for i in range(1, len(slots))
+        )
+        conds = " AND ".join(
+            f"t{i}.tok IN ({', '.join(repr(t) for t in sorted(slot))})"
+            for i, slot in enumerate(slots)
+        )
+        norm = [f"(t{i}.p - {i})" for i in range(len(slots))]
+        width = f"greatest({', '.join(norm)}) - least({', '.join(norm)})"
+        parts.append(f"""
+SELECT '{qid}' AS query_id, CAST(did AS BIGINT) AS doc_id
+FROM (SELECT DISTINCT t0.did AS did FROM ktp t0 {joins}
+      WHERE {conds} AND {width} <= {slop})""")
+    return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
