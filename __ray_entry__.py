@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_lm_logprob": fulltext.ft_lm_logprob,
         "ft_multi_phrase": fulltext.ft_multi_phrase,
         "ft_multi_phrase_sloppy": fulltext.ft_multi_phrase_sloppy,
+        "ft_nested_bool": fulltext.ft_nested_bool,
+        "ft_synonym_query": fulltext.ft_synonym_query,
+        "ft_term_set": fulltext.ft_term_set,
         "ft_model_rerank": fulltext.ft_model_rerank,
         "ft_check_index": fulltext.ft_check_index,
         "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
@@ -248,6 +251,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_lm_logprob": fs.sql_lm_logprob(),
         "ft_multi_phrase": fs.sql_multi_phrase(fulltext.MULTI_PHRASE_SPECS),
         "ft_multi_phrase_sloppy": fs.sql_multi_phrase_sloppy(fulltext.MULTI_PHRASE_SLOPPY_SPECS),
+        "ft_nested_bool": fs.sql_nested_bool(),
+        "ft_synonym_query": fs.sql_synonym_query(fulltext.SYNONYM_QUERY_TERMS, fulltext.TOPK_K),
+        "ft_term_set": fs.sql_term_set(fulltext.TERM_SET),
         "ft_model_rerank": fs.sql_model_rerank(fulltext.LTR_TERM, fulltext.LTR_RERANK_K, fulltext.TOPK_K),
         "ft_check_index": fs.sql_check_index(),
         "ft_facet_query": fs.sql_facet_query([

@@ -2015,3 +2015,68 @@ def ft_multi_phrase_sloppy(sf_dir: str) -> pa.Table:
             np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
         ),
     })
+
+
+NESTED_BOOL_EXPR = "(merge OR join) AND (window OR vector) AND NOT slow"
+
+
+def ft_nested_bool(sf_dir: str) -> pa.Table:
+    """Nested boolean clauses through the classic parser (BooleanQuery
+    inside BooleanQuery — BooleanWeight recursion) → full match set."""
+    from ..search.query import parse_query
+
+    s = get_searcher(sf_dir)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    scattered = s._scatter_match(parse_query(NESTED_BOOL_EXPR), "ids")
+    gids = []
+    if scattered is not None:
+        for b in scattered.iter_batches(batch_format="pyarrow"):
+            if len(b):
+                segs = b["seg"].to_numpy()
+                lids = b["local_id"].to_numpy().astype(np.int64)
+                for sv in np.unique(segs):
+                    gids.append(lids[segs == sv] + doc_bases[int(sv)])
+    ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+SYNONYM_QUERY_TERMS = ["join", "merge"]
+
+
+def ft_synonym_query(sf_dir: str) -> pa.Table:
+    """SynonymQuery top-k with exact scores (freq = Σ tf across synonyms,
+    stats of the max-df member — SynonymQuery.java semantics; ONE BM25
+    kernel evaluation → float64 bit-exact)."""
+    from ..search.query import SynonymQuery
+
+    s = get_searcher(sf_dir)
+    res = s.search({"q": SynonymQuery(tuple(SYNONYM_QUERY_TERMS))}, k=TOPK_K,
+                   use_ray=True)
+    return pa.table({
+        "rank": res["rank"],
+        "doc_id": res["doc_id"],
+        "score": res["score"].cast(pa.float64()),
+    })
+
+
+TERM_SET = ["customer", "vector", "dup"]
+
+
+def ft_term_set(sf_dir: str) -> pa.Table:
+    """TermInSetQuery full match set (constant-score semi-join vs the term
+    set)."""
+    from ..search.query import TermInSetQuery
+
+    s = get_searcher(sf_dir)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    scattered = s._scatter_match(TermInSetQuery(tuple(TERM_SET)), "ids")
+    gids = []
+    if scattered is not None:
+        for b in scattered.iter_batches(batch_format="pyarrow"):
+            if len(b):
+                segs = b["seg"].to_numpy()
+                lids = b["local_id"].to_numpy().astype(np.int64)
+                for sv in np.unique(segs):
+                    gids.append(lids[segs == sv] + doc_bases[int(sv)])
+    ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})

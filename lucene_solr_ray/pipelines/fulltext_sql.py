@@ -1545,3 +1545,38 @@ SELECT '{qid}' AS query_id, CAST(did AS BIGINT) AS doc_id
 FROM (SELECT DISTINCT t0.did AS did FROM ktp t0 {joins}
       WHERE {conds} AND {width} <= {slop})""")
     return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
+
+
+def sql_nested_bool() -> str:
+    return prelude() + """
+SELECT CAST(did AS BIGINT) AS doc_id FROM (
+  (SELECT DISTINCT did FROM tf WHERE tok IN ('join', 'merge'))
+  INTERSECT (SELECT DISTINCT did FROM tf WHERE tok IN ('vector', 'window'))
+  EXCEPT (SELECT DISTINCT did FROM tf WHERE tok = 'slow')
+) ORDER BY did
+"""
+
+
+def sql_synonym_query(terms: list[str], k: int) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(terms))
+    return prelude() + f""",
+syn AS (SELECT did, sum(tf) AS f FROM tf WHERE tok IN ({tl}) GROUP BY did),
+minidf AS (SELECT min(idf) AS v FROM idf WHERE tok IN ({tl})),
+sc AS (
+  SELECT s.did,
+         (((SELECT v FROM minidf) * {1.0!r}) * {K1 + 1!r}) * s.f
+           / (s.f + {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen) / (SELECT avgdl FROM avg_dl))) AS score
+  FROM syn s JOIN quant q USING (did)
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM sc ORDER BY score DESC, did ASC LIMIT {k}
+"""
+
+
+def sql_term_set(terms: list[str]) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(terms))
+    return prelude() + f"""
+SELECT CAST(did AS BIGINT) AS doc_id
+FROM (SELECT DISTINCT did FROM tf WHERE tok IN ({tl})) ORDER BY did
+"""
