@@ -2080,3 +2080,48 @@ def ft_term_set(sf_dir: str) -> pa.Table:
                     gids.append(lids[segs == sv] + doc_bases[int(sv)])
     ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+CONST_BOOST = 2.5
+
+
+def ft_constant_score(sf_dir: str) -> pa.Table:
+    """ConstantScoreQuery(PrefixQuery) with a boost: every match scores
+    exactly the boost (ConstantScoreQuery.java / BoostQuery fold) →
+    (doc_id, score)."""
+    from ..search.query import BoostQuery, ConstantScoreQuery, PrefixQuery
+
+    s = get_searcher(sf_dir)
+    q = BoostQuery(ConstantScoreQuery(PrefixQuery("w")), CONST_BOOST)
+    res = s.search({"q": q}, k=s.reader.stats.doc_count, use_ray=True)
+    t = res.sort_by("doc_id")
+    return pa.table({
+        "doc_id": t["doc_id"].cast(pa.int64()),
+        "score": t["score"].cast(pa.float64()),
+    })
+
+
+SPANFIRST_N = 12
+
+
+def ft_span_first_or(sf_dir: str) -> pa.Table:
+    """SpanFirstQuery over a SpanOrQuery: either term within the first
+    SPANFIRST_N positions → full match set."""
+    from ..search.spans import SpanFirstQuery, SpanOrQuery, SpanTermQuery
+
+    s = get_searcher(sf_dir)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    q = SpanFirstQuery(
+        SpanOrQuery((SpanTermQuery("spark"), SpanTermQuery("vector"))), SPANFIRST_N
+    )
+    scattered = s._scatter_match(q, "ids")
+    gids = []
+    if scattered is not None:
+        for b in scattered.iter_batches(batch_format="pyarrow"):
+            if len(b):
+                segs = b["seg"].to_numpy()
+                lids = b["local_id"].to_numpy().astype(np.int64)
+                for sv in np.unique(segs):
+                    gids.append(lids[segs == sv] + doc_bases[int(sv)])
+    ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})

@@ -1580,3 +1580,19 @@ def sql_term_set(terms: list[str]) -> str:
 SELECT CAST(did AS BIGINT) AS doc_id
 FROM (SELECT DISTINCT did FROM tf WHERE tok IN ({tl})) ORDER BY did
 """
+
+
+def sql_constant_score(prefix: str, boost: float) -> str:
+    return prelude() + f"""
+SELECT CAST(did AS BIGINT) AS doc_id, CAST({boost!r} AS DOUBLE) AS score
+FROM (SELECT DISTINCT did FROM tf WHERE tok LIKE '{prefix}%') ORDER BY did
+"""
+
+
+def sql_span_first_or(terms: list[str], n: int) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(terms))
+    return prelude() + "," + _TOKPOS_CTES + f"""
+SELECT CAST(did AS BIGINT) AS doc_id
+FROM (SELECT DISTINCT did FROM ktp WHERE tok IN ({tl}) AND p + 1 <= {n})
+ORDER BY did
+"""
