@@ -2093,11 +2093,22 @@ def ft_constant_score(sf_dir: str) -> pa.Table:
 
     s = get_searcher(sf_dir)
     q = BoostQuery(ConstantScoreQuery(PrefixQuery("w")), CONST_BOOST)
-    res = s.search({"q": q}, k=s.reader.stats.doc_count, use_ray=True)
-    t = res.sort_by("doc_id")
+    # constant-score retrieval streams the match scatter — no top-k heap with
+    # an unbounded k (the score IS the boost, so only ids move)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    scattered = s._scatter_match(q, "ids")
+    gids = []
+    if scattered is not None:
+        for b in scattered.iter_batches(batch_format="pyarrow"):
+            if len(b):
+                segs = b["seg"].to_numpy()
+                lids = b["local_id"].to_numpy().astype(np.int64)
+                for sv in np.unique(segs):
+                    gids.append(lids[segs == sv] + doc_bases[int(sv)])
+    ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
     return pa.table({
-        "doc_id": t["doc_id"].cast(pa.int64()),
-        "score": t["score"].cast(pa.float64()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "score": pa.array(np.full(len(ids), CONST_BOOST, dtype=np.float64), pa.float64()),
     })
 
 
