@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_term_set": fulltext.ft_term_set,
         "ft_constant_score": fulltext.ft_constant_score,
         "ft_span_first_or": fulltext.ft_span_first_or,
+        "ft_search_fl": fulltext.ft_search_fl,
         "ft_model_rerank": fulltext.ft_model_rerank,
         "ft_check_index": fulltext.ft_check_index,
         "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
@@ -258,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_term_set": fs.sql_term_set(fulltext.TERM_SET),
         "ft_constant_score": fs.sql_constant_score("w", fulltext.CONST_BOOST),
         "ft_span_first_or": fs.sql_span_first_or(["spark", "vector"], fulltext.SPANFIRST_N),
+        "ft_search_fl": fs.sql_search_fl(fulltext.FACET_TERM, fulltext.TOPK_K),
         "ft_model_rerank": fs.sql_model_rerank(fulltext.LTR_TERM, fulltext.LTR_RERANK_K, fulltext.TOPK_K),
         "ft_check_index": fs.sql_check_index(),
         "ft_facet_query": fs.sql_facet_query([

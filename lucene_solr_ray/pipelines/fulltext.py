@@ -2136,3 +2136,24 @@ def ft_span_first_or(sf_dir: str) -> pa.Table:
                     gids.append(lids[segs == sv] + doc_bases[int(sv)])
     ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def ft_search_fl(sf_dir: str) -> pa.Table:
+    """The standard Solr response shape: top-k hits WITH stored fields
+    (QueryComponent two-phase: ranked ids, then a batched stored-fields
+    fetch for exactly the page — QueryComponent.java:996-998) →
+    (rank, doc_id, path, lang, score)."""
+    s = get_searcher(sf_dir)
+    res = s.search({"q": TermQuery(FACET_TERM)}, k=TOPK_K, use_ray=True)
+    ids = res["doc_id"].to_pylist()
+    stored = s.reader.fetch_docs(ids, columns=["doc_id", "path", "lang"])
+    by = {d: (p, l) for d, p, l in zip(stored["doc_id"].to_pylist(),
+                                       stored["path"].to_pylist(),
+                                       stored["lang"].to_pylist())}
+    return pa.table({
+        "rank": res["rank"],
+        "doc_id": res["doc_id"],
+        "path": pa.array([by[d][0] for d in ids], pa.string()),
+        "lang": pa.array([by[d][1] for d in ids], pa.string()),
+        "score": res["score"].cast(pa.float64()),
+    })

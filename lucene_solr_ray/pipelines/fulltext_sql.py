@@ -1596,3 +1596,12 @@ SELECT CAST(did AS BIGINT) AS doc_id
 FROM (SELECT DISTINCT did FROM ktp WHERE tok IN ({tl}) AND p + 1 <= {n})
 ORDER BY did
 """
+
+
+def sql_search_fl(term: str, k: int) -> str:
+    return prelude() + "," + _score_cte([term]) + f"""
+SELECT CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, c.path, c.lang, score
+FROM agg JOIN corpus c USING (did)
+ORDER BY score DESC, did ASC LIMIT {k}
+"""
