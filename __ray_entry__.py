@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_constant_score": fulltext.ft_constant_score,
         "ft_span_first_or": fulltext.ft_span_first_or,
         "ft_search_fl": fulltext.ft_search_fl,
+        "ft_spell_collate": fulltext.ft_spell_collate,
+        "ft_mmr_rerank": fulltext.ft_mmr_rerank,  # rows-only: greedy MMR pinned in pytest
         "ft_model_rerank": fulltext.ft_model_rerank,
         "ft_check_index": fulltext.ft_check_index,
         "ft_classify_knn": fulltext.ft_classify_knn,  # rows-only: vote pinned in pytest
@@ -260,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_constant_score": fs.sql_constant_score("w", fulltext.CONST_BOOST),
         "ft_span_first_or": fs.sql_span_first_or(["spark", "vector"], fulltext.SPANFIRST_N),
         "ft_search_fl": fs.sql_search_fl(fulltext.FACET_TERM, fulltext.TOPK_K),
+        "ft_spell_collate": fs.sql_spell_collate(fulltext.SPELL_COLLATE_QUERY),
         "ft_model_rerank": fs.sql_model_rerank(fulltext.LTR_TERM, fulltext.LTR_RERANK_K, fulltext.TOPK_K),
         "ft_check_index": fs.sql_check_index(),
         "ft_facet_query": fs.sql_facet_query([

@@ -2157,3 +2157,85 @@ def ft_search_fl(sf_dir: str) -> pa.Table:
         "lang": pa.array([by[d][1] for d in ids], pa.string()),
         "score": res["score"].cast(pa.float64()),
     })
+
+
+SPELL_COLLATE_QUERY = ["merge", "jion"]  # one known term, one misspelling
+
+
+def ft_spell_collate(sf_dir: str) -> pa.Table:
+    """Spellcheck collation (solr SpellCheckComponent spellcheck.collate /
+    SpellCheckCollator.java): replace each unknown query term with its best
+    suggestion (dist asc, df desc, term asc), then VERIFY the collation by
+    counting its conjunctive hits → one row (collation, hits)."""
+    from ..search.query import BooleanQuery
+    from ..search.suggest import spell_suggest
+
+    s = get_searcher(sf_dir)
+    corrected = []
+    for t in SPELL_COLLATE_QUERY:
+        key = ("content", t)
+        df, _ = s.reader.term_stats([key]).get(key, (0, 0))
+        if df > 0:
+            corrected.append(t)
+        else:
+            sugg = spell_suggest(s.reader, t, num=1)
+            corrected.append(sugg["term"][0].as_py() if len(sugg) else t)
+    q = BooleanQuery(must=[TermQuery(t) for t in corrected])
+    scattered = s._scatter_match(q, "ids")
+    hits = 0
+    if scattered is not None:
+        hits = sum(len(b) for b in scattered.iter_batches(batch_format="pyarrow"))
+    return pa.table({
+        "collation": pa.array([" ".join(corrected)], pa.string()),
+        "hits": pa.array([hits], pa.int64()),
+    })
+
+
+MMR_LAMBDA = 0.7
+MMR_TOPN = 40
+
+
+def ft_mmr_rerank(sf_dir: str) -> pa.Table:
+    """Maximal Marginal Relevance diversity rerank (Carbonell & Goldstein
+    1998): greedily pick argmax λ·rel(d) − (1−λ)·max_sim(d, selected) from
+    the BM25 top-MMR_TOPN, rel = min-max-normalized score, sim = cosine of
+    the doc embeddings (vec_id ≡ doc_id). Deterministic (ties → doc asc)
+    → (rank, doc_id).
+
+    rows-only driver check (greedy-iterative isn't SQL-expressible);
+    determinism + invariants pinned in pytest."""
+    import pyarrow.parquet as pq_mod
+
+    from ..util.vectors import vec_matrix
+
+    s = get_searcher(sf_dir)
+    res = s.search({"q": TermQuery(FACET_TERM)}, k=MMR_TOPN, use_ray=True)
+    ids = res["doc_id"].to_numpy()
+    scores = res["score"].to_numpy().astype(np.float64)
+    lo, hi = scores.min(), scores.max()
+    rel = (scores - lo) / (hi - lo) if hi > lo else np.ones_like(scores)
+    t = pq_mod.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", ids.tolist())],
+    )
+    vids = t["vec_id"].to_numpy()
+    mat = vec_matrix(t["embedding"]).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    vpos = {int(v): i for i, v in enumerate(vids)}
+    emb = mat[[vpos[int(d)] for d in ids]]
+    n = len(ids)
+    selected: list[int] = []
+    picked = np.zeros(n, dtype=bool)
+    max_sim = np.zeros(n, dtype=np.float64)
+    for _ in range(min(TOPK_K, n)):
+        mmr = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+        mmr[picked] = -np.inf
+        # deterministic argmax with doc-id tiebreak
+        best = min(np.flatnonzero(mmr == mmr.max()), key=lambda i: ids[i])
+        selected.append(int(ids[best]))
+        picked[best] = True
+        max_sim = np.maximum(max_sim, emb @ emb[best])
+    return pa.table({
+        "rank": pa.array(np.arange(len(selected)), pa.int64()),
+        "doc_id": pa.array(selected, pa.int64()),
+    })

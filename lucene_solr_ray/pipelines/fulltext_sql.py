@@ -1605,3 +1605,29 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS r
 FROM agg JOIN corpus c USING (did)
 ORDER BY score DESC, did ASC LIMIT {k}
 """
+
+
+def sql_spell_collate(query_terms: list[str], max_edits: int = 2) -> str:
+    """Collation oracle: per-term best correction (unknown terms only) by
+    (levenshtein asc, df desc, term asc), then the conjunctive hit count."""
+    fixes = []
+    for i, t in enumerate(query_terms):
+        fixes.append(f"""
+fix{i} AS (
+  SELECT CASE WHEN EXISTS (SELECT 1 FROM idf WHERE tok = '{t}') THEN '{t}'
+         ELSE coalesce((SELECT tok FROM idf
+                        WHERE levenshtein(tok, '{t}') <= {max_edits}
+                          AND df > 0
+                        ORDER BY levenshtein(tok, '{t}') ASC, df DESC, tok ASC
+                        LIMIT 1), '{t}') END AS t
+)""")
+    n = len(query_terms)
+    sel = " || ' ' || ".join(f"(SELECT t FROM fix{i})" for i in range(n))
+    conds = " AND ".join(
+        f"EXISTS (SELECT 1 FROM tf x{i} WHERE x{i}.did = d.did AND x{i}.tok = (SELECT t FROM fix{i}))"
+        for i in range(n)
+    )
+    return prelude() + "," + ",".join(fixes) + f"""
+SELECT {sel} AS collation,
+       CAST((SELECT count(*) FROM (SELECT DISTINCT did FROM tf) d WHERE {conds}) AS BIGINT) AS hits
+"""

@@ -326,3 +326,21 @@ def test_cluster_results_invariants(entry_mod):
     sizes = a.groupby("cluster").size()
     for _, row in a.iterrows():
         assert row.cluster_size == sizes[row.cluster]
+
+
+def test_mmr_rerank_invariants(entry_mod):
+    """Greedy MMR: deterministic, first pick = BM25 top hit, picks are a
+    k-subset of the candidate pool without repeats."""
+    from lucene_solr_ray.pipelines import fulltext
+    from lucene_solr_ray.search.query import TermQuery
+
+    a = fulltext.ft_mmr_rerank(SF).to_pandas()
+    b = fulltext.ft_mmr_rerank(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    s = fulltext.get_searcher(SF)
+    top = s.search({"q": TermQuery(fulltext.FACET_TERM)},
+                   k=fulltext.MMR_TOPN, use_ray=False)
+    pool = top["doc_id"].to_pylist()
+    assert a.doc_id.iloc[0] == pool[0]  # λ-weighted start = pure relevance
+    assert a.doc_id.is_unique and set(a.doc_id) <= set(pool)
+    assert len(a) == fulltext.TOPK_K
