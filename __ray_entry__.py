@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     BM25 scoring, boolean ops, WAND) ---
         "ft_collection_stats": fulltext.ft_collection_stats,
         "ft_schema_info": fulltext.ft_schema_info,
+        "ft_df_histogram": fulltext.ft_df_histogram,
         "ft_doc_norms": fulltext.ft_doc_norms,
         "ft_term_stats": fulltext.ft_term_stats,
         "ft_topk_terms": fulltext.ft_topk_terms,
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ft_collection_stats": fs.sql_collection_stats(),
         "ft_schema_info": fs.sql_schema_info(),
+        "ft_df_histogram": fs.sql_df_histogram(fulltext.DF_BUCKET),
         "ft_doc_norms": fs.sql_doc_norms(),
         "ft_term_stats": fs.sql_term_stats(),
         "ft_topk_terms": fs.sql_topk_union(term_specs),

@@ -2239,3 +2239,32 @@ def ft_mmr_rerank(sf_dir: str) -> pa.Table:
         "rank": pa.array(np.arange(len(selected)), pa.int64()),
         "doc_id": pa.array(selected, pa.int64()),
     })
+
+
+DF_BUCKET = 50
+
+
+def ft_df_histogram(sf_dir: str) -> pa.Table:
+    """Vocabulary docFreq histogram (Luke index-introspection: how many
+    terms fall in each df bucket of width DF_BUCKET): distributed (term, df)
+    aggregation → tiny bucket counts → (bucket_lo, n_terms)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    r = get_searcher(sf_dir).reader
+    ds = ray.data.read_parquet(
+        r.postings_files(), columns=["term", "df"],
+        filter=pa.compute.field("field") == "content",
+    )
+    agg = ds.groupby("term").aggregate(Sum("df", alias_name="df"))
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        for df in b["df"].to_pylist():
+            counts[(df // DF_BUCKET) * DF_BUCKET] += 1
+    buckets = sorted(counts)
+    return pa.table({
+        "bucket_lo": pa.array(buckets, pa.int64()),
+        "n_terms": pa.array([counts[b] for b in buckets], pa.int64()),
+    })

@@ -1631,3 +1631,11 @@ fix{i} AS (
 SELECT {sel} AS collation,
        CAST((SELECT count(*) FROM (SELECT DISTINCT did FROM tf) d WHERE {conds}) AS BIGINT) AS hits
 """
+
+
+def sql_df_histogram(bucket: int) -> str:
+    return prelude() + f"""
+SELECT CAST((df // {bucket}) * {bucket} AS BIGINT) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM idf GROUP BY 1 ORDER BY 1
+"""
