@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub": text.scrub,
         "split_assign": text.split_assign,
         "pack_greedy": text.pack_greedy,
+        "bigram_stats": text.bigram_stats,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_shingle_set": dedup.dedup_shingle_set,
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub": text.SQL_SCRUB,
         "split_assign": text.SQL_SPLIT_ASSIGN,
         "pack_greedy": text.SQL_PACK_GREEDY,
+        "bigram_stats": text.SQL_BIGRAM_STATS,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_shingle_set": dedup.SQL_DEDUP_SHINGLE_SET,
         "minhash_lsh_pairs": dedup.SQL_MINHASH_LSH_PAIRS,

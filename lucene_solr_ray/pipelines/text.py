@@ -352,3 +352,74 @@ st(source, rn, doc_id, acc, bin) AS (
 )
 SELECT doc_id, source, CAST(bin AS BIGINT) AS bin_id FROM st
 """
+
+
+BIGRAM_TOPK = 50
+
+
+def bigram_stats(sf_dir: str) -> pa.Table:
+    """Top-BIGRAM_TOPK corpus bigrams (collocation / n-gram-LM counts) over
+    the raw lowercase token stream (stopwords kept — LM counts want them).
+    Vectorized: one Arrow regex split per batch, adjacency = (flat[:-1],
+    flat[1:]) masked at document boundaries; per-block pair-count partials
+    move, the driver merges tiny partials → (w1, w2, n)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arr = batch["text"].combine_chunks()
+        n = len(arr)
+        low = pc.utf8_lower(pc.fill_null(arr, ""))
+        toks = pc.split_pattern_regex(low, pattern=r"[^\p{L}\p{N}_]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        if offs[0] != 0 or len(flat) != offs[-1] - offs[0]:
+            flat = flat.slice(offs[0], offs[-1] - offs[0])
+            offs = offs - offs[0]
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        flat_np = np.asarray(flat.to_pylist(), dtype=object)[keep]
+        docs_np = doc_idx[keep]
+        if len(flat_np) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = docs_np[:-1] == docs_np[1:]
+        w1, w2 = flat_np[:-1][same], flat_np[1:][same]
+        import pandas as pd
+
+        g = pd.DataFrame({"w1": w1, "w2": w2}).groupby(["w1", "w2"]).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
+    parts = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    g = pa.TableGroupBy(parts, ["w1", "w2"]).aggregate([("n", "sum")])
+    import pandas as pd
+
+    df = g.to_pandas().rename(columns={"n_sum": "n"})
+    df = df.sort_values(["n", "w1", "w2"], ascending=[False, True, True]).head(BIGRAM_TOPK)
+    return pa.table({
+        "w1": pa.array(df["w1"].tolist(), pa.string()),
+        "w2": pa.array(df["w2"].tolist(), pa.string()),
+        "n": pa.array(df["n"].astype("int64").tolist(), pa.int64()),
+    })
+
+
+SQL_BIGRAM_STATS = f"""
+WITH rawt AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+') AS toks
+  FROM documents
+),
+tpos AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(toks), 1))) AS i, toks
+  FROM rawt WHERE len(toks) > 1
+),
+pairs AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM tpos WHERE i < len(toks)
+)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY w1, w2
+ORDER BY n DESC, w1 ASC, w2 ASC LIMIT {BIGRAM_TOPK}
+"""
