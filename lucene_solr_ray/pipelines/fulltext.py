@@ -2268,3 +2268,101 @@ def ft_df_histogram(sf_dir: str) -> pa.Table:
         "bucket_lo": pa.array(buckets, pa.int64()),
         "n_terms": pa.array([counts[b] for b in buckets], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# ToParentBlockJoinQuery (lucene/join) — parent/child block index
+# ---------------------------------------------------------------------------
+
+#: parent sentinel row appended after each source's children in sort order
+BJ_PARENT_PATH = "zzz/parent"
+BJ_PARENT_CONTENT = "blockparent src"
+BJ_TERMS = ["merge", "window", "spark"]
+BJ_MODES = ["max", "total", "avg", "none"]
+
+
+def _blockjoin_corpus(sf_dir: str):
+    """documents → parent/child block corpus: each ``source`` group is one
+    block — its documents (children) followed by ONE synthetic parent row
+    whose path sorts after every child path ('doc/...' < 'zzz/parent'), so
+    the engine's (repo, path, commit) doc-id sort makes blocks contiguous
+    with the parent LAST (the addDocuments(block) contract,
+    index/IndexWriter.java addDocuments: 'the last document is the parent')."""
+    import ray.data
+
+    children = documents_as_corpus(sf_dir)
+    # distinct sources: distributed groupby on the single pruned column —
+    # the dimension is tiny, the scan never lands on the driver
+    srcs_ds = (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["source"])
+        .groupby("source")
+        .count()
+    )
+    srcs = sorted(
+        s
+        for b in srcs_ds.iter_batches(batch_format="pyarrow")
+        for s in b["source"].to_pylist()
+    )
+    parents = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array(srcs, pa.string()),
+                "path": pa.array([BJ_PARENT_PATH] * len(srcs), pa.string()),
+                "commit": pa.array(["f" * 40] * len(srcs), pa.string()),
+                "lang": pa.array(["parent"] * len(srcs), pa.string()),
+                "content": pa.array([BJ_PARENT_CONTENT] * len(srcs), pa.large_string()),
+            }
+        )
+    )
+    return children.union(parents)
+
+
+def get_blockjoin_searcher(sf_dir: str) -> Searcher:
+    key = f"{sf_dir}|blockjoin"
+    s = _SEARCHERS.get(key)
+    if s is not None:
+        return s
+    idx = _index_dir_for(sf_dir) + "_bj"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(_blockjoin_corpus(sf_dir), idx, docs_per_segment=2_000)
+    s = Searcher(idx, dtype=np.float64)
+    _SEARCHERS[key] = s
+    return s
+
+
+def _parent_ids(s: Searcher) -> np.ndarray:
+    """Global doc ids of the parent filter's matches (parentBits analog) —
+    pruned two-column read with a pushed-down keyword predicate."""
+    tbl = pads.dataset(s.reader.docs_files()).to_table(
+        columns=["doc_id"], filter=pads.field("lang") == "parent"
+    )
+    return np.sort(tbl["doc_id"].to_numpy().astype(np.int64))
+
+
+def ft_block_join(sf_dir: str) -> pa.Table:
+    """ToParentBlockJoinQuery over the per-source block index: child query =
+    TermQuery(content:t), parent filter = lang:parent, all four ScoreModes.
+    Scores are emitted only for ``max`` (order-insensitive ⇒ bit-exact vs
+    SQL); total/avg/none compare by rank + n_children (sum order is
+    unspecified at the last ulp — same contract as the boolean oracles)."""
+    s = get_blockjoin_searcher(sf_dir)
+    parents = _parent_ids(s)
+    out = []
+    for t in BJ_TERMS:
+        for mode in BJ_MODES:
+            res = s.block_join(TermQuery(t), parents, score_mode=mode, k=TOPK_K)
+            n = len(res)
+            out.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([f"bj_{t}_{mode}"] * n, pa.string()),
+                        "rank": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                        "parent_id": res["parent_id"],
+                        "n_children": res["n_children"],
+                        "score": res["score"]
+                        if mode == "max"
+                        else pa.array([None] * n, pa.float64()),
+                    }
+                )
+            )
+    return pa.concat_tables(out)

@@ -50,9 +50,9 @@ CASE WHEN flen < 24 THEN flen
 END"""
 
 
-def prelude() -> str:
+def prelude(corpus_cte: str = CORPUS_CTE) -> str:
     return f"""
-WITH {CORPUS_CTE},
+WITH {corpus_cte},
 toks AS (
   SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
 ),
@@ -1638,4 +1638,58 @@ def sql_df_histogram(bucket: int) -> str:
 SELECT CAST((df // {bucket}) * {bucket} AS BIGINT) AS bucket_lo,
        CAST(count(*) AS BIGINT) AS n_terms
 FROM idf GROUP BY 1 ORDER BY 1
+"""
+
+
+# parent/child block corpus (fulltext._blockjoin_corpus): children = the
+# documents rows, + one parent row per source whose path sorts last in its
+# source group; dense ids over the same (repo, path, commit) sort
+BLOCKJOIN_CORPUS_CTE = """
+corpus AS (
+  SELECT row_number() OVER (ORDER BY repo, path, commitid) - 1 AS did,
+         repo AS source, lang, path, text
+  FROM (
+    SELECT source AS repo, 'doc/' || doc_id AS path,
+           printf('%040x', doc_id) AS commitid, lang, text FROM documents
+    UNION ALL
+    SELECT source, 'zzz/parent', repeat('f', 40), 'parent', 'blockparent src'
+    FROM (SELECT DISTINCT source FROM documents)
+  )
+)"""
+
+
+def sql_block_join(terms: list[str], modes: list[str], k: int) -> str:
+    """ToParentBlockJoinQuery oracle: child BM25 scores over the block
+    corpus, parent = the source's sentinel row, per-ScoreMode aggregation.
+    ``max`` emits the bit-exact score; total/avg/none emit NULL (rank +
+    n_children compared)."""
+    parts = []
+    for t in terms:
+        for mode in modes:
+            if mode == "max":
+                rank_by, score_sel = "max(s) DESC, pdid ASC", "max(s)"
+            elif mode == "total":
+                rank_by, score_sel = "sum(s) DESC, pdid ASC", "NULL"
+            elif mode == "avg":
+                rank_by, score_sel = "sum(s) / count(*) DESC, pdid ASC", "NULL"
+            else:  # none: all-zero scores → doc-order tie-break
+                rank_by, score_sel = "pdid ASC", "NULL"
+            parts.append(f"""
+SELECT 'bj_{t}_{mode}' AS query_id,
+       CAST(row_number() OVER (ORDER BY {rank_by}) - 1 AS BIGINT) AS rank,
+       CAST(pdid AS BIGINT) AS parent_id,
+       CAST(count(*) AS BIGINT) AS n_children,
+       CAST({score_sel} AS DOUBLE) AS score
+FROM child_hits WHERE tok = '{t}'
+GROUP BY pdid ORDER BY {rank_by} LIMIT {k}""")
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    body = "\nUNION ALL\n".join(f"({p})" for p in parts)
+    return prelude(BLOCKJOIN_CORPUS_CTE) + "," + _score_cte(sorted(set(terms))) + f""",
+par AS (SELECT source, did AS pdid FROM corpus WHERE path = 'zzz/parent'),
+child_hits AS (
+  SELECT sc.did, sc.tok, sc.s, par.pdid
+  FROM sc JOIN corpus c ON sc.did = c.did JOIN par ON c.source = par.source
+  WHERE c.path <> 'zzz/parent' AND sc.tok IN ({tl})
+)
+{body}
 """

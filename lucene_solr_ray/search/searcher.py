@@ -285,6 +285,41 @@ class MatchFieldGroup:
                     "n": pa.array(ns, pa.int64()),
                 }
             )
+        if self.mode == "blockjoin":
+            # ToParentBlockJoinQuery partials (lucene/join/src/java/org/
+            # apache/lucene/search/join/ToParentBlockJoinQuery.java,
+            # BlockJoinScorer): each matching child maps to the NEXT parent
+            # in doc order (parentBits.nextSetBit analog — searchsorted over
+            # the broadcast global parent-id array; blocks may straddle
+            # segments, global ids make that safe). Only per-parent score
+            # moments (sum, max, n) travel — ScoreMode.{Total,Max,Avg,None}
+            # all combine from these at the driver.
+            parents = np.asarray(self.params[0], dtype=np.int64)
+            gids = ids + self.doc_bases[seg]
+            pos = np.searchsorted(parents, gids, side="left")
+            in_range = pos < len(parents)
+            # child-query hits on parent docs are undefined in Lucene
+            # (checkOrthogonal); we drop them so a parent never scores as
+            # its own child
+            self_match = np.zeros(len(gids), dtype=bool)
+            self_match[in_range] = parents[pos[in_range]] == gids[in_range]
+            keep = in_range & ~self_match
+            pgid = parents[pos[keep]]
+            sc = scores.astype(np.float64)[keep]
+            u, inv = np.unique(pgid, return_inverse=True)
+            sums = np.zeros(len(u), dtype=np.float64)
+            np.add.at(sums, inv, sc)
+            maxs = np.full(len(u), -np.inf, dtype=np.float64)
+            np.maximum.at(maxs, inv, sc)
+            ns = np.bincount(inv, minlength=len(u)).astype(np.int64)
+            return pa.table(
+                {
+                    "parent": pa.array(u, pa.int64()),
+                    "sum": pa.array(sums, pa.float64()),
+                    "max": pa.array(maxs, pa.float64()),
+                    "n": pa.array(ns, pa.int64()),
+                }
+            )
         if self.mode == "field_vals":
             # (global doc id, keyword value) for ALL matching docs — used by
             # the scored join's to-side with a df-bounded TermInSetQuery, so
@@ -1374,6 +1409,61 @@ class Searcher:
             "doc_id": pa.array(doc_ids[order], pa.int64()),
             "score": pa.array(doc_scores[order], pa.float64()),
         })
+
+    def block_join(self, child_query: Query, parents: np.ndarray, *,
+                   score_mode: str = "max", k: int = 10) -> pa.Table:
+        """ToParentBlockJoinQuery analog (lucene/join/src/java/org/apache/
+        lucene/search/join/ToParentBlockJoinQuery.java): score child docs,
+        map each hit to the next parent in doc order, aggregate per parent
+        with ScoreMode ``max`` | ``total`` | ``avg`` | ``none``
+        (join/ScoreMode.java). ``parents`` = sorted global doc ids of the
+        parent filter's matches (parentBits analog) — broadcast by value to
+        the scatter tasks; only (parent, sum, max, n) partials return.
+
+        → (parent_id, score float64, n_children), ranked (score desc,
+        parent asc); ``none`` scores 0 in parent-doc order (Lucene's
+        all-zero-score tie-break collapses to doc order)."""
+        parents = np.asarray(parents, dtype=np.int64)
+        ds = self._scatter_match(child_query, mode="blockjoin",
+                                 params=(parents.tolist(),))
+        if ds is None:
+            raise ValueError("block_join child query must have postings terms")
+        batches = list(ds.iter_batches(batch_format="pyarrow"))
+        parts = pa.concat_tables(batches) if batches else None
+        if parts is None or len(parts) == 0:
+            pgid = np.empty(0, np.int64)
+            sums_p = maxs_p = np.empty(0, np.float64)
+            ns_p = np.empty(0, np.int64)
+        else:
+            pgid = parts["parent"].to_numpy()
+            sums_p = parts["sum"].to_numpy()
+            maxs_p = parts["max"].to_numpy()
+            ns_p = parts["n"].to_numpy()
+        u, inv = np.unique(pgid, return_inverse=True)
+        sums = np.zeros(len(u), dtype=np.float64)
+        np.add.at(sums, inv, sums_p)
+        maxs = np.full(len(u), -np.inf, dtype=np.float64)
+        np.maximum.at(maxs, inv, maxs_p)
+        ns = np.zeros(len(u), dtype=np.int64)
+        np.add.at(ns, inv, ns_p)
+        if score_mode == "max":
+            sc = maxs
+        elif score_mode == "total":
+            sc = sums
+        elif score_mode == "avg":
+            sc = sums / np.maximum(ns, 1)
+        elif score_mode == "none":
+            sc = np.zeros(len(u), dtype=np.float64)
+        else:
+            raise ValueError(score_mode)
+        order = np.lexsort((u, -sc))[:k]
+        return pa.table(
+            {
+                "parent_id": pa.array(u[order], pa.int64()),
+                "score": pa.array(sc[order], pa.float64()),
+                "n_children": pa.array(ns[order], pa.int64()),
+            }
+        )
 
     def highlight(self, query: Query, doc_ids: list[int], *, field: str = "content",
                   max_passages: int = 3) -> dict[int, str | None]:

@@ -323,3 +323,66 @@ def test_classify_knn_vote(built):
             ssum[langs[i]] = ssum.get(langs[i], 0.0) + float(smap[i])
         exp = sorted(counts, key=lambda c: (-counts[c], -ssum[c], c))[0]
         assert got[did] == exp
+
+
+# ---------------------------------------------------------------------------
+# ToParentBlockJoinQuery (lucene/join ToParentBlockJoinQuery.java)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def bj_built(ray_session, tmp_path_factory):
+    """Parent/child block corpus: one synthetic parent row per repo whose
+    path sorts after every child path — the addDocuments(block) 'parent
+    last' contract under the engine's (repo, path, commit) doc-id sort."""
+    tbl = generate_corpus(200)
+    repos = sorted(set(tbl["repo"].to_pylist()))
+    parents = pa.table({
+        "repo": pa.array(repos, pa.string()),
+        "path": pa.array(["zzz/parent"] * len(repos), pa.string()),
+        "commit": pa.array(["f" * 40] * len(repos), pa.string()),
+        "lang": pa.array(["parent"] * len(repos), pa.string()),
+        "content": pa.array(["blockparent sentinel"] * len(repos), pa.large_string()),
+    }).cast(tbl.schema)
+    d = str(tmp_path_factory.mktemp("bj_index"))
+    build_index(ray.data.from_arrow(pa.concat_tables([tbl, parents])), d,
+                docs_per_segment=60)
+    return d, tbl
+
+
+def test_block_join_modes_vs_driver_reference(bj_built):
+    import pyarrow.dataset as pads
+
+    d, tbl = bj_built
+    s = Searcher(d, dtype=np.float64)
+    ptbl = pads.dataset(s.reader.docs_files()).to_table(
+        columns=["doc_id"], filter=pads.field("lang") == "parent")
+    parents = np.sort(ptbl["doc_id"].to_numpy().astype(np.int64))
+    assert len(parents) == len(set(tbl["repo"].to_pylist()))
+
+    _, term = _two_terms(BruteForceIndex(tbl))
+    q = TermQuery(term)
+    hits = s.search(q, k=1_000_000, use_ray=False)
+    ids = hits["doc_id"].to_numpy().astype(np.int64)
+    scores = hits["score"].to_numpy().astype(np.float64)
+    # child → next parent in doc order (parentBits.nextSetBit analog)
+    pos = np.searchsorted(parents, ids, side="left")
+    keep = (pos < len(parents)) & ~np.isin(ids, parents)
+    pgid, sc = parents[pos[keep]], scores[keep]
+    u = np.unique(pgid)
+    ref = {}
+    for p in u:
+        m = sc[pgid == p]
+        ref[int(p)] = (m.max(), m.sum(), m.sum() / len(m), len(m))
+
+    for mode, idx in [("max", 0), ("total", 1), ("avg", 2), ("none", None)]:
+        res = s.block_join(q, parents, score_mode=mode, k=len(u) + 5)
+        assert len(res) == len(u)
+        got = dict(zip(res["parent_id"].to_pylist(), res["score"].to_pylist()))
+        ns = dict(zip(res["parent_id"].to_pylist(), res["n_children"].to_pylist()))
+        for p in u:
+            assert ns[int(p)] == ref[int(p)][3]
+            exp = 0.0 if idx is None else ref[int(p)][idx]
+            assert got[int(p)] == pytest.approx(exp, rel=1e-12)
+        # ranking: score desc, parent asc ('none' → doc order)
+        pairs = list(zip(res["score"].to_pylist(), res["parent_id"].to_pylist()))
+        assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))
