@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": text.split_assign,
         "pack_greedy": text.pack_greedy,
         "bigram_stats": text.bigram_stats,
+        "decontaminate": text.decontaminate,
+        "gopher_quality": text.gopher_quality,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_shingle_set": dedup.dedup_shingle_set,
@@ -287,6 +289,8 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": text.SQL_SPLIT_ASSIGN,
         "pack_greedy": text.SQL_PACK_GREEDY,
         "bigram_stats": text.SQL_BIGRAM_STATS,
+        "decontaminate": text.SQL_DECONTAMINATE,
+        "gopher_quality": text.SQL_GOPHER_QUALITY,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_shingle_set": dedup.SQL_DEDUP_SHINGLE_SET,
         "minhash_lsh_pairs": dedup.SQL_MINHASH_LSH_PAIRS,

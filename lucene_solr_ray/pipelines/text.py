@@ -423,3 +423,254 @@ SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
 FROM pairs GROUP BY w1, w2
 ORDER BY n DESC, w1 ASC, w2 ASC LIMIT {BIGRAM_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a broadcast eval set)
+# ---------------------------------------------------------------------------
+
+#: n-gram size — the synthetic docs are ~54 tokens, so 3 keeps the overlap
+#: non-trivial; real pipelines use 8–13 (the op is N-agnostic)
+DECON_N = 3
+#: benchmark/eval membership: doc_id % DECON_MOD == 0 (deterministic stand-in
+#: for an external eval set — no external data in this sandbox)
+DECON_MOD = 97
+
+
+def _batch_ngrams(batch: pa.Table, n_gram: int):
+    """(per-gram batch-row indices int64, grams StringArray) — vectorized:
+    one Arrow regex split, nonempty filter, shifted
+    ``binary_join_element_wise`` masked at document boundaries (the same
+    shifted-slice trick as the analyzer's ShingleFilter)."""
+    import pyarrow.compute as pc
+
+    arr = batch["text"].combine_chunks()
+    n = len(arr)
+    low = pc.utf8_lower(pc.fill_null(arr, ""))
+    toks = pc.split_pattern_regex(low, pattern=r"[^\p{L}\p{N}_]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    if offs[0] != 0 or len(flat) != offs[-1] - offs[0]:
+        flat = flat.slice(offs[0], offs[-1] - offs[0])
+        offs = offs - offs[0]
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))[keep_np]
+    flat = pc.filter(flat, keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    L = len(flat) - n_gram + 1
+    if L <= 0:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    valid = row_idx[:L] == row_idx[n_gram - 1 :]
+    cols = [flat.slice(i, L).cast(pa.string()) for i in range(n_gram)]
+    joined = pc.binary_join_element_wise(*cols, " ")
+    return row_idx[:L][valid], pc.filter(joined, pa.array(valid))
+
+
+def decontaminate(sf_dir: str) -> pa.Table:
+    """Training-data decontamination: flag documents that share any DECON_N
+    token n-gram with the benchmark set (doc_id % DECON_MOD == 0).
+
+    Scale shape: the benchmark gram set is collected once (eval sets are
+    small by definition), broadcast via ``ray.put``, and every corpus batch
+    does ONE vectorized Arrow ``is_in`` against it — no shuffle, the big side
+    streams. A doc's grams never straddle batches (rows are atomic), so the
+    per-batch distinct-hit counts are final. At 100 TB the broadcast is the
+    eval-set size; hash grams to 16-byte digests if the string set outgrows
+    the worker heap. → (doc_id, n_hits) for contaminated non-benchmark docs,
+    n_hits = count of DISTINCT shared grams."""
+    import pyarrow.compute as pc
+    import ray
+
+    def bench_fn(batch: pa.Table) -> pa.Table:
+        rows, grams = _batch_ngrams(batch, DECON_N)
+        dids = batch["doc_id"].to_numpy().astype(np.int64)[rows]
+        mask = pa.array(dids % DECON_MOD == 0)
+        return pa.table({"gram": pc.unique(pc.filter(grams, mask))})
+
+    bench: set[str] = set()
+    for b in (
+        _docs(sf_dir)
+        .map_batches(bench_fn, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        bench.update(b["gram"].to_pylist())
+    value_set = pa.array(sorted(bench), pa.string())
+    bref = ray.put(value_set)
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+    )
+
+    class Flag:
+        def __init__(self):
+            self.value_set = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows, grams = _batch_ngrams(batch, DECON_N)
+            dids = batch["doc_id"].to_numpy().astype(np.int64)[rows]
+            if len(dids) == 0 or len(self.value_set) == 0:
+                return empty
+            hit = pc.is_in(grams, value_set=self.value_set).to_numpy(
+                zero_copy_only=False
+            )
+            sel = (dids % DECON_MOD != 0) & hit
+            if not sel.any():
+                return empty
+            de = pc.dictionary_encode(pc.filter(grams, pa.array(sel)))
+            if isinstance(de, pa.ChunkedArray):
+                de = de.combine_chunks()
+            codes = de.indices.to_numpy().astype(np.int64)
+            V = np.int64(len(de.dictionary))
+            u = np.unique(dids[sel] * V + codes)  # distinct (doc, gram)
+            udoc, n_hits = np.unique(u // V, return_counts=True)
+            return pa.table(
+                {
+                    "doc_id": pa.array(udoc, pa.int64()),
+                    "n_hits": pa.array(n_hits.astype(np.int64), pa.int64()),
+                }
+            )
+
+    ds = _docs(sf_dir).map_batches(
+        Flag, batch_format="pyarrow", concurrency=(1, 8), max_restarts=0
+    )
+    parts = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")) or [empty])
+    return parts.sort_by("doc_id")
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - {DECON_N - 2}, 1)),
+         i -> array_to_string(ts[i:i+{DECON_N - 1}], ' '))) AS gram
+  FROM toks
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_MOD} = 0)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+       CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
+FROM grams g JOIN bench b USING (gram)
+WHERE g.doc_id % {DECON_MOD} <> 0
+GROUP BY g.doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality signals
+# ---------------------------------------------------------------------------
+
+
+def gopher_quality(sf_dir: str) -> pa.Table:
+    """Per-doc repetition signals (Rae et al. 2021 "Gopher" quality rules):
+    duplicate-line fraction, top-bigram fraction (share of bigram slots taken
+    by the single most frequent bigram), duplicate-trigram fraction.
+    Embarrassingly parallel map; all counting is dictionary-encode +
+    integer-key folds, float64 division once per doc."""
+    import pyarrow.compute as pc
+
+    def _per_doc_gram_stats(batch: pa.Table, n_gram: int):
+        """(max_count, distinct, total) per row for n_gram-token grams."""
+        n = len(batch)
+        rows, grams = _batch_ngrams(batch, n_gram)
+        mx = np.zeros(n, np.int64)
+        uq = np.zeros(n, np.int64)
+        tot = np.zeros(n, np.int64)
+        if len(rows) == 0:
+            return mx, uq, tot
+        de = pc.dictionary_encode(grams)
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        codes = de.indices.to_numpy().astype(np.int64)
+        V = np.int64(len(de.dictionary))
+        u, c = np.unique(rows * V + codes, return_counts=True)
+        urow = (u // V).astype(np.int64)
+        np.maximum.at(mx, urow, c)
+        uq = np.bincount(urow, minlength=n).astype(np.int64)
+        tot = np.bincount(rows, minlength=n).astype(np.int64)
+        return mx, uq, tot
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        arr = pc.fill_null(batch["text"].combine_chunks(), "")
+        lines = pc.split_pattern(arr, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        offs = lines.offsets.to_numpy().astype(np.int64)
+        flat = lines.values
+        if offs[0] != 0 or len(flat) != offs[-1] - offs[0]:
+            flat = flat.slice(offs[0], offs[-1] - offs[0])
+            offs = offs - offs[0]
+        counts = np.diff(offs)
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+        de = pc.dictionary_encode(flat.cast(pa.string()))
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        codes = de.indices.to_numpy().astype(np.int64)
+        V = np.int64(len(de.dictionary))
+        uniq_lines = np.bincount(
+            (np.unique(rows * V + codes) // V).astype(np.int64), minlength=n
+        )
+        dup_line = 1.0 - uniq_lines.astype(np.float64) / counts.astype(np.float64)
+
+        bi_mx, _bi_uq, bi_tot = _per_doc_gram_stats(batch, 2)
+        top_bi = np.where(
+            bi_tot > 0, bi_mx.astype(np.float64) / bi_tot.astype(np.float64), 0.0
+        )
+        _t_mx, tri_uq, tri_tot = _per_doc_gram_stats(batch, 3)
+        dup_tri = np.where(
+            tri_tot > 0,
+            1.0 - tri_uq.astype(np.float64) / tri_tot.astype(np.float64),
+            0.0,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "dup_line_frac": pa.array(dup_line, pa.float64()),
+                "top_bigram_frac": pa.array(top_bi, pa.float64()),
+                "dup_trigram_frac": pa.array(dup_tri, pa.float64()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+
+
+SQL_GOPHER_QUALITY = """
+WITH lines AS (
+  SELECT doc_id,
+         len(str_split(coalesce(text, ''), chr(10))) AS n_lines,
+         len(list_distinct(str_split(coalesce(text, ''), chr(10)))) AS n_uniq
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[\\p{L}\\p{N}_]+') AS ts
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts), 1)),
+         i -> array_to_string(ts[i:i+1], ' '))) AS g
+  FROM toks
+),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+bistat AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bic GROUP BY doc_id),
+tri AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+         i -> array_to_string(ts[i:i+2], ' '))) AS g
+  FROM toks
+),
+tristat AS (SELECT doc_id, count(DISTINCT g) AS uniq, count(*) AS tot FROM tri GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(1.0 - CAST(l.n_uniq AS DOUBLE) / CAST(l.n_lines AS DOUBLE) AS DOUBLE) AS dup_line_frac,
+       CAST(coalesce(CAST(b.mx AS DOUBLE) / CAST(b.tot AS DOUBLE), 0.0) AS DOUBLE) AS top_bigram_frac,
+       CAST(coalesce(1.0 - CAST(t.uniq AS DOUBLE) / CAST(t.tot AS DOUBLE), 0.0) AS DOUBLE) AS dup_trigram_frac
+FROM documents d
+JOIN lines l USING (doc_id)
+LEFT JOIN bistat b ON d.doc_id = b.doc_id
+LEFT JOIN tristat t ON d.doc_id = t.doc_id
+ORDER BY d.doc_id
+"""

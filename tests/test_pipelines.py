@@ -83,6 +83,8 @@ FAST_ENTRIES = [
     "dedup_clusters",
     "st_timeseries",
     "st_random",
+    "decontaminate",
+    "gopher_quality",
 ]
 
 
