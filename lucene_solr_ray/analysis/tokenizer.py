@@ -110,6 +110,13 @@ class StandardAnalyzer:
     #: shorter than min vanish); the first gram keeps the token's position,
     #: the rest are overlaps.
     edge_ngrams: tuple[int, int] | None = None
+    #: WordDelimiterGraphFilter analog (analysis/worddelim.py): () enables
+    #: subword splitting (underscore / case change / letter↔digit, word+number
+    #: parts always generated, each part its own position); optional flags
+    #: "preserve_original" and "catenate" add posIncr-0 overlaps. Runs BEFORE
+    #: lowercase (it needs case), per Solr's canonical chain placement.
+    #: Mutually exclusive with the structural filters above.
+    word_delimiter: tuple[str, ...] | None = None
 
     @property
     def structural(self) -> bool:
@@ -162,6 +169,8 @@ def _analyze_full(
     accumulates their increments onto the next kept token,
     ``analysis/FilteringTokenFilter.java:46-61``).
     """
+    if analyzer.word_delimiter is not None:
+        return _analyze_full_wd(text, analyzer)
     kept: list[tuple[str, int, int, int]] = []
     for pos, m in enumerate(token_re(analyzer).finditer(text)):
         raw = m.group()
@@ -204,6 +213,38 @@ def _analyze_full(
             for syn in smap.get(t, ()):
                 out.append((syn, p, s, e, True))
     out.sort(key=lambda r: r[1])  # stable: anchors before their expansions
+    return out
+
+
+def _analyze_full_wd(
+    text: str, analyzer: StandardAnalyzer
+) -> list[tuple[str, int, int, int, bool]]:
+    """word_delimiter chain: tokenize → WordDelimiter (+lowercase) →
+    [ascii_folding] → stopwords → [stem]. Positions come from the filter's
+    graph-flattened stream (split tokens take len(parts) positions)."""
+    from .worddelim import WD_FLAGS, wd_stream
+
+    flags = set(analyzer.word_delimiter or ())
+    if flags - WD_FLAGS:
+        raise ValueError(f"unknown word_delimiter flags: {sorted(flags - WD_FLAGS)}")
+    if analyzer.structural:
+        raise ValueError("word_delimiter cannot combine with synonyms/shingle/edge_ngrams")
+    terms, poss, starts, ends, overs = wd_stream(
+        text,
+        token_re(analyzer),
+        max_token_length=analyzer.max_token_length,
+        lowercase=analyzer.lowercase,
+        preserve_original="preserve_original" in flags,
+        catenate="catenate" in flags,
+    )
+    out: list[tuple[str, int, int, int, bool]] = []
+    mapper = _term_mapper(analyzer)
+    for t, p, s, e, o in zip(terms, poss, starts, ends, overs):
+        if analyzer.ascii_folding:
+            t = _fold_ascii(t)
+        if t in analyzer.stopwords:
+            continue
+        out.append((mapper(t) if mapper else t, p, s, e, o))
     return out
 
 
@@ -359,6 +400,8 @@ class ArrowAnalyzer:
         arr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
         n = len(arr)
         arr = pc.fill_null(arr, "")
+        if self.analyzer.word_delimiter is not None:
+            return self._call_wd(arr, n, with_positions)
         if self.analyzer.unicode_segmentation:
             # UAX#29 word classes can't be expressed as an RE2 split pattern
             # (single-char ideograph tokens); tokenize per doc in Python and
@@ -418,6 +461,14 @@ class ArrowAnalyzer:
             field_lens = np.bincount(doc_idx[~overlap], minlength=n).astype(np.int32)
         else:
             field_lens = np.bincount(doc_idx, minlength=n).astype(np.int32)
+        return self._fold(kept, doc_idx, positions, overlap, field_lens, n, with_positions)
+
+    def _fold(self, kept, doc_idx, positions, overlap, field_lens, n, with_positions):
+        """Per-(doc, term) tf fold over the kept token stream — shared tail
+        of the default, structural, and word_delimiter paths."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         if len(kept) == 0:
             return BatchTokenStats(
                 terms=pa.array([], pa.string()),
@@ -461,6 +512,62 @@ class ArrowAnalyzer:
             positions=positions[order] if with_positions else None,
         )
 
+    def _call_wd(self, arr, n: int, with_positions: bool) -> "BatchTokenStats":
+        """word_delimiter path: per-doc Python stream (the filter's graph
+        positions can't be expressed as a split pattern), vectorized
+        stop/fold — same structure as the unicode_segmentation fallback."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .worddelim import WD_FLAGS, wd_stream
+
+        a = self.analyzer
+        flags = set(a.word_delimiter or ())
+        if flags - WD_FLAGS:
+            raise ValueError(f"unknown word_delimiter flags: {sorted(flags - WD_FLAGS)}")
+        if a.structural:
+            raise ValueError("word_delimiter cannot combine with synonyms/shingle/edge_ngrams")
+        pat = token_re(a)
+        preserve = "preserve_original" in flags
+        cat = "catenate" in flags
+        terms_l: list[list[str]] = []
+        pos_l: list[list[int]] = []
+        over_l: list[list[bool]] = []
+        counts = np.zeros(n, dtype=np.int64)
+        for i, s_ in enumerate(x or "" for x in arr.to_pylist()):
+            t, p, _s, _e, o = wd_stream(
+                s_, pat, max_token_length=a.max_token_length, lowercase=a.lowercase,
+                preserve_original=preserve, catenate=cat,
+            )
+            terms_l.append(t)
+            pos_l.append(p)
+            over_l.append(o)
+            counts[i] = len(t)
+        total = int(counts.sum())
+        flat = pa.array((t for lst in terms_l for t in lst), pa.string(), size=total)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        positions = (
+            np.fromiter((p for lst in pos_l for p in lst), np.int32, count=total)
+            if with_positions
+            else None
+        )
+        overlap = np.fromiter((o for lst in over_l for o in lst), bool, count=total)
+        if a.ascii_folding:
+            flat = self._map_vocab(flat, _fold_ascii)
+        keep = pc.invert(pc.is_in(flat, value_set=self.stop_arr)).to_numpy(
+            zero_copy_only=False
+        )
+        kept = pc.filter(flat, pa.array(keep))
+        doc_idx = doc_idx[keep]
+        overlap = overlap[keep]
+        if positions is not None:
+            positions = positions[keep]
+        mapper = _term_mapper(a)
+        if mapper is not None and len(kept):
+            kept = self._map_vocab(kept, mapper)
+        field_lens = np.bincount(doc_idx[~overlap], minlength=n).astype(np.int32)
+        return self._fold(kept, doc_idx, positions, overlap, field_lens, n, with_positions)
+
 
 @dataclass
 class BatchTokenStats:
@@ -489,7 +596,12 @@ def analyze_batch(
     The per-doc regex scan is the only Python-level loop; filtering, counting
     and grouping are numpy/pandas vector ops over the flattened token stream.
     """
-    if analyzer.ascii_folding or analyzer.stem is not None or analyzer.structural:
+    if (
+        analyzer.ascii_folding
+        or analyzer.stem is not None
+        or analyzer.structural
+        or analyzer.word_delimiter is not None
+    ):
         # the filter-chain machinery lives on the Arrow path; delegate
         import pyarrow as pa
 

@@ -2366,3 +2366,57 @@ def ft_block_join(sf_dir: str) -> pa.Table:
                 )
             )
     return pa.concat_tables(out)
+
+
+# ---------------------------------------------------------------------------
+# WordDelimiterGraphFilter (analysis/common miscellaneous/
+# WordDelimiterGraphFilter.java) — subword splitting over an identifier corpus
+# ---------------------------------------------------------------------------
+
+#: adjacent word pairs in the documents text are joined into ``w1_w2``
+#: identifiers (same RE2 regexp_replace on both sides) so the filter has
+#: something to split; flags exercise parts + both overlap kinds
+WD_SPECS = [
+    {"qid": f"wd_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["merge", "key", "window",          # parts
+              "part_filter", "merge_group",      # preserved originals
+              "partfilter", "mergegroup"]        # catenations
+]
+
+
+def _wd_corpus(sf_dir: str):
+    """documents → 5-column corpus with pair-joined identifiers."""
+    import pyarrow.compute as pc
+
+    def join_pairs(batch: pa.Table) -> pa.Table:
+        content = pc.replace_substring_regex(
+            batch["content"].cast(pa.string()),
+            pattern=r"([a-z]+) ([a-z]+)",
+            replacement=r"\1_\2",
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("content"),
+            "content",
+            content.cast(pa.large_string()),
+        )
+
+    return documents_as_corpus(sf_dir).map_batches(join_pairs, batch_format="pyarrow")
+
+
+def ft_word_delimiter(sf_dir: str) -> pa.Table:
+    """BM25 top-k over a WordDelimiter index (preserve_original + catenate):
+    ``w1_w2`` identifiers index as parts w1, w2 (own positions) plus the
+    original and the catenation as posIncr-0 overlaps; exact float64 scores
+    (split parts change tf, df, and norm lengths vs the plain index)."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    an = StandardAnalyzer(word_delimiter=("preserve_original", "catenate"))
+    key = f"{sf_dir}|wd|float64"
+    s = _SEARCHERS.get(key)
+    if s is None:
+        idx = _index_dir_for(sf_dir) + "_wd"
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_index(_wd_corpus(sf_dir), idx, docs_per_segment=2_000, analyzer=an)
+        s = Searcher(idx, dtype=np.float64)
+        _SEARCHERS[key] = s
+    return _variant_topk(s, WD_SPECS)

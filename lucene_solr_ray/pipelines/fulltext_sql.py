@@ -1693,3 +1693,45 @@ child_hits AS (
 )
 {body}
 """
+
+
+# pair-joined identifier corpus for the WordDelimiter entry: the same RE2
+# regexp_replace as pipelines/fulltext._wd_corpus (verified identical across
+# DuckDB / Arrow / Python re for non-overlapping leftmost scans)
+WD_CORPUS_CTE = r"""
+corpus AS (
+  SELECT row_number() OVER (ORDER BY source, 'doc/' || doc_id, printf('%040x', doc_id)) - 1 AS did,
+         doc_id AS orig_id, source, lang, 'doc/' || doc_id AS path,
+         regexp_replace(text, '([a-z]+) ([a-z]+)', '\1_\2', 'g') AS text
+  FROM documents
+)"""
+
+
+def prelude_word_delimiter() -> str:
+    """WordDelimiter index (preserve_original + catenate): each raw token
+    splits at underscores into parts (own positions → counted in the norm
+    length); tokens that split also emit the original and the delimiter-free
+    catenation as posIncr-0 overlaps (in ``emitted`` for tf/ttf, not in
+    ``base``/norms). maxTokenLength applies to the RAW token, stopwords to
+    every emitted term — the engine chain order."""
+    return f"""
+WITH {WD_CORPUS_CTE},
+rawt AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+tokl AS (
+  SELECT did, tok, list_filter(str_split(tok, '_'), p -> p <> '') AS parts
+  FROM rawt WHERE length(tok) <= 255
+),
+pre_base AS (
+  SELECT did, tok FROM tokl WHERE len(parts) = 1 AND parts[1] = tok
+  UNION ALL SELECT did, unnest(parts) AS tok FROM tokl WHERE len(parts) > 1
+),
+base AS (SELECT did, tok FROM pre_base WHERE tok NOT IN ({STOPLIST_SQL})),
+emitted AS (
+  SELECT did, tok FROM base
+  UNION ALL SELECT did, tok FROM tokl
+    WHERE len(parts) > 1 AND tok NOT IN ({STOPLIST_SQL})
+  UNION ALL SELECT did, array_to_string(parts, '') AS tok FROM tokl
+    WHERE len(parts) > 1 AND array_to_string(parts, '') NOT IN ({STOPLIST_SQL})
+),{_VARIANT_TAIL}"""

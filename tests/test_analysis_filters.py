@@ -178,3 +178,87 @@ def test_end_to_end_stemmed_index(tmp_path):
     s = Searcher(str(idx))
     got = s.search({"q": parse_query("running", analyzer=an)}, k=10, use_ray=False)
     assert sorted(got["doc_id"].to_pylist()) == [0, 1]  # both dog docs, not doc c
+
+
+# ---------------------------------------------------------------------------
+# WordDelimiterGraphFilter (miscellaneous/WordDelimiterGraphFilter.java;
+# golden cases mirror TestWordDelimiterGraphFilter)
+# ---------------------------------------------------------------------------
+
+from lucene_solr_ray.analysis.worddelim import wd_parts
+
+
+@pytest.mark.parametrize("tok,parts", [
+    ("PowerShot", ["Power", "Shot"]),          # case change
+    ("SD500", ["SD", "500"]),                  # alpha→num
+    ("A500", ["A", "500"]),
+    ("ABCDef", ["ABC", "Def"]),                # upper run keeps last for next
+    ("j2se", ["j", "2", "se"]),                # num sandwich
+    ("wi_fi", ["wi", "fi"]),                   # delimiter
+    ("wi_fi_4000", ["wi", "fi", "4000"]),
+    ("_foo_", ["foo"]),                        # leading/trailing delims
+    ("___", []),                               # all delims → nothing
+    ("lucene", ["lucene"]),                    # no split
+    ("LUCENE", ["LUCENE"]),
+    ("Lucene", ["Lucene"]),                    # single case part
+    ("McKinley", ["Mc", "Kinley"]),            # lower→upper inside
+])
+def test_wd_parts_golden(tok, parts):
+    assert [p for p, _ in wd_parts(tok)] == parts
+
+
+def test_wd_parts_offsets():
+    assert wd_parts("PowerShot500_x") == [
+        ("Power", 0), ("Shot", 5), ("500", 9), ("x", 13)]
+
+
+def test_wd_stream_positions_and_overlaps():
+    an = StandardAnalyzer(word_delimiter=("preserve_original", "catenate"))
+    got = analyze_with_positions("PowerShot the key_agg", an)
+    # PowerShot → original+catenate overlap at 0 (both lowercase to the same
+    # term — Lucene emits both too, LowerCaseFilter runs after the WDGF),
+    # parts at 0,1; "the" is stopped but consumes position 2;
+    # key_agg parts at 3,4 with original/catenation overlapping at 3
+    assert got == [
+        ("powershot", 0), ("powershot", 0), ("power", 0), ("shot", 1),
+        ("key_agg", 3), ("keyagg", 3), ("key", 3), ("agg", 4),
+    ]
+
+
+def test_wd_stream_no_flags():
+    an = StandardAnalyzer(word_delimiter=())
+    assert analyze_with_positions("PowerShot x", an) == [
+        ("power", 0), ("shot", 1), ("x", 2)]
+
+
+def test_wd_arrow_matches_python():
+    an = StandardAnalyzer(word_delimiter=("preserve_original", "catenate"))
+    docs = ["PowerShot SD500 the j2se", "wi_fi_4000 ___ plain", "", "a_the b"]
+    st = ArrowAnalyzer(an)(pa.array(docs, pa.string()), with_positions=True)
+    for d, text in enumerate(docs):
+        expect = {}
+        for t, p in analyze_with_positions(text, an):
+            expect.setdefault(t, []).append(p)
+        lo, hi = st.offsets[d], st.offsets[d + 1]
+        terms = st.terms[lo:hi].to_pylist()
+        tfs = st.tfs[lo:hi]
+        base = int(np.sum(st.tfs[: lo]))
+        got = {}
+        i = base
+        for t, tf in zip(terms, tfs):
+            got[t] = list(st.positions[i : i + tf])
+            i += tf
+        assert got == expect, (d, got, expect)
+        # norm length = non-overlap emitted terms
+        full = [(t, p, o) for t, p, _s, _e, o in
+                __import__("lucene_solr_ray.analysis.tokenizer",
+                           fromlist=["_analyze_full"])._analyze_full(text, an)]
+        assert st.field_lens[d] == sum(1 for _t, _p, o in full if not o)
+
+
+def test_wd_flag_validation():
+    with pytest.raises(ValueError, match="unknown word_delimiter"):
+        analyze_with_positions("x", StandardAnalyzer(word_delimiter=("bogus",)))
+    with pytest.raises(ValueError, match="cannot combine"):
+        analyze_with_positions(
+            "x", StandardAnalyzer(word_delimiter=(), shingle=(2, 2)))

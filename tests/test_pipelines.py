@@ -85,6 +85,7 @@ FAST_ENTRIES = [
     "st_random",
     "decontaminate",
     "gopher_quality",
+    "ft_word_delimiter",
 ]
 
 
