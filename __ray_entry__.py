@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_jm": fulltext.ft_topk_jm,
         "ft_shingle": fulltext.ft_shingle,
         "ft_word_delimiter": fulltext.ft_word_delimiter,
+        "ft_html_strip": fulltext.ft_html_strip,
         "ft_edge_ngram": fulltext.ft_edge_ngram,
         "ft_synonym": fulltext.ft_synonym,
         "ft_english": fulltext.ft_english,  # rows-only: Porter not SQL-expressible
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_topk_jm": fs.sql_topk_jm(fulltext.SIM_TERMS, fulltext.TOPK_K, fulltext.JM_LAMBDA),
         "ft_shingle": fs.sql_topk_variant(fs.prelude_shingle(2, 2), fulltext.SHINGLE_SPECS),
         "ft_word_delimiter": fs.sql_topk_variant(fs.prelude_word_delimiter(), fulltext.WD_SPECS),
+        "ft_html_strip": fs.sql_topk_variant(fs.prelude_html_strip(), fulltext.HTML_SPECS),
         "ft_edge_ngram": fs.sql_topk_variant(
             fs.prelude_edge_ngram(*fulltext.EDGE_NGRAM_RANGE), fulltext.EDGE_SPECS
         ),

@@ -117,11 +117,62 @@ class StandardAnalyzer:
     #: lowercase (it needs case), per Solr's canonical chain placement.
     #: Mutually exclusive with the structural filters above.
     word_delimiter: tuple[str, ...] | None = None
+    #: CharFilter chain, applied to the raw string BEFORE tokenization
+    #: (analysis/CharFilter.java; factories in analysis/charfilter/). Entries:
+    #: ("html_strip",) — HTMLStripCharFilter analog (script/style/comment
+    #: blocks and tags become spaces, core entities decoded; a documented
+    #: regex-chain subset of the reference's state machine);
+    #: ("pattern_replace", pattern, repl) — PatternReplaceCharFilter;
+    #: ("mapping", ((src, dst), ...)) — MappingCharFilter (literal pairs).
+    #: Offsets downstream refer to the FILTERED text (no offset-correction
+    #: map — highlight over char-filtered fields is unsupported).
+    char_filters: tuple[tuple, ...] = ()
 
     @property
     def structural(self) -> bool:
         """Filters that change the token-stream shape (need expansion)."""
         return bool(self.synonyms) or self.shingle is not None or self.edge_ngrams is not None
+
+
+#: HTMLStripCharFilter as an ordered (RE2-compatible pattern, replacement)
+#: chain — identical semantics in Python re, Arrow replace_substring_regex,
+#: and DuckDB regexp_replace. Tags become spaces (token-boundary-preserving);
+#: &amp; decodes LAST so entity text can't double-decode.
+HTML_STRIP_RULES: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]*>", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&apos;", "'"),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+)
+
+
+def char_filter_rules(char_filters: tuple[tuple, ...]) -> list[tuple[str, str, bool]]:
+    """Normalize a char_filters config into ordered
+    (pattern_or_literal, replacement, is_regex) rules."""
+    rules: list[tuple[str, str, bool]] = []
+    for cf in char_filters:
+        kind = cf[0]
+        if kind == "html_strip":
+            rules.extend((p, r, True) for p, r in HTML_STRIP_RULES)
+        elif kind == "pattern_replace":
+            rules.append((cf[1], cf[2], True))
+        elif kind == "mapping":
+            rules.extend((src, dst, False) for src, dst in cf[1])
+        else:
+            raise ValueError(f"unknown char filter: {kind!r}")
+    return rules
+
+
+def apply_char_filters(text: str, char_filters: tuple[tuple, ...]) -> str:
+    for pat, repl, is_re in char_filter_rules(char_filters):
+        text = re.sub(pat, repl, text) if is_re else text.replace(pat, repl)
+    return text
 
 
 def EnglishAnalyzer(**kw) -> StandardAnalyzer:
@@ -169,6 +220,8 @@ def _analyze_full(
     accumulates their increments onto the next kept token,
     ``analysis/FilteringTokenFilter.java:46-61``).
     """
+    if analyzer.char_filters:
+        text = apply_char_filters(text, analyzer.char_filters)
     if analyzer.word_delimiter is not None:
         return _analyze_full_wd(text, analyzer)
     kept: list[tuple[str, int, int, int]] = []
@@ -400,6 +453,16 @@ class ArrowAnalyzer:
         arr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
         n = len(arr)
         arr = pc.fill_null(arr, "")
+        if self.analyzer.char_filters:
+            # vectorized CharFilter chain over the whole column (RE2)
+            if arr.type != pa.string():
+                arr = arr.cast(pa.string())
+            for pat, repl, is_re in char_filter_rules(self.analyzer.char_filters):
+                arr = (
+                    pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+                    if is_re
+                    else pc.replace_substring(arr, pattern=pat, replacement=repl)
+                )
         if self.analyzer.word_delimiter is not None:
             return self._call_wd(arr, n, with_positions)
         if self.analyzer.unicode_segmentation:
@@ -601,6 +664,7 @@ def analyze_batch(
         or analyzer.stem is not None
         or analyzer.structural
         or analyzer.word_delimiter is not None
+        or analyzer.char_filters
     ):
         # the filter-chain machinery lives on the Arrow path; delegate
         import pyarrow as pa

@@ -2420,3 +2420,67 @@ def ft_word_delimiter(sf_dir: str) -> pa.Table:
         s = Searcher(idx, dtype=np.float64)
         _SEARCHERS[key] = s
     return _variant_topk(s, WD_SPECS)
+
+
+# ---------------------------------------------------------------------------
+# HTMLStripCharFilter (analysis/charfilter/HTMLStripCharFilter.java) over an
+# HTML-ified derived corpus
+# ---------------------------------------------------------------------------
+
+HTML_PRE = '<html><body><p class="x">'
+HTML_SUF = (
+    '</p><script>var hidden = 1;</script><!-- note --> &amp; &lt;fish&gt;'
+    "</body></html>"
+)
+
+HTML_SPECS = [
+    {"qid": f"hs_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["table", "merge", "fish",            # survive the strip
+              "var", "hidden", "script", "html"]   # must NOT be indexed
+]
+
+
+def _html_corpus(sf_dir: str):
+    """documents → corpus with markup: selected words wrapped in <b> tags,
+    plus a script block / comment / entities footer per doc."""
+    import pyarrow.compute as pc
+
+    def htmlify(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        mid = pc.replace_substring_regex(
+            batch["content"].cast(pa.string()),
+            pattern=r"(table|merge)",
+            replacement=r"<b>\1</b>",
+        )
+        content = pc.binary_join_element_wise(
+            pa.array([HTML_PRE] * n, pa.string()),
+            mid,
+            pa.array([HTML_SUF] * n, pa.string()),
+            "",
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("content"),
+            "content",
+            content.cast(pa.large_string()),
+        )
+
+    return documents_as_corpus(sf_dir).map_batches(htmlify, batch_format="pyarrow")
+
+
+def ft_html_strip(sf_dir: str) -> pa.Table:
+    """BM25 top-k over an html_strip CharFilter index: tags/script/comment
+    content never reaches the tokenizer, entities decode (&lt;fish&gt; →
+    token 'fish'); exact float64 scores. Absent-term specs (var/hidden/
+    script/html) pin that markup text is NOT indexed."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    an = StandardAnalyzer(char_filters=(("html_strip",),))
+    key = f"{sf_dir}|htmlstrip|float64"
+    s = _SEARCHERS.get(key)
+    if s is None:
+        idx = _index_dir_for(sf_dir) + "_hs"
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_index(_html_corpus(sf_dir), idx, docs_per_segment=2_000, analyzer=an)
+        s = Searcher(idx, dtype=np.float64)
+        _SEARCHERS[key] = s
+    return _variant_topk(s, HTML_SPECS)

@@ -1735,3 +1735,39 @@ emitted AS (
   UNION ALL SELECT did, array_to_string(parts, '') AS tok FROM tokl
     WHERE len(parts) > 1 AND array_to_string(parts, '') NOT IN ({STOPLIST_SQL})
 ),{_VARIANT_TAIL}"""
+
+
+def _html_strip_expr(col: str) -> str:
+    """Render analysis.tokenizer.HTML_STRIP_RULES as nested DuckDB
+    regexp_replace calls — the exact same RE2 chain the engine applies."""
+    from ..analysis.tokenizer import HTML_STRIP_RULES
+
+    expr = col
+    for pat, repl in HTML_STRIP_RULES:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''").replace("\\", "\\\\")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return expr
+
+
+def prelude_html_strip() -> str:
+    """html_strip CharFilter index over the HTML-ified corpus (markup added
+    by pipelines/fulltext._html_corpus with the same literals)."""
+    from ..pipelines.fulltext import HTML_PRE, HTML_SUF
+
+    pre = HTML_PRE.replace("'", "''")
+    suf = HTML_SUF.replace("'", "''")
+    return f"""
+WITH html_raw AS (
+  SELECT row_number() OVER (ORDER BY source, 'doc/' || doc_id, printf('%040x', doc_id)) - 1 AS did,
+         '{pre}' || regexp_replace(text, '(table|merge)', '<b>\\1</b>', 'g') || '{suf}' AS text
+  FROM documents
+),
+corpus AS (SELECT did, {_html_strip_expr("text")} AS text FROM html_raw),
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+base AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL})
+),
+emitted AS (SELECT did, tok FROM base),{_VARIANT_TAIL}"""

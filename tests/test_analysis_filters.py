@@ -262,3 +262,56 @@ def test_wd_flag_validation():
     with pytest.raises(ValueError, match="cannot combine"):
         analyze_with_positions(
             "x", StandardAnalyzer(word_delimiter=(), shingle=(2, 2)))
+
+
+# ---------------------------------------------------------------------------
+# CharFilters (charfilter/HTMLStripCharFilter.java, PatternReplaceCharFilter,
+# MappingCharFilter)
+# ---------------------------------------------------------------------------
+
+from lucene_solr_ray.analysis.tokenizer import apply_char_filters
+
+
+def test_html_strip_golden():
+    html = ('<html><body class="m"><p>Hello <b>World</b></p>'
+            '<script type="x">var secret = 42;</script>'
+            '<style>.x { color: red }</style>'
+            '<!-- hidden comment --> Fish &amp; Chips &lt;tag&gt;</body></html>')
+    out = apply_char_filters(html, (("html_strip",),))
+    assert "secret" not in out and "color" not in out and "comment" not in out
+    assert "Hello" in out and "World" in out and "Fish & Chips" in out
+    assert "<tag>" in out  # entity-decoded AFTER tag removal
+    an = StandardAnalyzer(char_filters=(("html_strip",),))
+    terms = [t for t, _ in analyze_with_positions(html, an)]
+    assert terms == ["hello", "world", "fish", "chips", "tag"]
+
+
+def test_html_strip_multiline_blocks():
+    html = "qq<script>\nline1\nline2\n</script>bb<!--\nmulti\n-->cc"
+    an = StandardAnalyzer(char_filters=(("html_strip",),))
+    assert [t for t, _ in analyze_with_positions(html, an)] == ["qq", "bb", "cc"]
+
+
+def test_pattern_replace_and_mapping_char_filters():
+    an = StandardAnalyzer(
+        char_filters=(("pattern_replace", r"\d+", "NUM"), ("mapping", (("ß", "ss"),)))
+    )
+    assert [t for t, _ in analyze_with_positions("abc 123 straße", an)] == [
+        "abc", "num", "strasse"]
+    with pytest.raises(ValueError, match="unknown char filter"):
+        apply_char_filters("x", (("bogus",),))
+
+
+def test_char_filter_arrow_matches_python():
+    an = StandardAnalyzer(char_filters=(("html_strip",),))
+    docs = ["<b>Bold</b> text &amp; more", "<script>x</script>plain", ""]
+    st = ArrowAnalyzer(an)(pa.array(docs, pa.string()))
+    for d, text in enumerate(docs):
+        exp = sorted(t for t, _ in analyze_with_positions(text, an))
+        lo, hi = st.offsets[d], st.offsets[d + 1]
+        # compare multisets via (term, tf)
+        exp_tf = {}
+        for t, _ in analyze_with_positions(text, an):
+            exp_tf[t] = exp_tf.get(t, 0) + 1
+        got_tf = dict(zip(st.terms[lo:hi].to_pylist(), (int(x) for x in st.tfs[lo:hi])))
+        assert got_tf == exp_tf

@@ -86,6 +86,7 @@ FAST_ENTRIES = [
     "decontaminate",
     "gopher_quality",
     "ft_word_delimiter",
+    "ft_html_strip",
 ]
 
 
