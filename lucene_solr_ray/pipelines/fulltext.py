@@ -2484,3 +2484,34 @@ def ft_html_strip(sf_dir: str) -> pa.Table:
         s = Searcher(idx, dtype=np.float64)
         _SEARCHERS[key] = s
     return _variant_topk(s, HTML_SPECS)
+
+
+# ---------------------------------------------------------------------------
+# CoveringQuery (lucene/sandbox search/CoveringQuery.java) — per-doc
+# minimumNumberMatch from a numeric doc value
+# ---------------------------------------------------------------------------
+
+COVERING_TERMS = ["merge", "window", "table", "data"]
+#: min_match = 1 + (field_len % mod) per doc → thresholds 1..mod
+COVERING_MODS = [2, 3, 4]
+
+
+def ft_covering(sf_dir: str) -> pa.Table:
+    """CoveringQuery match sets: 4 term clauses, per-doc minMatch =
+    1 + (field_len % mod). Full sorted match enumeration per mod (no float
+    ranking — membership IS the per-doc-threshold semantics)."""
+    from ..search.query import CoveringQuery
+
+    s = get_searcher(sf_dir)
+    out = []
+    for mod in COVERING_MODS:
+        q = CoveringQuery(
+            tuple(TermQuery(t) for t in COVERING_TERMS),
+            field="field_len", mod=mod, offset=1,
+        )
+        ids = s.match_ids(q)
+        out.append(pa.table({
+            "query_id": pa.array([f"cov_mod{mod}"] * len(ids), pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+        }))
+    return pa.concat_tables(out)

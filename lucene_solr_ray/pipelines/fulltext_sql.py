@@ -1771,3 +1771,18 @@ base AS (
   SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL})
 ),
 emitted AS (SELECT did, tok FROM base),{_VARIANT_TAIL}"""
+
+
+def sql_covering(terms: list[str], mods: list[int]) -> str:
+    """CoveringQuery oracle: a doc matches when its matching-clause count ≥
+    max(1, 1 + (field_len % mod)) (CoveringScorer.java:127-133)."""
+    parts = [
+        f"""
+SELECT 'cov_mod{mod}' AS query_id, CAST(a.did AS BIGINT) AS doc_id
+FROM agg a JOIN quant q ON a.did = q.did
+WHERE a.nmatch >= greatest(1, 1 + (q.flen % {mod}))
+ORDER BY doc_id"""
+        for mod in mods
+    ]
+    body = "\nUNION ALL\n".join(f"({p})" for p in parts)
+    return prelude() + "," + _score_cte(sorted(set(terms))) + f"\n{body}\n"

@@ -142,6 +142,24 @@ class DisjunctionMaxQuery(Query):
     tie_breaker: float = 0.0
 
 
+@dataclass(frozen=True)
+class CoveringQuery(Query):
+    """``lucene/sandbox/src/java/org/apache/lucene/search/CoveringQuery.java``
+    + ``CoveringScorer.java``: a disjunction whose minimumNumberMatch is a
+    per-doc long value — minMatch = max(1, source(doc))
+    (CoveringScorer.java:127-133; a doc with no value never matches), a doc
+    matches when #matching clauses ≥ minMatch, score = Σ matching sub-scores
+    (CoveringScorer.java:204-209). The value source reads the numeric
+    doc-value ``field``, optionally transformed ``offset + (value % mod)``
+    (LongValuesSource expression analog — keeps minMatch within
+    [1, len(queries)] on corpora whose raw values exceed the clause count)."""
+
+    queries: tuple["Query", ...] = ()
+    field: str = "field_len"
+    mod: int | None = None
+    offset: int = 0
+
+
 # --- multi-term queries: expanded against the term dictionary at rewrite time
 #     (AutomatonQuery family; Lucene 7 default CONSTANT_SCORE_REWRITE) ---
 
@@ -345,6 +363,11 @@ def query_terms(q: Query) -> set[tuple[str, str]]:
         for d in q.disjuncts:
             out |= query_terms(d)
         return out
+    if isinstance(q, CoveringQuery):
+        out = set()
+        for c in q.queries:
+            out |= query_terms(c)
+        return out
     if isinstance(q, BooleanQuery):
         return q.terms()
     return set()
@@ -362,6 +385,11 @@ def numeric_fields(q: Query) -> set[str]:
         out: set[str] = set()
         for d in q.disjuncts:
             out |= numeric_fields(d)
+        return out
+    if isinstance(q, CoveringQuery):
+        out = {q.field}
+        for c in q.queries:
+            out |= numeric_fields(c)
         return out
     if isinstance(q, BooleanQuery):
         out = set()
@@ -410,6 +438,10 @@ def rewrite(q: Query, reader) -> Query:
     if isinstance(q, DisjunctionMaxQuery):
         return DisjunctionMaxQuery(
             tuple(rewrite(d, reader) for d in q.disjuncts), q.tie_breaker
+        )
+    if isinstance(q, CoveringQuery):
+        return CoveringQuery(
+            tuple(rewrite(c, reader) for c in q.queries), q.field, q.mod, q.offset
         )
     if isinstance(q, BooleanQuery):
         return BooleanQuery(

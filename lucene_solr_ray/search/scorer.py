@@ -271,6 +271,30 @@ class SegmentScorer:
             return self._blended(q)
         if isinstance(q, DisjunctionMaxQuery):
             return self._dismax(q)
+        from .query import CoveringQuery
+
+        if isinstance(q, CoveringQuery):
+            # CoveringScorer: dense accumulation (sum + match count), then a
+            # PER-DOC threshold minMatch = max(1, source(doc))
+            # (sandbox/search/CoveringScorer.java:127-133, 204-209)
+            vals = self.doc_values.get(q.field)
+            if vals is None:
+                raise KeyError(
+                    f"numeric doc values for {q.field!r} not loaded into this scorer"
+                )
+            src = vals.astype(np.int64)
+            if q.mod is not None:
+                src = q.offset + (src % q.mod)
+            min_match = np.maximum(1, src)
+            n = len(self.norms)
+            acc = np.zeros(n, dtype=self.sim.dtype)
+            cnt = np.zeros(n, dtype=np.int32)
+            for c in q.queries:
+                cids, cscores = self.score_query(c)
+                acc[cids] += cscores
+                cnt[cids] += 1
+            ids = np.flatnonzero(cnt >= min_match).astype(np.int64)
+            return ids, acc[ids]
         if isinstance(q, BooleanQuery):
             return self._score_boolean(q)
         from .spans import SPAN_TYPES

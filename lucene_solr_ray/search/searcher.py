@@ -1410,6 +1410,26 @@ class Searcher:
             "score": pa.array(doc_scores[order], pa.float64()),
         })
 
+    def match_ids(self, query: Query) -> np.ndarray:
+        """Full match set as sorted global doc ids — the scatter's ``ids``
+        mode (per-segment SegmentScorer matching in parallel Ray tasks; only
+        (seg, local_id) pairs travel). Falls back to the local per-segment
+        loop for no-term / MatchAll queries."""
+        ds = self._scatter_match(query, mode="ids")
+        if ds is None:
+            out = [ids + base for _seg, base, ids in self._matches_per_segment(query)]
+            return np.sort(np.concatenate(out)) if out else np.empty(0, np.int64)
+        batches = list(ds.iter_batches(batch_format="pyarrow"))
+        parts = pa.concat_tables(batches) if batches else None
+        if parts is None or len(parts) == 0:
+            return np.empty(0, np.int64)
+        doc_bases = {s["seg"]: s["doc_base"] for s in self.reader.segments}
+        segs = parts["seg"].to_numpy().astype(np.int64)
+        local = parts["local_id"].to_numpy().astype(np.int64)
+        useg, inv = np.unique(segs, return_inverse=True)
+        bases = np.array([doc_bases[int(s)] for s in useg], dtype=np.int64)
+        return np.sort(local + bases[inv])
+
     def block_join(self, child_query: Query, parents: np.ndarray, *,
                    score_mode: str = "max", k: int = 10) -> pa.Table:
         """ToParentBlockJoinQuery analog (lucene/join/src/java/org/apache/

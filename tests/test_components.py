@@ -386,3 +386,38 @@ def test_block_join_modes_vs_driver_reference(bj_built):
         # ranking: score desc, parent asc ('none' → doc order)
         pairs = list(zip(res["score"].to_pylist(), res["parent_id"].to_pylist()))
         assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))
+
+
+# ---------------------------------------------------------------------------
+# CoveringQuery (sandbox/search/CoveringQuery.java, CoveringScorer.java)
+# ---------------------------------------------------------------------------
+
+def test_covering_query_vs_reference(built):
+    import pyarrow.dataset as pads
+
+    from lucene_solr_ray.search.query import CoveringQuery
+
+    d, oracle, _tbl = built
+    s = Searcher(d, dtype=np.float64)
+    t1, t2 = _two_terms(oracle)
+    terms = [t1, t2, "merge"]
+    docs = pads.dataset(s.reader.docs_files()).to_table(columns=["doc_id", "field_len"])
+    flen = dict(zip(docs["doc_id"].to_pylist(), docs["field_len"].to_pylist()))
+
+    match_sets = []
+    for t in terms:
+        r = s.search(TermQuery(t), k=10**6, use_ray=False)
+        match_sets.append(set(r["doc_id"].to_pylist()))
+    for mod in (2, 3):
+        q = CoveringQuery(tuple(TermQuery(t) for t in terms),
+                          field="field_len", mod=mod, offset=1)
+        got = s.match_ids(q)
+        exp = sorted(
+            did for did in set().union(*match_sets)
+            if sum(did in m for m in match_sets) >= max(1, 1 + flen[did] % mod)
+        )
+        assert list(got) == exp
+    # threshold above the clause count → nothing can match
+    q = CoveringQuery(tuple(TermQuery(t) for t in terms),
+                      field="field_len", mod=1, offset=len(terms) + 1)
+    assert len(s.match_ids(q)) == 0

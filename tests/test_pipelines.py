@@ -87,6 +87,7 @@ FAST_ENTRIES = [
     "gopher_quality",
     "ft_word_delimiter",
     "ft_html_strip",
+    "ft_covering",
 ]
 
 
