@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_stats": text.bigram_stats,
         "decontaminate": text.decontaminate,
         "gopher_quality": text.gopher_quality,
+        "freetext_suggest": text.freetext_suggest,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_shingle_set": dedup.dedup_shingle_set,
@@ -297,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_stats": text.SQL_BIGRAM_STATS,
         "decontaminate": text.SQL_DECONTAMINATE,
         "gopher_quality": text.SQL_GOPHER_QUALITY,
+        "freetext_suggest": text.SQL_FREETEXT_SUGGEST,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_shingle_set": dedup.SQL_DEDUP_SHINGLE_SET,
         "minhash_lsh_pairs": dedup.SQL_MINHASH_LSH_PAIRS,

@@ -674,3 +674,151 @@ LEFT JOIN bistat b ON d.doc_id = b.doc_id
 LEFT JOIN tristat t ON d.doc_id = t.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java) — bigram
+# stupid-backoff next-token suggestion
+# ---------------------------------------------------------------------------
+
+FT_ALPHA = 0.4  # FreeTextSuggester.ALPHA (:133)
+FT_CONTEXTS = ["merge", "table", "window"]
+FT_PREFIX = "s"
+FT_SUGGEST_K = 10
+
+
+def freetext_suggest(sf_dir: str) -> pa.Table:
+    """Next-token suggestion with the stupid-backoff bigram LM
+    (FreeTextSuggester.lookup:506-669): for candidate w completing FT_PREFIX
+    after context c, score = count(c w)/count(c) when the bigram exists,
+    else ALPHA · count(w)/totTokens (:557,664). Highest order wins per
+    candidate; rank (score desc, word asc), top FT_SUGGEST_K per context.
+
+    Scale shape: per-batch partial counts are PRE-FILTERED to the query —
+    bigrams only for w1 ∈ contexts, unigrams only for prefix matches or
+    context words — so partials stay tiny regardless of corpus size; one
+    driver-side merge of small tables, no shuffle."""
+    import pyarrow.compute as pc
+
+    ctx_set = pa.array(sorted(FT_CONTEXTS), pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arr = batch["text"].combine_chunks()
+        n = len(arr)
+        low = pc.utf8_lower(pc.fill_null(arr, ""))
+        toks = pc.split_pattern_regex(low, pattern=r"[^\p{L}\p{N}_]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        if offs[0] != 0 or len(flat) != offs[-1] - offs[0]:
+            flat = flat.slice(offs[0], offs[-1] - offs[0])
+            offs = offs - offs[0]
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))[keep]
+        flat = pc.filter(flat, pa.array(keep))
+        total = len(flat)
+        is_ctx = pc.is_in(flat, value_set=ctx_set).to_numpy(zero_copy_only=False)
+        is_pref = pc.starts_with(flat, pattern=FT_PREFIX).to_numpy(zero_copy_only=False)
+        out_w1, out_w2, out_n = [], [], []
+        # unigram partials (w1 = '' sentinel): prefix matches + context words
+        um = is_ctx | is_pref
+        if um.any():
+            import pandas as pd
+
+            uni = pd.Series(np.asarray(flat.to_pylist(), dtype=object)[um]).value_counts()
+            out_w1.extend([""] * len(uni))
+            out_w2.extend(uni.index.tolist())
+            out_n.extend(int(x) for x in uni.values)
+        # bigram partials: w1 ∈ contexts, adjacency within a doc
+        if total >= 2:
+            same = doc_idx[:-1] == doc_idx[1:]
+            bm = is_ctx[:-1] & is_pref[1:] & same
+            if bm.any():
+                import pandas as pd
+
+                w1 = np.asarray(flat.to_pylist(), dtype=object)[:-1][bm]
+                w2 = np.asarray(flat.to_pylist(), dtype=object)[1:][bm]
+                g = pd.DataFrame({"w1": w1, "w2": w2}).groupby(["w1", "w2"]).size()
+                for (a, b), c in g.items():
+                    out_w1.append(a)
+                    out_w2.append(b)
+                    out_n.append(int(c))
+        # totals sentinel row
+        out_w1.append("\x00total")
+        out_w2.append("")
+        out_n.append(total)
+        return pa.table({
+            "w1": pa.array(out_w1, pa.string()),
+            "w2": pa.array(out_w2, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    parts = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    merged = pa.TableGroupBy(parts, ["w1", "w2"]).aggregate([("n", "sum")]).to_pandas()
+    tot = int(merged.loc[merged.w1 == "\x00total", "n_sum"].sum())
+    uni = dict(
+        merged.loc[merged.w1 == ""].set_index("w2")["n_sum"].astype(int)
+    )
+    bi = {
+        (r.w1, r.w2): int(r.n_sum)
+        for r in merged.loc[~merged.w1.isin(["", "\x00total"])].itertuples()
+    }
+    cands = sorted(w for w in uni if w.startswith(FT_PREFIX))
+    out = []
+    for c in FT_CONTEXTS:
+        ctx_count = uni.get(c, 0)
+        scored = []
+        for w in cands:
+            b = bi.get((c, w), 0)
+            if b > 0 and ctx_count > 0:
+                s = float(b) / float(ctx_count)
+            else:
+                s = FT_ALPHA * float(uni[w]) / float(tot)
+            scored.append((s, w))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        top = scored[:FT_SUGGEST_K]
+        out.append(pa.table({
+            "context": pa.array([c] * len(top), pa.string()),
+            "rank": pa.array(np.arange(len(top), dtype=np.int64), pa.int64()),
+            "word": pa.array([w for _, w in top], pa.string()),
+            "score": pa.array([s for s, _ in top], pa.float64()),
+        }))
+    return pa.concat_tables(out)
+
+
+def _sql_freetext_one(c: str) -> str:
+    return f"""
+SELECT '{c}' AS context,
+       CAST(row_number() OVER (ORDER BY score DESC, word ASC) - 1 AS BIGINT) AS rank,
+       word, score
+FROM (
+  SELECT u.tok AS word,
+         CASE WHEN coalesce(b.n, 0) > 0 AND (SELECT n FROM uni WHERE tok = '{c}') > 0
+              THEN CAST(b.n AS DOUBLE) / CAST((SELECT n FROM uni WHERE tok = '{c}') AS DOUBLE)
+              ELSE {FT_ALPHA!r} * CAST(u.n AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE)
+         END AS score
+  FROM uni u LEFT JOIN bi b ON b.w1 = '{c}' AND b.w2 = u.tok
+  WHERE u.tok LIKE '{FT_PREFIX}%'
+)
+ORDER BY score DESC, word ASC LIMIT {FT_SUGGEST_K}"""
+
+
+SQL_FREETEXT_SUGGEST = f"""
+WITH rawt AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+') AS ts FROM documents
+),
+toks AS (SELECT doc_id, unnest(ts) AS tok FROM rawt),
+tot AS (SELECT count(*) AS t FROM toks),
+uni AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tpos AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(ts), 1))) AS i, ts
+  FROM rawt WHERE len(ts) > 1
+),
+bi AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*) AS n
+  FROM tpos WHERE i < len(ts) GROUP BY 1, 2
+)
+{" UNION ALL ".join(f"({_sql_freetext_one(c)})" for c in FT_CONTEXTS)}
+"""

@@ -88,6 +88,7 @@ FAST_ENTRIES = [
     "ft_word_delimiter",
     "ft_html_strip",
     "ft_covering",
+    "freetext_suggest",
 ]
 
 
