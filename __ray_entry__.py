@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": text.decontaminate,
         "gopher_quality": text.gopher_quality,
         "freetext_suggest": text.freetext_suggest,
+        "sample_mix": text.sample_mix,
+        "chunk_windows": text.chunk_windows,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_shingle_set": dedup.dedup_shingle_set,
@@ -299,6 +301,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": text.SQL_DECONTAMINATE,
         "gopher_quality": text.SQL_GOPHER_QUALITY,
         "freetext_suggest": text.SQL_FREETEXT_SUGGEST,
+        "sample_mix": text.SQL_SAMPLE_MIX,
+        "chunk_windows": text.SQL_CHUNK_WINDOWS,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_shingle_set": dedup.SQL_DEDUP_SHINGLE_SET,
         "minhash_lsh_pairs": dedup.SQL_MINHASH_LSH_PAIRS,

@@ -822,3 +822,134 @@ bi AS (
 )
 {" UNION ALL ".join(f"({_sql_freetext_one(c)})" for c in FT_CONTEXTS)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling (per-source rates — training-mix reweighting)
+# ---------------------------------------------------------------------------
+
+#: per-source keep percentages; sources not listed use MIX_DEFAULT_PCT
+MIX_RATES: dict[str, int] = {"src0": 100, "src1": 75, "src2": 50, "src3": 25, "src4": 0}
+MIX_DEFAULT_PCT = 60
+
+
+def sample_mix(sf_dir: str) -> pa.Table:
+    """(doc_id, source) rows kept by the domain-mixture sampler: keep iff
+    md5('mix|'+doc_id) % 100 < rate(source). Deterministic at any
+    parallelism (hash of the row key, not RNG state) — the standard way to
+    reweight training-data domains; embarrassingly parallel map."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        keep = [
+            int(hashlib.md5(f"mix|{d}".encode()).hexdigest()[:15], 16) % 100
+            < MIX_RATES.get(s, MIX_DEFAULT_PCT)
+            for d, s in zip(ids, srcs)
+        ]
+        m = pa.array(keep)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()).filter(m),
+            "source": batch["source"].cast(pa.string()).filter(m),
+        })
+
+    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+
+
+_MIX_CASE = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {r}" for s, r in sorted(MIX_RATES.items())
+) + f" ELSE {MIX_DEFAULT_PCT} END"
+
+SQL_SAMPLE_MIX = f"""
+SELECT doc_id, source
+FROM (SELECT doc_id, source,
+             CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+      FROM documents)
+WHERE b < {_MIX_CASE}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking (context-length splitting for training / retrieval)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 32   # tokens per chunk
+CHUNK_S = 24   # stride (8-token overlap)
+
+
+def chunk_windows(sf_dir: str) -> pa.Table:
+    """(doc_id, chunk_id, n_tokens, chunk_text): overlapping token windows
+    of CHUNK_W tokens at stride CHUNK_S over the raw lowercase token stream
+    — the standard context-window splitter for training corpora and
+    retrieval chunking. Vectorized: one Arrow split per batch, window
+    extraction via numpy gather over the flat token stream."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arr = batch["text"].combine_chunks()
+        n = len(arr)
+        low = pc.utf8_lower(pc.fill_null(arr, ""))
+        toks = pc.split_pattern_regex(low, pattern=r"[^\p{L}\p{N}_]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        if offs[0] != 0 or len(flat) != offs[-1] - offs[0]:
+            flat = flat.slice(offs[0], offs[-1] - offs[0])
+            offs = offs - offs[0]
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))[keep]
+        words = np.asarray(pc.filter(flat, pa.array(keep)).to_pylist(), dtype=object)
+        counts = np.bincount(row_idx, minlength=n)
+        starts_per_doc = np.maximum(1, -(-np.maximum(counts - CHUNK_W, 0) // CHUNK_S) + 1)
+        starts_per_doc[counts == 0] = 0
+        doc_start = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=doc_start[1:])
+        out_doc, out_chunk, out_n, out_text = [], [], [], []
+        doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
+        for d in range(n):
+            c = int(counts[d])
+            base = int(doc_start[d])
+            for ci in range(int(starts_per_doc[d])):
+                s0 = ci * CHUNK_S
+                seg = words[base + s0 : base + min(s0 + CHUNK_W, c)]
+                out_doc.append(doc_ids[d])
+                out_chunk.append(ci)
+                out_n.append(len(seg))
+                out_text.append(" ".join(seg))
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "chunk_id": pa.array(out_chunk, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "chunk_text": pa.array(out_text, pa.string()),
+        })
+
+    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending"), ("chunk_id", "ascending")]
+    )
+
+
+SQL_CHUNK_WINDOWS = f"""
+WITH rawt AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+'),
+                             t -> t <> '') AS ts
+  FROM documents
+),
+nw AS (
+  SELECT doc_id, ts, len(ts) AS c,
+         CASE WHEN len(ts) = 0 THEN 0
+              ELSE 1 + CAST(ceil(greatest(len(ts) - {CHUNK_W}, 0) / {CHUNK_S}.0) AS BIGINT)
+         END AS n_chunks
+  FROM rawt
+)
+SELECT doc_id,
+       CAST(ci - 1 AS BIGINT) AS chunk_id,
+       CAST(least((ci - 1) * {CHUNK_S} + {CHUNK_W}, c) - (ci - 1) * {CHUNK_S} AS BIGINT) AS n_tokens,
+       array_to_string(ts[(ci - 1) * {CHUNK_S} + 1 : least((ci - 1) * {CHUNK_S} + {CHUNK_W}, c)], ' ') AS chunk_text
+FROM nw, unnest(generate_series(1, n_chunks)) AS t(ci)
+WHERE n_chunks > 0
+ORDER BY doc_id, chunk_id
+"""

@@ -89,6 +89,8 @@ FAST_ENTRIES = [
     "ft_html_strip",
     "ft_covering",
     "freetext_suggest",
+    "sample_mix",
+    "chunk_windows",
 ]
 
 
