@@ -110,6 +110,12 @@ class StandardAnalyzer:
     #: shorter than min vanish); the first gram keeps the token's position,
     #: the rest are overlaps.
     edge_ngrams: tuple[int, int] | None = None
+    #: NGramTokenFilter (min_gram, max_gram): REPLACE each token by ALL its
+    #: substrings of length min..max (tokens shorter than min vanish); all
+    #: grams of a token share its position (the 7.4+ same-position
+    #: behavior, LUCENE-8330) — the first (min-length, offset-0) gram is the
+    #: position anchor, the rest are overlaps.
+    ngrams: tuple[int, int] | None = None
     #: WordDelimiterGraphFilter analog (analysis/worddelim.py): () enables
     #: subword splitting (underscore / case change / letter↔digit, word+number
     #: parts always generated, each part its own position); optional flags
@@ -131,7 +137,12 @@ class StandardAnalyzer:
     @property
     def structural(self) -> bool:
         """Filters that change the token-stream shape (need expansion)."""
-        return bool(self.synonyms) or self.shingle is not None or self.edge_ngrams is not None
+        return (
+            bool(self.synonyms)
+            or self.shingle is not None
+            or self.edge_ngrams is not None
+            or self.ngrams is not None
+        )
 
 
 #: HTMLStripCharFilter as an ordered (RE2-compatible pattern, replacement)
@@ -248,6 +259,14 @@ def _analyze_full(
             for t, p, s, e in kept
             for g in range(lo, min(hi, len(t)) + 1)
         ]
+    elif analyzer.ngrams is not None:
+        lo, hi = analyzer.ngrams
+        out = [
+            (t[o : o + g], p, s, e, not (g == lo and o == 0))
+            for t, p, s, e in kept
+            for g in range(lo, min(hi, len(t)) + 1)
+            for o in range(len(t) - g + 1)
+        ]
     else:
         out = [(t, p, s, e, False) for t, p, s, e in kept]
     if analyzer.shingle is not None:
@@ -361,8 +380,8 @@ class ArrowAnalyzer:
         import pyarrow.compute as pc
 
         a = self.analyzer
-        if a.shingle is not None and a.edge_ngrams is not None:
-            raise ValueError("shingle and edge_ngrams are mutually exclusive")
+        if sum(x is not None for x in (a.shingle, a.edge_ngrams, a.ngrams)) > 1:
+            raise ValueError("shingle, edge_ngrams and ngrams are mutually exclusive")
         if kept.type != pa.string():
             kept = kept.cast(pa.string())  # unify with expansion parts
             # (corpus content is large_string; tokens are short)
@@ -398,6 +417,23 @@ class ArrowAnalyzer:
                     positions[mask] if positions is not None else None,
                     g > lo,
                 )
+        elif a.ngrams is not None:
+            lo, hi = a.ngrams
+            vlens = np.fromiter((len(v) for v in vocab), dtype=np.int64, count=len(vocab))
+            lens = vlens[codes] if len(codes) else np.empty(0, np.int64)
+            max_len = int(vlens.max()) if len(vlens) else 0
+            for g in range(lo, min(hi, max_len) + 1):
+                for off in range(max_len - g + 1):
+                    mask = lens >= off + g
+                    if not mask.any():
+                        continue
+                    grams_vocab = pa.array([v[off : off + g] for v in vocab], pa.string())
+                    add(
+                        pc.take(grams_vocab, pa.array(codes[mask], pa.int64())),
+                        doc_idx[mask],
+                        positions[mask] if positions is not None else None,
+                        not (g == lo and off == 0),
+                    )
         else:
             add(kept, doc_idx, positions, False)
 

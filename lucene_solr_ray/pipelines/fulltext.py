@@ -2515,3 +2515,22 @@ def ft_covering(sf_dir: str) -> pa.Table:
             "doc_id": pa.array(ids, pa.int64()),
         }))
     return pa.concat_tables(out)
+
+
+# NGramTokenFilter (analysis/ngram/NGramTokenFilter.java): all char 3-grams
+NGRAM_RANGE = (3, 3)
+NGRAM_SPECS = [
+    {"qid": f"ng_{g}", "kind": "term", "terms": [g], "k": TOPK_K}
+    for g in ["erg", "ndo", "abl", "ust", "row"]
+]
+
+
+def ft_ngram(sf_dir: str) -> pa.Table:
+    """NGramTokenFilter index (all substrings of length 3, same-position
+    grams per LUCENE-8330): BM25 top-k for inner-substring grams, exact
+    float64 scores — the substring-search filter."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    lo, hi = NGRAM_RANGE
+    an = StandardAnalyzer(ngrams=(lo, hi))
+    return _variant_topk(get_searcher_variant(sf_dir, f"ngram{lo}{hi}", an), NGRAM_SPECS)

@@ -1786,3 +1786,25 @@ ORDER BY doc_id"""
     ]
     body = "\nUNION ALL\n".join(f"({p})" for p in parts)
     return prelude() + "," + _score_cte(sorted(set(terms))) + f"\n{body}\n"
+
+
+def prelude_ngram(lo: int, hi: int) -> str:
+    """NGramTokenFilter index (default stopwords): each kept token is
+    REPLACED by all its substrings of length lo..hi; tokens shorter than lo
+    vanish; one position anchor per surviving token (the offset-0 lo-gram),
+    the rest are overlaps."""
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL})
+),
+base AS (SELECT did, tok FROM kept WHERE length(tok) >= {lo}),
+emitted AS (
+  SELECT did, unnest(flatten(list_transform(generate_series({lo}, {hi}),
+         g -> list_transform(generate_series(1, length(tok) - g + 1),
+              o -> tok[o:o+g-1])))) AS tok
+  FROM kept
+),{_VARIANT_TAIL}"""

@@ -315,3 +315,20 @@ def test_char_filter_arrow_matches_python():
             exp_tf[t] = exp_tf.get(t, 0) + 1
         got_tf = dict(zip(st.terms[lo:hi].to_pylist(), (int(x) for x in st.tfs[lo:hi])))
         assert got_tf == exp_tf
+
+
+def test_ngram_filter_golden():
+    an = StandardAnalyzer(ngrams=(3, 3), stopwords=frozenset())
+    got = analyze_with_positions("merge ab", an)
+    # all 3-grams of "merge" at position 0 (same-position, LUCENE-8330);
+    # "ab" shorter than min_gram vanishes but consumes a position
+    assert got == [("mer", 0), ("erg", 0), ("rge", 0)]
+    st = ArrowAnalyzer(an)(pa.array(["merge ab"], pa.string()))
+    assert sorted(st.terms.to_pylist()) == ["erg", "mer", "rge"]
+    assert st.field_lens[0] == 1  # one non-overlap anchor per surviving token
+
+
+def test_ngram_exclusive_with_edge():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ArrowAnalyzer(StandardAnalyzer(ngrams=(2, 3), edge_ngrams=(2, 3)))(
+            pa.array(["x"], pa.string()))

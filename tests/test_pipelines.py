@@ -91,6 +91,7 @@ FAST_ENTRIES = [
     "freetext_suggest",
     "sample_mix",
     "chunk_windows",
+    "ft_ngram",
 ]
 
 
