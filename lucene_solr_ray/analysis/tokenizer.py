@@ -110,6 +110,15 @@ class StandardAnalyzer:
     #: shorter than min vanish); the first gram keeps the token's position,
     #: the rest are overlaps.
     edge_ngrams: tuple[int, int] | None = None
+    #: LengthFilter (min, max): drop tokens whose length is outside the
+    #: bounds (analysis/miscellaneous/LengthFilter.java); like the stop
+    #: filter, dropped tokens still consume a position. Applied after
+    #: lowercase/folding, before stopwords (factory chain order).
+    length_filter: tuple[int, int] | None = None
+    #: KeywordMarkerFilter (analysis/miscellaneous/SetKeywordMarkerFilter.java):
+    #: terms in this set are protected from the stemmer (EnglishAnalyzer's
+    #: stemExclusionSet constructor arg).
+    stem_exclusions: frozenset[str] = frozenset()
     #: NGramTokenFilter (min_gram, max_gram): REPLACE each token by ALL its
     #: substrings of length min..max (tokens shorter than min vanish); all
     #: grams of a token share its position (the 7.4+ same-position
@@ -210,6 +219,9 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     if analyzer.stem == "porter":
         from .porter import porter_stem
 
+        if analyzer.stem_exclusions:
+            excl = analyzer.stem_exclusions
+            return lambda t: t if t in excl else porter_stem(t)
         return porter_stem
     if analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
@@ -243,6 +255,10 @@ def _analyze_full(
         term = raw.lower() if analyzer.lowercase else raw
         if analyzer.ascii_folding:
             term = _fold_ascii(term)
+        if analyzer.length_filter is not None and not (
+            analyzer.length_filter[0] <= len(term) <= analyzer.length_filter[1]
+        ):
+            continue  # dropped but consumes a position (LengthFilter)
         if term in analyzer.stopwords:
             continue
         kept.append((term, pos, m.start(), m.end()))
@@ -314,6 +330,10 @@ def _analyze_full_wd(
     for t, p, s, e, o in zip(terms, poss, starts, ends, overs):
         if analyzer.ascii_folding:
             t = _fold_ascii(t)
+        if analyzer.length_filter is not None and not (
+            analyzer.length_filter[0] <= len(t) <= analyzer.length_filter[1]
+        ):
+            continue
         if t in analyzer.stopwords:
             continue
         out.append((mapper(t) if mapper else t, p, s, e, o))
@@ -533,6 +553,11 @@ class ArrowAnalyzer:
             flat = self._map_vocab(flat, _fold_ascii)
         nonempty = pc.greater(length, 0)
         keep = pc.and_(nonempty, pc.less_equal(length, self.analyzer.max_token_length))
+        if self.analyzer.length_filter is not None:
+            lo_len, hi_len = self.analyzer.length_filter
+            cur_len = pc.utf8_length(flat)  # current (post-fold) token text
+            keep = pc.and_(keep, pc.greater_equal(cur_len, lo_len))
+            keep = pc.and_(keep, pc.less_equal(cur_len, hi_len))
         keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=self.stop_arr)))
         keep_np = keep.to_numpy(zero_copy_only=False)
         kept = pc.filter(flat, keep)
@@ -653,9 +678,13 @@ class ArrowAnalyzer:
         overlap = np.fromiter((o for lst in over_l for o in lst), bool, count=total)
         if a.ascii_folding:
             flat = self._map_vocab(flat, _fold_ascii)
-        keep = pc.invert(pc.is_in(flat, value_set=self.stop_arr)).to_numpy(
-            zero_copy_only=False
-        )
+        keep_a = pc.invert(pc.is_in(flat, value_set=self.stop_arr))
+        if a.length_filter is not None:
+            lo_len, hi_len = a.length_filter
+            cur_len = pc.utf8_length(flat)
+            keep_a = pc.and_(keep_a, pc.greater_equal(cur_len, lo_len))
+            keep_a = pc.and_(keep_a, pc.less_equal(cur_len, hi_len))
+        keep = keep_a.to_numpy(zero_copy_only=False)
         kept = pc.filter(flat, pa.array(keep))
         doc_idx = doc_idx[keep]
         overlap = overlap[keep]
@@ -701,6 +730,7 @@ def analyze_batch(
         or analyzer.structural
         or analyzer.word_delimiter is not None
         or analyzer.char_filters
+        or analyzer.length_filter is not None
     ):
         # the filter-chain machinery lives on the Arrow path; delegate
         import pyarrow as pa

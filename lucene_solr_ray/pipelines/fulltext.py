@@ -2534,3 +2534,22 @@ def ft_ngram(sf_dir: str) -> pa.Table:
     lo, hi = NGRAM_RANGE
     an = StandardAnalyzer(ngrams=(lo, hi))
     return _variant_topk(get_searcher_variant(sf_dir, f"ngram{lo}{hi}", an), NGRAM_SPECS)
+
+
+# LengthFilter (analysis/miscellaneous/LengthFilter.java)
+LENGTH_RANGE = (4, 6)
+LENGTH_SPECS = [
+    {"qid": f"lf_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["merge", "window", "key", "customer"]  # key(3)/customer(8) → empty
+]
+
+
+def ft_length_filter(sf_dir: str) -> pa.Table:
+    """LengthFilter index (keep tokens of length 4..6): short/long terms are
+    never indexed (their specs pin empty results); exact float64 scores —
+    dropped tokens change norm lengths and avgdl."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    lo, hi = LENGTH_RANGE
+    an = StandardAnalyzer(length_filter=(lo, hi))
+    return _variant_topk(get_searcher_variant(sf_dir, f"len{lo}{hi}", an), LENGTH_SPECS)

@@ -1808,3 +1808,19 @@ emitted AS (
               o -> tok[o:o+g-1])))) AS tok
   FROM kept
 ),{_VARIANT_TAIL}"""
+
+
+def prelude_length_filter(lo: int, hi: int) -> str:
+    """LengthFilter index (default stopwords): tokens outside [lo, hi] are
+    dropped before the stop filter; no overlaps."""
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+base AS (
+  SELECT did, tok FROM toks
+  WHERE length(tok) <= 255 AND length(tok) BETWEEN {lo} AND {hi}
+    AND tok NOT IN ({STOPLIST_SQL})
+),
+emitted AS (SELECT did, tok FROM base),{_VARIANT_TAIL}"""

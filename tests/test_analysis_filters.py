@@ -332,3 +332,21 @@ def test_ngram_exclusive_with_edge():
     with pytest.raises(ValueError, match="mutually exclusive"):
         ArrowAnalyzer(StandardAnalyzer(ngrams=(2, 3), edge_ngrams=(2, 3)))(
             pa.array(["x"], pa.string()))
+
+
+def test_length_filter_and_stem_exclusions():
+    an = StandardAnalyzer(length_filter=(3, 5))
+    # "to" is below min (and a stopword anyway); "extended" above max;
+    # both consume positions
+    assert analyze_with_positions("to merge extended runs", an) == [
+        ("merge", 1), ("runs", 3)]
+    st = ArrowAnalyzer(an)(pa.array(["to merge extended runs"], pa.string()))
+    assert sorted(st.terms.to_pylist()) == ["merge", "runs"]
+    assert st.field_lens[0] == 2
+
+    an2 = EnglishAnalyzer(stem_exclusions=frozenset({"running"}))
+    # protected word skips the stemmer; unprotected stems normally
+    assert analyze_with_positions("running meetings", an2) == [
+        ("running", 0), ("meet", 1)]
+    st2 = ArrowAnalyzer(an2)(pa.array(["running meetings"], pa.string()))
+    assert sorted(st2.terms.to_pylist()) == ["meet", "running"]

@@ -92,6 +92,7 @@ FAST_ENTRIES = [
     "sample_mix",
     "chunk_windows",
     "ft_ngram",
+    "ft_length_filter",
 ]
 
 
