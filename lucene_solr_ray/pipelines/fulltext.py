@@ -2553,3 +2553,38 @@ def ft_length_filter(sf_dir: str) -> pa.Table:
     lo, hi = LENGTH_RANGE
     an = StandardAnalyzer(length_filter=(lo, hi))
     return _variant_topk(get_searcher_variant(sf_dir, f"len{lo}{hi}", an), LENGTH_SPECS)
+
+
+# DocValuesTermsQuery / DocValuesNumbersQuery (lucene/sandbox)
+DV_LANGS = ("en", "fr")
+DV_LENS = tuple(range(30, 46, 3))  # field_len ∈ {30,33,36,39,42,45}
+DV_TERM = "merge"
+
+
+def ft_docvalues_set(sf_dir: str) -> pa.Table:
+    """DocValues set queries: (a) BM25 term MUST + DocValuesTermsQuery(lang)
+    FILTER — bit-exact scores (single scored clause); (b) pure
+    DocValuesNumbersQuery(field_len) — full match set, constant score 1.0,
+    doc-order ranks."""
+    from ..search.query import DocValuesNumbersQuery, DocValuesTermsQuery
+
+    s = get_searcher(sf_dir)
+    q1 = BooleanQuery(
+        must=[TermQuery(DV_TERM)],
+        filter=[DocValuesTermsQuery("lang", DV_LANGS)],
+    )
+    res = s.search({"dvt": q1}, k=TOPK_K, use_ray=True)
+    t1 = pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"].cast(pa.int64()),
+        "doc_id": res["doc_id"],
+        "score": pa.array(np.asarray(res["score"].to_numpy(), np.float64), pa.float64()),
+    })
+    ids = s.match_ids(DocValuesNumbersQuery("field_len", DV_LENS))
+    t2 = pa.table({
+        "query_id": pa.array(["dvn"] * len(ids), pa.string()),
+        "rank": pa.array(np.arange(len(ids), dtype=np.int64), pa.int64()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "score": pa.array(np.ones(len(ids)), pa.float64()),
+    })
+    return pa.concat_tables([t1, t2])

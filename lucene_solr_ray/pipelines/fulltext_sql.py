@@ -1824,3 +1824,27 @@ base AS (
     AND tok NOT IN ({STOPLIST_SQL})
 ),
 emitted AS (SELECT did, tok FROM base),{_VARIANT_TAIL}"""
+
+
+def sql_docvalues_set(term: str, langs: tuple, lens: tuple, k: int) -> str:
+    """DocValues set-query oracle: lang-set filtered BM25 top-k + a numeric
+    set-membership full match stream (constant score 1.0, doc order)."""
+    ll = ", ".join(f"'{x}'" for x in langs)
+    nl = ", ".join(str(x) for x in lens)
+    return prelude() + "," + _score_cte([term]) + f"""
+SELECT * FROM (
+  SELECT 'dvt' AS query_id,
+         CAST(row_number() OVER (ORDER BY a.score DESC, a.did ASC) - 1 AS BIGINT) AS rank,
+         CAST(a.did AS BIGINT) AS doc_id,
+         CAST(a.score AS DOUBLE) AS score
+  FROM agg a JOIN corpus c ON a.did = c.did
+  WHERE c.lang IN ({ll})
+  ORDER BY a.score DESC, a.did ASC LIMIT {k}
+)
+UNION ALL
+SELECT 'dvn' AS query_id,
+       CAST(row_number() OVER (ORDER BY did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id,
+       CAST(1.0 AS DOUBLE) AS score
+FROM quant WHERE flen IN ({nl})
+"""

@@ -228,6 +228,28 @@ class NumericRangeQuery(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class DocValuesNumbersQuery(Query):
+    """``lucene/sandbox/.../search/DocValuesNumbersQuery.java``: docs whose
+    numeric doc-value is in the given set; constant score (the doc-values
+    twin of TermInSetQuery for numerics)."""
+
+    field: str
+    numbers: tuple[int, ...] = ()
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DocValuesTermsQuery(Query):
+    """``lucene/sandbox/.../search/DocValuesTermsQuery.java``: docs whose
+    keyword doc-value (stored column, SortedDocValues analog) is in the
+    given set; constant score."""
+
+    field: str
+    values: tuple[str, ...] = ()
+    boost: float = 1.0
+
+
 MULTI_TERM_TYPES = (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, FuzzyQuery)
 
 
@@ -374,8 +396,11 @@ def query_terms(q: Query) -> set[tuple[str, str]]:
 
 
 def numeric_fields(q: Query) -> set[str]:
-    """Numeric doc-value columns the query needs (PointValues analog)."""
+    """Doc-value columns the query needs (PointValues / SortedDocValues
+    analog — string columns load through the same pruned docs read)."""
     if isinstance(q, NumericRangeQuery):
+        return {q.field}
+    if isinstance(q, (DocValuesNumbersQuery, DocValuesTermsQuery)):
         return {q.field}
     if isinstance(q, FunctionScoreQuery):
         return {q.field} | numeric_fields(q.query)

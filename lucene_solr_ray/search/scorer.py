@@ -243,6 +243,20 @@ class SegmentScorer:
                 mask &= (vals <= q.upper) if q.include_upper else (vals < q.upper)
             ids = np.flatnonzero(mask).astype(np.int64)
             return ids, np.full(len(ids), q.boost, dtype=self.sim.dtype)
+        from .query import DocValuesNumbersQuery, DocValuesTermsQuery
+
+        if isinstance(q, (DocValuesNumbersQuery, DocValuesTermsQuery)):
+            # sandbox DocValues{Numbers,Terms}Query: set membership over the
+            # doc-value column, constant score
+            vals = self.doc_values.get(q.field)
+            if vals is None:
+                raise KeyError(
+                    f"doc values for {q.field!r} not loaded into this scorer"
+                )
+            target = q.numbers if isinstance(q, DocValuesNumbersQuery) else q.values
+            mask = np.isin(vals, np.asarray(list(target)))
+            ids = np.flatnonzero(mask).astype(np.int64)
+            return ids, np.full(len(ids), q.boost, dtype=self.sim.dtype)
         if isinstance(q, ConstantScoreQuery):
             ids, _ = self.score_query(q.query)
             return ids, np.full(len(ids), q.boost, dtype=self.sim.dtype)

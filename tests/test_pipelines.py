@@ -93,6 +93,7 @@ FAST_ENTRIES = [
     "chunk_windows",
     "ft_ngram",
     "ft_length_filter",
+    "ft_docvalues_set",
 ]
 
 
