@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_grouped_search": fulltext.ft_grouped_search,
         "ft_termvectors": fulltext.ft_termvectors,
         "ft_block_join": fulltext.ft_block_join,
+        "ft_block_join_children": fulltext.ft_block_join_children,
         # --- text analysis ---
         "token_count": text.token_count,
         "lang_id": text.lang_id,
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_termvectors": fs.sql_termvectors(fulltext.TV_DOC_IDS),
         "ft_block_join": fs.sql_block_join(fulltext.BJ_TERMS, fulltext.BJ_MODES, fulltext.TOPK_K),
+        "ft_block_join_children": fs.sql_block_join_children(fulltext.BJC_SOURCES),
         "ft_phrase": fs.sql_phrase_union(fulltext.PHRASE_SPECS),
         "ft_phrase_sloppy": fs.sql_phrase_sloppy_union(fulltext.SLOPPY_SPECS),
         "ft_prefix": fs.sql_prefix_union(fulltext.PREFIX_SPECS),

@@ -2588,3 +2588,22 @@ def ft_docvalues_set(sf_dir: str) -> pa.Table:
         "score": pa.array(np.ones(len(ids)), pa.float64()),
     })
     return pa.concat_tables([t1, t2])
+
+
+BJC_SOURCES = ("src1", "src3", "src5")
+
+
+def ft_block_join_children(sf_dir: str) -> pa.Table:
+    """ToChildBlockJoinQuery over the block index: parent query =
+    content:blockparent FILTERed to three sources' parent rows; every child
+    of a matching parent matches with its parent's BM25 score (bit-exact —
+    single scored clause). → (child_id, parent_id, score)."""
+    from ..search.query import DocValuesTermsQuery
+
+    s = get_blockjoin_searcher(sf_dir)
+    parents = _parent_ids(s)
+    q = BooleanQuery(
+        must=[TermQuery("blockparent")],
+        filter=[DocValuesTermsQuery("repo", BJC_SOURCES)],
+    )
+    return s.to_child_block_join(q, parents)

@@ -1848,3 +1848,23 @@ SELECT 'dvn' AS query_id,
        CAST(1.0 AS DOUBLE) AS score
 FROM quant WHERE flen IN ({nl})
 """
+
+
+def sql_block_join_children(sources: tuple) -> str:
+    """ToChildBlockJoinQuery oracle over the block corpus: children of the
+    selected sources' parent rows, each scored with the parent's
+    content:blockparent BM25 score (single term → bit-exact float64)."""
+    sl = ", ".join(f"'{s}'" for s in sources)
+    return prelude(BLOCKJOIN_CORPUS_CTE) + "," + _score_cte(["blockparent"]) + f"""
+, par AS (
+  SELECT c.source, c.did AS pdid, sc.s AS pscore
+  FROM corpus c JOIN sc ON sc.did = c.did
+  WHERE c.path = 'zzz/parent' AND c.source IN ({sl})
+)
+SELECT CAST(c.did AS BIGINT) AS child_id,
+       CAST(p.pdid AS BIGINT) AS parent_id,
+       CAST(p.pscore AS DOUBLE) AS score
+FROM corpus c JOIN par p ON c.source = p.source
+WHERE c.path <> 'zzz/parent'
+ORDER BY child_id
+"""

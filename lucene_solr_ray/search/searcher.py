@@ -260,6 +260,15 @@ class MatchFieldGroup:
                     "local_id": pa.array(ids, pa.int64()),
                 }
             )
+        if self.mode == "scored_ids":
+            # full scored match stream in global-id space (ToChildBlockJoin /
+            # export-with-score consumers)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids + self.doc_bases[seg], pa.int64()),
+                    "score": pa.array(scores.astype(np.float64), pa.float64()),
+                }
+            )
         if self.mode == "join_agg":
             # scored-join partials (JoinUtil ScoreMode.Max/Total/Avg,
             # lucene/join/src/java/org/apache/lucene/search/join/
@@ -1484,6 +1493,45 @@ class Searcher:
                 "n_children": pa.array(ns[order], pa.int64()),
             }
         )
+
+    def to_child_block_join(self, parent_query: Query, parents: np.ndarray) -> pa.Table:
+        """ToChildBlockJoinQuery analog (lucene/join/src/java/org/apache/
+        lucene/search/join/ToChildBlockJoinQuery.java): every child of a
+        matching parent matches, scored with its PARENT's score
+        (ToChildBlockJoinScorer.score). ``parents`` = sorted global ids of
+        the parent filter's matches; parent-query hits outside the parent
+        set are rejected (the scorer's 'parent query must match only parent
+        docs' contract). → (child_id, parent_id, score float64) in child-id
+        order."""
+        parents = np.asarray(parents, dtype=np.int64)
+        ds = self._scatter_match(parent_query, mode="scored_ids")
+        if ds is None:
+            raise ValueError("to_child_block_join parent query must have postings terms")
+        batches = list(ds.iter_batches(batch_format="pyarrow"))
+        parts = pa.concat_tables(batches) if batches else None
+        if parts is None or len(parts) == 0:
+            return pa.table({
+                "child_id": pa.array([], pa.int64()),
+                "parent_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            })
+        gids = parts["doc_id"].to_numpy().astype(np.int64)
+        scores = parts["score"].to_numpy().astype(np.float64)
+        pos = np.searchsorted(parents, gids)
+        is_parent = (pos < len(parents)) & (parents[np.minimum(pos, len(parents) - 1)] == gids)
+        gids, scores, pos = gids[is_parent], scores[is_parent], pos[is_parent]
+        order = np.argsort(gids)
+        gids, scores, pos = gids[order], scores[order], pos[order]
+        starts = np.where(pos > 0, parents[np.maximum(pos - 1, 0)] + 1, 0)
+        counts = gids - starts  # children per matching parent (may be 0)
+        child = np.concatenate(
+            [np.arange(s, p, dtype=np.int64) for s, p in zip(starts, gids)]
+        ) if len(gids) else np.empty(0, np.int64)
+        return pa.table({
+            "child_id": pa.array(child, pa.int64()),
+            "parent_id": pa.array(np.repeat(gids, counts), pa.int64()),
+            "score": pa.array(np.repeat(scores, counts), pa.float64()),
+        })
 
     def highlight(self, query: Query, doc_ids: list[int], *, field: str = "content",
                   max_passages: int = 3) -> dict[int, str | None]:

@@ -421,3 +421,32 @@ def test_covering_query_vs_reference(built):
     q = CoveringQuery(tuple(TermQuery(t) for t in terms),
                       field="field_len", mod=1, offset=len(terms) + 1)
     assert len(s.match_ids(q)) == 0
+
+
+def test_to_child_block_join(bj_built):
+    """Every child of a matching parent inherits the parent's score; blocks
+    straddling segment boundaries resolve through global ids."""
+    import pyarrow.dataset as pads
+
+    d, tbl = bj_built
+    s = Searcher(d, dtype=np.float64)
+    pt = pads.dataset(s.reader.docs_files()).to_table(
+        columns=["doc_id", "repo"], filter=pads.field("lang") == "parent")
+    parents = np.sort(pt["doc_id"].to_numpy().astype(np.int64))
+    q = TermQuery("blockparent")
+    res = s.to_child_block_join(q, parents)
+    # child count = total docs minus parents (every child belongs to a block)
+    n_docs = pads.dataset(s.reader.docs_files()).count_rows()
+    assert len(res) == n_docs - len(parents)
+    child = res["child_id"].to_numpy()
+    par = res["parent_id"].to_numpy()
+    # each child maps to the NEXT parent in doc order
+    pos = np.searchsorted(parents, child, side="left")
+    assert (parents[pos] == par).all()
+    assert not np.isin(child, parents).any()
+    # parent scores propagate: per-parent score equals the parent's own hit
+    hits = s.search(q, k=10**6, use_ray=False)
+    smap = dict(zip(hits["doc_id"].to_pylist(), hits["score"].to_pylist()))
+    got = dict(zip(par.tolist(), res["score"].to_pylist()))
+    for p, sc in got.items():
+        assert sc == smap[p]

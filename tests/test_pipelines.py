@@ -94,6 +94,7 @@ FAST_ENTRIES = [
     "ft_ngram",
     "ft_length_filter",
     "ft_docvalues_set",
+    "ft_block_join_children",
 ]
 
 
