@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events.events_sessionize,
         "events_type_stats": events.events_type_stats,
         "events_cumulative": events.events_cumulative,
+        "events_top_users": events.events_top_users,
         # --- facets / grouping / stats ---
         "facet_counts": facets.facet_counts,
         "grouped_topk": facets.grouped_topk,
@@ -323,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": events.SQL_EVENTS_SESSIONIZE,
         "events_type_stats": events.SQL_EVENTS_TYPE_STATS,
         "events_cumulative": events.SQL_EVENTS_CUMULATIVE,
+        "events_top_users": events.SQL_EVENTS_TOP_USERS,
         "facet_counts": facets.SQL_FACET_COUNTS,
         "grouped_topk": facets.SQL_GROUPED_TOPK,
         "lang_char_stats": facets.SQL_LANG_CHAR_STATS,

@@ -257,3 +257,56 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+TOPU_N = 3
+
+
+def events_top_users(sf_dir: str) -> pa.Table:
+    """(hour, rank, user_id, n) — top-TOPU_N users by event count per
+    tumbling hour (ties → user_id asc). Windowed top-k: per-batch partial
+    (hour, user, n) counts → groupby sum → per-hour map_groups head —
+    partials move through the shuffle, never raw events; each hour's top-k
+    is a tiny independent group."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "ts"]).to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["hour", "user_id"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
+    counts = ds.groupby(["hour", "user_id"]).aggregate(Sum("n", alias_name="n"))
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "user_id"], ascending=[False, True]).head(TOPU_N)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    out = counts.groupby("hour").map_groups(topn, batch_format="pandas")
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    df = tbl.to_pandas().sort_values(["hour", "rank"]).reset_index(drop=True)
+    return pa.table({
+        "hour": pa.array(df["hour"], pa.timestamp("us")),
+        "rank": pa.array(df["rank"].astype(np.int64), pa.int64()),
+        "user_id": pa.array(df["user_id"].astype(np.int64), pa.int64()),
+        "n": pa.array(df["n"].astype(np.int64), pa.int64()),
+    })
+
+
+SQL_EVENTS_TOP_USERS = f"""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hour, user_id, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT hour, user_id, n,
+         row_number() OVER (PARTITION BY hour ORDER BY n DESC, user_id ASC) - 1 AS rank
+  FROM c
+)
+SELECT hour, CAST(rank AS BIGINT) AS rank, user_id, CAST(n AS BIGINT) AS n
+FROM r WHERE rank < {TOPU_N} ORDER BY hour, rank
+"""

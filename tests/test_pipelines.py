@@ -95,6 +95,7 @@ FAST_ENTRIES = [
     "ft_length_filter",
     "ft_docvalues_set",
     "ft_block_join_children",
+    "events_top_users",
 ]
 
 
