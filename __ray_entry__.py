@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_ngram": fulltext.ft_ngram,
         "ft_length_filter": fulltext.ft_length_filter,
         "ft_docvalues_set": fulltext.ft_docvalues_set,
+        "ft_func_termfreq": fulltext.ft_func_termfreq,
         "ft_edge_ngram": fulltext.ft_edge_ngram,
         "ft_synonym": fulltext.ft_synonym,
         "ft_english": fulltext.ft_english,  # rows-only: Porter not SQL-expressible
@@ -220,6 +221,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_ngram": fs.sql_topk_variant(fs.prelude_ngram(*fulltext.NGRAM_RANGE), fulltext.NGRAM_SPECS),
         "ft_length_filter": fs.sql_topk_variant(fs.prelude_length_filter(*fulltext.LENGTH_RANGE), fulltext.LENGTH_SPECS),
         "ft_docvalues_set": fs.sql_docvalues_set(fulltext.DV_TERM, fulltext.DV_LANGS, fulltext.DV_LENS, fulltext.TOPK_K),
+        "ft_func_termfreq": fs.sql_func_termfreq(
+            fulltext.FUNC_T1, fulltext.FUNC_T2, fulltext.LTR_RERANK_K, fulltext.TOPK_K,
+            "f.score + 0.5 * ln(1.0 + coalesce(t.tf, 0))"),
         "ft_edge_ngram": fs.sql_topk_variant(
             fs.prelude_edge_ngram(*fulltext.EDGE_NGRAM_RANGE), fulltext.EDGE_SPECS
         ),

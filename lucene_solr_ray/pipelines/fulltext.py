@@ -2607,3 +2607,37 @@ def ft_block_join_children(sf_dir: str) -> pa.Table:
         filter=[DocValuesTermsQuery("repo", BJC_SOURCES)],
     )
     return s.to_child_block_join(q, parents)
+
+
+# Solr function query termfreq() (solr/core/.../search/ValueSourceParser.java
+# "termfreq" → function/TermFreqValueSource)
+FUNC_T1, FUNC_T2 = "merge", "window"
+EXPR_TERMFREQ = "_score + 0.5 * ln(1.0 + tf2)"
+
+
+def ft_func_termfreq(sf_dir: str) -> pa.Table:
+    """termfreq(field, term) as an expression binding: rerank the BM25
+    top-50 for FUNC_T1 by ``_score + 0.5·ln(1 + termfreq(content, FUNC_T2))``
+    (TermFreqValueSource: raw integer tf, 0 when absent). Bit-exact float64
+    expression scores."""
+    from ..search.expressions import compile_expression, evaluate
+
+    s = get_searcher(sf_dir)
+    first = s.search({"q": TermQuery(FUNC_T1)}, k=LTR_RERANK_K, use_ray=True)
+    ids = first["doc_id"].to_numpy().astype(np.int64)
+    scores = np.asarray(first["score"].to_numpy(), np.float64)
+    tv = s.term_vectors(ids.tolist())
+    tfm: dict[int, int] = {}
+    for d, t, f in zip(tv["doc_id"].to_pylist(), tv["term"].to_pylist(),
+                       tv["tf"].to_pylist()):
+        if t == FUNC_T2:
+            tfm[d] = f
+    tf2 = np.array([tfm.get(int(d), 0) for d in ids], dtype=np.float64)
+    vals = evaluate(compile_expression(EXPR_TERMFREQ),
+                    {"_score": scores, "tf2": tf2})
+    order = np.lexsort((ids, -vals))[:TOPK_K]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order)), pa.int64()),
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "expr_score": pa.array(vals[order], pa.float64()),
+    })

@@ -1868,3 +1868,23 @@ FROM corpus c JOIN par p ON c.source = p.source
 WHERE c.path <> 'zzz/parent'
 ORDER BY child_id
 """
+
+
+def sql_func_termfreq(t1: str, t2: str, first_k: int, k: int, expr_sql: str) -> str:
+    """termfreq() function-query oracle: BM25 top-first_k for t1, rerank by
+    the expression over (score, termfreq(t2)) — engine float64 op order."""
+    return prelude() + "," + _score_cte([t1]) + f""",
+first AS (
+  SELECT did, s AS score FROM sc WHERE tok = '{t1}'
+  ORDER BY s DESC, did ASC LIMIT {first_k}
+),
+tfq AS (SELECT did, tf FROM tf WHERE tok = '{t2}'),
+vals AS (
+  SELECT f.did, {expr_sql} AS expr_score
+  FROM first f LEFT JOIN tfq t ON f.did = t.did
+)
+SELECT CAST(row_number() OVER (ORDER BY expr_score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id,
+       CAST(expr_score AS DOUBLE) AS expr_score
+FROM vals ORDER BY expr_score DESC, did ASC LIMIT {k}
+"""

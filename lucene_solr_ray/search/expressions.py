@@ -139,7 +139,15 @@ def _eval_one(node, binds: dict) -> float:
         return float(fn(*(_eval_one(a, binds) for a in node[2])))
     a = _eval_one(node[1], binds)
     b = _eval_one(node[2], binds)
-    return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[k]
+    # dispatch lazily: an eager dict would evaluate a/b for every node and
+    # raise ZeroDivisionError whenever the right operand is 0
+    if k == "+":
+        return a + b
+    if k == "-":
+        return a - b
+    if k == "*":
+        return a * b
+    return a / b
 
 
 def evaluate(node, bindings: dict[str, np.ndarray]) -> np.ndarray:

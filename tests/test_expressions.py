@@ -54,3 +54,15 @@ def test_sql_rendering_matches_duckdb():
     sql = to_sql(ast, {"s": "s", "f": "f"})
     got = duckdb.sql(f"SELECT {sql} AS v FROM (SELECT 1.75::DOUBLE AS s, 37.0::DOUBLE AS f)").fetchone()[0]
     assert got == py  # bit-exact: same association order, libm both sides
+
+
+def test_zero_right_operand_does_not_divide():
+    import numpy as np
+
+    from lucene_solr_ray.search.expressions import compile_expression, evaluate
+
+    # regression: the evaluator once computed a/b eagerly for every binary
+    # node, raising ZeroDivisionError whenever the right operand was 0
+    node = compile_expression("ln(1.0 + x)")
+    out = evaluate(node, {"x": np.array([0.0, 1.0])})
+    assert out[0] == 0.0 and out[1] > 0.0

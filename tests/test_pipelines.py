@@ -96,6 +96,7 @@ FAST_ENTRIES = [
     "ft_docvalues_set",
     "ft_block_join_children",
     "events_top_users",
+    "ft_func_termfreq",
 ]
 
 
