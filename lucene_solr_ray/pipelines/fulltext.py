@@ -2641,3 +2641,17 @@ def ft_func_termfreq(sf_dir: str) -> pa.Table:
         "doc_id": pa.array(ids[order], pa.int64()),
         "expr_score": pa.array(vals[order], pa.float64()),
     })
+
+
+# WordBreakSpellChecker (suggest/spell/WordBreakSpellChecker.java)
+WB_INPUTS = ["mergetable", "windowkey", "fastscan", "notaword"]
+
+
+def ft_wordbreak(sf_dir: str) -> pa.Table:
+    """Word-break suggestions: splits of run-together inputs where both
+    halves are dictionary terms, ranked (max df desc, lhs asc);
+    'notaword' pins the no-suggestion case."""
+    from ..search.suggest import word_breaks
+
+    s = get_searcher(sf_dir)
+    return word_breaks(s.reader, WB_INPUTS)

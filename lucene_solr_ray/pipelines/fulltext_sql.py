@@ -1888,3 +1888,28 @@ SELECT CAST(row_number() OVER (ORDER BY expr_score DESC, did ASC) - 1 AS BIGINT)
        CAST(expr_score AS DOUBLE) AS expr_score
 FROM vals ORDER BY expr_score DESC, did ASC LIMIT {k}
 """
+
+
+def sql_wordbreak(inputs: list[str], num: int) -> str:
+    """WordBreakSpellChecker oracle: single-break splits with both halves in
+    the dictionary, ranked (max(df) desc, lhs asc) per input."""
+    vals = ", ".join(f"('{t}')" for t in inputs)
+    return prelude() + f""",
+df AS (SELECT tok, count(DISTINCT did) AS df FROM tf GROUP BY tok),
+inputs(term) AS (VALUES {vals}),
+splits AS (
+  SELECT i.term, p, substr(i.term, 1, p) AS lhs, substr(i.term, p + 1) AS rhs
+  FROM inputs i, unnest(generate_series(1, length(i.term) - 1)) AS s(p)
+),
+cand AS (
+  SELECT s.term, s.lhs, s.rhs, greatest(dl.df, dr.df) AS freq
+  FROM splits s JOIN df dl ON dl.tok = s.lhs JOIN df dr ON dr.tok = s.rhs
+),
+ranked AS (
+  SELECT term AS input,
+         CAST(row_number() OVER (PARTITION BY term ORDER BY freq DESC, lhs ASC) - 1 AS BIGINT) AS rank,
+         lhs, rhs, CAST(freq AS BIGINT) AS freq
+  FROM cand
+)
+SELECT * FROM ranked WHERE rank < {num} ORDER BY input, rank
+"""

@@ -136,3 +136,51 @@ def suggest_infix(reader, substring: str, num: int = 5,
         "term": pa.array(terms[order], pa.string()),
         "df": pa.array(df[order].astype(np.int64), pa.int64()),
     })
+
+
+def word_breaks(reader, terms: list[str], num: int = 5, min_freq: int = 1,
+                field: str = CONTENT_FIELD) -> pa.Table:
+    """WordBreakSpellChecker.suggestWordBreaks analog (lucene/suggest/.../
+    spell/WordBreakSpellChecker.java:90-121, maxChanges=1): every split
+    (lhs, rhs) of an input where both halves are dictionary terms with
+    df ≥ min_freq; ranked NUM_CHANGES_THEN_MAX_FREQUENCY — one break
+    everywhere, so (max(df_l, df_r) desc, lhs asc); the reference's heap
+    order on freq ties is unspecified, the lhs tie-break pins ours.
+
+    Distributed df lookup: ONE pruned postings scan filtered to the ≤2·Σlen
+    candidate half-strings (is_in prefilter per block), tiny partials."""
+    import pyarrow.compute as pc
+
+    halves: set[str] = set()
+    for t in terms:
+        for i in range(1, len(t)):
+            halves.add(t[:i])
+            halves.add(t[i:])
+    hv = pa.array(sorted(halves), pa.string())
+
+    def flt(ts):
+        return pc.is_in(ts, value_set=hv).to_numpy(zero_copy_only=False)
+
+    tbl = _term_df(reader, field, flt)
+    dfm = dict(zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist())))
+    out_i, out_r, out_l, out_rh, out_f = [], [], [], [], []
+    for t in terms:
+        cands = []
+        for i in range(1, len(t)):
+            dl, dr = dfm.get(t[:i], 0), dfm.get(t[i:], 0)
+            if dl >= min_freq and dr >= min_freq:
+                cands.append((max(dl, dr), t[:i], t[i:]))
+        cands.sort(key=lambda c: (-c[0], c[1]))
+        for r, (f, lh, rh) in enumerate(cands[:num]):
+            out_i.append(t)
+            out_r.append(r)
+            out_l.append(lh)
+            out_rh.append(rh)
+            out_f.append(f)
+    return pa.table({
+        "input": pa.array(out_i, pa.string()),
+        "rank": pa.array(out_r, pa.int64()),
+        "lhs": pa.array(out_l, pa.string()),
+        "rhs": pa.array(out_rh, pa.string()),
+        "freq": pa.array(out_f, pa.int64()),
+    })

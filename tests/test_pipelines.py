@@ -97,6 +97,7 @@ FAST_ENTRIES = [
     "ft_block_join_children",
     "events_top_users",
     "ft_func_termfreq",
+    "ft_wordbreak",
 ]
 
 
