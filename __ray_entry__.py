@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "st_cartesian": streaming_exprs.st_cartesian,
         # --- multimodal plumbing ---
         "mm_payload_features": multimodal.mm_payload_features,
+        "mm_frame_sample": multimodal.mm_frame_sample,
+        "mm_resize": multimodal.mm_resize,
         # --- percolator (MemoryIndex reverse search) ---
         "percolate": percolate.percolate,
         # --- spatial (LatLonPoint / geodist analogs over derived points) ---
@@ -349,6 +351,8 @@ def oracle_sql() -> dict[str, str]:
         "st_update": streaming_exprs.SQL_ST_UPDATE,
         "st_cartesian": streaming_exprs.SQL_ST_CARTESIAN,
         "mm_payload_features": multimodal.SQL_MM_PAYLOAD_FEATURES,
+        "mm_frame_sample": multimodal.SQL_MM_FRAME_SAMPLE,
+        "mm_resize": multimodal.SQL_MM_RESIZE,
         "percolate": percolate.SQL_PERCOLATE,
         "geo_box": spatial.SQL_GEO_BOX,
         "geo_distance_topk": spatial.SQL_GEO_DISTANCE_TOPK,

@@ -64,7 +64,8 @@ def mm_payload_features(sf_dir: str) -> pa.Table:
         PayloadFeaturizer,
         batch_format="pyarrow",
         batch_size=256,  # wide binary rows → small batches
-        concurrency=(1, 2),
+        concurrency=(1, 8),
+        max_restarts=0,
     )
     return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
 
@@ -77,4 +78,109 @@ SELECT doc_id,
        CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
           + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS BIGINT) AS feat0_255
 FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling + resize (the video/image counterparts of the decode stage;
+# same honest-stub policy — byte-window "frames" stand in for codec output,
+# the Ray plumbing/explode/actor shapes are real)
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 16   # bytes per "frame"
+FRAME_STEP = 3     # sample every 3rd frame (fps downsampling)
+RESIZE_SRC = 64    # "image" = first 64 payload bytes
+RESIZE_FACTOR = 4  # keep every 4th byte
+
+
+class FrameSampler:
+    """Actor-pool stage: explode each payload into sampled frame rows —
+    one output row per kept frame (video frame-sample shape: rows multiply,
+    so batches stay small and the explode happens inside the task)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_d, out_f, out_md5 = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            payload = (t or "").encode("utf-8")
+            n_frames = len(payload) // FRAME_BYTES
+            for fi in range(0, n_frames, FRAME_STEP):
+                frame = payload[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                out_d.append(d)
+                out_f.append(fi)
+                out_md5.append(hashlib.md5(frame).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "frame_idx": pa.array(out_f, pa.int64()),
+            "frame_md5": pa.array(out_md5, pa.string()),
+        })
+
+
+def mm_frame_sample(sf_dir: str) -> pa.Table:
+    """(doc_id, frame_idx, frame_md5): every FRAME_STEP-th FRAME_BYTES-wide
+    frame of each payload."""
+    from .io import sized_read
+
+    ds = sized_read(f"{sf_dir}/documents.parquet").map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=(1, 8),
+        max_restarts=0,
+    )
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending"), ("frame_idx", "ascending")]
+    )
+
+
+SQL_MM_FRAME_SAMPLE = f"""
+WITH f AS (
+  SELECT doc_id, text, length(text) // {FRAME_BYTES} AS n_frames FROM documents
+)
+SELECT doc_id,
+       CAST(fi AS BIGINT) AS frame_idx,
+       md5(substr(text, fi * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+FROM f, unnest(generate_series(0, n_frames - 1, {FRAME_STEP})) AS t(fi)
+WHERE n_frames > 0
+ORDER BY doc_id, frame_idx
+"""
+
+
+class Resizer:
+    """Actor-pool stage: stride-downsample the first RESIZE_SRC bytes (the
+    image-resize counterpart — a real kernel would swap in here)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_d, out_n, out_md5 = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            src = (t or "").encode("utf-8")[:RESIZE_SRC]
+            small = src[::RESIZE_FACTOR]
+            out_d.append(d)
+            out_n.append(len(small))
+            out_md5.append(hashlib.md5(small).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "out_len": pa.array(out_n, pa.int64()),
+            "resized_md5": pa.array(out_md5, pa.string()),
+        })
+
+
+def mm_resize(sf_dir: str) -> pa.Table:
+    """(doc_id, out_len, resized_md5): every RESIZE_FACTOR-th byte of the
+    first RESIZE_SRC payload bytes."""
+    from .io import sized_read
+
+    ds = sized_read(f"{sf_dir}/documents.parquet").map_batches(
+        Resizer, batch_format="pyarrow", batch_size=256, concurrency=(1, 8),
+        max_restarts=0,
+    )
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+
+
+SQL_MM_RESIZE = f"""
+WITH src AS (SELECT doc_id, substr(text, 1, {RESIZE_SRC}) AS s FROM documents),
+small AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           generate_series(1, length(s), {RESIZE_FACTOR}), i -> s[i:i]), '') AS r
+  FROM src
+)
+SELECT doc_id, CAST(length(r) AS BIGINT) AS out_len, md5(r) AS resized_md5
+FROM small ORDER BY doc_id
 """

@@ -98,6 +98,8 @@ FAST_ENTRIES = [
     "events_top_users",
     "ft_func_termfreq",
     "ft_wordbreak",
+    "mm_frame_sample",
+    "mm_resize",
 ]
 
 
