@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
+        "emb_quantize": ann.emb_quantize,
         "ann_lsh_topk": ann.ann_lsh_topk,  # approximate: rows-only check; recall pinned in pytest
         "ann_ivf_topk": ann.ann_ivf_topk,  # approximate (IVF): rows-only; recall + scan bound in pytest
         # --- events / windows ---
@@ -327,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_dup_pairs": dedup.SQL_EMBED_DUP_PAIRS,
         "dedup_clusters": dedup.SQL_DEDUP_CLUSTERS,
         "ann_topk": ann.SQL_ANN_TOPK,
+        "emb_quantize": ann.SQL_EMB_QUANTIZE,
         "events_hourly": events.SQL_EVENTS_HOURLY,
         "events_hopping": events.SQL_EVENTS_HOPPING,
         "events_sessionize": events.SQL_EVENTS_SESSIONIZE,

@@ -379,3 +379,60 @@ def ann_lsh_topk(sf_dir: str, stats: dict | None = None) -> pa.Table:
         }
     )
     return _merge_topk(parts)
+
+
+def emb_quantize(sf_dir: str) -> pa.Table:
+    """Per-vector min-max scalar quantization to 8-bit levels (the standard
+    embedding-compression step before ANN at scale; Lucene 9's
+    ScalarQuantizer semantics family): q = floor((v-min)/(max-min)*255+0.5),
+    all-equal vectors quantize to 0. Fully vectorized — one matrix op per
+    batch; emits summary columns (sum/first/last) instead of the quantized
+    payload so the oracle compares integers.
+    → (vec_id, vmin, vmax, q_sum, q_first, q_last)."""
+    from ..util.vectors import vec_matrix
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        m = vec_matrix(batch["embedding"], dtype=np.float64)
+        mn = m.min(axis=1)
+        mx = m.max(axis=1)
+        rng = mx - mn
+        safe = np.where(rng == 0.0, 1.0, rng)
+        q = np.floor((m - mn[:, None]) / safe[:, None] * 255.0 + 0.5)
+        q[rng == 0.0, :] = 0.0
+        q = q.astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "vmin": pa.array(mn, pa.float64()),
+            "vmax": pa.array(mx, pa.float64()),
+            "q_sum": pa.array(q.sum(axis=1), pa.int64()),
+            "q_first": pa.array(q[:, 0], pa.int64()),
+            "q_last": pa.array(q[:, -1], pa.int64()),
+        })
+
+    ds = _emb(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by("vec_id")
+
+
+SQL_EMB_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, embedding AS v,
+         CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+         CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, mn, mx,
+         CASE WHEN mx = mn
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x ->
+                CAST(floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT))
+         END AS qv
+  FROM e
+)
+SELECT vec_id, mn AS vmin, mx AS vmax,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       CAST(qv[1] AS BIGINT) AS q_first,
+       CAST(qv[len(qv)] AS BIGINT) AS q_last
+FROM q ORDER BY vec_id
+"""

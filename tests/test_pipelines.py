@@ -100,6 +100,7 @@ FAST_ENTRIES = [
     "ft_wordbreak",
     "mm_frame_sample",
     "mm_resize",
+    "emb_quantize",
 ]
 
 
