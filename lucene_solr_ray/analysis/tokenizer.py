@@ -42,6 +42,9 @@ ENGLISH_STOP_WORDS: frozenset[str] = frozenset(
 # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH (StandardAnalyzer.java:62)
 MAX_TOKEN_LENGTH = 255
 
+#: ReversedWildcardFilter marker (START_OF_HEADING, the Solr factory default)
+REV_MARKER = ""
+
 # \w+ with Unicode: runs of [\p{L}\p{N}_] — matches DuckDB RE2 '[\p{L}\p{N}_]+'
 TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
@@ -110,6 +113,12 @@ class StandardAnalyzer:
     #: shorter than min vanish); the first gram keeps the token's position,
     #: the rest are overlaps.
     edge_ngrams: tuple[int, int] | None = None
+    #: ReversedWildcardFilter (solr/core/.../analysis/ReversedWildcardFilter
+    #: Factory): ADD a marker-prefixed reversed twin of every kept token as a
+    #: posIncr-0 overlap — leading wildcards then rewrite to PREFIX queries
+    #: on the reversed twins (row-group-stats pushdown instead of a full
+    #: dictionary scan).
+    reverse_overlap: bool = False
     #: LengthFilter (min, max): drop tokens whose length is outside the
     #: bounds (analysis/miscellaneous/LengthFilter.java); like the stop
     #: filter, dropped tokens still consume a position. Applied after
@@ -151,6 +160,7 @@ class StandardAnalyzer:
             or self.shingle is not None
             or self.edge_ngrams is not None
             or self.ngrams is not None
+            or self.reverse_overlap
         )
 
 
@@ -300,6 +310,8 @@ def _analyze_full(
         for t, p, s, e in kept:
             for syn in smap.get(t, ()):
                 out.append((syn, p, s, e, True))
+    if analyzer.reverse_overlap:
+        out.extend((REV_MARKER + t[::-1], p, s, e, True) for t, p, s, e in kept)
     out.sort(key=lambda r: r[1])  # stable: anchors before their expansions
     return out
 
@@ -491,6 +503,15 @@ class ArrowAnalyzer:
                     positions[sel] if positions is not None else None,
                     True,
                 )
+
+        if a.reverse_overlap:
+            rev_vocab = pa.array([REV_MARKER + v[::-1] for v in vocab], pa.string())
+            add(
+                pc.take(rev_vocab, pa.array(codes, pa.int64())),
+                doc_idx,
+                positions,
+                True,
+            )
 
         terms = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts_t])
         d_out = np.concatenate(parts_d) if parts_d else np.empty(0, np.int64)

@@ -2655,3 +2655,28 @@ def ft_wordbreak(sf_dir: str) -> pa.Table:
 
     s = get_searcher(sf_dir)
     return word_breaks(s.reader, WB_INPUTS)
+
+
+# ReversedWildcardFilter (solr/core/src/java/org/apache/solr/analysis/
+# ReversedWildcardFilterFactory.java)
+REVWILD_SUFFIXES = ["dow", "ble", "rge", "xyz"]
+
+
+def ft_reverse_wildcard(sf_dir: str) -> pa.Table:
+    """Leading-wildcard acceleration: the reversed-twin index turns
+    ``*suffix`` into PrefixQuery(marker + reversed(suffix)) — a sorted-term
+    row-group-stats pushdown instead of a full dictionary scan. Full match
+    sets per suffix; 'xyz' pins the empty case."""
+    from ..analysis.tokenizer import REV_MARKER, StandardAnalyzer
+
+    an = StandardAnalyzer(reverse_overlap=True)
+    s = get_searcher_variant(sf_dir, "revwild", an)
+    out = []
+    for suf in REVWILD_SUFFIXES:
+        q = PrefixQuery(REV_MARKER + suf[::-1])
+        ids = s.match_ids(q)
+        out.append(pa.table({
+            "query_id": pa.array([f"rw_{suf}"] * len(ids), pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+        }))
+    return pa.concat_tables(out)

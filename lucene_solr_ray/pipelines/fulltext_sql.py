@@ -1913,3 +1913,26 @@ ranked AS (
 )
 SELECT * FROM ranked WHERE rank < {num} ORDER BY input, rank
 """
+
+
+def sql_reverse_wildcard(suffixes: list[str]) -> str:
+    """Leading-wildcard oracle: docs with any kept token ending in the
+    suffix (what the reversed-prefix rewrite must equal)."""
+    parts = [
+        f"""
+SELECT 'rw_{suf}' AS query_id, CAST(did AS BIGINT) AS doc_id
+FROM (SELECT DISTINCT did FROM kept WHERE tok LIKE '%{suf}')
+ORDER BY doc_id"""
+        for suf in suffixes
+    ]
+    body = "\nUNION ALL\n".join(f"({p})" for p in parts)
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL})
+)
+{body}
+"""

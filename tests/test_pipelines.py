@@ -101,6 +101,7 @@ FAST_ENTRIES = [
     "mm_frame_sample",
     "mm_resize",
     "emb_quantize",
+    "ft_reverse_wildcard",
 ]
 
 
