@@ -2680,3 +2680,35 @@ def ft_reverse_wildcard(sf_dir: str) -> pa.Table:
             "doc_id": pa.array(ids, pa.int64()),
         }))
     return pa.concat_tables(out)
+
+
+# Query-time graph synonyms (util/QueryBuilder.analyzeGraphPhrase: a
+# multi-word synonym makes the token stream a graph; matching = disjunction
+# over the enumerated paths)
+GRAPH_SYN_SPECS = [
+    # query text ~ "fast scan", synonym spark ↔ "fast scan"
+    {"qid": "gs_fastscan", "paths": [["fast", "scan"], ["spark"]]},
+    # "big order" with synonym "bulk" (absent term → phrase-only path)
+    {"qid": "gs_bigorder", "paths": [["big", "order"], ["bulk"]]},
+]
+
+
+def ft_graph_synonym(sf_dir: str) -> pa.Table:
+    """Multi-word query-time synonyms: each spec's token graph enumerates to
+    a disjunction of one PhraseQuery per path (what QueryBuilder builds for
+    graph token streams pre-SpanNear); full match sets per query."""
+    s = get_searcher(sf_dir)
+    out = []
+    for sp in GRAPH_SYN_SPECS:
+        clauses = []
+        for path in sp["paths"]:
+            if len(path) == 1:
+                clauses.append(TermQuery(path[0]))
+            else:
+                clauses.append(PhraseQuery(tuple(path), tuple(range(len(path)))))
+        ids = s.match_ids(BooleanQuery(should=clauses))
+        out.append(pa.table({
+            "query_id": pa.array([sp["qid"]] * len(ids), pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+        }))
+    return pa.concat_tables(out)

@@ -1936,3 +1936,33 @@ kept AS (
 )
 {body}
 """
+
+
+def sql_graph_synonym(specs: list[dict]) -> str:
+    """Graph-synonym oracle: union of per-path positional matches (phrase
+    self-joins for multi-token paths, simple membership for single terms)."""
+    path_sqls = []
+    for sp in specs:
+        per_path = []
+        for path in sp["paths"]:
+            if len(path) == 1:
+                per_path.append(
+                    f"SELECT DISTINCT did FROM ktp WHERE tok = '{path[0]}'"
+                )
+            else:
+                joins = " ".join(
+                    f"JOIN ktp t{i} ON t{i}.did = t0.did AND t{i}.p = t0.p + {i}"
+                    for i in range(1, len(path))
+                )
+                conds = " AND ".join(
+                    f"t{i}.tok = '{t}'" for i, t in enumerate(path)
+                )
+                per_path.append(
+                    f"SELECT DISTINCT t0.did AS did FROM ktp t0 {joins} WHERE {conds}"
+                )
+        union = " UNION ".join(f"({p})" for p in per_path)
+        path_sqls.append(f"""
+SELECT '{sp["qid"]}' AS query_id, CAST(did AS BIGINT) AS doc_id
+FROM ({union}) ORDER BY doc_id""")
+    body = "\nUNION ALL\n".join(f"({p})" for p in path_sqls)
+    return f"WITH {CORPUS_CTE},{_TOKPOS_CTES.lstrip()}\n{body}\n"

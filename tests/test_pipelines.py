@@ -102,6 +102,7 @@ FAST_ENTRIES = [
     "mm_resize",
     "emb_quantize",
     "ft_reverse_wildcard",
+    "ft_graph_synonym",
 ]
 
 
