@@ -2712,3 +2712,51 @@ def ft_graph_synonym(sf_dir: str) -> pa.Table:
             "doc_id": pa.array(ids, pa.int64()),
         }))
     return pa.concat_tables(out)
+
+
+# tf-idf keyword extraction (MoreLikeThis.interestingTerms surfaced per doc)
+KW_DOC_IDS = [0, 3, 7, 11, 19]
+KW_TOP = 3
+
+
+def ft_keywords(sf_dir: str) -> pa.Table:
+    """Top-KW_TOP tf·idf terms per selected doc (the MLT interestingTerms
+    ranking as a per-document keyword extractor): score = tf · idf with the
+    engine's BM25 idf, rank (score desc, term asc). Distributed df lookup
+    prefiltered to the docs' own vocabularies."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from ..search.suggest import _term_df
+
+    s = get_searcher(sf_dir)
+    tv = s.term_vectors(KW_DOC_IDS)
+    vocab = pa.array(sorted(set(tv["term"].to_pylist())), pa.string())
+
+    def flt(ts):
+        return pc.is_in(ts, value_set=vocab).to_numpy(zero_copy_only=False)
+
+    df_tbl = _term_df(s.reader, "content", flt)
+    dfm = dict(zip(df_tbl["term"].to_pylist(), (int(x) for x in df_tbl["df"].to_pylist())))
+    N = s.reader.stats.doc_count
+    out_d, out_r, out_t, out_s = [], [], [], []
+    tvp = tv.to_pandas()
+    for d, grp in tvp.groupby("doc_id"):
+        scored = []
+        for t, f in zip(grp["term"], grp["tf"]):
+            df = dfm.get(t, 0)
+            idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+            scored.append((float(f) * idf, t))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for r, (sc, t) in enumerate(scored[:KW_TOP]):
+            out_d.append(int(d))
+            out_r.append(r)
+            out_t.append(t)
+            out_s.append(sc)
+    return pa.table({
+        "doc_id": pa.array(out_d, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "term": pa.array(out_t, pa.string()),
+        "score": pa.array(out_s, pa.float64()),
+    })

@@ -1966,3 +1966,20 @@ SELECT '{sp["qid"]}' AS query_id, CAST(did AS BIGINT) AS doc_id
 FROM ({union}) ORDER BY doc_id""")
     body = "\nUNION ALL\n".join(f"({p})" for p in path_sqls)
     return f"WITH {CORPUS_CTE},{_TOKPOS_CTES.lstrip()}\n{body}\n"
+
+
+def sql_keywords(doc_ids: list[int], top: int) -> str:
+    """tf·idf keyword oracle: per-doc rank by tf·idf (engine BM25 idf)."""
+    dl = ", ".join(str(d) for d in doc_ids)
+    return prelude() + f"""
+SELECT CAST(did AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank, term,
+       CAST(score AS DOUBLE) AS score
+FROM (
+  SELECT k.did, k.tok AS term, k.tf * i.idf AS score,
+         row_number() OVER (PARTITION BY k.did
+                            ORDER BY k.tf * i.idf DESC, k.tok ASC) - 1 AS rank
+  FROM tf k JOIN idf i ON k.tok = i.tok
+  WHERE k.did IN ({dl})
+)
+WHERE rank < {top} ORDER BY doc_id, rank
+"""

@@ -103,6 +103,7 @@ FAST_ENTRIES = [
     "emb_quantize",
     "ft_reverse_wildcard",
     "ft_graph_synonym",
+    "ft_keywords",
 ]
 
 
