@@ -2760,3 +2760,28 @@ def ft_keywords(sf_dir: str) -> pa.Table:
         "term": pa.array(out_t, pa.string()),
         "score": pa.array(out_s, pa.float64()),
     })
+
+
+# DiversifiedTopDocsCollector (lucene/misc/src/java/org/apache/lucene/
+# search/DiversifiedTopDocsCollector.java)
+DIVERS_TERM = "merge"
+DIVERS_MAX_PER_KEY = 2
+
+
+def ft_diversified(sf_dir: str) -> pa.Table:
+    """Diversified top-k: global top-TOPK_K with at most DIVERS_MAX_PER_KEY
+    hits per lang key. Derivation: any diversified hit must be in its key's
+    top-maxPerKey, so the grouped two-pass scatter (per-key top-maxPerKey
+    partials) feeds a tiny driver merge. Bit-exact scores (single term)."""
+    s = get_searcher(sf_dir)
+    g = s.search_grouped(TermQuery(DIVERS_TERM), "lang",
+                         n_groups=1000, docs_per_group=DIVERS_MAX_PER_KEY)
+    df = g.to_pandas()
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(TOPK_K)
+    df = df.reset_index(drop=True)
+    return pa.table({
+        "rank": pa.array(np.arange(len(df), dtype=np.int64), pa.int64()),
+        "doc_id": pa.array(df["doc_id"].astype(np.int64), pa.int64()),
+        "lang": pa.array(df["group"].astype(str), pa.string()),
+        "score": pa.array(df["score"].astype(np.float64), pa.float64()),
+    })

@@ -1983,3 +1983,23 @@ FROM (
 )
 WHERE rank < {top} ORDER BY doc_id, rank
 """
+
+
+def sql_diversified(term: str, max_per_key: int, k: int) -> str:
+    """DiversifiedTopDocsCollector oracle: global top-k with ≤max_per_key
+    hits per lang (within-key prune by (score desc, doc asc))."""
+    return prelude() + "," + _score_cte([term]) + f""",
+keyranked AS (
+  SELECT s.did, c.lang, s.s AS score,
+         row_number() OVER (PARTITION BY c.lang ORDER BY s.s DESC, s.did ASC) AS kr
+  FROM sc s JOIN corpus c ON s.did = c.did
+)
+SELECT CAST(rank AS BIGINT) AS rank, CAST(did AS BIGINT) AS doc_id, lang,
+       CAST(score AS DOUBLE) AS score
+FROM (
+  SELECT did, lang, score,
+         row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS rank
+  FROM keyranked WHERE kr <= {max_per_key}
+)
+WHERE rank < {k} ORDER BY rank
+"""

@@ -104,6 +104,7 @@ FAST_ENTRIES = [
     "ft_reverse_wildcard",
     "ft_graph_synonym",
     "ft_keywords",
+    "ft_diversified",
 ]
 
 
