@@ -174,53 +174,108 @@ def add_indexes(index_dir: str, *source_dirs: str) -> dict:
         if _has_stored_content(sreader) != dest_sc:
             raise ValueError(f"addIndexes stored-content mismatch with {src}")
         for s in sorted(sreader.segments, key=lambda r: r["doc_base"]):
-            sd = sreader.seg_dir(s["seg"])
             new_seg = seg_next
             seg_next += 1
-            seg_d = segment_dir(index_dir, new_seg)
-            tmp_d = seg_d + ".adding"
-            if os.path.exists(tmp_d):
-                shutil.rmtree(tmp_d)
-            shutil.copytree(sd, tmp_d)
-            # rewrite global doc ids (rows stay in doc order)
-            p = os.path.join(tmp_d, "docs.parquet")
-            t = pq.read_table(p)
-            new_ids = pa.array(
-                doc_base + np.arange(t.num_rows, dtype=np.int64), pa.int64()
-            )
-            t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id", new_ids)
-            pq.write_table(t, p, row_group_size=65536)
-            # rewrite the postings' seg column (scatter paths filter the
-            # concatenated postings by seg — a stale id would collide with an
-            # existing segment and double its postings)
-            pp = os.path.join(tmp_d, "postings.parquet")
-            pt = pq.read_table(pp)
-            pt = pt.set_column(
-                pt.schema.get_field_index("seg"), "seg",
-                pa.array(np.full(pt.num_rows, new_seg, dtype=np.int32), pa.int32()),
-            )
-            pq.write_table(pt, pp, row_group_size=8192)
-            meta_p = os.path.join(tmp_d, "_SEGMENT.json")
-            try:
-                with open(meta_p) as f:
-                    meta = json.load(f)
-                meta["seg"] = new_seg
-                meta["doc_base"] = int(doc_base)
-                with open(meta_p, "w") as f:
-                    json.dump(meta, f)
-            except (OSError, json.JSONDecodeError):
-                pass
-            os.rename(tmp_d, seg_d)
             segments.append(
-                {
-                    "seg": new_seg,
-                    "doc_base": int(doc_base),
-                    **{k: s[k] for k in ("doc_count", "sum_len", "num_terms",
-                                          "sum_df", "sum_ttf")},
-                }
+                _copy_segment_rebased(
+                    sreader.seg_dir(s["seg"]), index_dir, new_seg, doc_base, s
+                )
             )
             doc_base += s["doc_count"]
     return _commit_manifest(index_dir, reader, segments,
+                            overrides={"sort_fields": []})
+
+
+def _copy_segment_rebased(src_seg_dir: str, dest_index_dir: str, new_seg: int,
+                          doc_base: int, s: dict) -> dict:
+    """Copy one segment directory under a new id with a rebased global
+    doc-id range (docs.parquet doc_id rewritten; postings store LOCAL ids
+    and copy byte-identical except the seg routing column). Atomic via a
+    temp dir + rename. → the manifest row for the copied segment."""
+    import shutil
+
+    from .segment import segment_dir
+
+    seg_d = segment_dir(dest_index_dir, new_seg)
+    tmp_d = seg_d + ".adding"
+    if os.path.exists(tmp_d):
+        shutil.rmtree(tmp_d)
+    shutil.copytree(src_seg_dir, tmp_d)
+    # rewrite global doc ids (rows stay in doc order)
+    p = os.path.join(tmp_d, "docs.parquet")
+    t = pq.read_table(p)
+    new_ids = pa.array(
+        doc_base + np.arange(t.num_rows, dtype=np.int64), pa.int64()
+    )
+    t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id", new_ids)
+    pq.write_table(t, p, row_group_size=65536)
+    # rewrite the postings' seg column (scatter paths filter the
+    # concatenated postings by seg — a stale id would collide with an
+    # existing segment and double its postings)
+    pp = os.path.join(tmp_d, "postings.parquet")
+    pt = pq.read_table(pp)
+    pt = pt.set_column(
+        pt.schema.get_field_index("seg"), "seg",
+        pa.array(np.full(pt.num_rows, new_seg, dtype=np.int32), pa.int32()),
+    )
+    pq.write_table(pt, pp, row_group_size=8192)
+    meta_p = os.path.join(tmp_d, "_SEGMENT.json")
+    try:
+        with open(meta_p) as f:
+            meta = json.load(f)
+        meta["seg"] = new_seg
+        meta["doc_base"] = int(doc_base)
+        with open(meta_p, "w") as f:
+            json.dump(meta, f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    os.rename(tmp_d, seg_d)
+    return {
+        "seg": new_seg,
+        "doc_base": int(doc_base),
+        **{k: s[k] for k in ("doc_count", "sum_len", "num_terms",
+                              "sum_df", "sum_ttf")},
+    }
+
+
+def split_index(src_dir: str, dest_dir: str, seg_ids: list[int]) -> dict:
+    """IndexSplitter analog (``lucene/misc/src/java/org/apache/lucene/index/
+    IndexSplitter.java:133`` split(destDir, segs)): copy the NAMED segments
+    of ``src_dir`` into a fresh standalone index at ``dest_dir`` — the
+    segment-granularity reshard (split a too-big index, peel hot partitions
+    onto their own serving tier). Payloads copy byte-identical modulo the
+    dense doc-id rebase; the destination manifest re-aggregates stats from
+    the copied segments and keeps the source's config (positions,
+    keyword_fields); the index sort is cleared (doc_id = sort-rank no longer
+    holds on a subset)."""
+    import types
+
+    sreader = IndexReader(src_dir)
+    want = set(seg_ids)
+    chosen = [s for s in sorted(sreader.segments, key=lambda r: r["doc_base"])
+              if s["seg"] in want]
+    if len(chosen) != len(want):
+        have = {s["seg"] for s in chosen}
+        raise KeyError(f"unknown segment ids: {sorted(want - have)}")
+    os.makedirs(dest_dir, exist_ok=True)
+    doc_base = 0
+    segments = []
+    for new_seg, s in enumerate(chosen):
+        segments.append(
+            _copy_segment_rebased(
+                sreader.seg_dir(s["seg"]), dest_dir, new_seg, doc_base, s
+            )
+        )
+        doc_base += s["doc_count"]
+
+    # a reader shim whose seg_dir always misses: _commit_manifest then reads
+    # every _SEGMENT.json from the DESTINATION directory (new ids would
+    # otherwise collide with source ids and pull the wrong field stats)
+    def _miss(seg):
+        raise KeyError(seg)
+
+    shim = types.SimpleNamespace(manifest=dict(sreader.manifest), seg_dir=_miss)
+    return _commit_manifest(dest_dir, shim, segments,
                             overrides={"sort_fields": []})
 
 

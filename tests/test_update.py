@@ -241,3 +241,50 @@ def test_numeric_doc_values_update(ray_session):
     # last write wins
     update_numeric_doc_values(idir, [(7, "field_len", 5)])
     assert Searcher(idir).search({"q": huge}, k=5, use_ray=False).num_rows == 0
+
+
+def test_split_index_segments_standalone(ray_session, tmp_path):
+    """IndexSplitter analog: named segments copy into a fresh standalone
+    index; its stats re-aggregate from the copied segments, doc ids rebase
+    densely, and queries over the split index score exactly like a fresh
+    build over the same docs (segment payloads are byte-identical)."""
+    from lucene_solr_ray.index.checkindex import check_index
+    from lucene_solr_ray.index.update import split_index
+
+    tbl = generate_corpus(280)
+    src = str(tmp_path / "src")
+    build_index(ray.data.from_arrow(tbl), src, docs_per_segment=70)
+    sr = Searcher(src)
+    segs = sorted(s["seg"] for s in sr.reader.segments)
+    assert len(segs) == 4
+    pick = segs[1:3]  # docs 70..209 in global key order
+    dest = str(tmp_path / "dest")
+    m = split_index(src, dest, pick)
+    assert m["stats"]["doc_count"] == 140
+    check_index(dest)
+
+    # fresh build over exactly those docs (key order = doc-id order)
+    import pyarrow.dataset as pads
+
+    docs = pads.dataset(sr.reader.docs_files()).to_table(
+        columns=["doc_id", "repo", "path", "commit"])
+    dmap = {d: (r, p, c) for d, r, p, c in zip(*[docs[c].to_pylist() for c in
+            ("doc_id", "repo", "path", "commit")])}
+    keep_keys = {dmap[d] for d in range(70, 210)}
+    mask = [
+        (r, p, c) in keep_keys
+        for r, p, c in zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(),
+                           tbl["commit"].to_pylist())
+    ]
+    sub = tbl.filter(pa.array(mask))
+    fresh = str(tmp_path / "fresh")
+    build_index(ray.data.from_arrow(sub), fresh, docs_per_segment=70)
+
+    q = parse_query("license OR apache")
+    got = Searcher(dest).search({"q": q}, k=30, use_ray=False)
+    exp = Searcher(fresh).search({"q": q}, k=30, use_ray=False)
+    assert got["doc_id"].to_pylist() == exp["doc_id"].to_pylist()
+    assert got["score"].to_pylist() == exp["score"].to_pylist()
+
+    with pytest.raises(KeyError):
+        split_index(src, str(tmp_path / "nope"), [99])
