@@ -203,6 +203,8 @@ def run_bench(ncpus: int) -> dict:
             ("ann_topk", ann.ann_topk),
             ("events_hourly", events.events_hourly),
             ("st_rollup", streaming_exprs.st_rollup),
+            ("decontaminate", text.decontaminate),
+            ("chunk_windows", text.chunk_windows),
         ]:
             t0 = time.time()
             fn(sf_dir)
