@@ -310,3 +310,60 @@ r AS (
 SELECT hour, CAST(rank AS BIGINT) AS rank, user_id, CAST(n AS BIGINT) AS n
 FROM r WHERE rank < {TOPU_N} ORDER BY hour, rank
 """
+
+
+def events_props_stats(sf_dir: str) -> pa.Table:
+    """(event_type, n, k_min, k_max, k_sum) — semi-structured extraction:
+    the JSON ``props`` payload's integer ``k`` is pulled with ONE vectorized
+    Arrow regex per batch (no per-row json.loads), pre-aggregated per batch,
+    partials merged per type. The canonical lakehouse pattern for sparse
+    JSON columns: extract the needed key at the scan, never materialize
+    parsed objects."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = pc.extract_regex(
+            pc.fill_null(batch["props"].combine_chunks().cast(pa.string()), ""),
+            pattern=r'"k": (?P<k>[0-9]+)',
+        )
+        kv = pc.struct_field(k, "k").cast(pa.int64())
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pylist(),
+            "k": kv.to_pandas(),
+        })
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), k_min=("k", "min"), k_max=("k", "max"),
+            k_sum=("k", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum as _S
+
+    out = ds.groupby("event_type").aggregate(
+        _S("n", alias_name="n"), Min("k_min", alias_name="k_min"),
+        Max("k_max", alias_name="k_max"), _S("k_sum", alias_name="k_sum"),
+    )
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    df = tbl.to_pandas().sort_values("event_type").reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(df["event_type"], pa.string()),
+        "n": pa.array(df["n"].astype(np.int64), pa.int64()),
+        "k_min": pa.array(df["k_min"].astype(np.int64), pa.int64()),
+        "k_max": pa.array(df["k_max"].astype(np.int64), pa.int64()),
+        "k_sum": pa.array(df["k_sum"].astype(np.int64), pa.int64()),
+    })
+
+
+SQL_EVENTS_PROPS_STATS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       CAST(sum(k) AS BIGINT) AS k_sum
+FROM (SELECT event_type,
+             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""

@@ -105,6 +105,7 @@ FAST_ENTRIES = [
     "ft_graph_synonym",
     "ft_keywords",
     "ft_diversified",
+    "events_props_stats",
 ]
 
 
