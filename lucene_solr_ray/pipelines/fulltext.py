@@ -2785,3 +2785,45 @@ def ft_diversified(sf_dir: str) -> pa.Table:
         "lang": pa.array(df["group"].astype(str), pa.string()),
         "score": pa.array(df["score"].astype(np.float64), pa.float64()),
     })
+
+
+# Solr strdist() function (search/function/distance/StringDistanceFunction;
+# ValueSourceParser "strdist" with the edit/levenshtein measure)
+STRDIST_TARGET = "doc/123"
+
+
+def ft_strdist(sf_dir: str) -> pa.Table:
+    """Function sort by levenshtein(path, target) asc, doc asc — top-10 via
+    per-batch partial top-k over a two-column pruned docs read (the scale
+    shape is right: distances compute where the data is, only ≤k rows per
+    batch travel; the per-row edit-distance kernel itself would be a C
+    extension in production)."""
+    import ray.data
+
+    from ..search.suggest import _levenshtein
+
+    s = get_searcher(sf_dir)
+    k = TOPK_K
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        d = np.array([_levenshtein(p, STRDIST_TARGET)
+                      for p in batch["path"].to_pylist()], dtype=np.int64)
+        order = np.lexsort((ids, d))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "dist": pa.array(d[order], pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(s.reader.docs_files(), columns=["doc_id", "path"])
+    parts = pa.concat_tables(
+        ds.map_batches(part, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    ids = parts["doc_id"].to_numpy()
+    d = parts["dist"].to_numpy()
+    order = np.lexsort((ids, d))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order)), pa.int64()),
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "dist": pa.array(d[order], pa.int64()),
+    })

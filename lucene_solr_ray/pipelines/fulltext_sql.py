@@ -2003,3 +2003,15 @@ FROM (
 )
 WHERE rank < {k} ORDER BY rank
 """
+
+
+def sql_strdist(target: str, k: int) -> str:
+    """strdist(edit) function-sort oracle: levenshtein(path, target) asc,
+    doc asc, top-k."""
+    return f"""
+WITH {CORPUS_CTE}
+SELECT CAST(row_number() OVER (ORDER BY levenshtein(path, '{target}'), did) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id,
+       CAST(levenshtein(path, '{target}') AS BIGINT) AS dist
+FROM corpus ORDER BY dist, did LIMIT {k}
+"""

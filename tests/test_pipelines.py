@@ -106,6 +106,7 @@ FAST_ENTRIES = [
     "ft_keywords",
     "ft_diversified",
     "events_props_stats",
+    "ft_strdist",
 ]
 
 
