@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "st_facet": streaming_exprs.st_facet,
         "st_complement": streaming_exprs.st_complement,
         "st_fetch_rollup": streaming_exprs.st_fetch_rollup,
+        "st_region_rollup": streaming_exprs.st_region_rollup,
         "st_timeseries": streaming_exprs.st_timeseries,
         "st_random": streaming_exprs.st_random,
         "st_knn": streaming_exprs.st_knn,
@@ -358,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "st_facet": streaming_exprs.SQL_ST_FACET,
         "st_complement": streaming_exprs.SQL_ST_COMPLEMENT,
         "st_fetch_rollup": streaming_exprs.SQL_ST_FETCH_ROLLUP,
+        "st_region_rollup": streaming_exprs.SQL_ST_REGION_ROLLUP,
         "st_timeseries": streaming_exprs.SQL_ST_TIMESERIES,
         "st_random": streaming_exprs.SQL_ST_RANDOM,
         "st_knn": fs.sql_mlt([streaming_exprs.ST_KNN_ID], 10),

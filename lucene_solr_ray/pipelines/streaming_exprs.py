@@ -271,3 +271,30 @@ SQL_ST_CARTESIAN = """
 SELECT vec_id, unnest(embedding) AS embedding
 FROM embeddings WHERE vec_id BETWEEN 0 AND 9
 """
+
+
+# 3-hop chained join: customer → nation → region, rolled up per region —
+# the multi-hop dimension-decoration shape (every TPC-H table family member
+# now has a streaming-expression consumer)
+ST_REGION_ROLLUP_EXPR = (
+    'rollup(fetch(region, fetch(nation, '
+    'search(customer, fl="c_custkey,c_nationkey", sort="c_nationkey asc"), '
+    'on="c_nationkey=n_nationkey", fl="n_regionkey"), '
+    'on="n_regionkey=r_regionkey", fl="r_name"), '
+    'over="r_name", count(*))'
+)
+
+
+def st_region_rollup(sf_dir: str) -> pa.Table:
+    """Chained FetchStream hops (customer→nation→region) under a rollup:
+    customers per region name."""
+    return run_expression(ST_REGION_ROLLUP_EXPR, sf_dir)
+
+
+SQL_ST_REGION_ROLLUP = """
+SELECT r_name, CAST(count(*) AS BIGINT) AS "count(*)"
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""

@@ -107,6 +107,7 @@ FAST_ENTRIES = [
     "ft_diversified",
     "events_props_stats",
     "ft_strdist",
+    "st_region_rollup",
 ]
 
 
