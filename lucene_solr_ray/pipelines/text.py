@@ -721,12 +721,22 @@ def freetext_suggest(sf_dir: str) -> pa.Table:
         is_ctx = pc.is_in(flat, value_set=ctx_set).to_numpy(zero_copy_only=False)
         is_pref = pc.starts_with(flat, pattern=FT_PREFIX).to_numpy(zero_copy_only=False)
         out_w1, out_w2, out_n = [], [], []
+        # tokens cross the Arrow→object boundary ONCE, only when a partial
+        # actually needs them
+        flat_np: np.ndarray | None = None
+
+        def _flat_np() -> np.ndarray:
+            nonlocal flat_np
+            if flat_np is None:
+                flat_np = np.asarray(flat.to_pylist(), dtype=object)
+            return flat_np
+
         # unigram partials (w1 = '' sentinel): prefix matches + context words
         um = is_ctx | is_pref
         if um.any():
             import pandas as pd
 
-            uni = pd.Series(np.asarray(flat.to_pylist(), dtype=object)[um]).value_counts()
+            uni = pd.Series(_flat_np()[um]).value_counts()
             out_w1.extend([""] * len(uni))
             out_w2.extend(uni.index.tolist())
             out_n.extend(int(x) for x in uni.values)
@@ -737,8 +747,8 @@ def freetext_suggest(sf_dir: str) -> pa.Table:
             if bm.any():
                 import pandas as pd
 
-                w1 = np.asarray(flat.to_pylist(), dtype=object)[:-1][bm]
-                w2 = np.asarray(flat.to_pylist(), dtype=object)[1:][bm]
+                w1 = _flat_np()[:-1][bm]
+                w2 = _flat_np()[1:][bm]
                 g = pd.DataFrame({"w1": w1, "w2": w2}).groupby(["w1", "w2"]).size()
                 for (a, b), c in g.items():
                     out_w1.append(a)
