@@ -350,3 +350,31 @@ def test_length_filter_and_stem_exclusions():
         ("running", 0), ("meet", 1)]
     st2 = ArrowAnalyzer(an2)(pa.array(["running meetings"], pa.string()))
     assert sorted(st2.terms.to_pylist()) == ["meet", "running"]
+
+
+def test_wd_parts_positions_support_phrases(tmp_path):
+    """Split parts take consecutive positions, so a phrase query matches
+    INSIDE a joined identifier: 'key_agg' indexes as key@p, agg@p+1 and
+    PhraseQuery('key agg') hits it."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.query import PhraseQuery
+    from lucene_solr_ray.search.searcher import Searcher
+
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    tbl = pa.table({
+        "repo": ["r"] * 3, "path": ["a", "b", "c"], "commit": ["1", "2", "3"],
+        "lang": ["en"] * 3,
+        "content": pa.array(
+            ["uses key_agg here", "key but agg apart", "agg_key reversed"],
+            pa.large_string()),
+    })
+    pq.write_table(tbl, corpus / "p.parquet")
+    an = StandardAnalyzer(word_delimiter=("preserve_original",))
+    idx = tmp_path / "i"
+    build_index(str(corpus), str(idx), docs_per_segment=10, analyzer=an)
+    s = Searcher(str(idx))
+    got = s.search({"q": PhraseQuery(("key", "agg"), (0, 1))}, k=10, use_ray=False)
+    assert got["doc_id"].to_pylist() == [0]  # only the joined identifier
