@@ -148,9 +148,11 @@ def run_bench(ncpus: int) -> dict:
     shutil.rmtree(warm_dir, ignore_errors=True)
     log("[bench] warmup build done")
 
-    # best of 2 timed builds (fresh index dirs): contention-robust headline
+    # best of BENCH_RUNS timed builds (fresh index dirs): contention-robust
+    # headline (BENCH_RUNS=1 lets long scaling legs fit a bounded window)
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
     times = []
-    for attempt in range(2):
+    for attempt in range(runs):
         d = index_dir if attempt == 0 else index_dir + "_b"
         shutil.rmtree(d, ignore_errors=True)
         t0 = time.time()
