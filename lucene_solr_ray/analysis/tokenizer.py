@@ -316,26 +316,36 @@ def _analyze_full(
     return out
 
 
-def _analyze_full_wd(
-    text: str, analyzer: StandardAnalyzer
-) -> list[tuple[str, int, int, int, bool]]:
-    """word_delimiter chain: tokenize → WordDelimiter (+lowercase) →
-    [ascii_folding] → stopwords → [stem]. Positions come from the filter's
-    graph-flattened stream (split tokens take len(parts) positions)."""
-    from .worddelim import WD_FLAGS, wd_stream
+def _wd_flags(analyzer: "StandardAnalyzer") -> tuple[bool, bool]:
+    """Validate the word_delimiter config once →
+    (preserve_original, catenate). Shared by the golden and Arrow paths so
+    the two error surfaces cannot drift."""
+    from .worddelim import WD_FLAGS
 
     flags = set(analyzer.word_delimiter or ())
     if flags - WD_FLAGS:
         raise ValueError(f"unknown word_delimiter flags: {sorted(flags - WD_FLAGS)}")
     if analyzer.structural:
         raise ValueError("word_delimiter cannot combine with synonyms/shingle/edge_ngrams")
+    return "preserve_original" in flags, "catenate" in flags
+
+
+def _analyze_full_wd(
+    text: str, analyzer: StandardAnalyzer
+) -> list[tuple[str, int, int, int, bool]]:
+    """word_delimiter chain: tokenize → WordDelimiter (+lowercase) →
+    [ascii_folding] → stopwords → [stem]. Positions come from the filter's
+    graph-flattened stream (split tokens take len(parts) positions)."""
+    from .worddelim import wd_stream
+
+    preserve, cat = _wd_flags(analyzer)
     terms, poss, starts, ends, overs = wd_stream(
         text,
         token_re(analyzer),
         max_token_length=analyzer.max_token_length,
         lowercase=analyzer.lowercase,
-        preserve_original="preserve_original" in flags,
-        catenate="catenate" in flags,
+        preserve_original=preserve,
+        catenate=cat,
     )
     out: list[tuple[str, int, int, int, bool]] = []
     mapper = _term_mapper(analyzer)
@@ -451,21 +461,43 @@ class ArrowAnalyzer:
                 )
         elif a.ngrams is not None:
             lo, hi = a.ngrams
-            vlens = np.fromiter((len(v) for v in vocab), dtype=np.int64, count=len(vocab))
-            lens = vlens[codes] if len(codes) else np.empty(0, np.int64)
-            max_len = int(vlens.max()) if len(vlens) else 0
-            for g in range(lo, min(hi, max_len) + 1):
-                for off in range(max_len - g + 1):
-                    mask = lens >= off + g
-                    if not mask.any():
-                        continue
-                    grams_vocab = pa.array([v[off : off + g] for v in vocab], pa.string())
-                    add(
-                        pc.take(grams_vocab, pa.array(codes[mask], pa.int64())),
-                        doc_idx[mask],
-                        positions[mask] if positions is not None else None,
-                        not (g == lo and off == 0),
-                    )
+            # per-vocab grams built ONCE (g asc, offset asc → a token's first
+            # gram is its (lo, 0) position anchor), then expanded to token
+            # occurrences via np.repeat over the dictionary codes — the
+            # per-(size, offset) full-vocab rescan was O(max_len·|vocab|)
+            # Python work per batch
+            gram_strs: list[str] = []
+            gram_counts = np.zeros(len(vocab), dtype=np.int64)
+            for i, v in enumerate(vocab):
+                gs = [
+                    v[o : o + g]
+                    for g in range(lo, min(hi, len(v)) + 1)
+                    for o in range(len(v) - g + 1)
+                ]
+                gram_counts[i] = len(gs)
+                gram_strs.extend(gs)
+            gram_offs = np.zeros(len(vocab) + 1, dtype=np.int64)
+            np.cumsum(gram_counts, out=gram_offs[1:])
+            occ = gram_counts[codes] if len(codes) else np.empty(0, np.int64)
+            total = int(occ.sum())
+            if total:
+                rep_doc = np.repeat(doc_idx, occ)
+                rep_pos = np.repeat(positions, occ) if positions is not None else None
+                run_ends = np.cumsum(occ)
+                within = np.arange(total, dtype=np.int64) - np.repeat(run_ends - occ, occ)
+                idx = np.repeat(gram_offs[codes], occ) + within
+                gram_arr = pc.take(
+                    pa.array(gram_strs, pa.string()), pa.array(idx, pa.int64())
+                )
+                anchors = within == 0
+                for sel, is_overlap in ((anchors, False), (~anchors, True)):
+                    if sel.any():
+                        add(
+                            pc.filter(gram_arr, pa.array(sel)),
+                            rep_doc[sel],
+                            rep_pos[sel] if rep_pos is not None else None,
+                            is_overlap,
+                        )
         else:
             add(kept, doc_idx, positions, False)
 
@@ -664,17 +696,11 @@ class ArrowAnalyzer:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from .worddelim import WD_FLAGS, wd_stream
+        from .worddelim import wd_stream
 
         a = self.analyzer
-        flags = set(a.word_delimiter or ())
-        if flags - WD_FLAGS:
-            raise ValueError(f"unknown word_delimiter flags: {sorted(flags - WD_FLAGS)}")
-        if a.structural:
-            raise ValueError("word_delimiter cannot combine with synonyms/shingle/edge_ngrams")
+        preserve, cat = _wd_flags(a)
         pat = token_re(a)
-        preserve = "preserve_original" in flags
-        cat = "catenate" in flags
         terms_l: list[list[str]] = []
         pos_l: list[list[int]] = []
         over_l: list[list[bool]] = []

@@ -229,6 +229,11 @@ def _copy_segment_rebased(src_seg_dir: str, dest_index_dir: str, new_seg: int,
             json.dump(meta, f)
     except (OSError, json.JSONDecodeError):
         pass
+    # a leftover target dir is garbage from an interrupted run (the manifest
+    # publishing these ids hasn't been written yet) — remove it so re-runs
+    # are idempotent instead of failing the rename with ENOTEMPTY
+    if os.path.exists(seg_d):
+        shutil.rmtree(seg_d)
     os.rename(tmp_d, seg_d)
     return {
         "seg": new_seg,

@@ -328,10 +328,22 @@ def events_props_stats(sf_dir: str) -> pa.Table:
             pattern=r'"k": (?P<k>[0-9]+)',
         )
         kv = pc.struct_field(k, "k").cast(pa.int64())
+        # rows without an extractable k are EXCLUDED (n counts k-bearing rows
+        # only) — a null would otherwise become a NaN partial that poisons
+        # Min/Max through the shuffle and breaks the final int cast
+        valid = pc.is_valid(kv).to_numpy(zero_copy_only=False)
         df = pd.DataFrame({
-            "event_type": batch["event_type"].to_pylist(),
-            "k": kv.to_pandas(),
+            "event_type": np.asarray(batch["event_type"].to_pylist(), dtype=object)[valid],
+            "k": kv.to_pandas()[valid].astype(np.int64),
         })
+        if df.empty:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "k_min": pa.array([], pa.int64()),
+                "k_max": pa.array([], pa.int64()),
+                "k_sum": pa.array([], pa.int64()),
+            })
         g = df.groupby("event_type", as_index=False).agg(
             n=("k", "size"), k_min=("k", "min"), k_max=("k", "max"),
             k_sum=("k", "sum"),
@@ -364,6 +376,7 @@ SELECT event_type,
        CAST(sum(k) AS BIGINT) AS k_sum
 FROM (SELECT event_type,
              CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
-      FROM events)
+      FROM events
+      WHERE regexp_matches(props, '"k": ([0-9]+)'))
 GROUP BY event_type ORDER BY event_type
 """

@@ -1713,7 +1713,15 @@ def prelude_word_delimiter() -> str:
     length); tokens that split also emit the original and the delimiter-free
     catenation as posIncr-0 overlaps (in ``emitted`` for tf/ttf, not in
     ``base``/norms). maxTokenLength applies to the RAW token, stopwords to
-    every emitted term — the engine chain order."""
+    every emitted term — the engine chain order.
+
+    SCOPE: the oracle models UNDERSCORE splits only, which is exhaustive for
+    this entry's derived corpus (lowercase words pair-joined with ``_`` —
+    no case or digit transitions can occur). The engine's case-change and
+    letter↔digit splitting is pinned separately by the golden tests in
+    tests/test_analysis_filters.py (wd_parts golden vocabulary +
+    Arrow-vs-Python equivalence); do NOT reuse this prelude over a corpus
+    with mixed-case or alphanumeric tokens."""
     return f"""
 WITH {WD_CORPUS_CTE},
 rawt AS (

@@ -87,10 +87,10 @@ FROM documents ORDER BY doc_id
 # the Ray plumbing/explode/actor shapes are real)
 # ---------------------------------------------------------------------------
 
-FRAME_BYTES = 16   # bytes per "frame"
+FRAME_BYTES = 16   # characters per "frame" (char windows ≡ the substr oracle)
 FRAME_STEP = 3     # sample every 3rd frame (fps downsampling)
-RESIZE_SRC = 64    # "image" = first 64 payload bytes
-RESIZE_FACTOR = 4  # keep every 4th byte
+RESIZE_SRC = 64    # "image" = first 64 payload characters
+RESIZE_FACTOR = 4  # keep every 4th character
 
 
 class FrameSampler:
@@ -101,13 +101,15 @@ class FrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_d, out_f, out_md5 = [], [], []
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            payload = (t or "").encode("utf-8")
+            # CHARACTER windows (not bytes): keeps the op well-defined on
+            # multibyte text and bit-identical to the substr-based oracle
+            payload = t or ""
             n_frames = len(payload) // FRAME_BYTES
             for fi in range(0, n_frames, FRAME_STEP):
                 frame = payload[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
                 out_d.append(d)
                 out_f.append(fi)
-                out_md5.append(hashlib.md5(frame).hexdigest())
+                out_md5.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
         return pa.table({
             "doc_id": pa.array(out_d, pa.int64()),
             "frame_idx": pa.array(out_f, pa.int64()),
@@ -149,11 +151,12 @@ class Resizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_d, out_n, out_md5 = [], [], []
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            src = (t or "").encode("utf-8")[:RESIZE_SRC]
+            # character stride (see FrameSampler: char windows ≡ the oracle)
+            src = (t or "")[:RESIZE_SRC]
             small = src[::RESIZE_FACTOR]
             out_d.append(d)
             out_n.append(len(small))
-            out_md5.append(hashlib.md5(small).hexdigest())
+            out_md5.append(hashlib.md5(small.encode("utf-8")).hexdigest())
         return pa.table({
             "doc_id": pa.array(out_d, pa.int64()),
             "out_len": pa.array(out_n, pa.int64()),
@@ -177,8 +180,8 @@ SQL_MM_RESIZE = f"""
 WITH src AS (SELECT doc_id, substr(text, 1, {RESIZE_SRC}) AS s FROM documents),
 small AS (
   SELECT doc_id,
-         array_to_string(list_transform(
-           generate_series(1, length(s), {RESIZE_FACTOR}), i -> s[i:i]), '') AS r
+         coalesce(array_to_string(list_transform(
+           generate_series(1, length(s), {RESIZE_FACTOR}), i -> s[i:i]), ''), '') AS r
   FROM src
 )
 SELECT doc_id, CAST(length(r) AS BIGINT) AS out_len, md5(r) AS resized_md5

@@ -85,23 +85,12 @@ def lang_id(sf_dir: str) -> pa.Table:
     def fn(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        arr = batch["text"].combine_chunks()
-        n = len(arr)
-        low = pc.utf8_lower(pc.fill_null(arr, ""))
-        toks = pc.split_pattern_regex(low, pattern=r"[^\p{L}\p{N}_]+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.values
-        offs = toks.offsets.to_numpy().astype(np.int64)
-        if offs[0] != 0 or len(flat) != offs[-1] - offs[0]:
-            flat = flat.slice(offs[0], offs[-1] - offs[0])
-            offs = offs - offs[0]
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
-        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        flat, doc_idx = _flat_tokens(batch)
         counts = np.zeros((len(langs), n), dtype=np.int64)
         for i, lang in enumerate(langs):
             m = pc.is_in(flat, value_set=marker_arrs[lang]).to_numpy(zero_copy_only=False)
-            counts[i] = np.bincount(doc_idx[m & nonempty], minlength=n)
+            counts[i] = np.bincount(doc_idx[m], minlength=n)
         best = np.argmax(counts, axis=0)  # first max → smallest code on ties
         best_c = counts[best, np.arange(n)]
         pred = np.where(best_c > 0, np.asarray(langs, dtype=object)[best], "und")
@@ -365,23 +354,8 @@ def bigram_stats(sf_dir: str) -> pa.Table:
     move, the driver merges tiny partials → (w1, w2, n)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        arr = batch["text"].combine_chunks()
-        n = len(arr)
-        low = pc.utf8_lower(pc.fill_null(arr, ""))
-        toks = pc.split_pattern_regex(low, pattern=r"[^\p{L}\p{N}_]+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.values
-        offs = toks.offsets.to_numpy().astype(np.int64)
-        if offs[0] != 0 or len(flat) != offs[-1] - offs[0]:
-            flat = flat.slice(offs[0], offs[-1] - offs[0])
-            offs = offs - offs[0]
-        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
-        flat_np = np.asarray(flat.to_pylist(), dtype=object)[keep]
-        docs_np = doc_idx[keep]
+        flat, docs_np = _flat_tokens(batch)
+        flat_np = np.asarray(flat.to_pylist(), dtype=object)
         if len(flat_np) < 2:
             return pa.table({"w1": pa.array([], pa.string()),
                              "w2": pa.array([], pa.string()),
@@ -437,11 +411,12 @@ DECON_N = 3
 DECON_MOD = 97
 
 
-def _batch_ngrams(batch: pa.Table, n_gram: int):
-    """(per-gram batch-row indices int64, grams StringArray) — vectorized:
-    one Arrow regex split, nonempty filter, shifted
-    ``binary_join_element_wise`` masked at document boundaries (the same
-    shifted-slice trick as the analyzer's ShingleFilter)."""
+def _flat_tokens(batch: pa.Table) -> tuple["pa.Array", np.ndarray]:
+    """One Arrow regex split over the batch's lowercase text → (flat
+    StringArray of nonempty tokens, per-token batch-row indices int64).
+    The shared tokenize-flatten step for every raw-token-stream op in this
+    module (empty split artifacts removed; offsets re-based for sliced
+    columns)."""
     import pyarrow.compute as pc
 
     arr = batch["text"].combine_chunks()
@@ -461,6 +436,17 @@ def _batch_ngrams(batch: pa.Table, n_gram: int):
     flat = pc.filter(flat, keep)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
+    return flat, row_idx
+
+
+def _batch_ngrams(batch: pa.Table, n_gram: int):
+    """(per-gram batch-row indices int64, grams StringArray) — vectorized:
+    shared tokenize-flatten, then shifted ``binary_join_element_wise``
+    masked at document boundaries (the same shifted-slice trick as the
+    analyzer's ShingleFilter)."""
+    import pyarrow.compute as pc
+
+    flat, row_idx = _flat_tokens(batch)
     L = len(flat) - n_gram + 1
     if L <= 0:
         return np.empty(0, np.int64), pa.array([], pa.string())
@@ -703,20 +689,7 @@ def freetext_suggest(sf_dir: str) -> pa.Table:
     ctx_set = pa.array(sorted(FT_CONTEXTS), pa.string())
 
     def fn(batch: pa.Table) -> pa.Table:
-        arr = batch["text"].combine_chunks()
-        n = len(arr)
-        low = pc.utf8_lower(pc.fill_null(arr, ""))
-        toks = pc.split_pattern_regex(low, pattern=r"[^\p{L}\p{N}_]+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.values
-        offs = toks.offsets.to_numpy().astype(np.int64)
-        if offs[0] != 0 or len(flat) != offs[-1] - offs[0]:
-            flat = flat.slice(offs[0], offs[-1] - offs[0])
-            offs = offs - offs[0]
-        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))[keep]
-        flat = pc.filter(flat, pa.array(keep))
+        flat, doc_idx = _flat_tokens(batch)
         total = len(flat)
         is_ctx = pc.is_in(flat, value_set=ctx_set).to_numpy(zero_copy_only=False)
         is_pref = pc.starts_with(flat, pattern=FT_PREFIX).to_numpy(zero_copy_only=False)
@@ -898,20 +871,9 @@ def chunk_windows(sf_dir: str) -> pa.Table:
     import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
-        arr = batch["text"].combine_chunks()
-        n = len(arr)
-        low = pc.utf8_lower(pc.fill_null(arr, ""))
-        toks = pc.split_pattern_regex(low, pattern=r"[^\p{L}\p{N}_]+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.values
-        offs = toks.offsets.to_numpy().astype(np.int64)
-        if offs[0] != 0 or len(flat) != offs[-1] - offs[0]:
-            flat = flat.slice(offs[0], offs[-1] - offs[0])
-            offs = offs - offs[0]
-        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
-        row_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))[keep]
-        words = np.asarray(pc.filter(flat, pa.array(keep)).to_pylist(), dtype=object)
+        n = len(batch)
+        flat, row_idx = _flat_tokens(batch)
+        words = np.asarray(flat.to_pylist(), dtype=object)
         counts = np.bincount(row_idx, minlength=n)
         starts_per_doc = np.maximum(1, -(-np.maximum(counts - CHUNK_W, 0) // CHUNK_S) + 1)
         starts_per_doc[counts == 0] = 0

@@ -1419,6 +1419,15 @@ class Searcher:
             "score": pa.array(doc_scores[order], pa.float64()),
         })
 
+    @staticmethod
+    def _drain_scatter(ds) -> pa.Table | None:
+        """Collect a scatter's partials → one table, or None when no partial
+        produced rows (shared by the join/match surfaces so empty-result
+        handling stays consistent)."""
+        batches = list(ds.iter_batches(batch_format="pyarrow"))
+        parts = pa.concat_tables(batches) if batches else None
+        return parts if parts is not None and len(parts) else None
+
     def match_ids(self, query: Query) -> np.ndarray:
         """Full match set as sorted global doc ids — the scatter's ``ids``
         mode (per-segment SegmentScorer matching in parallel Ray tasks; only
@@ -1428,9 +1437,8 @@ class Searcher:
         if ds is None:
             out = [ids + base for _seg, base, ids in self._matches_per_segment(query)]
             return np.sort(np.concatenate(out)) if out else np.empty(0, np.int64)
-        batches = list(ds.iter_batches(batch_format="pyarrow"))
-        parts = pa.concat_tables(batches) if batches else None
-        if parts is None or len(parts) == 0:
+        parts = self._drain_scatter(ds)
+        if parts is None:
             return np.empty(0, np.int64)
         doc_bases = {s["seg"]: s["doc_base"] for s in self.reader.segments}
         segs = parts["seg"].to_numpy().astype(np.int64)
@@ -1457,9 +1465,8 @@ class Searcher:
                                  params=(parents.tolist(),))
         if ds is None:
             raise ValueError("block_join child query must have postings terms")
-        batches = list(ds.iter_batches(batch_format="pyarrow"))
-        parts = pa.concat_tables(batches) if batches else None
-        if parts is None or len(parts) == 0:
+        parts = self._drain_scatter(ds)
+        if parts is None:
             pgid = np.empty(0, np.int64)
             sums_p = maxs_p = np.empty(0, np.float64)
             ns_p = np.empty(0, np.int64)
@@ -1507,9 +1514,8 @@ class Searcher:
         ds = self._scatter_match(parent_query, mode="scored_ids")
         if ds is None:
             raise ValueError("to_child_block_join parent query must have postings terms")
-        batches = list(ds.iter_batches(batch_format="pyarrow"))
-        parts = pa.concat_tables(batches) if batches else None
-        if parts is None or len(parts) == 0:
+        parts = self._drain_scatter(ds)
+        if parts is None:
             return pa.table({
                 "child_id": pa.array([], pa.int64()),
                 "parent_id": pa.array([], pa.int64()),

@@ -369,3 +369,32 @@ def test_mmr_rerank_invariants(entry_mod):
     assert a.doc_id.iloc[0] == pool[0]  # λ-weighted start = pure relevance
     assert a.doc_id.is_unique and set(a.doc_id) <= set(pool)
     assert len(a) == fulltext.TOPK_K
+
+
+def test_events_props_stats_handles_missing_k(ray_session, tmp_path):
+    """Rows whose props lack an extractable k are EXCLUDED (not NaN
+    partials that poison Min/Max through the shuffle)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.events import (SQL_EVENTS_PROPS_STATS,
+                                                  events_props_stats)
+
+    d = str(tmp_path)
+    tbl = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array([pd.Timestamp("2024-01-01")] * 6),
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "event_type": ["a", "a", "b", "b", "c", "c"],
+        "value": pa.array([0.0] * 6),
+        # type b has NO k at all; type a is mixed; c is fully k-bearing
+        "props": ['{"k": 3}', '{"j": 9}', '{"j": 1}', None, '{"k": 7}', '{"k": 1}'],
+    })
+    pq.write_table(tbl, f"{d}/events.parquet")
+    got = events_props_stats(d).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    exp = con.sql(SQL_EVENTS_PROPS_STATS).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False, check_exact=True)
+    assert set(got["event_type"]) == {"a", "c"}  # b excluded entirely

@@ -288,3 +288,24 @@ def test_split_index_segments_standalone(ray_session, tmp_path):
 
     with pytest.raises(KeyError):
         split_index(src, str(tmp_path / "nope"), [99])
+
+
+def test_split_index_rerunnable_after_partial_failure(ray_session, tmp_path):
+    """A leftover destination segment dir from an interrupted run (manifest
+    never written) must not fail the rename on re-run."""
+    import os
+    import shutil
+
+    from lucene_solr_ray.index.update import split_index
+
+    tbl = generate_corpus(140)
+    src = str(tmp_path / "src")
+    build_index(ray.data.from_arrow(tbl), src, docs_per_segment=70)
+    dest = str(tmp_path / "dest")
+    m1 = split_index(src, dest, [0, 1])
+    # simulate the interrupted state: segment dirs exist, manifest gone
+    os.remove(os.path.join(dest, "manifest.json"))
+    m2 = split_index(src, dest, [0, 1])
+    assert m2["stats"]["doc_count"] == m1["stats"]["doc_count"] == 140
+    from lucene_solr_ray.index.checkindex import check_index
+    check_index(dest)
