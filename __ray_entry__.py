@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_keywords": fulltext.ft_keywords,
         "ft_diversified": fulltext.ft_diversified,
         "ft_strdist": fulltext.ft_strdist,
+        "ft_suggest_fuzzy": fulltext.ft_suggest_fuzzy,
         "ft_edge_ngram": fulltext.ft_edge_ngram,
         "ft_synonym": fulltext.ft_synonym,
         "ft_english": fulltext.ft_english,  # rows-only: Porter not SQL-expressible
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_keywords": fs.sql_keywords(fulltext.KW_DOC_IDS, fulltext.KW_TOP),
         "ft_diversified": fs.sql_diversified(fulltext.DIVERS_TERM, fulltext.DIVERS_MAX_PER_KEY, fulltext.TOPK_K),
         "ft_strdist": fs.sql_strdist(fulltext.STRDIST_TARGET, fulltext.TOPK_K),
+        "ft_suggest_fuzzy": fs.sql_suggest_fuzzy(fulltext.FUZZY_SUGGEST_QS, 10),
         "ft_edge_ngram": fs.sql_topk_variant(
             fs.prelude_edge_ngram(*fulltext.EDGE_NGRAM_RANGE), fulltext.EDGE_SPECS
         ),

@@ -2827,3 +2827,25 @@ def ft_strdist(sf_dir: str) -> pa.Table:
         "doc_id": pa.array(ids[order], pa.int64()),
         "dist": pa.array(d[order], pa.int64()),
     })
+
+
+# FuzzySuggester (suggest/analyzing/FuzzySuggester.java)
+FUZZY_SUGGEST_QS = ["mergr", "windw", "spurk", "cust"]
+
+
+def ft_suggest_fuzzy(sf_dir: str) -> pa.Table:
+    """Typo-tolerant completion: per typed text, dictionary terms whose
+    len(q)-prefix is within 1 edit (first char exact), ranked df desc."""
+    from ..search.suggest import suggest_fuzzy
+
+    s = get_searcher(sf_dir)
+    out = []
+    for q in FUZZY_SUGGEST_QS:
+        t = suggest_fuzzy(s.reader, q)
+        out.append(pa.table({
+            "q": pa.array([q] * len(t), pa.string()),
+            "rank": pa.array(np.arange(len(t), dtype=np.int64), pa.int64()),
+            "term": t["term"],
+            "df": t["df"],
+        }))
+    return pa.concat_tables(out)

@@ -2023,3 +2023,24 @@ SELECT CAST(row_number() OVER (ORDER BY levenshtein(path, '{target}'), did) - 1 
        CAST(levenshtein(path, '{target}') AS BIGINT) AS dist
 FROM corpus ORDER BY dist, did LIMIT {k}
 """
+
+
+def sql_suggest_fuzzy(qs: list[str], num: int, max_edits: int = 1) -> str:
+    """FuzzySuggester oracle: prefix-truncated Levenshtein ≤ max_edits with
+    an exact first char, weight = df."""
+    parts = []
+    for q in qs:
+        ql = q.replace("'", "''")
+        parts.append(f"""
+SELECT '{ql}' AS q,
+       CAST(row_number() OVER (ORDER BY df DESC, tok ASC) - 1 AS BIGINT) AS rank,
+       tok AS term, CAST(df AS BIGINT) AS df
+FROM dfp
+WHERE substr(tok, 1, 1) = '{ql[0]}'
+  AND levenshtein(substr(tok, 1, {len(q)}), '{ql}') <= {max_edits}
+ORDER BY df DESC, tok ASC LIMIT {num}""")
+    body = "\nUNION ALL\n".join(f"({p})" for p in parts)
+    return prelude() + f""",
+dfp AS (SELECT tok, count(DISTINCT did) AS df FROM tf GROUP BY tok)
+{body}
+"""

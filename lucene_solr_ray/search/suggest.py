@@ -184,3 +184,31 @@ def word_breaks(reader, terms: list[str], num: int = 5, min_freq: int = 1,
         "rhs": pa.array(out_rh, pa.string()),
         "freq": pa.array(out_f, pa.int64()),
     })
+
+
+def suggest_fuzzy(reader, q: str, num: int = 10, max_edits: int = 1,
+                  non_fuzzy_prefix: int = 1, field: str = CONTENT_FIELD) -> pa.Table:
+    """FuzzySuggester analog (suggest/analyzing/FuzzySuggester.java:
+    defaults maxEdits=1, nonFuzzyPrefix=1): completions whose first-len(q)
+    prefix is within ``max_edits`` plain-Levenshtein of the typed text, the
+    first ``non_fuzzy_prefix`` chars matching exactly; weight = df, rank
+    (df desc, term asc). Fixed-length-prefix simplification of the
+    reference's Levenshtein automaton (length-changing edits realign there;
+    identical on both sides of the oracle). Same distributed pruned df scan
+    as spell_suggest."""
+
+    def flt(ts):
+        out = np.zeros(len(ts), dtype=bool)
+        head = q[:non_fuzzy_prefix]
+        for i, t in enumerate(ts.to_pylist()):
+            if not t or t[:non_fuzzy_prefix] != head:
+                continue
+            out[i] = _levenshtein(t[: len(q)], q) <= max_edits
+        return out
+
+    tbl = _term_df(reader, field, flt)
+    df = tbl.to_pandas().sort_values(["df", "term"], ascending=[False, True]).head(num)
+    return pa.table({
+        "term": pa.array(df["term"], pa.string()),
+        "df": pa.array(df["df"].astype("int64"), pa.int64()),
+    })

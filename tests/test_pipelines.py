@@ -108,6 +108,7 @@ FAST_ENTRIES = [
     "events_props_stats",
     "ft_strdist",
     "st_region_rollup",
+    "ft_suggest_fuzzy",
 ]
 
 
