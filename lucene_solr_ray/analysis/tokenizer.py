@@ -113,6 +113,10 @@ class StandardAnalyzer:
     #: shorter than min vanish); the first gram keeps the token's position,
     #: the rest are overlaps.
     edge_ngrams: tuple[int, int] | None = None
+    #: PhoneticFilter replace=true (analysis/phonetic/PhoneticFilter.java +
+    #: commons-codec Soundex): each term is replaced by its phonetic code
+    #: after stemming (the sounds-like field idiom). Value: "soundex".
+    phonetic: str | None = None
     #: ReversedWildcardFilter (solr/core/.../analysis/ReversedWildcardFilter
     #: Factory): ADD a marker-prefixed reversed twin of every kept token as a
     #: posIncr-0 overlap — leading wildcards then rewrite to PREFIX queries
@@ -226,16 +230,27 @@ def _fold_ascii(term: str) -> str:
 def _term_mapper(analyzer: "StandardAnalyzer"):
     """Post-stopword per-term map (stemming), or None. Applied per unique
     vocabulary entry, never per token."""
+    mapper = None
     if analyzer.stem == "porter":
         from .porter import porter_stem
 
         if analyzer.stem_exclusions:
             excl = analyzer.stem_exclusions
-            return lambda t: t if t in excl else porter_stem(t)
-        return porter_stem
-    if analyzer.stem is not None:
+            mapper = lambda t: t if t in excl else porter_stem(t)  # noqa: E731
+        else:
+            mapper = porter_stem
+    elif analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
-    return None
+    if analyzer.phonetic == "soundex":
+        from .phonetic import soundex
+
+        if mapper is None:
+            return soundex
+        stem_fn = mapper
+        return lambda t: soundex(stem_fn(t))
+    if analyzer.phonetic is not None:
+        raise ValueError(f"unknown phonetic encoder: {analyzer.phonetic!r}")
+    return mapper
 
 
 _DEFAULT = StandardAnalyzer()
@@ -774,6 +789,7 @@ def analyze_batch(
     if (
         analyzer.ascii_folding
         or analyzer.stem is not None
+        or analyzer.phonetic is not None
         or analyzer.structural
         or analyzer.word_delimiter is not None
         or analyzer.char_filters

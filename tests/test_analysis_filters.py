@@ -378,3 +378,37 @@ def test_wd_parts_positions_support_phrases(tmp_path):
     s = Searcher(str(idx))
     got = s.search({"q": PhraseQuery(("key", "agg"), (0, 1))}, k=10, use_ray=False)
     assert got["doc_id"].to_pylist() == [0]  # only the joined identifier
+
+
+# ---------------------------------------------------------------------------
+# PhoneticFilter / Soundex (analysis/phonetic + commons-codec semantics)
+# ---------------------------------------------------------------------------
+
+from lucene_solr_ray.analysis.phonetic import soundex
+
+
+@pytest.mark.parametrize("word,code", [
+    ("Robert", "R163"), ("Rupert", "R163"),         # classic pair
+    ("Ashcraft", "A261"),                           # H is transparent
+    ("Ashcroft", "A261"),
+    ("Tymczak", "T522"),                            # adjacent-code collapse
+    ("Pfister", "P236"),                            # first-letter code collapses
+    ("Honeyman", "H555"),
+    ("a", "A000"), ("lee", "L000"),
+    ("gauss", "G200"), ("ghosh", "G200"),           # another classic pair
+    ("hilbert", "H416"), ("heilbronn", "H416"),
+    ("123", "123"),                                 # no letters → unchanged
+])
+def test_soundex_golden(word, code):
+    assert soundex(word) == code
+
+
+def test_phonetic_filter_in_chain():
+    an = StandardAnalyzer(phonetic="soundex")
+    # robert and rupert collapse to the same indexed term
+    assert analyze_with_positions("robert rupert", an) == [("R163", 0), ("R163", 1)]
+    st = analyze_batch(["robert rupert smith"], an)
+    assert sorted(st.terms.to_pylist() if hasattr(st.terms, "to_pylist")
+                  else list(st.terms)) == ["R163", "S530"]
+    with pytest.raises(ValueError, match="unknown phonetic"):
+        analyze_with_positions("x", StandardAnalyzer(phonetic="metaphone"))
