@@ -67,6 +67,7 @@ class ScoreSegmentGroup:
         method: str = "auto",
         seg_dirs: dict[int, str] | None = None,
         after: tuple[float, int] | None = None,
+        seg: int | None = None,
     ):
         self.index_dir = index_dir
         self.queries = queries
@@ -80,6 +81,10 @@ class ScoreSegmentGroup:
 
         self.sim = similarity_from_spec(sim_params)
         self.method = method
+        #: explicit segment id for the per-file task scatter (groups can be
+        #: EMPTY there — a segment may hold no postings for the query terms
+        #: yet still match numeric/filter clauses)
+        self.seg = seg
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -87,7 +92,7 @@ class ScoreSegmentGroup:
 
         from ..index.segment import segment_dir
 
-        seg = int(group["seg"][0].as_py())
+        seg = self.seg if self.seg is not None else int(group["seg"][0].as_py())
         seg_d = self.seg_dirs.get(seg) or segment_dir(self.index_dir, seg)
         norms = pq.read_table(
             os.path.join(seg_d, "docs.parquet"), columns=["norm_byte"]
@@ -132,6 +137,56 @@ class ScoreSegmentGroup:
                 ),
             }
         )
+
+
+def _score_segment_file(payload: dict, seg: int) -> pa.Table:
+    """One per-segment scoring task: read THIS segment's postings file with
+    the term filter pushed into its row groups (the term column is sorted),
+    then run the shared ScoreSegmentGroup body. Zero shuffle — each postings
+    file already IS one segment, so the legacy ``groupby('seg')`` re-shuffled
+    data that was pre-partitioned on disk (measured 7 s/query fixed cost on a
+    100-segment index; tasks take it to the actual work)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..index.reader import pairs_filter
+
+    seg_d = payload["seg_dirs"][seg]
+    pairs = payload["pairs"]
+    pf = os.path.join(seg_d, "postings.parquet")
+    if pairs:
+        tbl = pq.read_table(pf, filters=pairs_filter(pairs))
+    else:
+        tbl = pq.read_schema(pf).empty_table()
+    g = ScoreSegmentGroup(
+        index_dir=payload["index_dir"],
+        queries=payload["queries"],
+        weights=payload["weights"],
+        cache=payload["cache"],
+        doc_bases=payload["doc_bases"],
+        k=payload["k"],
+        sim_params=payload["sim_params"],
+        method=payload["method"],
+        seg_dirs=payload["seg_dirs"],
+        after=payload["after"],
+        seg=seg,
+    )
+    return g(tbl)
+
+
+_SCORE_TASK = None
+
+
+def _score_task():
+    """Lazily-decorated remote twin of :func:`_score_segment_file` (the
+    library never imports ray at module load)."""
+    global _SCORE_TASK
+    if _SCORE_TASK is None:
+        import ray
+
+        _SCORE_TASK = ray.remote(num_cpus=1)(_score_segment_file)
+    return _SCORE_TASK
 
 
 class MatchFieldGroup:
@@ -590,18 +645,22 @@ class Searcher:
 
         if use_ray and not has_matchall:
             weights = self._weights(all_terms)
-            import ray.data
+            import ray
 
             if all_terms:
-                from ..index.reader import pairs_filter
+                # zero-shuffle scatter: each postings file IS one segment, so
+                # scoring is one pruned-read task per segment (the legacy
+                # groupby('seg') re-shuffled pre-partitioned data — ~7 s/query
+                # fixed cost on a 100-segment index; LSR_SCORE_SCATTER=groupby
+                # restores it for comparison)
+                import os as _os
 
-                ds = ray.data.read_parquet(
-                    self.reader.postings_files(),
-                    filter=pairs_filter(sorted(all_terms)),
-                )
-                grouped = ds.groupby("seg").map_groups(
-                    ScoreSegmentGroup,
-                    fn_constructor_kwargs=dict(
+                if _os.environ.get("LSR_SCORE_SCATTER") == "groupby":
+                    batches = self._score_scatter_groupby(
+                        queries, weights, doc_bases, k, method, after, all_terms
+                    )
+                else:
+                    payload = ray.put(dict(
                         index_dir=self.reader.index_dir,
                         queries=queries,
                         weights=weights,
@@ -612,12 +671,15 @@ class Searcher:
                         method=method,
                         seg_dirs=self.reader.seg_dirs(),
                         after=after,
-                    ),
-                    batch_format="pyarrow",
-                    concurrency=(1, 8),
-                    max_restarts=0,  # fail fast; scatter is cheap to re-run
-                )
-                for b in grouped.iter_batches(batch_format="pyarrow"):
+                        pairs=sorted(all_terms),
+                    ))
+                    task = _score_task()
+                    batches = ray.get(
+                        [task.remote(payload, s["seg"]) for s in self.reader.segments]
+                    )
+                for b in batches:
+                    if len(b) == 0:
+                        continue
                     qids = b["query_id"].to_pylist()
                     ids = b["doc_id"].to_numpy()
                     scores = b["score"].to_numpy()
@@ -1418,6 +1480,37 @@ class Searcher:
             "doc_id": pa.array(doc_ids[order], pa.int64()),
             "score": pa.array(doc_scores[order], pa.float64()),
         })
+
+    def _score_scatter_groupby(self, queries, weights, doc_bases, k, method,
+                               after, all_terms) -> list[pa.Table]:
+        """Legacy scoring scatter (Ray Data read + groupby('seg')) — kept
+        behind LSR_SCORE_SCATTER=groupby for comparison benchmarks."""
+        import ray.data
+
+        from ..index.reader import pairs_filter
+
+        ds = ray.data.read_parquet(
+            self.reader.postings_files(), filter=pairs_filter(sorted(all_terms))
+        )
+        grouped = ds.groupby("seg").map_groups(
+            ScoreSegmentGroup,
+            fn_constructor_kwargs=dict(
+                index_dir=self.reader.index_dir,
+                queries=queries,
+                weights=weights,
+                cache=self.cache,
+                doc_bases=doc_bases,
+                k=k,
+                sim_params=self.sim.spec(),
+                method=method,
+                seg_dirs=self.reader.seg_dirs(),
+                after=after,
+            ),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            max_restarts=0,  # fail fast; scatter is cheap to re-run
+        )
+        return list(grouped.iter_batches(batch_format="pyarrow"))
 
     @staticmethod
     def _drain_scatter(ds) -> pa.Table | None:
