@@ -189,6 +189,53 @@ def _score_task():
     return _SCORE_TASK
 
 
+def _match_segment_file(payload: dict, seg: int) -> pa.Table:
+    """Per-segment MATCH task (facets / sorts / exports / joins): pruned read
+    of THIS segment's postings + the shared MatchFieldGroup body — same
+    zero-shuffle rationale as :func:`_score_segment_file`."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..index.reader import pairs_filter
+
+    seg_d = payload["seg_dirs"][seg]
+    pairs = payload["pairs"]
+    pf = os.path.join(seg_d, "postings.parquet")
+    if pairs:
+        tbl = pq.read_table(pf, filters=pairs_filter(pairs))
+    else:
+        tbl = pq.read_schema(pf).empty_table()
+    g = MatchFieldGroup(
+        index_dir=payload["index_dir"],
+        query=payload["query"],
+        weights=payload["weights"],
+        cache=payload["cache"],
+        doc_bases=payload["doc_bases"],
+        sim_params=payload["sim_params"],
+        mode=payload["mode"],
+        field=payload["field"],
+        k=payload["k"],
+        descending=payload["descending"],
+        params=payload["params"],
+        seg_dirs=payload["seg_dirs"],
+        seg=seg,
+    )
+    return g(tbl)
+
+
+_MATCH_TASK = None
+
+
+def _match_task():
+    global _MATCH_TASK
+    if _MATCH_TASK is None:
+        import ray
+
+        _MATCH_TASK = ray.remote(num_cpus=1)(_match_segment_file)
+    return _MATCH_TASK
+
+
 class MatchFieldGroup:
     """map_groups callable: one segment's posting rows → per-segment PARTIALS
     for the non-scoring paths (facets, sort-by-field, delete-by-query).
@@ -215,6 +262,7 @@ class MatchFieldGroup:
         descending: bool = False,
         seg_dirs: dict[int, str] | None = None,
         params: tuple | None = None,
+        seg: int | None = None,
     ):
         self.index_dir = index_dir
         self.query = query
@@ -230,6 +278,7 @@ class MatchFieldGroup:
         self.k = k
         self.descending = descending
         self.params = params
+        self.seg = seg  # explicit id for the per-file task scatter
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import os
@@ -238,7 +287,7 @@ class MatchFieldGroup:
 
         from ..index.segment import segment_dir
 
-        seg = int(group["seg"][0].as_py())
+        seg = self.seg if self.seg is not None else int(group["seg"][0].as_py())
         seg_d = self.seg_dirs.get(seg) or segment_dir(self.index_dir, seg)
         norms = pq.read_table(
             os.path.join(seg_d, "docs.parquet"), columns=["norm_byte"]
@@ -719,33 +768,45 @@ class Searcher:
         if not pairs or _contains_matchall(query):
             return None
         weights = self._weights(set(pairs))
-        import ray.data
-        from ..index.reader import pairs_filter
+        import os as _os
 
-        ds = ray.data.read_parquet(
-            self.reader.postings_files(),
-            filter=pairs_filter(pairs),
+        import ray
+        import ray.data
+
+        kwargs = dict(
+            index_dir=self.reader.index_dir,
+            query=query,
+            weights=weights,
+            cache=self.cache,
+            doc_bases={s["seg"]: s["doc_base"] for s in self.reader.segments},
+            sim_params=self.sim.spec(),
+            mode=mode,
+            field=field,
+            k=k,
+            descending=descending,
+            params=params,
+            seg_dirs=self.reader.seg_dirs(),
         )
-        return ds.groupby("seg").map_groups(
-            MatchFieldGroup,
-            fn_constructor_kwargs=dict(
-                index_dir=self.reader.index_dir,
-                query=query,
-                weights=weights,
-                cache=self.cache,
-                doc_bases={s["seg"]: s["doc_base"] for s in self.reader.segments},
-                sim_params=self.sim.spec(),
-                mode=mode,
-                field=field,
-                k=k,
-                descending=descending,
-                params=params,
-                seg_dirs=self.reader.seg_dirs(),
-            ),
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-            max_restarts=0,  # fail fast; scatter is cheap to re-run
-        )
+        if _os.environ.get("LSR_SCORE_SCATTER") == "groupby":
+            from ..index.reader import pairs_filter
+
+            ds = ray.data.read_parquet(
+                self.reader.postings_files(), filter=pairs_filter(pairs)
+            )
+            return ds.groupby("seg").map_groups(
+                MatchFieldGroup,
+                fn_constructor_kwargs=kwargs,
+                batch_format="pyarrow",
+                concurrency=(1, 8),
+                max_restarts=0,  # fail fast; scatter is cheap to re-run
+            )
+        # zero-shuffle: one pruned-read task per segment (files are
+        # seg-partitioned; see _score_segment_file), wrapped back into a
+        # Dataset so consumers can still sort/stream the partials
+        payload = ray.put({**kwargs, "pairs": pairs})
+        task = _match_task()
+        refs = [task.remote(payload, s["seg"]) for s in self.reader.segments]
+        return ray.data.from_arrow_refs(refs)
 
     def _matches_per_segment(self, query: Query):
         """→ iterator of (seg, doc_base, local match ids) — the LOCAL
