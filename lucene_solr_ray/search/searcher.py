@@ -139,40 +139,55 @@ class ScoreSegmentGroup:
         )
 
 
-def _score_segment_file(payload: dict, seg: int) -> pa.Table:
-    """One per-segment scoring task: read THIS segment's postings file with
-    the term filter pushed into its row groups (the term column is sorted),
-    then run the shared ScoreSegmentGroup body. Zero shuffle — each postings
-    file already IS one segment, so the legacy ``groupby('seg')`` re-shuffled
-    data that was pre-partitioned on disk (measured 7 s/query fixed cost on a
-    100-segment index; tasks take it to the actual work)."""
+def _read_seg_postings(payload: dict, seg: int) -> pa.Table:
     import os
 
     import pyarrow.parquet as pq
 
     from ..index.reader import pairs_filter
 
-    seg_d = payload["seg_dirs"][seg]
-    pairs = payload["pairs"]
-    pf = os.path.join(seg_d, "postings.parquet")
-    if pairs:
-        tbl = pq.read_table(pf, filters=pairs_filter(pairs))
-    else:
-        tbl = pq.read_schema(pf).empty_table()
-    g = ScoreSegmentGroup(
-        index_dir=payload["index_dir"],
-        queries=payload["queries"],
-        weights=payload["weights"],
-        cache=payload["cache"],
-        doc_bases=payload["doc_bases"],
-        k=payload["k"],
-        sim_params=payload["sim_params"],
-        method=payload["method"],
-        seg_dirs=payload["seg_dirs"],
-        after=payload["after"],
-        seg=seg,
-    )
-    return g(tbl)
+    pf = os.path.join(payload["seg_dirs"][seg], "postings.parquet")
+    if payload["pairs"]:
+        return pq.read_table(pf, filters=pairs_filter(payload["pairs"]))
+    return pq.read_schema(pf).empty_table()
+
+
+def _scatter_chunks(segments: list[int]) -> list[list[int]]:
+    """Batch segment ids per task so the task count stays ~4×CPUs even on
+    indexes with very many segments (one task per segment is fine at 100
+    segments, pathological at 100k)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    per = max(1, -(-len(segments) // max(1, 4 * cpus)))
+    return [segments[i : i + per] for i in range(0, len(segments), per)]
+
+
+def _score_segment_file(payload: dict, segs: list[int]) -> pa.Table:
+    """One scoring task over a batch of segments: read each segment's
+    postings file with the term filter pushed into its row groups (the term
+    column is sorted), then run the shared ScoreSegmentGroup body per
+    segment. Zero shuffle — each postings file already IS one segment, so
+    the legacy ``groupby('seg')`` re-shuffled data that was pre-partitioned
+    on disk (measured 7 s/query fixed cost on a 100-segment index; tasks
+    take it to the actual work)."""
+    out = []
+    for seg in segs:
+        g = ScoreSegmentGroup(
+            index_dir=payload["index_dir"],
+            queries=payload["queries"],
+            weights=payload["weights"],
+            cache=payload["cache"],
+            doc_bases=payload["doc_bases"],
+            k=payload["k"],
+            sim_params=payload["sim_params"],
+            method=payload["method"],
+            seg_dirs=payload["seg_dirs"],
+            after=payload["after"],
+            seg=seg,
+        )
+        out.append(g(_read_seg_postings(payload, seg)))
+    return pa.concat_tables(out)
 
 
 _SCORE_TASK = None
@@ -189,39 +204,29 @@ def _score_task():
     return _SCORE_TASK
 
 
-def _match_segment_file(payload: dict, seg: int) -> pa.Table:
-    """Per-segment MATCH task (facets / sorts / exports / joins): pruned read
-    of THIS segment's postings + the shared MatchFieldGroup body — same
-    zero-shuffle rationale as :func:`_score_segment_file`."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    from ..index.reader import pairs_filter
-
-    seg_d = payload["seg_dirs"][seg]
-    pairs = payload["pairs"]
-    pf = os.path.join(seg_d, "postings.parquet")
-    if pairs:
-        tbl = pq.read_table(pf, filters=pairs_filter(pairs))
-    else:
-        tbl = pq.read_schema(pf).empty_table()
-    g = MatchFieldGroup(
-        index_dir=payload["index_dir"],
-        query=payload["query"],
-        weights=payload["weights"],
-        cache=payload["cache"],
-        doc_bases=payload["doc_bases"],
-        sim_params=payload["sim_params"],
-        mode=payload["mode"],
-        field=payload["field"],
-        k=payload["k"],
-        descending=payload["descending"],
-        params=payload["params"],
-        seg_dirs=payload["seg_dirs"],
-        seg=seg,
-    )
-    return g(tbl)
+def _match_segment_file(payload: dict, segs: list[int]) -> pa.Table:
+    """MATCH task over a batch of segments (facets / sorts / exports /
+    joins): pruned read per segment + the shared MatchFieldGroup body —
+    same zero-shuffle rationale as :func:`_score_segment_file`."""
+    out = []
+    for seg in segs:
+        g = MatchFieldGroup(
+            index_dir=payload["index_dir"],
+            query=payload["query"],
+            weights=payload["weights"],
+            cache=payload["cache"],
+            doc_bases=payload["doc_bases"],
+            sim_params=payload["sim_params"],
+            mode=payload["mode"],
+            field=payload["field"],
+            k=payload["k"],
+            descending=payload["descending"],
+            params=payload["params"],
+            seg_dirs=payload["seg_dirs"],
+            seg=seg,
+        )
+        out.append(g(_read_seg_postings(payload, seg)))
+    return pa.concat_tables(out)
 
 
 _MATCH_TASK = None
@@ -723,9 +728,12 @@ class Searcher:
                         pairs=sorted(all_terms),
                     ))
                     task = _score_task()
-                    batches = ray.get(
-                        [task.remote(payload, s["seg"]) for s in self.reader.segments]
-                    )
+                    batches = ray.get([
+                        task.remote(payload, chunk)
+                        for chunk in _scatter_chunks(
+                            [s["seg"] for s in self.reader.segments]
+                        )
+                    ])
                 for b in batches:
                     if len(b) == 0:
                         continue
@@ -805,7 +813,10 @@ class Searcher:
         # Dataset so consumers can still sort/stream the partials
         payload = ray.put({**kwargs, "pairs": pairs})
         task = _match_task()
-        refs = [task.remote(payload, s["seg"]) for s in self.reader.segments]
+        refs = [
+            task.remote(payload, chunk)
+            for chunk in _scatter_chunks([s["seg"] for s in self.reader.segments])
+        ]
         return ray.data.from_arrow_refs(refs)
 
     def _matches_per_segment(self, query: Query):
