@@ -250,3 +250,55 @@ def test_index_sort_early_termination(ray_session, tmp_path):
     assert res_d["lang"].to_pylist() == sorted(tbl["lang"].to_pylist(), reverse=True)[:7]
     res_p = s_sorted.search_by_field(q, k=7, field="path", use_ray=False)
     assert res_p["path"].to_pylist() == sorted(tbl["path"].to_pylist())[:7]
+
+
+def test_build_from_jsonl_and_csv_sources(ray_session, tmp_path):
+    """Solr JsonLoader/CSVLoader analogs: the same corpus ingested from
+    JSONL and CSV builds indexes with results identical to the parquet
+    build (deterministic doc ids are source-format-independent)."""
+    import csv
+    import json
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.corpus import generate_corpus
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.query import parse_query
+    from lucene_solr_ray.search.searcher import Searcher
+    from lucene_solr_ray.sources import read_corpus_csv, read_corpus_jsonl
+
+    tbl = generate_corpus(150)
+    rows = tbl.to_pylist()
+    pdir = tmp_path / "pq"
+    pdir.mkdir()
+    pq.write_table(tbl, pdir / "part.parquet")
+    jpath = tmp_path / "corpus.jsonl"
+    with open(jpath, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cpath = tmp_path / "corpus.csv"
+    with open(cpath, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+
+    results = []
+    for tag, src in [("pq", str(pdir)),
+                     ("jsonl", read_corpus_jsonl(str(jpath))),
+                     ("csv", read_corpus_csv(str(cpath)))]:
+        idx = str(tmp_path / f"idx_{tag}")
+        build_index(src, idx, docs_per_segment=60)
+        s = Searcher(idx)
+        got = s.search({"q": parse_query("license OR apache")}, k=25, use_ray=False)
+        results.append((got["doc_id"].to_pylist(), got["score"].to_pylist()))
+    assert results[0] == results[1] == results[2]
+
+    # schema validation: a source missing a column fails fast
+    import pytest as _pytest
+
+    bad = tmp_path / "bad.jsonl"
+    with open(bad, "w") as f:
+        f.write(json.dumps({"repo": "r", "path": "p"}) + "\n")
+    with _pytest.raises(Exception, match="missing columns"):
+        build_index(read_corpus_jsonl(str(bad)), str(tmp_path / "idx_bad"),
+                    docs_per_segment=60)
