@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- spatial (LatLonPoint / geodist analogs over derived points) ---
         "geo_box": spatial.geo_box,
         "geo_distance_topk": spatial.geo_distance_topk,
+        "geo_polygon": spatial.geo_polygon,
     }
 
 
@@ -374,4 +375,5 @@ def oracle_sql() -> dict[str, str]:
         "percolate": percolate.SQL_PERCOLATE,
         "geo_box": spatial.SQL_GEO_BOX,
         "geo_distance_topk": spatial.SQL_GEO_DISTANCE_TOPK,
+        "geo_polygon": spatial.SQL_GEO_POLYGON,
     }

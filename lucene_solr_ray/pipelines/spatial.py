@@ -152,3 +152,58 @@ SELECT CAST(row_number() OVER (ORDER BY dist_km3, c_custkey) - 1 AS BIGINT) AS r
        CAST(c_custkey AS BIGINT) AS c_custkey, dist_km3
 FROM dist ORDER BY dist_km3, c_custkey LIMIT {GEO_K}
 """
+
+
+#: convex CCW polygon vertices as (lon, lat) — a diamond around (0, 0)
+POLYGON = ((-50.0, 0.0), (0.0, -40.0), (50.0, 0.0), (0.0, 40.0))
+
+
+def geo_polygon(sf_dir: str) -> pa.Table:
+    """LatLonPoint.newPolygonQuery analog for a CONVEX polygon: inside =
+    every CCW edge's cross product ≥ 0 (half-plane intersection — the
+    planar simplification of the reference's Polygon2D tree; exact float64
+    multiply/subtract on both sides, so the oracle is bit-exact, unlike the
+    trig-bearing distance query). → (c_custkey, lat, lon)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy()
+        lat, lon = _points(keys)
+        m = np.ones(len(keys), dtype=bool)
+        for i in range(len(POLYGON)):
+            x1, y1 = POLYGON[i]
+            x2, y2 = POLYGON[(i + 1) % len(POLYGON)]
+            m &= (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1) >= 0.0
+        return pa.table({
+            "c_custkey": pa.array(keys[m], pa.int64()),
+            "lat": pa.array(lat[m], pa.float64()),
+            "lon": pa.array(lon[m], pa.float64()),
+        })
+
+    out = _customers(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow")).sort_by("c_custkey")
+
+
+def _polygon_conds() -> str:
+    conds = []
+    for i in range(len(POLYGON)):
+        x1, y1 = POLYGON[i]
+        x2, y2 = POLYGON[(i + 1) % len(POLYGON)]
+        conds.append(
+            f"({x2!r} - {x1!r}) * (lat - {y1!r}) - ({y2!r} - {y1!r}) * (lon - {x1!r}) >= 0.0"
+        )
+    return "\n  AND ".join(conds)
+
+
+SQL_GEO_POLYGON = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (CAST(('0x' || substr(md5('lat|' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1800000) / 10000.0 - 90 AS lat,
+         (CAST(('0x' || substr(md5('lon|' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 3600000) / 10000.0 - 180 AS lon
+  FROM customer
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, lat, lon FROM pts
+WHERE {_polygon_conds()}
+ORDER BY c_custkey
+"""

@@ -109,6 +109,7 @@ FAST_ENTRIES = [
     "ft_strdist",
     "st_region_rollup",
     "ft_suggest_fuzzy",
+    "geo_polygon",
 ]
 
 
