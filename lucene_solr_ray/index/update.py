@@ -528,3 +528,27 @@ def update_numeric_doc_values(index_dir: str,
         os.replace(tmp, path)
         n += len(rows)
     return n
+
+
+def reindex(src_dir: str, dest_dir: str, *, analyzer=None,
+            docs_per_segment: int = 2_000, **build_kw) -> dict:
+    """Rebuild an index from its OWN stored fields with a (possibly
+    different) analyzer — the Solr reindexing idiom (collection reindex via
+    stored fields; requires storedFields, like Solr requires stored="true").
+    The corpus streams straight out of the per-segment docs files (pruned to
+    the 5 corpus columns), so reindexing is one standard build over a
+    Parquet read — no export hop."""
+    import ray.data
+
+    from .build import build_index
+
+    reader = IndexReader(src_dir)
+    if not _has_stored_content(reader):
+        raise ValueError("reindex requires an index built with store_content=True")
+
+    corpus = ray.data.read_parquet(
+        reader.docs_files(),
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    return build_index(corpus, dest_dir, docs_per_segment=docs_per_segment,
+                       analyzer=analyzer, **build_kw)

@@ -309,3 +309,34 @@ def test_split_index_rerunnable_after_partial_failure(ray_session, tmp_path):
     assert m2["stats"]["doc_count"] == m1["stats"]["doc_count"] == 140
     from lucene_solr_ray.index.checkindex import check_index
     check_index(dest)
+
+
+def test_reindex_with_new_analyzer(ray_session, tmp_path):
+    """Reindex from stored fields: the rebuilt index equals a fresh build
+    over the original corpus with the new analyzer (stored fields are a
+    faithful corpus copy; deterministic doc ids make it bit-comparable)."""
+    from lucene_solr_ray.analysis.tokenizer import EnglishAnalyzer
+    from lucene_solr_ray.index.update import reindex
+
+    tbl = generate_corpus(120)
+    src = str(tmp_path / "src")
+    build_index(ray.data.from_arrow(tbl), src, docs_per_segment=50,
+                store_content=True)
+    an = EnglishAnalyzer()
+    re_d = str(tmp_path / "re")
+    reindex(src, re_d, analyzer=an, docs_per_segment=50)
+    fresh = str(tmp_path / "fresh")
+    build_index(ray.data.from_arrow(tbl), fresh, docs_per_segment=50,
+                analyzer=an)
+
+    q = parse_query("running OR merge", analyzer=an)
+    got = Searcher(re_d).search({"q": q}, k=30, use_ray=False)
+    exp = Searcher(fresh).search({"q": q}, k=30, use_ray=False)
+    assert got["doc_id"].to_pylist() == exp["doc_id"].to_pylist()
+    assert got["score"].to_pylist() == exp["score"].to_pylist()
+
+    # non-stored source refuses
+    bare = str(tmp_path / "bare")
+    build_index(ray.data.from_arrow(tbl), bare, docs_per_segment=50)
+    with pytest.raises(ValueError, match="store_content"):
+        reindex(bare, str(tmp_path / "nope"))
