@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "st_significant": streaming_exprs.st_significant,
         "st_update": streaming_exprs.st_update,
         "st_cartesian": streaming_exprs.st_cartesian,
+        "st_nodes": streaming_exprs.st_nodes,
+        "graph_shortest_path": streaming_exprs.graph_shortest_path,
         # --- multimodal plumbing ---
         "mm_payload_features": multimodal.mm_payload_features,
         "mm_frame_sample": multimodal.mm_frame_sample,
@@ -369,6 +371,8 @@ def oracle_sql() -> dict[str, str]:
         "st_significant": streaming_exprs.sql_st_significant(),
         "st_update": streaming_exprs.SQL_ST_UPDATE,
         "st_cartesian": streaming_exprs.SQL_ST_CARTESIAN,
+        "st_nodes": streaming_exprs.SQL_ST_NODES,
+        "graph_shortest_path": streaming_exprs.SQL_GRAPH_SHORTEST_PATH,
         "mm_payload_features": multimodal.SQL_MM_PAYLOAD_FEATURES,
         "mm_frame_sample": multimodal.SQL_MM_FRAME_SAMPLE,
         "mm_resize": multimodal.SQL_MM_RESIZE,

@@ -298,3 +298,116 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name
 """
+
+
+# --- graph streams (io/graph/: GatherNodesStream, ShortestPathStream) ---
+
+# two-hop BFS: BUILDING customers → their orders → suppliers that shipped
+# them, with per-supplier edge counts at the leaves
+ST_NODES_EXPR = (
+    'nodes(lineitem, '
+    'nodes(orders, '
+    'search(customer, q="c_mktsegment:BUILDING", fl="c_custkey", sort="c_custkey asc"), '
+    'walk="c_custkey->o_custkey", gather="o_orderkey"), '
+    'walk="node->l_orderkey", gather="l_suppkey", count(*))'
+)
+
+
+def st_nodes(sf_dir: str) -> pa.Table:
+    """gatherNodes / nodes(): breadth-first graph hops, each one a broadcast
+    frontier + predicate-pushdown scan (zero shuffle) with combiner-pattern
+    per-node metrics."""
+    return run_expression(ST_NODES_EXPR, sf_dir)
+
+
+SQL_ST_NODES = """
+WITH roots AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+h1 AS (
+  SELECT DISTINCT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM roots)
+)
+SELECT CAST(l_suppkey AS BIGINT) AS node,
+       CAST(count(*) AS BIGINT)  AS "count(*)",
+       CAST(2 AS BIGINT)         AS level
+FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM h1)
+GROUP BY l_suppkey ORDER BY node
+"""
+
+
+SP_CUST = 1  # walk customer 1's order-succession chain end to end
+SP_MAX_DEPTH = 64
+
+
+def _order_chain_edges(sf_dir: str):
+    """Directed edge relation over orders: (src, dst) = consecutive orders of
+    the same customer in (o_orderdate, o_orderkey) order — sparse disjoint
+    chains derived with one groupby (partials = 3 pruned columns)."""
+    from ..streaming.streams import _sized_parquet
+
+    ds = _sized_parquet(
+        f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey", "o_orderdate"], None
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")],
+        )
+        a = group["o_orderkey"].take(idx).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"src": pa.array(a[:-1], pa.int64()), "dst": pa.array(a[1:], pa.int64())}
+        )
+
+    return ds.groupby("o_custkey").map_groups(pairs, batch_format="pyarrow")
+
+
+def graph_shortest_path(sf_dir: str) -> pa.Table:
+    """shortestPath(): frontier-broadcast BFS over the derived order-chain
+    edges, from customer SP_CUST's first order to their last; emits every
+    shortest path as ``a->b->c`` plus its hop count."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..streaming.streams import shortest_paths
+
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    t = t.filter(pc.equal(t["o_custkey"], SP_CUST))
+    idx = pc.sort_indices(
+        t, sort_keys=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")]
+    )
+    keys = t["o_orderkey"].take(idx)
+    start, end = keys[0].as_py(), keys[len(keys) - 1].as_py()
+    return shortest_paths(
+        _order_chain_edges(sf_dir), start, end, max_depth=SP_MAX_DEPTH
+    )
+
+
+SQL_GRAPH_SHORTEST_PATH = f"""
+WITH RECURSIVE
+e AS (
+  SELECT o_orderkey AS src,
+         lead(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS dst
+  FROM orders
+),
+ed AS (SELECT DISTINCT src, dst FROM e WHERE dst IS NOT NULL),
+sp AS (SELECT o_orderkey AS k FROM orders WHERE o_custkey = {SP_CUST}
+       ORDER BY o_orderdate, o_orderkey LIMIT 1),
+ep AS (SELECT o_orderkey AS k FROM orders WHERE o_custkey = {SP_CUST}
+       ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1),
+walk(node, path, depth) AS (
+  SELECT k, [k], 0 FROM sp
+  UNION ALL
+  SELECT ed.dst, list_append(walk.path, ed.dst), walk.depth + 1
+  FROM walk JOIN ed ON ed.src = walk.node
+  WHERE walk.depth < {SP_MAX_DEPTH} AND NOT list_contains(walk.path, ed.dst)
+),
+hits AS (SELECT path, depth FROM walk WHERE node = (SELECT k FROM ep))
+SELECT array_to_string(path, '->') AS path, CAST(depth AS BIGINT) AS length
+FROM hits WHERE depth = (SELECT min(depth) FROM hits) ORDER BY path
+"""

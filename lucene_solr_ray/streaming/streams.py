@@ -847,3 +847,173 @@ _BUILDERS.update({
     "cartesianProduct": _cartesian,
 })
 _STREAM_NAMES.update({"update", "parallel", "cartesianProduct"})
+
+
+# ---------------------------------------------------------------------------
+# graph streams: nodes (gatherNodes) / shortestPath
+# (solr/solrj/src/java/org/apache/solr/client/solrj/io/graph/)
+# ---------------------------------------------------------------------------
+
+def _nodes(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    """GatherNodesStream (``io/graph/GatherNodesStream.java``): one
+    breadth-first hop per call. The incoming stream's ``walk`` LHS values (or
+    literal roots ``"v1,v2->field"``) form the frontier; the collection is
+    scanned for rows whose ``walk`` RHS field is in the frontier, and the
+    distinct values of ``gather`` become the next level's nodes, with optional
+    metrics aggregated per node. Nested ``nodes()`` calls compose into a BFS.
+
+    Ray shape: the frontier is broadcast (it is the *small* side — Solr also
+    materializes the incoming stream to build it), the hop is a pruned-column
+    parquet scan with an ``isin`` predicate pushed to the read (zero shuffle),
+    and per-node uniqueness/metrics run the combiner pattern (per-block
+    partials → one combine). Output: ``node`` (gathered value, native type),
+    ``level``, plus one column per metric."""
+    coll = expr.positionals[0]
+    if coll not in TABLES:
+        raise ValueError(f"unknown collection {coll!r}")
+    path = f"{sf_dir}/{coll}.parquet"
+    schema = pq.read_schema(path)
+    lhs, _, to_field = expr.named["walk"].partition("->")
+    lhs, to_field = lhs.strip(), to_field.strip()
+    gather = expr.named["gather"].strip().strip('"')
+    metrics = _parse_metrics(expr)
+    if to_field not in schema.names or gather not in schema.names:
+        raise ValueError(f"walk/gather field not in {coll}: {to_field!r}/{gather!r}")
+
+    subs = _stream_subs(expr)
+    if subs:
+        src_tbl = _build(subs[0], sf_dir).to_table()
+        if lhs not in src_tbl.column_names:
+            raise ValueError(f"walk field {lhs!r} not in incoming stream")
+        frontier = pc.unique(src_tbl[lhs])
+        level = (
+            int(src_tbl["level"][0].as_py()) + 1
+            if "level" in src_tbl.column_names and len(src_tbl)
+            else 1
+        )
+    else:  # literal roots: walk="v1,v2->field"
+        typ = schema.field(to_field).type
+        frontier = pa.array([_coerce(v, typ) for v in lhs.split(",")], typ)
+        level = 1
+
+    import pyarrow.dataset as pads
+
+    need = sorted({to_field, gather} | {c for _, c in metrics if c != "*"})
+    flt = pads.field(to_field).isin(frontier)
+    ds = _sized_parquet(path, need, flt)
+    out = _combiner_aggregate(ds, [gather], metrics)
+
+    def finish(batch: pa.Table, gather=gather, level=level) -> pa.Table:
+        b = batch.rename_columns(["node" if c == gather else c for c in batch.column_names])
+        return b.append_column("level", pa.array([level] * b.num_rows, pa.int64()))
+
+    out = out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+    return StreamNode(out, [("node", True)])
+
+
+_BUILDERS["nodes"] = _nodes
+_STREAM_NAMES.add("nodes")
+
+
+def shortest_paths(edges, start, end, src_col: str = "src", dst_col: str = "dst",
+                   max_depth: int = 30) -> pa.Table:
+    """ShortestPathStream (``io/graph/ShortestPathStream.java``): BFS from
+    ``start`` over the directed edge relation until ``end`` is reached, then
+    emit EVERY shortest path (the reference collects all equal-length paths).
+    → ``(path:string "a->b->c", length:int64)``; empty table when ``end`` is
+    unreachable within ``max_depth`` hops.
+
+    ``edges`` is a ``ray.data.Dataset`` (or Arrow table) with ``src_col`` /
+    ``dst_col``. The dataset is materialized once (the reference's
+    partitionSize-bounded edge reads analog; at 100 TB this is a one-time
+    bucketed parquet write of the two pruned key columns, reused across
+    queries), then each BFS round broadcasts the frontier and runs one
+    vectorized ``isin`` filter per block — matched edges (frontier-incident
+    only, ≪ corpus) come back to the driver, exactly the reference's
+    per-level scatter/gather. Shortest paths never revisit a node, so
+    per-level parent lists reconstruct all of them without cycle checks."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    def _norm(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                src_col: b[src_col].cast(pa.int64()),
+                dst_col: b[dst_col].cast(pa.int64()),
+            }
+        )
+
+    if isinstance(edges, pa.Table):
+        edges = rd.from_arrow(_norm(edges))
+    else:
+        edges = edges.map_batches(_norm, batch_format="pyarrow", batch_size=None)
+    edges = edges.materialize()
+
+    start, end = int(start), int(end)
+    visited = {start}
+    frontier = np.array([start], dtype=np.int64)
+    parents: list[dict[int, set[int]]] = []  # per level: child -> {parents}
+    found_at = None
+    for _ in range(max_depth):
+        fref = ray.put(pa.array(frontier, pa.int64()))
+
+        def hop(batch: pa.Table, fref=fref) -> pa.Table:
+            return batch.filter(pc.is_in(batch[src_col], value_set=ray.get(fref)))
+
+        batches = list(
+            edges.map_batches(hop, batch_format="pyarrow", batch_size=None).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        matched = pa.concat_tables(batches) if batches else None
+        if matched is None or matched.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()), "length": pa.array([], pa.int64())})
+        u = matched[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = matched[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        fresh = ~np.isin(v, np.fromiter(visited, dtype=np.int64, count=len(visited)))
+        level_parents: dict[int, set[int]] = {}
+        for ui, vi in zip(u[fresh], v[fresh]):
+            level_parents.setdefault(int(vi), set()).add(int(ui))
+        if not level_parents:
+            return pa.table({"path": pa.array([], pa.string()), "length": pa.array([], pa.int64())})
+        parents.append(level_parents)
+        visited.update(level_parents)
+        if end in level_parents:
+            found_at = len(parents)
+            break
+        frontier = np.fromiter(level_parents, dtype=np.int64, count=len(level_parents))
+    if found_at is None:
+        return pa.table({"path": pa.array([], pa.string()), "length": pa.array([], pa.int64())})
+    paths = [[end]]
+    for lev in range(found_at - 1, -1, -1):
+        paths = [[p] + pp for pp in paths for p in sorted(parents[lev].get(pp[0], ()))]
+    strs = sorted("->".join(str(x) for x in p) for p in paths)
+    return pa.table(
+        {
+            "path": pa.array(strs, pa.string()),
+            "length": pa.array([found_at] * len(strs), pa.int64()),
+        }
+    )
+
+
+def _shortest_path(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    """``shortestPath(collection, from=, to=, edge="srcField=dstField",
+    maxDepth=)`` — the expression form over a parquet collection (the
+    reference's exact parameter surface)."""
+    import ray.data as rd
+
+    coll = expr.positionals[0]
+    if coll not in TABLES:
+        raise ValueError(f"unknown collection {coll!r}")
+    srcf, _, dstf = expr.named["edge"].partition("=")
+    ds = _sized_parquet(f"{sf_dir}/{coll}.parquet", [srcf.strip(), dstf.strip()], None)
+    tbl = shortest_paths(
+        ds, expr.named["from"], expr.named["to"], srcf.strip(), dstf.strip(),
+        int(expr.named.get("maxDepth", 30)),
+    )
+    return StreamNode(rd.from_arrow(tbl), [("path", True)], ordered=True)
+
+
+_BUILDERS["shortestPath"] = _shortest_path
+_STREAM_NAMES.add("shortestPath")

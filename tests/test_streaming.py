@@ -339,3 +339,86 @@ def test_cartesian_product_explodes(ray_session, con):
         f"'{SF}/embeddings.parquet' WHERE vec_id BETWEEN 0 AND 2"
     ).fetchone()[0]
     assert t.num_rows == n
+
+
+# ---------------------------------------------------------------------------
+# graph streams (io/graph/: GatherNodesStream, ShortestPathStream)
+# ---------------------------------------------------------------------------
+
+def test_nodes_literal_roots(ray_session, con):
+    """nodes() with literal roots (`"v1,v2->field"`): one hop, distinct
+    gathered nodes, level 1."""
+    t = run_expression(
+        'nodes(orders, walk="1,2->o_custkey", gather="o_orderkey")', SF
+    )
+    exp = con.sql(
+        f"SELECT DISTINCT o_orderkey FROM '{SF}/orders.parquet' "
+        "WHERE o_custkey IN (1, 2) ORDER BY o_orderkey"
+    ).df()["o_orderkey"].tolist()
+    assert t.column("node").to_pylist() == exp
+    assert set(t.column("level").to_pylist()) == {1}
+
+
+def test_nodes_metrics_and_level(ray_session, con):
+    """Nested nodes(): the outer hop reads the inner's `node` column and
+    aggregates count(*) per gathered node at level 2."""
+    t = run_expression(
+        'nodes(lineitem, nodes(orders, walk="1->o_custkey", gather="o_orderkey"), '
+        'walk="node->l_orderkey", gather="l_suppkey", count(*))',
+        SF,
+    )
+    exp = con.sql(
+        f"""SELECT l_suppkey, count(*) AS c FROM '{SF}/lineitem.parquet'
+        WHERE l_orderkey IN (SELECT o_orderkey FROM '{SF}/orders.parquet' WHERE o_custkey = 1)
+        GROUP BY l_suppkey ORDER BY l_suppkey"""
+    ).df()
+    assert t.column("node").to_pylist() == exp["l_suppkey"].tolist()
+    assert t.column("count(*)").to_pylist() == exp["c"].tolist()
+    assert set(t.column("level").to_pylist()) == {2}
+
+
+def test_shortest_paths_diamond_all_paths(ray_session):
+    """All equal-length shortest paths are emitted (ShortestPathStream
+    collects every one), and longer routes are ignored."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.streaming.streams import shortest_paths
+
+    #      1 -> 2 -> 4
+    #      1 -> 3 -> 4       (two shortest, length 2)
+    #      1 -> 5 -> 6 -> 4  (longer, ignored)
+    edges = pa.table(
+        {
+            "src": pa.array([1, 1, 2, 3, 1, 5, 6], pa.int64()),
+            "dst": pa.array([2, 3, 4, 4, 5, 6, 4], pa.int64()),
+        }
+    )
+    t = shortest_paths(edges, 1, 4)
+    assert t.column("path").to_pylist() == ["1->2->4", "1->3->4"]
+    assert t.column("length").to_pylist() == [2, 2]
+
+
+def test_shortest_paths_unreachable_and_max_depth(ray_session):
+    import pyarrow as pa
+
+    from lucene_solr_ray.streaming.streams import shortest_paths
+
+    edges = pa.table(
+        {"src": pa.array([1, 2, 3], pa.int64()), "dst": pa.array([2, 3, 4], pa.int64())}
+    )
+    assert shortest_paths(edges, 1, 99).num_rows == 0  # unreachable
+    assert shortest_paths(edges, 1, 4, max_depth=2).num_rows == 0  # depth cap
+    t = shortest_paths(edges, 1, 4, max_depth=3)
+    assert t.column("path").to_pylist() == ["1->2->3->4"]
+
+
+def test_shortest_path_expression_form(ray_session):
+    """shortestPath() over a parquet collection via the expression language
+    (nation: n_nationkey -> n_regionkey is a 1-hop bipartite edge set)."""
+    t = run_expression(
+        'shortestPath(nation, from="6", to="1", edge="n_nationkey=n_regionkey", '
+        "maxDepth=4)",
+        SF,
+    )
+    assert t.column("path").to_pylist() == ["6->1"]
+    assert t.column("length").to_pylist() == [1]
