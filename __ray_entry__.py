@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.simhash,
         "embed_dup_pairs": dedup.embed_dup_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_substring": dedup.dedup_substring,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "emb_quantize": ann.emb_quantize,
@@ -344,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.SQL_SIMHASH,
         "embed_dup_pairs": dedup.SQL_EMBED_DUP_PAIRS,
         "dedup_clusters": dedup.SQL_DEDUP_CLUSTERS,
+        "dedup_substring": dedup.SQL_DEDUP_SUBSTRING,
         "ann_topk": ann.SQL_ANN_TOPK,
         "emb_quantize": ann.SQL_EMB_QUANTIZE,
         "events_hourly": events.SQL_EVENTS_HOURLY,

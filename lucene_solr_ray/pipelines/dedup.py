@@ -585,3 +585,129 @@ def dedup_clusters(sf_dir: str) -> pa.Table:
         "cluster_rep": pa.array(reps, pa.int64()),
         "cluster_size": pa.array([sizes[r] for r in reps], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup (duplicated token windows)
+# ---------------------------------------------------------------------------
+#
+# "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+# 2021) removes any substring that occurs verbatim elsewhere in the corpus.
+# The suffix-array formulation is replaced by the equivalent fixed-width
+# token-window fingerprint pass (their EXACTSUBSTR with windows of
+# SUBSTR_W tokens): a window duplicated anywhere in the corpus — another doc
+# OR another position of the same doc — marks its position as duplicated.
+
+SUBSTR_W = 8  # tokens per window (Lee et al. use 50 at full scale)
+
+_SUBSTR_TOKEN_RE = None
+
+
+def _substr_windows(text: str) -> list[str]:
+    """md5 fingerprints of every SUBSTR_W-token window (stride 1) of the
+    lowercased \\w+ token stream; docs shorter than SUBSTR_W tokens have no
+    windows. Must stay bit-identical to the oracle's
+    ``regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+')`` + list-slice CTE."""
+    global _SUBSTR_TOKEN_RE
+    if _SUBSTR_TOKEN_RE is None:
+        import re
+
+        _SUBSTR_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+    toks = _SUBSTR_TOKEN_RE.findall((text or "").lower())
+    if len(toks) < SUBSTR_W:
+        return []
+    return [
+        hashlib.md5(" ".join(toks[i : i + SUBSTR_W]).encode("utf-8")).hexdigest()
+        for i in range(len(toks) - SUBSTR_W + 1)
+    ]
+
+
+def dedup_substring(sf_dir: str) -> pa.Table:
+    """(doc_id, n_windows, n_dup_windows): per doc, how many of its token
+    windows occur ≥2 times corpus-wide.
+
+    Shape: explode (window_md5, doc_id) pairs — hashes move through the
+    shuffle, never text — then ``groupby(window_md5)`` emits per-doc partial
+    dup counts only for duplicated groups (boilerplate-heavy groups are
+    linear scans), and a second small ``groupby(doc_id)`` combines partials.
+    The per-doc window totals ride a shuffle-free side aggregate; at 100 TB
+    the final decoration join runs distributed instead of on the driver."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, whs = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ws = _substr_windows(t)
+            ids.extend([did] * len(ws))
+            whs.extend(ws)
+        return pa.table(
+            {"wh": pa.array(whs, pa.string()), "doc_id": pa.array(ids, pa.int64())}
+        )
+
+    def dup_partials(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:  # unique window — contributes no dups
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "dups": pa.array([], pa.int64())}
+            )
+        g = pa.TableGroupBy(group.select(["doc_id"]), "doc_id").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].cast(pa.int64()),
+                "dups": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    w_ds = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+    dup = (
+        w_ds.groupby("wh")
+        .map_groups(dup_partials, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("dups", alias_name="n_dup_windows"))
+    )
+    dup_tbl = pa.concat_tables(dup.iter_batches(batch_format="pyarrow"))
+
+    def totals(batch: pa.Table) -> pa.Table:
+        ns = [len(_substr_windows(t)) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_windows": pa.array(ns, pa.int64()),
+            }
+        )
+
+    tot = _docs(sf_dir).map_batches(totals, batch_format="pyarrow")
+    tot_tbl = pa.concat_tables(tot.iter_batches(batch_format="pyarrow"))
+    out = tot_tbl.join(dup_tbl, keys=["doc_id"], join_type="left outer")
+    nd = out["n_dup_windows"].combine_chunks().fill_null(0)
+    return pa.table(
+        {
+            "doc_id": out["doc_id"].cast(pa.int64()),
+            "n_windows": out["n_windows"].cast(pa.int64()),
+            "n_dup_windows": nd.cast(pa.int64()),
+        }
+    ).sort_by("doc_id")
+
+
+SQL_DEDUP_SUBSTRING = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+') AS tk
+  FROM documents
+),
+w AS (
+  SELECT doc_id, md5(array_to_string(tk[i:i+{SUBSTR_W - 1}], ' ')) AS wh
+  FROM toks, unnest(generate_series(1, len(tk) - {SUBSTR_W} + 1)) AS t(i)
+  WHERE len(tk) >= {SUBSTR_W}
+),
+c AS (SELECT wh, count(*) AS n FROM w GROUP BY wh),
+per AS (
+  SELECT w.doc_id, count(*) AS nw,
+         sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS nd
+  FROM w JOIN c USING (wh) GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.nw, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(per.nd, 0) AS BIGINT) AS n_dup_windows
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""

@@ -400,3 +400,27 @@ def test_events_props_stats_handles_missing_k(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
                                   check_dtype=False, check_exact=True)
     assert set(got["event_type"]) == {"a", "c"}  # b excluded entirely
+
+
+def test_dedup_substring_oracle_and_semantics(entry_mod, con):
+    """Substring-level dedup (Lee et al. 2021 EXACTSUBSTR, fixed token
+    windows): matches the DuckDB oracle at sf0.001, and the window function
+    itself has the documented edge behavior."""
+    from lucene_solr_ray.pipelines import dedup
+
+    got = dedup.dedup_substring(SF).to_pandas()
+    exp = con.sql(dedup.SQL_DEDUP_SUBSTRING).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_windows"].tolist() == exp["n_windows"].tolist()
+    assert got["n_dup_windows"].tolist() == exp["n_dup_windows"].tolist()
+    assert (got["n_dup_windows"] > 0).any()  # corpus has real boilerplate
+
+    # window function edge cases
+    W = dedup.SUBSTR_W
+    assert dedup._substr_windows(" ".join(["t"] * (W - 1))) == []  # too short
+    ws = dedup._substr_windows(" ".join(f"w{i}" for i in range(W + 2)))
+    assert len(ws) == 3  # n - W + 1 stride-1 windows
+    # identical window text → identical fingerprint regardless of doc
+    a = dedup._substr_windows("A b C " + " ".join(f"x{i}" for i in range(W)))
+    b = dedup._substr_windows("a B c " + " ".join(f"x{i}" for i in range(W)))
+    assert a == b  # lowercased token stream
