@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freetext_suggest": text.freetext_suggest,
         "sample_mix": text.sample_mix,
         "chunk_windows": text.chunk_windows,
+        "bpe_token_count": text.bpe_token_count,  # rows-only: iterative BPE pinned in pytest
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_shingle_set": dedup.dedup_shingle_set,

@@ -925,3 +925,145 @@ FROM nw, unnest(generate_series(1, n_chunks)) AS t(ci)
 WHERE n_chunks > 0
 ORDER BY doc_id, chunk_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE: distributed word counts → driver-trained merges → broadcast encode
+# ---------------------------------------------------------------------------
+#
+# Byte-pair-encoding subword tokenization (Sennrich et al. 2016), the token
+# counter a training-data pipeline actually runs. The classic formulation
+# trains on the WORD-FREQUENCY table, not the corpus: the distributed part is
+# one combiner-pattern word count; training then runs on that small table
+# driver-side (vocab ≪ corpus — the standard scale path), and encoding
+# broadcasts the learned merge ranks to an actor pool with a per-actor
+# word→tokens cache (Zipf makes the cache hit rate ~size of the vocab).
+
+BPE_MERGES = 20  # small: the synthetic corpus vocab is tiny; real corpora use 10-50k
+BPE_EOW = "</w>"  # end-of-word marker (Sennrich et al. §3.2)
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def bpe_word_counts(sf_dir: str) -> pa.Table:
+    """(word, n) corpus word-frequency table — per-batch Counter partials,
+    one groupby-sum shuffle of (word, count) pairs."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(_TOKEN_RE.findall((t or "").lower()))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("word").aggregate(Sum("n", alias_name="n"))
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+def bpe_train(word_counts: pa.Table, n_merges: int = BPE_MERGES) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a (word, n) table. Deterministic:
+    ties on pair frequency break to the lexicographically smallest pair.
+    Words are char sequences with BPE_EOW appended to the last char."""
+    from collections import Counter
+
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, n in zip(word_counts["word"].to_pylist(), word_counts["n"].to_pylist()):
+        if not w:
+            continue
+        syms = tuple(list(w[:-1]) + [w[-1] + BPE_EOW])
+        vocab[syms] = vocab.get(syms, 0) + int(n)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merge loop (the GPT-2 ``bpe()`` algorithm —
+    equivalent to replaying the learned merges in order)."""
+    if not word:
+        return []
+    syms = list(word[:-1]) + [word[-1] + BPE_EOW]
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_token_count(sf_dir: str) -> pa.Table:
+    """(doc_id, n_words, n_bpe_tokens): BPE subword token counts per doc with
+    merges trained on this corpus's word-frequency table. Rows-only driver
+    check (BPE is iterative, not SQL-expressible); the trainer/encoder are
+    pinned by golden pytest (Sennrich-style hand-checked merges)."""
+    import ray
+
+    merges = bpe_train(bpe_word_counts(sf_dir))
+    ranks = {p: i for i, p in enumerate(merges)}
+    rref = ray.put(ranks)
+
+    class Encoder:
+        def __init__(self):
+            self.ranks = ray.get(rref)
+            self.cache: dict[str, int] = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_w, out_t = [], []
+            for t in batch["text"].to_pylist():
+                words = _TOKEN_RE.findall((t or "").lower())
+                total = 0
+                for w in words:
+                    n = self.cache.get(w)
+                    if n is None:
+                        n = len(bpe_encode_word(w, self.ranks))
+                        self.cache[w] = n
+                    total += n
+                out_w.append(len(words))
+                out_t.append(total)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "n_words": pa.array(out_w, pa.int64()),
+                    "n_bpe_tokens": pa.array(out_t, pa.int64()),
+                }
+            )
+
+    ds = _docs(sf_dir).map_batches(
+        Encoder, batch_format="pyarrow", concurrency=(1, 8), max_restarts=0
+    )
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by("doc_id")

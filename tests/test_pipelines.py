@@ -424,3 +424,35 @@ def test_dedup_substring_oracle_and_semantics(entry_mod, con):
     a = dedup._substr_windows("A b C " + " ".join(f"x{i}" for i in range(W)))
     b = dedup._substr_windows("a B c " + " ".join(f"x{i}" for i in range(W)))
     assert a == b  # lowercased token stream
+
+
+def test_bpe_train_golden_and_encode(entry_mod):
+    """Sennrich et al. toy corpus: the first merges are the hand-computable
+    pair-frequency maxima, and encoding replays them greedily."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.pipelines import text
+
+    wc = pa.table({"word": ["low", "lower", "newest", "widest"], "n": [5, 2, 6, 3]})
+    m = text.bpe_train(wc, n_merges=10)
+    # ('e','s') freq 9 wins round 1; ('es','t</w>') freq 9 wins round 2
+    assert m[0] == ("e", "s")
+    assert m[1] == ("es", "t</w>")
+    ranks = {p: i for i, p in enumerate(m)}
+    assert text.bpe_encode_word("low", ranks) == ["low</w>"]
+    # unseen word falls back to learned subword pieces
+    enc = text.bpe_encode_word("lowest", ranks)
+    assert "".join(enc) == "lowest</w>" and len(enc) > 1
+    assert text.bpe_encode_word("", ranks) == []
+
+
+def test_bpe_token_count_invariants(entry_mod):
+    """Corpus-level invariants: deterministic, subword count ≥ word count,
+    and strictly more granular than whole words for this merge budget."""
+    from lucene_solr_ray.pipelines import text
+
+    t1 = text.bpe_token_count(SF).to_pandas()
+    t2 = text.bpe_token_count(SF).to_pandas()
+    assert t1.equals(t2)
+    assert (t1.n_bpe_tokens >= t1.n_words).all()
+    assert (t1.n_bpe_tokens > t1.n_words).any()
