@@ -1005,6 +1005,56 @@ def ft_join(sf_dir: str) -> pa.Table:
     )
 
 
+#: SpanMultiTermQueryWrapper specs: one slot is a prefix pattern expanded
+#: against the term dictionary (SpanRewriteMethod → SpanOr of SpanTerm)
+SPAN_MULTITERM_SPECS = [
+    {"qid": "smt_mer_data_2", "clauses": [("prefix", "mer"), ("term", "data")], "slop": 2},
+    {"qid": "smt_the_win_3", "clauses": [("term", "the"), ("prefix", "win")], "slop": 3},
+]
+
+
+def ft_span_multiterm(sf_dir: str) -> pa.Table:
+    """SpanMultiTermQueryWrapper (``search/spans/SpanMultiTermQueryWrapper.java``):
+    a multi-term (prefix) query rewritten INSIDE a span — the pattern expands
+    against the term dictionary into a SpanOrQuery of SpanTermQuery
+    (SpanRewriteMethod semantics), then composes under an ordered
+    SpanNearQuery. Full match sets per spec."""
+    from ..search.spans import SpanNearQuery, SpanOrQuery, SpanTermQuery
+
+    s = get_searcher(sf_dir)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    out_q, out_d = [], []
+    for sp in SPAN_MULTITERM_SPECS:
+        clauses = []
+        for kind, val in sp["clauses"]:
+            if kind == "prefix":
+                terms = sorted(s.reader.expand_terms(PrefixQuery(val)))
+                clauses.append(SpanOrQuery(tuple(SpanTermQuery(t) for t in terms)))
+            else:
+                clauses.append(SpanTermQuery(val))
+        q = SpanNearQuery(tuple(clauses), slop=sp["slop"])
+        scattered = s._scatter_match(q, "ids")
+        gids = []
+        if scattered is not None:
+            for b in scattered.iter_batches(batch_format="pyarrow"):
+                if len(b):
+                    segs = b["seg"].to_numpy()
+                    lids = b["local_id"].to_numpy().astype(np.int64)
+                    for sv in np.unique(segs):
+                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
+        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        out_q.extend([sp["qid"]] * len(ids))
+        out_d.append(ids)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(
+                np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 #: ordered span-near specs (match SETS: existence of an ordered alignment
 #: with total gap <= slop is exact for distinct-term clauses)
 SPAN_SPECS = [

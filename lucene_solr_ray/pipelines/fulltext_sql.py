@@ -1118,6 +1118,31 @@ FROM (SELECT DISTINCT t0.did AS did FROM ktp t0 {joins}
     return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
 
 
+def sql_span_multiterm(specs: list[dict]) -> str:
+    """SpanMultiTermQueryWrapper oracle: ordered span-near where a clause may
+    be a dictionary-expanded prefix — the SQL twin uses LIKE on the token
+    (identical to expanding the dictionary then OR-ing, since both sides see
+    the same analyzed token stream)."""
+    parts = []
+    for sp in specs:
+        clauses, slop, qid = sp["clauses"], sp["slop"], sp["qid"]
+        joins = " ".join(
+            f"JOIN ktp t{i} ON t{i}.did = t0.did AND t{i}.p > t{i-1}.p"
+            for i in range(1, len(clauses))
+        )
+        conds = " AND ".join(
+            f"t{i}.tok LIKE '{v}%'" if kind == "prefix" else f"t{i}.tok = '{v}'"
+            for i, (kind, v) in enumerate(clauses)
+        )
+        n = len(clauses)
+        width = f"(t{n-1}.p - t0.p - {n - 1})"
+        parts.append(f"""
+SELECT '{qid}' AS query_id, CAST(did AS BIGINT) AS doc_id
+FROM (SELECT DISTINCT t0.did AS did FROM ktp t0 {joins}
+      WHERE {conds} AND {width} <= {slop})""")
+    return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
+
+
 def sql_elevate(term: str, elevated: list[int], k: int) -> str:
     """QueryElevationComponent oracle: configured ids (valid, in configured
     order, truncated to k) are pinned to the top whether or not they match;

@@ -269,3 +269,31 @@ def test_containing_first_following_b_only():
     assert [(s, e) for s, e, _ in doc_spans(big, pos)] == [(0, 3)]
     # c@4 lies only in the non-enumerated (0,6) alignment → no match
     assert doc_spans(SpanContainingQuery(big, SpanTermQuery("c")), pos) == []
+
+
+def test_span_multiterm_wrapper_equals_expanded_or():
+    """SpanMultiTermQueryWrapper semantics: a prefix clause inside a span is
+    EXACTLY the SpanOr of its dictionary expansion (SpanRewriteMethod)."""
+    import numpy as np
+
+    from lucene_solr_ray.search.spans import (
+        SpanNearQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+        doc_spans,
+    )
+
+    pos = {
+        "merge": np.array([0, 9]),
+        "merged": np.array([4]),
+        "data": np.array([2, 5, 11]),
+    }
+    expanded = SpanOrQuery((SpanTermQuery("merge"), SpanTermQuery("merged")))
+    q = SpanNearQuery((expanded, SpanTermQuery("data")), slop=1)
+    got = [(s, e) for s, e, _ in doc_spans(q, pos)]
+    # merge@0 → data@2 (gap 1); merged@4 → data@5 (gap 0); merge@9 → data@11
+    # has gap 1 → also matches
+    assert got == [(0, 3), (4, 6), (9, 12)]
+    # slop 0 keeps only the adjacent alignment
+    q0 = SpanNearQuery((expanded, SpanTermQuery("data")), slop=0)
+    assert [(s, e) for s, e, _ in doc_spans(q0, pos)] == [(4, 6)]
