@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_mix": text.sample_mix,
         "chunk_windows": text.chunk_windows,
         "bpe_token_count": text.bpe_token_count,  # rows-only: iterative BPE pinned in pytest
+        "ft_tag": text.ft_tag,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_shingle_set": dedup.dedup_shingle_set,
@@ -342,6 +343,7 @@ def oracle_sql() -> dict[str, str]:
         "freetext_suggest": text.SQL_FREETEXT_SUGGEST,
         "sample_mix": text.SQL_SAMPLE_MIX,
         "chunk_windows": text.SQL_CHUNK_WINDOWS,
+        "ft_tag": text.SQL_FT_TAG,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_shingle_set": dedup.SQL_DEDUP_SHINGLE_SET,
         "minhash_lsh_pairs": dedup.SQL_MINHASH_LSH_PAIRS,

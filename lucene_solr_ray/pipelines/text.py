@@ -1067,3 +1067,108 @@ def bpe_token_count(sf_dir: str) -> pa.Table:
         Encoder, batch_format="pyarrow", concurrency=(1, 8), max_restarts=0
     )
     return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dictionary text tagging (Solr TaggerRequestHandler, overlaps=ALL)
+# ---------------------------------------------------------------------------
+
+#: tag dictionary: surface → token sequence (entity-linking style gazetteer)
+TAG_DICT = (
+    "window join",
+    "stream column",
+    "big order scan",
+    "part join table",
+    "order fast",
+    "merge",
+)
+
+
+def ft_tag(sf_dir: str) -> pa.Table:
+    """(doc_id, tag, n): dictionary phrase tagging — the Solr Text Tagger
+    (``solr/core/src/java/org/apache/solr/handler/tagger/
+    TaggerRequestHandler.java``) in ``overlaps=ALL`` mode: every occurrence
+    of every dictionary phrase in the raw lowercased token stream counts
+    (no stop filtering — taggers match surface forms).
+
+    Vectorized: the batch's docs flatten to ONE token array + doc-index
+    array; each dictionary phrase of length L is one shifted-equality mask
+    chain (L numpy compares) + a same-doc guard + ``bincount`` — no per-token
+    Python. Docs live wholly inside their batch, so counts are final without
+    any shuffle (embarrassingly parallel, like the reference's per-request
+    FST walk)."""
+    phrases = [(t, t.split(" ")) for t in TAG_DICT]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks_per_doc = [
+            _TOKEN_RE.findall((t or "").lower()) for t in batch["text"].to_pylist()
+        ]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        flat = np.asarray(
+            [w for toks in toks_per_doc for w in toks] or [""], dtype=object
+        )
+        doc_idx = np.repeat(np.arange(len(ids)), lens)
+        if len(doc_idx) == 0:
+            doc_idx = np.zeros(1, dtype=np.int64)
+        out_d, out_t, out_n = [], [], []
+        n_tok = len(flat)
+        for tag, ptoks in phrases:
+            L = len(ptoks)
+            w = n_tok - L + 1
+            if w <= 0:
+                continue
+            m = flat[:w] == ptoks[0]
+            for j in range(1, L):
+                m &= flat[j : w + j] == ptoks[j]
+            m &= doc_idx[:w] == doc_idx[L - 1 : w + L - 1]
+            if not m.any():
+                continue
+            counts = np.bincount(doc_idx[:w][m], minlength=len(ids))
+            hit = np.flatnonzero(counts)
+            out_d.append(ids[hit])
+            out_t.extend([tag] * len(hit))
+            out_n.append(counts[hit])
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+                ),
+                "tag": pa.array(out_t, pa.string()),
+                "n": pa.array(
+                    np.concatenate(out_n) if out_n else np.empty(0, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending"), ("tag", "ascending")]
+    )
+
+
+def _sql_tag_one(tag: str) -> str:
+    ptoks = tag.split(" ")
+    joins = " ".join(
+        f"JOIN tp t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.i = t0.i + {j}"
+        for j in range(1, len(ptoks))
+    )
+    conds = " AND ".join(f"t{j}.tok = '{w}'" for j, w in enumerate(ptoks))
+    return f"""
+SELECT t0.doc_id, '{tag}' AS tag, count(*) AS n
+FROM tp t0 {joins} WHERE {conds} GROUP BY t0.doc_id"""
+
+
+SQL_FT_TAG = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+') AS tk
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, i, tk[i] AS tok
+  FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, tag, CAST(n AS BIGINT) AS n FROM (
+{" UNION ALL ".join(f"SELECT * FROM ({_sql_tag_one(t)})" for t in TAG_DICT)}
+) ORDER BY doc_id, tag
+"""

@@ -456,3 +456,19 @@ def test_bpe_token_count_invariants(entry_mod):
     assert t1.equals(t2)
     assert (t1.n_bpe_tokens >= t1.n_words).all()
     assert (t1.n_bpe_tokens > t1.n_words).any()
+
+
+def test_ft_tag_oracle_and_batch_vectorization(entry_mod, con):
+    """Solr Text Tagger (overlaps=ALL): matches the DuckDB adjacency oracle,
+    counts every occurrence (not just first), and single- and multi-token
+    dictionary entries both fire."""
+    from lucene_solr_ray.pipelines import text
+
+    got = text.ft_tag(SF).to_pandas()
+    exp = con.sql(text.SQL_FT_TAG).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["tag"].tolist() == exp["tag"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert (got["n"] > 1).any()  # repeated occurrences counted
+    tags = set(got["tag"])
+    assert "merge" in tags and "big order scan" in tags
