@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "st_update": streaming_exprs.st_update,
         "st_cartesian": streaming_exprs.st_cartesian,
         "st_nodes": streaming_exprs.st_nodes,
+        "st_score_nodes": streaming_exprs.st_score_nodes,
         "graph_shortest_path": streaming_exprs.graph_shortest_path,
         # --- multimodal plumbing ---
         "mm_payload_features": multimodal.mm_payload_features,
@@ -379,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "st_update": streaming_exprs.SQL_ST_UPDATE,
         "st_cartesian": streaming_exprs.SQL_ST_CARTESIAN,
         "st_nodes": streaming_exprs.SQL_ST_NODES,
+        "st_score_nodes": streaming_exprs.SQL_ST_SCORE_NODES,
         "graph_shortest_path": streaming_exprs.SQL_GRAPH_SHORTEST_PATH,
         "mm_payload_features": multimodal.SQL_MM_PAYLOAD_FEATURES,
         "mm_frame_sample": multimodal.SQL_MM_FRAME_SAMPLE,

@@ -334,6 +334,43 @@ GROUP BY l_suppkey ORDER BY node
 """
 
 
+ST_SCORE_NODES_EXPR = (
+    f"scoreNodes({ST_NODES_EXPR}, collection=lineitem, field=l_suppkey)"
+)
+
+
+def st_score_nodes(sf_dir: str) -> pa.Table:
+    """scoreNodes(): tf-idf relevance over gathered graph nodes —
+    nodeScore = gathered count × ln((N+1)/(df+1)), df from a pruned
+    frontier-filtered scan. Bit-exact float64 oracle (one ln per node)."""
+    return run_expression(ST_SCORE_NODES_EXPR, sf_dir)
+
+
+SQL_ST_SCORE_NODES = """
+WITH roots AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+h1 AS (
+  SELECT DISTINCT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM roots)
+),
+g AS (
+  SELECT l_suppkey AS node, count(*) AS c
+  FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM h1)
+  GROUP BY l_suppkey
+),
+df AS (
+  SELECT l_suppkey AS node, count(*) AS df FROM lineitem
+  WHERE l_suppkey IN (SELECT node FROM g) GROUP BY l_suppkey
+),
+n AS (SELECT count(*) AS nr FROM lineitem)
+SELECT CAST(g.node AS BIGINT) AS node,
+       CAST(g.c AS BIGINT)    AS "count(*)",
+       CAST(2 AS BIGINT)      AS level,
+       CAST(g.c AS DOUBLE) * ln((CAST((SELECT nr FROM n) AS DOUBLE) + 1)
+                                 / (CAST(df.df AS DOUBLE) + 1)) AS nodeScore
+FROM g JOIN df USING (node) ORDER BY nodeScore DESC, node ASC
+"""
+
+
 SP_CUST = 1  # walk customer 1's order-succession chain end to end
 SP_MAX_DEPTH = 64
 

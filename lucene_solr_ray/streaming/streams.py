@@ -1017,3 +1017,58 @@ def _shortest_path(expr: StreamExpression, sf_dir: str) -> StreamNode:
 
 _BUILDERS["shortestPath"] = _shortest_path
 _STREAM_NAMES.add("shortestPath")
+
+
+def _score_nodes(expr: StreamExpression, sf_dir: str) -> StreamNode:
+    """ScoreNodesStream (``io/graph/ScoreNodesStream.java``): decorate
+    gathered nodes with a tf-idf relevance — nodeScore = gathered count ×
+    idf of the node value in its collection, so boilerplate hubs (high df)
+    rank below selectively-shared nodes. idf uses the engine's
+    ``ln((N + 1) / (df + 1))`` form; the float64 ln is computed once per
+    node on both sides, so the oracle compares bit-exact.
+
+    ``scoreNodes(<node stream>, collection=..., field=...)`` — the df pass
+    is a pruned one-column scan filtered to the frontier (combiner partials),
+    never a full-table aggregate."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    src_tbl = _build(_stream_subs(expr)[0], sf_dir).to_table()
+    coll = expr.named["collection"]
+    fieldname = expr.named["field"]
+    if coll not in TABLES:
+        raise ValueError(f"unknown collection {coll!r}")
+    path = f"{sf_dir}/{coll}.parquet"
+    n_rows = pq.read_metadata(path).num_rows
+    if "count(*)" not in src_tbl.column_names:
+        raise ValueError("scoreNodes needs a count(*) metric on the node stream")
+
+    import pyarrow.dataset as pads
+
+    nodes_arr = src_tbl["node"].combine_chunks()
+    ds = _sized_parquet(path, [fieldname], pads.field(fieldname).isin(nodes_arr))
+    dfs = _combiner_aggregate(ds, [fieldname], [("count", "*")])
+    df_tbl = pa.concat_tables(dfs.iter_batches(batch_format="pyarrow"))
+    df_map = dict(
+        zip(df_tbl[fieldname].to_pylist(), df_tbl["count(*)"].to_pylist())
+    )
+    counts = np.asarray(src_tbl["count(*)"].to_pylist(), dtype=np.float64)
+    df_vals = np.asarray(
+        [df_map.get(v, 0) for v in src_tbl["node"].to_pylist()], dtype=np.float64
+    )
+    scores = np.array(
+        [c * math.log((n_rows + 1) / (d + 1)) for c, d in zip(counts, df_vals)],
+        dtype=np.float64,
+    )
+    out = src_tbl.append_column("nodeScore", pa.array(scores, pa.float64()))
+    order = pc.sort_indices(
+        out, sort_keys=[("nodeScore", "descending"), ("node", "ascending")]
+    )
+    return StreamNode(rd.from_arrow(out.take(order)),
+                      [("nodeScore", False), ("node", True)], ordered=True)
+
+
+_BUILDERS["scoreNodes"] = _score_nodes
+_STREAM_NAMES.add("scoreNodes")

@@ -422,3 +422,23 @@ def test_shortest_path_expression_form(ray_session):
     )
     assert t.column("path").to_pylist() == ["6->1"]
     assert t.column("length").to_pylist() == [1]
+
+
+def test_score_nodes_idf_ordering(ray_session, con):
+    """scoreNodes(): tf-idf node decoration — scores sorted desc, and a
+    missing count(*) metric on the inner stream is rejected."""
+    t = run_expression(
+        'scoreNodes(nodes(lineitem, nodes(orders, walk="1,2->o_custkey", '
+        'gather="o_orderkey"), walk="node->l_orderkey", gather="l_suppkey", '
+        "count(*)), collection=lineitem, field=l_suppkey)",
+        SF,
+    )
+    scores = t.column("nodeScore").to_pylist()
+    assert scores == sorted(scores, reverse=True)
+    assert t.num_rows > 0 and all(s > 0 for s in scores)
+    with pytest.raises(ValueError):
+        run_expression(
+            'scoreNodes(nodes(orders, walk="1->o_custkey", gather="o_orderkey"), '
+            "collection=orders, field=o_orderkey)",
+            SF,
+        )
