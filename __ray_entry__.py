@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_box": spatial.geo_box,
         "geo_distance_topk": spatial.geo_distance_topk,
         "geo_polygon": spatial.geo_polygon,
+        "geo_heatmap": spatial.geo_heatmap,
     }
 
 
@@ -389,4 +390,5 @@ def oracle_sql() -> dict[str, str]:
         "geo_box": spatial.SQL_GEO_BOX,
         "geo_distance_topk": spatial.SQL_GEO_DISTANCE_TOPK,
         "geo_polygon": spatial.SQL_GEO_POLYGON,
+        "geo_heatmap": spatial.SQL_GEO_HEATMAP,
     }

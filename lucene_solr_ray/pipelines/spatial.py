@@ -207,3 +207,81 @@ SELECT CAST(c_custkey AS BIGINT) AS c_custkey, lat, lon FROM pts
 WHERE {_polygon_conds()}
 ORDER BY c_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# heatmap facet grid (Solr SpatialHeatmapFacets)
+# ---------------------------------------------------------------------------
+
+HEAT_ROWS = 12
+HEAT_COLS = 12
+
+
+def geo_heatmap(sf_dir: str) -> pa.Table:
+    """(grid_row, grid_col, n): 2-D grid-cell counts of the derived points
+    inside BOX — Solr's heatmap faceting (``solr/core/src/java/org/apache/
+    solr/handler/component/SpatialHeatmapFacets.java``; the PrefixTree grid
+    becomes an arithmetic row/col bucket). Non-empty cells only (the dense
+    ``counts_ints2D`` grid is this table scattered into a matrix).
+
+    Per-batch ``bincount`` partials over cell ids → one (cell, n) groupby-sum;
+    the shuffle moves ≤ ROWS×COLS rows per block, never points. The floor
+    arithmetic is identical IEEE float64 on both sides, so the oracle is
+    exact."""
+    from ray.data.aggregate import Sum
+
+    cell_h = (BOX["max_lat"] - BOX["min_lat"]) / HEAT_ROWS
+    cell_w = (BOX["max_lon"] - BOX["min_lon"]) / HEAT_COLS
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy()
+        lat, lon = _points(keys)
+        m = ((lat >= BOX["min_lat"]) & (lat <= BOX["max_lat"])
+             & (lon >= BOX["min_lon"]) & (lon <= BOX["max_lon"]))
+        r = np.minimum(
+            np.floor((lat[m] - BOX["min_lat"]) / cell_h).astype(np.int64), HEAT_ROWS - 1
+        )
+        c = np.minimum(
+            np.floor((lon[m] - BOX["min_lon"]) / cell_w).astype(np.int64), HEAT_COLS - 1
+        )
+        cells = np.bincount(r * HEAT_COLS + c, minlength=HEAT_ROWS * HEAT_COLS)
+        hit = np.flatnonzero(cells)
+        return pa.table(
+            {
+                "grid_row": pa.array(hit // HEAT_COLS, pa.int64()),
+                "grid_col": pa.array(hit % HEAT_COLS, pa.int64()),
+                "n": pa.array(cells[hit], pa.int64()),
+            }
+        )
+
+    ds = _customers(sf_dir).map_batches(fn, batch_format="pyarrow")
+    out = ds.groupby(["grid_row", "grid_col"]).aggregate(Sum("n", alias_name="n"))
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return pa.table(
+        {
+            "grid_row": tbl["grid_row"].cast(pa.int64()),
+            "grid_col": tbl["grid_col"].cast(pa.int64()),
+            "n": tbl["n"].cast(pa.int64()),
+        }
+    ).sort_by([("grid_row", "ascending"), ("grid_col", "ascending")])
+
+
+SQL_GEO_HEATMAP = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (CAST(('0x' || substr(md5('lat|' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1800000) / 10000.0 - 90 AS lat,
+         (CAST(('0x' || substr(md5('lon|' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 3600000) / 10000.0 - 180 AS lon
+  FROM customer
+),
+inbox AS (
+  SELECT least(CAST(floor((lat - ({BOX["min_lat"]!r})) / {(BOX["max_lat"] - BOX["min_lat"]) / HEAT_ROWS!r}) AS BIGINT), {HEAT_ROWS - 1}) AS grid_row,
+         least(CAST(floor((lon - ({BOX["min_lon"]!r})) / {(BOX["max_lon"] - BOX["min_lon"]) / HEAT_COLS!r}) AS BIGINT), {HEAT_COLS - 1}) AS grid_col
+  FROM pts
+  WHERE lat BETWEEN {BOX["min_lat"]!r} AND {BOX["max_lat"]!r}
+    AND lon BETWEEN {BOX["min_lon"]!r} AND {BOX["max_lon"]!r}
+)
+SELECT grid_row, grid_col, CAST(count(*) AS BIGINT) AS n
+FROM inbox GROUP BY grid_row, grid_col ORDER BY grid_row, grid_col
+"""

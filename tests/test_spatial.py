@@ -45,3 +45,21 @@ def test_box_and_topk(ray_session):
     d = top["dist_km3"].to_numpy()
     assert (np.diff(d) >= 0).all()  # ascending distance
     assert top["rank"].to_pylist() == list(range(GEO_K))
+
+
+def test_geo_heatmap_grid(ray_session):
+    """Heatmap facet: cell counts sum to the box-match count, indices stay in
+    the grid, and the oracle agrees cell-by-cell."""
+    import duckdb
+
+    from lucene_solr_ray.pipelines import spatial
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'")
+    t = spatial.geo_heatmap(SF).to_pandas()
+    e = con.sql(spatial.SQL_GEO_HEATMAP).df()
+    assert t.values.tolist() == e.values.tolist()
+    box_n = spatial.geo_box(SF).num_rows
+    assert t["n"].sum() == box_n
+    assert t["grid_row"].between(0, spatial.HEAT_ROWS - 1).all()
+    assert t["grid_col"].between(0, spatial.HEAT_COLS - 1).all()
