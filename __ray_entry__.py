@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative": events.events_cumulative,
         "events_top_users": events.events_top_users,
         "events_props_stats": events.events_props_stats,
+        "events_funnel": events.events_funnel,
         # --- facets / grouping / stats ---
         "facet_counts": facets.facet_counts,
         "grouped_topk": facets.grouped_topk,
@@ -362,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cumulative": events.SQL_EVENTS_CUMULATIVE,
         "events_top_users": events.SQL_EVENTS_TOP_USERS,
         "events_props_stats": events.SQL_EVENTS_PROPS_STATS,
+        "events_funnel": events.SQL_EVENTS_FUNNEL,
         "facet_counts": facets.SQL_FACET_COUNTS,
         "grouped_topk": facets.SQL_GROUPED_TOPK,
         "lang_char_stats": facets.SQL_LANG_CHAR_STATS,

@@ -380,3 +380,90 @@ FROM (SELECT event_type,
       WHERE regexp_matches(props, '"k": ([0-9]+)'))
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (ordered-subsequence conversion steps)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str) -> pa.Table:
+    """(step, event_type, n_users): how many users completed the first
+    ``step`` funnel stages as an ordered subsequence of their event stream
+    (event-time order, (ts, event_id) tiebreak). Greedy earliest-match per
+    user is exact for subsequence existence.
+
+    Shape: one ``groupby(user_id)`` — each group sorts its own events and
+    walks the funnel pointer once (O(events)); only (user_id, depth) partials
+    leave the shuffle, and the final step-count fold is a driver-side
+    bincount over ≤ |users| tiny rows."""
+    steps = list(FUNNEL_STEPS)
+
+    def depth(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        types = group["event_type"].take(idx).to_pylist()
+        d = 0
+        for t in types:
+            if d < len(steps) and t == steps[d]:
+                d += 1
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "depth": pa.array([d], pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir).groupby("user_id").map_groups(depth, batch_format="pyarrow")
+    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    depths = tbl["depth"].to_numpy()
+    counts = [int((depths >= k).sum()) for k in range(1, len(steps) + 1)]
+    return pa.table(
+        {
+            "step": pa.array(range(1, len(steps) + 1), pa.int64()),
+            "event_type": pa.array(steps, pa.string()),
+            "n_users": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def _sql_funnel_step(i: int) -> str:
+    """Stage CTE s{i}: earliest qualifying event strictly after stage i-1."""
+    et = FUNNEL_STEPS[i - 1]
+    if i == 1:
+        return f"""
+s1 AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = '{et}') WHERE rn = 1
+)"""
+    p = i - 1
+    return f"""
+s{i} AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT e.user_id, e.ts, e.event_id,
+           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN s{p} USING (user_id)
+    WHERE e.event_type = '{et}'
+      AND (e.ts > s{p}.ts OR (e.ts = s{p}.ts AND e.event_id > s{p}.event_id))
+  ) WHERE rn = 1
+)"""
+
+
+SQL_EVENTS_FUNNEL = (
+    "WITH "
+    + ", ".join(_sql_funnel_step(i) for i in range(1, len(FUNNEL_STEPS) + 1))
+    + " "
+    + " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, '{FUNNEL_STEPS[i-1]}' AS event_type, "
+        f"CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
+        for i in range(1, len(FUNNEL_STEPS) + 1)
+    )
+    + " ORDER BY step"
+)

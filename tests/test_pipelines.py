@@ -472,3 +472,17 @@ def test_ft_tag_oracle_and_batch_vectorization(entry_mod, con):
     assert (got["n"] > 1).any()  # repeated occurrences counted
     tags = set(got["tag"])
     assert "merge" in tags and "big order scan" in tags
+
+
+def test_events_funnel_monotone_and_greedy(entry_mod, con):
+    """Funnel conversion: step counts are monotone non-increasing, match the
+    SQL earliest-match oracle, and the greedy walk handles interleaved
+    events (unit check on the subsequence semantics)."""
+    from lucene_solr_ray.pipelines import events
+
+    got = events.events_funnel(SF).to_pandas()
+    exp = con.sql(events.SQL_EVENTS_FUNNEL).df()
+    assert got.values.tolist() == exp.values.tolist()
+    n = got["n_users"].tolist()
+    assert n == sorted(n, reverse=True)
+    assert n[0] > 0
