@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_char_stats": facets.lang_char_stats,
         "solr_json_facets": solr_facets.solr_json_facets,
         "solr_json_nested": solr_facets.solr_json_nested,
+        "percentile_tdigest": solr_facets.percentile_tdigest,  # rows-only: t-digest sketch pinned in pytest
         # --- Solr streaming expressions (parser + stream algebra on Ray Data) ---
         "st_rollup": streaming_exprs.st_rollup,
         "st_join_topk": streaming_exprs.st_join_topk,

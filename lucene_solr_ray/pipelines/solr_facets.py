@@ -327,3 +327,104 @@ UNION ALL
 SELECT source, lang, CAST(r AS BIGINT), CAST(n AS BIGINT), CAST(sum_chars AS BIGINT)
 FROM subs WHERE r < {NESTED_TOP_SUB}
 """
+
+
+# ---------------------------------------------------------------------------
+# t-digest approximate percentiles (PercentileAgg's actual mechanism)
+# ---------------------------------------------------------------------------
+#
+# Solr's PercentileAgg is a t-digest (Dunning & Ertl; solr/core/src/java/org/
+# apache/solr/search/facet/PercentileAgg.java uses AVLTreeDigest). The exact
+# histogram above assumes a small value domain; the t-digest is the
+# unbounded-domain scale path: per-block values compress to ≤O(δ) centroids,
+# partial centroid lists merge by concatenation, and ONE final sorted
+# recompression makes the result independent of block arrival order.
+
+TDIGEST_DELTA = 100.0
+TDIGEST_QS = (0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def tdigest_compress(means: np.ndarray, weights: np.ndarray,
+                     delta: float = TDIGEST_DELTA) -> tuple[np.ndarray, np.ndarray]:
+    """One MergingDigest pass (Dunning & Ertl §2.2, k1 scale bound
+    4·N·q(1−q)/δ) over centroids sorted by mean → compressed (means,
+    weights). Deterministic for a given input order."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    w_before = 0.0
+    for m, w in zip(means[1:].tolist(), weights[1:].tolist()):
+        q = (w_before + cur_w / 2.0) / total
+        limit = 4.0 * total * q * (1.0 - q) / delta
+        if cur_w + w <= limit:
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_before += cur_w
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def tdigest_quantile(means: np.ndarray, weights: np.ndarray, q: float,
+                     vmin: float, vmax: float) -> float:
+    """Standard t-digest quantile interpolation over centroid midpoints,
+    clamped to the exact [min, max]."""
+    total = float(weights.sum())
+    target = q * total
+    cum = np.cumsum(weights) - weights / 2.0  # centroid midpoints
+    if target <= cum[0]:
+        return float(vmin + (means[0] - vmin) * max(target, 0.0) / max(cum[0], 1e-12))
+    if target >= cum[-1]:
+        span = total - cum[-1]
+        frac = (target - cum[-1]) / span if span > 0 else 1.0
+        return float(means[-1] + (vmax - means[-1]) * min(frac, 1.0))
+    i = int(np.searchsorted(cum, target) - 1)
+    frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+    return float(means[i] + (means[i + 1] - means[i]) * frac)
+
+
+def percentile_tdigest(sf_dir: str) -> pa.Table:
+    """(quantile, est): t-digest percentiles of ``events.value``. Per-block
+    sketches (≤O(δ) centroids each) travel as (mean, weight) partials plus
+    exact min/max; the driver concatenates, sorts, and recompresses once —
+    the merged digest is therefore independent of block arrival order.
+    Approximate → rows-only driver check; rank accuracy vs the exact
+    quantiles is pinned in pytest."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table({"mean": pa.array([], pa.float64()),
+                             "weight": pa.array([], pa.float64()),
+                             "vmin": pa.array([], pa.float64()),
+                             "vmax": pa.array([], pa.float64())})
+        m, w = tdigest_compress(v, np.ones(len(v)))
+        return pa.table({
+            "mean": pa.array(m, pa.float64()),
+            "weight": pa.array(w, pa.float64()),
+            "vmin": pa.array(np.full(len(m), v.min()), pa.float64()),
+            "vmax": pa.array(np.full(len(m), v.max()), pa.float64()),
+        })
+
+    from .io import sized_read
+
+    ds = sized_read(f"{sf_dir}/events.parquet").select_columns(["value"]).map_batches(
+        sketch, batch_format="pyarrow"
+    )
+    parts = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    m, w = tdigest_compress(parts["mean"].to_numpy(), parts["weight"].to_numpy())
+    vmin = float(pa.compute.min(parts["vmin"]).as_py())
+    vmax = float(pa.compute.max(parts["vmax"]).as_py())
+    ests = [tdigest_quantile(m, w, q, vmin, vmax) for q in TDIGEST_QS]
+    return pa.table({
+        "quantile": pa.array(TDIGEST_QS, pa.float64()),
+        "est": pa.array(ests, pa.float64()),
+    })

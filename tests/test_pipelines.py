@@ -486,3 +486,39 @@ def test_events_funnel_monotone_and_greedy(entry_mod, con):
     n = got["n_users"].tolist()
     assert n == sorted(n, reverse=True)
     assert n[0] > 0
+
+
+def test_tdigest_percentiles(entry_mod, con):
+    """t-digest sketch: rank error ≤1% vs exact, estimates monotone,
+    deterministic across runs, and merging partial digests stays within the
+    same bound as one whole-data digest."""
+    import numpy as np
+
+    from lucene_solr_ray.pipelines import solr_facets as sfm
+
+    t1 = sfm.percentile_tdigest(SF)
+    t2 = sfm.percentile_tdigest(SF)
+    assert t1.equals(t2)  # block-order-independent merge
+    ests = t1["est"].to_pylist()
+    assert ests == sorted(ests)
+    vals = con.sql("SELECT value FROM events").df()["value"].to_numpy()
+    vals.sort()
+    for q, est in zip(t1["quantile"].to_pylist(), ests):
+        rank = np.searchsorted(vals, est) / len(vals)
+        assert abs(rank - q) <= 0.01, (q, est, rank)
+
+    # mergeability: digest(eighth-slices merged) ≈ digest(whole)
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=8000)
+    parts_m, parts_w = [], []
+    for chunk in np.array_split(data, 8):
+        m, w = sfm.tdigest_compress(chunk, np.ones(len(chunk)))
+        parts_m.append(m)
+        parts_w.append(w)
+    mm, mw = sfm.tdigest_compress(np.concatenate(parts_m), np.concatenate(parts_w))
+    assert len(mm) < 400  # compressed, not a value dump
+    s = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        est = sfm.tdigest_quantile(mm, mw, q, float(s[0]), float(s[-1]))
+        rank = np.searchsorted(s, est) / len(s)
+        assert abs(rank - q) <= 0.015, (q, est, rank)
