@@ -69,8 +69,21 @@ UAX29_TOKEN_RE = re.compile(
 )
 
 
+#: UAX29URLEmailTokenizer's extra word classes (URL / EMAIL tokens kept
+#: whole; ``analysis/standard/UAX29URLEmailTokenizer.java``) — a pragmatic
+#: subset of its grammar: scheme URLs and RFC-ish emails, longest-match
+#: before the word classes
+_URLEMAIL_PAT = (
+    r"https?://[^\s<>\"']+"
+    r"|[a-z0-9_.+\-]+@[a-z0-9\-]+(?:\.[a-z0-9\-]+)+"
+)
+
+
 def token_re(analyzer: "StandardAnalyzer") -> "re.Pattern":
-    return UAX29_TOKEN_RE if analyzer.unicode_segmentation else TOKEN_RE
+    base = UAX29_TOKEN_RE if analyzer.unicode_segmentation else TOKEN_RE
+    if analyzer.url_email:
+        return re.compile(f"{_URLEMAIL_PAT}|{base.pattern}", re.UNICODE | re.IGNORECASE)
+    return base
 
 
 @dataclass(frozen=True)
@@ -92,6 +105,10 @@ class StandardAnalyzer:
     #: ALPHANUM-subset default; analysis runs through the Python tokenizer
     #: (the Arrow fast path covers only the default mode)
     unicode_segmentation: bool = False
+    #: UAX29URLEmailTokenizer analog: URLs and emails survive as single
+    #: tokens instead of splitting at punctuation (Python tokenizer path,
+    #: like unicode_segmentation)
+    url_email: bool = False
     #: ASCIIFoldingFilter analog via NFD-decompose + strip combining marks
     #: (bit-identical to DuckDB ``strip_accents``; diverges from Lucene's
     #: hand-written table on ligatures like ß/œ, which NFD leaves alone)
@@ -589,10 +606,10 @@ class ArrowAnalyzer:
                 )
         if self.analyzer.word_delimiter is not None:
             return self._call_wd(arr, n, with_positions)
-        if self.analyzer.unicode_segmentation:
-            # UAX#29 word classes can't be expressed as an RE2 split pattern
-            # (single-char ideograph tokens); tokenize per doc in Python and
-            # rejoin the vectorized fold below
+        if self.analyzer.unicode_segmentation or self.analyzer.url_email:
+            # UAX#29 word classes / URL-email longest-match can't be
+            # expressed as an RE2 split pattern; tokenize per doc in Python
+            # and rejoin the vectorized fold below
             pat = token_re(self.analyzer)
             lower = self.analyzer.lowercase
             pylists = [

@@ -154,3 +154,40 @@ def test_uax29_arrow_batch_matches_python():
         got_tf = dict(zip(terms, stats.tfs[lo:hi].tolist()))
         assert got_tf == exp_tf, (i, got_tf, exp_tf)
         assert stats.field_lens[i] == len(expected)
+
+
+def test_url_email_tokenizer_mode():
+    """UAX29URLEmailTokenizer analog: URLs and emails survive as single
+    (lowercased) tokens; plain words tokenize as before; the Arrow batch
+    path agrees with the per-string golden path."""
+    from lucene_solr_ray.analysis.tokenizer import (
+        ArrowAnalyzer,
+        StandardAnalyzer,
+        analyze_with_positions,
+    )
+    import pyarrow as pa
+
+    a = StandardAnalyzer(url_email=True)
+    text = 'Visit HTTPS://Example.COM/path?x=1 or mail Bob.Smith+x@Corp.Example.org now!'
+    toks = [t for t, _ in analyze_with_positions(text, a)]
+    assert toks == [
+        "visit",
+        "https://example.com/path?x=1",
+        "mail",
+        "bob.smith+x@corp.example.org",
+        "now",
+    ]  # 'or' is a stopword
+    # default mode shreds both
+    base = [t for t, _ in analyze_with_positions(text)]
+    assert "https://example.com/path?x=1" not in base and "https" in base
+
+    # Arrow batch path (actor fast path fallback) produces the same stream
+    stats = ArrowAnalyzer(a)(pa.array([text]))
+    got = sorted(
+        zip(
+            (stats.terms.to_pylist() if isinstance(stats.terms, pa.Array) else list(stats.terms)),
+            stats.tfs.tolist(),
+        )
+    )
+    assert got == sorted((t, 1) for t in toks)
+    assert stats.field_lens.tolist() == [5]
