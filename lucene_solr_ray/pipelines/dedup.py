@@ -600,20 +600,20 @@ def dedup_clusters(sf_dir: str) -> pa.Table:
 
 SUBSTR_W = 8  # tokens per window (Lee et al. use 50 at full scale)
 
-_SUBSTR_TOKEN_RE = None
+
+def _substr_tokens(text: str) -> list[str]:
+    """Lowercased \\w+ token stream — bit-identical to the oracle's
+    ``regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+')``."""
+    from ..analysis.tokenizer import TOKEN_RE
+
+    return TOKEN_RE.findall((text or "").lower())
 
 
 def _substr_windows(text: str) -> list[str]:
-    """md5 fingerprints of every SUBSTR_W-token window (stride 1) of the
-    lowercased \\w+ token stream; docs shorter than SUBSTR_W tokens have no
-    windows. Must stay bit-identical to the oracle's
-    ``regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+')`` + list-slice CTE."""
-    global _SUBSTR_TOKEN_RE
-    if _SUBSTR_TOKEN_RE is None:
-        import re
-
-        _SUBSTR_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
-    toks = _SUBSTR_TOKEN_RE.findall((text or "").lower())
+    """md5 fingerprints of every SUBSTR_W-token window (stride 1); docs
+    shorter than SUBSTR_W tokens have no windows. Matches the oracle's
+    list-slice + md5 CTE."""
+    toks = _substr_tokens(text)
     if len(toks) < SUBSTR_W:
         return []
     return [
@@ -665,10 +665,21 @@ def dedup_substring(sf_dir: str) -> pa.Table:
         .groupby("doc_id")
         .aggregate(Sum("dups", alias_name="n_dup_windows"))
     )
-    dup_tbl = pa.concat_tables(dup.iter_batches(batch_format="pyarrow"))
+    dup_batches = list(dup.iter_batches(batch_format="pyarrow"))
+    dup_tbl = (
+        pa.concat_tables(dup_batches)
+        if dup_batches
+        else pa.table(  # no duplicated window anywhere — Ray drops 0-row blocks
+            {"doc_id": pa.array([], pa.int64()), "n_dup_windows": pa.array([], pa.int64())}
+        )
+    )
 
     def totals(batch: pa.Table) -> pa.Table:
-        ns = [len(_substr_windows(t)) for t in batch["text"].to_pylist()]
+        # count-only pass: window count is len(tokens)-W+1, no re-hashing
+        ns = [
+            max(0, len(_substr_tokens(t)) - SUBSTR_W + 1)
+            for t in batch["text"].to_pylist()
+        ]
         return pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),

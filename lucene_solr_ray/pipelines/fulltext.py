@@ -62,6 +62,21 @@ def _index_dir_for(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"lsr_ft_index_{key}")
 
 
+def _global_match_ids(scattered, doc_bases: dict) -> np.ndarray:
+    """Gather an ``ids``-mode match scatter into sorted GLOBAL doc ids
+    (per-segment local_id + that segment's doc_base) — the shared tail of
+    every full-match-set driver entry."""
+    gids = []
+    if scattered is not None:
+        for b in scattered.iter_batches(batch_format="pyarrow"):
+            if len(b):
+                segs = b["seg"].to_numpy()
+                lids = b["local_id"].to_numpy().astype(np.int64)
+                for sv in np.unique(segs):
+                    gids.append(lids[segs == sv] + doc_bases[int(sv)])
+    return np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+
+
 def get_searcher(sf_dir: str, dtype=np.float64) -> Searcher:
     """Build (or reuse) the index for sf_dir; float64 scoring for SQL parity."""
     key = f"{sf_dir}|{np.dtype(dtype).name}"
@@ -984,15 +999,7 @@ def ft_join(sf_dir: str) -> pa.Table:
     for sp in JOIN_SPECS:
         jq = s.join_query(TermQuery(sp["term"]), sp["index_field"], sp["index_field"])
         scattered = s._scatter_match(jq, "ids")
-        gids = []
-        if scattered is not None:
-            for b in scattered.iter_batches(batch_format="pyarrow"):
-                if len(b):
-                    segs = b["seg"].to_numpy()
-                    lids = b["local_id"].to_numpy().astype(np.int64)
-                    for sv in np.unique(segs):
-                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
-        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        ids = _global_match_ids(scattered, doc_bases)
         out_q.extend([sp["qid"]] * len(ids))
         out_d.append(ids)
     return pa.table(
@@ -1009,7 +1016,8 @@ def ft_join(sf_dir: str) -> pa.Table:
 #: against the term dictionary (SpanRewriteMethod → SpanOr of SpanTerm)
 SPAN_MULTITERM_SPECS = [
     {"qid": "smt_mer_data_2", "clauses": [("prefix", "mer"), ("term", "data")], "slop": 2},
-    {"qid": "smt_the_win_3", "clauses": [("term", "the"), ("prefix", "win")], "slop": 3},
+    # term-then-prefix slot order; 'big order scan' makes this non-vacuous
+    {"qid": "smt_big_or_1", "clauses": [("term", "big"), ("prefix", "or")], "slop": 1},
 ]
 
 
@@ -1034,15 +1042,7 @@ def ft_span_multiterm(sf_dir: str) -> pa.Table:
                 clauses.append(SpanTermQuery(val))
         q = SpanNearQuery(tuple(clauses), slop=sp["slop"])
         scattered = s._scatter_match(q, "ids")
-        gids = []
-        if scattered is not None:
-            for b in scattered.iter_batches(batch_format="pyarrow"):
-                if len(b):
-                    segs = b["seg"].to_numpy()
-                    lids = b["local_id"].to_numpy().astype(np.int64)
-                    for sv in np.unique(segs):
-                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
-        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        ids = _global_match_ids(scattered, doc_bases)
         out_q.extend([sp["qid"]] * len(ids))
         out_d.append(ids)
     return pa.table(
@@ -1074,15 +1074,7 @@ def ft_span_near(sf_dir: str) -> pa.Table:
     for sp in SPAN_SPECS:
         q = SpanNearQuery(tuple(SpanTermQuery(t) for t in sp["terms"]), slop=sp["slop"])
         scattered = s._scatter_match(q, "ids")
-        gids = []
-        if scattered is not None:
-            for b in scattered.iter_batches(batch_format="pyarrow"):
-                if len(b):
-                    segs = b["seg"].to_numpy()
-                    lids = b["local_id"].to_numpy().astype(np.int64)
-                    for sv in np.unique(segs):
-                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
-        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        ids = _global_match_ids(scattered, doc_bases)
         out_q.extend([sp["qid"]] * len(ids))
         out_d.append(ids)
     return pa.table(
@@ -1316,15 +1308,7 @@ def ft_span_contain(sf_dir: str) -> pa.Table:
         cls = SpanContainingQuery if sp["kind"] == "containing" else SpanWithinQuery
         q = cls(big, little)
         scattered = s._scatter_match(q, "ids")
-        gids = []
-        if scattered is not None:
-            for b in scattered.iter_batches(batch_format="pyarrow"):
-                if len(b):
-                    segs = b["seg"].to_numpy()
-                    lids = b["local_id"].to_numpy().astype(np.int64)
-                    for sv in np.unique(segs):
-                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
-        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        ids = _global_match_ids(scattered, doc_bases)
         out_q.extend([sp["qid"]] * len(ids))
         out_d.append(ids)
     return pa.table(
@@ -1570,15 +1554,7 @@ def ft_span_posrange(sf_dir: str) -> pa.Table:
     for sp in SPAN_POSRANGE_SPECS:
         q = SpanPositionRangeQuery(SpanTermQuery(sp["term"]), sp["start"], sp["end"])
         scattered = s._scatter_match(q, "ids")
-        gids = []
-        if scattered is not None:
-            for b in scattered.iter_batches(batch_format="pyarrow"):
-                if len(b):
-                    segs = b["seg"].to_numpy()
-                    lids = b["local_id"].to_numpy().astype(np.int64)
-                    for sv in np.unique(segs):
-                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
-        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        ids = _global_match_ids(scattered, doc_bases)
         out_q.extend([sp["qid"]] * len(ids))
         out_d.append(ids)
     return pa.table({
@@ -1829,15 +1805,7 @@ def ft_multi_term(sf_dir: str) -> pa.Table:
                                include_lower=sp.get("include_lower", True),
                                include_upper=sp.get("include_upper", True))
         scattered = s._scatter_match(q, "ids")
-        gids = []
-        if scattered is not None:
-            for b in scattered.iter_batches(batch_format="pyarrow"):
-                if len(b):
-                    segs = b["seg"].to_numpy()
-                    lids = b["local_id"].to_numpy().astype(np.int64)
-                    for sv in np.unique(segs):
-                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
-        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        ids = _global_match_ids(scattered, doc_bases)
         out_q.extend([sp["qid"]] * len(ids))
         out_d.append(ids)
     return pa.table({
@@ -1945,15 +1913,7 @@ def ft_multi_phrase(sf_dir: str) -> pa.Table:
         q = MultiPhraseQuery(tuple(tuple(slot) for slot in sp["slots"]),
                              tuple(range(len(sp["slots"]))))
         scattered = s._scatter_match(q, "ids")
-        gids = []
-        if scattered is not None:
-            for b in scattered.iter_batches(batch_format="pyarrow"):
-                if len(b):
-                    segs = b["seg"].to_numpy()
-                    lids = b["local_id"].to_numpy().astype(np.int64)
-                    for sv in np.unique(segs):
-                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
-        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        ids = _global_match_ids(scattered, doc_bases)
         out_q.extend([sp["qid"]] * len(ids))
         out_d.append(ids)
     return pa.table({
@@ -2048,15 +2008,7 @@ def ft_multi_phrase_sloppy(sf_dir: str) -> pa.Table:
         q = MultiPhraseQuery(tuple(tuple(slot) for slot in sp["slots"]),
                              tuple(range(len(sp["slots"]))), slop=sp["slop"])
         scattered = s._scatter_match(q, "ids")
-        gids = []
-        if scattered is not None:
-            for b in scattered.iter_batches(batch_format="pyarrow"):
-                if len(b):
-                    segs = b["seg"].to_numpy()
-                    lids = b["local_id"].to_numpy().astype(np.int64)
-                    for sv in np.unique(segs):
-                        gids.append(lids[segs == sv] + doc_bases[int(sv)])
-        ids = np.sort(np.concatenate(gids)) if gids else np.empty(0, dtype=np.int64)
+        ids = _global_match_ids(scattered, doc_bases)
         out_q.extend([sp["qid"]] * len(ids))
         out_d.append(ids)
     return pa.table({

@@ -347,9 +347,11 @@ TDIGEST_QS = (0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
 def tdigest_compress(means: np.ndarray, weights: np.ndarray,
                      delta: float = TDIGEST_DELTA) -> tuple[np.ndarray, np.ndarray]:
     """One MergingDigest pass (Dunning & Ertl §2.2, k1 scale bound
-    4·N·q(1−q)/δ) over centroids sorted by mean → compressed (means,
-    weights). Deterministic for a given input order."""
-    order = np.argsort(means, kind="stable")
+    4·N·q(1−q)/δ) over centroids sorted by (mean, weight) → compressed
+    (means, weights). The secondary weight key makes the sort canonical —
+    equal-(mean, weight) centroids are interchangeable — so the result is
+    independent of input (block arrival) order."""
+    order = np.lexsort((weights, means))
     means, weights = means[order], weights[order]
     total = float(weights.sum())
     out_m: list[float] = []

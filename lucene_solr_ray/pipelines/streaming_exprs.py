@@ -418,6 +418,10 @@ def graph_shortest_path(sf_dir: str) -> pa.Table:
         t, sort_keys=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")]
     )
     keys = t["o_orderkey"].take(idx)
+    if len(keys) == 0:  # customer has no orders — the oracle returns 0 rows
+        return pa.table(
+            {"path": pa.array([], pa.string()), "length": pa.array([], pa.int64())}
+        )
     start, end = keys[0].as_py(), keys[len(keys) - 1].as_py()
     return shortest_paths(
         _order_chain_edges(sf_dir), start, end, max_depth=SP_MAX_DEPTH

@@ -941,7 +941,8 @@ ORDER BY doc_id, chunk_id
 
 BPE_MERGES = 20  # small: the synthetic corpus vocab is tiny; real corpora use 10-50k
 BPE_EOW = "</w>"  # end-of-word marker (Sennrich et al. §3.2)
-_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+from ..analysis.tokenizer import TOKEN_RE as _TOKEN_RE  # noqa: E402 — oracle token class
 
 
 def bpe_word_counts(sf_dir: str) -> pa.Table:
@@ -1142,7 +1143,16 @@ def ft_tag(sf_dir: str) -> pa.Table:
         )
 
     ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
-    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by(
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if not batches:  # no phrase matched anywhere — Ray drops 0-row blocks
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "tag": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(batches).sort_by(
         [("doc_id", "ascending"), ("tag", "ascending")]
     )
 

@@ -944,13 +944,18 @@ def shortest_paths(edges, start, end, src_col: str = "src", dst_col: str = "dst"
             }
         )
 
+    start, end = int(start), int(end)
+    if start == end:  # the trivial depth-0 path (the oracle's seed row)
+        return pa.table(
+            {"path": pa.array([str(start)], pa.string()),
+             "length": pa.array([0], pa.int64())}
+        )
+
     if isinstance(edges, pa.Table):
         edges = rd.from_arrow(_norm(edges))
     else:
         edges = edges.map_batches(_norm, batch_format="pyarrow", batch_size=None)
     edges = edges.materialize()
-
-    start, end = int(start), int(end)
     visited = {start}
     frontier = np.array([start], dtype=np.int64)
     parents: list[dict[int, set[int]]] = []  # per level: child -> {parents}

@@ -407,6 +407,9 @@ def test_shortest_paths_unreachable_and_max_depth(ray_session):
         {"src": pa.array([1, 2, 3], pa.int64()), "dst": pa.array([2, 3, 4], pa.int64())}
     )
     assert shortest_paths(edges, 1, 99).num_rows == 0  # unreachable
+    trivial = shortest_paths(edges, 1, 1)  # start == end: the depth-0 path
+    assert trivial.column("path").to_pylist() == ["1"]
+    assert trivial.column("length").to_pylist() == [0]
     assert shortest_paths(edges, 1, 4, max_depth=2).num_rows == 0  # depth cap
     t = shortest_paths(edges, 1, 4, max_depth=3)
     assert t.column("path").to_pylist() == ["1->2->3->4"]
