@@ -64,6 +64,71 @@ def create_snapshot(index_dir: str, snapshot_dir: str) -> dict:
     return meta
 
 
+def replicate(leader_dir: str, follower_dir: str) -> dict:
+    """Pull-based incremental follower sync — Solr's ``IndexFetcher``
+    (``solr/core/src/java/org/apache/solr/handler/IndexFetcher.java``:
+    fetch the leader's commit-point file list, download only files the
+    follower lacks, delete obsolete ones, then install the new commit).
+
+    Per leader-referenced segment dir, every missing file is hard-linked or
+    copied (segment files are write-once, so present == identical; delta
+    sidecars like ``deletes.parquet`` / doc-value updates appear as NEW
+    files inside an existing dir and are picked up file-by-file). Follower
+    segment dirs the leader no longer references are removed, and the
+    leader's manifest is installed atomically (tmp + rename) — the same
+    one-generation reader caveat as ``merge_index`` applies. Idempotent:
+    a second call copies nothing.
+
+    Returns ``{generation, up_to_date, copied_files, removed_dirs}``."""
+    with open(os.path.join(leader_dir, "manifest.json")) as f:
+        leader = json.load(f)
+    fm_path = os.path.join(follower_dir, "manifest.json")
+    if os.path.exists(fm_path):
+        with open(fm_path) as f:
+            if json.load(f).get("generation") == leader["generation"]:
+                return {
+                    "generation": leader["generation"],
+                    "up_to_date": True,
+                    "copied_files": 0,
+                    "removed_dirs": 0,
+                }
+    live_dirs = [s.get("dir", f"seg={s['seg']:06d}") for s in leader["segments"]]
+    src_root = os.path.join(leader_dir, "segments")
+    dst_root = os.path.join(follower_dir, "segments")
+    copied = 0
+    for d in live_dirs:
+        src = os.path.join(src_root, d)
+        dst = os.path.join(dst_root, d)
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(out, exist_ok=True)
+            for fn in files:
+                target = os.path.join(out, fn)
+                if not os.path.exists(target):
+                    _link_or_copy(os.path.join(root, fn), target)
+                    copied += 1
+    removed = 0
+    live = set(live_dirs)
+    if os.path.isdir(dst_root):
+        for d in os.listdir(dst_root):
+            if d not in live:
+                shutil.rmtree(os.path.join(dst_root, d), ignore_errors=True)
+                removed += 1
+    for extra in ("manifest.json", "plan.json"):
+        src = os.path.join(leader_dir, extra)
+        if os.path.exists(src):
+            tmp = os.path.join(follower_dir, extra + ".tmp")
+            shutil.copy2(src, tmp)
+            os.replace(tmp, os.path.join(follower_dir, extra))
+    return {
+        "generation": leader["generation"],
+        "up_to_date": False,
+        "copied_files": copied,
+        "removed_dirs": removed,
+    }
+
+
 def restore_snapshot(snapshot_dir: str, index_dir: str) -> dict:
     """Recreate a working index dir from a snapshot (restore command)."""
     with open(os.path.join(snapshot_dir, "snapshot.json")) as f:

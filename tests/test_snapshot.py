@@ -59,3 +59,49 @@ def test_snapshot_restore_roundtrip(built):
     restore_snapshot(snap, rdir)
     restored = Searcher(rdir).search({"q": TermQuery("license")}, k=10, use_ray=False)
     assert restored.equals(base)
+
+
+def test_replicate_incremental_follower_sync(ray_session):
+    """IndexFetcher analog: full first pull, incremental delta pull (only
+    the new tombstone/commit files move), obsolete-dir cleanup after a
+    leader merge, and an up-to-date no-op."""
+    import tempfile
+
+    from lucene_solr_ray.index.snapshot import replicate
+    from lucene_solr_ray.index.update import delete_by_query
+
+    cdir = tempfile.mkdtemp()
+    write_corpus(cdir, 400)
+    leader = tempfile.mkdtemp()
+    build_index(cdir, leader, docs_per_segment=100)
+    follower = tempfile.mkdtemp()
+
+    r1 = replicate(leader, follower)
+    assert not r1["up_to_date"] and r1["copied_files"] > 0
+    base = Searcher(leader).search({"q": TermQuery("license")}, k=5, use_ray=False)
+    got = Searcher(follower).search({"q": TermQuery("license")}, k=5, use_ray=False)
+    assert got.equals(base)
+
+    # leader mutates (tombstones land as NEW files in existing dirs)
+    delete_by_query(leader, TermQuery("static"))
+    r2 = replicate(leader, follower)
+    assert not r2["up_to_date"]
+    assert 0 < r2["copied_files"] < r1["copied_files"]  # delta, not full copy
+    l2 = Searcher(leader).search({"q": TermQuery("static")}, k=5, use_ray=False)
+    f2 = Searcher(follower).search({"q": TermQuery("static")}, k=5, use_ray=False)
+    assert l2.num_rows == 0 and f2.num_rows == 0
+
+    # third pull: nothing changed
+    r3 = replicate(leader, follower)
+    assert r3["up_to_date"] and r3["copied_files"] == 0
+
+    # leader merges: follower drops the merged-away dirs
+    from lucene_solr_ray.index.merge import merge_index
+
+    merged = merge_index(leader, segs_per_tier=2)
+    assert merged["merges"] > 0
+    r4 = replicate(leader, follower)
+    assert r4["removed_dirs"] > 0
+    l4 = Searcher(leader).search({"q": TermQuery("license")}, k=5, use_ray=False)
+    f4 = Searcher(follower).search({"q": TermQuery("license")}, k=5, use_ray=False)
+    assert f4.equals(l4)
