@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_spellcheck": fulltext.ft_spellcheck,
         "ft_join": fulltext.ft_join,
         "ft_span_near": fulltext.ft_span_near,
+        "ft_intervals": fulltext.ft_intervals,
         "ft_span_multiterm": fulltext.ft_span_multiterm,
         "ft_span_contain": fulltext.ft_span_contain,
         "ft_span_posrange": fulltext.ft_span_posrange,
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_spellcheck": fs.sql_spellcheck(fulltext.SPELL_INPUTS),
         "ft_join": fs.sql_join(fulltext.JOIN_SPECS),
         "ft_span_near": fs.sql_span_near(fulltext.SPAN_SPECS),
+        "ft_intervals": fs.sql_intervals(fulltext.INTERVAL_SPECS),
         "ft_span_multiterm": fs.sql_span_multiterm(fulltext.SPAN_MULTITERM_SPECS),
         "ft_span_contain": fs.sql_span_contain(fulltext.SPAN_CONTAIN_SPECS),
         "ft_span_posrange": fs.sql_span_posrange(fulltext.SPAN_POSRANGE_SPECS),

@@ -1055,6 +1055,79 @@ def ft_span_multiterm(sf_dir: str) -> pa.Table:
     )
 
 
+#: interval-query specs (sandbox Intervals algebra; match SETS — candidate
+#: existence is equivalent to minimal-interval existence for these shapes,
+#: see search/intervals.py)
+INTERVAL_SPECS = [
+    {"qid": "iv_ordered_spark_merge_w8", "kind": "ordered",
+     "terms": ["spark", "merge"], "width": 8},
+    {"qid": "iv_unordered_data_row_w6", "kind": "unordered",
+     "terms": ["data", "row"], "width": 6},
+    {"qid": "iv_or_window_table_join_w10", "kind": "or_ordered",
+     "or_terms": ["window", "table"], "then": "join", "width": 10},
+    {"qid": "iv_notcontaining_spark_merge_w9", "kind": "not_containing",
+     "terms": ["spark", "merge"], "width": 9, "other": "data"},
+    {"qid": "iv_containing_data_row_w10", "kind": "containing",
+     "terms": ["data", "row"], "width": 10, "other": "merge"},
+]
+
+
+def _interval_source(sp: dict):
+    from ..search.intervals import (
+        IContaining,
+        IMaxWidth,
+        INotContaining,
+        IOr,
+        IOrdered,
+        ITerm,
+        IUnordered,
+    )
+
+    kind, w = sp["kind"], sp["width"]
+    if kind == "ordered":
+        return IMaxWidth(w, IOrdered(tuple(ITerm(t) for t in sp["terms"])))
+    if kind == "unordered":
+        return IMaxWidth(w, IUnordered(tuple(ITerm(t) for t in sp["terms"])))
+    if kind == "or_ordered":
+        return IMaxWidth(
+            w,
+            IOrdered((IOr(tuple(ITerm(t) for t in sp["or_terms"])), ITerm(sp["then"]))),
+        )
+    base = IMaxWidth(w, IOrdered(tuple(ITerm(t) for t in sp["terms"])))
+    if kind == "not_containing":
+        return INotContaining(base, ITerm(sp["other"]))
+    if kind == "containing":
+        return IContaining(base, ITerm(sp["other"]))
+    raise ValueError(kind)
+
+
+def ft_intervals(sf_dir: str) -> pa.Table:
+    """IntervalQuery (sandbox minimal-interval algebra) full match sets.
+
+    Covers ordered / unordered / or-inside-ordered under a MAXWIDTH filter,
+    plus CONTAINING and NOT_CONTAINING difference filters
+    (``lucene/sandbox/.../intervals/Intervals.java``)."""
+    from ..search.intervals import IntervalQuery
+
+    s = get_searcher(sf_dir)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    out_q, out_d = [], []
+    for sp in INTERVAL_SPECS:
+        q = IntervalQuery(_interval_source(sp))
+        scattered = s._scatter_match(q, "ids")
+        ids = _global_match_ids(scattered, doc_bases)
+        out_q.extend([sp["qid"]] * len(ids))
+        out_d.append(ids)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(
+                np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 #: ordered span-near specs (match SETS: existence of an ordered alignment
 #: with total gap <= slop is exact for distinct-term clauses)
 SPAN_SPECS = [

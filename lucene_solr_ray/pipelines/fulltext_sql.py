@@ -1118,6 +1118,62 @@ FROM (SELECT DISTINCT t0.did AS did FROM ktp t0 {joins}
     return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
 
 
+def sql_intervals(specs: list[dict]) -> str:
+    """IntervalQuery match-set oracles. For two distinct width-1 terms the
+    candidate-pair existence tests below are exactly equivalent to the
+    engine's minimal-interval existence (a candidate contains a minimal
+    interval of no greater width, and every minimal interval is a
+    candidate); CONTAINING additionally needs true minimality, encoded by
+    the double cursor p1 = min(y > p0) and p0 = max(x < p1)."""
+    parts = []
+    for sp in specs:
+        qid, w, kind = sp["qid"], sp["width"], sp["kind"]
+        if kind in ("ordered", "unordered", "not_containing", "containing"):
+            a, b = sp["terms"]
+        if kind == "ordered":
+            body = f"""
+  SELECT DISTINCT t0.did AS did FROM ktp t0
+  JOIN ktp t1 ON t1.did = t0.did AND t1.p > t0.p
+  WHERE t0.tok = '{a}' AND t1.tok = '{b}' AND t1.p - t0.p + 1 <= {w}"""
+        elif kind == "unordered":
+            body = f"""
+  SELECT DISTINCT t0.did AS did FROM ktp t0
+  JOIN ktp t1 ON t1.did = t0.did AND t1.p <> t0.p
+  WHERE t0.tok = '{a}' AND t1.tok = '{b}'
+    AND greatest(t0.p, t1.p) - least(t0.p, t1.p) + 1 <= {w}"""
+        elif kind == "or_ordered":
+            ors = ", ".join(f"'{t}'" for t in sp["or_terms"])
+            body = f"""
+  SELECT DISTINCT t0.did AS did FROM ktp t0
+  JOIN ktp t1 ON t1.did = t0.did AND t1.p > t0.p
+  WHERE t0.tok IN ({ors}) AND t1.tok = '{sp["then"]}'
+    AND t1.p - t0.p + 1 <= {w}"""
+        elif kind == "not_containing":
+            body = f"""
+  SELECT DISTINCT t0.did AS did FROM ktp t0
+  JOIN ktp t1 ON t1.did = t0.did AND t1.p > t0.p
+  WHERE t0.tok = '{a}' AND t1.tok = '{b}' AND t1.p - t0.p + 1 <= {w}
+    AND NOT EXISTS (SELECT 1 FROM ktp c WHERE c.did = t0.did
+                    AND c.tok = '{sp["other"]}' AND c.p BETWEEN t0.p AND t1.p)"""
+        elif kind == "containing":
+            body = f"""
+  SELECT DISTINCT did FROM (
+    SELECT x.did, x.p AS p0, min(y.p) AS p1
+    FROM ktp x JOIN ktp y ON y.did = x.did AND y.p > x.p AND y.tok = '{b}'
+    WHERE x.tok = '{a}' GROUP BY x.did, x.p
+  ) cand
+  WHERE p1 - p0 + 1 <= {w}
+    AND NOT EXISTS (SELECT 1 FROM ktp x2 WHERE x2.did = cand.did
+                    AND x2.tok = '{a}' AND x2.p > cand.p0 AND x2.p < cand.p1)
+    AND EXISTS (SELECT 1 FROM ktp c WHERE c.did = cand.did
+                AND c.tok = '{sp["other"]}' AND c.p BETWEEN cand.p0 AND cand.p1)"""
+        else:
+            raise ValueError(kind)
+        parts.append(f"""
+SELECT '{qid}' AS query_id, CAST(did AS BIGINT) AS doc_id FROM ({body})""")
+    return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
+
+
 def sql_span_multiterm(specs: list[dict]) -> str:
     """SpanMultiTermQueryWrapper oracle: ordered span-near where a clause may
     be a dictionary-expanded prefix — the SQL twin uses LIKE on the token

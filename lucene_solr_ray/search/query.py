@@ -369,6 +369,10 @@ def query_terms(q: Query) -> set[tuple[str, str]]:
 
     if isinstance(q, SPAN_TYPES):
         return span_terms(q)
+    from .intervals import IntervalQuery, interval_terms
+
+    if isinstance(q, IntervalQuery):
+        return {(q.field, t) for t in interval_terms(q)}
     if isinstance(q, TermQuery):
         return {(q.field, q.term)}
     if isinstance(q, PhraseQuery):

@@ -315,7 +315,71 @@ class SegmentScorer:
 
         if isinstance(q, SPAN_TYPES):
             return self.span_match(q)
+        from .intervals import IntervalQuery
+
+        if isinstance(q, IntervalQuery):
+            return self.interval_match(q)
         raise TypeError(f"unsupported query node: {type(q)}")
+
+    def interval_match(self, q) -> tuple[np.ndarray, np.ndarray]:
+        """IntervalQuery scoring (see :mod:`intervals`): per-doc minimal
+        intervals, float freq = Σ 1/(end-start+1) (IntervalScorer), weight =
+        summed idf of the extracted terms, same norm-cache kernel as
+        phrases."""
+        from .intervals import (
+            interval_freq,
+            interval_required_groups,
+            interval_scoring_terms,
+            interval_terms,
+        )
+
+        if self.lazy is None:
+            raise ValueError("interval queries need positional postings (lazy=None)")
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype))
+        data = {}
+        for t in sorted(interval_terms(q)):
+            tp = self.lazy.get((q.field, t))
+            if tp is not None and tp.df > 0:
+                ids, _ = tp.full()
+                f_off, pos = tp.positions()
+                data[t] = (ids, f_off, pos)
+        if not data:
+            return empty
+        # candidate docs: every required group's term-union must be present
+        cand = None
+        for grp in interval_required_groups(q):
+            parts = [data[t][0] for t in sorted(grp) if t in data]
+            if not parts:
+                return empty
+            u = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+            cand = u if cand is None else _intersect_sorted(cand, u)
+            if len(cand) == 0:
+                return empty
+        out_ids: list[int] = []
+        out_freqs: list[float] = []
+        for d in cand:
+            pos_of = {}
+            for t, (ids, f_off, pos) in data.items():
+                j = np.searchsorted(ids, d)
+                if j < len(ids) and ids[j] == d:
+                    pos_of[t] = pos[f_off[j] : f_off[j + 1]].astype(np.int64)
+            f = interval_freq(q.source, pos_of, self.sim.dtype.type)
+            if f:
+                out_ids.append(int(d))
+                out_freqs.append(f)
+        if not out_ids:
+            return empty
+        ids = np.asarray(out_ids, dtype=np.int64)
+        freqs = np.asarray(out_freqs, dtype=np.float64)
+        idf_sum = 0.0
+        for t in sorted(interval_scoring_terms(q)):
+            w_t = self.weights.get((q.field, t))
+            if w_t is not None:
+                idf_sum += float(w_t)
+        w = self.sim.weight_from_idf(self.sim.dtype.type(idf_sum), q.boost)
+        nb, cache = self._norm_inputs(q.field, ids)
+        scores = self.sim.score_freqs(w, freqs, nb, cache)
+        return ids, scores
 
     def span_match(self, q) -> tuple[np.ndarray, np.ndarray]:
         """Span query scoring (see :mod:`spans`): enumerate per-doc spans,
