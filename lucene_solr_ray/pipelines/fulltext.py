@@ -1055,6 +1055,44 @@ def ft_span_multiterm(sf_dir: str) -> pa.Table:
     )
 
 
+#: classic-parser extended-syntax specs (QueryParser.jj: wildcards, fuzzy,
+#: ranges, field groups, boosts, *:*). Match SETS — boosts change scores
+#: only; boost score-exactness is pinned by tests/test_parser_ext.py.
+PARSER_SPECS = [
+    {"qid": "p_prefix", "q": "mer*"},
+    {"qid": "p_wildcard", "q": "m?rge"},
+    {"qid": "p_fuzzy", "q": "mergd~1"},
+    {"qid": "p_range_kw", "q": "repo:[src2 TO src5]"},
+    {"qid": "p_range_content", "q": "[window TO windy]"},
+    {"qid": "p_field_group", "q": "lang:(en OR fr) AND merge"},
+    {"qid": "p_boost_or", "q": "spark^2 OR merge"},
+    {"qid": "p_matchall_not", "q": "*:* -spark"},
+]
+
+
+def ft_parser(sf_dir: str) -> pa.Table:
+    """Classic query parser extended syntax, full match sets per spec
+    (``queryparser/classic/QueryParser.jj``: prefix/wildcard ``?``/``*``,
+    fuzzy ``~N``, ``[a TO b]`` ranges on keyword and analyzed fields,
+    ``field:(...)`` groups, ``^boost``, ``*:*``)."""
+    from ..search.query import parse_query
+
+    s = get_searcher(sf_dir)
+    out_q, out_d = [], []
+    for sp in PARSER_SPECS:
+        ids = s.match_ids(parse_query(sp["q"]))
+        out_q.extend([sp["qid"]] * len(ids))
+        out_d.append(ids)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(
+                np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 #: interval-query specs (sandbox Intervals algebra; match SETS — candidate
 #: existence is equivalent to minimal-interval existence for these shapes,
 #: see search/intervals.py)

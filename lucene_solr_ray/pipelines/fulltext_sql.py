@@ -1118,6 +1118,36 @@ FROM (SELECT DISTINCT t0.did AS did FROM ktp t0 {joins}
     return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
 
 
+def sql_parser(specs: list[dict]) -> str:
+    """Extended classic-parser match-set oracles, one hand-expanded twin per
+    spec qid (the engine side parses the raw query string)."""
+    bodies = {
+        "p_prefix": "SELECT DISTINCT did FROM tf WHERE tok LIKE 'mer%'",
+        "p_wildcard": "SELECT DISTINCT did FROM tf WHERE tok LIKE 'm_rge'",
+        "p_fuzzy": "SELECT DISTINCT did FROM tf WHERE levenshtein(tok, 'mergd') <= 1",
+        "p_range_kw": "SELECT did FROM corpus WHERE source >= 'src2' AND source <= 'src5'",
+        "p_range_content": (
+            "SELECT DISTINCT did FROM tf WHERE tok >= 'window' AND tok <= 'windy'"
+        ),
+        "p_field_group": """
+  SELECT did FROM corpus WHERE lang IN ('en', 'fr')
+    AND EXISTS (SELECT 1 FROM tf WHERE tf.did = corpus.did AND tf.tok = 'merge')""",
+        "p_boost_or": (
+            "SELECT DISTINCT did FROM tf WHERE tok IN ('spark', 'merge')"
+        ),
+        "p_matchall_not": """
+  SELECT did FROM corpus WHERE NOT EXISTS
+    (SELECT 1 FROM tf WHERE tf.did = corpus.did AND tf.tok = 'spark')""",
+    }
+    parts = [
+        f"""
+SELECT '{sp["qid"]}' AS query_id, CAST(did AS BIGINT) AS doc_id
+FROM ({bodies[sp["qid"]]})"""
+        for sp in specs
+    ]
+    return prelude() + " " + " UNION ALL ".join(parts)
+
+
 def sql_intervals(specs: list[dict]) -> str:
     """IntervalQuery match-set oracles. For two distinct width-1 terms the
     candidate-pair existence tests below are exactly equivalent to the

@@ -489,6 +489,10 @@ def _mt_boost(q) -> float:
 
 _TOKEN = re.compile(r"\(|\)|\"[^\"]*\"|AND\b|OR\b|NOT\b|[+\-]?[^\s()]+")
 _FIELD_TOKEN = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", re.S)
+_BOOST_SUFFIX = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$", re.S)
+_FUZZY_SUFFIX = re.compile(r"^(.+?)~(\d*)$", re.S)
+_PHRASE_SUFFIX = re.compile(r"^(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$")
+_GROUP_BOOST = re.compile(r"^\^(\d+(?:\.\d+)?)$")
 
 #: fields parsed VERBATIM (StringField analog); everything else is analyzed
 DEFAULT_KEYWORD_FIELDS = ("repo", "path", "lang")
@@ -519,12 +523,12 @@ def parse_query(s: str, analyzer=None,
         pos += 1
         return t
 
-    def parse_or():
-        left = [parse_and()]
+    def parse_or(fld=CONTENT_FIELD):
+        left = [parse_and(fld)]
         while peek() in ("OR",) or (peek() is not None and peek() not in (")", "AND", "OR")):
             if peek() == "OR":
                 advance()
-            left.append(parse_and())
+            left.append(parse_and(fld))
         left = [q for q in left if q is not None]
         if len(left) == 1:
             return left[0]
@@ -538,11 +542,11 @@ def parse_query(s: str, analyzer=None,
                 bq.should.append(q)
         return bq
 
-    def parse_and():
-        parts = [parse_unary()]
+    def parse_and(fld=CONTENT_FIELD):
+        parts = [parse_unary(fld)]
         while peek() == "AND":
             advance()
-            parts.append(parse_unary())
+            parts.append(parse_unary(fld))
         parts = [q for q in parts if q is not None]
         if len(parts) == 1:
             return parts[0]
@@ -554,54 +558,121 @@ def parse_query(s: str, analyzer=None,
                 bq.must.append(q.q if isinstance(q, _Req) else q)
         return bq
 
-    def parse_unary():
+    def group_boost(q):
+        """Optional ``^N`` token after a closing paren (QueryParser.jj:
+        Clause boost applies to the whole group)."""
+        nxt = peek()
+        if q is not None and nxt is not None and _GROUP_BOOST.match(nxt):
+            advance()
+            return BoostQuery(_strip(q), float(nxt[1:]))
+        return q
+
+    def normalize(text, fld):
+        """Analyzer.normalize analog for multi-term/range endpoints:
+        lowercase without tokenizing (QueryParserBase.analyzeMultitermTerm);
+        keyword-field values stay verbatim (StringField)."""
+        return text if fld in kw_fields else text.lower()
+
+    def parse_range(fld, tok):
+        """``[lower TO upper]`` / ``{lower TO upper}`` (multi-token; ``*``
+        = open end; QueryParserBase.getRangeQuery)."""
+        include_lower = tok[0] == "["
+        lower = tok[1:]
+        if peek() == "TO":
+            advance()
+        up = advance() if peek() is not None else ""
+        include_upper = True
+        if up and up[-1] in "]}":
+            include_upper = up[-1] == "]"
+            up = up[:-1]
+        lo = None if lower in ("*", "") else normalize(lower, fld)
+        hi = None if up in ("*", "") else normalize(up, fld)
+        return TermRangeQuery(lo, hi, include_lower, include_upper, field=fld)
+
+    def parse_unary(fld=CONTENT_FIELD):
         t = peek()
         if t is None:
             return None
         if t == "NOT":
             advance()
-            inner = parse_unary()
+            inner = parse_unary(fld)
             return _Neg(_strip(inner))
         if t == "(":
             advance()
-            q = parse_or()
+            q = parse_or(fld)
             if peek() == ")":
                 advance()
-            return q
+            return group_boost(q)
         tok = advance()
         req = neg = False
         if tok.startswith("+"):
             req, tok = True, tok[1:]
         elif tok.startswith("-"):
             neg, tok = True, tok[1:]
-        fld = CONTENT_FIELD
+
+        def wrap(q):
+            return _Neg(q) if neg else (_Req(q) if req else q)
+
+        if tok == "*:*":  # MatchAllDocsQuery (QueryParser.jj STAR COLON STAR)
+            return wrap(MatchAllQuery())
         m = _FIELD_TOKEN.match(tok)
         if m and not tok.startswith('"'):
             fld, tok = m.group(1), m.group(2)
-            if fld in kw_fields:  # verbatim term (StringField)
-                q: Query = TermQuery(tok.strip('"'), field=fld)
-                return _Neg(q) if neg else (_Req(q) if req else q)
+        elif tok.endswith(":") and peek() == "(":  # field:(grouped clauses)
+            fld = tok[:-1]
+            advance()
+            q = parse_or(fld)
+            if peek() == ")":
+                advance()
+            return wrap(group_boost(q))
         if tok.startswith('"'):
             slop = 0
+            boost = None
             nxt = peek()
-            if nxt is not None and nxt.startswith("~"):  # "a b"~2 slop suffix
+            if nxt is not None and (sm := _PHRASE_SUFFIX.match(nxt)) and nxt:
+                # "a b"~2 slop and/or "a b"^3 boost suffix
                 advance()
-                try:
-                    slop = int(nxt[1:])
-                except ValueError:
-                    slop = 0
+                if sm.group(1):
+                    slop = int(sm.group(1))
+                if sm.group(2):
+                    boost = float(sm.group(2))
             analyzed = analyze_with_positions(tok.strip('"'), analyzer)
             if not analyzed:
                 return None
             if len(analyzed) == 1:
-                return TermQuery(analyzed[0][0], field=fld)
-            base = analyzed[0][1]
-            return PhraseQuery(
-                terms=tuple(t for t, _ in analyzed),
-                rel_positions=tuple(p - base for _, p in analyzed),
-                field=fld,
-                slop=slop,
+                q: Query = TermQuery(analyzed[0][0], field=fld)
+            else:
+                base = analyzed[0][1]
+                q = PhraseQuery(
+                    terms=tuple(t for t, _ in analyzed),
+                    rel_positions=tuple(p - base for _, p in analyzed),
+                    field=fld,
+                    slop=slop,
+                )
+            return wrap(BoostQuery(q, boost) if boost is not None else q)
+        boost = None
+        mb = _BOOST_SUFFIX.match(tok)
+        if mb and "^" not in mb.group(1):  # term^2 boost suffix
+            tok, boost = mb.group(1), float(mb.group(2))
+
+        def boosted(q):
+            return wrap(BoostQuery(q, boost) if boost is not None else q)
+
+        if tok and tok[0] in "[{":  # range (consumes TO + upper tokens)
+            return boosted(parse_range(fld, tok))
+        if "*" in tok or "?" in tok:  # wildcard / prefix
+            pat = normalize(tok, fld)
+            if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
+                return boosted(PrefixQuery(pat[:-1], field=fld))
+            return boosted(WildcardQuery(pat, field=fld))
+        mf = _FUZZY_SUFFIX.match(tok)
+        if mf:  # term~ / term~1 fuzzy (int editDistance, FuzzyQuery default 2)
+            edits = int(mf.group(2)) if mf.group(2) else 2
+            return boosted(
+                FuzzyQuery(normalize(mf.group(1), fld), max_edits=edits, field=fld)
             )
+        if fld in kw_fields:  # verbatim term (StringField)
+            return boosted(TermQuery(tok.strip('"'), field=fld))
         analyzed = analyze_with_positions(tok, analyzer)
         if not analyzed:
             return None
@@ -609,11 +680,7 @@ def parse_query(s: str, analyzer=None,
             q = TermQuery(analyzed[0][0], field=fld)
         else:  # one input word analyzed into several terms → OR them
             q = BooleanQuery(should=[TermQuery(t0, field=fld) for t0, _ in analyzed])
-        if neg:
-            return _Neg(q)
-        if req:
-            return _Req(q)
-        return q
+        return boosted(q)
 
     q = parse_or()
     q = _strip(q)

@@ -1,0 +1,108 @@
+"""Extended classic-parser syntax (QueryParser.jj): wildcards, fuzzy,
+ranges, field groups, boosts, ``*:*`` — parse-shape goldens plus engine
+score equivalence between parsed strings and hand-built query trees."""
+
+import numpy as np
+import pytest
+
+import ray.data
+
+from lucene_solr_ray.corpus import generate_corpus
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.search import Searcher
+from lucene_solr_ray.search.query import (
+    BooleanQuery,
+    BoostQuery,
+    FuzzyQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    parse_query,
+)
+
+
+def test_parse_shapes():
+    assert parse_query("mer*") == PrefixQuery("mer")
+    assert parse_query("m?rge") == WildcardQuery("m?rge")
+    assert parse_query("mergd~1") == FuzzyQuery("mergd", max_edits=1)
+    assert parse_query("merge~") == FuzzyQuery("merge", max_edits=2)
+    assert parse_query("repo:[src2 TO src5]") == TermRangeQuery(
+        "src2", "src5", field="repo"
+    )
+    assert parse_query("{alpha TO beta}") == TermRangeQuery(
+        "alpha", "beta", include_lower=False, include_upper=False
+    )
+    assert parse_query("[merge TO *]") == TermRangeQuery("merge", None)
+    assert parse_query("*:*") == MatchAllQuery()
+    q = parse_query("spark^2.5")
+    assert q == BoostQuery(TermQuery("spark"), 2.5)
+    q = parse_query('"apache license"^3')
+    assert isinstance(q, BoostQuery) and isinstance(q.query, PhraseQuery)
+    q = parse_query("(spark OR merge)^2")
+    assert isinstance(q, BoostQuery) and isinstance(q.query, BooleanQuery)
+    # normalize: content endpoints/patterns lowercase, keyword verbatim
+    assert parse_query("MER*") == PrefixQuery("mer")
+    assert parse_query("repo:SRC*") == PrefixQuery("SRC", field="repo")
+
+
+def test_parse_field_group():
+    q = parse_query("lang:(en OR fr) AND merge")
+    assert isinstance(q, BooleanQuery)
+    grp, term = q.must
+    assert term == TermQuery("merge")
+    assert set(grp.should) == {TermQuery("en", field="lang"), TermQuery("fr", field="lang")}
+
+
+def test_parse_matchall_with_negation():
+    q = parse_query("*:* -spark")
+    assert q.should == [MatchAllQuery()]
+    assert q.must_not == [TermQuery("spark")]
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    tbl = generate_corpus(300)
+    d = str(tmp_path_factory.mktemp("pext_idx"))
+    build_index(ray.data.from_arrow(tbl), d, docs_per_segment=120)
+    return d, tbl
+
+
+def test_boost_scores_scale_exactly(built):
+    """term^2 multiplies scores by exactly 2 (BoostQuery folds into the
+    TermQuery weight)."""
+    d, _ = built
+    s = Searcher(d)
+    base = s.search({"q": parse_query("license")}, k=20, use_ray=False).to_pandas()
+    boosted = s.search({"q": parse_query("license^2")}, k=20, use_ray=False).to_pandas()
+    assert list(base.doc_id) == list(boosted.doc_id)
+    np.testing.assert_allclose(boosted.score, base.score * 2.0, rtol=0)
+
+
+def test_parsed_equals_handbuilt(built):
+    d, _ = built
+    s = Searcher(d)
+    pairs = [
+        ("lic*", PrefixQuery("lic")),
+        ("licens?", WildcardQuery("licens?")),
+        ("licensx~1", FuzzyQuery("licensx", max_edits=1)),
+        ("[license TO lichen]", TermRangeQuery("license", "lichen")),
+    ]
+    for text, hand in pairs:
+        a = s.search({"q": parse_query(text)}, k=50, use_ray=False)
+        b = s.search({"q": hand}, k=50, use_ray=False)
+        assert a.equals(b), text
+        assert a.num_rows > 0, text
+
+
+def test_matchall_not_is_complement(built):
+    d, tbl = built
+    s = Searcher(d)
+    all_ids = s.match_ids(parse_query("*:*"))
+    assert len(all_ids) == tbl.num_rows
+    pos = s.match_ids(parse_query("license"))
+    neg = s.match_ids(parse_query("*:* -license"))
+    assert len(pos) + len(neg) == tbl.num_rows
+    assert not set(pos) & set(neg)
