@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_join": fulltext.ft_join,
         "ft_span_near": fulltext.ft_span_near,
         "ft_intervals": fulltext.ft_intervals,
+        "ft_parser": fulltext.ft_parser,
         "ft_span_multiterm": fulltext.ft_span_multiterm,
         "ft_span_contain": fulltext.ft_span_contain,
         "ft_span_posrange": fulltext.ft_span_posrange,
@@ -173,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": events.events_top_users,
         "events_props_stats": events.events_props_stats,
         "events_funnel": events.events_funnel,
+        "events_date_math": events.events_date_math,
         # --- facets / grouping / stats ---
         "facet_counts": facets.facet_counts,
         "grouped_topk": facets.grouped_topk,
@@ -268,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_join": fs.sql_join(fulltext.JOIN_SPECS),
         "ft_span_near": fs.sql_span_near(fulltext.SPAN_SPECS),
         "ft_intervals": fs.sql_intervals(fulltext.INTERVAL_SPECS),
+        "ft_parser": fs.sql_parser(fulltext.PARSER_SPECS),
         "ft_span_multiterm": fs.sql_span_multiterm(fulltext.SPAN_MULTITERM_SPECS),
         "ft_span_contain": fs.sql_span_contain(fulltext.SPAN_CONTAIN_SPECS),
         "ft_span_posrange": fs.sql_span_posrange(fulltext.SPAN_POSRANGE_SPECS),
@@ -367,6 +370,7 @@ def oracle_sql() -> dict[str, str]:
         "events_top_users": events.SQL_EVENTS_TOP_USERS,
         "events_props_stats": events.SQL_EVENTS_PROPS_STATS,
         "events_funnel": events.SQL_EVENTS_FUNNEL,
+        "events_date_math": events.SQL_EVENTS_DATE_MATH,
         "facet_counts": facets.SQL_FACET_COUNTS,
         "grouped_topk": facets.SQL_GROUPED_TOPK,
         "lang_char_stats": facets.SQL_LANG_CHAR_STATS,

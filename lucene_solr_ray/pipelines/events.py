@@ -467,3 +467,122 @@ SQL_EVENTS_FUNNEL = (
     )
     + " ORDER BY step"
 )
+
+
+# ---------------------------------------------------------------------------
+# date-math windows (Solr DateMathParser, solr/util/DateMathParser.java)
+# ---------------------------------------------------------------------------
+
+#: fixed NOW for determinism (the reference pins NOW per request via NOW=...)
+DATEMATH_NOW = "2024-01-21T13:14:15.678"
+
+#: (qid, lo expression, hi expression) — [lo, hi) windows
+DATEMATH_SPECS = [
+    ("dm_last7d", "NOW/DAY-7DAYS", "NOW/DAY"),
+    ("dm_hours", "NOW/HOUR-36HOURS", "NOW/HOUR+1HOUR"),
+    ("dm_month", "NOW/MONTH", "NOW/MONTH+1MONTH"),
+    ("dm_clamp", "2024-01-31T10:00:00Z/DAY-21DAYS",
+     "2024-01-31T10:00:00Z/DAY+1MONTH-12HOURS"),
+    ("dm_minutes", "NOW/MINUTE-600MINUTES", "NOW/MINUTE"),
+    ("dm_year", "NOW/YEAR", "NOW/YEAR+1YEAR"),
+]
+
+
+def events_date_math(sf_dir: str) -> pa.Table:
+    """(query_id, event_type, n, sum_v_millis) — per-type counts and exact
+    integer-milli value sums inside Solr date-math windows
+    (``DateMathParser.java``: NOW anchoring, /UNIT rounding, calendar
+    ``+N``/``-N`` arithmetic with month-length clamping).
+
+    One streaming pass: each batch buckets its events into every matching
+    window (windows broadcast as plain constants), partials pre-aggregated
+    per (window, type) before the tiny groupby — partial rows move, never
+    events."""
+    from datetime import datetime
+
+    from ray.data.aggregate import Sum
+
+    from ..util.datemath import parse_date_math
+
+    now = datetime.fromisoformat(DATEMATH_NOW)
+    ranges = [
+        (qid, parse_date_math(lo, now), parse_date_math(hi, now))
+        for qid, lo, hi in DATEMATH_SPECS
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["ts", "event_type", "value"]).to_pandas()
+        vm = (df["value"] * 1000).round().astype(np.int64)
+        outs = []
+        for qid, lo, hi in ranges:
+            m = (df["ts"] >= lo) & (df["ts"] < hi)
+            if m.any():
+                g = pd.DataFrame(
+                    {"event_type": df.loc[m, "event_type"], "vm": vm[m]}
+                ).groupby("event_type", as_index=False).agg(
+                    n=("vm", "size"), sv=("vm", "sum")
+                )
+                g.insert(0, "query_id", qid)
+                outs.append(g)
+        if not outs:
+            return pa.table({
+                "query_id": pa.array([], pa.string()),
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sv": pa.array([], pa.int64()),
+            })
+        return pa.Table.from_pandas(pd.concat(outs), preserve_index=False)
+
+    ds = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
+    agg = ds.groupby(["query_id", "event_type"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sv", alias_name="sum_v_millis")
+    )
+    tbl = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    df = tbl.to_pandas().sort_values(["query_id", "event_type"]).reset_index(drop=True)
+    return pa.table({
+        "query_id": pa.array(df["query_id"], pa.string()),
+        "event_type": pa.array(df["event_type"], pa.string()),
+        "n": pa.array(df["n"].astype(np.int64), pa.int64()),
+        "sum_v_millis": pa.array(df["sum_v_millis"].astype(np.int64), pa.int64()),
+    })
+
+
+def _sql_dm_window(qid: str, lo: str, hi: str) -> str:
+    return f"""
+SELECT '{qid}' AS query_id, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_millis
+FROM events WHERE ts >= {lo} AND ts < {hi}
+GROUP BY event_type"""
+
+
+#: hand-expanded boundary twins (NON-circular: DuckDB date functions, not
+#: the engine's parser; DuckDB month arithmetic clamps like Calendar.add)
+_DM_NOW = f"TIMESTAMP '{DATEMATH_NOW.replace('T', ' ')}'"
+_DM_J31 = "TIMESTAMP '2024-01-31 10:00:00'"
+SQL_EVENTS_DATE_MATH = (
+    " UNION ALL ".join(
+        f"SELECT * FROM ({_sql_dm_window(qid, lo, hi)})"
+        for qid, lo, hi in [
+            ("dm_last7d",
+             f"date_trunc('day', {_DM_NOW}) - INTERVAL 7 DAY",
+             f"date_trunc('day', {_DM_NOW})"),
+            ("dm_hours",
+             f"date_trunc('hour', {_DM_NOW}) - INTERVAL 36 HOUR",
+             f"date_trunc('hour', {_DM_NOW}) + INTERVAL 1 HOUR"),
+            ("dm_month",
+             f"date_trunc('month', {_DM_NOW})",
+             f"date_trunc('month', {_DM_NOW}) + INTERVAL 1 MONTH"),
+            ("dm_clamp",
+             f"date_trunc('day', {_DM_J31}) - INTERVAL 21 DAY",
+             f"date_trunc('day', {_DM_J31}) + INTERVAL 1 MONTH - INTERVAL 12 HOUR"),
+            ("dm_minutes",
+             f"date_trunc('minute', {_DM_NOW}) - INTERVAL 600 MINUTE",
+             f"date_trunc('minute', {_DM_NOW})"),
+            ("dm_year",
+             f"date_trunc('year', {_DM_NOW})",
+             f"date_trunc('year', {_DM_NOW}) + INTERVAL 1 YEAR"),
+        ]
+    )
+    + " ORDER BY query_id, event_type"
+)
