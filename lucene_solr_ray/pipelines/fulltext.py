@@ -1055,6 +1055,38 @@ def ft_span_multiterm(sf_dir: str) -> pa.Table:
     )
 
 
+#: ComplexPhraseQueryParser specs: quoted phrases whose words may be
+#: wildcards / prefixes / fuzzy terms
+COMPLEX_PHRASE_SPECS = [
+    {"qid": "cp_prefix_data", "phrase": "mer* data", "slop": 0},
+    {"qid": "cp_wild_row", "phrase": "dat? r*", "slop": 1},
+    {"qid": "cp_fuzzy_data", "phrase": "mergd~1 data", "slop": 2},
+]
+
+
+def ft_complex_phrase(sf_dir: str) -> pa.Table:
+    """ComplexPhraseQueryParser: wildcard/fuzzy words inside quoted phrases
+    (``queryparser/complexPhrase/ComplexPhraseQueryParser.java``), full match
+    sets per spec."""
+    from ..search.query import parse_complex_phrase
+
+    s = get_searcher(sf_dir)
+    out_q, out_d = [], []
+    for sp in COMPLEX_PHRASE_SPECS:
+        q = parse_complex_phrase(sp["phrase"], s.reader, slop=sp["slop"])
+        ids = s.match_ids(q)
+        out_q.extend([sp["qid"]] * len(ids))
+        out_d.append(ids)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(
+                np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 #: classic-parser extended-syntax specs (QueryParser.jj: wildcards, fuzzy,
 #: ranges, field groups, boosts, *:*). Match SETS — boosts change scores
 #: only; boost score-exactness is pinned by tests/test_parser_ext.py.

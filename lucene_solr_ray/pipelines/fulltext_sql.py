@@ -19,6 +19,8 @@ same doubles Python computes with.
 
 from __future__ import annotations
 
+import re
+
 from ..analysis.tokenizer import ENGLISH_STOP_WORDS
 
 K1 = 1.2
@@ -1110,6 +1112,40 @@ def sql_span_near(specs: list[dict]) -> str:
         )
         conds = " AND ".join(f"t{i}.tok = '{t}'" for i, t in enumerate(terms))
         n = len(terms)
+        width = f"(t{n-1}.p - t0.p - {n - 1})"
+        parts.append(f"""
+SELECT '{qid}' AS query_id, CAST(did AS BIGINT) AS doc_id
+FROM (SELECT DISTINCT t0.did AS did FROM ktp t0 {joins}
+      WHERE {conds} AND {width} <= {slop})""")
+    return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
+
+
+def _cp_cond(i: int, word: str) -> str:
+    """One complex-phrase word → a token predicate on ktp alias t{i}."""
+    m = re.match(r"^(.+?)~(\d*)$", word)
+    if "*" in word or "?" in word:
+        like = word.lower().replace("*", "%").replace("?", "_")
+        return f"t{i}.tok LIKE '{like}'"
+    if m:
+        edits = int(m.group(2)) if m.group(2) else 2
+        return f"levenshtein(t{i}.tok, '{m.group(1).lower()}') <= {edits}"
+    return f"t{i}.tok = '{word.lower()}'"
+
+
+def sql_complex_phrase(specs: list[dict]) -> str:
+    """ComplexPhraseQueryParser match-set oracle: ordered span-near where a
+    word may be a wildcard (LIKE), fuzzy (levenshtein) or plain term —
+    identical to dictionary expansion then OR-ing, since both sides see the
+    same analyzed token stream."""
+    parts = []
+    for sp in specs:
+        words, slop, qid = sp["phrase"].split(), sp["slop"], sp["qid"]
+        joins = " ".join(
+            f"JOIN ktp t{i} ON t{i}.did = t0.did AND t{i}.p > t{i-1}.p"
+            for i in range(1, len(words))
+        )
+        conds = " AND ".join(_cp_cond(i, w) for i, w in enumerate(words))
+        n = len(words)
         width = f"(t{n-1}.p - t0.p - {n - 1})"
         parts.append(f"""
 SELECT '{qid}' AS query_id, CAST(did AS BIGINT) AS doc_id

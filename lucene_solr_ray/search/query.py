@@ -691,6 +691,55 @@ def parse_query(s: str, analyzer=None,
     return q
 
 
+def parse_complex_phrase(phrase: str, reader, slop: int = 0, analyzer=None,
+                         field: str = CONTENT_FIELD) -> Query:
+    """ComplexPhraseQueryParser analog
+    (``lucene/queryparser/src/java/org/apache/lucene/queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java``): a quoted phrase whose embedded words may
+    be wildcards, prefixes or fuzzy terms. Each word becomes a span clause —
+    multi-term words expand against the term dictionary into a SpanOr of
+    SpanTerms (SpanRewriteMethod), plain words analyze to a SpanTerm — and
+    the clauses compose under an ordered SpanNearQuery with ``slop``
+    (ComplexPhraseQuery.rewrite; in-order like the reference default)."""
+    from ..analysis.tokenizer import StandardAnalyzer, analyze_with_positions
+    from .spans import SpanNearQuery, SpanOrQuery, SpanTermQuery
+
+    analyzer = analyzer or StandardAnalyzer()
+    clauses = []
+    for word in phrase.split():
+        mf = _FUZZY_SUFFIX.match(word)
+        if "*" in word or "?" in word:
+            pat = word.lower()
+            if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
+                mt: Query = PrefixQuery(pat[:-1], field=field)
+            else:
+                mt = WildcardQuery(pat, field=field)
+            terms = sorted(reader.expand_terms(mt))
+        elif mf:
+            edits = int(mf.group(2)) if mf.group(2) else 2
+            terms = sorted(
+                reader.expand_terms(
+                    FuzzyQuery(mf.group(1).lower(), max_edits=edits, field=field)
+                )
+            )
+        else:
+            analyzed = analyze_with_positions(word, analyzer)
+            terms = [analyzed[0][0]] if analyzed else []
+        if not terms:
+            return BooleanQuery()  # unmatchable slot → match nothing
+        if len(terms) == 1:
+            clauses.append(SpanTermQuery(terms[0], field=field))
+        else:
+            clauses.append(
+                SpanOrQuery(tuple(SpanTermQuery(t, field=field) for t in terms))
+            )
+    if not clauses:
+        return BooleanQuery()
+    if len(clauses) == 1:
+        return clauses[0]
+    return SpanNearQuery(tuple(clauses), slop=slop, field=field)
+
+
 @dataclass
 class _Neg:
     q: Query

@@ -106,3 +106,52 @@ def test_matchall_not_is_complement(built):
     neg = s.match_ids(parse_query("*:* -license"))
     assert len(pos) + len(neg) == tbl.num_rows
     assert not set(pos) & set(neg)
+
+
+def test_complex_phrase_wildcard_in_quotes(built):
+    """ComplexPhraseQueryParser: 'lic* to' matches docs where a lic-prefixed
+    token is immediately followed (post-stopword positions) by... exercised
+    via brute-force on the fixture corpus."""
+    from lucene_solr_ray.analysis.tokenizer import analyze_with_positions
+    from lucene_solr_ray.search.query import parse_complex_phrase
+
+    d, tbl = built
+    s = Searcher(d)
+    q = parse_complex_phrase("lic* apache~1", s.reader, slop=3)
+    got = set(s.match_ids(q))
+
+    keys = list(zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(), tbl["commit"].to_pylist()))
+    order = sorted(range(len(keys)), key=lambda i: keys[i])
+    exp = set()
+    for doc_id, row in enumerate(order):
+        toks = analyze_with_positions(tbl["content"].to_pylist()[row] or "")
+        p1 = [p for t, p in toks if t.startswith("lic")]
+        p2 = [p for t, p in toks if _lev1(t, "apache")]
+        if any(0 <= b - a - 1 <= 3 for a in p1 for b in p2 if b > a):
+            exp.add(doc_id)
+    assert got == exp and got
+
+
+def _lev1(a: str, b: str) -> bool:
+    if abs(len(a) - len(b)) > 1:
+        return False
+    if a == b:
+        return True
+    if len(a) == len(b):
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if len(a) > len(b):
+        a, b = b, a
+    for i in range(len(b)):
+        if a == b[:i] + b[i + 1:]:
+            return True
+    return False
+
+
+def test_complex_phrase_unmatchable_slot(built):
+    from lucene_solr_ray.search.query import BooleanQuery, parse_complex_phrase
+
+    d, _ = built
+    s = Searcher(d)
+    q = parse_complex_phrase("zzzznotaprefix* apache", s.reader)
+    assert q == BooleanQuery()
+    assert len(s.match_ids(q)) == 0
