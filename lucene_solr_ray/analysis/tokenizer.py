@@ -162,6 +162,13 @@ class StandardAnalyzer:
     #: lowercase (it needs case), per Solr's canonical chain placement.
     #: Mutually exclusive with the structural filters above.
     word_delimiter: tuple[str, ...] | None = None
+    #: DelimitedPayloadTokenFilter analog (analysis/payloads/
+    #: DelimitedPayloadTokenFilter.java + FloatEncoder): tokenize on
+    #: WHITESPACE (the filter's canonical pairing), split each word at the
+    #: LAST occurrence of this delimiter, attach the float suffix as the
+    #: token's payload (words without a parseable suffix carry no payload).
+    #: Mutually exclusive with the structural/word_delimiter paths.
+    delimited_payload: str | None = None
     #: CharFilter chain, applied to the raw string BEFORE tokenization
     #: (analysis/CharFilter.java; factories in analysis/charfilter/). Entries:
     #: ("html_strip",) — HTMLStripCharFilter analog (script/style/comment
@@ -604,6 +611,8 @@ class ArrowAnalyzer:
                     if is_re
                     else pc.replace_substring(arr, pattern=pat, replacement=repl)
                 )
+        if self.analyzer.delimited_payload is not None:
+            return self._call_payload(arr, n, with_positions)
         if self.analyzer.word_delimiter is not None:
             return self._call_wd(arr, n, with_positions)
         if self.analyzer.unicode_segmentation or self.analyzer.url_email:
@@ -672,7 +681,61 @@ class ArrowAnalyzer:
             field_lens = np.bincount(doc_idx, minlength=n).astype(np.int32)
         return self._fold(kept, doc_idx, positions, overlap, field_lens, n, with_positions)
 
-    def _fold(self, kept, doc_idx, positions, overlap, field_lens, n, with_positions):
+    def _call_payload(self, arr, n: int, with_positions: bool) -> "BatchTokenStats":
+        """delimited_payload path: whitespace tokens, the trailing
+        ``<delim>float`` suffix becomes the occurrence's payload
+        (DelimitedPayloadTokenFilter + FloatEncoder), then the usual
+        lowercase / maxTokenLength / stopword chain."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        a = self.analyzer
+        toks = pc.split_pattern_regex(arr.cast(pa.string()), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        if offs[0] != 0 or len(flat) != offs[-1] - offs[0]:
+            flat = flat.slice(offs[0], offs[-1] - offs[0])
+            offs = offs - offs[0]
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        # split at the LAST delimiter; suffix → float payload (NaN = none)
+        parts = pc.split_pattern(flat, pattern=a.delimited_payload,
+                                 max_splits=1, reverse=True)
+        plist = parts.to_pylist()
+        terms_py = [p[0] if p else "" for p in plist]
+        pays = np.full(len(plist), np.nan, dtype=np.float32)
+        for i, p in enumerate(plist):
+            if p is not None and len(p) == 2:
+                try:
+                    pays[i] = np.float32(p[1])
+                except ValueError:
+                    terms_py[i] = flat[i].as_py()  # not a payload → keep verbatim
+        flat = pa.array(terms_py, pa.string())
+        length = pc.utf8_length(flat)
+        if a.lowercase:
+            flat = pc.utf8_lower(flat)
+        if a.ascii_folding:
+            flat = self._map_vocab(flat, _fold_ascii)
+        nonempty = pc.greater(length, 0)
+        keep = pc.and_(nonempty, pc.less_equal(length, a.max_token_length))
+        keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=self.stop_arr)))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        kept = pc.filter(flat, keep)
+        positions = None
+        if with_positions:
+            ne = nonempty.to_numpy(zero_copy_only=False)
+            csum = np.cumsum(ne)
+            doc_base = np.concatenate([[0], csum[offs[1:-1] - 1]]) if n > 1 else np.zeros(1, np.int64)
+            positions = (csum - 1 - doc_base[doc_idx])[keep_np].astype(np.int32)
+        doc_idx = doc_idx[keep_np]
+        pays = pays[keep_np]
+        field_lens = np.bincount(doc_idx, minlength=n).astype(np.int32)
+        return self._fold(kept, doc_idx, positions, None, field_lens, n,
+                          with_positions, payloads=pays if with_positions else None)
+
+    def _fold(self, kept, doc_idx, positions, overlap, field_lens, n, with_positions,
+              payloads=None):
         """Per-(doc, term) tf fold over the kept token stream — shared tail
         of the default, structural, and word_delimiter paths."""
         import pyarrow as pa
@@ -685,6 +748,7 @@ class ArrowAnalyzer:
                 offsets=np.zeros(n + 1, dtype=np.int64),
                 field_lens=field_lens,
                 positions=np.empty(0, dtype=np.int32) if with_positions else None,
+                payloads=np.empty(0, dtype=np.float32) if payloads is not None else None,
             )
 
         de = pc.dictionary_encode(kept)
@@ -719,6 +783,7 @@ class ArrowAnalyzer:
             offsets=offsets,
             field_lens=field_lens,
             positions=positions[order] if with_positions else None,
+            payloads=payloads[order] if payloads is not None else None,
         )
 
     def _call_wd(self, arr, n: int, with_positions: bool) -> "BatchTokenStats":
@@ -793,6 +858,9 @@ class BatchTokenStats:
     #: flat ascending positions per (doc, term) pair, aligned with cumsum(tfs);
     #: only set by ArrowAnalyzer(with_positions=True)
     positions: np.ndarray | None = None
+    #: float32 payload per occurrence, aligned 1:1 with ``positions`` (NaN =
+    #: no payload on that occurrence); only set by the delimited_payload path
+    payloads: np.ndarray | None = None
 
 
 def analyze_batch(

@@ -239,6 +239,7 @@ def build_index(
             "n_stopwords": len(analyzer.stopwords),
         },
         "positions": positions,
+        "payloads": analyzer.delimited_payload is not None,
         "keyword_fields": list(keyword_fields),
         "sort_fields": plan.key_cols,
         "stats": stats.to_dict(),

@@ -101,7 +101,20 @@ def _decode_member(tbl: pa.Table, base: int):
     pos = decode_sequences(pbuf, poffs, ttfs) if has_pos else None
     row_pstart = np.zeros(len(dfs) + 1, dtype=np.int64)
     np.cumsum(ttfs, out=row_pstart[1:])
-    return ids, tfs, pos, row_vstart, row_pstart
+    # payload stream: raw float32 per occurrence in the same ttf layout as
+    # positions — but rows without payloads (keyword fields, payload-free
+    # terms) store EMPTY slices, so NaN-expand to the full occurrence grid
+    pay = None
+    if "pay_blob" in tbl.column_names:
+        ybuf, yoffs = col_buf("pay_blob")
+        row_bytes = np.diff(yoffs)
+        if row_bytes.sum() > 0:
+            vals = np.frombuffer(ybuf[yoffs[0] : yoffs[-1]].tobytes(), dtype=np.float32)
+            have = np.flatnonzero(row_bytes > 0)
+            pay = np.full(int(ttfs.sum()), np.nan, dtype=np.float32)
+            dst = np.repeat(row_pstart[:-1][have], ttfs[have]) + _within(ttfs[have])
+            pay[dst] = vals
+    return ids, tfs, pos, row_vstart, row_pstart, pay
 
 
 def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generation: int) -> dict:
@@ -141,6 +154,12 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
             "rebuild the delta with matching IndexOptions"
         )
     has_pos = bool(pos_flags) and all(pos_flags)
+    # payloads may be PARTIAL across members (an occurrence without a payload
+    # is NaN by construction), but they ride the position permutation, so a
+    # payload-bearing member without positions cannot be aligned
+    has_pay = any(d[5] is not None for d, mp in zip(decoded, member_posts) if len(mp))
+    if has_pay and not has_pos:
+        raise ValueError("cannot merge payload-bearing segments built without positions")
 
     dfs_sorted = posts["df"].to_numpy().astype(np.int64)
     ttfs_sorted = posts["ttf"].to_numpy().astype(np.int64)
@@ -158,8 +177,9 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
     s_doc = np.empty(N, dtype=np.int64)
     s_tf = np.empty(N, dtype=np.int64)
     pos_deltas = np.empty(P, dtype=np.int64) if has_pos else None
+    pay_floats = np.full(P, np.nan, dtype=np.float32) if has_pay else None
     for mi in range(len(dirs)):
-        ids_m, tfs_m, pos_m, rv, rp = decoded[mi]
+        ids_m, tfs_m, pos_m, rv, rp, pay_m = decoded[mi]
         rmask = morder == mi
         rows = mrow[rmask]
         lens = dfs_sorted[rmask]
@@ -174,6 +194,8 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
             psrc = np.repeat(rp[rows], plens) + pwithin
             pdst = np.repeat(out_pstart[:-1][rmask], plens) + pwithin
             pos_deltas[pdst] = pos_m[psrc]
+            if has_pay and pay_m is not None:
+                pay_floats[pdst] = pay_m[psrc]
 
     # (field, term) groups over the sorted rows
     terms_sorted = posts["term"]
@@ -213,6 +235,7 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
         doc_lens,
         pos_deltas,
         field=out_fields,
+        pay_floats=pay_floats,
     )
 
     dir_name = f"seg={seg_id:06d}-g{generation}"

@@ -68,6 +68,10 @@ POSTINGS_SCHEMA = pa.schema(
         # FOR blocks; empty when the index is built without positions
         # (IndexOptions.DOCS_AND_FREQS vs ..._AND_POSITIONS analog)
         ("pos_blob", pa.large_binary()),
+        # per-term payload stream (ttf float32 values, 1:1 with the position
+        # stream; NaN = occurrence without a payload; empty when the index
+        # carries no payloads — DelimitedPayloadTokenFilter analog)
+        ("pay_blob", pa.large_binary()),
         ("block_first_doc", pa.list_(pa.int32())),
         ("block_last_doc", pa.list_(pa.int32())),
         ("block_max_freq", pa.list_(pa.int32())),
@@ -120,7 +124,10 @@ class AnalyzeInvert:
                 batch = batch.filter(pa.array(keep))
                 rid = rid[keep]
             if len(batch) == 0:
-                return _empty_analyzed(self.store_content)
+                return _empty_analyzed(
+                    self.store_content,
+                    payloads=self.analyzer.delimited_payload is not None,
+                )
         content = batch["content"].cast(pa.large_string())
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
@@ -144,6 +151,12 @@ class AnalyzeInvert:
             pa.array(tf_off if self.positions else np.zeros(len(batch) + 1, np.int64), pa.int32()),
             pa.array(pos_flat, pa.int32()),
         )
+        extra = {}
+        if stats.payloads is not None:
+            extra["payloads"] = pa.ListArray.from_arrays(
+                pa.array(tf_off, pa.int32()),
+                pa.array(stats.payloads, pa.float32()),
+            )
         return pa.table(
             {
                 "range_id": pa.array(rid, pa.int32()),
@@ -157,6 +170,7 @@ class AnalyzeInvert:
                 "terms": terms_arr,
                 "tfs": tfs_arr,
                 "positions": pos_arr,
+                **extra,
                 **({"content": content} if self.store_content else {}),
             }
         )
@@ -203,7 +217,7 @@ def _sha256_column(arr: pa.Array) -> list[str]:
     return [hashlib.sha256(data[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(arr))]
 
 
-def _empty_analyzed(store_content: bool = False) -> pa.Table:
+def _empty_analyzed(store_content: bool = False, payloads: bool = False) -> pa.Table:
     cols = {
         "range_id": pa.array([], pa.int32()),
         "repo": pa.array([], pa.string()),
@@ -217,6 +231,8 @@ def _empty_analyzed(store_content: bool = False) -> pa.Table:
         "tfs": pa.array([], pa.list_(pa.int32())),
         "positions": pa.array([], pa.list_(pa.int32())),
     }
+    if payloads:
+        cols["payloads"] = pa.array([], pa.list_(pa.float32()))
     if store_content:
         cols["content"] = pa.array([], pa.large_string())
     return pa.table(cols)
@@ -399,6 +415,7 @@ class SegmentWriter:
         if isinstance(pos_col, pa.ChunkedArray):
             pos_col = pos_col.chunk(0)
         flat_pos = pos_col.values.to_numpy().astype(np.int64)
+        pay_floats = None
         if len(flat_pos):
             pair_off = np.zeros(len(flat_tfs) + 1, dtype=np.int64)
             np.cumsum(flat_tfs, out=pair_off[1:])
@@ -410,11 +427,18 @@ class SegmentWriter:
             pdeltas = np.empty(len(sorted_pos), dtype=np.int64)
             pdeltas[1:] = sorted_pos[1:] - sorted_pos[:-1]
             pdeltas[sorted_cum[:-1]] = sorted_pos[sorted_cum[:-1]]  # raw first position per pair
+            if "payloads" in group.column_names:
+                pay_col = group["payloads"].combine_chunks()
+                if isinstance(pay_col, pa.ChunkedArray):
+                    pay_col = pay_col.chunk(0)
+                # payloads ride the SAME occurrence permutation as positions
+                pay_floats = pay_col.values.to_numpy().astype(np.float32)[src_idx]
         else:
             pdeltas = None
 
         return postings_table_from_flat(
-            rid, sorted_terms, starts, dfs, ttfs, s_doc, s_tf, doc_lens, pdeltas
+            rid, sorted_terms, starts, dfs, ttfs, s_doc, s_tf, doc_lens, pdeltas,
+            pay_floats=pay_floats,
         )
 
     def _build_keyword_postings(self, rid: int, group: pa.Table, n: int, field: str,
@@ -460,11 +484,14 @@ def postings_table_from_flat(
     doc_lens: np.ndarray,
     pos_deltas: np.ndarray | None,
     field: str | pa.Array = CONTENT_FIELD,
+    pay_floats: np.ndarray | None = None,
 ) -> pa.Table:
     """Encode flat (term,doc)-sorted postings into the segment postings table
     (shared by the initial build and the merge job). ``pos_deltas``: per-pair
     within-doc delta stream aligned with cumsum(s_tf), or None. ``field``: a
-    constant field name, or a per-row array (merge path)."""
+    constant field name, or a per-row array (merge path). ``pay_floats``:
+    per-occurrence float32 payloads in the same order as the position
+    stream, or None."""
     # batch FOR encode: every term's postings in one vectorized pass
     deltas = np.empty(len(s_doc), dtype=np.int64)
     if len(s_doc):
@@ -480,6 +507,23 @@ def postings_table_from_flat(
     else:
         pbuf = np.zeros(0, dtype=np.uint8)
         poffs = np.zeros(len(starts) + 1, dtype=np.int64)
+    if pay_floats is not None and len(pay_floats):
+        # raw float32 per occurrence, byte-sliced per term like pos_blob;
+        # terms whose occurrences are ALL payload-free (NaN) store an empty
+        # slice — keeps merged keyword rows compact and "index has no
+        # payloads" detectable per term
+        pay32 = pay_floats.astype(np.float32)
+        occ_start = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(ttfs, out=occ_start[1:])
+        has_any = np.logical_or.reduceat(~np.isnan(pay32), occ_start[:-1])
+        ybuf = np.frombuffer(
+            pay32[np.repeat(has_any, ttfs)].tobytes(), dtype=np.uint8
+        )
+        yoffs = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(np.where(has_any, ttfs * 4, 0), out=yoffs[1:])
+    else:
+        ybuf = np.zeros(0, dtype=np.uint8)
+        yoffs = np.zeros(len(starts) + 1, dtype=np.int64)
 
     firsts = s_doc[gstart].astype(np.int32)
     lasts = s_doc[gstart + blen - 1].astype(np.int32)
@@ -508,6 +552,7 @@ def postings_table_from_flat(
             "doc_blob": large_bin(dbuf, doffs),
             "freq_blob": large_bin(fbuf, foffs),
             "pos_blob": large_bin(pbuf, poffs),
+            "pay_blob": large_bin(ybuf, yoffs),
             "block_first_doc": pa.ListArray.from_arrays(lofs, pa.array(firsts, pa.int32())),
             "block_last_doc": pa.ListArray.from_arrays(lofs, pa.array(lasts, pa.int32())),
             "block_max_freq": pa.ListArray.from_arrays(lofs, pa.array(maxfs, pa.int32())),

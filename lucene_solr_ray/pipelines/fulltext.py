@@ -2994,3 +2994,80 @@ def ft_suggest_fuzzy(sf_dir: str) -> pa.Table:
             "df": t["df"],
         }))
     return pa.concat_tables(out)
+
+
+# ---------------------------------------------------------------------------
+# Payloads: DelimitedPayloadTokenFilter index + PayloadScoreQuery
+# (analysis/payloads/DelimitedPayloadTokenFilter.java + FloatEncoder;
+# queries/payloads/PayloadScoreQuery.java, {Sum,Average,Max}PayloadFunction,
+# PayloadDecoder.FLOAT_DECODER's null-payload → 1.0 branch)
+# ---------------------------------------------------------------------------
+
+PAYLOAD_SPECS = [
+    # merge: the FIRST occurrence per doc carries payload 2.5, the rest none
+    {"qid": "pay_sum_merge", "term": "merge", "func": "sum", "span": False},
+    {"qid": "pay_avg_merge", "term": "merge", "func": "avg", "span": False},
+    {"qid": "pay_max_merge", "term": "merge", "func": "max", "span": False},
+    # spark: EVERY occurrence carries 0.5; include_span_score multiplies the
+    # BM25 term score by the folded factors
+    {"qid": "pay_span_spark", "term": "spark", "func": "sum", "span": True},
+]
+
+
+def _payload_corpus(sf_dir: str):
+    """documents → corpus with delimited payloads injected: the first
+    ``merge`` of each doc becomes ``merge|2.5``; every ``spark`` becomes
+    ``spark|0.5``. The corpus text has no ``|`` of its own (clean
+    space-separated words), so these are the only payload-bearing tokens and
+    whitespace tokenization coincides with the plain ``\\w+`` stream."""
+    import pyarrow.compute as pc
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        c = batch["content"].cast(pa.string())
+        c = pc.replace_substring_regex(
+            c, pattern=r"\bmerge\b", replacement="merge|2.5", max_replacements=1
+        )
+        c = pc.replace_substring_regex(c, pattern=r"\bspark\b", replacement="spark|0.5")
+        return batch.set_column(
+            batch.schema.get_field_index("content"), "content", c.cast(pa.large_string())
+        )
+
+    return documents_as_corpus(sf_dir).map_batches(annotate, batch_format="pyarrow")
+
+
+def ft_payload(sf_dir: str) -> pa.Table:
+    """PayloadScoreQuery top-k over a DelimitedPayload index: per-occurrence
+    float payloads fold through sum/avg/max (missing payload → 1.0), with an
+    include_span_score entry that multiplies by the BM25 term score. The
+    oracle computes the folds analytically from the raw text (2.5 on the
+    first merge, 0.5 on every spark), so the whole payload path — analysis
+    split, pay_blob encode, lazy decode, fold — is verified end to end."""
+    from ..analysis.tokenizer import StandardAnalyzer
+    from ..search.query import PayloadScoreQuery
+
+    an = StandardAnalyzer(delimited_payload="|")
+    key = f"{sf_dir}|payload|float64"
+    s = _SEARCHERS.get(key)
+    if s is None:
+        idx = _index_dir_for(sf_dir) + "_payload"
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_index(_payload_corpus(sf_dir), idx, docs_per_segment=2_000, analyzer=an)
+        s = Searcher(idx, dtype=np.float64)
+        _SEARCHERS[key] = s
+    queries = {
+        sp["qid"]: PayloadScoreQuery(
+            sp["term"], func=sp["func"], include_span_score=sp["span"]
+        )
+        for sp in PAYLOAD_SPECS
+    }
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+            "score": pa.array(
+                np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()
+            ),
+        }
+    )

@@ -2191,3 +2191,36 @@ ORDER BY df DESC, tok ASC LIMIT {num}""")
 dfp AS (SELECT tok, count(DISTINCT did) AS df FROM tf GROUP BY tok)
 {body}
 """
+
+
+def sql_payload(k: int) -> str:
+    """PayloadScoreQuery oracle — analytic, from the RAW text (non-circular):
+    the engine indexes a derived corpus where the first ``merge`` per doc
+    carries payload 2.5 and every ``spark`` carries 0.5; occurrences without
+    a payload decode to 1.0. Hence per matching doc:
+    sum(merge)=tf+1.5, avg=(tf+1.5)/tf, max=2.5; the span-score entry is the
+    engine-float64 BM25 term score × (0.5·tf). All factors are exact binary
+    fractions, so every fold is IEEE-exact in both engines."""
+    subqs = []
+    for qid, expr in [
+        ("pay_sum_merge", "CAST(tf AS DOUBLE) + 1.5"),
+        ("pay_avg_merge", "(CAST(tf AS DOUBLE) + 1.5) / tf"),
+        ("pay_max_merge", "CAST(2.5 AS DOUBLE)"),
+    ]:
+        subqs.append(f"""
+SELECT * FROM (
+  SELECT '{qid}' AS query_id,
+         CAST(row_number() OVER (ORDER BY {expr} DESC, did ASC) - 1 AS BIGINT) AS rank,
+         CAST(did AS BIGINT) AS doc_id, CAST({expr} AS DOUBLE) AS score
+  FROM tf WHERE tok = 'merge'
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)""")
+    subqs.append(f"""
+SELECT * FROM (
+  SELECT 'pay_span_spark' AS query_id,
+         CAST(row_number() OVER (ORDER BY a.score * (0.5 * t.tf) DESC, a.did ASC) - 1 AS BIGINT) AS rank,
+         CAST(a.did AS BIGINT) AS doc_id, CAST(a.score * (0.5 * t.tf) AS DOUBLE) AS score
+  FROM agg a JOIN tf t ON t.did = a.did AND t.tok = 'spark'
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)""")
+    return prelude() + "," + _score_cte(["spark"]) + "\nUNION ALL".join(subqs)

@@ -117,6 +117,27 @@ class SynonymQuery(Query):
 
 
 @dataclass(frozen=True)
+class PayloadScoreQuery(Query):
+    """Score a term from its per-occurrence float payloads
+    (queries/payloads/PayloadScoreQuery.java over a single-term span +
+    PayloadDecoder.FLOAT_DECODER + {Min,Max,Average,Sum}PayloadFunction).
+
+    Per matching doc, every occurrence contributes a payload factor
+    (occurrences without a payload decode to 1.0 — FLOAT_DECODER's
+    null-payload branch); the factors fold through ``func`` and docScore
+    (``numPayloadsSeen > 0 ? ... : 1``). ``include_span_score`` multiplies
+    by the wrapped term's BM25 score (PayloadSpanScorer.scoreCurrentDoc).
+    Requires an index built with ``StandardAnalyzer(delimited_payload=...)``.
+    """
+
+    term: str
+    func: str = "avg"  # avg | min | max | sum
+    include_span_score: bool = True
+    boost: float = 1.0
+    field: str = CONTENT_FIELD
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     """Every matching doc scores ``boost`` (search/ConstantScoreQuery.java)."""
 
@@ -375,6 +396,8 @@ def query_terms(q: Query) -> set[tuple[str, str]]:
         return {(q.field, t) for t in interval_terms(q)}
     if isinstance(q, TermQuery):
         return {(q.field, q.term)}
+    if isinstance(q, PayloadScoreQuery):
+        return {(q.field, q.term)}
     if isinstance(q, PhraseQuery):
         return {(q.field, t) for t in q.terms}
     if isinstance(q, MultiPhraseQuery):
@@ -397,6 +420,26 @@ def query_terms(q: Query) -> set[tuple[str, str]]:
     if isinstance(q, BooleanQuery):
         return q.terms()
     return set()
+
+
+def has_payload_query(q: Query) -> bool:
+    """Whether the tree contains a PayloadScoreQuery (validated up-front
+    against the manifest's ``payloads`` flag — an index built without
+    DelimitedPayload analysis cannot answer it)."""
+    if isinstance(q, PayloadScoreQuery):
+        return True
+    if isinstance(q, (ConstantScoreQuery, BoostQuery, FunctionScoreQuery)):
+        return has_payload_query(q.query)
+    if isinstance(q, DisjunctionMaxQuery):
+        return any(has_payload_query(d) for d in q.disjuncts)
+    if isinstance(q, CoveringQuery):
+        return any(has_payload_query(c) for c in q.queries)
+    if isinstance(q, BooleanQuery):
+        return any(
+            has_payload_query(c)
+            for c in (*q.must, *q.should, *q.must_not, *q.filter)
+        )
+    return False
 
 
 def numeric_fields(q: Query) -> set[str]:

@@ -36,6 +36,7 @@ from .query import (
     MatchAllQuery,
     MultiPhraseQuery,
     NumericRangeQuery,
+    PayloadScoreQuery,
     PhraseQuery,
     Query,
     SynonymQuery,
@@ -210,6 +211,49 @@ class SegmentScorer:
         scores = self.sim.score_freqs(w, freqs, nb, cache)
         return ids, scores
 
+    def payload_match(self, q: PayloadScoreQuery) -> tuple[np.ndarray, np.ndarray]:
+        """PayloadScoreQuery over a single-term span
+        (queries/payloads/PayloadScoreQuery.java PayloadSpans.collectLeaf):
+        every occurrence of the term contributes a payload factor — the
+        stored float32, or 1.0 for occurrences without a payload
+        (PayloadDecoder.FLOAT_DECODER's null branch, modulo that snapshot's
+        byte-read quirk) — folded per doc by ``func`` (currentScore) and
+        finalized by docScore (avg divides by the count; all default to 1
+        when no payloads were seen, which cannot happen here since df>0 ⇒
+        tf≥1 occurrences). include_span_score multiplies by the wrapped
+        span's BM25 score (PayloadSpanScorer.scoreCurrentDoc; a single-term
+        span has matchLength 0 ⇒ sloppyFreq == tf)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype))
+        if self.lazy is None:
+            raise ValueError("payload queries need positional postings (lazy=None)")
+        tp = self.lazy.get((q.field, q.term))
+        if tp is None or tp.df == 0:
+            return empty
+        ids, freqs = tp.full()
+        f_off, pays = tp.payloads()
+        # fold in the similarity's dtype: float32 reference-faithful mode,
+        # float64 sql-compat mode (the engine-wide dual-dtype convention)
+        factors = np.where(np.isnan(pays), 1.0, pays).astype(self.sim.dtype)
+        starts = f_off[:-1]
+        counts = np.diff(f_off).astype(np.int64)
+        if q.func == "sum":
+            ps = np.add.reduceat(factors, starts)
+        elif q.func == "avg":
+            ps = (np.add.reduceat(factors, starts) / counts).astype(self.sim.dtype)
+        elif q.func == "max":
+            ps = np.maximum.reduceat(factors, starts)
+        elif q.func == "min":
+            ps = np.minimum.reduceat(factors, starts)
+        else:
+            raise ValueError(f"unknown payload function {q.func!r}")
+        ps = ps.astype(self.sim.dtype)
+        if q.include_span_score:
+            w = self.sim.weight_from_idf(self.weights[(q.field, q.term)], q.boost)
+            nb, cache = self._norm_inputs(q.field, ids)
+            span_scores = self.sim.score_freqs(w, freqs, nb, cache)
+            return ids, (span_scores * ps).astype(self.sim.dtype)
+        return ids, ps
+
     def score_query(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
         """→ (local doc ids ascending, scores). Matching docs only."""
         if isinstance(q, TermQuery):
@@ -277,6 +321,8 @@ class SegmentScorer:
                 v = np.array([math.log(1.0 + x) for x in v], dtype=np.float64)
             out = (s.astype(np.float64) * v) * np.float64(q.boost)
             return ids, out.astype(self.sim.dtype)
+        if isinstance(q, PayloadScoreQuery):
+            return self.payload_match(q)
         if isinstance(q, SynonymQuery):
             return self._synonym_match(q)
         from .query import BlendedTermQuery

@@ -35,6 +35,7 @@ from .query import (
     MatchAllQuery,
     Query,
     TermQuery,
+    has_payload_query,
     numeric_fields,
     query_terms,
     rewrite,
@@ -685,6 +686,13 @@ class Searcher:
             queries = {"q0": queries}
         # rewrite loop: multi-term expansion + boost folding (IndexSearcher:683-689)
         queries = {qid: rewrite(q, self.reader) for qid, q in queries.items()}
+        if not self.reader.manifest.get("payloads") and any(
+            has_payload_query(q) for q in queries.values()
+        ):
+            raise ValueError(
+                "payload query over an index built without payloads "
+                "(StandardAnalyzer(delimited_payload=...) at build time)"
+            )
         all_terms: set[str] = set()
         for q in queries.values():
             all_terms |= query_terms(q)

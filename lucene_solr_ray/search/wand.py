@@ -36,7 +36,7 @@ class LazyTermPostings:
 
     def __init__(self, doc_blob: bytes, freq_blob: bytes, df: int,
                  first: np.ndarray, last: np.ndarray, maxf: np.ndarray, minl: np.ndarray,
-                 pos_blob: bytes = b"", ttf: int = 0):
+                 pos_blob: bytes = b"", ttf: int = 0, pay_blob: bytes = b""):
         self.doc_blob = doc_blob
         self.freq_blob = freq_blob
         self.df = df
@@ -46,10 +46,19 @@ class LazyTermPostings:
         self.minl = minl
         self.pos_blob = pos_blob
         self.ttf = ttf
+        self.pay_blob = pay_blob
         self._layout = None
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._positions: tuple[np.ndarray, np.ndarray] | None = None
         self.blocks_decoded = 0
+
+    def payloads(self) -> tuple[np.ndarray, np.ndarray]:
+        """Decode the payload stream → (per-doc offsets int64[df+1], flat
+        float32 payloads aligned 1:1 with the position stream; NaN = none)."""
+        if not self.pay_blob:
+            raise ValueError("index built without payloads")
+        f_off, _pos = self.positions()
+        return f_off, np.frombuffer(self.pay_blob, dtype=np.float32)
 
     def positions(self) -> tuple[np.ndarray, np.ndarray]:
         """Decode the position stream → (per-doc offsets int64[df+1], flat
@@ -120,6 +129,7 @@ def build_lazy(group: pa.Table) -> dict:
     dfs = group["df"].to_numpy()
     ttfs = group["ttf"].to_numpy()
     has_pos = "pos_blob" in group.column_names
+    has_pay = "pay_blob" in group.column_names
     terms = group["term"].to_pylist()
     fields = (
         group["field"].to_pylist()
@@ -137,6 +147,7 @@ def build_lazy(group: pa.Table) -> dict:
             np.asarray(group["block_min_len"][i].as_py(), dtype=np.int64),
             pos_blob=group["pos_blob"][i].as_py() if has_pos else b"",
             ttf=int(ttfs[i]),
+            pay_blob=group["pay_blob"][i].as_py() if has_pay else b"",
         )
     return out
 
