@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_intervals": fulltext.ft_intervals,
         "ft_parser": fulltext.ft_parser,
         "ft_payload": fulltext.ft_payload,
+        "ft_edismax": fulltext.ft_edismax,
         "ft_complex_phrase": fulltext.ft_complex_phrase,
         "ft_span_multiterm": fulltext.ft_span_multiterm,
         "ft_span_contain": fulltext.ft_span_contain,
@@ -274,6 +275,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_intervals": fs.sql_intervals(fulltext.INTERVAL_SPECS),
         "ft_parser": fs.sql_parser(fulltext.PARSER_SPECS),
         "ft_payload": fs.sql_payload(fulltext.TOPK_K),
+        "ft_edismax": fs.sql_edismax(
+            fulltext.EDISMAX_SPECS, fulltext.EDISMAX_QF["lang"], fulltext.TOPK_K
+        ),
         "ft_complex_phrase": fs.sql_complex_phrase(fulltext.COMPLEX_PHRASE_SPECS),
         "ft_span_multiterm": fs.sql_span_multiterm(fulltext.SPAN_MULTITERM_SPECS),
         "ft_span_contain": fs.sql_span_contain(fulltext.SPAN_CONTAIN_SPECS),

@@ -33,7 +33,7 @@ from ..util.smallfloat import LENGTH_TABLE, int_to_byte4
 from .plan import BuildPlan, sort_keys
 
 #: bump when the on-disk segment layout changes (cache invalidation)
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5  # v5: pay_blob payload stream column in POSTINGS_SCHEMA
 
 #: the analyzed full-text field (TextField analog — tokenized, with norms);
 #: all other indexed fields are keyword fields (StringField analog — one

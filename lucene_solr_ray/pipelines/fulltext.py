@@ -3071,3 +3071,49 @@ def ft_payload(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# edismax (Solr ExtendedDismaxQParser + SolrPluginUtils.calculateMinShouldMatch)
+# ---------------------------------------------------------------------------
+
+#: qf: content (analyzed, boost 1) + lang (keyword, boost 3). Lang codes
+#: never appear in the content vocabulary, so each clause's DisMax resolves
+#: to exactly one field — the oracle scores stay closed-form.
+EDISMAX_QF = {"content": 1.0, "lang": 3.0}
+EDISMAX_SPECS = [
+    {"qid": "ed_msm", "q": "merge window spark", "mm": "2", "tie": 0.0, "pf": None},
+    {"qid": "ed_lang", "q": "en merge", "mm": "1", "tie": 0.1, "pf": None},
+    {"qid": "ed_cond", "q": "merge window spark customer", "mm": "2<-25%", "tie": 0.0, "pf": None},
+    {"qid": "ed_must", "q": "+merge window spark", "mm": "1", "tie": 0.0, "pf": None},
+    {"qid": "ed_not", "q": "merge window -dup", "mm": "1", "tie": 0.0, "pf": None},
+    {"qid": "ed_pf", "q": "fast key", "mm": "1", "tie": 0.0, "pf": 2.0},
+]
+
+
+def ft_edismax(sf_dir: str) -> pa.Table:
+    """edismax query set: per-word DisMax over {content, lang^3}, mm specs
+    (plain / percentage / conditional), +/- signs and pf phrase boost —
+    float64 bit-exact scores (clause sums replicated with the engine's
+    canonical left-associative clause order in SQL)."""
+    from ..search.edismax import edismax_query
+
+    s = get_searcher(sf_dir)
+    queries = {
+        sp["qid"]: edismax_query(
+            sp["q"], qf=EDISMAX_QF, mm=sp["mm"], tie=sp["tie"],
+            pf={"content": sp["pf"]} if sp["pf"] else None,
+        )
+        for sp in EDISMAX_SPECS
+    }
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+            "score": pa.array(
+                np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()
+            ),
+        }
+    )

@@ -2224,3 +2224,125 @@ SELECT * FROM (
   ORDER BY score DESC, doc_id ASC LIMIT {k}
 )""")
     return prelude() + "," + _score_cte(["spark"]) + "\nUNION ALL".join(subqs)
+
+
+_EDISMAX_LANGS = frozenset({"en", "de", "es", "fr", "zh"})
+
+
+def sql_edismax(specs: list[dict], kw_boost: float, k: int) -> str:
+    """edismax oracle with bit-exact float64 scores: each positive clause is
+    one (did, s) CTE — a content BM25 score, or the kw_boost'ed keyword
+    constant score when the word is a lang code (the clause DisMax resolves
+    to one field because lang codes never appear in the content vocabulary;
+    a one-sub DisMax scores max + tie·0 = the sub exactly). Clause sums are
+    written as explicit left-associative additions over coalesce(s, 0.0) —
+    the engine's canonical accumulation order (must clauses first, then
+    should, then pf phrases) — so no sum() aggregate reorders the floats."""
+    from ..search.edismax import calculate_min_should_match
+
+    parts = []
+    for sp in specs:
+        must, should, nots = [], [], []
+        for tok in sp["q"].split():
+            sign, w = (tok[0], tok[1:]) if tok[0] in "+-" else ("", tok)
+            (nots if sign == "-" else must if sign == "+" else should).append(w)
+        msm = calculate_min_should_match(len(should), str(sp["mm"]))
+        # the engine accumulates clauses in canonical repr-sorted order
+        # (SegmentScorer._clauses) — for same-shape DisMax word clauses that
+        # is alphabetical word order; additions below follow it exactly
+        must, should = sorted(must), sorted(should)
+
+        ctes, names = [], {}
+        for i, w in enumerate(must + should):
+            nm = f"cl{i}"
+            names[w] = nm
+            if w in _EDISMAX_LANGS:
+                dfk = f"(SELECT count(*) FROM corpus WHERE lang = '{w}')"
+                idf = f"ln(1 + ((SELECT dc FROM stats) - {dfk} + 0.5) / ({dfk} + 0.5))"
+                kw = f"((({idf}) * {kw_boost!r}) * {K1 + 1!r}) * {1.0!r} / ({1.0!r} + {K1!r})"
+                ctes.append(f"{nm} AS (SELECT did, {kw} AS s FROM corpus WHERE lang = '{w}')")
+            else:
+                ctes.append(
+                    _term_score_cte(nm, w).strip().lstrip("\n").rstrip()
+                    .replace("AS score", "AS s", 1).replace("score", "s")
+                )
+        n_must, n_should = len(must), len(should)
+        m_names = [f"cl{i}" for i in range(n_must)]
+        s_names = [f"cl{n_must + i}" for i in range(n_should)]
+
+        if m_names:
+            mjoin = m_names[0]
+            for nm in m_names[1:]:
+                mjoin += f" JOIN {nm} USING (did)"
+            mscore = " + ".join(f"{nm}.s" for nm in m_names)
+            sel = f"SELECT {m_names[0]}.did AS did, ({mscore}) AS ms FROM {mjoin}"
+            base = f"base AS ({sel})"
+            joins = "".join(f" LEFT JOIN {nm} ON {nm}.did = b.did" for nm in s_names)
+            addc = "".join(f" + coalesce({nm}.s, 0.0)" for nm in s_names)
+            nm_expr = " + ".join(
+                f"(CASE WHEN {nm}.did IS NOT NULL THEN 1 ELSE 0 END)" for nm in s_names
+            ) or "0"
+            full = (
+                f"full_t AS (SELECT b.did, (b.ms{addc}) AS score, ({nm_expr}) AS nm "
+                f"FROM base b{joins})"
+            )
+            ctes += [base, full]
+            cond = f"nm >= {msm}" if s_names else "TRUE"
+        else:
+            # full outer join chain over the should clauses
+            prev_keys = []
+            fj = s_names[0]
+            for nm in s_names[1:]:
+                prev_keys.append(fj.split()[0] if not prev_keys else None)
+                fj += f" FULL OUTER JOIN {nm} ON coalesce({', '.join(f'{p}.did' for p in s_names[:s_names.index(nm)])}) = {nm}.did"
+            did_expr = f"coalesce({', '.join(f'{nm}.did' for nm in s_names)})"
+            addc = " + ".join(f"coalesce({nm}.s, 0.0)" for nm in s_names)
+            nm_expr = " + ".join(
+                f"(CASE WHEN {nm}.did IS NOT NULL THEN 1 ELSE 0 END)" for nm in s_names
+            )
+            full = (
+                f"full_t AS (SELECT {did_expr} AS did, ({addc}) AS score, ({nm_expr}) AS nm "
+                f"FROM {fj})"
+            )
+            ctes.append(full)
+            cond = f"nm >= {max(1, msm)}"
+
+        notc = ""
+        for w in nots:
+            if w in _EDISMAX_LANGS:
+                notc += f" AND did NOT IN (SELECT did FROM corpus WHERE lang = '{w}')"
+            else:
+                notc += f" AND did NOT IN (SELECT did FROM tf WHERE tok = '{w}')"
+
+        final_score = "score"
+        if sp["pf"]:
+            words = must + should
+            idf_sum = " + ".join(f"(SELECT idf FROM idf WHERE tok = '{w}')" for w in words)
+            joins, conds = [], [f"t0.tok = '{words[0]}'"]
+            for i in range(1, len(words)):
+                joins.append(f"JOIN ktp t{i} ON t{i}.did = t0.did AND t{i}.p = t0.p + {i}")
+                conds.append(f"t{i}.tok = '{words[i]}'")
+            ctes.append(
+                f"ph AS (SELECT t0.did, count(*) AS freq FROM ktp t0 {' '.join(joins)} "
+                f"WHERE {' AND '.join(conds)} GROUP BY t0.did)"
+            )
+            ctes.append(f"""phs AS (
+  SELECT ph.did,
+         ((({idf_sum}) * {sp["pf"]!r}) * {K1 + 1!r}) * ph.freq
+           / (ph.freq + {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen) / (SELECT avgdl FROM avg_dl))) AS s
+  FROM ph JOIN quant q ON q.did = ph.did
+)""")
+            final_score = "score + coalesce(phs.s, 0.0)"
+            pf_join = " LEFT JOIN phs ON phs.did = full_t.did"
+        else:
+            pf_join = ""
+
+        body = prelude() + ",\n" + _TOKPOS_CTES + ",\n" + ",\n".join(ctes) + f"""
+SELECT '{sp["qid"]}' AS query_id,
+       CAST(row_number() OVER (ORDER BY {final_score} DESC, full_t.did ASC) - 1 AS BIGINT) AS rank,
+       CAST(full_t.did AS BIGINT) AS doc_id, CAST({final_score} AS DOUBLE) AS score
+FROM full_t{pf_join} WHERE {cond}{notc}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+        parts.append(body)
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
