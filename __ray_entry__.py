@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_parser": fulltext.ft_parser,
         "ft_payload": fulltext.ft_payload,
         "ft_edismax": fulltext.ft_edismax,
+        "ft_edismax_boost": fulltext.ft_edismax_boost,
+        "ft_func_scale": fulltext.ft_func_scale,
         "ft_complex_phrase": fulltext.ft_complex_phrase,
         "ft_span_multiterm": fulltext.ft_span_multiterm,
         "ft_span_contain": fulltext.ft_span_contain,
@@ -277,6 +279,12 @@ def oracle_sql() -> dict[str, str]:
         "ft_payload": fs.sql_payload(fulltext.TOPK_K),
         "ft_edismax": fs.sql_edismax(
             fulltext.EDISMAX_SPECS, fulltext.EDISMAX_QF["lang"], fulltext.TOPK_K
+        ),
+        "ft_edismax_boost": fs.sql_edismax(
+            fulltext.EDISMAX_BOOST_SPECS, fulltext.EDISMAX_QF["lang"], fulltext.TOPK_K
+        ),
+        "ft_func_scale": fs.sql_func_scale(
+            fulltext.SCALE_TERM, fulltext.SCALE_LO, fulltext.SCALE_HI, fulltext.TOPK_K
         ),
         "ft_complex_phrase": fs.sql_complex_phrase(fulltext.COMPLEX_PHRASE_SPECS),
         "ft_span_multiterm": fs.sql_span_multiterm(fulltext.SPAN_MULTITERM_SPECS),

@@ -3117,3 +3117,89 @@ def ft_edismax(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# edismax boost params (bf / bq / boost) + ScaleFloatFunction
+# ---------------------------------------------------------------------------
+
+#: bf/boost use the expressions module's IEEE-exact subset (arithmetic,
+#: sqrt, recip) so the vectorized engine path and DuckDB produce identical
+#: float64 streams; bq is (term, boost)
+EDISMAX_BOOST_SPECS = [
+    {"qid": "edb_bf", "q": "merge window", "mm": "1", "tie": 0.0, "pf": None,
+     "bf": "sqrt(field_len)"},
+    {"qid": "edb_recip", "q": "merge window", "mm": "1", "tie": 0.0, "pf": None,
+     "boost": "recip(field_len,1,1000,1000)"},
+    {"qid": "edb_both", "q": "merge spark", "mm": "1", "tie": 0.0, "pf": None,
+     "bf": "recip(field_len,1,100,100)", "boost": "sqrt(field_len)"},
+    {"qid": "edb_bq", "q": "merge window", "mm": "1", "tie": 0.0, "pf": None,
+     "bq": ("spark", 0.5)},
+    {"qid": "edb_pf_bf", "q": "fast key", "mm": "1", "tie": 0.0, "pf": 2.0,
+     "bf": "sqrt(field_len)"},
+]
+
+
+def ft_edismax_boost(sf_dir: str) -> pa.Table:
+    """edismax boost params: bf (additive FunctionQuery SHOULD clause),
+    bq (additive boost query), boost (multiplicative BoostedQuery wrap) —
+    Solr's recency/popularity-boost idioms (recip over a numeric doc value,
+    sqrt length prior) with float64 bit-exact scores."""
+    from ..search.edismax import edismax_query
+
+    s = get_searcher(sf_dir)
+    queries = {}
+    for sp in EDISMAX_BOOST_SPECS:
+        bq = sp.get("bq")
+        queries[sp["qid"]] = edismax_query(
+            sp["q"], qf=EDISMAX_QF, mm=sp["mm"], tie=sp["tie"],
+            pf={"content": sp["pf"]} if sp.get("pf") else None,
+            bf=sp.get("bf"), boost=sp.get("boost"),
+            bq=TermQuery(bq[0], boost=bq[1]) if bq else None,
+        )
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+            "score": pa.array(
+                np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+SCALE_TERM = "merge"
+SCALE_LO, SCALE_HI = 0.5, 2.0
+
+
+def ft_func_scale(sf_dir: str) -> pa.Table:
+    """scale() function query (ScaleFloatFunction.java:56-96): min/max of the
+    field_len doc value over the WHOLE index (a tiny distributed Min/Max
+    aggregate — ScaleInfo.createScaleInfo walks every reader), resolved into
+    a linear expression; score = term BM25 · scale(field_len, lo, hi)."""
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    s = get_searcher(sf_dir)
+    agg = (
+        ray.data.read_parquet(s.reader.docs_files(), columns=["field_len"])
+        .aggregate(Min("field_len"), Max("field_len"))
+    )
+    mn, mx = float(agg["min(field_len)"]), float(agg["max(field_len)"])
+    expr = f"((field_len - {mn!r}) / {mx - mn!r}) * {SCALE_HI - SCALE_LO!r} + {SCALE_LO!r}"
+    from ..search.query import BoostedQuery
+
+    res = s.search(
+        {"scale": BoostedQuery(TermQuery(SCALE_TERM), expr)}, k=TOPK_K, use_ray=True
+    )
+    return pa.table(
+        {
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+            "score": pa.array(
+                np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()
+            ),
+        }
+    )

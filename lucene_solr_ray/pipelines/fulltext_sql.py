@@ -375,13 +375,13 @@ ORDER BY c.{field} {direction}, m.did ASC LIMIT {k}
 """
 
 
-def _term_score_cte(name: str, term: str) -> str:
+def _term_score_cte(name: str, term: str, boost: float = 1.0) -> str:
     """CTE ``name`` = (did, score) BM25 float64 scores of one term (engine op
     order; same expression as ``_score_cte``)."""
     return f"""
 {name} AS (
   SELECT k.did,
-         ((i.idf * {1.0!r}) * {K1 + 1!r}) * k.tf
+         ((i.idf * {boost!r}) * {K1 + 1!r}) * k.tf
            / (k.tf + {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen) / (SELECT avgdl FROM avg_dl))) AS score
   FROM tf k JOIN quant q USING (did) JOIN idf i ON k.tok = i.tok
   WHERE k.tok = '{term}'
@@ -2314,14 +2314,21 @@ def sql_edismax(specs: list[dict], kw_boost: float, k: int) -> str:
             else:
                 notc += f" AND did NOT IN (SELECT did FROM tf WHERE tok = '{w}')"
 
-        final_score = "score"
-        if sp["pf"]:
+        # outer-boolean SHOULD boosts (pf phrase / bq query / bf function):
+        # the engine accumulates them in repr-sorted clause order
+        # (FunctionQuery < PhraseQuery < TermQuery), each added to the MUST
+        # user-query sum — replicate as ordered left-assoc additions
+        adds: list[tuple[str, str, str]] = []  # (repr key, sql term, join)
+        if sp.get("pf"):
             words = must + should
-            idf_sum = " + ".join(f"(SELECT idf FROM idf WHERE tok = '{w}')" for w in words)
-            joins, conds = [], [f"t0.tok = '{words[0]}'"]
-            for i in range(1, len(words)):
+            # pf phrase word order = positive_words in QUERY order (not the
+            # engine's clause-accumulation sort)
+            qwords = [t.lstrip("+") for t in sp["q"].split() if not t.startswith("-")]
+            idf_sum = " + ".join(f"(SELECT idf FROM idf WHERE tok = '{w}')" for w in qwords)
+            joins, conds = [], [f"t0.tok = '{qwords[0]}'"]
+            for i in range(1, len(qwords)):
                 joins.append(f"JOIN ktp t{i} ON t{i}.did = t0.did AND t{i}.p = t0.p + {i}")
-                conds.append(f"t{i}.tok = '{words[i]}'")
+                conds.append(f"t{i}.tok = '{qwords[i]}'")
             ctes.append(
                 f"ph AS (SELECT t0.did, count(*) AS freq FROM ktp t0 {' '.join(joins)} "
                 f"WHERE {' AND '.join(conds)} GROUP BY t0.did)"
@@ -2332,10 +2339,34 @@ def sql_edismax(specs: list[dict], kw_boost: float, k: int) -> str:
            / (ph.freq + {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen) / (SELECT avgdl FROM avg_dl))) AS s
   FROM ph JOIN quant q ON q.did = ph.did
 )""")
-            final_score = "score + coalesce(phs.s, 0.0)"
-            pf_join = " LEFT JOIN phs ON phs.did = full_t.did"
-        else:
-            pf_join = ""
+            adds.append(("PhraseQuery", "coalesce(phs.s, 0.0)",
+                         " LEFT JOIN phs ON phs.did = full_t.did"))
+        if sp.get("bq"):
+            bq_term, bq_boost = sp["bq"]
+            ctes.append(
+                _term_score_cte("bqs", bq_term, bq_boost).strip().lstrip("\n").rstrip()
+                .replace("AS score", "AS s", 1).replace("score", "s")
+            )
+            adds.append(("TermQuery", "coalesce(bqs.s, 0.0)",
+                         " LEFT JOIN bqs ON bqs.did = full_t.did"))
+        fn_col = {"field_len": "qv.flen"}
+        needs_qv = False
+        if sp.get("bf"):
+            from ..search.expressions import compile_expression, to_sql as expr_sql
+
+            adds.append(("FunctionQuery",
+                         expr_sql(compile_expression(sp["bf"]), fn_col), ""))
+            needs_qv = True
+        adds.sort(key=lambda a: a[0])
+        final_score = "score" + "".join(f" + {t}" for _, t, _ in adds)
+        pf_join = "".join(j for _, _, j in adds)
+        if sp.get("boost"):
+            from ..search.expressions import compile_expression, to_sql as expr_sql
+
+            final_score = f"({final_score}) * {expr_sql(compile_expression(sp['boost']), fn_col)}"
+            needs_qv = True
+        if needs_qv:
+            pf_join += " LEFT JOIN quant qv ON qv.did = full_t.did"
 
         body = prelude() + ",\n" + _TOKPOS_CTES + ",\n" + ",\n".join(ctes) + f"""
 SELECT '{sp["qid"]}' AS query_id,
@@ -2346,3 +2377,24 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
         parts.append(body)
     return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def sql_func_scale(term: str, lo: float, hi: float, k: int) -> str:
+    """ScaleFloatFunction oracle (queries/function/valuesource/
+    ScaleFloatFunction.java:56-96): score = term BM25 · scale value, where
+    scale = ((v - min) / (max - min)) * (hi - lo) + lo over the whole
+    corpus's field_len — min/max are exact integers, so the SQL subselects
+    equal the engine's inlined constants bit-for-bit."""
+    scale = (
+        f"(((CAST(q.flen AS DOUBLE) - (SELECT CAST(min(flen) AS DOUBLE) FROM quant))"
+        f" / ((SELECT CAST(max(flen) AS DOUBLE) FROM quant)"
+        f" - (SELECT CAST(min(flen) AS DOUBLE) FROM quant)))"
+        f" * {hi - lo!r} + {lo!r})"
+    )
+    return prelude() + "," + _term_score_cte("ts", term) + f"""
+SELECT CAST(row_number() OVER (ORDER BY ts.score * {scale} DESC, ts.did ASC) - 1 AS BIGINT) AS rank,
+       CAST(ts.did AS BIGINT) AS doc_id,
+       CAST(ts.score * {scale} AS DOUBLE) AS score
+FROM ts JOIN quant q ON q.did = ts.did
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""

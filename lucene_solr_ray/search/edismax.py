@@ -124,12 +124,19 @@ def edismax_query(
     ps: int = 0,
     analyzer=None,
     keyword_fields: tuple[str, ...] = ("repo", "path", "commit", "lang"),
+    bf: str | None = None,
+    boost: str | None = None,
+    bq: Query | None = None,
 ) -> Query:
     """Parse a user query string into the edismax query tree.
 
     qf: {field: boost}; mm: SolrPluginUtils spec (applied to SHOULD count);
     pf: {field: boost} phrase-boost fields (slop ``ps``); tie: DisMax
-    tie-breaker shared by every per-word disjunction.
+    tie-breaker shared by every per-word disjunction; bf: additive function
+    boost (a FunctionQuery SHOULD clause — SolrPluginUtils.addFieldBoosts /
+    ExtendedDismaxQParser boostFunctions loop); bq: additive boost query
+    (SHOULD clause); boost: multiplicative function (BoostQParserPlugin →
+    BoostedQuery wrapping everything).
     """
     from ..analysis.tokenizer import StandardAnalyzer
 
@@ -180,17 +187,27 @@ def edismax_query(
             must=must, should=should, must_not=must_not, min_should_match=msm
         )
 
-    # pf: the parsed user query becomes a MUST clause of a fresh top-level
-    # BooleanQuery and each phrase query a SHOULD clause — a pure additive
-    # score boost that can never change the match set
-    # (ExtendedDismaxQParser.parse: query.add(parsedUserQuery, Occur.MUST)
-    # then addPhraseFieldQueries as Occur.SHOULD)
-    pf_clauses: list[Query] = []
+    # pf/bf/bq: the parsed user query becomes a MUST clause of a fresh
+    # top-level BooleanQuery and each boost a SHOULD clause — pure additive
+    # score boosts that can never change the match set
+    # (ExtendedDismaxQParser.parse: query.add(parsedUserQuery, Occur.MUST),
+    # then addPhraseFieldQueries / boostQueries / boostFunctions as SHOULD)
+    extra: list[Query] = []
     if pf and len(positive_words) > 1:
-        for f, boost in pf.items():
-            ph = _phrase_clause(positive_words, f, boost, ps, analyzer)
+        for f, b in pf.items():
+            ph = _phrase_clause(positive_words, f, b, ps, analyzer)
             if ph is not None:
-                pf_clauses.append(ph)
-    if pf_clauses:
-        return BooleanQuery(must=[inner], should=pf_clauses)
+                extra.append(ph)
+    if bq is not None:
+        extra.append(bq)
+    if bf is not None:
+        from .query import FunctionQuery
+
+        extra.append(FunctionQuery(bf))
+    if extra:
+        inner = BooleanQuery(must=[inner], should=extra)
+    if boost is not None:
+        from .query import BoostedQuery
+
+        inner = BoostedQuery(inner, boost)
     return inner

@@ -38,10 +38,18 @@ _FUNCS = {
     "min": (2, min),
     "max": (2, max),
     "pow": (2, math.pow),
+    # Solr ReciprocalFloatFunction (queries/function/valuesource/
+    # ReciprocalFloatFunction.java:55): a/(m*x+b) — the classic
+    # recency/length-decay boost recip(x,m,a,b)
+    "recip": (4, lambda x, m, a, b: a / (m * x + b)),
 }
 
 _SQL_FUNCS = {"ln": "ln", "log10": "log10", "sqrt": "sqrt", "abs": "abs",
               "min": "least", "max": "greatest", "pow": "pow"}
+
+#: functions whose numpy ufunc is IEEE-correctly-rounded (bit-identical to
+#: scalar libm) — an AST limited to these may evaluate vectorized
+_EXACT_VEC = frozenset({"sqrt", "abs", "min", "max", "recip"})
 
 
 def _tokenize(s: str) -> list:
@@ -162,6 +170,81 @@ def evaluate(node, bindings: dict[str, np.ndarray]) -> np.ndarray:
     return out
 
 
+def variables(node) -> set[str]:
+    """Identifiers the expression binds (doc-value columns and/or _score)."""
+    k = node[0]
+    if k == "var":
+        return {node[1]}
+    if k == "num":
+        return set()
+    if k == "neg":
+        return variables(node[1])
+    if k == "call":
+        out: set[str] = set()
+        for a in node[2]:
+            out |= variables(a)
+        return out
+    return variables(node[1]) | variables(node[2])
+
+
+def _vec_ok(node) -> bool:
+    k = node[0]
+    if k in ("num", "var"):
+        return True
+    if k == "neg":
+        return _vec_ok(node[1])
+    if k == "call":
+        return node[1] in _EXACT_VEC and all(_vec_ok(a) for a in node[2])
+    return _vec_ok(node[1]) and _vec_ok(node[2])
+
+
+def _eval_vec(node, cols: dict[str, np.ndarray], n: int) -> np.ndarray:
+    k = node[0]
+    if k == "num":
+        return np.full(n, node[1], dtype=np.float64)
+    if k == "var":
+        return cols[node[1]]
+    if k == "neg":
+        return -_eval_vec(node[1], cols, n)
+    if k == "call":
+        args = [_eval_vec(a, cols, n) for a in node[2]]
+        f = node[1]
+        if f == "sqrt":
+            return np.sqrt(args[0])
+        if f == "abs":
+            return np.abs(args[0])
+        if f == "min":
+            return np.minimum(args[0], args[1])
+        if f == "max":
+            return np.maximum(args[0], args[1])
+        # recip(x, m, a, b) = a / (m*x + b)
+        x, m, a, b = args
+        return a / (m * x + b)
+    a = _eval_vec(node[1], cols, n)
+    b = _eval_vec(node[2], cols, n)
+    if k == "+":
+        return a + b
+    if k == "-":
+        return a - b
+    if k == "*":
+        return a * b
+    return a / b
+
+
+def evaluate_full(node, bindings: dict[str, np.ndarray]) -> np.ndarray:
+    """Whole-column evaluation (FunctionQuery AllScorer hot path): fully
+    vectorized when the AST uses only IEEE-exact ops (+,-,*,/, sqrt, abs,
+    min, max, recip — numpy is bit-identical to scalar libm for these);
+    falls back to the scalar ``evaluate`` loop for ln/log10/pow, whose SIMD
+    variants may differ in the last ulp from the SQL oracle's libm."""
+    if not _vec_ok(node):
+        return evaluate(node, bindings)
+    names = list(bindings)
+    n = len(bindings[names[0]]) if names else 0
+    cols = {k: np.asarray(v, dtype=np.float64) for k, v in bindings.items()}
+    return _eval_vec(node, cols, n)
+
+
 def to_sql(node, col_map: dict[str, str]) -> str:
     """AST → SQL with IDENTICAL association order (left-assoc, parenthesized
     per node) so DuckDB computes the same float64 sequence."""
@@ -173,6 +256,10 @@ def to_sql(node, col_map: dict[str, str]) -> str:
     if k == "neg":
         return f"(- {to_sql(node[1], col_map)})"
     if k == "call":
+        if node[1] == "recip":
+            # same float64 sequence as the lambda: a / ((m * x) + b)
+            x, m, a, b = (to_sql(n_, col_map) for n_ in node[2])
+            return f"({a} / (({m} * {x}) + {b}))"
         args = ", ".join(to_sql(a, col_map) for a in node[2])
         return f"{_SQL_FUNCS[node[1]]}({args})"
     return f"({to_sql(node[1], col_map)} {k} {to_sql(node[2], col_map)})"

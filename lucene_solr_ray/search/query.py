@@ -290,6 +290,28 @@ class FunctionScoreQuery(Query):
 
 
 @dataclass(frozen=True)
+class FunctionQuery(Query):
+    """``queries/function/FunctionQuery.java:87-120`` (AllScorer): matches
+    every doc; score = ``boost · expr(doc values)``. ``expr`` is an
+    expressions-module source whose identifiers are numeric doc-value
+    columns. This is Solr's ``bf=`` additive boost when added as a SHOULD
+    clause next to a MUST user query (SolrPluginUtils.addFieldBoosts)."""
+
+    expr: str = "1"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BoostedQuery(Query):
+    """``queries/function/BoostedQuery.java:92-113`` (CustomScorer / Solr's
+    ``boost=`` param, BoostQParserPlugin): score = inner score ·
+    ``expr(doc values)``; match set = the inner query's."""
+
+    query: Query = None
+    expr: str = "1"
+
+
+@dataclass(frozen=True)
 class ExpandedTermsQuery(Query):
     """Internal: a rewritten multi-term query — constant-score union over the
     expanded concrete terms (CONSTANT_SCORE_REWRITE result)."""
@@ -407,6 +429,8 @@ def query_terms(q: Query) -> set[tuple[str, str]]:
         return {(q.field, t) for t in q.terms}
     if isinstance(q, (ConstantScoreQuery, BoostQuery, FunctionScoreQuery)):
         return query_terms(q.query)
+    if isinstance(q, BoostedQuery):
+        return query_terms(q.query)
     if isinstance(q, DisjunctionMaxQuery):
         out: set[str] = set()
         for d in q.disjuncts:
@@ -451,6 +475,14 @@ def numeric_fields(q: Query) -> set[str]:
         return {q.field}
     if isinstance(q, FunctionScoreQuery):
         return {q.field} | numeric_fields(q.query)
+    if isinstance(q, FunctionQuery):
+        from .expressions import compile_expression, variables
+
+        return variables(compile_expression(q.expr)) - {"_score"}
+    if isinstance(q, BoostedQuery):
+        from .expressions import compile_expression, variables
+
+        return (variables(compile_expression(q.expr)) - {"_score"}) | numeric_fields(q.query)
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return numeric_fields(q.query)
     if isinstance(q, DisjunctionMaxQuery):
@@ -507,6 +539,8 @@ def rewrite(q: Query, reader) -> Query:
         return ConstantScoreQuery(rewrite(q.query, reader), q.boost)
     if isinstance(q, FunctionScoreQuery):
         return FunctionScoreQuery(rewrite(q.query, reader), q.field, q.transform, q.boost)
+    if isinstance(q, BoostedQuery):
+        return BoostedQuery(rewrite(q.query, reader), q.expr)
     if isinstance(q, DisjunctionMaxQuery):
         return DisjunctionMaxQuery(
             tuple(rewrite(d, reader) for d in q.disjuncts), q.tie_breaker

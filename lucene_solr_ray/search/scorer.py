@@ -321,6 +321,21 @@ class SegmentScorer:
                 v = np.array([math.log(1.0 + x) for x in v], dtype=np.float64)
             out = (s.astype(np.float64) * v) * np.float64(q.boost)
             return ids, out.astype(self.sim.dtype)
+        from .query import BoostedQuery, FunctionQuery
+
+        if isinstance(q, FunctionQuery):
+            # FunctionQuery.AllScorer (queries/function/FunctionQuery.java:
+            # 87-120): every doc matches, score = boost · expr(doc values)
+            vals = self._expr_values(q.expr)
+            ids = np.arange(len(vals), dtype=np.int64)
+            return ids, (vals * np.float64(q.boost)).astype(self.sim.dtype)
+        if isinstance(q, BoostedQuery):
+            # BoostedQuery.CustomScorer (queries/function/BoostedQuery.java:
+            # 92-113): score = inner · expr(doc), double math, cast once
+            ids, s = self.score_query(q.query)
+            vals = self._expr_values(q.expr)
+            out = s.astype(np.float64) * vals[ids]
+            return ids, out.astype(self.sim.dtype)
         if isinstance(q, PayloadScoreQuery):
             return self.payload_match(q)
         if isinstance(q, SynonymQuery):
@@ -573,6 +588,33 @@ class SegmentScorer:
         return ids, scores
 
     # ------------------------------------------------------------------
+    def _expr_values(self, expr: str) -> np.ndarray:
+        """Per-doc float64 values of a function-query expression over this
+        segment's numeric doc values (cached — one vectorized pass per
+        distinct expr per segment, shared by every query in the batch)."""
+        cache = self.__dict__.setdefault("_expr_cache", {})
+        vals = cache.get(expr)
+        if vals is None:
+            from .expressions import compile_expression, evaluate_full, variables
+
+            node = compile_expression(expr)
+            binds = {}
+            for v in sorted(variables(node)):
+                col = self.doc_values.get(v)
+                if col is None:
+                    raise KeyError(
+                        f"numeric doc values for {v!r} not loaded into this scorer"
+                    )
+                binds[v] = col.astype(np.float64)
+            if not binds:  # constant expression
+                from .expressions import _eval_one
+
+                vals = np.full(len(self.norms), _eval_one(node, {}), dtype=np.float64)
+            else:
+                vals = evaluate_full(node, binds)
+            cache[expr] = vals
+        return vals
+
     def _clauses(self, qs: list) -> list[tuple[np.ndarray, np.ndarray]]:
         # canonical deterministic clause order: sort by repr
         return [self.score_query(c) for c in sorted(qs, key=repr)]

@@ -119,9 +119,26 @@ class SpanWithinQuery(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class SpanPayloadCheckQuery(Query):
+    """``queries/payloads/SpanPayloadCheckQuery.java``: keep only the matches
+    of ``match`` whose collected per-position payloads equal ``payloads``
+    position-for-position (PayloadChecker.collectLeaf → PayloadMatcher). A
+    float entry stands for the FloatEncoder bytes; ``None`` requires the
+    position to carry NO payload. ``match`` must be a SpanTermQuery or an
+    ordered slop-0 SpanNearQuery of SpanTermQuerys (the adjacent-phrase
+    shape the reference's tests exercise — TestPayloadCheckQuery), so each
+    clause i's occurrence sits at ``start + i``."""
+
+    match: Query = None
+    payloads: tuple = ()
+    field: str = CONTENT_FIELD
+    boost: float = 1.0
+
+
 SPAN_TYPES = (SpanTermQuery, SpanNearQuery, SpanOrQuery, SpanFirstQuery,
               SpanNotQuery, SpanContainingQuery, SpanWithinQuery,
-              SpanPositionRangeQuery)
+              SpanPositionRangeQuery, SpanPayloadCheckQuery)
 
 
 def span_terms(q) -> set[tuple[str, str]]:
@@ -133,7 +150,7 @@ def span_terms(q) -> set[tuple[str, str]]:
         for c in q.clauses:
             out |= span_terms(c)
         return out
-    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery, SpanPayloadCheckQuery)):
         return span_terms(q.match)
     if isinstance(q, SpanNotQuery):
         return span_terms(q.include) | span_terms(q.exclude)
@@ -152,7 +169,7 @@ def span_scoring_terms(q) -> set[tuple[str, str]]:
         for c in q.clauses:
             out |= span_scoring_terms(c)
         return out
-    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery, SpanPayloadCheckQuery)):
         return span_scoring_terms(q.match)
     # SpanContainQuery passes BOTH sides into getTermContexts
     # (SpanContainingQuery.java:49-50), so both contribute to the weight

@@ -131,3 +131,85 @@ def test_e2e_pf_boost_is_additive(eidx):
     for d in rp:
         want = np.float32(rb[d]) + np.float32(ph.get(d, 0.0))
         assert rp[d] == pytest.approx(float(want), rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# function queries: FunctionQuery / BoostedQuery / bf / boost / bq
+# ---------------------------------------------------------------------------
+
+from lucene_solr_ray.search.expressions import (
+    compile_expression,
+    evaluate,
+    evaluate_full,
+    variables,
+)
+from lucene_solr_ray.search.query import BoostedQuery, FunctionQuery
+
+
+def test_recip_eval_and_variables():
+    node = compile_expression("recip(field_len,1,1000,1000)")
+    assert variables(node) == {"field_len"}
+    import numpy as np
+
+    v = evaluate(node, {"field_len": np.array([0.0, 1000.0])})
+    assert v[0] == 1.0 and v[1] == 0.5
+
+
+def test_evaluate_full_matches_scalar():
+    """The vectorized path is bit-identical to the scalar loop on the
+    IEEE-exact subset, and transcendental ASTs fall back to scalar."""
+    import numpy as np
+
+    x = np.array([1.0, 7.0, 250.0, 999.0])
+    for src in ["sqrt(field_len) + recip(field_len,2,10,1)",
+                "max(field_len / 3.0, 5.0) - min(field_len, 100)",
+                "ln(field_len) * 2"]:
+        node = compile_expression(src)
+        np.testing.assert_array_equal(
+            evaluate_full(node, {"field_len": x}), evaluate(node, {"field_len": x})
+        )
+
+
+def test_boosted_query_match_set_and_score(eidx):
+    base = _res(eidx, TermQuery("license"))
+    boosted = _res(eidx, BoostedQuery(TermQuery("license"), "2 + 0 * field_len"))
+    assert set(base) == set(boosted)  # match set = inner's
+    for d in base:
+        assert boosted[d] == pytest.approx(2.0 * base[d], rel=1e-6)
+
+
+def test_function_query_matches_all(eidx):
+    r = _res(eidx, FunctionQuery("sqrt(field_len)"), k=10_000)
+    total = sum(s["doc_count"] for s in eidx.reader.segments)
+    assert len(r) == total
+    assert all(v > 0 for v in r.values())
+
+
+def test_bf_is_additive(eidx):
+    base = _res(eidx, edismax_query("license apache", qf={"content": 1.0}, mm="1"))
+    with_bf = _res(eidx, edismax_query("license apache", qf={"content": 1.0},
+                                       mm="1", bf="sqrt(field_len)"))
+    fn = _res(eidx, FunctionQuery("sqrt(field_len)"), k=10_000)
+    assert set(base) == set(with_bf)
+    for d in base:
+        assert with_bf[d] == pytest.approx(base[d] + fn[d], rel=1e-6)
+
+
+def test_boost_param_is_multiplicative(eidx):
+    base = _res(eidx, edismax_query("license apache", qf={"content": 1.0}, mm="1"))
+    wrapped = _res(eidx, edismax_query("license apache", qf={"content": 1.0},
+                                       mm="1", boost="recip(field_len,1,5,5)"))
+    fn = _res(eidx, FunctionQuery("recip(field_len,1,5,5)"), k=10_000)
+    assert set(base) == set(wrapped)
+    for d in base:
+        assert wrapped[d] == pytest.approx(base[d] * fn[d], rel=1e-6)
+
+
+def test_bq_is_additive(eidx):
+    base = _res(eidx, edismax_query("license apache", qf={"content": 1.0}, mm="1"))
+    with_bq = _res(eidx, edismax_query("license apache", qf={"content": 1.0},
+                                       mm="1", bq=TermQuery("software", boost=0.5)))
+    bq = _res(eidx, TermQuery("software", boost=0.5))
+    assert set(base) == set(with_bq)
+    for d in base:
+        assert with_bq[d] == pytest.approx(base[d] + bq.get(d, 0.0), rel=1e-6)
