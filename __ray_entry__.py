@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_intervals": fulltext.ft_intervals,
         "ft_parser": fulltext.ft_parser,
         "ft_payload": fulltext.ft_payload,
+        "ft_payload_check": fulltext.ft_payload_check,
         "ft_edismax": fulltext.ft_edismax,
         "ft_edismax_boost": fulltext.ft_edismax_boost,
         "ft_func_scale": fulltext.ft_func_scale,
@@ -277,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_intervals": fs.sql_intervals(fulltext.INTERVAL_SPECS),
         "ft_parser": fs.sql_parser(fulltext.PARSER_SPECS),
         "ft_payload": fs.sql_payload(fulltext.TOPK_K),
+        "ft_payload_check": fs.sql_payload_check(fulltext.TOPK_K),
         "ft_edismax": fs.sql_edismax(
             fulltext.EDISMAX_SPECS, fulltext.EDISMAX_QF["lang"], fulltext.TOPK_K
         ),

@@ -3035,6 +3035,22 @@ def _payload_corpus(sf_dir: str):
     return documents_as_corpus(sf_dir).map_batches(annotate, batch_format="pyarrow")
 
 
+def _payload_searcher(sf_dir: str) -> Searcher:
+    """Build (or reuse) the DelimitedPayload-analyzed index for sf_dir."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    key = f"{sf_dir}|payload|float64"
+    s = _SEARCHERS.get(key)
+    if s is None:
+        idx = _index_dir_for(sf_dir) + "_payload"
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_index(_payload_corpus(sf_dir), idx, docs_per_segment=2_000,
+                        analyzer=StandardAnalyzer(delimited_payload="|"))
+        s = Searcher(idx, dtype=np.float64)
+        _SEARCHERS[key] = s
+    return s
+
+
 def ft_payload(sf_dir: str) -> pa.Table:
     """PayloadScoreQuery top-k over a DelimitedPayload index: per-occurrence
     float payloads fold through sum/avg/max (missing payload → 1.0), with an
@@ -3042,18 +3058,9 @@ def ft_payload(sf_dir: str) -> pa.Table:
     oracle computes the folds analytically from the raw text (2.5 on the
     first merge, 0.5 on every spark), so the whole payload path — analysis
     split, pay_blob encode, lazy decode, fold — is verified end to end."""
-    from ..analysis.tokenizer import StandardAnalyzer
     from ..search.query import PayloadScoreQuery
 
-    an = StandardAnalyzer(delimited_payload="|")
-    key = f"{sf_dir}|payload|float64"
-    s = _SEARCHERS.get(key)
-    if s is None:
-        idx = _index_dir_for(sf_dir) + "_payload"
-        if not os.path.exists(os.path.join(idx, "manifest.json")):
-            build_index(_payload_corpus(sf_dir), idx, docs_per_segment=2_000, analyzer=an)
-        s = Searcher(idx, dtype=np.float64)
-        _SEARCHERS[key] = s
+    s = _payload_searcher(sf_dir)
     queries = {
         sp["qid"]: PayloadScoreQuery(
             sp["term"], func=sp["func"], include_span_score=sp["span"]
@@ -3196,6 +3203,40 @@ def ft_func_scale(sf_dir: str) -> pa.Table:
     )
     return pa.table(
         {
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+            "score": pa.array(
+                np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+def ft_payload_check(sf_dir: str) -> pa.Table:
+    """SpanPayloadCheckQuery over the DelimitedPayload index: payload-value
+    filtering of span matches — every spark carries 0.5, only the first
+    merge per doc carries 2.5, later merges carry none. Four shapes: a
+    payload that every occurrence has (≡ term score), a payload only the
+    first occurrence has (freq pinned to 1), a no-payload requirement
+    (freq = tf−1, docs with tf ≥ 2), and an adjacent two-term span whose
+    positions must carry (2.5, 0.5)."""
+    from ..search.spans import SpanNearQuery, SpanPayloadCheckQuery, SpanTermQuery
+
+    s = _payload_searcher(sf_dir)
+    queries = {
+        "pc_spark": SpanPayloadCheckQuery(SpanTermQuery("spark"), (0.5,)),
+        "pc_first_merge": SpanPayloadCheckQuery(SpanTermQuery("merge"), (2.5,)),
+        "pc_merge_bare": SpanPayloadCheckQuery(SpanTermQuery("merge"), (None,)),
+        "pc_pair": SpanPayloadCheckQuery(
+            SpanNearQuery((SpanTermQuery("merge"), SpanTermQuery("spark")),
+                          slop=0, ordered=True),
+            (2.5, 0.5),
+        ),
+    }
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
             "rank": res["rank"].cast(pa.int64()),
             "doc_id": res["doc_id"],
             "score": pa.array(

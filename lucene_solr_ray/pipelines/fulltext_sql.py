@@ -2398,3 +2398,48 @@ SELECT CAST(row_number() OVER (ORDER BY ts.score * {scale} DESC, ts.did ASC) - 1
 FROM ts JOIN quant q ON q.did = ts.did
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+def sql_payload_check(k: int) -> str:
+    """SpanPayloadCheckQuery oracle — analytic from the raw text (the
+    annotated corpus puts 2.5 on the FIRST merge per doc and 0.5 on every
+    spark): pc_spark ⇔ freq = tf(spark); pc_first_merge ⇔ freq = 1;
+    pc_merge_bare ⇔ freq = tf(merge)−1 over docs with tf ≥ 2; pc_pair ⇔
+    freq = 1 where the doc's first merge is immediately followed by spark.
+    Scores use the span kernel (weight = Σ idf in sorted-term order)."""
+
+    def body(qid: str, src: str, freq: str, idf_terms: list[str]) -> str:
+        idf_sum = " + ".join(
+            f"(SELECT idf FROM idf WHERE tok = '{t}')" for t in idf_terms
+        )
+        e = (
+            f"((({idf_sum}) * {1.0!r}) * {K1 + 1!r}) * ({freq})"
+            f" / (({freq}) + {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen)"
+            f" / (SELECT avgdl FROM avg_dl)))"
+        )
+        return f"""
+SELECT * FROM (
+  SELECT '{qid}' AS query_id,
+         CAST(row_number() OVER (ORDER BY {e} DESC, q.did ASC) - 1 AS BIGINT) AS rank,
+         CAST(q.did AS BIGINT) AS doc_id, CAST({e} AS DOUBLE) AS score
+  FROM {src}
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)"""
+
+    parts = [
+        body("pc_spark",
+             "(SELECT did, tf FROM tf WHERE tok = 'spark') f JOIN quant q USING (did)",
+             "f.tf", ["spark"]),
+        body("pc_first_merge",
+             "(SELECT DISTINCT did FROM tf WHERE tok = 'merge') f JOIN quant q USING (did)",
+             "1", ["merge"]),
+        body("pc_merge_bare",
+             "(SELECT did, tf FROM tf WHERE tok = 'merge' AND tf >= 2) f JOIN quant q USING (did)",
+             "f.tf - 1", ["merge"]),
+        body("pc_pair",
+             """(SELECT fm.did FROM (SELECT did, min(p) AS p FROM ktp WHERE tok = 'merge' GROUP BY did) fm
+       JOIN ktp sp ON sp.did = fm.did AND sp.p = fm.p + 1 AND sp.tok = 'spark') f
+      JOIN quant q USING (did)""",
+             "1", ["merge", "spark"]),
+    ]
+    return prelude() + ",\n" + _TOKPOS_CTES + "\nUNION ALL".join(parts)

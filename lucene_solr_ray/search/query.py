@@ -452,6 +452,10 @@ def has_payload_query(q: Query) -> bool:
     DelimitedPayload analysis cannot answer it)."""
     if isinstance(q, PayloadScoreQuery):
         return True
+    from .spans import SpanPayloadCheckQuery
+
+    if isinstance(q, SpanPayloadCheckQuery):
+        return True
     if isinstance(q, (ConstantScoreQuery, BoostQuery, FunctionScoreQuery)):
         return has_payload_query(q.query)
     if isinstance(q, DisjunctionMaxQuery):

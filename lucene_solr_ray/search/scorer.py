@@ -254,6 +254,82 @@ class SegmentScorer:
             return ids, (span_scores * ps).astype(self.sim.dtype)
         return ids, ps
 
+    def payload_check_match(self, q) -> tuple[np.ndarray, np.ndarray]:
+        """SpanPayloadCheckQuery (queries/payloads/SpanPayloadCheckQuery.java
+        PayloadChecker): enumerate the wrapped span's matches and keep those
+        whose per-position payloads equal ``q.payloads`` exactly (``None`` ⇔
+        the position carries no payload — a NaN in the pay stream). The
+        supported shapes put clause i's term at ``start + i`` (single term,
+        or ordered slop-0 near of terms), so the check is a positional
+        payload lookup per clause. Scoring = the span kernel (freq = matching
+        span count, width 0; weight = Σ idf)."""
+        from .spans import SpanNearQuery, SpanTermQuery
+
+        m = q.match
+        if isinstance(m, SpanTermQuery):
+            terms = [m.term]
+        elif (isinstance(m, SpanNearQuery) and m.ordered and m.slop == 0
+              and all(isinstance(c, SpanTermQuery) for c in m.clauses)):
+            terms = [c.term for c in m.clauses]
+        else:
+            raise TypeError(
+                "SpanPayloadCheckQuery supports a term or an ordered slop-0 "
+                "near of terms"
+            )
+        if len(q.payloads) != len(terms):
+            raise ValueError("one payload entry per span position required")
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype))
+        if self.lazy is None:
+            raise ValueError("payload queries need positional postings (lazy=None)")
+        data = {}
+        for t in set(terms):
+            tp = self.lazy.get((q.field, t))
+            if tp is None or tp.df == 0:
+                return empty
+            ids, _ = tp.full()
+            f_off, pos = tp.positions()
+            _pf_off, pays = tp.payloads()
+            data[t] = (ids, f_off, pos, pays)
+        cand = None
+        for t in set(terms):
+            cand = data[t][0] if cand is None else _intersect_sorted(cand, data[t][0])
+        if cand is None or not len(cand):
+            return empty
+        out_ids: list[int] = []
+        out_freqs: list[float] = []
+        for d in cand:
+            occ = {}  # term → {position: payload}
+            for t in set(terms):
+                ids, f_off, pos, pays = data[t]
+                j = np.searchsorted(ids, d)
+                sl = slice(f_off[j], f_off[j + 1])
+                occ[t] = dict(zip(pos[sl].tolist(), pays[sl].tolist()))
+            freq = 0
+            for p0, pay0 in occ[terms[0]].items():
+                ok = _payload_eq(pay0, q.payloads[0])
+                for i in range(1, len(terms)):
+                    if not ok:
+                        break
+                    pay_i = occ[terms[i]].get(p0 + i)
+                    ok = pay_i is not None and _payload_eq(pay_i, q.payloads[i])
+                if ok:
+                    freq += 1
+            if freq:
+                out_ids.append(int(d))
+                out_freqs.append(float(freq))
+        if not out_ids:
+            return empty
+        ids = np.asarray(out_ids, dtype=np.int64)
+        freqs = np.asarray(out_freqs, dtype=np.float64)
+        idf_sum = 0.0
+        for ft in sorted({(q.field, t) for t in terms}):
+            w_t = self.weights.get(ft)
+            if w_t is not None:
+                idf_sum += float(w_t)
+        w = self.sim.weight_from_idf(self.sim.dtype.type(idf_sum), q.boost)
+        nb, cache = self._norm_inputs(q.field, ids)
+        return ids, self.sim.score_freqs(w, freqs, nb, cache)
+
     def score_query(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
         """→ (local doc ids ascending, scores). Matching docs only."""
         if isinstance(q, TermQuery):
@@ -338,6 +414,10 @@ class SegmentScorer:
             return ids, out.astype(self.sim.dtype)
         if isinstance(q, PayloadScoreQuery):
             return self.payload_match(q)
+        from .spans import SpanPayloadCheckQuery
+
+        if isinstance(q, SpanPayloadCheckQuery):
+            return self.payload_check_match(q)
         if isinstance(q, SynonymQuery):
             return self._synonym_match(q)
         from .query import BlendedTermQuery
@@ -695,6 +775,17 @@ def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     pos = np.searchsorted(b, a)
     ok = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == a)
     return a[ok]
+
+
+def _payload_eq(stored: float, target) -> bool:
+    """PayloadMatcher byte-equality in the float model: ``None`` requires the
+    position to carry no payload (stored NaN); a float requires exact
+    equality (both sides parsed from the same decimal literal)."""
+    import math as _math
+
+    if target is None:
+        return _math.isnan(stored)
+    return stored == target
 
 
 def select_topk(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:

@@ -137,3 +137,61 @@ def test_payload_query_without_payload_index(ray_session, tmp_path):
     s = Searcher(d)
     with pytest.raises(ValueError, match="payload"):
         s.search({"q": PayloadScoreQuery("alpha")}, k=5, use_ray=False)
+
+
+# ---------------------------------------------------------------------------
+# SpanPayloadCheckQuery
+# ---------------------------------------------------------------------------
+
+from lucene_solr_ray.search.spans import (
+    SpanNearQuery,
+    SpanPayloadCheckQuery,
+    SpanTermQuery,
+)
+
+
+def test_payload_check_single_term(payload_index):
+    s = Searcher(payload_index)
+    # alpha payloads: doc0 [2.0@0, 4.0@2], doc1 none@0, doc2 0.25@0, doc3 1.5@1
+    got = _scores(s, SpanPayloadCheckQuery(SpanTermQuery("alpha"), (2.0,)))
+    assert set(got) == {0}
+    got = _scores(s, SpanPayloadCheckQuery(SpanTermQuery("alpha"), (None,)))
+    assert set(got) == {1}
+    got = _scores(s, SpanPayloadCheckQuery(SpanTermQuery("alpha"), (9.9,)))
+    assert set(got) == set()
+
+
+def test_payload_check_freq_drives_score(payload_index):
+    """A doc whose every occurrence matches scores like the plain term; a
+    partially-matching doc scores with the reduced freq."""
+    s = Searcher(payload_index)
+    # beta: doc0 [0.5@1], doc1 [3.0@1, None@2]
+    full = _scores(s, SpanTermQuery("beta"))
+    chk = _scores(s, SpanPayloadCheckQuery(SpanTermQuery("beta"), (3.0,)))
+    assert set(chk) == {1}
+    lone = _scores(s, SpanPayloadCheckQuery(SpanTermQuery("beta"), (0.5,)))
+    assert set(lone) == {0} and lone[0] == pytest.approx(full[0])
+
+
+def test_payload_check_adjacent_pair(payload_index):
+    s = Searcher(payload_index)
+    # doc0: alpha|2.0 beta|0.5 → pair (alpha,beta) payloads (2.0, 0.5) at 0,1
+    q = SpanPayloadCheckQuery(
+        SpanNearQuery((SpanTermQuery("alpha"), SpanTermQuery("beta")),
+                      slop=0, ordered=True),
+        (2.0, 0.5),
+    )
+    assert set(_scores(s, q)) == {0}
+    q_wrong = SpanPayloadCheckQuery(
+        SpanNearQuery((SpanTermQuery("alpha"), SpanTermQuery("beta")),
+                      slop=0, ordered=True),
+        (2.0, 3.0),
+    )
+    assert set(_scores(s, q_wrong)) == set()
+    # doc1 "alpha beta|3.0": bare alpha + beta 3.0
+    q_bare = SpanPayloadCheckQuery(
+        SpanNearQuery((SpanTermQuery("alpha"), SpanTermQuery("beta")),
+                      slop=0, ordered=True),
+        (None, 3.0),
+    )
+    assert set(_scores(s, q_bare)) == {1}
