@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_covering": fulltext.ft_covering,
         "ft_ngram": fulltext.ft_ngram,
         "ft_length_filter": fulltext.ft_length_filter,
+        "ft_common_grams": fulltext.ft_common_grams,
+        "ft_keepword": fulltext.ft_keepword,
         "ft_docvalues_set": fulltext.ft_docvalues_set,
         "ft_func_termfreq": fulltext.ft_func_termfreq,
         "ft_wordbreak": fulltext.ft_wordbreak,
@@ -252,6 +254,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_covering": fs.sql_covering(fulltext.COVERING_TERMS, fulltext.COVERING_MODS),
         "ft_ngram": fs.sql_topk_variant(fs.prelude_ngram(*fulltext.NGRAM_RANGE), fulltext.NGRAM_SPECS),
         "ft_length_filter": fs.sql_topk_variant(fs.prelude_length_filter(*fulltext.LENGTH_RANGE), fulltext.LENGTH_SPECS),
+        "ft_common_grams": fs.sql_topk_variant(fs.prelude_common_grams(), fulltext.COMMON_GRAMS_SPECS),
+        "ft_keepword": fs.sql_topk_variant(fs.prelude_keep_words(fulltext.KEEP_WORDS), fulltext.KEEP_SPECS),
         "ft_docvalues_set": fs.sql_docvalues_set(fulltext.DV_TERM, fulltext.DV_LANGS, fulltext.DV_LENS, fulltext.TOPK_K),
         "ft_func_termfreq": fs.sql_func_termfreq(
             fulltext.FUNC_T1, fulltext.FUNC_T2, fulltext.LTR_RERANK_K, fulltext.TOPK_K,

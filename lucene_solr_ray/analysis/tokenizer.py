@@ -169,6 +169,20 @@ class StandardAnalyzer:
     #: token's payload (words without a parseable suffix carry no payload).
     #: Mutually exclusive with the structural/word_delimiter paths.
     delimited_payload: str | None = None
+    #: KeepWordFilter (analysis/miscellaneous/KeepWordFilter.java): when
+    #: non-empty, DROP every token not in this set (the inverse stop filter;
+    #: dropped tokens consume a position). Applied with the stop filter,
+    #: after lowercase/folding.
+    keep_words: frozenset[str] = frozenset()
+    #: CommonGramsFilter (analysis/commongrams/CommonGramsFilter.java): emit
+    #: a ``w1_w2`` bigram for every pair of CONSECUTIVE stream tokens where
+    #: either side is a stopword, as a posIncr-0 overlap at the first word's
+    #: position (GRAM_TYPE tokens, ``_`` separator — CommonGramsFilter.java
+    #: SEPARATOR). The unigram stream (with stopwords removed) is unchanged,
+    #: so phrase queries over stopword-adjacent pairs can ride the bigrams.
+    #: Bigrams are built BEFORE stemming and stopword removal (the factory
+    #: chain places CommonGramsFilter directly after the tokenizer).
+    common_grams: bool = False
     #: CharFilter chain, applied to the raw string BEFORE tokenization
     #: (analysis/CharFilter.java; factories in analysis/charfilter/). Entries:
     #: ("html_strip",) — HTMLStripCharFilter analog (script/style/comment
@@ -296,7 +310,7 @@ def _analyze_full(
         text = apply_char_filters(text, analyzer.char_filters)
     if analyzer.word_delimiter is not None:
         return _analyze_full_wd(text, analyzer)
-    kept: list[tuple[str, int, int, int]] = []
+    stream: list[tuple[str, int, int, int]] = []  # post-length, pre-stop
     for pos, m in enumerate(token_re(analyzer).finditer(text)):
         raw = m.group()
         if len(raw) > analyzer.max_token_length:
@@ -308,14 +322,29 @@ def _analyze_full(
             analyzer.length_filter[0] <= len(term) <= analyzer.length_filter[1]
         ):
             continue  # dropped but consumes a position (LengthFilter)
-        if term in analyzer.stopwords:
-            continue
-        kept.append((term, pos, m.start(), m.end()))
+        stream.append((term, pos, m.start(), m.end()))
+    kept = [
+        x for x in stream
+        if x[0] not in analyzer.stopwords
+        and (not analyzer.keep_words or x[0] in analyzer.keep_words)
+    ]
+    common: list[tuple[str, int, int, int, bool]] = []
+    if analyzer.common_grams:
+        if analyzer.structural or analyzer.word_delimiter is not None:
+            raise ValueError("common_grams cannot combine with structural filters")
+        stop = analyzer.stopwords
+        for (t1, p1, s1, _e1), (t2, _p2, _s2, e2) in zip(stream, stream[1:]):
+            if t1 in stop or t2 in stop:
+                common.append((f"{t1}_{t2}", p1, s1, e2, True))
     mapper = _term_mapper(analyzer)
     if mapper is not None:
         kept = [(mapper(t), p, s, e) for t, p, s, e in kept]
     if not analyzer.structural:
-        return [(t, p, s, e, False) for t, p, s, e in kept]
+        out0 = [(t, p, s, e, False) for t, p, s, e in kept]
+        if common:
+            out0.extend(common)
+            out0.sort(key=lambda r: r[1])  # stable: anchors before overlaps
+        return out0
 
     if analyzer.edge_ngrams is not None:
         lo, hi = analyzer.edge_ngrams
@@ -652,11 +681,18 @@ class ArrowAnalyzer:
             cur_len = pc.utf8_length(flat)  # current (post-fold) token text
             keep = pc.and_(keep, pc.greater_equal(cur_len, lo_len))
             keep = pc.and_(keep, pc.less_equal(cur_len, hi_len))
+        stream_keep = keep  # post-length, pre-stop (the CommonGrams stream)
         keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=self.stop_arr)))
+        if self.analyzer.keep_words:
+            keep = pc.and_(
+                keep,
+                pc.is_in(flat, value_set=pa.array(sorted(self.analyzer.keep_words),
+                                                  pa.string())),
+            )
         keep_np = keep.to_numpy(zero_copy_only=False)
         kept = pc.filter(flat, keep)
-        positions = None
-        if with_positions:
+        positions = tok_pos = None
+        if with_positions or self.analyzer.common_grams:
             # position = index among emitted tokens of the doc (empties are
             # split artifacts, not tokens; overlong + stopword tokens DO
             # consume a position — StandardTokenizer/FilteringTokenFilter)
@@ -664,7 +700,31 @@ class ArrowAnalyzer:
             csum = np.cumsum(ne)
             doc_base = np.concatenate([[0], csum[offs[1:-1] - 1]]) if n > 1 else np.zeros(1, np.int64)
             tok_pos = csum - 1 - doc_base[doc_idx]
-            positions = tok_pos[keep_np].astype(np.int32)
+            if with_positions:
+                positions = tok_pos[keep_np].astype(np.int32)
+        cg = None
+        if self.analyzer.common_grams:
+            if self.analyzer.structural:
+                raise ValueError("common_grams cannot combine with structural filters")
+            sm = stream_keep.to_numpy(zero_copy_only=False)
+            s_flat = pc.filter(flat, stream_keep)
+            if s_flat.type != pa.string():
+                s_flat = s_flat.cast(pa.string())
+            s_doc = doc_idx[sm]
+            s_pos = tok_pos[sm]
+            is_stop = pc.is_in(s_flat, value_set=self.stop_arr).to_numpy(zero_copy_only=False)
+            L = len(s_flat) - 1
+            if L > 0:
+                pm = (s_doc[:L] == s_doc[1:]) & (is_stop[:L] | is_stop[1:])
+                if pm.any():
+                    joined = pc.binary_join_element_wise(
+                        s_flat.slice(0, L), s_flat.slice(1, L), "_"
+                    )
+                    cg = (
+                        pc.filter(joined, pa.array(pm)),
+                        s_doc[:L][pm],
+                        s_pos[:L][pm].astype(np.int32) if with_positions else None,
+                    )
         doc_idx = doc_idx[keep_np]
 
         mapper = _term_mapper(self.analyzer)
@@ -679,6 +739,20 @@ class ArrowAnalyzer:
             field_lens = np.bincount(doc_idx[~overlap], minlength=n).astype(np.int32)
         else:
             field_lens = np.bincount(doc_idx, minlength=n).astype(np.int32)
+        if cg is not None:
+            # bigram overlaps concat out of stream order; _fold co-sorts
+            if kept.type != pa.string():
+                kept = kept.cast(pa.string())
+            overlap = np.concatenate(
+                [np.zeros(len(kept), dtype=bool), np.ones(len(cg[1]), dtype=bool)]
+            )
+            kept = pa.concat_arrays(
+                [kept.combine_chunks() if isinstance(kept, pa.ChunkedArray) else kept,
+                 cg[0].combine_chunks() if isinstance(cg[0], pa.ChunkedArray) else cg[0]]
+            )
+            doc_idx = np.concatenate([doc_idx, cg[1]])
+            if with_positions:
+                positions = np.concatenate([positions, cg[2]])
         return self._fold(kept, doc_idx, positions, overlap, field_lens, n, with_positions)
 
     def _call_payload(self, arr, n: int, with_positions: bool) -> "BatchTokenStats":
@@ -879,6 +953,8 @@ def analyze_batch(
         or analyzer.word_delimiter is not None
         or analyzer.char_filters
         or analyzer.length_filter is not None
+        or analyzer.common_grams
+        or analyzer.keep_words
     ):
         # the filter-chain machinery lives on the Arrow path; delegate
         import pyarrow as pa

@@ -3244,3 +3244,43 @@ def ft_payload_check(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# CommonGramsFilter / KeepWordFilter
+# ---------------------------------------------------------------------------
+
+COMMON_GRAMS_SPECS = [
+    {"qid": "cg_the_batch", "kind": "term", "terms": ["the_batch"], "k": TOPK_K},
+    {"qid": "cg_a_table", "kind": "term", "terms": ["a_table"], "k": TOPK_K},
+    {"qid": "cg_the_the", "kind": "term", "terms": ["the_the"], "k": TOPK_K},
+    {"qid": "cg_unigram", "kind": "term", "terms": ["merge"], "k": TOPK_K},
+]
+
+
+def ft_common_grams(sf_dir: str) -> pa.Table:
+    """CommonGramsFilter index (analysis/commongrams/CommonGramsFilter.java):
+    stopword-adjacent pairs become ``w1_w2`` overlap bigrams, so phrases
+    crossing stopwords resolve to single terms; exact float64 scores (the
+    bigrams shift avgdl but not per-doc norm lengths)."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    an = StandardAnalyzer(common_grams=True)
+    return _variant_topk(get_searcher_variant(sf_dir, "cgrams", an), COMMON_GRAMS_SPECS)
+
+
+KEEP_WORDS = ("data", "merge", "spark", "window")
+KEEP_SPECS = [
+    {"qid": "kw_merge", "kind": "term", "terms": ["merge"], "k": TOPK_K},
+    {"qid": "kw_spark", "kind": "term", "terms": ["spark"], "k": TOPK_K},
+]
+
+
+def ft_keepword(sf_dir: str) -> pa.Table:
+    """KeepWordFilter index (analysis/miscellaneous/KeepWordFilter.java):
+    only the keep set is indexed — norm lengths and avgdl collapse to
+    keep-word counts; exact float64 scores."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    an = StandardAnalyzer(keep_words=frozenset(KEEP_WORDS))
+    return _variant_topk(get_searcher_variant(sf_dir, "keepw", an), KEEP_SPECS)

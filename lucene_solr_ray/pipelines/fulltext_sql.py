@@ -2443,3 +2443,45 @@ SELECT * FROM (
              "1", ["merge", "spark"]),
     ]
     return prelude() + ",\n" + _TOKPOS_CTES + "\nUNION ALL".join(parts)
+
+
+def prelude_common_grams() -> str:
+    """CommonGramsFilter index: emitted = kept unigrams (stopwords removed)
+    UNION the ``w1_w2`` bigrams of consecutive stream tokens where either
+    side is a stopword (posIncr-0 overlaps → flen counts unigrams only,
+    while sttf/avgdl counts everything — the reference's asymmetry)."""
+    return f"""
+WITH {CORPUS_CTE},
+tokl AS (
+  SELECT did, list_filter(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'),
+                          t -> length(t) <= 255) AS ts
+  FROM corpus
+),
+base AS (
+  SELECT did, tok FROM (SELECT did, unnest(ts) AS tok FROM tokl)
+  WHERE tok NOT IN ({STOPLIST_SQL})
+),
+cgrams AS (
+  SELECT did, unnest([ts[i] || '_' || ts[i+1] for i in generate_series(1, len(ts) - 1)
+                      if list_contains([{STOPLIST_SQL}], ts[i])
+                      or list_contains([{STOPLIST_SQL}], ts[i+1])]) AS tok
+  FROM tokl
+),
+emitted AS (SELECT did, tok FROM base UNION ALL SELECT did, tok FROM cgrams),{_VARIANT_TAIL}"""
+
+
+def prelude_keep_words(keep: tuple[str, ...]) -> str:
+    """KeepWordFilter index: only the keep-set words are emitted (dropped
+    tokens still consume positions — irrelevant here, no phrase specs);
+    norm lengths and avgdl collapse to keep-set counts."""
+    keep_sql = ", ".join(f"'{w}'" for w in sorted(keep))
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+base AS (
+  SELECT did, tok FROM toks
+  WHERE length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL}) AND tok IN ({keep_sql})
+),
+emitted AS (SELECT did, tok FROM base),{_VARIANT_TAIL}"""

@@ -412,3 +412,60 @@ def test_phonetic_filter_in_chain():
                   else list(st.terms)) == ["R163", "S530"]
     with pytest.raises(ValueError, match="unknown phonetic"):
         analyze_with_positions("x", StandardAnalyzer(phonetic="metaphone"))
+
+
+# ---------------------------------------------------------------------------
+# CommonGramsFilter / KeepWordFilter
+# ---------------------------------------------------------------------------
+
+
+def test_common_grams_golden():
+    """CommonGramsFilter.java semantics: a w1_w2 bigram for every adjacent
+    stream pair touching a stopword, as an overlap at the first word's
+    position; the stop-filtered unigram stream is unchanged."""
+    an = StandardAnalyzer(common_grams=True)
+    got = analyze_with_positions("the quick fox and the lazy dog", an)
+    # unigrams (stopwords removed, positions preserved)
+    assert [(t, p) for t, p in got if "_" not in t] == [
+        ("quick", 1), ("fox", 2), ("lazy", 5), ("dog", 6)]
+    # bigrams: the_quick@0 fox_and@2 and_the@3 the_lazy@4
+    assert [(t, p) for t, p in got if "_" in t] == [
+        ("the_quick", 0), ("fox_and", 2), ("and_the", 3), ("the_lazy", 4)]
+
+
+def test_common_grams_arrow_matches_python_and_norms():
+    an = StandardAnalyzer(common_grams=True)
+    docs = ["the quick fox and the lazy dog", "no stopwords here at all", ""]
+    st = ArrowAnalyzer(an)(pa.array(docs, pa.large_string()), with_positions=True)
+    # norm length counts unigrams only (bigrams are overlaps)
+    assert st.field_lens.tolist() == [4, 3, 0]  # "no"/"at" are stopwords
+    terms = {}
+    tf_cum = np.concatenate([[0], np.cumsum(st.tfs)])
+    tl = st.terms.to_pylist()
+    for d in range(len(docs)):
+        for j in range(st.offsets[d], st.offsets[d + 1]):
+            terms[(d, tl[j])] = st.positions[tf_cum[j]:tf_cum[j + 1]].tolist()
+    assert terms[(0, "the_quick")] == [0]
+    assert terms[(0, "and_the")] == [3]
+    # doc1: "no" and "at" are stopwords → no_stopwords, here_at, at_all
+    assert (1, "no_stopwords") in terms and (1, "here_at") in terms
+    assert (1, "stopwords_here") not in terms  # neither side is a stopword
+
+
+def test_keep_words_filter():
+    an = StandardAnalyzer(keep_words=frozenset({"fox", "dog"}))
+    got = analyze_with_positions("the quick fox and the lazy dog", an)
+    assert got == [("fox", 2), ("dog", 6)]  # dropped words consume positions
+    st = ArrowAnalyzer(an)(
+        pa.array(["the quick fox and the lazy dog"], pa.large_string()),
+        with_positions=True,
+    )
+    assert st.field_lens.tolist() == [2]
+    assert sorted(st.terms.to_pylist()) == ["dog", "fox"]
+
+
+def test_common_grams_rejects_structural():
+    with pytest.raises(ValueError):
+        ArrowAnalyzer(StandardAnalyzer(common_grams=True, shingle=(2, 2)))(
+            pa.array(["a b"], pa.large_string()), with_positions=False
+        )
