@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": events.events_props_stats,
         "events_funnel": events.events_funnel,
         "events_date_math": events.events_date_math,
+        "events_facet_range": events.events_facet_range,
         # --- facets / grouping / stats ---
         "facet_counts": facets.facet_counts,
         "grouped_topk": facets.grouped_topk,
@@ -393,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_stats": events.SQL_EVENTS_PROPS_STATS,
         "events_funnel": events.SQL_EVENTS_FUNNEL,
         "events_date_math": events.SQL_EVENTS_DATE_MATH,
+        "events_facet_range": events.SQL_EVENTS_FACET_RANGE,
         "facet_counts": facets.SQL_FACET_COUNTS,
         "grouped_topk": facets.SQL_GROUPED_TOPK,
         "lang_char_stats": facets.SQL_LANG_CHAR_STATS,

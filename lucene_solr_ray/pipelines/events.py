@@ -586,3 +586,78 @@ SQL_EVENTS_DATE_MATH = (
     )
     + " ORDER BY query_id, event_type"
 )
+
+
+def events_facet_range(sf_dir: str) -> pa.Table:
+    """Solr date range facet (SimpleFacets.getFacetRangeCounts /
+    RangeFacetProcessor): fixed buckets from ``start=NOW/DAY-7DAYS`` to
+    ``end=NOW/DAY`` with DateMath ``gap=+1DAY`` (lower-inclusive,
+    upper-exclusive), plus ``facet.range.other=all`` before/after overflow
+    counts; empty buckets kept (mincount=0).
+
+    Bucket edges are a handful of driver-side DateMath constants; each batch
+    buckets its events with one searchsorted + bincount, so only tiny
+    (bucket, n) partials reach the groupby. → (bucket, n) with 'before'
+    first and 'after' last."""
+    from datetime import datetime
+
+    from ray.data.aggregate import Sum
+
+    from ..util.datemath import parse_date_math
+
+    now = datetime.fromisoformat(DATEMATH_NOW)
+    start = parse_date_math("NOW/DAY-7DAYS", now)
+    end = parse_date_math("NOW/DAY", now)
+    edges = [start]
+    while edges[-1] < end:
+        edges.append(parse_date_math("NOW+1DAY", edges[-1]))  # gap applied to the edge
+    e64 = np.array(edges, dtype="datetime64[us]")
+    labels = ["before"] + [str(e) for e in edges[:-1]] + ["after"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy()
+        idx = np.searchsorted(e64, ts, side="right")  # 0=before, len(edges)=after
+        counts = np.bincount(idx, minlength=len(edges) + 1)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "bucket": pa.array([labels[i] for i in nz], pa.string()),
+            "n": pa.array(counts[nz], pa.int64()),
+        })
+
+    agg = (
+        _events(sf_dir)
+        .select_columns(["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    got = {
+        b: int(c)
+        for t in agg.iter_batches(batch_format="pyarrow")
+        for b, c in zip(t["bucket"].to_pylist(), t["n"].to_pylist())
+    }
+    return pa.table({
+        "bucket": pa.array(labels, pa.string()),
+        "n": pa.array([got.get(b, 0) for b in labels], pa.int64()),
+    })
+
+
+_FR_LO = f"date_trunc('day', {_DM_NOW}) - INTERVAL 7 DAY"
+SQL_EVENTS_FACET_RANGE = f"""
+WITH edges AS (
+  SELECT unnest(generate_series({_FR_LO},
+                                date_trunc('day', {_DM_NOW}) - INTERVAL 1 DAY,
+                                INTERVAL 1 DAY)) AS lo
+)
+SELECT 'before' AS bucket,
+       CAST((SELECT count(*) FROM events WHERE ts < {_FR_LO}) AS BIGINT) AS n
+UNION ALL
+SELECT CAST(lo AS VARCHAR) AS bucket,
+       CAST((SELECT count(*) FROM events e WHERE e.ts >= edges.lo
+             AND e.ts < edges.lo + INTERVAL 1 DAY) AS BIGINT) AS n
+FROM edges
+UNION ALL
+SELECT 'after' AS bucket,
+       CAST((SELECT count(*) FROM events
+             WHERE ts >= date_trunc('day', {_DM_NOW})) AS BIGINT) AS n
+"""

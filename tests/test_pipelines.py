@@ -110,6 +110,13 @@ FAST_ENTRIES = [
     "st_region_rollup",
     "ft_suggest_fuzzy",
     "geo_polygon",
+    "ft_edismax",
+    "ft_edismax_boost",
+    "ft_func_scale",
+    "ft_payload_check",
+    "ft_common_grams",
+    "ft_keepword",
+    "events_facet_range",
 ]
 
 
