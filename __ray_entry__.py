@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_highlight": fulltext.ft_highlight,  # rows-only: snippets pinned in pytest
         "ft_topk_classic": fulltext.ft_topk_classic,
         "ft_topk_lmdirichlet": fulltext.ft_topk_lmdirichlet,
+        "ft_topk_sweetspot": fulltext.ft_topk_sweetspot,
         "ft_common_terms": fulltext.ft_common_terms,
         "ft_function_boost": fulltext.ft_function_boost,
         "ft_topk_dfr": fulltext.ft_topk_dfr,
@@ -244,6 +245,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_numeric_range": fs.sql_numeric_range(fulltext.NUMERIC_SPECS),
         "ft_topk_classic": fs.sql_topk_classic(fulltext.SIM_TERMS, fulltext.TOPK_K),
         "ft_topk_lmdirichlet": fs.sql_topk_lmdirichlet(fulltext.SIM_TERMS, fulltext.TOPK_K, 2000.0),
+        "ft_topk_sweetspot": fs.sql_topk_sweetspot(fulltext.SIM_TERMS, fulltext.SWEET_PARAMS, fulltext.TOPK_K),
         "ft_common_terms": fs.sql_common_terms(fulltext.CTQ_SPECS),
         "ft_function_boost": fs.sql_function_boost(fulltext.SIM_TERMS, fulltext.TOPK_K),
         "ft_topk_dfr": fs.sql_topk_dfr(fulltext.SIM_TERMS, fulltext.TOPK_K),

@@ -808,6 +808,12 @@ def ft_common_terms(sf_dir: str) -> pa.Table:
 SIM_TERMS = ["spark", "merge", "window", "customer"]
 
 
+#: SweetSpotSimilarity (ln_min, ln_max, steepness, tf_min, tf_base): plateau
+#: 24..40 straddles the corpus's typical doc lengths; baseline tf 1.5 up to
+#: freq 2
+SWEET_PARAMS = (24, 40, 0.5, 2.0, 1.5)
+
+
 def _sim_searcher(sf_dir: str, name: str) -> Searcher:
     key = f"{sf_dir}|{name}"
     s = _SEARCHERS.get(key)
@@ -820,6 +826,7 @@ def _sim_searcher(sf_dir: str, name: str) -> Searcher:
         IBSimilarity,
         LMDirichletSimilarity,
         LMJelinekMercerSimilarity,
+        SweetSpotSimilarity,
     )
 
     sims = {
@@ -828,6 +835,7 @@ def _sim_searcher(sf_dir: str, name: str) -> Searcher:
         "dfr": lambda: DFRSimilarity("in", "b", "h2", 1.0, np.float64),
         "ib": lambda: IBSimilarity("ll", "df", "h2", 1.0, np.float64),
         "jm": lambda: LMJelinekMercerSimilarity(JM_LAMBDA, np.float64),
+        "sweet": lambda: SweetSpotSimilarity(*SWEET_PARAMS, dtype=np.float64),
     }
     sim = sims[name]()
     s = Searcher(_index_dir_for(sf_dir), similarity=sim)
@@ -859,6 +867,12 @@ def ft_topk_classic(sf_dir: str) -> pa.Table:
 def ft_topk_lmdirichlet(sf_dir: str) -> pa.Table:
     """Single-term LM-Dirichlet top-k (mu=2000, float64 sql-compat)."""
     return _sim_topk(sf_dir, "lmd")
+
+
+def ft_topk_sweetspot(sf_dir: str) -> pa.Table:
+    """Single-term SweetSpotSimilarity top-k (lucene/misc: plateaued length
+    norm + baseline tf over Classic TF-IDF; float64 sql-compat)."""
+    return _sim_topk(sf_dir, "sweet")
 
 
 #: Jelinek-Mercer mixing weight (LMJelinekMercerSimilarity constructor arg)

@@ -2485,3 +2485,37 @@ base AS (
   WHERE length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL}) AND tok IN ({keep_sql})
 ),
 emitted AS (SELECT did, tok FROM base),{_VARIANT_TAIL}"""
+
+
+def sql_topk_sweetspot(terms: list[str], params: tuple, k: int) -> str:
+    """SweetSpotSimilarity single-term top-k with exact float64 scores
+    (lucene/misc SweetSpotSimilarity.java): tf = base for freq ≤ min else
+    sqrt(freq + base² − min); lengthNorm = 1/sqrt(steepness·(|l−min| +
+    |l−max| − (max−min)) + 1) over the QUANTIZED length; idf = Classic's
+    ln((dc+1)/(df+1)) + 1."""
+    mn, mx, s, tmin, tbase = params
+    parts = []
+    norm = (
+        f"({1.0!r} / sqrt(({s!r} * ((abs(q.qlen - {float(mn)!r}) + abs(q.qlen - {float(mx)!r}))"
+        f" - ({float(mx)!r} - {float(mn)!r})) + {1.0!r})))"
+    )
+    tf_f = (
+        f"(CASE WHEN k.tf <= {tmin!r} THEN {tbase!r}"
+        f" ELSE sqrt(k.tf + {tbase!r} * {tbase!r} - {tmin!r}) END)"
+    )
+    for t in sorted(terms):
+        idf = (
+            f"({1.0!r} * (ln(((SELECT dc FROM stats) + 1) /"
+            f" CAST((SELECT count(DISTINCT did) FROM tf WHERE tok = '{t}') + 1 AS DOUBLE)) + {1.0!r}))"
+        )
+        parts.append(prelude() + f""",
+scored AS (
+  SELECT k.did, ({tf_f} * {idf}) * {norm} AS score
+  FROM tf k JOIN quant q USING (did) WHERE k.tok = '{t}'
+)
+SELECT '{t}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM scored ORDER BY score DESC, did ASC LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)

@@ -422,11 +422,56 @@ class BooleanSimilarity:
         return np.full(len(freqs), weight_value, dtype=self.dtype)
 
 
+class SweetSpotSimilarity(ClassicSimilarity):
+    """``lucene/misc/src/java/org/apache/lucene/misc/SweetSpotSimilarity.java``:
+    ClassicSimilarity with a plateaued length norm and an optional baseline
+    tf. ``computeLengthNorm`` (:119-127): 1/sqrt(steepness·(|l−min| +
+    |l−max| − (max−min)) + 1) — flat 1.0 inside [ln_min, ln_max], sloping
+    off outside. ``baselineTf`` (:146-153): 0 for freq 0; ``base`` for
+    0 < freq ≤ min; sqrt(freq + base² − min) above (None keeps Classic's
+    sqrt tf)."""
+
+    def __init__(self, ln_min: int = 1, ln_max: int = 1, steepness: float = 0.5,
+                 tf_min: float | None = None, tf_base: float = 0.0,
+                 dtype=np.float32):
+        super().__init__(dtype=dtype)
+        self.ln_min, self.ln_max, self.steepness = ln_min, ln_max, steepness
+        self.tf_min, self.tf_base = tf_min, tf_base
+
+    def spec(self):
+        return ("sweet", self.ln_min, self.ln_max, self.steepness,
+                self.tf_min, self.tf_base, self.dtype.name)
+
+    def norm_cache(self, avgdl) -> np.ndarray:
+        lt = LENGTH_TABLE.astype(np.float64)
+        mn, mx, s = float(self.ln_min), float(self.ln_max), float(self.steepness)
+        return (
+            1.0 / np.sqrt(s * (np.abs(lt - mn) + np.abs(lt - mx) - (mx - mn)) + 1.0)
+        ).astype(self.dtype)
+
+    def score_freqs(self, weight_value, freqs, norm_bytes, cache) -> np.ndarray:
+        f64 = freqs.astype(np.float64)
+        if self.tf_min is None:
+            f = np.sqrt(f64)
+        else:
+            f = np.where(
+                f64 <= self.tf_min,
+                float(self.tf_base),
+                np.sqrt(f64 + self.tf_base * self.tf_base - self.tf_min),
+            )
+            f = np.where(f64 == 0.0, 0.0, f)
+        f = f.astype(self.dtype)
+        return (f * weight_value * cache[norm_bytes.astype(np.int64)]).astype(self.dtype)
+
+
 def similarity_from_spec(spec) -> object:
     """Rebuild a similarity from its picklable ``spec()`` tuple (actor-pool
     constructor argument; legacy ``(k1, b, dtype)`` tuples stay BM25)."""
     if not isinstance(spec, tuple):
         raise TypeError(f"bad similarity spec: {spec!r}")
+    if spec and spec[0] == "sweet":
+        return SweetSpotSimilarity(spec[1], spec[2], spec[3], spec[4], spec[5],
+                                   dtype=np.dtype(spec[6]))
     if spec and spec[0] == "classic":
         return ClassicSimilarity(dtype=np.dtype(spec[1]))
     if spec and spec[0] == "lmd":

@@ -244,3 +244,41 @@ def test_classic_ranking_differs_from_bm25(built):
     ).to_pandas()
     assert set(bm.doc_id) == set(cl.doc_id)  # same match set
     assert not np.array_equal(bm.score.to_numpy(), cl.score.to_numpy())
+
+
+def test_sweetspot_norm_and_tf():
+    """SweetSpotSimilarity.java: lengthNorm plateau = 1.0 inside [min, max],
+    sloping outside; baselineTf = base up to min, sqrt(freq + base² − min)
+    above."""
+    from lucene_solr_ray.search.similarities import SweetSpotSimilarity
+    from lucene_solr_ray.util.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    sim = SweetSpotSimilarity(ln_min=10, ln_max=20, steepness=0.5,
+                              tf_min=2.0, tf_base=1.5, dtype=np.float64)
+    cache = sim.norm_cache(sim.avgdl(100, 10))
+    for length in (10, 15, 20):
+        b = int_to_byte4(length)
+        if int(LENGTH_TABLE[b]) == length:  # quantization-exact lengths only
+            assert cache[b] == pytest.approx(1.0)
+    b5, b40 = int_to_byte4(5), int_to_byte4(40)
+    assert cache[b5] < 1.0 and cache[b40] < 1.0
+    # 1/sqrt(0.5*(|40-10|+|40-20|-10)+1) with quantized l=40
+    l40 = float(LENGTH_TABLE[b40])
+    assert cache[b40] == pytest.approx(
+        1.0 / math.sqrt(0.5 * (abs(l40 - 10) + abs(l40 - 20) - 10) + 1.0))
+    freqs = np.array([1.0, 2.0, 3.0, 6.0])
+    got = sim.score_freqs(np.float64(1.0), freqs, np.full(4, b5), sim.nonorm_cache())
+    assert got[0] == got[1] == pytest.approx(1.5)  # baseline up to tf_min
+    assert got[2] == pytest.approx(math.sqrt(3 + 2.25 - 2.0))
+    assert got[3] == pytest.approx(math.sqrt(6 + 2.25 - 2.0))
+
+
+def test_sweetspot_spec_roundtrip():
+    from lucene_solr_ray.search.similarities import (
+        SweetSpotSimilarity,
+        similarity_from_spec,
+    )
+
+    sim = SweetSpotSimilarity(24, 40, 0.5, 2.0, 1.5, dtype=np.float64)
+    back = similarity_from_spec(sim.spec())
+    assert back.spec() == sim.spec()
