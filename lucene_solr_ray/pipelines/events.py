@@ -17,12 +17,16 @@ import pyarrow as pa
 SESSION_GAP_MIN = 30
 
 
-def _events(sf_dir: str):
+def _events(sf_dir: str, columns: tuple[str, ...] | None = None):
+    """Events read, column-pruned at the parquet layer when the caller
+    declares what it needs (the ``props`` JSON column is by far the widest —
+    reading it for a (user, ts) window pass is pure waste)."""
     import ray.data
 
     from .io import sized_read
 
-    return sized_read(f"{sf_dir}/events.parquet")
+    return sized_read(f"{sf_dir}/events.parquet",
+                      columns=list(columns) if columns else None)
 
 
 def events_hourly(sf_dir: str) -> pa.Table:
@@ -42,7 +46,7 @@ def events_hourly(sf_dir: str) -> pa.Table:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
+    ds = _events(sf_dir, ("user_id", "ts", "value")).map_batches(partial, batch_format="pyarrow")
     out = ds.groupby(["user_id", "hour"]).aggregate(
         Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
     )
@@ -91,7 +95,7 @@ def events_hopping(sf_dir: str) -> pa.Table:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
+    ds = _events(sf_dir, ("event_type", "ts", "value")).map_batches(partial, batch_format="pyarrow")
     out = ds.groupby(["event_type", "window_start"]).aggregate(
         Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
     )
@@ -134,7 +138,7 @@ def events_sessionize(sf_dir: str) -> pa.Table:
         out.insert(0, "user_id", g["user_id"].iloc[0])
         return out
 
-    ds = _events(sf_dir).groupby("user_id").map_groups(sessions, batch_format="pandas")
+    ds = _events(sf_dir, ("user_id", "ts")).groupby("user_id").map_groups(sessions, batch_format="pandas")
     tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
     df = tbl.to_pandas()
     return pa.table(
@@ -184,7 +188,7 @@ def events_type_stats(sf_dir: str) -> pa.Table:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
+    ds = _events(sf_dir, ("event_type", "user_id", "value")).map_batches(partial, batch_format="pyarrow")
     agg = ds.groupby("event_type").aggregate(
         Sum("n", alias_name="n"), Min("min_v", alias_name="min_v"), Max("max_v", alias_name="max_v")
     )
@@ -193,7 +197,7 @@ def events_type_stats(sf_dir: str) -> pa.Table:
         df = batch.select(["event_type", "user_id"]).to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    pairs = _events(sf_dir).map_batches(pair_partial, batch_format="pyarrow")
+    pairs = _events(sf_dir, ("event_type", "user_id")).map_batches(pair_partial, batch_format="pyarrow")
     distinct_pairs = pairs.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c"))
     users = distinct_pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
@@ -240,7 +244,7 @@ def events_cumulative(sf_dir: str) -> pa.Table:
             "cum_value_int": np.cumsum(cents),
         })
 
-    out = _events(sf_dir).groupby("user_id").map_groups(cum, batch_format="pandas")
+    out = _events(sf_dir, ("event_id", "user_id", "ts", "value")).groupby("user_id").map_groups(cum, batch_format="pandas")
     tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
     return pa.table({
         "event_id": tbl["event_id"].cast(pa.int64()),
@@ -277,7 +281,7 @@ def events_top_users(sf_dir: str) -> pa.Table:
         g = g.rename(columns={"size": "n"})
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
+    ds = _events(sf_dir, ("user_id", "ts")).map_batches(partial, batch_format="pyarrow")
     counts = ds.groupby(["hour", "user_id"]).aggregate(Sum("n", alias_name="n"))
 
     def topn(g: pd.DataFrame) -> pd.DataFrame:
@@ -419,7 +423,7 @@ def events_funnel(sf_dir: str) -> pa.Table:
             }
         )
 
-    ds = _events(sf_dir).groupby("user_id").map_groups(depth, batch_format="pyarrow")
+    ds = _events(sf_dir, ("event_id", "user_id", "ts", "event_type")).groupby("user_id").map_groups(depth, batch_format="pyarrow")
     tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
     depths = tbl["depth"].to_numpy()
     counts = [int((depths >= k).sum()) for k in range(1, len(steps) + 1)]
@@ -625,7 +629,7 @@ def events_facet_range(sf_dir: str) -> pa.Table:
         })
 
     agg = (
-        _events(sf_dir)
+        _events(sf_dir, ("ts",))
         .select_columns(["ts"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 
-def sized_read(path: str, min_rows_per_block: int = 1024):
+def sized_read(path: str, min_rows_per_block: int = 1024, columns: list | None = None):
     """``read_parquet`` with a block count proportional to the table size.
 
     Ray Data's default split targets full-cluster parallelism, which shreds a
@@ -17,13 +17,14 @@ def sized_read(path: str, min_rows_per_block: int = 1024):
     import ray
     import ray.data
 
+    cols = list(columns) if columns is not None else None
     try:
         rows = pq.read_metadata(path).num_rows
     except Exception:
-        return ray.data.read_parquet(path)
+        return ray.data.read_parquet(path, columns=cols)
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     default_blocks = ncpu * 2
     blocks = max(1, min(default_blocks, rows // min_rows_per_block))
     if blocks < default_blocks:
-        return ray.data.read_parquet(path, override_num_blocks=blocks)
-    return ray.data.read_parquet(path)
+        return ray.data.read_parquet(path, override_num_blocks=blocks, columns=cols)
+    return ray.data.read_parquet(path, columns=cols)
