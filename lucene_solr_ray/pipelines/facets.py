@@ -10,19 +10,34 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns: tuple[str, ...] | None = None):
+    """Documents read, column-pruned at the parquet layer — facet/grouping
+    passes never need the wide ``text`` column."""
     import ray.data
 
     from .io import sized_read
 
-    return sized_read(f"{sf_dir}/documents.parquet")
+    return sized_read(f"{sf_dir}/documents.parquet",
+                      columns=list(columns) if columns else None)
 
 
 def facet_counts(sf_dir: str) -> pa.Table:
-    """(lang, source, n) — two-dim facet counts."""
-    from ray.data.aggregate import Count
+    """(lang, source, n) — two-dim facet counts: per-batch partial counts
+    (combiner), then a tiny (lang, source, n) groupby — partials shuffle,
+    never rows."""
+    from ray.data.aggregate import Sum
 
-    out = _docs(sf_dir).groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(["lang", "source"], as_index=False).size()
+        return pa.Table.from_pandas(df.rename(columns={"size": "n"}),
+                                    preserve_index=False)
+
+    out = (
+        _docs(sf_dir, ("lang", "source"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
     tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
     return pa.table(
         {
@@ -48,7 +63,11 @@ def grouped_topk(sf_dir: str, per_group: int = 2) -> pa.Table:
         g = g.assign(rnk=np.arange(len(g), dtype=np.int64))
         return g[["source", "rnk", "doc_id", "n_chars"]]
 
-    out = _docs(sf_dir).groupby("source").map_groups(topn, batch_format="pandas")
+    out = (
+        _docs(sf_dir, ("source", "doc_id", "n_chars"))
+        .groupby("source")
+        .map_groups(topn, batch_format="pandas")
+    )
     tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
     return pa.table(
         {
@@ -86,7 +105,7 @@ def lang_char_stats(sf_dir: str) -> pa.Table:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    ds = _docs(sf_dir, ("lang", "n_chars")).map_batches(partial, batch_format="pyarrow")
     out = ds.groupby("lang").aggregate(
         Sum("n", alias_name="n"),
         Min("min_chars", alias_name="min_chars"),
