@@ -42,6 +42,84 @@ from .segment import postings_table_from_flat
 SEGS_PER_TIER = 10
 
 
+def plan_merges_tiered(segments: list[dict], segs_per_tier: int = SEGS_PER_TIER,
+                       max_merge_at_once: int | None = None,
+                       floor_size: int = 2_000,
+                       max_docs_per_segment: int | None = None) -> list[list[dict]]:
+    """TieredMergePolicy.findMerges (``index/TieredMergePolicy.java:312-470``)
+    with sizes in tokens (``sum_len``) instead of bytes, constrained to
+    ADJACENT windows (doc-ID-contiguous ranges are this engine's no-remap
+    invariant; Lucene considers any subset of the size-sorted list).
+
+    - allowedSegCount budget (:350-375): levelSize starts at
+      max(floor_size, smallest segment), each level admits ``segs_per_tier``
+      segments and multiplies levelSize by ``max_merge_at_once``; no merge
+      runs while the count is within budget (amortized write cost — the
+      property the greedy-runs mode lacks).
+    - candidate scoring (:506-540): skew = floored(max member size) /
+      totAfterMergeSize, mergeScore = skew · totAfterMergeSize^0.05 (no
+      deletes here ⇒ the reclaim factor is 1); lowest score wins. Balanced
+      merges of large-enough segments approach skew 1/N.
+    """
+    if max_merge_at_once is None:
+        max_merge_at_once = segs_per_tier
+    alive = sorted(segments, key=lambda x: x["doc_base"])
+    if len(alive) < 2:
+        return []
+
+    def size(s: dict) -> int:
+        return max(int(s.get("sum_len", s["doc_count"])), 1)
+
+    def floored(v: float) -> float:
+        return max(float(v), float(floor_size))
+
+    sizes = [size(s) for s in alive]
+    tot = float(sum(sizes))
+    level = floored(min(sizes))
+    allowed, left = 0, tot
+    while True:
+        seg_count_level = left / level
+        if seg_count_level < segs_per_tier:
+            allowed += int(np.ceil(seg_count_level))
+            break
+        allowed += segs_per_tier
+        left -= segs_per_tier * level
+        level *= max_merge_at_once
+    allowed = max(allowed, segs_per_tier)
+
+    groups: list[list[dict]] = []
+    taken = [False] * len(alive)
+    remaining = len(alive)
+    while remaining > allowed:
+        best, best_score = None, None
+        for i in range(len(alive)):
+            if taken[i]:
+                continue
+            w_size = 0.0
+            w_docs = 0
+            for j in range(i, min(i + max_merge_at_once, len(alive))):
+                if taken[j]:
+                    break
+                w_size += sizes[j]
+                w_docs += alive[j]["doc_count"]
+                if j == i:
+                    continue
+                if max_docs_per_segment and w_docs > max_docs_per_segment:
+                    break
+                skew = floored(max(sizes[i : j + 1])) / floored(w_size)
+                score = skew * (floored(w_size) ** 0.05)
+                if best_score is None or score < best_score:
+                    best, best_score = (i, j), score
+        if best is None:
+            break
+        i, j = best
+        groups.append(alive[i : j + 1])
+        for x in range(i, j + 1):
+            taken[x] = True
+        remaining -= (j - i + 1) - 1
+    return groups
+
+
 def plan_merges(segments: list[dict], segs_per_tier: int = SEGS_PER_TIER,
                 max_docs_per_segment: int | None = None) -> list[list[dict]]:
     """Greedy adjacent grouping: runs of up to ``segs_per_tier`` consecutive
@@ -294,11 +372,22 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
 
 
 def merge_index(index_dir: str, *, segs_per_tier: int = SEGS_PER_TIER,
-                max_docs_per_segment: int | None = None, use_ray: bool = True) -> dict:
-    """Run one round of tiered merging; commits a new manifest generation and
-    deletes obsolete segment dirs. Returns {merges, segments_before/after}."""
+                max_docs_per_segment: int | None = None, use_ray: bool = True,
+                policy: str = "runs") -> dict:
+    """Run one round of merging; commits a new manifest generation and
+    deletes obsolete segment dirs. Returns {merges, segments_before/after}.
+
+    ``policy="runs"`` (default): greedy adjacent runs — every round compacts
+    toward ~1/segs_per_tier of the segment count (the force-merge shape).
+    ``policy="tiered"``: TieredMergePolicy.findMerges scoring — merges only
+    while the segment count exceeds the tier budget, picking the
+    lowest-skew adjacent windows (the steady-state NRT shape)."""
     reader = IndexReader(index_dir)
-    groups = plan_merges(reader.segments, segs_per_tier, max_docs_per_segment)
+    if policy == "tiered":
+        groups = plan_merges_tiered(reader.segments, segs_per_tier,
+                                    max_docs_per_segment=max_docs_per_segment)
+    else:
+        groups = plan_merges(reader.segments, segs_per_tier, max_docs_per_segment)
     if not groups:
         return {"merges": 0, "segments_before": len(reader.segments),
                 "segments_after": len(reader.segments)}

@@ -91,3 +91,54 @@ def test_plan_merges_grouping():
     assert groups[0][0]["seg"] == 0 and groups[1][0]["seg"] == 3
     capped = plan_merges(segs, segs_per_tier=5, max_docs_per_segment=250)
     assert all(sum(m["doc_count"] for m in g) <= 250 for g in capped)
+
+
+def test_plan_merges_tiered_budget_and_skew():
+    """TieredMergePolicy.findMerges semantics: no merge within the tier
+    budget; above it, the lowest-skew (most balanced) adjacent window wins."""
+    from lucene_solr_ray.index.merge import plan_merges_tiered
+
+    # 8 equal segments, segs_per_tier=10 → within budget → no merges
+    segs = [{"seg": i, "doc_base": i * 100, "doc_count": 100, "sum_len": 5000}
+            for i in range(8)]
+    assert plan_merges_tiered(segs, segs_per_tier=10) == []
+
+    # 25 equal segments, tier 10 → above budget → balanced 10-windows chosen
+    segs = [{"seg": i, "doc_base": i * 100, "doc_count": 100, "sum_len": 5000}
+            for i in range(25)]
+    groups = plan_merges_tiered(segs, segs_per_tier=10)
+    assert groups and all(2 <= len(g) <= 10 for g in groups)
+    after = 25 - sum(len(g) - 1 for g in groups)
+    assert after <= 19  # the budget for this layout (10 + ceil(9))
+
+    # skew steering: one giant segment among small ones — the giant must not
+    # be swallowed into a small-segment window (skew would explode)
+    segs = [{"seg": i, "doc_base": i * 100, "doc_count": 100,
+             "sum_len": 1_000_000 if i == 0 else 1000} for i in range(30)]
+    groups = plan_merges_tiered(segs, segs_per_tier=4)
+    for g in groups:
+        assert all(m["seg"] != 0 for m in g) or len(g) == 1
+
+
+def test_merge_index_tiered_policy(ray_session, tmp_path):
+    import ray.data
+
+    from lucene_solr_ray.corpus import generate_corpus
+    from lucene_solr_ray.index.build import build_index
+
+    d = str(tmp_path / "tidx")
+    build_index(ray.data.from_arrow(generate_corpus(600)), d, docs_per_segment=25)
+    from lucene_solr_ray.index.reader import IndexReader
+    from lucene_solr_ray.search import Searcher, TermQuery
+
+    before = Searcher(d).search({"q": TermQuery("license")}, k=20,
+                                use_ray=False).to_pandas()
+    info = merge_index(d, segs_per_tier=5, policy="tiered")
+    assert info["segments_after"] < info["segments_before"]
+    after = Searcher(d).search({"q": TermQuery("license")}, k=20,
+                               use_ray=False).to_pandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(before, after)
+    # a second tiered round over the now-budgeted index is a no-op or small
+    info2 = merge_index(d, segs_per_tier=5, policy="tiered")
+    assert info2["segments_after"] <= info["segments_after"]
