@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_classic": fulltext.ft_topk_classic,
         "ft_topk_lmdirichlet": fulltext.ft_topk_lmdirichlet,
         "ft_topk_sweetspot": fulltext.ft_topk_sweetspot,
+        "ft_topk_axiomatic": fulltext.ft_topk_axiomatic,
         "ft_common_terms": fulltext.ft_common_terms,
         "ft_function_boost": fulltext.ft_function_boost,
         "ft_topk_dfr": fulltext.ft_topk_dfr,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_topk_classic": fs.sql_topk_classic(fulltext.SIM_TERMS, fulltext.TOPK_K),
         "ft_topk_lmdirichlet": fs.sql_topk_lmdirichlet(fulltext.SIM_TERMS, fulltext.TOPK_K, 2000.0),
         "ft_topk_sweetspot": fs.sql_topk_sweetspot(fulltext.SIM_TERMS, fulltext.SWEET_PARAMS, fulltext.TOPK_K),
+        "ft_topk_axiomatic": fs.sql_topk_axiomatic(fulltext.SIM_TERMS, fulltext.TOPK_K),
         "ft_common_terms": fs.sql_common_terms(fulltext.CTQ_SPECS),
         "ft_function_boost": fs.sql_function_boost(fulltext.SIM_TERMS, fulltext.TOPK_K),
         "ft_topk_dfr": fs.sql_topk_dfr(fulltext.SIM_TERMS, fulltext.TOPK_K),

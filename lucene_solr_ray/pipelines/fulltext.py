@@ -827,6 +827,7 @@ def _sim_searcher(sf_dir: str, name: str) -> Searcher:
         LMDirichletSimilarity,
         LMJelinekMercerSimilarity,
         SweetSpotSimilarity,
+        AxiomaticF2EXP,
     )
 
     sims = {
@@ -836,6 +837,7 @@ def _sim_searcher(sf_dir: str, name: str) -> Searcher:
         "ib": lambda: IBSimilarity("ll", "df", "h2", 1.0, np.float64),
         "jm": lambda: LMJelinekMercerSimilarity(JM_LAMBDA, np.float64),
         "sweet": lambda: SweetSpotSimilarity(*SWEET_PARAMS, dtype=np.float64),
+        "axiomatic": lambda: AxiomaticF2EXP(dtype=np.float64),
     }
     sim = sims[name]()
     s = Searcher(_index_dir_for(sf_dir), similarity=sim)
@@ -867,6 +869,12 @@ def ft_topk_classic(sf_dir: str) -> pa.Table:
 def ft_topk_lmdirichlet(sf_dir: str) -> pa.Table:
     """Single-term LM-Dirichlet top-k (mu=2000, float64 sql-compat)."""
     return _sim_topk(sf_dir, "lmd")
+
+
+def ft_topk_axiomatic(sf_dir: str) -> pa.Table:
+    """Single-term Axiomatic F2EXP top-k (s=0.25, k=0.35; float64
+    sql-compat; boosts ignored per the reference's Axiomatic.score)."""
+    return _sim_topk(sf_dir, "axiomatic")
 
 
 def ft_topk_sweetspot(sf_dir: str) -> pa.Table:

@@ -2519,3 +2519,29 @@ SELECT '{t}' AS query_id,
 FROM scored ORDER BY score DESC, did ASC LIMIT {k}
 """)
     return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def sql_topk_axiomatic(terms: list[str], k: int, s: float = 0.25,
+                       kk: float = 0.35) -> str:
+    """Axiomatic F2EXP single-term top-k, float64 exact: score =
+    tf/((tf + s) + (s·docLen)/avgdl) · pow((N+1)/df, k) with docLen = the
+    QUANTIZED length and avgdl = sumTTF/docCount (SimilarityBase); boosts
+    ignored (Axiomatic.score never reads stats.getBoost())."""
+    parts = []
+    for t in sorted(terms):
+        dfq = f"(SELECT CAST(count(DISTINCT did) AS DOUBLE) FROM tf WHERE tok = '{t}')"
+        score = (
+            f"(k.tf / ((k.tf + {s!r}) + (({s!r} * q.qlen) / (SELECT avgdl FROM avg_dl))))"
+            f" * pow(((SELECT dc FROM stats) + {1.0!r}) / {dfq}, {kk!r})"
+        )
+        parts.append(prelude() + f""",
+scored AS (
+  SELECT k.did, {score} AS score
+  FROM tf k JOIN quant q USING (did) WHERE k.tok = '{t}'
+)
+SELECT '{t}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM scored ORDER BY score DESC, did ASC LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)

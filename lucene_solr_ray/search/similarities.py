@@ -422,6 +422,37 @@ class BooleanSimilarity:
         return np.full(len(freqs), weight_value, dtype=self.dtype)
 
 
+class AxiomaticF2EXP(_SimilarityBaseFamily):
+    """Axiomatic F2EXP — ``similarities/AxiomaticF2EXP.java:59-93`` over
+    ``Axiomatic.java:103-109``: score = tf·ln·tfln·idf − gamma with tf=ln=1,
+    gamma=0, tfln = freq/((freq + s) + (s·docLen)/avgdl) (float32 op order),
+    idf = (float)pow((N+1.0)/df, k) (double pow, one cast). Defaults
+    s=0.25, k=0.35. NOTE the reference's ``Axiomatic.score`` never
+    multiplies ``stats.getBoost()`` — boosts are ignored, kept faithfully."""
+
+    def __init__(self, s: float = 0.25, k: float = 0.35, dtype=np.float32):
+        super().__init__(dtype)
+        if not (0 <= s <= 1) or not (0 <= k <= 1):
+            raise ValueError("s and k must be in [0, 1]")
+        self.s, self.k = float(s), float(k)
+
+    def spec(self):
+        return ("axiomatic", self.s, self.k, self.dtype.name)
+
+    def _score32(self, boost, df, ttf, n_docs, sum_ttf, tf, dl):
+        f4 = np.float32
+        avg = f4(sum_ttf / float(n_docs)) if n_docs else f4(1.0)
+        s = f4(self.s)
+        tfln = tf / ((tf + s) + ((s * dl) / avg))
+        idf = f4(math.pow((n_docs + 1.0) / df, self.k))
+        return (tfln * idf).astype(np.float32)
+
+    def _score64(self, boost, df, ttf, n_docs, sum_ttf, tf, dl):
+        avg = sum_ttf / float(n_docs) if n_docs else 1.0
+        tfln = tf / ((tf + self.s) + ((self.s * dl) / avg))
+        return tfln * math.pow((n_docs + 1.0) / df, self.k)
+
+
 class SweetSpotSimilarity(ClassicSimilarity):
     """``lucene/misc/src/java/org/apache/lucene/misc/SweetSpotSimilarity.java``:
     ClassicSimilarity with a plateaued length norm and an optional baseline
@@ -469,6 +500,8 @@ def similarity_from_spec(spec) -> object:
     constructor argument; legacy ``(k1, b, dtype)`` tuples stay BM25)."""
     if not isinstance(spec, tuple):
         raise TypeError(f"bad similarity spec: {spec!r}")
+    if spec and spec[0] == "axiomatic":
+        return AxiomaticF2EXP(spec[1], spec[2], dtype=np.dtype(spec[3]))
     if spec and spec[0] == "sweet":
         return SweetSpotSimilarity(spec[1], spec[2], spec[3], spec[4], spec[5],
                                    dtype=np.dtype(spec[6]))

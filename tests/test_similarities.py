@@ -282,3 +282,35 @@ def test_sweetspot_spec_roundtrip():
     sim = SweetSpotSimilarity(24, 40, 0.5, 2.0, 1.5, dtype=np.float64)
     back = similarity_from_spec(sim.spec())
     assert back.spec() == sim.spec()
+
+
+def test_axiomatic_f2exp_formula_and_boost_quirk():
+    """AxiomaticF2EXP.java: score = freq/((freq+s) + s·docLen/avgdl) ·
+    ((N+1)/df)^k; Axiomatic.score never multiplies the boost (reference
+    quirk, kept)."""
+    from lucene_solr_ray.search.similarities import AxiomaticF2EXP
+    from lucene_solr_ray.util.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    sim = AxiomaticF2EXP(dtype=np.float64)
+    w = sim.weight_from_idf(sim.term_weight_stat(df=5, ttf=40, doc_count=100,
+                                                 sum_ttf=3000), boost=7.0)
+    b = int_to_byte4(30)
+    dl = float(LENGTH_TABLE[b])
+    got = sim.score_freqs(w, np.array([3.0]), np.array([b]), sim.norm_cache(None))
+    avg = 3000 / 100.0
+    want = (3.0 / ((3.0 + 0.25) + ((0.25 * dl) / avg))) * math.pow(101.0 / 5, 0.35)
+    assert got[0] == pytest.approx(want)  # boost=7 had no effect
+    unboosted = sim.score_freqs(
+        sim.weight_from_idf(sim.term_weight_stat(5, 40, 100, 3000), 1.0),
+        np.array([3.0]), np.array([b]), sim.norm_cache(None))
+    assert got[0] == unboosted[0]
+
+
+def test_axiomatic_spec_roundtrip():
+    from lucene_solr_ray.search.similarities import (
+        AxiomaticF2EXP,
+        similarity_from_spec,
+    )
+
+    sim = AxiomaticF2EXP(0.3, 0.4, dtype=np.float64)
+    assert similarity_from_spec(sim.spec()).spec() == sim.spec()
