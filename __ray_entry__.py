@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_payload_check": fulltext.ft_payload_check,
         "ft_edismax": fulltext.ft_edismax,
         "ft_edismax_boost": fulltext.ft_edismax_boost,
+        "ft_multifield": fulltext.ft_multifield,
         "ft_func_scale": fulltext.ft_func_scale,
         "ft_complex_phrase": fulltext.ft_complex_phrase,
         "ft_span_multiterm": fulltext.ft_span_multiterm,
@@ -296,6 +297,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_func_scale": fs.sql_func_scale(
             fulltext.SCALE_TERM, fulltext.SCALE_LO, fulltext.SCALE_HI, fulltext.TOPK_K
+        ),
+        "ft_multifield": fs.sql_edismax(
+            fulltext.MULTIFIELD_SPECS, fulltext.MULTIFIELD_BOOSTS["lang"], fulltext.TOPK_K
         ),
         "ft_complex_phrase": fs.sql_complex_phrase(fulltext.COMPLEX_PHRASE_SPECS),
         "ft_span_multiterm": fs.sql_span_multiterm(fulltext.SPAN_MULTITERM_SPECS),

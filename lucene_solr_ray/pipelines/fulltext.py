@@ -3306,3 +3306,45 @@ def ft_keepword(sf_dir: str) -> pa.Table:
 
     an = StandardAnalyzer(keep_words=frozenset(KEEP_WORDS))
     return _variant_topk(get_searcher_variant(sf_dir, "keepw", an), KEEP_SPECS)
+
+
+# ---------------------------------------------------------------------------
+# MultiFieldQueryParser
+# ---------------------------------------------------------------------------
+
+#: unfielded clauses expand over {content, lang^3}; lang codes never occur in
+#: the content vocabulary, so each clause's SHOULD disjunction resolves to
+#: exactly one field and the edismax SQL builder's closed form applies
+#: verbatim (a one-live-sub SHOULD sum ≡ a one-sub DisMax)
+MULTIFIELD_FIELDS = ("content", "lang")
+MULTIFIELD_BOOSTS = {"lang": 3.0}
+MULTIFIELD_SPECS = [
+    {"qid": "mf_or", "q": "merge window", "mm": "1", "tie": 0.0, "pf": None},
+    {"qid": "mf_lang", "q": "en merge", "mm": "1", "tie": 0.0, "pf": None},
+    {"qid": "mf_must", "q": "+merge window", "mm": "1", "tie": 0.0, "pf": None},
+    {"qid": "mf_not", "q": "merge window -dup", "mm": "1", "tie": 0.0, "pf": None},
+]
+
+
+def ft_multifield(sf_dir: str) -> pa.Table:
+    """MultiFieldQueryParser (queryparser/classic/MultiFieldQueryParser.java):
+    classic syntax with unfielded clauses expanded clause-wise over
+    {content, lang^3}; float64 bit-exact scores."""
+    from ..search.query import parse_multifield
+
+    s = get_searcher(sf_dir)
+    queries = {
+        sp["qid"]: parse_multifield(sp["q"], MULTIFIELD_FIELDS, MULTIFIELD_BOOSTS)
+        for sp in MULTIFIELD_SPECS
+    }
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+            "score": pa.array(
+                np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()
+            ),
+        }
+    )

@@ -580,7 +580,8 @@ DEFAULT_KEYWORD_FIELDS = ("repo", "path", "lang")
 
 
 def parse_query(s: str, analyzer=None,
-                keyword_fields: tuple[str, ...] = DEFAULT_KEYWORD_FIELDS) -> Query:
+                keyword_fields: tuple[str, ...] = DEFAULT_KEYWORD_FIELDS,
+                default_field: str = CONTENT_FIELD) -> Query:
     """Recursive-descent parser for the classic subset, incl. ``field:term``
     (``queryparser/classic/QueryParserBase.java:105``).
 
@@ -763,13 +764,64 @@ def parse_query(s: str, analyzer=None,
             q = BooleanQuery(should=[TermQuery(t0, field=fld) for t0, _ in analyzed])
         return boosted(q)
 
-    q = parse_or()
+    q = parse_or(default_field)
     q = _strip(q)
     if isinstance(q, _Neg):  # pure negative query matches nothing (Lucene semantics)
         return BooleanQuery(must_not=[q.q])
     if q is None:
         return BooleanQuery()
     return q
+
+
+#: unfielded-clause marker used by parse_multifield (never a real field name)
+_MULTI_SENTINEL = "\x00multi"
+
+#: leaf query types that carry a ``field`` and expand per-field
+_MULTI_LEAVES = (TermQuery, PhraseQuery, MultiPhraseQuery, PrefixQuery,
+                 WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery)
+
+
+def _expand_multi(q: Query, fields: tuple[str, ...], boosts: dict | None):
+    import dataclasses
+
+    if q is None:
+        return None
+    if isinstance(q, BoostQuery):
+        return BoostQuery(_expand_multi(q.query, fields, boosts), q.boost)
+    if isinstance(q, ConstantScoreQuery):
+        return ConstantScoreQuery(_expand_multi(q.query, fields, boosts), q.boost)
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            must=[_expand_multi(c, fields, boosts) for c in q.must],
+            should=[_expand_multi(c, fields, boosts) for c in q.should],
+            must_not=[_expand_multi(c, fields, boosts) for c in q.must_not],
+            min_should_match=q.min_should_match,
+            filter=[_expand_multi(c, fields, boosts) for c in q.filter],
+        )
+    if isinstance(q, _MULTI_LEAVES) and q.field == _MULTI_SENTINEL:
+        parts: list[Query] = []
+        for f in fields:
+            qf = dataclasses.replace(q, field=f)
+            b = boosts.get(f) if boosts else None
+            parts.append(BoostQuery(qf, b) if b is not None and b != 1.0 else qf)
+        return parts[0] if len(parts) == 1 else BooleanQuery(should=parts)
+    return q
+
+
+def parse_multifield(s: str, fields: tuple[str, ...],
+                     boosts: dict[str, float] | None = None, analyzer=None,
+                     keyword_fields: tuple[str, ...] = DEFAULT_KEYWORD_FIELDS) -> Query:
+    """MultiFieldQueryParser analog (``queryparser/classic/
+    MultiFieldQueryParser.java:56-120, getFieldQuery :214-243``): classic
+    syntax where every CLAUSE without an explicit ``field:`` expands to a
+    SHOULD disjunction of that clause over ``fields`` (per-field BoostQuery
+    when ``boosts`` gives one) — ``a AND b`` over (f1, f2) becomes
+    ``(f1:a OR f2:a) AND (f1:b OR f2:b)``, never a whole-query OR. Like the
+    reference (one analyzer for every field), clause text is analyzed with
+    the single query analyzer regardless of target field."""
+    tree = parse_query(s, analyzer=analyzer, keyword_fields=keyword_fields,
+                       default_field=_MULTI_SENTINEL)
+    return _expand_multi(tree, tuple(fields), boosts)
 
 
 def parse_complex_phrase(phrase: str, reader, slop: int = 0, analyzer=None,

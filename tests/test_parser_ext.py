@@ -155,3 +155,42 @@ def test_complex_phrase_unmatchable_slot(built):
     q = parse_complex_phrase("zzzznotaprefix* apache", s.reader)
     assert q == BooleanQuery()
     assert len(s.match_ids(q)) == 0
+
+
+# ---------------------------------------------------------------------------
+# MultiFieldQueryParser
+# ---------------------------------------------------------------------------
+
+
+def test_multifield_clause_wise_expansion():
+    """MultiFieldQueryParser.java: 'a AND b' over (f1, f2) →
+    (f1:a OR f2:a) AND (f1:b OR f2:b), never a whole-query OR."""
+    from lucene_solr_ray.search.query import (
+        BooleanQuery,
+        BoostQuery,
+        TermQuery,
+        parse_multifield,
+    )
+
+    q = parse_multifield("merge AND window", ("content", "lang"))
+    assert isinstance(q, BooleanQuery) and len(q.must) == 2 and not q.should
+    for clause in q.must:
+        assert isinstance(clause, BooleanQuery)
+        assert {c.field for c in clause.should} == {"content", "lang"}
+
+    # per-field boost wraps that field's leaf only
+    qb = parse_multifield("merge", ("content", "lang"), boosts={"lang": 3.0})
+    subs = qb.should
+    assert isinstance(subs[0], TermQuery) and subs[0].field == "content"
+    assert isinstance(subs[1], BoostQuery) and subs[1].query.field == "lang"
+
+    # explicit field: clause is NOT expanded
+    qf = parse_multifield("lang:en merge", ("content", "lang"))
+    fields_of_leaves = []
+    for c in qf.should:
+        if isinstance(c, TermQuery):
+            fields_of_leaves.append(("leaf", c.field))
+        else:
+            fields_of_leaves.append(("group", {s.field for s in c.should}))
+    assert ("leaf", "lang") in fields_of_leaves
+    assert ("group", {"content", "lang"}) in fields_of_leaves
