@@ -3348,3 +3348,42 @@ def ft_multifield(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Surround query parser
+# ---------------------------------------------------------------------------
+
+SURROUND_SPECS = [
+    {"qid": "sur_w", "q": "3w(merge, spark)"},
+    {"qid": "sur_n", "q": "3n(merge, spark)"},
+    {"qid": "sur_or_w", "q": "2w(or(merge, spark), window)"},
+    {"qid": "sur_trunc", "q": "2w(mer*, window)"},
+    {"qid": "sur_bool", "q": "and(3w(merge, spark), not(window, dup))"},
+    {"qid": "sur_infix", "q": "merge 4n window"},
+]
+
+
+def ft_surround(sf_dir: str) -> pa.Table:
+    """Surround parser (queryparser/surround): distance ops in prefix and
+    infix form, or() groups and truncations inside spans, top-level boolean
+    algebra — full match sets per spec."""
+    from ..search.surround import parse_surround
+
+    s = get_searcher(sf_dir)
+    doc_bases = {e["seg"]: e["doc_base"] for e in s.reader.segments}
+    out_q, out_d = [], []
+    for sp in SURROUND_SPECS:
+        q = parse_surround(sp["q"], reader=s.reader)
+        scattered = s._scatter_match(q, "ids")
+        ids = _global_match_ids(scattered, doc_bases)
+        out_q.extend([sp["qid"]] * len(ids))
+        out_d.append(ids)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(
+                np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+            ),
+        }
+    )

@@ -2545,3 +2545,40 @@ SELECT '{t}' AS query_id,
 FROM scored ORDER BY score DESC, did ASC LIMIT {k}
 """)
     return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def sql_surround() -> str:
+    """Surround-parser match-set oracles (hand-expanded twins of
+    SURROUND_SPECS): W = ordered span-near width ≤ N−1; N(unordered, two
+    single terms) ⇔ |p1−p0|−1 ≤ N−1; or() groups become IN-lists;
+    truncations LIKE; top-level and/not become IN / NOT IN did filters."""
+    ordered2 = (
+        "SELECT DISTINCT t0.did AS did FROM ktp t0 "
+        "JOIN ktp t1 ON t1.did = t0.did AND t1.p > t0.p "
+        "WHERE {c0} AND {c1} AND (t1.p - t0.p - 1) <= {slop}"
+    )
+    unordered2 = (
+        "SELECT DISTINCT t0.did AS did FROM ktp t0 "
+        "JOIN ktp t1 ON t1.did = t0.did AND t1.p <> t0.p "
+        "WHERE {c0} AND {c1} AND (abs(t1.p - t0.p) - 1) <= {slop}"
+    )
+    bodies = {
+        "sur_w": ordered2.format(c0="t0.tok = 'merge'", c1="t1.tok = 'spark'", slop=2),
+        "sur_n": unordered2.format(c0="t0.tok = 'merge'", c1="t1.tok = 'spark'", slop=2),
+        "sur_or_w": ordered2.format(
+            c0="t0.tok IN ('merge', 'spark')", c1="t1.tok = 'window'", slop=1),
+        "sur_trunc": ordered2.format(
+            c0="t0.tok LIKE 'mer%'", c1="t1.tok = 'window'", slop=1),
+        "sur_bool": (
+            ordered2.format(c0="t0.tok = 'merge'", c1="t1.tok = 'spark'", slop=2)
+            + " AND t0.did IN (SELECT did FROM tf WHERE tok = 'window')"
+            + " AND t0.did NOT IN (SELECT did FROM tf WHERE tok = 'dup')"
+        ),
+        "sur_infix": unordered2.format(
+            c0="t0.tok = 'merge'", c1="t1.tok = 'window'", slop=3),
+    }
+    parts = [
+        f"\nSELECT '{qid}' AS query_id, CAST(did AS BIGINT) AS doc_id FROM ({body})"
+        for qid, body in bodies.items()
+    ]
+    return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)

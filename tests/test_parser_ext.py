@@ -194,3 +194,39 @@ def test_multifield_clause_wise_expansion():
             fields_of_leaves.append(("group", {s.field for s in c.should}))
     assert ("leaf", "lang") in fields_of_leaves
     assert ("group", {"content", "lang"}) in fields_of_leaves
+
+
+# ---------------------------------------------------------------------------
+# Surround query parser
+# ---------------------------------------------------------------------------
+
+
+def test_surround_parse_shapes():
+    from lucene_solr_ray.search.query import BooleanQuery
+    from lucene_solr_ray.search.spans import (
+        SpanNearQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+    )
+    from lucene_solr_ray.search.surround import parse_surround
+
+    q = parse_surround("3w(merge, spark)")
+    assert isinstance(q, SpanNearQuery) and q.ordered and q.slop == 2
+    assert [c.term for c in q.clauses] == ["merge", "spark"]
+
+    q = parse_surround("merge 4n spark")  # infix, unordered
+    assert isinstance(q, SpanNearQuery) and not q.ordered and q.slop == 3
+
+    q = parse_surround("2w(or(merge, spark), window)")
+    assert isinstance(q.clauses[0], SpanOrQuery)
+    assert isinstance(q.clauses[1], SpanTermQuery)
+
+    q = parse_surround("and(merge, not(spark, window))")
+    assert isinstance(q, BooleanQuery) and len(q.must) == 2
+    inner = q.must[1]
+    assert inner.must and inner.must_not
+
+    with pytest.raises(ValueError):
+        parse_surround("merge spark")  # juxtaposition needs an operator
+    with pytest.raises(ValueError):
+        parse_surround("2w(mer*, window)")  # truncation needs a reader
