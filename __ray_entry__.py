@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_edismax_boost": fulltext.ft_edismax_boost,
         "ft_multifield": fulltext.ft_multifield,
         "ft_surround": fulltext.ft_surround,
+        "ft_simple_parser": fulltext.ft_simple_parser,
         "ft_func_scale": fulltext.ft_func_scale,
         "ft_complex_phrase": fulltext.ft_complex_phrase,
         "ft_span_multiterm": fulltext.ft_span_multiterm,
@@ -287,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_join": fs.sql_join(fulltext.JOIN_SPECS),
         "ft_span_near": fs.sql_span_near(fulltext.SPAN_SPECS),
         "ft_surround": fs.sql_surround(),
+        "ft_simple_parser": fs.sql_simple_parser(),
         "ft_intervals": fs.sql_intervals(fulltext.INTERVAL_SPECS),
         "ft_parser": fs.sql_parser(fulltext.PARSER_SPECS),
         "ft_payload": fs.sql_payload(fulltext.TOPK_K),

@@ -3387,3 +3387,44 @@ def ft_surround(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# SimpleQueryParser
+# ---------------------------------------------------------------------------
+
+SIMPLE_SPECS = [
+    {"qid": "sp_or", "q": "merge | window"},
+    {"qid": "sp_and", "q": "merge + window"},
+    {"qid": "sp_not", "q": "merge -window"},
+    {"qid": "sp_phrase", "q": '"fast key"~1'},
+    {"qid": "sp_prefix", "q": "mer* + window"},
+    {"qid": "sp_fuzzy", "q": "mrge~1 | spark"},
+    # malformed on purpose: the extraneous '(' and '"' degrade to literals —
+    # the parser's never-throw contract
+    {"qid": "sp_broken", "q": 'merge ("window'},
+]
+
+
+def ft_simple_parser(sf_dir: str) -> pa.Table:
+    """SimpleQueryParser (queryparser/simple): +|−, phrases with ~slop,
+    trailing-* prefixes, ~N fuzzies, and the never-throws degradation on
+    malformed input — full match sets per spec."""
+    from ..search.simpleparser import parse_simple
+
+    s = get_searcher(sf_dir)
+    out_q, out_d = [], []
+    for sp in SIMPLE_SPECS:
+        # match_ids falls back to the local per-segment loop for the
+        # MatchAll-bearing negation trees
+        ids = s.match_ids(parse_simple(sp["q"]))
+        out_q.extend([sp["qid"]] * len(ids))
+        out_d.append(ids)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(
+                np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+            ),
+        }
+    )

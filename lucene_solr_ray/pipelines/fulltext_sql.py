@@ -2582,3 +2582,33 @@ def sql_surround() -> str:
         for qid, body in bodies.items()
     ]
     return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
+
+
+def sql_simple_parser() -> str:
+    """SimpleQueryParser match-set oracles (hand-expanded twins of
+    SIMPLE_SPECS). sp_not: 'merge -window' under the OR default operator is
+    merge-docs ∪ (everything − window-docs) — the reference wraps a negated
+    clause as (MUST_NOT x, SHOULD MatchAll). sp_broken: the extraneous '('
+    and '"' vanish, leaving 'merge OR window'."""
+    merge_d = "SELECT did FROM tf WHERE tok = 'merge'"
+    window_d = "SELECT did FROM tf WHERE tok = 'window'"
+    bodies = {
+        "sp_or": f"SELECT DISTINCT did FROM tf WHERE tok IN ('merge', 'window')",
+        "sp_and": f"SELECT did FROM ({merge_d}) INTERSECT SELECT did FROM ({window_d})",
+        "sp_not": (f"SELECT did FROM ({merge_d}) UNION "
+                   f"SELECT did FROM corpus WHERE did NOT IN ({window_d})"),
+        "sp_phrase": ("SELECT DISTINCT t0.did AS did FROM ktp t0 "
+                      "JOIN ktp t1 ON t1.did = t0.did "
+                      "WHERE t0.tok = 'fast' AND t1.tok = 'key' "
+                      "AND abs(t1.p - t0.p - 1) <= 1"),
+        "sp_prefix": ("SELECT DISTINCT did FROM tf WHERE tok LIKE 'mer%' "
+                      f"AND did IN ({window_d})"),
+        "sp_fuzzy": ("SELECT DISTINCT did FROM tf "
+                     "WHERE levenshtein(tok, 'mrge') <= 1 OR tok = 'spark'"),
+        "sp_broken": "SELECT DISTINCT did FROM tf WHERE tok IN ('merge', 'window')",
+    }
+    parts = [
+        f"\nSELECT '{qid}' AS query_id, CAST(did AS BIGINT) AS doc_id FROM ({body})"
+        for qid, body in bodies.items()
+    ]
+    return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)

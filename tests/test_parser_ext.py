@@ -230,3 +230,60 @@ def test_surround_parse_shapes():
         parse_surround("merge spark")  # juxtaposition needs an operator
     with pytest.raises(ValueError):
         parse_surround("2w(mer*, window)")  # truncation needs a reader
+
+
+# ---------------------------------------------------------------------------
+# SimpleQueryParser
+# ---------------------------------------------------------------------------
+
+
+def test_simple_parser_shapes_and_never_throws():
+    from lucene_solr_ray.search.query import (
+        BooleanQuery,
+        FuzzyQuery,
+        MatchAllQuery,
+        PhraseQuery,
+        PrefixQuery,
+        TermQuery,
+    )
+    from lucene_solr_ray.search.simpleparser import parse_simple
+
+    q = parse_simple("merge | window")
+    assert isinstance(q, BooleanQuery) and len(q.should) == 2
+
+    q = parse_simple("merge + window")
+    assert isinstance(q, BooleanQuery) and len(q.must) == 2
+
+    # negation wraps as (SHOULD MatchAll, MUST_NOT term)
+    q = parse_simple("merge -window")
+    neg = q.should[1]
+    assert isinstance(neg.should[0], MatchAllQuery) and neg.must_not
+
+    # double negation cancels
+    q = parse_simple("merge --window")
+    assert isinstance(q.should[1], TermQuery)
+
+    q = parse_simple('"fast key"~1')
+    assert isinstance(q, PhraseQuery) and q.slop == 1
+
+    q = parse_simple("mer*")
+    assert isinstance(q, PrefixQuery) and q.prefix == "mer"
+
+    q = parse_simple("mrge~1")
+    assert isinstance(q, FuzzyQuery) and q.max_edits == 1
+    assert isinstance(parse_simple("mrge~0"), TermQuery)  # ~0 → plain term
+
+    # mixed operators: operational change wraps the previous tree
+    q = parse_simple("merge + spark | window")
+    assert isinstance(q, BooleanQuery) and len(q.should) == 2
+    assert isinstance(q.should[0], BooleanQuery) and len(q.should[0].must) == 2
+
+    # a stopword clause analyzes away entirely (never-throw degradation)
+    q = parse_simple("a + merge")
+    assert isinstance(q, TermQuery) and q.term == "merge"
+
+    # never throws: extraneous ( and " degrade to literal stream
+    for bad in ['merge ("window', "((", '"""', "+", "|", "-", "", ")a(", "a~x"]:
+        parse_simple(bad)  # must not raise
+    q = parse_simple('merge ("window')
+    assert isinstance(q, BooleanQuery) and len(q.should) == 2
