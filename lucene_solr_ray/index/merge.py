@@ -394,19 +394,22 @@ def merge_index(index_dir: str, *, segs_per_tier: int = SEGS_PER_TIER,
     generation = _next_generation(index_dir)
 
     group_dirs = [[reader.seg_dir(m["seg"]) for m in g] for g in groups]
-    # a merge group runs in ~4s warm but pays ~20-35s of per-PROCESS
-    # first-touch warmup (page faults on fresh numpy arenas). Few groups →
-    # run sequentially in the (already warm) driver: measured 39s vs 86-196s
-    # in fresh workers for 10 groups. Many groups → fan out to FEW workers so
-    # each warms once and streams its chunk (the 100-TB regime, where
-    # thousands of groups amortize the per-worker warmup).
-    seq_threshold = int(os.environ.get("LSR_MERGE_SEQ_THRESHOLD", "16"))
+    # Fan groups out to a few warm workers, each streaming its chunk. The
+    # byte-span FOR codec (forutil.py) touches ~8x less memory than the old
+    # bit-plane one, so parallel workers no longer saturate the memory bus:
+    # measured on a 100-segment/200k index with warm workers, 8 workers
+    # 22-39s vs sequential-driver 75-86s (the OLD kernel inverted this,
+    # which is why the previous default was sequential for <=16 groups).
+    # At 100-TB scale thousands of groups amortize each worker's one-time
+    # first-touch warmup; workers stay few so merge doesn't starve
+    # concurrent build/query stages.
+    seq_threshold = int(os.environ.get("LSR_MERGE_SEQ_THRESHOLD", "1"))
     if use_ray and len(groups) <= seq_threshold:
         use_ray = False
     if use_ray:
         import ray
 
-        n_workers = min(len(groups), int(os.environ.get("LSR_MERGE_WORKERS", "4")))
+        n_workers = min(len(groups), int(os.environ.get("LSR_MERGE_WORKERS", "8")))
         work = list(zip(groups, group_dirs))
         chunks = [work[i::n_workers] for i in range(n_workers)]
 
