@@ -100,6 +100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_axiomatic": fulltext.ft_topk_axiomatic,
         "ft_common_terms": fulltext.ft_common_terms,
         "ft_function_boost": fulltext.ft_function_boost,
+        "ft_feature_field": fulltext.ft_feature_field,
+        "ft_frange": fulltext.ft_frange,
+        "ft_fingerprint_filter": fulltext.ft_fingerprint_filter,
+        "ft_field_exists": fulltext.ft_field_exists,
         "ft_topk_dfr": fulltext.ft_topk_dfr,
         "ft_topk_ib": fulltext.ft_topk_ib,
         "ft_topk_jm": fulltext.ft_topk_jm,
@@ -253,6 +257,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_topk_axiomatic": fs.sql_topk_axiomatic(fulltext.SIM_TERMS, fulltext.TOPK_K),
         "ft_common_terms": fs.sql_common_terms(fulltext.CTQ_SPECS),
         "ft_function_boost": fs.sql_function_boost(fulltext.SIM_TERMS, fulltext.TOPK_K),
+        "ft_feature_field": fs.sql_feature_field(
+            fulltext.FEATURE_TERMS, fulltext.FEATURE_PIVOT, "merge", fulltext.TOPK_K),
+        "ft_field_exists": fs.sql_field_exists(),
+        "ft_frange": fs.sql_frange(fulltext.FRANGE_EXPR, fulltext.FRANGE_SPECS, fulltext.TOPK_K),
+        "ft_fingerprint_filter": fs.sql_fingerprint_filter(fulltext.FINGERPRINT_MAX),
         "ft_topk_dfr": fs.sql_topk_dfr(fulltext.SIM_TERMS, fulltext.TOPK_K),
         "ft_topk_ib": fs.sql_topk_ib(fulltext.SIM_TERMS, fulltext.TOPK_K),
         "ft_topk_jm": fs.sql_topk_jm(fulltext.SIM_TERMS, fulltext.TOPK_K, fulltext.JM_LAMBDA),

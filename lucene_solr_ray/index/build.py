@@ -84,6 +84,7 @@ def build_index(
     resume: bool = True,
     positions: bool = True,
     keyword_fields: tuple[str, ...] = DEFAULT_KEYWORD_FIELDS,
+    feature_fields: dict | None = None,
     store_content: bool = False,
     sort_fields: tuple[str, ...] = (),
 ) -> BuildResult:
@@ -174,6 +175,7 @@ def build_index(
                 "plan": plan,
                 "keyword_fields": keyword_fields,
                 "positions": positions,
+                "feature_fields": feature_fields,
             },
             batch_format="pyarrow",
         )
@@ -241,6 +243,7 @@ def build_index(
         "positions": positions,
         "payloads": analyzer.delimited_payload is not None,
         "keyword_fields": list(keyword_fields),
+        "feature_fields": sorted(feature_fields) if feature_fields else [],
         "sort_fields": plan.key_cols,
         "stats": stats.to_dict(),
         "field_stats": field_stats,
@@ -284,11 +287,13 @@ def build_index(
 
 
 def _write_segment_group(group, *, index_dir: str, plan: BuildPlan,
-                         keyword_fields=DEFAULT_KEYWORD_FIELDS, positions=True):
+                         keyword_fields=DEFAULT_KEYWORD_FIELDS, positions=True,
+                         feature_fields=None):
     from .segment import SegmentWriter
 
     return SegmentWriter(
-        index_dir, plan, keyword_fields=keyword_fields, positions=positions
+        index_dir, plan, keyword_fields=keyword_fields, positions=positions,
+        feature_fields=feature_fields,
     )(group)
 
 

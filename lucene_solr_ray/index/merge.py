@@ -210,10 +210,82 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
     norm_len = LENGTH_TABLE[norms]
 
     bases = np.array([m["doc_base"] - new_base for m in members], dtype=np.int64)
+    import pyarrow.compute as pc
+
+    raw = [pq.read_table(os.path.join(d, "postings.parquet")) for d in dirs]
+    # positions are per-FIELD all-or-none across members (IndexOptions is a
+    # per-field property): content/keyword fields carry position streams,
+    # FeatureField rows never do (DOCS_AND_FREQS — tf is the quantized
+    # feature value, so tf-proportional positions would explode). A field
+    # with positions in one member but not another cannot be aligned → raise.
+    field_pos: dict[str, bool] = {}
+    for t in raw:
+        if not len(t):
+            continue
+        plens = pc.binary_length(t["pos_blob"]).to_numpy().astype(np.int64)
+        farr = t["field"]
+        if isinstance(farr, pa.ChunkedArray):
+            farr = farr.combine_chunks()
+        de = pc.dictionary_encode(farr)
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        codes = de.indices.to_numpy()
+        for k, fname in enumerate(de.dictionary.to_pylist()):
+            sel = codes == k
+            if not np.any(sel):
+                continue
+            mx, mn = int(plens[sel].max()), int(plens[sel].min())
+            has = mx > 0
+            if has and mn == 0:
+                raise ValueError(
+                    f"cannot merge: field {fname!r} mixes positioned and "
+                    "position-less rows within one segment"
+                )
+            prev = field_pos.get(fname)
+            if prev is None:
+                field_pos[fname] = has
+            elif prev != has:
+                raise ValueError(
+                    f"cannot merge: field {fname!r} has positions in some "
+                    "members but not others (mixed IndexOptions); rebuild "
+                    "the delta with matching options"
+                )
+    pos_fields = sorted(f for f, b in field_pos.items() if b)
+    nopos_fields = sorted(f for f, b in field_pos.items() if not b)
+    parts = []
+    for flds in (pos_fields, nopos_fields):
+        if not flds:
+            continue
+        sub = [
+            t.filter(pc.is_in(t["field"], value_set=pa.array(flds, pa.string())))
+            for t in raw
+        ]
+        parts.append(_merge_postings_rows(seg_id, sub, bases, norm_len))
+    if parts:
+        postings_tbl = pa.concat_tables(parts)
+        if len(parts) > 1:
+            postings_tbl = postings_tbl.sort_by(
+                [("field", "ascending"), ("term", "ascending")]
+            )
+    else:
+        from .segment import POSTINGS_SCHEMA
+
+        postings_tbl = pa.table(
+            {f.name: pa.array([], f.type) for f in POSTINGS_SCHEMA}
+        )
+    return _commit_merged_segment(
+        index_dir, members, dirs, generation, docs, postings_tbl, bases,
+        new_base, seg_id
+    )
+
+
+def _merge_postings_rows(seg_id: int, member_tables: list[pa.Table],
+                         bases: np.ndarray, norm_len: np.ndarray) -> pa.Table:
+    """Merge one position-class of postings rows (every row has positions, or
+    none does) across members → encoded postings table for the new segment."""
     member_posts = []
     decoded = []
-    for mi, d in enumerate(dirs):
-        t = pq.read_table(os.path.join(d, "postings.parquet"))
+    for mi, t in enumerate(member_tables):
         decoded.append(_decode_member(t, int(bases[mi])))
         t = t.append_column("morder", pa.array(np.full(len(t), mi, dtype=np.int32)))
         t = t.append_column("mrow", pa.array(np.arange(len(t), dtype=np.int64)))
@@ -221,9 +293,6 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
     posts = pa.concat_tables(member_posts).sort_by(
         [("field", "ascending"), ("term", "ascending"), ("morder", "ascending")]
     )
-    # positions must be all-or-none across members: a member without a
-    # pos stream would leave uninitialized slots in the merged pos_blob
-    # (silent phrase corruption). Members with zero posting rows are vacuous.
     pos_flags = [d[2] is not None for d, mp in zip(decoded, member_posts) if len(mp)]
     if any(pos_flags) and not all(pos_flags):
         raise ValueError(
@@ -256,7 +325,7 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
     s_tf = np.empty(N, dtype=np.int64)
     pos_deltas = np.empty(P, dtype=np.int64) if has_pos else None
     pay_floats = np.full(P, np.nan, dtype=np.float32) if has_pay else None
-    for mi in range(len(dirs)):
+    for mi in range(len(member_tables)):
         ids_m, tfs_m, pos_m, rv, rp, pay_m = decoded[mi]
         rmask = morder == mi
         rows = mrow[rmask]
@@ -302,7 +371,7 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
     out_fields = fields_sorted.take(pa.array(row_group_starts)) if n_rows else pa.array([], pa.string())
     doc_lens = norm_len[s_doc]
 
-    postings_tbl = postings_table_from_flat(
+    return postings_table_from_flat(
         seg_id,
         out_terms,
         starts_np,
@@ -316,6 +385,11 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
         pay_floats=pay_floats,
     )
 
+
+def _commit_merged_segment(index_dir: str, members: list[dict], dirs: list[str],
+                           generation: int, docs: pa.Table, postings_tbl: pa.Table,
+                           bases: np.ndarray, new_base: int, seg_id: int) -> dict:
+    """Write the merged segment dir atomically and return its manifest entry."""
     dir_name = f"seg={seg_id:06d}-g{generation}"
     tmp = os.path.join(index_dir, "segments", f".tmp-merge-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
@@ -337,7 +411,10 @@ def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generatio
     # per-field stats from the merged rows (top-level stats = content field)
     from .segment import CONTENT_FIELD
 
-    out_fields_np = np.asarray(out_fields.to_pylist(), dtype=object)
+    n_rows = len(postings_tbl)
+    out_fields_np = np.asarray(postings_tbl["field"].to_pylist(), dtype=object)
+    dfs_np = postings_tbl["df"].to_numpy().astype(np.int64)
+    ttfs_np = postings_tbl["ttf"].to_numpy().astype(np.int64)
     field_stats = {}
     for f in np.unique(out_fields_np) if n_rows else []:
         m = out_fields_np == f

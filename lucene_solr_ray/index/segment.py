@@ -33,7 +33,7 @@ from ..util.smallfloat import LENGTH_TABLE, int_to_byte4
 from .plan import BuildPlan, sort_keys
 
 #: bump when the on-disk segment layout changes (cache invalidation)
-FORMAT_VERSION = 5  # v5: pay_blob payload stream column in POSTINGS_SCHEMA
+FORMAT_VERSION = 6  # v6: FeatureField postings (features field); v5: pay_blob column
 
 #: the analyzed full-text field (TextField analog — tokenized, with norms);
 #: all other indexed fields are keyword fields (StringField analog — one
@@ -41,6 +41,11 @@ FORMAT_VERSION = 5  # v5: pay_blob payload stream column in POSTINGS_SCHEMA
 #: FieldInfos (``index/FieldInfos.java``, ``index/IndexOptions.java``).
 CONTENT_FIELD = "content"
 DEFAULT_KEYWORD_FIELDS = ("repo", "path", "lang")
+
+#: FeatureField analog (``document/FeatureField.java``): static per-doc
+#: ranking features live in one pseudo-postings field; the feature name is
+#: the term and the quantized feature value is the term frequency.
+FEATURE_FIELD = "features"
 
 DOCS_SCHEMA = pa.schema(
     [
@@ -266,12 +271,17 @@ class SegmentWriter:
 
     def __init__(self, index_dir: str, plan: BuildPlan, seg_offset: int = 0,
                  keyword_fields: tuple[str, ...] = DEFAULT_KEYWORD_FIELDS,
-                 positions: bool = True):
+                 positions: bool = True,
+                 feature_fields: dict | None = None):
         self.index_dir = index_dir
         self.plan = plan
         self.seg_offset = seg_offset  # delta builds append after existing seg ids
         self.keyword_fields = tuple(keyword_fields)
         self.positions = positions
+        #: {feature_name: value_col | (value_col, (mask_col, "=="/"!=", value))}
+        #: — FeatureField analog; docs failing the mask (or with non-positive
+        #: values) simply lack the feature (FeatureField is per-doc optional)
+        self.feature_fields = dict(feature_fields or {})
 
     def __call__(self, group: pa.Table) -> pa.Table:
         rid = int(group["range_id"][0].as_py()) + self.seg_offset
@@ -320,6 +330,8 @@ class SegmentWriter:
         parts = {CONTENT_FIELD: self._build_postings(rid, group, n)}
         for kf in self.keyword_fields:
             parts[kf] = self._build_keyword_postings(rid, group, n, kf, with_pos=self.positions)
+        if self.feature_fields:
+            parts[FEATURE_FIELD] = self._build_feature_postings(rid, group, n)
         postings_tbl = pa.concat_tables([parts[f] for f in sorted(parts)])
 
         seg_d = segment_dir(self.index_dir, rid)
@@ -471,6 +483,48 @@ class SegmentWriter:
             rid, uniq.take(pa.array(uorder)), starts, dfs, dfs.copy(), s_doc, s_tf,
             np.ones(n, dtype=np.int64), pdeltas, field=field,
         )
+
+    def _build_feature_postings(self, rid: int, group: pa.Table, n: int) -> pa.Table:
+        """FeatureField postings (``document/FeatureField.java:118-160``): one
+        row per feature name in the ``features`` field; posting docs are the
+        docs carrying the feature, tf = the quantized feature value
+        (floatToIntBits(v) >>> 15 — ~34k for everyday magnitudes, the
+        exponent bits dominate), omitNorms, and NO position stream even in a
+        positions index (the reference's FIELD_TYPE is DOCS_AND_FREQS;
+        storing tf positions here would explode ttf-proportional state).
+        The merge handles position-less fields on a separate track."""
+        from ..util.feature import encode_feature_values
+
+        if n == 0 or not self.feature_fields:
+            return pa.table({f.name: pa.array([], f.type) for f in POSTINGS_SCHEMA})
+        rows = []
+        for name in sorted(self.feature_fields):
+            spec = self.feature_fields[name]
+            value_col, mask = (spec, None) if isinstance(spec, str) else spec
+            vals = group[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            sel = np.isfinite(vals) & (vals > 0)
+            if mask is not None:
+                mcol, op, mval = mask
+                mvals = group[mcol].to_numpy(zero_copy_only=False)
+                sel &= (mvals == mval) if op == "==" else (mvals != mval)
+            docs = np.flatnonzero(sel).astype(np.int64)
+            if not len(docs):
+                continue
+            tfs = encode_feature_values(vals[docs])
+            ttf = int(tfs.sum())
+            rows.append(
+                postings_table_from_flat(
+                    rid, pa.array([name], pa.string()),
+                    np.array([0], dtype=np.int64),
+                    np.array([len(docs)], dtype=np.int64),
+                    np.array([ttf], dtype=np.int64),
+                    docs, tfs, np.ones(len(docs), dtype=np.int64), None,
+                    field=FEATURE_FIELD,
+                )
+            )
+        if not rows:
+            return pa.table({f.name: pa.array([], f.type) for f in POSTINGS_SCHEMA})
+        return pa.concat_tables(rows)
 
 
 def postings_table_from_flat(

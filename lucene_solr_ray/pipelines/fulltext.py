@@ -25,6 +25,11 @@ from ..search.searcher import Searcher
 
 _SEARCHERS: dict[str, Searcher] = {}
 
+#: FeatureField specs baked into the shared driver index
+#: (document/FeatureField.java): 'doclen' = content token count (dense),
+#: 'enlen' = same but only for lang == 'en' docs (sparse — existence query)
+FEATURE_SPECS = {"doclen": "field_len", "enlen": ("field_len", ("lang", "==", "en"))}
+
 #: fixed reference query set over the documents vocabulary (FIXTURES.md §6 spirit)
 TOPK_K = 10
 TERM_QUERIES = ["spark", "merge", "window", "customer", "vector", "zzz_missing_term"]
@@ -86,7 +91,8 @@ def get_searcher(sf_dir: str, dtype=np.float64) -> Searcher:
     idx = _index_dir_for(sf_dir)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         corpus = documents_as_corpus(sf_dir)
-        build_index(corpus, idx, docs_per_segment=2_000, store_content=True)
+        build_index(corpus, idx, docs_per_segment=2_000, store_content=True,
+                    feature_fields=FEATURE_SPECS)
     s = Searcher(idx, dtype=dtype)
     _SEARCHERS[key] = s
     return s
@@ -908,6 +914,144 @@ def ft_function_boost(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+FINGERPRINT_MAX = 1024  # FingerprintFilter.DEFAULT_MAX_OUTPUT_TOKEN_SIZE
+
+
+def ft_fingerprint_filter(sf_dir: str) -> pa.Table:
+    """FingerprintFilter (analysis/miscellaneous/FingerprintFilter.java:
+    93-185): per doc, dedupe the analyzed tokens, sort, concat with ' ' into
+    ONE token; emit nothing ('' here) when no tokens survive or the
+    concatenation exceeds maxOutputTokenSize (1024, separators included).
+    Distributed as a stateful map_batches over the documents table (the
+    analyzer compiles once per actor)."""
+    import ray.data
+
+    from ..analysis.tokenizer import ArrowAnalyzer, StandardAnalyzer
+
+    class Fingerprint:
+        def __init__(self):
+            self.az = ArrowAnalyzer(StandardAnalyzer())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            text = batch["text"].cast(pa.large_string())
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            stats = self.az(text)
+            terms = stats.terms.to_pylist()  # per-doc UNIQUE terms, flat
+            offs = stats.offsets
+            out = []
+            for i in range(len(batch)):
+                toks = terms[offs[i]:offs[i + 1]]
+                if not toks:
+                    out.append("")
+                    continue
+                size = sum(len(t) for t in toks) + len(toks) - 1
+                out.append("" if size > FINGERPRINT_MAX else " ".join(sorted(toks)))
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "fingerprint": pa.array(out, pa.string()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(
+        Fingerprint, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 8), max_restarts=0,
+    )
+    tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return tbl.sort_by("doc_id")
+
+
+FRANGE_EXPR = "recip(field_len,0.01,1.0,1.0)"  # 1/(0.01·flen + 1) ∈ (0, 1]
+FRANGE_SPECS = [
+    {"qid": "fr_mid", "lower": 0.2, "upper": 0.6},
+    {"qid": "fr_open_low", "lower": 0.45},
+    {"qid": "fr_excl", "lower": 0.2, "upper": 0.6,
+     "include_lower": False, "include_upper": False},
+    {"qid": "fr_filter_merge", "term": "merge", "lower": 0.25, "upper": 0.75},
+]
+
+
+def ft_frange(sf_dir: str) -> pa.Table:
+    """Solr ``{!frange l=.. u=..}recip(...)`` (FunctionRangeQParserPlugin +
+    ValueSourceRangeFilter): pure franges are constant-score → top-k = first
+    k doc ids; fr_filter_merge uses frange as a FILTER next to a scored MUST
+    term (the fq={!frange} idiom)."""
+    from ..search.query import FunctionRangeQuery
+
+    s = get_searcher(sf_dir)
+    queries: dict[str, object] = {}
+    for sp in FRANGE_SPECS:
+        fr = FunctionRangeQuery(
+            FRANGE_EXPR,
+            lower=sp.get("lower"), upper=sp.get("upper"),
+            include_lower=sp.get("include_lower", True),
+            include_upper=sp.get("include_upper", True),
+        )
+        if "term" in sp:
+            queries[sp["qid"]] = BooleanQuery(must=[TermQuery(sp["term"])], filter=[fr])
+        else:
+            queries[sp["qid"]] = fr
+    res = s.search(queries, k=TOPK_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+        }
+    )
+
+
+FEATURE_PIVOT = 64.0
+FEATURE_TERMS = ["merge", "spark"]
+
+
+def ft_feature_field(sf_dir: str) -> pa.Table:
+    """FeatureField ranking (document/FeatureField.java + FeatureQuery.java):
+    BM25 MUST term + a static-feature SHOULD clause over the 'doclen'
+    feature (content token count quantized into the term freq,
+    floatToIntBits >>> 15). sat_* = newSaturationQuery (w·(1−pivot/(S+pivot))),
+    log_* = newLogQuery (w·ln(a+S)); float64 sql-compat, exact scores."""
+    from ..search.query import FeatureQuery
+
+    s = get_searcher(sf_dir)
+    queries: dict[str, object] = {}
+    for t in FEATURE_TERMS:
+        queries[f"sat_{t}"] = BooleanQuery(
+            must=[TermQuery(t)],
+            should=[FeatureQuery("doclen", "saturation", pivot=FEATURE_PIVOT, boost=0.5)],
+        )
+    queries["log_merge"] = BooleanQuery(
+        must=[TermQuery("merge")],
+        should=[FeatureQuery("doclen", "log", scaling_a=1.0, boost=0.3)],
+    )
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+            "score": pa.array(
+                np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+def ft_field_exists(sf_dir: str) -> pa.Table:
+    """Field-existence query (DocValuesFieldExistsQuery /
+    NormsFieldExistsQuery analog over a SPARSE FeatureField): docs carrying
+    the 'enlen' feature (indexed only for lang == 'en'), faceted by source.
+    The existence query is just the feature term's posting list."""
+    s = get_searcher(sf_dir)
+    return s.facet_counts(
+        TermQuery("enlen", field="features"), field="repo"
+    ).rename_columns(["value", "count"])
 
 
 def ft_topk_dfr(sf_dir: str) -> pa.Table:

@@ -1478,10 +1478,144 @@ ORDER BY ltr_score DESC, did ASC LIMIT {k}
 """
 
 
-def sql_schema_info() -> str:
-    """Field listing oracle: recompute each indexed field's stats from the
-    documents table (keyword fields: one term per doc)."""
+#: FeatureField freq of an exactly-representable positive int (flen < 2^24):
+#: floatToIntBits(flen) >>> 15 rebuilt from integer parts — exponent byte
+#: (bits(flen)-1+127) << 8 plus the top 8 mantissa bits (validated
+#: element-exact against util/feature.encode_feature_values for 1..20000)
+FEATURE_FREQ_SQL = """(
+  ((length(bin(flen)) - 1 + 127) << 8)
+  + (CASE WHEN length(bin(flen)) - 1 <= 8
+          THEN flen << (8 - (length(bin(flen)) - 1))
+          ELSE flen >> ((length(bin(flen)) - 1) - 8) END - 256)
+)"""
+
+#: decode(encode(flen)) for positive ints — floor to 9 significant bits
+#: (1 implicit + 8 stored mantissa bits), i.e. the feature value the scorer
+#: actually sees (FeatureField.java:195-210)
+FEATURE_VALUE_SQL = """(
+  CASE WHEN flen < 512 THEN flen
+       ELSE ((flen >> (length(bin(flen))-9)) << (length(bin(flen))-9)) END
+)"""
+
+
+def sql_feature_field(terms: list[str], pivot: float, log_term: str,
+                      k: int = 10) -> str:
+    """FeatureField oracle: BM25 MUST term + feature SHOULD over 'doclen'
+    (= content token count), engine double op order. sat_* adds
+    0.5·(1 − pivot/(S + pivot)), log_* adds 0.3·ln(1 + S), S = the
+    9-significant-bit floor-quantized flen (docs matching a content term
+    always have flen > 0, so the feature clause always matches)."""
+    parts = []
+    for t in terms:
+        parts.append(prelude() + "," + _term_score_cte("s1", t) + f""",
+sc AS (
+  SELECT s1.did,
+         s1.score + {0.5!r} * (1.0 - {pivot!r} / (CAST({FEATURE_VALUE_SQL} AS DOUBLE) + {pivot!r})) AS score
+  FROM s1 JOIN quant q USING (did)
+)
+SELECT 'sat_{t}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM sc ORDER BY score DESC, did ASC LIMIT {k}
+""")
+    parts.append(prelude() + "," + _term_score_cte("s1", log_term) + f""",
+sc AS (
+  SELECT s1.did,
+         s1.score + {0.3!r} * ln(1.0 + CAST({FEATURE_VALUE_SQL} AS DOUBLE)) AS score
+  FROM s1 JOIN quant q USING (did)
+)
+SELECT 'log_{log_term}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM sc ORDER BY score DESC, did ASC LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def sql_fingerprint_filter(max_size: int = 1024) -> str:
+    """FingerprintFilter oracle: per-doc DISTINCT sorted token concat;
+    '' when nothing survives analysis or the concat (incl. separators)
+    exceeds maxOutputTokenSize."""
+    return prelude() + f""",
+uniq AS (SELECT DISTINCT did, tok FROM kept),
+fp AS (
+  SELECT did,
+         string_agg(tok, ' ' ORDER BY tok) AS f,
+         count(*) - 1 + sum(length(tok)) AS size
+  FROM uniq GROUP BY did
+)
+SELECT c.orig_id AS doc_id,
+       CASE WHEN fp.f IS NULL OR fp.size > {max_size} THEN '' ELSE fp.f END AS fingerprint
+FROM corpus c LEFT JOIN fp ON c.did = fp.did
+ORDER BY c.orig_id
+"""
+
+
+def sql_frange(expr: str, specs: list[dict], k: int = 10) -> str:
+    """frange oracle: the compiled expression AST renders to SQL (same
+    association order); pure franges rank by doc id (constant score),
+    the filtered spec ranks by the MUST term's BM25."""
+    from ..search.expressions import compile_expression, to_sql
+
+    sql_expr = to_sql(compile_expression(expr), {"field_len": "flen"})
+    parts = []
+    for sp in specs:
+        conds = []
+        if sp.get("lower") is not None:
+            conds.append(
+                f"v {'>=' if sp.get('include_lower', True) else '>'} {sp['lower']!r}"
+            )
+        if sp.get("upper") is not None:
+            conds.append(
+                f"v {'<=' if sp.get('include_upper', True) else '<'} {sp['upper']!r}"
+            )
+        where = " AND ".join(conds) or "TRUE"
+        if "term" in sp:
+            parts.append(prelude() + "," + _term_score_cte("s1", sp["term"]) + f""",
+fr AS (SELECT did FROM (SELECT did, {sql_expr} AS v FROM quant) WHERE {where})
+SELECT '{sp["qid"]}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id
+FROM s1 JOIN fr USING (did) ORDER BY score DESC, did ASC LIMIT {k}
+""")
+        else:
+            parts.append(prelude() + f"""
+SELECT '{sp["qid"]}' AS query_id,
+       CAST(row_number() OVER (ORDER BY did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id
+FROM (SELECT did, {sql_expr} AS v FROM quant) WHERE {where}
+ORDER BY did ASC LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
+def sql_field_exists() -> str:
+    """Field-existence oracle: the sparse 'enlen' feature exists exactly for
+    lang='en' docs with flen > 0; counts per source."""
     return prelude() + """
+SELECT c.source AS value, CAST(count(*) AS BIGINT) AS count
+FROM corpus c JOIN quant q ON c.did = q.did
+WHERE c.lang = 'en' AND q.flen > 0
+GROUP BY c.source ORDER BY count DESC, value ASC
+"""
+
+
+def sql_schema_info(docs_per_segment: int = 2_000) -> str:
+    """Field listing oracle: recompute each indexed field's stats from the
+    documents table (keyword fields: one term per doc; the features field's
+    sum_ttf is the exact FeatureField freq encoding summed, num_terms counts
+    each feature once per segment — manifest stats are per-segment sums)."""
+    return prelude() + f""",
+nseg AS (SELECT CAST(ceil(CAST((SELECT dc FROM stats) AS DOUBLE) / {docs_per_segment}) AS BIGINT) AS n),
+feat AS (
+  SELECT
+    (SELECT count(*) FROM quant WHERE flen > 0)
+      + (SELECT count(*) FROM quant q JOIN corpus c ON q.did = c.did
+         WHERE q.flen > 0 AND c.lang = 'en') AS sdf,
+    (SELECT coalesce(sum({FEATURE_FREQ_SQL}), 0) FROM quant WHERE flen > 0)
+      + (SELECT coalesce(sum({FEATURE_FREQ_SQL}), 0) FROM quant q JOIN corpus c ON q.did = c.did
+         WHERE q.flen > 0 AND c.lang = 'en') AS sttf
+)
 SELECT * FROM (
   SELECT 'content' AS field,
          CAST((SELECT dc FROM stats) AS BIGINT) AS doc_count,
@@ -1501,6 +1635,10 @@ SELECT * FROM (
   SELECT 'repo', (SELECT count(*) FROM corpus),
          (SELECT count(DISTINCT source) FROM corpus),
          (SELECT count(*) FROM corpus), (SELECT count(*) FROM corpus), FALSE
+  UNION ALL
+  SELECT 'features', (SELECT count(*) FROM corpus),
+         2 * (SELECT n FROM nseg),
+         (SELECT sdf FROM feat), (SELECT sttf FROM feat), FALSE
 ) ORDER BY field
 """
 

@@ -290,6 +290,35 @@ class FunctionScoreQuery(Query):
 
 
 @dataclass(frozen=True)
+class FeatureQuery(Query):
+    """Static-feature scoring over a FeatureField posting
+    (``document/FeatureField.java`` newLogQuery/newSaturationQuery/
+    newSigmoidQuery + ``document/FeatureQuery.java``): iterate the
+    (field, feature) posting list, decode the feature value from the term
+    freq, score = boost · fn(value). No norms, no idf; typically a SHOULD
+    clause next to a BM25 query.
+
+    ``function``: ``"log"`` → w·ln(a + S); ``"saturation"`` →
+    w·(1 − pivot/(S + pivot)) (pivot=None → avg feature value at rewrite,
+    FeatureField.java:539-551); ``"sigmoid"`` → w·(1 − pivot^a/(S^a + pivot^a)).
+    """
+
+    feature: str
+    function: str = "saturation"
+    pivot: float | None = None
+    scaling_a: float = 1.0
+    exp: float = 1.0
+    boost: float = 1.0
+    field: str = "features"
+
+    def __post_init__(self):
+        if self.function not in ("log", "saturation", "sigmoid"):
+            raise ValueError(f"unknown feature function {self.function!r}")
+        if self.function == "sigmoid" and self.pivot is None:
+            raise ValueError("sigmoid requires an explicit pivot")
+
+
+@dataclass(frozen=True)
 class FunctionQuery(Query):
     """``queries/function/FunctionQuery.java:87-120`` (AllScorer): matches
     every doc; score = ``boost · expr(doc values)``. ``expr`` is an
@@ -298,6 +327,21 @@ class FunctionQuery(Query):
     clause next to a MUST user query (SolrPluginUtils.addFieldBoosts)."""
 
     expr: str = "1"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FunctionRangeQuery(Query):
+    """Solr ``{!frange l=.. u=..}func`` (FunctionRangeQParserPlugin +
+    ``queries/function/ValueSourceRangeFilter.java`` ValueSourceScorer):
+    match docs whose function value lies in [l, u] (bounds optional,
+    inclusive by default), constant score = boost."""
+
+    expr: str = "1"
+    lower: float | None = None
+    upper: float | None = None
+    include_lower: bool = True
+    include_upper: bool = True
     boost: float = 1.0
 
 
@@ -420,6 +464,8 @@ def query_terms(q: Query) -> set[tuple[str, str]]:
         return {(q.field, q.term)}
     if isinstance(q, PayloadScoreQuery):
         return {(q.field, q.term)}
+    if isinstance(q, FeatureQuery):
+        return {(q.field, q.feature)}
     if isinstance(q, PhraseQuery):
         return {(q.field, t) for t in q.terms}
     if isinstance(q, MultiPhraseQuery):
@@ -483,6 +529,10 @@ def numeric_fields(q: Query) -> set[str]:
         from .expressions import compile_expression, variables
 
         return variables(compile_expression(q.expr)) - {"_score"}
+    if isinstance(q, FunctionRangeQuery):
+        from .expressions import compile_expression, variables
+
+        return variables(compile_expression(q.expr)) - {"_score"}
     if isinstance(q, BoostedQuery):
         from .expressions import compile_expression, variables
 
@@ -539,6 +589,24 @@ def rewrite(q: Query, reader) -> Query:
         slots = tuple([(t,) for t in q.terms] + [tuple(exp)])
         return MultiPhraseQuery(slots, tuple(range(len(slots))), q.boost,
                                 q.field, q.slop)
+    if isinstance(q, FeatureQuery):
+        if q.function == "saturation" and q.pivot is None:
+            # pivot = decodeFeatureValue((float)(ttf/df)) over the whole index
+            # (FeatureField.computePivotFeatureValue:539-551); missing term →
+            # pivot 1 (never scored anyway)
+            from ..util.feature import decode_feature_values
+
+            df, ttf = reader.term_stats([(q.field, q.feature)]).get(
+                (q.field, q.feature), (0, 0)
+            )
+            pivot = (
+                float(decode_feature_values(np.float32(ttf / df))[()])
+                if df
+                else 1.0
+            )
+            return FeatureQuery(q.feature, "saturation", pivot=pivot,
+                                boost=q.boost, field=q.field)
+        return q
     if isinstance(q, ConstantScoreQuery):
         return ConstantScoreQuery(rewrite(q.query, reader), q.boost)
     if isinstance(q, FunctionScoreQuery):

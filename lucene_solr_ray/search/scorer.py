@@ -397,14 +397,54 @@ class SegmentScorer:
                 v = np.array([math.log(1.0 + x) for x in v], dtype=np.float64)
             out = (s.astype(np.float64) * v) * np.float64(q.boost)
             return ids, out.astype(self.sim.dtype)
-        from .query import BoostedQuery, FunctionQuery
+        from .query import BoostedQuery, FeatureQuery, FunctionQuery
 
+        if isinstance(q, FeatureQuery):
+            # FeatureQuery scorer (document/FeatureQuery.java:144-146): walk
+            # the (field, feature) posting, decode the feature value from tf,
+            # score = boost · fn(value) — no norms, no idf
+            from ..util.feature import decode_feature_values
+
+            key = (q.field, q.feature)
+            if key not in self.postings:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype)
+            ids, freqs = self.postings[key]
+            f = decode_feature_values(freqs).astype(np.float64)
+            w = np.float64(q.boost)
+            if q.function == "log":
+                # w * log(a + S) (FeatureField.java:249-251); scalar libm log
+                # (numpy's SIMD log drifts 1 ulp from libm/DuckDB on some
+                # inputs — same fix as the expressions module's ln)
+                a = float(q.scaling_a)
+                s = w * np.array([math.log(a + x) for x in f], dtype=np.float64)
+            elif q.function == "saturation":
+                # w * (1 - pivot/(S + pivot)) — the monotonic rewrite of
+                # S/(S+pivot) (FeatureField.java:326-332)
+                p = np.float64(q.pivot)
+                s = w * (1.0 - p / (f + p))
+            else:  # sigmoid: w * (1 - pivot^a / (S^a + pivot^a))
+                p, a = np.float64(q.pivot), np.float64(q.exp)
+                s = w * (1.0 - p**a / (f**a + p**a))
+            return ids, s.astype(self.sim.dtype)
         if isinstance(q, FunctionQuery):
             # FunctionQuery.AllScorer (queries/function/FunctionQuery.java:
             # 87-120): every doc matches, score = boost · expr(doc values)
             vals = self._expr_values(q.expr)
             ids = np.arange(len(vals), dtype=np.int64)
             return ids, (vals * np.float64(q.boost)).astype(self.sim.dtype)
+        from .query import FunctionRangeQuery
+
+        if isinstance(q, FunctionRangeQuery):
+            # {!frange}: ValueSourceRangeFilter.java ValueSourceScorer —
+            # docs whose function value is in [l, u], constant score
+            vals = self._expr_values(q.expr)
+            mask = np.ones(len(vals), dtype=bool)
+            if q.lower is not None:
+                mask &= (vals >= q.lower) if q.include_lower else (vals > q.lower)
+            if q.upper is not None:
+                mask &= (vals <= q.upper) if q.include_upper else (vals < q.upper)
+            ids = np.flatnonzero(mask).astype(np.int64)
+            return ids, np.full(len(ids), q.boost, dtype=self.sim.dtype)
         if isinstance(q, BoostedQuery):
             # BoostedQuery.CustomScorer (queries/function/BoostedQuery.java:
             # 92-113): score = inner · expr(doc), double math, cast once
