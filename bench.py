@@ -167,13 +167,29 @@ def run_bench(ncpus: int) -> dict:
         f"{len(res.segments)} segments)")
 
     if not os.environ.get("BENCH_SKIP_QUERIES"):
-        # tiered merge (lifecycle step; also consolidates query-side reads)
+        # tiered merge (lifecycle step; also consolidates query-side reads).
+        # best-of-BENCH_RUNS like the build: merge is destructive, so warm-up
+        # legs run on a copy of the built index (host contention is 2-4x
+        # run-to-run; a single merge sample is uninterpretable)
         from lucene_solr_ray.index.merge import merge_index
 
-        t0 = time.time()
-        minfo = merge_index(index_dir, segs_per_tier=10)
-        queries["merge"] = round(time.time() - t0, 3)
-        log(f"[bench] merge: {queries['merge']}s ({minfo['segments_before']}→{minfo['segments_after']} segments)")
+        mtimes = []
+        minfo = None
+        for attempt in range(runs):
+            last = attempt == runs - 1
+            d = index_dir if last else index_dir + "_m"
+            if not last:
+                shutil.rmtree(d, ignore_errors=True)
+                shutil.copytree(index_dir, d)
+            t0 = time.time()
+            minfo = merge_index(d, segs_per_tier=10)
+            mtimes.append(time.time() - t0)
+            if not last:
+                shutil.rmtree(d, ignore_errors=True)
+        queries["merge"] = round(min(mtimes), 3)
+        queries["merge_runs"] = [round(t, 3) for t in mtimes]
+        log(f"[bench] merge: {queries['merge']}s best-of-{runs} "
+            f"({minfo['segments_before']}→{minfo['segments_after']} segments)")
 
         searcher = Searcher(index_dir)
         qset = bench_query_set()

@@ -916,6 +916,50 @@ def ft_function_boost(sf_dir: str) -> pa.Table:
     )
 
 
+def _external_source_map() -> tuple:
+    """Deterministic synthesized external file: source srcN → 0.5 + (N%7)/4,
+    except N%5 == 4 sources are ABSENT (exercise the defVal path)."""
+    return tuple(
+        (f"src{i}", 0.5 + (i % 7) * 0.25) for i in range(20) if i % 5 != 4
+    )
+
+
+def ft_external_file(sf_dir: str) -> pa.Table:
+    """Solr ExternalFileField (schema/ExternalFileField.java +
+    search/function/FileFloatSource.java): per-doc floats keyed by the repo
+    (=source) keyword field, loaded from outside the index. eff_only ranks
+    every doc by the external value (AllScorer); eff_boost adds it as a
+    SHOULD function clause next to a BM25 MUST term (bf= idiom). Unmapped
+    sources take defVal=0."""
+    from ..search.query import ExternalFileFunctionQuery
+
+    s = get_searcher(sf_dir)
+    eff = ExternalFileFunctionQuery(
+        key_field="repo", mapping=_external_source_map(), default=0.0
+    )
+    queries = {
+        "eff_only": eff,
+        "eff_boost": BooleanQuery(
+            must=[TermQuery("merge")],
+            should=[ExternalFileFunctionQuery(
+                key_field="repo", mapping=_external_source_map(),
+                default=0.0, boost=2.0,
+            )],
+        ),
+    }
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+            "score": pa.array(
+                np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()
+            ),
+        }
+    )
+
+
 FINGERPRINT_MAX = 1024  # FingerprintFilter.DEFAULT_MAX_OUTPUT_TOKEN_SIZE
 
 

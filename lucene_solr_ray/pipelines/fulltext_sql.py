@@ -1532,6 +1532,31 @@ FROM sc ORDER BY score DESC, did ASC LIMIT {k}
     return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
 
 
+def sql_external_file(k: int = 10) -> str:
+    """ExternalFileField oracle: external value recomputed from the source
+    name (srcN → 0.5 + (N%7)/4; N%5==4 absent → defVal 0)."""
+    val = ("CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 4 THEN 0.0 "
+           "ELSE 0.5 + (CAST(substr(source, 4) AS INT) % 7) * 0.25 END")
+    eff_only = prelude() + f"""
+SELECT 'eff_only' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM (SELECT did, {val} AS score FROM corpus)
+ORDER BY score DESC, did ASC LIMIT {k}
+"""
+    eff_boost = prelude() + "," + _term_score_cte("s1", "merge") + f""",
+sc AS (
+  SELECT s1.did, s1.score + 2.0 * ({val}) AS score
+  FROM s1 JOIN corpus c ON s1.did = c.did
+)
+SELECT 'eff_boost' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM sc ORDER BY score DESC, did ASC LIMIT {k}
+"""
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in (eff_only, eff_boost))
+
+
 def sql_fingerprint_filter(max_size: int = 1024) -> str:
     """FingerprintFilter oracle: per-doc DISTINCT sorted token concat;
     '' when nothing survives analysis or the concat (incl. separators)

@@ -331,6 +331,25 @@ class FunctionQuery(Query):
 
 
 @dataclass(frozen=True)
+class ExternalFileFunctionQuery(Query):
+    """Solr ExternalFileField (``solr/core/.../schema/ExternalFileField.java``
+    + ``FileFloatSource.java``): per-doc floats keyed by a doc field, loaded
+    from OUTSIDE the index (re-loadable without reindexing), usable only in
+    function queries. Matches every doc (AllScorer); score = boost ·
+    mapping.get(key_field value, default). The mapping rides in the query
+    object, so it reaches segment tasks through the existing one-``ray.put``
+    query broadcast — no per-task reshipping."""
+
+    key_field: str = "repo"
+    mapping: tuple = ()  # tuple of (key, float) pairs — hashable/frozen
+    default: float = 0.0
+    boost: float = 1.0
+
+    def lookup(self) -> dict:
+        return dict(self.mapping)
+
+
+@dataclass(frozen=True)
 class FunctionRangeQuery(Query):
     """Solr ``{!frange l=.. u=..}func`` (FunctionRangeQParserPlugin +
     ``queries/function/ValueSourceRangeFilter.java`` ValueSourceScorer):
@@ -533,6 +552,8 @@ def numeric_fields(q: Query) -> set[str]:
         from .expressions import compile_expression, variables
 
         return variables(compile_expression(q.expr)) - {"_score"}
+    if isinstance(q, ExternalFileFunctionQuery):
+        return {q.key_field}
     if isinstance(q, BoostedQuery):
         from .expressions import compile_expression, variables
 

@@ -432,8 +432,23 @@ class SegmentScorer:
             vals = self._expr_values(q.expr)
             ids = np.arange(len(vals), dtype=np.int64)
             return ids, (vals * np.float64(q.boost)).astype(self.sim.dtype)
-        from .query import FunctionRangeQuery
+        from .query import ExternalFileFunctionQuery, FunctionRangeQuery
 
+        if isinstance(q, ExternalFileFunctionQuery):
+            # FileFloatSource.getValues: every doc matches; value = external
+            # map[key] or defVal for unmapped keys (FileFloatSource.java)
+            keys = self.doc_values.get(q.key_field)
+            if keys is None:
+                raise KeyError(
+                    f"doc values for {q.key_field!r} not loaded into this scorer"
+                )
+            m = q.lookup()
+            d = float(q.default)
+            vals = np.fromiter(
+                (m.get(k, d) for k in keys), dtype=np.float64, count=len(keys)
+            )
+            ids = np.arange(len(vals), dtype=np.int64)
+            return ids, (vals * np.float64(q.boost)).astype(self.sim.dtype)
         if isinstance(q, FunctionRangeQuery):
             # {!frange}: ValueSourceRangeFilter.java ValueSourceScorer —
             # docs whose function value is in [l, u], constant score
