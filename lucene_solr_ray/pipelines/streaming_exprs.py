@@ -452,3 +452,66 @@ hits AS (SELECT path, depth FROM walk WHERE node = (SELECT k FROM ep))
 SELECT array_to_string(path, '->') AS path, CAST(depth AS BIGINT) AS length
 FROM hits WHERE depth = (SELECT min(depth) FROM hits) ORDER BY path
 """
+
+
+# ---------------------------------------------------------------------------
+# Parallel SQL handler (solr/core/.../handler/sql/ — SQL lowered onto
+# streaming expressions, SolrTable/SolrAggregate/SolrFilter/SolrSort rules)
+# ---------------------------------------------------------------------------
+
+# avg over l_quantity (small integers in double): the partial sums are
+# integer-exact, so the parallel combine matches DuckDB's sequential sum
+# bit-for-bit (l_extendedprice's fractional sums are float-order-dependent)
+SQL_GROUPBY_STMT = (
+    "SELECT l_returnflag, sum(l_quantity) AS sum_qty, "
+    "avg(l_quantity) AS avg_qty, count(*) AS cnt "
+    "FROM lineitem WHERE l_quantity < 30 GROUP BY l_returnflag "
+    "HAVING count(*) > 10 ORDER BY l_returnflag ASC"
+)
+SQL_SELECT_STMT = (
+    "SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000 "
+    "ORDER BY o_totalprice DESC, o_custkey ASC LIMIT 20"
+)
+SQL_DISTINCT_STMT = "SELECT DISTINCT c_nationkey FROM customer ORDER BY c_nationkey ASC"
+SQL_STATS_STMT = (
+    "SELECT count(*) AS cnt, min(l_discount) AS min_disc, max(l_tax) AS max_tax "
+    "FROM lineitem"
+)
+
+
+def st_sql_groupby(sf_dir: str):
+    """Parallel SQL: GROUP BY + HAVING lowered to
+    rollup(search(sort=keys)) -> having -> select -> sort."""
+    from ..streaming.sql import run_sql
+
+    return run_sql(SQL_GROUPBY_STMT, sf_dir)
+
+
+def st_sql_select(sf_dir: str):
+    """Parallel SQL: WHERE pushdown (q param -> parquet filter) + ORDER BY +
+    LIMIT lowered to top(search(...))."""
+    from ..streaming.sql import run_sql
+
+    return run_sql(SQL_SELECT_STMT, sf_dir)
+
+
+def st_sql_distinct(sf_dir: str):
+    """Parallel SQL: SELECT DISTINCT lowered to unique(search(...))."""
+    from ..streaming.sql import run_sql
+
+    return run_sql(SQL_DISTINCT_STMT, sf_dir)
+
+
+def st_sql_stats(sf_dir: str):
+    """Parallel SQL: bare aggregates lowered to stats(collection, metrics)."""
+    from ..streaming.sql import run_sql
+
+    return run_sql(SQL_STATS_STMT, sf_dir)
+
+
+#: oracles are the statements themselves (CAST count to BIGINT: DuckDB's
+#: count(*) is already BIGINT; sums over doubles stay double on both sides)
+SQL_ST_SQL_GROUPBY = SQL_GROUPBY_STMT
+SQL_ST_SQL_SELECT = SQL_SELECT_STMT
+SQL_ST_SQL_DISTINCT = SQL_DISTINCT_STMT
+SQL_ST_SQL_STATS = SQL_STATS_STMT
