@@ -145,8 +145,14 @@ def run_bench(ncpus: int) -> dict:
     # fewer segments than workers leaves cold workers inside the timed run
     warm_dps = max(64, len(warm_tbl) // (3 * ncpus))
     build_index(_rd.from_arrow(warm_tbl), warm_dir, docs_per_segment=warm_dps, batch_size=512)
+    # warm the merge path too: merge workers pay the same first-touch page
+    # faults as build workers (measured ~100s cold vs ~7s warm for a 100->10
+    # merge); a small merge touches every worker through _merge_chunk
+    from lucene_solr_ray.index.merge import merge_index as _mi
+
+    _mi(warm_dir, segs_per_tier=max(2, (len(warm_tbl) // warm_dps) // 8))
     shutil.rmtree(warm_dir, ignore_errors=True)
-    log("[bench] warmup build done")
+    log("[bench] warmup build+merge done")
 
     # best of BENCH_RUNS timed builds (fresh index dirs): contention-robust
     # headline (BENCH_RUNS=1 lets long scaling legs fit a bounded window)

@@ -116,6 +116,18 @@ class INonOverlapping:
 
 
 @dataclass(frozen=True)
+class INotWithin:
+    """Intervals.notWithin(minuend, positions, subtrahend)
+    (``DifferenceIntervalFunction.NotWithinFunction``): minuend intervals
+    that do not overlap any subtrahend interval widened by ``positions`` on
+    both sides (start clamped at 0)."""
+
+    minuend: object
+    positions: int
+    subtrahend: object
+
+
+@dataclass(frozen=True)
 class IntervalQuery(Query):
     """Scored interval query (``IntervalQuery.java``)."""
 
@@ -152,6 +164,8 @@ def interval_terms(src) -> set[str]:
         return interval_terms(src.small) | interval_terms(src.big)
     if isinstance(src, INonOverlapping):
         return interval_terms(src.minuend) | interval_terms(src.subtrahend)
+    if isinstance(src, INotWithin):
+        return interval_terms(src.minuend) | interval_terms(src.subtrahend)
     raise TypeError(f"unknown intervals source: {type(src)}")
 
 
@@ -165,6 +179,8 @@ def interval_scoring_terms(src) -> set[str]:
     if isinstance(src, INotContainedBy):
         return interval_scoring_terms(src.small)
     if isinstance(src, INonOverlapping):
+        return interval_scoring_terms(src.minuend)
+    if isinstance(src, INotWithin):
         return interval_scoring_terms(src.minuend)
     if isinstance(src, IMaxWidth):
         return interval_scoring_terms(src.source)
@@ -208,6 +224,8 @@ def interval_required_groups(src) -> list[frozenset[str]]:
     if isinstance(src, INotContainedBy):
         return interval_required_groups(src.small)
     if isinstance(src, INonOverlapping):
+        return interval_required_groups(src.minuend)
+    if isinstance(src, INotWithin):
         return interval_required_groups(src.minuend)
     raise TypeError(f"unknown intervals source: {type(src)}")
 
@@ -526,6 +544,15 @@ def interval_list(src, pos_of: dict[str, np.ndarray]) -> list[tuple[int, int]]:
         return _non_overlapping(
             interval_list(src.minuend, pos_of), interval_list(src.subtrahend, pos_of)
         )
+    if isinstance(src, INotWithin):
+        # widen each subtrahend interval by ``positions`` both ways
+        # (NotWithinFunction start()/end(), DifferenceIntervalFunction.java:
+        # 212-228), then keep non-overlapping minuend intervals
+        widened = [
+            (max(0, s - src.positions), e + src.positions)
+            for s, e in interval_list(src.subtrahend, pos_of)
+        ]
+        return _non_overlapping(interval_list(src.minuend, pos_of), widened)
     raise TypeError(f"unknown intervals source: {type(src)}")
 
 

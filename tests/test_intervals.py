@@ -19,6 +19,7 @@ from lucene_solr_ray.search.intervals import (
     IMaxWidth,
     INonOverlapping,
     INotContainedBy,
+    INotWithin,
     INotContaining,
     IntervalQuery,
     IOr,
@@ -139,6 +140,32 @@ def test_difference_and_containment_filters():
         assert interval_list(INonOverlapping(src, ITerm("c")), pos) == [
             iv for iv in base if not has_c(iv)
         ]
+
+
+def test_not_within_widens_subtrahend_both_ways():
+    # Intervals.notWithin (DifferenceIntervalFunction.NotWithinFunction):
+    # minuend survives unless a subtrahend interval lies within ``positions``
+    # of it — equivalently, unless it overlaps [s-positions, e+positions]
+    rng = random.Random(77)
+    for _ in range(400):
+        X, Y, C = _rand_doc(rng)
+        pos = _pos(x=X, y=Y, c=C)
+        n = rng.randint(0, 6)
+        src = IMaxWidth(10, IOrdered((ITerm("x"), ITerm("y"))))
+        base = interval_list(src, pos)
+        got = interval_list(INotWithin(src, n, ITerm("c")), pos)
+        exp = [
+            (s, e) for s, e in base
+            if not any(max(0, c - n) <= e and c + n >= s for c in C)
+        ]
+        assert got == exp
+    # notWithin(_, 0, _) == nonOverlapping
+    X, Y, C = _rand_doc(random.Random(5))
+    pos = _pos(x=X, y=Y, c=C)
+    src = IOrdered((ITerm("x"), ITerm("y")))
+    assert interval_list(INotWithin(src, 0, ITerm("c")), pos) == interval_list(
+        INonOverlapping(src, ITerm("c")), pos
+    )
 
 
 def test_interval_freq_is_sum_of_inverse_widths():
