@@ -511,6 +511,42 @@ def query_terms(q: Query) -> set[tuple[str, str]]:
     return set()
 
 
+#: leaf query types that never read position streams
+_NONPOS_LEAVES = None  # populated lazily (span/interval types import cycles)
+
+
+def needs_positions(q: Query) -> bool:
+    """Whether evaluating ``q`` reads position (or payload) streams — used to
+    prune ``pos_blob``/``pay_blob`` out of the postings parquet read
+    (IndexOptions-aware I/O: a pure term/boolean batch reads ~half the
+    bytes). Unknown query types conservatively return True."""
+    if isinstance(q, (PhraseQuery, MultiPhraseQuery, PhrasePrefixQuery,
+                      PayloadScoreQuery)):
+        return True
+    if isinstance(q, (TermQuery, MatchAllQuery, SynonymQuery,
+                      ExpandedTermsQuery, TermInSetQuery, BlendedTermQuery,
+                      CommonTermsQuery, NumericRangeQuery,
+                      DocValuesNumbersQuery, DocValuesTermsQuery,
+                      FunctionQuery, FunctionRangeQuery, FeatureQuery,
+                      ExternalFileFunctionQuery, PrefixQuery, WildcardQuery,
+                      RegexpQuery, TermRangeQuery, FuzzyQuery)):
+        return False
+    if isinstance(q, (ConstantScoreQuery, BoostQuery, FunctionScoreQuery)):
+        return needs_positions(q.query)
+    if isinstance(q, BoostedQuery):
+        return needs_positions(q.query)
+    if isinstance(q, DisjunctionMaxQuery):
+        return any(needs_positions(d) for d in q.disjuncts)
+    if isinstance(q, CoveringQuery):
+        return any(needs_positions(c) for c in q.queries)
+    if isinstance(q, BooleanQuery):
+        return any(
+            needs_positions(c)
+            for c in (*q.must, *q.should, *q.must_not, *q.filter)
+        )
+    return True  # spans, intervals, unknown extensions → read positions
+
+
 def has_payload_query(q: Query) -> bool:
     """Whether the tree contains a PayloadScoreQuery (validated up-front
     against the manifest's ``payloads`` flag — an index built without

@@ -95,9 +95,9 @@ class ScoreSegmentGroup:
 
         seg = self.seg if self.seg is not None else int(group["seg"][0].as_py())
         seg_d = self.seg_dirs.get(seg) or segment_dir(self.index_dir, seg)
-        norms = pq.read_table(
-            os.path.join(seg_d, "docs.parquet"), columns=["norm_byte"]
-        )["norm_byte"].to_numpy()
+        from ..index.reader import segment_norms_cached
+
+        norms = segment_norms_cached(seg_d)
         num_fields = sorted({f for q in self.queries.values() for f in numeric_fields(q)})
         doc_values = _load_doc_values(seg_d, num_fields)
         live = None
@@ -140,16 +140,30 @@ class ScoreSegmentGroup:
         )
 
 
+def _postings_columns(queries) -> list | None:
+    """None (all columns) when any query reads positions; otherwise the
+    postings schema minus the position/payload streams — pure term/boolean
+    batches skip ~half the postings bytes at the parquet read."""
+    from .query import needs_positions
+
+    if any(needs_positions(q) for q in queries):
+        return None
+    return ["seg", "field", "term", "df", "ttf", "doc_blob", "freq_blob",
+            "block_first_doc", "block_last_doc", "block_max_freq",
+            "block_min_len"]
+
+
 def _read_seg_postings(payload: dict, seg: int) -> pa.Table:
     import os
 
     import pyarrow.parquet as pq
 
-    from ..index.reader import pairs_filter
+    from ..index.reader import read_postings_rows
 
     pf = os.path.join(payload["seg_dirs"][seg], "postings.parquet")
     if payload["pairs"]:
-        return pq.read_table(pf, filters=pairs_filter(payload["pairs"]))
+        # per-worker cached handle + row-group range pruning (reader.py)
+        return read_postings_rows(pf, payload["pairs"], payload.get("columns"))
     return pq.read_schema(pf).empty_table()
 
 
@@ -295,9 +309,9 @@ class MatchFieldGroup:
 
         seg = self.seg if self.seg is not None else int(group["seg"][0].as_py())
         seg_d = self.seg_dirs.get(seg) or segment_dir(self.index_dir, seg)
-        norms = pq.read_table(
-            os.path.join(seg_d, "docs.parquet"), columns=["norm_byte"]
-        )["norm_byte"].to_numpy()
+        from ..index.reader import segment_norms_cached
+
+        norms = segment_norms_cached(seg_d)
         lazy = build_lazy(group)
         doc_values = _load_doc_values(seg_d, sorted(numeric_fields(self.query)))
         scorer = SegmentScorer(
@@ -734,6 +748,7 @@ class Searcher:
                         seg_dirs=self.reader.seg_dirs(),
                         after=after,
                         pairs=sorted(all_terms),
+                        columns=_postings_columns(queries.values()),
                     ))
                     task = _score_task()
                     batches = ray.get([
@@ -819,7 +834,8 @@ class Searcher:
         # zero-shuffle: one pruned-read task per segment (files are
         # seg-partitioned; see _score_segment_file), wrapped back into a
         # Dataset so consumers can still sort/stream the partials
-        payload = ray.put({**kwargs, "pairs": pairs})
+        payload = ray.put({**kwargs, "pairs": pairs,
+                           "columns": _postings_columns([query])})
         task = _match_task()
         refs = [
             task.remote(payload, chunk)
@@ -834,7 +850,8 @@ class Searcher:
         query = rewrite(query, self.reader)
         pairs = sorted(query_terms(query))
         weights = self._weights(set(pairs))
-        tbl = self.reader.postings_for_terms(pairs) if pairs else None
+        tbl = (self.reader.postings_for_terms(pairs, columns=_postings_columns([query]))
+               if pairs else None)
         num_fields = sorted(numeric_fields(query))
         from .wand import build_lazy
 
@@ -1454,7 +1471,8 @@ class Searcher:
         else:
             q = rewrite(from_query, self.reader)
             pairs = sorted(query_terms(q))
-            tbl = self.reader.postings_for_terms(pairs) if pairs else None
+            tbl = (self.reader.postings_for_terms(pairs, columns=_postings_columns([q]))
+                   if pairs else None)
             weights = self._weights_from_table(tbl, set(pairs))
             num_fields = sorted(numeric_fields(q))
             for s in self.reader.segments:
@@ -1751,7 +1769,8 @@ class Searcher:
         with no candidate docs are skipped entirely."""
         query = rewrite(query, self.reader)
         pairs = sorted(query_terms(query))
-        tbl = self.reader.postings_for_terms(pairs) if pairs else None
+        tbl = (self.reader.postings_for_terms(pairs, columns=_postings_columns([query]))
+               if pairs else None)
         weights = self._weights_from_table(tbl, set(pairs))
         num_fields = sorted(numeric_fields(query))
         out = np.zeros(len(global_ids), dtype=self.sim.dtype)
@@ -1841,7 +1860,9 @@ class Searcher:
         all_terms: set[str] = set()
         for q in queries.values():
             all_terms |= query_terms(q)
-        tbl = self.reader.postings_for_terms(sorted(all_terms)) if all_terms else None
+        tbl = (self.reader.postings_for_terms(
+                   sorted(all_terms), columns=_postings_columns(queries.values()))
+               if all_terms else None)
         weights = self._weights_from_table(tbl, all_terms)
         num_fields = sorted({f for q in queries.values() for f in numeric_fields(q)})
         for s in self.reader.segments:
