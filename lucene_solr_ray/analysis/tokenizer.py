@@ -286,7 +286,9 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
             return soundex
         stem_fn = mapper
         return lambda t: soundex(stem_fn(t))
-    if analyzer.phonetic is not None:
+    if analyzer.phonetic is not None and analyzer.phonetic != "double_metaphone":
+        # double_metaphone is handled as a replace+inject step AFTER the 1:1
+        # mapper (it emits two codes); see _analyze_full / ArrowAnalyzer
         raise ValueError(f"unknown phonetic encoder: {analyzer.phonetic!r}")
     return mapper
 
@@ -339,11 +341,34 @@ def _analyze_full(
     mapper = _term_mapper(analyzer)
     if mapper is not None:
         kept = [(mapper(t), p, s, e) for t, p, s, e in kept]
+    dmx: list[tuple[str, int, int, int, bool]] = []
+    if analyzer.phonetic == "double_metaphone":
+        # DoubleMetaphoneFilter inject=false (analysis/phonetic/
+        # DoubleMetaphoneFilter.java:60-90): the primary code REPLACES the
+        # token (non-encodable tokens pass through), a distinct alternate is
+        # ADDED at the same position (posIncr 0 overlap)
+        if analyzer.structural or analyzer.word_delimiter is not None \
+                or analyzer.common_grams:
+            raise ValueError(
+                "double_metaphone cannot combine with structural filters"
+            )
+        from .dmetaphone import double_metaphone
+
+        new_kept = []
+        for t, p, s, e in kept:
+            pri, alt = double_metaphone(t)
+            new_kept.append((pri or t, p, s, e))
+            if pri and alt != pri:
+                dmx.append((alt, p, s, e, True))
+        kept = new_kept
     if not analyzer.structural:
         out0 = [(t, p, s, e, False) for t, p, s, e in kept]
         if common:
             out0.extend(common)
             out0.sort(key=lambda r: r[1])  # stable: anchors before overlaps
+        if dmx:
+            out0.extend(dmx)
+            out0.sort(key=lambda r: r[1])
         return out0
 
     if analyzer.edge_ngrams is not None:
@@ -731,6 +756,39 @@ class ArrowAnalyzer:
         if mapper is not None and len(kept):
             kept = self._map_vocab(kept, mapper)
 
+        dmx = None
+        if self.analyzer.phonetic == "double_metaphone" and len(kept):
+            # vocab-level encode (each distinct token encoded once per batch):
+            # primary replaces; a distinct alternate overlays per occurrence
+            if self.analyzer.structural or self.analyzer.word_delimiter is not None \
+                    or self.analyzer.common_grams:
+                raise ValueError(
+                    "double_metaphone cannot combine with structural filters"
+                )
+            from .dmetaphone import double_metaphone
+
+            if isinstance(kept, pa.ChunkedArray):
+                kept = kept.combine_chunks()
+            de = pc.dictionary_encode(kept)
+            if isinstance(de, pa.ChunkedArray):
+                de = de.combine_chunks()
+            codes = de.indices.to_numpy().astype(np.int64)
+            vocab = de.dictionary.to_pylist()
+            pris, alts = [], []
+            for v in vocab:
+                p_, a_ = double_metaphone(v)
+                pris.append(p_ or v)
+                alts.append(a_ if (p_ and a_ != p_) else "")
+            kept = pc.take(pa.array(pris, pa.string()), pa.array(codes))
+            alt_arr = np.asarray(alts, dtype=object)
+            sel = np.flatnonzero(alt_arr[codes] != "")
+            if len(sel):
+                dmx = (
+                    pa.array(alt_arr[codes[sel]].tolist(), pa.string()),
+                    doc_idx[sel],
+                    positions[sel].astype(np.int32) if with_positions else None,
+                )
+
         overlap = None
         if self.analyzer.structural:
             if isinstance(kept, pa.ChunkedArray):
@@ -739,20 +797,21 @@ class ArrowAnalyzer:
             field_lens = np.bincount(doc_idx[~overlap], minlength=n).astype(np.int32)
         else:
             field_lens = np.bincount(doc_idx, minlength=n).astype(np.int32)
-        if cg is not None:
-            # bigram overlaps concat out of stream order; _fold co-sorts
+        for extra in (cg, dmx):
+            if extra is None:
+                continue
+            # same-position overlays concat out of stream order; _fold co-sorts
             if kept.type != pa.string():
                 kept = kept.cast(pa.string())
-            overlap = np.concatenate(
-                [np.zeros(len(kept), dtype=bool), np.ones(len(cg[1]), dtype=bool)]
-            )
+            prev = overlap if overlap is not None else np.zeros(len(kept), dtype=bool)
+            overlap = np.concatenate([prev, np.ones(len(extra[1]), dtype=bool)])
             kept = pa.concat_arrays(
                 [kept.combine_chunks() if isinstance(kept, pa.ChunkedArray) else kept,
-                 cg[0].combine_chunks() if isinstance(cg[0], pa.ChunkedArray) else cg[0]]
+                 extra[0].combine_chunks() if isinstance(extra[0], pa.ChunkedArray) else extra[0]]
             )
-            doc_idx = np.concatenate([doc_idx, cg[1]])
+            doc_idx = np.concatenate([doc_idx, extra[1]])
             if with_positions:
-                positions = np.concatenate([positions, cg[2]])
+                positions = np.concatenate([positions, extra[2]])
         return self._fold(kept, doc_idx, positions, overlap, field_lens, n, with_positions)
 
     def _call_payload(self, arr, n: int, with_positions: bool) -> "BatchTokenStats":

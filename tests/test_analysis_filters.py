@@ -469,3 +469,82 @@ def test_common_grams_rejects_structural():
         ArrowAnalyzer(StandardAnalyzer(common_grams=True, shingle=(2, 2)))(
             pa.array(["a b"], pa.large_string()), with_positions=False
         )
+
+
+# ---------------------------------------------------------------------------
+# DoubleMetaphoneFilter (analysis/phonetic/DoubleMetaphoneFilter.java +
+# the published Double Metaphone algorithm, Philips 2000)
+# ---------------------------------------------------------------------------
+
+from lucene_solr_ray.analysis.dmetaphone import double_metaphone
+
+
+@pytest.mark.parametrize("word,codelen,want", [
+    # reference-blessed vectors (DoubleMetaphoneFilterTest.java:30-52)
+    ("international", 4, ("ANTR", "ANTR")),
+    ("international", 8, ("ANTRNXNL", "ANTRNXNL")),
+    ("Kuczewski", 4, ("KSSK", "KXFS")),
+    ("hello", 8, ("HL", "HL")),
+    ("12345", 8, ("", "")),
+    # widely published algorithm pairs
+    ("smith", 4, ("SM0", "XMT")),
+    ("schmidt", 4, ("XMT", "SMT")),
+    ("snider", 4, ("SNTR", "XNTR")),
+    ("schneider", 4, ("XNTR", "SNTR")),
+    ("katherine", 4, ("K0RN", "KTRN")),
+    ("catherine", 4, ("K0RN", "KTRN")),
+    ("jose", 4, ("JS", "HS")),
+    ("michael", 4, ("MKL", "MXL")),
+    ("thomas", 4, ("TMS", "TMS")),
+    ("school", 4, ("SKL", "SKL")),
+    ("wright", 4, ("RT", "RT")),
+    ("knight", 4, ("NT", "NT")),
+    ("xavier", 4, ("SF", "SFR")),
+    ("philip", 4, ("FLP", "FLP")),
+])
+def test_double_metaphone_golden(word, codelen, want):
+    assert double_metaphone(word, codelen) == want
+
+
+def test_dmetaphone_filter_replace_and_inject():
+    an = StandardAnalyzer(phonetic="double_metaphone")
+    # smith: primary SM0 at pos 0 replaces; alternate XMT overlays pos 0
+    toks = analyze_with_positions("smith thomas", an)
+    assert ("SM0", 0) in toks and ("XMT", 0) in toks and ("TMS", 1) in toks
+    # equal primary/alternate -> single token (no duplicate injection)
+    assert [t for t, _ in toks].count("TMS") == 1
+
+
+def test_dmetaphone_same_codes_match_in_search_chain():
+    # katherine and catherine index to identical code sets
+    an = StandardAnalyzer(phonetic="double_metaphone")
+    a = sorted(analyze_with_positions("katherine", an))
+    b = sorted(analyze_with_positions("catherine", an))
+    assert [t for t, _ in a] == [t for t, _ in b] == ["K0RN", "KTRN"]
+
+
+def test_dmetaphone_arrow_agrees_with_golden():
+    an = StandardAnalyzer(phonetic="double_metaphone")
+    texts = ["smith schmidt snider", "katherine jose wright", "hello 12345 school",
+             "international kuczewski xavier philip"]
+    for text in texts:
+        golden = sorted(analyze_with_positions(text, an))
+        st = analyze_batch([text], an)
+        terms = st.terms.to_pylist() if hasattr(st.terms, "to_pylist") else list(st.terms)
+        tfs = list(st.tfs)
+        # batch output is inverted (unique terms + tf) — expand by tf
+        expanded = sorted(t for t, n in zip(terms, tfs) for _ in range(int(n)))
+        assert expanded == sorted(t for t, _ in golden)
+
+
+def test_dmetaphone_overlap_excluded_from_norms():
+    an = StandardAnalyzer(phonetic="double_metaphone")
+    st = analyze_batch(["smith thomas"], an)
+    # 2 source tokens -> field_len 2 even though 3 terms are indexed
+    assert int(st.field_lens[0]) == 2
+
+
+def test_dmetaphone_rejects_structural_combos():
+    with pytest.raises(ValueError, match="structural"):
+        analyze_with_positions("x y", StandardAnalyzer(
+            phonetic="double_metaphone", shingle=(2, 2)))
