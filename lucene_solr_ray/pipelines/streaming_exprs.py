@@ -515,3 +515,74 @@ SQL_ST_SQL_GROUPBY = SQL_GROUPBY_STMT
 SQL_ST_SQL_SELECT = SQL_SELECT_STMT
 SQL_ST_SQL_DISTINCT = SQL_DISTINCT_STMT
 SQL_ST_SQL_STATS = SQL_STATS_STMT
+
+
+# ---------------------------------------------------------------------------
+# Streaming ML (FeaturesSelectionStream / TextLogitStream)
+# ---------------------------------------------------------------------------
+
+ML_NUM_TERMS = 15
+ML_ITERATIONS = 8
+ML_ALPHA = 0.05
+
+
+def st_features(sf_dir: str):
+    """features(): distributed IGain term selection over documents.text with
+    outcome lang == 'en' (IGainTermsQParserPlugin math incl. the
+    numDocs-docFreq+1 quirk; idf_d per FeaturesSelectionStream)."""
+    from ..streaming.mlstreams import features_select
+
+    return features_select(sf_dir, "documents", "text", "lang", "en", ML_NUM_TERMS)
+
+
+def st_train_logreg(sf_dir: str):
+    """train(): TextLogitStream shard protocol — per-partition sequential
+    gradient passes, federated weight averaging per iteration. Iterative →
+    rows-only driver check; convergence pinned by pytest."""
+    from ..streaming.mlstreams import train_logreg
+
+    return train_logreg(sf_dir, "documents", "text", "lang", "en",
+                        num_terms=ML_NUM_TERMS, iterations=ML_ITERATIONS,
+                        alpha=ML_ALPHA)
+
+
+def _sql_entropy(p: str) -> str:
+    return (f"CASE WHEN ({p}) <= 0 OR ({p}) >= 1 THEN 0.0 "
+            f"ELSE -({p}) * ln({p}) - (1.0 - ({p})) * ln(1.0 - ({p})) END")
+
+
+def sql_st_features(num_terms: int = ML_NUM_TERMS) -> str:
+    """Exact IGain oracle: same tokenization chain as the engine analyzer
+    (lower, \\w+, len<=255, stopwords), same formula and tie-break."""
+    from .fulltext_sql import STOPLIST_SQL, TOKEN_RE_SQL
+
+    hc = _sql_entropy("(SELECT np FROM st) * 1.0 / (SELECT nd FROM st)")
+    hin = _sql_entropy("xc * 1.0 / df")
+    hout = _sql_entropy("((SELECT np FROM st) - xc) * 1.0 / ((SELECT nd FROM st) - df + 1)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+  FROM documents
+),
+kept AS (
+  SELECT DISTINCT doc_id, lang, tok FROM toks
+  WHERE length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL})
+),
+st AS (
+  SELECT count(*) AS nd, count(*) FILTER (lang = 'en') AS np FROM documents
+),
+ts AS (
+  SELECT tok, count(*) AS df, count(*) FILTER (lang = 'en') AS xc
+  FROM kept GROUP BY tok
+),
+scored AS (
+  SELECT tok AS term,
+         ({hc}) - ((df * 1.0 / (SELECT nd FROM st)) * ({hin})
+                   + (1.0 - df * 1.0 / (SELECT nd FROM st)) * ({hout})) AS score,
+         ln((SELECT nd FROM st) * 1.0 / (df + 1.0)) AS idf_d
+  FROM ts
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, term ASC) - 1 AS BIGINT) AS rank,
+       term, score, idf_d
+FROM scored ORDER BY score DESC, term ASC LIMIT {num_terms}
+"""
