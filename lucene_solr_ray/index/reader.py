@@ -48,7 +48,12 @@ _PF_CACHE_MAX = 4096
 def _postings_handle(path: str):
     import pyarrow.parquet as pq
 
-    hit = _PF_CACHE.get(path)
+    # key by (path, mtime, size): committed segments are immutable, but a
+    # test/tool may delete-and-rebuild an index at the same path in one
+    # process — the stat guard invalidates those handles
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = _PF_CACHE.get(key)
     if hit is not None:
         return hit
     pf = pq.ParquetFile(path)
@@ -65,7 +70,7 @@ def _postings_handle(path: str):
             ranges.append((fs.min, fs.max, ts.min, ts.max))
     if len(_PF_CACHE) >= _PF_CACHE_MAX:
         _PF_CACHE.clear()
-    _PF_CACHE[path] = (pf, ranges)
+    _PF_CACHE[key] = (pf, ranges)
     return pf, ranges
 
 
@@ -76,14 +81,17 @@ def segment_norms_cached(seg_dir: str) -> "np.ndarray":
     """Per-process norm-byte cache for one segment dir (norms are immutable
     once a segment is committed; deletes live in a separate sidecar). Saves
     a per-task parquet read on every scatter query."""
-    n = _NORMS_CACHE.get(seg_dir)
+    path = os.path.join(seg_dir, "docs.parquet")
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    n = _NORMS_CACHE.get(key)
     if n is None:
         import pyarrow.parquet as pq
 
         if len(_NORMS_CACHE) >= _PF_CACHE_MAX:
             _NORMS_CACHE.clear()
-        n = _NORMS_CACHE[seg_dir] = pq.read_table(
-            os.path.join(seg_dir, "docs.parquet"), columns=["norm_byte"]
+        n = _NORMS_CACHE[key] = pq.read_table(
+            path, columns=["norm_byte"]
         )["norm_byte"].to_numpy()
     return n
 
