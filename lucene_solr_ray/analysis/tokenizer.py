@@ -265,6 +265,30 @@ def _fold_ascii(term: str) -> str:
     )
 
 
+def _phonetic_codes_fn(analyzer: "StandardAnalyzer"):
+    """Multi-code phonetic encoders (PhoneticFilter inject semantics): per
+    token → code list; the FIRST code replaces the token, the rest overlay
+    at the same position. Tokens that encode to nothing pass through."""
+    if analyzer.phonetic == "double_metaphone":
+        from .dmetaphone import double_metaphone
+
+        def dm(t: str) -> list[str]:
+            pri, alt = double_metaphone(t)
+            if not pri:
+                return [t]
+            return [pri] if alt == pri else [pri, alt]
+
+        return dm
+    if analyzer.phonetic == "dm_soundex":
+        from .dmsoundex import dm_soundex
+
+        def dms(t: str) -> list[str]:
+            return dm_soundex(t) or [t]
+
+        return dms
+    return None
+
+
 def _term_mapper(analyzer: "StandardAnalyzer"):
     """Post-stopword per-term map (stemming), or None. Applied per unique
     vocabulary entry, never per token."""
@@ -286,9 +310,10 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
             return soundex
         stem_fn = mapper
         return lambda t: soundex(stem_fn(t))
-    if analyzer.phonetic is not None and analyzer.phonetic != "double_metaphone":
-        # double_metaphone is handled as a replace+inject step AFTER the 1:1
-        # mapper (it emits two codes); see _analyze_full / ArrowAnalyzer
+    if analyzer.phonetic is not None and analyzer.phonetic not in (
+            "double_metaphone", "dm_soundex"):
+        # multi-code encoders are handled as a replace+inject step AFTER the
+        # 1:1 mapper; see _phonetic_codes_fn / _analyze_full / ArrowAnalyzer
         raise ValueError(f"unknown phonetic encoder: {analyzer.phonetic!r}")
     return mapper
 
@@ -342,24 +367,21 @@ def _analyze_full(
     if mapper is not None:
         kept = [(mapper(t), p, s, e) for t, p, s, e in kept]
     dmx: list[tuple[str, int, int, int, bool]] = []
-    if analyzer.phonetic == "double_metaphone":
-        # DoubleMetaphoneFilter inject=false (analysis/phonetic/
-        # DoubleMetaphoneFilter.java:60-90): the primary code REPLACES the
-        # token (non-encodable tokens pass through), a distinct alternate is
-        # ADDED at the same position (posIncr 0 overlap)
+    codes_fn = _phonetic_codes_fn(analyzer)
+    if codes_fn is not None:
+        # DoubleMetaphoneFilter / DaitchMokotoffSoundexFilter inject=false:
+        # the first code REPLACES the token (non-encodable tokens pass
+        # through), further codes are ADDED at the same position (posIncr 0)
         if analyzer.structural or analyzer.word_delimiter is not None \
                 or analyzer.common_grams:
             raise ValueError(
-                "double_metaphone cannot combine with structural filters"
+                f"{analyzer.phonetic} cannot combine with structural filters"
             )
-        from .dmetaphone import double_metaphone
-
         new_kept = []
         for t, p, s, e in kept:
-            pri, alt = double_metaphone(t)
-            new_kept.append((pri or t, p, s, e))
-            if pri and alt != pri:
-                dmx.append((alt, p, s, e, True))
+            codes = codes_fn(t)
+            new_kept.append((codes[0], p, s, e))
+            dmx.extend((c, p, s, e, True) for c in codes[1:])
         kept = new_kept
     if not analyzer.structural:
         out0 = [(t, p, s, e, False) for t, p, s, e in kept]
@@ -757,16 +779,15 @@ class ArrowAnalyzer:
             kept = self._map_vocab(kept, mapper)
 
         dmx = None
-        if self.analyzer.phonetic == "double_metaphone" and len(kept):
+        codes_fn = _phonetic_codes_fn(self.analyzer)
+        if codes_fn is not None and len(kept):
             # vocab-level encode (each distinct token encoded once per batch):
-            # primary replaces; a distinct alternate overlays per occurrence
+            # first code replaces; further codes overlay per occurrence
             if self.analyzer.structural or self.analyzer.word_delimiter is not None \
                     or self.analyzer.common_grams:
                 raise ValueError(
-                    "double_metaphone cannot combine with structural filters"
+                    f"{self.analyzer.phonetic} cannot combine with structural filters"
                 )
-            from .dmetaphone import double_metaphone
-
             if isinstance(kept, pa.ChunkedArray):
                 kept = kept.combine_chunks()
             de = pc.dictionary_encode(kept)
@@ -774,19 +795,27 @@ class ArrowAnalyzer:
                 de = de.combine_chunks()
             codes = de.indices.to_numpy().astype(np.int64)
             vocab = de.dictionary.to_pylist()
-            pris, alts = [], []
-            for v in vocab:
-                p_, a_ = double_metaphone(v)
-                pris.append(p_ or v)
-                alts.append(a_ if (p_ and a_ != p_) else "")
+            all_codes = [codes_fn(v) for v in vocab]
+            pris = [c[0] for c in all_codes]
             kept = pc.take(pa.array(pris, pa.string()), pa.array(codes))
-            alt_arr = np.asarray(alts, dtype=object)
-            sel = np.flatnonzero(alt_arr[codes] != "")
-            if len(sel):
+            max_extra = max((len(c) - 1 for c in all_codes), default=0)
+            ex_terms, ex_docs, ex_pos = [], [], []
+            for k in range(max_extra):
+                col = np.asarray(
+                    [c[k + 1] if len(c) > k + 1 else "" for c in all_codes],
+                    dtype=object,
+                )
+                sel = np.flatnonzero(col[codes] != "")
+                if len(sel):
+                    ex_terms.append(pa.array(col[codes[sel]].tolist(), pa.string()))
+                    ex_docs.append(doc_idx[sel])
+                    if with_positions:
+                        ex_pos.append(positions[sel].astype(np.int32))
+            if ex_terms:
                 dmx = (
-                    pa.array(alt_arr[codes[sel]].tolist(), pa.string()),
-                    doc_idx[sel],
-                    positions[sel].astype(np.int32) if with_positions else None,
+                    pa.concat_arrays(ex_terms),
+                    np.concatenate(ex_docs),
+                    np.concatenate(ex_pos) if with_positions else None,
                 )
 
         overlap = None

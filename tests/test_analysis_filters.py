@@ -548,3 +548,49 @@ def test_dmetaphone_rejects_structural_combos():
     with pytest.raises(ValueError, match="structural"):
         analyze_with_positions("x y", StandardAnalyzer(
             phonetic="double_metaphone", shingle=(2, 2)))
+
+
+# ---------------------------------------------------------------------------
+# DaitchMokotoffSoundexFilter (analysis/phonetic + the standard D-M chart)
+# ---------------------------------------------------------------------------
+
+from lucene_solr_ray.analysis.dmsoundex import dm_soundex
+
+
+@pytest.mark.parametrize("word,codes", [
+    # reference-blessed (TestDaitchMokotoffSoundexFilter.java:35-40)
+    ("aaa", ["000000"]),
+    ("bbb", ["700000"]),
+    ("ccc", ["400000", "450000", "454000", "500000", "540000", "545000"]),
+    ("easgasg", ["045450"]),
+    # published chart examples (Mokotoff's standard documentation)
+    ("Moskowitz", ["645740"]),
+    ("Lipshitz", ["874400"]),
+    ("Lewinsky", ["876450"]),
+    ("Szlamawicz", ["486740"]),
+])
+def test_dm_soundex_golden(word, codes):
+    assert dm_soundex(word) == sorted(codes)
+
+
+def test_dm_soundex_branching_includes_published_codes():
+    # branching encoders must include the chart's published code among
+    # alternatives (Auerbach 097500 via CH→TCH; Peters 739400 via TS)
+    assert "097500" in dm_soundex("Auerbach")
+    assert "739400" in dm_soundex("Peters")
+    assert "154600" in dm_soundex("Jackson")
+
+
+def test_dm_soundex_filter_in_chain():
+    an = StandardAnalyzer(phonetic="dm_soundex")
+    toks = analyze_with_positions("ccc easgasg", an)
+    at0 = sorted(t for t, p in toks if p == 0)
+    assert at0 == ["400000", "450000", "454000", "500000", "540000", "545000"]
+    assert ("045450", 1) in toks
+    # Arrow path agrees (multiset via tf expansion)
+    st = analyze_batch(["ccc easgasg"], an)
+    terms = st.terms.to_pylist() if hasattr(st.terms, "to_pylist") else list(st.terms)
+    expanded = sorted(t for t, n in zip(terms, list(st.tfs)) for _ in range(int(n)))
+    assert expanded == sorted(t for t, _ in toks)
+    # overlays excluded from norms: 2 source tokens -> field_len 2
+    assert int(st.field_lens[0]) == 2
