@@ -1051,6 +1051,60 @@ def ft_frange(sf_dir: str) -> pa.Table:
     )
 
 
+#: TermAutomatonQuery specs: slots of (position offset, alternative terms);
+#: a gap in offsets becomes an ANY arc
+TERM_AUTOMATON_SPECS = [
+    {"qid": "ta_gap", "slots": [(0, ("spark",)), (2, ("merge",))]},
+    {"qid": "ta_branch", "slots": [(0, ("window",)), (1, ("merge", "join"))]},
+    {"qid": "ta_gap_branch",
+     "slots": [(0, ("data",)), (2, ("row", "value"))]},
+]
+
+
+def _automaton_from_slots(slots) -> "object":
+    """Linear token automaton: one state per position, term arcs at slot
+    offsets, ANY arcs bridging offset gaps (the TokenStream-graph shape
+    TermAutomatonQuery.createState/addTransition/addAnyTransition builds)."""
+    from ..search.termautomaton import ANY, TermAutomatonQuery
+
+    transitions = []
+    state = 0
+    cur = slots[0][0]  # offsets are relative: a leading gap is meaningless
+    for off, terms in slots:
+        while cur < off:
+            transitions.append((state, ANY, state + 1))
+            state += 1
+            cur += 1
+        for t in terms:
+            transitions.append((state, t, state + 1))
+        state += 1
+        cur += 1
+    return TermAutomatonQuery(tuple(transitions), accept=(state,))
+
+
+def ft_term_automaton(sf_dir: str) -> pa.Table:
+    """TermAutomatonQuery (sandbox/TermAutomatonQuery.java +
+    TermAutomatonScorer.java): token automata with ANY gaps and per-position
+    term branches; freq = accept-event count, weight = summed idf of all
+    automaton terms (exact scores in SQL)."""
+    s = get_searcher(sf_dir)
+    queries = {
+        sp["qid"]: _automaton_from_slots(sp["slots"])
+        for sp in TERM_AUTOMATON_SPECS
+    }
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+            "score": pa.array(
+                np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()
+            ),
+        }
+    )
+
+
 FEATURE_PIVOT = 64.0
 FEATURE_TERMS = ["merge", "spark"]
 

@@ -205,6 +205,53 @@ FROM scored ORDER BY score DESC, did ASC LIMIT {k}
 """
 
 
+def sql_term_automaton(specs: list[dict], k: int = 10) -> str:
+    """TermAutomatonQuery oracle: slots of (offset, alternative terms) —
+    freq = count of start positions where every slot has one of its terms at
+    start+offset; weight = summed idf of ALL automaton terms (engine float64
+    order; terms missing from the corpus contribute nothing, matching
+    idfExplain's stats-bearing-terms-only sum)."""
+    parts = []
+    for sp in specs:
+        slots = sp["slots"]
+        base_off = slots[0][0]
+        joins, conds = [], []
+        for i, (off, terms) in enumerate(slots):
+            tl = ", ".join(f"'{t}'" for t in terms)
+            if i == 0:
+                conds.append(f"t0.tok IN ({tl})")
+            else:
+                joins.append(
+                    f"JOIN ktp t{i} ON t{i}.did = t0.did AND t{i}.p = t0.p + {off - base_off}"
+                )
+                conds.append(f"t{i}.tok IN ({tl})")
+        all_terms = [t for _, ts in slots for t in ts]
+        idf_sum = " + ".join(
+            f"coalesce((SELECT idf FROM idf WHERE tok = '{t}'), 0.0)"
+            for t in all_terms
+        )
+        parts.append(prelude() + f""",
+{_TOKPOS_CTES},
+ph AS (
+  SELECT t0.did, count(*) AS freq
+  FROM ktp t0 {' '.join(joins)}
+  WHERE {' AND '.join(conds)}
+  GROUP BY t0.did
+),
+scored AS (
+  SELECT ph.did,
+         ((({idf_sum}) * {1.0!r}) * {K1 + 1!r}) * ph.freq
+           / (ph.freq + {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen) / (SELECT avgdl FROM avg_dl))) AS score
+  FROM ph JOIN quant q ON q.did = ph.did
+)
+SELECT '{sp["qid"]}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM scored ORDER BY score DESC, did ASC LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
 def sql_phrase_sloppy_union(specs: list[dict]) -> str:
     """Sloppy-phrase match sets → (query_id, doc_id).
 

@@ -485,6 +485,10 @@ def query_terms(q: Query) -> set[tuple[str, str]]:
         return {(q.field, q.term)}
     if isinstance(q, FeatureQuery):
         return {(q.field, q.feature)}
+    from .termautomaton import TermAutomatonQuery
+
+    if isinstance(q, TermAutomatonQuery):
+        return {(q.field, t) for t in q.terms()}
     if isinstance(q, PhraseQuery):
         return {(q.field, t) for t in q.terms}
     if isinstance(q, MultiPhraseQuery):

@@ -211,6 +211,57 @@ class SegmentScorer:
         scores = self.sim.score_freqs(w, freqs, nb, cache)
         return ids, scores
 
+    def term_automaton_match(self, q) -> tuple[np.ndarray, np.ndarray]:
+        """TermAutomatonQuery (sandbox/TermAutomatonScorer.java): candidate
+        docs = union of the automaton terms' postings; per doc, freq =
+        accept-event count of the determinized automaton run over the doc's
+        positions; weight combines ALL automaton terms' stats (summed idf,
+        float64 accumulation cast once), scored through the tf kernel."""
+        from .termautomaton import automaton_doc_freq, determinize
+
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype))
+        if self.lazy is None:
+            raise ValueError("TermAutomatonQuery needs positional postings")
+        step, accept, has_any = determinize(q)
+        terms = sorted(q.terms())
+        data = {}
+        union = []
+        for t in terms:
+            tp = self.lazy.get((q.field, t))
+            if tp is None or tp.df == 0:
+                continue
+            ids, _ = tp.full()
+            f_off, pos = tp.positions()
+            data[t] = (ids, f_off, pos)
+            union.append(ids)
+        if not data:
+            return empty
+        cand = np.unique(np.concatenate(union))
+        out_ids: list[int] = []
+        out_freqs: list[int] = []
+        for d in cand:
+            pos_of = {}
+            for t, (ids, f_off, pos) in data.items():
+                j = np.searchsorted(ids, d)
+                if j < len(ids) and ids[j] == d:
+                    pos_of[t] = pos[f_off[j]:f_off[j + 1]]
+            f = automaton_doc_freq(pos_of, step, accept, has_any)
+            if f > 0:
+                out_ids.append(int(d))
+                out_freqs.append(f)
+        if not out_ids:
+            return empty
+        idf_sum = 0.0
+        for t in terms:
+            w_t = self.weights.get((q.field, t))
+            if w_t is not None:
+                idf_sum += float(w_t)
+        w = self.sim.weight_from_idf(self.sim.dtype.type(idf_sum), q.boost)
+        ids = np.asarray(out_ids, dtype=np.int64)
+        freqs = np.asarray(out_freqs, dtype=np.int64)
+        nb, cache = self._norm_inputs(q.field, ids)
+        return ids, self.sim.score_freqs(w, freqs, nb, cache)
+
     def payload_match(self, q: PayloadScoreQuery) -> tuple[np.ndarray, np.ndarray]:
         """PayloadScoreQuery over a single-term span
         (queries/payloads/PayloadScoreQuery.java PayloadSpans.collectLeaf):
@@ -341,6 +392,10 @@ class SegmentScorer:
             return self.phrase_match(q)
         if isinstance(q, MultiPhraseQuery):
             return self.phrase_match(q)
+        from .termautomaton import TermAutomatonQuery
+
+        if isinstance(q, TermAutomatonQuery):
+            return self.term_automaton_match(q)
         if isinstance(q, ExpandedTermsQuery):
             # CONSTANT_SCORE_REWRITE result: union of doc sets, score = boost
             parts = [
