@@ -155,6 +155,5 @@ def dm_soundex(value: str) -> list[str]:
         # dedup identical branch states; cap runaway branching
         branches = list(dict.fromkeys(nxt))[:_MAX_BRANCHES]
         i = j
-    out = sorted({(d + "000000")[:MAX_LENGTH] for d, _ in branches if d or True})
     # inputs that produced no digits (e.g. all-H strings) still code as zeros
-    return [c for c in out] if out else ["000000"]
+    return sorted({(d + "000000")[:MAX_LENGTH] for d, _ in branches})

@@ -1105,6 +1105,37 @@ def ft_term_automaton(sf_dir: str) -> pa.Table:
     )
 
 
+MAXSCORE_SPECS = [
+    {"qid": "ms_or3", "q": "spark merge window", "tie": 0.0},
+    {"qid": "ms_tie", "q": "spark merge window", "tie": 0.3},
+    {"qid": "ms_must", "q": "+customer spark merge", "tie": 0.25},
+]
+
+
+def ft_maxscore(sf_dir: str) -> pa.Table:
+    """Solr {!maxscore} parser (search/MaxScoreQParser.java): lucene-parsed
+    query with all SHOULD clauses regrouped under one DisjunctionMaxQuery
+    (tie param); MUST passes through and always contributes."""
+    from ..search.query import parse_maxscore
+
+    s = get_searcher(sf_dir)
+    queries = {
+        sp["qid"]: parse_maxscore(sp["q"], tie=sp["tie"])
+        for sp in MAXSCORE_SPECS
+    }
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+            "score": pa.array(
+                np.asarray(res["score"].to_numpy(), dtype=np.float64), pa.float64()
+            ),
+        }
+    )
+
+
 FEATURE_PIVOT = 64.0
 FEATURE_TERMS = ["merge", "spark"]
 

@@ -205,6 +205,64 @@ FROM scored ORDER BY score DESC, did ASC LIMIT {k}
 """
 
 
+def sql_maxscore(specs: list[dict], k: int = 10) -> str:
+    """{!maxscore} oracle: should clauses fold through
+    max + (sum − max)·tie (DisjunctionMaxScorer order: disjuncts summed in
+    repr-sorted ≡ term-alphabetical order); must clauses add on top and
+    define the doc set."""
+    parts = []
+    for sp in specs:
+        toks = sp["q"].split()
+        must = sorted(t[1:] for t in toks if t.startswith("+"))
+        should = sorted(t for t in toks if not t.startswith(("+", "-")))
+        ctes, names = [], []
+        for i, t in enumerate(must + should):
+            ctes.append(_term_score_cte(f"m{i}", t))
+            names.append(f"m{i}")
+        m_names = names[:len(must)]
+        s_names = names[len(must):]
+        joins = []
+        base = m_names[0] if m_names else s_names[0]
+        for nm in names:
+            if nm == base:
+                continue
+            jk = "JOIN" if nm in m_names else "LEFT JOIN"
+            joins.append(f"{jk} {nm} ON {nm}.did = {base}.did")
+        if not m_names:
+            # pure disjunction: FULL OUTER union of should matches
+            sel = " FULL OUTER JOIN ".join(
+                [f"{s_names[0]}"]
+                + [f"{nm} ON {nm}.did = {s_names[0]}.did" for nm in s_names[1:]]
+            )
+            did = "coalesce(" + ", ".join(f"{nm}.did" for nm in s_names) + ")"
+            u = (f"SELECT {did} AS did, "
+                 + ", ".join(
+                     f"coalesce({nm}.score, 0.0) AS s{j}"
+                     for j, nm in enumerate(s_names))
+                 + f" FROM {sel}")
+        else:
+            u = (f"SELECT {base}.did AS did, "
+                 + ", ".join(
+                     f"coalesce({nm}.score, 0.0) AS s{j}"
+                     for j, nm in enumerate(s_names))
+                 + ", " + " + ".join(f"{nm}.score" for nm in m_names) + " AS msum"
+                 + f" FROM {base} " + " ".join(joins))
+        svars = [f"s{j}" for j in range(len(s_names))]
+        smax = f"greatest({', '.join(svars)})" if len(svars) > 1 else svars[0]
+        ssum = " + ".join(svars)
+        dmax = f"({smax} + (({ssum}) - {smax}) * {sp['tie']!r})"
+        score = f"msum + {dmax}" if m_names else dmax
+        parts.append(prelude() + "," + ",".join(c.lstrip(",\n") for c in ctes) + f""",
+u AS ({u})
+SELECT '{sp["qid"]}' AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, did ASC) - 1 AS BIGINT) AS rank,
+       CAST(did AS BIGINT) AS doc_id, score
+FROM (SELECT did, {score} AS score FROM u)
+ORDER BY score DESC, did ASC LIMIT {k}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
 def sql_term_automaton(specs: list[dict], k: int = 10) -> str:
     """TermAutomatonQuery oracle: slots of (offset, alternative terms) —
     freq = count of start positions where every slot has one of its terms at

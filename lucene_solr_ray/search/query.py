@@ -1016,3 +1016,20 @@ def _strip(q):
     if isinstance(q, _Req):
         return q.q
     return q
+
+
+def parse_maxscore(qstr: str, tie: float = 0.0, analyzer=None) -> Query:
+    """Solr ``{!maxscore tie=..}`` (solr/core/.../search/MaxScoreQParser.java):
+    parse exactly like the lucene parser, then regroup — all SHOULD clauses
+    move into one DisjunctionMaxQuery(tie) (only the best SHOULD clause
+    contributes, plus tie·rest), MUST / MUST_NOT / FILTER pass through."""
+    q = parse_query(qstr, analyzer=analyzer)
+    if not isinstance(q, BooleanQuery):
+        return q
+    if not q.should:
+        return q
+    dmq = DisjunctionMaxQuery(tuple(q.should), tie)
+    return BooleanQuery(
+        must=list(q.must), should=[dmq], must_not=list(q.must_not),
+        filter=list(q.filter), min_should_match=0,
+    )
