@@ -18,16 +18,16 @@ from lucene_solr_ray.search.query import (
 
 
 def test_maxscore_shape():
-    q = parse_maxscore("a b +c -d", tie=0.3)
+    q = parse_maxscore("foo bar +cat -dog", tie=0.3)
     assert isinstance(q, BooleanQuery)
-    assert q.must == [TermQuery("c")] and q.must_not == [TermQuery("d")]
+    assert q.must == [TermQuery("cat")] and q.must_not == [TermQuery("dog")]
     assert len(q.should) == 1 and isinstance(q.should[0], DisjunctionMaxQuery)
     assert q.should[0].tie_breaker == 0.3
-    assert tuple(q.should[0].disjuncts) == tuple(parse_query("a b +c -d").should)
+    assert tuple(q.should[0].disjuncts) == tuple(parse_query("foo bar +cat -dog").should)
     # no-should queries pass through untouched (single bare terms parse to a
     # one-should BooleanQuery here, so they regroup into a 1-disjunct DisMax
     # — score-identical)
-    assert parse_maxscore("+a +b") == parse_query("+a +b")
+    assert parse_maxscore("+cat +dog") == parse_query("+cat +dog")
 
 
 @pytest.fixture(scope="module")
