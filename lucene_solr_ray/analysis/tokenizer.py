@@ -145,6 +145,16 @@ class StandardAnalyzer:
     #: filter, dropped tokens still consume a position. Applied after
     #: lowercase/folding, before stopwords (factory chain order).
     length_filter: tuple[int, int] | None = None
+    #: KeywordRepeatFilter + RemoveDuplicatesTokenFilter
+    #: (analysis/miscellaneous/KeywordRepeatFilter.java + RemoveDuplicates
+    #: TokenFilter.java): index BOTH the original surface form and its stem —
+    #: the original keeps the position, the stemmed copy overlays (posIncr 0)
+    #: and is dropped when identical. Requires ``stem="porter"``.
+    keyword_repeat: bool = False
+    #: LimitTokenCountFilter (analysis/miscellaneous/LimitTokenCountFilter
+    #: .java): only the first N kept tokens are indexed (placed after the
+    #: stop filter, the conventional truncate-what-gets-indexed spot).
+    limit_token_count: int | None = None
     #: KeywordMarkerFilter (analysis/miscellaneous/SetKeywordMarkerFilter.java):
     #: terms in this set are protected from the stemmer (EnglishAnalyzer's
     #: stemExclusionSet constructor arg).
@@ -279,6 +289,20 @@ def _phonetic_codes_fn(analyzer: "StandardAnalyzer"):
             return [pri] if alt == pri else [pri, alt]
 
         return dm
+    if analyzer.keyword_repeat:
+        if analyzer.stem != "porter":
+            raise ValueError("keyword_repeat requires stem='porter'")
+        if analyzer.phonetic is not None:
+            raise ValueError("keyword_repeat cannot combine with phonetic")
+        from .porter import porter_stem
+
+        excl = analyzer.stem_exclusions
+
+        def kr(t: str) -> list[str]:
+            st = t if t in excl else porter_stem(t)
+            return [t] if st == t else [t, st]
+
+        return kr
     if analyzer.phonetic == "dm_soundex":
         from .dmsoundex import dm_soundex
 
@@ -303,6 +327,12 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
             mapper = porter_stem
     elif analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
+    if analyzer.keyword_repeat:
+        # the replace+inject codes path emits [original, stem]; the 1:1
+        # stem mapper must not pre-stem the stream
+        if analyzer.phonetic is not None:
+            raise ValueError("keyword_repeat cannot combine with phonetic")
+        return None
     if analyzer.phonetic == "soundex":
         from .phonetic import soundex
 
@@ -355,6 +385,8 @@ def _analyze_full(
         if x[0] not in analyzer.stopwords
         and (not analyzer.keep_words or x[0] in analyzer.keep_words)
     ]
+    if analyzer.limit_token_count is not None:
+        kept = kept[: analyzer.limit_token_count]
     common: list[tuple[str, int, int, int, bool]] = []
     if analyzer.common_grams:
         if analyzer.structural or analyzer.word_delimiter is not None:
@@ -737,6 +769,15 @@ class ArrowAnalyzer:
                                                   pa.string())),
             )
         keep_np = keep.to_numpy(zero_copy_only=False)
+        if self.analyzer.limit_token_count is not None:
+            # ordinal among KEPT tokens within each doc; cut > N
+            lim = int(self.analyzer.limit_token_count)
+            ck = np.cumsum(keep_np)
+            doc_first = np.searchsorted(doc_idx, np.arange(n))  # first token idx per doc
+            base = np.concatenate([[0], ck])[doc_first]
+            within = ck - 1 - base[doc_idx]
+            keep_np = keep_np & (within < lim)
+            keep = pa.array(keep_np)
         kept = pc.filter(flat, keep)
         positions = tok_pos = None
         if with_positions or self.analyzer.common_grams:
@@ -883,6 +924,15 @@ class ArrowAnalyzer:
         keep = pc.and_(nonempty, pc.less_equal(length, a.max_token_length))
         keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=self.stop_arr)))
         keep_np = keep.to_numpy(zero_copy_only=False)
+        if self.analyzer.limit_token_count is not None:
+            # ordinal among KEPT tokens within each doc; cut > N
+            lim = int(self.analyzer.limit_token_count)
+            ck = np.cumsum(keep_np)
+            doc_first = np.searchsorted(doc_idx, np.arange(n))  # first token idx per doc
+            base = np.concatenate([[0], ck])[doc_first]
+            within = ck - 1 - base[doc_idx]
+            keep_np = keep_np & (within < lim)
+            keep = pa.array(keep_np)
         kept = pc.filter(flat, keep)
         positions = None
         if with_positions:
@@ -1043,6 +1093,8 @@ def analyze_batch(
         or analyzer.length_filter is not None
         or analyzer.common_grams
         or analyzer.keep_words
+        or analyzer.limit_token_count is not None
+        or analyzer.keyword_repeat
     ):
         # the filter-chain machinery lives on the Arrow path; delegate
         import pyarrow as pa

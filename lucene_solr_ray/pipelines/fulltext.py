@@ -3571,6 +3571,41 @@ KEEP_SPECS = [
 ]
 
 
+LIMIT_TOKENS_N = 30
+LIMIT_SPECS = [
+    {"qid": f"lt_{t}", "kind": "term", "terms": [t], "k": 10}
+    for t in ("spark", "merge", "window")
+]
+
+
+def ft_limit_tokens(sf_dir: str) -> pa.Table:
+    """LimitTokenCountFilter index (analysis/miscellaneous/
+    LimitTokenCountFilter.java): only the first N kept tokens of each doc
+    are indexed — df, tf, norm lengths and avgdl all reflect the
+    truncation; exact float64 scores."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    an = StandardAnalyzer(limit_token_count=LIMIT_TOKENS_N)
+    return _variant_topk(get_searcher_variant(sf_dir, "limtok", an), LIMIT_SPECS)
+
+
+KR_SPECS = [
+    {"qid": f"kr_{t}", "kind": "term", "terms": [t], "k": 10}
+    for t in ("merge", "merges", "window")
+]
+
+
+def ft_keyword_repeat(sf_dir: str) -> pa.Table:
+    """KeywordRepeatFilter + RemoveDuplicates index (both surface form and
+    Porter stem indexed, stem as a same-position overlay). DuckDB has no
+    stemmer → rows-only driver check; chain + end-to-end semantics pinned by
+    pytest (test_analysis_filters)."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    an = StandardAnalyzer(stem="porter", keyword_repeat=True)
+    return _variant_topk(get_searcher_variant(sf_dir, "krep", an), KR_SPECS)
+
+
 def ft_keepword(sf_dir: str) -> pa.Table:
     """KeepWordFilter index (analysis/miscellaneous/KeepWordFilter.java):
     only the keep set is indexed — norm lengths and avgdl collapse to

@@ -2755,6 +2755,21 @@ base AS (
 emitted AS (SELECT did, tok FROM base),{_VARIANT_TAIL}"""
 
 
+def prelude_limit_tokens(n: int) -> str:
+    """LimitTokenCountFilter index: only the first ``n`` kept (post-stop)
+    tokens of each doc are emitted; norm lengths and avgdl reflect the
+    truncation (list slice keeps the original token order)."""
+    return f"""
+WITH {CORPUS_CTE},
+tokl AS (
+  SELECT did, list_filter(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'),
+                          t -> length(t) <= 255 AND NOT list_contains([{STOPLIST_SQL}], t)) AS ts
+  FROM corpus
+),
+emitted AS (SELECT did, unnest(ts[1:{n}]) AS tok FROM tokl),
+base AS (SELECT did, tok FROM emitted),{_VARIANT_TAIL}"""
+
+
 def sql_topk_sweetspot(terms: list[str], params: tuple, k: int) -> str:
     """SweetSpotSimilarity single-term top-k with exact float64 scores
     (lucene/misc SweetSpotSimilarity.java): tf = base for freq ≤ min else

@@ -594,3 +594,58 @@ def test_dm_soundex_filter_in_chain():
     assert expanded == sorted(t for t, _ in toks)
     # overlays excluded from norms: 2 source tokens -> field_len 2
     assert int(st.field_lens[0]) == 2
+
+
+# ---------------------------------------------------------------------------
+# KeywordRepeatFilter + RemoveDuplicates / LimitTokenCountFilter
+# ---------------------------------------------------------------------------
+
+
+def test_keyword_repeat_indexes_both_forms():
+    an = StandardAnalyzer(stem="porter", keyword_repeat=True)
+    toks = analyze_with_positions("the dogs were running fast", an)
+    assert ("dogs", 1) in toks and ("dog", 1) in toks      # original + stem
+    assert ("running", 3) in toks and ("run", 3) in toks
+    assert [t for t, _ in toks].count("fast") == 1          # stem == original → deduped
+    st = analyze_batch(["the dogs were running fast"], an)
+    terms = st.terms.to_pylist() if hasattr(st.terms, "to_pylist") else list(st.terms)
+    assert sorted(terms) == ["dog", "dogs", "fast", "run", "running", "were"]
+    assert int(st.field_lens[0]) == 4  # stemmed copies are overlaps
+    with pytest.raises(ValueError, match="requires stem"):
+        analyze_with_positions("x", StandardAnalyzer(keyword_repeat=True))
+
+
+def test_keyword_repeat_end_to_end(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search import Searcher
+    from lucene_solr_ray.search.query import TermQuery
+
+    tbl = pa.table({
+        "repo": ["r"] * 2, "path": ["a", "b"], "commit": ["1", "2"],
+        "lang": ["en"] * 2,
+        "content": ["dogs running wild", "a dog runs home"],
+    })
+    an = StandardAnalyzer(stem="porter", keyword_repeat=True)
+    d = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(tbl), d, docs_per_segment=10, analyzer=an)
+    s = Searcher(d)
+    # stemmed query term matches BOTH docs; exact surface form matches its doc
+    got = s.search({"stem": TermQuery("run"), "surface": TermQuery("running")},
+                   k=10, use_ray=False).to_pandas()
+    assert sorted(got[got.query_id == "stem"].doc_id) == [0, 1]
+    assert sorted(got[got.query_id == "surface"].doc_id) == [0]
+
+
+def test_limit_token_count_truncates_index():
+    an = StandardAnalyzer(limit_token_count=3)
+    assert analyze_with_positions("alpha beta gamma delta epsilon", an) == [
+        ("alpha", 0), ("beta", 1), ("gamma", 2)
+    ]
+    st = analyze_batch(["alpha beta gamma delta epsilon", "one two"], an)
+    assert st.field_lens.tolist() == [3, 2]
+    # limit counts KEPT tokens: stopwords don't use up the budget
+    toks = analyze_with_positions("the a cat and dog runs", StandardAnalyzer(limit_token_count=2))
+    assert [t for t, _ in toks] == ["cat", "dog"]
