@@ -1105,6 +1105,31 @@ def ft_term_automaton(sf_dir: str) -> pa.Table:
     )
 
 
+GRAPH_TERMS_SPECS = [
+    # 'data'/'row' are high-df hub terms; the cap drops them
+    {"qid": "gt_capped", "terms": ["spark", "merge", "data", "row"],
+     "max_df": 120},
+    {"qid": "gt_all", "terms": ["spark", "vector"], "max_df": 10**9},
+]
+
+
+def ft_graph_terms(sf_dir: str) -> pa.Table:
+    """{!graphTerms} (search/GraphTermsQParserPlugin.java): constant-score
+    union of the terms whose global docFreq <= maxDocFreq (hub terms
+    dropped); full match sets, doc-id order."""
+    from ..search.query import GraphTermsQuery
+
+    s = get_searcher(sf_dir)
+    tables = []
+    for sp in GRAPH_TERMS_SPECS:
+        ids = s.match_ids(GraphTermsQuery(tuple(sp["terms"]), sp["max_df"]))
+        tables.append(pa.table({
+            "query_id": pa.array([sp["qid"]] * len(ids), pa.string()),
+            "doc_id": pa.array(np.sort(np.asarray(ids, dtype=np.int64)), pa.int64()),
+        }))
+    return pa.concat_tables(tables)
+
+
 MAXSCORE_SPECS = [
     {"qid": "ms_or3", "q": "spark merge window", "tie": 0.0},
     {"qid": "ms_tie", "q": "spark merge window", "tie": 0.3},

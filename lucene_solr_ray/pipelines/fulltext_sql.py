@@ -205,6 +205,20 @@ FROM scored ORDER BY score DESC, did ASC LIMIT {k}
 """
 
 
+def sql_graph_terms(specs: list[dict]) -> str:
+    """graphTerms oracle: docs containing any given term whose GLOBAL df is
+    within the cap."""
+    parts = []
+    for sp in specs:
+        tl = ", ".join(f"'{t}'" for t in sorted(sp["terms"]))
+        parts.append(prelude() + f"""
+SELECT '{sp["qid"]}' AS query_id, CAST(did AS BIGINT) AS doc_id
+FROM (SELECT DISTINCT tf.did FROM tf JOIN idf USING (tok)
+      WHERE tf.tok IN ({tl}) AND idf.df <= {sp["max_df"]}) t(did)
+ORDER BY did""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
 def sql_maxscore(specs: list[dict], k: int = 10) -> str:
     """{!maxscore} oracle: should clauses fold through
     max + (sum − max)·tie (DisjunctionMaxScorer order: disjuncts summed in

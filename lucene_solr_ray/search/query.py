@@ -331,6 +331,20 @@ class FunctionQuery(Query):
 
 
 @dataclass(frozen=True)
+class GraphTermsQuery(Query):
+    """Solr ``{!graphTerms f=.. maxDocFreq=N}t1,t2,..``
+    (search/GraphTermsQParserPlugin.java:71-153): constant-score
+    disjunction over the given terms AFTER dropping every term whose global
+    docFreq exceeds ``max_doc_freq`` — the hub-node safety valve for graph
+    traversals."""
+
+    terms: tuple[str, ...] = ()
+    max_doc_freq: int = 2**31 - 1
+    boost: float = 1.0
+    field: str = CONTENT_FIELD
+
+
+@dataclass(frozen=True)
 class ExternalFileFunctionQuery(Query):
     """Solr ExternalFileField (``solr/core/.../schema/ExternalFileField.java``
     + ``FileFloatSource.java``): per-doc floats keyed by a doc field, loaded
@@ -489,6 +503,8 @@ def query_terms(q: Query) -> set[tuple[str, str]]:
 
     if isinstance(q, TermAutomatonQuery):
         return {(q.field, t) for t in q.terms()}
+    if isinstance(q, GraphTermsQuery):
+        return {(q.field, t) for t in q.terms}
     if isinstance(q, PhraseQuery):
         return {(q.field, t) for t in q.terms}
     if isinstance(q, MultiPhraseQuery):
@@ -650,6 +666,13 @@ def rewrite(q: Query, reader) -> Query:
         slots = tuple([(t,) for t in q.terms] + [tuple(exp)])
         return MultiPhraseQuery(slots, tuple(range(len(slots))), q.boost,
                                 q.field, q.slop)
+    if isinstance(q, GraphTermsQuery):
+        stats = reader.term_stats([(q.field, t) for t in q.terms])
+        keep = tuple(sorted(
+            t for t in q.terms
+            if 0 < stats.get((q.field, t), (0, 0))[0] <= q.max_doc_freq
+        ))
+        return ExpandedTermsQuery(keep, q.boost, q.field)
     if isinstance(q, FeatureQuery):
         if q.function == "saturation" and q.pivot is None:
             # pivot = decodeFeatureValue((float)(ttf/df)) over the whole index
