@@ -562,24 +562,49 @@ class MatchFieldGroup:
         )
 
 
+_DV_CACHE: dict[tuple, dict] = {}
+_DV_CACHE_MAX = 4096
+
+
 def _load_doc_values(seg_d: str, fields: list[str]) -> dict[str, np.ndarray]:
     """Numeric doc-value columns of one segment (PointValues analog; the
     Parquet column read is pruned to exactly these fields). Sidecar
     ``dv_updates.parquet`` overrides (updateNumericDocValue stacked files —
-    ``index/ReadersAndUpdates.java``) are applied last-write-wins."""
+    ``index/ReadersAndUpdates.java``) are applied last-write-wins.
+
+    Cached per process keyed by (files' mtime/size, field set): docs.parquet
+    is immutable once committed, and dv-update commits change the sidecar's
+    stat, so the key self-invalidates. Callers must not mutate the arrays
+    (the searcher paths only read)."""
     if not fields:
         return {}
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(os.path.join(seg_d, "docs.parquet"), columns=list(fields))
-    out = {f: tbl[f].to_numpy().copy() for f in fields}
+    doc_path = os.path.join(seg_d, "docs.parquet")
     upd_path = os.path.join(seg_d, "dv_updates.parquet")
-    if os.path.exists(upd_path):
+    st = os.stat(doc_path)
+    try:
+        ust = os.stat(upd_path)
+        ukey = (ust.st_mtime_ns, ust.st_size)
+    except FileNotFoundError:
+        ukey = None
+    key = (doc_path, st.st_mtime_ns, st.st_size, ukey, tuple(fields))
+    hit = _DV_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tbl = pq.read_table(doc_path, columns=list(fields))
+    out = {f: tbl[f].to_numpy().copy() for f in fields}
+    if ukey is not None:
         u = pq.read_table(upd_path)
         for lid, f, v in zip(u["local_id"].to_pylist(), u["field"].to_pylist(),
                              u["value"].to_pylist()):
             if f in out:
                 out[f][lid] = v
+    for a in out.values():
+        a.setflags(write=False)  # shared across queries — reads only
+    if len(_DV_CACHE) >= _DV_CACHE_MAX:
+        _DV_CACHE.clear()
+    _DV_CACHE[key] = out
     return out
 
 
