@@ -32,8 +32,13 @@ def _slavo_germanic(s: str) -> bool:
 
 
 def double_metaphone(value: str, max_code_len: int = 4) -> tuple[str, str]:
-    s = "".join(c for c in value.upper() if "A" <= c <= "Z")
-    # commons-codec cleans to upper; non-alphabetic inputs encode to ""
+    # commons-codec cleanInput: trim + uppercase (it KEEPS spaces, which the
+    # VAN/VON/SAN and "word boundary" contexts below rely on); other
+    # non-letters drop. Space runs collapse to one.
+    raw = "".join(
+        c if "A" <= c <= "Z" else " " for c in value.upper()
+    )
+    s = " ".join(p for p in raw.split(" ") if p != "") if raw.strip() else ""
     if not s:
         return "", ""
     slavo = _slavo_germanic(s)
@@ -48,8 +53,6 @@ def double_metaphone(value: str, max_code_len: int = 4) -> tuple[str, str]:
         aa = p if a is None else a
         if aa and len(alt) < max_code_len:
             alt.append(aa)
-        elif a == "" :
-            pass
 
     def add_alt_only(a: str) -> None:
         if len(alt) < max_code_len:
@@ -236,7 +239,9 @@ def double_metaphone(value: str, max_code_len: int = 4) -> tuple[str, str]:
                 i += 1
         elif c == "J":
             if _contains(s, i, 4, "JOSE") or _contains(s, 0, 4, "SAN "):
-                if (i == 0 and (i + 4 <= n and s[i + 4:i + 5] == " ")) \
+                # handleJ (commons-codec): H when "jose " follows, the WHOLE
+                # input is the 4-letter "jose", or it starts with "san "
+                if (i == 0 and ((i + 4 <= n and s[i + 4:i + 5] == " ") or n == 4)) \
                         or _contains(s, 0, 4, "SAN "):
                     add("H")
                 else:

@@ -474,6 +474,10 @@ def _wd_flags(analyzer: "StandardAnalyzer") -> tuple[bool, bool]:
         raise ValueError(f"unknown word_delimiter flags: {sorted(flags - WD_FLAGS)}")
     if analyzer.structural:
         raise ValueError("word_delimiter cannot combine with synonyms/shingle/edge_ngrams")
+    if analyzer.limit_token_count is not None:
+        raise ValueError("word_delimiter cannot combine with limit_token_count")
+    if analyzer.keyword_repeat or analyzer.phonetic in ("double_metaphone", "dm_soundex"):
+        raise ValueError("word_delimiter cannot combine with multi-code filters")
     return "preserve_original" in flags, "catenate" in flags
 
 
@@ -720,6 +724,13 @@ class ArrowAnalyzer:
                     else pc.replace_substring(arr, pattern=pat, replacement=repl)
                 )
         if self.analyzer.delimited_payload is not None:
+            if (self.analyzer.limit_token_count is not None
+                    or self.analyzer.keyword_repeat
+                    or self.analyzer.phonetic is not None):
+                raise ValueError(
+                    "delimited_payload cannot combine with "
+                    "limit_token_count/keyword_repeat/phonetic"
+                )
             return self._call_payload(arr, n, with_positions)
         if self.analyzer.word_delimiter is not None:
             return self._call_wd(arr, n, with_positions)

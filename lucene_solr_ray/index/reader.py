@@ -64,8 +64,9 @@ def _postings_handle(path: str):
     for rg in range(md.num_row_groups):
         r = md.row_group(rg)
         fs, ts = r.column(fidx).statistics, r.column(tidx).statistics
-        if fs is None or ts is None:  # stats missing → never prune this group
-            ranges.append(("", "￿", "", "￿"))
+        if (fs is None or ts is None or fs.min is None or fs.max is None
+                or ts.min is None or ts.max is None):
+            ranges.append(None)  # stats missing/degenerate → never prune
         else:
             ranges.append((fs.min, fs.max, ts.min, ts.max))
     if len(_PF_CACHE) >= _PF_CACHE_MAX:
@@ -103,8 +104,9 @@ def read_postings_rows(path: str, pairs, columns=None) -> pa.Table:
     pf, ranges = _postings_handle(path)
     sel = [
         rg
-        for rg, (fmin, fmax, tmin, tmax) in enumerate(ranges)
-        if any(fmin <= f <= fmax and tmin <= t <= tmax for f, t in pairs)
+        for rg, rng in enumerate(ranges)
+        if rng is None
+        or any(rng[0] <= f <= rng[1] and rng[2] <= t <= rng[3] for f, t in pairs)
     ]
     if not sel:
         schema = pf.schema_arrow

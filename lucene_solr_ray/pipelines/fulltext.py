@@ -1132,6 +1132,9 @@ def ft_graph_terms(sf_dir: str) -> pa.Table:
 
 MAXSCORE_SPECS = [
     {"qid": "ms_or3", "q": "spark merge window", "tie": 0.0},
+    # first-alphabetical disjunct matches nothing → every hit flows through
+    # the later disjuncts (regression guard for the oracle's OUTER-join chain)
+    {"qid": "ms_rare_first", "q": "aaa_zero_df_term spark merge", "tie": 0.4},
     {"qid": "ms_tie", "q": "spark merge window", "tie": 0.3},
     {"qid": "ms_must", "q": "+customer spark merge", "tie": 0.25},
 ]

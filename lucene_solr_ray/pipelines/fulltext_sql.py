@@ -243,11 +243,15 @@ def sql_maxscore(specs: list[dict], k: int = 10) -> str:
             jk = "JOIN" if nm in m_names else "LEFT JOIN"
             joins.append(f"{jk} {nm} ON {nm}.did = {base}.did")
         if not m_names:
-            # pure disjunction: FULL OUTER union of should matches
-            sel = " FULL OUTER JOIN ".join(
-                [f"{s_names[0]}"]
-                + [f"{nm} ON {nm}.did = {s_names[0]}.did" for nm in s_names[1:]]
-            )
+            # pure disjunction: FULL OUTER union of should matches — each
+            # later disjunct joins on the COALESCED did of all prior ones
+            # (joining on the first disjunct alone would split docs missing
+            # it into duplicate partial rows; same pattern as the edismax
+            # oracle)
+            sel = s_names[0]
+            for i, nm in enumerate(s_names[1:], start=1):
+                prior = ", ".join(f"{p}.did" for p in s_names[:i])
+                sel += f" FULL OUTER JOIN {nm} ON coalesce({prior}) = {nm}.did"
             did = "coalesce(" + ", ".join(f"{nm}.did" for nm in s_names) + ")"
             u = (f"SELECT {did} AS did, "
                  + ", ".join(

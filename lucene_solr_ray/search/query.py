@@ -531,10 +531,6 @@ def query_terms(q: Query) -> set[tuple[str, str]]:
     return set()
 
 
-#: leaf query types that never read position streams
-_NONPOS_LEAVES = None  # populated lazily (span/interval types import cycles)
-
-
 def needs_positions(q: Query) -> bool:
     """Whether evaluating ``q`` reads position (or payload) streams — used to
     prune ``pos_blob``/``pay_blob`` out of the postings parquet read

@@ -32,6 +32,10 @@ from ..analysis.tokenizer import ArrowAnalyzer, StandardAnalyzer
 
 TRAIN_PARTITION_ROWS = 5_000  # deterministic shard analog for train()
 
+#: carries (numDocs, numPositiveDocs) through the term groupby; contains a
+#: NUL byte so no \w+ token can ever collide with it
+_DOC_SENTINEL = "\x00doc"
+
 
 def _binary_entropy(p: float) -> float:
     if p <= 0.0 or p >= 1.0:
@@ -67,7 +71,7 @@ def _doc_term_stats(batch: pa.Table, analyzer: ArrowAnalyzer,
     return pa.table(
         {
             "term": pa.concat_arrays([de.dictionary.cast(pa.string()),
-                                      pa.array(["__doc__"], pa.string())]),
+                                      pa.array([_DOC_SENTINEL], pa.string())]),
             "df": pa.array(np.concatenate([df, [len(batch)]]), pa.int64()),
             "positive_df": pa.array(
                 np.concatenate([pdf.astype(np.int64), [int(pos_doc.sum())]]),
@@ -105,11 +109,19 @@ def features_select(sf_dir: str, collection: str, text_col: str,
     )
     agg = parts.groupby("term").aggregate(Sum("df"), Sum("positive_df"))
     tbl = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    empty = pa.table({
+        "rank": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+        "score": pa.array([], pa.float64()), "idf_d": pa.array([], pa.float64()),
+    })
+    if not len(tbl):
+        return empty  # empty / fully-filtered collection → empty feature set
     terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
     dfs = tbl["sum(df)"].to_numpy().astype(np.int64)
     pdfs = tbl["sum(positive_df)"].to_numpy().astype(np.int64)
-    doc_row = terms == "__doc__"
-    num_docs = int(dfs[doc_row][0])
+    doc_row = terms == _DOC_SENTINEL
+    num_docs = int(dfs[doc_row][0]) if doc_row.any() else 0
+    if num_docs == 0:
+        return empty
     num_pos = int(pdfs[doc_row][0])
     entropy_c = _binary_entropy(num_pos / num_docs) if num_docs else 0.0
     out = []

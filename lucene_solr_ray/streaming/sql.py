@@ -107,12 +107,19 @@ def _parse_select_item(p: _P):
     return ("col", col, alias)
 
 
+_Q_UNSAFE = set(" \"'[]{}():")
+
+
 def _parse_cond(p: _P):
     """→ q-syntax clause string for parse_q pushdown."""
     col = p.take("id")
     op = p.take("op")
     if p.peek("str") is not None:
         lit = p.take("str")
+        if any(ch in _Q_UNSAFE for ch in lit):
+            # the literal is spliced into the q param (clauses split on
+            # " AND ", ranges use brackets) — reject rather than mis-parse
+            raise ValueError(f"unsupported characters in WHERE literal {lit!r}")
     else:
         lit = p.take("num")
     if op == "=":
@@ -187,6 +194,11 @@ def sql_to_stream(sql: str) -> str:
 
     aggs = [(expr, alias) for kind, expr, alias in items if kind == "agg"]
     cols = [(expr, alias) for kind, expr, alias in items if kind == "col"]
+    if group_by and not aggs:
+        raise ValueError("GROUP BY without aggregates is not supported "
+                         "(use SELECT DISTINCT)")
+    if having and not group_by:
+        raise ValueError("HAVING requires GROUP BY")
     q = f' q="{" AND ".join(q_clauses)}"' if q_clauses else ""
 
     if aggs and group_by:

@@ -493,7 +493,7 @@ from lucene_solr_ray.analysis.dmetaphone import double_metaphone
     ("schneider", 4, ("XNTR", "SNTR")),
     ("katherine", 4, ("K0RN", "KTRN")),
     ("catherine", 4, ("K0RN", "KTRN")),
-    ("jose", 4, ("JS", "HS")),
+    ("jose", 4, ("HS", "HS")),  # whole-input "jose" → H (handleJ length==4)
     ("michael", 4, ("MKL", "MXL")),
     ("thomas", 4, ("TMS", "TMS")),
     ("school", 4, ("SKL", "SKL")),

@@ -85,6 +85,12 @@ def test_bare_aggregates(con, ray_session):
 def test_errors():
     with pytest.raises(ValueError, match="LIMIT requires ORDER BY"):
         sql_to_stream("SELECT a FROM t LIMIT 5")
+    with pytest.raises(ValueError, match="GROUP BY without aggregates"):
+        sql_to_stream("SELECT a FROM t GROUP BY a ORDER BY a ASC")
+    with pytest.raises(ValueError, match="HAVING requires GROUP BY"):
+        sql_to_stream("SELECT count(*) AS c FROM t HAVING count(*) > 5")
+    with pytest.raises(ValueError, match="WHERE literal"):
+        sql_to_stream("SELECT a FROM t WHERE b = 'x AND y' ORDER BY a ASC")
     with pytest.raises(ValueError, match="GROUP BY"):
         sql_to_stream("SELECT a, b, sum(c) AS s FROM t GROUP BY a ORDER BY a ASC")
     with pytest.raises(ValueError):
