@@ -1,0 +1,79 @@
+"""Per-process reader caches (reader.py): parquet handles + row-group
+(field, term) ranges, norm bytes, doc values — keyed by (path, mtime, size)
+so a delete-and-rebuild at the SAME path self-invalidates."""
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from lucene_solr_ray.corpus import generate_corpus
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.index.reader import (
+    read_postings_rows,
+    segment_norms_cached,
+)
+from lucene_solr_ray.search import Searcher
+from lucene_solr_ray.search.query import TermQuery
+
+
+def _build(d, analyzer=None, docs=300):
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    tbl = generate_corpus(docs)
+    build_index(ray.data.from_arrow(tbl), d, docs_per_segment=docs,
+                analyzer=analyzer)
+
+
+def test_postings_cache_hits_and_filters_exactly(ray_session, tmp_path):
+    d = str(tmp_path / "idx")
+    _build(d)
+    s = Searcher(d)
+    pf = s.reader.postings_files()[0]
+    t1 = read_postings_rows(pf, [("content", "license")])
+    t2 = read_postings_rows(pf, [("content", "license")])  # cached handle
+    assert t1.equals(t2)
+    assert set(t1["term"].to_pylist()) <= {"license"}
+    # missing term → empty with schema intact
+    t3 = read_postings_rows(pf, [("content", "zzz_not_a_term")])
+    assert len(t3) == 0 and "doc_blob" in t3.schema.names
+    # pruned columns drop the position stream
+    cols = ["seg", "field", "term", "df", "ttf", "doc_blob", "freq_blob",
+            "block_first_doc", "block_last_doc", "block_max_freq", "block_min_len"]
+    t4 = read_postings_rows(pf, [("content", "license")], cols)
+    assert "pos_blob" not in t4.schema.names and len(t4) == len(t1)
+
+
+def test_same_path_rebuild_invalidates_caches(ray_session, tmp_path):
+    from lucene_solr_ray.analysis.tokenizer import StandardAnalyzer
+
+    d = str(tmp_path / "idx")
+    _build(d, docs=200)
+    s = Searcher(d)
+    seg_d = s.reader.seg_dir(s.reader.segments[0]["seg"])
+    n1 = segment_norms_cached(seg_d)
+    r1 = s.search({"q": TermQuery("license")}, k=5, use_ray=False).to_pandas()
+
+    # rebuild the SAME path with a different analyzer → different index bytes
+    time.sleep(0.05)  # ensure a distinct mtime_ns even on coarse filesystems
+    _build(d, analyzer=StandardAnalyzer(stopwords=frozenset()), docs=200)
+    s2 = Searcher(d)
+    seg_d2 = s2.reader.seg_dir(s2.reader.segments[0]["seg"])
+    n2 = segment_norms_cached(seg_d2)
+    # no-stopword analyzer keeps more tokens → longer norms somewhere
+    assert n1.shape == n2.shape and not np.array_equal(n1, n2)
+    r2 = s2.search({"q": TermQuery("the")}, k=5, use_ray=False).to_pandas()
+    assert len(r2) > 0  # "the" only indexed in the no-stopword rebuild
+
+
+def test_norms_cache_readonly_and_stable(ray_session, tmp_path):
+    d = str(tmp_path / "idx")
+    _build(d)
+    s = Searcher(d)
+    seg_d = s.reader.seg_dir(s.reader.segments[0]["seg"])
+    n = segment_norms_cached(seg_d)
+    assert segment_norms_cached(seg_d) is n  # cached object identity
