@@ -2670,8 +2670,8 @@ def ft_mmr_rerank(sf_dir: str) -> pa.Table:
     the doc embeddings (vec_id ≡ doc_id). Deterministic (ties → doc asc)
     → (rank, doc_id).
 
-    rows-only driver check (greedy-iterative isn't SQL-expressible);
-    determinism + invariants pinned in pytest."""
+    Exact oracle: a DuckDB recursive CTE replays the greedy loop (LATERAL
+    argmax per step, objective rounded to 9 decimals on both sides)."""
     import pyarrow.parquet as pq_mod
 
     from ..util.vectors import vec_matrix
@@ -2696,7 +2696,11 @@ def ft_mmr_rerank(sf_dir: str) -> pa.Table:
     picked = np.zeros(n, dtype=bool)
     max_sim = np.zeros(n, dtype=np.float64)
     for _ in range(min(TOPK_K, n)):
-        mmr = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+        # objective rounded to 9 decimals on BOTH sides (engine + SQL):
+        # cosine evaluation order differs at the ulp level between numpy
+        # normalize-then-dot and DuckDB list_cosine_similarity — rounding
+        # collapses that noise identically (same trick as ft_mlt)
+        mmr = np.round(MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim, 9)
         mmr[picked] = -np.inf
         # deterministic argmax with doc-id tiebreak
         best = min(np.flatnonzero(mmr == mmr.max()), key=lambda i: ids[i])

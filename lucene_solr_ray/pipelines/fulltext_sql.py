@@ -219,6 +219,45 @@ ORDER BY did""")
     return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
 
 
+def sql_mmr_rerank(term: str, topn: int, lam: float, k: int = 10) -> str:
+    """MMR oracle: BM25 top-N candidates with min-max rel, then a recursive
+    CTE replays the greedy argmax of round(λ·rel − (1−λ)·maxsim, 9) with
+    doc-id tie-break; cosine over DOUBLE-cast embedding lists."""
+    return prelude() + "," + _term_score_cte("s1", term) + f""",
+topn AS (SELECT did, score FROM s1 ORDER BY score DESC, did ASC LIMIT {topn}),
+mm AS (SELECT min(score) AS lo, max(score) AS hi FROM topn),
+cand AS (
+  SELECT t.did,
+         CASE WHEN (SELECT hi FROM mm) > (SELECT lo FROM mm)
+              THEN (t.score - (SELECT lo FROM mm))
+                   / ((SELECT hi FROM mm) - (SELECT lo FROM mm))
+              ELSE 1.0 END AS rel,
+         CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM topn t JOIN embeddings e ON e.vec_id = t.did
+)
+SELECT rank, doc_id FROM (
+  WITH RECURSIVE mmr(it, sel, pick) AS (
+    SELECT 0, CAST([] AS BIGINT[]), CAST(NULL AS BIGINT)
+    UNION ALL
+    SELECT it + 1, list_append(sel, p.did), p.did
+    FROM mmr, LATERAL (
+      SELECT c.did
+      FROM cand c
+      WHERE NOT list_contains(mmr.sel, c.did)
+      ORDER BY round({lam!r} * c.rel - CASE WHEN len(mmr.sel) = 0 THEN 0.0
+                ELSE {1 - lam!r} * (SELECT max(list_cosine_similarity(c2.emb, c.emb))
+                                    FROM cand c2 WHERE list_contains(mmr.sel, c2.did)) END, 9) DESC,
+               c.did ASC
+      LIMIT 1
+    ) p
+    WHERE it < {k}
+  )
+  SELECT CAST(it - 1 AS BIGINT) AS rank, CAST(pick AS BIGINT) AS doc_id
+  FROM mmr WHERE it > 0
+) ORDER BY rank
+"""
+
+
 def sql_maxscore(specs: list[dict], k: int = 10) -> str:
     """{!maxscore} oracle: should clauses fold through
     max + (sum − max)·tie (DisjunctionMaxScorer order: disjuncts summed in
