@@ -1222,6 +1222,43 @@ ORDER BY round(score, 6) DESC, did ASC LIMIT {k}
     return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
 
 
+def sql_classify_knn(srcs: list[int], k: int = 10, min_tf: int = 2,
+                     min_df: int = 5, max_terms: int = 25) -> str:
+    """KNearestNeighborClassifier oracle: the sql_mlt neighbor machinery per
+    sample doc, then a class vote — count desc, round(Σ neighbor score, 6)
+    desc, class asc (engine tie order)."""
+    parts = []
+    for src in srcs:
+        parts.append(prelude() + f""",
+sel AS (
+  SELECT k.tok,
+         k.tf * (ln(((SELECT dc FROM stats) + 1) / CAST(i.df + 1 AS DOUBLE)) + {1.0!r}) AS ms
+  FROM tf k JOIN idf i USING (tok)
+  WHERE k.did = {src} AND k.tf >= {min_tf} AND i.df >= {min_df}
+  ORDER BY ms DESC, k.tok ASC LIMIT {max_terms}
+),
+sc AS (
+  SELECT k.did,
+         ((i.idf * {1.0!r}) * {K1 + 1!r}) * k.tf
+           / (k.tf + {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen) / (SELECT avgdl FROM avg_dl))) AS s
+  FROM tf k JOIN quant q USING (did) JOIN idf i ON k.tok = i.tok
+  WHERE k.tok IN (SELECT tok FROM sel)
+),
+agg AS (SELECT did, sum(s) AS score FROM sc GROUP BY did),
+nb AS (
+  SELECT did, score FROM agg WHERE did <> {src}
+  ORDER BY round(score, 6) DESC, did ASC LIMIT {k}
+),
+vote AS (
+  SELECT c.lang AS cls, count(*) AS n, round(sum(nb.score), 6) AS ssum
+  FROM nb JOIN corpus c ON c.did = nb.did GROUP BY c.lang
+)
+SELECT CAST({src} AS BIGINT) AS doc_id,
+       (SELECT cls FROM vote ORDER BY n DESC, ssum DESC, cls ASC LIMIT 1) AS assigned
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
 def sql_suggest_prefix(prefixes: list[str], num: int = 5) -> str:
     parts = []
     for pre in prefixes:

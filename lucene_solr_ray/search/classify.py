@@ -198,7 +198,9 @@ def classify_knn(searcher, doc_ids: list[int], k: int = 10,
         ssum: dict[str, float] = {}
         for i in ids:
             ssum[cmap[i]] = ssum.get(cmap[i], 0.0) + float(scores[i])
-        best = sorted(counts, key=lambda c: (-counts[c], -ssum[c], c))[0]
+        # ssum rounded to 6 decimals: the SHOULD-sum is float-order-dependent
+        # and the SQL oracle's sum() order is unspecified (ft_mlt precedent)
+        best = sorted(counts, key=lambda c: (-counts[c], -round(ssum[c], 6), c))[0]
         out_doc.append(did)
         out_cls.append(best)
     return pa.table(
