@@ -1961,16 +1961,30 @@ def ft_ltr_trees(sf_dir: str) -> pa.Table:
 
 def ft_schema_info(sf_dir: str) -> pa.Table:
     """Luke handler / FieldInfos listing (solr/core/.../handler/admin/
-    LukeRequestHandler.java): per-field doc_count / distinct terms / sum_df /
-    sum_ttf / has_norms from the committed manifest — verified against
-    recomputation from the raw documents."""
+    LukeRequestHandler.java): per-field doc_count / GLOBAL distinct terms /
+    sum_df / sum_ttf / has_norms. The manifest stores per-segment-sum
+    num_terms (terms counted once per segment); Luke semantics want distinct
+    terms across the whole index, so that one column is recomputed
+    distributively from the postings term dictionaries: column-pruned
+    (field, term) read → groupby(field, term) → groupby(field) count —
+    only term-dictionary rows shuffle, never postings payloads."""
+    import ray.data
+
     s = get_searcher(sf_dir)
     fs = s.reader.manifest["field_stats"]
     fields = sorted(fs)
+    nt = (
+        ray.data.read_parquet(s.reader.postings_files(),
+                              columns=["field", "term"])
+        .groupby(["field", "term"]).count()
+        .groupby("field").count()
+        .to_pandas()
+    )
+    num_terms = dict(zip(nt["field"], nt["count()"].astype(int)))
     return pa.table({
         "field": pa.array(fields, pa.string()),
         "doc_count": pa.array([fs[f]["doc_count"] for f in fields], pa.int64()),
-        "num_terms": pa.array([fs[f]["num_terms"] for f in fields], pa.int64()),
+        "num_terms": pa.array([num_terms.get(f, 0) for f in fields], pa.int64()),
         "sum_df": pa.array([fs[f]["sum_df"] for f in fields], pa.int64()),
         "sum_ttf": pa.array([fs[f]["sum_ttf"] for f in fields], pa.int64()),
         "has_norms": pa.array([fs[f]["has_norms"] for f in fields], pa.bool_()),
@@ -2690,23 +2704,34 @@ def ft_mmr_rerank(sf_dir: str) -> pa.Table:
     mat = vec_matrix(t["embedding"]).astype(np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     vpos = {int(v): i for i, v in enumerate(vids)}
+    # embeddings coverage is PARTIAL (sf0.1: 5000 docs, 2000 vectors) —
+    # candidates are the embedded subset of the BM25 top-N, with rel
+    # min-max-normalized over the FULL top-N first (the oracle's topn→mm→
+    # cand order: normalize, then inner-join embeddings)
+    covered = np.array([int(d) in vpos for d in ids], dtype=bool)
+    ids, rel = ids[covered], rel[covered]
     emb = mat[[vpos[int(d)] for d in ids]]
     n = len(ids)
     selected: list[int] = []
     picked = np.zeros(n, dtype=bool)
-    max_sim = np.zeros(n, dtype=np.float64)
+    # max_sim is max cosine over SELECTED docs only — it may be NEGATIVE
+    # (the oracle's CASE len(sel)=0 → 0 applies only before the first pick;
+    # flooring at 0 afterwards under-penalizes anti-similar docs)
+    max_sim = None
     for _ in range(min(TOPK_K, n)):
         # objective rounded to 9 decimals on BOTH sides (engine + SQL):
         # cosine evaluation order differs at the ulp level between numpy
         # normalize-then-dot and DuckDB list_cosine_similarity — rounding
         # collapses that noise identically (same trick as ft_mlt)
-        mmr = np.round(MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim, 9)
+        pen = np.zeros(n, dtype=np.float64) if max_sim is None else max_sim
+        mmr = np.round(MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * pen, 9)
         mmr[picked] = -np.inf
         # deterministic argmax with doc-id tiebreak
         best = min(np.flatnonzero(mmr == mmr.max()), key=lambda i: ids[i])
         selected.append(int(ids[best]))
         picked[best] = True
-        max_sim = np.maximum(max_sim, emb @ emb[best])
+        sim = emb @ emb[best]
+        max_sim = sim if max_sim is None else np.maximum(max_sim, sim)
     return pa.table({
         "rank": pa.array(np.arange(len(selected)), pa.int64()),
         "doc_id": pa.array(selected, pa.int64()),

@@ -1824,13 +1824,14 @@ GROUP BY c.source ORDER BY count DESC, value ASC
 """
 
 
-def sql_schema_info(docs_per_segment: int = 2_000) -> str:
+def sql_schema_info() -> str:
     """Field listing oracle: recompute each indexed field's stats from the
     documents table (keyword fields: one term per doc; the features field's
-    sum_ttf is the exact FeatureField freq encoding summed, num_terms counts
-    each feature once per segment — manifest stats are per-segment sums)."""
+    sum_ttf is the exact FeatureField freq encoding summed). num_terms is
+    GLOBAL distinct terms per field (Luke/FieldInfos semantics) — for the
+    features field that is the count of feature names actually present:
+    'doclen' when any doc has flen > 0, 'enlen' when any en doc does."""
     return prelude() + f""",
-nseg AS (SELECT CAST(ceil(CAST((SELECT dc FROM stats) AS DOUBLE) / {docs_per_segment}) AS BIGINT) AS n),
 feat AS (
   SELECT
     (SELECT count(*) FROM quant WHERE flen > 0)
@@ -1861,7 +1862,9 @@ SELECT * FROM (
          (SELECT count(*) FROM corpus), (SELECT count(*) FROM corpus), FALSE
   UNION ALL
   SELECT 'features', (SELECT count(*) FROM corpus),
-         2 * (SELECT n FROM nseg),
+         (SELECT CASE WHEN EXISTS (SELECT 1 FROM quant WHERE flen > 0) THEN 1 ELSE 0 END
+               + CASE WHEN EXISTS (SELECT 1 FROM quant q JOIN corpus c ON q.did = c.did
+                                   WHERE q.flen > 0 AND c.lang = 'en') THEN 1 ELSE 0 END),
          (SELECT sdf FROM feat), (SELECT sttf FROM feat), FALSE
 ) ORDER BY field
 """

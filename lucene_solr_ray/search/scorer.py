@@ -217,13 +217,17 @@ class SegmentScorer:
         accept-event count of the determinized automaton run over the doc's
         positions; weight combines ALL automaton terms' stats (summed idf,
         float64 accumulation cast once), scored through the tf kernel."""
-        from .termautomaton import automaton_doc_freq, determinize
+        from .termautomaton import ANY, automaton_doc_freq, determinize
 
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=self.sim.dtype))
         if self.lazy is None:
             raise ValueError("TermAutomatonQuery needs positional postings")
         step, accept, has_any = determinize(q)
-        terms = sorted(q.terms())
+        # idf accumulation order = first-appearance order in the transition
+        # list (the reference's termToID insertion order — getTermID is
+        # called per addTransition; float64 sum order must match the oracle)
+        terms = list(dict.fromkeys(
+            lbl for _, lbl, _ in q.transitions if lbl != ANY))
         data = {}
         union = []
         for t in terms:

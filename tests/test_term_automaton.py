@@ -78,6 +78,35 @@ def test_random_linear_automata_match_naive():
         assert got == _naive_freq_linear(slots, pos_of), (slots, assign)
 
 
+def test_any_gap_holding_query_term_token():
+    """`data ANY row` over doc ``data data row``: the gap position holds
+    another occurrence of a query term. Start 0 matches (ANY spans the
+    second `data`); start 1 does not (`row` would need position 3). freq
+    must be exactly 1 — the reference's multiset replay can double-advance
+    here (positions[lastPos] is both term-stepped and ANY-chained); the
+    declarative count is one per valid start position."""
+    q = _automaton_from_slots([(0, ("data",)), (2, ("row",))])
+    step, acc, has_any = determinize(q)
+    pos_of = {"data": np.asarray([0, 1]), "row": np.asarray([2])}
+    assert automaton_doc_freq(pos_of, step, acc, has_any) == 1
+
+
+def test_any_gap_over_stopword_hole():
+    """`data ANY row` over indexed positions ``data@0 row@2`` where
+    position 1 is a stopword hole (posIncr accumulation skips it): the
+    scorer cannot distinguish a hole from a non-query token, so ANY
+    matches it (TermAutomatonScorer's gap chain advances through every
+    intermediate position)."""
+    q = _automaton_from_slots([(0, ("data",)), (2, ("row",))])
+    step, acc, has_any = determinize(q)
+    pos_of = {"data": np.asarray([0]), "row": np.asarray([2])}
+    assert automaton_doc_freq(pos_of, step, acc, has_any) == 1
+    # but an adjacent-slot automaton must NOT match across the hole
+    q2 = _automaton_from_slots([(0, ("data",)), (1, ("row",))])
+    step2, acc2, any2 = determinize(q2)
+    assert automaton_doc_freq(pos_of, step2, acc2, any2) == 0
+
+
 def test_engine_equals_phrase_for_adjacent_terms(ray_session, tmp_path_factory):
     import ray.data
 
