@@ -209,9 +209,18 @@ def ann_ivf_topk(sf_dir: str, stats: dict | None = None) -> pa.Table:
         for ci, qi in enumerate(qsel):
             qid = int(qids_b[qi])
             m = ids != qid
-            out_q.append(np.full(int(m.sum()), qid, dtype=np.int64))
-            out_n.append(ids[m].astype(np.int64))
-            out_s.append(sims[m, ci])
+            cand_ids = ids[m].astype(np.int64)
+            cand_sims = sims[m, ci]
+            # per-(query, partition) TOP-K truncation: the cross-partition
+            # merge only needs each group's k best — without this the
+            # gather grows with partition size (sim desc, id asc tie-break
+            # keeps the final merge identical to the full emit)
+            if len(cand_ids) > TOP_K:
+                sel = np.lexsort((cand_ids, -cand_sims))[:TOP_K]
+                cand_ids, cand_sims = cand_ids[sel], cand_sims[sel]
+            out_q.append(np.full(len(cand_ids), qid, dtype=np.int64))
+            out_n.append(cand_ids)
+            out_s.append(cand_sims)
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate([*out_q, [-1]]), pa.int64()),
@@ -324,9 +333,18 @@ def ann_lsh_topk(sf_dir: str, stats: dict | None = None) -> pa.Table:
         for ci, qi in enumerate(qsel):
             qid = int(qids_b[qi])
             m = ids != qid
-            out_q.append(np.full(int(m.sum()), qid, dtype=np.int64))
-            out_n.append(ids[m].astype(np.int64))
-            out_s.append(sims[m, ci])
+            cand_ids = ids[m].astype(np.int64)
+            cand_sims = sims[m, ci]
+            # per-(query, partition) TOP-K truncation: the cross-partition
+            # merge only needs each group's k best — without this the
+            # gather grows with partition size (sim desc, id asc tie-break
+            # keeps the final merge identical to the full emit)
+            if len(cand_ids) > TOP_K:
+                sel = np.lexsort((cand_ids, -cand_sims))[:TOP_K]
+                cand_ids, cand_sims = cand_ids[sel], cand_sims[sel]
+            out_q.append(np.full(len(cand_ids), qid, dtype=np.int64))
+            out_n.append(cand_ids)
+            out_s.append(cand_sims)
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate([*out_q, [-1]]), pa.int64()),

@@ -230,20 +230,25 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b): LSH candidates (equal band signature) verified at exact
     Jaccard ≥ 0.5 via the integer test 2*inter ≥ union.
 
-    Scale shape:
+    Scale shape — every stage distributed, NOTHING corpus-sized touches the
+    driver (round-2 review: the per-block partial-count/verify funnels were
+    driver OOMs at 10⁹ docs; the tiny-row shuffle below is the scalable
+    choice):
     1. signatures: vectorized ``map_batches`` → (doc_id, band, h0..h{r-1})
-       rows, materialized once (the 100-TB analog is a bucketed Parquet
-       checkpoint; the object store holds it here).
-    2. hot buckets: per-block PARTIAL bucket counts (combiner pattern — only
-       (bucket, count) partials reach the driver), keep buckets with ≥ 2
-       docs. No all-to-all groupby: bucket cardinality ~ corpus, but the
-       partials per block are pre-deduplicated, and the hot set is bounded
-       by the duplicate volume.
-    3. pairs: a filter pass fetches ONLY hot-bucket rows; pair-gen runs on
-       those (tiny by the near-dup-rarity assumption, documented here).
-    4. verify: exact Jaccard over candidate docs ONLY (predicate-pushdown
-       read), vectorized fixed-width-string set intersection.
+       rows — n_docs × n_bands tiny integer rows.
+    2. bucket pair-gen: ``groupby(band, h0..h3).map_groups`` — ONE all-to-all
+       shuffle of the tiny signature rows; each bucket group emits its
+       candidate pairs locally (singleton buckets emit nothing).
+    3. cross-band dedup: ``groupby(doc_a, doc_b).count`` — shuffles only
+       candidate-pair rows (bounded by dup volume × bands).
+    4. verify: ``map_batches`` over the deduped pairs; each batch does ONE
+       predicate-pushdown read of exactly its candidate docs' texts and the
+       vectorized fixed-width-string Jaccard test. The pair→text join is
+       per-batch pushdown (row-group pruning on the sorted doc_id column),
+       never a driver-side dict of the corpus.
+    Only the final VERIFIED pairs (dup-volume-sized) are gathered.
     """
+    import pandas as pd
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
@@ -267,73 +272,62 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
             cols[f"h{j}"] = pa.array(sig[:, j::BAND_R].reshape(-1), pa.int64())
         return pa.table(cols)
 
-    sig_ds = _docs(sf_dir).map_batches(sigs, batch_format="pyarrow").materialize()
+    sig_ds = _docs(sf_dir).map_batches(sigs, batch_format="pyarrow")
 
     key_cols = ["band", *_BAND_COLS]
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.to_pandas()
-        g = df.groupby(key_cols, sort=False).size().reset_index(name="cnt")
-        return pa.Table.from_pandas(g[g.cnt >= 1], preserve_index=False)
-
-    import pandas as pd
-
-    parts = pa.concat_tables(
-        sig_ds.map_batches(partial_counts, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        )
-    ).to_pandas() if sig_ds.count() else pd.DataFrame(columns=[*key_cols, "cnt"])
-    totals = parts.groupby(key_cols, sort=False).cnt.sum() if len(parts) else pd.Series(dtype=np.int64)
-    hot = set(totals[totals >= 2].index)
     empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-    if not hot:
-        return empty
 
-    def only_hot(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        keys = list(zip(*(df[c] for c in key_cols)))
-        return pa.Table.from_pandas(
-            df[[k in hot for k in keys]], preserve_index=False
-        )
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            z = np.empty(0, dtype=np.int64)
+            return pd.DataFrame({"doc_a": z, "doc_b": z})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
-    hot_rows = pa.concat_tables(
-        sig_ds.map_batches(only_hot, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        )
-    ).to_pandas()
-    pair_set: set[tuple[int, int]] = set()
-    for _, grp in hot_rows.groupby(key_cols, sort=False):
-        ids = sorted(set(grp.doc_id))
-        pair_set.update(combinations(ids, 2))
-    if not pair_set:
-        return empty
-    pairs = np.array(sorted(pair_set), dtype=np.int64)
-
-    # verification: exact Jaccard over the candidate docs ONLY (pushdown read)
-    cand_ids = np.unique(pairs).tolist()
-    docs = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
-        columns=["doc_id", "text"], filter=pc.field("doc_id").isin(cand_ids)
+    uniq_pairs = (
+        sig_ds.groupby(key_cols).map_groups(bucket_pairs)
+        .groupby(["doc_a", "doc_b"]).count()
     )
-    sh_of = {
-        int(d): _shingle_u8(normalize(t or ""))
-        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
-    }
-    keep_a, keep_b = [], []
-    for a, b in pairs:
-        A, B = sh_of[int(a)], sh_of[int(b)]
-        inter = len(np.intersect1d(A, B, assume_unique=True))
-        union = len(A) + len(B) - inter
-        if union and 2 * inter >= union:
-            keep_a.append(int(a))
-            keep_b.append(int(b))
-    return pa.table(
-        {
-            "doc_a": pa.array(np.asarray(keep_a, dtype=np.int64), pa.int64()),
-            "doc_b": pa.array(np.asarray(keep_b, dtype=np.int64), pa.int64()),
+
+    doc_path = f"{sf_dir}/documents.parquet"
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        a = batch["doc_a"].to_numpy().astype(np.int64)
+        b = batch["doc_b"].to_numpy().astype(np.int64)
+        cand = np.unique(np.concatenate([a, b])).tolist()
+        docs = pads.dataset(doc_path).to_table(
+            columns=["doc_id", "text"], filter=pc.field("doc_id").isin(cand)
+        )
+        sh_of = {
+            int(d): _shingle_u8(normalize(t or ""))
+            for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
         }
+        keep_a, keep_b = [], []
+        for x, y in zip(a, b):
+            A, B = sh_of[int(x)], sh_of[int(y)]
+            inter = len(np.intersect1d(A, B, assume_unique=True))
+            union = len(A) + len(B) - inter
+            if union and 2 * inter >= union:
+                keep_a.append(int(x))
+                keep_b.append(int(y))
+        return pa.table(
+            {
+                "doc_a": pa.array(np.asarray(keep_a, dtype=np.int64), pa.int64()),
+                "doc_b": pa.array(np.asarray(keep_b, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    verified = uniq_pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+        verify, batch_format="pyarrow"
     )
+    tbl = pa.concat_tables(
+        [empty, *verified.iter_batches(batch_format="pyarrow")]
+    )
+    order = np.lexsort((tbl["doc_b"].to_numpy(), tbl["doc_a"].to_numpy()))
+    return tbl.take(order)
 
 
 # h = Σ_j unicode(sh[j])·B^j mod P — same polynomial as shingle_hashes;
@@ -630,8 +624,11 @@ def dedup_substring(sf_dir: str) -> pa.Table:
     shuffle, never text — then ``groupby(window_md5)`` emits per-doc partial
     dup counts only for duplicated groups (boilerplate-heavy groups are
     linear scans), and a second small ``groupby(doc_id)`` combines partials.
-    The per-doc window totals ride a shuffle-free side aggregate; at 100 TB
-    the final decoration join runs distributed instead of on the driver."""
+    The per-doc window totals ride a shuffle-free side aggregate; the final
+    decoration is a DISTRIBUTED left-outer hash join (``Dataset.join``) of
+    totals ⟕ dup-counts — the driver only gathers the joined result rows
+    (at 100 TB this tail becomes ``write_parquet``; no driver-side
+    ``pa.Table.join`` over the corpus anywhere)."""
     import ray.data
     from ray.data.aggregate import Sum
 
@@ -665,14 +662,6 @@ def dedup_substring(sf_dir: str) -> pa.Table:
         .groupby("doc_id")
         .aggregate(Sum("dups", alias_name="n_dup_windows"))
     )
-    dup_batches = list(dup.iter_batches(batch_format="pyarrow"))
-    dup_tbl = (
-        pa.concat_tables(dup_batches)
-        if dup_batches
-        else pa.table(  # no duplicated window anywhere — Ray drops 0-row blocks
-            {"doc_id": pa.array([], pa.int64()), "n_dup_windows": pa.array([], pa.int64())}
-        )
-    )
 
     def totals(batch: pa.Table) -> pa.Table:
         # count-only pass: window count is len(tokens)-W+1, no re-hashing
@@ -688,16 +677,28 @@ def dedup_substring(sf_dir: str) -> pa.Table:
         )
 
     tot = _docs(sf_dir).map_batches(totals, batch_format="pyarrow")
-    tot_tbl = pa.concat_tables(tot.iter_batches(batch_format="pyarrow"))
-    out = tot_tbl.join(dup_tbl, keys=["doc_id"], join_type="left outer")
-    nd = out["n_dup_windows"].combine_chunks().fill_null(0)
-    return pa.table(
-        {
-            "doc_id": out["doc_id"].cast(pa.int64()),
-            "n_windows": out["n_windows"].cast(pa.int64()),
-            "n_dup_windows": nd.cast(pa.int64()),
-        }
-    ).sort_by("doc_id")
+    joined = tot.join(dup, "left_outer", num_partitions=8, on=("doc_id",))
+    out_batches = [
+        pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_windows": b["n_windows"].cast(pa.int64()),
+                "n_dup_windows": b["n_dup_windows"]
+                .combine_chunks().fill_null(0).cast(pa.int64()),
+            }
+        )
+        for b in joined.iter_batches(batch_format="pyarrow")
+        if len(b)
+    ]
+    if not out_batches:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_windows": pa.array([], pa.int64()),
+                "n_dup_windows": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(out_batches).sort_by("doc_id")
 
 
 SQL_DEDUP_SUBSTRING = f"""

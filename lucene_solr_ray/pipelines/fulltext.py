@@ -1798,14 +1798,27 @@ def ft_export(sf_dir: str) -> pa.Table:
     loop → (rank, doc_id, path)."""
     s = get_searcher(sf_dir)
     scattered = s._scatter_match(TermQuery(EXPORT_TERM), "field_vals", field="path")
-    out = scattered.sort("value")
-    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
-    order = np.lexsort((tbl["doc_id"].to_numpy(), np.asarray(tbl["value"].to_pylist(), dtype=object)))
-    return pa.table({
-        "rank": pa.array(np.arange(len(order)), pa.int64()),
-        "doc_id": pa.array(tbl["doc_id"].to_numpy()[order], pa.int64()),
-        "path": pa.array(np.asarray(tbl["value"].to_pylist(), dtype=object)[order], pa.string()),
-    })
+    # ONE distributed sort on (value, doc_id); ranks are assigned per block
+    # from running prefix offsets as the sorted stream is consumed — no
+    # driver re-sort, no driver copy of the unsorted match set
+    out = scattered.sort(["value", "doc_id"])
+    parts, base = [], 0
+    for b in out.iter_batches(batch_format="pyarrow"):
+        if not len(b):
+            continue
+        parts.append(pa.table({
+            "rank": pa.array(np.arange(base, base + len(b)), pa.int64()),
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "path": b["value"].cast(pa.string()),
+        }))
+        base += len(b)
+    if not parts:
+        return pa.table({
+            "rank": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "path": pa.array([], pa.string()),
+        })
+    return pa.concat_tables(parts)
 
 
 COLLAPSE_K = 8

@@ -27,31 +27,35 @@ from .query import CONTENT_FIELD
 
 def _term_df(reader, field: str, flt) -> pa.Table:
     """Distributed (term, df) aggregation over postings blocks with a
-    per-block vectorized filter ``flt(term_array) -> mask``; only surviving
-    (term, df) partials reach the driver, summed per term there."""
+    per-block vectorized filter ``flt(term_array) -> mask``, summed per
+    term by a distributed ``groupby(term).aggregate(Sum)`` — only the
+    FINAL per-term rows reach the driver. (An unselective filter — e.g.
+    the infix suggester's substring match over the whole vocabulary —
+    would otherwise funnel vocab-sized partials into driver pandas.)"""
     import ray.data
+    from ray.data.aggregate import Sum
 
     def pick(batch: pa.Table) -> pa.Table:
         terms = batch["term"]
         mask = flt(terms)
         sel = batch.filter(pa.array(mask))
-        return pa.table({"term": sel["term"], "df": sel["df"]})
+        return pa.table({"term": sel["term"], "df": sel["df"].cast(pa.int64())})
 
-    ds = ray.data.read_parquet(
-        reader.postings_files(),
-        columns=["field", "term", "df"],
-        filter=pa.compute.field("field") == field,
-    ).map_batches(pick, batch_format="pyarrow")
-    empty = pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
-    parts = pa.concat_tables(
-        [empty, *ds.iter_batches(batch_format="pyarrow")], promote_options="default"
+    ds = (
+        ray.data.read_parquet(
+            reader.postings_files(),
+            columns=["field", "term", "df"],
+            filter=pa.compute.field("field") == field,
+        )
+        .map_batches(pick, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
     )
-    if not len(parts):
-        return empty
-    import pandas as pd
-
-    agg = parts.to_pandas().groupby("term", sort=False).df.sum().reset_index()
-    return pa.Table.from_pandas(agg, preserve_index=False)
+    empty = pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    return pa.concat_tables(
+        [empty, *(b for b in ds.iter_batches(batch_format="pyarrow") if len(b))],
+        promote_options="default",
+    )
 
 
 def suggest_prefix(reader, prefix: str, num: int = 5, field: str = CONTENT_FIELD) -> pa.Table:
