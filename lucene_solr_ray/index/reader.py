@@ -41,8 +41,14 @@ def pairs_filter(pairs):
 # ~0.43s/query of pyarrow dataset-filter overhead (file opens + metadata +
 # stat evaluation over 10 files) drops to ~0.05s with cached handles and a
 # direct row-group binary search (measured on a 10-segment 200k index).
-_PF_CACHE: dict[str, tuple] = {}
-_PF_CACHE_MAX = 4096
+# Each entry holds an OPEN ParquetFile (one fd): true LRU with explicit
+# close on eviction, capped well below the common `ulimit -n` 1024 so an
+# index with more segment files than the fd limit can't exhaust
+# descriptors (clear-all + GC-closed handles did at >1024 segments).
+from collections import OrderedDict
+
+_PF_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_PF_CACHE_MAX = 512
 
 
 def _postings_handle(path: str):
@@ -55,6 +61,7 @@ def _postings_handle(path: str):
     key = (path, st.st_mtime_ns, st.st_size)
     hit = _PF_CACHE.get(key)
     if hit is not None:
+        _PF_CACHE.move_to_end(key)  # mark most-recently-used
         return hit
     pf = pq.ParquetFile(path)
     md = pf.metadata
@@ -69,8 +76,12 @@ def _postings_handle(path: str):
             ranges.append(None)  # stats missing/degenerate → never prune
         else:
             ranges.append((fs.min, fs.max, ts.min, ts.max))
-    if len(_PF_CACHE) >= _PF_CACHE_MAX:
-        _PF_CACHE.clear()
+    while len(_PF_CACHE) >= _PF_CACHE_MAX:
+        _, (old_pf, _old_ranges) = _PF_CACHE.popitem(last=False)
+        try:
+            old_pf.close()
+        except Exception:
+            pass  # eviction must never fail a read
     _PF_CACHE[key] = (pf, ranges)
     return pf, ranges
 

@@ -197,6 +197,13 @@ def sql_to_stream(sql: str) -> str:
     if group_by and not aggs:
         raise ValueError("GROUP BY without aggregates is not supported "
                          "(use SELECT DISTINCT)")
+    if aggs and not group_by and cols:
+        # e.g. SELECT a, count(*) FROM t — would lower to stats() plus a
+        # projection of a column the stats stream never emits
+        raise ValueError(
+            "non-aggregated SELECT columns "
+            f"{[c for c, _ in cols]} require GROUP BY"
+        )
     if having and not group_by:
         raise ValueError("HAVING requires GROUP BY")
     q = f' q="{" AND ".join(q_clauses)}"' if q_clauses else ""

@@ -70,6 +70,32 @@ def test_same_path_rebuild_invalidates_caches(ray_session, tmp_path):
     assert len(r2) > 0  # "the" only indexed in the no-stopword rebuild
 
 
+def test_postings_cache_lru_closes_evicted_handles(ray_session, tmp_path, monkeypatch):
+    """The handle cache holds open fds: eviction must be LRU and must CLOSE
+    the evicted ParquetFile so an index with more segment files than
+    `ulimit -n` cannot exhaust descriptors."""
+    from lucene_solr_ray.index import reader as rmod
+
+    d = str(tmp_path / "idx")
+    tbl = generate_corpus(120)
+    build_index(ray.data.from_arrow(tbl), d, docs_per_segment=20)  # 6 segments
+    s = Searcher(d)
+    files = s.reader.postings_files()
+    assert len(files) >= 4
+    monkeypatch.setattr(rmod, "_PF_CACHE_MAX", 2)
+    rmod._PF_CACHE.clear()
+    for pf in files:
+        read_postings_rows(pf, [("content", "license")])
+    assert len(rmod._PF_CACHE) <= 2
+    # least-recently-used entries were evicted; the kept keys are the last two
+    kept = [k[0] for k in rmod._PF_CACHE]
+    assert kept == files[-2:]
+    # an evicted file re-reads correctly through a fresh handle
+    t = read_postings_rows(files[0], [("content", "license")])
+    assert len(t) > 0
+    rmod._PF_CACHE.clear()
+
+
 def test_norms_cache_readonly_and_stable(ray_session, tmp_path):
     d = str(tmp_path / "idx")
     _build(d)

@@ -89,6 +89,10 @@ def test_errors():
         sql_to_stream("SELECT a FROM t GROUP BY a ORDER BY a ASC")
     with pytest.raises(ValueError, match="HAVING requires GROUP BY"):
         sql_to_stream("SELECT count(*) AS c FROM t HAVING count(*) > 5")
+    with pytest.raises(ValueError, match="require GROUP BY"):
+        # bare column + aggregate without GROUP BY: previously lowered to a
+        # stats() stream projecting a column stats never emits
+        sql_to_stream("SELECT a, count(*) AS c FROM t")
     with pytest.raises(ValueError, match="WHERE literal"):
         sql_to_stream("SELECT a FROM t WHERE b = 'x AND y' ORDER BY a ASC")
     with pytest.raises(ValueError, match="GROUP BY"):
