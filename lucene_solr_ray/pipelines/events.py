@@ -39,12 +39,23 @@ def events_hourly(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["user_id", "ts", "value"]).to_pandas()
-        df["hour"] = df["ts"].dt.floor("h")
-        g = df.groupby(["user_id", "hour"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
+        # zero-copy Arrow path: temporal floor + hash group_by, no pandas
+        import pyarrow.compute as pc
+
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+            "value": batch["value"],
+        })
+        g = pa.TableGroupBy(t, ["user_id", "hour"]).aggregate(
+            [("value", "count"), ("value", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({
+            "user_id": g["user_id"],
+            "hour": g["hour"],
+            "n_events": g["value_count"].cast(pa.int64()),
+            "sum_value": g["value_sum"],
+        })
 
     ds = _events(sf_dir, ("user_id", "ts", "value")).map_batches(partial, batch_format="pyarrow")
     out = ds.groupby(["user_id", "hour"]).aggregate(
@@ -82,18 +93,28 @@ def events_hopping(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["event_type", "ts", "value"]).to_pandas()
-        w1 = df["ts"].dt.floor("30min")
-        rows = pd.concat(
-            [
-                df.assign(window_start=w1),
-                df.assign(window_start=w1 - pd.Timedelta(minutes=30)),
-            ]
+        # Arrow-native: 30-min temporal floor, shifted copy for the second
+        # member window, one hash group_by — no pandas round-trip
+        import pyarrow.compute as pc
+
+        w1 = pc.floor_temporal(batch["ts"], multiple=30, unit="minute")
+        half_hour = pa.scalar(30 * 60 * 1_000_000, pa.duration("us"))
+        rows = pa.concat_tables([
+            pa.table({"event_type": batch["event_type"], "window_start": w1,
+                      "value": batch["value"]}),
+            pa.table({"event_type": batch["event_type"],
+                      "window_start": pc.subtract(w1, half_hour),
+                      "value": batch["value"]}),
+        ])
+        g = pa.TableGroupBy(rows, ["event_type", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum")]
         )
-        g = rows.groupby(["event_type", "window_start"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({
+            "event_type": g["event_type"],
+            "window_start": g["window_start"],
+            "n_events": g["value_count"].cast(pa.int64()),
+            "sum_value": g["value_sum"],
+        })
 
     ds = _events(sf_dir, ("event_type", "ts", "value")).map_batches(partial, batch_format="pyarrow")
     out = ds.groupby(["event_type", "window_start"]).aggregate(
@@ -182,11 +203,15 @@ def events_type_stats(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count, Max, Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["event_type", "user_id", "value"]).to_pandas()
-        g = df.groupby("event_type", as_index=False).agg(
-            n=("value", "size"), min_v=("value", "min"), max_v=("value", "max")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.TableGroupBy(
+            batch.select(["event_type", "value"]), "event_type"
+        ).aggregate([("value", "count"), ("value", "min"), ("value", "max")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "n": g["value_count"].cast(pa.int64()),
+            "min_v": g["value_min"],
+            "max_v": g["value_max"],
+        })
 
     ds = _events(sf_dir, ("event_type", "user_id", "value")).map_batches(partial, batch_format="pyarrow")
     agg = ds.groupby("event_type").aggregate(
@@ -194,8 +219,11 @@ def events_type_stats(sf_dir: str) -> pa.Table:
     )
 
     def pair_partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["event_type", "user_id"]).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # per-batch (type, user) dedup via count group_by — Arrow-native
+        g = pa.TableGroupBy(
+            batch.select(["event_type", "user_id"]), ["event_type", "user_id"]
+        ).aggregate([])
+        return g
 
     pairs = _events(sf_dir, ("event_type", "user_id")).map_batches(pair_partial, batch_format="pyarrow")
     distinct_pairs = pairs.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c"))
@@ -275,11 +303,18 @@ def events_top_users(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["user_id", "ts"]).to_pandas()
-        df["hour"] = df["ts"].dt.floor("h")
-        g = df.groupby(["hour", "user_id"], as_index=False).size()
-        g = g.rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        import pyarrow.compute as pc
+
+        t = pa.table({
+            "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+            "user_id": batch["user_id"],
+        })
+        g = pa.TableGroupBy(t, ["hour", "user_id"]).aggregate([([], "count_all")])
+        return pa.table({
+            "hour": g["hour"],
+            "user_id": g["user_id"],
+            "n": g["count_all"].cast(pa.int64()),
+        })
 
     ds = _events(sf_dir, ("user_id", "ts")).map_batches(partial, batch_format="pyarrow")
     counts = ds.groupby(["hour", "user_id"]).aggregate(Sum("n", alias_name="n"))
@@ -335,12 +370,10 @@ def events_props_stats(sf_dir: str) -> pa.Table:
         # rows without an extractable k are EXCLUDED (n counts k-bearing rows
         # only) — a null would otherwise become a NaN partial that poisons
         # Min/Max through the shuffle and breaks the final int cast
-        valid = pc.is_valid(kv).to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({
-            "event_type": np.asarray(batch["event_type"].to_pylist(), dtype=object)[valid],
-            "k": kv.to_pandas()[valid].astype(np.int64),
-        })
-        if df.empty:
+        t = pa.table({"event_type": batch["event_type"], "k": kv}).filter(
+            pc.is_valid(kv)
+        )
+        if not len(t):
             return pa.table({
                 "event_type": pa.array([], pa.string()),
                 "n": pa.array([], pa.int64()),
@@ -348,11 +381,16 @@ def events_props_stats(sf_dir: str) -> pa.Table:
                 "k_max": pa.array([], pa.int64()),
                 "k_sum": pa.array([], pa.int64()),
             })
-        g = df.groupby("event_type", as_index=False).agg(
-            n=("k", "size"), k_min=("k", "min"), k_max=("k", "max"),
-            k_sum=("k", "sum"),
+        g = pa.TableGroupBy(t, "event_type").aggregate(
+            [("k", "count"), ("k", "min"), ("k", "max"), ("k", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({
+            "event_type": g["event_type"],
+            "n": g["k_count"].cast(pa.int64()),
+            "k_min": g["k_min"].cast(pa.int64()),
+            "k_max": g["k_max"].cast(pa.int64()),
+            "k_sum": g["k_sum"].cast(pa.int64()),
+        })
 
     ds = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
     from ray.data.aggregate import Sum as _S

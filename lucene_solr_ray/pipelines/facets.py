@@ -28,9 +28,12 @@ def facet_counts(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().groupby(["lang", "source"], as_index=False).size()
-        return pa.Table.from_pandas(df.rename(columns={"size": "n"}),
-                                    preserve_index=False)
+        g = pa.TableGroupBy(batch, ["lang", "source"]).aggregate([([], "count_all")])
+        return pa.table({
+            "lang": g["lang"],
+            "source": g["source"],
+            "n": g["count_all"].cast(pa.int64()),
+        })
 
     out = (
         _docs(sf_dir, ("lang", "source"))
@@ -96,14 +99,17 @@ def lang_char_stats(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Max, Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["lang", "n_chars"]).to_pandas()
-        g = df.groupby("lang", as_index=False).agg(
-            n=("n_chars", "size"),
-            min_chars=("n_chars", "min"),
-            max_chars=("n_chars", "max"),
-            sum_chars=("n_chars", "sum"),
+        g = pa.TableGroupBy(batch.select(["lang", "n_chars"]), "lang").aggregate(
+            [("n_chars", "count"), ("n_chars", "min"),
+             ("n_chars", "max"), ("n_chars", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({
+            "lang": g["lang"],
+            "n": g["n_chars_count"].cast(pa.int64()),
+            "min_chars": g["n_chars_min"],
+            "max_chars": g["n_chars_max"],
+            "sum_chars": g["n_chars_sum"],
+        })
 
     ds = _docs(sf_dir, ("lang", "n_chars")).map_batches(partial, batch_format="pyarrow")
     out = ds.groupby("lang").aggregate(
