@@ -1,0 +1,274 @@
+"""Language analysis packs: German and French analyzer chains.
+
+Mirrors the reference analyzers' semantics (NOT their token-filter
+plumbing):
+
+- German (``analysis/common/.../de/GermanAnalyzer.java:133-139``):
+  tokenize → lowercase → stop(German) → [keyword marker] →
+  GermanNormalizationFilter → GermanLightStemFilter.
+  * :func:`german_normalize` — the 3-state FSM of
+    ``de/GermanNormalizationFilter.java:41-105`` (ß→ss, umlaut folding,
+    ae/oe→a/o always, ue→u when not preceded by a vowel or q).
+  * :func:`german_light_stem` — the UniNE light stemmer of
+    ``de/GermanLightStemmer.java:65-140`` (Savoy 2006: accent fold +
+    two plural/case-suffix strip steps with valid s/st endings).
+
+- French (``analysis/common/.../fr/FrenchAnalyzer.java:137-144``):
+  tokenize → elision(articles) → lowercase → stop(French) →
+  [keyword marker] → FrenchLightStemFilter.
+  * :func:`french_elide` — ``util/ElisionFilter.java`` with
+    ``FrenchAnalyzer.DEFAULT_ARTICLES`` (l, m, t, qu, n, s, j, d, c,
+    jusqu, quoiqu, lorsqu, puisqu; case-insensitive). NOTE: the engine's
+    tokenizers split at apostrophes (``l'avion`` → ``l``, ``avion``), so
+    elision only fires on tokens that still carry an apostrophe; the
+    article fragments it would strip are covered by the French stopword
+    list instead (positions differ from Lucene's single-token treatment
+    by one hole — documented divergence).
+  * :func:`french_light_stem` — the UniNE light stemmer of
+    ``fr/FrenchLightStemmer.java:66-265`` transcribed branch-for-branch
+    (including the fall-through ``trice``/``ète``/``ique`` steps and the
+    ``norm()`` tail: accent fold, adjacent-duplicate collapse, ie/r/e/e
+    strip, final double-letter strip).
+
+Stopword lists are the snowball data lists the reference loads
+(``analysis/snowball/{german,french}_stop.txt``).
+"""
+
+from __future__ import annotations
+
+GERMAN_STOP_WORDS = frozenset("""
+aber alle allem allen aller alles als also am an ander andere anderem anderen
+anderer anderes anderm andern anderr anders auch auf aus bei bin bis bist da
+damit dann der den des dem die das daß derselbe derselben denselben desselben
+demselben dieselbe dieselben dasselbe dazu dein deine deinem deinen deiner
+deines denn derer dessen dich dir du dies diese diesem diesen dieser dieses
+doch dort durch ein eine einem einen einer eines einig einige einigem einigen
+einiger einiges einmal er ihn ihm es etwas euer eure eurem euren eurer eures
+für gegen gewesen hab habe haben hat hatte hatten hier hin hinter ich mich mir
+ihr ihre ihrem ihren ihrer ihres euch im in indem ins ist jede jedem jeden
+jeder jedes jene jenem jenen jener jenes jetzt kann kein keine keinem keinen
+keiner keines können könnte machen man manche manchem manchen mancher manches
+mein meine meinem meinen meiner meines mit muss musste nach nicht nichts noch
+nun nur ob oder ohne sehr sein seine seinem seinen seiner seines selbst sich
+sie ihnen sind so solche solchem solchen solcher solches soll sollte sondern
+sonst über um und uns unse unsem unsen unser unses unter viel vom von vor
+während war waren warst was weg weil weiter welche welchem welchen welcher
+welches wenn werde werden wie wieder will wir wird wirst wo wollen wollte
+würde würden zu zum zur zwar zwischen
+""".split())
+
+FRENCH_STOP_WORDS = frozenset("""
+au aux avec ce ces dans de des du elle en et eux il je la le leur lui ma mais
+me même mes moi mon ne nos notre nous on ou par pas pour qu que qui sa se ses
+son sur ta te tes toi ton tu un une vos votre vous c d j l à m n s t y été
+étée étées étés étant suis es est sommes êtes sont serai seras sera serons
+serez seront serais serait serions seriez seraient étais était étions étiez
+étaient fus fut fûmes fûtes furent sois soit soyons soyez soient fusse fusses
+fût fussions fussiez fussent ayant eu eue eues eus ai as avons avez ont aurai
+auras aura aurons aurez auront aurais aurait aurions auriez auraient avais
+avait avions aviez avaient eut eûmes eûtes eurent aie aies ait ayons ayez
+aient eusse eusses eût eussions eussiez eussent ceci cela celà cet cette ici
+ils les leurs quel quels quelle quelles sans soi
+""".split())
+
+FRENCH_ARTICLES = frozenset(
+    ("l", "m", "t", "qu", "n", "s", "j", "d", "c",
+     "jusqu", "quoiqu", "lorsqu", "puisqu")
+)
+
+_APOSTROPHES = ("'", "’")
+
+
+def french_elide(token: str) -> str:
+    """Strip a leading elided article (``l'avion`` → ``avion``); the match
+    is case-insensitive and also accepts the typographic apostrophe
+    (ElisionFilter semantics). Non-matching tokens pass through."""
+    for ap in _APOSTROPHES:
+        i = token.find(ap)
+        if i > 0 and token[:i].lower() in FRENCH_ARTICLES and i + 1 < len(token):
+            return token[i + 1:]
+    return token
+
+
+def german_normalize(term: str) -> str:
+    """GermanNormalizationFilter FSM (``de/GermanNormalizationFilter.java``):
+    N = ordinary, V = stops u from entering umlaut state, U = umlaut state
+    (allows deletion of a following e)."""
+    N, V, U = 0, 1, 2
+    state = N
+    out: list[str] = []
+    for c in term:
+        if c in ("a", "o"):
+            out.append(c)
+            state = U
+        elif c == "u":
+            out.append(c)
+            state = U if state == N else V
+        elif c == "e":
+            if state == U:
+                state = V
+                continue  # delete the e of ae/oe/ue
+            out.append(c)
+            state = V
+        elif c in ("i", "q", "y"):
+            out.append(c)
+            state = V
+        elif c == "ä":
+            out.append("a")
+            state = V
+        elif c == "ö":
+            out.append("o")
+            state = V
+        elif c == "ü":
+            out.append("u")
+            state = V
+        elif c == "ß":
+            out.append("ss")
+            state = N
+        else:
+            out.append(c)
+            state = N
+    return "".join(out)
+
+
+_DE_FOLD = str.maketrans({
+    "ä": "a", "à": "a", "á": "a", "â": "a",
+    "ö": "o", "ò": "o", "ó": "o", "ô": "o",
+    "ï": "i", "ì": "i", "í": "i", "î": "i",
+    "ü": "u", "ù": "u", "ú": "u", "û": "u",
+})
+
+_DE_S_END = frozenset("bdfghklmnt")
+
+
+def german_light_stem(term: str) -> str:
+    """UniNE German light stemmer (``de/GermanLightStemmer.java``)."""
+    s = term.translate(_DE_FOLD)
+    ln = len(s)
+    # step 1 (first matching branch wins — Java returns)
+    if ln > 5 and s.endswith("ern"):
+        ln -= 3
+    elif ln > 4 and s[ln - 2] == "e" and s[ln - 1] in "mnrs":
+        ln -= 2
+    elif ln > 3 and s[ln - 1] == "e":
+        ln -= 1
+    elif ln > 3 and s[ln - 1] == "s" and s[ln - 2] in _DE_S_END:
+        ln -= 1
+    s = s[:ln]
+    # step 2
+    if ln > 5 and s.endswith("est"):
+        ln -= 3
+    elif ln > 4 and s[ln - 2] == "e" and s[ln - 1] in "rn":
+        ln -= 2
+    elif ln > 4 and s.endswith("st") and s[ln - 3] in _DE_S_END:
+        ln -= 2
+    return s[:ln]
+
+
+_FR_FOLD = str.maketrans({
+    "à": "a", "á": "a", "â": "a", "ô": "o",
+    "è": "e", "é": "e", "ê": "e",
+    "ù": "u", "û": "u", "î": "i", "ç": "c",
+})
+
+
+def _fr_norm(s: str) -> str:
+    """``FrenchLightStemmer.norm()``: accent fold + adjacent-duplicate
+    collapse (len>4), ie-strip, then sequential r/e/e/double-letter strip."""
+    if len(s) > 4:
+        s = s.translate(_FR_FOLD)
+        out = [s[0]]
+        for c in s[1:]:
+            if c == out[-1] and c.isalpha():
+                continue
+            out.append(c)
+        s = "".join(out)
+    if len(s) > 4 and s.endswith("ie"):
+        s = s[:-2]
+    if len(s) > 4:
+        # Java strips inside one len>4 guard without re-checking: r, e, e,
+        # then a trailing double letter
+        if s.endswith("r"):
+            s = s[:-1]
+        if s.endswith("e"):
+            s = s[:-1]
+        if s.endswith("e"):
+            s = s[:-1]
+        if len(s) >= 2 and s[-1] == s[-2] and s[-1].isalpha():
+            s = s[:-1]
+    return s
+
+
+def french_light_stem(term: str) -> str:  # noqa: C901 — transcribed branches
+    """UniNE French light stemmer (``fr/FrenchLightStemmer.java``),
+    branch-for-branch."""
+    s = term
+    if len(s) > 5 and s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u" and s[-4] != "e":
+            s = s[:-2] + "l" + s[-1]
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "x":
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "s":
+        s = s[:-1]
+    if len(s) > 9 and s.endswith("issement"):
+        return _fr_norm(s[:-7] + "r")
+    if len(s) > 8 and s.endswith("issant"):
+        return _fr_norm(s[:-5] + "r")
+    if len(s) > 6 and s.endswith("ement"):
+        s = s[:-4]
+        if len(s) > 3 and s.endswith("ive"):
+            s = s[:-2] + "f"
+        return _fr_norm(s)
+    if len(s) > 11 and s.endswith("ficatrice"):
+        return _fr_norm(s[:-7] + "er")
+    if len(s) > 10 and s.endswith("ficateur"):
+        return _fr_norm(s[:-6] + "er")
+    if len(s) > 9 and s.endswith("catrice"):
+        return _fr_norm(s[:-7] + "quer")
+    if len(s) > 8 and s.endswith("cateur"):
+        return _fr_norm(s[:-6] + "quer")
+    if len(s) > 8 and s.endswith("atrice"):
+        return _fr_norm(s[:-6] + "er")
+    if len(s) > 7 and s.endswith("ateur"):
+        return _fr_norm(s[:-5] + "er")
+    if len(s) > 6 and s.endswith("trice"):
+        s = s[:-4] + "eur"  # falls through (no return in the Java source)
+    if len(s) > 5 and s.endswith("ième"):
+        return _fr_norm(s[:-4])
+    if len(s) > 7 and s.endswith("teuse"):
+        return _fr_norm(s[:-3] + "r")
+    if len(s) > 6 and s.endswith("teur"):
+        return _fr_norm(s[:-2] + "r")
+    if len(s) > 5 and s.endswith("euse"):
+        return _fr_norm(s[:-2])
+    if len(s) > 8 and s.endswith("ère"):
+        return _fr_norm(s[:-3] + "er")
+    if len(s) > 7 and s.endswith("ive"):
+        return _fr_norm(s[:-2] + "f")
+    if len(s) > 4 and (s.endswith("folle") or s.endswith("molle")):
+        return _fr_norm(s[:-3] + "u")
+    if len(s) > 9 and s.endswith("nnelle"):
+        return _fr_norm(s[:-5])
+    if len(s) > 9 and s.endswith("nnel"):
+        return _fr_norm(s[:-3])
+    if len(s) > 4 and s.endswith("ète"):
+        s = s[:-3] + "et"  # falls through
+    if len(s) > 8 and s.endswith("ique"):
+        s = s[:-4]  # falls through
+    if len(s) > 8 and s.endswith("esse"):
+        return _fr_norm(s[:-3])
+    if len(s) > 7 and s.endswith("inage"):
+        return _fr_norm(s[:-3])
+    if len(s) > 9 and s.endswith("isation"):
+        s = s[:-7]
+        if len(s) > 5 and s.endswith("ual"):
+            s = s[:-2] + "el"
+        return _fr_norm(s)
+    if len(s) > 9 and s.endswith("isateur"):
+        return _fr_norm(s[:-7])
+    if len(s) > 8 and s.endswith("ation"):
+        return _fr_norm(s[:-5])
+    if len(s) > 8 and s.endswith("ition"):
+        return _fr_norm(s[:-5])
+    return _fr_norm(s)

@@ -193,6 +193,18 @@ class StandardAnalyzer:
     #: Bigrams are built BEFORE stemming and stopword removal (the factory
     #: chain places CommonGramsFilter directly after the tokenizer).
     common_grams: bool = False
+    #: Language normalization applied after the stop filter, BEFORE the
+    #: stemmer and regardless of stem_exclusions (the reference chain
+    #: order: SetKeywordMarkerFilter → GermanNormalizationFilter →
+    #: GermanLightStemFilter — the normalizer does not consult the keyword
+    #: attribute). Value: "german" (de/GermanNormalizationFilter.java).
+    normalization: str | None = None
+    #: ElisionFilter (util/ElisionFilter.java with FrenchAnalyzer.
+    #: DEFAULT_ARTICLES): strip a leading elided article from tokens that
+    #: carry an apostrophe. The engine's tokenizers split at apostrophes,
+    #: so with the default tokenizer the article fragments are separate
+    #: tokens handled by the stopword list instead (see analysis/lang.py).
+    elision: bool = False
     #: CharFilter chain, applied to the raw string BEFORE tokenization
     #: (analysis/CharFilter.java; factories in analysis/charfilter/). Entries:
     #: ("html_strip",) — HTMLStripCharFilter analog (script/style/comment
@@ -263,6 +275,26 @@ def EnglishAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="porter", **kw)
 
 
+def GermanAnalyzer(**kw) -> StandardAnalyzer:
+    """GermanAnalyzer preset (``analysis/common/.../de/GermanAnalyzer.java:
+    133-139``): lowercase → stop(German) → [keyword marker] →
+    GermanNormalizationFilter → GermanLightStemFilter."""
+    from .lang import GERMAN_STOP_WORDS
+
+    kw.setdefault("stopwords", GERMAN_STOP_WORDS)
+    return StandardAnalyzer(stem="german_light", normalization="german", **kw)
+
+
+def FrenchAnalyzer(**kw) -> StandardAnalyzer:
+    """FrenchAnalyzer preset (``analysis/common/.../fr/FrenchAnalyzer.java:
+    137-144``): elision(articles) → lowercase → stop(French) →
+    [keyword marker] → FrenchLightStemFilter."""
+    from .lang import FRENCH_STOP_WORDS
+
+    kw.setdefault("stopwords", FRENCH_STOP_WORDS)
+    return StandardAnalyzer(stem="french_light", elision=True, **kw)
+
+
 def _fold_ascii(term: str) -> str:
     """NFD-decompose and drop combining marks (Mn) — ASCIIFoldingFilter's
     Latin-accent core, chosen to equal DuckDB ``strip_accents`` exactly."""
@@ -317,16 +349,43 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     """Post-stopword per-term map (stemming), or None. Applied per unique
     vocabulary entry, never per token."""
     mapper = None
+    stem_fns = {}
     if analyzer.stem == "porter":
         from .porter import porter_stem
-
-        if analyzer.stem_exclusions:
-            excl = analyzer.stem_exclusions
-            mapper = lambda t: t if t in excl else porter_stem(t)  # noqa: E731
-        else:
-            mapper = porter_stem
+        stem_fns["porter"] = porter_stem
+    elif analyzer.stem == "german_light":
+        from .lang import german_light_stem
+        stem_fns["german_light"] = german_light_stem
+    elif analyzer.stem == "french_light":
+        from .lang import french_light_stem
+        stem_fns["french_light"] = french_light_stem
     elif analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
+    if analyzer.stem is not None:
+        stem_fn = stem_fns[analyzer.stem]
+        if analyzer.stem_exclusions:
+            excl = analyzer.stem_exclusions
+            mapper = lambda t: t if t in excl else stem_fn(t)  # noqa: E731
+        else:
+            mapper = stem_fn
+    if analyzer.normalization == "german":
+        # normalization applies to EVERY term (keyword marker protects only
+        # the stemmer), before stemming
+        from .lang import german_normalize
+
+        if mapper is None:
+            mapper = german_normalize
+        else:
+            if analyzer.stem_exclusions:
+                excl = analyzer.stem_exclusions
+                stem_fn0 = stem_fns[analyzer.stem]
+                mapper = lambda t: (lambda n: n if t in excl else stem_fn0(n))(  # noqa: E731
+                    german_normalize(t))
+            else:
+                post = mapper
+                mapper = lambda t: post(german_normalize(t))  # noqa: E731
+    elif analyzer.normalization is not None:
+        raise ValueError(f"unknown normalization: {analyzer.normalization!r}")
     if analyzer.keyword_repeat:
         # the replace+inject codes path emits [original, stem]; the 1:1
         # stem mapper must not pre-stem the stream
@@ -373,6 +432,10 @@ def _analyze_full(
         if len(raw) > analyzer.max_token_length:
             continue  # skipped, but `pos` advances (StandardTokenizer.java:154-164)
         term = raw.lower() if analyzer.lowercase else raw
+        if analyzer.elision:
+            from .lang import french_elide
+
+            term = french_elide(term)
         if analyzer.ascii_folding:
             term = _fold_ascii(term)
         if analyzer.length_filter is not None and not (

@@ -1574,6 +1574,19 @@ EDGE_SPECS = [
     for g in ["mer", "windo", "cust", "vecto"]
 ]
 
+#: German/French light-stem query terms: pre-analyzed stems of corpus
+#: vocabulary words (order→ord, value→valu, merge→merg, customer→custom;
+#: French: filter→filt, table→tabl, vector→vecto — the fr-only 'vecto'
+#: differentiates the two stemmers)
+GERMAN_SPECS = [
+    {"qid": f"de_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["ord", "valu", "merg", "custom"]
+]
+FRENCH_SPECS = [
+    {"qid": f"fr_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["ord", "filt", "tabl", "vecto"]
+]
+
 SYNONYM_PAIRS = [("spark", "lightning"), ("window", "pane")]
 SYNONYM_SPECS = [
     {"qid": f"syn_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
@@ -1619,6 +1632,33 @@ def ft_shingle(sf_dir: str) -> pa.Table:
 
     an = StandardAnalyzer(stopwords=frozenset(), shingle=(2, 2))
     return _variant_topk(get_searcher_variant(sf_dir, "shingle22", an), SHINGLE_SPECS)
+
+
+def ft_german(sf_dir: str) -> pa.Table:
+    """GermanAnalyzer index (analysis/common/.../de/GermanAnalyzer.java:
+    133-139 chain: German stopwords → GermanNormalizationFilter →
+    GermanLightStemFilter): BM25 top-k over pre-analyzed stem terms, exact
+    float64 scores. The stemmer is golden-tested bit-for-bit against the
+    reference's 35k-entry delighttestdata vocabulary; the SQL oracle
+    replays the ASCII subset of the chain in CTE stages."""
+    from ..analysis.tokenizer import GermanAnalyzer
+
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "german", GermanAnalyzer()), GERMAN_SPECS
+    )
+
+
+def ft_french(sf_dir: str) -> pa.Table:
+    """FrenchAnalyzer index (analysis/common/.../fr/FrenchAnalyzer.java:
+    137-144 chain: elision → French stopwords → FrenchLightStemFilter):
+    BM25 top-k over pre-analyzed stem terms, exact float64 scores. The
+    stemmer is golden-tested against the reference's 20k-entry
+    frlighttestdata vocabulary."""
+    from ..analysis.tokenizer import FrenchAnalyzer
+
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "french", FrenchAnalyzer()), FRENCH_SPECS
+    )
 
 
 def ft_edge_ngram(sf_dir: str) -> pa.Table:

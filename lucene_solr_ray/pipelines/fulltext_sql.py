@@ -961,6 +961,199 @@ emitted AS (
 ),{_VARIANT_TAIL}"""
 
 
+def _de_step(ends3: str, s_endings_pos: int) -> str:
+    """One German light-stem step (de/GermanLightStemmer.java step1/step2) as
+    a CASE over column ``t``; the two steps differ only in the 3-char suffix
+    and where the valid s/st-ending letter sits."""
+    s_end = ", ".join(f"'{c}'" for c in "bdfghklmnt")
+    if s_endings_pos == 1:  # step1: e[mnrs] strips, s after valid ending
+        return f"""
+CASE WHEN length(t) > 5 AND right(t, 3) = '{ends3}' THEN left(t, length(t)-3)
+     WHEN length(t) > 4 AND right(t, 2) IN ('em','en','er','es') THEN left(t, length(t)-2)
+     WHEN length(t) > 3 AND right(t, 1) = 'e' THEN left(t, length(t)-1)
+     WHEN length(t) > 3 AND right(t, 1) = 's'
+          AND substr(t, length(t)-1, 1) IN ({s_end}) THEN left(t, length(t)-1)
+     ELSE t END"""
+    return f"""
+CASE WHEN length(t) > 5 AND right(t, 3) = '{ends3}' THEN left(t, length(t)-3)
+     WHEN length(t) > 4 AND right(t, 2) IN ('er','en') THEN left(t, length(t)-2)
+     WHEN length(t) > 4 AND right(t, 2) = 'st'
+          AND substr(t, length(t)-2, 1) IN ({s_end}) THEN left(t, length(t)-2)
+     ELSE t END"""
+
+
+#: GermanNormalizationFilter on ASCII input (the corpus tokens are \\w+
+#: ASCII, so the umlaut/ß arms of the FSM never fire): ae→a and oe→o
+#: always; ue→u when not preceded by a vowel or q. Left-to-right global
+#: regex replacement is equivalent to the single-pass FSM on this alphabet
+#: (verified against german_normalize over the corpus vocabulary in
+#: tests/test_lang_analysis.py).
+_DE_NORM_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(tok,"
+    " 'ae', 'a', 'g'), 'oe', 'o', 'g'),"
+    " '(^|[^aeiouyq])ue', '\\1u', 'g')"
+)
+
+
+def prelude_german() -> str:
+    """GermanAnalyzer index oracle: German snowball stopwords →
+    normalization → UniNE light stem (two CASE steps)."""
+    from ..analysis.lang import GERMAN_STOP_WORDS
+
+    stop = ", ".join(f"'{w}'" for w in sorted(GERMAN_STOP_WORDS))
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({stop})
+),
+base AS (SELECT did, tok FROM kept),
+denorm AS (SELECT did, {_DE_NORM_SQL} AS t FROM kept),
+dest1 AS (SELECT did, {_de_step('ern', 1)} AS t FROM denorm),
+emitted AS MATERIALIZED (SELECT did, {_de_step('est', 2)} AS tok FROM dest1),{_VARIANT_TAIL}"""
+
+
+def _fr_stem_ctes() -> str:
+    """FrenchLightStemmer (fr/FrenchLightStemmer.java) as CTE stages over
+    (did, t [, done]): the Java method's early ``return norm(...)`` branches
+    set ``done``; fall-through branches (trice/ète/ique) transform without
+    terminating; every path ends in the norm() tail. Accent folding is
+    omitted — corpus tokens are ASCII (the full stemmer incl. accents is
+    golden-tested in tests/test_lang_analysis.py)."""
+    L = "length(t)"
+
+    def strip(n: int, add: str = "") -> str:
+        a = f" || '{add}'" if add else ""
+        return f"left(t, {L}-{n}){a}"
+
+    # terminal group 1: issement issant ement ficatrice ficateur catrice
+    # cateur atrice ateur
+    g1 = f"""
+CASE WHEN {L} > 9 AND right(t, 8) = 'issement' THEN {strip(7, 'r')}
+     WHEN {L} > 8 AND right(t, 6) = 'issant' THEN {strip(5, 'r')}
+     WHEN {L} > 6 AND right(t, 5) = 'ement' THEN
+          CASE WHEN {L}-4 > 3 AND right(left(t, {L}-4), 3) = 'ive'
+               THEN {strip(6, 'f')} ELSE {strip(4)} END
+     WHEN {L} > 11 AND right(t, 9) = 'ficatrice' THEN {strip(7, 'er')}
+     WHEN {L} > 10 AND right(t, 8) = 'ficateur' THEN {strip(6, 'er')}
+     WHEN {L} > 9 AND right(t, 7) = 'catrice' THEN {strip(7, 'quer')}
+     WHEN {L} > 8 AND right(t, 6) = 'cateur' THEN {strip(6, 'quer')}
+     WHEN {L} > 8 AND right(t, 6) = 'atrice' THEN {strip(6, 'er')}
+     WHEN {L} > 7 AND right(t, 5) = 'ateur' THEN {strip(5, 'er')}
+     ELSE t END"""
+    g1_done = (
+        f"(({L} > 9 AND right(t, 8) = 'issement') OR ({L} > 8 AND right(t, 6) = 'issant')"
+        f" OR ({L} > 6 AND right(t, 5) = 'ement') OR ({L} > 11 AND right(t, 9) = 'ficatrice')"
+        f" OR ({L} > 10 AND right(t, 8) = 'ficateur') OR ({L} > 9 AND right(t, 7) = 'catrice')"
+        f" OR ({L} > 8 AND right(t, 6) = 'cateur') OR ({L} > 8 AND right(t, 6) = 'atrice')"
+        f" OR ({L} > 7 AND right(t, 5) = 'ateur'))"
+    )
+    # terminal group 2 (after the trice fall-through): ième teuse teur euse
+    # ère ive folle/molle nnelle nnel
+    g2 = f"""
+CASE WHEN done THEN t
+     WHEN {L} > 5 AND right(t, 4) = 'ième' THEN {strip(4)}
+     WHEN {L} > 7 AND right(t, 5) = 'teuse' THEN {strip(3, 'r')}
+     WHEN {L} > 6 AND right(t, 4) = 'teur' THEN {strip(2, 'r')}
+     WHEN {L} > 5 AND right(t, 4) = 'euse' THEN {strip(2)}
+     WHEN {L} > 8 AND right(t, 3) = 'ère' THEN {strip(3, 'er')}
+     WHEN {L} > 7 AND right(t, 3) = 'ive' THEN {strip(2, 'f')}
+     WHEN {L} > 4 AND (right(t, 5) = 'folle' OR right(t, 5) = 'molle') THEN {strip(3, 'u')}
+     WHEN {L} > 9 AND right(t, 6) = 'nnelle' THEN {strip(5)}
+     WHEN {L} > 9 AND right(t, 4) = 'nnel' THEN {strip(3)}
+     ELSE t END"""
+    g2_done = (
+        f"(done OR ({L} > 5 AND right(t, 4) = 'ième') OR ({L} > 7 AND right(t, 5) = 'teuse')"
+        f" OR ({L} > 6 AND right(t, 4) = 'teur') OR ({L} > 5 AND right(t, 4) = 'euse')"
+        f" OR ({L} > 8 AND right(t, 3) = 'ère') OR ({L} > 7 AND right(t, 3) = 'ive')"
+        f" OR ({L} > 4 AND (right(t, 5) = 'folle' OR right(t, 5) = 'molle'))"
+        f" OR ({L} > 9 AND right(t, 6) = 'nnelle') OR ({L} > 9 AND right(t, 4) = 'nnel'))"
+    )
+    # terminal group 3 (after ète/ique fall-throughs): esse inage
+    # isation(+ual) isateur ation ition
+    g3 = f"""
+CASE WHEN done THEN t
+     WHEN {L} > 8 AND right(t, 4) = 'esse' THEN {strip(3)}
+     WHEN {L} > 7 AND right(t, 5) = 'inage' THEN {strip(3)}
+     WHEN {L} > 9 AND right(t, 7) = 'isation' THEN
+          CASE WHEN {L}-7 > 5 AND right(left(t, {L}-7), 3) = 'ual'
+               THEN {strip(9, 'el')} ELSE {strip(7)} END
+     WHEN {L} > 9 AND right(t, 7) = 'isateur' THEN {strip(7)}
+     WHEN {L} > 8 AND right(t, 5) = 'ation' THEN {strip(5)}
+     WHEN {L} > 8 AND right(t, 5) = 'ition' THEN {strip(5)}
+     ELSE t END"""
+    # norm(): adjacent-duplicate-letter collapse (len>4), ie strip (len>4),
+    # then a len>4-guarded sequential r/e/e/double-letter strip
+    collapse = (
+        f"array_to_string([t[i] for i in generate_series(1, {L})"
+        f" if i = 1 OR t[i] != t[i-1] OR NOT regexp_matches(t[i], '^[a-z]$')], '')"
+    )
+    return f"""
+fr0 AS (SELECT did, tok AS t FROM kept),
+fr1 AS (SELECT did,
+  CASE WHEN length(t) > 5 AND right(t, 1) = 'x' THEN
+         CASE WHEN substr(t, length(t)-2, 1) = 'a' AND substr(t, length(t)-1, 1) = 'u'
+                   AND substr(t, length(t)-3, 1) != 'e'
+              THEN left(t, length(t)-2) || 'l'
+              ELSE left(t, length(t)-1) END
+       ELSE t END AS t FROM fr0),
+fr2 AS (SELECT did,
+  CASE WHEN length(t) > 3 AND right(t, 1) = 'x' THEN left(t, length(t)-1) ELSE t END AS t
+  FROM fr1),
+fr3 AS (SELECT did,
+  CASE WHEN length(t) > 3 AND right(t, 1) = 's' THEN left(t, length(t)-1) ELSE t END AS t
+  FROM fr2),
+fr4 AS (SELECT did, {g1} AS t, {g1_done} AS done FROM fr3),
+fr5 AS (SELECT did,
+  CASE WHEN NOT done AND {L} > 6 AND right(t, 5) = 'trice'
+       THEN left(t, {L}-4) || 'eur' ELSE t END AS t, done FROM fr4),
+fr6 AS (SELECT did, {g2} AS t, {g2_done} AS done FROM fr5),
+fr7 AS (SELECT did,
+  CASE WHEN NOT done AND {L} > 4 AND right(t, 3) = 'ète'
+       THEN left(t, {L}-3) || 'et' ELSE t END AS t, done FROM fr6),
+fr8 AS (SELECT did,
+  CASE WHEN NOT done AND {L} > 8 AND right(t, 4) = 'ique'
+       THEN left(t, {L}-4) ELSE t END AS t, done FROM fr7),
+fr9 AS (SELECT did, {g3} AS t FROM fr8),
+nr1 AS (SELECT did,
+  CASE WHEN {L} > 4 THEN {collapse} ELSE t END AS t FROM fr9),
+nr2 AS (SELECT did,
+  CASE WHEN {L} > 4 AND right(t, 2) = 'ie' THEN left(t, {L}-2) ELSE t END AS t FROM nr1),
+nr3 AS (SELECT did, t, {L} > 4 AS g FROM nr2),
+nr4 AS (SELECT did,
+  CASE WHEN g AND right(t, 1) = 'r' THEN left(t, {L}-1) ELSE t END AS t, g FROM nr3),
+nr5 AS (SELECT did,
+  CASE WHEN g AND right(t, 1) = 'e' THEN left(t, {L}-1) ELSE t END AS t, g FROM nr4),
+nr6 AS (SELECT did,
+  CASE WHEN g AND right(t, 1) = 'e' THEN left(t, {L}-1) ELSE t END AS t, g FROM nr5),
+emitted AS MATERIALIZED (SELECT did,
+  CASE WHEN g AND {L} >= 2 AND t[{L}] = t[{L}-1] AND regexp_matches(t[{L}], '^[a-z]$')
+       THEN left(t, {L}-1) ELSE t END AS tok FROM nr6)"""
+    # ^ MATERIALIZED: the downstream tf/stats/score CTEs reference emitted
+    # several times; inlining re-expands the whole 18-stage chain per
+    # reference and the optimizer chokes (>200 s at sf0.001 vs 0.3 s)
+
+
+def prelude_french() -> str:
+    """FrenchAnalyzer index oracle: elision is a no-op on apostrophe-free
+    \\w+ tokens; French snowball stopwords → UniNE light stem (CTE chain)."""
+    from ..analysis.lang import FRENCH_STOP_WORDS
+
+    stop = ", ".join(f"'{w}'" for w in sorted(FRENCH_STOP_WORDS))
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({stop})
+),
+base AS (SELECT did, tok FROM kept),
+{_fr_stem_ctes()},{_VARIANT_TAIL}"""
+
+
 def sql_topk_variant(prelude_sql: str, specs: list[dict]) -> str:
     """UNION ALL of single/boolean top-k queries over an analyzer-variant
     prelude. Scores are emitted only for single-term queries (float64 exact,

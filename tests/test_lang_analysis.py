@@ -1,0 +1,86 @@
+"""German/French language packs (analysis/lang.py) vs the reference's own
+golden vocabularies: the UniNE light stemmers are checked bit-for-bit
+against the 35k-entry ``de/delighttestdata.zip`` and 20k-entry
+``fr/frlighttestdata.zip`` word→stem tables the reference's
+TestGermanLightStemFilter / TestFrenchLightStemFilter assert against."""
+
+import io
+import os
+import zipfile
+
+import pytest
+
+from lucene_solr_ray.analysis.lang import (
+    FRENCH_STOP_WORDS,
+    GERMAN_STOP_WORDS,
+    french_elide,
+    french_light_stem,
+    german_light_stem,
+    german_normalize,
+)
+from lucene_solr_ray.analysis.tokenizer import (
+    FrenchAnalyzer,
+    GermanAnalyzer,
+    analyze_with_positions,
+)
+
+_REF = "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/analysis"
+
+
+def _vocab(zip_path: str, inner: str):
+    with zipfile.ZipFile(zip_path) as z:
+        with z.open(inner) as f:
+            for line in io.TextIOWrapper(f, encoding="utf-8"):
+                line = line.rstrip("\n")
+                if line and "\t" in line:
+                    yield line.split("\t")
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference not present")
+def test_german_light_stemmer_full_reference_vocabulary():
+    bad = [
+        (w, german_light_stem(w), want)
+        for w, want in _vocab(f"{_REF}/de/delighttestdata.zip", "delight.txt")
+        if german_light_stem(w) != want
+    ]
+    assert bad == []
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference not present")
+def test_french_light_stemmer_full_reference_vocabulary():
+    bad = [
+        (w, french_light_stem(w), want)
+        for w, want in _vocab(f"{_REF}/fr/frlighttestdata.zip", "frlight.txt")
+        if french_light_stem(w) != want
+    ]
+    assert bad == []
+
+
+def test_german_normalization_reference_cases():
+    # TestGermanNormalizationFilter golden cases (lowercased — our chain
+    # normalizes after LowerCaseFilter)
+    assert german_normalize("schaltflächen") == "schaltflachen"
+    assert german_normalize("schaltflaechen") == "schaltflachen"
+    assert german_normalize("dauer") == "dauer"  # ue after vowel kept
+    assert german_normalize("weißbier") == "weissbier"
+    assert german_normalize("quelle") == "quelle"  # ue after q kept
+
+
+def test_french_elision():
+    assert french_elide("l'avion") == "avion"
+    assert french_elide("jusqu'ici") == "ici"
+    assert french_elide("qu'il") == "il"
+    assert french_elide("aujourd'hui") == "aujourd'hui"  # not an article
+    assert french_elide("d") == "d"
+
+
+def test_analyzer_presets_end_to_end():
+    de = GermanAnalyzer()
+    toks = dict(analyze_with_positions("Die Häuser und die Bücher", de))
+    assert "haus" in toks and "buch" in toks
+    assert "die" not in toks and "und" not in toks  # German stopwords
+    fr = FrenchAnalyzer()
+    toks = dict(analyze_with_positions("les chanteuses et le chanteur", fr))
+    assert "chant" in toks
+    assert "les" not in toks and "et" not in toks
+    assert GERMAN_STOP_WORDS and FRENCH_STOP_WORDS
