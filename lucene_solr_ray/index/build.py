@@ -86,6 +86,7 @@ def build_index(
     keyword_fields: tuple[str, ...] = DEFAULT_KEYWORD_FIELDS,
     feature_fields: dict | None = None,
     store_content: bool = False,
+    store_offsets: bool = False,
     sort_fields: tuple[str, ...] = (),
 ) -> BuildResult:
     """Build (or resume) the inverted index for a 5-column corpus.
@@ -161,6 +162,7 @@ def build_index(
                 "done_ranges": done,
                 "positions": positions,
                 "store_content": store_content,
+                "store_offsets": store_offsets,
             },
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -242,6 +244,7 @@ def build_index(
         },
         "positions": positions,
         "payloads": analyzer.delimited_payload is not None,
+        "offsets": store_offsets,
         "keyword_fields": list(keyword_fields),
         "feature_fields": sorted(feature_fields) if feature_fields else [],
         "sort_fields": plan.key_cols,

@@ -192,7 +192,23 @@ def _decode_member(tbl: pa.Table, base: int):
             pay = np.full(int(ttfs.sum()), np.nan, dtype=np.float32)
             dst = np.repeat(row_pstart[:-1][have], ttfs[have]) + _within(ttfs[have])
             pay[dst] = vals
-    return ids, tfs, pos, row_vstart, row_pstart, pay
+    # char-offset stream: interleaved (start, end) int32 pairs per
+    # occurrence, same ttf layout as positions; rows without offsets store
+    # empty slices → sentinel-expand with start = -1 (the re-encode drops
+    # offsets for terms whose merged occurrences are not fully covered)
+    off = None
+    if "off_blob" in tbl.column_names:
+        obuf, ooffs = col_buf("off_blob")
+        row_bytes = np.diff(ooffs)
+        if row_bytes.sum() > 0:
+            vals = np.frombuffer(
+                obuf[ooffs[0] : ooffs[-1]].tobytes(), dtype=np.int32
+            ).reshape(-1, 2)
+            have = np.flatnonzero(row_bytes > 0)
+            off = np.full((int(ttfs.sum()), 2), -1, dtype=np.int32)
+            dst = np.repeat(row_pstart[:-1][have], ttfs[have]) + _within(ttfs[have])
+            off[dst] = vals
+    return ids, tfs, pos, row_vstart, row_pstart, pay, off
 
 
 def _merge_group(index_dir: str, members: list[dict], dirs: list[str], generation: int) -> dict:
@@ -307,6 +323,9 @@ def _merge_postings_rows(seg_id: int, member_tables: list[pa.Table],
     has_pay = any(d[5] is not None for d, mp in zip(decoded, member_posts) if len(mp))
     if has_pay and not has_pos:
         raise ValueError("cannot merge payload-bearing segments built without positions")
+    has_off = any(d[6] is not None for d, mp in zip(decoded, member_posts) if len(mp))
+    if has_off and not has_pos:
+        raise ValueError("cannot merge offset-bearing segments built without positions")
 
     dfs_sorted = posts["df"].to_numpy().astype(np.int64)
     ttfs_sorted = posts["ttf"].to_numpy().astype(np.int64)
@@ -325,8 +344,9 @@ def _merge_postings_rows(seg_id: int, member_tables: list[pa.Table],
     s_tf = np.empty(N, dtype=np.int64)
     pos_deltas = np.empty(P, dtype=np.int64) if has_pos else None
     pay_floats = np.full(P, np.nan, dtype=np.float32) if has_pay else None
+    off_pairs = np.full((P, 2), -1, dtype=np.int32) if has_off else None
     for mi in range(len(member_tables)):
-        ids_m, tfs_m, pos_m, rv, rp, pay_m = decoded[mi]
+        ids_m, tfs_m, pos_m, rv, rp, pay_m, off_m = decoded[mi]
         rmask = morder == mi
         rows = mrow[rmask]
         lens = dfs_sorted[rmask]
@@ -343,6 +363,8 @@ def _merge_postings_rows(seg_id: int, member_tables: list[pa.Table],
             pos_deltas[pdst] = pos_m[psrc]
             if has_pay and pay_m is not None:
                 pay_floats[pdst] = pay_m[psrc]
+            if has_off and off_m is not None:
+                off_pairs[pdst] = off_m[psrc]
 
     # (field, term) groups over the sorted rows
     terms_sorted = posts["term"]
@@ -383,6 +405,7 @@ def _merge_postings_rows(seg_id: int, member_tables: list[pa.Table],
         pos_deltas,
         field=out_fields,
         pay_floats=pay_floats,
+        off_pairs=off_pairs,
     )
 
 
@@ -395,6 +418,16 @@ def _commit_merged_segment(index_dir: str, members: list[dict], dirs: list[str],
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(docs, os.path.join(tmp, "docs.parquet"), row_group_size=65536)
     pq.write_table(postings_tbl, os.path.join(tmp, "postings.parquet"), row_group_size=8192)
+    # rebuild the 1-D point index over the merged docs (BKD merge analog)
+    from .points import build_points_table
+
+    pq.write_table(
+        build_points_table(
+            {"field_len": docs["field_len"].to_numpy().astype(np.int64)}
+        ),
+        os.path.join(tmp, "points.parquet"),
+        row_group_size=1024,
+    )
     # carry member tombstones forward (liveDocs survive merges; local ids shift by base)
     del_parts = []
     for mi, d in enumerate(dirs):

@@ -33,7 +33,7 @@ from ..util.smallfloat import LENGTH_TABLE, int_to_byte4
 from .plan import BuildPlan, sort_keys
 
 #: bump when the on-disk segment layout changes (cache invalidation)
-FORMAT_VERSION = 6  # v6: FeatureField postings (features field); v5: pay_blob column
+FORMAT_VERSION = 7  # v7: off_blob column (index-stored offsets); v6: FeatureField postings; v5: pay_blob
 
 #: the analyzed full-text field (TextField analog — tokenized, with norms);
 #: all other indexed fields are keyword fields (StringField analog — one
@@ -77,6 +77,11 @@ POSTINGS_SCHEMA = pa.schema(
         # stream; NaN = occurrence without a payload; empty when the index
         # carries no payloads — DelimitedPayloadTokenFilter analog)
         ("pay_blob", pa.large_binary()),
+        # per-term char-offset stream (ttf interleaved (start, end) int32
+        # pairs, 1:1 with the position stream; empty when the index is built
+        # without offsets — IndexOptions ..._AND_OFFSETS analog, the .pay
+        # offset track of codecs/lucene50/Lucene50PostingsFormat.java:42-96)
+        ("off_blob", pa.large_binary()),
         ("block_first_doc", pa.list_(pa.int32())),
         ("block_last_doc", pa.list_(pa.int32())),
         ("block_max_freq", pa.list_(pa.int32())),
@@ -111,7 +116,7 @@ class AnalyzeInvert:
 
     def __init__(self, plan: BuildPlan, analyzer: StandardAnalyzer | None = None,
                  done_ranges: frozenset[int] = frozenset(), positions: bool = True,
-                 store_content: bool = False):
+                 store_content: bool = False, store_offsets: bool = False):
         self.plan = plan
         self.boundaries = np.asarray(plan.boundaries, dtype=object)
         self.analyzer = analyzer or StandardAnalyzer()
@@ -119,6 +124,15 @@ class AnalyzeInvert:
         self.done = done_ranges
         self.positions = positions
         self.store_content = store_content  # storedFields analog (highlighting)
+        # IndexOptions ..._AND_OFFSETS analog: per-occurrence char offsets in
+        # the postings. Opt-in — the offsets path tokenizes per doc in Python
+        # (the Arrow split kernel cannot report match offsets), so it costs
+        # more per batch than the vectorized default.
+        self.store_offsets = store_offsets
+        if store_offsets and (not positions
+                              or self.analyzer.delimited_payload is not None):
+            raise ValueError(
+                "store_offsets requires positions=True and no delimited_payload")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = sort_keys(batch, self.plan.key_cols)
@@ -136,6 +150,8 @@ class AnalyzeInvert:
         content = batch["content"].cast(pa.large_string())
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
+        if self.store_offsets:
+            return self._call_with_offsets(batch, rid, content)
         stats = self.arrow_analyzer(content, with_positions=self.positions)
         sha = _sha256_column(content)
         norm = int_to_byte4(stats.field_lens.astype(np.int64))
@@ -180,6 +196,65 @@ class AnalyzeInvert:
             }
         )
 
+    def _call_with_offsets(self, batch: pa.Table, rid: np.ndarray,
+                           content: pa.Array) -> pa.Table:
+        """Offsets-mode inversion: per-doc Python analysis through the FULL
+        chain (``_analyze_full`` — same semantics as the Arrow path,
+        verified by the ingest-identity tests) with per-occurrence
+        (start, end) char offsets carried through the inversion.
+        Occurrences within a (doc, term) pair sort by position so the
+        downstream delta encoding stays non-negative."""
+        from ..analysis.tokenizer import _analyze_full
+
+        terms_l: list[str] = []
+        tfs_l: list[int] = []
+        pos_l: list[int] = []
+        ost_l: list[int] = []
+        oen_l: list[int] = []
+        flens = np.zeros(len(batch), dtype=np.int32)
+        offs = np.zeros(len(batch) + 1, dtype=np.int32)
+        tf_off = np.zeros(len(batch) + 1, dtype=np.int32)
+        for i, txt in enumerate(content.to_pylist()):
+            toks = _analyze_full(txt or "", self.analyzer)
+            flens[i] = sum(1 for _t, _p, _s, _e, o in toks if not o)
+            groups: dict[str, list[tuple[int, int, int]]] = {}
+            for t, p, s, e, _o in toks:
+                groups.setdefault(t, []).append((p, s, e))
+            for t in sorted(groups):
+                occ = sorted(groups[t])
+                terms_l.append(t)
+                tfs_l.append(len(occ))
+                for p, s, e in occ:
+                    pos_l.append(p)
+                    ost_l.append(s)
+                    oen_l.append(e)
+            offs[i + 1] = len(terms_l)
+            tf_off[i + 1] = len(pos_l)
+        sha = _sha256_column(content)
+        norm = int_to_byte4(flens.astype(np.int64))
+
+        def list_i32(off, vals):
+            return pa.ListArray.from_arrays(
+                pa.array(off, pa.int32()), pa.array(vals, pa.int32()))
+
+        return pa.table({
+            "range_id": pa.array(rid, pa.int32()),
+            "repo": batch["repo"].cast(pa.string()),
+            "path": batch["path"].cast(pa.string()),
+            "commit": batch["commit"].cast(pa.string()),
+            "lang": batch["lang"].cast(pa.string()),
+            "content_sha256": pa.array(sha, pa.string()),
+            "field_len": pa.array(flens, pa.int32()),
+            "norm_byte": pa.array(norm, pa.uint8()),
+            "terms": pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(terms_l, pa.string())),
+            "tfs": list_i32(offs, tfs_l),
+            "positions": list_i32(tf_off, pos_l),
+            "off_starts": list_i32(tf_off, ost_l),
+            "off_ends": list_i32(tf_off, oen_l),
+            **({"content": content} if self.store_content else {}),
+        })
+
 
 _ANALYZE_CACHE: dict = {}
 
@@ -187,7 +262,8 @@ _ANALYZE_CACHE: dict = {}
 def analyze_invert_fn(batch: pa.Table, *, plan: BuildPlan,
                       analyzer: StandardAnalyzer | None,
                       done_ranges: frozenset[int],
-                      positions: bool, store_content: bool) -> pa.Table:
+                      positions: bool, store_content: bool,
+                      store_offsets: bool = False) -> pa.Table:
     """Task-based twin of :class:`AnalyzeInvert` for ``map_batches(fn)``.
 
     Runs in Ray's REUSABLE task workers: an actor pool spawns fresh
@@ -201,14 +277,15 @@ def analyze_invert_fn(batch: pa.Table, *, plan: BuildPlan,
         plan.total_rows, plan.n_segments,
         plan.boundaries[0] if plan.boundaries else "",
         plan.boundaries[-1] if plan.boundaries else "",
-        analyzer, done_ranges, positions, store_content,
+        analyzer, done_ranges, positions, store_content, store_offsets,
     )
     inst = _ANALYZE_CACHE.get(key)
     if inst is None:
         if len(_ANALYZE_CACHE) > 4:
             _ANALYZE_CACHE.clear()
         inst = _ANALYZE_CACHE[key] = AnalyzeInvert(
-            plan, analyzer, done_ranges, positions=positions, store_content=store_content
+            plan, analyzer, done_ranges, positions=positions,
+            store_content=store_content, store_offsets=store_offsets
         )
     return inst(batch)
 
@@ -343,6 +420,18 @@ class SegmentWriter:
             os.path.join(tmp_d, "postings.parquet"),
             row_group_size=8192,  # sorted term column + row-group stats → term-range pruning
         )
+        # 1-D point index sidecar (BKD analog — util/bkd/BKDWriter.java):
+        # numeric doc-value columns sorted by value with small row groups;
+        # selective PointRangeQuery reads only stat-intersecting row groups
+        from .points import build_points_table
+
+        pq.write_table(
+            build_points_table(
+                {"field_len": group["field_len"].to_numpy().astype(np.int64)}
+            ),
+            os.path.join(tmp_d, "points.parquet"),
+            row_group_size=1024,
+        )
         content_tbl = parts[CONTENT_FIELD]
         meta = {
             "seg": rid,
@@ -428,6 +517,7 @@ class SegmentWriter:
             pos_col = pos_col.chunk(0)
         flat_pos = pos_col.values.to_numpy().astype(np.int64)
         pay_floats = None
+        off_pairs = None
         if len(flat_pos):
             pair_off = np.zeros(len(flat_tfs) + 1, dtype=np.int64)
             np.cumsum(flat_tfs, out=pair_off[1:])
@@ -445,12 +535,23 @@ class SegmentWriter:
                     pay_col = pay_col.chunk(0)
                 # payloads ride the SAME occurrence permutation as positions
                 pay_floats = pay_col.values.to_numpy().astype(np.float32)[src_idx]
+            if "off_starts" in group.column_names:
+                # char offsets ride the same occurrence permutation too
+                def _flat_i32(name):
+                    col = group[name].combine_chunks()
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.chunk(0)
+                    return col.values.to_numpy().astype(np.int32)
+
+                off_pairs = np.stack(
+                    [_flat_i32("off_starts")[src_idx],
+                     _flat_i32("off_ends")[src_idx]], axis=1)
         else:
             pdeltas = None
 
         return postings_table_from_flat(
             rid, sorted_terms, starts, dfs, ttfs, s_doc, s_tf, doc_lens, pdeltas,
-            pay_floats=pay_floats,
+            pay_floats=pay_floats, off_pairs=off_pairs,
         )
 
     def _build_keyword_postings(self, rid: int, group: pa.Table, n: int, field: str,
@@ -539,13 +640,16 @@ def postings_table_from_flat(
     pos_deltas: np.ndarray | None,
     field: str | pa.Array = CONTENT_FIELD,
     pay_floats: np.ndarray | None = None,
+    off_pairs: np.ndarray | None = None,
 ) -> pa.Table:
     """Encode flat (term,doc)-sorted postings into the segment postings table
     (shared by the initial build and the merge job). ``pos_deltas``: per-pair
     within-doc delta stream aligned with cumsum(s_tf), or None. ``field``: a
     constant field name, or a per-row array (merge path). ``pay_floats``:
     per-occurrence float32 payloads in the same order as the position
-    stream, or None."""
+    stream, or None. ``off_pairs``: per-occurrence (start, end) int32 char
+    offsets, shape (P, 2), same order as positions, or None; rows whose
+    occurrences carry no offsets (sentinel start < 0) store empty slices."""
     # batch FOR encode: every term's postings in one vectorized pass
     deltas = np.empty(len(s_doc), dtype=np.int64)
     if len(s_doc):
@@ -578,6 +682,23 @@ def postings_table_from_flat(
     else:
         ybuf = np.zeros(0, dtype=np.uint8)
         yoffs = np.zeros(len(starts) + 1, dtype=np.int64)
+    if off_pairs is not None and len(off_pairs):
+        # interleaved (start, end) int32 per occurrence, byte-sliced per term
+        # like pay_blob; terms whose occurrences lack offsets (start < 0
+        # sentinel — e.g. merged members built without offsets) store empty
+        # slices so "term has offsets" stays detectable per row
+        op32 = np.ascontiguousarray(off_pairs.astype(np.int32))
+        occ_start2 = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(ttfs, out=occ_start2[1:])
+        has_off = np.logical_and.reduceat(op32[:, 0] >= 0, occ_start2[:-1])
+        obuf = np.frombuffer(
+            op32[np.repeat(has_off, ttfs)].tobytes(), dtype=np.uint8
+        )
+        ooffs = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(np.where(has_off, ttfs * 8, 0), out=ooffs[1:])
+    else:
+        obuf = np.zeros(0, dtype=np.uint8)
+        ooffs = np.zeros(len(starts) + 1, dtype=np.int64)
 
     firsts = s_doc[gstart].astype(np.int32)
     lasts = s_doc[gstart + blen - 1].astype(np.int32)
@@ -607,6 +728,7 @@ def postings_table_from_flat(
             "freq_blob": large_bin(fbuf, foffs),
             "pos_blob": large_bin(pbuf, poffs),
             "pay_blob": large_bin(ybuf, yoffs),
+            "off_blob": large_bin(obuf, ooffs),
             "block_first_doc": pa.ListArray.from_arrays(lofs, pa.array(firsts, pa.int32())),
             "block_last_doc": pa.ListArray.from_arrays(lofs, pa.array(lasts, pa.int32())),
             "block_max_freq": pa.ListArray.from_arrays(lofs, pa.array(maxfs, pa.int32())),

@@ -442,10 +442,22 @@ HIGHLIGHT_TERMS = ["spark", "merge", "window"]
 
 def ft_highlight(sf_dir: str) -> pa.Table:
     """Top-10 BM25 hits per term with UnifiedHighlighter-style snippets
-    (ANALYSIS offsets over stored content; PassageScorer formulas). Snippet
-    structure is pinned by golden pytest tests — the driver row is a
-    rows-only check (no SQL analog for passage scoring)."""
-    s = get_searcher(sf_dir)
+    (POSTINGS offset source: the index stores per-occurrence char offsets —
+    off_blob — so highlight never re-tokenizes stored text; PassageScorer
+    formulas). Snippet structure is pinned by golden pytest tests, and
+    tests/test_offsets.py pins postings-source ≡ analysis-source — the
+    driver row is a rows-only check (no SQL analog for passage scoring)."""
+    import shutil
+
+    idx = _index_dir_for(sf_dir) + "_offsets"
+    key = f"{sf_dir}|offsets|float64"
+    s = _SEARCHERS.get(key)
+    if s is None:
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            corpus = documents_as_corpus(sf_dir)
+            build_index(corpus, idx, docs_per_segment=2_000,
+                        store_content=True, store_offsets=True)
+        s = _SEARCHERS[key] = Searcher(idx, dtype=np.float64)
     out_q, out_d, out_s = [], [], []
     for t in HIGHLIGHT_TERMS:
         q = TermQuery(t)

@@ -25,6 +25,7 @@ scale (the parquet row-group analog of LatLonPoint's 2-D BKD tree).
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -67,24 +68,119 @@ def _customers(sf_dir: str):
     return sized_read(f"{sf_dir}/customer.parquet").select_columns(["c_custkey"])
 
 
-def geo_box(sf_dir: str) -> pa.Table:
-    """LatLonPoint.newBoxQuery analog: customers whose derived point lies in
-    BOX (inclusive corners) → (c_custkey, lat, lon)."""
+TILE_DEG = 10.0  # coarse grid: 18 lat bands × 36 lon bands = 648 tiles
+
+#: per-process tile-pruning counters (pinned ≪ full scan in pytest)
+GEO_SCAN_STATS = {"tiles_scanned": 0, "tiles_total": 0}
+
+
+def _tile_of(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    ty = np.clip(((lat + 90.0) // TILE_DEG).astype(np.int64), 0, 17)
+    tx = np.clip(((lon + 180.0) // TILE_DEG).astype(np.int64), 0, 35)
+    return ty * 36 + tx
+
+
+def _geo_tiles_dir(sf_dir: str) -> str:
+    import hashlib as _h
+    import tempfile
+
+    import pyarrow.parquet as pq_mod
+
+    meta = pq_mod.read_metadata(f"{sf_dir}/customer.parquet")
+    key = _h.md5(f"{sf_dir}|{meta.num_rows}|geo1".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"lsr_geo_tiles_{key}")
+
+
+def _ensure_geo_tiles(sf_dir: str) -> str:
+    """One-time tiled materialization of the derived points — the BKD/
+    spatial-index analog: a Ray pipeline computes (c_custkey, lat, lon,
+    tile) per batch and writes Parquet PARTITIONED BY tile, so a box or
+    ring query later reads only the tile directories it intersects
+    (file-level pruning — coarser but stronger than row-group stats).
+    At 100 TB this artifact is the one-time spatial index build reused by
+    every query; here it lands under /tmp keyed by corpus identity."""
+    import ray.data
+
+    d = _geo_tiles_dir(sf_dir)
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
 
     def fn(batch: pa.Table) -> pa.Table:
         keys = batch["c_custkey"].to_numpy()
         lat, lon = _points(keys)
-        m = ((lat >= BOX["min_lat"]) & (lat <= BOX["max_lat"])
-             & (lon >= BOX["min_lon"]) & (lon <= BOX["max_lon"]))
         return pa.table({
-            "c_custkey": pa.array(keys[m], pa.int64()),
-            "lat": pa.array(lat[m], pa.float64()),
-            "lon": pa.array(lon[m], pa.float64()),
+            "c_custkey": pa.array(keys, pa.int64()),
+            "lat": pa.array(lat, pa.float64()),
+            "lon": pa.array(lon, pa.float64()),
+            "tile": pa.array(_tile_of(lat, lon), pa.int64()),
         })
 
-    out = _customers(sf_dir).map_batches(fn, batch_format="pyarrow")
-    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
-    return tbl.sort_by("c_custkey")
+    tmp = d + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    (_customers(sf_dir)
+     .map_batches(fn, batch_format="pyarrow")
+     .write_parquet(tmp, partition_cols=["tile"]))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    shutil.rmtree(d, ignore_errors=True)
+    os.replace(tmp, d)
+    return d
+
+
+def _tile_dirs(d: str) -> dict[int, list[str]]:
+    """tile id → that partition's parquet file paths."""
+    out = {}
+    for name in os.listdir(d):
+        if name.startswith("tile="):
+            td = os.path.join(d, name)
+            out[int(name.split("=", 1)[1])] = [
+                os.path.join(td, f) for f in os.listdir(td)
+                if f.endswith(".parquet")
+            ]
+    return out
+
+
+def geo_box(sf_dir: str) -> pa.Table:
+    """LatLonPoint.newBoxQuery analog: customers whose derived point lies in
+    BOX (inclusive corners) → (c_custkey, lat, lon).
+
+    Index-accelerated: reads ONLY the tile partitions of the one-time geo
+    tile artifact that intersect the box (LatLonPoint's 2-D BKD pruning
+    mapped onto partition-dir pruning), exact per-batch post-filter."""
+    import pyarrow.dataset as pads
+
+    d = _ensure_geo_tiles(sf_dir)
+    tiles = _tile_dirs(d)
+    ty_lo = int((BOX["min_lat"] + 90.0) // TILE_DEG)
+    ty_hi = int((BOX["max_lat"] + 90.0) // TILE_DEG)
+    tx_lo = int((BOX["min_lon"] + 180.0) // TILE_DEG)
+    tx_hi = int((BOX["max_lon"] + 180.0) // TILE_DEG)
+    want = [
+        ty * 36 + tx
+        for ty in range(ty_lo, ty_hi + 1)
+        for tx in range(tx_lo, tx_hi + 1)
+    ]
+    sel = [f for t in want if t in tiles for f in tiles[t]]
+    GEO_SCAN_STATS["tiles_scanned"] += sum(1 for t in want if t in tiles)
+    GEO_SCAN_STATS["tiles_total"] += len(tiles)
+    if not sel:
+        return pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "lat": pa.array([], pa.float64()),
+            "lon": pa.array([], pa.float64()),
+        })
+    tbl = pads.dataset(sel).to_table(columns=["c_custkey", "lat", "lon"])
+    lat = tbl["lat"].to_numpy()
+    lon = tbl["lon"].to_numpy()
+    m = ((lat >= BOX["min_lat"]) & (lat <= BOX["max_lat"])
+         & (lon >= BOX["min_lon"]) & (lon <= BOX["max_lon"]))
+    keys = tbl["c_custkey"].to_numpy()
+    return pa.table({
+        "c_custkey": pa.array(keys[m], pa.int64()),
+        "lat": pa.array(lat[m], pa.float64()),
+        "lon": pa.array(lon[m], pa.float64()),
+    }).sort_by("c_custkey")
 
 
 SQL_GEO_BOX = f"""
@@ -103,30 +199,67 @@ ORDER BY c_custkey
 """
 
 
+def _tile_min_dist_km(tile: int, olat: float, olon: float) -> float:
+    """LOWER bound on the distance from the origin to any point of a tile:
+    clamp the latitude to the tile's band, take the minimal CIRCULAR
+    longitude difference to the tile's lon range — haversine is monotonic
+    in |Δlat| and |Δlon| (≤180°), so evaluating it at the clamped point
+    never overestimates (the BKD cell-bound test of
+    LatLonPointDistanceQuery)."""
+    ty, tx = divmod(tile, 36)
+    lat_lo, lat_hi = ty * TILE_DEG - 90.0, (ty + 1) * TILE_DEG - 90.0
+    lon_lo, lon_hi = tx * TILE_DEG - 180.0, (tx + 1) * TILE_DEG - 180.0
+    clat = min(max(olat, lat_lo), lat_hi)
+    if lon_lo <= olon <= lon_hi:
+        dlon = 0.0
+    else:
+        d1 = abs(olon - lon_lo) % 360.0
+        d2 = abs(olon - lon_hi) % 360.0
+        dlon = min(d1, 360.0 - d1, d2, 360.0 - d2)
+    return float(_haversine_km(
+        np.array([clat]), np.array([olon + dlon]), olat, olon)[0])
+
+
 def geo_distance_topk(sf_dir: str) -> pa.Table:
     """LatLonPoint.newDistanceQuery + geodist() sort: the GEO_K customers
-    nearest ORIGIN → (rank, c_custkey, dist_km3). Per-batch haversine and
-    partial top-k; only (key, dist) partials reach the driver merge."""
+    nearest ORIGIN → (rank, c_custkey, dist_km3).
 
-    def fn(batch: pa.Table) -> pa.Table:
-        keys = batch["c_custkey"].to_numpy()
-        lat, lon = _points(keys)
-        d = np.round(_haversine_km(lat, lon, *ORIGIN), 3)
-        order = np.lexsort((keys, d))[:GEO_K]  # partial top-k per batch
-        return pa.table({
-            "c_custkey": pa.array(keys[order], pa.int64()),
-            "dist_km3": pa.array(d[order], pa.float64()),
-        })
+    Index-accelerated: tiles are visited in min-possible-distance order off
+    the one-time geo tile artifact; the search stops as soon as the k-th
+    best found distance is ≤ the next tile's lower bound (the BKD
+    nearest-neighbor traversal of LatLonPointPrototypeQueries.nearest) —
+    only a handful of tile partitions around the origin are ever read."""
+    import pyarrow.dataset as pads
 
-    out = _customers(sf_dir).map_batches(fn, batch_format="pyarrow")
-    parts = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
-    keys = parts["c_custkey"].to_numpy()
-    d = parts["dist_km3"].to_numpy()
-    order = np.lexsort((keys, d))[:GEO_K]
+    d = _ensure_geo_tiles(sf_dir)
+    tiles = _tile_dirs(d)
+    order = sorted(tiles, key=lambda t: _tile_min_dist_km(t, *ORIGIN))
+    best_keys: list[int] = []
+    best_d: list[float] = []
+    kth = np.inf
+    scanned = 0
+    for t in order:
+        if len(best_keys) >= GEO_K and _tile_min_dist_km(t, *ORIGIN) > kth:
+            break
+        scanned += 1
+        tbl = pads.dataset(tiles[t]).to_table(columns=["c_custkey", "lat", "lon"])
+        keys = tbl["c_custkey"].to_numpy()
+        dist = np.round(
+            _haversine_km(tbl["lat"].to_numpy(), tbl["lon"].to_numpy(), *ORIGIN), 3)
+        best_keys.extend(keys.tolist())
+        best_d.extend(dist.tolist())
+        if len(best_keys) >= GEO_K:
+            sel = np.lexsort((best_keys, best_d))[:GEO_K]
+            best_keys = [best_keys[i] for i in sel]
+            best_d = [best_d[i] for i in sel]
+            kth = best_d[-1]
+    GEO_SCAN_STATS["tiles_scanned"] += scanned
+    GEO_SCAN_STATS["tiles_total"] += len(tiles)
+    sel = np.lexsort((best_keys, best_d))[:GEO_K]
     return pa.table({
-        "rank": pa.array(np.arange(len(order)), pa.int64()),
-        "c_custkey": pa.array(keys[order], pa.int64()),
-        "dist_km3": pa.array(d[order], pa.float64()),
+        "rank": pa.array(np.arange(len(sel)), pa.int64()),
+        "c_custkey": pa.array(np.asarray(best_keys, dtype=np.int64)[sel], pa.int64()),
+        "dist_km3": pa.array(np.asarray(best_d, dtype=np.float64)[sel], pa.float64()),
     })
 
 

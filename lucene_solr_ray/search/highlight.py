@@ -105,17 +105,35 @@ def highlight_text(
     post_tag: str = "</b>",
 ) -> str | None:
     """Best-passage snippet of ``text`` for ``terms``; None when nothing
-    matches (UnifiedHighlighter returns null for no-match docs)."""
+    matches (UnifiedHighlighter returns null for no-match docs). Offset
+    source = ANALYSIS (re-tokenization)."""
     if not terms or not text:
         return None
     toks = analyze_with_offsets(text, analyzer or StandardAnalyzer())
     hits = [(s, e, t) for (t, _p, s, e) in toks if t in terms]
-    if not hits:
-        return None
     ttf_of: dict[str, int] = {}
     for t, _p, _s, _e in toks:
         if t in terms:
             ttf_of[t] = ttf_of.get(t, 0) + 1
+    return _snippet_from_hits(text, hits, ttf_of, max_passages=max_passages,
+                              scorer=scorer, pre_tag=pre_tag, post_tag=post_tag)
+
+
+def _snippet_from_hits(
+    text: str,
+    hits: list[tuple[int, int, str]],
+    ttf_of: dict[str, int],
+    *,
+    max_passages: int = 3,
+    scorer: PassageScorer | None = None,
+    pre_tag: str = "<b>",
+    post_tag: str = "</b>",
+) -> str | None:
+    """Passage selection + formatting over precomputed (start, end, term)
+    match offsets — shared by the ANALYSIS and POSTINGS offset sources."""
+    if not hits:
+        return None
+    hits = sorted(hits)
     passages = [Passage(s, e) for s, e in sentence_spans(text)]
     hi = 0
     for p in passages:
@@ -154,17 +172,74 @@ def highlight_text(
     return "... ".join(parts)
 
 
+def _postings_offset_hits(searcher, terms: set[str], doc_ids: list[int],
+                          fld: str):
+    """POSTINGS offset source (IndexOptions ..._AND_OFFSETS;
+    uhighlight/FieldOffsetStrategy POSTINGS): per hit doc, match offsets
+    come straight off the indexed off_blob streams — no re-analysis of the
+    stored text. Returns ({doc_id: [(s, e, term)]}, {doc_id: {term: tf}})."""
+    import os
+
+    import numpy as np
+
+    from ..index.reader import read_postings_rows
+    from .wand import build_lazy
+
+    reader = searcher.reader
+    hits: dict[int, list[tuple[int, int, str]]] = {int(d): [] for d in doc_ids}
+    ttf: dict[int, dict[str, int]] = {int(d): {} for d in doc_ids}
+    segs = sorted(reader.segments, key=lambda s: s["doc_base"])
+    bases = [s["doc_base"] for s in segs]
+    by_seg: dict[int, list[int]] = {}
+    for d in doc_ids:
+        i = int(np.searchsorted(bases, int(d), side="right")) - 1
+        by_seg.setdefault(i, []).append(int(d))
+    pairs = [(fld, t) for t in terms]
+    for i, gids in by_seg.items():
+        seg = segs[i]
+        path = os.path.join(reader.seg_dir(seg["seg"]), "postings.parquet")
+        lazy = build_lazy(read_postings_rows(path, pairs))
+        for t in terms:
+            tp = lazy.get((fld, t))
+            if tp is None or not tp.off_blob:
+                continue
+            ids, freqs = tp.full()
+            f_off, starts, ends = tp.offsets()
+            for gid in gids:
+                lid = gid - seg["doc_base"]
+                j = int(np.searchsorted(ids, lid))
+                if j < len(ids) and ids[j] == lid:
+                    sl = slice(int(f_off[j]), int(f_off[j + 1]))
+                    hits[gid].extend(
+                        (int(s), int(e), t)
+                        for s, e in zip(starts[sl], ends[sl])
+                    )
+                    ttf[gid][t] = int(freqs[j])
+    return hits, ttf
+
+
 def highlight_hits(searcher, query: Query, doc_ids: list[int],
                    fld: str = CONTENT_FIELD, max_passages: int = 3):
     """Two-phase fetch + snippet per hit → {doc_id: snippet | None}.
 
     Requires an index built with ``store_content=True`` (stored-fields
-    analog); raises KeyError otherwise."""
+    analog); raises KeyError otherwise. When the index was built with
+    ``store_offsets=True`` the match offsets come from the postings
+    (index-stored offsets — cheap at scale: no re-tokenization of k stored
+    texts per query); otherwise the stored text is re-analyzed."""
     import pyarrow as pa
 
     terms = _query_highlight_terms(query, searcher.reader, fld)
     docs = searcher.reader.fetch_docs(list(doc_ids), columns=["doc_id", "content"])
     text_of = dict(zip(docs["doc_id"].to_pylist(), docs["content"].to_pylist()))
+    if searcher.reader.manifest.get("offsets"):
+        off_hits, ttf = _postings_offset_hits(searcher, terms, doc_ids, fld)
+        return {
+            int(d): _snippet_from_hits(
+                text_of.get(int(d)) or "", off_hits[int(d)], ttf[int(d)],
+                max_passages=max_passages)
+            for d in doc_ids
+        }
     return {
         int(d): highlight_text(text_of.get(int(d)) or "", terms, max_passages=max_passages)
         for d in doc_ids

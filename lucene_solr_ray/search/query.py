@@ -587,15 +587,18 @@ def has_payload_query(q: Query) -> bool:
     return False
 
 
-def numeric_fields(q: Query) -> set[str]:
+def numeric_fields(q: Query, include_ranges: bool = True) -> set[str]:
     """Doc-value columns the query needs (PointValues / SortedDocValues
     analog — string columns load through the same pruned docs read)."""
     if isinstance(q, NumericRangeQuery):
-        return {q.field}
+        # include_ranges=False: fields used ONLY by pure range queries —
+        # satisfiable from the point index (BKD analog) without loading
+        # the doc-values column
+        return {q.field} if include_ranges else set()
     if isinstance(q, (DocValuesNumbersQuery, DocValuesTermsQuery)):
         return {q.field}
     if isinstance(q, FunctionScoreQuery):
-        return {q.field} | numeric_fields(q.query)
+        return {q.field} | numeric_fields(q.query, include_ranges)
     if isinstance(q, FunctionQuery):
         from .expressions import compile_expression, variables
 
@@ -609,23 +612,23 @@ def numeric_fields(q: Query) -> set[str]:
     if isinstance(q, BoostedQuery):
         from .expressions import compile_expression, variables
 
-        return (variables(compile_expression(q.expr)) - {"_score"}) | numeric_fields(q.query)
+        return (variables(compile_expression(q.expr)) - {"_score"}) | numeric_fields(q.query, include_ranges)
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
-        return numeric_fields(q.query)
+        return numeric_fields(q.query, include_ranges)
     if isinstance(q, DisjunctionMaxQuery):
         out: set[str] = set()
         for d in q.disjuncts:
-            out |= numeric_fields(d)
+            out |= numeric_fields(d, include_ranges)
         return out
     if isinstance(q, CoveringQuery):
         out = {q.field}
         for c in q.queries:
-            out |= numeric_fields(c)
+            out |= numeric_fields(c, include_ranges)
         return out
     if isinstance(q, BooleanQuery):
         out = set()
         for c in (*q.must, *q.should, *q.must_not, *q.filter):
-            out |= numeric_fields(c)
+            out |= numeric_fields(c, include_ranges)
         return out
     return set()
 

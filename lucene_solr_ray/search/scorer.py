@@ -77,6 +77,7 @@ class SegmentScorer:
         norms: np.ndarray,
         lazy: dict | None = None,
         doc_values: dict[str, np.ndarray] | None = None,
+        seg_dir: str | None = None,
     ):
         self.sim = sim
         self.postings = postings  # {(field, term): (ids, freqs)}
@@ -85,6 +86,7 @@ class SegmentScorer:
         self.norms = norms  # content-field norm bytes per local doc
         self.lazy = lazy  # {(field, term): LazyTermPostings} for positional queries
         self.doc_values = doc_values or {}  # numeric columns for range queries
+        self.seg_dir = seg_dir  # enables the point-index (BKD analog) range path
         self._term_cache: dict = {}
         # fields without norms use the similarity's no-norm table through
         # the same score_freqs kernel (BM25: norm=k1, BM25Similarity.java:263;
@@ -410,6 +412,16 @@ class SegmentScorer:
             ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
             return ids, np.full(len(ids), q.boost, dtype=self.sim.dtype)
         if isinstance(q, NumericRangeQuery):
+            if self.seg_dir is not None:
+                from ..index.points import points_available, read_points_range
+
+                if points_available(self.seg_dir, q.field):
+                    # BKD-analog path: row-group-pruned read of the sorted
+                    # point sidecar instead of a full doc-values scan
+                    ids = read_points_range(
+                        self.seg_dir, q.field, q.lower, q.upper,
+                        q.include_lower, q.include_upper)
+                    return ids, np.full(len(ids), q.boost, dtype=self.sim.dtype)
             vals = self.doc_values.get(q.field)
             if vals is None:
                 raise KeyError(

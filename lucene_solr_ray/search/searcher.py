@@ -98,8 +98,8 @@ class ScoreSegmentGroup:
         from ..index.reader import segment_norms_cached
 
         norms = segment_norms_cached(seg_d)
-        num_fields = sorted({f for q in self.queries.values() for f in numeric_fields(q)})
-        doc_values = _load_doc_values(seg_d, num_fields)
+        doc_values = _load_doc_values(
+            seg_d, _dv_fields_for(seg_d, self.queries.values()))
         live = None
         del_path = os.path.join(seg_d, "deletes.parquet")
         if os.path.exists(del_path):
@@ -117,6 +117,7 @@ class ScoreSegmentGroup:
             ids, scores = score_one(
                 q, self.sim, lazy, self.weights, self.cache, norms, self.k, self.method,
                 after=self.after, doc_base=base, live=live, doc_values=doc_values,
+                seg_dir=seg_d,
             )
             out_qid.append(qid)
             out_ids.append(ids + base)
@@ -141,16 +142,18 @@ class ScoreSegmentGroup:
 
 
 def _postings_columns(queries) -> list | None:
-    """None (all columns) when any query reads positions; otherwise the
-    postings schema minus the position/payload streams — pure term/boolean
-    batches skip ~half the postings bytes at the parquet read."""
+    """Position-bearing queries read everything except the char-offset
+    stream (only the highlighter consumes off_blob, via its own explicit
+    read); pure term/boolean batches also skip the position/payload
+    streams — ~half the postings bytes at the parquet read."""
     from .query import needs_positions
 
-    if any(needs_positions(q) for q in queries):
-        return None
-    return ["seg", "field", "term", "df", "ttf", "doc_blob", "freq_blob",
+    base = ["seg", "field", "term", "df", "ttf", "doc_blob", "freq_blob",
             "block_first_doc", "block_last_doc", "block_max_freq",
             "block_min_len"]
+    if any(needs_positions(q) for q in queries):
+        return base + ["pos_blob", "pay_blob"]
+    return base
 
 
 def _read_seg_postings(payload: dict, seg: int) -> pa.Table:
@@ -313,10 +316,10 @@ class MatchFieldGroup:
 
         norms = segment_norms_cached(seg_d)
         lazy = build_lazy(group)
-        doc_values = _load_doc_values(seg_d, sorted(numeric_fields(self.query)))
+        doc_values = _load_doc_values(seg_d, _dv_fields_for(seg_d, [self.query]))
         scorer = SegmentScorer(
             self.sim, LazyPostingsDict(lazy), self.weights, self.cache, norms,
-            lazy=lazy, doc_values=doc_values,
+            lazy=lazy, doc_values=doc_values, seg_dir=seg_d,
         )
         ids, scores = scorer.score_query(self.query)
         del_path = os.path.join(seg_d, "deletes.parquet")
@@ -566,6 +569,24 @@ _DV_CACHE: dict[tuple, dict] = {}
 _DV_CACHE_MAX = 4096
 
 
+def _dv_fields_for(seg_d: str, queries) -> list[str]:
+    """Numeric fields that actually need a doc-values COLUMN load for these
+    queries: fields used only by pure NumericRangeQuery clauses are served
+    by the segment's point index (BKD analog — index/points.py) when
+    available, so their columns never load."""
+    from ..index.points import points_available
+    from .query import numeric_fields
+
+    all_f: set[str] = set()
+    nonrange: set[str] = set()
+    for q in queries:
+        all_f |= numeric_fields(q)
+        nonrange |= numeric_fields(q, include_ranges=False)
+    return sorted(
+        f for f in all_f if f in nonrange or not points_available(seg_d, f)
+    )
+
+
 def _load_doc_values(seg_d: str, fields: list[str]) -> dict[str, np.ndarray]:
     """Numeric doc-value columns of one segment (PointValues analog; the
     Parquet column read is pruned to exactly these fields). Sidecar
@@ -609,7 +630,8 @@ def _load_doc_values(seg_d: str, fields: list[str]) -> dict[str, np.ndarray]:
 
 
 def score_one(q, sim, lazy, weights, cache, norms, k, method="auto",
-              after=None, doc_base=0, live=None, doc_values=None):
+              after=None, doc_base=0, live=None, doc_values=None,
+              seg_dir=None):
     """Score one query against one segment → per-segment top-k.
 
     ``lazy``: {term: LazyTermPostings} for the segment. WAND decodes only the
@@ -626,7 +648,7 @@ def score_one(q, sim, lazy, weights, cache, norms, k, method="auto",
         ids, scores = wand_topk(q, sim, lazy, weights, cache, norms, k)
     else:
         scorer = SegmentScorer(sim, LazyPostingsDict(lazy), weights, cache, norms,
-                               lazy=lazy, doc_values=doc_values)
+                               lazy=lazy, doc_values=doc_values, seg_dir=seg_dir)
         ids, scores = scorer.score_query(q)
         if live is not None and len(ids):
             keep = live[ids]
@@ -877,12 +899,12 @@ class Searcher:
         weights = self._weights(set(pairs))
         tbl = (self.reader.postings_for_terms(pairs, columns=_postings_columns([query]))
                if pairs else None)
-        num_fields = sorted(numeric_fields(query))
         from .wand import build_lazy
 
         for s in self.reader.segments:
             seg = s["seg"]
-            doc_values = _load_doc_values(self.reader.seg_dir(seg), num_fields)
+            seg_d = self.reader.seg_dir(seg)
+            doc_values = _load_doc_values(seg_d, _dv_fields_for(seg_d, [query]))
             seg_tbl = (
                 tbl.filter(pa.compute.equal(tbl["seg"], seg))
                 if tbl is not None
@@ -892,7 +914,7 @@ class Searcher:
             norms = self._norms(seg)
             scorer = SegmentScorer(
                 self.sim, LazyPostingsDict(lazy), weights, self.cache, norms,
-                lazy=lazy, doc_values=doc_values,
+                lazy=lazy, doc_values=doc_values, seg_dir=seg_d,
             )
             ids, _ = scorer.score_query(query)
             live = self.reader.live_mask(seg)

@@ -36,7 +36,8 @@ class LazyTermPostings:
 
     def __init__(self, doc_blob: bytes, freq_blob: bytes, df: int,
                  first: np.ndarray, last: np.ndarray, maxf: np.ndarray, minl: np.ndarray,
-                 pos_blob: bytes = b"", ttf: int = 0, pay_blob: bytes = b""):
+                 pos_blob: bytes = b"", ttf: int = 0, pay_blob: bytes = b"",
+                 off_blob: bytes = b""):
         self.doc_blob = doc_blob
         self.freq_blob = freq_blob
         self.df = df
@@ -47,6 +48,7 @@ class LazyTermPostings:
         self.pos_blob = pos_blob
         self.ttf = ttf
         self.pay_blob = pay_blob
+        self.off_blob = off_blob
         self._layout = None
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._positions: tuple[np.ndarray, np.ndarray] | None = None
@@ -59,6 +61,19 @@ class LazyTermPostings:
             raise ValueError("index built without payloads")
         f_off, _pos = self.positions()
         return f_off, np.frombuffer(self.pay_blob, dtype=np.float32)
+
+    def offsets(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode the char-offset stream → (per-doc offsets int64[df+1],
+        flat starts int32, flat ends int32) aligned 1:1 with the position
+        stream (IndexOptions ..._AND_OFFSETS; Lucene50PostingsFormat .pay
+        offset track)."""
+        if not self.off_blob:
+            raise ValueError("index built without offsets")
+        _, freqs = self.full()
+        f_off = np.zeros(self.df + 1, dtype=np.int64)
+        np.cumsum(freqs, out=f_off[1:])
+        pairs = np.frombuffer(self.off_blob, dtype=np.int32).reshape(-1, 2)
+        return f_off, pairs[:, 0], pairs[:, 1]
 
     def positions(self) -> tuple[np.ndarray, np.ndarray]:
         """Decode the position stream → (per-doc offsets int64[df+1], flat
@@ -130,6 +145,7 @@ def build_lazy(group: pa.Table) -> dict:
     ttfs = group["ttf"].to_numpy()
     has_pos = "pos_blob" in group.column_names
     has_pay = "pay_blob" in group.column_names
+    has_off = "off_blob" in group.column_names
     terms = group["term"].to_pylist()
     fields = (
         group["field"].to_pylist()
@@ -148,6 +164,7 @@ def build_lazy(group: pa.Table) -> dict:
             pos_blob=group["pos_blob"][i].as_py() if has_pos else b"",
             ttf=int(ttfs[i]),
             pay_blob=group["pay_blob"][i].as_py() if has_pay else b"",
+            off_blob=group["off_blob"][i].as_py() if has_off else b"",
         )
     return out
 

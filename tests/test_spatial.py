@@ -63,3 +63,24 @@ def test_geo_heatmap_grid(ray_session):
     assert t["n"].sum() == box_n
     assert t["grid_row"].between(0, spatial.HEAT_ROWS - 1).all()
     assert t["grid_col"].between(0, spatial.HEAT_COLS - 1).all()
+
+
+def test_geo_tile_index_prunes(ray_session):
+    """Box and nearest-k queries read only a small fraction of the 648-tile
+    partition grid (the 2-D BKD pruning analog)."""
+    from lucene_solr_ray.pipelines import spatial
+
+    sf = "/root/testdata/sf0.01"
+    spatial.GEO_SCAN_STATS.update(tiles_scanned=0, tiles_total=0)
+    spatial.geo_box(sf)
+    box_scanned = spatial.GEO_SCAN_STATS["tiles_scanned"]
+    box_total = spatial.GEO_SCAN_STATS["tiles_total"]
+    assert box_total > 100  # most of the 648 tiles are populated at sf0.01
+    # BOX spans 60°×120° = 72 of 648 tiles → well under a quarter of them
+    assert box_scanned * 4 <= box_total
+    spatial.GEO_SCAN_STATS.update(tiles_scanned=0, tiles_total=0)
+    spatial.geo_distance_topk(sf)
+    near_scanned = spatial.GEO_SCAN_STATS["tiles_scanned"]
+    near_total = spatial.GEO_SCAN_STATS["tiles_total"]
+    # k=20 nearest Paris stops after a handful of rings
+    assert near_scanned * 10 <= near_total
