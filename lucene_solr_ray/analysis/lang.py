@@ -71,6 +71,37 @@ aient eusse eusses eût eussions eussiez eussent ceci cela celà cet cette ici
 ils les leurs quel quels quelle quelles sans soi
 """.split())
 
+SPANISH_STOP_WORDS = frozenset("""
+de la que el en y a los del se las por un para con no una su al lo como más
+pero sus le ya o este sí porque esta entre cuando muy sin sobre también me
+hasta hay donde quien desde todo nos durante todos uno les ni contra otros
+ese eso ante ellos e esto mí antes algunos qué unos yo otro otras otra él
+tanto esa estos mucho quienes nada muchos cual poco ella estar estas algunas
+algo nosotros mi mis tú te ti tu tus ellas nosotras vosotros vosotras os mío
+mía míos mías tuyo tuya tuyos tuyas suyo suya suyos suyas nuestro nuestra
+nuestros nuestras vuestro vuestra vuestros vuestras esos esas estoy estás
+está estamos estáis están esté estés estemos estéis estén estaré estarás
+estará estaremos estaréis estarán estaría estarías estaríamos estaríais
+estarían estaba estabas estábamos estabais estaban estuve estuviste estuvo
+estuvimos estuvisteis estuvieron estuviera estuvieras estuviéramos
+estuvierais estuvieran estuviese estuvieses estuviésemos estuvieseis
+estuviesen estando estado estada estados estadas estad he has ha hemos
+habéis han haya hayas hayamos hayáis hayan habré habrás habrá habremos
+habréis habrán habría habrías habríamos habríais habrían había habías
+habíamos habíais habían hube hubiste hubo hubimos hubisteis hubieron
+hubiera hubieras hubiéramos hubierais hubieran hubiese hubieses hubiésemos
+hubieseis hubiesen habiendo habido habida habidos habidas soy eres es somos
+sois son sea seas seamos seáis sean seré serás será seremos seréis serán
+sería serías seríamos seríais serían era eras éramos erais eran fui fuiste
+fue fuimos fuisteis fueron fuera fueras fuéramos fuerais fueran fuese
+fueses fuésemos fueseis fuesen siendo sido tengo tienes tiene tenemos
+tenéis tienen tenga tengas tengamos tengáis tengan tendré tendrás tendrá
+tendremos tendréis tendrán tendría tendrías tendríamos tendríais tendrían
+tenía tenías teníamos teníais tenían tuve tuviste tuvo tuvimos tuvisteis
+tuvieron tuviera tuvieras tuviéramos tuvierais tuvieran tuviese tuvieses
+tuviésemos tuvieseis tuviesen teniendo tenido tenida tenidos tenidas tened
+""".split())
+
 FRENCH_ARTICLES = frozenset(
     ("l", "m", "t", "qu", "n", "s", "j", "d", "c",
      "jusqu", "quoiqu", "lorsqu", "puisqu")
@@ -163,6 +194,35 @@ def german_light_stem(term: str) -> str:
     elif ln > 4 and s.endswith("st") and s[ln - 3] in _DE_S_END:
         ln -= 2
     return s[:ln]
+
+
+_ES_FOLD = str.maketrans({
+    "à": "a", "á": "a", "â": "a", "ä": "a",
+    "ò": "o", "ó": "o", "ô": "o", "ö": "o",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+})
+
+
+def spanish_light_stem(term: str) -> str:
+    """UniNE Spanish light stemmer (``es/SpanishLightStemmer.java``):
+    accent fold, then strip a final o/a/e, or plural -s forms (eses→ese,
+    ces→z, os/as/es→singular). Words under 5 chars pass through."""
+    if len(term) < 5:
+        return term
+    s = term.translate(_ES_FOLD)
+    last = s[-1]
+    if last in ("o", "a", "e"):
+        return s[:-1]
+    if last == "s":
+        if s[-2] == "e" and s[-3] == "s" and s[-4] == "e":
+            return s[:-2]
+        if s[-2] == "e" and s[-3] == "c":
+            return s[:-3] + "z"
+        if s[-2] in ("o", "a", "e"):
+            return s[:-2]
+    return s
 
 
 _FR_FOLD = str.maketrans({

@@ -285,6 +285,16 @@ def GermanAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="german_light", normalization="german", **kw)
 
 
+def SpanishAnalyzer(**kw) -> StandardAnalyzer:
+    """SpanishAnalyzer preset (``analysis/common/.../es/SpanishAnalyzer.java:
+    117-124``): lowercase → stop(Spanish) → [keyword marker] →
+    SpanishLightStemFilter."""
+    from .lang import SPANISH_STOP_WORDS
+
+    kw.setdefault("stopwords", SPANISH_STOP_WORDS)
+    return StandardAnalyzer(stem="spanish_light", **kw)
+
+
 def FrenchAnalyzer(**kw) -> StandardAnalyzer:
     """FrenchAnalyzer preset (``analysis/common/.../fr/FrenchAnalyzer.java:
     137-144``): elision(articles) → lowercase → stop(French) →
@@ -359,6 +369,9 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "french_light":
         from .lang import french_light_stem
         stem_fns["french_light"] = french_light_stem
+    elif analyzer.stem == "spanish_light":
+        from .lang import spanish_light_stem
+        stem_fns["spanish_light"] = spanish_light_stem
     elif analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
     if analyzer.stem is not None:

@@ -606,13 +606,28 @@ def _substr_tokens(text: str) -> list[str]:
 def _substr_windows(text: str) -> list[str]:
     """md5 fingerprints of every SUBSTR_W-token window (stride 1); docs
     shorter than SUBSTR_W tokens have no windows. Matches the oracle's
-    list-slice + md5 CTE."""
+    list-slice + md5 CTE.
+
+    The W-token window strings are SLICES of the single space-joined
+    token buffer (byte offsets via one cumsum) — one encode + one md5 per
+    window over a memoryview, no per-window list-slice + join (the
+    per-window join was the dominant dedup_substring cost)."""
     toks = _substr_tokens(text)
-    if len(toks) < SUBSTR_W:
+    n = len(toks)
+    if n < SUBSTR_W:
         return []
+    data = " ".join(toks).encode("utf-8")
+    lens = np.fromiter((len(t.encode("utf-8")) for t in toks), dtype=np.int64,
+                       count=n)
+    # byte offset of token i in data: sum(lens[:i]) + i separator spaces
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=off[1:])  # +1 per trailing space
+    starts = off[: n - SUBSTR_W + 1]
+    ends = off[SUBSTR_W:] - 1  # drop the window's trailing space
+    view = memoryview(data)
     return [
-        hashlib.md5(" ".join(toks[i : i + SUBSTR_W]).encode("utf-8")).hexdigest()
-        for i in range(len(toks) - SUBSTR_W + 1)
+        hashlib.md5(view[int(s):int(e)]).hexdigest()
+        for s, e in zip(starts, ends)
     ]
 
 

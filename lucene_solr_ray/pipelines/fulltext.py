@@ -1598,6 +1598,10 @@ FRENCH_SPECS = [
     {"qid": f"fr_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
     for t in ["ord", "filt", "tabl", "vecto"]
 ]
+SPANISH_SPECS = [
+    {"qid": f"es_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["valu", "merg", "tabl", "scan"]
+]
 
 SYNONYM_PAIRS = [("spark", "lightning"), ("window", "pane")]
 SYNONYM_SPECS = [
@@ -1670,6 +1674,19 @@ def ft_french(sf_dir: str) -> pa.Table:
 
     return _variant_topk(
         get_searcher_variant(sf_dir, "french", FrenchAnalyzer()), FRENCH_SPECS
+    )
+
+
+def ft_spanish(sf_dir: str) -> pa.Table:
+    """SpanishAnalyzer index (analysis/common/.../es/SpanishAnalyzer.java:
+    117-124 chain: Spanish stopwords → SpanishLightStemFilter): BM25 top-k
+    over pre-analyzed stem terms, exact float64 scores. The stemmer is
+    golden-tested against the reference's 28k-entry eslighttestdata
+    vocabulary."""
+    from ..analysis.tokenizer import SpanishAnalyzer
+
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "spanish", SpanishAnalyzer()), SPANISH_SPECS
     )
 
 

@@ -1015,6 +1015,36 @@ dest1 AS (SELECT did, {_de_step('ern', 1)} AS t FROM denorm),
 emitted AS MATERIALIZED (SELECT did, {_de_step('est', 2)} AS tok FROM dest1),{_VARIANT_TAIL}"""
 
 
+#: SpanishLightStemmer on ASCII input (es/SpanishLightStemmer.java; accent
+#: fold never fires on \w+ ASCII corpus tokens)
+_ES_STEM_SQL = """
+CASE WHEN length(t) < 5 THEN t
+     WHEN right(t, 1) IN ('o','a','e') THEN left(t, length(t)-1)
+     WHEN right(t, 4) = 'eses' THEN left(t, length(t)-2)
+     WHEN right(t, 3) = 'ces' THEN left(t, length(t)-3) || 'z'
+     WHEN right(t, 2) IN ('os','as','es') THEN left(t, length(t)-2)
+     ELSE t END"""
+
+
+def prelude_spanish() -> str:
+    """SpanishAnalyzer index oracle: Spanish snowball stopwords → UniNE
+    light stem (single CASE)."""
+    from ..analysis.lang import SPANISH_STOP_WORDS
+
+    stop = ", ".join(f"'{w}'" for w in sorted(SPANISH_STOP_WORDS))
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({stop})
+),
+base AS (SELECT did, tok FROM kept),
+es0 AS (SELECT did, tok AS t FROM kept),
+emitted AS MATERIALIZED (SELECT did, {_ES_STEM_SQL} AS tok FROM es0),{_VARIANT_TAIL}"""
+
+
 def _fr_stem_ctes() -> str:
     """FrenchLightStemmer (fr/FrenchLightStemmer.java) as CTE stages over
     (did, t [, done]): the Java method's early ``return norm(...)`` branches

@@ -13,10 +13,12 @@ import pytest
 from lucene_solr_ray.analysis.lang import (
     FRENCH_STOP_WORDS,
     GERMAN_STOP_WORDS,
+    SPANISH_STOP_WORDS,
     french_elide,
     french_light_stem,
     german_light_stem,
     german_normalize,
+    spanish_light_stem,
 )
 from lucene_solr_ray.analysis.tokenizer import (
     FrenchAnalyzer,
@@ -56,6 +58,16 @@ def test_french_light_stemmer_full_reference_vocabulary():
     assert bad == []
 
 
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference not present")
+def test_spanish_light_stemmer_full_reference_vocabulary():
+    bad = [
+        (w, spanish_light_stem(w), want)
+        for w, want in _vocab(f"{_REF}/es/eslighttestdata.zip", "eslight.txt")
+        if spanish_light_stem(w) != want
+    ]
+    assert bad == []
+
+
 def test_german_normalization_reference_cases():
     # TestGermanNormalizationFilter golden cases (lowercased — our chain
     # normalizes after LowerCaseFilter)
@@ -83,4 +95,10 @@ def test_analyzer_presets_end_to_end():
     toks = dict(analyze_with_positions("les chanteuses et le chanteur", fr))
     assert "chant" in toks
     assert "les" not in toks and "et" not in toks
-    assert GERMAN_STOP_WORDS and FRENCH_STOP_WORDS
+    from lucene_solr_ray.analysis.tokenizer import SpanishAnalyzer
+
+    es = SpanishAnalyzer()
+    toks = dict(analyze_with_positions("las mesas y los libros", es))
+    assert "mes" in toks and "libr" in toks  # mesas→mes, libros→libr
+    assert "las" not in toks and "los" not in toks
+    assert GERMAN_STOP_WORDS and FRENCH_STOP_WORDS and SPANISH_STOP_WORDS
