@@ -342,6 +342,69 @@ ORDER BY c_custkey
 """
 
 
+#: hole ring (convex CCW, strictly inside POLYGON) — a small diamond at the
+#: center; inside-with-holes = inside outer AND NOT inside any hole
+#: (Polygon2D's holes contract, ``lucene/core/.../geo/Polygon.java:48-60``:
+#: "Holes define invalid points inside the polygon")
+POLYGON_HOLE = ((-15.0, 0.0), (0.0, -12.0), (15.0, 0.0), (0.0, 12.0))
+
+
+def _inside_convex(lat: np.ndarray, lon: np.ndarray, ring) -> np.ndarray:
+    m = np.ones(len(lat), dtype=bool)
+    for i in range(len(ring)):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % len(ring)]
+        m &= (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1) >= 0.0
+    return m
+
+
+def geo_polygon_holes(sf_dir: str) -> pa.Table:
+    """LatLonPoint.newPolygonQuery with a HOLE (``geo/Polygon.java`` holes
+    contract — Polygon2D treats hole interiors as invalid): inside the
+    outer ring AND NOT inside the hole ring, both convex half-plane tests
+    in exact float64 → (c_custkey, lat, lon)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy()
+        lat, lon = _points(keys)
+        m = _inside_convex(lat, lon, POLYGON) & ~_inside_convex(lat, lon, POLYGON_HOLE)
+        return pa.table({
+            "c_custkey": pa.array(keys[m], pa.int64()),
+            "lat": pa.array(lat[m], pa.float64()),
+            "lon": pa.array(lon[m], pa.float64()),
+        })
+
+    out = _customers(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow")).sort_by("c_custkey")
+
+
+def _ring_conds(ring) -> str:
+    conds = []
+    for i in range(len(ring)):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % len(ring)]
+        conds.append(
+            f"({x2!r} - {x1!r}) * (lat - {y1!r}) - ({y2!r} - {y1!r}) * (lon - {x1!r}) >= 0.0"
+        )
+    return "(" + "\n  AND ".join(conds) + ")"
+
+
+SQL_GEO_POLYGON_HOLES = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (CAST(('0x' || substr(md5('lat|' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1800000) / 10000.0 - 90 AS lat,
+         (CAST(('0x' || substr(md5('lon|' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 3600000) / 10000.0 - 180 AS lon
+  FROM customer
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, lat, lon FROM pts
+WHERE {_ring_conds(POLYGON)}
+  AND NOT {_ring_conds(POLYGON_HOLE)}
+ORDER BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # heatmap facet grid (Solr SpatialHeatmapFacets)
 # ---------------------------------------------------------------------------
