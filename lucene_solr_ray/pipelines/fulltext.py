@@ -1278,13 +1278,17 @@ def ft_mlt(sf_dir: str) -> pa.Table:
 
 
 def ft_suggest_prefix(sf_dir: str) -> pa.Table:
-    """Completion suggester: top-5 terms by df under each prefix."""
+    """Completion suggester: top-5 terms by df under each prefix — served
+    from the in-memory weighted prefix automaton (AnalyzingSuggester FST
+    analog, search/suggest_fst.py; built once per index generation from a
+    distributed (term, df) aggregation, then hot lookups) and verified
+    against the same DuckDB oracle as the scan path."""
     from ..search.suggest import suggest_prefix
 
     s = get_searcher(sf_dir)
     tables = []
     for pre in SUGGEST_PREFIXES:
-        r = suggest_prefix(s.reader, pre, num=5)
+        r = suggest_prefix(s.reader, pre, num=5, use_automaton=True)
         tables.append(
             pa.table(
                 {

@@ -58,8 +58,23 @@ def _term_df(reader, field: str, flt) -> pa.Table:
     )
 
 
-def suggest_prefix(reader, prefix: str, num: int = 5, field: str = CONTENT_FIELD) -> pa.Table:
-    """→ (term, df) top-``num`` by (df desc, term asc)."""
+def suggest_prefix(reader, prefix: str, num: int = 5, field: str = CONTENT_FIELD,
+                   use_automaton: bool = False) -> pa.Table:
+    """→ (term, df) top-``num`` by (df desc, term asc).
+
+    ``use_automaton=True``: serve from the per-process in-memory weighted
+    prefix automaton (search/suggest_fst.py — the AnalyzingSuggester FST
+    analog, built once per index generation): microsecond hot-path lookups
+    instead of a distributed term-dictionary scan per query. Identical
+    results (pinned in tests/test_suggest_fst.py)."""
+    if use_automaton:
+        from .suggest_fst import automaton_for
+
+        hits = automaton_for(reader, field).top_k(prefix, num)
+        return pa.table({
+            "term": pa.array([t for t, _ in hits], pa.string()),
+            "df": pa.array([w for _, w in hits], pa.int64()),
+        })
     import pyarrow.compute as pc
 
     tbl = _term_df(reader, field, lambda t: pc.starts_with(t, prefix).to_numpy(zero_copy_only=False))
