@@ -312,6 +312,17 @@ def run_scaling() -> None:
                 f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
                 f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
                 "pair_efficiencies": [round(p[0], 3) for p in pairs],
+                # per-leg single-core calibration kernel (docs/s/core): calm
+                # host ≈ 10.9k — legs far below that ran under external
+                # throttle/contention, which deflates the ratio (the hi-cpu
+                # leg loses proportionally more to a noisy neighbour)
+                "calibration_per_pair": [
+                    [
+                        p[3].get("calibration_kernel_docs_per_sec"),
+                        p[4].get("calibration_kernel_docs_per_sec"),
+                    ]
+                    for p in pairs
+                ],
                 "bench_docs": int(docs),
             }
         )
