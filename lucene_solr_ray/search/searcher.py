@@ -1530,10 +1530,12 @@ class Searcher:
                     else pa.table({"term": pa.array([], pa.string())})
                 )
                 lazy = build_lazy(seg_tbl) if len(seg_tbl) else {}
+                seg_d = self.reader.seg_dir(seg)
                 scorer = SegmentScorer(
                     self.sim, LazyPostingsDict(lazy), weights, self.cache,
                     self._norms(seg), lazy=lazy,
-                    doc_values=_load_doc_values(self.reader.seg_dir(seg), num_fields),
+                    doc_values=_load_doc_values(seg_d, num_fields),
+                    seg_dir=seg_d,
                 )
                 ids, scores = scorer.score_query(q)
                 live = self.reader.live_mask(seg)
@@ -1832,10 +1834,12 @@ class Searcher:
                 else pa.table({"term": pa.array([], pa.string())})
             )
             lazy = build_lazy(seg_tbl) if len(seg_tbl) else {}
+            seg_d = self.reader.seg_dir(seg)
             scorer = SegmentScorer(
                 self.sim, LazyPostingsDict(lazy), weights, self.cache,
                 self._norms(seg), lazy=lazy,
-                doc_values=_load_doc_values(self.reader.seg_dir(seg), num_fields),
+                doc_values=_load_doc_values(seg_d, num_fields),
+                seg_dir=seg_d,
             )
             ids, scores = scorer.score_query(query)  # local ids ascending
             local = global_ids[in_seg] - base
