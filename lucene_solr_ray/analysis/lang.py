@@ -102,6 +102,58 @@ tuvieron tuviera tuvieras tuviéramos tuvierais tuvieran tuviese tuvieses
 tuviésemos tuvieseis tuviesen teniendo tenido tenida tenidos tenidas tened
 """.split())
 
+ITALIAN_STOP_WORDS = frozenset("""
+ad al allo ai agli all agl alla alle con col coi da dal dallo dai dagli dall
+dagl dalla dalle di del dello dei degli dell degl della delle in nel nello
+nei negli nell negl nella nelle su sul sullo sui sugli sull sugl sulla sulle
+per tra contro io tu lui lei noi voi loro mio mia miei mie tuo tua tuoi tue
+suo sua suoi sue nostro nostra nostri nostre vostro vostra vostri vostre mi
+ti ci vi lo la li le gli ne il un uno una ma ed se perché anche come dov
+dove che chi cui non più quale quanto quanti quanta quante quello quelli
+quella quelle questo questi questa queste si tutto tutti a c e i l o ho hai
+ha abbiamo avete hanno abbia abbiate abbiano avrò avrai avrà avremo avrete
+avranno avrei avresti avrebbe avremmo avreste avrebbero avevo avevi aveva
+avevamo avevate avevano ebbi avesti ebbe avemmo aveste ebbero avessi avesse
+avessimo avessero avendo avuto avuta avuti avute sono sei è siamo siete sia
+siate siano sarò sarai sarà saremo sarete saranno sarei saresti sarebbe
+saremmo sareste sarebbero ero eri era eravamo eravate erano fui fosti fu
+fummo foste furono fossi fosse fossimo fossero essendo faccio fai facciamo
+fanno faccia facciate facciano farò farai farà faremo farete faranno farei
+faresti farebbe faremmo fareste farebbero facevo facevi faceva facevamo
+facevate facevano feci facesti fece facemmo faceste fecero facessi facesse
+facessimo facessero facendo sto stai sta stiamo stanno stia stiate stiano
+starò starai starà staremo starete staranno starei staresti starebbe
+staremmo stareste starebbero stavo stavi stava stavamo stavate stavano
+stetti stesti stette stemmo steste stettero stessi stesse stessimo stessero
+stando
+""".split())
+
+PORTUGUESE_STOP_WORDS = frozenset("""
+de a o que e do da em um para com não uma os no se na por mais as dos como
+mas ao ele das à seu sua ou quando muito nos já eu também só pelo pela até
+isso ela entre depois sem mesmo aos seus quem nas me esse eles você essa num
+nem suas meu às minha numa pelos elas qual nós lhe deles essas esses pelas
+este dele tu te vocês vos lhes meus minhas teu tua teus tuas nosso nossa
+nossos nossas dela delas esta estes estas aquele aquela aqueles aquelas isto
+aquilo estou está estamos estão estive esteve estivemos estiveram estava
+estávamos estavam estivera estivéramos esteja estejamos estejam estivesse
+estivéssemos estivessem estiver estivermos estiverem hei há havemos hão
+houve houvemos houveram houvera houvéramos haja hajamos hajam houvesse
+houvéssemos houvessem houver houvermos houverem houverei houverá houveremos
+houverão houveria houveríamos houveriam sou somos são era éramos eram fui
+foi fomos foram fora fôramos seja sejamos sejam fosse fôssemos fossem for
+formos forem serei será seremos serão seria seríamos seriam tenho tem temos
+tém tinha tínhamos tinham tive teve tivemos tiveram tivera tivéramos tenha
+tenhamos tenham tivesse tivéssemos tivessem tiver tivermos tiverem terei
+terá teremos terão teria teríamos teriam
+""".split())
+
+ITALIAN_ARTICLES = frozenset(
+    ("c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+     "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
+     "v", "d")
+)
+
 FRENCH_ARTICLES = frozenset(
     ("l", "m", "t", "qu", "n", "s", "j", "d", "c",
      "jusqu", "quoiqu", "lorsqu", "puisqu")
@@ -110,15 +162,19 @@ FRENCH_ARTICLES = frozenset(
 _APOSTROPHES = ("'", "’")
 
 
-def french_elide(token: str) -> str:
-    """Strip a leading elided article (``l'avion`` → ``avion``); the match
-    is case-insensitive and also accepts the typographic apostrophe
-    (ElisionFilter semantics). Non-matching tokens pass through."""
+def elide(token: str, articles: frozenset[str]) -> str:
+    """ElisionFilter: strip a leading elided article (``l'avion`` →
+    ``avion``); case-insensitive, accepts the typographic apostrophe.
+    Non-matching tokens pass through."""
     for ap in _APOSTROPHES:
         i = token.find(ap)
-        if i > 0 and token[:i].lower() in FRENCH_ARTICLES and i + 1 < len(token):
+        if i > 0 and token[:i].lower() in articles and i + 1 < len(token):
             return token[i + 1:]
     return token
+
+
+def french_elide(token: str) -> str:
+    return elide(token, FRENCH_ARTICLES)
 
 
 def german_normalize(term: str) -> str:
@@ -223,6 +279,103 @@ def spanish_light_stem(term: str) -> str:
         if s[-2] in ("o", "a", "e"):
             return s[:-2]
     return s
+
+
+_IT_FOLD = str.maketrans({
+    "à": "a", "á": "a", "â": "a", "ä": "a",
+    "ò": "o", "ó": "o", "ô": "o", "ö": "o",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+})
+
+
+def italian_light_stem(term: str) -> str:
+    """Savoy (CLEF-2001) Italian light stemmer
+    (``it/ItalianLightStemmer.java``): accent fold, then strip a final
+    vowel — two chars when preceded by i/h per the plural/elision rules.
+    Words under 6 chars pass through."""
+    if len(term) < 6:
+        return term
+    s = term.translate(_IT_FOLD)
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in ("i", "h") else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in ("h", "i") else s[:-1]
+    if last in ("a", "o"):
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+_PT_FOLD = str.maketrans({
+    "à": "a", "á": "a", "â": "a", "ä": "a", "ã": "a",
+    "ò": "o", "ó": "o", "ô": "o", "ö": "o", "õ": "o",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+    "ç": "c",
+})
+
+
+def _pt_remove_suffix(s: str) -> str:
+    """``PortugueseLightStemmer.removeSuffix`` branch-for-branch."""
+    n = len(s)
+    if n > 4 and s.endswith("es") and s[n - 3] in "rslz":
+        return s[:-2]
+    if n > 3 and s.endswith("ns"):
+        return s[:-2] + "m"
+    if n > 4 and (s.endswith("eis") or s.endswith("éis")):
+        return s[:-3] + "el"
+    if n > 4 and s.endswith("ais"):
+        return s[:-2] + "l"
+    if n > 4 and s.endswith("óis"):
+        return s[:-3] + "ol"
+    if n > 4 and s.endswith("is"):
+        return s[:-1] + "l"
+    if n > 3 and (s.endswith("ões") or s.endswith("ães")):
+        return s[:-3] + "ão"
+    if n > 6 and s.endswith("mente"):
+        return s[:-5]
+    if n > 3 and s[-1] == "s":
+        return s[:-1]
+    return s
+
+
+def _pt_norm_feminine(s: str) -> str:
+    """``PortugueseLightStemmer.normFeminine`` branch-for-branch (callers
+    guarantee the trailing 'a')."""
+    n = len(s)
+    if n > 7 and (s.endswith("inha") or s.endswith("iaca") or s.endswith("eira")):
+        return s[:-1] + "o"
+    if n > 6:
+        if (s.endswith("osa") or s.endswith("ica") or s.endswith("ida")
+                or s.endswith("ada") or s.endswith("iva") or s.endswith("ama")):
+            return s[:-1] + "o"
+        if s.endswith("ona"):
+            return s[:-3] + "ão"
+        if s.endswith("ora"):
+            return s[:-1]
+        if s.endswith("esa"):
+            return s[:-3] + "ês"
+        if s.endswith("na"):
+            return s[:-1] + "o"
+    return s
+
+
+def portuguese_light_stem(term: str) -> str:
+    """UniNE Portuguese light stemmer (``pt/PortugueseLightStemmer.java``):
+    plural/adverb suffix removal → feminine normalization → final-vowel
+    strip → accent fold (fold runs LAST in the reference, so intermediate
+    accented rewrites like ões→ão fold to plain vowels at the end)."""
+    if len(term) < 4:
+        return term
+    s = _pt_remove_suffix(term)
+    if len(s) > 3 and s[-1] == "a":
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in ("e", "a", "o"):
+        s = s[:-1]
+    return s.translate(_PT_FOLD)
 
 
 _FR_FOLD = str.maketrans({

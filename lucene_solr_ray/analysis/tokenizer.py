@@ -205,6 +205,9 @@ class StandardAnalyzer:
     #: so with the default tokenizer the article fragments are separate
     #: tokens handled by the stopword list instead (see analysis/lang.py).
     elision: bool = False
+    #: article set for the elision filter; empty = FrenchAnalyzer.
+    #: DEFAULT_ARTICLES (ItalianAnalyzer passes its own list)
+    elision_articles: tuple[str, ...] = ()
     #: CharFilter chain, applied to the raw string BEFORE tokenization
     #: (analysis/CharFilter.java; factories in analysis/charfilter/). Entries:
     #: ("html_strip",) — HTMLStripCharFilter analog (script/style/comment
@@ -295,6 +298,27 @@ def SpanishAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="spanish_light", **kw)
 
 
+def ItalianAnalyzer(**kw) -> StandardAnalyzer:
+    """ItalianAnalyzer preset (``analysis/common/.../it/ItalianAnalyzer.java:
+    126-134``): elision(Italian articles) → lowercase → stop(Italian) →
+    [keyword marker] → ItalianLightStemFilter."""
+    from .lang import ITALIAN_ARTICLES, ITALIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", ITALIAN_STOP_WORDS)
+    kw.setdefault("elision_articles", tuple(sorted(ITALIAN_ARTICLES)))
+    return StandardAnalyzer(stem="italian_light", elision=True, **kw)
+
+
+def PortugueseAnalyzer(**kw) -> StandardAnalyzer:
+    """PortugueseAnalyzer preset (``analysis/common/.../pt/
+    PortugueseAnalyzer.java:117-124``): lowercase → stop(Portuguese) →
+    [keyword marker] → PortugueseLightStemFilter."""
+    from .lang import PORTUGUESE_STOP_WORDS
+
+    kw.setdefault("stopwords", PORTUGUESE_STOP_WORDS)
+    return StandardAnalyzer(stem="portuguese_light", **kw)
+
+
 def FrenchAnalyzer(**kw) -> StandardAnalyzer:
     """FrenchAnalyzer preset (``analysis/common/.../fr/FrenchAnalyzer.java:
     137-144``): elision(articles) → lowercase → stop(French) →
@@ -372,6 +396,12 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "spanish_light":
         from .lang import spanish_light_stem
         stem_fns["spanish_light"] = spanish_light_stem
+    elif analyzer.stem == "italian_light":
+        from .lang import italian_light_stem
+        stem_fns["italian_light"] = italian_light_stem
+    elif analyzer.stem == "portuguese_light":
+        from .lang import portuguese_light_stem
+        stem_fns["portuguese_light"] = portuguese_light_stem
     elif analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
     if analyzer.stem is not None:
@@ -446,9 +476,10 @@ def _analyze_full(
             continue  # skipped, but `pos` advances (StandardTokenizer.java:154-164)
         term = raw.lower() if analyzer.lowercase else raw
         if analyzer.elision:
-            from .lang import french_elide
+            from .lang import FRENCH_ARTICLES, elide
 
-            term = french_elide(term)
+            term = elide(term, frozenset(analyzer.elision_articles)
+                         if analyzer.elision_articles else FRENCH_ARTICLES)
         if analyzer.ascii_folding:
             term = _fold_ascii(term)
         if analyzer.length_filter is not None and not (

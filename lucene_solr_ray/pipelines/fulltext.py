@@ -1606,6 +1606,17 @@ SPANISH_SPECS = [
     {"qid": f"es_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
     for t in ["valu", "merg", "tabl", "scan"]
 ]
+#: Italian light stemming is a no-op on this corpus's vocabulary (min
+#: length 6, vowel-final rule) — the entry still pins the Italian stopword
+#: list + norms through exact scores
+ITALIAN_SPECS = [
+    {"qid": f"it_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["merge", "window", "table", "stream"]
+]
+PORTUGUESE_SPECS = [
+    {"qid": f"pt_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["valu", "merg", "tabl", "vector"]
+]
 
 SYNONYM_PAIRS = [("spark", "lightning"), ("window", "pane")]
 SYNONYM_SPECS = [
@@ -1691,6 +1702,31 @@ def ft_spanish(sf_dir: str) -> pa.Table:
 
     return _variant_topk(
         get_searcher_variant(sf_dir, "spanish", SpanishAnalyzer()), SPANISH_SPECS
+    )
+
+
+def ft_italian(sf_dir: str) -> pa.Table:
+    """ItalianAnalyzer index (analysis/common/.../it/ItalianAnalyzer.java:
+    126-134): elision → Italian stopwords → ItalianLightStemFilter; BM25
+    top-k, exact float64 scores (stemmer golden-tested vs the 35k-entry
+    itlighttestdata vocabulary)."""
+    from ..analysis.tokenizer import ItalianAnalyzer
+
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "italian", ItalianAnalyzer()), ITALIAN_SPECS
+    )
+
+
+def ft_portuguese(sf_dir: str) -> pa.Table:
+    """PortugueseAnalyzer index (analysis/common/.../pt/PortugueseAnalyzer.
+    java:117-124): Portuguese stopwords → PortugueseLightStemFilter; BM25
+    top-k, exact float64 scores (stemmer golden-tested vs the 32k-entry
+    ptlighttestdata vocabulary)."""
+    from ..analysis.tokenizer import PortugueseAnalyzer
+
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "portuguese", PortugueseAnalyzer()),
+        PORTUGUESE_SPECS
     )
 
 

@@ -1045,6 +1045,94 @@ es0 AS (SELECT did, tok AS t FROM kept),
 emitted AS MATERIALIZED (SELECT did, {_ES_STEM_SQL} AS tok FROM es0),{_VARIANT_TAIL}"""
 
 
+#: ItalianLightStemmer on ASCII input (it/ItalianLightStemmer.java; accent
+#: fold never fires on \w+ ASCII corpus tokens): strip a final vowel, two
+#: chars when preceded by i/h per the elision/plural rules; len < 6 passes
+_IT_STEM_SQL = """
+CASE WHEN length(t) < 6 THEN t
+     WHEN right(t, 1) = 'e' THEN
+          CASE WHEN substr(t, length(t)-1, 1) IN ('i','h')
+               THEN left(t, length(t)-2) ELSE left(t, length(t)-1) END
+     WHEN right(t, 1) = 'i' THEN
+          CASE WHEN substr(t, length(t)-1, 1) IN ('h','i')
+               THEN left(t, length(t)-2) ELSE left(t, length(t)-1) END
+     WHEN right(t, 1) IN ('a','o') THEN
+          CASE WHEN substr(t, length(t)-1, 1) = 'i'
+               THEN left(t, length(t)-2) ELSE left(t, length(t)-1) END
+     ELSE t END"""
+
+
+def prelude_italian() -> str:
+    """ItalianAnalyzer index oracle: Italian snowball stopwords → Savoy
+    light stem (elision is a no-op on apostrophe-free tokens)."""
+    from ..analysis.lang import ITALIAN_STOP_WORDS
+
+    stop = ", ".join(f"'{w}'" for w in sorted(ITALIAN_STOP_WORDS))
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({stop})
+),
+base AS (SELECT did, tok FROM kept),
+it0 AS (SELECT did, tok AS t FROM kept),
+emitted AS MATERIALIZED (SELECT did, {_IT_STEM_SQL} AS tok FROM it0),{_VARIANT_TAIL}"""
+
+
+def prelude_portuguese() -> str:
+    """PortugueseAnalyzer index oracle (pt/PortugueseLightStemmer.java on
+    the ASCII corpus alphabet): suffix removal → feminine normalization →
+    final-vowel strip → accent fold. Accented SUFFIX branches (éis/óis/
+    ões/ães) can't fire on \w+ ASCII tokens, but the ona→ão and esa→ês
+    REWRITES can introduce accents that the trailing fold removes — the
+    replace() tail replays exactly that."""
+    from ..analysis.lang import PORTUGUESE_STOP_WORDS
+
+    stop = ", ".join(f"'{w}'" for w in sorted(PORTUGUESE_STOP_WORDS))
+    sfx = """
+CASE WHEN length(t) > 4 AND right(t, 2) = 'es'
+          AND substr(t, length(t)-2, 1) IN ('r','s','l','z') THEN left(t, length(t)-2)
+     WHEN length(t) > 3 AND right(t, 2) = 'ns' THEN left(t, length(t)-2) || 'm'
+     WHEN length(t) > 4 AND right(t, 3) = 'eis' THEN left(t, length(t)-3) || 'el'
+     WHEN length(t) > 4 AND right(t, 3) = 'ais' THEN left(t, length(t)-2) || 'l'
+     WHEN length(t) > 4 AND right(t, 2) = 'is' THEN left(t, length(t)-1) || 'l'
+     WHEN length(t) > 6 AND right(t, 5) = 'mente' THEN left(t, length(t)-5)
+     WHEN length(t) > 3 AND right(t, 1) = 's' THEN left(t, length(t)-1)
+     ELSE t END"""
+    fem = """
+CASE WHEN NOT (length(t) > 3 AND right(t, 1) = 'a') THEN t
+     WHEN length(t) > 7 AND right(t, 4) IN ('inha','iaca','eira') THEN left(t, length(t)-1) || 'o'
+     WHEN length(t) > 6 AND right(t, 3) IN ('osa','ica','ida','ada','iva','ama') THEN left(t, length(t)-1) || 'o'
+     WHEN length(t) > 6 AND right(t, 3) = 'ona' THEN left(t, length(t)-3) || 'ão'
+     WHEN length(t) > 6 AND right(t, 3) = 'ora' THEN left(t, length(t)-1)
+     WHEN length(t) > 6 AND right(t, 3) = 'esa' THEN left(t, length(t)-3) || 'ês'
+     WHEN length(t) > 6 AND right(t, 2) = 'na' THEN left(t, length(t)-1) || 'o'
+     ELSE t END"""
+    strip = """
+CASE WHEN length(t) > 4 AND right(t, 1) IN ('e','a','o') THEN left(t, length(t)-1)
+     ELSE t END"""
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({stop})
+),
+base AS (SELECT did, tok FROM kept),
+pt0 AS (SELECT did, tok AS orig, tok AS t FROM kept),
+pt1 AS (SELECT did, orig, {sfx} AS t FROM pt0),
+pt2 AS (SELECT did, orig, {fem} AS t FROM pt1),
+pt3 AS (SELECT did, orig, {strip} AS t FROM pt2),
+emitted AS MATERIALIZED (
+  SELECT did, CASE WHEN length(orig) < 4 THEN orig
+                   ELSE replace(replace(t, 'ã', 'a'), 'ê', 'e') END AS tok
+  FROM pt3
+),{_VARIANT_TAIL}"""
+
+
 def _fr_stem_ctes() -> str:
     """FrenchLightStemmer (fr/FrenchLightStemmer.java) as CTE stages over
     (did, t [, done]): the Java method's early ``return norm(...)`` branches

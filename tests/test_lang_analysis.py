@@ -18,6 +18,8 @@ from lucene_solr_ray.analysis.lang import (
     french_light_stem,
     german_light_stem,
     german_normalize,
+    italian_light_stem,
+    portuguese_light_stem,
     spanish_light_stem,
 )
 from lucene_solr_ray.analysis.tokenizer import (
@@ -64,6 +66,26 @@ def test_spanish_light_stemmer_full_reference_vocabulary():
         (w, spanish_light_stem(w), want)
         for w, want in _vocab(f"{_REF}/es/eslighttestdata.zip", "eslight.txt")
         if spanish_light_stem(w) != want
+    ]
+    assert bad == []
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference not present")
+def test_italian_light_stemmer_full_reference_vocabulary():
+    bad = [
+        (w, italian_light_stem(w), want)
+        for w, want in _vocab(f"{_REF}/it/itlighttestdata.zip", "itlight.txt")
+        if italian_light_stem(w) != want
+    ]
+    assert bad == []
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference not present")
+def test_portuguese_light_stemmer_full_reference_vocabulary():
+    bad = [
+        (w, portuguese_light_stem(w), want)
+        for w, want in _vocab(f"{_REF}/pt/ptlighttestdata.zip", "ptlight.txt")
+        if portuguese_light_stem(w) != want
     ]
     assert bad == []
 
