@@ -343,7 +343,28 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
         [empty, *verified.iter_batches(batch_format="pyarrow")]
     )
     order = np.lexsort((tbl["doc_b"].to_numpy(), tbl["doc_a"].to_numpy()))
-    return tbl.take(order)
+    out = tbl.take(order)
+    _PAIRS_CACHE.clear()
+    _PAIRS_CACHE[_pairs_cache_key(sf_dir)] = out
+    return out
+
+
+# per-process verified-pairs cache (single entry): documents.parquet is
+# immutable per sf_dir, and dedup_clusters re-derives the same pair set —
+# keyed by (path, mtime, size) like the reader caches
+_PAIRS_CACHE: dict = {}
+
+
+def _pairs_cache_key(sf_dir: str):
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    return (sf_dir, st.st_mtime_ns, st.st_size)
+
+
+def minhash_lsh_pairs_cached(sf_dir: str) -> pa.Table:
+    hit = _PAIRS_CACHE.get(_pairs_cache_key(sf_dir))
+    return hit if hit is not None else minhash_lsh_pairs(sf_dir)
 
 
 # h = Σ_j unicode(sh[j])·B^j mod P — same polynomial as shingle_hashes;
@@ -566,7 +587,7 @@ def dedup_clusters(sf_dir: str) -> pa.Table:
     assumption the pair generator documents), so union-find runs where the
     pairs land. At 100 TB this becomes iterated min-label propagation over a
     hash-partitioned edge list; the pair volume, not the corpus, bounds it."""
-    pairs = minhash_lsh_pairs(sf_dir)
+    pairs = minhash_lsh_pairs_cached(sf_dir)
     a = pairs["doc_a"].to_numpy()
     b = pairs["doc_b"].to_numpy()
     parent: dict[int, int] = {}
