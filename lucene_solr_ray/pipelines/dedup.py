@@ -349,6 +349,197 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     return out
 
 
+def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """(doc_a, doc_b): ALL pairs with exact word-trigram Jaccard ≥ 0.5 — no
+    LSH approximation — via PREFIX FILTERING (Bayardo, Ma & Srikant,
+    "Scaling Up All Pairs Similarity Search", WWW 2007): under ANY global
+    total order of the gram universe, two sets with J ≥ t must share an
+    element among each set's first ``|x| − ⌈t·|x|⌉ + 1`` elements, so
+    candidate generation joins only those prefixes.
+
+    Grams are WORD n-grams (NGRAM_W=3), the document-dedup convention
+    (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" §4.2 uses word n-gram Jaccard for NearDup) — word grams are
+    far more discriminative than this module's char-8 shingles, which is
+    what makes prefix filtering effective: on the sf0.1 corpus char-8
+    shingles give a 13k vocab shared by every doc (prefix join fan-out
+    128M rows, 8.8M candidate pairs ≈ all-pairs), word trigrams a 27k
+    vocab with max df 25 (fan-out ~1M, candidates ≈ true near-dups).
+
+    Scale shape (all distributed, same machinery as minhash_lsh_pairs):
+    1. df pass: explode per-doc DISTINCT gram hashes → ``groupby(h).count``
+       — the global document frequency of every gram (tiny integer rows
+       through the shuffle).
+    2. per-batch prefix emit: each doc's grams sort by (df, hash)
+       ascending — the canonical order MUST be df-ascending for pruning:
+       rare grams land in prefixes, so join fan-out collapses to the true
+       near-dup clusters instead of df² per boilerplate gram. The df table
+       broadcasts via ``ray.put`` as two sorted numpy arrays (vocab-sized —
+       fine per node; at 10⁹ docs this becomes a distributed join of the
+       explode against the df table + a per-doc rank, same algebra).
+    3. candidate pairs: ONE hash self-join on the prefix gram hash +
+       doc_a < doc_b filter + groupby dedup.
+    4. verify: per-batch predicate-pushdown read of ONLY candidate docs,
+       exact gram-set Jaccard with the integer test 2·|A∩B| ≥ |A∪B|.
+    The (df, hash) prefix order here and the oracle's brute-force full
+    join produce DIFFERENT candidate supersets, but the prefix theorem
+    guarantees ours contains every true pair — verified outputs match."""
+    import ray
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            gh = _word_gram_hashes(normalize(t or ""))
+            if len(gh) == 0:
+                continue
+            ids.append(np.full(len(gh), d, dtype=np.int64))
+            hs.append(gh)
+        if not ids:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({
+            "h": pa.array(np.concatenate(hs), pa.int64()),
+            "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+        })
+
+    df_tbl = pa.concat_tables(
+        _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+        .groupby("h").count()
+        .iter_batches(batch_format="pyarrow")
+    )
+    vocab = df_tbl["h"].to_numpy().astype(np.int64)
+    vorder = np.argsort(vocab)
+    df_ref = ray.put((vocab[vorder],
+                      df_tbl["count()"].to_numpy().astype(np.int64)[vorder]))
+
+    def prefix_explode(batch: pa.Table) -> pa.Table:
+        vh, vdf = ray.get(df_ref)
+        ids, hs = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            gh = _word_gram_hashes(normalize(t or ""))
+            n = len(gh)
+            if n == 0:
+                continue
+            dfs = vdf[np.searchsorted(vh, gh)]
+            p = n - int(np.ceil(0.5 * n)) + 1
+            pre = gh[np.lexsort((gh, dfs))[:p]]
+            ids.append(np.full(len(pre), d, dtype=np.int64))
+            hs.append(pre)
+        if not ids:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({
+            "h": pa.array(np.concatenate(hs), pa.int64()),
+            "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+        })
+
+    pre_ds = _docs(sf_dir).map_batches(
+        prefix_explode, batch_format="pyarrow").materialize()
+    paired = pre_ds.join(
+        pre_ds, "inner", num_partitions=8, on=("h",),
+        left_suffix="", right_suffix="_r",
+    )
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        m = pc.less(batch["doc_id"], batch["doc_id_r"])
+        t = batch.filter(m)
+        return pa.table({
+            "doc_a": t["doc_id"].cast(pa.int64()),
+            "doc_b": t["doc_id_r"].cast(pa.int64()),
+        })
+
+    uniq = (paired.map_batches(ordered, batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b"]).count())
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        a = batch["doc_a"].to_numpy().astype(np.int64)
+        b = batch["doc_b"].to_numpy().astype(np.int64)
+        cand = np.unique(np.concatenate([a, b])).tolist()
+        docs = pads.dataset(doc_path).to_table(
+            columns=["doc_id", "text"], filter=pc.field("doc_id").isin(cand)
+        )
+        gh_of = {
+            int(d): _word_gram_hashes(normalize(t or ""))
+            for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+        }
+        keep_a, keep_b = [], []
+        for x, y in zip(a, b):
+            A, B = gh_of[int(x)], gh_of[int(y)]
+            inter = len(np.intersect1d(A, B, assume_unique=True))
+            union = len(A) + len(B) - inter
+            if union and 2 * inter >= union:
+                keep_a.append(int(x))
+                keep_b.append(int(y))
+        return pa.table({
+            "doc_a": pa.array(np.asarray(keep_a, dtype=np.int64), pa.int64()),
+            "doc_b": pa.array(np.asarray(keep_b, dtype=np.int64), pa.int64()),
+        })
+
+    verified = uniq.select_columns(["doc_a", "doc_b"]).map_batches(
+        verify, batch_format="pyarrow")
+    tbl = pa.concat_tables([empty, *verified.iter_batches(batch_format="pyarrow")])
+    order = np.lexsort((tbl["doc_b"].to_numpy(), tbl["doc_a"].to_numpy()))
+    return tbl.take(order)
+
+
+NGRAM_W = 3  # word n-gram width for ngram_jaccard_pairs
+
+
+def _word_gram_hashes(t: str) -> np.ndarray:
+    """Sorted distinct md5-derived 63-bit hashes of word NGRAM_W-grams of
+    already-normalized text; texts shorter than NGRAM_W words hash as one
+    whole-text gram (mirrors the char-shingle convention and the oracle)."""
+    if not t:
+        return np.empty(0, dtype=np.int64)
+    ws = t.split(" ")
+    if len(ws) <= NGRAM_W:
+        grams = {" ".join(ws)}
+    else:
+        grams = {" ".join(ws[i:i + NGRAM_W]) for i in range(len(ws) - NGRAM_W + 1)}
+    return np.unique(np.fromiter(
+        (int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") >> 1
+         for g in grams),
+        dtype=np.int64, count=len(grams)))
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm WHERE t <> ''),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(ws) <= {{W}} THEN array_to_string(ws, ' ')
+              ELSE array_to_string(ws[i:i + {{W}} - 1], ' ') END AS g
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - {{W}} + 1, 1))) AS i
+        FROM words)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(n.doc_a AS BIGINT) AS doc_a, CAST(n.doc_b AS BIGINT) AS doc_b
+FROM inter n
+JOIN sizes sa ON sa.doc_id = n.doc_a
+JOIN sizes sb ON sb.doc_id = n.doc_b
+WHERE 2 * n.i >= sa.sz + sb.sz - n.i
+ORDER BY doc_a, doc_b
+""".replace("{W}", str(3))
+
+
+
 # per-process verified-pairs cache (single entry): documents.parquet is
 # immutable per sf_dir, and dedup_clusters re-derives the same pair set —
 # keyed by (path, mtime, size) like the reader caches

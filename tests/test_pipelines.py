@@ -48,6 +48,7 @@ FAST_ENTRIES = [
     "dedup_exact",
     "dedup_shingle_set",
     "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
     "simhash",
     "embed_dup_pairs",
     "ann_topk",
