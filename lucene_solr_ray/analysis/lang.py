@@ -485,3 +485,338 @@ def french_light_stem(term: str) -> str:  # noqa: C901 — transcribed branches
     if len(s) > 8 and s.endswith("ition"):
         return _fr_norm(s[:-5])
     return _fr_norm(s)
+
+
+# ---------------------------------------------------------------------------
+# Swedish / Finnish / Hungarian / Russian light stemmers (Savoy CLEF)
+# ---------------------------------------------------------------------------
+
+SWEDISH_STOP_WORDS = frozenset("""
+och det att i en jag hon som han på den med var sig för så till är men
+ett om hade de av icke mig du henne då sin nu har inte hans honom skulle
+hennes där min man ej vid kunde något från ut när efter upp vi dem vara
+vad över än dig kan sina här ha mot alla under någon eller allt mycket
+sedan ju denna själv detta åt utan varit hur ingen mitt ni bli blev oss
+din dessa några deras blir mina samma vilken er sådan vår blivit dess
+inom mellan sådant varför varje vilka ditt vem vilket sitta sådana vart
+dina vars vårt våra ert era vilkas
+""".split())
+
+HUNGARIAN_STOP_WORDS = frozenset("""
+a ahogy ahol aki akik akkor alatt által általában amely amelyek
+amelyekben amelyeket amelyet amelynek ami amit amolyan amíg amikor át
+abban ahhoz annak arra arról az azok azon azt azzal azért aztán azután
+azonban bár be belül benne cikk cikkek cikkeket csak de e eddig egész
+egy egyes egyetlen egyéb egyik egyre ekkor el elég ellen elő először
+előtt első én éppen ebben ehhez emilyen ennek erre ez ezt ezek ezen
+ezzel ezért és fel felé hanem hiszen hogy hogyan igen így illetve ill.
+ill ilyen ilyenkor ison ismét itt jó jól jobban kell kellett keresztül
+keressünk ki kívül között közül legalább lehet lehetett legyen
+lenne lenni lesz lett maga magát majd már más másik meg még
+mellett mert mely melyek mi mit míg miért milyen mikor minden mindent
+mindenki mindig mint mintha mivel most nagy nagyobb nagyon ne néha nekem
+neki nem néhány nélkül nincs olyan ott össze ő ők őket pedig persze
+rá s saját sem semmi sok sokat sokkal számára szemben szerint szinte
+talán tehát teljes tovább továbbá több úgy ugyanis új újabb újra
+után utána utolsó vagy vagyis valaki valami valamint való vagyok van
+vannak volt voltam voltak voltunk vissza vele viszont volna
+""".split())
+
+FINNISH_STOP_WORDS = frozenset("""
+olla olen olet on olemme olette ovat ole oli olisi olisit olisin olisimme
+olisitte olisivat olit olin olimme olitte olivat ollut olleet en et ei emme
+ette eivät minä minun minut minua minussa minusta minuun minulla minulta
+minulle sinä sinun sinut sinua sinussa sinusta sinuun sinulla sinulta
+sinulle hän hänen hänet häntä hänessä hänestä häneen hänellä
+häneltä hänelle me meidän meidät meitä meissä meistä meihin meillä
+meiltä meille te teidän teidät teitä teissä teistä teihin teillä
+teiltä teille he heidän heidät heitä heissä heistä heihin heillä
+heiltä heille tämä tämän tätä tässä tästä tähän tallä tältä
+tälle tänä täksi tuo tuon tuotä tuossa tuosta tuohon tuolla tuolta
+tuolle tuona tuoksi se sen sitä siinä siitä siihen sillä siltä sille
+sinä siksi nämä näiden näitä näissä näistä näihin näillä
+näiltä näille näinä näiksi nuo noiden noita noissa noista noihin
+noilla noilta noille noina noiksi ne niiden niitä niissä niistä niihin
+niillä niiltä niille niinä niiksi kuka kenen kenet ketä kenessä
+kenestä keneen kenellä keneltä kenelle kenenä keneksi ketkä keiden
+ketkä keitä keissä keistä keihin keillä keiltä keille keinä keiksi
+mikä minkä mitä missä mistä mihin millä miltä mille miksi mitkä
+joka jonka jota jossa josta johon jolla jolta jolle jona joksi
+jotka joiden joita joissa joista joihin joilla joilta joille joina joiksi
+että ja jos koska kuin mutta niin sekä tai vaan vai vaikka kanssa
+mukaan noin poikki yli kun nyt itse
+""".split())
+
+RUSSIAN_STOP_WORDS = frozenset("""
+и в во не что он на я с со как а то все она так его но да ты к у же вы
+за бы по только ее мне было вот от меня еще нет о из ему теперь когда
+даже ну вдруг ли если уже или ни быть был него до вас нибудь опять уж
+вам сказал ведь там потом себя ничего ей может они тут где есть надо
+ней для мы тебя их чем была сам чтоб без будто человек чего раз тоже
+себе под жизнь будет ж тогда кто этот говорил того потому этого какой
+совсем ним здесь этом один почти мой тем чтобы нее кажется сейчас были
+куда зачем сказать всех никогда сегодня можно при наконец два об другой
+хоть после над больше тот через эти нас про всего них какая много разве
+сказала три эту моя впрочем хорошо свою этой перед иногда лучше чуть
+том нельзя такой им более всегда конечно всю между
+""".split())
+
+
+def swedish_light_stem(term: str) -> str:
+    """Savoy (CLEF-2003) Swedish light stemmer
+    (``sv/SwedishLightStemmer.java:66-110``): optional final -s, then one
+    suffix strip by descending length. No accent folding (å/ä/ö kept)."""
+    s = term
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and (s.endswith("elser") or s.endswith("heten")):
+        return s[:-5]
+    if n > 6 and s.endswith(("arne", "erna", "ande", "else", "aste",
+                             "orna", "aren")):
+        return s[:-4]
+    if n > 5 and s.endswith(("are", "ast", "het")):
+        return s[:-3]
+    if n > 4 and s.endswith(("ar", "er", "or", "en", "at", "te", "et")):
+        return s[:-2]
+    if n > 3 and s[-1] in "taen":
+        return s[:-1]
+    return s
+
+
+_HU_FOLD = str.maketrans({
+    "á": "a", "ë": "e", "é": "e", "í": "i",
+    "ó": "o", "ő": "o", "õ": "o", "ö": "o",
+    "ú": "u", "ű": "u", "ũ": "u", "û": "u", "ü": "u",
+})
+_VOWELS_Y = frozenset("aeiouy")
+
+
+def _hu_remove_case(s: str) -> str:
+    n = len(s)
+    if n > 6 and s.endswith("kent"):
+        return s[:-4]
+    if n > 5:
+        if s.endswith(("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                       "ben", "bol", "nal", "nel", "hoz", "hez", "tol")):
+            return s[:-3]
+        if s.endswith(("al", "el")) and s[-3] not in _VOWELS_Y \
+                and s[-3] == s[-4]:
+            return s[:-3]
+    if n > 4:
+        if s.endswith(("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                       "be", "ul", "ig")):
+            return s[:-2]
+        if s.endswith(("on", "en")) and s[-3] not in _VOWELS_Y:
+            return s[:-2]
+        c = s[-1]
+        if c in "tn":
+            return s[:-1]
+        if c in "ae" and s[-2] == s[-3] and s[-2] not in _VOWELS_Y:
+            return s[:-2]
+    return s
+
+
+def _hu_remove_possessive(s: str) -> str:
+    n = len(s)
+    if n > 6:
+        if s[-5] not in _VOWELS_Y and s.endswith(("atok", "otok", "etek")):
+            return s[:-4]
+        if s.endswith(("itek", "itok")):
+            return s[:-4]
+    if n > 5:
+        if s[-4] not in _VOWELS_Y and s.endswith(("unk", "tok", "tek")):
+            return s[:-3]
+        if s[-4] in _VOWELS_Y and s.endswith("juk"):
+            return s[:-3]
+        if s.endswith("ink"):
+            return s[:-3]
+    if n > 4:
+        if s[-3] not in _VOWELS_Y and s.endswith(("am", "em", "om", "ad",
+                                                  "ed", "od", "uk")):
+            return s[:-2]
+        if s[-3] in _VOWELS_Y and s.endswith(("nk", "ja", "je")):
+            return s[:-2]
+        if s.endswith(("im", "id", "ik")):
+            return s[:-2]
+    if n > 3:
+        c = s[-1]
+        if c in "ae":
+            if s[-2] not in _VOWELS_Y:
+                return s[:-1]
+        elif c in "md":
+            if s[-2] in _VOWELS_Y:
+                return s[:-1]
+        elif c == "i":
+            return s[:-1]
+    return s
+
+
+def _hu_remove_plural(s: str) -> str:
+    # Java switch fallthrough: -Vk strips two only when len > 4, else one
+    if len(s) > 3 and s[-1] == "k":
+        if s[-2] in "aoe" and len(s) > 4:
+            return s[:-2]
+        return s[:-1]
+    return s
+
+
+def hungarian_light_stem(term: str) -> str:
+    """UniNE Hungarian light stemmer (``hu/HungarianLightStemmer.java:
+    65-226``; Savoy 2006): accent fold → case-suffix strip → possessive
+    strip → plural strip → final-vowel normalize."""
+    s = term.translate(_HU_FOLD)
+    s = _hu_remove_case(s)
+    s = _hu_remove_possessive(s)
+    s = _hu_remove_plural(s)
+    if len(s) > 3 and s[-1] in "aeio":
+        return s[:-1]
+    return s
+
+
+_FI_FOLD = str.maketrans({"ä": "a", "å": "a", "ö": "o"})
+
+
+def _fi_step1(s: str) -> str:
+    if len(s) > 8:
+        if s.endswith("kin"):
+            return _fi_step1(s[:-3])
+        if s.endswith("ko"):
+            return _fi_step1(s[:-2])
+    if len(s) > 11:
+        if s.endswith("dellinen"):
+            return s[:-8]
+        if s.endswith("dellisuus"):
+            return s[:-9]
+    return s
+
+
+def _fi_step2(s: str) -> str:
+    if len(s) > 5:
+        if s.endswith(("lla", "tse", "sti")):
+            return s[:-3]
+        if s.endswith("ni"):
+            return s[:-2]
+        if s.endswith("aa"):
+            return s[:-1]
+    return s
+
+
+def _fi_step3(s: str) -> str:
+    n = len(s)
+    if n > 8:
+        if s.endswith("nnen"):
+            return s[:-4] + "s"
+        if s.endswith("ntena"):
+            return s[:-5] + "s"
+        if s.endswith("tten"):
+            return s[:-4]
+        if s.endswith("eiden"):
+            return s[:-5]
+    if n > 6:
+        if s.endswith(("neen", "niin", "seen", "teen", "inen")):
+            return s[:-4]
+        if s[-3] == "h" and s[-2] in _VOWELS_Y and s[-1] == "n":
+            return s[:-3]
+        if s.endswith("den"):
+            return s[:-3] + "s"
+        if s.endswith("ksen"):
+            return s[:-4] + "s"
+        if s.endswith(("ssa", "sta", "lla", "lta", "tta", "ksi", "lle")):
+            return s[:-3]
+    if n > 5:
+        if s.endswith(("na", "ne")):
+            return s[:-2]
+        if s.endswith("nei"):
+            return s[:-3]
+    if n > 4:
+        if s.endswith(("ja", "ta")):
+            return s[:-2]
+        if s[-1] == "a":
+            return s[:-1]
+        if s[-1] == "n" and s[-2] in _VOWELS_Y:
+            return s[:-2]
+        if s[-1] == "n":
+            return s[:-1]
+    return s
+
+
+def _fi_norm1(s: str) -> str:
+    if len(s) > 5 and s.endswith("hde"):
+        s = s[:-3] + "ksi"  # in-place rewrite, then fall through
+    if len(s) > 4 and s.endswith(("ei", "at")):
+        return s[:-2]
+    if len(s) > 3 and s[-1] in "tsjeai":
+        return s[:-1]
+    return s
+
+
+def _fi_norm2(s: str) -> str:
+    if len(s) > 8 and s[-1] in "eou":
+        s = s[:-1]
+    if len(s) > 4:
+        if s[-1] == "i":
+            s = s[:-1]
+        if len(s) > 4:
+            # collapse adjacent duplicate runs of k/p/t (delete-with-i--)
+            out = [s[0]]
+            for c in s[1:]:
+                if c == out[-1] and c in "kpt":
+                    continue
+                out.append(c)
+            s = "".join(out)
+    return s
+
+
+def finnish_light_stem(term: str) -> str:
+    """Savoy (CLEF-2003) Finnish light stemmer
+    (``fi/FinnishLightStemmer.java:66-246``): ä/å/ö fold, recursive
+    -kin/-ko strip, case/possessive suffix steps with s-rewrites
+    (nnen→s…, hde→ksi), final-letter normalize, adjacent k/p/t collapse.
+    Words under 4 chars pass through."""
+    if len(term) < 4:
+        return term
+    s = term.translate(_FI_FOLD)
+    s = _fi_step1(s)
+    s = _fi_step2(s)
+    s = _fi_step3(s)
+    s = _fi_norm1(s)
+    s = _fi_norm2(s)
+    return s
+
+
+def _ru_remove_case(s: str) -> str:
+    n = len(s)
+    if n > 6 and s.endswith(("иями", "оями")):
+        return s[:-4]
+    if n > 5 and s.endswith(("иям", "иях", "оях", "ями", "оям", "оьв",
+                             "ами", "его", "ему", "ери", "ими", "ого",
+                             "ому", "ыми", "оев")):
+        return s[:-3]
+    if n > 4 and s.endswith(("ая", "яя", "ях", "юю", "ах", "ею", "их",
+                             "ия", "ию", "ьв", "ою", "ую", "ям", "ых",
+                             "ея", "ам", "ем", "ей", "ём", "ев", "ий",
+                             "им", "ое", "ой", "ом", "ов", "ые", "ый",
+                             "ым", "ми")):
+        return s[:-2]
+    if n > 3 and s[-1] in "аеиоуйыяь":
+        return s[:-1]
+    return s
+
+
+def russian_light_stem(term: str) -> str:
+    """Dolamic & Savoy Russian light stemmer
+    (``ru/RussianLightStemmer.java:66-152``): Cyrillic case-suffix strip +
+    final ь/и/нн normalize. A no-op on ASCII tokens — the reference's
+    default RussianAnalyzer uses the Snowball stemmer, but Solr's
+    RussianLightStemFilterFactory ships this light variant, which is the
+    family implemented across this module."""
+    s = _ru_remove_case(term)
+    n = len(s)
+    if n > 3:
+        c = s[-1]
+        if c in ("ь", "и"):
+            return s[:-1]
+        if c == "н" and s[-2] == "н":
+            return s[:-1]
+    return s

@@ -319,6 +319,50 @@ def PortugueseAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="portuguese_light", **kw)
 
 
+def SwedishAnalyzer(**kw) -> StandardAnalyzer:
+    """SwedishAnalyzer preset (``analysis/common/.../sv/SwedishAnalyzer.
+    java``): lowercase → stop(Swedish) → [keyword marker] → light stem.
+    The reference default chain ends in SnowballFilter(SwedishStemmer);
+    this preset uses Solr's SwedishLightStemFilterFactory variant
+    (``sv/SwedishLightStemFilter.java``), the family implemented across
+    these packs."""
+    from .lang import SWEDISH_STOP_WORDS
+
+    kw.setdefault("stopwords", SWEDISH_STOP_WORDS)
+    return StandardAnalyzer(stem="swedish_light", **kw)
+
+
+def HungarianAnalyzer(**kw) -> StandardAnalyzer:
+    """HungarianAnalyzer preset (``analysis/common/.../hu/HungarianAnalyzer.
+    java``): lowercase → stop(Hungarian) → [keyword marker] → light stem
+    (Solr's HungarianLightStemFilterFactory variant)."""
+    from .lang import HUNGARIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", HUNGARIAN_STOP_WORDS)
+    return StandardAnalyzer(stem="hungarian_light", **kw)
+
+
+def FinnishAnalyzer(**kw) -> StandardAnalyzer:
+    """FinnishAnalyzer preset (``analysis/common/.../fi/FinnishAnalyzer.
+    java``): lowercase → stop(Finnish) → [keyword marker] → light stem
+    (Solr's FinnishLightStemFilterFactory variant)."""
+    from .lang import FINNISH_STOP_WORDS
+
+    kw.setdefault("stopwords", FINNISH_STOP_WORDS)
+    return StandardAnalyzer(stem="finnish_light", **kw)
+
+
+def RussianAnalyzer(**kw) -> StandardAnalyzer:
+    """RussianAnalyzer preset (``analysis/common/.../ru/RussianAnalyzer.
+    java:99-107``): lowercase → stop(Russian) → [keyword marker] → light
+    stem (Solr's RussianLightStemFilterFactory variant; the stemmer is
+    Cyrillic-only and golden-tested against rulighttestdata.zip)."""
+    from .lang import RUSSIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", RUSSIAN_STOP_WORDS)
+    return StandardAnalyzer(stem="russian_light", **kw)
+
+
 def FrenchAnalyzer(**kw) -> StandardAnalyzer:
     """FrenchAnalyzer preset (``analysis/common/.../fr/FrenchAnalyzer.java:
     137-144``): elision(articles) → lowercase → stop(French) →
@@ -402,6 +446,18 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "portuguese_light":
         from .lang import portuguese_light_stem
         stem_fns["portuguese_light"] = portuguese_light_stem
+    elif analyzer.stem == "swedish_light":
+        from .lang import swedish_light_stem
+        stem_fns["swedish_light"] = swedish_light_stem
+    elif analyzer.stem == "hungarian_light":
+        from .lang import hungarian_light_stem
+        stem_fns["hungarian_light"] = hungarian_light_stem
+    elif analyzer.stem == "finnish_light":
+        from .lang import finnish_light_stem
+        stem_fns["finnish_light"] = finnish_light_stem
+    elif analyzer.stem == "russian_light":
+        from .lang import russian_light_stem
+        stem_fns["russian_light"] = russian_light_stem
     elif analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
     if analyzer.stem is not None:

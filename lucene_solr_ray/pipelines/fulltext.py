@@ -1617,6 +1617,18 @@ PORTUGUESE_SPECS = [
     {"qid": f"pt_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
     for t in ["valu", "merg", "tabl", "vector"]
 ]
+SWEDISH_SPECS = [
+    {"qid": f"sv_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["ord", "valu", "merg", "filt"]
+]
+HUNGARIAN_SPECS = [
+    {"qid": f"hu_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["merg", "tabl", "valu", "stre"]
+]
+FINNISH_SPECS = [
+    {"qid": f"fi_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["merg", "tabl", "sor", "lin"]
+]
 
 SYNONYM_PAIRS = [("spark", "lightning"), ("window", "pane")]
 SYNONYM_SPECS = [
@@ -1727,6 +1739,43 @@ def ft_portuguese(sf_dir: str) -> pa.Table:
     return _variant_topk(
         get_searcher_variant(sf_dir, "portuguese", PortugueseAnalyzer()),
         PORTUGUESE_SPECS
+    )
+
+
+def ft_swedish(sf_dir: str) -> pa.Table:
+    """SwedishAnalyzer index (``analysis/common/.../sv/SwedishAnalyzer.
+    java`` with the SwedishLightStemFilter variant): Swedish stopwords →
+    light stem; BM25 top-k, exact float64 scores (stemmer golden-tested
+    vs the 30k-entry svlighttestdata vocabulary)."""
+    from ..analysis.tokenizer import SwedishAnalyzer
+
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "swedish", SwedishAnalyzer()), SWEDISH_SPECS
+    )
+
+
+def ft_hungarian(sf_dir: str) -> pa.Table:
+    """HungarianAnalyzer index (``analysis/common/.../hu/HungarianAnalyzer.
+    java`` with the HungarianLightStemFilter variant): Hungarian stopwords
+    → UniNE light stem; BM25 top-k, exact float64 scores (stemmer
+    golden-tested vs the hulighttestdata vocabulary)."""
+    from ..analysis.tokenizer import HungarianAnalyzer
+
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "hungarian", HungarianAnalyzer()),
+        HUNGARIAN_SPECS
+    )
+
+
+def ft_finnish(sf_dir: str) -> pa.Table:
+    """FinnishAnalyzer index (``analysis/common/.../fi/FinnishAnalyzer.
+    java`` with the FinnishLightStemFilter variant): Finnish stopwords →
+    Savoy light stem; BM25 top-k, exact float64 scores (stemmer
+    golden-tested vs the 54k-entry filighttestdata vocabulary)."""
+    from ..analysis.tokenizer import FinnishAnalyzer
+
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "finnish", FinnishAnalyzer()), FINNISH_SPECS
     )
 
 

@@ -1254,6 +1254,203 @@ emitted AS MATERIALIZED (SELECT did,
     # reference and the optimizer chokes (>200 s at sf0.001 vs 0.3 s)
 
 
+_SQL_VOWELS = "'a','e','i','o','u','y'"
+
+#: SwedishLightStemmer (sv/SwedishLightStemmer.java:66-110) on column t
+#: AFTER the final-s strip; pure ASCII suffix rules, no accent arm.
+_SV_STEM_SQL = f"""
+CASE WHEN length(t) > 7 AND right(t, 5) IN ('elser','heten') THEN left(t, length(t)-5)
+     WHEN length(t) > 6 AND right(t, 4) IN ('arne','erna','ande','else','aste','orna','aren') THEN left(t, length(t)-4)
+     WHEN length(t) > 5 AND right(t, 3) IN ('are','ast','het') THEN left(t, length(t)-3)
+     WHEN length(t) > 4 AND right(t, 2) IN ('ar','er','or','en','at','te','et') THEN left(t, length(t)-2)
+     WHEN length(t) > 3 AND right(t, 1) IN ('t','a','e','n') THEN left(t, length(t)-1)
+     ELSE t END"""
+
+
+def prelude_swedish() -> str:
+    """SwedishAnalyzer index oracle: Swedish snowball stopwords → light
+    stem (final -s strip stage, then one suffix CASE)."""
+    from ..analysis.lang import SWEDISH_STOP_WORDS
+
+    stop = ", ".join(f"'{w}'" for w in sorted(SWEDISH_STOP_WORDS))
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({stop})
+),
+base AS (SELECT did, tok FROM kept),
+sv0 AS (
+  SELECT did, CASE WHEN length(tok) > 4 AND right(tok, 1) = 's'
+                   THEN left(tok, length(tok)-1) ELSE tok END AS t
+  FROM kept
+),
+emitted AS MATERIALIZED (SELECT did, {_SV_STEM_SQL} AS tok FROM sv0),{_VARIANT_TAIL}"""
+
+
+#: HungarianLightStemmer (hu/HungarianLightStemmer.java:89-142) removeCase
+#: on ASCII input (accent fold never fires on \\w+ ASCII tokens). SQL
+#: position map: s[len-1-k] == substr(t, length(t)-k, 1).
+_HU_CASE_SQL = f"""
+CASE WHEN length(t) > 6 AND right(t, 4) = 'kent' THEN left(t, length(t)-4)
+     WHEN length(t) > 5 AND right(t, 3) IN ('nak','nek','val','vel','ert','rol','ban','ben','bol','nal','nel','hoz','hez','tol') THEN left(t, length(t)-3)
+     WHEN length(t) > 5 AND right(t, 2) IN ('al','el') AND substr(t, length(t)-2, 1) NOT IN ({_SQL_VOWELS})
+          AND substr(t, length(t)-2, 1) = substr(t, length(t)-3, 1) THEN left(t, length(t)-3)
+     WHEN length(t) > 4 AND right(t, 2) IN ('at','et','ot','va','ve','ra','re','ba','be','ul','ig') THEN left(t, length(t)-2)
+     WHEN length(t) > 4 AND right(t, 2) IN ('on','en') AND substr(t, length(t)-2, 1) NOT IN ({_SQL_VOWELS}) THEN left(t, length(t)-2)
+     WHEN length(t) > 4 AND right(t, 1) IN ('t','n') THEN left(t, length(t)-1)
+     WHEN length(t) > 4 AND right(t, 1) IN ('a','e') AND substr(t, length(t)-1, 1) = substr(t, length(t)-2, 1)
+          AND substr(t, length(t)-1, 1) NOT IN ({_SQL_VOWELS}) THEN left(t, length(t)-2)
+     ELSE t END"""
+
+_HU_POSS_SQL = f"""
+CASE WHEN length(t) > 6 AND right(t, 4) IN ('atok','otok','etek') AND substr(t, length(t)-4, 1) NOT IN ({_SQL_VOWELS}) THEN left(t, length(t)-4)
+     WHEN length(t) > 6 AND right(t, 4) IN ('itek','itok') THEN left(t, length(t)-4)
+     WHEN length(t) > 5 AND right(t, 3) IN ('unk','tok','tek') AND substr(t, length(t)-3, 1) NOT IN ({_SQL_VOWELS}) THEN left(t, length(t)-3)
+     WHEN length(t) > 5 AND right(t, 3) = 'juk' AND substr(t, length(t)-3, 1) IN ({_SQL_VOWELS}) THEN left(t, length(t)-3)
+     WHEN length(t) > 5 AND right(t, 3) = 'ink' THEN left(t, length(t)-3)
+     WHEN length(t) > 4 AND right(t, 2) IN ('am','em','om','ad','ed','od','uk') AND substr(t, length(t)-2, 1) NOT IN ({_SQL_VOWELS}) THEN left(t, length(t)-2)
+     WHEN length(t) > 4 AND right(t, 2) IN ('nk','ja','je') AND substr(t, length(t)-2, 1) IN ({_SQL_VOWELS}) THEN left(t, length(t)-2)
+     WHEN length(t) > 4 AND right(t, 2) IN ('im','id','ik') THEN left(t, length(t)-2)
+     WHEN length(t) > 3 AND right(t, 1) IN ('a','e') AND substr(t, length(t)-1, 1) NOT IN ({_SQL_VOWELS}) THEN left(t, length(t)-1)
+     WHEN length(t) > 3 AND right(t, 1) IN ('m','d') AND substr(t, length(t)-1, 1) IN ({_SQL_VOWELS}) THEN left(t, length(t)-1)
+     WHEN length(t) > 3 AND right(t, 1) = 'i' THEN left(t, length(t)-1)
+     ELSE t END"""
+
+#: plural strip with the Java fallthrough: -[aoe]k strips two only at
+#: length > 4, any other -k strips one at length > 3
+_HU_PLUR_SQL = """
+CASE WHEN length(t) > 4 AND right(t, 1) = 'k' AND substr(t, length(t)-1, 1) IN ('a','o','e') THEN left(t, length(t)-2)
+     WHEN length(t) > 3 AND right(t, 1) = 'k' THEN left(t, length(t)-1)
+     ELSE t END"""
+
+_HU_NORM_SQL = """
+CASE WHEN length(t) > 3 AND right(t, 1) IN ('a','e','i','o') THEN left(t, length(t)-1)
+     ELSE t END"""
+
+
+def prelude_hungarian() -> str:
+    """HungarianAnalyzer index oracle: Hungarian snowball stopwords →
+    UniNE light stem as four CTE stages (case → possessive → plural →
+    normalize); the accent fold never fires on the ASCII corpus."""
+    from ..analysis.lang import HUNGARIAN_STOP_WORDS
+
+    stop = ", ".join(f"'{w}'" for w in sorted(HUNGARIAN_STOP_WORDS))
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({stop})
+),
+base AS (SELECT did, tok FROM kept),
+hu0 AS (SELECT did, tok AS t FROM kept),
+hu1 AS (SELECT did, {_HU_CASE_SQL} AS t FROM hu0),
+hu2 AS (SELECT did, {_HU_POSS_SQL} AS t FROM hu1),
+hu3 AS (SELECT did, {_HU_PLUR_SQL} AS t FROM hu2),
+emitted AS MATERIALIZED (SELECT did, {_HU_NORM_SQL} AS tok FROM hu3),{_VARIANT_TAIL}"""
+
+
+#: FinnishLightStemmer (fi/FinnishLightStemmer.java:85-100) step1, one
+#: application. The Java recursion re-checks -kin/-ko until no match;
+#: three chained applications reach the fixpoint for every token the
+#: \\w+ corpus can produce (tokens needing deeper recursion would have to
+#: stack 'kin'/'ko' suffixes past length 8; the dellinen/dellisuus arms
+#: are verified absent from the corpus vocabulary in tests).
+_FI_STEP1_SQL = """
+CASE WHEN length(t) > 8 AND right(t, 3) = 'kin' THEN left(t, length(t)-3)
+     WHEN length(t) > 8 AND right(t, 2) = 'ko' THEN left(t, length(t)-2)
+     WHEN length(t) > 11 AND right(t, 8) = 'dellinen' THEN left(t, length(t)-8)
+     WHEN length(t) > 11 AND right(t, 9) = 'dellisuus' THEN left(t, length(t)-9)
+     ELSE t END"""
+
+_FI_STEP2_SQL = """
+CASE WHEN length(t) > 5 AND right(t, 3) IN ('lla','tse','sti') THEN left(t, length(t)-3)
+     WHEN length(t) > 5 AND right(t, 2) = 'ni' THEN left(t, length(t)-2)
+     WHEN length(t) > 5 AND right(t, 2) = 'aa' THEN left(t, length(t)-1)
+     ELSE t END"""
+
+_FI_STEP3_SQL = f"""
+CASE WHEN length(t) > 8 AND right(t, 4) = 'nnen' THEN left(t, length(t)-4) || 's'
+     WHEN length(t) > 8 AND right(t, 5) = 'ntena' THEN left(t, length(t)-5) || 's'
+     WHEN length(t) > 8 AND right(t, 4) = 'tten' THEN left(t, length(t)-4)
+     WHEN length(t) > 8 AND right(t, 5) = 'eiden' THEN left(t, length(t)-5)
+     WHEN length(t) > 6 AND right(t, 4) IN ('neen','niin','seen','teen','inen') THEN left(t, length(t)-4)
+     WHEN length(t) > 6 AND substr(t, length(t)-2, 1) = 'h' AND substr(t, length(t)-1, 1) IN ({_SQL_VOWELS})
+          AND right(t, 1) = 'n' THEN left(t, length(t)-3)
+     WHEN length(t) > 6 AND right(t, 3) = 'den' THEN left(t, length(t)-3) || 's'
+     WHEN length(t) > 6 AND right(t, 4) = 'ksen' THEN left(t, length(t)-4) || 's'
+     WHEN length(t) > 6 AND right(t, 3) IN ('ssa','sta','lla','lta','tta','ksi','lle') THEN left(t, length(t)-3)
+     WHEN length(t) > 5 AND right(t, 2) IN ('na','ne') THEN left(t, length(t)-2)
+     WHEN length(t) > 5 AND right(t, 3) = 'nei' THEN left(t, length(t)-3)
+     WHEN length(t) > 4 AND right(t, 2) IN ('ja','ta') THEN left(t, length(t)-2)
+     WHEN length(t) > 4 AND right(t, 1) = 'a' THEN left(t, length(t)-1)
+     WHEN length(t) > 4 AND right(t, 1) = 'n' AND substr(t, length(t)-1, 1) IN ({_SQL_VOWELS}) THEN left(t, length(t)-2)
+     WHEN length(t) > 4 AND right(t, 1) = 'n' THEN left(t, length(t)-1)
+     ELSE t END"""
+
+#: norm1: the hde→ksi rewrite falls through to the suffix checks
+_FI_NORM1A_SQL = """
+CASE WHEN length(t) > 5 AND right(t, 3) = 'hde' THEN left(t, length(t)-3) || 'ksi'
+     ELSE t END"""
+
+_FI_NORM1B_SQL = """
+CASE WHEN length(t) > 4 AND right(t, 2) IN ('ei','at') THEN left(t, length(t)-2)
+     WHEN length(t) > 3 AND right(t, 1) IN ('t','s','j','e','a','i') THEN left(t, length(t)-1)
+     ELSE t END"""
+
+_FI_NORM2A_SQL = """
+CASE WHEN length(t) > 8 AND right(t, 1) IN ('e','o','u') THEN left(t, length(t)-1)
+     ELSE t END"""
+
+_FI_NORM2B_SQL = """
+CASE WHEN length(t) > 4 AND right(t, 1) = 'i' THEN left(t, length(t)-1)
+     ELSE t END"""
+
+#: adjacent k/p/t run collapse (norm2's delete loop); two replace passes
+#: collapse runs up to length 4 — longer same-letter runs are verified
+#: absent from the corpus vocabulary in tests
+_FI_NORM2C_SQL = """
+CASE WHEN length(t) > 4 THEN
+          replace(replace(replace(replace(replace(replace(t,
+            'kk','k'),'kk','k'),'pp','p'),'pp','p'),'tt','t'),'tt','t')
+     ELSE t END"""
+
+
+def prelude_finnish() -> str:
+    """FinnishAnalyzer index oracle: Finnish snowball stopwords → Savoy
+    light stem as chained CTE stages (step1 ×3 to reach the recursion
+    fixpoint, step2, step3, norm1 split around the hde→ksi fall-through,
+    norm2 split around the i-strip); ä/å/ö fold never fires on ASCII."""
+    from ..analysis.lang import FINNISH_STOP_WORDS
+
+    stop = ", ".join(f"'{w}'" for w in sorted(FINNISH_STOP_WORDS))
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({stop})
+),
+base AS (SELECT did, tok FROM kept),
+fi0 AS (SELECT did, CASE WHEN length(tok) < 4 THEN NULL ELSE tok END AS t,
+               tok FROM kept),
+fi1 AS (SELECT did, {_FI_STEP1_SQL} AS t, tok FROM (SELECT did, {_FI_STEP1_SQL} AS t, tok FROM (SELECT did, {_FI_STEP1_SQL} AS t, tok FROM fi0 WHERE t IS NOT NULL))),
+fi2 AS (SELECT did, {_FI_STEP2_SQL} AS t, tok FROM fi1),
+fi3 AS (SELECT did, {_FI_STEP3_SQL} AS t, tok FROM fi2),
+fi4 AS (SELECT did, {_FI_NORM1B_SQL} AS t, tok FROM (SELECT did, {_FI_NORM1A_SQL} AS t, tok FROM fi3)),
+fi5 AS (SELECT did, {_FI_NORM2C_SQL} AS t, tok FROM (SELECT did, {_FI_NORM2B_SQL} AS t, tok FROM (SELECT did, {_FI_NORM2A_SQL} AS t, tok FROM fi4))),
+emitted AS MATERIALIZED (
+  SELECT did, t AS tok FROM fi5
+  UNION ALL
+  SELECT did, tok FROM fi0 WHERE t IS NULL
+),{_VARIANT_TAIL}"""
+
+
 def prelude_french() -> str:
     """FrenchAnalyzer index oracle: elision is a no-op on apostrophe-free
     \\w+ tokens; French snowball stopwords → UniNE light stem (CTE chain)."""

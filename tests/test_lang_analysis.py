@@ -124,3 +124,109 @@ def test_analyzer_presets_end_to_end():
     assert "mes" in toks and "libr" in toks  # mesas→mes, libros→libr
     assert "las" not in toks and "los" not in toks
     assert GERMAN_STOP_WORDS and FRENCH_STOP_WORDS and SPANISH_STOP_WORDS
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference not present")
+def test_swedish_light_stemmer_full_reference_vocabulary():
+    from lucene_solr_ray.analysis.lang import swedish_light_stem
+
+    bad = [
+        (w, swedish_light_stem(w), want)
+        for w, want in _vocab(f"{_REF}/sv/svlighttestdata.zip", "svlight.txt")
+        if swedish_light_stem(w) != want
+    ]
+    assert bad == []
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference not present")
+def test_hungarian_light_stemmer_full_reference_vocabulary():
+    from lucene_solr_ray.analysis.lang import hungarian_light_stem
+
+    bad = [
+        (w, hungarian_light_stem(w), want)
+        for w, want in _vocab(f"{_REF}/hu/hulighttestdata.zip", "hulight.txt")
+        if hungarian_light_stem(w) != want
+    ]
+    assert bad == []
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference not present")
+def test_finnish_light_stemmer_full_reference_vocabulary():
+    from lucene_solr_ray.analysis.lang import finnish_light_stem
+
+    bad = [
+        (w, finnish_light_stem(w), want)
+        for w, want in _vocab(f"{_REF}/fi/filighttestdata.zip", "filight.txt")
+        if finnish_light_stem(w) != want
+    ]
+    assert bad == []
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference not present")
+def test_russian_light_stemmer_full_reference_vocabulary():
+    from lucene_solr_ray.analysis.lang import russian_light_stem
+
+    bad = [
+        (w, russian_light_stem(w), want)
+        for w, want in _vocab(f"{_REF}/ru/rulighttestdata.zip", "rulight.txt")
+        if russian_light_stem(w) != want
+    ]
+    assert bad == []
+
+
+def test_finnish_sql_oracle_assumptions_hold_on_corpus():
+    """prelude_finnish unrolls step1 three times and collapses k/p/t runs
+    with two replace passes — valid only while the corpus vocabulary has
+    no dellinen/dellisuus tokens, no stacked kin/ko chains deeper than 3,
+    and no same-letter runs longer than 4. Pin those facts here so a
+    corpus change fails loudly instead of silently skewing the oracle."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.analysis.lang import _fi_step1
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["text"]
+    )
+    vocab = set()
+    for t in docs["text"].to_pylist():
+        vocab.update(re.findall(r"\w+", (t or "").lower()))
+    assert not any("dellinen" in w or "dellisuus" in w for w in vocab)
+    assert not any(re.search(r"(k{3,}|p{3,}|t{3,})", w) for w in vocab)
+    for w in vocab:
+        # three single applications must reach the recursion fixpoint
+        s = w
+        for _ in range(3):
+            n = len(s)
+            if n > 8 and s.endswith("kin"):
+                s = s[:-3]
+            elif n > 8 and s.endswith("ko"):
+                s = s[:-2]
+            elif n > 11 and s.endswith("dellinen"):
+                s = s[:-8]
+            elif n > 11 and s.endswith("dellisuus"):
+                s = s[:-9]
+        assert s == _fi_step1(w)
+
+
+def test_nordic_analyzer_presets_end_to_end():
+    from lucene_solr_ray.analysis.tokenizer import (
+        FinnishAnalyzer,
+        HungarianAnalyzer,
+        RussianAnalyzer,
+        SwedishAnalyzer,
+    )
+
+    sv = SwedishAnalyzer()
+    toks = dict(analyze_with_positions("och flickorna jobbar", sv))
+    assert "flick" in toks and "och" not in toks
+    fi = FinnishAnalyzer()
+    toks = dict(analyze_with_positions("ja ongelmana kirjat", fi))
+    assert "ongelm" in toks and "ja" not in toks
+    hu = HungarianAnalyzer()
+    toks = dict(analyze_with_positions("a babakocsit dolgozni", hu))
+    assert "babakocs" in toks and "a" not in toks
+    ru = RussianAnalyzer()
+    toks = dict(analyze_with_positions("и вместе электромагнитной энергии", ru))
+    assert "вмест" in toks and "и" not in toks
