@@ -206,6 +206,58 @@ def _bool_query(spec: dict) -> BooleanQuery:
     raise ValueError(kind)
 
 
+#: Local-params QParser coverage; each spec carries the Solr q string for
+#: the engine and the sql_topk (kind, terms) its parse must reduce to.
+QPARSER_SPECS = [
+    {"qid": "qp_term", "q": "{!term f=content}merge", "params": None,
+     "kind": "term", "terms": ["merge"], "k": TOPK_K},
+    # raw = zero analysis: the uppercase term matches nothing
+    {"qid": "qp_raw_case", "q": "{!raw f=content}Merge", "params": None,
+     "kind": "term", "terms": ["Merge"], "k": TOPK_K},
+    # field = analyzed: the same uppercase input folds and matches
+    {"qid": "qp_field", "q": "{!field f=content}Vector", "params": None,
+     "kind": "term", "terms": ["vector"], "k": TOPK_K},
+    {"qid": "qp_bool", "q": "{!bool must=merge must=join}", "params": None,
+     "kind": "and", "terms": ["merge", "join"], "k": TOPK_K},
+    {"qid": "qp_bool_mm",
+     "q": "{!bool should=merge should=table should=vector mm=2}",
+     "params": None, "kind": "msm", "terms": ["merge", "table", "vector"],
+     "msm": 2, "k": TOPK_K},
+    {"qid": "qp_switch", "q": "{!switch case.go='merge table' default=vector}go",
+     "params": None, "kind": "or", "terms": ["merge", "table"], "k": TOPK_K},
+    {"qid": "qp_switch_default",
+     "q": "{!switch case.go='merge table' default=vector}other",
+     "params": None, "kind": "term", "terms": ["vector"], "k": TOPK_K},
+    {"qid": "qp_nested", "q": "{!query v=$nq}",
+     "params": {"nq": "{!term f=content}window"},
+     "kind": "term", "terms": ["window"], "k": TOPK_K},
+]
+
+
+def ft_qparser(sf_dir: str) -> pa.Table:
+    """Solr local-params QParser dispatch — ``{!term}``, ``{!raw}``,
+    ``{!field}``, ``{!bool must=.. mm=..}``, ``{!switch case.x=..}``,
+    ``{!query v=$ref}`` — each parsed by :mod:`..search.qparser`
+    (grammar: solr/core/.../search/QueryParsing.java:66-150; plugins
+    cited per-type in that module) and run as BM25 top-k. rank +
+    doc_id only, like ft_topk_bool (boolean float64 sum order)."""
+    from ..search.qparser import parse_solr_q
+
+    s = get_searcher(sf_dir)
+    queries = {
+        sp["qid"]: parse_solr_q(sp["q"], sp.get("params"))
+        for sp in QPARSER_SPECS
+    }
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+        }
+    )
+
+
 def ft_topk_bool(sf_dir: str) -> pa.Table:
     """Boolean BM25 top-k; rank+doc_id only (float64 sum order at the last ulp
     is unspecified in SQL — ranks are stable, scores are dropped)."""

@@ -37,6 +37,7 @@ FAST_ENTRIES = [
     "ft_term_stats",
     "ft_topk_terms",
     "ft_topk_bool",
+    "ft_qparser",
     "ft_phrase",
     "ft_prefix",
     "ft_facets",
