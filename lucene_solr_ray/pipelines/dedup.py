@@ -378,7 +378,9 @@ def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
        fine per node; at 10⁹ docs this becomes a distributed join of the
        explode against the df table + a per-doc rank, same algebra).
     3. candidate pairs: ONE hash self-join on the prefix gram hash +
-       doc_a < doc_b filter + groupby dedup.
+       doc_a < doc_b filter + BLOCK-LOCAL dedup (no global pair shuffle —
+       cross-block duplicates are removed after the verify gather, since
+       verification is idempotent per pair).
     4. verify: per-batch predicate-pushdown read of ONLY candidate docs,
        exact gram-set Jaccard with the integer test 2·|A∩B| ≥ |A∪B|.
     The (df, hash) prefix order here and the oracle's brute-force full
@@ -443,15 +445,19 @@ def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
     )
 
     def ordered(batch: pa.Table) -> pa.Table:
+        # order + BLOCK-LOCAL dedup (pairs sharing several prefix grams
+        # repeat inside a join partition); cross-block duplicates survive
+        # and are removed after the verify gather — verification is
+        # idempotent per pair, so no global pair shuffle is needed
         m = pc.less(batch["doc_id"], batch["doc_id_r"])
         t = batch.filter(m)
-        return pa.table({
+        t = pa.table({
             "doc_a": t["doc_id"].cast(pa.int64()),
             "doc_b": t["doc_id_r"].cast(pa.int64()),
         })
+        return pa.TableGroupBy(t, ["doc_a", "doc_b"]).aggregate([])
 
-    uniq = (paired.map_batches(ordered, batch_format="pyarrow")
-            .groupby(["doc_a", "doc_b"]).count())
+    uniq = paired.map_batches(ordered, batch_format="pyarrow")
 
     doc_path = f"{sf_dir}/documents.parquet"
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
@@ -486,6 +492,8 @@ def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
     verified = uniq.select_columns(["doc_a", "doc_b"]).map_batches(
         verify, batch_format="pyarrow")
     tbl = pa.concat_tables([empty, *verified.iter_batches(batch_format="pyarrow")])
+    # drop cross-block duplicate pairs, then sort (verified set is small)
+    tbl = pa.TableGroupBy(tbl, ["doc_a", "doc_b"]).aggregate([])
     order = np.lexsort((tbl["doc_b"].to_numpy(), tbl["doc_a"].to_numpy()))
     return tbl.take(order)
 
@@ -863,45 +871,53 @@ def dedup_substring(sf_dir: str) -> pa.Table:
     """(doc_id, n_windows, n_dup_windows): per doc, how many of its token
     windows occur ≥2 times corpus-wide.
 
-    Shape: explode (window_md5, doc_id) pairs — hashes move through the
-    shuffle, never text — then ``groupby(window_md5)`` emits per-doc partial
-    dup counts only for duplicated groups (boilerplate-heavy groups are
-    linear scans), and a second small ``groupby(doc_id)`` combines partials.
-    The per-doc window totals ride a shuffle-free side aggregate; the final
-    decoration is a DISTRIBUTED left-outer hash join (``Dataset.join``) of
-    totals ⟕ dup-counts — the driver only gathers the joined result rows
-    (at 100 TB this tail becomes ``write_parquet``; no driver-side
-    ``pa.Table.join`` over the corpus anywhere)."""
-    import ray.data
+    Shape: explode (window_md5, doc_id) pairs and FINALIZE the per-doc
+    occurrence counts map-side with an Arrow ``group_by`` inside the same
+    batch — every output row of one input doc lives in one batch, so the
+    (wh, doc_id) counts are exact with NO shuffle. Then pure aggregates:
+    ``groupby(wh).sum`` (corpus-wide group sizes — the single wh-keyed
+    shuffle, moving only (hash, doc, count) rows), an inner
+    ``Dataset.join`` of occ ⋈ sizes on ``wh`` filtered to size ≥ 2, and a
+    final tiny ``groupby(doc_id).sum``. No ``map_groups`` anywhere: a
+    Python callable per distinct window (~10⁶ groups at sf0.1, ~10¹² at
+    100 TB) was the dominant cost — vectorized aggregate kernels replace
+    it wholesale. The per-doc window totals ride a shuffle-free side
+    aggregate; the final decoration is a DISTRIBUTED left-outer hash
+    join of totals ⟕ dup-counts — the driver only gathers the joined
+    result rows (at 100 TB this tail becomes ``write_parquet``; no
+    driver-side ``pa.Table.join`` over the corpus anywhere)."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def explode_occ(batch: pa.Table) -> pa.Table:
         ids, whs = [], []
         for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             ws = _substr_windows(t)
             ids.extend([did] * len(ws))
             whs.extend(ws)
-        return pa.table(
+        w = pa.table(
             {"wh": pa.array(whs, pa.string()), "doc_id": pa.array(ids, pa.int64())}
         )
+        # all windows of a doc are batch-local → exact per-doc counts here
+        g = pa.TableGroupBy(w, ["wh", "doc_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["wh", "doc_id", "c"])
 
-    def dup_partials(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:  # unique window — contributes no dups
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "dups": pa.array([], pa.int64())}
-            )
-        g = pa.TableGroupBy(group.select(["doc_id"]), "doc_id").aggregate([([], "count_all")])
+    occ = _docs(sf_dir).map_batches(explode_occ, batch_format="pyarrow")
+    occ = occ.materialize()  # consumed twice: sizes aggregate + join probe
+    sizes = occ.groupby("wh").aggregate(Sum("c", alias_name="gsize"))
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["gsize"], 2))
         return pa.table(
             {
-                "doc_id": g["doc_id"].cast(pa.int64()),
-                "dups": g["count_all"].cast(pa.int64()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "dups": t["c"].cast(pa.int64()),
             }
         )
 
-    w_ds = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
     dup = (
-        w_ds.groupby("wh")
-        .map_groups(dup_partials, batch_format="pyarrow")
+        occ.join(sizes.materialize(), "inner", num_partitions=8, on=("wh",))
+        .map_batches(dup_only, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Sum("dups", alias_name="n_dup_windows"))
     )
