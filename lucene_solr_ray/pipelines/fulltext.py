@@ -234,6 +234,58 @@ QPARSER_SPECS = [
 ]
 
 
+#: CoreParser XML query DSL coverage; each spec carries the XML for the
+#: engine and the sql_topk (kind, terms) its parse must reduce to.
+XMLQUERY_SPECS = [
+    {"qid": "xml_term",
+     "xml": '<TermQuery fieldName="content">merge</TermQuery>',
+     "kind": "term", "terms": ["merge"], "k": TOPK_K},
+    {"qid": "xml_terms_analyzed",
+     "xml": '<TermsQuery fieldName="content">Merge Table</TermsQuery>',
+     "kind": "or", "terms": ["merge", "table"], "k": TOPK_K},
+    {"qid": "xml_bool_mm",
+     "xml": '<BooleanQuery fieldName="content" minimumNumberShouldMatch="2">'
+            '<Clause occurs="should"><TermQuery>merge</TermQuery></Clause>'
+            '<Clause occurs="should"><TermQuery>table</TermQuery></Clause>'
+            '<Clause occurs="should"><TermQuery>vector</TermQuery></Clause>'
+            '</BooleanQuery>',
+     "kind": "msm", "terms": ["merge", "table", "vector"], "msm": 2,
+     "k": TOPK_K},
+    {"qid": "xml_bool_mustnot",
+     "xml": '<BooleanQuery fieldName="content">'
+            '<Clause occurs="must"><TermQuery>merge</TermQuery></Clause>'
+            '<Clause occurs="mustNot"><TermQuery>customer</TermQuery></Clause>'
+            '</BooleanQuery>',
+     "kind": "and_not", "terms": ["merge"], "not_terms": ["customer"],
+     "k": TOPK_K},
+    {"qid": "xml_user",
+     "xml": '<UserQuery>merge AND join</UserQuery>',
+     "kind": "and", "terms": ["merge", "join"], "k": TOPK_K},
+]
+
+
+def ft_xml_query(sf_dir: str) -> pa.Table:
+    """CoreParser XML query DSL (``lucene/queryparser/.../xml/
+    CoreParser.java:77-117``): TermQuery (verbatim) vs TermsQuery
+    (analyzed), BooleanQuery Clause/occurs/minimumNumberShouldMatch,
+    UserQuery (classic syntax) — parsed by :mod:`..search.xmlparser`
+    and run as BM25 top-k (rank + doc_id, like ft_topk_bool)."""
+    from ..search.xmlparser import parse_xml_query
+
+    s = get_searcher(sf_dir)
+    queries = {
+        sp["qid"]: parse_xml_query(sp["xml"]) for sp in XMLQUERY_SPECS
+    }
+    res = s.search(queries, k=TOPK_K, use_ray=True)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "rank": res["rank"].cast(pa.int64()),
+            "doc_id": res["doc_id"],
+        }
+    )
+
+
 def ft_qparser(sf_dir: str) -> pa.Table:
     """Solr local-params QParser dispatch — ``{!term}``, ``{!raw}``,
     ``{!field}``, ``{!bool must=.. mm=..}``, ``{!switch case.x=..}``,

@@ -38,6 +38,7 @@ FAST_ENTRIES = [
     "ft_topk_terms",
     "ft_topk_bool",
     "ft_qparser",
+    "ft_xml_query",
     "ft_phrase",
     "ft_prefix",
     "ft_facets",
