@@ -552,28 +552,39 @@ def events_date_math(sf_dir: str) -> pa.Table:
         for qid, lo, hi in DATEMATH_SPECS
     ]
 
+    empty = pa.table({
+        "query_id": pa.array([], pa.string()),
+        "event_type": pa.array([], pa.string()),
+        "n": pa.array([], pa.int64()),
+        "sv": pa.array([], pa.int64()),
+    })
+
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["ts", "event_type", "value"]).to_pandas()
-        vm = (df["value"] * 1000).round().astype(np.int64)
+        import pyarrow.compute as pc
+
+        # pc.round defaults to half-to-even, matching the oracle's round()
+        vm = pc.cast(pc.round(pc.multiply(batch["value"], 1000.0)), pa.int64())
+        t = pa.table({
+            "ts": batch["ts"],
+            "event_type": batch["event_type"],
+            "vm": vm,
+        })
         outs = []
         for qid, lo, hi in ranges:
-            m = (df["ts"] >= lo) & (df["ts"] < hi)
-            if m.any():
-                g = pd.DataFrame(
-                    {"event_type": df.loc[m, "event_type"], "vm": vm[m]}
-                ).groupby("event_type", as_index=False).agg(
-                    n=("vm", "size"), sv=("vm", "sum")
-                )
-                g.insert(0, "query_id", qid)
-                outs.append(g)
-        if not outs:
-            return pa.table({
-                "query_id": pa.array([], pa.string()),
-                "event_type": pa.array([], pa.string()),
-                "n": pa.array([], pa.int64()),
-                "sv": pa.array([], pa.int64()),
-            })
-        return pa.Table.from_pandas(pd.concat(outs), preserve_index=False)
+            sel = t.filter(pc.and_(pc.greater_equal(t["ts"], pa.scalar(lo)),
+                                   pc.less(t["ts"], pa.scalar(hi))))
+            if len(sel) == 0:
+                continue
+            g = pa.TableGroupBy(
+                sel.select(["event_type", "vm"]), "event_type"
+            ).aggregate([("vm", "count"), ("vm", "sum")])
+            outs.append(pa.table({
+                "query_id": pa.array([qid] * len(g), pa.string()),
+                "event_type": g["event_type"],
+                "n": g["vm_count"].cast(pa.int64()),
+                "sv": g["vm_sum"].cast(pa.int64()),
+            }))
+        return pa.concat_tables(outs) if outs else empty
 
     ds = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
     agg = ds.groupby(["query_id", "event_type"]).aggregate(
