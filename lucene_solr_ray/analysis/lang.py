@@ -820,3 +820,163 @@ def russian_light_stem(term: str) -> str:
         if c == "н" and s[-2] == "н":
             return s[:-1]
     return s
+
+
+# ---------------------------------------------------------------------------
+# German / French MINIMAL stemmers and the Sorani (Kurdish) pack
+# ---------------------------------------------------------------------------
+
+_DE_MIN_FOLD = str.maketrans({"ä": "a", "ö": "o", "ü": "u"})
+
+
+def german_minimal_stem(term: str) -> str:
+    """GermanMinimalStemFilter (``de/GermanMinimalStemmer.java:57-89``):
+    umlaut fold, then one plural/case suffix strip (-nen, -en/-se/-es/-er,
+    single n/e/s/r). Words under 5 chars pass through."""
+    if len(term) < 5:
+        return term
+    s = term.translate(_DE_MIN_FOLD)
+    n = len(s)
+    if n > 6 and s.endswith("nen"):
+        return s[:-3]
+    if n > 5 and s.endswith(("en", "se", "es", "er")):
+        return s[:-2]
+    if s[-1] in "nesr":
+        return s[:-1]
+    return s
+
+
+def french_minimal_stem(term: str) -> str:
+    """FrenchMinimalStemFilter (``fr/FrenchMinimalStemmer.java:57-72``;
+    Savoy CLEF-2001 minimal): -aux→al / -x strip, then sequential
+    s/r/e/é strips and a final adjacent-duplicate collapse. Words under
+    6 chars pass through."""
+    if len(term) < 6:
+        return term
+    s = term
+    if s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u":
+            return s[:-2] + "l"
+        return s[:-1]
+    if s[-1] == "s":
+        s = s[:-1]
+    if s[-1] == "r":
+        s = s[:-1]
+    if s[-1] == "e":
+        s = s[:-1]
+    if s[-1] == "é":
+        s = s[:-1]
+    if s[-1] == s[-2]:
+        s = s[:-1]
+    return s
+
+
+#: analysis/ckb/stopwords.txt resource list
+SORANI_STOP_WORDS = frozenset("""
+و کە ی کرد ئەوەی سەر دوو هەروەها لەو دەکات چەند هەر ئەو ئەم من ئێمە تۆ
+ئێوە ئەوان بە پێ بەبێ بەدەم بەلای بەپێی بەرلە بەرەوی بەرەوە بەردەم بێ
+بێجگە بۆ دە تێ دەگەڵ دوای جگە لە لێ لەبەر لەبەینی لەبابەت لەبارەی لەباتی
+لەبن لەبرێتی لەدەم لەگەڵ لەلایەن لەناو لەنێو لەپێناوی لەرەوی لەرێ لەرێگا
+لەسەر لەژێر ناو نێوان پاش پێش وەک
+""".split())
+
+_CKB_FARSI_YEH = "ی"
+_CKB_KEHEH = "ک"
+_CKB_HEH = "ه"
+_CKB_AE = "ە"
+_CKB_RREH = "ڕ"
+_CKB_DELETED = frozenset(
+    "ـًٌٍَُِّْ"
+)  # tatweel + harakat
+
+
+def sorani_normalize(term: str) -> str:
+    """SoraniNormalizationFilter (``ckb/SoraniNormalizer.java:43-119``):
+    yeh/kaf unification, ZWNJ handling (heh+ZWNJ → ae), final heh → ae,
+    teh marbuta → ae, heh doachashmee → heh, initial reh → rreh,
+    rreh-above → rreh, strip tatweel/harakat and Unicode FORMAT chars."""
+    import unicodedata
+
+    out: list[str] = []
+    last = len(term) - 1
+    for i, ch in enumerate(term):
+        if ch in ("ي", "ى"):
+            out.append(_CKB_FARSI_YEH)
+        elif ch == "ك":
+            out.append(_CKB_KEHEH)
+        elif ch == "‌":  # ZWNJ: delete; preceding heh becomes ae
+            if out and out[-1] == _CKB_HEH:
+                out[-1] = _CKB_AE
+        elif ch == _CKB_HEH:
+            out.append(_CKB_AE if i == last else _CKB_HEH)
+        elif ch == "ة":  # teh marbuta
+            out.append(_CKB_AE)
+        elif ch == "ھ":  # heh doachashmee
+            out.append(_CKB_HEH)
+        elif ch == "ر":  # reh: rreh when word-initial
+            out.append(_CKB_RREH if not out else ch)
+        elif ch == "ڒ":  # rreh above
+            out.append(_CKB_RREH)
+        elif ch in _CKB_DELETED or unicodedata.category(ch) == "Cf":
+            pass
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def sorani_stem(term: str) -> str:
+    """SoraniStemFilter (``ckb/SoraniStemmer.java:32-105``): postposition
+    → possessive pronoun → one definiteness/ezafe/plural suffix strip,
+    transcribed branch-for-branch (the first two blocks mutate and fall
+    through; the suffix chain returns)."""
+    s = term
+    n = len(s)
+    # postposition
+    if n > 5 and s.endswith("دا"):
+        s = s[:-2]
+    elif n > 4 and s.endswith("نا"):
+        s = s[:-1]
+    elif n > 6 and s.endswith("ەوە"):
+        s = s[:-3]
+    # possessive pronoun
+    n = len(s)
+    if n > 6 and (s.endswith("مان") or s.endswith("یان") or s.endswith("تان")):
+        s = s[:-3]
+    n = len(s)
+    # indefinite singular ezafe (its own chain)
+    if n > 6 and s.endswith("ێکی"):
+        return s[:-3]
+    elif n > 7 and s.endswith("یەکی"):
+        return s[:-4]
+    # the single suffix chain
+    if n > 5 and s.endswith("ێک"):
+        return s[:-2]
+    elif n > 6 and s.endswith("یەک"):
+        return s[:-3]
+    elif n > 6 and s.endswith("ەکە"):
+        return s[:-3]
+    elif n > 5 and s.endswith("کە"):
+        return s[:-2]
+    elif n > 7 and s.endswith("ەکان"):
+        return s[:-4]
+    elif n > 6 and s.endswith("کان"):
+        return s[:-3]
+    elif n > 7 and s.endswith("یانی"):
+        return s[:-4]
+    elif n > 6 and s.endswith("انی"):
+        return s[:-3]
+    elif n > 6 and s.endswith("یان"):
+        return s[:-3]
+    elif n > 5 and s.endswith("ان"):
+        return s[:-2]
+    elif n > 7 and s.endswith("یانە"):
+        return s[:-4]
+    elif n > 6 and s.endswith("انە"):
+        return s[:-3]
+    elif n > 5 and (s.endswith("ایە") or s.endswith("ەیە")):
+        return s[:-2]
+    elif n > 4 and s.endswith("ە"):
+        return s[:-1]
+    elif n > 4 and s.endswith("ی"):
+        return s[:-1]
+    return s

@@ -363,6 +363,23 @@ def RussianAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="russian_light", **kw)
 
 
+def SoraniAnalyzer(**kw) -> StandardAnalyzer:
+    """SoraniAnalyzer preset (``analysis/common/.../ckb/SoraniAnalyzer.
+    java``): SoraniNormalizationFilter → lowercase → stop(Sorani) →
+    [keyword marker] → SoraniStemFilter. Normalizer and stemmer are
+    golden-tested against ckbtestdata.zip (Arabic-script, RTL).
+
+    Documented divergence: the reference normalizes BEFORE the stop
+    filter; this engine's normalization slot runs after it, so a token
+    whose raw spelling differs from the (already-normalized) stopword
+    list entry survives here. The stopword list ships normalized, so
+    normalized-spelling text behaves identically."""
+    from .lang import SORANI_STOP_WORDS
+
+    kw.setdefault("stopwords", SORANI_STOP_WORDS)
+    return StandardAnalyzer(stem="sorani", normalization="sorani", **kw)
+
+
 def FrenchAnalyzer(**kw) -> StandardAnalyzer:
     """FrenchAnalyzer preset (``analysis/common/.../fr/FrenchAnalyzer.java:
     137-144``): elision(articles) → lowercase → stop(French) →
@@ -458,6 +475,15 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "russian_light":
         from .lang import russian_light_stem
         stem_fns["russian_light"] = russian_light_stem
+    elif analyzer.stem == "german_minimal":
+        from .lang import german_minimal_stem
+        stem_fns["german_minimal"] = german_minimal_stem
+    elif analyzer.stem == "french_minimal":
+        from .lang import french_minimal_stem
+        stem_fns["french_minimal"] = french_minimal_stem
+    elif analyzer.stem == "sorani":
+        from .lang import sorani_stem
+        stem_fns["sorani"] = sorani_stem
     elif analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
     if analyzer.stem is not None:
@@ -467,24 +493,28 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
             mapper = lambda t: t if t in excl else stem_fn(t)  # noqa: E731
         else:
             mapper = stem_fn
-    if analyzer.normalization == "german":
+    if analyzer.normalization is not None:
         # normalization applies to EVERY term (keyword marker protects only
         # the stemmer), before stemming
-        from .lang import german_normalize
+        if analyzer.normalization == "german":
+            from .lang import german_normalize as norm_fn
+        elif analyzer.normalization == "sorani":
+            from .lang import sorani_normalize as norm_fn
+        else:
+            raise ValueError(
+                f"unknown normalization: {analyzer.normalization!r}")
 
         if mapper is None:
-            mapper = german_normalize
+            mapper = norm_fn
         else:
             if analyzer.stem_exclusions:
                 excl = analyzer.stem_exclusions
                 stem_fn0 = stem_fns[analyzer.stem]
                 mapper = lambda t: (lambda n: n if t in excl else stem_fn0(n))(  # noqa: E731
-                    german_normalize(t))
+                    norm_fn(t))
             else:
                 post = mapper
-                mapper = lambda t: post(german_normalize(t))  # noqa: E731
-    elif analyzer.normalization is not None:
-        raise ValueError(f"unknown normalization: {analyzer.normalization!r}")
+                mapper = lambda t: post(norm_fn(t))  # noqa: E731
     if analyzer.keyword_repeat:
         # the replace+inject codes path emits [original, stem]; the 1:1
         # stem mapper must not pre-stem the stream

@@ -1733,6 +1733,14 @@ FINNISH_SPECS = [
     {"qid": f"fi_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
     for t in ["merg", "tabl", "sor", "lin"]
 ]
+GERMAN_MIN_SPECS = [
+    {"qid": f"demin_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["merg", "tabl", "vecto", "custom"]
+]
+FRENCH_MIN_SPECS = [
+    {"qid": f"frmin_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["vecto", "filt", "custom", "window"]
+]
 
 SYNONYM_PAIRS = [("spark", "lightning"), ("window", "pane")]
 SYNONYM_SPECS = [
@@ -1880,6 +1888,31 @@ def ft_finnish(sf_dir: str) -> pa.Table:
 
     return _variant_topk(
         get_searcher_variant(sf_dir, "finnish", FinnishAnalyzer()), FINNISH_SPECS
+    )
+
+
+def ft_german_minimal(sf_dir: str) -> pa.Table:
+    """GermanMinimalStemFilter chain (``de/GermanMinimalStemmer.java:
+    57-89``; Solr filter-factory config: default stopwords + minimal
+    stem): BM25 top-k, exact float64 scores (stemmer golden-tested vs
+    the deminimaltestdata vocabulary)."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    an = StandardAnalyzer(stem="german_minimal")
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "german_min", an), GERMAN_MIN_SPECS
+    )
+
+
+def ft_french_minimal(sf_dir: str) -> pa.Table:
+    """FrenchMinimalStemFilter chain (``fr/FrenchMinimalStemmer.java:
+    57-72``; Savoy CLEF-2001 minimal): BM25 top-k, exact float64 scores
+    (stemmer golden-tested vs the frminimaltestdata vocabulary)."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    an = StandardAnalyzer(stem="french_minimal")
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "french_min", an), FRENCH_MIN_SPECS
     )
 
 

@@ -1451,6 +1451,78 @@ emitted AS MATERIALIZED (
 ),{_VARIANT_TAIL}"""
 
 
+#: GermanMinimalStemmer (de/GermanMinimalStemmer.java:57-89) on ASCII
+#: input (umlaut fold never fires on \\w+ ASCII tokens)
+_DE_MIN_SQL = """
+CASE WHEN length(t) < 5 THEN t
+     WHEN length(t) > 6 AND right(t, 3) = 'nen' THEN left(t, length(t)-3)
+     WHEN length(t) > 5 AND right(t, 2) IN ('en','se','es','er') THEN left(t, length(t)-2)
+     WHEN right(t, 1) IN ('n','e','s','r') THEN left(t, length(t)-1)
+     ELSE t END"""
+
+
+def prelude_german_minimal() -> str:
+    """StandardAnalyzer(stem='german_minimal') index oracle: default
+    English stopwords → GermanMinimalStemFilter (a Solr filter-factory
+    chain, not a reference analyzer preset) as one CASE."""
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL})
+),
+base AS (SELECT did, tok FROM kept),
+dm0 AS (SELECT did, tok AS t FROM kept),
+emitted AS MATERIALIZED (SELECT did, {_DE_MIN_SQL} AS tok FROM dm0),{_VARIANT_TAIL}"""
+
+
+def prelude_french_minimal() -> str:
+    """StandardAnalyzer(stem='french_minimal') index oracle
+    (fr/FrenchMinimalStemmer.java:57-72 on the ASCII corpus — the é strip
+    can't fire on \\w+ ASCII tokens): the -x/-aux branch returns
+    immediately; the s → r → e strips are SEQUENTIAL, staged as nested
+    CASE expressions gated on the ORIGINAL token (length ≥ 6, not
+    x-final), with a final adjacent-duplicate collapse."""
+    gate = "length(tok) >= 6 AND right(tok, 1) <> 'x'"
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL})
+),
+base AS (SELECT did, tok FROM kept),
+fmx AS (
+  SELECT did, tok,
+         CASE WHEN length(tok) >= 6 AND right(tok, 1) = 'x' THEN
+              CASE WHEN substr(tok, length(tok)-2, 1) = 'a'
+                        AND substr(tok, length(tok)-1, 1) = 'u'
+                   THEN left(tok, length(tok)-2) || 'l'
+                   ELSE left(tok, length(tok)-1) END
+              ELSE NULL END AS xres
+  FROM kept
+),
+fm1 AS (SELECT did, tok, xres,
+        CASE WHEN xres IS NULL AND {gate} AND right(tok, 1) = 's'
+             THEN left(tok, length(tok)-1) ELSE tok END AS t FROM fmx),
+fm2 AS (SELECT did, tok, xres,
+        CASE WHEN xres IS NULL AND {gate} AND right(t, 1) = 'r'
+             THEN left(t, length(t)-1) ELSE t END AS t FROM fm1),
+fm3 AS (SELECT did, tok, xres,
+        CASE WHEN xres IS NULL AND {gate} AND right(t, 1) = 'e'
+             THEN left(t, length(t)-1) ELSE t END AS t FROM fm2),
+fm4 AS (SELECT did, tok, xres,
+        CASE WHEN xres IS NULL AND {gate}
+                  AND right(t, 1) = substr(t, length(t)-1, 1)
+             THEN left(t, length(t)-1) ELSE t END AS t FROM fm3),
+emitted AS MATERIALIZED (
+  SELECT did, coalesce(xres, t) AS tok FROM fm4
+),{_VARIANT_TAIL}"""
+
+
 def prelude_french() -> str:
     """FrenchAnalyzer index oracle: elision is a no-op on apostrophe-free
     \\w+ tokens; French snowball stopwords → UniNE light stem (CTE chain)."""

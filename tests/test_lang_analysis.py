@@ -230,3 +230,56 @@ def test_nordic_analyzer_presets_end_to_end():
     ru = RussianAnalyzer()
     toks = dict(analyze_with_positions("и вместе электромагнитной энергии", ru))
     assert "вмест" in toks and "и" not in toks
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference not present")
+def test_german_minimal_stemmer_full_reference_vocabulary():
+    from lucene_solr_ray.analysis.lang import german_minimal_stem
+
+    bad = [
+        (w, german_minimal_stem(w), want)
+        for w, want in _vocab(f"{_REF}/de/deminimaltestdata.zip",
+                              "deminimal.txt")
+        if german_minimal_stem(w) != want
+    ]
+    assert bad == []
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference not present")
+def test_french_minimal_stemmer_full_reference_vocabulary():
+    from lucene_solr_ray.analysis.lang import french_minimal_stem
+
+    bad = [
+        (w, french_minimal_stem(w), want)
+        for w, want in _vocab(f"{_REF}/fr/frminimaltestdata.zip",
+                              "frminimal.txt")
+        if french_minimal_stem(w) != want
+    ]
+    assert bad == []
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference not present")
+def test_sorani_normalize_stem_full_reference_vocabulary():
+    """ckbtestdata.txt asserts normalize→stem over the reference's 8k most
+    frequent Sorani words (TestSoraniStemFilter.testVocabulary chain)."""
+    from lucene_solr_ray.analysis.lang import sorani_normalize, sorani_stem
+
+    fn = lambda w: sorani_stem(sorani_normalize(w))  # noqa: E731
+    bad = [
+        (w, fn(w), want)
+        for w, want in _vocab(f"{_REF}/ckb/ckbtestdata.zip", "testdata.txt")
+        if fn(w) != want
+    ]
+    assert bad == []
+
+
+def test_sorani_analyzer_preset_end_to_end():
+    from lucene_solr_ray.analysis.tokenizer import SoraniAnalyzer
+
+    # TestSoraniStemFilter golden cases: پیاوێک → پیاو (indefinite -ek),
+    # دەرگاكە → دەرگا (definite -ka; also exercises kaf normalization)
+    toks = dict(analyze_with_positions("پیاوێک دەرگاكە", SoraniAnalyzer()))
+    assert "پیاو" in toks and "دەرگا" in toks
+    # normalized stopword filtered
+    toks = dict(analyze_with_positions("و پیاوێک", SoraniAnalyzer()))
+    assert "و" not in toks and "پیاو" in toks
