@@ -980,3 +980,59 @@ def sorani_stem(term: str) -> str:
     elif n > 4 and s.endswith("ی"):
         return s[:-1]
     return s
+
+
+# ---------------------------------------------------------------------------
+# Arabic pack (light10 stemmer, Larkey/Ballesteros/Connell 2002)
+# ---------------------------------------------------------------------------
+
+#: analysis/ar/stopwords.txt resource list (NOT normalized — the reference
+#: applies the stop filter before ArabicNormalizationFilter on purpose)
+ARABIC_STOP_WORDS = frozenset("""
+من ومن منها منه في وفي فيها فيه و ف ثم او أو ب بها به ا أ اى اي أي أى لا
+ولا الا ألا إلا لكن ما وما كما فما عن مع اذا إذا ان أن إن انها أنها إنها
+انه أنه إنه بان بأن فان فأن وان وأن وإن التى التي الذى الذي الذين الى الي
+إلى إلي على عليها عليه اما أما إما ايضا أيضا كل وكل لم ولم لن ولن هى هي هو
+وهى وهي وهو فهى فهي فهو انت أنت لك لها له هذه هذا تلك ذلك هناك كانت كان
+يكون تكون وكانت وكان غير بعض قد نحو بين بينما منذ ضمن حيث الان الآن خلال
+بعد قبل حتى عند عندما لدى جميع
+""".split())
+
+_AR_MAP = str.maketrans({
+    "آ": "ا", "أ": "ا", "إ": "ا",  # alef variants fold
+    "ى": "ي",                        # dotless yeh → yeh
+    "ة": "ه",                        # teh marbuta → heh
+})
+_AR_DELETED = frozenset("ـًٌٍَُِّْ")  # tatweel + harakat
+
+_AR_PREFIXES = ("ال", "وال", "بال", "كال", "فال", "لل", "و")
+_AR_SUFFIXES = ("ها", "ان", "ات", "ون", "ين", "يه", "ية", "ه", "ة", "ي")
+
+
+def arabic_normalize(term: str) -> str:
+    """ArabicNormalizer (``ar/ArabicNormalizer.java:67-100``): fold alef
+    madda/hamza variants to bare alef, dotless yeh → yeh, teh marbuta →
+    heh, strip tatweel and the harakat diacritics."""
+    return "".join(
+        ch for ch in term.translate(_AR_MAP) if ch not in _AR_DELETED
+    )
+
+
+def arabic_stem(term: str) -> str:
+    """ArabicStemmer light10 (``ar/ArabicStemmer.java:78-149``): ONE
+    definite-article/conjunction prefix strip (wa- needs ≥ 3 remaining
+    chars, others ≥ 2), then EVERY matching suffix strips in list order
+    while ≥ 2 chars would remain."""
+    s = term
+    for p in _AR_PREFIXES:
+        if s.startswith(p):
+            if len(p) == 1 and len(s) < 4:
+                continue  # wa- prefix requires at least 3 remaining chars
+            if len(s) < len(p) + 2:
+                continue
+            s = s[len(p):]
+            break
+    for suf in _AR_SUFFIXES:
+        if s.endswith(suf) and len(s) >= len(suf) + 2:
+            s = s[: -len(suf)]
+    return s

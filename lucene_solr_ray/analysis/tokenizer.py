@@ -363,6 +363,18 @@ def RussianAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="russian_light", **kw)
 
 
+def ArabicAnalyzer(**kw) -> StandardAnalyzer:
+    """ArabicAnalyzer preset (``analysis/common/.../ar/ArabicAnalyzer.java:
+    134-146``): lowercase → stop(Arabic, UNnormalized list — the
+    reference's chain order, which this engine's normalization slot
+    matches exactly) → ArabicNormalizationFilter → [keyword marker] →
+    ArabicStemFilter (light10)."""
+    from .lang import ARABIC_STOP_WORDS
+
+    kw.setdefault("stopwords", ARABIC_STOP_WORDS)
+    return StandardAnalyzer(stem="arabic", normalization="arabic", **kw)
+
+
 def SoraniAnalyzer(**kw) -> StandardAnalyzer:
     """SoraniAnalyzer preset (``analysis/common/.../ckb/SoraniAnalyzer.
     java``): SoraniNormalizationFilter → lowercase → stop(Sorani) →
@@ -484,6 +496,9 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "sorani":
         from .lang import sorani_stem
         stem_fns["sorani"] = sorani_stem
+    elif analyzer.stem == "arabic":
+        from .lang import arabic_stem
+        stem_fns["arabic"] = arabic_stem
     elif analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
     if analyzer.stem is not None:
@@ -500,6 +515,8 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
             from .lang import german_normalize as norm_fn
         elif analyzer.normalization == "sorani":
             from .lang import sorani_normalize as norm_fn
+        elif analyzer.normalization == "arabic":
+            from .lang import arabic_normalize as norm_fn
         else:
             raise ValueError(
                 f"unknown normalization: {analyzer.normalization!r}")

@@ -283,3 +283,48 @@ def test_sorani_analyzer_preset_end_to_end():
     # normalized stopword filtered
     toks = dict(analyze_with_positions("و پیاوێک", SoraniAnalyzer()))
     assert "و" not in toks and "پیاو" in toks
+
+
+def test_arabic_stemmer_reference_cases():
+    """TestArabicStemFilter inline goldens (light10: one prefix strip,
+    every matching suffix strip)."""
+    from lucene_solr_ray.analysis.lang import arabic_stem
+
+    cases = [
+        ("الحسن", "حسن"), ("والحسن", "حسن"), ("بالحسن", "حسن"),
+        ("كالحسن", "حسن"), ("فالحسن", "حسن"), ("للاخر", "اخر"),
+        ("وحسن", "حسن"), ("زوجها", "زوج"), ("ساهدان", "ساهد"),
+        ("ساهدات", "ساهد"), ("ساهدون", "ساهد"), ("ساهدين", "ساهد"),
+        ("ساهديه", "ساهد"), ("ساهدية", "ساهد"), ("ساهده", "ساهد"),
+        ("ساهدة", "ساهد"), ("ساهدي", "ساهد"), ("وساهدون", "ساهد"),
+        ("ساهدهات", "ساهد"), ("الو", "الو"), ("English", "English"),
+    ]
+    bad = [(w, arabic_stem(w), want) for w, want in cases
+           if arabic_stem(w) != want]
+    assert bad == []
+
+
+def test_arabic_normalizer_reference_cases():
+    """TestArabicNormalizationFilter inline goldens."""
+    from lucene_solr_ray.analysis.lang import arabic_normalize
+
+    cases = [
+        ("آجن", "اجن"), ("أحمد", "احمد"), ("إعاذ", "اعاذ"),
+        ("بنى", "بني"), ("فاطمة", "فاطمه"), ("روبرـــــت", "روبرت"),
+        ("مَبنا", "مبنا"), ("علِي", "علي"), ("بُوات", "بوات"),
+        ("ولداً", "ولدا"), ("ولدٍ", "ولد"), ("ولدٌ", "ولد"),
+        ("نلْسون", "نلسون"), ("هتميّ", "هتمي"),
+    ]
+    bad = [(w, arabic_normalize(w), want) for w, want in cases
+           if arabic_normalize(w) != want]
+    assert bad == []
+
+
+def test_arabic_analyzer_preset_end_to_end():
+    from lucene_solr_ray.analysis.tokenizer import ArabicAnalyzer
+
+    toks = dict(analyze_with_positions("والحسن زوجها", ArabicAnalyzer()))
+    assert "حسن" in toks and "زوج" in toks
+    # raw (unnormalized) stopword filtered before normalization
+    toks = dict(analyze_with_positions("هذه والحسن", ArabicAnalyzer()))
+    assert "هذه" not in toks and "حسن" in toks
