@@ -208,6 +208,18 @@ class StandardAnalyzer:
     #: article set for the elision filter; empty = FrenchAnalyzer.
     #: DEFAULT_ARTICLES (ItalianAnalyzer passes its own list)
     elision_articles: tuple[str, ...] = ()
+    #: CJKBigramFilter (analysis/cjk/CJKBigramFilter.java, default flags
+    #: HAN|HIRAGANA|KATAKANA|HANGUL, outputUnigrams=false): contiguous CJK
+    #: codepoints form bigrams (lone codepoints stay unigrams), non-CJK
+    #: tokens pass through; the stop filter applies to the bigrammed stream
+    #: (CJKAnalyzer.createComponents chain order). Requires
+    #: unicode_segmentation (the tokenizer must emit the CJK word classes).
+    cjk_bigram: bool = False
+    #: CJKWidthFilter (analysis/cjk/CJKWidthFilter.java): fold fullwidth
+    #: ASCII to basic Latin and halfwidth Katakana to Kana (voiced-mark
+    #: composition included), applied to the raw text before tokenization
+    #: (see analysis/cjkfilter.py for the documented divergence).
+    cjk_width: bool = False
     #: CharFilter chain, applied to the raw string BEFORE tokenization
     #: (analysis/CharFilter.java; factories in analysis/charfilter/). Entries:
     #: ("html_strip",) — HTMLStripCharFilter analog (script/style/comment
@@ -392,6 +404,20 @@ def SoraniAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="sorani", normalization="sorani", **kw)
 
 
+def CJKAnalyzer(**kw) -> StandardAnalyzer:
+    """CJKAnalyzer preset (``analysis/cjk/CJKAnalyzer.java:87-95``):
+    StandardTokenizer → CJKWidthFilter → lowercase → CJKBigramFilter →
+    stop(English + s/t/www). Han/Hiragana/Katakana/Hangul text is indexed
+    as overlapping character bigrams; everything else passes through the
+    standard chain."""
+    from .cjkfilter import CJK_STOP_WORDS
+
+    kw.setdefault("stopwords", CJK_STOP_WORDS)
+    return StandardAnalyzer(
+        unicode_segmentation=True, cjk_bigram=True, cjk_width=True, **kw
+    )
+
+
 def FrenchAnalyzer(**kw) -> StandardAnalyzer:
     """FrenchAnalyzer preset (``analysis/common/.../fr/FrenchAnalyzer.java:
     137-144``): elision(articles) → lowercase → stop(French) →
@@ -553,6 +579,28 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     return mapper
 
 
+def _validate_cjk(analyzer: "StandardAnalyzer") -> None:
+    """cjk_bigram composes with the plain chain only (CJKAnalyzer's shape:
+    width fold → tokenize → lowercase → bigram → stop)."""
+    if not analyzer.unicode_segmentation:
+        raise ValueError("cjk_bigram requires unicode_segmentation=True")
+    if (
+        analyzer.structural
+        or analyzer.word_delimiter is not None
+        or analyzer.common_grams
+        or analyzer.delimited_payload is not None
+        or analyzer.keyword_repeat
+        or analyzer.phonetic is not None
+        or analyzer.stem is not None
+        or analyzer.normalization is not None
+        or analyzer.elision
+        or analyzer.keep_words
+        or analyzer.length_filter is not None
+        or analyzer.limit_token_count is not None
+    ):
+        raise ValueError("cjk_bigram cannot combine with other token filters")
+
+
 _DEFAULT = StandardAnalyzer()
 
 
@@ -570,8 +618,25 @@ def _analyze_full(
     """
     if analyzer.char_filters:
         text = apply_char_filters(text, analyzer.char_filters)
+    if analyzer.cjk_width:
+        from .cjkfilter import cjk_width_fold
+
+        text = cjk_width_fold(text)
     if analyzer.word_delimiter is not None:
         return _analyze_full_wd(text, analyzer)
+    if analyzer.cjk_bigram:
+        _validate_cjk(analyzer)
+        from .cjkfilter import cjk_emit
+
+        stream = [
+            x for x in cjk_emit(
+                text, token_re(analyzer), analyzer.max_token_length,
+                analyzer.lowercase,
+            )
+            if len(x[0]) <= analyzer.max_token_length
+        ]
+        kept = [x for x in stream if x[0] not in analyzer.stopwords]
+        return [(t, p, s, e, False) for t, p, s, e in kept]
     stream: list[tuple[str, int, int, int]] = []  # post-length, pre-stop
     for pos, m in enumerate(token_re(analyzer).finditer(text)):
         raw = m.group()
@@ -950,9 +1015,20 @@ class ArrowAnalyzer:
             # and rejoin the vectorized fold below
             pat = token_re(self.analyzer)
             lower = self.analyzer.lowercase
-            pylists = [
-                pat.findall(s_.lower() if lower else s_) for s_ in (x or "" for x in arr.to_pylist())
-            ]
+            if self.analyzer.cjk_bigram:
+                _validate_cjk(self.analyzer)
+                from .cjkfilter import cjk_emit, cjk_width_fold
+
+                fold = cjk_width_fold if self.analyzer.cjk_width else (lambda s: s)
+                mtl = self.analyzer.max_token_length
+                pylists = [
+                    [t for t, _p, _s, _e in cjk_emit(fold(s_), pat, mtl, lower)]
+                    for s_ in (x or "" for x in arr.to_pylist())
+                ]
+            else:
+                pylists = [
+                    pat.findall(s_.lower() if lower else s_) for s_ in (x or "" for x in arr.to_pylist())
+                ]
             counts = np.fromiter((len(t) for t in pylists), dtype=np.int64, count=n)
             offs = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(counts, out=offs[1:])

@@ -1742,6 +1742,23 @@ FRENCH_MIN_SPECS = [
     for t in ["vecto", "filt", "custom", "window"]
 ]
 
+#: deterministic Latin→Katakana letter map used by ft_cjk so the ASCII
+#: corpus exercises the CJK bigram path identically on both sides (engine:
+#: MappingCharFilter pairs; oracle: DuckDB translate())
+CJK_MAP_SRC = "abcdefghijklmnopqrstuvwxyz"
+CJK_MAP_DST = "".join(chr(0x30A2 + i) for i in range(26))
+_CJK_TR = str.maketrans(CJK_MAP_SRC, CJK_MAP_DST)
+
+
+def _cjk_map(s: str) -> str:
+    return s.lower().translate(_CJK_TR)
+
+
+CJK_SPECS = [
+    {"qid": f"cjk_{src}", "kind": "term", "terms": [_cjk_map(src)], "k": TOPK_K}
+    for src in ["ta", "le", "ro", "ke"]
+]
+
 SYNONYM_PAIRS = [("spark", "lightning"), ("window", "pane")]
 SYNONYM_SPECS = [
     {"qid": f"syn_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
@@ -1889,6 +1906,26 @@ def ft_finnish(sf_dir: str) -> pa.Table:
     return _variant_topk(
         get_searcher_variant(sf_dir, "finnish", FinnishAnalyzer()), FINNISH_SPECS
     )
+
+
+def ft_cjk(sf_dir: str) -> pa.Table:
+    """CJKAnalyzer index (``analysis/cjk/CJKAnalyzer.java:87-95``: width
+    fold → StandardTokenizer → lowercase → CJKBigramFilter → stop). The
+    ASCII corpus is deterministically mapped to Katakana (a→ア … z→ヺ range
+    start U+30A2) through a MappingCharFilter so every word becomes a
+    Katakana run and the bigram path does the indexing work; the oracle
+    replays the same map with translate() and bigrams each run in SQL.
+    BM25 top-k over bigram terms, exact float64 scores. The filter itself
+    is golden-tested against TestCJKAnalyzer's Japanese/Korean cases in
+    tests/test_cjk.py."""
+    from ..analysis.tokenizer import CJKAnalyzer
+
+    pairs = tuple(
+        (c, k) for c, k in zip(CJK_MAP_SRC + CJK_MAP_SRC.upper(),
+                               CJK_MAP_DST + CJK_MAP_DST)
+    )
+    an = CJKAnalyzer(char_filters=(("mapping", pairs),))
+    return _variant_topk(get_searcher_variant(sf_dir, "cjk", an), CJK_SPECS)
 
 
 def ft_german_minimal(sf_dir: str) -> pa.Table:

@@ -1461,6 +1461,39 @@ CASE WHEN length(t) < 5 THEN t
      ELSE t END"""
 
 
+def prelude_cjk() -> str:
+    """CJKAnalyzer index oracle over the Katakana-mapped corpus (see
+    pipelines/fulltext.py ft_cjk): translate() a→ア…, tokenize into
+    Katakana runs vs other \\w runs, bigram each run of >= 2 codepoints
+    (lone codepoints stay unigrams, non-Katakana tokens pass through),
+    then the CJK stop filter (analysis/cjk/stopwords.txt)."""
+    from ..analysis.cjkfilter import CJK_STOP_WORDS
+    from .fulltext import CJK_MAP_DST, CJK_MAP_SRC
+
+    stop = ", ".join(f"'{w}'" for w in sorted(CJK_STOP_WORDS))
+    return f"""
+WITH {CORPUS_CTE},
+runs AS (
+  SELECT did, unnest(regexp_extract_all(
+    translate(lower(text), '{CJK_MAP_SRC}', '{CJK_MAP_DST}'),
+    '[ァ-ヺ]+|[0-9_]+')) AS tok
+  FROM corpus
+),
+big AS (
+  SELECT did, unnest([substr(tok, i, 2)
+                      for i in generate_series(1, length(tok) - 1)]) AS tok
+  FROM runs WHERE length(tok) >= 2 AND regexp_matches(tok, '^[ァ-ヺ]')
+  UNION ALL
+  SELECT did, tok FROM runs
+  WHERE length(tok) = 1 OR NOT regexp_matches(tok, '^[ァ-ヺ]')
+),
+kept AS (
+  SELECT did, tok FROM big WHERE length(tok) <= 255 AND tok NOT IN ({stop})
+),
+base AS (SELECT did, tok FROM kept),
+emitted AS MATERIALIZED (SELECT did, tok FROM kept),{_VARIANT_TAIL}"""
+
+
 def prelude_german_minimal() -> str:
     """StandardAnalyzer(stem='german_minimal') index oracle: default
     English stopwords → GermanMinimalStemFilter (a Solr filter-factory
