@@ -1036,3 +1036,324 @@ def arabic_stem(term: str) -> str:
         if s.endswith(suf) and len(s) >= len(suf) + 2:
             s = s[: -len(suf)]
     return s
+
+
+# --- Norwegian (no/) ---
+
+#: snowball norwegian_stop.txt (NorwegianAnalyzer's default set)
+NORWEGIAN_STOP_WORDS = frozenset("""
+og i jeg det at en et den til er som på de med han av ikke ikkje der så
+var meg seg men ett har om vi min mitt ha hadde hun nå over da ved fra du
+ut sin dem oss opp man kan hans hvor eller hva skal selv sjøl her alle vil
+bli ble blei blitt kunne inn når være kom noen noe ville dere som deres
+kun ja etter ned skulle denne for deg si sine sitt mot å meget hvorfor
+dette disse uten hvordan ingen din ditt blir samme hvilken hvilke sånn
+inni mellom vår hver hvem vors hvis både bare enn fordi før mange også
+slik vært være båe begge siden dykk dykkar dei deira deires deim di då eg
+ein eit eitt elles honom hjå ho hoe henne hennar hennes hoss hossen ikkje
+ingi inkje korleis korso kva kvar kvarhelst kven kvi kvifor me medan mi
+mine mykje no nokon noka nokor noko nokre si sia sidan so somt somme um
+upp vere vore verte vort varte vart
+""".split())
+
+
+def norwegian_light_stem(term: str, *, bokmaal: bool = True,
+                         nynorsk: bool = False) -> str:
+    """NorwegianLightStemmer (``no/NorwegianLightStemmer.java:86-174``),
+    default flags=BOKMAAL (the filter's one-arg constructor,
+    ``no/NorwegianLightStemFilter.java:46-48``): strip genitive -s, then
+    ONE suffix rule by descending specificity."""
+    s = term
+    if len(s) > 4 and s.endswith("s"):
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and ((bokmaal and (s.endswith("heter") or s.endswith("heten")))
+                  or (nynorsk and s.endswith("heita"))):
+        return s[:-5]
+    if n > 8 and nynorsk and s[-6:] in ("heiter", "leiken", "leikar"):
+        return s[:-6]
+    if n > 5 and (s.endswith("dom") or (bokmaal and s.endswith("het"))):
+        return s[:-3]
+    if n > 6 and nynorsk and s[-4:] in ("heit", "semd", "leik"):
+        return s[:-4]
+    if n > 7 and s[-5:] in ("elser", "elsen"):
+        return s[:-5]
+    if n > 6 and ((bokmaal and s[-4:] in ("ende", "este", "eren"))
+                  or (nynorsk and s[-4:] in ("ande", "aste", "aren"))
+                  or s.endswith("else")):
+        return s[:-4]
+    if n > 5 and ((bokmaal and s[-3:] in ("ere", "est"))
+                  or (nynorsk and s[-3:] in ("are", "ast", "ane"))
+                  or s.endswith("ene")):
+        return s[:-3]
+    if n > 4 and (s[-2:] in ("er", "en", "et", "te")
+                  or (nynorsk and s.endswith("ar"))
+                  or (bokmaal and s.endswith("st"))):
+        return s[:-2]
+    if n > 3 and s[-1] in "aen":
+        return s[:-1]
+    return s
+
+
+def norwegian_minimal_stem(term: str, *, bokmaal: bool = True,
+                           nynorsk: bool = False) -> str:
+    """NorwegianMinimalStemmer (``no/NorwegianMinimalStemmer.java:81-110``),
+    default flags=BOKMAAL: known noun plurals + genitive -s only."""
+    s = term
+    if len(s) > 4 and s.endswith("s"):
+        s = s[:-1]
+    n = len(s)
+    if n > 5 and (s.endswith("ene") or (nynorsk and s.endswith("ane"))):
+        return s[:-3]
+    if n > 4 and (s[-2:] in ("er", "en", "et")
+                  or (nynorsk and s.endswith("ar"))):
+        return s[:-2]
+    if n > 3 and s[-1] in "ae":
+        return s[:-1]
+    return s
+
+
+# --- Czech (cz/) ---
+
+#: cz/stopwords.txt (CzechAnalyzer's default set)
+CZECH_STOP_WORDS = frozenset("""
+a s k o i u v z dnes cz tímto budeš budem byli jseš můj svým ta tomto
+tohle tuto tyto jej zda proč máte tato kam tohoto kdo kteří mi nám tom
+tomuto mít nic proto kterou byla toho protože asi ho naši napište re což
+tím takže svých její svými jste aj tu tedy teto bylo kde ke pravé ji nad
+nejsou či pod téma mezi přes ty pak vám ani když však neg jsem tento
+článku články aby jsme před pta jejich byl ještě až bez také pouze první
+vaše která nás nový tipy pokud může strana jeho své jiné zprávy nové není
+vás jen podle zde už být více bude již než který by které co nebo ten tak
+má při od po jsou jak další ale si se ve to jako za zpět ze do pro je na
+atd atp jakmile přičemž já on ona ono oni ony my vy jí ji mě mne jemu tomu
+těm těmu němu němuž jehož jíž jelikož jež jakož načež
+""".split())
+
+_CZ_CASE_5 = frozenset((
+    "ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete", "ěti",
+    "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata", "aty", "ých",
+    "ama", "ami", "ové", "ovi", "ými",
+))
+_CZ_CASE_4 = frozenset((
+    "em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým", "mi", "ou",
+))
+
+
+def _cz_remove_case(s: str) -> str:
+    n = len(s)
+    if n > 7 and s.endswith("atech"):
+        return s[:-5]
+    if n > 6 and s[-4:] in ("ětem", "etem", "atům"):
+        return s[:-4]
+    if n > 5 and s[-3:] in _CZ_CASE_5:
+        return s[:-3]
+    if n > 4 and s[-2:] in _CZ_CASE_4:
+        return s[:-2]
+    if n > 3 and s[-1] in "aeiouůyáéíýě":
+        return s[:-1]
+    return s
+
+
+def czech_stem(term: str) -> str:
+    """CzechStemmer (``cz/CzechStemmer.java:44-160``, the Savoy light
+    stemmer): remove case endings, possessive -ov/-in/-ův, then normalize
+    the palatalized stem ending."""
+    s = _cz_remove_case(term)
+    if len(s) > 5 and s[-2:] in ("ov", "in", "ův"):
+        s = s[:-2]
+    if not s:
+        return s
+    if s.endswith("čt"):
+        return s[:-2] + "ck"
+    if s.endswith("št"):
+        return s[:-2] + "sk"
+    if s[-1] in "cč":
+        return s[:-1] + "k"
+    if s[-1] in "zž":
+        return s[:-1] + "h"
+    if len(s) > 1 and s[-2] == "e":
+        return s[:-2] + s[-1]
+    if len(s) > 2 and s[-2] == "ů":
+        return s[:-2] + "o" + s[-1]
+    return s
+
+
+# --- Indonesian (id/) ---
+
+#: id/stopwords.txt (IndonesianAnalyzer's default set)
+INDONESIAN_STOP_WORDS = frozenset("""
+ada adanya adalah adapun agak agaknya agar akan akankah akhirnya aku
+akulah amat amatlah anda andalah antar diantaranya antara antaranya
+diantara apa apaan mengapa apabila apakah apalagi apatah atau ataukah
+ataupun bagai bagaikan sebagai sebagainya bagaimana bagaimanapun
+sebagaimana bagaimanakah bagi bahkan bahwa bahwasanya sebaliknya banyak
+sebanyak beberapa seberapa begini beginian beginikah beginilah sebegini
+begitu begitukah begitulah begitupun sebegitu belum belumlah sebelum
+sebelumnya sebenarnya berapa berapakah berapalah berapapun betulkah
+sebetulnya biasa biasanya bila bilakah bisa bisakah sebisanya boleh
+bolehkah bolehlah buat bukan bukankah bukanlah bukannya cuma percuma
+dahulu dalam dan dapat dari daripada dekat demi demikian demikianlah
+sedemikian dengan depan di dia dialah dini diri dirinya terdiri dong dulu
+enggak enggaknya entah entahlah terhadap terhadapnya hal hampir hanya
+hanyalah harus haruslah harusnya seharusnya hendak hendaklah hendaknya
+hingga sehingga ia ialah ibarat ingin inginkah inginkan ini inikah inilah
+itu itukah itulah jangan jangankan janganlah jika jikalau juga justru kala
+kalau kalaulah kalaupun kalian kami kamilah kamu kamulah kan kapan
+kapankah kapanpun dikarenakan karena karenanya ke kecil kemudian kenapa
+kepada kepadanya ketika seketika khususnya kini kinilah kiranya sekiranya
+kita kitalah kok lagi lagian selagi lah lain lainnya melainkan selaku lalu
+melalui terlalu lama lamanya selama selama selamanya lebih terlebih
+bermacam macam semacam maka makanya makin malah malahan mampu mampukah
+mana manakala manalagi masih masihkah semasih masing mau maupun semaunya
+memang mereka merekalah meski meskipun semula mungkin mungkinkah nah namun
+nanti nantinya nyaris oleh olehnya seorang seseorang pada padanya padahal
+paling sepanjang pantas sepantasnya sepantasnyalah para pasti pastilah per
+pernah pula pun merupakan rupanya serupa saat saatnya sesaat saja sajalah
+saling bersama sama sesama sambil sampai sana sangat sangatlah saya
+sayalah se sebab sebabnya sebuah tersebut tersebutlah sedang sedangkan
+sedikit sedikitnya segala segalanya segera sesegera sejak sejenak sekali
+sekalian sekalipun sesekali sekaligus sekarang sekarang sekitar sekitarnya
+sela selain selalu seluruh seluruhnya semakin sementara sempat semua
+semuanya sendiri sendirinya seolah seperti sepertinya sering seringnya
+serta siapa siapakah siapapun disini disinilah sini sinilah sesuatu
+sesuatunya suatu sesudah sesudahnya sudah sudahkah sudahlah supaya tadi
+tadinya tak tanpa setelah telah tentang tentu tentulah tentunya tertentu
+seterusnya tapi tetapi setiap tiap setidaknya tidak tidakkah tidaklah toh
+waduh wah wahai sewaktu walau walaupun wong yaitu yakni yang
+""".split())
+
+_ID_VOWELS = frozenset("aeiou")
+
+
+def indonesian_stem(term: str, stem_derivational: bool = True) -> str:
+    """IndonesianStemmer (``id/IndonesianStemmer.java:47-270``, Asian &
+    Williams): inflectional particle/possessive suffixes, then derivational
+    prefix/suffix rules gated by a live syllable (vowel) count and by which
+    prefix class fired."""
+    s = term
+    ns = sum(1 for ch in s if ch in _ID_VOWELS)
+    removed = set()
+
+    def particle(s):
+        nonlocal ns
+        if s[-3:] in ("kah", "lah", "pun"):
+            ns -= 1
+            return s[:-3]
+        return s
+
+    def possessive(s):
+        nonlocal ns
+        if s[-2:] in ("ku", "mu"):
+            ns -= 1
+            return s[:-2]
+        if s.endswith("nya"):
+            ns -= 1
+            return s[:-3]
+        return s
+
+    def first_prefix(s):
+        nonlocal ns
+        if s.startswith("meng"):
+            removed.add("meng"); ns -= 1; return s[4:]
+        if s.startswith("meny") and len(s) > 4 and s[4] in _ID_VOWELS:
+            removed.add("meng"); ns -= 1; return "s" + s[4:]
+        if s.startswith("men"):
+            removed.add("meng"); ns -= 1; return s[3:]
+        if s.startswith("mem"):
+            removed.add("meng"); ns -= 1; return s[3:]
+        if s.startswith("me"):
+            removed.add("meng"); ns -= 1; return s[2:]
+        if s.startswith("peng"):
+            removed.add("peng"); ns -= 1; return s[4:]
+        if s.startswith("peny") and len(s) > 4 and s[4] in _ID_VOWELS:
+            removed.add("peng"); ns -= 1; return "s" + s[4:]
+        if s.startswith("peny"):
+            removed.add("peng"); ns -= 1; return s[4:]
+        if s.startswith("pen") and len(s) > 3 and s[3] in _ID_VOWELS:
+            removed.add("peng"); ns -= 1; return "t" + s[3:]
+        if s.startswith("pen"):
+            removed.add("peng"); ns -= 1; return s[3:]
+        if s.startswith("pem"):
+            removed.add("peng"); ns -= 1; return s[3:]
+        if s.startswith("di"):
+            removed.add("di"); ns -= 1; return s[2:]
+        if s.startswith("ter"):
+            removed.add("ter"); ns -= 1; return s[3:]
+        if s.startswith("ke"):
+            removed.add("ke"); ns -= 1; return s[2:]
+        return s
+
+    def second_prefix(s):
+        nonlocal ns
+        if s.startswith("ber"):
+            removed.add("ber"); ns -= 1; return s[3:]
+        if s == "belajar":
+            removed.add("ber"); ns -= 1; return s[3:]
+        if (s.startswith("be") and len(s) > 4 and s[2] not in _ID_VOWELS
+                and s[3] == "e" and s[4] == "r"):
+            removed.add("ber"); ns -= 1; return s[2:]
+        if s.startswith("per"):
+            ns -= 1; return s[3:]
+        if s == "pelajar":
+            ns -= 1; return s[3:]
+        if s.startswith("pe"):
+            removed.add("pe"); ns -= 1; return s[2:]
+        return s
+
+    def suffix(s):
+        nonlocal ns
+        if (s.endswith("kan") and "ke" not in removed
+                and "peng" not in removed and "pe" not in removed):
+            ns -= 1; return s[:-3]
+        if (s.endswith("an") and "di" not in removed
+                and "meng" not in removed and "ter" not in removed):
+            ns -= 1; return s[:-2]
+        if (s.endswith("i") and not s.endswith("si")
+                and "ber" not in removed and "ke" not in removed
+                and "peng" not in removed):
+            ns -= 1; return s[:-1]
+        return s
+
+    if ns > 2:
+        s = particle(s)
+    if ns > 2:
+        s = possessive(s)
+    if stem_derivational:
+        old = s
+        if ns > 2:
+            s = first_prefix(s)
+        if s != old:
+            old = s
+            if ns > 2:
+                s = suffix(s)
+            if s != old and ns > 2:
+                s = second_prefix(s)
+        else:
+            if ns > 2:
+                s = second_prefix(s)
+            if ns > 2:
+                s = suffix(s)
+    return s
+
+
+# --- English minimal (en/EnglishMinimalStemmer.java, Harman s-stemmer) ---
+
+
+def english_minimal_stem(term: str) -> str:
+    """EnglishMinimalStemFilter (``en/EnglishMinimalStemmer.java:28-48``):
+    the Harman S-stemmer — plural -s only, with -ies → -y and the
+    us/ss/*es guards."""
+    s = term
+    if len(s) < 3 or s[-1] != "s":
+        return s
+    c = s[-2]
+    if c in ("u", "s"):
+        return s
+    if c == "e":
+        if len(s) > 3 and s[-3] == "i" and s[-4] not in ("a", "e"):
+            return s[:-3] + "y"
+        if s[-3] in ("i", "a", "o", "e"):
+            return s
+        return s[:-1]
+    return s[:-1]

@@ -404,6 +404,40 @@ def SoraniAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="sorani", normalization="sorani", **kw)
 
 
+def NorwegianAnalyzer(**kw) -> StandardAnalyzer:
+    """NorwegianAnalyzer preset (``analysis/common/.../no/NorwegianAnalyzer.
+    java:118-126``): lowercase → stop(Norwegian) → [keyword marker] → stem.
+    The reference default chain ends in SnowballFilter(NorwegianStemmer);
+    this preset uses the NorwegianLightStemFilter variant
+    (``no/NorwegianLightStemmer.java``, default BOKMAAL flags), the family
+    implemented across these packs."""
+    from .lang import NORWEGIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", NORWEGIAN_STOP_WORDS)
+    return StandardAnalyzer(stem="norwegian_light", **kw)
+
+
+def CzechAnalyzer(**kw) -> StandardAnalyzer:
+    """CzechAnalyzer preset (``analysis/common/.../cz/CzechAnalyzer.java:
+    120-128``): lowercase → stop(Czech) → [keyword marker] →
+    CzechStemFilter (Savoy light stemmer)."""
+    from .lang import CZECH_STOP_WORDS
+
+    kw.setdefault("stopwords", CZECH_STOP_WORDS)
+    return StandardAnalyzer(stem="czech", **kw)
+
+
+def IndonesianAnalyzer(**kw) -> StandardAnalyzer:
+    """IndonesianAnalyzer preset (``analysis/common/.../id/
+    IndonesianAnalyzer.java:113-121``): lowercase → stop(Indonesian) →
+    [keyword marker] → IndonesianStemFilter (full derivational
+    stemming)."""
+    from .lang import INDONESIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", INDONESIAN_STOP_WORDS)
+    return StandardAnalyzer(stem="indonesian", **kw)
+
+
 def CJKAnalyzer(**kw) -> StandardAnalyzer:
     """CJKAnalyzer preset (``analysis/cjk/CJKAnalyzer.java:87-95``):
     StandardTokenizer → CJKWidthFilter → lowercase → CJKBigramFilter →
@@ -519,6 +553,21 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "french_minimal":
         from .lang import french_minimal_stem
         stem_fns["french_minimal"] = french_minimal_stem
+    elif analyzer.stem == "norwegian_light":
+        from .lang import norwegian_light_stem
+        stem_fns["norwegian_light"] = norwegian_light_stem
+    elif analyzer.stem == "norwegian_minimal":
+        from .lang import norwegian_minimal_stem
+        stem_fns["norwegian_minimal"] = norwegian_minimal_stem
+    elif analyzer.stem == "czech":
+        from .lang import czech_stem
+        stem_fns["czech"] = czech_stem
+    elif analyzer.stem == "indonesian":
+        from .lang import indonesian_stem
+        stem_fns["indonesian"] = indonesian_stem
+    elif analyzer.stem == "english_minimal":
+        from .lang import english_minimal_stem
+        stem_fns["english_minimal"] = english_minimal_stem
     elif analyzer.stem == "sorani":
         from .lang import sorani_stem
         stem_fns["sorani"] = sorani_stem

@@ -1742,6 +1742,44 @@ FRENCH_MIN_SPECS = [
     for t in ["vecto", "filt", "custom", "window"]
 ]
 
+NORWEGIAN_SPECS = [
+    {"qid": f"no_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["custom", "filt", "ord", "valu"]
+]
+CZECH_SPECS = [
+    {"qid": f"cz_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["tabl", "merg", "customr", "dat"]
+]
+
+#: word-level corpus map for ft_indonesian: each (corpus word → derived
+#: Indonesian form) pair comes with the reference's OWN published stem
+#: (TestIndonesianStemmer.java checkOneTerm pairs), so the oracle can use
+#: the reference ground truth as a lookup while the engine runs the real
+#: algorithm.
+INDONESIAN_MAP = [
+    ("table", "mengukur", "ukur"),
+    ("value", "menyapu", "sapu"),
+    ("window", "mengambilkan", "ambil"),
+    ("merge", "pelajar", "ajar"),
+    ("filter", "kekasih", "kasih"),
+    ("order", "membaca", "baca"),
+]
+INDONESIAN_SPECS = [
+    {"qid": f"id_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in INDONESIAN_MAP[:4]
+]
+
+#: word-level pluralization map for ft_english_minimal (the corpus has no
+#: plural forms, so the Harman s-stemmer would otherwise be a no-op)
+ENGLISH_MIN_MAP = [
+    ("table", "tables"), ("query", "queries"), ("value", "values"),
+    ("batch", "batches"), ("key", "keys"),
+]
+ENGLISH_MIN_SPECS = [
+    {"qid": f"enmin_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["table", "query", "value", "batche"]
+]
+
 #: deterministic Latin→Katakana letter map used by ft_cjk so the ASCII
 #: corpus exercises the CJK bigram path identically on both sides (engine:
 #: MappingCharFilter pairs; oracle: DuckDB translate())
@@ -1905,6 +1943,69 @@ def ft_finnish(sf_dir: str) -> pa.Table:
 
     return _variant_topk(
         get_searcher_variant(sf_dir, "finnish", FinnishAnalyzer()), FINNISH_SPECS
+    )
+
+
+def ft_norwegian(sf_dir: str) -> pa.Table:
+    """NorwegianAnalyzer index (``analysis/common/.../no/NorwegianAnalyzer.
+    java:118-126`` with the NorwegianLightStemFilter variant, default
+    BOKMAAL flags): Norwegian stopwords → light stem; BM25 top-k, exact
+    float64 scores (stemmer golden-tested vs all four nb/nn light/minimal
+    vocab files)."""
+    from ..analysis.tokenizer import NorwegianAnalyzer
+
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "norwegian", NorwegianAnalyzer()),
+        NORWEGIAN_SPECS,
+    )
+
+
+def ft_czech(sf_dir: str) -> pa.Table:
+    """CzechAnalyzer index (``analysis/common/.../cz/CzechAnalyzer.java:
+    120-128``): Czech stopwords → CzechStemFilter (case removal →
+    possessive removal → palatalization normalize); BM25 top-k, exact
+    float64 scores (stemmer golden-tested vs all 143 TestCzechStemmer
+    pairs)."""
+    from ..analysis.tokenizer import CzechAnalyzer
+
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "czech", CzechAnalyzer()), CZECH_SPECS
+    )
+
+
+def ft_indonesian(sf_dir: str) -> pa.Table:
+    """IndonesianAnalyzer index (``analysis/common/.../id/
+    IndonesianAnalyzer.java:113-121``). The ASCII corpus words are mapped
+    to derived Indonesian forms from the reference's own test vocabulary
+    (INDONESIAN_MAP) so the prefix/suffix rules genuinely fire; the engine
+    runs the full Asian & Williams algorithm while the oracle stems via
+    the reference's published word→stem ground truth. BM25 top-k, exact
+    float64 scores."""
+    from ..analysis.tokenizer import IndonesianAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in INDONESIAN_MAP
+    )
+    an = IndonesianAnalyzer(char_filters=cf)
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "indonesian", an), INDONESIAN_SPECS
+    )
+
+
+def ft_english_minimal(sf_dir: str) -> pa.Table:
+    """EnglishMinimalStemFilter chain (``en/EnglishMinimalStemmer.java:
+    28-48``, the Harman S-stemmer; Solr filter-factory config). Corpus
+    words are pluralized through a pattern_replace map so the stemmer has
+    work to do; the oracle replays both the map and the s-stemmer rules in
+    SQL. BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", p) for w, p in ENGLISH_MIN_MAP
+    )
+    an = StandardAnalyzer(stem="english_minimal", char_filters=cf)
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "english_min", an), ENGLISH_MIN_SPECS
     )
 
 

@@ -1461,6 +1461,139 @@ CASE WHEN length(t) < 5 THEN t
      ELSE t END"""
 
 
+def prelude_norwegian() -> str:
+    """NorwegianAnalyzer (light stem, BOKMAAL) oracle: Norwegian snowball
+    stopwords → genitive-s strip → ONE suffix rule in the reference's
+    branch order (``no/NorwegianLightStemmer.java:86-174``; every bokmål
+    suffix is ASCII, so the replay is complete)."""
+    from ..analysis.lang import NORWEGIAN_STOP_WORDS
+
+    stop = ", ".join(f"'{w}'" for w in sorted(NORWEGIAN_STOP_WORDS))
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({stop})
+),
+base AS (SELECT did, tok FROM kept),
+nog AS (
+  SELECT did, CASE WHEN length(tok) > 4 AND right(tok, 1) = 's'
+                   THEN left(tok, length(tok)-1) ELSE tok END AS t
+  FROM kept
+),
+emitted AS MATERIALIZED (SELECT did, CASE
+  WHEN length(t) > 7 AND right(t,5) IN ('heter','heten') THEN left(t, length(t)-5)
+  WHEN length(t) > 5 AND right(t,3) IN ('dom','het') THEN left(t, length(t)-3)
+  WHEN length(t) > 7 AND right(t,5) IN ('elser','elsen') THEN left(t, length(t)-5)
+  WHEN length(t) > 6 AND right(t,4) IN ('ende','else','este','eren') THEN left(t, length(t)-4)
+  WHEN length(t) > 5 AND right(t,3) IN ('ere','est','ene') THEN left(t, length(t)-3)
+  WHEN length(t) > 4 AND right(t,2) IN ('er','en','et','st','te') THEN left(t, length(t)-2)
+  WHEN length(t) > 3 AND right(t,1) IN ('a','e','n') THEN left(t, length(t)-1)
+  ELSE t END AS tok FROM nog),{_VARIANT_TAIL}"""
+
+
+def prelude_czech() -> str:
+    """CzechAnalyzer oracle: Czech stopwords → case removal → possessive
+    removal → palatalization normalize (``cz/CzechStemmer.java:44-160``;
+    only the ASCII-reachable branches are replayed — endings with
+    diacritics cannot occur in the ASCII corpus tokens)."""
+    from ..analysis.lang import CZECH_STOP_WORDS
+
+    stop = ", ".join(f"'{w}'" for w in sorted(CZECH_STOP_WORDS))
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({stop})
+),
+base AS (SELECT did, tok FROM kept),
+cz1 AS (
+  SELECT did, CASE
+    WHEN length(tok) > 7 AND right(tok,5) = 'atech' THEN left(tok, length(tok)-5)
+    WHEN length(tok) > 6 AND right(tok,4) = 'etem' THEN left(tok, length(tok)-4)
+    WHEN length(tok) > 5 AND right(tok,3) IN ('ech','ich','ata','aty','ama','ami','ovi') THEN left(tok, length(tok)-3)
+    WHEN length(tok) > 4 AND right(tok,2) IN ('em','es','at','os','us','mi','ou') THEN left(tok, length(tok)-2)
+    WHEN length(tok) > 3 AND right(tok,1) IN ('a','e','i','o','u','y') THEN left(tok, length(tok)-1)
+    ELSE tok END AS t
+  FROM kept
+),
+cz2 AS (
+  SELECT did, CASE WHEN length(t) > 5 AND right(t,2) IN ('ov','in')
+                   THEN left(t, length(t)-2) ELSE t END AS t
+  FROM cz1
+),
+emitted AS MATERIALIZED (SELECT did, CASE
+  WHEN right(t,1) = 'c' THEN left(t, length(t)-1) || 'k'
+  WHEN right(t,1) = 'z' THEN left(t, length(t)-1) || 'h'
+  WHEN length(t) > 1 AND substr(t, length(t)-1, 1) = 'e' THEN left(t, length(t)-2) || right(t,1)
+  ELSE t END AS tok FROM cz2),{_VARIANT_TAIL}"""
+
+
+def prelude_indonesian() -> str:
+    """IndonesianAnalyzer oracle over the word-mapped corpus (see
+    pipelines/fulltext.py INDONESIAN_MAP): the map's derived forms are
+    stemmed via the reference's OWN published word→stem ground truth
+    (TestIndonesianStemmer.java checkOneTerm pairs) — an oracle independent
+    of the engine's algorithm implementation."""
+    from ..analysis.lang import INDONESIAN_STOP_WORDS
+    from .fulltext import INDONESIAN_MAP
+
+    stop = ", ".join(f"'{w}'" for w in sorted(INDONESIAN_STOP_WORDS))
+    mapped = "lower(text)"
+    for w, d, _s in INDONESIAN_MAP:
+        mapped = f"regexp_replace({mapped}, '\\b{w}\\b', '{d}', 'g')"
+    lookup = " ".join(
+        f"WHEN '{d}' THEN '{s}'" for _w, d, s in INDONESIAN_MAP
+    )
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all({mapped}, '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({stop})
+),
+base AS (SELECT did, tok FROM kept),
+emitted AS MATERIALIZED (
+  SELECT did, CASE tok {lookup} ELSE tok END AS tok FROM kept
+),{_VARIANT_TAIL}"""
+
+
+def prelude_english_minimal() -> str:
+    """StandardAnalyzer(stem='english_minimal') oracle over the pluralized
+    corpus (ENGLISH_MIN_MAP): default English stopwords → the Harman
+    S-stemmer rules (``en/EnglishMinimalStemmer.java:28-48``) replayed as
+    one CASE."""
+    from .fulltext import ENGLISH_MIN_MAP
+
+    mapped = "lower(text)"
+    for w, p in ENGLISH_MIN_MAP:
+        mapped = f"regexp_replace({mapped}, '\\b{w}\\b', '{p}', 'g')"
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all({mapped}, '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL})
+),
+base AS (SELECT did, tok FROM kept),
+emitted AS MATERIALIZED (SELECT did, CASE
+  WHEN length(tok) < 3 OR right(tok,1) != 's' THEN tok
+  WHEN substr(tok, length(tok)-1, 1) IN ('u','s') THEN tok
+  WHEN substr(tok, length(tok)-1, 1) = 'e' THEN
+    CASE WHEN length(tok) > 3 AND substr(tok, length(tok)-2, 1) = 'i'
+              AND substr(tok, length(tok)-3, 1) NOT IN ('a','e')
+         THEN left(tok, length(tok)-3) || 'y'
+         WHEN substr(tok, length(tok)-2, 1) IN ('i','a','o','e') THEN tok
+         ELSE left(tok, length(tok)-1) END
+  ELSE left(tok, length(tok)-1) END AS tok FROM kept),{_VARIANT_TAIL}"""
+
+
 def prelude_cjk() -> str:
     """CJKAnalyzer index oracle over the Katakana-mapped corpus (see
     pipelines/fulltext.py ft_cjk): translate() a→ア…, tokenize into
