@@ -58,13 +58,42 @@ _KATA = "\u30A0-\u30FF\u31F0-\u31FF\uFF66-\uFF9D"
 _HANG = "\u1100-\u11FF\u3130-\u318F\uAC00-\uD7A3"
 _EMOJ = "\u2600-\u27BF\u2B00-\u2BFF\U0001F000-\U0001FAFF"
 _CJK_ALL = _IDEO + _HIRA + _KATA + _HANG
+
+
+def _combining_mark_class() -> str:
+    """Character-class body for UAX#29 Extend chars: all BMP combining
+    marks (Mn/Mc/Me \u2014 Python ``\\w`` excludes them, so Devanagari matras,
+    Bengali kars, Arabic harakat etc. would otherwise split words) plus
+    ZWNJ/ZWJ (word-internal joiners; the Hindi normalizer deletes them
+    AFTER tokenization, per the reference chain). Built once at import
+    from unicodedata so every mark block is covered exactly."""
+    import unicodedata
+
+    ranges: list[list[int]] = []
+    for cp in range(0x10000):
+        if unicodedata.category(chr(cp)).startswith("M"):
+            if ranges and ranges[-1][1] == cp - 1:
+                ranges[-1][1] = cp
+            else:
+                ranges.append([cp, cp])
+    parts = [
+        chr(a) if a == b else f"{chr(a)}-{chr(b)}" for a, b in ranges
+    ]
+    return "".join(parts) + "\u200C\u200D"
+
+
+_MARKS = _combining_mark_class()
+#: the ALPHANUM word class: starts with a word char, continues through
+#: word chars AND combining marks (UAX#29 ALetter (Extend|Format)* \u2014
+#: StandardTokenizerImpl.jflex includes Extend in its word classes)
+_WORDX = f"(?:(?![{_CJK_ALL}])\\w)(?:(?![{_CJK_ALL}])[\\w{_MARKS}])*"
 UAX29_TOKEN_RE = re.compile(
     f"[{_KATA}]+"
     f"|[{_HANG}]+"
     f"|[{_IDEO}]"
     f"|[{_HIRA}]"
     f"|[{_EMOJ}](?:\u200D[{_EMOJ}])*"
-    f"|(?:(?![{_CJK_ALL}])\w)+",
+    f"|{_WORDX}",
     re.UNICODE,
 )
 
@@ -208,6 +237,13 @@ class StandardAnalyzer:
     #: article set for the elision filter; empty = FrenchAnalyzer.
     #: DEFAULT_ARTICLES (ItalianAnalyzer passes its own list)
     elision_articles: tuple[str, ...] = ()
+    #: language-specific lowercasing applied to the raw TEXT before
+    #: tokenization (idempotent — the per-token lowercase is a no-op on the
+    #: result). "turkish" = TurkishLowerCaseFilter (tr/TurkishLowerCase
+    #: Filter.java: I→ı, İ/I+0307→i); "greek" = GreekLowerCaseFilter
+    #: (el/GreekLowerCaseFilter.java: lowercase + Greek diacritic/variant
+    #: folds, final sigma ς→σ). Offsets refer to the folded text.
+    lowercase_mode: str | None = None
     #: CJKBigramFilter (analysis/cjk/CJKBigramFilter.java, default flags
     #: HAN|HIRAGANA|KATAKANA|HANGUL, outputUnigrams=false): contiguous CJK
     #: codepoints form bigrams (lone codepoints stay unigrams), non-CJK
@@ -384,6 +420,7 @@ def ArabicAnalyzer(**kw) -> StandardAnalyzer:
     from .lang import ARABIC_STOP_WORDS
 
     kw.setdefault("stopwords", ARABIC_STOP_WORDS)
+    kw.setdefault("unicode_segmentation", True)  # harakat are Extend chars
     return StandardAnalyzer(stem="arabic", normalization="arabic", **kw)
 
 
@@ -401,7 +438,99 @@ def SoraniAnalyzer(**kw) -> StandardAnalyzer:
     from .lang import SORANI_STOP_WORDS
 
     kw.setdefault("stopwords", SORANI_STOP_WORDS)
+    kw.setdefault("unicode_segmentation", True)  # harakat are Extend chars
     return StandardAnalyzer(stem="sorani", normalization="sorani", **kw)
+
+
+def GreekAnalyzer(**kw) -> StandardAnalyzer:
+    """GreekAnalyzer preset (``analysis/common/.../el/GreekAnalyzer.java``):
+    GreekLowerCaseFilter (diacritic folds + final sigma) → stop(Greek,
+    ships folded) → GreekStemFilter (Ntais stemmer, golden-tested against
+    all 343 TestGreekStemmer pairs)."""
+    from .lang2 import GREEK_STOP_WORDS
+
+    kw.setdefault("stopwords", GREEK_STOP_WORDS)
+    return StandardAnalyzer(lowercase_mode="greek", stem="greek", **kw)
+
+
+def HindiAnalyzer(**kw) -> StandardAnalyzer:
+    """HindiAnalyzer preset (``analysis/common/.../hi/HindiAnalyzer.java:
+    118-128``): lowercase → DecimalDigit → [keyword marker] →
+    HindiNormalization → stop(Hindi) → HindiStemFilter. The generic
+    IndicNormalizer decomposition pass is skipped (documented); the stop
+    filter here runs before normalization (the engine's slot order, same
+    documented divergence as SoraniAnalyzer — the list ships in surface
+    form the tokenizer produces)."""
+    from .lang2 import HINDI_STOP_WORDS
+
+    kw.setdefault("stopwords", HINDI_STOP_WORDS)
+    kw.setdefault("unicode_segmentation", True)  # matras are Extend chars
+    return StandardAnalyzer(stem="hindi", normalization="hindi", **kw)
+
+
+def BulgarianAnalyzer(**kw) -> StandardAnalyzer:
+    """BulgarianAnalyzer preset (``analysis/common/.../bg/BulgarianAnalyzer.
+    java:120-128``): lowercase → stop(Bulgarian) → [keyword marker] →
+    BulgarianStemFilter (Savoy light stemmer)."""
+    from .lang2 import BULGARIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", BULGARIAN_STOP_WORDS)
+    return StandardAnalyzer(stem="bulgarian", **kw)
+
+
+def PersianAnalyzer(**kw) -> StandardAnalyzer:
+    """PersianAnalyzer preset (``analysis/common/.../fa/PersianAnalyzer.
+    java:108-131``): PersianCharFilter (ZWNJ → space) → lowercase →
+    DecimalDigit → ArabicNormalization → PersianNormalization →
+    stop(Persian, ships normalized). No stemmer — the reference relies on
+    normalization + stopwords alone."""
+    from .lang2 import PERSIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", PERSIAN_STOP_WORDS)
+    kw.setdefault("char_filters", (("mapping", (("‌", " "),)),))
+    kw.setdefault("unicode_segmentation", True)  # harakat are Extend chars
+    return StandardAnalyzer(normalization="persian", **kw)
+
+
+def TurkishAnalyzer(**kw) -> StandardAnalyzer:
+    """TurkishAnalyzer preset (``analysis/common/.../tr/TurkishAnalyzer.
+    java:119-129``): ApostropheFilter → TurkishLowerCaseFilter →
+    stop(Turkish). The apostrophe truncation runs as a char filter
+    (the engine's \\w+ tokenizer would otherwise split at the apostrophe
+    instead of truncating); the reference's final SnowballFilter(Turkish
+    Stemmer) is not implemented (documented — same status as the other
+    Snowball-only chains)."""
+    from .lang2 import TURKISH_STOP_WORDS
+
+    kw.setdefault("stopwords", TURKISH_STOP_WORDS)
+    kw.setdefault(
+        "char_filters",
+        (("pattern_replace", r"['’][\w'’]*", " "),),
+    )
+    return StandardAnalyzer(lowercase_mode="turkish", **kw)
+
+
+def LatvianAnalyzer(**kw) -> StandardAnalyzer:
+    """LatvianAnalyzer preset (``analysis/common/.../lv/LatvianAnalyzer.
+    java:116-124``): lowercase → stop(Latvian) → [keyword marker] →
+    LatvianStemFilter."""
+    from .lang2 import LATVIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", LATVIAN_STOP_WORDS)
+    return StandardAnalyzer(stem="latvian", **kw)
+
+
+def BengaliAnalyzer(**kw) -> StandardAnalyzer:
+    """BengaliAnalyzer preset (``analysis/common/.../bn/BengaliAnalyzer.
+    java``): lowercase → DecimalDigit → [keyword marker] →
+    BengaliNormalization → stop(Bengali) → BengaliStemFilter
+    (IndicNormalizer pass skipped; stop-before-normalization divergence
+    documented as in HindiAnalyzer)."""
+    from .lang2 import BENGALI_STOP_WORDS
+
+    kw.setdefault("stopwords", BENGALI_STOP_WORDS)
+    kw.setdefault("unicode_segmentation", True)  # kars are Extend chars
+    return StandardAnalyzer(stem="bengali", normalization="bengali", **kw)
 
 
 def NorwegianAnalyzer(**kw) -> StandardAnalyzer:
@@ -568,6 +697,21 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "english_minimal":
         from .lang import english_minimal_stem
         stem_fns["english_minimal"] = english_minimal_stem
+    elif analyzer.stem == "hindi":
+        from .lang2 import hindi_stem
+        stem_fns["hindi"] = hindi_stem
+    elif analyzer.stem == "bulgarian":
+        from .lang2 import bulgarian_stem
+        stem_fns["bulgarian"] = bulgarian_stem
+    elif analyzer.stem == "latvian":
+        from .lang2 import latvian_stem
+        stem_fns["latvian"] = latvian_stem
+    elif analyzer.stem == "bengali":
+        from .lang2 import bengali_stem
+        stem_fns["bengali"] = bengali_stem
+    elif analyzer.stem == "greek":
+        from .greek import greek_stem
+        stem_fns["greek"] = greek_stem
     elif analyzer.stem == "sorani":
         from .lang import sorani_stem
         stem_fns["sorani"] = sorani_stem
@@ -592,6 +736,30 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
             from .lang import sorani_normalize as norm_fn
         elif analyzer.normalization == "arabic":
             from .lang import arabic_normalize as norm_fn
+        elif analyzer.normalization == "hindi":
+            # HindiAnalyzer chain (hi/HindiAnalyzer.java:118-128):
+            # DecimalDigitFilter → HindiNormalizationFilter (the generic
+            # IndicNormalizer decomposition pass is documented as skipped)
+            from .lang2 import decimal_digits, hindi_normalize
+
+            def norm_fn(t):  # noqa: E306
+                return hindi_normalize(decimal_digits(t))
+        elif analyzer.normalization == "persian":
+            # PersianAnalyzer chain (fa/PersianAnalyzer.java:117-131):
+            # DecimalDigitFilter → ArabicNormalizationFilter →
+            # PersianNormalizationFilter
+            from .lang import arabic_normalize
+            from .lang2 import decimal_digits, persian_normalize
+
+            def norm_fn(t):  # noqa: E306
+                return persian_normalize(arabic_normalize(decimal_digits(t)))
+        elif analyzer.normalization == "bengali":
+            # BengaliAnalyzer chain (bn/BengaliAnalyzer.java): DecimalDigit
+            # → BengaliNormalizationFilter (IndicNormalizer pass skipped)
+            from .lang2 import bengali_normalize, decimal_digits
+
+            def norm_fn(t):  # noqa: E306
+                return bengali_normalize(decimal_digits(t))
         else:
             raise ValueError(
                 f"unknown normalization: {analyzer.normalization!r}")
@@ -626,6 +794,21 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
         # 1:1 mapper; see _phonetic_codes_fn / _analyze_full / ArrowAnalyzer
         raise ValueError(f"unknown phonetic encoder: {analyzer.phonetic!r}")
     return mapper
+
+
+def _lowercase_mode_fn(analyzer: "StandardAnalyzer"):
+    """Text-level language-specific lowercase, or None for plain .lower()."""
+    if analyzer.lowercase_mode is None:
+        return None
+    if analyzer.lowercase_mode == "turkish":
+        from .lang2 import turkish_lower
+
+        return turkish_lower
+    if analyzer.lowercase_mode == "greek":
+        from .greek import greek_lower
+
+        return greek_lower
+    raise ValueError(f"unknown lowercase_mode: {analyzer.lowercase_mode!r}")
 
 
 def _validate_cjk(analyzer: "StandardAnalyzer") -> None:
@@ -671,6 +854,9 @@ def _analyze_full(
         from .cjkfilter import cjk_width_fold
 
         text = cjk_width_fold(text)
+    lmode = _lowercase_mode_fn(analyzer)
+    if lmode is not None:
+        text = lmode(text)
     if analyzer.word_delimiter is not None:
         return _analyze_full_wd(text, analyzer)
     if analyzer.cjk_bigram:
@@ -1047,6 +1233,15 @@ class ArrowAnalyzer:
                     if is_re
                     else pc.replace_substring(arr, pattern=pat, replacement=repl)
                 )
+        if self.analyzer.lowercase_mode is not None:
+            # language-specific lowercase at text level (Python per doc);
+            # the vectorized utf8_lower below is then a no-op
+            lmode = _lowercase_mode_fn(self.analyzer)
+            if arr.type != pa.string():
+                arr = arr.cast(pa.string())
+            arr = pa.array(
+                [lmode(x) if x else x for x in arr.to_pylist()], pa.string()
+            )
         if self.analyzer.delimited_payload is not None:
             if (self.analyzer.limit_token_count is not None
                     or self.analyzer.keyword_repeat
