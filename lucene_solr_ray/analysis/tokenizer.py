@@ -442,6 +442,17 @@ def SoraniAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="sorani", normalization="sorani", **kw)
 
 
+def GalicianAnalyzer(**kw) -> StandardAnalyzer:
+    """GalicianAnalyzer preset (``analysis/common/.../gl/GalicianAnalyzer.
+    java``): lowercase → stop(Galician) → [keyword marker] →
+    GalicianStemFilter (full RSLG, bit-exact vs the 9,416-entry
+    gltestdata vocabulary)."""
+    from .lang2 import GALICIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", GALICIAN_STOP_WORDS)
+    return StandardAnalyzer(stem="galician", **kw)
+
+
 def GreekAnalyzer(**kw) -> StandardAnalyzer:
     """GreekAnalyzer preset (``analysis/common/.../el/GreekAnalyzer.java``):
     GreekLowerCaseFilter (diacritic folds + final sigma) → stop(Greek,
@@ -712,6 +723,18 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "greek":
         from .greek import greek_stem
         stem_fns["greek"] = greek_stem
+    elif analyzer.stem == "galician":
+        from .rslp import galician_stem
+        stem_fns["galician"] = galician_stem
+    elif analyzer.stem == "galician_minimal":
+        from .rslp import galician_minimal_stem
+        stem_fns["galician_minimal"] = galician_minimal_stem
+    elif analyzer.stem == "portuguese_rslp":
+        from .rslp import portuguese_rslp_stem
+        stem_fns["portuguese_rslp"] = portuguese_rslp_stem
+    elif analyzer.stem == "portuguese_minimal":
+        from .rslp import portuguese_minimal_stem
+        stem_fns["portuguese_minimal"] = portuguese_minimal_stem
     elif analyzer.stem == "sorani":
         from .lang import sorani_stem
         stem_fns["sorani"] = sorani_stem

@@ -1769,6 +1769,31 @@ INDONESIAN_SPECS = [
     for _w, _d, stem in INDONESIAN_MAP[:4]
 ]
 
+#: word-level corpus map for ft_galician: (corpus word → Galician word →
+#: stem), where the stems are the reference's OWN published ground truth
+#: (gl/gltestdata.zip entries) — same oracle pattern as INDONESIAN_MAP.
+GALICIAN_MAP = [
+    # every corpus word the RSLG stemmer would change is mapped, so the
+    # oracle's ELSE-passthrough only sees stemmer fixpoints (pinned in
+    # tests/test_rslp.py::test_galician_oracle_fixpoint_assumption)
+    ("table", "abafante", "abaf"),
+    ("value", "abandona", "abandon"),
+    ("window", "abatidos", "abat"),
+    ("merge", "abertas", "abert"),
+    ("filter", "abordar", "abord"),
+    ("order", "abortos", "abort"),
+    ("customer", "abalanzarse", "abalanzars"),
+    ("data", "abaneaba", "aban"),
+    ("line", "abesullando", "abesull"),
+    ("scan", "aboamento", "aboament"),
+    ("stream", "aboiando", "abo"),
+    ("vector", "abondanza", "abond"),
+]
+GALICIAN_SPECS = [
+    {"qid": f"gl_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in GALICIAN_MAP[:4]
+]
+
 #: word-level pluralization map for ft_english_minimal (the corpus has no
 #: plural forms, so the Harman s-stemmer would otherwise be a no-op)
 ENGLISH_MIN_MAP = [
@@ -1989,6 +2014,24 @@ def ft_indonesian(sf_dir: str) -> pa.Table:
     an = IndonesianAnalyzer(char_filters=cf)
     return _variant_topk(
         get_searcher_variant(sf_dir, "indonesian", an), INDONESIAN_SPECS
+    )
+
+
+def ft_galician(sf_dir: str) -> pa.Table:
+    """GalicianAnalyzer index (``analysis/common/.../gl/GalicianAnalyzer.
+    java``): Galician stopwords → full RSLG stemmer (analysis/rslp.py,
+    bit-exact vs the 9,416-entry gltestdata vocabulary). Corpus words are
+    mapped to real Galician vocabulary words (GALICIAN_MAP) so the RSLP
+    rule cascade genuinely fires; the oracle stems via the vocabulary's
+    published ground truth. BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import GalicianAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in GALICIAN_MAP
+    )
+    an = GalicianAnalyzer(char_filters=cf)
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "galician", an), GALICIAN_SPECS
     )
 
 

@@ -1563,6 +1563,33 @@ emitted AS MATERIALIZED (
 ),{_VARIANT_TAIL}"""
 
 
+def prelude_galician() -> str:
+    """GalicianAnalyzer oracle over the word-mapped corpus (see
+    pipelines/fulltext.py GALICIAN_MAP): stems come from the reference's
+    published gltestdata ground truth, independent of the engine's RSLP
+    engine implementation."""
+    from ..analysis.lang2 import GALICIAN_STOP_WORDS
+    from .fulltext import GALICIAN_MAP
+
+    stop = ", ".join(f"'{w}'" for w in sorted(GALICIAN_STOP_WORDS))
+    mapped = "lower(text)"
+    for w, d, _s in GALICIAN_MAP:
+        mapped = f"regexp_replace({mapped}, '\\b{w}\\b', '{d}', 'g')"
+    lookup = " ".join(f"WHEN '{d}' THEN '{s}'" for _w, d, s in GALICIAN_MAP)
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all({mapped}, '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({stop})
+),
+base AS (SELECT did, tok FROM kept),
+emitted AS MATERIALIZED (
+  SELECT did, CASE tok {lookup} ELSE tok END AS tok FROM kept
+),{_VARIANT_TAIL}"""
+
+
 def prelude_english_minimal() -> str:
     """StandardAnalyzer(stem='english_minimal') oracle over the pluralized
     corpus (ENGLISH_MIN_MAP): default English stopwords → the Harman
