@@ -237,6 +237,14 @@ class StandardAnalyzer:
     #: article set for the elision filter; empty = FrenchAnalyzer.
     #: DEFAULT_ARTICLES (ItalianAnalyzer passes its own list)
     elision_articles: tuple[str, ...] = ()
+    #: DictionaryCompoundWordTokenFilter (analysis/compound/
+    #: DictionaryCompoundWordTokenFilter.java + CompoundWordTokenFilterBase
+    #: .java:90-112): (words, min_word, min_subword, max_subword,
+    #: only_longest). Each kept token of length >= min_word scans every
+    #: start offset for dictionary subwords of length min_sub..max_sub;
+    #: matches are ADDED as posIncr-0 overlaps after the original token
+    #: (defaults 5/2/15/False). Applied to the post-stop kept stream.
+    dictionary_compound: tuple | None = None
     #: language-specific lowercasing applied to the raw TEXT before
     #: tokenization (idempotent — the per-token lowercase is a no-op on the
     #: result). "turkish" = TurkishLowerCaseFilter (tr/TurkishLowerCase
@@ -276,6 +284,7 @@ class StandardAnalyzer:
             or self.edge_ngrams is not None
             or self.ngrams is not None
             or self.reverse_overlap
+            or self.dictionary_compound is not None
         )
 
 
@@ -992,7 +1001,42 @@ def _analyze_full(
                 out.append((syn, p, s, e, True))
     if analyzer.reverse_overlap:
         out.extend((REV_MARKER + t[::-1], p, s, e, True) for t, p, s, e in kept)
+    if analyzer.dictionary_compound is not None:
+        # subword tokens carry the ORIGINAL token's offsets
+        # (CompoundWordTokenFilterBase.CompoundToken:138-144)
+        for t, p, s, e in kept:
+            for sub, _off in _decompose(t, analyzer.dictionary_compound):
+                out.append((sub, p, s, e, True))
     out.sort(key=lambda r: r[1])  # stable: anchors before their expansions
+    return out
+
+
+def _decompose(token: str, cfg: tuple) -> list[tuple[str, int]]:
+    """DictionaryCompoundWordTokenFilter.decompose
+    (``compound/DictionaryCompoundWordTokenFilter.java:73-99``): for each
+    start offset, emit every dictionary subword of length min_sub..max_sub
+    (or only the longest per start with only_longest) → [(subword,
+    char_offset_within_token)]."""
+    words, min_word, min_sub, max_sub, only_longest = cfg
+    n = len(token)
+    if n < min_word:
+        return []
+    if not isinstance(words, (frozenset, set)):
+        words = frozenset(words)
+    out: list[tuple[str, int]] = []
+    for i in range(0, n - min_sub + 1):
+        longest = None
+        for j in range(min_sub, max_sub + 1):
+            if i + j > n:
+                break
+            sub = token[i:i + j]
+            if sub in words:
+                if only_longest:
+                    longest = (sub, i)
+                else:
+                    out.append((sub, i))
+        if only_longest and longest is not None:
+            out.append(longest)
     return out
 
 
@@ -1228,6 +1272,37 @@ class ArrowAnalyzer:
                 positions,
                 True,
             )
+
+        if a.dictionary_compound is not None:
+            # decompose once per vocab entry, expand to occurrences
+            subs_per_vocab = [
+                [sub for sub, _off in _decompose(v, a.dictionary_compound)]
+                for v in vocab
+            ]
+            counts = np.fromiter(
+                (len(x) for x in subs_per_vocab), np.int64, len(vocab)
+            )
+            occ = counts[codes] if len(codes) else np.empty(0, np.int64)
+            total = int(occ.sum())
+            if total:
+                flat_subs: list[str] = []
+                for x in subs_per_vocab:
+                    flat_subs.extend(x)
+                sub_offs = np.zeros(len(vocab) + 1, np.int64)
+                np.cumsum(counts, out=sub_offs[1:])
+                run_ends = np.cumsum(occ)
+                within = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(run_ends - occ, occ)
+                )
+                idx = np.repeat(sub_offs[codes], occ) + within
+                add(
+                    pc.take(pa.array(flat_subs, pa.string()),
+                            pa.array(idx, pa.int64())),
+                    np.repeat(doc_idx, occ),
+                    np.repeat(positions, occ) if positions is not None else None,
+                    True,
+                )
 
         terms = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts_t])
         d_out = np.concatenate(parts_d) if parts_d else np.empty(0, np.int64)

@@ -1794,6 +1794,15 @@ GALICIAN_SPECS = [
     for _w, _d, stem in GALICIAN_MAP[:4]
 ]
 
+#: ft_decompound: compound words injected into the corpus + the dictionary
+#: the DictionaryCompoundWordTokenFilter splits them against
+DECOMPOUND_DICT = ("fuss", "ball", "pumpe", "rind", "fleisch")
+DECOMPOUND_MAP = [("table", "fussballpumpe"), ("value", "rindfleisch")]
+DECOMPOUND_SPECS = [
+    {"qid": f"cw_{t}", "kind": "term", "terms": [t], "k": TOPK_K}
+    for t in ["ball", "pumpe", "rind", "fussballpumpe"]
+]
+
 #: word-level pluralization map for ft_english_minimal (the corpus has no
 #: plural forms, so the Harman s-stemmer would otherwise be a no-op)
 ENGLISH_MIN_MAP = [
@@ -2014,6 +2023,28 @@ def ft_indonesian(sf_dir: str) -> pa.Table:
     an = IndonesianAnalyzer(char_filters=cf)
     return _variant_topk(
         get_searcher_variant(sf_dir, "indonesian", an), INDONESIAN_SPECS
+    )
+
+
+def ft_decompound(sf_dir: str) -> pa.Table:
+    """DictionaryCompoundWordTokenFilter chain (``analysis/compound/
+    DictionaryCompoundWordTokenFilter.java``, defaults 5/2/15): compound
+    words injected into the corpus via DECOMPOUND_MAP are split against
+    DECOMPOUND_DICT, subwords indexed as posIncr-0 overlaps beside the
+    original (norm counts anchors only, discountOverlaps). BM25 top-k,
+    exact float64 scores; the oracle replays the subword scan as a
+    substring cross-join."""
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d in DECOMPOUND_MAP
+    )
+    an = StandardAnalyzer(
+        char_filters=cf,
+        dictionary_compound=(DECOMPOUND_DICT, 5, 2, 15, False),
+    )
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "decompound", an), DECOMPOUND_SPECS
     )
 
 

@@ -1563,6 +1563,37 @@ emitted AS MATERIALIZED (
 ),{_VARIANT_TAIL}"""
 
 
+def prelude_decompound() -> str:
+    """DictionaryCompoundWordTokenFilter oracle: kept originals (the norm
+    anchors) plus every dictionary subword of length 2..15 found at any
+    start offset of a token of length >= 5, as overlaps."""
+    from .fulltext import DECOMPOUND_DICT, DECOMPOUND_MAP
+
+    mapped = "lower(text)"
+    for w, d in DECOMPOUND_MAP:
+        mapped = f"regexp_replace({mapped}, '\\b{w}\\b', '{d}', 'g')"
+    dict_sql = ", ".join(f"'{w}'" for w in DECOMPOUND_DICT)
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all({mapped}, '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({STOPLIST_SQL})
+),
+base AS (SELECT did, tok FROM kept),
+subs AS (
+  SELECT k.did, substr(k.tok, g1.i, g2.j) AS tok
+  FROM kept k, generate_series(1, 255) g1(i), generate_series(2, 15) g2(j)
+  WHERE length(k.tok) >= 5
+    AND g1.i + g2.j - 1 <= length(k.tok)
+    AND substr(k.tok, g1.i, g2.j) IN ({dict_sql})
+),
+emitted AS MATERIALIZED (
+  SELECT did, tok FROM kept UNION ALL SELECT did, tok FROM subs
+),{_VARIANT_TAIL}"""
+
+
 def prelude_galician() -> str:
     """GalicianAnalyzer oracle over the word-mapped corpus (see
     pipelines/fulltext.py GALICIAN_MAP): stems come from the reference's
