@@ -547,3 +547,36 @@ polas polo polos por que se senón ser seu seus sexa sido sobre súa súas
 tamén tan te ten teñen teño ter teu teus ti tido tiña tiven túa túas un
 unha unhas uns vos vosa vosas voso vosos vós
 """.split())
+
+
+# --- Serbian (sr/) ---
+
+#: SerbianNormalizationFilter (sr/SerbianNormalizationFilter.java:44-177):
+#: Cyrillic -> bald Latin, Latin diacritics folded; ђ/đ→dj љ→lj њ→nj џ→dz
+_SR_MAP = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "dj", "đ": "dj",
+    "е": "e", "ж": "z", "з": "z", "ž": "z", "и": "i", "ј": "j", "к": "k",
+    "л": "l", "љ": "lj", "м": "m", "н": "n", "њ": "nj", "о": "o", "п": "p",
+    "р": "r", "с": "s", "т": "t", "ћ": "c", "ц": "c", "ч": "c", "č": "c",
+    "ć": "c", "у": "u", "ф": "f", "х": "h", "џ": "dz", "ш": "s", "š": "s",
+}
+
+#: SerbianNormalizationRegularFilter (sr/SerbianNormalizationRegularFilter
+#: .java): Cyrillic -> Latin KEEPING the diacritic forms
+_SR_REGULAR_MAP = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "đ", "е": "e",
+    "ж": "ž", "з": "z", "и": "i", "ј": "j", "к": "k", "л": "l", "љ": "lj",
+    "м": "m", "н": "n", "њ": "nj", "о": "o", "п": "p", "р": "r", "с": "s",
+    "т": "t", "ћ": "ć", "у": "u", "ф": "f", "х": "h", "ц": "c", "ч": "č",
+    "џ": "dž", "ш": "š",
+}
+
+
+def serbian_normalize(term: str) -> str:
+    """Serbian dual-alphabet fold to bald Latin (expects lowercase)."""
+    return "".join(_SR_MAP.get(ch, ch) for ch in term)
+
+
+def serbian_normalize_regular(term: str) -> str:
+    """Serbian Cyrillic -> Latin keeping diacritics (expects lowercase)."""
+    return "".join(_SR_REGULAR_MAP.get(ch, ch) for ch in term)

@@ -785,6 +785,10 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
 
             def norm_fn(t):  # noqa: E306
                 return persian_normalize(arabic_normalize(decimal_digits(t)))
+        elif analyzer.normalization == "serbian":
+            from .lang2 import serbian_normalize as norm_fn
+        elif analyzer.normalization == "serbian_regular":
+            from .lang2 import serbian_normalize_regular as norm_fn
         elif analyzer.normalization == "bengali":
             # BengaliAnalyzer chain (bn/BengaliAnalyzer.java): DecimalDigit
             # → BengaliNormalizationFilter (IndicNormalizer pass skipped)

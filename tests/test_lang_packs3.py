@@ -228,3 +228,34 @@ def test_batch_path_matches_golden_for_lowercase_modes():
             }
             assert got == g, (an, d, got, g)
             assert res.field_lens[d] == len(gold)
+
+
+def test_serbian_normalization_reference_cases():
+    from lucene_solr_ray.analysis.lang2 import (
+        serbian_normalize,
+        serbian_normalize_regular,
+    )
+    from lucene_solr_ray.analysis.tokenizer import (
+        StandardAnalyzer,
+        analyze_with_positions,
+    )
+
+    # TestSerbianNormalizationFilter cases
+    assert serbian_normalize(
+        "абвгдђежзијклљмнњопрстћуфхцчџш"
+    ) == "abvgddjezzijklljmnnjoprstcufhccdzs"
+    assert serbian_normalize(
+        "abcčćddžđefghijklljmnnjoprsštuvzž"
+    ) == "abcccddzdjefghijklljmnnjoprsstuvzz"
+    # TestSerbianNormalizationRegularFilter cases
+    assert serbian_normalize_regular(
+        "абвгдђежзијклљмнњопрстћуфхцчџш"
+    ) == "abvgdđežzijklljmnnjoprstćufhcčdžš"
+    assert serbian_normalize_regular(
+        "abcčćddžđefghijklljmnnjoprsštuvzž"
+    ) == "abcčćddžđefghijklljmnnjoprsštuvzž"
+    # as an analyzer normalization slot (expects lowercased input)
+    an = StandardAnalyzer(normalization="serbian")
+    assert analyze_with_positions("Ђорђе Džak", an) == [
+        ("djordje", 0), ("dzak", 1)
+    ]
