@@ -32,6 +32,18 @@ Reference semantics (paths relative to ``/root/reference/``):
   ``frange``   FunctionRangeQParserPlugin — see
                :class:`..search.query.FunctionRangeQuery`
   ``maxscore`` MaxScoreQParser — see :func:`..search.query.parse_maxscore`
+  ``terms``    TermsQParserPlugin.java — TermInSetQuery over the
+               ``separator``-split body (method param is an execution
+               hint only)
+  ``boost``    BoostQParserPlugin.java — multiplicative function boost
+               ``b`` over the body query
+  ``dismax`` / ``edismax``  DisMaxQParser / ExtendedDismaxQParser — body
+               via :func:`.edismax.edismax_query` with qf/mm/pf/tie/ps/
+               bf/bq/boost local params; mm defaults off ``q.op``
+               (AND → 100%, OR → 0%; DisMaxQParser.parseMinShouldMatch)
+  ``simple``   SimpleQParserPlugin — SimpleQueryParser syntax
+  ``surround`` SurroundQParserPlugin — span-operator syntax
+  ``xmlparser`` CoreParser XML query DSL via :mod:`.xmlparser`
   ============ ==========================================================
 """
 
@@ -211,4 +223,66 @@ def parse_solr_q(
     if qtype == "maxscore":
         return parse_maxscore(body, tie=float(local.get("tie", 0.0)),
                               analyzer=analyzer)
+    if qtype == "terms":
+        # TermsQParserPlugin (solr/core/.../search/TermsQParserPlugin.java):
+        # separator default ","; method (termsFilter etc.) is an execution
+        # hint, identical results here
+        from .query import TermInSetQuery
+
+        sep = local.get("separator", ",")
+        terms = tuple(sorted({t.strip() for t in body.split(sep) if t.strip()}))
+        return TermInSetQuery(terms=terms, field=field)
+    if qtype == "boost":
+        # BoostQParserPlugin: multiplicative function boost b over the body
+        # query (BoostedQuery / FunctionScoreQuery.boostByValue)
+        from .query import BoostedQuery
+
+        if "b" not in local:
+            raise QParserError("{!boost} requires a b function")
+        inner = parse_solr_q(body, params, analyzer,
+                             default_type=local.get("defType", "lucene"))
+        return BoostedQuery(inner, local["b"])
+    if qtype in ("dismax", "edismax"):
+        # (Extended)DismaxQParser: qf/mm/pf/tie/ps/bf/bq/boost local params
+        from .edismax import edismax_query
+
+        def fmap(spec):
+            out = {}
+            for part in spec.split():
+                f, _, b = part.partition("^")
+                out[f] = float(b) if b else 1.0
+            return out
+
+        # DisMaxQParser.parseMinShouldMatch: mm defaults off q.op —
+        # AND → "100%", OR (the default) → "0%"
+        qop = local.get("q.op", "OR").upper()
+        mm = local.get("mm", "100%" if qop == "AND" else "0%")
+        bq = (parse_solr_q(local["bq"], params, analyzer)
+              if "bq" in local else None)
+        return edismax_query(
+            body,
+            qf=fmap(local.get("qf", CONTENT_FIELD)),
+            mm=mm,
+            pf=fmap(local["pf"]) if "pf" in local else None,
+            tie=float(local.get("tie", 0.0)),
+            ps=int(local.get("ps", 0)),
+            analyzer=analyzer,
+            bf=local.get("bf"),
+            boost=local.get("boost"),
+            bq=bq,
+        )
+    if qtype == "simple":
+        from .simpleparser import parse_simple
+
+        op = "MUST" if local.get("q.op", "OR").upper() == "AND" else "SHOULD"
+        return parse_simple(body, analyzer, default_operator=op)
+    if qtype == "surround":
+        from .surround import parse_surround
+
+        return parse_surround(body, analyzer)
+    if qtype == "xmlparser":
+        from .xmlparser import parse_xml_query
+
+        return parse_xml_query(body, analyzer,
+                               default_field=local.get("df", CONTENT_FIELD))
     raise QParserError(f"unknown query parser type {qtype!r}")

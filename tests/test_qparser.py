@@ -74,3 +74,46 @@ def test_errors():
         parse_solr_q("{!bogus}x")
     with pytest.raises(QParserError, match="missing '}'"):
         parse_local_params("{!term f=x")
+
+
+def test_terms_and_boost_dispatch():
+    from lucene_solr_ray.search.query import BoostedQuery, TermInSetQuery
+
+    t = parse_solr_q("{!terms f=lang}en,de , fr,")
+    assert t == TermInSetQuery(terms=("de", "en", "fr"), field="lang")
+    # custom separator
+    t2 = parse_solr_q("{!terms f=lang separator='|'}en|de")
+    assert t2 == TermInSetQuery(terms=("de", "en"), field="lang")
+    b = parse_solr_q("{!boost b=ln(field_len)}merge")
+    assert isinstance(b, BoostedQuery)
+    assert b.expr == "ln(field_len)"
+    assert b.query == TermQuery("merge")
+    with pytest.raises(QParserError, match="requires a b"):
+        parse_solr_q("{!boost}merge")
+
+
+def test_dismax_dispatch_matches_direct_call():
+    from lucene_solr_ray.search.edismax import edismax_query
+
+    got = parse_solr_q("{!edismax qf='content^2 path' mm=2 tie=0.1}merge table")
+    want = edismax_query("merge table", qf={"content": 2.0, "path": 1.0},
+                         mm="2", tie=0.1)
+    assert got == want
+    # mm defaults from q.op: OR (default) -> 0%, AND -> 100%
+    assert parse_solr_q("{!dismax qf=content}merge table") == edismax_query(
+        "merge table", qf={"content": 1.0}, mm="0%")
+    assert parse_solr_q("{!dismax qf=content q.op=AND}merge table") == \
+        edismax_query("merge table", qf={"content": 1.0}, mm="100%")
+
+
+def test_simple_surround_xml_dispatch():
+    from lucene_solr_ray.search.simpleparser import parse_simple
+    from lucene_solr_ray.search.surround import parse_surround
+    from lucene_solr_ray.search.xmlparser import parse_xml_query
+
+    assert parse_solr_q("{!simple q.op=AND}merge table") == parse_simple(
+        "merge table", None, default_operator="MUST")
+    assert parse_solr_q("{!surround}3w(merge, table)") == parse_surround(
+        "3w(merge, table)", None)
+    xml = '<TermQuery fieldName="content">merge</TermQuery>'
+    assert parse_solr_q("{!xmlparser}" + xml) == parse_xml_query(xml, None)
