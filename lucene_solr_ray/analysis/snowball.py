@@ -1,0 +1,539 @@
+"""Snowball stemmers (Danish, Dutch, Romanian) as plain-Python
+transcriptions of the published Snowball algorithms
+(https://snowballstem.org/algorithms/), matched bit-for-bit against the
+reference's generated runtime (``lucene/analysis/common/src/java/org/
+tartarus/snowball/ext/{Danish,Dutch,Romanian}Stemmer.java`` — used only
+to pin this era's suffix tables) and its published ground-truth
+vocabularies (``analysis/snowball/TestSnowballVocabData.zip``:
+danish/dutch/romanian voc.txt → output.txt, 23,829 / 45,669 / 22,570
+entries — asserted exhaustively in tests/test_snowball.py).
+
+These back SnowballFilter (``analysis/snowball/SnowballFilter.java``) for
+the analyzers whose reference chain is Snowball-based:
+DanishAnalyzer / DutchAnalyzer / RomanianAnalyzer
+(``analysis/common/.../{da,nl,ro}/*Analyzer.java``).
+"""
+
+from __future__ import annotations
+
+_DA_VOWELS = frozenset("aeiouyæåø")
+_DA_S_ENDING = frozenset("abcdfghjklmnoprtvyzå")
+
+#: longest-match-wins step-1 suffixes; action 1 = delete, 2 = s-check
+_DA_STEP1 = sorted(
+    [
+        ("hed", 1), ("ethed", 1), ("ered", 1), ("e", 1), ("erede", 1),
+        ("ende", 1), ("erende", 1), ("ene", 1), ("erne", 1), ("ere", 1),
+        ("en", 1), ("heden", 1), ("eren", 1), ("er", 1), ("heder", 1),
+        ("erer", 1), ("s", 2), ("heds", 1), ("es", 1), ("endes", 1),
+        ("erendes", 1), ("enes", 1), ("ernes", 1), ("eres", 1), ("ens", 1),
+        ("hedens", 1), ("erens", 1), ("ers", 1), ("ets", 1), ("erets", 1),
+        ("et", 1), ("eret", 1),
+    ],
+    key=lambda kv: -len(kv[0]),
+)
+_DA_STEP3 = sorted(
+    [("ig", 1), ("lig", 1), ("elig", 1), ("els", 1), ("løst", 2)],
+    key=lambda kv: -len(kv[0]),
+)
+
+
+def _r1_scandinavian(word: str, vowels: frozenset) -> int:
+    """R1 start = after the first non-vowel following a vowel, but never
+    before position 3 (the Scandinavian ``setmark x`` adjustment). Returns
+    ``len(word)`` when no region exists."""
+    n = len(word)
+    if n < 3:
+        return n
+    i = 0
+    while i < n and word[i] not in vowels:
+        i += 1
+    while i < n and word[i] in vowels:
+        i += 1
+    if i >= n:
+        return n
+    p1 = i + 1
+    return max(p1, 3)
+
+
+def _da_consonant_pair(word: str, p1: int) -> str:
+    """Step 2: remove the final letter when the word ends gd/dt/gt/kt
+    with the pair inside R1."""
+    for sfx in ("gd", "dt", "gt", "kt"):
+        if word.endswith(sfx) and len(word) - 2 >= p1:
+            return word[:-1]
+    return word
+
+
+def danish_stem(word: str) -> str:
+    """Snowball Danish: main suffix → consonant pair → other suffix
+    (igst / ig-lig-elig-els / løst) → undouble."""
+    p1 = _r1_scandinavian(word, _DA_VOWELS)
+    # step 1: longest suffix wholly inside R1
+    for sfx, action in _DA_STEP1:
+        if word.endswith(sfx) and len(word) - len(sfx) >= p1:
+            if action == 1:
+                word = word[: -len(sfx)]
+                break
+            # action 2: 's' — preceding char (anywhere) must be a valid
+            # s-ending
+            if len(word) >= 2 and word[-2] in _DA_S_ENDING:
+                word = word[:-1]
+                break
+            # a failed s-check falls through to nothing (it was the
+            # longest match; Snowball's among returns that single entry)
+            break
+    word = _da_consonant_pair(word, p1)
+    # step 3 pre-pass: ends 'igst' → drop the 'st' (no region check)
+    if word.endswith("igst"):
+        word = word[:-2]
+    for sfx, action in _DA_STEP3:
+        if word.endswith(sfx) and len(word) - len(sfx) >= p1:
+            if action == 1:
+                word = word[: -len(sfx)]
+                word = _da_consonant_pair(word, p1)
+            else:
+                word = word[:-1]  # løst → løs
+            break
+    # step 4 undouble: final char in R1, non-vowel, equal to its
+    # predecessor → drop it
+    if (
+        len(word) >= 2
+        and len(word) - 1 >= p1
+        and word[-1] not in _DA_VOWELS
+        and word[-1] == word[-2]
+    ):
+        word = word[:-1]
+    return word
+
+# ---------------------------------------------------------------- Dutch
+
+_NL_VOWELS = frozenset("aeiouyè")
+_NL_ACCENT_MAP = str.maketrans("áäéëíïóöúü", "aaeeiioouu")
+
+
+def _nl_prelude(word: str) -> str:
+    """Fold umlaut/acute accents; uppercase initial y, y after a vowel,
+    and i between vowels (treated as consonants until the postlude)."""
+    word = word.translate(_NL_ACCENT_MAP)
+    chars = list(word)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    k = 0
+    n = len(chars)
+    while k < n:
+        if chars[k] in _NL_VOWELS:
+            if k + 2 < n and chars[k + 1] == "i" and chars[k + 2] in _NL_VOWELS:
+                chars[k + 1] = "I"
+                k += 3
+                continue
+            if k + 1 < n and chars[k + 1] == "y":
+                chars[k + 1] = "Y"
+                k += 2
+                continue
+        k += 1
+    return "".join(chars)
+
+
+def _std_regions(word: str, vowels: frozenset, min_r1: int = 0) -> tuple[int, int]:
+    """Standard snowball R1/R2 starts (len(word) when absent); R1 is
+    clamped to ``min_r1`` when requested (Dutch/Scandinavian rule)."""
+    n = len(word)
+
+    def after_vowel_nonvowel(start: int) -> int:
+        i = start
+        while i < n and word[i] not in vowels:
+            i += 1
+        while i < n and word[i] in vowels:
+            i += 1
+        return i + 1 if i < n else n
+
+    p1 = after_vowel_nonvowel(0)
+    p2 = after_vowel_nonvowel(p1) if p1 < n else n
+    if min_r1 and p1 < min_r1:
+        p1 = min(min_r1, n)
+    return p1, p2
+
+
+def _nl_undouble(word: str) -> str:
+    if word.endswith(("kk", "dd", "tt")):
+        return word[:-1]
+    return word
+
+
+def _nl_en_ending(word: str, cut: int, p1: int) -> str | None:
+    """Delete the bracketed en/ene suffix (``word[cut:]``) when it lies in
+    R1, is preceded by a non-vowel, and not by 'gem'; then undouble.
+    Returns None when the conditions fail."""
+    if cut < p1:
+        return None
+    stem = word[:cut]
+    if not stem or stem[-1] in _NL_VOWELS:
+        return None
+    if stem.endswith("gem"):
+        return None
+    return _nl_undouble(stem)
+
+
+def dutch_stem(word: str) -> str:
+    """Snowball Dutch (nl/DutchAnalyzer.java chain member)."""
+    word = _nl_prelude(word)
+    p1, p2 = _std_regions(word, _NL_VOWELS, min_r1=3)
+    e_found = False
+
+    # step 1: longest of heden / ene / en / se / s
+    for sfx in ("heden", "ene", "en", "se", "s"):
+        if not word.endswith(sfx):
+            continue
+        cut = len(word) - len(sfx)
+        if sfx == "heden":
+            if cut >= p1:
+                word = word[:cut] + "heid"
+        elif sfx in ("ene", "en"):
+            new = _nl_en_ending(word, cut, p1)
+            if new is not None:
+                word = new
+        else:  # se / s: preceded by a non-vowel other than j
+            if cut >= p1 and cut > 0 and word[cut - 1] not in _NL_VOWELS \
+                    and word[cut - 1] != "j":
+                word = word[:cut]
+        break
+
+    # step 2: e-ending
+    if word.endswith("e") and len(word) - 1 >= p1 and len(word) >= 2 \
+            and word[-2] not in _NL_VOWELS:
+        word = _nl_undouble(word[:-1])
+        e_found = True
+
+    # step 3a: heid (R2, not preceded by c), then a mandatory en-ending
+    if word.endswith("heid") and len(word) - 4 >= p2 \
+            and (len(word) < 5 or word[-5] != "c"):
+        word = word[:-4]
+        if word.endswith("en"):
+            new = _nl_en_ending(word, len(word) - 2, p1)
+            if new is not None:
+                word = new
+
+    # step 3b: longest of end / ing / lijk / baar / bar / ig
+    for sfx in ("lijk", "baar", "end", "ing", "bar", "ig"):
+        if not word.endswith(sfx):
+            continue
+        cut = len(word) - len(sfx)
+        if sfx in ("end", "ing"):
+            if cut >= p2:
+                word = word[:cut]
+                if word.endswith("ig") and len(word) - 2 >= p2 \
+                        and (len(word) < 3 or word[-3] != "e"):
+                    word = word[:-2]
+                else:
+                    word = _nl_undouble(word)
+        elif sfx == "ig":
+            if cut >= p2 and (cut == 0 or word[cut - 1] != "e"):
+                word = word[:cut]
+        elif sfx == "lijk":
+            if cut >= p2:
+                word = word[:cut]
+                if word.endswith("e") and len(word) - 1 >= p1 \
+                        and len(word) >= 2 and word[-2] not in _NL_VOWELS:
+                    word = _nl_undouble(word[:-1])
+                    e_found = True
+        elif sfx == "baar":
+            if cut >= p2:
+                word = word[:cut]
+        else:  # bar
+            if cut >= p2 and e_found:
+                word = word[:cut]
+        break
+
+    # step 4: undouble vowel — C + aa/ee/oo/uu + non-vowel-non-I ending
+    if len(word) >= 4 and word[-1] not in _NL_VOWELS and word[-1] != "I" \
+            and word[-2] == word[-3] and word[-2] in "aeou" \
+            and word[-4] not in _NL_VOWELS:
+        word = word[:-2] + word[-1]
+
+    return word.replace("I", "i").replace("Y", "y")
+
+# ------------------------------------------------------------- Romanian
+
+_RO_VOWELS = frozenset("aeiouâîă")
+
+#: step 0 (a_1, R1): suffix → replacement (None = delete); 'ile' carries
+#: the not-preceded-by-'ab' guard inline below.
+_RO_STEP0 = sorted(
+    [
+        ("ul", ""), ("ului", ""),
+        ("aua", "a"),
+        ("ea", "e"), ("ele", "e"), ("elor", "e"),
+        ("ii", "i"), ("iua", "i"), ("iei", "i"), ("iile", "i"),
+        ("ilor", "i"), ("iilor", "i"), ("ile", "i"),
+        ("atei", "at"),
+        ("aţie", "aţi"), ("aţia", "aţi"),
+    ],
+    key=lambda kv: -len(kv[0]),
+)
+
+#: combo suffixes (a_2, R1, repeated): suffix → replacement
+_RO_COMBO = sorted(
+    [
+        ("abilitate", "abil"), ("abilitati", "abil"),
+        ("abilităi", "abil"), ("abilităţi", "abil"),
+        ("ibilitate", "ibil"),
+        ("ivitate", "iv"), ("ivitati", "iv"), ("ivităi", "iv"),
+        ("ivităţi", "iv"),
+        ("icala", "ic"), ("icale", "ic"), ("icali", "ic"),
+        ("icală", "ic"), ("ical", "ic"),
+        ("iciva", "ic"), ("icive", "ic"), ("icivi", "ic"),
+        ("icivă", "ic"), ("iciv", "ic"),
+        ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"),
+        ("icităţi", "ic"), ("icatori", "ic"), ("icator", "ic"),
+        ("ativa", "at"), ("ative", "at"), ("ativi", "at"),
+        ("ativă", "at"), ("ativ", "at"),
+        ("aţiune", "at"), ("atoare", "at"), ("atori", "at"),
+        ("ator", "at"), ("ătoare", "at"), ("ători", "at"),
+        ("ător", "at"),
+        ("itiva", "it"), ("itive", "it"), ("itivi", "it"),
+        ("itivă", "it"), ("itiv", "it"),
+        ("iţiune", "it"), ("itoare", "it"), ("itori", "it"),
+        ("itor", "it"),
+    ],
+    key=lambda kv: -len(kv[0]),
+)
+
+#: standard suffixes (a_3, R2): action 1 delete, 2 ţiune→t, 3 →ist
+_RO_STD = sorted(
+    [
+        ("ica", 1), ("abila", 1), ("ibila", 1), ("oasa", 1), ("ata", 1),
+        ("ita", 1), ("anta", 1), ("ista", 3), ("uta", 1), ("iva", 1),
+        ("ic", 1), ("ice", 1), ("abile", 1), ("ibile", 1), ("isme", 3),
+        ("iune", 2), ("oase", 1), ("ate", 1), ("itate", 1), ("ite", 1),
+        ("ante", 1), ("iste", 3), ("ute", 1), ("ive", 1), ("ici", 1),
+        ("abili", 1), ("ibili", 1), ("iuni", 2), ("atori", 1), ("osi", 1),
+        ("ati", 1), ("itati", 1), ("iti", 1), ("anti", 1), ("isti", 3),
+        ("uti", 1), ("işti", 3), ("ivi", 1), ("ităi", 1),
+        ("oşi", 1), ("ităţi", 1), ("abil", 1), ("ibil", 1),
+        ("ism", 3), ("ator", 1), ("os", 1), ("at", 1), ("it", 1),
+        ("ant", 1), ("ist", 3), ("ut", 1), ("iv", 1), ("ică", 1),
+        ("abilă", 1), ("ibilă", 1), ("oasă", 1),
+        ("ată", 1), ("ită", 1), ("antă", 1),
+        ("istă", 3), ("ută", 1), ("ivă", 1),
+    ],
+    key=lambda kv: -len(kv[0]),
+)
+
+#: verb suffixes (a_4, RV): action 1 = delete when preceded (inside RV)
+#: by a non-vowel or literal 'u'; action 2 = delete unconditionally
+_RO_VERB = sorted(
+    [
+        ("ea", 1), ("ia", 1), ("esc", 1), ("ăsc", 1), ("ind", 1),
+        ("ând", 1), ("are", 1), ("ere", 1), ("ire", 1),
+        ("âre", 1), ("se", 2), ("ase", 1), ("sese", 2), ("ise", 1),
+        ("use", 1), ("âse", 1), ("eşte", 1), ("ăşte", 1),
+        ("eze", 1), ("ai", 1), ("eai", 1), ("iai", 1), ("sei", 2),
+        ("eşti", 1), ("ăşti", 1), ("ui", 1), ("ezi", 1),
+        ("âi", 1), ("aşi", 1), ("seşi", 2),
+        ("aseşi", 1), ("seseşi", 2), ("iseşi", 1),
+        ("useşi", 1), ("âseşi", 1), ("işi", 1),
+        ("uşi", 1), ("âşi", 1), ("aţi", 2),
+        ("eaţi", 1), ("iaţi", 1), ("eţi", 2),
+        ("iţi", 2), ("âţi", 2), ("arăţi", 1),
+        ("serăţi", 2), ("aserăţi", 1),
+        ("seserăţi", 2), ("iserăţi", 1),
+        ("userăţi", 1), ("âserăţi", 1),
+        ("irăţi", 1), ("urăţi", 1),
+        ("ârăţi", 1), ("am", 1), ("eam", 1), ("iam", 1),
+        ("em", 2), ("asem", 1), ("sesem", 2), ("isem", 1), ("usem", 1),
+        ("âsem", 1), ("im", 2), ("âm", 2), ("ăm", 2),
+        ("arăm", 1), ("serăm", 2), ("aserăm", 1),
+        ("seserăm", 2), ("iserăm", 1), ("userăm", 1),
+        ("âserăm", 1), ("irăm", 1), ("urăm", 1),
+        ("ârăm", 1), ("au", 1), ("eau", 1), ("iau", 1),
+        ("indu", 1), ("ându", 1), ("ez", 1), ("ească", 1),
+        ("ară", 1), ("seră", 2), ("aseră", 1),
+        ("seseră", 2), ("iseră", 1), ("useră", 1),
+        ("âseră", 1), ("iră", 1), ("ură", 1),
+        ("âră", 1), ("ează", 1),
+    ],
+    key=lambda kv: -len(kv[0]),
+)
+
+_RO_VOWEL_SFX = ("ie", "a", "e", "i", "ă")
+
+
+def _ro_prelude(word: str) -> str:
+    """Uppercase intervocalic u/i (treated as consonants until the
+    postlude)."""
+    chars = list(word)
+    n = len(chars)
+    for k in range(1, n - 1):
+        if chars[k] in "ui" and chars[k - 1] in _RO_VOWELS \
+                and chars[k + 1] in _RO_VOWELS:
+            chars[k] = chars[k].upper()
+    return "".join(chars)
+
+
+def _ro_rv(word: str) -> int:
+    """Spanish-style RV: vowel+consonant → past next vowel; vowel+vowel →
+    past next consonant; consonant start → standard RV."""
+    n = len(word)
+    if n == 0:
+        return n
+    V = _RO_VOWELS
+    if word[0] in V:
+        if n >= 2 and word[1] not in V:
+            for i in range(2, n):
+                if word[i] in V:
+                    return i + 1
+            return n
+        if n >= 2 and word[1] in V:
+            for i in range(2, n):
+                if word[i] not in V:
+                    return i + 1
+            return n
+        return n
+    # consonant start
+    if n >= 2 and word[1] not in V:
+        for i in range(2, n):
+            if word[i] in V:
+                return i + 1
+        return n
+    if n >= 2 and word[1] in V:
+        return 3 if n >= 3 else n
+    return n
+
+
+def romanian_stem(word: str) -> str:  # noqa: C901 — transcribed branches
+    """Snowball Romanian (ro/RomanianAnalyzer.java chain member)."""
+    word = _ro_prelude(word)
+    V = _RO_VOWELS
+    pV = _ro_rv(word)
+    p1, p2 = _std_regions(word, V)
+
+    # step 0 (R1)
+    for sfx, repl in _RO_STEP0:
+        if word.endswith(sfx):
+            cut = len(word) - len(sfx)
+            if cut >= p1:
+                if sfx == "ile" and word[max(0, cut - 2):cut] == "ab":
+                    break
+                word = word[:cut] + repl
+            break
+
+    # standard suffix: repeat combo (R1), then a_3 (R2)
+    removed = False
+    changed = True
+    while changed:
+        changed = False
+        for sfx, repl in _RO_COMBO:
+            if word.endswith(sfx):
+                cut = len(word) - len(sfx)
+                if cut >= p1:
+                    word = word[:cut] + repl
+                    removed = True
+                    changed = True
+                break
+    for sfx, action in _RO_STD:
+        if word.endswith(sfx):
+            cut = len(word) - len(sfx)
+            if cut < p2:
+                break
+            if action == 1:
+                word = word[:cut]
+            elif action == 3:
+                word = word[:cut] + "ist"
+            else:  # iune/iuni: must be preceded by ţ → 't'
+                if cut == 0 or word[cut - 1] != "ţ":
+                    break
+                word = word[: cut - 1] + "t"
+            removed = True
+            break
+
+    # verb suffix (RV) only when no standard suffix was removed
+    if not removed:
+        for sfx, action in _RO_VERB:
+            if word.endswith(sfx):
+                cut = len(word) - len(sfx)
+                if cut < pV:
+                    continue  # find_among_b falls back to shorter fits
+                if action == 1:
+                    # preceding char inside RV, non-vowel or literal 'u'
+                    if cut - 1 < pV:
+                        break
+                    prev = word[cut - 1]
+                    if prev in V and prev != "u":
+                        break
+                    word = word[:cut]
+                else:
+                    word = word[:cut]
+                break
+
+    # vowel suffix (RV) — longest textual match only; an RV miss does NOT
+    # fall back to a shorter suffix (find_among_b here has no setlimit, so
+    # 'ie' failing RV never retries 'e': "anglie" stays "anglie")
+    for sfx in _RO_VOWEL_SFX:
+        if word.endswith(sfx):
+            if len(word) - len(sfx) >= pV:
+                word = word[: -len(sfx)]
+            break
+
+    return word.replace("I", "i").replace("U", "u")
+
+# --------------------------------------------- analyzer-chain resources
+
+#: snowball/danish_stop.txt (Snowball project stopword list, '|' comments)
+DANISH_STOP_WORDS = frozenset("""
+og i jeg det at en den til er som på de med han af for ikke der var mig
+sig men et har om vi min havde ham hun nu over da fra du ud sin dem os op
+man hans hvor eller hvad skal selv her alle vil blev kunne ind når være
+dog noget ville jo deres efter ned skulle denne end dette mit også under
+have dig anden hende mine alt meget sit sine vor mod disse hvis din nogle
+hos blive mange ad bliver hendes været thi jer sådan
+""".split())
+
+#: snowball/dutch_stop.txt
+DUTCH_STOP_WORDS = frozenset("""
+de en van ik te dat die in een hij het niet zijn is was op aan met als
+voor had er maar om hem dan zou of wat mijn men dit zo door over ze zich
+bij ook tot je mij uit der daar haar naar heb hoe heeft hebben deze u want
+nog zal me zij nu ge geen omdat iets worden toch al waren veel meer doen
+toen moet ben zonder kan hun dus alles onder ja eens hier wie werd altijd
+doch wordt wezen kunnen ons zelf tegen na reeds wil kon niets uw iemand
+geweest andere
+""".split())
+
+#: ro/stopwords.txt (Savoy CLEF list, BSD; '#' comments)
+ROMANIAN_STOP_WORDS = frozenset("""
+acea aceasta această aceea acei aceia acel acela acele acelea acest
+acesta aceste acestea aceşti aceştia acolo acum ai aia aibă aici al ăla
+ale alea ălea altceva altcineva am ar are aş aşadar asemenea asta ăsta
+astăzi astea ăstea ăştia asupra aţi au avea avem aveţi azi bine bucur
+bună ca că căci când care cărei căror cărui cât câte câţi către câtva ce
+cel ceva chiar cînd cine cineva cît cîte cîţi cîtva contra cu cum cumva
+curând curînd da dă dacă dar datorită de deci deja deoarece departe deşi
+din dinaintea dintr dintre drept după ea ei el ele eram este eşti eu
+face fără fi fie fiecare fii fim fiţi iar ieri îi îl îmi împotriva în
+înainte înaintea încât încît încotro între întrucât întrucît îţi la
+lângă le li lîngă lor lui mă mâine mea mei mele mereu meu mi mine mult
+multă mulţi ne nicăieri nici nimeni nişte noastră noastre noi noştri
+nostru nu ori oricând oricare oricât orice oricînd oricine oricît oricum
+oriunde până pe pentru peste pînă poate pot prea prima primul prin
+printr sa să săi sale sau său se şi sînt sîntem sînteţi spre sub sunt
+suntem sunteţi ta tăi tale tău te ţi ţie tine toată toate tot toţi
+totuşi tu un una unde undeva unei unele uneori unor vă vi voastră
+voastre voi voştri vostru vouă vreo vreun
+""".split())
+
+#: DutchAnalyzer's default StemmerOverrideFilter table
+#: (``nl/DutchAnalyzer.java:80-84``) — applied before the stemmer.
+DUTCH_STEM_OVERRIDES = {
+    "fiets": "fiets", "bromfiets": "bromfiets",
+    "ei": "eier", "kind": "kinder",
+}
+
+
+def dutch_analyzer_stem(word: str) -> str:
+    """DutchAnalyzer chain tail: StemmerOverrideFilter(default dict) →
+    SnowballFilter(DutchStemmer) (``nl/DutchAnalyzer.java:151-160``)."""
+    hit = DUTCH_STEM_OVERRIDES.get(word)
+    if hit is not None:
+        return hit
+    return dutch_stem(word)

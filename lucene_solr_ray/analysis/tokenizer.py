@@ -420,6 +420,38 @@ def RussianAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="russian_light", **kw)
 
 
+def DanishAnalyzer(**kw) -> StandardAnalyzer:
+    """DanishAnalyzer preset (``analysis/common/.../da/DanishAnalyzer.java:
+    118-126``): lowercase → stop(snowball Danish) → [keyword marker] →
+    SnowballFilter(DanishStemmer) — the stemmer is vocab-exact
+    (23,829 entries, tests/test_snowball.py)."""
+    from .snowball import DANISH_STOP_WORDS
+
+    kw.setdefault("stopwords", DANISH_STOP_WORDS)
+    return StandardAnalyzer(stem="danish", **kw)
+
+
+def DutchAnalyzer(**kw) -> StandardAnalyzer:
+    """DutchAnalyzer preset (``analysis/common/.../nl/DutchAnalyzer.java:
+    150-160``): lowercase → stop(snowball Dutch) → StemmerOverride(default
+    dict) → [keyword marker] → SnowballFilter(DutchStemmer) — vocab-exact
+    (45,669 entries)."""
+    from .snowball import DUTCH_STOP_WORDS
+
+    kw.setdefault("stopwords", DUTCH_STOP_WORDS)
+    return StandardAnalyzer(stem="dutch", **kw)
+
+
+def RomanianAnalyzer(**kw) -> StandardAnalyzer:
+    """RomanianAnalyzer preset (``analysis/common/.../ro/RomanianAnalyzer.
+    java:120-127``): lowercase → stop(Savoy Romanian) → [keyword marker] →
+    SnowballFilter(RomanianStemmer) — vocab-exact (22,570 entries)."""
+    from .snowball import ROMANIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", ROMANIAN_STOP_WORDS)
+    return StandardAnalyzer(stem="romanian", **kw)
+
+
 def ArabicAnalyzer(**kw) -> StandardAnalyzer:
     """ArabicAnalyzer preset (``analysis/common/.../ar/ArabicAnalyzer.java:
     134-146``): lowercase → stop(Arabic, UNnormalized list — the
@@ -750,6 +782,15 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "arabic":
         from .lang import arabic_stem
         stem_fns["arabic"] = arabic_stem
+    elif analyzer.stem == "danish":
+        from .snowball import danish_stem
+        stem_fns["danish"] = danish_stem
+    elif analyzer.stem == "dutch":
+        from .snowball import dutch_analyzer_stem
+        stem_fns["dutch"] = dutch_analyzer_stem
+    elif analyzer.stem == "romanian":
+        from .snowball import romanian_stem
+        stem_fns["romanian"] = romanian_stem
     elif analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
     if analyzer.stem is not None:

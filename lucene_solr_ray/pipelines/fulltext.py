@@ -1794,6 +1794,53 @@ GALICIAN_SPECS = [
     for _w, _d, stem in GALICIAN_MAP[:4]
 ]
 
+#: word-level corpus maps for the Snowball analyzers (corpus word →
+#: language word → stem); stems are the reference's OWN vocab ground
+#: truth (TestSnowballVocabData.zip {danish,dutch,romanian}/voc.txt →
+#: output.txt). Every corpus word the stemmer would change is mapped, so
+#: the oracle ELSE-passthrough only sees fixpoints (pinned in
+#: tests/test_snowball.py::test_snowball_oracle_fixpoint_assumption).
+SNOWBALL_DA_MAP = [
+    ("table", "indtagelse", "indtag"),
+    ("value", "bygninger", "bygning"),
+    ("merge", "tilladelse", "tillad"),
+    ("filter", "frygtelig", "frygt"),
+    ("order", "sikkerhed", "sikker"),
+    ("customer", "afstanden", "afstand"),
+    ("line", "lejligheden", "lej"),
+    ("small", "arbejdet", "arbejd"),
+]
+SNOWBALL_NL_MAP = [
+    ("table", "lichamelijke", "licham"),
+    ("merge", "opleidingen", "opleid"),
+    ("line", "verzekeringen", "verzeker"),
+    ("value", "gebouwen", "gebouw"),
+    ("window", "ontwikkeling", "ontwikkel"),
+    # pins the DutchAnalyzer default StemmerOverrideFilter dict
+    # (nl/DutchAnalyzer.java:80-84; plain snowball would leave 'kind')
+    ("filter", "kind", "kinder"),
+]
+SNOWBALL_RO_MAP = [
+    ("table", "lucrurilor", "lucrur"),
+    ("value", "importante", "import"),
+    ("merge", "dezvoltarea", "dezvolt"),
+    ("line", "naţionale", "naţional"),
+    ("data", "problemelor", "problem"),
+    ("window", "activităţii", "activ"),
+]
+SNOWBALL_DA_SPECS = [
+    {"qid": f"da_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_DA_MAP[:4]
+]
+SNOWBALL_NL_SPECS = [
+    {"qid": f"nl_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_NL_MAP[:4]
+] + [{"qid": "nl_kinder", "kind": "term", "terms": ["kinder"], "k": TOPK_K}]
+SNOWBALL_RO_SPECS = [
+    {"qid": f"ro_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_RO_MAP[:4]
+]
+
 #: ft_decompound: compound words injected into the corpus + the dictionary
 #: the DictionaryCompoundWordTokenFilter splits them against
 DECOMPOUND_DICT = ("fuss", "ball", "pumpe", "rind", "fleisch")
@@ -2004,6 +2051,63 @@ def ft_czech(sf_dir: str) -> pa.Table:
 
     return _variant_topk(
         get_searcher_variant(sf_dir, "czech", CzechAnalyzer()), CZECH_SPECS
+    )
+
+
+def ft_danish(sf_dir: str) -> pa.Table:
+    """DanishAnalyzer index (``analysis/common/.../da/DanishAnalyzer.java:
+    118-126``: Danish snowball stopwords → SnowballFilter(DanishStemmer)).
+    Corpus words are mapped to Danish forms (SNOWBALL_DA_MAP) whose stems
+    are the reference's OWN vocab ground truth
+    (TestSnowballVocabData.zip danish/); every corpus word the stemmer
+    would change is mapped, so the oracle's ELSE-passthrough only sees
+    stemmer fixpoints (pinned in tests/test_snowball.py). BM25 top-k,
+    exact float64 scores."""
+    from ..analysis.tokenizer import DanishAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in SNOWBALL_DA_MAP
+    )
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "danish", DanishAnalyzer(char_filters=cf)),
+        SNOWBALL_DA_SPECS,
+    )
+
+
+def ft_dutch(sf_dir: str) -> pa.Table:
+    """DutchAnalyzer index (``analysis/common/.../nl/DutchAnalyzer.java:
+    150-160``: Dutch snowball stopwords → StemmerOverride(default dict) →
+    SnowballFilter(DutchStemmer)). Same map-oracle pattern as ft_danish;
+    the 'filter'→'kind'→'kinder' row pins the analyzer's default
+    StemmerOverrideFilter table (DutchAnalyzer.java:80-84). BM25 top-k,
+    exact float64 scores."""
+    from ..analysis.tokenizer import DutchAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in SNOWBALL_NL_MAP
+    )
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "dutch", DutchAnalyzer(char_filters=cf)),
+        SNOWBALL_NL_SPECS,
+    )
+
+
+def ft_romanian(sf_dir: str) -> pa.Table:
+    """RomanianAnalyzer index (``analysis/common/.../ro/RomanianAnalyzer.
+    java:120-127``: Savoy Romanian stopwords → SnowballFilter(
+    RomanianStemmer)). Same map-oracle pattern as ft_danish; the mapped
+    forms exercise diacritics (ţ, ă) through tokenizer + stemmer + term
+    dict. BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import RomanianAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in SNOWBALL_RO_MAP
+    )
+    return _variant_topk(
+        get_searcher_variant(
+            sf_dir, "romanian", RomanianAnalyzer(char_filters=cf)
+        ),
+        SNOWBALL_RO_SPECS,
     )
 
 

@@ -1563,6 +1563,57 @@ emitted AS MATERIALIZED (
 ),{_VARIANT_TAIL}"""
 
 
+def _prelude_snowball(stop_words, word_map) -> str:
+    """Shared oracle for the Snowball analyzer variants (ft_danish /
+    ft_dutch / ft_romanian): corpus words mapped to language forms, then
+    stemmed via the reference's OWN vocab ground truth
+    (TestSnowballVocabData.zip) — independent of the engine's algorithm.
+    Unmapped tokens pass through (fixpoints, pinned in
+    tests/test_snowball.py)."""
+    stop = ", ".join(f"'{w}'" for w in sorted(stop_words))
+    mapped = "lower(text)"
+    for w, d, _s in word_map:
+        mapped = f"regexp_replace({mapped}, '\\b{w}\\b', '{d}', 'g')"
+    lookup = " ".join(f"WHEN '{d}' THEN '{s}'" for _w, d, s in word_map)
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT did, unnest(regexp_extract_all({mapped}, '{TOKEN_RE_SQL}')) AS tok FROM corpus
+),
+kept AS (
+  SELECT did, tok FROM toks WHERE length(tok) <= 255 AND tok NOT IN ({stop})
+),
+base AS (SELECT did, tok FROM kept),
+emitted AS MATERIALIZED (
+  SELECT did, CASE tok {lookup} ELSE tok END AS tok FROM kept
+),{_VARIANT_TAIL}"""
+
+
+def prelude_danish() -> str:
+    """DanishAnalyzer oracle (da/DanishAnalyzer.java:118-126 chain)."""
+    from ..analysis.snowball import DANISH_STOP_WORDS
+    from .fulltext import SNOWBALL_DA_MAP
+
+    return _prelude_snowball(DANISH_STOP_WORDS, SNOWBALL_DA_MAP)
+
+
+def prelude_dutch() -> str:
+    """DutchAnalyzer oracle (nl/DutchAnalyzer.java:150-160 chain,
+    including the default StemmerOverrideFilter row kind→kinder)."""
+    from ..analysis.snowball import DUTCH_STOP_WORDS
+    from .fulltext import SNOWBALL_NL_MAP
+
+    return _prelude_snowball(DUTCH_STOP_WORDS, SNOWBALL_NL_MAP)
+
+
+def prelude_romanian() -> str:
+    """RomanianAnalyzer oracle (ro/RomanianAnalyzer.java:120-127 chain)."""
+    from ..analysis.snowball import ROMANIAN_STOP_WORDS
+    from .fulltext import SNOWBALL_RO_MAP
+
+    return _prelude_snowball(ROMANIAN_STOP_WORDS, SNOWBALL_RO_MAP)
+
+
 def prelude_decompound() -> str:
     """DictionaryCompoundWordTokenFilter oracle: kept originals (the norm
     anchors) plus every dictionary subword of length 2..15 found at any

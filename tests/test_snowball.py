@@ -1,0 +1,126 @@
+"""Snowball stemmers (analysis/snowball.py) vs the reference's own
+ground-truth vocabularies: Danish / Dutch / Romanian word→stem tables in
+``analysis/snowball/TestSnowballVocabData.zip`` (the data the reference's
+TestSnowballVocab asserts against), checked exhaustively bit-for-bit
+(23,829 / 45,669 / 22,570 entries)."""
+
+import io
+import os
+import zipfile
+
+import pytest
+
+from lucene_solr_ray.analysis.snowball import (
+    DANISH_STOP_WORDS,
+    DUTCH_STOP_WORDS,
+    ROMANIAN_STOP_WORDS,
+    danish_stem,
+    dutch_analyzer_stem,
+    dutch_stem,
+    romanian_stem,
+)
+from lucene_solr_ray.analysis.tokenizer import (
+    DanishAnalyzer,
+    DutchAnalyzer,
+    RomanianAnalyzer,
+    analyze_with_positions,
+)
+
+_ZIP = (
+    "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+    "analysis/snowball/TestSnowballVocabData.zip"
+)
+
+
+def _vocab(lang: str):
+    with zipfile.ZipFile(_ZIP) as z:
+        def words(name):
+            with z.open(name) as f:
+                return io.TextIOWrapper(f, encoding="utf-8").read().split()
+        return list(zip(words(f"{lang}/voc.txt"), words(f"{lang}/output.txt")))
+
+
+@pytest.mark.skipif(not os.path.exists(_ZIP), reason="reference not present")
+@pytest.mark.parametrize(
+    "lang,fn,count",
+    [
+        ("danish", danish_stem, 23829),
+        ("dutch", dutch_stem, 45669),
+        ("romanian", romanian_stem, 22570),
+    ],
+)
+def test_snowball_full_reference_vocabulary(lang, fn, count):
+    vocab = _vocab(lang)
+    assert len(vocab) == count
+    bad = [(w, fn(w), want) for w, want in vocab if fn(w) != want]
+    assert bad == []
+
+
+def test_dutch_stem_override_dict():
+    # nl/DutchAnalyzer.java:80-84 — StemmerOverrideFilter default table
+    assert dutch_analyzer_stem("fiets") == "fiets"  # plain stem: 'fiet'
+    assert dutch_analyzer_stem("bromfiets") == "bromfiets"
+    assert dutch_analyzer_stem("ei") == "eier"
+    assert dutch_analyzer_stem("kind") == "kinder"  # plain stem: 'kind'
+    assert dutch_analyzer_stem("lichamelijk") == "licham"
+
+
+def test_analyzer_chains_stop_and_stem():
+    # Danish: stopwords removed, stems applied, posIncr holes preserved
+    toks = analyze_with_positions(
+        "indtagelse af kalorier", DanishAnalyzer()
+    )
+    terms = [t[0] for t in toks]
+    assert "af" not in terms  # Danish stopword
+    assert "indtag" in terms and "kalori" in terms
+
+    toks = analyze_with_positions("het lichamelijke kind", DutchAnalyzer())
+    terms = [t[0] for t in toks]
+    assert "het" not in terms  # Dutch stopword
+    assert terms == ["licham", "kinder"]  # override dict hits 'kind'
+
+    toks = analyze_with_positions(
+        "absenţa lucrurilor importante", RomanianAnalyzer()
+    )
+    terms = [t[0] for t in toks]
+    assert terms == ["absenţ", "lucrur", "import"]
+
+
+def test_snowball_oracle_fixpoint_assumption():
+    """The ft_danish/ft_dutch/ft_romanian oracles pass unmapped corpus
+    tokens through unchanged — valid only while every corpus word the
+    stemmer alters is covered by the corpus map (see SNOWBALL_*_MAP)."""
+    from lucene_solr_ray.pipelines.fulltext import (
+        SNOWBALL_DA_MAP,
+        SNOWBALL_NL_MAP,
+        SNOWBALL_RO_MAP,
+    )
+
+    corpus_vocab = [
+        "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+        "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+        "order", "part", "query", "row", "scan", "slow", "small", "sort",
+        "spark", "stream", "table", "the", "value", "vector", "window",
+    ]
+    for fn, word_map, stops in [
+        (danish_stem, SNOWBALL_DA_MAP, DANISH_STOP_WORDS),
+        (dutch_analyzer_stem, SNOWBALL_NL_MAP, DUTCH_STOP_WORDS),
+        (romanian_stem, SNOWBALL_RO_MAP, ROMANIAN_STOP_WORDS),
+    ]:
+        mapped = {w for w, _d, _s in word_map}
+        leaks = [
+            w for w in corpus_vocab
+            if w not in mapped and w not in stops and fn(w) != w
+        ]
+        assert leaks == [], f"unmapped corpus words altered: {leaks}"
+        # and the mapped language forms are never stopwords
+        assert not any(d in stops for _w, d, _s in word_map)
+
+
+def test_stop_word_lists_sizes():
+    assert len(DANISH_STOP_WORDS) == 94
+    assert len(DUTCH_STOP_WORDS) == 101
+    assert len(ROMANIAN_STOP_WORDS) == 230
+    assert "og" in DANISH_STOP_WORDS
+    assert "een" in DUTCH_STOP_WORDS
+    assert "după" in ROMANIAN_STOP_WORDS
