@@ -537,3 +537,258 @@ def dutch_analyzer_stem(word: str) -> str:
     if hit is not None:
         return hit
     return dutch_stem(word)
+
+# -------------------------------------------------------------- Swedish
+
+_SV_VOWELS = frozenset("aeiouyäåö")
+_SV_S_ENDING = frozenset("bcdfghjklmnoprtvy")
+
+_SV_STEP1 = sorted(
+    [
+        ("a", 1), ("arna", 1), ("erna", 1), ("heterna", 1), ("orna", 1),
+        ("ad", 1), ("e", 1), ("ade", 1), ("ande", 1), ("arne", 1),
+        ("are", 1), ("aste", 1), ("en", 1), ("anden", 1), ("aren", 1),
+        ("heten", 1), ("ern", 1), ("ar", 1), ("er", 1), ("heter", 1),
+        ("or", 1), ("s", 2), ("as", 1), ("arnas", 1), ("ernas", 1),
+        ("ornas", 1), ("es", 1), ("ades", 1), ("andes", 1), ("ens", 1),
+        ("arens", 1), ("hetens", 1), ("erns", 1), ("at", 1), ("andet", 1),
+        ("het", 1), ("ast", 1),
+    ],
+    key=lambda kv: -len(kv[0]),
+)
+_SV_PAIRS = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+_SV_STEP3 = sorted(
+    [("ig", None), ("lig", None), ("els", None),
+     ("fullt", "full"), ("löst", "lös")],
+    key=lambda kv: -len(kv[0]),
+)
+
+
+def swedish_stem(word: str) -> str:
+    """Snowball Swedish (the reference SwedishAnalyzer's default chain
+    member, ``sv/SwedishAnalyzer.java:122`` SnowballFilter(SwedishStemmer);
+    suffix tables from ``tartarus/snowball/ext/SwedishStemmer.java``)."""
+    p1 = _r1_scandinavian(word, _SV_VOWELS)
+    # main suffix (setlimit R1: shorter trie entries fall back on misfit)
+    for sfx, action in _SV_STEP1:
+        if word.endswith(sfx) and len(word) - len(sfx) >= p1:
+            if action == 1:
+                word = word[: -len(sfx)]
+            elif len(word) >= 2 and word[-2] in _SV_S_ENDING:
+                word = word[:-1]
+            break
+    # consonant pair: both chars inside R1 → drop the last letter
+    if word[-2:] in _SV_PAIRS and len(word) - 2 >= p1:
+        word = word[:-1]
+    # other suffix inside R1
+    for sfx, repl in _SV_STEP3:
+        if word.endswith(sfx) and len(word) - len(sfx) >= p1:
+            word = word[: -len(sfx)] + (repl or "")
+            break
+    return word
+
+# ------------------------------------------------------------ Norwegian
+
+_NO_VOWELS = frozenset("aeiouyåæø")
+_NO_S_ENDING = frozenset("bcdfghjlmnoprtvyz")  # note: no 'k'
+
+#: action 1 delete, 2 s-check, 3 → 'er'
+_NO_STEP1 = sorted(
+    [
+        ("a", 1), ("e", 1), ("ede", 1), ("ande", 1), ("ende", 1),
+        ("ane", 1), ("ene", 1), ("hetene", 1), ("erte", 3), ("en", 1),
+        ("heten", 1), ("ar", 1), ("er", 1), ("heter", 1), ("s", 2),
+        ("as", 1), ("es", 1), ("edes", 1), ("endes", 1), ("enes", 1),
+        ("hetenes", 1), ("ens", 1), ("hetens", 1), ("ers", 1), ("ets", 1),
+        ("et", 1), ("het", 1), ("ert", 3), ("ast", 1),
+    ],
+    key=lambda kv: -len(kv[0]),
+)
+_NO_STEP3 = sorted(
+    ["leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+     "slov", "hetslov"],
+    key=len, reverse=True,
+)
+
+
+def norwegian_stem(word: str) -> str:
+    """Snowball Norwegian (the reference NorwegianAnalyzer's default chain
+    member, ``no/NorwegianAnalyzer.java:118`` SnowballFilter(
+    NorwegianStemmer); tables from ``tartarus/snowball/ext/
+    NorwegianStemmer.java``)."""
+    p1 = _r1_scandinavian(word, _NO_VOWELS)
+    for sfx, action in _NO_STEP1:
+        if word.endswith(sfx) and len(word) - len(sfx) >= p1:
+            if action == 1:
+                word = word[: -len(sfx)]
+            elif action == 3:
+                word = word[: -len(sfx)] + "er"
+            else:
+                # 's': preceded by an s-ending char, or by 'k' itself
+                # preceded by a non-vowel
+                if len(word) >= 2 and word[-2] in _NO_S_ENDING:
+                    word = word[:-1]
+                elif len(word) >= 3 and word[-2] == "k" \
+                        and word[-3] not in _NO_VOWELS:
+                    word = word[:-1]
+            break
+    if word[-2:] in ("dt", "vt") and len(word) - 2 >= p1:
+        word = word[:-1]
+    for sfx in _NO_STEP3:
+        if word.endswith(sfx) and len(word) - len(sfx) >= p1:
+            word = word[: -len(sfx)]
+            break
+    return word
+
+# -------------------------------------------------------------- Russian
+
+_RU_VOWELS = frozenset("аеиоуыэюя")
+
+#: action 1 = delete when preceded (inside RV) by а/я; action 2 = delete
+_RU_PERF_GERUND = sorted(
+    [("в", 1), ("ив", 2), ("ыв", 2), ("вши", 1), ("ивши", 2),
+     ("ывши", 2), ("вшись", 1), ("ившись", 2), ("ывшись", 2)],
+    key=lambda kv: -len(kv[0]),
+)
+_RU_ADJECTIVE = sorted(
+    ["ее", "ие", "ое", "ые", "ими", "ыми", "ей", "ий", "ой", "ый",
+     "ем", "им", "ом", "ым", "его", "ого", "ему", "ому", "их", "ых",
+     "ею", "ою", "ую", "юю", "ая", "яя"],
+    key=len, reverse=True,
+)
+_RU_PARTICIPLE = sorted(
+    [("ем", 1), ("нн", 1), ("вш", 1), ("ивш", 2), ("ывш", 2),
+     ("щ", 1), ("ющ", 1), ("ующ", 2)],
+    key=lambda kv: -len(kv[0]),
+)
+_RU_VERB = sorted(
+    [("ла", 1), ("ила", 2), ("ыла", 2), ("на", 1), ("ена", 2),
+     ("ете", 1), ("ите", 2), ("йте", 1), ("ейте", 2), ("уйте", 2),
+     ("ли", 1), ("или", 2), ("ыли", 2), ("й", 1), ("ей", 2), ("уй", 2),
+     ("л", 1), ("ил", 2), ("ыл", 2), ("ем", 1), ("им", 2), ("ым", 2),
+     ("н", 1), ("ен", 2), ("ло", 1), ("ило", 2), ("ыло", 2), ("но", 1),
+     ("ено", 2), ("нно", 1), ("ет", 1), ("ует", 2), ("ит", 2),
+     ("ыт", 2), ("ют", 1), ("уют", 2), ("ят", 2), ("ны", 1), ("ены", 2),
+     ("ть", 1), ("ить", 2), ("ыть", 2), ("ешь", 1), ("ишь", 2),
+     ("ю", 2), ("ую", 2)],
+    key=lambda kv: -len(kv[0]),
+)
+_RU_NOUN = sorted(
+    ["а", "ев", "ов", "е", "ие", "ье", "и", "еи", "ии", "ами", "ями",
+     "иями", "й", "ей", "ией", "ий", "ой", "ам", "ем", "ием", "ом",
+     "ям", "иям", "о", "у", "ах", "ях", "иях", "ы", "ь", "ю", "ию",
+     "ью", "я", "ия", "ья"],
+    key=len, reverse=True,
+)
+
+
+def _ru_rv_r2(word: str) -> tuple[int, int]:
+    """RV start (after the first vowel) and R2 start."""
+    n = len(word)
+    V = _RU_VOWELS
+    i = 0
+    while i < n and word[i] not in V:
+        i += 1
+    if i >= n:
+        return n, n
+    pV = i + 1
+    i = pV
+    while i < n and word[i] in V:
+        i += 1
+    if i >= n:
+        return pV, n
+    i += 1  # past the non-vowel → p1
+    while i < n and word[i] not in V:
+        i += 1
+    while i < n and word[i] in V:
+        i += 1
+    p2 = i + 1 if i < n else n
+    return pV, p2
+
+
+def _ru_match(word: str, table, pV: int):
+    """Longest suffix fitting inside RV; returns (suffix, action) or
+    None. Entries may be bare strings (action 1 = delete)."""
+    for entry in table:
+        sfx, action = entry if isinstance(entry, tuple) else (entry, 1)
+        if word.endswith(sfx) and len(word) - len(sfx) >= pV:
+            return sfx, action
+    return None
+
+
+def _ru_cond_delete(word: str, sfx: str, action: int, pV: int):
+    """Apply a group-1 (needs preceding а/я inside RV) or group-2 delete;
+    None when the condition fails."""
+    cut = len(word) - len(sfx)
+    if action == 1:
+        if cut - 1 < pV or word[cut - 1] not in "ая":
+            return None
+    return word[:cut]
+
+
+def russian_stem(word: str) -> str:
+    """Snowball Russian (the reference RussianAnalyzer's default chain
+    member, ``ru/RussianAnalyzer.java:105`` SnowballFilter(RussianStemmer);
+    tables from ``tartarus/snowball/ext/RussianStemmer.java``). The whole
+    backward pass runs inside RV."""
+    pV, p2 = _ru_rv_r2(word)
+
+    # step 1: perfective gerund, else [reflexive] then
+    # adjectival | verb | noun
+    done = False
+    m = _ru_match(word, _RU_PERF_GERUND, pV)
+    if m is not None:
+        new = _ru_cond_delete(word, m[0], m[1], pV)
+        if new is not None:
+            word = new
+            done = True
+    if not done:
+        m = _ru_match(word, [("сь", 1), ("ся", 1)], pV)
+        if m is not None and m[1] == 1:
+            word = word[: -len(m[0])]
+        # adjectival: adjective, then optional participle
+        m = _ru_match(word, _RU_ADJECTIVE, pV)
+        if m is not None:
+            word = word[: -len(m[0])]
+            pm = _ru_match(word, _RU_PARTICIPLE, pV)
+            if pm is not None:
+                new = _ru_cond_delete(word, pm[0], pm[1], pV)
+                if new is not None:
+                    word = new
+        else:
+            vm = _ru_match(word, _RU_VERB, pV)
+            new = (
+                _ru_cond_delete(word, vm[0], vm[1], pV)
+                if vm is not None else None
+            )
+            if new is not None:
+                word = new
+            else:
+                nm = _ru_match(word, _RU_NOUN, pV)
+                if nm is not None:
+                    word = word[: -len(nm[0])]
+
+    # step 2: final 'и' (inside RV)
+    if word.endswith("и") and len(word) - 1 >= pV:
+        word = word[:-1]
+
+    # step 3: derivational ост/ость in R2
+    m = _ru_match(word, ["ость", "ост"], pV)
+    if m is not None and len(word) - len(m[0]) >= p2:
+        word = word[: -len(m[0])]
+
+    # step 4: tidy up — ейше(е)? then undouble нн; superlative; soft sign
+    m = _ru_match(word, [("ейше", 1), ("н", 2), ("ейш", 1), ("ь", 3)], pV)
+    if m is not None:
+        sfx, action = m
+        if action == 1:
+            word = word[: -len(sfx)]
+            if word.endswith("нн") and len(word) - 1 >= pV:
+                word = word[:-1]
+        elif action == 2:
+            cut = len(word) - 1
+            if cut - 1 >= pV and word[cut - 1] == "н":
+                word = word[:cut]
+        else:
+            word = word[:-1]
+    return word

@@ -420,6 +420,39 @@ def RussianAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="russian_light", **kw)
 
 
+def SwedishSnowballAnalyzer(**kw) -> StandardAnalyzer:
+    """The reference SwedishAnalyzer's DEFAULT chain (``sv/SwedishAnalyzer.
+    java:118-126``: lowercase → stop(snowball Swedish) → [keyword marker]
+    → SnowballFilter(SwedishStemmer)); the `SwedishAnalyzer` preset keeps
+    the Solr light-stem variant. Stemmer vocab-exact (30,623 entries)."""
+    from .lang import SWEDISH_STOP_WORDS
+
+    kw.setdefault("stopwords", SWEDISH_STOP_WORDS)
+    return StandardAnalyzer(stem="swedish_snowball", **kw)
+
+
+def NorwegianSnowballAnalyzer(**kw) -> StandardAnalyzer:
+    """The reference NorwegianAnalyzer's DEFAULT chain (``no/
+    NorwegianAnalyzer.java:110-118``: SnowballFilter(NorwegianStemmer));
+    the `NorwegianAnalyzer` preset keeps the Solr light-stem variant.
+    Stemmer vocab-exact (20,628 entries)."""
+    from .lang import NORWEGIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", NORWEGIAN_STOP_WORDS)
+    return StandardAnalyzer(stem="norwegian_snowball", **kw)
+
+
+def RussianSnowballAnalyzer(**kw) -> StandardAnalyzer:
+    """The reference RussianAnalyzer's DEFAULT chain (``ru/RussianAnalyzer.
+    java:99-107``: SnowballFilter(RussianStemmer)); the `RussianAnalyzer`
+    preset keeps the Solr light-stem variant. Stemmer vocab-exact
+    (49,673 entries)."""
+    from .lang import RUSSIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", RUSSIAN_STOP_WORDS)
+    return StandardAnalyzer(stem="russian_snowball", **kw)
+
+
 def DanishAnalyzer(**kw) -> StandardAnalyzer:
     """DanishAnalyzer preset (``analysis/common/.../da/DanishAnalyzer.java:
     118-126``): lowercase → stop(snowball Danish) → [keyword marker] →
@@ -791,6 +824,15 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "romanian":
         from .snowball import romanian_stem
         stem_fns["romanian"] = romanian_stem
+    elif analyzer.stem == "swedish_snowball":
+        from .snowball import swedish_stem
+        stem_fns["swedish_snowball"] = swedish_stem
+    elif analyzer.stem == "norwegian_snowball":
+        from .snowball import norwegian_stem
+        stem_fns["norwegian_snowball"] = norwegian_stem
+    elif analyzer.stem == "russian_snowball":
+        from .snowball import russian_stem
+        stem_fns["russian_snowball"] = russian_stem
     elif analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
     if analyzer.stem is not None:

@@ -1828,6 +1828,47 @@ SNOWBALL_RO_MAP = [
     ("data", "problemelor", "problem"),
     ("window", "activităţii", "activ"),
 ]
+SNOWBALL_SV_MAP = [
+    ("table", "abborrar", "abborr"),
+    ("value", "abborrpinne", "abborrpin"),
+    ("merge", "abrahams", "abraham"),
+    ("filter", "abskons", "abskon"),
+    ("order", "ackompanjerade", "ackompanjer"),
+    ("customer", "adelsfröken", "adelsfrök"),
+    ("data", "adelskalendern", "adelskalend"),
+    ("line", "adelskalendrar", "adelskalendr"),
+    ("vector", "adelskapen", "adelskap"),
+]
+SNOWBALL_NO_MAP = [
+    ("table", "aabakken", "aabakk"),
+    ("value", "aarbakke", "aarbakk"),
+    ("merge", "abitazione", "abitazion"),
+    ("filter", "ablegøyer", "ablegøy"),
+    ("order", "absorberes", "absorber"),
+    ("customer", "adgangen", "adgang"),
+    ("data", "adkomstdokumenter", "adkomstdokument"),
+    ("line", "adkomsten", "adkomst"),
+]
+SNOWBALL_RU_MAP = [
+    ("table", "абиссинию", "абиссин"),
+    ("value", "абонемента", "абонемент"),
+    ("merge", "абонировался", "абонирова"),
+    ("filter", "абонируйся", "абонир"),
+    ("order", "абрикосы", "абрикос"),
+    ("customer", "августа", "август"),
+]
+SNOWBALL_SV_SPECS = [
+    {"qid": f"svsb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_SV_MAP[:4]
+]
+SNOWBALL_NO_SPECS = [
+    {"qid": f"nosb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_NO_MAP[:4]
+]
+SNOWBALL_RU_SPECS = [
+    {"qid": f"rusb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_RU_MAP[:4]
+]
 SNOWBALL_DA_SPECS = [
     {"qid": f"da_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in SNOWBALL_DA_MAP[:4]
@@ -2108,6 +2149,63 @@ def ft_romanian(sf_dir: str) -> pa.Table:
             sf_dir, "romanian", RomanianAnalyzer(char_filters=cf)
         ),
         SNOWBALL_RO_SPECS,
+    )
+
+
+def ft_swedish_snowball(sf_dir: str) -> pa.Table:
+    """The reference SwedishAnalyzer's DEFAULT Snowball chain
+    (``sv/SwedishAnalyzer.java:122`` SnowballFilter(SwedishStemmer) — the
+    `ft_swedish` entry covers the Solr light-stem variant). Map-oracle
+    pattern as ft_danish; stems from the reference's vocab ground truth.
+    BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import SwedishSnowballAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in SNOWBALL_SV_MAP
+    )
+    return _variant_topk(
+        get_searcher_variant(
+            sf_dir, "swedish_sb", SwedishSnowballAnalyzer(char_filters=cf)
+        ),
+        SNOWBALL_SV_SPECS,
+    )
+
+
+def ft_norwegian_snowball(sf_dir: str) -> pa.Table:
+    """The reference NorwegianAnalyzer's DEFAULT Snowball chain
+    (``no/NorwegianAnalyzer.java:118`` SnowballFilter(NorwegianStemmer) —
+    `ft_norwegian` covers the light variant). Map-oracle pattern; BM25
+    top-k, exact float64 scores."""
+    from ..analysis.tokenizer import NorwegianSnowballAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in SNOWBALL_NO_MAP
+    )
+    return _variant_topk(
+        get_searcher_variant(
+            sf_dir, "norwegian_sb", NorwegianSnowballAnalyzer(char_filters=cf)
+        ),
+        SNOWBALL_NO_SPECS,
+    )
+
+
+def ft_russian_snowball(sf_dir: str) -> pa.Table:
+    """The reference RussianAnalyzer's DEFAULT Snowball chain
+    (``ru/RussianAnalyzer.java:105`` SnowballFilter(RussianStemmer)).
+    Cyrillic forms are injected via the corpus map, driving UTF-8 terms
+    through tokenizer → stemmer → term dict → BM25; ASCII corpus words
+    have no Cyrillic vowel so the stemmer is identity on them (fixpoint
+    pinned in tests). Exact float64 scores."""
+    from ..analysis.tokenizer import RussianSnowballAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in SNOWBALL_RU_MAP
+    )
+    return _variant_topk(
+        get_searcher_variant(
+            sf_dir, "russian_sb", RussianSnowballAnalyzer(char_filters=cf)
+        ),
+        SNOWBALL_RU_SPECS,
     )
 
 

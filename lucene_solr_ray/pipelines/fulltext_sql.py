@@ -1614,6 +1614,33 @@ def prelude_romanian() -> str:
     return _prelude_snowball(ROMANIAN_STOP_WORDS, SNOWBALL_RO_MAP)
 
 
+def prelude_swedish_snowball() -> str:
+    """Snowball SwedishAnalyzer oracle (sv/SwedishAnalyzer.java default
+    chain)."""
+    from ..analysis.lang import SWEDISH_STOP_WORDS
+    from .fulltext import SNOWBALL_SV_MAP
+
+    return _prelude_snowball(SWEDISH_STOP_WORDS, SNOWBALL_SV_MAP)
+
+
+def prelude_norwegian_snowball() -> str:
+    """Snowball NorwegianAnalyzer oracle (no/NorwegianAnalyzer.java
+    default chain)."""
+    from ..analysis.lang import NORWEGIAN_STOP_WORDS
+    from .fulltext import SNOWBALL_NO_MAP
+
+    return _prelude_snowball(NORWEGIAN_STOP_WORDS, SNOWBALL_NO_MAP)
+
+
+def prelude_russian_snowball() -> str:
+    """Snowball RussianAnalyzer oracle (ru/RussianAnalyzer.java default
+    chain); the map injects Cyrillic forms."""
+    from ..analysis.lang import RUSSIAN_STOP_WORDS
+    from .fulltext import SNOWBALL_RU_MAP
+
+    return _prelude_snowball(RUSSIAN_STOP_WORDS, SNOWBALL_RU_MAP)
+
+
 def prelude_decompound() -> str:
     """DictionaryCompoundWordTokenFilter oracle: kept originals (the norm
     anchors) plus every dictionary subword of length 2..15 found at any

@@ -2,7 +2,7 @@
 ground-truth vocabularies: Danish / Dutch / Romanian word→stem tables in
 ``analysis/snowball/TestSnowballVocabData.zip`` (the data the reference's
 TestSnowballVocab asserts against), checked exhaustively bit-for-bit
-(23,829 / 45,669 / 22,570 entries)."""
+(da 23,829 / nl 45,669 / ro 22,570 / sv 30,623 / no 20,628 / ru 49,673 entries)."""
 
 import io
 import os
@@ -17,7 +17,10 @@ from lucene_solr_ray.analysis.snowball import (
     danish_stem,
     dutch_analyzer_stem,
     dutch_stem,
+    norwegian_stem,
     romanian_stem,
+    russian_stem,
+    swedish_stem,
 )
 from lucene_solr_ray.analysis.tokenizer import (
     DanishAnalyzer,
@@ -47,6 +50,9 @@ def _vocab(lang: str):
         ("danish", danish_stem, 23829),
         ("dutch", dutch_stem, 45669),
         ("romanian", romanian_stem, 22570),
+        ("swedish", swedish_stem, 30623),
+        ("norwegian", norwegian_stem, 20628),
+        ("russian", russian_stem, 49673),
     ],
 )
 def test_snowball_full_reference_vocabulary(lang, fn, count):
@@ -102,10 +108,24 @@ def test_snowball_oracle_fixpoint_assumption():
         "order", "part", "query", "row", "scan", "slow", "small", "sort",
         "spark", "stream", "table", "the", "value", "vector", "window",
     ]
+    from lucene_solr_ray.analysis.lang import (
+        NORWEGIAN_STOP_WORDS,
+        RUSSIAN_STOP_WORDS,
+        SWEDISH_STOP_WORDS,
+    )
+    from lucene_solr_ray.pipelines.fulltext import (
+        SNOWBALL_NO_MAP,
+        SNOWBALL_RU_MAP,
+        SNOWBALL_SV_MAP,
+    )
+
     for fn, word_map, stops in [
         (danish_stem, SNOWBALL_DA_MAP, DANISH_STOP_WORDS),
         (dutch_analyzer_stem, SNOWBALL_NL_MAP, DUTCH_STOP_WORDS),
         (romanian_stem, SNOWBALL_RO_MAP, ROMANIAN_STOP_WORDS),
+        (swedish_stem, SNOWBALL_SV_MAP, SWEDISH_STOP_WORDS),
+        (norwegian_stem, SNOWBALL_NO_MAP, NORWEGIAN_STOP_WORDS),
+        (russian_stem, SNOWBALL_RU_MAP, RUSSIAN_STOP_WORDS),
     ]:
         mapped = {w for w, _d, _s in word_map}
         leaks = [
