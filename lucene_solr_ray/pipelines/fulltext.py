@@ -1857,6 +1857,23 @@ SNOWBALL_RU_MAP = [
     ("order", "абрикосы", "абрикос"),
     ("customer", "августа", "август"),
 ]
+#: Porter2 corpus map: altered corpus words carry their published vocab
+#: ground truth directly (identity injection); 'merge' has no vocab row so
+#: it is replaced by 'merging' (vocab: merg); two extra injections
+#: exercise the gener- R1 exception and a long -ation chain.
+PORTER2_MAP = [
+    ("customer", "customer", "custom"),
+    ("query", "query", "queri"),
+    ("table", "table", "tabl"),
+    ("value", "value", "valu"),
+    ("merge", "merging", "merg"),
+    ("order", "generously", "generous"),
+    ("line", "consideration", "consider"),
+]
+PORTER2_SPECS = [
+    {"qid": f"p2_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in PORTER2_MAP[:6]
+]
 SNOWBALL_SV_SPECS = [
     {"qid": f"svsb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in SNOWBALL_SV_MAP[:4]
@@ -2149,6 +2166,25 @@ def ft_romanian(sf_dir: str) -> pa.Table:
             sf_dir, "romanian", RomanianAnalyzer(char_filters=cf)
         ),
         SNOWBALL_RO_SPECS,
+    )
+
+
+def ft_porter2(sf_dir: str) -> pa.Table:
+    """Snowball English "Porter2" chain (SnowballPorterFilterFactory
+    language=English; EnglishStemmer.java) — distinct from ft entries
+    using the classic 1980 Porter. Map-oracle via the published english
+    vocab ground truth. BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import EnglishSnowballAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d)
+        for w, d, _s in PORTER2_MAP if w != d
+    )
+    return _variant_topk(
+        get_searcher_variant(
+            sf_dir, "porter2", EnglishSnowballAnalyzer(char_filters=cf)
+        ),
+        PORTER2_SPECS,
     )
 
 

@@ -1614,6 +1614,15 @@ def prelude_romanian() -> str:
     return _prelude_snowball(ROMANIAN_STOP_WORDS, SNOWBALL_RO_MAP)
 
 
+def prelude_porter2() -> str:
+    """Porter2 English oracle: default English stop list, stems via the
+    published english vocab ground truth."""
+    from ..analysis.tokenizer import ENGLISH_STOP_WORDS
+    from .fulltext import PORTER2_MAP
+
+    return _prelude_snowball(ENGLISH_STOP_WORDS, PORTER2_MAP)
+
+
 def prelude_swedish_snowball() -> str:
     """Snowball SwedishAnalyzer oracle (sv/SwedishAnalyzer.java default
     chain)."""

@@ -18,6 +18,7 @@ from lucene_solr_ray.analysis.snowball import (
     dutch_analyzer_stem,
     dutch_stem,
     norwegian_stem,
+    porter2_stem,
     romanian_stem,
     russian_stem,
     swedish_stem,
@@ -53,6 +54,7 @@ def _vocab(lang: str):
         ("swedish", swedish_stem, 30623),
         ("norwegian", norwegian_stem, 20628),
         ("russian", russian_stem, 49673),
+        ("english", porter2_stem, 29417),
     ],
 )
 def test_snowball_full_reference_vocabulary(lang, fn, count):
@@ -113,7 +115,9 @@ def test_snowball_oracle_fixpoint_assumption():
         RUSSIAN_STOP_WORDS,
         SWEDISH_STOP_WORDS,
     )
+    from lucene_solr_ray.analysis.tokenizer import ENGLISH_STOP_WORDS
     from lucene_solr_ray.pipelines.fulltext import (
+        PORTER2_MAP,
         SNOWBALL_NO_MAP,
         SNOWBALL_RU_MAP,
         SNOWBALL_SV_MAP,
@@ -126,6 +130,7 @@ def test_snowball_oracle_fixpoint_assumption():
         (swedish_stem, SNOWBALL_SV_MAP, SWEDISH_STOP_WORDS),
         (norwegian_stem, SNOWBALL_NO_MAP, NORWEGIAN_STOP_WORDS),
         (russian_stem, SNOWBALL_RU_MAP, RUSSIAN_STOP_WORDS),
+        (porter2_stem, PORTER2_MAP, ENGLISH_STOP_WORDS),
     ]:
         mapped = {w for w, _d, _s in word_map}
         leaks = [
