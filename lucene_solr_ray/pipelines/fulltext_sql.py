@@ -1650,6 +1650,24 @@ def prelude_russian_snowball() -> str:
     return _prelude_snowball(RUSSIAN_STOP_WORDS, SNOWBALL_RU_MAP)
 
 
+def prelude_finnish_snowball() -> str:
+    """Snowball FinnishAnalyzer oracle (fi/FinnishAnalyzer.java default
+    chain)."""
+    from ..analysis.lang import FINNISH_STOP_WORDS
+    from .fulltext import SNOWBALL_FI_MAP
+
+    return _prelude_snowball(FINNISH_STOP_WORDS, SNOWBALL_FI_MAP)
+
+
+def prelude_hungarian_snowball() -> str:
+    """Snowball HungarianAnalyzer oracle (hu/HungarianAnalyzer.java
+    default chain)."""
+    from ..analysis.lang import HUNGARIAN_STOP_WORDS
+    from .fulltext import SNOWBALL_HU_MAP
+
+    return _prelude_snowball(HUNGARIAN_STOP_WORDS, SNOWBALL_HU_MAP)
+
+
 def prelude_decompound() -> str:
     """DictionaryCompoundWordTokenFilter oracle: kept originals (the norm
     anchors) plus every dictionary subword of length 2..15 found at any

@@ -16,6 +16,8 @@ from lucene_solr_ray.analysis.snowball import (
     ROMANIAN_STOP_WORDS,
     danish_stem,
     dutch_analyzer_stem,
+    finnish_snowball_stem,
+    hungarian_snowball_stem,
     dutch_stem,
     norwegian_stem,
     porter2_stem,
@@ -55,6 +57,8 @@ def _vocab(lang: str):
         ("norwegian", norwegian_stem, 20628),
         ("russian", russian_stem, 49673),
         ("english", porter2_stem, 29417),
+        ("finnish", finnish_snowball_stem, 50000),
+        ("hungarian", hungarian_snowball_stem, 30000),
     ],
 )
 def test_snowball_full_reference_vocabulary(lang, fn, count):
@@ -111,6 +115,8 @@ def test_snowball_oracle_fixpoint_assumption():
         "spark", "stream", "table", "the", "value", "vector", "window",
     ]
     from lucene_solr_ray.analysis.lang import (
+        FINNISH_STOP_WORDS,
+        HUNGARIAN_STOP_WORDS,
         NORWEGIAN_STOP_WORDS,
         RUSSIAN_STOP_WORDS,
         SWEDISH_STOP_WORDS,
@@ -118,6 +124,8 @@ def test_snowball_oracle_fixpoint_assumption():
     from lucene_solr_ray.analysis.tokenizer import ENGLISH_STOP_WORDS
     from lucene_solr_ray.pipelines.fulltext import (
         PORTER2_MAP,
+        SNOWBALL_FI_MAP,
+        SNOWBALL_HU_MAP,
         SNOWBALL_NO_MAP,
         SNOWBALL_RU_MAP,
         SNOWBALL_SV_MAP,
@@ -131,6 +139,8 @@ def test_snowball_oracle_fixpoint_assumption():
         (norwegian_stem, SNOWBALL_NO_MAP, NORWEGIAN_STOP_WORDS),
         (russian_stem, SNOWBALL_RU_MAP, RUSSIAN_STOP_WORDS),
         (porter2_stem, PORTER2_MAP, ENGLISH_STOP_WORDS),
+        (finnish_snowball_stem, SNOWBALL_FI_MAP, FINNISH_STOP_WORDS),
+        (hungarian_snowball_stem, SNOWBALL_HU_MAP, HUNGARIAN_STOP_WORDS),
     ]:
         mapped = {w for w, _d, _s in word_map}
         leaks = [
