@@ -1277,3 +1277,655 @@ def hungarian_snowball_stem(word):
 
     return word
 
+
+
+# ---------------------------------------------------------------------------
+# German / German2 (org/tartarus/snowball/ext/German{,2}Stemmer.java;
+# published algorithm https://snowballstem.org/algorithms/german/)
+# ---------------------------------------------------------------------------
+
+_DE_V = frozenset("aeiouyäöü")
+_DE_S_END = frozenset("bdfghklmnrt")
+_DE_ST_END = frozenset("bdfghklmnt")
+_DE_POST = str.maketrans({"Y": "y", "U": "u", "ä": "a", "ö": "o", "ü": "u"})
+
+
+def _de_prelude(word: str) -> str:
+    # ß→ss, then protect intervocalic u/y from being treated as vowels
+    word = word.replace("ß", "ss")
+    chars = list(word)
+    n = len(chars)
+    for k in range(1, n - 1):
+        if chars[k] in "uy" and chars[k - 1] in _DE_V and chars[k + 1] in _DE_V:
+            chars[k] = chars[k].upper()
+    return "".join(chars)
+
+
+def _de_regions(word: str) -> tuple[int, int]:
+    n = len(word)
+    V = _DE_V
+    i = 0
+    while i < n and word[i] not in V:
+        i += 1
+    while i < n and word[i] in V:
+        i += 1
+    p1 = i + 1 if i < n else n
+    i = p1  # p2 continues from the UNclamped p1
+    while i < n and word[i] not in V:
+        i += 1
+    while i < n and word[i] in V:
+        i += 1
+    p2 = i + 1 if i < n else n
+    if p1 < 3:
+        p1 = min(3, n)  # German: R1 starts no earlier than position 3
+    return p1, p2
+
+
+def _de_body(word: str) -> str:
+    p1, p2 = _de_regions(word)
+
+    # step 1 (R1)
+    for sfx in ("ern", "em", "en", "er", "es", "e", "s"):
+        if word.endswith(sfx) and len(word) - len(sfx) >= p1:
+            if sfx == "s":
+                if len(word) >= 2 and word[-2] in _DE_S_END:
+                    word = word[:-1]
+            else:
+                word = word[: -len(sfx)]
+            break
+
+    # step 2 (R1)
+    for sfx in ("est", "en", "er", "st"):
+        if word.endswith(sfx) and len(word) - len(sfx) >= p1:
+            if sfx == "st":
+                cut = len(word) - 2
+                if cut >= 1 and word[cut - 1] in _DE_ST_END and cut - 1 >= 3:
+                    word = word[:-2]
+            else:
+                word = word[: -len(sfx)]
+            break
+
+    # step 3: d-suffixes (R2)
+    for sfx in ("lich", "isch", "heit", "keit", "end", "ung", "ig", "ik"):
+        if word.endswith(sfx) and len(word) - len(sfx) >= p2:
+            if sfx in ("end", "ung"):
+                word = word[: -len(sfx)]
+                if (word.endswith("ig") and not word[:-2].endswith("e")
+                        and len(word) - 2 >= p2):
+                    word = word[:-2]
+            elif sfx in ("ig", "isch", "ik"):
+                if not word[: -len(sfx)].endswith("e"):
+                    word = word[: -len(sfx)]
+            elif sfx in ("lich", "heit"):
+                word = word[: -len(sfx)]
+                for s2 in ("er", "en"):
+                    if word.endswith(s2) and len(word) - 2 >= p1:
+                        word = word[:-2]
+                        break
+            else:  # keit
+                word = word[:-4]
+                for s2 in ("lich", "ig"):
+                    if word.endswith(s2) and len(word) - len(s2) >= p2:
+                        word = word[: -len(s2)]
+                        break
+            break
+
+    return word.translate(_DE_POST)
+
+
+def german_snowball_stem(word: str) -> str:
+    """Snowball German (GermanStemmer.java; vocab-exact, 35,033 entries)."""
+    return _de_body(_de_prelude(word))
+
+
+def _de2_prelude(word: str) -> str:
+    # pass 1: intervocalic u/y → U/Y (before the digraph folding)
+    chars = list(word)
+    n = len(chars)
+    for k in range(1, n - 1):
+        if chars[k] in "uy" and chars[k - 1] in _DE_V and chars[k + 1] in _DE_V:
+            chars[k] = chars[k].upper()
+    word = "".join(chars)
+    # pass 2: fold ae/oe/ue → umlauts, ß → ss; 'qu' protects the next two
+    out = []
+    i = 0
+    n = len(word)
+    while i < n:
+        c = word[i]
+        if c == "q" and i + 1 < n and word[i + 1] == "u":
+            out.append(word[i:i + 4])
+            i += 4
+        elif c == "a" and i + 1 < n and word[i + 1] == "e":
+            out.append("ä")
+            i += 2
+        elif c == "o" and i + 1 < n and word[i + 1] == "e":
+            out.append("ö")
+            i += 2
+        elif c == "u" and i + 1 < n and word[i + 1] == "e":
+            out.append("ü")
+            i += 2
+        elif c == "ß":
+            out.append("ss")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def german2_stem(word: str) -> str:
+    """Snowball German2 variant (German2Stemmer.java: folds ae/oe/ue
+    digraphs in the prelude; vocab-exact, 35,033 entries)."""
+    return _de_body(_de2_prelude(word))
+
+
+# ---------------------------------------------------------------------------
+# Spanish (org/tartarus/snowball/ext/SpanishStemmer.java;
+# https://snowballstem.org/algorithms/spanish/)
+# ---------------------------------------------------------------------------
+
+_ES_V = frozenset("aeiouáéíóúü")
+_ES_POST = str.maketrans("áéíóú", "aeiou")
+_ES_PRONOUNS = sorted(
+    ["la", "sela", "le", "me", "se", "lo", "selo", "las", "selas", "les",
+     "los", "selos", "nos"], key=len, reverse=True)
+#: gerund/infinitive heads before a pronoun: replacement or plain delete
+_ES_PRE_PRON = sorted(
+    [("iéndo", "iendo"), ("ándo", "ando"), ("ár", "ar"), ("ér", "er"),
+     ("ír", "ir"), ("ando", None), ("iendo", None), ("ar", None),
+     ("er", None), ("ir", None), ("yendo", "Y")], key=lambda kv: -len(kv[0]))
+_ES_STD = sorted(
+    [("ica", 1), ("ancia", 2), ("encia", 5), ("adora", 2), ("osa", 1),
+     ("ista", 1), ("iva", 9), ("anza", 1), ("logía", 3), ("idad", 8),
+     ("able", 1), ("ible", 1), ("ante", 2), ("mente", 7), ("amente", 6),
+     ("ación", 2), ("ución", 4), ("ico", 1), ("ismo", 1), ("oso", 1),
+     ("amiento", 1), ("imiento", 1), ("ivo", 9), ("ador", 2), ("icas", 1),
+     ("ancias", 2), ("encias", 5), ("adoras", 2), ("osas", 1), ("istas", 1),
+     ("ivas", 9), ("anzas", 1), ("logías", 3), ("idades", 8), ("ables", 1),
+     ("ibles", 1), ("aciones", 2), ("uciones", 4), ("adores", 2),
+     ("antes", 2), ("icos", 1), ("ismos", 1), ("osos", 1), ("amientos", 1),
+     ("imientos", 1), ("ivos", 9)],
+    key=lambda kv: -len(kv[0]))
+_ES_Y_VERB = sorted(
+    ["ya", "ye", "yan", "yen", "yeron", "yendo", "yo", "yas", "yes",
+     "yais", "yamos", "yó"], key=len, reverse=True)
+_ES_VERB = sorted(
+    [("aba", 2), ("ada", 2), ("ida", 2), ("ara", 2), ("iera", 2), ("ía", 2),
+     ("aría", 2), ("ería", 2), ("iría", 2), ("ad", 2), ("ed", 2), ("id", 2),
+     ("ase", 2), ("iese", 2), ("aste", 2), ("iste", 2), ("an", 2),
+     ("aban", 2), ("aran", 2), ("ieran", 2), ("ían", 2), ("arían", 2),
+     ("erían", 2), ("irían", 2), ("en", 1), ("asen", 2), ("iesen", 2),
+     ("aron", 2), ("ieron", 2), ("arán", 2), ("erán", 2), ("irán", 2),
+     ("ado", 2), ("ido", 2), ("ando", 2), ("iendo", 2), ("ar", 2),
+     ("er", 2), ("ir", 2), ("as", 2), ("abas", 2), ("adas", 2), ("idas", 2),
+     ("aras", 2), ("ieras", 2), ("ías", 2), ("arías", 2), ("erías", 2),
+     ("irías", 2), ("es", 1), ("ases", 2), ("ieses", 2), ("abais", 2),
+     ("arais", 2), ("ierais", 2), ("íais", 2), ("aríais", 2),
+     ("eríais", 2), ("iríais", 2), ("aseis", 2), ("ieseis", 2),
+     ("asteis", 2), ("isteis", 2), ("áis", 2), ("éis", 1), ("aréis", 2),
+     ("eréis", 2), ("iréis", 2), ("ados", 2), ("idos", 2), ("amos", 2),
+     ("ábamos", 2), ("áramos", 2), ("iéramos", 2), ("íamos", 2),
+     ("aríamos", 2), ("eríamos", 2), ("iríamos", 2), ("emos", 1),
+     ("aremos", 2), ("eremos", 2), ("iremos", 2), ("ásemos", 2),
+     ("iésemos", 2), ("imos", 2), ("arás", 2), ("erás", 2), ("irás", 2),
+     ("ís", 2), ("ará", 2), ("erá", 2), ("irá", 2), ("aré", 2), ("eré", 2),
+     ("iré", 2), ("ió", 2)],
+    key=lambda kv: -len(kv[0]))
+_ES_RESIDUAL = sorted(
+    [("a", 1), ("e", 2), ("o", 1), ("os", 1), ("á", 1), ("é", 2),
+     ("í", 1), ("ó", 1)],
+    key=lambda kv: -len(kv[0]))
+
+
+def _rv_std(word: str, V: frozenset) -> int:
+    """Published Spanish-family RV definition (shared by es/pt/it)."""
+    n = len(word)
+    if n == 0:
+        return n
+    if word[0] in V:
+        if n >= 2 and word[1] not in V:
+            for i in range(2, n):
+                if word[i] in V:
+                    return i + 1
+            return n
+        for i in range(2, n):
+            if word[i] not in V:
+                return i + 1
+        return n
+    if n >= 2 and word[1] not in V:
+        for i in range(2, n):
+            if word[i] in V:
+                return i + 1
+        return n
+    return 3 if n >= 3 else n
+
+
+def _r12_std(word: str, V: frozenset) -> tuple[int, int]:
+    n = len(word)
+    i = 0
+    while i < n and word[i] not in V:
+        i += 1
+    while i < n and word[i] in V:
+        i += 1
+    p1 = i + 1 if i < n else n
+    i = p1
+    while i < n and word[i] not in V:
+        i += 1
+    while i < n and word[i] in V:
+        i += 1
+    p2 = i + 1 if i < n else n
+    return p1, p2
+
+
+def spanish_snowball_stem(word: str) -> str:
+    """Snowball Spanish (SpanishStemmer.java; vocab-exact, 28,377)."""
+    pV = _rv_std(word, _ES_V)
+    p1, p2 = _r12_std(word, _ES_V)
+
+    # step 0: attached pronoun
+    for pron in _ES_PRONOUNS:
+        if word.endswith(pron):
+            base = word[: -len(pron)]
+            for head, repl in _ES_PRE_PRON:
+                if base.endswith(head):
+                    if len(base) - len(head) >= pV:
+                        if repl == "Y":  # yendo: needs preceding 'u'
+                            if base[: -len(head)].endswith("u"):
+                                word = base
+                        elif repl is None:
+                            word = base
+                        else:
+                            word = base[: -len(head)] + repl
+                    break
+            break
+
+    changed = False
+    # step 1: standard suffix
+    for sfx, action in _ES_STD:
+        if word.endswith(sfx):
+            cut = len(word) - len(sfx)
+            if action == 6:  # amente: R1
+                if cut < p1:
+                    break
+                word = word[:cut]
+                changed = True
+                for s2 in ("ic", "ad", "os", "iv"):
+                    if word.endswith(s2) and len(word) - 2 >= p2:
+                        word = word[:-2]
+                        if (s2 == "iv" and word.endswith("at")
+                                and len(word) - 2 >= p2):
+                            word = word[:-2]
+                        break
+                break
+            if cut < p2:
+                break
+            changed = True
+            if action == 1:
+                word = word[:cut]
+            elif action == 2:
+                word = word[:cut]
+                if word.endswith("ic") and len(word) - 2 >= p2:
+                    word = word[:-2]
+            elif action == 3:
+                word = word[:cut] + "log"
+            elif action == 4:
+                word = word[:cut] + "u"
+            elif action == 5:
+                word = word[:cut] + "ente"
+            elif action == 7:  # mente
+                word = word[:cut]
+                for s2 in ("able", "ible", "ante"):
+                    if word.endswith(s2) and len(word) - len(s2) >= p2:
+                        word = word[: -len(s2)]
+                        break
+            elif action == 8:  # idad(es)
+                word = word[:cut]
+                for s2 in ("abil", "ic", "iv"):
+                    if word.endswith(s2) and len(word) - len(s2) >= p2:
+                        word = word[: -len(s2)]
+                        break
+            else:  # 9: iva(s)/ivo(s)
+                word = word[:cut]
+                if word.endswith("at") and len(word) - 2 >= p2:
+                    word = word[:-2]
+            break
+
+    # step 2: verb suffixes (only when step 1 did nothing)
+    if not changed:
+        done = False
+        for sfx in _ES_Y_VERB:
+            if word.endswith(sfx):
+                cut = len(word) - len(sfx)
+                if cut < pV:
+                    continue
+                if cut >= 1 and word[cut - 1] == "u":
+                    word = word[:cut]
+                    done = True
+                break
+        if not done:
+            for sfx, action in _ES_VERB:
+                if word.endswith(sfx):
+                    cut = len(word) - len(sfx)
+                    if cut < pV:
+                        continue
+                    if action == 1 and word[:cut].endswith("gu"):
+                        word = word[:cut - 1]
+                    else:
+                        word = word[:cut]
+                    break
+
+    # step 3: residual suffix (RV)
+    for sfx, action in _ES_RESIDUAL:
+        if word.endswith(sfx):
+            cut = len(word) - len(sfx)
+            if cut < pV:
+                break
+            word = word[:cut]
+            if (action == 2 and word.endswith("u") and len(word) >= 2
+                    and word[-2] == "g" and len(word) - 1 >= pV):
+                word = word[:-1]
+            break
+
+    return word.translate(_ES_POST)
+
+
+# ---------------------------------------------------------------------------
+# Portuguese (org/tartarus/snowball/ext/PortugueseStemmer.java;
+# https://snowballstem.org/algorithms/portuguese/)
+# ---------------------------------------------------------------------------
+
+_PT_V = frozenset("aeiouáâéêíóôú")
+
+_PT_STD = sorted(
+    [("ica", 1), ("ância", 1), ("ência", 4), ("ira", 9), ("adora", 1),
+     ("osa", 1), ("ista", 1), ("iva", 8), ("eza", 1), ("logía", 2),
+     ("idade", 7), ("ante", 1), ("mente", 6), ("amente", 5), ("ável", 1),
+     ("ível", 1), ("ución", 3), ("ico", 1), ("ismo", 1), ("oso", 1),
+     ("amento", 1), ("imento", 1), ("ivo", 8), ("aça~o", 1), ("ador", 1),
+     ("icas", 1), ("ências", 4), ("iras", 9), ("adoras", 1), ("osas", 1),
+     ("istas", 1), ("ivas", 8), ("ezas", 1), ("logías", 2), ("idades", 7),
+     ("uciones", 3), ("adores", 1), ("antes", 1), ("aço~es", 1),
+     ("icos", 1), ("ismos", 1), ("osos", 1), ("amentos", 1),
+     ("imentos", 1), ("ivos", 8)],
+    key=lambda kv: -len(kv[0]))
+_PT_VERB = sorted(
+    ["aríamos", "eríamos", "iríamos", "ássemos", "êssemos", "íssemos",
+     "ásseis", "ésseis", "ísseis", "aríeis", "eríeis", "iríeis", "áramos",
+     "éramos", "íramos", "ávamos", "aremos", "eremos", "iremos", "ariam",
+     "eriam", "iriam", "assem", "essem", "issem", "ara~o", "era~o",
+     "ira~o", "arias", "erias", "irias", "ardes", "erdes", "irdes",
+     "asses", "esses", "isses", "astes", "estes", "istes", "areis",
+     "ereis", "ireis", "áreis", "éreis", "íreis", "áveis", "íamos",
+     "armos", "ermos", "irmos", "aria", "eria", "iria", "asse", "esse",
+     "isse", "aste", "este", "iste", "arei", "erei", "irei", "aram",
+     "eram", "iram", "avam", "arem", "erem", "irem", "ando", "endo",
+     "indo", "adas", "idas", "aras", "eras", "iras", "avas", "ares",
+     "eres", "ires", "íeis", "ados", "idos", "amos", "emos", "imos",
+     "ámos", "arás", "erás", "irás", "ada", "ida", "ara", "era", "ira",
+     "ava", "iam", "ado", "ido", "ias", "ais", "eis", "ará", "erá",
+     "irá", "ia", "ei", "am", "em", "ar", "er", "ir", "as", "es", "is",
+     "eu", "iu", "ou"],
+    key=len, reverse=True)
+_PT_RESIDUAL = sorted(["a", "i", "o", "os", "á", "í", "ó"],
+                      key=len, reverse=True)
+
+
+def _pt_prelude(word: str) -> str:
+    return word.replace("ã", "a~").replace("õ", "o~")
+
+
+def _pt_postlude(word: str) -> str:
+    return word.replace("a~", "ã").replace("o~", "õ")
+
+
+def portuguese_snowball_stem(word: str) -> str:
+    """Snowball Portuguese (PortugueseStemmer.java; vocab-exact, 32,016).
+    Distinct from the RSLP / light / minimal Portuguese stemmers."""
+    word = _pt_prelude(word)
+    pV = _rv_std(word, _PT_V)
+    p1, p2 = _r12_std(word, _PT_V)
+
+    changed = False
+    # step 1: standard suffix
+    for sfx, action in _PT_STD:
+        if word.endswith(sfx):
+            cut = len(word) - len(sfx)
+            if action == 5:  # amente: R1
+                if cut < p1:
+                    break
+                word = word[:cut]
+                changed = True
+                for s2 in ("ic", "ad", "os", "iv"):
+                    if word.endswith(s2) and len(word) - 2 >= p2:
+                        word = word[:-2]
+                        if (s2 == "iv" and word.endswith("at")
+                                and len(word) - 2 >= p2):
+                            word = word[:-2]
+                        break
+                break
+            if action == 9:  # (e)ira(s) → ir: RV and preceded by 'e'
+                if cut >= pV and cut >= 1 and word[cut - 1] == "e":
+                    word = word[:cut] + "ir"
+                    changed = True
+                break
+            if cut < p2:
+                break
+            changed = True
+            if action == 1:
+                word = word[:cut]
+            elif action == 2:
+                word = word[:cut] + "log"
+            elif action == 3:
+                word = word[:cut] + "u"
+            elif action == 4:
+                word = word[:cut] + "ente"
+            elif action == 6:  # mente
+                word = word[:cut]
+                for s2 in ("ante", "avel", "ível"):
+                    if word.endswith(s2) and len(word) - len(s2) >= p2:
+                        word = word[: -len(s2)]
+                        break
+            elif action == 7:  # idade(s)
+                word = word[:cut]
+                for s2 in ("abil", "ic", "iv"):
+                    if word.endswith(s2) and len(word) - len(s2) >= p2:
+                        word = word[: -len(s2)]
+                        break
+            else:  # 8: iva(s)/ivo(s)
+                word = word[:cut]
+                if word.endswith("at") and len(word) - 2 >= p2:
+                    word = word[:-2]
+            break
+
+    # step 2: verb suffix (only when step 1 did not change the word)
+    if not changed:
+        for sfx in _PT_VERB:
+            if word.endswith(sfx):
+                cut = len(word) - len(sfx)
+                if cut < pV:
+                    continue
+                word = word[:cut]
+                changed = True
+                break
+
+    if changed:
+        # step 3: final i preceded by c (RV)
+        if (word.endswith("i") and len(word) >= 2 and word[-2] == "c"
+                and len(word) - 1 >= pV):
+            word = word[:-1]
+    else:
+        # step 4: residual suffix (RV)
+        for sfx in _PT_RESIDUAL:
+            if word.endswith(sfx) and len(word) - len(sfx) >= pV:
+                word = word[: -len(sfx)]
+                break
+
+    # step 5: residual form
+    if word and word[-1] in "eéê":
+        if len(word) - 1 >= pV:
+            word = word[:-1]
+            if ((word.endswith("gu") or word.endswith("ci"))
+                    and len(word) - 1 >= pV):
+                word = word[:-1]
+    elif word.endswith("ç"):
+        word = word[:-1] + "c"
+
+    return _pt_postlude(word)
+
+
+# ---------------------------------------------------------------------------
+# Italian (org/tartarus/snowball/ext/ItalianStemmer.java;
+# https://snowballstem.org/algorithms/italian/)
+# ---------------------------------------------------------------------------
+
+_IT_V = frozenset("aeiouàèìòù")
+_IT_AEIO = frozenset("aeioàèìò")
+_IT_ACCENT = str.maketrans("áéíóú", "àèìòù")
+_IT_PRONOUNS = sorted(
+    ["la", "cela", "gliela", "mela", "tela", "vela", "le", "cele",
+     "gliele", "mele", "tele", "vele", "ne", "cene", "gliene", "mene",
+     "sene", "tene", "vene", "ci", "li", "celi", "glieli", "meli",
+     "teli", "veli", "gli", "mi", "si", "ti", "vi", "lo", "celo",
+     "glielo", "melo", "telo", "velo"],
+    key=len, reverse=True)
+_IT_STD = sorted(
+    [("ica", 1), ("logia", 3), ("osa", 1), ("ista", 1), ("iva", 9),
+     ("anza", 1), ("enza", 5), ("ice", 1), ("atrice", 1), ("iche", 1),
+     ("logie", 3), ("abile", 1), ("ibile", 1), ("usione", 4),
+     ("azione", 2), ("uzione", 4), ("atore", 2), ("ose", 1), ("ante", 1),
+     ("mente", 1), ("amente", 7), ("iste", 1), ("ive", 9), ("anze", 1),
+     ("enze", 5), ("ici", 1), ("atrici", 1), ("ichi", 1), ("abili", 1),
+     ("ibili", 1), ("ismi", 1), ("usioni", 4), ("azioni", 2),
+     ("uzioni", 4), ("atori", 2), ("osi", 1), ("anti", 1), ("amenti", 6),
+     ("imenti", 6), ("isti", 1), ("ivi", 9), ("ico", 1), ("ismo", 1),
+     ("oso", 1), ("amento", 6), ("imento", 6), ("ivo", 9), ("ità", 8),
+     ("istà", 1), ("istè", 1), ("istì", 1)],
+    key=lambda kv: -len(kv[0]))
+_IT_VERB = sorted(
+    ["isca", "enda", "ata", "ita", "uta", "ava", "eva", "iva", "erebbe",
+     "irebbe", "isce", "ende", "are", "ere", "ire", "asse", "ate",
+     "avate", "evate", "ivate", "ete", "erete", "irete", "ite",
+     "ereste", "ireste", "ute", "erai", "irai", "isci", "endi", "erei",
+     "irei", "assi", "ati", "iti", "eresti", "iresti", "uti", "avi",
+     "evi", "ivi", "isco", "ando", "endo", "Yamo", "iamo", "avamo",
+     "evamo", "ivamo", "eremo", "iremo", "assimo", "ammo", "emmo",
+     "eremmo", "iremmo", "immo", "ano", "iscano", "avano", "evano",
+     "ivano", "eranno", "iranno", "ono", "iscono", "arono", "erono",
+     "irono", "erebbero", "irebbero", "assero", "essero", "issero",
+     "ato", "ito", "uto", "avo", "evo", "ivo", "ar", "ir", "erà",
+     "irà", "erò", "irò"],
+    key=len, reverse=True)
+
+
+def _it_prelude(word: str) -> str:
+    word = word.translate(_IT_ACCENT)
+    out = []
+    i, n = 0, len(word)
+    while i < n:
+        if word[i] == "q" and i + 1 < n and word[i + 1] == "u":
+            out.append("qU")
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    word = "".join(out)
+    chars = list(word)
+    n = len(chars)
+    for k in range(1, n - 1):
+        if chars[k] in "ui" and chars[k - 1] in _IT_V and chars[k + 1] in _IT_V:
+            chars[k] = chars[k].upper()
+    return "".join(chars)
+
+
+def italian_snowball_stem(word: str) -> str:
+    """Snowball Italian (ItalianStemmer.java; vocab-exact, 35,494)."""
+    word = _it_prelude(word)
+    pV = _rv_std(word, _IT_V)
+    p1, p2 = _r12_std(word, _IT_V)
+
+    # step 0: attached pronoun
+    for pron in _IT_PRONOUNS:
+        if word.endswith(pron):
+            base = word[: -len(pron)]
+            for head in ("ando", "endo", "ar", "er", "ir"):
+                if base.endswith(head):
+                    if len(base) - len(head) >= pV:
+                        if head in ("ando", "endo"):
+                            word = base
+                        else:
+                            word = base + "e"
+                    break
+            break
+
+    changed = False
+    # step 1: standard suffix
+    for sfx, action in _IT_STD:
+        if word.endswith(sfx):
+            cut = len(word) - len(sfx)
+            if action == 6:  # amento/amenti/imento/imenti: RV
+                if cut >= pV:
+                    word = word[:cut]
+                    changed = True
+                break
+            if action == 7:  # amente: R1
+                if cut < p1:
+                    break
+                word = word[:cut]
+                changed = True
+                for s2 in ("abil", "ic", "os", "iv"):
+                    if word.endswith(s2) and len(word) - len(s2) >= p2:
+                        word = word[: -len(s2)]
+                        if (s2 == "iv" and word.endswith("at")
+                                and len(word) - 2 >= p2):
+                            word = word[:-2]
+                        break
+                break
+            if cut < p2:
+                break
+            changed = True
+            if action == 1:
+                word = word[:cut]
+            elif action == 2:
+                word = word[:cut]
+                if word.endswith("ic") and len(word) - 2 >= p2:
+                    word = word[:-2]
+            elif action == 3:
+                word = word[:cut] + "log"
+            elif action == 4:
+                word = word[:cut] + "u"
+            elif action == 5:
+                word = word[:cut] + "ente"
+            elif action == 8:  # ità
+                word = word[:cut]
+                for s2 in ("abil", "ic", "iv"):
+                    if word.endswith(s2) and len(word) - len(s2) >= p2:
+                        word = word[: -len(s2)]
+                        break
+            else:  # 9: iva/ive/ivi/ivo
+                word = word[:cut]
+                if word.endswith("at") and len(word) - 2 >= p2:
+                    word = word[:-2]
+                    if word.endswith("ic") and len(word) - 2 >= p2:
+                        word = word[:-2]
+            break
+
+    # step 2: verb suffix (RV) when step 1 did nothing
+    if not changed:
+        for sfx in _IT_VERB:
+            if word.endswith(sfx):
+                cut = len(word) - len(sfx)
+                if cut < pV:
+                    continue
+                word = word[:cut]
+                break
+
+    # step 3a: vowel suffix (RV), then a following i (RV)
+    if word and word[-1] in _IT_AEIO and len(word) - 1 >= pV:
+        word = word[:-1]
+        if word.endswith("i") and len(word) - 1 >= pV:
+            word = word[:-1]
+    # step 3b: final h after c/g (RV measured before the c/g)
+    if word.endswith(("ch", "gh")) and len(word) - 2 >= pV:
+        word = word[:-1]
+
+    return word.replace("I", "i").replace("U", "u")

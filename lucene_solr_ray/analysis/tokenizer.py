@@ -484,6 +484,59 @@ def HungarianSnowballAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="hungarian_snowball", **kw)
 
 
+def GermanSnowballAnalyzer(**kw) -> StandardAnalyzer:
+    """Snowball German chain as configured by SnowballPorterFilterFactory
+    language=German (``analysis/snowball/SnowballPorterFilterFactory.
+    java``; stemmer ``org/tartarus/snowball/ext/GermanStemmer.java``) with
+    the snowball german stop list — the `GermanAnalyzer` preset keeps the
+    reference default light-stem chain. Stemmer vocab-exact (35,033)."""
+    from .lang import GERMAN_STOP_WORDS
+
+    kw.setdefault("stopwords", GERMAN_STOP_WORDS)
+    return StandardAnalyzer(stem="german_snowball", **kw)
+
+
+def German2SnowballAnalyzer(**kw) -> StandardAnalyzer:
+    """Snowball German2 variant (language=German2; ``org/tartarus/
+    snowball/ext/German2Stemmer.java`` — folds ae/oe/ue digraphs to
+    umlauts in the prelude). Stemmer vocab-exact (35,033)."""
+    from .lang import GERMAN_STOP_WORDS
+
+    kw.setdefault("stopwords", GERMAN_STOP_WORDS)
+    return StandardAnalyzer(stem="german2", **kw)
+
+
+def SpanishSnowballAnalyzer(**kw) -> StandardAnalyzer:
+    """Snowball Spanish chain (language=Spanish; ``org/tartarus/snowball/
+    ext/SpanishStemmer.java``) — the `SpanishAnalyzer` preset keeps the
+    reference default light-stem chain. Stemmer vocab-exact (28,377)."""
+    from .lang import SPANISH_STOP_WORDS
+
+    kw.setdefault("stopwords", SPANISH_STOP_WORDS)
+    return StandardAnalyzer(stem="spanish_snowball", **kw)
+
+
+def PortugueseSnowballAnalyzer(**kw) -> StandardAnalyzer:
+    """Snowball Portuguese chain (language=Portuguese; ``org/tartarus/
+    snowball/ext/PortugueseStemmer.java``) — distinct from the light /
+    minimal / RSLP Portuguese presets. Stemmer vocab-exact (32,016)."""
+    from .lang import PORTUGUESE_STOP_WORDS
+
+    kw.setdefault("stopwords", PORTUGUESE_STOP_WORDS)
+    return StandardAnalyzer(stem="portuguese_snowball", **kw)
+
+
+def ItalianSnowballAnalyzer(**kw) -> StandardAnalyzer:
+    """Snowball Italian chain (language=Italian; ``org/tartarus/snowball/
+    ext/ItalianStemmer.java``) — the `ItalianAnalyzer` preset keeps the
+    reference default elision + light-stem chain. Stemmer vocab-exact
+    (35,494)."""
+    from .lang import ITALIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", ITALIAN_STOP_WORDS)
+    return StandardAnalyzer(stem="italian_snowball", **kw)
+
+
 def DanishAnalyzer(**kw) -> StandardAnalyzer:
     """DanishAnalyzer preset (``analysis/common/.../da/DanishAnalyzer.java:
     118-126``): lowercase → stop(snowball Danish) → [keyword marker] →
@@ -873,6 +926,21 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "hungarian_snowball":
         from .snowball import hungarian_snowball_stem
         stem_fns["hungarian_snowball"] = hungarian_snowball_stem
+    elif analyzer.stem == "german_snowball":
+        from .snowball import german_snowball_stem
+        stem_fns["german_snowball"] = german_snowball_stem
+    elif analyzer.stem == "german2":
+        from .snowball import german2_stem
+        stem_fns["german2"] = german2_stem
+    elif analyzer.stem == "spanish_snowball":
+        from .snowball import spanish_snowball_stem
+        stem_fns["spanish_snowball"] = spanish_snowball_stem
+    elif analyzer.stem == "portuguese_snowball":
+        from .snowball import portuguese_snowball_stem
+        stem_fns["portuguese_snowball"] = portuguese_snowball_stem
+    elif analyzer.stem == "italian_snowball":
+        from .snowball import italian_snowball_stem
+        stem_fns["italian_snowball"] = italian_snowball_stem
     elif analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
     if analyzer.stem is not None:

@@ -1927,6 +1927,75 @@ SNOWBALL_RO_SPECS = [
     {"qid": f"ro_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in SNOWBALL_RO_MAP[:4]
 ]
+SNOWBALL_DE_MAP = [
+    ("table", "abbildung", "abbild"),
+    ("value", "abenddämmerung", "abenddammer"),
+    ("merge", "abbrechen", "abbrech"),
+    ("filter", "aalglatten", "aalglatt"),
+    ("order", "aargauer", "aargau"),
+    ("customer", "abarten", "abart"),
+    ("line", "abende", "abend"),
+]
+#: German2 folds ae/oe/ue digraphs in the prelude; 'aktuell'→'aktull' and
+#: 'anzuerkennen'→'anzurkenn' are German-vs-German2 DISCRIMINATORS (the
+#: plain GermanStemmer leaves them / keeps the 'ue').
+SNOWBALL_DE2_MAP = [
+    ("table", "abbildung", "abbild"),
+    ("value", "aktuell", "aktull"),
+    ("merge", "abbrechen", "abbrech"),
+    ("filter", "aalglatten", "aalglatt"),
+    ("order", "anzuerkennen", "anzurkenn"),
+    ("customer", "abarten", "abart"),
+    ("line", "abende", "abend"),
+]
+SNOWBALL_ES_MAP = [
+    ("table", "abandera", "abander"),
+    ("value", "abaratar", "abarat"),
+    ("merge", "abastece", "abastec"),
+    ("filter", "abarroteros", "abarroter"),
+    ("customer", "abarrotó", "abarrot"),
+    ("data", "abandona", "abandon"),
+    ("line", "abastecedora", "abastecedor"),
+]
+SNOWBALL_PT_MAP = [
+    ("table", "abacaxi", "abacax"),
+    ("value", "abafar", "abaf"),
+    ("merge", "abalada", "abal"),
+    ("filter", "abalroado", "abalro"),
+    ("customer", "abandona", "abandon"),
+    ("data", "abaixa", "abaix"),
+    ("line", "abarrotado", "abarrot"),
+    ("stream", "abastada", "abast"),
+]
+SNOWBALL_IT_MAP = [
+    ("table", "abbacinare", "abbacin"),
+    ("value", "abbagliato", "abbagl"),
+    ("merge", "abbandona", "abbandon"),
+    ("batch", "abbadia", "abbad"),
+    ("data", "abbaini", "abbain"),
+    ("line", "abbaia", "abbai"),
+]
+SNOWBALL_DE_SPECS = [
+    {"qid": f"desb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_DE_MAP[:4]
+]
+SNOWBALL_DE2_SPECS = [
+    {"qid": f"de2_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in (SNOWBALL_DE2_MAP[1], SNOWBALL_DE2_MAP[4],
+                         SNOWBALL_DE2_MAP[0], SNOWBALL_DE2_MAP[2])
+]
+SNOWBALL_ES_SPECS = [
+    {"qid": f"essb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_ES_MAP[:4]
+]
+SNOWBALL_PT_SPECS = [
+    {"qid": f"ptsb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_PT_MAP[:4]
+]
+SNOWBALL_IT_SPECS = [
+    {"qid": f"itsb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_IT_MAP[:4]
+]
 
 #: ft_decompound: compound words injected into the corpus + the dictionary
 #: the DictionaryCompoundWordTokenFilter splits them against
@@ -2307,6 +2376,99 @@ def ft_russian_snowball(sf_dir: str) -> pa.Table:
             sf_dir, "russian_sb", RussianSnowballAnalyzer(char_filters=cf)
         ),
         SNOWBALL_RU_SPECS,
+    )
+
+
+def ft_german_snowball(sf_dir: str) -> pa.Table:
+    """SnowballPorterFilterFactory language=German chain
+    (``org/tartarus/snowball/ext/GermanStemmer.java`` — `ft_german`
+    covers the reference GermanAnalyzer default light-stem chain).
+    Map-oracle pattern as ft_danish; stems are the reference's vocab
+    ground truth. BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import GermanSnowballAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in SNOWBALL_DE_MAP
+    )
+    return _variant_topk(
+        get_searcher_variant(
+            sf_dir, "german_sb", GermanSnowballAnalyzer(char_filters=cf)
+        ),
+        SNOWBALL_DE_SPECS,
+    )
+
+
+def ft_german2(sf_dir: str) -> pa.Table:
+    """SnowballPorterFilterFactory language=German2 chain
+    (``org/tartarus/snowball/ext/German2Stemmer.java``): same body as
+    German but the prelude folds ae/oe/ue digraphs to umlauts. The map
+    injects 'aktuell'→aktull and 'anzuerkennen'→anzurkenn, which the
+    plain German stemmer would NOT produce — pinning the variant.
+    BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import German2SnowballAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in SNOWBALL_DE2_MAP
+    )
+    return _variant_topk(
+        get_searcher_variant(
+            sf_dir, "german2_sb", German2SnowballAnalyzer(char_filters=cf)
+        ),
+        SNOWBALL_DE2_SPECS,
+    )
+
+
+def ft_spanish_snowball(sf_dir: str) -> pa.Table:
+    """SnowballPorterFilterFactory language=Spanish chain
+    (``org/tartarus/snowball/ext/SpanishStemmer.java`` — `ft_spanish`
+    covers the reference SpanishAnalyzer default light-stem chain).
+    Map-oracle pattern; BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import SpanishSnowballAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in SNOWBALL_ES_MAP
+    )
+    return _variant_topk(
+        get_searcher_variant(
+            sf_dir, "spanish_sb", SpanishSnowballAnalyzer(char_filters=cf)
+        ),
+        SNOWBALL_ES_SPECS,
+    )
+
+
+def ft_portuguese_snowball(sf_dir: str) -> pa.Table:
+    """SnowballPorterFilterFactory language=Portuguese chain
+    (``org/tartarus/snowball/ext/PortugueseStemmer.java`` —
+    `ft_portuguese` covers the light chain, `ft_portuguese_rslp` the RSLP
+    one). Map-oracle pattern; BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import PortugueseSnowballAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in SNOWBALL_PT_MAP
+    )
+    return _variant_topk(
+        get_searcher_variant(
+            sf_dir, "portuguese_sb", PortugueseSnowballAnalyzer(char_filters=cf)
+        ),
+        SNOWBALL_PT_SPECS,
+    )
+
+
+def ft_italian_snowball(sf_dir: str) -> pa.Table:
+    """SnowballPorterFilterFactory language=Italian chain
+    (``org/tartarus/snowball/ext/ItalianStemmer.java`` — `ft_italian`
+    covers the reference ItalianAnalyzer default elision + light-stem
+    chain). Map-oracle pattern; BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import ItalianSnowballAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in SNOWBALL_IT_MAP
+    )
+    return _variant_topk(
+        get_searcher_variant(
+            sf_dir, "italian_sb", ItalianSnowballAnalyzer(char_filters=cf)
+        ),
+        SNOWBALL_IT_SPECS,
     )
 
 

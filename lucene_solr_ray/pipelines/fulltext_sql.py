@@ -1650,6 +1650,51 @@ def prelude_russian_snowball() -> str:
     return _prelude_snowball(RUSSIAN_STOP_WORDS, SNOWBALL_RU_MAP)
 
 
+def prelude_german_snowball() -> str:
+    """Snowball German oracle (SnowballPorterFilterFactory
+    language=German; stems from the german vocab ground truth)."""
+    from ..analysis.lang import GERMAN_STOP_WORDS
+    from .fulltext import SNOWBALL_DE_MAP
+
+    return _prelude_snowball(GERMAN_STOP_WORDS, SNOWBALL_DE_MAP)
+
+
+def prelude_german2() -> str:
+    """Snowball German2 oracle (digraph-folding variant; stems from the
+    german2 vocab ground truth)."""
+    from ..analysis.lang import GERMAN_STOP_WORDS
+    from .fulltext import SNOWBALL_DE2_MAP
+
+    return _prelude_snowball(GERMAN_STOP_WORDS, SNOWBALL_DE2_MAP)
+
+
+def prelude_spanish_snowball() -> str:
+    """Snowball Spanish oracle (language=Spanish; stems from the spanish
+    vocab ground truth)."""
+    from ..analysis.lang import SPANISH_STOP_WORDS
+    from .fulltext import SNOWBALL_ES_MAP
+
+    return _prelude_snowball(SPANISH_STOP_WORDS, SNOWBALL_ES_MAP)
+
+
+def prelude_portuguese_snowball() -> str:
+    """Snowball Portuguese oracle (language=Portuguese; stems from the
+    portuguese vocab ground truth)."""
+    from ..analysis.lang import PORTUGUESE_STOP_WORDS
+    from .fulltext import SNOWBALL_PT_MAP
+
+    return _prelude_snowball(PORTUGUESE_STOP_WORDS, SNOWBALL_PT_MAP)
+
+
+def prelude_italian_snowball() -> str:
+    """Snowball Italian oracle (language=Italian; stems from the italian
+    vocab ground truth)."""
+    from ..analysis.lang import ITALIAN_STOP_WORDS
+    from .fulltext import SNOWBALL_IT_MAP
+
+    return _prelude_snowball(ITALIAN_STOP_WORDS, SNOWBALL_IT_MAP)
+
+
 def prelude_finnish_snowball() -> str:
     """Snowball FinnishAnalyzer oracle (fi/FinnishAnalyzer.java default
     chain)."""

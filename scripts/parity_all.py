@@ -13,6 +13,7 @@ import importlib
 entry_mod = importlib.import_module("__ray_entry__")
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+only = set(sys.argv[2:])
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
@@ -21,6 +22,8 @@ Q = entry_mod.queries()
 O = entry_mod.oracle_sql()
 fails = 0
 for name, fn in Q.items():
+    if only and name not in only:
+        continue
     t0 = time.time()
     try:
         res = fn(sf)

@@ -18,6 +18,11 @@ from lucene_solr_ray.analysis.snowball import (
     dutch_analyzer_stem,
     finnish_snowball_stem,
     hungarian_snowball_stem,
+    german_snowball_stem,
+    german2_stem,
+    spanish_snowball_stem,
+    portuguese_snowball_stem,
+    italian_snowball_stem,
     dutch_stem,
     norwegian_stem,
     porter2_stem,
@@ -59,6 +64,11 @@ def _vocab(lang: str):
         ("english", porter2_stem, 29417),
         ("finnish", finnish_snowball_stem, 50000),
         ("hungarian", hungarian_snowball_stem, 30000),
+        ("german", german_snowball_stem, 35033),
+        ("german2", german2_stem, 35033),
+        ("spanish", spanish_snowball_stem, 28377),
+        ("portuguese", portuguese_snowball_stem, 32016),
+        ("italian", italian_snowball_stem, 35494),
     ],
 )
 def test_snowball_full_reference_vocabulary(lang, fn, count):
@@ -116,17 +126,26 @@ def test_snowball_oracle_fixpoint_assumption():
     ]
     from lucene_solr_ray.analysis.lang import (
         FINNISH_STOP_WORDS,
+        GERMAN_STOP_WORDS,
         HUNGARIAN_STOP_WORDS,
+        ITALIAN_STOP_WORDS,
         NORWEGIAN_STOP_WORDS,
+        PORTUGUESE_STOP_WORDS,
         RUSSIAN_STOP_WORDS,
+        SPANISH_STOP_WORDS,
         SWEDISH_STOP_WORDS,
     )
     from lucene_solr_ray.analysis.tokenizer import ENGLISH_STOP_WORDS
     from lucene_solr_ray.pipelines.fulltext import (
         PORTER2_MAP,
+        SNOWBALL_DE2_MAP,
+        SNOWBALL_DE_MAP,
+        SNOWBALL_ES_MAP,
         SNOWBALL_FI_MAP,
         SNOWBALL_HU_MAP,
+        SNOWBALL_IT_MAP,
         SNOWBALL_NO_MAP,
+        SNOWBALL_PT_MAP,
         SNOWBALL_RU_MAP,
         SNOWBALL_SV_MAP,
     )
@@ -141,6 +160,11 @@ def test_snowball_oracle_fixpoint_assumption():
         (porter2_stem, PORTER2_MAP, ENGLISH_STOP_WORDS),
         (finnish_snowball_stem, SNOWBALL_FI_MAP, FINNISH_STOP_WORDS),
         (hungarian_snowball_stem, SNOWBALL_HU_MAP, HUNGARIAN_STOP_WORDS),
+        (german_snowball_stem, SNOWBALL_DE_MAP, GERMAN_STOP_WORDS),
+        (german2_stem, SNOWBALL_DE2_MAP, GERMAN_STOP_WORDS),
+        (spanish_snowball_stem, SNOWBALL_ES_MAP, SPANISH_STOP_WORDS),
+        (portuguese_snowball_stem, SNOWBALL_PT_MAP, PORTUGUESE_STOP_WORDS),
+        (italian_snowball_stem, SNOWBALL_IT_MAP, ITALIAN_STOP_WORDS),
     ]:
         mapped = {w for w, _d, _s in word_map}
         leaks = [
