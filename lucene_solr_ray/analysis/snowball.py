@@ -1929,3 +1929,288 @@ def italian_snowball_stem(word: str) -> str:
         word = word[:-1]
 
     return word.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# French (org/tartarus/snowball/ext/FrenchStemmer.java;
+# https://snowballstem.org/algorithms/french/)
+# ---------------------------------------------------------------------------
+
+_FR_V = frozenset("aeiouyâàëéêèïîôûù")
+# g_keep_with_s (FrenchStemmer.java:196): trailing s survives after these
+_FR_KEEP_S = frozenset("aiouès")
+_FR_POST = str.maketrans({"I": "i", "U": "u", "Y": "y"})
+
+_FR_STD = sorted(
+    [("iqUe", 1), ("atrice", 2), ("ance", 1), ("ence", 5), ("logie", 3),
+     ("able", 1), ("isme", 1), ("euse", 11), ("iste", 1), ("ive", 8),
+     ("if", 8), ("usion", 4), ("ation", 2), ("ution", 4), ("ateur", 2),
+     ("iqUes", 1), ("atrices", 2), ("ances", 1), ("ences", 5),
+     ("logies", 3), ("ables", 1), ("ismes", 1), ("euses", 11),
+     ("istes", 1), ("ives", 8), ("ifs", 8), ("usions", 4), ("ations", 2),
+     ("utions", 4), ("ateurs", 2), ("ments", 15), ("ements", 6),
+     ("issements", 12), ("ités", 7), ("ment", 15), ("ement", 6),
+     ("issement", 12), ("amment", 13), ("emment", 14), ("aux", 10),
+     ("eaux", 9), ("eux", 1), ("ité", 7)],
+    key=lambda kv: -len(kv[0]))
+
+_FR_IVERB = sorted(
+    ["îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+     "iraIent", "irais", "irait", "iras", "irent", "irez", "iriez",
+     "irions", "irons", "iront", "is", "issaIent", "issais", "issait",
+     "issant", "issante", "issantes", "issants", "isse", "issent",
+     "isses", "issez", "issiez", "issions", "issons", "it"],
+    key=len, reverse=True)
+
+_FR_VERB = sorted(
+    [("a", 3), ("era", 2), ("asse", 3), ("ante", 3), ("ée", 2), ("ai", 3),
+     ("erai", 2), ("er", 2), ("as", 3), ("eras", 2), ("âmes", 3),
+     ("asses", 3), ("antes", 3), ("âtes", 3), ("ées", 2), ("ais", 3),
+     ("erais", 2), ("ions", 1), ("erions", 2), ("assions", 3),
+     ("erons", 2), ("ants", 3), ("és", 2), ("ait", 3), ("erait", 2),
+     ("ant", 3), ("aIent", 3), ("eraIent", 2), ("èrent", 2),
+     ("assent", 3), ("eront", 2), ("ât", 3), ("ez", 2), ("iez", 2),
+     ("eriez", 2), ("assiez", 3), ("erez", 2), ("é", 2)],
+    key=lambda kv: -len(kv[0]))
+
+_FR_RESIDUAL = (("Ière", 2), ("ière", 2), ("Ier", 2), ("ier", 2),
+                ("ion", 1), ("e", 3), ("ë", 4))
+
+
+def _fr_prelude(word: str) -> str:
+    """Mark non-vowel u/i/y (and u-after-q) uppercase so the region and
+    suffix logic treats them as consonants (FrenchStemmer.java r_prelude)."""
+    w = list(word)
+    n = len(w)
+    i = 0
+    while i < n:
+        c = w[i]
+        matched = False
+        if c in _FR_V and i + 1 < n:
+            nx = w[i + 1]
+            if nx == "u" and i + 2 < n and w[i + 2] in _FR_V:
+                w[i + 1] = "U"
+                matched = True
+            elif nx == "i" and i + 2 < n and w[i + 2] in _FR_V:
+                w[i + 1] = "I"
+                matched = True
+            elif nx == "y":
+                w[i + 1] = "Y"
+                matched = True
+        if not matched and c == "y" and i + 1 < n and w[i + 1] in _FR_V:
+            w[i] = "Y"
+        elif not matched and c == "q" and i + 1 < n and w[i + 1] == "u":
+            w[i + 1] = "U"
+        i += 1
+    return "".join(w)
+
+
+def _fr_rv(word: str) -> int:
+    """RV: after an initial two-vowel cluster or the prefixes col/par/tap,
+    position 3; else after the first vowel past position 0; else end."""
+    n = len(word)
+    if n >= 3 and word[0] in _FR_V and word[1] in _FR_V:
+        return 3
+    if word[:3] in ("col", "par", "tap"):
+        return 3
+    for i in range(1, n):
+        if word[i] in _FR_V:
+            return i + 1
+    return n
+
+
+def _fr_standard(word: str, pV: int, p1: int, p2: int) -> tuple[str, bool]:
+    """Step 1. The bool is the Snowball routine's success flag; the amment/
+    emment/ment cases (13-15) modify the word but *fail* so stem() chains
+    into the verb steps (the generated code's `fail` command)."""
+    for sfx, action in _FR_STD:
+        if not word.endswith(sfx):
+            continue
+        cut = len(word) - len(sfx)
+        if action in (1, 3, 4, 5):
+            if cut < p2:
+                return word, False
+            repl = {1: "", 3: "log", 4: "u", 5: "ent"}[action]
+            return word[:cut] + repl, True
+        if action == 2:  # ation/ateur/atrice(+s): R2, then ic → del | iqU
+            if cut < p2:
+                return word, False
+            word = word[:cut]
+            if word.endswith("ic"):
+                if len(word) - 2 >= p2:
+                    word = word[:-2]
+                else:
+                    word = word[:-2] + "iqU"
+            return word, True
+        if action == 6:  # ement(s): RV, then the a_2 secondary suffixes
+            if cut < pV:
+                return word, False
+            word = word[:cut]
+            for s2, a2 in (("iqU", 3), ("abl", 3), ("Ièr", 4), ("ièr", 4),
+                           ("eus", 2), ("iv", 1)):
+                if not word.endswith(s2):
+                    continue
+                c2 = len(word) - len(s2)
+                if a2 == 1:  # iv: R2, then at in R2
+                    if c2 >= p2:
+                        word = word[:c2]
+                        if word.endswith("at") and len(word) - 2 >= p2:
+                            word = word[:-2]
+                elif a2 == 2:  # eus: R2 del | R1 → eux
+                    if c2 >= p2:
+                        word = word[:c2]
+                    elif c2 >= p1:
+                        word = word[:c2] + "eux"
+                elif a2 == 3:  # abl / iqU: R2 del
+                    if c2 >= p2:
+                        word = word[:c2]
+                else:  # Ièr / ièr: RV → i
+                    if c2 >= pV:
+                        word = word[:c2] + "i"
+                break
+            return word, True
+        if action == 7:  # ité(s): R2, then abil/ic/iv
+            if cut < p2:
+                return word, False
+            word = word[:cut]
+            for s2, a2 in (("abil", 1), ("ic", 2), ("iv", 3)):
+                if not word.endswith(s2):
+                    continue
+                c2 = len(word) - len(s2)
+                if a2 == 1:
+                    word = word[:c2] if c2 >= p2 else word[:c2] + "abl"
+                elif a2 == 2:
+                    word = word[:c2] if c2 >= p2 else word[:c2] + "iqU"
+                elif c2 >= p2:
+                    word = word[:c2]
+                break
+            return word, True
+        if action == 8:  # if/ive(s): R2, then at (R2), then ic → del | iqU
+            if cut < p2:
+                return word, False
+            word = word[:cut]
+            if word.endswith("at") and len(word) - 2 >= p2:
+                word = word[:-2]
+                if word.endswith("ic"):
+                    if len(word) - 2 >= p2:
+                        word = word[:-2]
+                    else:
+                        word = word[:-2] + "iqU"
+            return word, True
+        if action == 9:  # eaux → eau, unconditional
+            return word[:cut] + "eau", True
+        if action == 10:  # aux: R1 → al
+            if cut < p1:
+                return word, False
+            return word[:cut] + "al", True
+        if action == 11:  # euse(s): R2 del | R1 → eux
+            if cut >= p2:
+                return word[:cut], True
+            if cut >= p1:
+                return word[:cut] + "eux", True
+            return word, False
+        if action == 12:  # issement(s): R1 and non-vowel before
+            if cut < p1 or cut < 1 or word[cut - 1] in _FR_V:
+                return word, False
+            return word[:cut], True
+        if action in (13, 14):  # amment/emment: RV → ant/ent, then fail
+            if cut < pV:
+                return word, False
+            return word[:cut] + ("ant" if action == 13 else "ent"), False
+        # action 15: ment(s): preceding vowel in RV, delete, then fail
+        if cut < 1 or word[cut - 1] not in _FR_V or cut - 1 < pV:
+            return word, False
+        return word[:cut], False
+    return word, False
+
+
+def _fr_i_verb(word: str, pV: int) -> tuple[str, bool]:
+    """Step 2a: i-verb suffixes, whole suffix plus the preceding non-vowel
+    confined to RV (the generated code's setlimit)."""
+    for sfx in _FR_IVERB:
+        if word.endswith(sfx):
+            cut = len(word) - len(sfx)
+            if cut < pV:
+                continue  # setlimit: try the longest suffix inside RV
+            if cut - 1 < pV or word[cut - 1] in _FR_V:
+                return word, False
+            return word[:cut], True
+    return word, False
+
+
+def _fr_verb(word: str, pV: int, p2: int) -> tuple[str, bool]:
+    """Step 2b: other verb suffixes within RV."""
+    for sfx, action in _FR_VERB:
+        if word.endswith(sfx):
+            cut = len(word) - len(sfx)
+            if cut < pV:
+                continue
+            if action == 1:  # ions: R2
+                if cut < p2:
+                    return word, False
+                return word[:cut], True
+            if action == 2:
+                return word[:cut], True
+            word = word[:cut]  # action 3, then optional preceding e in RV
+            if word.endswith("e") and len(word) - 1 >= pV:
+                word = word[:-1]
+            return word, True
+    return word, False
+
+
+def _fr_residual(word: str, pV: int, p2: int) -> str:
+    """Step 4: residual s (whole word), then ion/ier/ière/e/ë within RV."""
+    if (word.endswith("s") and len(word) >= 2
+            and word[-2] not in _FR_KEEP_S):
+        word = word[:-1]
+    for sfx, action in _FR_RESIDUAL:
+        if word.endswith(sfx):
+            cut = len(word) - len(sfx)
+            if cut < pV:
+                continue
+            if action == 1:  # ion: R2 and preceded by s/t (in RV)
+                if (cut < p2 or cut - 1 < pV
+                        or word[cut - 1] not in ("s", "t")):
+                    return word
+                return word[:cut]
+            if action == 2:  # ier/ière (and marked I variants) → i
+                return word[:cut] + "i"
+            if action == 3:  # e
+                return word[:cut]
+            # action 4: ë when preceded by gu
+            if cut - 2 >= pV and word[cut - 2:cut] == "gu":
+                return word[:cut]
+            return word
+    return word
+
+
+def french_snowball_stem(word: str) -> str:
+    """Snowball French (FrenchStemmer.java; vocab-exact, 20,403)."""
+    word = _fr_prelude(word)
+    pV = _fr_rv(word)
+    p1, p2 = _r12_std(word, _FR_V)
+
+    word, did = _fr_standard(word, pV, p1, p2)
+    if not did:
+        word, did = _fr_i_verb(word, pV)
+        if not did:
+            word, did = _fr_verb(word, pV, p2)
+    if did:
+        if word.endswith("Y"):
+            word = word[:-1] + "i"
+        elif word.endswith("ç"):
+            word = word[:-1] + "c"
+    else:
+        word = _fr_residual(word, pV, p2)
+
+    # un_double: enn/onn/ett/ell/eill lose the last letter
+    if word.endswith(("ell", "eill", "enn", "onn", "ett")):
+        word = word[:-1]
+    # un_accent: é/è before a trailing run of non-vowels → e
+    n = len(word)
+    j = n
+    while j > 0 and word[j - 1] not in _FR_V:
+        j -= 1
+    if j < n and j > 0 and word[j - 1] in "éè":
+        word = word[:j - 1] + "e" + word[j:]
+    return word.translate(_FR_POST)

@@ -760,6 +760,17 @@ def FrenchAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="french_light", elision=True, **kw)
 
 
+def FrenchSnowballAnalyzer(**kw) -> StandardAnalyzer:
+    """Snowball French chain (language=French; ``org/tartarus/snowball/
+    ext/FrenchStemmer.java`` via SnowballPorterFilterFactory) — elision +
+    stop like `FrenchAnalyzer` but with the full Snowball stemmer instead
+    of the light variant. Stemmer vocab-exact (20,403 entries)."""
+    from .lang import FRENCH_STOP_WORDS
+
+    kw.setdefault("stopwords", FRENCH_STOP_WORDS)
+    return StandardAnalyzer(stem="french_snowball", elision=True, **kw)
+
+
 def _fold_ascii(term: str) -> str:
     """NFD-decompose and drop combining marks (Mn) — ASCIIFoldingFilter's
     Latin-accent core, chosen to equal DuckDB ``strip_accents`` exactly."""
@@ -941,6 +952,9 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "italian_snowball":
         from .snowball import italian_snowball_stem
         stem_fns["italian_snowball"] = italian_snowball_stem
+    elif analyzer.stem == "french_snowball":
+        from .snowball import french_snowball_stem
+        stem_fns["french_snowball"] = french_snowball_stem
     elif analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
     if analyzer.stem is not None:

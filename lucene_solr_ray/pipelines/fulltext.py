@@ -1975,6 +1975,17 @@ SNOWBALL_IT_MAP = [
     ("data", "abbaini", "abbain"),
     ("line", "abbaia", "abbai"),
 ]
+#: injected words span the French steps: ement+eus chain, verb + undouble,
+#: utions, able(R2), i-verb, ation + un_accent, residual-e + eill-undouble
+SNOWBALL_FR_MAP = [
+    ("table", "abnégation", "abneg"),
+    ("value", "abeille", "abeil"),
+    ("merge", "abolir", "abol"),
+    ("filter", "ablutions", "ablut"),
+    ("customer", "majestueusement", "majestu"),
+    ("data", "abandonnée", "abandon"),
+    ("line", "abominable", "abomin"),
+]
 SNOWBALL_DE_SPECS = [
     {"qid": f"desb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in SNOWBALL_DE_MAP[:4]
@@ -1995,6 +2006,10 @@ SNOWBALL_PT_SPECS = [
 SNOWBALL_IT_SPECS = [
     {"qid": f"itsb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in SNOWBALL_IT_MAP[:4]
+]
+SNOWBALL_FR_SPECS = [
+    {"qid": f"frsb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_FR_MAP[:4]
 ]
 
 #: ft_decompound: compound words injected into the corpus + the dictionary
@@ -2469,6 +2484,25 @@ def ft_italian_snowball(sf_dir: str) -> pa.Table:
             sf_dir, "italian_sb", ItalianSnowballAnalyzer(char_filters=cf)
         ),
         SNOWBALL_IT_SPECS,
+    )
+
+
+def ft_french_snowball(sf_dir: str) -> pa.Table:
+    """SnowballPorterFilterFactory language=French chain
+    (``org/tartarus/snowball/ext/FrenchStemmer.java`` — `ft_french`
+    covers the reference FrenchAnalyzer default elision + light-stem
+    chain; elision is a no-op on the apostrophe-free corpus). Map-oracle
+    pattern; BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import FrenchSnowballAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d) for w, d, _s in SNOWBALL_FR_MAP
+    )
+    return _variant_topk(
+        get_searcher_variant(
+            sf_dir, "french_sb", FrenchSnowballAnalyzer(char_filters=cf)
+        ),
+        SNOWBALL_FR_SPECS,
     )
 
 

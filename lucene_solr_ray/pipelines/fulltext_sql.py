@@ -1695,6 +1695,15 @@ def prelude_italian_snowball() -> str:
     return _prelude_snowball(ITALIAN_STOP_WORDS, SNOWBALL_IT_MAP)
 
 
+def prelude_french_snowball() -> str:
+    """Snowball French oracle (language=French; stems from the french
+    vocab ground truth; elision no-op on apostrophe-free tokens)."""
+    from ..analysis.lang import FRENCH_STOP_WORDS
+    from .fulltext import SNOWBALL_FR_MAP
+
+    return _prelude_snowball(FRENCH_STOP_WORDS, SNOWBALL_FR_MAP)
+
+
 def prelude_finnish_snowball() -> str:
     """Snowball FinnishAnalyzer oracle (fi/FinnishAnalyzer.java default
     chain)."""

@@ -17,6 +17,7 @@ from lucene_solr_ray.analysis.snowball import (
     danish_stem,
     dutch_analyzer_stem,
     finnish_snowball_stem,
+    french_snowball_stem,
     hungarian_snowball_stem,
     german_snowball_stem,
     german2_stem,
@@ -69,6 +70,7 @@ def _vocab(lang: str):
         ("spanish", spanish_snowball_stem, 28377),
         ("portuguese", portuguese_snowball_stem, 32016),
         ("italian", italian_snowball_stem, 35494),
+        ("french", french_snowball_stem, 20403),
     ],
 )
 def test_snowball_full_reference_vocabulary(lang, fn, count):
@@ -126,6 +128,7 @@ def test_snowball_oracle_fixpoint_assumption():
     ]
     from lucene_solr_ray.analysis.lang import (
         FINNISH_STOP_WORDS,
+        FRENCH_STOP_WORDS,
         GERMAN_STOP_WORDS,
         HUNGARIAN_STOP_WORDS,
         ITALIAN_STOP_WORDS,
@@ -143,6 +146,7 @@ def test_snowball_oracle_fixpoint_assumption():
         SNOWBALL_ES_MAP,
         SNOWBALL_FI_MAP,
         SNOWBALL_HU_MAP,
+        SNOWBALL_FR_MAP,
         SNOWBALL_IT_MAP,
         SNOWBALL_NO_MAP,
         SNOWBALL_PT_MAP,
@@ -165,6 +169,7 @@ def test_snowball_oracle_fixpoint_assumption():
         (spanish_snowball_stem, SNOWBALL_ES_MAP, SPANISH_STOP_WORDS),
         (portuguese_snowball_stem, SNOWBALL_PT_MAP, PORTUGUESE_STOP_WORDS),
         (italian_snowball_stem, SNOWBALL_IT_MAP, ITALIAN_STOP_WORDS),
+        (french_snowball_stem, SNOWBALL_FR_MAP, FRENCH_STOP_WORDS),
     ]:
         mapped = {w for w, _d, _s in word_map}
         leaks = [
