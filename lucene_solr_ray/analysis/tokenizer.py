@@ -931,6 +931,9 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "porter2":
         from .snowball import porter2_stem
         stem_fns["porter2"] = porter2_stem
+    elif analyzer.stem == "snowball_porter":
+        from .snowball import snowball_porter_stem
+        stem_fns["snowball_porter"] = snowball_porter_stem
     elif analyzer.stem == "finnish_snowball":
         from .snowball import finnish_snowball_stem
         stem_fns["finnish_snowball"] = finnish_snowball_stem
