@@ -2336,3 +2336,679 @@ def snowball_porter_stem(word):
     if y_found:
         word = word.replace("Y", "y")
     return word
+
+
+# -------------------------------------------------------------- Turkish
+
+_TR_VOWEL = frozenset("aeıioöuü")
+_TR_U = frozenset("ıiuü")
+#: vowel-harmony groups (turkish.sbl vowel1..vowel6): last vowel → the set a
+#: preceding vowel must belong to
+_TR_HARM = {"a": frozenset("aıou"), "e": frozenset("eiöü"),
+            "ı": frozenset("aı"), "i": frozenset("ei"),
+            "o": frozenset("ou"), "ö": frozenset("öü"),
+            "u": frozenset("ou"), "ü": frozenset("öü")}
+
+_TR_A0 = ("miz", "niz", "muz", "nuz", "müz", "nüz", "mız", "nız", "m", "n")
+_TR_YDU = ("dik", "tik", "duk", "tuk", "dük", "tük", "dık", "tık",
+           "dim", "tim", "dum", "tum", "düm", "tüm", "dım", "tım",
+           "din", "tin", "dun", "tun", "dün", "tün", "dın", "tın",
+           "di", "ti", "du", "tu", "dü", "tü", "dı", "tı")
+_TR_YSA = ("sak", "sek", "sam", "sem", "san", "sen", "sa", "se")
+
+
+class _TrCtx:
+    """Backward-mode Snowball cursor over a mutable word (cursor counts
+    chars from the left; matching consumes rightward-to-leftward).
+    Cursor save/restore is distance-from-end, exactly like the generated
+    ``TurkishStemmer.java`` (``v = limit - cursor``) — deletions persist
+    across failed alternatives, only the cursor is restored."""
+    __slots__ = ("s", "c", "ket", "bra", "cont")
+
+    def __init__(self, s):
+        self.s = s
+        self.c = len(s)
+        self.ket = len(s)
+        self.bra = len(s)
+        self.cont = False
+
+
+def _tr_sv(t):
+    return len(t.s) - t.c
+
+
+def _tr_rs(t, v):
+    t.c = len(t.s) - v
+
+
+def _tr_eqb(t, lit):
+    n = len(lit)
+    if t.c >= n and t.s[t.c - n:t.c] == lit:
+        t.c -= n
+        return True
+    return False
+
+
+def _tr_among(t, sfxs):
+    for x in sfxs:
+        if _tr_eqb(t, x):
+            return True
+    return False
+
+
+def _tr_del(t):
+    # slice_del: cursor is at bra when "]" fired; ket >= bra
+    t.s = t.s[:t.bra] + t.s[t.ket:]
+    t.ket = t.bra
+
+
+def _tr_in_b(t, grp):
+    if t.c > 0 and t.s[t.c - 1] in grp:
+        t.c -= 1
+        return True
+    return False
+
+
+def _tr_or(t, *fns):
+    v = _tr_sv(t)
+    for fn in fns:
+        _tr_rs(t, v)
+        if fn(t):
+            return True
+    _tr_rs(t, v)
+    return False
+
+
+def _tr_harmony(t):
+    # check_vowel_harmony (turkish.sbl:111-124): inside test — no movement
+    s, c = t.s, t.c
+    j = c
+    while j > 0 and s[j - 1] not in _TR_VOWEL:
+        j -= 1
+    if j == 0:
+        return False
+    grp = _TR_HARM[s[j - 1]]
+    k = j - 1
+    while k > 0 and s[k - 1] not in grp:
+        k -= 1
+    return k > 0
+
+
+def _tr_opt_cons(t, letter):
+    # mark_suffix_with_optional_{n,s,y}_consonant: either consume the
+    # consonant (vowel before it), or stand pat (non-letter + vowel at c-2)
+    s, c = t.s, t.c
+    if c >= 2 and s[c - 1] == letter and s[c - 2] in _TR_VOWEL:
+        t.c = c - 1
+        return True
+    if c >= 2 and s[c - 1] != letter and s[c - 2] in _TR_VOWEL:
+        return True
+    return False
+
+
+def _tr_opt_U(t):
+    # mark_suffix_with_optional_U_vowel (non-vowel must precede)
+    s, c = t.s, t.c
+    if c >= 2 and s[c - 1] in _TR_U and s[c - 2] not in _TR_VOWEL:
+        t.c = c - 1
+        return True
+    if c >= 2 and s[c - 1] not in _TR_U and s[c - 2] not in _TR_VOWEL:
+        return True
+    return False
+
+
+def _m_poss(t):
+    return _tr_among(t, _TR_A0) and _tr_opt_U(t)
+
+
+def _m_sU(t):
+    return _tr_harmony(t) and _tr_in_b(t, _TR_U) and _tr_opt_cons(t, "s")
+
+
+def _m_lArI(t):
+    return _tr_among(t, ("leri", "ları"))
+
+
+def _m_yU(t):
+    return _tr_harmony(t) and _tr_in_b(t, _TR_U) and _tr_opt_cons(t, "y")
+
+
+def _m_nU(t):
+    return _tr_harmony(t) and _tr_among(t, ("ni", "nu", "nü", "nı"))
+
+
+def _m_nUn(t):
+    return (_tr_harmony(t) and _tr_among(t, ("in", "un", "ün", "ın"))
+            and _tr_opt_cons(t, "n"))
+
+
+def _m_yA(t):
+    return (_tr_harmony(t) and _tr_among(t, ("a", "e"))
+            and _tr_opt_cons(t, "y"))
+
+
+def _m_nA(t):
+    return _tr_harmony(t) and _tr_among(t, ("na", "ne"))
+
+
+def _m_DA(t):
+    return _tr_harmony(t) and _tr_among(t, ("da", "ta", "de", "te"))
+
+
+def _m_ndA(t):
+    return _tr_harmony(t) and _tr_among(t, ("nda", "nde"))
+
+
+def _m_DAn(t):
+    return _tr_harmony(t) and _tr_among(t, ("dan", "tan", "den", "ten"))
+
+
+def _m_ndAn(t):
+    return _tr_harmony(t) and _tr_among(t, ("ndan", "nden"))
+
+
+def _m_ylA(t):
+    return (_tr_harmony(t) and _tr_among(t, ("la", "le"))
+            and _tr_opt_cons(t, "y"))
+
+
+def _m_ki(t):
+    return _tr_eqb(t, "ki")
+
+
+def _m_ncA(t):
+    return (_tr_harmony(t) and _tr_among(t, ("ca", "ce"))
+            and _tr_opt_cons(t, "n"))
+
+
+def _m_yUm(t):
+    return (_tr_harmony(t) and _tr_among(t, ("im", "um", "üm", "ım"))
+            and _tr_opt_cons(t, "y"))
+
+
+def _m_sUn(t):
+    return _tr_harmony(t) and _tr_among(t, ("sin", "sun", "sün", "sın"))
+
+
+def _m_yUz(t):
+    return (_tr_harmony(t) and _tr_among(t, ("iz", "uz", "üz", "ız"))
+            and _tr_opt_cons(t, "y"))
+
+
+def _m_sUnUz(t):
+    return _tr_among(t, ("siniz", "sunuz", "sünüz", "sınız"))
+
+
+def _m_lAr(t):
+    return _tr_harmony(t) and _tr_among(t, ("lar", "ler"))
+
+
+def _m_nUz(t):
+    return _tr_harmony(t) and _tr_among(t, ("niz", "nuz", "nüz", "nız"))
+
+
+def _m_DUr(t):
+    return _tr_harmony(t) and _tr_among(
+        t, ("dir", "tir", "dur", "tur", "dür", "tür", "dır", "tır"))
+
+
+def _m_cAsInA(t):
+    return _tr_among(t, ("casına", "cesine"))
+
+
+def _m_yDU(t):
+    return (_tr_harmony(t) and _tr_among(t, _TR_YDU)
+            and _tr_opt_cons(t, "y"))
+
+
+def _m_ysA(t):
+    return _tr_among(t, _TR_YSA) and _tr_opt_cons(t, "y")
+
+
+def _m_ymUs(t):
+    return (_tr_harmony(t) and _tr_among(t, ("miş", "muş", "müş", "mış"))
+            and _tr_opt_cons(t, "y"))
+
+
+def _m_yken(t):
+    return _tr_eqb(t, "ken") and _tr_opt_cons(t, "y")
+
+
+def _tr_nominal(t):
+    # stem_nominal_verb_suffixes (turkish.sbl:311-328 / TurkishStemmer.java:1277)
+    t.ket = t.c
+    t.cont = True
+    v1 = _tr_sv(t)
+    ok = _tr_or(t, _m_ymUs, _m_yDU, _m_ysA, _m_yken)
+    if not ok:
+        _tr_rs(t, v1)
+        if _m_cAsInA(t):
+            _tr_or(t, _m_sUnUz, _m_lAr, _m_yUm, _m_sUn, _m_yUz)  # optional
+            if _m_ymUs(t):
+                ok = True
+    if not ok:
+        _tr_rs(t, v1)
+        if _m_lAr(t):
+            t.bra = t.c
+            _tr_del(t)
+            v4 = _tr_sv(t)
+            t.ket = t.c
+            if not _tr_or(t, _m_DUr, _m_yDU, _m_ysA, _m_ymUs):
+                _tr_rs(t, v4)
+            t.cont = False
+            ok = True
+    if not ok:
+        _tr_rs(t, v1)
+        if _m_nUz(t) and _tr_or(t, _m_yDU, _m_ysA):
+            ok = True
+    if not ok:
+        _tr_rs(t, v1)
+        if _tr_or(t, _m_sUnUz, _m_yUz, _m_sUn, _m_yUm):
+            t.bra = t.c
+            _tr_del(t)
+            v8 = _tr_sv(t)
+            t.ket = t.c
+            if not _m_ymUs(t):
+                _tr_rs(t, v8)
+            ok = True
+    if not ok:
+        _tr_rs(t, v1)
+        if not _m_DUr(t):
+            return False
+        t.bra = t.c
+        _tr_del(t)
+        v9 = _tr_sv(t)
+        t.ket = t.c
+        _tr_or(t, _m_sUnUz, _m_lAr, _m_yUm, _m_sUn, _m_yUz)  # optional
+        if not _m_ymUs(t):
+            _tr_rs(t, v9)
+    t.bra = t.c
+    _tr_del(t)
+    return True
+
+
+def _tr_chain_ki(t):
+    # stem_suffix_chain_before_ki (turkish.sbl:332-357): fails only without
+    # side effects (every post-match path returns True)
+    t.ket = t.c
+    if not _m_ki(t):
+        return False
+    v1 = _tr_sv(t)
+    if _m_DA(t):
+        t.bra = t.c
+        _tr_del(t)
+        v2 = _tr_sv(t)
+        t.ket = t.c
+        v3 = _tr_sv(t)
+        if _m_lAr(t):
+            t.bra = t.c
+            _tr_del(t)
+            v4 = _tr_sv(t)
+            if not _tr_chain_ki(t):
+                _tr_rs(t, v4)
+        else:
+            _tr_rs(t, v3)
+            if _m_poss(t):
+                t.bra = t.c
+                _tr_del(t)
+                v5 = _tr_sv(t)
+                t.ket = t.c
+                sub = False
+                if _m_lAr(t):
+                    t.bra = t.c
+                    _tr_del(t)
+                    if _tr_chain_ki(t):
+                        sub = True
+                if not sub:
+                    _tr_rs(t, v5)
+            else:
+                _tr_rs(t, v2)
+        return True
+    _tr_rs(t, v1)
+    if _m_nUn(t):
+        t.bra = t.c
+        _tr_del(t)
+        v6 = _tr_sv(t)
+        t.ket = t.c
+        v7 = _tr_sv(t)
+        if _m_lArI(t):
+            t.bra = t.c
+            _tr_del(t)
+        else:
+            _tr_rs(t, v7)
+            t.ket = t.c
+            if _tr_or(t, _m_poss, _m_sU):
+                t.bra = t.c
+                _tr_del(t)
+                v9 = _tr_sv(t)
+                t.ket = t.c
+                sub = False
+                if _m_lAr(t):
+                    t.bra = t.c
+                    _tr_del(t)
+                    if _tr_chain_ki(t):
+                        sub = True
+                if not sub:
+                    _tr_rs(t, v9)
+            else:
+                _tr_rs(t, v7)
+                if not _tr_chain_ki(t):
+                    _tr_rs(t, v6)
+        return True
+    _tr_rs(t, v1)
+    if not _m_ndA(t):
+        return False
+    v10 = _tr_sv(t)
+    if _m_lArI(t):
+        t.bra = t.c
+        _tr_del(t)
+        return True
+    _tr_rs(t, v10)
+    if _m_sU(t):
+        t.bra = t.c
+        _tr_del(t)
+        v11 = _tr_sv(t)
+        t.ket = t.c
+        sub = False
+        if _m_lAr(t):
+            t.bra = t.c
+            _tr_del(t)
+            if _tr_chain_ki(t):
+                sub = True
+        if not sub:
+            _tr_rs(t, v11)
+        return True
+    _tr_rs(t, v10)
+    return _tr_chain_ki(t)
+
+
+def _tr_noun(t):
+    # stem_noun_suffixes (turkish.sbl:361-413 / TurkishStemmer.java:1911)
+    v1 = _tr_sv(t)
+    t.ket = t.c
+    if _m_lAr(t):                                      # branch 1
+        t.bra = t.c
+        _tr_del(t)
+        v2 = _tr_sv(t)
+        if not _tr_chain_ki(t):
+            _tr_rs(t, v2)
+        return True
+    _tr_rs(t, v1)
+    t.ket = t.c
+    if _m_ncA(t):                                      # branch 2
+        t.bra = t.c
+        _tr_del(t)
+        v3 = _tr_sv(t)
+        v4 = _tr_sv(t)
+        matched = False
+        t.ket = t.c
+        if _m_lArI(t):
+            t.bra = t.c
+            _tr_del(t)
+            matched = True
+        if not matched:
+            _tr_rs(t, v4)
+            t.ket = t.c
+            if _tr_or(t, _m_poss, _m_sU):
+                t.bra = t.c
+                _tr_del(t)
+                v6 = _tr_sv(t)
+                t.ket = t.c
+                sub = False
+                if _m_lAr(t):
+                    t.bra = t.c
+                    _tr_del(t)
+                    if _tr_chain_ki(t):
+                        sub = True
+                if not sub:
+                    _tr_rs(t, v6)
+                matched = True
+        if not matched:
+            _tr_rs(t, v4)
+            t.ket = t.c
+            if _m_lAr(t):
+                t.bra = t.c
+                _tr_del(t)
+                if not _tr_chain_ki(t):
+                    _tr_rs(t, v3)
+            else:
+                _tr_rs(t, v3)
+        return True
+    _tr_rs(t, v1)
+    t.ket = t.c
+    if _tr_or(t, _m_ndA, _m_nA):                       # branch 3
+        v8 = _tr_sv(t)
+        if _m_lArI(t):
+            t.bra = t.c
+            _tr_del(t)
+            return True
+        _tr_rs(t, v8)
+        if _m_sU(t):
+            t.bra = t.c
+            _tr_del(t)
+            v9 = _tr_sv(t)
+            t.ket = t.c
+            sub = False
+            if _m_lAr(t):
+                t.bra = t.c
+                _tr_del(t)
+                if _tr_chain_ki(t):
+                    sub = True
+            if not sub:
+                _tr_rs(t, v9)
+            return True
+        _tr_rs(t, v8)
+        if _tr_chain_ki(t):
+            return True
+        # all three inner alternatives failed: fall through to branch 4
+    _tr_rs(t, v1)
+    t.ket = t.c
+    if _tr_or(t, _m_ndAn, _m_nU):                      # branch 4
+        v11 = _tr_sv(t)
+        done = False
+        if _m_sU(t):
+            t.bra = t.c
+            _tr_del(t)
+            v12 = _tr_sv(t)
+            t.ket = t.c
+            sub = False
+            if _m_lAr(t):
+                t.bra = t.c
+                _tr_del(t)
+                if _tr_chain_ki(t):
+                    sub = True
+            if not sub:
+                _tr_rs(t, v12)
+            done = True
+        if not done:
+            _tr_rs(t, v11)
+            if _m_lArI(t):      # note: no delete on this path (sbl quirk)
+                done = True
+        if done:
+            return True
+    _tr_rs(t, v1)
+    t.ket = t.c
+    if _m_DAn(t):                                      # branch 5
+        t.bra = t.c
+        _tr_del(t)
+        v13 = _tr_sv(t)
+        t.ket = t.c
+        v14 = _tr_sv(t)
+        handled = False
+        if _m_poss(t):
+            t.bra = t.c
+            _tr_del(t)
+            v15 = _tr_sv(t)
+            t.ket = t.c
+            sub = False
+            if _m_lAr(t):
+                t.bra = t.c
+                _tr_del(t)
+                if _tr_chain_ki(t):
+                    sub = True
+            if not sub:
+                _tr_rs(t, v15)
+            handled = True
+        if not handled:
+            _tr_rs(t, v14)
+            if _m_lAr(t):
+                t.bra = t.c
+                _tr_del(t)
+                v16 = _tr_sv(t)
+                if not _tr_chain_ki(t):
+                    _tr_rs(t, v16)
+                handled = True
+        if not handled:
+            _tr_rs(t, v14)
+            if not _tr_chain_ki(t):
+                _tr_rs(t, v13)
+        return True
+    _tr_rs(t, v1)
+    t.ket = t.c
+    if _tr_or(t, _m_nUn, _m_ylA):                      # branch 6
+        t.bra = t.c
+        _tr_del(t)
+        v18 = _tr_sv(t)
+        v19 = _tr_sv(t)
+        handled = False
+        t.ket = t.c
+        if _m_lAr(t):
+            t.bra = t.c
+            _tr_del(t)
+            if _tr_chain_ki(t):
+                handled = True
+            # chain failure: the lAr delete persists; cursor restored below
+        if not handled:
+            _tr_rs(t, v19)
+            t.ket = t.c
+            if _tr_or(t, _m_poss, _m_sU):
+                t.bra = t.c
+                _tr_del(t)
+                v21 = _tr_sv(t)
+                t.ket = t.c
+                sub = False
+                if _m_lAr(t):
+                    t.bra = t.c
+                    _tr_del(t)
+                    if _tr_chain_ki(t):
+                        sub = True
+                if not sub:
+                    _tr_rs(t, v21)
+                handled = True
+        if not handled:
+            _tr_rs(t, v19)
+            if not _tr_chain_ki(t):
+                _tr_rs(t, v18)
+        return True
+    _tr_rs(t, v1)
+    t.ket = t.c
+    if _m_lArI(t):                                     # branch 7
+        t.bra = t.c
+        _tr_del(t)
+        return True
+    _tr_rs(t, v1)
+    if _tr_chain_ki(t):                                # branch 8
+        return True
+    _tr_rs(t, v1)
+    t.ket = t.c
+    if _tr_or(t, _m_DA, _m_yU, _m_yA):                 # branch 9
+        t.bra = t.c
+        _tr_del(t)
+        v23 = _tr_sv(t)
+        t.ket = t.c
+        v24 = _tr_sv(t)
+        got = False
+        if _m_poss(t):
+            t.bra = t.c
+            _tr_del(t)
+            v25 = _tr_sv(t)
+            t.ket = t.c
+            if not _m_lAr(t):
+                _tr_rs(t, v25)
+            got = True
+        if not got:
+            _tr_rs(t, v24)
+            if _m_lAr(t):
+                got = True
+        if got:
+            t.bra = t.c
+            _tr_del(t)
+            t.ket = t.c
+            if not _tr_chain_ki(t):
+                _tr_rs(t, v23)
+        else:
+            _tr_rs(t, v23)
+        return True
+    _tr_rs(t, v1)
+    t.ket = t.c
+    if not _tr_or(t, _m_poss, _m_sU):                  # branch 10
+        return False
+    t.bra = t.c
+    _tr_del(t)
+    v27 = _tr_sv(t)
+    t.ket = t.c
+    sub = False
+    if _m_lAr(t):
+        t.bra = t.c
+        _tr_del(t)
+        if _tr_chain_ki(t):
+            sub = True
+    if not sub:
+        _tr_rs(t, v27)
+    return True
+
+
+def _tr_append_U(t):
+    # append_U_to_stems_ending_with_d_or_g (turkish.sbl:430-439)
+    s = t.s
+    if not s or s[-1] not in "dg":
+        return False
+    j = len(s) - 1
+    while j > 0 and s[j - 1] not in _TR_VOWEL:
+        j -= 1
+    if j == 0:
+        return False
+    v = s[j - 1]
+    if v in "aı":
+        t.s = s + "ı"
+    elif v in "ei":
+        t.s = s + "i"
+    elif v in "ou":
+        t.s = s + "u"
+    else:  # ö / ü
+        t.s = s + "ü"
+    return True
+
+
+def turkish_snowball_stem(word):
+    """Snowball Turkish (``tartarus/snowball/ext/TurkishStemmer.java``;
+    TurkishAnalyzer's stemmer, ``tr/TurkishAnalyzer.java:118-126``) —
+    vocab-exact on all 96,325 TestSnowballVocabData turkish entries.
+    Returns the modified buffer (stemwords semantics) even when the
+    algorithm's stem() flag would be false."""
+    if sum(1 for ch in word if ch in _TR_VOWEL) < 2:
+        return word          # more_than_one_syllable_word fails
+    t = _TrCtx(word)
+    v1 = _tr_sv(t)
+    _tr_nominal(t)
+    _tr_rs(t, v1)
+    if not t.cont:
+        return t.s           # continue_stemming_noun_suffixes unset
+    v2 = _tr_sv(t)
+    _tr_noun(t)
+    _tr_rs(t, v2)
+    # postlude
+    if t.s in ("ad", "soyad"):   # is_reserved_word
+        return t.s
+    v3 = _tr_sv(t)
+    _tr_append_U(t)
+    _tr_rs(t, v3)
+    if t.s.endswith("b"):        # post_process_last_consonants
+        t.s = t.s[:-1] + "p"
+    elif t.s.endswith("c"):
+        t.s = t.s[:-1] + "ç"
+    elif t.s.endswith("d"):
+        t.s = t.s[:-1] + "t"
+    elif t.s.endswith("ğ"):
+        t.s = t.s[:-1] + "k"
+    return t.s

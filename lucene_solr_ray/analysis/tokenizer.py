@@ -664,11 +664,11 @@ def PersianAnalyzer(**kw) -> StandardAnalyzer:
 def TurkishAnalyzer(**kw) -> StandardAnalyzer:
     """TurkishAnalyzer preset (``analysis/common/.../tr/TurkishAnalyzer.
     java:119-129``): ApostropheFilter → TurkishLowerCaseFilter →
-    stop(Turkish). The apostrophe truncation runs as a char filter
-    (the engine's \\w+ tokenizer would otherwise split at the apostrophe
-    instead of truncating); the reference's final SnowballFilter(Turkish
-    Stemmer) is not implemented (documented — same status as the other
-    Snowball-only chains)."""
+    stop(Turkish) → [keyword marker] → SnowballFilter(TurkishStemmer).
+    The apostrophe truncation runs as a char filter (the engine's \\w+
+    tokenizer would otherwise split at the apostrophe instead of
+    truncating); the stemmer is the vocab-exact transcription in
+    :func:`lucene_solr_ray.analysis.snowball.turkish_snowball_stem`."""
     from .lang2 import TURKISH_STOP_WORDS
 
     kw.setdefault("stopwords", TURKISH_STOP_WORDS)
@@ -676,6 +676,7 @@ def TurkishAnalyzer(**kw) -> StandardAnalyzer:
         "char_filters",
         (("pattern_replace", r"['’][\w'’]*", " "),),
     )
+    kw.setdefault("stem", "turkish_snowball")
     return StandardAnalyzer(lowercase_mode="turkish", **kw)
 
 
@@ -934,6 +935,9 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "snowball_porter":
         from .snowball import snowball_porter_stem
         stem_fns["snowball_porter"] = snowball_porter_stem
+    elif analyzer.stem == "turkish_snowball":
+        from .snowball import turkish_snowball_stem
+        stem_fns["turkish_snowball"] = turkish_snowball_stem
     elif analyzer.stem == "finnish_snowball":
         from .snowball import finnish_snowball_stem
         stem_fns["finnish_snowball"] = finnish_snowball_stem

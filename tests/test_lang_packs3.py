@@ -179,11 +179,13 @@ def test_analyzer_presets_end_to_end():
     assert analyze_with_positions("градът и градове", BulgarianAnalyzer()) == [
         ("град", 0), ("град", 2)
     ]
+    # stems pinned by TestSnowballVocabData turkish/: ısparta→ıspar,
+    # türkiye→türki, başkenti→başke (istanbul is its own stem)
     assert analyze_with_positions("İstanbul VE ISPARTA", TurkishAnalyzer()) == [
-        ("istanbul", 0), ("ısparta", 2)
+        ("istanbul", 0), ("ıspar", 2)
     ]
     assert analyze_with_positions("Türkiye'nin başkenti", TurkishAnalyzer()) == [
-        ("türkiye", 0), ("başkenti", 1)
+        ("türki", 0), ("başke", 1)
     ]
     assert analyze_with_positions("cirvis un cirvji", LatvianAnalyzer()) == [
         ("cirv", 0), ("cirv", 2)

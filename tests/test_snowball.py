@@ -31,6 +31,7 @@ from lucene_solr_ray.analysis.snowball import (
     russian_stem,
     snowball_porter_stem,
     swedish_stem,
+    turkish_snowball_stem,
 )
 from lucene_solr_ray.analysis.tokenizer import (
     DanishAnalyzer,
@@ -89,6 +90,7 @@ def test_snowball_full_reference_vocabulary(lang, fn, count):
     "lang,fn,count",
     [
         ("porter", snowball_porter_stem, 30428),
+        ("turkish", turkish_snowball_stem, 96325),
     ],
 )
 def test_snowball_vocabulary_by_lines(lang, fn, count):
