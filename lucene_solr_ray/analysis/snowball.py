@@ -3012,3 +3012,290 @@ def turkish_snowball_stem(word):
     elif t.s.endswith("ğ"):
         t.s = t.s[:-1] + "k"
     return t.s
+
+
+# -------------------------------------------------------------- Arabic
+
+#: Normalize_pre (arabic.sbl:251-318): strip harakat/tatweel, map
+#: Arabic-Indic digits to ASCII, fold presentation forms FE80-FEFC to
+#: canonical letters (lam-alef ligatures expand to two chars)
+_AR_PRE_MAP = {"ـ": ""}
+for _c in range(0x064B, 0x0653):
+    _AR_PRE_MAP[chr(_c)] = ""
+for _i in range(10):
+    _AR_PRE_MAP[chr(0x0660 + _i)] = str(_i)
+for _forms, _canon in (
+    ("ﺀ", "ء"), ("ﺁﺂ", "آ"),
+    ("ﺃﺄ", "أ"), ("ﺅﺆ", "ؤ"),
+    ("ﺇﺈ", "إ"), ("ﺉﺊﺋﺌ", "ئ"),
+    ("ﺍﺎ", "ا"), ("ﺏﺐﺑﺒ", "ب"),
+    ("ﺓﺔ", "ة"), ("ﺕﺖﺗﺘ", "ت"),
+    ("ﺙﺚﺛﺜ", "ث"),
+    ("ﺝﺞﺟﺠ", "ج"),
+    ("ﺡﺢﺣﺤ", "ح"),
+    ("ﺥﺦﺧﺨ", "خ"),
+    ("ﺩﺪ", "د"), ("ﺫﺬ", "ذ"),
+    ("ﺭﺮ", "ر"), ("ﺯﺰ", "ز"),
+    ("ﺱﺲﺳﺴ", "س"),
+    ("ﺵﺶﺷﺸ", "ش"),
+    ("ﺹﺺﺻﺼ", "ص"),
+    ("ﺽﺾﺿﻀ", "ض"),
+    ("ﻁﻂﻃﻄ", "ط"),
+    ("ﻅﻆﻇﻈ", "ظ"),
+    ("ﻉﻊﻋﻌ", "ع"),
+    ("ﻍﻎﻏﻐ", "غ"),
+    ("ﻑﻒﻓﻔ", "ف"),
+    ("ﻕﻖﻗﻘ", "ق"),
+    ("ﻙﻚﻛﻜ", "ك"),
+    ("ﻝﻞﻟﻠ", "ل"),
+    ("ﻡﻢﻣﻤ", "م"),
+    ("ﻥﻦﻧﻨ", "ن"),
+    ("ﻩﻪﻫﻬ", "ه"),
+    ("ﻭﻮ", "و"), ("ﻯﻰ", "ى"),
+    ("ﻱﻲﻳﻴ", "ي"),
+    ("ﻵﻶ", "لآ"), ("ﻷﻸ", "لأ"),
+    ("ﻹﻺ", "لإ"), ("ﻻﻼ", "لا"),
+):
+    for _f in _forms:
+        _AR_PRE_MAP[_f] = _canon
+del _c, _i, _forms, _canon, _f
+
+#: suffix tables: (suffix, case) — longest match wins, as find_among_b
+_AR_N1A = (("كما", 3), ("هما", 3),
+           ("نا", 2), ("ها", 2), ("ك", 1),
+           ("كم", 2), ("هم", 2), ("هن", 2),
+           ("ه", 1), ("ي", 1))
+_AR_V1 = (("كما", 3), ("هما", 3),
+          ("نا", 2), ("ها", 2), ("ك", 1),
+          ("كم", 2), ("هم", 2), ("كن", 2),
+          ("هن", 2), ("ه", 1),
+          ("كمو", 3), ("ني", 2))
+_AR_V2A = (("ا", 2), ("تا", 3), ("تما", 5),
+           ("نا", 3), ("ت", 1), ("ن", 2),
+           ("ان", 4), ("تن", 3), ("ون", 4),
+           ("ين", 4), ("ي", 2))
+
+
+def _ar_sfx(t, table):
+    """find_among_b: longest suffix at the cursor; on a match the cursor
+    moves left past it and bra/ket bracket it. Returns the case (0 = none).
+    Length conditions are checked by the caller AFTER the move (failures
+    leave the cursor moved — callers restore, as the generated Java does)."""
+    best, blen = 0, 0
+    s, c = t.s, t.c
+    for sfx, case in table:
+        n = len(sfx)
+        if n > blen and c >= n and s[c - n:c] == sfx:
+            best, blen = case, n
+    if best:
+        t.ket = c
+        t.c = c - blen
+        t.bra = t.c
+    return best
+
+
+def _ar_del_if(t, case, conds):
+    # conds: {case: min_len_inclusive}; delete on pass
+    if case and len(t.s) >= conds[case]:
+        _tr_del(t)
+        return True
+    return False
+
+
+def _ar_vstep1(t):
+    return _ar_del_if(t, _ar_sfx(t, _AR_V1), {1: 4, 2: 5, 3: 6})
+
+
+def _ar_vstep2a(t):
+    return _ar_del_if(t, _ar_sfx(t, _AR_V2A), {1: 4, 2: 4, 3: 5, 4: 6, 5: 6})
+
+
+def _ar_vstep2b(t):
+    case = _ar_sfx(t, (("وا", 1), ("تم", 1)))
+    return _ar_del_if(t, case, {1: 5})
+
+
+def _ar_vstep2c(t):
+    case = _ar_sfx(t, (("و", 1), ("تمو", 2)))
+    return _ar_del_if(t, case, {1: 4, 2: 6})
+
+
+def _ar_nstep1a(t):
+    return _ar_del_if(t, _ar_sfx(t, _AR_N1A), {1: 4, 2: 5, 3: 6})
+
+
+def _ar_nstep1b(t):
+    case = _ar_sfx(t, (("ن", 1),))
+    return _ar_del_if(t, case, {1: 6})   # I_word_len > 5
+
+
+def _ar_nstep2a(t):
+    case = _ar_sfx(t, (("ا", 1), ("و", 1), ("ي", 1)))
+    return _ar_del_if(t, case, {1: 5})   # I_word_len > 4
+
+
+def _ar_nstep2b(t):
+    case = _ar_sfx(t, (("ات", 1),))
+    return _ar_del_if(t, case, {1: 5})
+
+
+def _ar_nstep2c1(t):
+    case = _ar_sfx(t, (("ت", 1),))
+    return _ar_del_if(t, case, {1: 4})
+
+
+def _ar_nstep2c2(t):
+    case = _ar_sfx(t, (("ة", 1),))
+    return _ar_del_if(t, case, {1: 4})
+
+
+def _ar_nstep3(t):
+    case = _ar_sfx(t, (("ي", 1),))
+    return _ar_del_if(t, case, {1: 3})
+
+
+def _ar_alef_maqsura(t):
+    if _ar_sfx(t, (("ى", 1),)):
+        t.s = t.s[:t.bra] + "ي" + t.s[t.ket:]
+        t.ket = t.bra + 1
+        return True
+    return False
+
+
+def _ar_try(t, fn):
+    v = _tr_sv(t)
+    if fn(t):
+        return True
+    _tr_rs(t, v)
+    return False
+
+
+def _ar_pfx(w, p, table):
+    """Forward find_among at position p: (matched_len, case) or (0, 0)."""
+    best, blen = 0, 0
+    for pfx, case in table:
+        n = len(pfx)
+        if n > blen and w[p:p + n] == pfx:
+            best, blen = case, n
+    return blen, best
+
+
+def _ar_prefixes(w, is_noun, is_verb):
+    # stem() prefix section (arabic.sbl:573-580): try Step1, try Step2,
+    # then (Step3a_Noun or is_noun Step3b_Noun or is_verb (try Step3_Verb
+    # Step4_Verb)) — a `do`, so failures just end the phase
+    p = 0
+    n, case = _ar_pfx(w, p, (
+        ("أآ", 2), ("أأ", 1),
+        ("أؤ", 3), ("أإ", 5),
+        ("أا", 4)))
+    if case and len(w) > 3:                               # Prefix_Step1
+        repl = {1: "أ", 2: "آ", 3: "أ",
+                4: "ا", 5: "إ"}[case]
+        w = w[:p] + repl + w[p + n:]
+        p += len(repl)
+    if (w[p:p + 2] not in ("فا", "وا")
+            and w[p:p + 1] in ("ف", "و")
+            and len(w) > 3):                              # Prefix_Step2
+        w = w[:p] + w[p + 1:]
+    n, case = _ar_pfx(w, p, (
+        ("ال", 2), ("بال", 1),
+        ("كال", 1), ("لل", 2)))
+    if case and len(w) > (5 if case == 1 else 4):         # Prefix_Step3a_Noun
+        w = w[:p] + w[p + n:]
+        return w
+    if is_noun and w[p:p + 2] != "با":                   # Prefix_Step3b_Noun
+        n, case = _ar_pfx(w, p, (("ب", 1), ("بب", 2),
+                                 ("كك", 3)))
+        if case and len(w) > 3:
+            repl = {1: "", 2: "ب", 3: "ك"}[case]
+            w = w[:p] + repl + w[p + n:]
+            return w
+    if is_verb:
+        n, case = _ar_pfx(w, p, (
+            ("سأ", 4), ("ست", 2),
+            ("سن", 3), ("سي", 1)))
+        if case and len(w) > 4:                           # Prefix_Step3_Verb
+            repl = {1: "ي", 2: "ت", 3: "ن", 4: "أ"}[case]
+            w = w[:p] + repl + w[p + n:]
+            p += len(repl)
+        n, case = _ar_pfx(w, p, (("تست", 1), ("نست", 1),
+                                 ("يست", 1)))
+        if case and len(w) > 4:                           # Prefix_Step4_Verb
+            w = w[:p] + "است" + w[p + n:]
+    return w
+
+
+def _ar_suffixes(t, is_verb, is_noun, is_defined):
+    # stem() backward section (arabic.sbl:528-569)
+    v4 = _tr_sv(t)
+    if is_verb:
+        v5 = _tr_sv(t)
+        n_del = 0
+        while _ar_try(t, _ar_vstep1):
+            n_del += 1
+        if n_del >= 1:
+            if _ar_try(t, _ar_vstep2a) or _ar_try(t, _ar_vstep2c):
+                return
+            if t.c > 0:
+                t.c -= 1
+                return
+        _tr_rs(t, v5)
+        if _ar_try(t, _ar_vstep2b):
+            return
+        if _ar_try(t, _ar_vstep2a):
+            return
+        _tr_rs(t, v4)
+    if is_noun:
+        v9 = _tr_sv(t)
+        v10 = _tr_sv(t)
+        done = _ar_try(t, _ar_nstep2c2)
+        if not done and not is_defined and _ar_try(t, _ar_nstep1a):
+            if (_ar_try(t, _ar_nstep2a) or _ar_try(t, _ar_nstep2b)
+                    or _ar_try(t, _ar_nstep2c1)):
+                done = True
+            elif t.c > 0:
+                t.c -= 1
+                done = True
+            else:
+                _tr_rs(t, v10)   # alternative fails; Step1a delete persists
+        if not done and _ar_try(t, _ar_nstep1b):
+            if (_ar_try(t, _ar_nstep2a) or _ar_try(t, _ar_nstep2b)
+                    or _ar_try(t, _ar_nstep2c1)):
+                done = True
+            else:
+                _tr_rs(t, v10)   # alternative fails; Step1b delete persists
+        if not done and not is_defined and _ar_try(t, _ar_nstep2a):
+            done = True
+        if not done and not _ar_try(t, _ar_nstep2b):
+            _tr_rs(t, v9)        # whole try skipped
+        if _ar_try(t, _ar_nstep3):
+            return               # noun branch succeeded
+        _tr_rs(t, v4)            # noun branch failed: Step3 required
+    _ar_try(t, _ar_alef_maqsura)
+
+
+def arabic_snowball_stem(word):
+    """Snowball Arabic (``tartarus/snowball/ext/ArabicStemmer.java``;
+    arabic.sbl by Assem Chelli) — vocab-exact on all 1,165
+    TestSnowballVocabData arabic entries. Distinct from the Light-10
+    stemmer in :func:`lucene_solr_ray.analysis.lang.arabic_stem`."""
+    is_noun, is_verb, is_defined = True, True, False
+    # Checks1 runs on the raw word (before Normalize_pre)
+    n, case = _ar_pfx(word, 0, (
+        ("ال", 2), ("بال", 1),
+        ("كال", 1), ("لل", 2)))
+    if case == 1 and len(word) > 4:
+        is_noun, is_verb, is_defined = True, False, True
+    elif case == 2 and len(word) > 3:
+        is_noun, is_verb, is_defined = True, False, True
+    word = "".join(_AR_PRE_MAP.get(ch, ch) for ch in word)  # Normalize_pre
+    t = _TrCtx(word)
+    _ar_suffixes(t, is_verb, is_noun, is_defined)
+    w = _ar_prefixes(t.s, is_noun, is_verb)
+    # Normalize_post: final hamza carrier -> bare hamza, then fold
+    if w and w[-1] in "آأؤإئ":
+        w = w[:-1] + "ء"
+    return (w.replace("آ", "ا").replace("أ", "ا")
+            .replace("إ", "ا").replace("ؤ", "و")
+            .replace("ئ", "ي"))

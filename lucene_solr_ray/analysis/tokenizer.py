@@ -938,6 +938,9 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "turkish_snowball":
         from .snowball import turkish_snowball_stem
         stem_fns["turkish_snowball"] = turkish_snowball_stem
+    elif analyzer.stem == "arabic_snowball":
+        from .snowball import arabic_snowball_stem
+        stem_fns["arabic_snowball"] = arabic_snowball_stem
     elif analyzer.stem == "finnish_snowball":
         from .snowball import finnish_snowball_stem
         stem_fns["finnish_snowball"] = finnish_snowball_stem

@@ -11,6 +11,7 @@ import zipfile
 import pytest
 
 from lucene_solr_ray.analysis.snowball import (
+    arabic_snowball_stem,
     DANISH_STOP_WORDS,
     DUTCH_STOP_WORDS,
     ROMANIAN_STOP_WORDS,
@@ -76,6 +77,7 @@ def _vocab(lang: str, by_lines: bool = False):
         ("portuguese", portuguese_snowball_stem, 32016),
         ("italian", italian_snowball_stem, 35494),
         ("french", french_snowball_stem, 20403),
+        ("arabic", arabic_snowball_stem, 1165),
     ],
 )
 def test_snowball_full_reference_vocabulary(lang, fn, count):
