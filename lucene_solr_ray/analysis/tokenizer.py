@@ -941,6 +941,9 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "arabic_snowball":
         from .snowball import arabic_snowball_stem
         stem_fns["arabic_snowball"] = arabic_snowball_stem
+    elif analyzer.stem == "lovins":
+        from .snowball import lovins_stem
+        stem_fns["lovins"] = lovins_stem
     elif analyzer.stem == "finnish_snowball":
         from .snowball import finnish_snowball_stem
         stem_fns["finnish_snowball"] = finnish_snowball_stem

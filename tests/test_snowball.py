@@ -20,6 +20,7 @@ from lucene_solr_ray.analysis.snowball import (
     finnish_snowball_stem,
     french_snowball_stem,
     hungarian_snowball_stem,
+    lovins_stem,
     german_snowball_stem,
     german2_stem,
     spanish_snowball_stem,
@@ -78,6 +79,7 @@ def _vocab(lang: str, by_lines: bool = False):
         ("italian", italian_snowball_stem, 35494),
         ("french", french_snowball_stem, 20403),
         ("arabic", arabic_snowball_stem, 1165),
+        ("lovins", lovins_stem, 29417),
     ],
 )
 def test_snowball_full_reference_vocabulary(lang, fn, count):
