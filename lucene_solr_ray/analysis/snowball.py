@@ -3474,3 +3474,559 @@ def lovins_stem(word):
         if not (pre and pre[-1] in forbid):
             word = pre + repl
     return word
+
+
+# ------------------------------------------------- Kraaij-Pohlmann (Dutch)
+
+_KP_V = frozenset("aeiouy")
+_KP_V_WX = frozenset("aeiouywx")
+_KP_AOU = frozenset("aou")
+_KP_AIOU = frozenset("aiou")
+
+
+class _KpCtx(_TrCtx):
+    """Adds measure marks p1/p2 and the GE/stemmed flags to the backward
+    cursor context (kp.sbl: R1/R2 are position >= mark, not region)."""
+    __slots__ = ("p1", "p2", "ge_removed", "stemmed")
+
+    def __init__(self, s):
+        super().__init__(s)
+        self.p1 = len(s)
+        self.p2 = len(s)
+        self.ge_removed = False
+        self.stemmed = False
+
+
+def _kp_measure(t):
+    # kp.sbl measure: p1 after [cons* (ij|v)+ cons], p2 after that again
+    s = t.s
+    n = len(s)
+    t.p1 = t.p2 = n
+    i = 0
+    for attr in ("p1", "p2"):
+        while i < n and s[i] not in _KP_V:
+            i += 1
+        cnt = 0
+        while i < n:
+            if s[i:i + 2] == "ij":
+                i += 2
+            elif s[i] in _KP_V:
+                i += 1
+            else:
+                break
+            cnt += 1
+        if cnt < 1 or i >= n or s[i] in _KP_V:
+            return
+        i += 1
+        setattr(t, attr, i)
+
+
+def _kp_R1(t):
+    return t.c >= t.p1
+
+
+def _kp_R2(t):
+    return t.c >= t.p2
+
+
+def _kp_V(t):
+    # test: vowel or 'ij' before the cursor
+    s, c = t.s, t.c
+    return c >= 1 and (s[c - 1] in _KP_V or s[c - 2:c] == "ij")
+
+
+def _kp_VX(t):
+    # test: next, then vowel or 'ij'
+    s, c = t.s, t.c
+    return c >= 2 and (s[c - 2] in _KP_V or s[c - 3:c - 1] == "ij")
+
+
+def _kp_C(t):
+    # test: not 'ij', and a consonant before the cursor
+    s, c = t.s, t.c
+    return c >= 1 and s[c - 2:c] != "ij" and s[c - 1] not in _KP_V
+
+
+def _kp_lengthen_V(t):
+    # kp.sbl lengthen_V: double a short vowel before a final consonant
+    # (not w/x); the 'e' case has extra guards. Pure side effect (do-style:
+    # always "succeeds"; cursor is net unmoved relative to the end).
+    s, c = t.s, t.c
+    if c < 1 or s[c - 1] in _KP_V_WX:
+        return True
+    p = c - 2
+    if p < 0:
+        return True
+    ch = s[p]
+    if ch in _KP_AOU:
+        if p == 0 or s[p - 1] not in _KP_V:
+            t.s = s[:p] + ch + s[p:]
+            t.c = c + 1
+    elif ch == "e":
+        if p == 0:
+            ok = True
+        elif s[p - 1] not in _KP_V:
+            ok = True
+            if p >= 2 and s[p - 2] in _KP_AIOU:
+                ok = False
+            elif p >= 4 and s[p - 3] in _KP_AIOU and s[p - 4] not in _KP_V:
+                ok = False
+        else:
+            ok = False
+        if ok:
+            t.s = s[:p] + "e" + s[p:]
+            t.c = c + 1
+    return True
+
+
+def _kp_step1(t):
+    t.ket = t.c
+    m = _ar_sfx(t, (("nde", 7), ("en", 6), ("'s", 1), ("s", 2),
+                    ("ies", 3), ("es", 4), ("aus", 5)))
+    if not m:
+        return False
+    if m == 7:
+        t.s = t.s[:t.bra] + "nd" + t.s[t.ket:]
+        return True
+    if m == 1:
+        _tr_del(t)
+        return True
+    if m == 2:
+        if not _kp_R1(t):
+            return False
+        v = _tr_sv(t)
+        if _tr_eqb(t, "t") and _kp_R1(t):
+            return False
+        _tr_rs(t, v)
+        if not _kp_C(t):
+            return False
+        _tr_del(t)
+        return True
+    if m == 3:
+        if not _kp_R1(t):
+            return False
+        t.s = t.s[:t.bra] + "ie" + t.s[t.ket:]
+        return True
+    if m == 4:  # es
+        v = _tr_sv(t)
+        if _tr_eqb(t, "ar") and _kp_R1(t) and _kp_C(t):
+            t.bra = t.c
+            _tr_del(t)
+            _kp_lengthen_V(t)
+            return True
+        _tr_rs(t, v)
+        if _tr_eqb(t, "er") and _kp_R1(t) and _kp_C(t):
+            t.bra = t.c
+            _tr_del(t)
+            return True
+        _tr_rs(t, v)
+        if not (_kp_R1(t) and _kp_C(t)):
+            return False
+        t.s = t.s[:t.bra] + "e" + t.s[t.ket:]
+        return True
+    if m == 5:  # aus
+        if not (_kp_R1(t) and _kp_V(t)):
+            return False
+        t.s = t.s[:t.bra] + "au" + t.s[t.ket:]
+        return True
+    # m == 6: en
+    v = _tr_sv(t)
+    if _tr_eqb(t, "hed") and _kp_R1(t):
+        t.bra = t.c
+        t.s = t.s[:t.bra] + "heid" + t.s[t.ket:]
+        return True
+    _tr_rs(t, v)
+    if _tr_eqb(t, "nd"):
+        _tr_rs(t, v)
+        _tr_del(t)
+        return True
+    _tr_rs(t, v)
+    if _tr_eqb(t, "d") and _kp_R1(t) and _kp_C(t):
+        t.bra = t.c
+        _tr_del(t)
+        return True
+    _tr_rs(t, v)
+    if (_tr_eqb(t, "i") or _tr_eqb(t, "j")) and _kp_V(t):
+        _tr_rs(t, v)
+        _tr_del(t)
+        return True
+    _tr_rs(t, v)
+    if not (_kp_R1(t) and _kp_C(t)):
+        return False
+    _tr_del(t)
+    _kp_lengthen_V(t)
+    return True
+
+
+def _kp_step2(t):
+    t.ket = t.c
+    m = _ar_sfx(t, (("de", 5), ("ge", 2), ("ische", 4), ("je", 1),
+                    ("lijke", 3), ("le", 9), ("ene", 10), ("re", 8),
+                    ("se", 7), ("te", 6), ("ieve", 11)))
+    if not m:
+        return False
+    if m == 1:  # je
+        v = _tr_sv(t)
+        if _tr_eqb(t, "'t"):
+            t.bra = t.c
+            _tr_del(t)
+            return True
+        _tr_rs(t, v)
+        if _tr_eqb(t, "et"):
+            t.bra = t.c
+            if _kp_R1(t) and _kp_C(t):
+                _tr_del(t)
+                return True
+            _tr_rs(t, v)
+        else:
+            _tr_rs(t, v)
+        if _tr_eqb(t, "rnt"):
+            t.bra = t.c
+            t.s = t.s[:t.bra] + "rn" + t.s[t.ket:]
+            return True
+        _tr_rs(t, v)
+        if _tr_eqb(t, "t"):
+            t.bra = t.c
+            if _kp_R1(t) and _kp_VX(t):
+                _tr_del(t)
+                return True
+            _tr_rs(t, v)
+        else:
+            _tr_rs(t, v)
+        if _tr_eqb(t, "ink"):
+            t.bra = t.c
+            t.s = t.s[:t.bra] + "ing" + t.s[t.ket:]
+            return True
+        _tr_rs(t, v)
+        if _tr_eqb(t, "mp"):
+            t.bra = t.c
+            t.s = t.s[:t.bra] + "m" + t.s[t.ket:]
+            return True
+        _tr_rs(t, v)
+        if _tr_eqb(t, "'"):
+            t.bra = t.c
+            if _kp_R1(t):
+                _tr_del(t)
+                return True
+            _tr_rs(t, v)
+        else:
+            _tr_rs(t, v)
+        t.bra = t.c
+        if not (_kp_R1(t) and _kp_C(t)):
+            return False
+        _tr_del(t)
+        return True
+    if m == 2:
+        if not _kp_R1(t):
+            return False
+        t.s = t.s[:t.bra] + "g" + t.s[t.ket:]
+        return True
+    if m == 3:
+        if not _kp_R1(t):
+            return False
+        t.s = t.s[:t.bra] + "lijk" + t.s[t.ket:]
+        return True
+    if m == 4:
+        if not _kp_R1(t):
+            return False
+        t.s = t.s[:t.bra] + "isch" + t.s[t.ket:]
+        return True
+    if m == 5:
+        if not (_kp_R1(t) and _kp_C(t)):
+            return False
+        _tr_del(t)
+        return True
+    if m == 6:
+        if not _kp_R1(t):
+            return False
+        t.s = t.s[:t.bra] + "t" + t.s[t.ket:]
+        return True
+    if m == 7:
+        if not _kp_R1(t):
+            return False
+        t.s = t.s[:t.bra] + "s" + t.s[t.ket:]
+        return True
+    if m == 8:
+        if not _kp_R1(t):
+            return False
+        t.s = t.s[:t.bra] + "r" + t.s[t.ket:]
+        return True
+    if m == 9:
+        if not _kp_R1(t):
+            return False
+        _tr_del(t)
+        t.s = t.s[:t.c] + "l" + t.s[t.c:]
+        t.c += 1
+        _kp_lengthen_V(t)
+        return True
+    if m == 10:
+        if not (_kp_R1(t) and _kp_C(t)):
+            return False
+        _tr_del(t)
+        t.s = t.s[:t.c] + "en" + t.s[t.c:]
+        t.c += 2
+        _kp_lengthen_V(t)
+        return True
+    # m == 11: ieve
+    if not (_kp_R1(t) and _kp_C(t)):
+        return False
+    t.s = t.s[:t.bra] + "ief" + t.s[t.ket:]
+    return True
+
+
+def _kp_step3(t):
+    t.ket = t.c
+    m = _ar_sfx(t, (("heid", 3), ("fie", 7), ("gie", 8), ("atie", 1),
+                    ("isme", 5), ("ing", 5), ("arij", 6), ("erij", 5),
+                    ("sel", 3), ("rder", 4), ("ster", 3), ("iteit", 2),
+                    ("dst", 10), ("tst", 9)))
+    if not m:
+        return False
+    if m == 1:
+        if not _kp_R1(t):
+            return False
+        t.s = t.s[:t.bra] + "eer" + t.s[t.ket:]
+        return True
+    if m == 2:
+        if not _kp_R1(t):
+            return False
+        _tr_del(t)
+        _kp_lengthen_V(t)
+        return True
+    if m == 3:
+        if not _kp_R1(t):
+            return False
+        _tr_del(t)
+        return True
+    if m == 4:
+        t.s = t.s[:t.bra] + "r" + t.s[t.ket:]
+        return True
+    if m == 5:
+        if not _kp_R1(t):
+            return False
+        _tr_del(t)
+        _kp_lengthen_V(t)
+        return True
+    if m == 6:
+        if not (_kp_R1(t) and _kp_C(t)):
+            return False
+        t.s = t.s[:t.bra] + "aar" + t.s[t.ket:]
+        return True
+    if m == 7:
+        if not _kp_R2(t):
+            return False
+        _tr_del(t)
+        t.s = t.s[:t.c] + "f" + t.s[t.c:]
+        t.c += 1
+        _kp_lengthen_V(t)
+        return True
+    if m == 8:
+        if not _kp_R2(t):
+            return False
+        _tr_del(t)
+        t.s = t.s[:t.c] + "g" + t.s[t.c:]
+        t.c += 1
+        _kp_lengthen_V(t)
+        return True
+    if m == 9:
+        if not (_kp_R1(t) and _kp_C(t)):
+            return False
+        t.s = t.s[:t.bra] + "t" + t.s[t.ket:]
+        return True
+    # m == 10
+    if not (_kp_R1(t) and _kp_C(t)):
+        return False
+    t.s = t.s[:t.bra] + "d" + t.s[t.ket:]
+    return True
+
+
+def _kp_step4(t):
+    v0 = _tr_sv(t)
+    t.ket = t.c
+    m = _ar_sfx(t, (("end", 10), ("atief", 2), ("erig", 10), ("achtig", 9),
+                    ("ioneel", 1), ("baar", 3), ("laar", 5), ("naar", 4),
+                    ("raar", 6), ("eriger", 10), ("achtiger", 9),
+                    ("lijker", 8), ("tant", 7), ("erigst", 10),
+                    ("achtigst", 9), ("lijkst", 8)))
+    ok = False
+    if m:
+        if m == 1 and _kp_R1(t):
+            t.s = t.s[:t.bra] + "ie" + t.s[t.ket:]
+            ok = True
+        elif m == 2 and _kp_R1(t):
+            t.s = t.s[:t.bra] + "eer" + t.s[t.ket:]
+            ok = True
+        elif m == 3 and _kp_R1(t):
+            _tr_del(t)
+            ok = True
+        elif m == 4 and _kp_R1(t) and _kp_V(t):
+            t.s = t.s[:t.bra] + "n" + t.s[t.ket:]
+            ok = True
+        elif m == 5 and _kp_R1(t) and _kp_V(t):
+            t.s = t.s[:t.bra] + "l" + t.s[t.ket:]
+            ok = True
+        elif m == 6 and _kp_R1(t) and _kp_V(t):
+            t.s = t.s[:t.bra] + "r" + t.s[t.ket:]
+            ok = True
+        elif m == 7 and _kp_R1(t):
+            t.s = t.s[:t.bra] + "teer" + t.s[t.ket:]
+            ok = True
+        elif m == 8 and _kp_R1(t):
+            t.s = t.s[:t.bra] + "lijk" + t.s[t.ket:]
+            ok = True
+        elif m == 9 and _kp_R1(t):
+            _tr_del(t)
+            ok = True
+        elif m == 10 and _kp_R1(t) and _kp_C(t):
+            _tr_del(t)
+            _kp_lengthen_V(t)
+            ok = True
+    if ok:
+        return True
+    _tr_rs(t, v0)
+    t.ket = t.c
+    m = _ar_sfx(t, (("ig", 1), ("iger", 1), ("igst", 1)))
+    if not m or not (_kp_R1(t) and _kp_C(t)):
+        return False
+    _tr_del(t)
+    _kp_lengthen_V(t)
+    return True
+
+
+def _kp_step7(t):
+    t.ket = t.c
+    m = _ar_sfx(t, (("ft", 2), ("kt", 1), ("pt", 3)))
+    if not m:
+        return False
+    t.s = t.s[:t.bra] + {1: "k", 2: "f", 3: "p"}[m] + t.s[t.ket:]
+    return True
+
+
+def _kp_step6(t):
+    t.ket = t.c
+    s = t.s
+    if s[-2:] in ("bb", "cc", "dd", "ff", "gg", "hh", "jj", "kk", "ll",
+                  "mm", "nn", "pp", "qq", "rr", "ss", "tt", "vv", "ww",
+                  "xx", "zz"):
+        t.s = s[:-1]
+        t.c = min(t.c, len(t.s))
+        return True
+    if s.endswith("v"):
+        t.s = s[:-1] + "f"
+        return True
+    if s.endswith("z"):
+        t.s = s[:-1] + "s"
+        return True
+    return False
+
+
+def _kp_step1c(t):
+    t.ket = t.c
+    m = _ar_sfx(t, (("d", 1), ("t", 2)))
+    if not m:
+        return False
+    if not (_kp_R1(t) and _kp_C(t)):
+        return False
+    v = _tr_sv(t)
+    if m == 1:
+        if _tr_eqb(t, "n") and _kp_R1(t):
+            return False
+        _tr_rs(t, v)
+    else:
+        if _tr_eqb(t, "h") and _kp_R1(t):
+            return False
+        _tr_rs(t, v)
+    _tr_del(t)
+    return True
+
+
+def _kp_lose_prefix(t):
+    s = t.s
+    if not s.startswith("ge") or len(s) < 5:
+        return False
+    iv = 2
+    n = len(s)
+    while iv < n and s[iv] not in _KP_V:
+        iv += 1
+    if iv >= n:
+        return False
+    ic = iv
+    while ic < n and s[ic] in _KP_V:
+        ic += 1
+    if ic >= n:
+        return False
+    t.s = s[2:]
+    t.ge_removed = True
+    return True
+
+
+def _kp_lose_infix(t):
+    s = t.s
+    g = s.find("ge", 1)
+    if g < 0:
+        return False
+    if g + 2 + 3 > len(s):
+        return False
+    iv = g + 2
+    n = len(s)
+    while iv < n and s[iv] not in _KP_V:
+        iv += 1
+    if iv >= n:
+        return False
+    ic = iv
+    while ic < n and s[ic] in _KP_V:
+        ic += 1
+    if ic >= n:
+        return False
+    t.s = s[:g] + s[g + 2:]
+    t.ge_removed = True
+    return True
+
+
+def kraaij_pohlmann_stem(word):
+    """Kraaij-Pohlmann Dutch stemmer (``tartarus/snowball/ext/KpStemmer.
+    java``; kp.sbl by Wessel Kraaij & Renee Pohlmann) — vocab-exact on all
+    45,669 TestSnowballVocabData kraaij_pohlmann entries. Distinct from
+    the standard Snowball Dutch stemmer (:func:`dutch_stem`)."""
+    # prelude: mark consonant-y as Y (initial y, and y after a vowel)
+    y_found = False
+    chars = list(word)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+        y_found = True
+    for k in range(1, len(chars)):
+        if chars[k] == "y" and chars[k - 1] in _KP_V:
+            chars[k] = "Y"
+            y_found = True
+    t = _KpCtx("".join(chars))
+    _kp_measure(t)
+
+    def run(step):
+        t.c = len(t.s)
+        if step(t):
+            t.stemmed = True
+
+    run(_kp_step1)
+    run(_kp_step2)
+    run(_kp_step3)
+    run(_kp_step4)
+    t.ge_removed = False
+    if _kp_lose_prefix(t):
+        _kp_measure(t)
+    if t.ge_removed:
+        t.c = len(t.s)
+        _kp_step1c(t)
+    t.ge_removed = False
+    if _kp_lose_infix(t):
+        _kp_measure(t)
+    if t.ge_removed:
+        t.c = len(t.s)
+        _kp_step1c(t)
+    run(_kp_step7)
+    ge = t.ge_removed
+    if t.stemmed or ge:
+        t.c = len(t.s)
+        _kp_step6(t)
+    if y_found:
+        t.s = t.s.replace("Y", "y")
+    return t.s

@@ -944,6 +944,9 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "lovins":
         from .snowball import lovins_stem
         stem_fns["lovins"] = lovins_stem
+    elif analyzer.stem == "kraaij_pohlmann":
+        from .snowball import kraaij_pohlmann_stem
+        stem_fns["kraaij_pohlmann"] = kraaij_pohlmann_stem
     elif analyzer.stem == "finnish_snowball":
         from .snowball import finnish_snowball_stem
         stem_fns["finnish_snowball"] = finnish_snowball_stem

@@ -20,6 +20,7 @@ from lucene_solr_ray.analysis.snowball import (
     finnish_snowball_stem,
     french_snowball_stem,
     hungarian_snowball_stem,
+    kraaij_pohlmann_stem,
     lovins_stem,
     german_snowball_stem,
     german2_stem,
@@ -80,6 +81,7 @@ def _vocab(lang: str, by_lines: bool = False):
         ("french", french_snowball_stem, 20403),
         ("arabic", arabic_snowball_stem, 1165),
         ("lovins", lovins_stem, 29417),
+        ("kraaij_pohlmann", kraaij_pohlmann_stem, 45669),
     ],
 )
 def test_snowball_full_reference_vocabulary(lang, fn, count):
