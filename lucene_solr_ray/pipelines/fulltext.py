@@ -1903,6 +1903,78 @@ PORTER2_SPECS = [
     {"qid": f"p2_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in PORTER2_MAP[:6]
 ]
+#: classic Snowball Porter (ext/PorterStemmer.java): leading rows align the
+#: corpus words the stemmer alters; trailing rows inject porter-vocab forms
+SNOWBALL_PORTER_MAP = [
+    ("customer", "customer", "custom"),
+    ("key", "key", "kei"),
+    ("merge", "merge", "merg"),
+    ("query", "query", "queri"),
+    ("table", "table", "tabl"),
+    ("value", "value", "valu"),
+    ("column", "consideration", "consider"),
+    ("join", "generously", "gener"),
+    ("part", "happiness", "happi"),
+    ("sort", "feelingly", "feelingli"),
+]
+SNOWBALL_PORTER_SPECS = [
+    {"qid": f"psb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_PORTER_MAP[-4:]
+]
+SNOWBALL_TR_MAP = [
+    ("data", "data", "da"),
+    ("line", "line", "l"),
+    ("column", "kitapları", "kitap"),
+    ("join", "arabalarında", "araba"),
+    ("part", "çocuklarımızın", "çocuk"),
+    ("sort", "evlerinden", "ev"),
+]
+SNOWBALL_TR_SPECS = [
+    {"qid": f"trsb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_TR_MAP[-4:]
+]
+SNOWBALL_AR_MAP = [
+    ("column", "ءامن", "ءام"),
+    ("join", "أأباداها", "اباد"),
+    ("part", "أأبادرهن", "ابادر"),
+    ("sort", "استفتيتم", "استفتي"),
+]
+SNOWBALL_AR_SPECS = [
+    {"qid": f"arsb_{i}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for i, (_w, _d, stem) in enumerate(SNOWBALL_AR_MAP)
+]
+LOVINS_MAP = [
+    ("agg", "agg", "ag"),
+    ("data", "data", "dat"),
+    ("line", "line", "lin"),
+    ("merge", "merge", "merg"),
+    ("query", "query", "qu"),
+    ("small", "small", "smal"),
+    ("table", "table", "tabl"),
+    ("value", "value", "valu"),
+    ("vector", "vector", "vect"),
+    ("column", "consideration", "consider"),
+    ("join", "believe", "belief"),
+    ("part", "nation", "nat"),
+    ("sort", "absorption", "absorb"),
+]
+LOVINS_SPECS = [
+    {"qid": f"lov_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in LOVINS_MAP[-4:]
+]
+KP_MAP = [
+    ("merge", "merge", "merg"),
+    ("order", "order", "or"),
+    ("table", "table", "tabl"),
+    ("column", "kinderen", "kinder"),
+    ("join", "gebouwen", "bouw"),
+    ("part", "fietsen", "fiets"),
+    ("sort", "mogelijkheden", "molijk"),
+]
+KP_SPECS = [
+    {"qid": f"kp_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in KP_MAP[-4:]
+]
 SNOWBALL_SV_SPECS = [
     {"qid": f"svsb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in SNOWBALL_SV_MAP[:4]
@@ -2298,6 +2370,109 @@ def ft_porter2(sf_dir: str) -> pa.Table:
             sf_dir, "porter2", EnglishSnowballAnalyzer(char_filters=cf)
         ),
         PORTER2_SPECS,
+    )
+
+
+def ft_snowball_porter(sf_dir: str) -> pa.Table:
+    """Classic Snowball Porter chain (SnowballPorterFilterFactory
+    language=Porter; ``ext/PorterStemmer.java``) — the 1980 algorithm,
+    distinct from Porter2 (ft_porter2) and Lucene's departures variant
+    (ft entries with stem="porter"). Map-oracle via the porter vocab
+    ground truth. BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import ENGLISH_STOP_WORDS, StandardAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d)
+        for w, d, _s in SNOWBALL_PORTER_MAP if w != d
+    )
+    an = StandardAnalyzer(
+        stem="snowball_porter", stopwords=ENGLISH_STOP_WORDS,
+        char_filters=cf)
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "snowball_porter", an),
+        SNOWBALL_PORTER_SPECS,
+    )
+
+
+def ft_turkish_snowball(sf_dir: str) -> pa.Table:
+    """Snowball Turkish stemmer chain (SnowballPorterFilterFactory
+    language=Turkish; ``ext/TurkishStemmer.java`` — TurkishAnalyzer's
+    stemmer, exercised here behind a plain lowercase so the SQL oracle
+    stays byte-identical; the dotted/dotless-i lowercase has its own
+    goldens in tests/test_lang_packs3.py). Map-oracle via the turkish
+    vocab ground truth. BM25 top-k, exact float64 scores."""
+    from ..analysis.lang2 import TURKISH_STOP_WORDS
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d)
+        for w, d, _s in SNOWBALL_TR_MAP if w != d
+    )
+    an = StandardAnalyzer(
+        stem="turkish_snowball", stopwords=TURKISH_STOP_WORDS,
+        char_filters=cf)
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "turkish_snowball", an),
+        SNOWBALL_TR_SPECS,
+    )
+
+
+def ft_arabic_snowball(sf_dir: str) -> pa.Table:
+    """Snowball Arabic stemmer chain (``ext/ArabicStemmer.java``;
+    arabic.sbl) — distinct from the Light-10 chain in ft entries using
+    the ArabicAnalyzer preset. Map-oracle via the arabic vocab ground
+    truth (Arabic-script forms flow through tokenizer + term dict).
+    BM25 top-k, exact float64 scores."""
+    from ..analysis.lang import ARABIC_STOP_WORDS
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d)
+        for w, d, _s in SNOWBALL_AR_MAP if w != d
+    )
+    an = StandardAnalyzer(
+        stem="arabic_snowball", stopwords=ARABIC_STOP_WORDS,
+        char_filters=cf)
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "arabic_snowball", an),
+        SNOWBALL_AR_SPECS,
+    )
+
+
+def ft_lovins(sf_dir: str) -> pa.Table:
+    """Lovins (1968) stemmer chain (SnowballPorterFilterFactory
+    language=Lovins; ``ext/LovinsStemmer.java``). Map-oracle via the
+    lovins vocab ground truth. BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import ENGLISH_STOP_WORDS, StandardAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d)
+        for w, d, _s in LOVINS_MAP if w != d
+    )
+    an = StandardAnalyzer(
+        stem="lovins", stopwords=ENGLISH_STOP_WORDS, char_filters=cf)
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "lovins", an), LOVINS_SPECS
+    )
+
+
+def ft_kraaij_pohlmann(sf_dir: str) -> pa.Table:
+    """Kraaij-Pohlmann Dutch stemmer chain (SnowballPorterFilterFactory
+    language=Kp; ``ext/KpStemmer.java``) — distinct from the standard
+    Snowball Dutch chain (ft_dutch). Map-oracle via the kraaij_pohlmann
+    vocab ground truth. BM25 top-k, exact float64 scores."""
+    from ..analysis.snowball import DUTCH_STOP_WORDS
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d)
+        for w, d, _s in KP_MAP if w != d
+    )
+    an = StandardAnalyzer(
+        stem="kraaij_pohlmann", stopwords=DUTCH_STOP_WORDS,
+        char_filters=cf)
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "kraaij_pohlmann", an), KP_SPECS
     )
 
 

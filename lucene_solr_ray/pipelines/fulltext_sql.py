@@ -1623,6 +1623,51 @@ def prelude_porter2() -> str:
     return _prelude_snowball(ENGLISH_STOP_WORDS, PORTER2_MAP)
 
 
+def prelude_snowball_porter() -> str:
+    """Classic Snowball Porter oracle: default English stop list, stems
+    from the porter vocab ground truth."""
+    from ..analysis.tokenizer import ENGLISH_STOP_WORDS
+    from .fulltext import SNOWBALL_PORTER_MAP
+
+    return _prelude_snowball(ENGLISH_STOP_WORDS, SNOWBALL_PORTER_MAP)
+
+
+def prelude_turkish_snowball() -> str:
+    """Snowball Turkish oracle (stems from the turkish vocab ground
+    truth; Turkish stop list)."""
+    from ..analysis.lang2 import TURKISH_STOP_WORDS
+    from .fulltext import SNOWBALL_TR_MAP
+
+    return _prelude_snowball(TURKISH_STOP_WORDS, SNOWBALL_TR_MAP)
+
+
+def prelude_arabic_snowball() -> str:
+    """Snowball Arabic oracle (stems from the arabic vocab ground truth;
+    Arabic stop list)."""
+    from ..analysis.lang import ARABIC_STOP_WORDS
+    from .fulltext import SNOWBALL_AR_MAP
+
+    return _prelude_snowball(ARABIC_STOP_WORDS, SNOWBALL_AR_MAP)
+
+
+def prelude_lovins() -> str:
+    """Lovins oracle (stems from the lovins vocab ground truth; English
+    stop list)."""
+    from ..analysis.tokenizer import ENGLISH_STOP_WORDS
+    from .fulltext import LOVINS_MAP
+
+    return _prelude_snowball(ENGLISH_STOP_WORDS, LOVINS_MAP)
+
+
+def prelude_kraaij_pohlmann() -> str:
+    """Kraaij-Pohlmann oracle (stems from the kraaij_pohlmann vocab
+    ground truth; Dutch stop list)."""
+    from ..analysis.snowball import DUTCH_STOP_WORDS
+    from .fulltext import KP_MAP
+
+    return _prelude_snowball(DUTCH_STOP_WORDS, KP_MAP)
+
+
 def prelude_swedish_snowball() -> str:
     """Snowball SwedishAnalyzer oracle (sv/SwedishAnalyzer.java default
     chain)."""

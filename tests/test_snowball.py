@@ -166,8 +166,15 @@ def test_snowball_oracle_fixpoint_assumption():
         SWEDISH_STOP_WORDS,
     )
     from lucene_solr_ray.analysis.tokenizer import ENGLISH_STOP_WORDS
+    from lucene_solr_ray.analysis.lang import ARABIC_STOP_WORDS
+    from lucene_solr_ray.analysis.lang2 import TURKISH_STOP_WORDS
     from lucene_solr_ray.pipelines.fulltext import (
+        KP_MAP,
+        LOVINS_MAP,
         PORTER2_MAP,
+        SNOWBALL_AR_MAP,
+        SNOWBALL_PORTER_MAP,
+        SNOWBALL_TR_MAP,
         SNOWBALL_DE2_MAP,
         SNOWBALL_DE_MAP,
         SNOWBALL_ES_MAP,
@@ -197,6 +204,11 @@ def test_snowball_oracle_fixpoint_assumption():
         (portuguese_snowball_stem, SNOWBALL_PT_MAP, PORTUGUESE_STOP_WORDS),
         (italian_snowball_stem, SNOWBALL_IT_MAP, ITALIAN_STOP_WORDS),
         (french_snowball_stem, SNOWBALL_FR_MAP, FRENCH_STOP_WORDS),
+        (snowball_porter_stem, SNOWBALL_PORTER_MAP, ENGLISH_STOP_WORDS),
+        (turkish_snowball_stem, SNOWBALL_TR_MAP, TURKISH_STOP_WORDS),
+        (arabic_snowball_stem, SNOWBALL_AR_MAP, ARABIC_STOP_WORDS),
+        (lovins_stem, LOVINS_MAP, ENGLISH_STOP_WORDS),
+        (kraaij_pohlmann_stem, KP_MAP, DUTCH_STOP_WORDS),
     ]:
         mapped = {w for w, _d, _s in word_map}
         leaks = [
