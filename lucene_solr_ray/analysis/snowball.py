@@ -4030,3 +4030,641 @@ def kraaij_pohlmann_stem(word):
     if y_found:
         t.s = t.s.replace("Y", "y")
     return t.s
+
+
+# -------------------------------------------------------------- Lithuanian
+
+#: Snowball Lithuanian (``tartarus/snowball/ext/LithuanianStemmer.java``):
+#: noun/adjective case endings (step1, R1-limited) and connective endings
+#: (step2, repeated), plus the č/dž/gd spelling fixes
+_LT_STEP1 = (
+    "tumeisi", "tumėmės", "tumėtės", "enimis", "iuosna", "siuosi",
+    "telėti", "terėti", "tumeis", "tumėme", "tumėte", "čiausi",
+    "enims", "eniui", "enyje", "enyse", "eriai", "erimi",
+    "erims", "eryje", "eryse", "iamės", "iatės", "iauti",
+    "inėti", "iomis", "iosna", "iuose", "iuosi", "iuoti",
+    "kimės", "omÄs", "otÄs", "siesi", "simės", "sitės",
+    "tumei", "tumėm", "tumėt", "uosna", "ėjosi", "aisi",
+    "amės", "asis", "atės", "ausi", "auti", "eisi",
+    "enie", "enio", "enis", "eniu", "enti", "enys",
+    "eria", "erie", "erys", "iais", "iame", "iams",
+    "iasi", "iate", "iaus", "iems", "iesi", "imis",
+    "imės", "inti", "ioje", "ioms", "iose", "ioti",
+    "iuje", "iumi", "iuos", "kite", "omis", "omės",
+    "osna", "otės", "sime", "site", "tute", "tųsi",
+    "uisi", "umis", "uose", "uosi", "uoti", "ysis",
+    "ysna", "čiau", "ėmis", "ėmės", "ėsna", "ėtės",
+    "ais", "ame", "ams", "asi", "ate", "aus",
+    "ens", "enį", "ers", "erį", "erų", "esi",
+    "iai", "iam", "ias", "iat", "iau", "iem",
+    "ies", "imi", "ims", "ion", "ios", "isi",
+    "ite", "iui", "iun", "ius", "iąs", "oje",
+    "ome", "oms", "ose", "osi", "ote", "oti",
+    "sim", "sit", "siu", "tum", "tųs", "uje",
+    "umi", "ums", "uos", "usi", "yje", "yse",
+    "yti", "ąsi", "ėje", "ėjo", "ėme", "ėms",
+    "ėse", "ėsi", "ėte", "ėti", "ųsi", "ai",
+    "am", "an", "as", "at", "au", "ei",
+    "es", "ia", "ie", "im", "io", "is",
+    "it", "iu", "ią", "ių", "ki", "oj",
+    "om", "on", "os", "ot", "si", "ti",
+    "ui", "un", "uo", "us", "ys", "ąs",
+    "ėj", "ėm", "ėn", "ės", "ėt", "įs",
+    "ūs", "a", "e", "i", "k", "o",
+    "s", "u", "y", "ą", "ė", "ę",
+    "į", "ų",
+)
+
+_LT_STEP2 = (
+    "utėait", "siant", "uliuk", "učiuk", "iais", "iant",
+    "iaus", "iuoj", "iuos", "iuot", "ykšt", "ykšč",
+    "zgan", "ain", "ais", "ant", "auj", "aus",
+    "dam", "dav", "esn", "iaj", "ias", "iau",
+    "iej", "ies", "ing", "int", "ioj", "iok",
+    "iop", "ios", "iuk", "iul", "iąj", "iąs",
+    "išk", "iųj", "jam", "uoj", "uos", "uot",
+    "ėję", "aj", "am", "oj", "ok", "op",
+    "os", "ot", "sv", "yl", "yt", "ąj",
+    "ąs", "ėj", "ėl", "ėt", "ęs", "šv",
+    "ųj", "ę",
+)
+
+_LT_V = frozenset("aeiouyąėęįūų")
+_LT_FIX = (
+    ("ojime", "ojimas"), ("ėjime", "ėjimas"), ("avime", "avimas"),
+    ("okate", "okatė"), ("aite", "aitė"), ("uote", "uotė"),
+    ("asius", "asys"), ("okatės", "okatė"), ("aitės", "aitė"),
+    ("uotės", "uotė"), ("esiu", "esys"),
+)
+
+
+def _lt_regions(word):
+    n = len(word)
+    i = 1 if n > 6 and word.startswith("a") else 0
+    p1 = n
+    while i < n and word[i] not in _LT_V:
+        i += 1
+    while i < n and word[i] in _LT_V:
+        i += 1
+    if i >= n:
+        return n
+    p1 = i + 1
+    return p1
+
+
+def lithuanian_stem(word):
+    """Snowball Lithuanian (``ext/LithuanianStemmer.java``; lithuanian.sbl
+    by Dainius Jocas) — matches the reference's TestLithuanianStemming
+    goldens (372 word/stem pairs, tests/test_snowball.py)."""
+    p1 = _lt_regions(word)
+    # fix_conflicts
+    for sfx, repl in _LT_FIX:
+        if word.endswith(sfx):
+            word = word[: len(word) - len(sfx)] + repl
+            break
+    # step1: longest case ending fitting within [p1:], delete
+    if len(word) >= p1:
+        for sfx in _LT_STEP1:
+            if word.endswith(sfx) and len(word) - len(sfx) >= p1:
+                word = word[: len(word) - len(sfx)]
+                break
+    # fix_chdz
+    if word.endswith("č"):
+        word = word[:-1] + "t"
+    elif word.endswith("dž"):
+        word = word[:-2] + "d"
+    # step2: repeat removing connective endings within [p1:]
+    while len(word) >= p1:
+        for sfx in _LT_STEP2:
+            if word.endswith(sfx) and len(word) - len(sfx) >= p1:
+                word = word[: len(word) - len(sfx)]
+                break
+        else:
+            break
+    # fix_chdz again
+    if word.endswith("č"):
+        word = word[:-1] + "t"
+    elif word.endswith("dž"):
+        word = word[:-2] + "d"
+    # fix_gd
+    if word.endswith("gd"):
+        word = word[:-2] + "g"
+    return word
+
+
+# -------------------------------------------------------------- Armenian
+
+#: Snowball Armenian (``tartarus/snowball/ext/ArmenianStemmer.java``;
+#: armenian.sbl by Astghik Mkrtchyan): delete-only suffix classes, all
+#: matches limited to [pV:]; endings additionally require R2
+_HY_ADJ = (
+    "երորդ", "ական", "ավետ", "արան", "եկեն", "երեն",
+    "լայն", "ովին", "որակ", "որէն", "վուն", "րորդ",
+    "ալի", "ակի", "բար", "գին", "կոտ", "պես",
+    "ատ", "եղ", "են", "ին", "իվ",
+)
+_HY_VERB = (
+    "ացրինք", "վեցինք", "ալուց", "ացանք", "ացինք", "ացնալ",
+    "ացվել", "ացրեց", "ացրին", "ացրիր", "ացրիք", "ելուց",
+    "եցինք", "եցնել", "եցվել", "կոտել", "վեցին", "վեցիր",
+    "վեցիք", "ալիս", "ալով", "ալու", "անալ", "ատել",
+    "ացան", "ացավ", "ացար", "ացաք", "ացին", "ացիր",
+    "ացիք", "ացրի", "ելիս", "ելով", "ելու", "ենալ",
+    "եցավ", "եցար", "եցին", "եցիր", "եցիք", "ոտել",
+    "վեցի", "վում", "ցանք", "ցնել", "անք", "ացա",
+    "ացի", "եցա", "եցի", "ըալ", "ըել", "նել",
+    "ում", "չել", "ված", "վել", "տել", "ցան",
+    "ցաք", "ալ", "ան", "ավ", "ար", "աց",
+    "աք", "ել", "եց", "վե", "ա",
+)
+_HY_NOUN = (
+    "ություն", "մունք", "ալիք", "անակ", "անիք", "անօց",
+    "ավոր", "արան", "եղէն", "յուն", "ուհի", "ույթ",
+    "ույք", "ունք", "ուստ", "ստան", "վածք", "ածո",
+    "արք", "գար", "ենք", "իչք", "յակ", "ոնք",
+    "որդ", "ուկ", "ուս", "չեք", "պան", "վոր",
+    "ակ", "ան", "իլ", "իկ", "իչ", "իք",
+    "ոց", "ու", "ցի", "ք",
+)
+_HY_ENDING = (
+    "ությանդ", "ությանը", "ությանն", "ությանս", "ներում", "ության",
+    "անում", "երում", "ներին", "ներից", "ներով", "վանից",
+    "անով", "երին", "երից", "երով", "ներդ", "ները",
+    "ների", "ներն", "ոջից", "վանդ", "վանը", "վանս",
+    "ամբ", "անդ", "անը", "երդ", "երը", "երի",
+    "երն", "ներ", "ոջդ", "ոջը", "ոջս", "ուդ",
+    "ուն", "ուց", "վան", "վից", "վով", "ցից",
+    "ան", "եր", "ին", "ից", "ոջ", "ով",
+    "ոց", "սա", "վա", "վի", "դ", "ը",
+    "ի", "ն", "ց",
+)
+_HY_V = frozenset("\u0561\u0565\u0567\u0568\u056b\u0578\u0582\u0585")
+
+
+def _hy_regions(word):
+    n = len(word)
+    pV = p2 = n
+    i = 0
+    while i < n and word[i] not in _HY_V:
+        i += 1
+    if i >= n:
+        return pV, p2
+    i += 1
+    pV = i
+    while i < n and word[i] in _HY_V:
+        i += 1
+    if i >= n:
+        return pV, p2
+    i += 1
+    while i < n and word[i] not in _HY_V:
+        i += 1
+    if i >= n:
+        return pV, p2
+    i += 1
+    while i < n and word[i] in _HY_V:
+        i += 1
+    if i >= n:
+        return pV, p2
+    i += 1
+    return pV, i
+
+
+def _hy_strip(word, table, lo):
+    for sfx in table:
+        if word.endswith(sfx) and len(word) - len(sfx) >= lo:
+            return word[: len(word) - len(sfx)]
+    return word
+
+
+def armenian_stem(word):
+    """Snowball Armenian (``ext/ArmenianStemmer.java``) — reference
+    TestArmenianAnalyzer goldens pinned in tests/test_snowball.py."""
+    pV, p2 = _hy_regions(word)
+    if len(word) < pV:
+        return word
+    word = _hy_strip(word, _HY_ENDING, max(pV, p2))
+    word = _hy_strip(word, _HY_VERB, pV)
+    word = _hy_strip(word, _HY_ADJ, pV)
+    word = _hy_strip(word, _HY_NOUN, pV)
+    return word
+
+
+# -------------------------------------------------------------- Catalan
+
+#: Snowball Catalan (``tartarus/snowball/ext/CatalanStemmer.java``;
+#: catalan.sbl by Israel Olalla): (suffix, case) tables — longest match,
+#: then the case condition (no among fall-back; conditions live outside)
+_CA_PRONOUN = (
+    ("selas", 1), ("selos", 1), ("-les", 1), ("-nos", 1), ("sela", 1),
+    ("selo", 1), ("'hi", 1), ("'ho", 1), ("'ls", 1), ("'ns", 1),
+    ("-la", 1), ("-li", 1), ("-ls", 1), ("-me", 1), ("-ns", 1),
+    ("-te", 1), ("-us", 1), ("ens", 1), ("las", 1), ("les", 1),
+    ("los", 1), ("nos", 1), ("vos", 1), ("'l", 1), ("'m", 1),
+    ("'n", 1), ("'s", 1), ("'t", 1), ("-m", 1), ("-n", 1),
+    ("hi", 1), ("ho", 1), ("la", 1), ("le", 1), ("li", 1),
+    ("lo", 1), ("me", 1), ("se", 1), ("us", 1),
+)
+_CA_STANDARD = (
+    ("allengües", 1), ("ativitats", 1), ("quíssimes", 5), ("ativitat", 1), ("bilitats", 1),
+    ("ialismes", 1), ("ialistes", 1), ("ionistes", 1), ("lógiques", 3), ("quíssima", 5),
+    ("quíssims", 5), ("atòries", 1), ("bilitat", 1), ("ialisme", 1), ("ialista", 1),
+    ("ionisme", 1), ("ionista", 1), ("isament", 1), ("ivitats", 1), ("quíssim", 5),
+    ("íssimes", 1), ("acions", 2), ("aments", 1), ("ancies", 1), ("atives", 1),
+    ("atòria", 1), ("encies", 1), ("formes", 1), ("idores", 1), ("ificar", 1),
+    ("ivisme", 1), ("ivitat", 1), ("logies", 3), ("logíes", 3), ("lógica", 3),
+    ("lógics", 3), ("ències", 1), ("íssima", 1), ("íssims", 1), ("ables", 1),
+    ("adora", 1), ("adors", 1), ("adura", 1), ("ament", 1), ("ancia", 1),
+    ("asses", 1), ("assos", 1), ("atius", 1), ("ativa", 1), ("cions", 1),
+    ("doras", 1), ("dores", 1), ("dures", 1), ("encia", 1), ("eries", 1),
+    ("ibles", 1), ("ictes", 1), ("idors", 1), ("inies", 1), ("iques", 4),
+    ("ismes", 1), ("issem", 1), ("isseu", 1), ("issos", 1), ("istes", 1),
+    ("itats", 1), ("itzar", 1), ("logia", 3), ("logis", 3), ("logía", 3),
+    ("ments", 1), ("sfera", 1), ("toris", 1), ("trius", 1), ("àries", 1),
+    ("ència", 1), ("ìssem", 1), ("ìsseu", 1), ("ìssin", 1), ("ícies", 1),
+    ("íinia", 1), ("ínies", 1), ("íssem", 1), ("ísseu", 1), ("íssim", 1),
+    ("íssiu", 1), ("ístic", 1), ("ívola", 1), ("ïtats", 1), ("able", 1),
+    ("ació", 1), ("ades", 2), ("aire", 1), ("alla", 1), ("amen", 1),
+    ("ants", 1), ("aris", 1), ("assa", 1), ("atge", 1), ("atiu", 1),
+    ("bles", 1), ("dora", 1), ("dors", 1), ("egar", 1), ("ejar", 1),
+    ("ella", 1), ("ells", 1), ("enca", 1), ("ents", 1), ("eres", 1),
+    ("eria", 1), ("eses", 1), ("esos", 1), ("essa", 1), ("ible", 1),
+    ("icis", 1), ("icte", 1), ("ient", 1), ("imes", 1), ("ines", 1),
+    ("inia", 1), ("ions", 1), ("isam", 1), ("isme", 1), ("issa", 1),
+    ("ista", 1), ("iste", 1), ("itar", 1), ("itat", 1), ("ites", 1),
+    ("ives", 1), ("logi", 3), ("ment", 1), ("nces", 1), ("ores", 1),
+    ("oses", 1), ("osos", 1), ("otes", 1), ("tori", 1), ("triu", 1),
+    ("ària", 1), ("ícia", 1), ("ícis", 1), ("ívol", 1), ("ïtat", 1),
+    ("ada", 2), ("all", 1), ("als", 1), ("ana", 1), ("ant", 1),
+    ("ari", 1), ("ats", 1), ("ble", 1), ("ció", 1), ("dor", 1),
+    ("dur", 1), ("dís", 1), ("ell", 1), ("enc", 1), ("ent", 1),
+    ("era", 1), ("ers", 1), ("esa", 1), ("esc", 1), ("eta", 1),
+    ("ets", 1), ("fer", 1), ("ica", 4), ("ici", 1), ("ics", 4),
+    ("ima", 1), ("ims", 1), ("ina", 1), ("ita", 1), ("ius", 1),
+    ("iva", 1), ("nça", 1), ("ora", 1), ("ors", 1), ("osa", 1),
+    ("ota", 1), ("ots", 1), ("uds", 1), ("uts", 1), ("íci", 1),
+    ("al", 1), ("ar", 1), ("et", 1), ("ic", 4), ("il", 1),
+    ("ió", 1), ("ls", 1), ("or", 1), ("ot", 1), ("ud", 1),
+    ("ès", 1), ("és", 1), ("ís", 1), ("ós", 1), ("ó", 1),
+)
+_CA_VERB = (
+    ("aríamos", 1), ("eresseu", 1), ("eríamos", 1), ("iríamos", 1), ("iéramos", 1),
+    ("iésemos", 1), ("adores", 1), ("aremos", 1), ("aríais", 1), ("asteis", 1),
+    ("eremos", 1), ("eríais", 1), ("esquen", 1), ("esques", 1), ("esquin", 1),
+    ("esquis", 1), ("ierais", 1), ("ieseis", 1), ("iremos", 1), ("iríais", 1),
+    ("isquen", 1), ("isteis", 1), ("ábamos", 1), ("áramos", 1), ("ásemos", 1),
+    ("ïsquen", 1), ("ïsques", 1), ("abais", 1), ("adora", 1), ("adors", 1),
+    ("arais", 1), ("arian", 1), ("arien", 1), ("aries", 1), ("aréis", 1),
+    ("arían", 1), ("arías", 1), ("aríem", 1), ("aríeu", 1), ("aseis", 1),
+    ("assen", 1), ("asses", 1), ("asseu", 1), ("assim", 1), ("assin", 1),
+    ("assis", 1), ("assiu", 1), ("atges", 1), ("eixen", 1), ("eixer", 1),
+    ("eixes", 1), ("eixin", 1), ("eixis", 1), ("erass", 1), ("eréis", 1),
+    ("erían", 1), ("erías", 1), ("esqui", 1), ("essen", 1), ("esses", 1),
+    ("esseu", 1), ("essim", 1), ("essin", 1), ("essis", 1), ("iendo", 1),
+    ("ieran", 1), ("ieras", 1), ("ieron", 1), ("iesen", 1), ("ieses", 1),
+    ("iguem", 1), ("igueu", 1), ("irien", 1), ("iries", 1), ("iréis", 1),
+    ("irìem", 1), ("irìeu", 1), ("irían", 1), ("irías", 1), ("iríem", 1),
+    ("iríeu", 1), ("issen", 1), ("isses", 1), ("issim", 1), ("issin", 1),
+    ("issis", 1), ("issiu", 1), ("itzeu", 1), ("itzis", 1), ("àssem", 1),
+    ("àsseu", 1), ("àssim", 1), ("àssiu", 1), ("èssim", 1), ("èssiu", 1),
+    ("éssem", 1), ("éssen", 1), ("ésseu", 1), ("éssim", 1), ("éssiu", 1),
+    ("íamos", 1), ("íssim", 1), ("íssiu", 1), ("ïguem", 1), ("ïgueu", 1),
+    ("ïssen", 1), ("ïsses", 1), ("ïssin", 1), ("ïssis", 1), ("aban", 1),
+    ("abas", 1), ("adas", 1), ("ades", 1), ("ador", 1), ("ados", 1),
+    ("amos", 1), ("ando", 2), ("aran", 1), ("aras", 1), ("arem", 1),
+    ("aren", 1), ("ares", 1), ("areu", 1), ("aria", 1), ("aron", 1),
+    ("aràs", 1), ("arán", 1), ("arás", 1), ("arés", 1), ("aría", 1),
+    ("asen", 1), ("ases", 1), ("aste", 1), ("avem", 1), ("aven", 1),
+    ("aves", 1), ("eixi", 1), ("eixo", 1), ("ents", 1), ("erau", 1),
+    ("eren", 1), ("erán", 1), ("erás", 1), ("ería", 1), ("esca", 1),
+    ("idas", 1), ("ides", 1), ("idos", 1), ("iera", 1), ("iese", 1),
+    ("imos", 1), ("ineu", 1), ("inin", 1), ("inis", 1), ("iran", 1),
+    ("irem", 1), ("iren", 1), ("ires", 1), ("ireu", 1), ("iria", 1),
+    ("iràs", 1), ("irán", 1), ("irás", 1), ("iría", 1), ("isca", 1),
+    ("isin", 1), ("isis", 1), ("iste", 1), ("itza", 1), ("itzi", 1),
+    ("itzo", 1), ("itzà", 1), ("ixen", 1), ("ixes", 1), ("ques", 1),
+    ("tzar", 1), ("udes", 1), ("àrem", 1), ("àren", 1), ("àreu", 1),
+    ("àvem", 1), ("àveu", 1), ("ávem", 1), ("áveu", 1), ("íais", 1),
+    ("írem", 1), ("íreu", 1), ("ïdes", 1), ("ïren", 1), ("ïres", 1),
+    ("ïsca", 1), ("ïxen", 1), ("ïxes", 1), ("aba", 1), ("ada", 1),
+    ("ado", 1), ("ams", 1), ("ant", 1), ("ara", 1), ("arà", 1),
+    ("ará", 1), ("aré", 1), ("ase", 1), ("ass", 1), ("ats", 1),
+    ("ava", 1), ("dre", 1), ("eix", 1), ("ent", 1), ("erá", 1),
+    ("eré", 1), ("ess", 1), ("ida", 1), ("ido", 1), ("ids", 1),
+    ("ien", 1), ("ies", 1), ("ieu", 1), ("ini", 1), ("int", 1),
+    ("ira", 1), ("irà", 1), ("irá", 1), ("irè", 1), ("iré", 1),
+    ("isc", 1), ("its", 1), ("itz", 1), ("ixa", 1), ("ixo", 1),
+    ("iïn", 1), ("iïs", 1), ("sin", 1), ("sis", 1), ("uda", 1),
+    ("áis", 1), ("ìeu", 1), ("ían", 1), ("ías", 1), ("íem", 1),
+    ("íeu", 1), ("ïda", 1), ("ïen", 1), ("ïes", 1), ("ïra", 1),
+    ("ïsc", 1), ("ïxo", 1), ("ad", 1), ("am", 1), ("an", 1),
+    ("ar", 1), ("as", 1), ("at", 1), ("au", 1), ("ed", 1),
+    ("em", 1), ("en", 1), ("er", 1), ("es", 1), ("ia", 1),
+    ("id", 1), ("ie", 1), ("ii", 1), ("in", 1), ("io", 1),
+    ("ir", 1), ("it", 1), ("ix", 1), ("ià", 1), ("iï", 1),
+    ("ió", 1), ("re", 1), ("ut", 1), ("às", 1), ("és", 1),
+    ("ía", 1), ("ís", 1), ("ïa", 1), ("ïm", 1), ("ït", 1),
+    ("ïu", 1), ("ïx", 1), ("í", 1),
+)
+_CA_RESIDUAL = (
+    ("iqu", 2), ("itz", 1), ("eu", 1), ("ir", 1), ("is", 1),
+    ("it", 1), ("iu", 1), ("os", 1), ("ïn", 1), ("ïs", 1),
+    ("a", 1), ("e", 1), ("i", 1), ("o", 1), ("s", 1),
+    ("à", 1), ("á", 1), ("é", 1), ("ì", 1), ("í", 1),
+    ("ï", 1), ("ó", 1),
+)
+_CA_V = frozenset("aeiou\u00e0\u00e1\u00e8\u00e9\u00ed\u00ef\u00f2\u00f3\u00fa\u00fc")
+_CA_CLEAN = str.maketrans({
+    "\u00e0": "a", "\u00e1": "a", "\u00e8": "e", "\u00e9": "e",
+    "\u00ec": "i", "\u00ed": "i", "\u00ef": "i", "\u00f2": "o",
+    "\u00f3": "o", "\u00fa": "u", "\u00fc": "u", "\u00b7": ".",
+})
+
+
+def _ca_match(word, table, p1, p2):
+    """Longest suffix + case condition; returns (new_word, matched)."""
+    best, blen = 0, 0
+    for sfx, case in table:
+        n = len(sfx)
+        if n > blen and word.endswith(sfx):
+            best, blen = case, n
+    if not best:
+        return word, False
+    cut = len(word) - blen
+    if best in (1, 5):          # R1 conditions
+        if cut < p1:
+            return word, False
+    else:                       # R2 conditions (cases 2, 3, 4)
+        if cut < p2:
+            return word, False
+    repl = {1: "", 2: "", 3: "log", 4: "ic", 5: "c"}[best]
+    return word[:cut] + repl, True
+
+
+def catalan_stem(word):
+    """Snowball Catalan (``ext/CatalanStemmer.java``) — reference
+    TestCatalanAnalyzer goldens pinned in tests/test_snowball.py."""
+    p1, p2 = _r12_std(word, _CA_V)
+    # attached_pronoun: case 1 = R1 delete
+    best = 0
+    for sfx, _c in _CA_PRONOUN:
+        if len(sfx) > best and word.endswith(sfx):
+            best = len(sfx)
+    if best and len(word) - best >= p1:
+        word = word[: len(word) - best]
+    # standard_suffix or verb_suffix
+    new, ok = _ca_match(word, _CA_STANDARD, p1, p2)
+    if ok:
+        word = new
+    else:
+        # verb: case 1 = R1 delete, case 2 = R2 delete
+        vbest, vlen = 0, 0
+        for sfx, case in _CA_VERB:
+            n = len(sfx)
+            if n > vlen and word.endswith(sfx):
+                vbest, vlen = case, n
+        if vbest:
+            cut = len(word) - vlen
+            if (vbest == 1 and cut >= p1) or (vbest == 2 and cut >= p2):
+                word = word[:cut]
+    # residual: case 1 = R1 delete, case 2 = R1 -> "ic"
+    rbest, rlen = 0, 0
+    for sfx, case in _CA_RESIDUAL:
+        n = len(sfx)
+        if n > rlen and word.endswith(sfx):
+            rbest, rlen = case, n
+    if rbest and len(word) - rlen >= p1:
+        word = word[: len(word) - rlen] + ("ic" if rbest == 2 else "")
+    return word.translate(_CA_CLEAN)
+
+
+# -------------------------------------------------------------- Basque
+
+#: Snowball Basque (``tartarus/snowball/ext/BasqueStemmer.java``;
+#: basque.sbl by Olatz Perez de Vinaspre & Mans Hulden): repeat(aditzak);
+#: repeat(izenak); do(adjetiboak) — (suffix, case) longest-match tables
+_EU_ADITZAK = (
+    ("arabera", 4), ("atseden", 3), ("tzailea", 1), ("aldatu", 1), ("baditu", 5),
+    ("erreza", 1), ("gailua", 1), ("gaitza", 1), ("garria", 2), ("kaitza", 1),
+    ("karria", 1), ("kizuna", 1), ("kundea", 1), ("kuntza", 1), ("tailea", 1),
+    ("taldia", 1), ("tarazi", 1), ("tezina", 1), ("tzaile", 1), ("aldia", 1),
+    ("arazi", 1), ("bidea", 1), ("errez", 1), ("etari", 1), ("ezina", 1),
+    ("gailu", 1), ("gaitz", 1), ("galea", 1), ("garri", 2), ("gunea", 1),
+    ("kaitz", 1), ("karia", 1), ("karri", 1), ("kidea", 1), ("kizun", 1),
+    ("korra", 1), ("kunde", 1), ("kunea", 1), ("pidea", 1), ("rekin", 1),
+    ("taile", 1), ("taldi", 1), ("tezin", 1), ("tzaga", 1), ("tzaka", 1),
+    ("tzake", 1), ("tzeke", 1), ("aldi", 1), ("atze", 1), ("bera", 1),
+    ("bide", 1), ("dako", 1), ("dura", 1), ("etan", 1), ("ezin", 1),
+    ("gaia", 1), ("gale", 1), ("gune", 1), ("gura", 1), ("idea", 1),
+    ("kari", 1), ("kera", 1), ("keta", 1), ("kide", 1), ("kina", 1),
+    ("kuna", 1), ("kune", 1), ("kura", 1), ("lari", 1), ("mena", 1),
+    ("orra", 1), ("pena", 1), ("pera", 1), ("pide", 1), ("rean", 1),
+    ("tari", 1), ("tatu", 1), ("tuna", 1), ("tura", 1), ("tzat", 1),
+    ("tzez", 1), ("ago", 1), ("ari", 1), ("atu", 1), ("ean", 1),
+    ("era", 1), ("eta", 1), ("eza", 1), ("gai", 1), ("ide", 1),
+    ("kan", 1), ("kin", 1), ("kor", 1), ("men", 1), ("pen", 1),
+    ("tio", 1), ("tun", 1), ("tza", 2), ("tze", 1), ("an", 1),
+    ("du", 1), ("ez", 1), ("go", 1), ("ka", 1), ("ki", 1),
+    ("la", 1), ("le", 1), ("or", 1), ("tu", 1),
+)
+_EU_IZENAK = (
+    ("minutuko", 6), ("garrena", 1), ("gerrena", 1), ("aurrea", 1), ("garren", 1),
+    ("garria", 2), ("gerren", 1), ("gibela", 1), ("gintza", 1), ("gintzo", 1),
+    ("gintzu", 1), ("handia", 1), ("kaldea", 1), ("kintza", 1), ("kirria", 1),
+    ("koitza", 1), ("kondoa", 1), ("kuntza", 1), ("larria", 1), ("mendia", 1),
+    ("mendua", 1), ("mentua", 1), ("ontzia", 1), ("taldea", 1), ("taldia", 1),
+    ("tariko", 1), ("tasuna", 1), ("tzaina", 1), ("tzalea", 1), ("tzarra", 1),
+    ("urrena", 1), ("zionea", 1), ("aizun", 1), ("aldea", 1), ("aldia", 1),
+    ("antza", 1), ("artea", 1), ("asuna", 1), ("aurka", 10), ("aurre", 1),
+    ("behar", 1), ("bizia", 1), ("burua", 1), ("degia", 1), ("denda", 1),
+    ("duria", 1), ("durua", 1), ("eroza", 1), ("estua", 1), ("etako", 1),
+    ("etara", 1), ("etxea", 1), ("gabea", 1), ("garna", 1), ("garri", 2),
+    ("geldi", 8), ("gibel", 1), ("gilea", 1), ("gunea", 1), ("handi", 1),
+    ("igaro", 9), ("kabea", 1), ("kaila", 1), ("kalde", 1), ("karia", 1),
+    ("keria", 1), ("kirri", 1), ("koitz", 1), ("kondo", 1), ("korra", 1),
+    ("kotea", 1), ("kumea", 1), ("laria", 1), ("larri", 1), ("lekua", 1),
+    ("liara", 1), ("mendi", 1), ("mendu", 1), ("mentu", 1), ("nahia", 1),
+    ("ondoa", 1), ("ontzi", 1), ("ordea", 1), ("ordua", 1), ("ostea", 1),
+    ("skila", 1), ("takoa", 1), ("talde", 1), ("taldi", 1), ("taria", 1),
+    ("tarik", 1), ("taroa", 1), ("tasun", 1), ("tegia", 1), ("teria", 1),
+    ("tiara", 1), ("tokia", 1), ("trako", 5), ("tzain", 1), ("tzale", 1),
+    ("tzara", 1), ("urren", 1), ("zaina", 1), ("zalea", 1), ("zaroa", 1),
+    ("zehar", 7), ("zinoa", 1), ("zione", 1), ("alde", 1), ("aldi", 1),
+    ("anda", 1), ("anga", 1), ("aria", 1), ("aroa", 1), ("arte", 1),
+    ("asia", 1), ("asun", 1), ("bera", 1), ("buru", 2), ("dara", 1),
+    ("degi", 1), ("duna", 1), ("duri", 1), ("duru", 1), ("egia", 1),
+    ("emea", 1), ("enea", 1), ("eria", 1), ("eroa", 1), ("eroz", 1),
+    ("estu", 1), ("etan", 1), ("etxe", 1), ("ezia", 1), ("gabe", 1),
+    ("gaia", 1), ("geia", 1), ("gela", 1), ("gile", 1), ("giro", 1),
+    ("gune", 1), ("joka", 3), ("kabe", 1), ("kada", 1), ("kail", 1),
+    ("kana", 1), ("kari", 1), ("kera", 1), ("keta", 1), ("kide", 1),
+    ("kina", 1), ("koia", 1), ("kote", 1), ("kume", 1), ("lari", 1),
+    ("leku", 1), ("liar", 1), ("mina", 1), ("nahi", 1), ("ngoa", 1),
+    ("ohia", 1), ("ondo", 1), ("orde", 1), ("ordu", 1), ("oroa", 1),
+    ("osoa", 1), ("oste", 1), ("pera", 1), ("tako", 1), ("tara", 1),
+    ("tari", 1), ("taro", 1), ("tatu", 4), ("tegi", 1), ("tiar", 1),
+    ("tila", 1), ("toki", 1), ("tsua", 1), ("ttoa", 1), ("tuko", 1),
+    ("txoa", 1), ("txua", 1), ("tzar", 1), ("tzen", 4), ("tzoa", 1),
+    ("tzua", 1), ("unea", 1), ("zain", 1), ("zale", 1), ("zaro", 1),
+    ("zino", 1), ("zioa", 1), ("zkoa", 1), ("ztoa", 1), ("ada", 1),
+    ("ail", 1), ("ara", 1), ("ari", 1), ("aro", 1), ("asi", 1),
+    ("dar", 1), ("dua", 1), ("dun", 1), ("egi", 1), ("eko", 1),
+    ("eme", 1), ("ena", 1), ("ero", 1), ("eta", 1), ("eza", 1),
+    ("gai", 1), ("gei", 1), ("goi", 1), ("kan", 1), ("ket", 1),
+    ("kia", 1), ("kin", 1), ("koa", 1), ("koi", 1), ("kor", 1),
+    ("min", 1), ("nea", 1), ("ngo", 1), ("noa", 1), ("ohi", 1),
+    ("oia", 1), ("ola", 1), ("ora", 2), ("oro", 1), ("osa", 1),
+    ("oso", 1), ("pea", 1), ("ren", 2), ("ska", 1), ("sko", 1),
+    ("sta", 1), ("tan", 1), ("tar", 1), ("tea", 1), ("ten", 4),
+    ("tia", 1), ("toa", 1), ("tra", 1), ("tsu", 1), ("tto", 1),
+    ("tua", 1), ("txo", 1), ("txu", 1), ("tza", 2), ("tzo", 1),
+    ("tzu", 1), ("una", 1), ("une", 1), ("xka", 1), ("zio", 1),
+    ("zka", 1), ("zko", 1), ("zto", 1), ("zua", 1), ("ñoa", 1),
+    ("ak", 1), ("ar", 1), ("di", 1), ("du", 1), ("ek", 1),
+    ("en", 4), ("ez", 1), ("ga", 1), ("ge", 1), ("go", 1),
+    ("ka", 1), ("ki", 1), ("ko", 1), ("na", 1), ("ne", 1),
+    ("no", 1), ("oi", 1), ("or", 2), ("os", 1), ("pe", 1),
+    ("ra", 1), ("ro", 1), ("sa", 1), ("ta", 1), ("te", 1),
+    ("ti", 1), ("to", 1), ("tu", 1), ("tz", 1), ("za", 1),
+    ("zp", 1), ("zu", 1), ("ñi", 1), ("ño", 1), ("z", 1),
+)
+_EU_ADJ = (
+    ("keria", 1), ("lanik", 1), ("larik", 1), ("dade", 1), ("date", 1),
+    ("tade", 1), ("tate", 1), ("zlea", 2), ("ztik", 1), ("era", 1),
+    ("ero", 1), ("rik", 1), ("gi", 1), ("go", 1), ("ik", 1),
+    ("ki", 1), ("la", 1), ("ro", 1), ("to", 1),
+)
+_EU_V = frozenset("aeiou")
+_EU_ADITZAK_REPL = {3: "atseden", 4: "arabera", 5: "baditu"}
+_EU_IZENAK_REPL = {3: "jok", 5: "tra", 6: "minutu", 7: "zehar",
+                   8: "geldi", 9: "igaro", 10: "aurka"}
+
+
+def _eu_match(word, table, pV, p1, p2, repls):
+    """Longest suffix, then case: 1=RV delete, 2=R2 delete, 4=R1 delete,
+    others=unconditional replacement. Returns (word, matched)."""
+    best, blen = 0, 0
+    for sfx, case in table:
+        n = len(sfx)
+        if n > blen and word.endswith(sfx):
+            best, blen = case, n
+    if not best:
+        return word, False
+    cut = len(word) - blen
+    if best == 1:
+        if cut < pV:
+            return word, False
+        return word[:cut], True
+    if best == 2:
+        if cut < p2:
+            return word, False
+        return word[:cut], True
+    if best == 4:
+        if cut < p1:
+            return word, False
+        return word[:cut], True
+    return word[:cut] + repls[best], True
+
+
+def basque_stem(word):
+    """Snowball Basque (``ext/BasqueStemmer.java``) — reference
+    TestBasqueAnalyzer goldens pinned in tests/test_snowball.py."""
+    pV = _rv_std(word, _EU_V)
+    p1, p2 = _r12_std(word, _EU_V)
+    while True:
+        word, ok = _eu_match(word, _EU_ADITZAK, pV, p1, p2,
+                             _EU_ADITZAK_REPL)
+        if not ok:
+            break
+    while True:
+        word, ok = _eu_match(word, _EU_IZENAK, pV, p1, p2,
+                             _EU_IZENAK_REPL)
+        if not ok:
+            break
+    word, _ok = _eu_match(word, _EU_ADJ, pV, p1, p2, {2: "z"})
+    return word
+
+
+# -------------------------------------------------------------- Irish
+
+#: Snowball Irish (``tartarus/snowball/ext/IrishStemmer.java``; irish.sbl
+#: by Jim O'Regan): forward prefix de-mutation, then noun / deriv / verb
+#: suffix passes
+_GA_PREFIX = (
+    ("d'fh", "f"), ("bhf", "b"), ("b'", ""), ("d'", ""), ("m'", ""),
+    ("h-", ""), ("n-", ""), ("t-", ""),
+    ("bh", "b"), ("bp", "p"), ("ch", "c"), ("dh", "d"), ("dt", "t"),
+    ("fh", "f"), ("gc", "c"), ("gh", "g"), ("mb", "b"), ("mh", "m"),
+    ("nd", "d"), ("ng", "g"), ("ph", "p"), ("sh", "s"), ("th", "t"),
+    ("ts", "s"),
+)
+_GA_NOUN = (
+    ("aíochta", 1), ("íochta", 1), ("aíocht", 1), ("íocht", 1),
+    ("eabh", 1), ("aibh", 1), ("eamh", 1), ("aimh", 1), ("aire", 2),
+    ("airí", 2), ("abh", 1), ("ibh", 1), ("amh", 1), ("imh", 1),
+    ("ire", 2), ("irí", 2),
+)
+_GA_DERIV = (
+    ("grafaíochtaí", 4), ("grafaíochta", 4), ("grafaíocht", 4),
+    ("grafaíoch", 4), ("óideacha", 6), ("arcachtaí", 2), ("arcachta", 2),
+    ("patacha", 5), ("óideach", 6), ("gineach", 3), ("achtúil", 1),
+    ("eachtúil", 1), ("arcacht", 2), ("pataigh", 5), ("achta", 1),
+    ("eachta", 1), ("paite", 5), ("patach", 5), ("óidigh", 6),
+    ("gineas", 3), ("eacht", 1), ("ginis", 3), ("acht", 1), ("each", 1),
+    ("ach", 1),
+)
+_GA_DERIV_REPL = {2: "arc", 3: "gin", 4: "graf", 5: "paite", 6: "óid"}
+_GA_VERB = (
+    ("aimid", 1), ("aímid", 1), ("faidh", 1), ("imid", 1), ("ímid", 1),
+    ("eadh", 2), ("fidh", 1), ("tear", 2), ("adh", 2), ("áil", 2),
+    ("ain", 2), ("tar", 2),
+)
+_GA_V = frozenset("aeiouáéíóú")
+
+
+def irish_stem(word):
+    """Snowball Irish (``ext/IrishStemmer.java``) — reference
+    TestIrishAnalyzer goldens pinned in tests/test_snowball.py."""
+    for pfx, repl in _GA_PREFIX:
+        if word.startswith(pfx):
+            word = repl + word[len(pfx):]
+            break
+    n = len(word)
+    i = 0
+    while i < n and word[i] not in _GA_V:
+        i += 1
+    pV = i + 1 if i < n else n
+    p1, p2 = _r12_std(word, _GA_V)
+    # noun_sfx: 1 = R1 delete, 2 = R2 delete
+    best, blen = 0, 0
+    for sfx, case in _GA_NOUN:
+        m = len(sfx)
+        if m > blen and word.endswith(sfx):
+            best, blen = case, m
+    if best:
+        cut = len(word) - blen
+        if (best == 1 and cut >= p1) or (best == 2 and cut >= p2):
+            word = word[:cut]
+    # deriv: 1 = R2 delete, others unconditional replacement
+    best, blen = 0, 0
+    for sfx, case in _GA_DERIV:
+        m = len(sfx)
+        if m > blen and word.endswith(sfx):
+            best, blen = case, m
+    if best:
+        cut = len(word) - blen
+        if best == 1:
+            if cut >= p2:
+                word = word[:cut]
+        else:
+            word = word[:cut] + _GA_DERIV_REPL[best]
+    # verb_sfx: 1 = RV delete, 2 = R1 delete
+    best, blen = 0, 0
+    for sfx, case in _GA_VERB:
+        m = len(sfx)
+        if m > blen and word.endswith(sfx):
+            best, blen = case, m
+    if best:
+        cut = len(word) - blen
+        if (best == 1 and cut >= pV) or (best == 2 and cut >= p1):
+            word = word[:cut]
+    return word

@@ -947,6 +947,21 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "kraaij_pohlmann":
         from .snowball import kraaij_pohlmann_stem
         stem_fns["kraaij_pohlmann"] = kraaij_pohlmann_stem
+    elif analyzer.stem == "lithuanian":
+        from .snowball import lithuanian_stem
+        stem_fns["lithuanian"] = lithuanian_stem
+    elif analyzer.stem == "armenian":
+        from .snowball import armenian_stem
+        stem_fns["armenian"] = armenian_stem
+    elif analyzer.stem == "catalan":
+        from .snowball import catalan_stem
+        stem_fns["catalan"] = catalan_stem
+    elif analyzer.stem == "basque":
+        from .snowball import basque_stem
+        stem_fns["basque"] = basque_stem
+    elif analyzer.stem == "irish":
+        from .snowball import irish_stem
+        stem_fns["irish"] = irish_stem
     elif analyzer.stem == "finnish_snowball":
         from .snowball import finnish_snowball_stem
         stem_fns["finnish_snowball"] = finnish_snowball_stem

@@ -1,0 +1,112 @@
+"""Snowball ext stemmers WITHOUT TestSnowballVocabData ground truth
+(Armenian / Basque / Catalan / Irish / Lithuanian): validated against the
+reference's own analyzer tests — TestLithuanianStemming's full 372-pair
+corpus plus the Test*Analyzer testBasics goldens (reference paths under
+``lucene/analysis/common/src/test/org/apache/lucene/analysis/``)."""
+
+import os
+import re
+
+import pytest
+
+from lucene_solr_ray.analysis.snowball import (
+    armenian_stem,
+    basque_stem,
+    catalan_stem,
+    irish_stem,
+    lithuanian_stem,
+)
+
+_REF_TEST = (
+    "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+    "analysis"
+)
+
+
+def _goldens(path):
+    def jstr(s):
+        return re.sub(
+            r"\\u([0-9a-fA-F]{4})",
+            lambda m: chr(int(m.group(1), 16)), s,
+        )
+    src = open(path, encoding="utf-8").read()
+    return [
+        (jstr(a), jstr(b))
+        for a, b in re.findall(
+            r'checkOneTerm\(a,\s*"((?:[^"\\]|\\.)*)",\s*"((?:[^"\\]|\\.)*)"\)',
+            src,
+        )
+    ]
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_TEST), reason="reference absent")
+def test_lithuanian_full_reference_corpus():
+    # lt/TestLithuanianStemming.java: 372 word→stem pairs (nouns ×3
+    # declensions, adjectives, verbs)
+    pairs = _goldens(f"{_REF_TEST}/lt/TestLithuanianStemming.java")
+    assert len(pairs) == 372
+    bad = [
+        (w, lithuanian_stem(w), want)
+        for w, want in pairs
+        if lithuanian_stem(w) != want
+    ]
+    assert bad == []
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_TEST), reason="reference absent")
+@pytest.mark.parametrize(
+    "rel,fn,exclusions",
+    [
+        ("hy/TestArmenianAnalyzer.java", armenian_stem, {"արծիվներ"}),
+        ("eu/TestBasqueAnalyzer.java", basque_stem, {"zaldiak"}),
+        ("ca/TestCatalanAnalyzer.java", catalan_stem, {"llengües"}),
+        ("ga/TestIrishAnalyzer.java", irish_stem, {"feirmeoireacht"}),
+    ],
+)
+def test_analyzer_goldens(rel, fn, exclusions):
+    # testExclude pairs assert the UNstemmed form for words in the
+    # exclusion set — those are keyword-marker assertions, not stemmer
+    # goldens, so drop them
+    pairs = _goldens(f"{_REF_TEST}/{rel}")
+    assert pairs, rel
+    seen = {}
+    for w, want in pairs:
+        if w in exclusions and w == want:
+            continue  # exclusion-set assertion, not a stemmer golden
+        if w in seen and seen[w] != want:
+            continue
+        seen[w] = want
+    bad = [(w, fn(w), want) for w, want in seen.items() if fn(w) != want]
+    assert bad == []
+
+
+def test_basque_golden_sample():
+    assert basque_stem("zaldiak") == "zaldi"
+    assert basque_stem("mendiari") == "mendi"
+
+
+def test_catalan_golden_sample():
+    assert catalan_stem("llengües") == "llengu"
+    assert catalan_stem("diccionari") == "diccion"
+    assert catalan_stem("institut") == "inst"
+    assert catalan_stem("estudis") == "estud"
+    assert catalan_stem("catalans") == "catalan"
+
+
+def test_irish_golden_sample():
+    assert irish_stem("siopadóireacht") == "siopadóir"
+    assert irish_stem("síceapatacha") == "síceapaite"
+    # initial mutation stripping (irish.sbl initial_morph)
+    assert irish_stem("bhfear") == "bear"
+    assert irish_stem("gcat") == "cat"
+
+
+def test_armenian_golden_sample():
+    assert armenian_stem("արծիվ") == "արծ"
+    assert armenian_stem("արծիվներ") == "արծ"
+
+
+def test_lithuanian_golden_sample():
+    assert lithuanian_stem("vaikas") == "vaik"
+    assert lithuanian_stem("vaikų") == "vaik"
+    assert lithuanian_stem("gražiausias") == "graž"
