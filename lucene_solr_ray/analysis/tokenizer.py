@@ -680,6 +680,71 @@ def TurkishAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(lowercase_mode="turkish", **kw)
 
 
+def CatalanAnalyzer(**kw) -> StandardAnalyzer:
+    """CatalanAnalyzer preset (``analysis/common/.../ca/CatalanAnalyzer.
+    java:123-131``): elision(d l m n s t) → lowercase → stop(Catalan) →
+    [keyword marker] → SnowballFilter(CatalanStemmer)."""
+    from .lang3 import CATALAN_STOP_WORDS
+
+    # the \w+ tokenizer splits "l'Institut" at the apostrophe (the
+    # reference's UAX#29 keeps it as one token for the ElisionFilter), so
+    # the detached article tokens are folded into the stop set — same
+    # surviving terms, like the FrenchAnalyzer preset
+    kw.setdefault(
+        "stopwords",
+        CATALAN_STOP_WORDS | frozenset(("d", "l", "m", "n", "s", "t")))
+    kw.setdefault("elision_articles", ("d", "l", "m", "n", "s", "t"))
+    return StandardAnalyzer(stem="catalan", elision=True, **kw)
+
+
+def BasqueAnalyzer(**kw) -> StandardAnalyzer:
+    """BasqueAnalyzer preset (``analysis/common/.../eu/BasqueAnalyzer.
+    java:115-122``): lowercase → stop(Basque) → [keyword marker] →
+    SnowballFilter(BasqueStemmer)."""
+    from .lang3 import BASQUE_STOP_WORDS
+
+    kw.setdefault("stopwords", BASQUE_STOP_WORDS)
+    return StandardAnalyzer(stem="basque", **kw)
+
+
+def IrishAnalyzer(**kw) -> StandardAnalyzer:
+    """IrishAnalyzer preset (``analysis/common/.../ga/IrishAnalyzer.
+    java:133-142``): stop(h n t hyphenation artifacts) → elision(d m b) →
+    IrishLowerCaseFilter → stop(Irish) → [keyword marker] →
+    SnowballFilter(IrishStemmer). The pre-lowercase hyphenation stop set
+    is folded into the main stop list — single-letter h/n/t tokens pass
+    through elision and the Irish lowercase unchanged, so the fold is
+    order-equivalent for the \\w+ tokenizer."""
+    from .lang3 import IRISH_STOP_WORDS
+
+    kw.setdefault(
+        "stopwords",
+        IRISH_STOP_WORDS | frozenset(("h", "n", "t", "b", "d", "m")))
+    kw.setdefault("elision_articles", ("b", "d", "m"))
+    return StandardAnalyzer(
+        stem="irish", elision=True, lowercase_mode="irish", **kw)
+
+
+def ArmenianAnalyzer(**kw) -> StandardAnalyzer:
+    """ArmenianAnalyzer preset (``analysis/common/.../hy/ArmenianAnalyzer.
+    java:115-122``): lowercase → stop(Armenian) → [keyword marker] →
+    SnowballFilter(ArmenianStemmer)."""
+    from .lang3 import ARMENIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", ARMENIAN_STOP_WORDS)
+    return StandardAnalyzer(stem="armenian", **kw)
+
+
+def LithuanianAnalyzer(**kw) -> StandardAnalyzer:
+    """LithuanianAnalyzer preset (``analysis/common/.../lt/
+    LithuanianAnalyzer.java:115-122``): lowercase → stop(Lithuanian) →
+    [keyword marker] → SnowballFilter(LithuanianStemmer)."""
+    from .lang3 import LITHUANIAN_STOP_WORDS
+
+    kw.setdefault("stopwords", LITHUANIAN_STOP_WORDS)
+    return StandardAnalyzer(stem="lithuanian", **kw)
+
+
 def LatvianAnalyzer(**kw) -> StandardAnalyzer:
     """LatvianAnalyzer preset (``analysis/common/.../lv/LatvianAnalyzer.
     java:116-124``): lowercase → stop(Latvian) → [keyword marker] →
@@ -1080,6 +1145,10 @@ def _lowercase_mode_fn(analyzer: "StandardAnalyzer"):
         from .greek import greek_lower
 
         return greek_lower
+    if analyzer.lowercase_mode == "irish":
+        from .lang3 import irish_lower
+
+        return irish_lower
     raise ValueError(f"unknown lowercase_mode: {analyzer.lowercase_mode!r}")
 
 

@@ -110,3 +110,58 @@ def test_lithuanian_golden_sample():
     assert lithuanian_stem("vaikas") == "vaik"
     assert lithuanian_stem("vaikų") == "vaik"
     assert lithuanian_stem("gražiausias") == "graž"
+
+
+def test_analyzer_presets():
+    from lucene_solr_ray.analysis.tokenizer import (
+        ArmenianAnalyzer,
+        BasqueAnalyzer,
+        CatalanAnalyzer,
+        IrishAnalyzer,
+        LithuanianAnalyzer,
+        analyze_with_positions,
+    )
+
+    def terms(text, an):
+        return [t for t, _ in analyze_with_positions(text, an)]
+
+    # ca/TestCatalanAnalyzer.testContractions
+    assert terms(
+        "Diccionari de l'Institut d'Estudis Catalans", CatalanAnalyzer()
+    ) == ["diccion", "inst", "estud", "catalan"]
+    # eu/TestBasqueAnalyzer.testBasics (eta = stopword)
+    assert terms("zaldiak eta mendiari", BasqueAnalyzer()) == [
+        "zaldi", "mendi"
+    ]
+    # ga/TestIrishAnalyzer.testBasics (na = stopword)
+    assert terms(
+        "siopadóireacht na síceapatacha", IrishAnalyzer()
+    ) == ["siopadóir", "síceapaite"]
+    # ga/TestIrishLowerCaseFilter mutation handling
+    from lucene_solr_ray.analysis.lang3 import irish_lower
+
+    assert irish_lower("nAthair") == "n-athair"
+    assert irish_lower("tUISCE") == "t-uisce"
+    assert irish_lower("hARD") == "hard"
+    # hy/TestArmenianAnalyzer.testBasics (եմ = stopword)
+    assert terms("արծիվներ եմ", ArmenianAnalyzer()) == ["արծ"]
+    # lt/TestLithuanianAnalyzer (ir = stopword)
+    assert terms("vaikas ir vaikų", LithuanianAnalyzer()) == [
+        "vaik", "vaik"
+    ]
+
+
+def test_stop_word_list_sizes():
+    from lucene_solr_ray.analysis.lang3 import (
+        ARMENIAN_STOP_WORDS,
+        BASQUE_STOP_WORDS,
+        CATALAN_STOP_WORDS,
+        IRISH_STOP_WORDS,
+        LITHUANIAN_STOP_WORDS,
+    )
+
+    assert len(ARMENIAN_STOP_WORDS) == 45
+    assert len(BASQUE_STOP_WORDS) == 98
+    assert len(CATALAN_STOP_WORDS) == 218  # source file has one dup
+    assert len(IRISH_STOP_WORDS) == 109
+    assert len(LITHUANIAN_STOP_WORDS) == 125
