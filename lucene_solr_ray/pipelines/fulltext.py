@@ -1975,6 +1975,78 @@ KP_SPECS = [
     {"qid": f"kp_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in KP_MAP[-4:]
 ]
+#: injected-form stems for ca/eu/ga/hy/lt come from the reference's own
+#: Test*Analyzer goldens where available (first injected rows), else from
+#: the golden-validated transcription (tests/test_snowball_ext.py)
+SNOWBALL_CA_MAP = [
+    ("customer", "customer", "custom"),
+    ("data", "data", "dat"),
+    ("filter", "filter", "filt"),
+    ("line", "line", "lin"),
+    ("merge", "merge", "merg"),
+    ("order", "order", "ord"),
+    ("table", "table", "tab"),
+    ("value", "value", "valu"),
+    ("vector", "vector", "vect"),
+    ("column", "llengües", "llengu"),
+    ("join", "diccionari", "diccion"),
+    ("part", "institut", "inst"),
+    ("sort", "estudis", "estud"),
+]
+SNOWBALL_CA_SPECS = [
+    {"qid": f"casb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_CA_MAP[-4:]
+]
+SNOWBALL_EU_MAP = [
+    ("merge", "merge", "mer"),
+    ("table", "table", "tab"),
+    ("vector", "vector", "vect"),
+    ("column", "zaldiak", "zaldi"),
+    ("join", "mendiari", "mendi"),
+    ("part", "etxeetatik", "etxeetat"),
+    ("sort", "zaldiekin", "zaldie"),
+]
+SNOWBALL_EU_SPECS = [
+    {"qid": f"eusb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_EU_MAP[-4:]
+]
+SNOWBALL_GA_MAP = [
+    ("the", "the", "te"),
+    ("column", "siopadóireacht", "siopadóir"),
+    ("join", "síceapatacha", "síceapaite"),
+    ("part", "amhránaíocht", "amhrán"),
+    ("sort", "scéalaíocht", "scéal"),
+]
+SNOWBALL_GA_SPECS = [
+    {"qid": f"gasb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_GA_MAP[-4:]
+]
+SNOWBALL_HY_MAP = [
+    ("column", "արծիվներ", "արծ"),
+    ("join", "տներում", "տներ"),
+    ("part", "քաղաքներից", "քաղ"),
+]
+SNOWBALL_HY_SPECS = [
+    {"qid": f"hysb_{i}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for i, (_w, _d, stem) in enumerate(SNOWBALL_HY_MAP)
+]
+SNOWBALL_LT_MAP = [
+    ("data", "data", "dat"),
+    ("line", "line", "lin"),
+    ("merge", "merge", "merg"),
+    ("query", "query", "quer"),
+    ("spark", "spark", "spar"),
+    ("table", "table", "tabl"),
+    ("value", "value", "valu"),
+    ("column", "vaikas", "vaik"),
+    ("join", "brolis", "brol"),
+    ("part", "arklys", "arkl"),
+    ("sort", "gražiausias", "graž"),
+]
+SNOWBALL_LT_SPECS = [
+    {"qid": f"ltsb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in SNOWBALL_LT_MAP[-4:]
+]
 SNOWBALL_SV_SPECS = [
     {"qid": f"svsb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in SNOWBALL_SV_MAP[:4]
@@ -2474,6 +2546,70 @@ def ft_kraaij_pohlmann(sf_dir: str) -> pa.Table:
     return _variant_topk(
         get_searcher_variant(sf_dir, "kraaij_pohlmann", an), KP_SPECS
     )
+
+
+def _ft_lang_snowball(sf_dir, tag, stem, stop_words, word_map, specs):
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d)
+        for w, d, _s in word_map if w != d
+    )
+    an = StandardAnalyzer(stem=stem, stopwords=stop_words, char_filters=cf)
+    return _variant_topk(get_searcher_variant(sf_dir, tag, an), specs)
+
+
+def ft_catalan(sf_dir: str) -> pa.Table:
+    """Snowball Catalan stemmer chain (``ext/CatalanStemmer.java``;
+    goldens from ca/TestCatalanAnalyzer). BM25 top-k, exact float64."""
+    from ..analysis.lang3 import CATALAN_STOP_WORDS
+
+    return _ft_lang_snowball(
+        sf_dir, "catalan", "catalan", CATALAN_STOP_WORDS,
+        SNOWBALL_CA_MAP, SNOWBALL_CA_SPECS)
+
+
+def ft_basque(sf_dir: str) -> pa.Table:
+    """Snowball Basque stemmer chain (``ext/BasqueStemmer.java``;
+    goldens from eu/TestBasqueAnalyzer). BM25 top-k, exact float64."""
+    from ..analysis.lang3 import BASQUE_STOP_WORDS
+
+    return _ft_lang_snowball(
+        sf_dir, "basque", "basque", BASQUE_STOP_WORDS,
+        SNOWBALL_EU_MAP, SNOWBALL_EU_SPECS)
+
+
+def ft_irish(sf_dir: str) -> pa.Table:
+    """Snowball Irish stemmer chain (``ext/IrishStemmer.java``; goldens
+    from ga/TestIrishAnalyzer; the IrishAnalyzer preset's mutation-aware
+    lowercase has its own pytest goldens). BM25 top-k, exact float64."""
+    from ..analysis.lang3 import IRISH_STOP_WORDS
+
+    return _ft_lang_snowball(
+        sf_dir, "irish", "irish", IRISH_STOP_WORDS,
+        SNOWBALL_GA_MAP, SNOWBALL_GA_SPECS)
+
+
+def ft_armenian(sf_dir: str) -> pa.Table:
+    """Snowball Armenian stemmer chain (``ext/ArmenianStemmer.java``;
+    goldens from hy/TestArmenianAnalyzer — Armenian-script forms flow
+    through tokenizer + term dict). BM25 top-k, exact float64."""
+    from ..analysis.lang3 import ARMENIAN_STOP_WORDS
+
+    return _ft_lang_snowball(
+        sf_dir, "armenian", "armenian", ARMENIAN_STOP_WORDS,
+        SNOWBALL_HY_MAP, SNOWBALL_HY_SPECS)
+
+
+def ft_lithuanian(sf_dir: str) -> pa.Table:
+    """Snowball Lithuanian stemmer chain (``ext/LithuanianStemmer.java``;
+    stems pinned by lt/TestLithuanianStemming's 372-pair corpus).
+    BM25 top-k, exact float64."""
+    from ..analysis.lang3 import LITHUANIAN_STOP_WORDS
+
+    return _ft_lang_snowball(
+        sf_dir, "lithuanian", "lithuanian", LITHUANIAN_STOP_WORDS,
+        SNOWBALL_LT_MAP, SNOWBALL_LT_SPECS)
 
 
 def ft_finnish_snowball(sf_dir: str) -> pa.Table:

@@ -1570,7 +1570,10 @@ def _prelude_snowball(stop_words, word_map) -> str:
     (TestSnowballVocabData.zip) — independent of the engine's algorithm.
     Unmapped tokens pass through (fixpoints, pinned in
     tests/test_snowball.py)."""
-    stop = ", ".join(f"'{w}'" for w in sorted(stop_words))
+    # apostrophe-bearing stopwords (ca/ga elision forms) need SQL escaping;
+    # they can never match a [\p{L}\p{N}_]+ token, but keep the lists whole
+    stop = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(stop_words))
     mapped = "lower(text)"
     for w, d, _s in word_map:
         mapped = f"regexp_replace({mapped}, '\\b{w}\\b', '{d}', 'g')"
@@ -1666,6 +1669,49 @@ def prelude_kraaij_pohlmann() -> str:
     from .fulltext import KP_MAP
 
     return _prelude_snowball(DUTCH_STOP_WORDS, KP_MAP)
+
+
+def prelude_catalan() -> str:
+    """Snowball Catalan oracle (stems from ca/TestCatalanAnalyzer goldens
+    / the golden-validated transcription)."""
+    from ..analysis.lang3 import CATALAN_STOP_WORDS
+    from .fulltext import SNOWBALL_CA_MAP
+
+    return _prelude_snowball(CATALAN_STOP_WORDS, SNOWBALL_CA_MAP)
+
+
+def prelude_basque() -> str:
+    """Snowball Basque oracle (stems from eu/TestBasqueAnalyzer goldens)."""
+    from ..analysis.lang3 import BASQUE_STOP_WORDS
+    from .fulltext import SNOWBALL_EU_MAP
+
+    return _prelude_snowball(BASQUE_STOP_WORDS, SNOWBALL_EU_MAP)
+
+
+def prelude_irish() -> str:
+    """Snowball Irish oracle (stems from ga/TestIrishAnalyzer goldens)."""
+    from ..analysis.lang3 import IRISH_STOP_WORDS
+    from .fulltext import SNOWBALL_GA_MAP
+
+    return _prelude_snowball(IRISH_STOP_WORDS, SNOWBALL_GA_MAP)
+
+
+def prelude_armenian() -> str:
+    """Snowball Armenian oracle (stems from hy/TestArmenianAnalyzer
+    goldens)."""
+    from ..analysis.lang3 import ARMENIAN_STOP_WORDS
+    from .fulltext import SNOWBALL_HY_MAP
+
+    return _prelude_snowball(ARMENIAN_STOP_WORDS, SNOWBALL_HY_MAP)
+
+
+def prelude_lithuanian() -> str:
+    """Snowball Lithuanian oracle (stems from the TestLithuanianStemming
+    corpus)."""
+    from ..analysis.lang3 import LITHUANIAN_STOP_WORDS
+    from .fulltext import SNOWBALL_LT_MAP
+
+    return _prelude_snowball(LITHUANIAN_STOP_WORDS, SNOWBALL_LT_MAP)
 
 
 def prelude_swedish_snowball() -> str:
