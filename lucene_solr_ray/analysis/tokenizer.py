@@ -142,6 +142,9 @@ class StandardAnalyzer:
     #: (bit-identical to DuckDB ``strip_accents``; diverges from Lucene's
     #: hand-written table on ligatures like ß/œ, which NFD leaves alone)
     ascii_folding: bool = False
+    #: ICUFoldingFilter analog (case fold + NFKD + mark/ignorable removal +
+    #: digit fold + stroke-letter fold; see :func:`_fold_icu`)
+    icu_folding: bool = False
     #: "porter" → PorterStemFilter (analysis/en/PorterStemmer.java); applied
     #: after stopword removal, per EnglishAnalyzer's chain order
     stem: str | None = None
@@ -849,6 +852,57 @@ def _fold_ascii(term: str) -> str:
     )
 
 
+def _build_icu_name_fold() -> dict:
+    # Latin letters whose diacritic is baked in (stroke/slash/bar/hook —
+    # no NFKD decomposition): fold to the base letter, per UTR#30's
+    # DiacriticFolding; plus the explicit ligature/special rows
+    import re
+    import unicodedata
+
+    table = {}
+    for cp in list(range(0x80, 0x250)) + list(range(0x1E00, 0x1F00)):
+        ch = chr(cp)
+        try:
+            name = unicodedata.name(ch)
+        except ValueError:
+            continue
+        m = re.match(r"LATIN (?:SMALL|CAPITAL) LETTER ([A-Z]) WITH ", name)
+        if m and not unicodedata.decomposition(ch):
+            table[ch] = m.group(1).lower()
+    table.update({"æ": "ae", "œ": "oe", "ð": "d", "ı": "i"})
+    return table
+
+
+_ICU_NAME_FOLD: dict | None = None
+
+
+def _fold_icu(term: str) -> str:
+    """ICUFoldingFilter approximation (``lucene/analysis/icu/.../
+    ICUFoldingFilter.java``, UTR#30 utr30.dat): full case folding → NFKD →
+    drop combining marks (Mn) and default ignorables (Cf) → fold decimal
+    digits to ASCII → fold stroke/slash Latin letters and ligatures →
+    NFKC recompose. Matches every TestICUFoldingFilter golden
+    (tests/test_icu_folding.py); the binary utr30.dat table itself is not
+    shipped in this sandbox, so rare non-Latin one-off foldings may
+    differ — documented approximation."""
+    global _ICU_NAME_FOLD
+    import unicodedata
+
+    if _ICU_NAME_FOLD is None:
+        _ICU_NAME_FOLD = _build_icu_name_fold()
+    s = unicodedata.normalize("NFKD", term.casefold())
+    out = []
+    for ch in s:
+        cat = unicodedata.category(ch)
+        if cat in ("Mn", "Cf"):
+            continue
+        if cat == "Nd":
+            out.append(str(unicodedata.digit(ch)))
+            continue
+        out.append(_ICU_NAME_FOLD.get(ch, ch))
+    return unicodedata.normalize("NFKC", "".join(out))
+
+
 def _phonetic_codes_fn(analyzer: "StandardAnalyzer"):
     """Multi-code phonetic encoders (PhoneticFilter inject semantics): per
     token → code list; the FIRST code replaces the token, the rest overlay
@@ -1226,6 +1280,8 @@ def _analyze_full(
                          if analyzer.elision_articles else FRENCH_ARTICLES)
         if analyzer.ascii_folding:
             term = _fold_ascii(term)
+        elif analyzer.icu_folding:
+            term = _fold_icu(term)
         if analyzer.length_filter is not None and not (
             analyzer.length_filter[0] <= len(term) <= analyzer.length_filter[1]
         ):
@@ -1389,6 +1445,8 @@ def _analyze_full_wd(
     for t, p, s, e, o in zip(terms, poss, starts, ends, overs):
         if analyzer.ascii_folding:
             t = _fold_ascii(t)
+        elif analyzer.icu_folding:
+            t = _fold_icu(t)
         if analyzer.length_filter is not None and not (
             analyzer.length_filter[0] <= len(t) <= analyzer.length_filter[1]
         ):
@@ -1701,6 +1759,8 @@ class ArrowAnalyzer:
         # is enforced by the tokenizer, before any filter — StandardTokenizer.java:154)
         if self.analyzer.ascii_folding:
             flat = self._map_vocab(flat, _fold_ascii)
+        elif self.analyzer.icu_folding:
+            flat = self._map_vocab(flat, _fold_icu)
         nonempty = pc.greater(length, 0)
         keep = pc.and_(nonempty, pc.less_equal(length, self.analyzer.max_token_length))
         if self.analyzer.length_filter is not None:
@@ -1868,6 +1928,8 @@ class ArrowAnalyzer:
             flat = pc.utf8_lower(flat)
         if a.ascii_folding:
             flat = self._map_vocab(flat, _fold_ascii)
+        elif a.icu_folding:
+            flat = self._map_vocab(flat, _fold_icu)
         nonempty = pc.greater(length, 0)
         keep = pc.and_(nonempty, pc.less_equal(length, a.max_token_length))
         keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=self.stop_arr)))
@@ -1982,6 +2044,8 @@ class ArrowAnalyzer:
         overlap = np.fromiter((o for lst in over_l for o in lst), bool, count=total)
         if a.ascii_folding:
             flat = self._map_vocab(flat, _fold_ascii)
+        elif a.icu_folding:
+            flat = self._map_vocab(flat, _fold_icu)
         keep_a = pc.invert(pc.is_in(flat, value_set=self.stop_arr))
         if a.length_filter is not None:
             lo_len, hi_len = a.length_filter
@@ -2033,6 +2097,7 @@ def analyze_batch(
     """
     if (
         analyzer.ascii_folding
+        or analyzer.icu_folding
         or analyzer.stem is not None
         or analyzer.phonetic is not None
         or analyzer.structural
