@@ -145,6 +145,11 @@ class StandardAnalyzer:
     #: ICUFoldingFilter analog (case fold + NFKD + mark/ignorable removal +
     #: digit fold + stroke-letter fold; see :func:`_fold_icu`)
     icu_folding: bool = False
+    #: HunspellStemFilter (longestOnly mode) in the stemmer slot:
+    #: (aff_text, dic_text[, ignore_case]) — the .aff/.dic CONTENT, so the
+    #: analyzer stays a hashable value object shipped to actors; the parsed
+    #: dictionary is cached per process (see _hunspell_cached)
+    hunspell: tuple | None = None
     #: "porter" → PorterStemFilter (analysis/en/PorterStemmer.java); applied
     #: after stopword removal, per EnglishAnalyzer's chain order
     stem: str | None = None
@@ -840,6 +845,23 @@ def FrenchSnowballAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="french_snowball", elision=True, **kw)
 
 
+_HUNSPELL_CACHE: dict = {}
+
+
+def _hunspell_cached(aff: str, dic: str, ignore_case: bool):
+    """Parse-once-per-process cache for Hunspell token functions (the
+    analyzer carries the raw .aff/.dic text; workers build the dictionary
+    on first use)."""
+    key = (hash(aff), hash(dic), ignore_case)
+    fn = _HUNSPELL_CACHE.get(key)
+    if fn is None:
+        from .hunspell import hunspell_token_fn
+
+        fn = hunspell_token_fn(aff, dic, ignore_case, longest_only=True)
+        _HUNSPELL_CACHE[key] = fn
+    return fn
+
+
 def _fold_ascii(term: str) -> str:
     """NFD-decompose and drop combining marks (Mn) — ASCIIFoldingFilter's
     Latin-accent core, chosen to equal DuckDB ``strip_accents`` exactly."""
@@ -1107,8 +1129,18 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
         stem_fns["french_snowball"] = french_snowball_stem
     elif analyzer.stem is not None:
         raise ValueError(f"unknown stemmer: {analyzer.stem!r}")
-    if analyzer.stem is not None:
-        stem_fn = stem_fns[analyzer.stem]
+    if analyzer.hunspell is not None and analyzer.stem is None:
+        # HunspellStemFilter (longestOnly) as the chain's stemmer slot —
+        # single-output destructive mode; the multi-stem injection mode is
+        # available via analysis.hunspell.hunspell_token_fn
+        aff, dic = analyzer.hunspell[0], analyzer.hunspell[1]
+        ic = len(analyzer.hunspell) > 2 and analyzer.hunspell[2]
+        hfn = _hunspell_cached(aff, dic, bool(ic))
+        stem_fns["__hunspell__"] = lambda t: hfn(t)[0]
+    if analyzer.stem is not None or analyzer.hunspell is not None:
+        stem_fn = stem_fns[analyzer.stem
+                           if analyzer.stem is not None
+                           else "__hunspell__"]
         if analyzer.stem_exclusions:
             excl = analyzer.stem_exclusions
             mapper = lambda t: t if t in excl else stem_fn(t)  # noqa: E731
@@ -1219,6 +1251,7 @@ def _validate_cjk(analyzer: "StandardAnalyzer") -> None:
         or analyzer.keyword_repeat
         or analyzer.phonetic is not None
         or analyzer.stem is not None
+        or analyzer.hunspell is not None
         or analyzer.normalization is not None
         or analyzer.elision
         or analyzer.keep_words
@@ -2099,6 +2132,7 @@ def analyze_batch(
         analyzer.ascii_folding
         or analyzer.icu_folding
         or analyzer.stem is not None
+        or analyzer.hunspell is not None
         or analyzer.phonetic is not None
         or analyzer.structural
         or analyzer.word_delimiter is not None

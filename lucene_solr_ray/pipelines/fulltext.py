@@ -2047,6 +2047,32 @@ SNOWBALL_LT_SPECS = [
     {"qid": f"ltsb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in SNOWBALL_LT_MAP[-4:]
 ]
+#: inline Hunspell dictionary over corpus roots: unknown words pass
+#: through the HunspellStemFilter unchanged, so no fixup rows are needed
+HUNSPELL_AFF = """SET UTF-8
+SFX S Y 1
+SFX S   0     s     .
+SFX D Y 1
+SFX D   0     d     e
+SFX E Y 1
+SFX E   y     ied   y
+"""
+HUNSPELL_DIC = """4
+column/S
+merge/D
+row/S
+query/E
+"""
+HUNSPELL_MAP = [
+    ("column", "columns", "column"),
+    ("join", "merged", "merge"),
+    ("part", "rows", "row"),
+    ("sort", "queried", "query"),
+]
+HUNSPELL_SPECS = [
+    {"qid": f"hun_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in HUNSPELL_MAP
+]
 SNOWBALL_SV_SPECS = [
     {"qid": f"svsb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in SNOWBALL_SV_MAP[:4]
@@ -2599,6 +2625,26 @@ def ft_armenian(sf_dir: str) -> pa.Table:
     return _ft_lang_snowball(
         sf_dir, "armenian", "armenian", ARMENIAN_STOP_WORDS,
         SNOWBALL_HY_MAP, SNOWBALL_HY_SPECS)
+
+
+def ft_hunspell(sf_dir: str) -> pa.Table:
+    """HunspellStemFilter chain (longestOnly; ``hunspell/
+    HunspellStemFilter.java`` + Dictionary/Stemmer semantics pinned by
+    the reference's 281 test assertions in tests/test_hunspell.py) over
+    an inline .aff/.dic — unknown tokens pass through, so the oracle maps
+    only the injected inflections. BM25 top-k, exact float64 scores."""
+    from ..analysis.tokenizer import ENGLISH_STOP_WORDS, StandardAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d)
+        for w, d, _s in HUNSPELL_MAP if w != d
+    )
+    an = StandardAnalyzer(
+        hunspell=(HUNSPELL_AFF, HUNSPELL_DIC),
+        stopwords=ENGLISH_STOP_WORDS, char_filters=cf)
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "hunspell", an), HUNSPELL_SPECS
+    )
 
 
 def ft_lithuanian(sf_dir: str) -> pa.Table:

@@ -1714,6 +1714,16 @@ def prelude_lithuanian() -> str:
     return _prelude_snowball(LITHUANIAN_STOP_WORDS, SNOWBALL_LT_MAP)
 
 
+def prelude_hunspell() -> str:
+    """Hunspell chain oracle: the inline dictionary's inflections mapped
+    to their stems; everything else passes through (Hunspell pass-through
+    for unknown words)."""
+    from ..analysis.tokenizer import ENGLISH_STOP_WORDS
+    from .fulltext import HUNSPELL_MAP
+
+    return _prelude_snowball(ENGLISH_STOP_WORDS, HUNSPELL_MAP)
+
+
 def prelude_swedish_snowball() -> str:
     """Snowball SwedishAnalyzer oracle (sv/SwedishAnalyzer.java default
     chain)."""
