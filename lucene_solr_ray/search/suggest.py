@@ -25,13 +25,15 @@ import pyarrow as pa
 from .query import CONTENT_FIELD
 
 
-def _term_df(reader, field: str, flt) -> pa.Table:
+def _term_df(reader, field: str, flt, top: int | None = None) -> pa.Table:
     """Distributed (term, df) aggregation over postings blocks with a
     per-block vectorized filter ``flt(term_array) -> mask``, summed per
-    term by a distributed ``groupby(term).aggregate(Sum)`` — only the
-    FINAL per-term rows reach the driver. (An unselective filter — e.g.
-    the infix suggester's substring match over the whole vocabulary —
-    would otherwise funnel vocab-sized partials into driver pandas.)"""
+    term by a distributed ``groupby(term).aggregate(Sum)``. With ``top``
+    set, each output block is truncated to its per-block top rows by
+    (df desc, term asc) BEFORE the driver gather, so even an unselective
+    filter (the infix suggester's substring match over the whole
+    vocabulary) ships only ≤ top×blocks rows to the driver."""
+    import numpy as np
     import ray.data
     from ray.data.aggregate import Sum
 
@@ -51,6 +53,16 @@ def _term_df(reader, field: str, flt) -> pa.Table:
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"))
     )
+    if top is not None:
+        def block_topk(batch: pa.Table) -> pa.Table:
+            if len(batch) <= top:
+                return batch
+            terms = batch["term"].to_numpy(zero_copy_only=False)
+            dfs = batch["df"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((terms, -dfs))[:top]
+            return batch.take(pa.array(np.sort(order)))
+
+        ds = ds.map_batches(block_topk, batch_format="pyarrow")
     empty = pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
     return pa.concat_tables(
         [empty, *(b for b in ds.iter_batches(batch_format="pyarrow") if len(b))],
@@ -77,7 +89,7 @@ def suggest_prefix(reader, prefix: str, num: int = 5, field: str = CONTENT_FIELD
         })
     import pyarrow.compute as pc
 
-    tbl = _term_df(reader, field, lambda t: pc.starts_with(t, prefix).to_numpy(zero_copy_only=False))
+    tbl = _term_df(reader, field, lambda t: pc.starts_with(t, prefix).to_numpy(zero_copy_only=False), top=num)
     df = tbl.to_pandas().sort_values(["df", "term"], ascending=[False, True]).head(num)
     return pa.table(
         {"term": pa.array(df["term"], pa.string()), "df": pa.array(df["df"], pa.int64())}
@@ -145,7 +157,7 @@ def suggest_infix(reader, substring: str, num: int = 5,
     def flt(terms):
         return pc.match_substring(terms, substring).to_numpy(zero_copy_only=False)
 
-    tbl = _term_df(reader, field, flt)
+    tbl = _term_df(reader, field, flt, top=num)
     if not len(tbl):
         return tbl
     df = tbl["df"].to_numpy()
