@@ -753,6 +753,17 @@ def LithuanianAnalyzer(**kw) -> StandardAnalyzer:
     return StandardAnalyzer(stem="lithuanian", **kw)
 
 
+def PolishAnalyzer(**kw) -> StandardAnalyzer:
+    """PolishAnalyzer preset (``analysis/stempel/.../pl/PolishAnalyzer.
+    java:141-147``): lowercase → stop(Polish) → [keyword marker] →
+    StempelFilter(stemmer_20000.tbl). The Egothor trie table is the
+    reference's own trained resource, embedded under analysis/data/."""
+    from .lang3 import POLISH_STOP_WORDS
+
+    kw.setdefault("stopwords", POLISH_STOP_WORDS)
+    return StandardAnalyzer(stem="polish_stempel", **kw)
+
+
 def LatvianAnalyzer(**kw) -> StandardAnalyzer:
     """LatvianAnalyzer preset (``analysis/common/.../lv/LatvianAnalyzer.
     java:116-124``): lowercase → stop(Latvian) → [keyword marker] →
@@ -1103,6 +1114,9 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
     elif analyzer.stem == "irish":
         from .snowball import irish_stem
         stem_fns["irish"] = irish_stem
+    elif analyzer.stem == "polish_stempel":
+        from .stempel import polish_stem
+        stem_fns["polish_stempel"] = polish_stem
     elif analyzer.stem == "finnish_snowball":
         from .snowball import finnish_snowball_stem
         stem_fns["finnish_snowball"] = finnish_snowball_stem
