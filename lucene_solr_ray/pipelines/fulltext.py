@@ -2073,6 +2073,30 @@ HUNSPELL_SPECS = [
     {"qid": f"hun_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in HUNSPELL_MAP
 ]
+#: Stempel mangles non-Polish tokens (it's a statistical table), so every
+#: corpus word it alters gets a fixup row; injected stems studenta/studenci
+#: come from TestPolishAnalyzer, the rest from the embedded table itself
+STEMPEL_MAP = [
+    ("column", "column", "columna"),
+    ("dup", "dup", "dupa"),
+    ("group", "group", "gry"),
+    ("hash", "hash", "hashić"),
+    ("join", "join", "joina"),
+    ("line", "line", "liny"),
+    ("part", "part", "par"),
+    ("query", "query", "ć"),
+    ("small", "small", "smać"),
+    ("the", "the", "thy"),
+    ("value", "value", "ć"),
+    ("batch", "studenta", "student"),
+    ("merge", "nauczycielem", "nauczyciel"),
+    ("sort", "samochodów", "samochod"),
+    ("stream", "dziećmi", "dziecko"),
+]
+STEMPEL_SPECS = [
+    {"qid": f"pl_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in STEMPEL_MAP[-4:]
+]
 SNOWBALL_SV_SPECS = [
     {"qid": f"svsb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in SNOWBALL_SV_MAP[:4]
@@ -2644,6 +2668,25 @@ def ft_hunspell(sf_dir: str) -> pa.Table:
         stopwords=ENGLISH_STOP_WORDS, char_filters=cf)
     return _variant_topk(
         get_searcher_variant(sf_dir, "hunspell", an), HUNSPELL_SPECS
+    )
+
+
+def ft_polish(sf_dir: str) -> pa.Table:
+    """Stempel Polish chain (``stempel/.../pl/PolishAnalyzer.java``
+    lowercase → stop(Polish) → StempelFilter over the reference's own
+    stemmer_20000.tbl). BM25 top-k, exact float64 scores."""
+    from ..analysis.lang3 import POLISH_STOP_WORDS
+    from ..analysis.tokenizer import StandardAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d)
+        for w, d, _s in STEMPEL_MAP if w != d
+    )
+    an = StandardAnalyzer(
+        stem="polish_stempel", stopwords=POLISH_STOP_WORDS,
+        char_filters=cf)
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "polish", an), STEMPEL_SPECS
     )
 
 

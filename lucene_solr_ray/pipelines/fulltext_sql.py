@@ -1724,6 +1724,15 @@ def prelude_hunspell() -> str:
     return _prelude_snowball(ENGLISH_STOP_WORDS, HUNSPELL_MAP)
 
 
+def prelude_polish() -> str:
+    """Stempel Polish oracle (studenta/studenci stems from
+    TestPolishAnalyzer; the rest from the embedded table)."""
+    from ..analysis.lang3 import POLISH_STOP_WORDS
+    from .fulltext import STEMPEL_MAP
+
+    return _prelude_snowball(POLISH_STOP_WORDS, STEMPEL_MAP)
+
+
 def prelude_swedish_snowball() -> str:
     """Snowball SwedishAnalyzer oracle (sv/SwedishAnalyzer.java default
     chain)."""
