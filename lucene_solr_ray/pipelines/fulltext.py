@@ -2097,6 +2097,18 @@ STEMPEL_SPECS = [
     {"qid": f"pl_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in STEMPEL_MAP[-4:]
 ]
+#: ICU folding: pure-ASCII corpus tokens are fixpoints (case fold ==
+#: lowercase, no marks), so only the injected accented forms need mapping
+ICU_FOLD_MAP = [
+    ("column", "résumé", "resume"),
+    ("join", "ruß", "russ"),
+    ("part", "cræzy", "craezy"),
+    ("sort", "đido", "dido"),
+]
+ICU_FOLD_SPECS = [
+    {"qid": f"icu_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
+    for _w, _d, stem in ICU_FOLD_MAP
+]
 SNOWBALL_SV_SPECS = [
     {"qid": f"svsb_{stem}", "kind": "term", "terms": [stem], "k": TOPK_K}
     for _w, _d, stem in SNOWBALL_SV_MAP[:4]
@@ -2668,6 +2680,25 @@ def ft_hunspell(sf_dir: str) -> pa.Table:
         stopwords=ENGLISH_STOP_WORDS, char_filters=cf)
     return _variant_topk(
         get_searcher_variant(sf_dir, "hunspell", an), HUNSPELL_SPECS
+    )
+
+
+def ft_icu_folding(sf_dir: str) -> pa.Table:
+    """ICUFoldingFilter chain (``analysis/icu/.../ICUFoldingFilter.java``
+    analog — every TestICUFoldingFilter golden pinned in
+    tests/test_icu_folding.py): injected accented/ligature forms fold to
+    their ASCII shapes through tokenizer + term dict. BM25 top-k, exact
+    float64 scores."""
+    from ..analysis.tokenizer import ENGLISH_STOP_WORDS, StandardAnalyzer
+
+    cf = tuple(
+        ("pattern_replace", rf"\b{w}\b", d)
+        for w, d, _s in ICU_FOLD_MAP if w != d
+    )
+    an = StandardAnalyzer(
+        icu_folding=True, stopwords=ENGLISH_STOP_WORDS, char_filters=cf)
+    return _variant_topk(
+        get_searcher_variant(sf_dir, "icu_folding", an), ICU_FOLD_SPECS
     )
 
 

@@ -1724,6 +1724,15 @@ def prelude_hunspell() -> str:
     return _prelude_snowball(ENGLISH_STOP_WORDS, HUNSPELL_MAP)
 
 
+def prelude_icu_folding() -> str:
+    """ICU folding oracle: injected forms mapped via the TestICUFolding
+    goldens; pure-ASCII tokens are folding fixpoints."""
+    from ..analysis.tokenizer import ENGLISH_STOP_WORDS
+    from .fulltext import ICU_FOLD_MAP
+
+    return _prelude_snowball(ENGLISH_STOP_WORDS, ICU_FOLD_MAP)
+
+
 def prelude_polish() -> str:
     """Stempel Polish oracle (studenta/studenci stems from
     TestPolishAnalyzer; the rest from the embedded table)."""
