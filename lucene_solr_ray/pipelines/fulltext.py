@@ -784,6 +784,15 @@ def ft_classify_nb(sf_dir: str) -> pa.Table:
     return classify_naive_bayes(s, sample_max=NB_SAMPLE, class_field="lang")
 
 
+def ft_classify_bm25nb(sf_dir: str) -> pa.Table:
+    """BM25NBClassifier: BM25-top-1-score naive bayes over lang classes
+    for the first NB_SAMPLE docs → (doc_id, assigned)."""
+    from ..search.classify import classify_bm25nb
+
+    s = get_searcher(sf_dir)
+    return classify_bm25nb(s, sample_max=NB_SAMPLE, class_field="lang")
+
+
 def ft_classify_knn(sf_dir: str) -> pa.Table:
     """KNearestNeighborClassifier: MLT top-10 neighbor vote on lang for a
     fixed doc sample → (doc_id, assigned). Rows-only driver check; vote

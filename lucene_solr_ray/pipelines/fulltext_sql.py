@@ -676,6 +676,47 @@ WHERE rn = 1 ORDER BY did
 """
 
 
+def sql_classify_bm25nb(sample_max: int) -> str:
+    """BM25NB oracle (BM25NBClassifier formulas): the keyword class field
+    omits norms, so the class-term BM25 top-1 is exactly idf_c; per
+    (tok, lang) the SHOULD-clause maximum is weight_tok · max over class
+    docs of tf/(tf + k1·((1−b) + b·qlen/avgdl)); score = ln(idf_c) +
+    Σ tf·ln(idf_c + max-part); assigned = argmax (lexicographic
+    tie-break, matching the engine's strictly-greater replace)."""
+    return prelude() + f""",
+mxp AS (
+  SELECT t.tok, c.lang,
+         max(CAST(t.tf AS DOUBLE)
+             / (t.tf + {K1!r} * ((1 - {B!r})
+                + ({B!r} * q.qlen) / (SELECT avgdl FROM avg_dl)))) AS mx
+  FROM tf t JOIN quant q USING (did) JOIN corpus c USING (did)
+  GROUP BY t.tok, c.lang
+),
+cls AS (
+  SELECT lang, count(*) AS nc,
+         ln(1 + ((SELECT dc FROM stats) - count(*) + 0.5)
+               / (count(*) + 0.5)) AS cidf
+  FROM corpus GROUP BY lang
+),
+tfs AS (SELECT did, tok, tf FROM tf WHERE did < {sample_max}),
+sc AS (
+  SELECT t.did, cl.lang,
+         ln(cl.cidf)
+         + sum(t.tf * ln(cl.cidf
+               + coalesce(i.idf * {K1 + 1!r} * m.mx, 0))) AS score
+  FROM tfs t CROSS JOIN cls cl
+  JOIN idf i ON i.tok = t.tok
+  LEFT JOIN mxp m ON m.tok = t.tok AND m.lang = cl.lang
+  GROUP BY t.did, cl.lang, cl.cidf
+)
+SELECT CAST(did AS BIGINT) AS doc_id, lang AS assigned
+FROM (SELECT did, lang,
+             row_number() OVER (PARTITION BY did ORDER BY score DESC, lang ASC) AS rn
+      FROM sc)
+WHERE rn = 1 ORDER BY did
+"""
+
+
 def sql_pivot_facets(term: str) -> str:
     """Pivot-facet oracle: nested (repo=source, lang, count) over docs
     matching ``term`` (column NAMES follow the engine's repo/lang fields)."""

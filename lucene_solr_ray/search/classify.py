@@ -209,3 +209,181 @@ def classify_knn(searcher, doc_ids: list[int], k: int = 10,
             "assigned": pa.array(out_cls, pa.string()),
         }
     )
+
+
+class BM25NBPartials:
+    """map_groups callable over postings ``groupby('seg')`` for the BM25
+    Naive Bayes classifier: per (term, class) the segment max of the
+    norm-dependent BM25 factor x = tf/(tf + cache[norm]), per-term df
+    partials, and (doc, term, tf) rows for sampled docs. The global
+    idf*(k1+1) weight multiplies OUTSIDE the max (it is constant per
+    term), so the pass needs only the broadcast norm cache."""
+
+    def __init__(self, seg_dirs: dict, doc_bases: dict, class_field: str,
+                 sample_max: int, norm_cache):
+        self.seg_dirs = seg_dirs
+        self.doc_bases = doc_bases
+        self.class_field = class_field
+        self.sample_max = sample_max
+        self.norm_cache = np.asarray(norm_cache, dtype=np.float64)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from .scorer import decode_segment_postings
+
+        seg = int(group["seg"][0].as_py())
+        base = self.doc_bases[seg]
+        dtbl = pq.read_table(
+            os.path.join(self.seg_dirs[seg], "docs.parquet"),
+            columns=[self.class_field, "norm_byte"],
+        )
+        cls_col = dtbl[self.class_field].to_numpy(
+            zero_copy_only=False).astype(str)
+        norms = dtbl["norm_byte"].to_numpy(zero_copy_only=False)
+        classes, codes = np.unique(cls_col, return_inverse=True)
+        cache = self.norm_cache[norms]
+        decoded = decode_segment_postings(group)
+
+        out_kind: list[str] = []
+        out_term: list[str] = []
+        out_cls: list[str] = []
+        out_n: list[int] = []
+        out_doc: list[int] = []
+        out_v: list[float] = []
+        for (field, term), (ids, freqs) in decoded.items():
+            if field != "content":
+                continue
+            f = freqs.astype(np.float64)
+            x = f / (f + cache[ids])
+            mx = np.full(len(classes), -1.0)
+            np.maximum.at(mx, codes[ids], x)
+            nz = np.flatnonzero(mx >= 0)
+            out_kind.extend(["mx"] * len(nz))
+            out_term.extend([term] * len(nz))
+            out_cls.extend(classes[nz].tolist())
+            out_n.extend([0] * len(nz))
+            out_doc.extend([0] * len(nz))
+            out_v.extend(mx[nz].tolist())
+            out_kind.append("df")
+            out_term.append(term)
+            out_cls.append("")
+            out_n.append(int(len(ids)))
+            out_doc.append(0)
+            out_v.append(0.0)
+            if base < self.sample_max:
+                gids = ids + base
+                m = gids < self.sample_max
+                k = int(m.sum())
+                if k:
+                    out_kind.extend(["tf"] * k)
+                    out_term.extend([term] * k)
+                    out_cls.extend([""] * k)
+                    out_n.extend(freqs[m].tolist())
+                    out_doc.extend(gids[m].tolist())
+                    out_v.extend([0.0] * k)
+        return pa.table(
+            {
+                "kind": pa.array(out_kind, pa.string()),
+                "term": pa.array(out_term, pa.string()),
+                "cls": pa.array(out_cls, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "v": pa.array(out_v, pa.float64()),
+            }
+        )
+
+
+def classify_bm25nb(searcher, sample_max: int = 100,
+                    class_field: str = "lang") -> pa.Table:
+    """BM25NBClassifier (ref lucene/classification/.../BM25NBClassifier.
+    java): per class c, score = ln(prior(c)) + Σ_w tf_w·ln(termProb(c,w))
+    where prior(c) and termProb(c,w) are the BM25 top-1 scores of
+    {class=c} and {MUST class=c, SHOULD w}. The class field is a keyword
+    field (norms omitted ⇒ its BM25 factor is 1/(1+k1) for every doc), so
+    prior(c) = idf_c exactly and termProb(c,w) = idf_c + weight_w·max_x
+    with max_x the per-(term,class) max of tf/(tf+cache[norm]) — computed
+    in ONE distributed postings pass (BM25NBPartials); only
+    vocab×classes maxima and the sample's tf rows reach the driver.
+    Softmax normalization (:79-103) is monotonic, so the assigned class
+    is the raw argmax. float64 scoring (oracle mode)."""
+    import math
+
+    import ray.data
+
+    from .bm25 import BM25Similarity
+
+    r = searcher.reader
+    sim = BM25Similarity(dtype=np.float64)
+    n_docs = r.stats.doc_count
+    avgdl = r.field_sum_ttf("content") / r.field_doc_count("content")
+    cache = sim.norm_cache(np.float64(avgdl))
+
+    mx: dict[tuple[str, str], float] = {}
+    dfs: dict[str, int] = {}
+    doc_tf: dict[int, list[tuple[str, int]]] = {}
+    ds = ray.data.read_parquet(
+        r.postings_files(), filter=pa.compute.field("field") == "content"
+    )
+    parts = ds.groupby("seg").map_groups(
+        BM25NBPartials,
+        fn_constructor_kwargs=dict(
+            seg_dirs=r.seg_dirs(),
+            doc_bases={s["seg"]: s["doc_base"] for s in r.segments},
+            class_field=class_field,
+            sample_max=sample_max,
+            norm_cache=cache,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        max_restarts=0,
+    )
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for kind, term, cls, n, doc, v in zip(
+                b["kind"].to_pylist(), b["term"].to_pylist(),
+                b["cls"].to_pylist(), b["n"].to_pylist(),
+                b["doc_id"].to_pylist(), b["v"].to_pylist()):
+            if kind == "mx":
+                key = (term, cls)
+                if v > mx.get(key, -1.0):
+                    mx[key] = v
+            elif kind == "df":
+                dfs[term] = dfs.get(term, 0) + n
+            else:
+                doc_tf.setdefault(doc, []).append((term, n))
+
+    classes = sorted({c for _t, c in mx})
+    df_c = {
+        c: r.term_stats([(class_field, c)])[(class_field, c)][0]
+        for c in classes
+    }
+    const_c = {
+        c: math.log(1 + (n_docs - df_c[c] + 0.5) / (df_c[c] + 0.5))
+        for c in classes
+    }
+    k1p1 = sim.k1 + 1.0
+    weight = {
+        t: math.log(1 + (n_docs - d + 0.5) / (d + 0.5)) * k1p1
+        for t, d in dfs.items()
+    }
+
+    out_doc: list[int] = []
+    out_cls: list[str] = []
+    for doc in sorted(doc_tf):
+        best_c, best_s = None, None
+        for c in classes:
+            s = math.log(const_c[c])
+            for term, tf in doc_tf[doc]:
+                m = mx.get((term, c))
+                tp = const_c[c] + (weight[term] * m if m is not None else 0.0)
+                s += tf * math.log(tp)
+            if best_s is None or s > best_s:
+                best_c, best_s = c, s
+        out_doc.append(doc)
+        out_cls.append(best_c)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "assigned": pa.array(out_cls, pa.string()),
+        }
+    )
