@@ -86,16 +86,12 @@ def solr_json_facets(sf_dir: str) -> pa.Table:
     from .io import sized_read
 
     def partials(batch: pa.Table) -> pa.Table:
-        import pandas as pd
         import pyarrow.compute as pc
 
-        df = pd.DataFrame(
-            {
-                "lang": batch["lang"].to_pandas(),
-                "source": batch["source"].to_pandas(),
-                "n": pc.utf8_length(batch["text"].cast(pa.string())).to_numpy(),
-            }
-        )
+        langs_col = batch["lang"].to_numpy(zero_copy_only=False).astype(str)
+        src_col = batch["source"].to_numpy(zero_copy_only=False).astype(str)
+        n_col = pc.utf8_length(
+            batch["text"].cast(pa.string())).to_numpy().astype(np.int64)
         rows_lang, rows_kind, rows_a, rows_b, rows_s = [], [], [], [], []
 
         def emit(lang, kind, a, b=0, s=None):
@@ -105,8 +101,10 @@ def solr_json_facets(sf_dir: str) -> pa.Table:
             rows_b.append(int(b))
             rows_s.append(s)
 
-        for lang, g in df.groupby("lang", sort=False):
-            n = g["n"].to_numpy(dtype=np.int64)
+        uls, codes = np.unique(langs_col, return_inverse=True)
+        for li, lang in enumerate(uls):
+            m = codes == li
+            n = n_col[m]
             emit(lang, "cnt", len(n))
             emit(lang, "sum", n.sum())
             emit(lang, "sumsq", (n * n).sum())
@@ -115,7 +113,7 @@ def solr_json_facets(sf_dir: str) -> pa.Table:
             vals, cnts = np.unique(n, return_counts=True)
             for v, c in zip(vals, cnts):
                 emit(lang, "hist", v, c)
-            srcs = sorted(set(g["source"]))
+            srcs = sorted(set(src_col[m]))
             for s_ in srcs:
                 emit(lang, "src", 0, 0, s_)
             bucket, rho = _hll_hash(srcs)
