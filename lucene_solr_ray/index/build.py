@@ -106,15 +106,18 @@ def build_index(
         if debug:
             print(f"[build +{time.time() - t_start:6.1f}s] {msg}", flush=True)
 
+    corpus_path = None
     if isinstance(corpus, (str, os.PathLike)):
-        corpus = ray.data.read_parquet(str(corpus))
+        corpus_path = str(corpus)
+        corpus = ray.data.read_parquet(corpus_path)
 
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
     plan_path = os.path.join(index_dir, "plan.json")
     if resume and os.path.exists(plan_path):
         plan = BuildPlan.load(plan_path)
     else:
-        plan = compute_plan(corpus, docs_per_segment, sort_fields=sort_fields)
+        plan = compute_plan(corpus, docs_per_segment, sort_fields=sort_fields,
+                            corpus_path=corpus_path)
         plan.save(plan_path)
     _dbg(f"plan ready: {plan.n_segments} segments, {plan.total_rows} rows")
 

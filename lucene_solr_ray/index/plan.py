@@ -108,13 +108,16 @@ class BuildPlan:
 
 
 def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_000,
-                 sort_fields: tuple[str, ...] = ()) -> BuildPlan:
+                 sort_fields: tuple[str, ...] = (),
+                 corpus_path: str | None = None) -> BuildPlan:
     """Derive segment boundaries + exact per-segment counts.
 
     Small corpora (≤ ``small_threshold`` rows): collect keys driver-side and
-    cut into exactly-balanced ranges. Large: hash-sampled quantile boundaries
-    (approximate balance) + an exact column-pruned counting pass. Both are
-    deterministic functions of the data alone.
+    cut into exactly-balanced ranges — straight off the parquet footprint
+    when ``corpus_path`` is given (a column-pruned local read of ≤ 200k keys
+    beats a Ray task round-trip by seconds). Large: hash-sampled quantile
+    boundaries (approximate balance) + an exact column-pruned counting pass.
+    Both are deterministic functions of the data alone.
     """
     # count on the raw dataset: metadata-only for parquet reads (a count on
     # the projected dataset would execute a full scan)
@@ -124,11 +127,17 @@ def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_00
     n_segments = max(1, -(-total // docs_per_segment))
 
     if total <= small_threshold:
-        tbl = (
-            pa.concat_tables(list(keys_ds.iter_batches(batch_format="pyarrow")))
-            if total
-            else pa.table({c: pa.array([], pa.string()) for c in key_cols})
-        )
+        if total and corpus_path is not None:
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(corpus_path, format="parquet").to_table(
+                columns=key_cols)
+        else:
+            tbl = (
+                pa.concat_tables(list(keys_ds.iter_batches(batch_format="pyarrow")))
+                if total
+                else pa.table({c: pa.array([], pa.string()) for c in key_cols})
+            )
         keys = np.sort(sort_keys(tbl, key_cols)) if total else np.empty(0, dtype=object)
         cuts = [int(round(i * total / n_segments)) for i in range(1, n_segments)]
         boundaries = [str(keys[c - 1]) + SEP for c in cuts]  # key+SEP: upper-inclusive of keys[c-1]
