@@ -784,6 +784,17 @@ def ft_classify_nb(sf_dir: str) -> pa.Table:
     return classify_naive_bayes(s, sample_max=NB_SAMPLE, class_field="lang")
 
 
+def ft_classify_knn_fuzzy(sf_dir: str) -> pa.Table:
+    """KNearestFuzzyClassifier: NearestFuzzyQuery (fuzzy-variant,
+    artificial-df=1 scoring) top-10 neighbor vote on lang for a fixed doc
+    sample → (doc_id, assigned). Rows-only driver check; term-selection /
+    scoring / vote semantics pinned in tests/test_components.py."""
+    from ..search.classify import classify_knn_fuzzy
+
+    s = get_searcher(sf_dir)
+    return classify_knn_fuzzy(s, KNN_DOC_IDS, k=10, class_field="lang")
+
+
 def ft_classify_bm25nb(sf_dir: str) -> pa.Table:
     """BM25NBClassifier: BM25-top-1-score naive bayes over lang classes
     for the first NB_SAMPLE docs → (doc_id, assigned)."""

@@ -387,3 +387,126 @@ def classify_bm25nb(searcher, sample_max: int = 100,
             "assigned": pa.array(out_cls, pa.string()),
         }
     )
+
+
+def nearest_fuzzy_terms(searcher, text: str,
+                        field: str = "content") -> list[tuple[str, float]]:
+    """NearestFuzzyQuery term selection (``classification/utils/
+    NearestFuzzyQuery.java``): per unique analyzed token, fuzzy variants
+    (maxEdits=1, prefixLength=2) boosted 1 − ed/min(len) (exact match =
+    1.0, FuzzyTermsEnum.java:229-236), then score = boost² · idf(df_orig
+    or avg variant df) with idf = ln((N+1)/(df+1)) + 1; global top
+    MAX_NUM_TERMS=300 → [(variant_term, score)]."""
+    import math
+
+    from ..analysis.tokenizer import StandardAnalyzer, analyze_with_positions
+    from .query import FuzzyQuery
+
+    r = searcher.reader
+    n_docs = r.field_doc_count(field)
+    seen: set[str] = set()
+    scored: list[tuple[float, str]] = []
+    for tok, _p in analyze_with_positions(text, StandardAnalyzer()):
+        if tok in seen:
+            continue
+        seen.add(tok)
+        try:
+            variants = r.expand_terms(
+                FuzzyQuery(tok, max_edits=1, prefix_length=2, field=field))
+        except ValueError:
+            continue
+        if not variants:
+            continue
+        stats = r.term_stats(sorted((field, v) for v in variants))
+        df = stats.get((field, tok), (0, 0))[0]
+        if df == 0:
+            dfs = [stats.get((field, v), (0, 0))[0] for v in variants]
+            df = sum(dfs) // len(dfs)
+        idf = math.log((n_docs + 1) / (df + 1)) + 1.0
+        for v in variants:
+            boost = (1.0 if v == tok
+                     else 1.0 - 1.0 / min(len(tok), len(v)))
+            scored.append((boost * boost * idf, v))
+    scored.sort(key=lambda sv: (-sv[0], sv[1]))
+    top = scored[:300]
+    # a variant reachable from two source terms keeps its best score
+    best: dict[str, float] = {}
+    for s, v in top:
+        if v not in best:
+            best[v] = s
+    return sorted(best.items())
+
+
+def classify_knn_fuzzy(searcher, doc_ids: list[int], k: int = 10,
+                       class_field: str = "lang") -> pa.Table:
+    """KNearestFuzzyClassifier (``classification/KNearestFuzzyClassifier.
+    java``): NearestFuzzyQuery top-k neighbors scored with ARTIFICIAL
+    df=1 term stats (newTermQuery :160-175 — every variant shares
+    idf(df=1)), per-class boost = Σ score/maxScore, final score =
+    boost/max(k, hits... per :200-215 boost/k with the <k correction =
+    boost/hits); argmax with a lexicographic tie-break (the reference
+    iterates a HashMap — unspecified; ours is pinned). The input doc is
+    excluded from its own neighbors (same deviation as classify_knn —
+    the reference classifies unseen text). → (doc_id, assigned)."""
+    import math
+
+    from .bm25 import BM25Similarity
+    from .scorer import decode_postings
+
+    r = searcher.reader
+    sim = BM25Similarity(dtype=np.float64)
+    n_docs = r.field_doc_count("content")
+    avgdl = r.field_sum_ttf("content") / r.field_doc_count("content")
+    cache = sim.norm_cache(np.float64(avgdl))
+    idf1 = math.log(1 + (n_docs - 1 + 0.5) / (1 + 0.5))
+    seg_base = {s["seg"]: s["doc_base"] for s in r.segments}
+
+    out_doc: list[int] = []
+    out_cls: list[str] = []
+    for did in doc_ids:
+        docs = r.fetch_docs([int(did)], columns=["doc_id", "content"])
+        if not docs.num_rows:
+            continue
+        terms = nearest_fuzzy_terms(searcher, docs["content"][0].as_py() or "")
+        if not terms:
+            continue
+        weights = {t: s * idf1 * (sim.k1 + 1.0) for t, s in terms}
+        rows = r.postings_for_terms([("content", t) for t, _s in terms])
+        scores: dict[int, float] = {}
+        for i in range(rows.num_rows):
+            seg = int(rows["seg"][i].as_py())
+            term = rows["term"][i].as_py()
+            ids, freqs = decode_postings(
+                rows["doc_blob"][i].as_py(), rows["freq_blob"][i].as_py(),
+                int(rows["df"][i].as_py()))
+            norms = r.segment_norms(seg)[ids]
+            f = freqs.astype(np.float64)
+            sc = weights[term] * f / (f + cache[norms])
+            gids = ids + seg_base[seg]
+            for g, s in zip(gids.tolist(), sc.tolist()):
+                scores[g] = scores.get(g, 0.0) + s
+        scores.pop(did, None)
+        if not scores:
+            continue
+        top = sorted(scores.items(), key=lambda gs: (-gs[1], gs[0]))[:k]
+        max_score = top[0][1]
+        ids = [g for g, _s in top]
+        fetched = r.fetch_docs(ids, columns=["doc_id", class_field])
+        cmap = dict(zip(fetched["doc_id"].to_pylist(),
+                        fetched[class_field].to_pylist()))
+        boosts: dict[str, float] = {}
+        for g, s in top:
+            c = cmap[g]
+            boosts[c] = boosts.get(c, 0.0) + s / max_score
+        # (count·(boost/count))/k with the sumdoc<k correction == boost/hits
+        # (hits == k makes the two cases coincide)
+        denom = float(len(top))
+        best = sorted(boosts, key=lambda c: (-round(boosts[c] / denom, 9), c))[0]
+        out_doc.append(did)
+        out_cls.append(best)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "assigned": pa.array(out_cls, pa.string()),
+        }
+    )

@@ -450,3 +450,66 @@ def test_to_child_block_join(bj_built):
     got = dict(zip(par.tolist(), res["score"].to_pylist()))
     for p, sc in got.items():
         assert sc == smap[p]
+
+
+def test_classify_knn_fuzzy(built):
+    """KNearestFuzzy classifier: NearestFuzzyQuery term selection (fuzzy
+    variants boosted 1−ed/minLen, squared, ×idf), artificial-df=1 scoring,
+    vote = per-class Σ score/maxScore (argmax; lexicographic tie)."""
+    import math
+
+    import numpy as np
+
+    from lucene_solr_ray.search.bm25 import BM25Similarity
+    from lucene_solr_ray.search.classify import (
+        classify_knn_fuzzy,
+        nearest_fuzzy_terms,
+    )
+    from lucene_solr_ray.search.scorer import decode_postings
+
+    d, oracle, tbl = built
+    s = Searcher(d)
+    r = s.reader
+    doc_ids = [0, 5, 17]
+    res = classify_knn_fuzzy(s, doc_ids, k=7, class_field="lang")
+    got = dict(zip(res["doc_id"].to_pylist(), res["assigned"].to_pylist()))
+
+    sim = BM25Similarity(dtype=np.float64)
+    n = r.field_doc_count("content")
+    avgdl = r.field_sum_ttf("content") / r.field_doc_count("content")
+    cache = sim.norm_cache(np.float64(avgdl))
+    idf1 = math.log(1 + (n - 1 + 0.5) / 1.5)
+    seg_base = {sg["seg"]: sg["doc_base"] for sg in r.segments}
+
+    for did in doc_ids:
+        text = r.fetch_docs([did], columns=["doc_id", "content"])["content"][0].as_py()
+        terms = nearest_fuzzy_terms(s, text or "")
+        if not terms:
+            assert did not in got
+            continue
+        weights = {t: sc * idf1 * (sim.k1 + 1.0) for t, sc in terms}
+        rows = r.postings_for_terms([("content", t) for t, _sc in terms])
+        scores: dict = {}
+        for i in range(rows.num_rows):
+            seg = int(rows["seg"][i].as_py())
+            term = rows["term"][i].as_py()
+            ids, freqs = decode_postings(
+                rows["doc_blob"][i].as_py(), rows["freq_blob"][i].as_py(),
+                int(rows["df"][i].as_py()))
+            norms = r.segment_norms(seg)[ids]
+            f = freqs.astype(np.float64)
+            sc = weights[term] * f / (f + cache[norms])
+            for g, v in zip((ids + seg_base[seg]).tolist(), sc.tolist()):
+                scores[g] = scores.get(g, 0.0) + v
+        scores.pop(did, None)
+        if not scores:
+            assert did not in got
+            continue
+        top = sorted(scores.items(), key=lambda gs: (-gs[1], gs[0]))[:7]
+        fetched = r.fetch_docs([g for g, _v in top], columns=["doc_id", "lang"])
+        cmap = dict(zip(fetched["doc_id"].to_pylist(), fetched["lang"].to_pylist()))
+        boosts: dict = {}
+        for g, v in top:
+            boosts[cmap[g]] = boosts.get(cmap[g], 0.0) + v / top[0][1]
+        exp = sorted(boosts, key=lambda c: (-round(boosts[c] / len(top), 9), c))[0]
+        assert got[did] == exp
