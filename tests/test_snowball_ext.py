@@ -165,3 +165,45 @@ def test_stop_word_list_sizes():
     assert len(CATALAN_STOP_WORDS) == 218  # source file has one dup
     assert len(IRISH_STOP_WORDS) == 109
     assert len(LITHUANIAN_STOP_WORDS) == 125
+
+
+def test_new_stemmers_never_crash():
+    # deterministic fuzz over adversarial shapes: empty, single chars,
+    # repeated vowels/consonants, mixed scripts, long words, apostrophes
+    import itertools
+
+    from lucene_solr_ray.analysis.hunspell import (
+        HunspellDictionary,
+        HunspellStemmer,
+    )
+    from lucene_solr_ray.analysis.snowball import (
+        arabic_snowball_stem,
+        kraaij_pohlmann_stem,
+        lovins_stem,
+        snowball_porter_stem,
+        turkish_snowball_stem,
+    )
+    from lucene_solr_ray.analysis.stempel import polish_stem
+    from lucene_solr_ray.analysis.tokenizer import _fold_icu
+
+    alphabet = ["", "a", "e", "ı", "İ", "y", "s", "'", "ß", "آ", "ำ",
+                "ij", "ge", "en", "ss", "紫", "𐐖", "x" * 40]
+    words = ["".join(p) for p in itertools.product(alphabet, repeat=3)]
+    words += ["", "a", "aa" * 200, "'" * 5, "e" * 300]
+    aff = "SET UTF-8\nFULLSTRIP\nSFX A Y 1\nSFX A a b a\n"
+    dic = "1\nb/A\n"
+    hst = HunspellStemmer(HunspellDictionary(aff, dic))
+    for w in words:
+        for fn in (snowball_porter_stem, turkish_snowball_stem,
+                   arabic_snowball_stem, lovins_stem,
+                   kraaij_pohlmann_stem, polish_stem, _fold_icu):
+            out = fn(w)
+            assert isinstance(out, str)
+        assert isinstance(hst.stem(w), list)
+
+
+def test_icu_fold_ascii_fixpoints():
+    from lucene_solr_ray.analysis.tokenizer import _fold_icu
+
+    for w in ("hello", "a1b2c3", "snake_case", "x" * 100):
+        assert _fold_icu(w) == w
