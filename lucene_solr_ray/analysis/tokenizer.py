@@ -863,7 +863,7 @@ def _hunspell_cached(aff: str, dic: str, ignore_case: bool):
     """Parse-once-per-process cache for Hunspell token functions (the
     analyzer carries the raw .aff/.dic text; workers build the dictionary
     on first use)."""
-    key = (hash(aff), hash(dic), ignore_case)
+    key = (aff, dic if isinstance(dic, str) else tuple(dic), ignore_case)
     fn = _HUNSPELL_CACHE.get(key)
     if fn is None:
         from .hunspell import hunspell_token_fn
