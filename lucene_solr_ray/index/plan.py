@@ -127,12 +127,18 @@ def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_00
     n_segments = max(1, -(-total // docs_per_segment))
 
     if total <= small_threshold:
+        tbl = None
         if total and corpus_path is not None:
             import pyarrow.dataset as pads
 
             tbl = pads.dataset(corpus_path, format="parquet").to_table(
                 columns=key_cols)
-        else:
+            if len(tbl) != total:
+                # the two discovery paths disagree on the file set (sidecar
+                # files, partial writes) — fall back to the Ray-side read so
+                # boundary cuts stay consistent with `total`
+                tbl = None
+        if tbl is None:
             tbl = (
                 pa.concat_tables(list(keys_ds.iter_batches(batch_format="pyarrow")))
                 if total

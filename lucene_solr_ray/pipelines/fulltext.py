@@ -754,7 +754,7 @@ def ft_join_scored(sf_dir: str) -> pa.Table:
         )
         parts.append(pa.table({
             "query_id": pa.array([sp["qid"]] * res.num_rows, pa.string()),
-            "rank": res["rank"],
+            "rank": res["rank"].cast(pa.int64()),
             "doc_id": res["doc_id"],
         }))
     return pa.concat_tables(parts)
@@ -787,8 +787,10 @@ def ft_classify_nb(sf_dir: str) -> pa.Table:
 def ft_classify_knn_fuzzy(sf_dir: str) -> pa.Table:
     """KNearestFuzzyClassifier: NearestFuzzyQuery (fuzzy-variant,
     artificial-df=1 scoring) top-10 neighbor vote on lang for a fixed doc
-    sample → (doc_id, assigned). Rows-only driver check; term-selection /
-    scoring / vote semantics pinned in tests/test_components.py."""
+    sample → (doc_id, assigned). Exact DuckDB oracle
+    (sql_classify_knn_fuzzy) replays variant selection, the per-term
+    50-variant cap, the global top-300 (source, variant) queue, summed
+    per-variant weights and the boost/hits vote."""
     from ..search.classify import classify_knn_fuzzy
 
     s = get_searcher(sf_dir)
@@ -3351,7 +3353,7 @@ def ft_deep_page(sf_dir: str) -> pa.Table:
             break
         tables.append(pa.table({
             "page": pa.array([page] * res.num_rows, pa.int64()),
-            "rank": res["rank"],
+            "rank": res["rank"].cast(pa.int64()),
             "doc_id": res["doc_id"],
             "score": res["score"].cast(pa.float64()),
         }))
@@ -3377,7 +3379,7 @@ def ft_blended(sf_dir: str) -> pa.Table:
     res = s.search(queries, k=TOPK_K, use_ray=True)
     return pa.table({
         "query_id": res["query_id"],
-        "rank": res["rank"],
+        "rank": res["rank"].cast(pa.int64()),
         "doc_id": res["doc_id"],
         "score": res["score"].cast(pa.float64()),
     })
@@ -4005,7 +4007,7 @@ def ft_synonym_query(sf_dir: str) -> pa.Table:
     res = s.search({"q": SynonymQuery(tuple(SYNONYM_QUERY_TERMS))}, k=TOPK_K,
                    use_ray=True)
     return pa.table({
-        "rank": res["rank"],
+        "rank": res["rank"].cast(pa.int64()),
         "doc_id": res["doc_id"],
         "score": res["score"].cast(pa.float64()),
     })
@@ -4103,7 +4105,7 @@ def ft_search_fl(sf_dir: str) -> pa.Table:
                                        stored["path"].to_pylist(),
                                        stored["lang"].to_pylist())}
     return pa.table({
-        "rank": res["rank"],
+        "rank": res["rank"].cast(pa.int64()),
         "doc_id": res["doc_id"],
         "path": pa.array([by[d][0] for d in ids], pa.string()),
         "lang": pa.array([by[d][1] for d in ids], pa.string()),

@@ -2382,6 +2382,85 @@ SELECT CAST({src} AS BIGINT) AS doc_id,
     return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
 
 
+def sql_classify_knn_fuzzy(srcs: list[int], k: int = 10) -> str:
+    """KNearestFuzzyClassifier oracle (classification/KNearestFuzzyClassifier
+    .java + utils/NearestFuzzyQuery.java): per sample doc, fuzzy variants of
+    its unique tokens (ed ≤ 1, 2-char prefix, |len diff| ≤ 1), per-token
+    top-50 by (boost desc, variant asc), variant score = boost²·idf(df_src
+    or avg variant df), global top-300 (source, variant) pairs, per-variant
+    SUMMED weights × artificial-df=1 idf × (k1+1), BM25 tf-saturation over
+    the quantized norms, top-k neighbor class vote boost/hits."""
+    parts = []
+    for src in srcs:
+        parts.append(prelude() + f""",
+srctoks AS (SELECT DISTINCT tok FROM tf WHERE did = {src}),
+vars AS (
+  SELECT s.tok AS src_tok, i.tok AS v, i.df AS vdf,
+         CASE WHEN i.tok = s.tok THEN CAST(1.0 AS DOUBLE)
+              ELSE 1.0 - 1.0 / CAST(least(length(s.tok), length(i.tok)) AS DOUBLE)
+         END AS boost
+  FROM srctoks s JOIN idf i
+    ON starts_with(i.tok, substr(s.tok, 1, 2))
+   AND abs(length(i.tok) - length(s.tok)) <= 1
+   AND levenshtein(i.tok, s.tok) <= 1
+),
+srcdf AS (
+  SELECT src_tok,
+         coalesce(max(CASE WHEN v = src_tok THEN vdf END), 0) AS df0,
+         sum(vdf) // count(*) AS avgdf
+  FROM vars GROUP BY src_tok
+),
+tidf AS (
+  SELECT src_tok,
+         ln(CAST((SELECT dc FROM stats) + 1 AS DOUBLE)
+            / (CASE WHEN df0 > 0 THEN df0 ELSE avgdf END + 1)) + 1.0 AS tidf
+  FROM srcdf
+),
+capped AS (
+  SELECT src_tok, v, boost FROM (
+    SELECT src_tok, v, boost,
+           row_number() OVER (PARTITION BY src_tok
+                              ORDER BY boost DESC, v ASC) AS rn
+    FROM vars) WHERE rn <= 50
+),
+top300 AS (
+  SELECT v, sc FROM (
+    SELECT c.v, (c.boost * c.boost) * t.tidf AS sc,
+           row_number() OVER (ORDER BY (c.boost * c.boost) * t.tidf DESC,
+                              c.v ASC, c.src_tok ASC) AS rn
+    FROM capped c JOIN tidf t USING (src_tok)) WHERE rn <= 300
+),
+w AS (
+  SELECT v,
+         (sum(sc) * ln(1 + (CAST((SELECT dc FROM stats) AS DOUBLE) - 1 + 0.5)
+                           / (1 + 0.5))) * {K1 + 1.0!r} AS wt
+  FROM top300 GROUP BY v
+),
+sc AS (
+  SELECT k.did,
+         ww.wt * k.tf
+           / (k.tf + {K1!r} * (({1.0 - B!r}) + ({B!r} * q.qlen)
+                               / (SELECT avgdl FROM avg_dl))) AS s
+  FROM tf k JOIN w ww ON k.tok = ww.v JOIN quant q USING (did)
+),
+agg AS (SELECT did, sum(s) AS score FROM sc GROUP BY did),
+nb AS (
+  SELECT did, score FROM agg WHERE did <> {src}
+  ORDER BY round(score, 6) DESC, did ASC LIMIT {k}
+),
+ms AS (SELECT max(score) AS m FROM nb),
+vote AS (
+  SELECT c.lang AS cls, sum(nb.score / (SELECT m FROM ms)) AS boost
+  FROM nb JOIN corpus c ON c.did = nb.did GROUP BY c.lang
+)
+SELECT CAST({src} AS BIGINT) AS doc_id,
+       (SELECT cls FROM vote
+        ORDER BY round(boost / (SELECT count(*) FROM nb), 9) DESC,
+                 cls ASC LIMIT 1) AS assigned
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
 def sql_suggest_prefix(prefixes: list[str], num: int = 5) -> str:
     parts = []
     for pre in prefixes:
@@ -2972,23 +3051,27 @@ SELECT * FROM (
          CAST((SELECT sttf FROM stats) AS BIGINT) AS sum_ttf,
          TRUE AS has_norms
   UNION ALL
-  SELECT 'lang', (SELECT count(*) FROM corpus),
-         (SELECT count(DISTINCT lang) FROM corpus),
-         (SELECT count(*) FROM corpus), (SELECT count(*) FROM corpus), FALSE
+  SELECT 'lang', CAST((SELECT count(*) FROM corpus) AS BIGINT),
+         CAST((SELECT count(DISTINCT lang) FROM corpus) AS BIGINT),
+         CAST((SELECT count(*) FROM corpus) AS BIGINT),
+         CAST((SELECT count(*) FROM corpus) AS BIGINT), FALSE
   UNION ALL
-  SELECT 'path', (SELECT count(*) FROM corpus),
-         (SELECT count(DISTINCT path) FROM corpus),
-         (SELECT count(*) FROM corpus), (SELECT count(*) FROM corpus), FALSE
+  SELECT 'path', CAST((SELECT count(*) FROM corpus) AS BIGINT),
+         CAST((SELECT count(DISTINCT path) FROM corpus) AS BIGINT),
+         CAST((SELECT count(*) FROM corpus) AS BIGINT),
+         CAST((SELECT count(*) FROM corpus) AS BIGINT), FALSE
   UNION ALL
-  SELECT 'repo', (SELECT count(*) FROM corpus),
-         (SELECT count(DISTINCT source) FROM corpus),
-         (SELECT count(*) FROM corpus), (SELECT count(*) FROM corpus), FALSE
+  SELECT 'repo', CAST((SELECT count(*) FROM corpus) AS BIGINT),
+         CAST((SELECT count(DISTINCT source) FROM corpus) AS BIGINT),
+         CAST((SELECT count(*) FROM corpus) AS BIGINT),
+         CAST((SELECT count(*) FROM corpus) AS BIGINT), FALSE
   UNION ALL
-  SELECT 'features', (SELECT count(*) FROM corpus),
-         (SELECT CASE WHEN EXISTS (SELECT 1 FROM quant WHERE flen > 0) THEN 1 ELSE 0 END
+  SELECT 'features', CAST((SELECT count(*) FROM corpus) AS BIGINT),
+         CAST((SELECT CASE WHEN EXISTS (SELECT 1 FROM quant WHERE flen > 0) THEN 1 ELSE 0 END
                + CASE WHEN EXISTS (SELECT 1 FROM quant q JOIN corpus c ON q.did = c.did
-                                   WHERE q.flen > 0 AND c.lang = 'en') THEN 1 ELSE 0 END),
-         (SELECT sdf FROM feat), (SELECT sttf FROM feat), FALSE
+                                   WHERE q.flen > 0 AND c.lang = 'en') THEN 1 ELSE 0 END) AS BIGINT),
+         CAST((SELECT sdf FROM feat) AS BIGINT),
+         CAST((SELECT sttf FROM feat) AS BIGINT), FALSE
 ) ORDER BY field
 """
 

@@ -88,6 +88,12 @@ def solr_json_facets(sf_dir: str) -> pa.Table:
     def partials(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # null lang/source rows are dropped from facet groups (pandas-groupby
+        # semantics), not stringified to a literal 'None' bucket
+        valid = pc.and_kleene(pc.is_valid(batch["lang"]),
+                              pc.is_valid(batch["source"]))
+        if not pc.all(valid).as_py():
+            batch = batch.filter(valid)
         langs_col = batch["lang"].to_numpy(zero_copy_only=False).astype(str)
         src_col = batch["source"].to_numpy(zero_copy_only=False).astype(str)
         n_col = pc.utf8_length(

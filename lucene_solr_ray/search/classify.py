@@ -392,11 +392,16 @@ def classify_bm25nb(searcher, sample_max: int = 100,
 def nearest_fuzzy_terms(searcher, text: str,
                         field: str = "content") -> list[tuple[str, float]]:
     """NearestFuzzyQuery term selection (``classification/utils/
-    NearestFuzzyQuery.java``): per unique analyzed token, fuzzy variants
-    (maxEdits=1, prefixLength=2) boosted 1 − ed/min(len) (exact match =
-    1.0, FuzzyTermsEnum.java:229-236), then score = boost² · idf(df_orig
-    or avg variant df) with idf = ln((N+1)/(df+1)) + 1; global top
-    MAX_NUM_TERMS=300 → [(variant_term, score)]."""
+    NearestFuzzyQuery.java:141-273``): per unique analyzed token, fuzzy
+    variants (maxEdits=1, prefixLength=2) boosted 1 − ed/min(len) (exact
+    match = 1.0, FuzzyTermsEnum.java:229-236), capped at
+    MAX_VARIANTS_PER_TERM=50 per source token by (boost desc, term asc)
+    (:157,175-180); each kept variant rescored boost² · idf(df_source or
+    avg variant df) with idf = ln((N+1)/(df+1)) + 1 (:197,208-210); global
+    top MAX_NUM_TERMS=300 over (source, variant) PAIRS (:231). The rewrite
+    keeps one SHOULD clause per surviving (source, variant) pair (:252-268),
+    so a variant reachable from two source tokens contributes the SUM of
+    both scores → [(variant_term, summed_score)]."""
     import math
 
     from ..analysis.tokenizer import StandardAnalyzer, analyze_with_positions
@@ -405,7 +410,7 @@ def nearest_fuzzy_terms(searcher, text: str,
     r = searcher.reader
     n_docs = r.field_doc_count(field)
     seen: set[str] = set()
-    scored: list[tuple[float, str]] = []
+    scored: list[tuple[float, str, str]] = []  # (score, variant, source)
     for tok, _p in analyze_with_positions(text, StandardAnalyzer()):
         if tok in seen:
             continue
@@ -423,18 +428,18 @@ def nearest_fuzzy_terms(searcher, text: str,
             dfs = [stats.get((field, v), (0, 0))[0] for v in variants]
             df = sum(dfs) // len(dfs)
         idf = math.log((n_docs + 1) / (df + 1)) + 1.0
-        for v in variants:
-            boost = (1.0 if v == tok
-                     else 1.0 - 1.0 / min(len(tok), len(v)))
-            scored.append((boost * boost * idf, v))
-    scored.sort(key=lambda sv: (-sv[0], sv[1]))
-    top = scored[:300]
-    # a variant reachable from two source terms keeps its best score
-    best: dict[str, float] = {}
-    for s, v in top:
-        if v not in best:
-            best[v] = s
-    return sorted(best.items())
+        per_term = sorted(
+            ((1.0 if v == tok else 1.0 - 1.0 / min(len(tok), len(v)), v)
+             for v in variants),
+            key=lambda bv: (-bv[0], bv[1]))[:50]
+        scored.extend((b * b * idf, v, tok) for b, v in per_term)
+    # global queue over (source, variant) pairs; reference tie-break is by
+    # variant term only — source added as a deterministic third key
+    scored.sort(key=lambda svt: (-svt[0], svt[1], svt[2]))
+    summed: dict[str, float] = {}
+    for s, v, _src in scored[:300]:
+        summed[v] = summed.get(v, 0.0) + s
+    return sorted(summed.items())
 
 
 def classify_knn_fuzzy(searcher, doc_ids: list[int], k: int = 10,

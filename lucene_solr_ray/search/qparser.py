@@ -243,8 +243,16 @@ def parse_solr_q(
                              default_type=local.get("defType", "lucene"))
         return BoostedQuery(inner, local["b"])
     if qtype in ("dismax", "edismax"):
-        # (Extended)DismaxQParser: qf/mm/pf/tie/ps/bf/bq/boost local params
+        # (Extended)DismaxQParser: qf/mm/pf/tie/ps/bf/bq/boost options.
+        # Solr wraps local params over request params
+        # (SolrParams.wrapDefaults in QParser.getParam), so e.g.
+        # q={!dismax} with qf supplied as a request param still applies.
         from .edismax import edismax_query
+
+        req = params or {}
+
+        def opt(k, default=None):
+            return local.get(k, req.get(k, default))
 
         def fmap(spec):
             out = {}
@@ -255,26 +263,30 @@ def parse_solr_q(
 
         # DisMaxQParser.parseMinShouldMatch: mm defaults off q.op —
         # AND → "100%", OR (the default) → "0%"
-        qop = local.get("q.op", "OR").upper()
-        mm = local.get("mm", "100%" if qop == "AND" else "0%")
-        bq = (parse_solr_q(local["bq"], params, analyzer)
-              if "bq" in local else None)
+        qop = str(opt("q.op", "OR")).upper()
+        mm = opt("mm", "100%" if qop == "AND" else "0%")
+        bq_spec = opt("bq")
+        bq = (parse_solr_q(bq_spec, params, analyzer)
+              if bq_spec is not None else None)
+        pf_spec = opt("pf")
         return edismax_query(
             body,
-            qf=fmap(local.get("qf", CONTENT_FIELD)),
+            qf=fmap(opt("qf", CONTENT_FIELD)),
             mm=mm,
-            pf=fmap(local["pf"]) if "pf" in local else None,
-            tie=float(local.get("tie", 0.0)),
-            ps=int(local.get("ps", 0)),
+            pf=fmap(pf_spec) if pf_spec is not None else None,
+            tie=float(opt("tie", 0.0)),
+            ps=int(opt("ps", 0)),
             analyzer=analyzer,
-            bf=local.get("bf"),
-            boost=local.get("boost"),
+            bf=opt("bf"),
+            boost=opt("boost"),
             bq=bq,
         )
     if qtype == "simple":
         from .simpleparser import parse_simple
 
-        op = "MUST" if local.get("q.op", "OR").upper() == "AND" else "SHOULD"
+        # q.op falls back to request params (SolrParams.wrapDefaults)
+        qop = str(local.get("q.op", (params or {}).get("q.op", "OR"))).upper()
+        op = "MUST" if qop == "AND" else "SHOULD"
         return parse_simple(body, analyzer, default_operator=op)
     if qtype == "surround":
         from .surround import parse_surround

@@ -43,7 +43,9 @@ for name, fn in Q.items():
     g = got[cols].sort_values(cols).reset_index(drop=True)
     e = exp[cols].sort_values(cols).reset_index(drop=True)
     try:
-        pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+        # dtype-strict: the driver's value hash is type-sensitive (int64 vs
+        # float64 hash differently), so the local gate must be too.
+        pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
         print(f"{name}: MATCH ({len(g)} rows) [{time.time()-t0:.1f}s]")
     except AssertionError as ex:
         fails += 1

@@ -106,6 +106,28 @@ def test_dismax_dispatch_matches_direct_call():
         edismax_query("merge table", qf={"content": 1.0}, mm="100%")
 
 
+def test_dismax_request_param_fallback():
+    # SolrParams.wrapDefaults: local params shadow request params, but an
+    # option absent locally falls back to the request params
+    from lucene_solr_ray.search.edismax import edismax_query
+
+    got = parse_solr_q("{!dismax}merge table",
+                       {"qf": "content^2 path", "mm": "2", "tie": "0.1"})
+    want = edismax_query("merge table", qf={"content": 2.0, "path": 1.0},
+                         mm="2", tie=0.1)
+    assert got == want
+    # local wins over request
+    got = parse_solr_q("{!dismax qf=content}merge table",
+                       {"qf": "path^3", "q.op": "AND"})
+    want = edismax_query("merge table", qf={"content": 1.0}, mm="100%")
+    assert got == want
+    # simple parser q.op fallback
+    from lucene_solr_ray.search.simpleparser import parse_simple
+
+    assert parse_solr_q("{!simple}merge table", {"q.op": "AND"}) == \
+        parse_simple("merge table", None, default_operator="MUST")
+
+
 def test_simple_surround_xml_dispatch():
     from lucene_solr_ray.search.simpleparser import parse_simple
     from lucene_solr_ray.search.surround import parse_surround
