@@ -226,37 +226,95 @@ def _shingle_u8(t: str) -> np.ndarray:
 _BAND_COLS = [f"h{j}" for j in range(BAND_R)]
 
 
-def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
+#: cap on DISTINCT-text members of one LSH bucket entering the self-join —
+#: a safety valve against adversarial near-identical (but not identical)
+#: boilerplate; over-cap buckets are dropped WITH A LOGGED COUNT (no silent
+#: caps). Exact duplicates never hit this: they collapse to one
+#: representative before banding.
+MAX_BUCKET_REPS = 2048
+
+#: stats of the most recent minhash_lsh_pairs run (for tests / observability)
+LAST_RUN_STATS: dict = {}
+
+
+def minhash_lsh_pairs(sf_dir: str,
+                      max_bucket_reps: int = MAX_BUCKET_REPS) -> pa.Table:
     """(doc_a, doc_b): LSH candidates (equal band signature) verified at exact
     Jaccard ≥ 0.5 via the integer test 2*inter ≥ union.
 
     Scale shape — every stage distributed, NOTHING corpus-sized touches the
-    driver, and no per-singleton-bucket Python (round-2 review: the
-    per-block partial-count/verify funnels were driver OOMs at 10⁹ docs; a
-    naive ``map_groups`` over every bucket pays one Python call per mostly-
-    singleton group — 61 s at sf0.1 vs 3 s for this shape):
+    driver, and the quadratic bucket blow-ups are bounded (round-3 review:
+    a mega-bucket of B near-identical docs emits B·(B−1)/2 join rows —
+    fatal when 10⁶ exact-dup boilerplate docs land in one bucket):
+    0. EXACT-DUP PRE-COLLAPSE: key = md5(normalized text); one
+       representative (min doc_id) per key enters LSH. Identical texts have
+       identical signatures, so every within-group / cross-member pair is
+       recovered EXACTLY by the expansion in step 7 — no verification
+       needed (Jaccard 1 within, rep-equivalent across). Signature
+       computation stays on the unshuffled full corpus (embarrassingly
+       parallel; cheaper than shuffling corpus text through a semi-join)
+       but every SHUFFLED stage sees representative rows only.
     1. signatures: vectorized ``map_batches`` → (doc_id, band, h0..h{r-1})
-       rows — n_docs × n_bands tiny integer rows.
-    2. hot buckets: ``groupby(band, h0..h3).count`` (vectorized hash
-       aggregate — the all-to-all shuffle of tiny signature rows) →
-       ``filter count ≥ 2``; the hot set is bounded by the dup volume.
-    3. hot rows: distributed LEFT SEMI ``Dataset.join`` of the signatures
-       against the hot bucket keys — only near-dup candidates survive.
-    4. bucket pair-gen: ``groupby(...).map_groups`` over the HOT subset
-       only (Python per group is fine — #hot buckets ≪ corpus).
-    5. cross-band dedup: ``groupby(doc_a, doc_b).count`` — candidate-pair
-       rows only.
-    6. verify: ``map_batches``; each batch does ONE predicate-pushdown read
+       rows — n_docs × n_bands tiny integer rows; semi-joined down to reps.
+    2. bucket census: ``groupby(band, h0..h3).count`` → keep buckets with
+       2..MAX_BUCKET_REPS reps; over-cap buckets are dropped with a logged
+       drop count (LAST_RUN_STATS / logger.warning — no silent caps).
+    3. pair-gen: one vectorized SELF-JOIN of the surviving rows on the
+       bucket key (Arrow hash join; per-bucket ``map_groups`` costs ~10 ms
+       of Python per group).
+    4. cross-band dedup: ``groupby(doc_a, doc_b).count``.
+    5. verify: ``map_batches``; each batch does ONE predicate-pushdown read
        of exactly its candidate docs' texts and the vectorized fixed-width
        Jaccard test — never a driver-side dict of the corpus.
+    6. within-group expansion: multi-member exact-dup groups (non-empty
+       shingles) emit their pairs via ``map_groups`` (dup-volume-sized).
+    7. cross-group expansion: verified rep pairs × member lists via two
+       distributed joins, min/max re-orient.
     Only the final VERIFIED pairs (dup-volume-sized) are gathered.
     """
-    import pandas as pd
+    import logging
+
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
+    from ray.data.aggregate import Count, Min
+
+    from .io import safe_join
 
     n_bands = N_PERM // BAND_R
 
+    # --- 0. exact-dup pre-collapse --------------------------------------
+    def keyed(batch: pa.Table) -> pa.Table:
+        norms = [normalize(t or "") for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "key": pa.array(
+                [hashlib.md5(n.encode("utf-8")).hexdigest() for n in norms],
+                pa.string()),
+            "nonempty": pa.array([len(n) > 0 for n in norms], pa.bool_()),
+        })
+
+    keyed_ds = _docs(sf_dir).map_batches(
+        keyed, batch_format="pyarrow").materialize()
+    reps = keyed_ds.groupby("key").aggregate(
+        Min("doc_id", alias_name="rep"), Count(alias_name="gsize"))
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+
+    member = safe_join(keyed_ds, reps, "inner", num_partitions=8, on=("key",))
+    if member is None:  # empty corpus
+        _PAIRS_CACHE.clear()
+        _PAIRS_CACHE[_pairs_cache_key(sf_dir)] = empty
+        return empty
+    member = member.materialize()
+
+    def rep_only(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch["doc_id"], batch["rep"]),
+                    batch["nonempty"])
+        return batch.filter(m).select(["doc_id"])
+
+    rep_ids = member.map_batches(rep_only, batch_format="pyarrow")
+
+    # --- 1. signatures (full corpus, no shuffle) → rep rows only --------
     def sigs(batch: pa.Table) -> pa.Table:
         ids, hs = [], []
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
@@ -275,23 +333,58 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
             cols[f"h{j}"] = pa.array(sig[:, j::BAND_R].reshape(-1), pa.int64())
         return pa.table(cols)
 
-    sig_ds = _docs(sf_dir).map_batches(sigs, batch_format="pyarrow")
-
     key_cols = ["band", *_BAND_COLS]
-    empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
 
-    sig_ds = sig_ds.materialize()  # consumed twice (both join sides)
-    # pair generation = ONE vectorized SELF-JOIN on the bucket key:
-    # singleton buckets contribute only their self-pair (dropped by the
-    # doc_a < doc_b filter), bucket of size B contributes its B·(B−1)/2
-    # candidate pairs. Pure Arrow hash join — a per-bucket ``map_groups``
-    # costs ~10 ms of Python PER GROUP in Ray Data (23 s at a few thousand
-    # buckets), and a separate hot-bucket count + semi-join pass adds two
-    # more shuffle stages for no asymptotic win.
-    paired = sig_ds.join(
-        sig_ds, "inner", num_partitions=8, on=tuple(key_cols),
-        left_suffix="", right_suffix="_r",
-    )
+    LAST_RUN_STATS.clear()
+    LAST_RUN_STATS.update(dropped_buckets=0, dropped_rows=0)
+
+    sig_join = safe_join(
+        _docs(sf_dir).map_batches(sigs, batch_format="pyarrow"),
+        rep_ids, "inner", num_partitions=8, on=("doc_id",))
+
+    semi = None
+    if sig_join is not None:
+        sig_ds = sig_join.materialize()  # consumed twice (census + semi-join)
+
+        # --- 2. bucket census + cap -------------------------------------
+        counts = sig_ds.groupby(key_cols).count().materialize()
+
+        def hot_ok(batch: pa.Table) -> pa.Table:
+            c = batch["count()"]
+            m = pc.and_(pc.greater_equal(c, 2),
+                        pc.less_equal(c, max_bucket_reps))
+            return batch.filter(m).select(key_cols)
+
+        def over_cap(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.greater(batch["count()"], max_bucket_reps))
+
+        over_batches = [
+            b for b in counts.map_batches(over_cap, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow") if b.num_rows
+        ]
+        over_tbl = pa.concat_tables(over_batches) if over_batches else None
+        dropped_buckets = over_tbl.num_rows if over_tbl is not None else 0
+        dropped_rows = (int(pc.sum(over_tbl["count()"]).as_py() or 0)
+                        if dropped_buckets else 0)
+        LAST_RUN_STATS.update(dropped_buckets=dropped_buckets,
+                              dropped_rows=dropped_rows)
+        if dropped_buckets:
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: dropped %d over-cap LSH buckets "
+                "(%d rep rows > max_bucket_reps=%d) — candidate recall is "
+                "reduced for those buckets",
+                dropped_buckets, dropped_rows, max_bucket_reps)
+
+        hot = counts.map_batches(hot_ok, batch_format="pyarrow")
+        semi = safe_join(sig_ds, hot, "inner", num_partitions=8,
+                         on=tuple(key_cols))
+
+    # --- 3. pair generation: one vectorized self-join on the bucket key --
+    if semi is not None:
+        semi = semi.materialize()
+        paired = safe_join(semi, semi, "inner", num_partitions=8,
+                           on=tuple(key_cols),
+                           left_suffix="", right_suffix="_r")
 
     def ordered(batch: pa.Table) -> pa.Table:
         m = pa.compute.less(batch["doc_id"], batch["doc_id_r"])
@@ -300,11 +393,6 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
             "doc_a": t["doc_id"].cast(pa.int64()),
             "doc_b": t["doc_id_r"].cast(pa.int64()),
         })
-
-    uniq_pairs = (
-        paired.map_batches(ordered, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"]).count()
-    )
 
     doc_path = f"{sf_dir}/documents.parquet"
 
@@ -336,12 +424,68 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
             }
         )
 
-    verified = uniq_pairs.select_columns(["doc_a", "doc_b"]).map_batches(
-        verify, batch_format="pyarrow"
-    )
-    tbl = pa.concat_tables(
-        [empty, *verified.iter_batches(batch_format="pyarrow")]
-    )
+    if semi is not None and paired is not None:
+        uniq_pairs = (
+            paired.map_batches(ordered, batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b"]).count()
+        )
+        rep_pairs = uniq_pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+            verify, batch_format="pyarrow"
+        ).materialize()
+    else:
+        import ray.data
+        rep_pairs = ray.data.from_arrow(empty).materialize()
+
+    # --- 6. within-group expansion (exact dups: Jaccard 1 by identity) ---
+    def multi_members(batch: pa.Table) -> pa.Table:
+        m = pc.and_(batch["nonempty"], pc.greater_equal(batch["gsize"], 2))
+        return batch.filter(m).select(["doc_id", "key"])
+
+    multi = member.map_batches(multi_members, batch_format="pyarrow")
+
+    def within_pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[iu], pa.int64()),
+                         "doc_b": pa.array(ids[ju], pa.int64())})
+
+    multi = multi.materialize()
+
+    # --- 7. cross-group expansion: rep pairs × member lists --------------
+    def memb_as(rep_col: str, doc_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({rep_col: batch["rep"].cast(pa.int64()),
+                             doc_col: batch["doc_id"].cast(pa.int64())})
+        return f
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch["a_doc"].to_numpy().astype(np.int64)
+        b = batch["b_doc"].to_numpy().astype(np.int64)
+        return pa.table({"doc_a": pa.array(np.minimum(a, b), pa.int64()),
+                         "doc_b": pa.array(np.maximum(a, b), pa.int64())})
+
+    parts = [empty]
+    if multi.count():  # dup-volume-sized; empty joins lose their schema
+        within = multi.groupby("key").map_groups(
+            within_pairs, batch_format="pyarrow")
+        parts.extend(b.select(["doc_a", "doc_b"])
+                     for b in within.iter_batches(batch_format="pyarrow")
+                     if b.num_rows)
+    if rep_pairs.count():
+        memb_a = member.map_batches(memb_as("doc_a", "a_doc"),
+                                    batch_format="pyarrow")
+        memb_b = member.map_batches(memb_as("doc_b", "b_doc"),
+                                    batch_format="pyarrow")
+        x1 = safe_join(rep_pairs, memb_a, "inner", num_partitions=8,
+                       on=("doc_a",))
+        x2 = (safe_join(x1, memb_b, "inner", num_partitions=8, on=("doc_b",))
+              if x1 is not None else None)
+        if x2 is not None:
+            cross = x2.map_batches(orient, batch_format="pyarrow")
+            parts.extend(b.select(["doc_a", "doc_b"])
+                         for b in cross.iter_batches(batch_format="pyarrow")
+                         if b.num_rows)
+    tbl = pa.concat_tables(parts)
     order = np.lexsort((tbl["doc_b"].to_numpy(), tbl["doc_a"].to_numpy()))
     out = tbl.take(order)
     _PAIRS_CACHE.clear()

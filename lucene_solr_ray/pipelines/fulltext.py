@@ -3595,10 +3595,9 @@ def ft_cluster_results(sf_dir: str) -> pa.Table:
     no external lib): cluster the top CLUSTER_TOPN hits of FACET_TERM by
     their embedding vectors (vec_id ≡ doc_id on the synthetic tables) →
     (doc_id, cluster, cluster_size). Deterministic: evenly-spaced init,
-    fixed Lloyd steps, no RNG — identical at any parallelism.
-
-    rows-only driver check (iterative clustering isn't SQL-expressible);
-    invariants pinned in pytest."""
+    fixed Lloyd steps, no RNG — identical at any parallelism. Exact DuckDB
+    oracle (sql_cluster_results) unrolls the fixed iterations into chained
+    MATERIALIZED CTEs; geometry invariants additionally pinned in pytest."""
     import pyarrow.parquet as pq_mod
 
     from ..util.vectors import vec_matrix

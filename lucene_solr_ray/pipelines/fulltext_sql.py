@@ -550,6 +550,85 @@ def _term_score_cte(name: str, term: str, boost: float = 1.0) -> str:
 )"""
 
 
+def sql_cluster_results(term: str, topn: int, k: int, iters: int,
+                        dim: int = 64) -> str:
+    """Search-result-clustering oracle: replays the engine's deterministic
+    spherical k-means EXACTLY by unrolling the fixed Lloyd iterations into
+    chained CTEs — BM25 top-N hits joined to embeddings, L2-normalized,
+    evenly-spaced init (np.linspace index semantics incl. the exact
+    endpoint), per-iteration argmax-dot assignment with first-max (lowest
+    cluster) tie-break, mean→renormalize centroid update that keeps the
+    previous centroid for empty/zero-norm clusters. Output = the LAST
+    iteration's assignment (the engine updates centroids once more after
+    it, unused)."""
+    cte = prelude() + "," + _term_score_cte("s1", term) + f""",
+hits AS (SELECT did FROM s1 ORDER BY score DESC, did ASC LIMIT {topn}),
+emb0 AS (
+  SELECT e.vec_id AS did, e.embedding AS v
+  FROM embeddings e JOIN hits h ON e.vec_id = h.did
+),
+pts AS (
+  SELECT did, i AS d, CAST(v[i] AS DOUBLE) AS val
+  FROM emb0, generate_series(1, {dim}) AS g(i)
+),
+nrm AS (SELECT did, greatest(sqrt(sum(val * val)), 1e-12) AS n
+        FROM pts GROUP BY did),
+npts AS MATERIALIZED (SELECT p.did, p.d, p.val / q.n AS val
+         FROM pts p JOIN nrm q USING (did)),
+ranked AS (SELECT did, row_number() OVER (ORDER BY did ASC) - 1 AS idx
+           FROM emb0),
+nn AS (SELECT count(*) AS n, least({k}, count(*)) AS kk FROM emb0),
+init_idx AS (
+  SELECT j AS c,
+         CASE WHEN (SELECT kk FROM nn) = 1 THEN 0
+              WHEN j = (SELECT kk FROM nn) - 1 THEN (SELECT n FROM nn) - 1
+              ELSE CAST(floor(j * (((SELECT n FROM nn) - 1.0)
+                                   / ((SELECT kk FROM nn) - 1))) AS BIGINT)
+         END AS idx
+  FROM generate_series(0, {k - 1}) AS s(j)
+  WHERE j < (SELECT kk FROM nn)
+),
+cent0 AS MATERIALIZED (
+  SELECT ii.c, p.d, p.val
+  FROM init_idx ii JOIN ranked r ON r.idx = ii.idx
+  JOIN npts p ON p.did = r.did
+)"""
+    for t in range(iters):
+        cte += f""",
+asg{t} AS MATERIALIZED (
+  SELECT did, c FROM (
+    SELECT s.did, s.c,
+           row_number() OVER (PARTITION BY s.did
+                              ORDER BY s.dp DESC, s.c ASC) AS rn
+    FROM (SELECT p.did, ct.c, sum(p.val * ct.val) AS dp
+          FROM npts p JOIN cent{t} ct USING (d)
+          GROUP BY p.did, ct.c) s) WHERE rn = 1
+)"""
+        if t < iters - 1:
+            cte += f""",
+mstats{t} AS (
+  SELECT a.c, p.d, avg(p.val) AS mv
+  FROM asg{t} a JOIN npts p USING (did) GROUP BY a.c, p.d
+),
+mnorm{t} AS (SELECT c, sqrt(sum(mv * mv)) AS nn FROM mstats{t} GROUP BY c),
+cent{t + 1} AS MATERIALIZED (
+  SELECT ct.c, ct.d,
+         CASE WHEN ms.mv IS NOT NULL AND mn.nn > 1e-12
+              THEN ms.mv / mn.nn ELSE ct.val END AS val
+  FROM cent{t} ct
+  LEFT JOIN mstats{t} ms ON ms.c = ct.c AND ms.d = ct.d
+  LEFT JOIN mnorm{t} mn ON mn.c = ct.c
+)"""
+    last = iters - 1
+    return cte + f""",
+sizes AS (SELECT c, count(*) AS sz FROM asg{last} GROUP BY c)
+SELECT CAST(a.did AS BIGINT) AS doc_id, CAST(a.c AS BIGINT) AS cluster,
+       CAST(s.sz AS BIGINT) AS cluster_size
+FROM asg{last} a JOIN sizes s USING (c)
+ORDER BY doc_id
+"""
+
+
 def sql_terms_enum(prefixes: list[str]) -> str:
     """TermsComponent oracle: per prefix, matching kept-token dictionary
     entries with global df, term-ordered."""
