@@ -19,6 +19,29 @@ Nothing here calls ``ray.init``; callers own the Ray session.
 
 __version__ = "0.1.0"
 
+
+def _silence_schema_hash_warning() -> None:
+    """Drop Ray Data's per-read ``Failed to hash the schemas (for
+    deduplication): unhashable type: 'dict'`` warning
+    (``ray/data/_internal/arrow_ops/transform_pyarrow.py:181``): it fires on
+    every read of a parquet file whose field metadata holds a dict (the
+    ``events.props`` extension metadata), is harmless (Ray just skips a
+    dedup fast path and unifies the schemas), and floods bench/driver logs
+    enough to mask real warnings. Targeted filter — everything else from
+    that logger still passes."""
+    import logging
+
+    class _DropSchemaHashWarning(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_DropSchemaHashWarning())
+
+
+_silence_schema_hash_warning()
+
 from .util.mem import tune_malloc as _tune_malloc  # noqa: E402
 
 _tune_malloc()  # once per process; see util/mem.py for why
