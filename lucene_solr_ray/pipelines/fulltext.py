@@ -4797,6 +4797,72 @@ def ft_strdist(sf_dir: str) -> pa.Table:
     })
 
 
+# AnalyzingSuggester (suggest/analyzing/AnalyzingSuggester.java) — keys on
+# ANALYZED forms with PRESERVE_SEP + EXACT_FIRST over part names weighted
+# by max retail price
+ANALYZING_SUGG_QUERIES = ["small", "red b", "blue bolt", "old", "hot g"]
+ANALYZING_SUGG_K = 5
+_ANALYZING_SUGG_CACHE: dict = {}
+
+
+def _analyzing_suggester(sf_dir: str):
+    if sf_dir in _ANALYZING_SUGG_CACHE:
+        return _ANALYZING_SUGG_CACHE[sf_dir]
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    from ..search.suggest_analyzing import AnalyzingSuggester
+    from .io import sized_read
+
+    def w(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "surface": batch["p_name"].cast(pa.string()),
+            "w": pc.round(pc.multiply(
+                batch["p_retailprice"].cast(pa.float64()), 100.0)
+            ).cast(pa.int64()),
+        })
+
+    # the InputIterator contract: a distributed (surface, max weight)
+    # aggregate feeds the in-process build (Lookup.build is single-process
+    # in the reference too; the dictionary is vocabulary-sized)
+    agg = (sized_read(f"{sf_dir}/part.parquet",
+                      columns=["p_name", "p_retailprice"])
+           .map_batches(w, batch_format="pyarrow")
+           .groupby("surface").aggregate(Max("w", alias_name="w")))
+    items = [
+        (s, ww)
+        for b in agg.iter_batches(batch_format="pyarrow")
+        for s, ww in zip(b["surface"].to_pylist(), b["w"].to_pylist())
+    ]
+    sugg = AnalyzingSuggester(items, exact_first=True, preserve_sep=True)
+    _ANALYZING_SUGG_CACHE.clear()
+    _ANALYZING_SUGG_CACHE[sf_dir] = sugg
+    return sugg
+
+
+def ft_suggest_analyzing(sf_dir: str) -> pa.Table:
+    """AnalyzingSuggester analog: suggestions keyed on the ANALYZED form
+    (tokens joined by SEP_LABEL, preserveSep) with EXACT_FIRST — the typed
+    surface, when present, is returned first regardless of weight
+    (AnalyzingSuggester.java:120-200,700-760). Surfaces are part names;
+    weight = max(round(p_retailprice·100)) per name → (query_id, rank,
+    suggestion, weight)."""
+    sugg = _analyzing_suggester(sf_dir)
+    qs, rs, ss, ws = [], [], [], []
+    for q in ANALYZING_SUGG_QUERIES:
+        for rank, (s_, w_) in enumerate(sugg.lookup(q, ANALYZING_SUGG_K)):
+            qs.append(q)
+            rs.append(rank)
+            ss.append(s_)
+            ws.append(w_)
+    return pa.table({
+        "query_id": pa.array(qs, pa.string()),
+        "rank": pa.array(rs, pa.int64()),
+        "suggestion": pa.array(ss, pa.string()),
+        "weight": pa.array(ws, pa.int64()),
+    })
+
+
 # FuzzySuggester (suggest/analyzing/FuzzySuggester.java)
 FUZZY_SUGGEST_QS = ["mergr", "windw", "spurk", "cust"]
 

@@ -2551,6 +2551,32 @@ ORDER BY df DESC, tok ASC LIMIT {num}
     return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
 
 
+def sql_suggest_analyzing(queries: list[str], num: int = 5) -> str:
+    """AnalyzingSuggester oracle: part names are lowercase single-spaced
+    token sequences, so the analyzed key (tokens joined by SEP_LABEL) maps
+    1:1 onto the surface with ' ' as separator — the analyzed-prefix match
+    is a plain LIKE prefix. EXACT_FIRST: a suggestion equal to the typed
+    key sorts first regardless of weight; then weight desc, surface asc
+    (the engine's deterministic tie-break)."""
+    parts = []
+    for q in queries:
+        parts.append(f"""
+WITH items AS (
+  SELECT p_name AS suggestion,
+         MAX(CAST(round(p_retailprice * 100) AS BIGINT)) AS weight
+  FROM part GROUP BY p_name
+)
+SELECT '{q}' AS query_id,
+       CAST(row_number() OVER (
+          ORDER BY (suggestion = '{q}') DESC, weight DESC, suggestion ASC
+       ) - 1 AS BIGINT) AS rank,
+       suggestion, weight
+FROM items WHERE suggestion LIKE '{q}%'
+ORDER BY rank LIMIT {num}
+""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p_})" for p_ in parts)
+
+
 def sql_spellcheck(inputs: list[str], max_edits: int = 2, num: int = 5) -> str:
     parts = []
     for w in inputs:
