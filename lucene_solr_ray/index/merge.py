@@ -441,6 +441,21 @@ def _commit_merged_segment(index_dir: str, members: list[dict], dirs: list[str],
             pa.table({"local_id": pa.array(np.unique(np.concatenate(del_parts)), pa.int64())}),
             os.path.join(tmp, "deletes.parquet"),
         )
+    # carry doc-value update sidecars forward (updateNumericDocValue /
+    # updateBinaryDocValue stacked files survive merges in the reference —
+    # ReadersAndUpdates materializes them; we rebase local ids like deletes)
+    for sidecar in ("dv_updates.parquet", "dv_updates_bin.parquet"):
+        upd_parts = []
+        for mi, d in enumerate(dirs):
+            up = os.path.join(d, sidecar)
+            if os.path.exists(up):
+                ut = pq.read_table(up)
+                lid = pa.array(ut["local_id"].to_numpy().astype(np.int64) + bases[mi], pa.int64())
+                upd_parts.append(ut.set_column(ut.schema.get_field_index("local_id"), "local_id", lid))
+        if upd_parts:
+            pq.write_table(
+                pa.concat_tables(upd_parts), os.path.join(tmp, sidecar)
+            )
     # per-field stats from the merged rows (top-level stats = content field)
     from .segment import CONTENT_FIELD
 

@@ -331,6 +331,35 @@ class IndexReader:
 
     def fetch_docs(self, doc_ids: list[int], columns: list[str] | None = None) -> pa.Table:
         """Stored-fields lookup by global doc id (two-phase fetch analog,
-        solr QueryComponent.java:996-998)."""
+        solr QueryComponent.java:996-998). Binary doc-value overrides
+        (``dv_updates_bin.parquet`` stacked sidecars — updateBinaryDocValue)
+        are applied to string columns of the fetched rows; the result set is
+        k docs, so the patch pass is driver-tiny."""
         dset = pads.dataset(self.docs_files())
-        return dset.to_table(columns=columns, filter=pc.field("doc_id").isin(doc_ids))
+        tbl = dset.to_table(columns=columns, filter=pc.field("doc_id").isin(doc_ids))
+        if tbl.num_rows == 0:
+            return tbl
+        overrides: dict[tuple[int, str], bytes] = {}
+        for ent in self.segments:
+            p = os.path.join(self.seg_dir(ent["seg"]), "dv_updates_bin.parquet")
+            if not os.path.exists(p):
+                continue
+            u = pq.read_table(p)
+            for lid, f, v in zip(u["local_id"].to_pylist(), u["field"].to_pylist(),
+                                 u["value"].to_pylist()):
+                overrides[(ent["doc_base"] + lid, f)] = v
+        if not overrides:
+            return tbl
+        gids = tbl["doc_id"].to_pylist()
+        cols = {}
+        for name in tbl.column_names:
+            field = tbl[name]
+            if pa.types.is_string(field.type) and any((g, name) in overrides for g in gids):
+                vals = [
+                    overrides[(g, name)].decode("utf-8") if (g, name) in overrides else v
+                    for g, v in zip(gids, field.to_pylist())
+                ]
+                cols[name] = pa.array(vals, pa.string())
+            else:
+                cols[name] = field
+        return pa.table(cols)

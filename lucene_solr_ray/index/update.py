@@ -530,6 +530,77 @@ def update_numeric_doc_values(index_dir: str,
     return n
 
 
+def update_binary_doc_values(index_dir: str,
+                             updates: list[tuple[int, str, bytes | str]]) -> int:
+    """``IndexWriter.updateBinaryDocValue(Term, field, BytesRef)`` analog
+    (``lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:1680-1740``):
+    in-place binary/string doc-value overrides WITHOUT reindexing. Sidecar
+    ``dv_updates_bin.parquet`` (local_id, field, value binary) per segment —
+    the binary twin of the numeric stacked files; last write wins. Postings
+    and norms are untouched (the override is visible to the facet /
+    sort-by-field / stored-fields read paths, not to term matching — exactly
+    the reference split between doc values and the inverted index).
+
+    ``updates``: (global_doc_id, field, value) triples; str values are
+    stored utf-8. → #rows written."""
+    from .reader import IndexReader
+
+    reader = IndexReader(index_dir)
+    per_seg: dict[int, list[tuple[int, str, bytes]]] = {}
+    for gid, field, value in updates:
+        ent = next((s for s in reader.segments
+                    if s["doc_base"] <= gid < s["doc_base"] + s["doc_count"]), None)
+        if ent is None:
+            raise KeyError(f"doc id {gid} out of range")
+        b = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+        per_seg.setdefault(ent["seg"], []).append((gid - ent["doc_base"], field, b))
+    n = 0
+    for seg, rows in per_seg.items():
+        path = os.path.join(reader.seg_dir(seg), "dv_updates_bin.parquet")
+        existing: list[tuple[int, str, bytes]] = []
+        if os.path.exists(path):
+            t = pq.read_table(path)
+            existing = list(zip(t["local_id"].to_pylist(), t["field"].to_pylist(),
+                                t["value"].to_pylist()))
+        superseded = {(lid, f) for lid, f, _ in rows}
+        merged = [r for r in existing if (r[0], r[1]) not in superseded] + rows
+        tbl = pa.table({
+            "local_id": pa.array([r[0] for r in merged], pa.int64()),
+            "field": pa.array([r[1] for r in merged], pa.string()),
+            "value": pa.array([r[2] for r in merged], pa.binary()),
+        })
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        n += len(rows)
+    return n
+
+
+def update_doc_values(index_dir: str, term: str, *,
+                      numeric: dict[str, int] | None = None,
+                      binary: dict[str, bytes | str] | None = None) -> int:
+    """``IndexWriter.updateDocValues(Term, Field...)`` analog: apply a mixed
+    batch of numeric + binary doc-value updates to EVERY live document
+    matching ``term`` (Term addressing, like the reference — the term is
+    analyzed content vocabulary). One match pass resolves the doc set; the
+    updates then ride the two stacked-sidecar writers. → #docs updated."""
+    from ..search.query import TermQuery
+    from ..search.searcher import Searcher
+
+    s = Searcher(index_dir)
+    gids = s.match_ids(TermQuery(term))
+    gid_list = sorted(int(g) for g in gids)
+    if not gid_list:
+        return 0
+    if numeric:
+        update_numeric_doc_values(
+            index_dir, [(g, f, v) for g in gid_list for f, v in numeric.items()])
+    if binary:
+        update_binary_doc_values(
+            index_dir, [(g, f, v) for g in gid_list for f, v in binary.items()])
+    return len(gid_list)
+
+
 def reindex(src_dir: str, dest_dir: str, *, analyzer=None,
             docs_per_segment: int = 2_000, **build_kw) -> dict:
     """Rebuild an index from its OWN stored fields with a (possibly

@@ -540,9 +540,7 @@ class MatchFieldGroup:
                 dtype=bool, count=len(gids),
             )
             ids = ids[keep]
-        col = pq.read_table(os.path.join(seg_d, "docs.parquet"), columns=[self.field])[
-            self.field
-        ].to_numpy(zero_copy_only=False)
+        col = _load_field_column(seg_d, self.field)
         vals = col[ids]
         if self.mode in ("facet", "facet_sample"):
             u, c = np.unique(vals, return_counts=True)
@@ -585,6 +583,37 @@ def _dv_fields_for(seg_d: str, queries) -> list[str]:
     return sorted(
         f for f in all_f if f in nonrange or not points_available(seg_d, f)
     )
+
+
+def _load_field_column(seg_d: str, field: str) -> np.ndarray:
+    """One segment column for the facet / sort-by-field paths (pruned
+    Parquet read), with binary doc-value overrides applied last-write-wins.
+
+    ``dv_updates_bin.parquet`` is the BINARY twin of the numeric stacked
+    files (``IndexWriter.updateBinaryDocValue`` —
+    ``lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:1680-1740``,
+    applied through ``index/ReadersAndUpdates.java``): values are utf-8
+    bytes; string columns see them decoded. The sidecar is tiny (only
+    updated docs), so the override pass is one small read per segment."""
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(os.path.join(seg_d, "docs.parquet"), columns=[field])[
+        field
+    ].to_numpy(zero_copy_only=False)
+    upd_path = os.path.join(seg_d, "dv_updates_bin.parquet")
+    if os.path.exists(upd_path) and col.dtype == object:
+        u = pq.read_table(upd_path)
+        lids = u["local_id"].to_numpy()
+        flds = u["field"].to_pylist()
+        vals = u["value"].to_pylist()
+        hit = [i for i, f in enumerate(flds) if f == field]
+        if hit:
+            col = col.copy()
+            is_str = len(col) > 0 and not isinstance(col[0], (bytes, bytearray))
+            for i in hit:
+                v = vals[i]
+                col[int(lids[i])] = v.decode("utf-8") if is_str and isinstance(v, bytes) else v
+    return col
 
 
 def _load_doc_values(seg_d: str, fields: list[str]) -> dict[str, np.ndarray]:
@@ -989,9 +1018,7 @@ class Searcher:
             for seg, base, ids in self._matches_per_segment(query):
                 if len(ids) == 0:
                     continue
-                col = pq_mod.read_table(
-                    os.path.join(self.reader.seg_dir(seg), "docs.parquet"), columns=[field]
-                )[field].to_numpy(zero_copy_only=False)
+                col = _load_field_column(self.reader.seg_dir(seg), field)
                 vals = col[ids]
                 order = np.argsort(vals, kind="stable")
                 if descending:
@@ -1035,9 +1062,7 @@ class Searcher:
             for seg, _base, ids in self._matches_per_segment(query):
                 if len(ids) == 0:
                     continue
-                col = pq_mod.read_table(
-                    os.path.join(self.reader.seg_dir(seg), "docs.parquet"), columns=[field]
-                )[field].to_numpy(zero_copy_only=False)
+                col = _load_field_column(self.reader.seg_dir(seg), field)
                 vals, cnts = np.unique(col[ids], return_counts=True)
                 for v, c in zip(vals.tolist(), cnts.tolist()):
                     counts[v] += c

@@ -340,3 +340,96 @@ def test_reindex_with_new_analyzer(ray_session, tmp_path):
     build_index(ray.data.from_arrow(tbl), bare, docs_per_segment=50)
     with pytest.raises(ValueError, match="store_content"):
         reindex(bare, str(tmp_path / "nope"))
+
+
+def test_binary_doc_values_update(ray_session, tmp_path):
+    """updateBinaryDocValue analog: facet / sort-by-field / stored-fields
+    reads see the override; postings and scores untouched; last write wins;
+    the sidecar survives a merge (rebased like liveDocs)."""
+    import tempfile
+
+    from lucene_solr_ray.corpus import write_corpus
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.index.merge import merge_index
+    from lucene_solr_ray.index.update import update_binary_doc_values, update_doc_values
+    from lucene_solr_ray.search import Searcher
+    from lucene_solr_ray.search.query import MatchAllQuery, TermQuery
+
+    cdir = tempfile.mkdtemp()
+    write_corpus(cdir, 150)
+    idir = tempfile.mkdtemp()
+    build_index(cdir, idir, docs_per_segment=50)
+
+    s = Searcher(idir)
+    base_facets = s.facet_counts(MatchAllQuery(), field="lang", use_ray=False).to_pydict()
+    base_score = s.search({"q": TermQuery("license")}, k=3, use_ray=False)
+
+    n = update_binary_doc_values(idir, [(7, "lang", "zz_upd"), (90, "lang", b"zz_upd")])
+    assert n == 2
+
+    # facet path sees the override (2 docs moved into zz_upd)
+    f = Searcher(idir).facet_counts(MatchAllQuery(), field="lang", use_ray=False).to_pydict()
+    got = dict(zip(f["value"], f["count"]))
+    assert got.get("zz_upd") == 2
+    assert sum(got.values()) == sum(base_facets["count"])
+
+    # stored-fields fetch sees it; untouched docs unchanged
+    t = Searcher(idir).reader.fetch_docs([7, 8, 90], columns=["doc_id", "lang"])
+    by_id = dict(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()))
+    assert by_id[7] == "zz_upd" and by_id[90] == "zz_upd" and by_id[8] != "zz_upd"
+
+    # sort-by-field: overridden values sort under the new key (descending →
+    # zz_upd beats every organic lang value)
+    top = Searcher(idir).search_by_field(MatchAllQuery(), k=2, field="lang",
+                                         descending=True, use_ray=False)
+    assert sorted(top["doc_id"].to_pylist()) == [7, 90]
+
+    # postings/scoring untouched
+    assert Searcher(idir).search({"q": TermQuery("license")}, k=3, use_ray=False).equals(base_score)
+
+    # last write wins
+    update_binary_doc_values(idir, [(7, "lang", "aa_upd")])
+    t = Searcher(idir).reader.fetch_docs([7], columns=["doc_id", "lang"])
+    assert t["lang"][0].as_py() == "aa_upd"
+
+    # merge carries the sidecar forward (values visible after force-merge)
+    merge_index(idir, segs_per_tier=1, use_ray=False)
+    t = Searcher(idir).reader.fetch_docs([7, 90], columns=["doc_id", "lang"])
+    by_id = dict(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()))
+    assert by_id[7] == "aa_upd" and by_id[90] == "zz_upd"
+
+
+def test_update_doc_values_term_addressed(ray_session):
+    """IndexWriter.updateDocValues(Term, Field...): every live doc matching
+    the term gets the mixed numeric+binary batch in one call."""
+    import tempfile
+
+    from lucene_solr_ray.corpus import write_corpus
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.index.update import update_doc_values
+    from lucene_solr_ray.search import Searcher
+    from lucene_solr_ray.search.query import NumericRangeQuery, TermQuery
+
+    cdir = tempfile.mkdtemp()
+    write_corpus(cdir, 120)
+    idir = tempfile.mkdtemp()
+    build_index(cdir, idir, docs_per_segment=60)
+
+    s = Searcher(idir)
+    matches = sorted(int(g) for g in s.match_ids(TermQuery("license")))
+    assert matches
+
+    n = update_doc_values(idir, "license",
+                          numeric={"field_len": 777_000},
+                          binary={"lang": "bulk_upd"})
+    assert n == len(matches)
+
+    s2 = Searcher(idir)
+    hits = s2.search({"q": NumericRangeQuery("field_len", lower=700_000)},
+                     k=len(matches) + 5, use_ray=False)
+    assert sorted(hits["doc_id"].to_pylist()) == matches
+    t = s2.reader.fetch_docs(matches, columns=["doc_id", "lang"])
+    assert set(t["lang"].to_pylist()) == {"bulk_upd"}
+
+    # no matches → no-op
+    assert update_doc_values(idir, "qqqnosuchterm", numeric={"field_len": 1}) == 0
