@@ -441,10 +441,14 @@ def _commit_merged_segment(index_dir: str, members: list[dict], dirs: list[str],
             pa.table({"local_id": pa.array(np.unique(np.concatenate(del_parts)), pa.int64())}),
             os.path.join(tmp, "deletes.parquet"),
         )
-    # carry doc-value update sidecars forward (updateNumericDocValue /
-    # updateBinaryDocValue stacked files survive merges in the reference —
-    # ReadersAndUpdates materializes them; we rebase local ids like deletes)
-    for sidecar in ("dv_updates.parquet", "dv_updates_bin.parquet"):
+    # carry doc-value update sidecars + soft deletes forward
+    # (updateNumericDocValue / updateBinaryDocValue stacked files and the
+    # soft-deletes doc values survive merges in the reference —
+    # ReadersAndUpdates materializes them; we rebase local ids like deletes.
+    # Retention policy already ran in merge_index: whatever is still in
+    # soft_deletes.parquet here is the retained set)
+    for sidecar in ("dv_updates.parquet", "dv_updates_bin.parquet",
+                    "soft_deletes.parquet"):
         upd_parts = []
         for mi, d in enumerate(dirs):
             up = os.path.join(d, sidecar)
@@ -496,9 +500,46 @@ def _commit_merged_segment(index_dir: str, members: list[dict], dirs: list[str],
     return meta
 
 
+def _apply_soft_retention(index_dir: str, reader: IndexReader,
+                          groups: list[list[dict]], retention_query) -> None:
+    """SoftDeletesRetentionMergePolicy analog (``lucene/core/src/java/org/
+    apache/lucene/index/SoftDeletesRetentionMergePolicy.java:60-120``,
+    ``wrapLiveDocs``): before the merge commits, soft-deleted docs in the
+    merged members that do NOT match the retention query are RECLAIMED
+    (converted to hard tombstones — unrecoverable, the merge's reclamation);
+    matching docs stay soft and ride the sidecar carry (recoverable).
+    ``retention_query=None`` reclaims everything (plain soft-deletes merge)."""
+    from .update import (SOFT_DELETES_FILE, _segment_deletes,
+                         _write_segment_deletes)
+
+    member_segs = {m["seg"] for g in groups for m in g}
+    retained: dict[int, np.ndarray] = {}
+    if retention_query is not None:
+        from ..search.searcher import Searcher
+
+        searcher = Searcher(index_dir)
+        # retention must see soft-deleted docs (they're exactly the ones at
+        # stake) — match with only hard tombstones masked
+        for seg, _base, ids in searcher._matches_per_segment(
+                retention_query, include_soft_deleted=True):
+            if seg in member_segs:
+                retained[seg] = ids.astype(np.int64)
+    for seg in member_segs:
+        sd = reader.seg_dir(seg)
+        soft = _segment_deletes(sd, SOFT_DELETES_FILE)
+        if len(soft) == 0:
+            continue
+        keep = np.intersect1d(soft, retained.get(seg, np.empty(0, np.int64)))
+        reclaim = np.setdiff1d(soft, keep)
+        if len(reclaim):
+            _write_segment_deletes(sd, np.union1d(_segment_deletes(sd), reclaim))
+            _write_segment_deletes(sd, keep, SOFT_DELETES_FILE)
+
+
 def merge_index(index_dir: str, *, segs_per_tier: int = SEGS_PER_TIER,
                 max_docs_per_segment: int | None = None, use_ray: bool = True,
-                policy: str = "runs") -> dict:
+                policy: str = "runs", soft_retention_query=None,
+                apply_soft_retention: bool = False) -> dict:
     """Run one round of merging; commits a new manifest generation and
     deletes obsolete segment dirs. Returns {merges, segments_before/after}.
 
@@ -506,7 +547,13 @@ def merge_index(index_dir: str, *, segs_per_tier: int = SEGS_PER_TIER,
     toward ~1/segs_per_tier of the segment count (the force-merge shape).
     ``policy="tiered"``: TieredMergePolicy.findMerges scoring — merges only
     while the segment count exceeds the tier budget, picking the
-    lowest-skew adjacent windows (the steady-state NRT shape)."""
+    lowest-skew adjacent windows (the steady-state NRT shape).
+
+    ``apply_soft_retention=True`` runs the SoftDeletesRetentionMergePolicy
+    step over the merged members: soft-deleted docs matching
+    ``soft_retention_query`` stay soft (recoverable after the merge); the
+    rest become hard tombstones. Default off — soft deletes then survive
+    merges untouched (the no-merge-policy reader-wrap-only configuration)."""
     reader = IndexReader(index_dir)
     if policy == "tiered":
         groups = plan_merges_tiered(reader.segments, segs_per_tier,
@@ -516,6 +563,8 @@ def merge_index(index_dir: str, *, segs_per_tier: int = SEGS_PER_TIER,
     if not groups:
         return {"merges": 0, "segments_before": len(reader.segments),
                 "segments_after": len(reader.segments)}
+    if apply_soft_retention:
+        _apply_soft_retention(index_dir, reader, groups, soft_retention_query)
     generation = _next_generation(index_dir)
 
     group_dirs = [[reader.seg_dir(m["seg"]) for m in g] for g in groups]

@@ -311,17 +311,26 @@ class IndexReader:
         parts = [read_postings_rows(f, pairs, columns) for f in self.postings_files()]
         return pa.concat_tables(parts, promote_options="default")
 
-    def live_mask(self, seg: int) -> np.ndarray | None:
+    def live_mask(self, seg: int, include_soft_deleted: bool = False) -> np.ndarray | None:
         """Boolean live-docs mask for the segment (liveDocs bitset analog),
-        or None when nothing is deleted."""
-        p = os.path.join(self.seg_dir(seg), "deletes.parquet")
-        if not os.path.exists(p):
-            return None
-        deleted = pq.read_table(p)["local_id"].to_numpy().astype(np.int64)
-        if len(deleted) == 0:
-            return None
-        mask = np.ones(self.seg_doc_count(seg), dtype=bool)
-        mask[deleted] = False
+        or None when nothing is deleted. Soft-deleted docs
+        (``soft_deletes.parquet`` — the soft-deletes-field doc values of
+        ``SoftDeletesDirectoryReaderWrapper``) are masked too unless
+        ``include_soft_deleted`` (the unwrapped-reader view used for
+        recovery/retention inspection)."""
+        files = ["deletes.parquet"] if include_soft_deleted else [
+            "deletes.parquet", "soft_deletes.parquet"]
+        mask = None
+        for f in files:
+            p = os.path.join(self.seg_dir(seg), f)
+            if not os.path.exists(p):
+                continue
+            deleted = pq.read_table(p)["local_id"].to_numpy().astype(np.int64)
+            if len(deleted) == 0:
+                continue
+            if mask is None:
+                mask = np.ones(self.seg_doc_count(seg), dtype=bool)
+            mask[deleted] = False
         return mask
 
     def segment_norms(self, seg: int) -> np.ndarray:

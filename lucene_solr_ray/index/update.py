@@ -334,26 +334,27 @@ def _commit_manifest(index_dir: str, reader: IndexReader, segments: list[dict],
 # ---------------------------------------------------------------------------
 
 DELETES_FILE = "deletes.parquet"
+SOFT_DELETES_FILE = "soft_deletes.parquet"
 
 
-def _segment_deletes(seg_dir: str) -> np.ndarray:
-    p = os.path.join(seg_dir, DELETES_FILE)
+def _segment_deletes(seg_dir: str, file: str = DELETES_FILE) -> np.ndarray:
+    p = os.path.join(seg_dir, file)
     if not os.path.exists(p):
         return np.empty(0, dtype=np.int64)
     return pq.read_table(p)["local_id"].to_numpy().astype(np.int64)
 
 
-def _write_segment_deletes(seg_dir: str, local_ids: np.ndarray) -> None:
-    tmp = os.path.join(seg_dir, f".{DELETES_FILE}.tmp")
+def _write_segment_deletes(seg_dir: str, local_ids: np.ndarray,
+                           file: str = DELETES_FILE) -> None:
+    tmp = os.path.join(seg_dir, f".{file}.tmp")
     pq.write_table(
         pa.table({"local_id": pa.array(np.unique(local_ids), pa.int64())}), tmp
     )
-    os.replace(tmp, os.path.join(seg_dir, DELETES_FILE))
+    os.replace(tmp, os.path.join(seg_dir, file))
 
 
-def delete_by_keys(index_dir: str, keys: list[tuple[str, str, str]]) -> int:
-    """Tombstone every doc whose (repo, path, commit) is in ``keys``.
-    Returns the number of newly deleted docs."""
+def _delete_by_keys_impl(index_dir: str, keys: list[tuple[str, str, str]],
+                         file: str) -> int:
     reader = IndexReader(index_dir)
     # vectorized membership: joined key column vs the key set (Arrow is_in),
     # no per-row Python tuples
@@ -376,15 +377,65 @@ def delete_by_keys(index_dir: str, keys: list[tuple[str, str, str]]) -> int:
         )
         if mask.any():
             hit = np.flatnonzero(mask).astype(np.int64)
-            existing = _segment_deletes(sd)
+            existing = _segment_deletes(sd, file)
             merged = np.union1d(existing, hit)
             n_new += len(merged) - len(existing)
-            _write_segment_deletes(sd, merged)
+            _write_segment_deletes(sd, merged, file)
     _commit_manifest(index_dir, reader, reader.manifest["segments"])
     return n_new
 
 
-def delete_by_query(index_dir: str, query, use_ray: bool = True) -> int:
+def delete_by_keys(index_dir: str, keys: list[tuple[str, str, str]]) -> int:
+    """Tombstone every doc whose (repo, path, commit) is in ``keys``.
+    Returns the number of newly deleted docs."""
+    return _delete_by_keys_impl(index_dir, keys, DELETES_FILE)
+
+
+def soft_delete_by_keys(index_dir: str, keys: list[tuple[str, str, str]]) -> int:
+    """Soft-delete by unique key (``IndexWriterConfig.setSoftDeletesField`` +
+    soft-delete doc-value writes — ``lucene/core/src/java/org/apache/lucene/
+    index/SoftDeletesRetentionMergePolicy.java:1-60``): the docs disappear
+    from every search/facet/sort path exactly like tombstones, but live in a
+    SEPARATE sidecar (``soft_deletes.parquet``) so they stay recoverable
+    (``un_soft_delete_by_keys``) until a merge reclaims them — and a merge
+    retains them when a retention query says so (``merge_index(...,
+    soft_retention_query=...)``)."""
+    return _delete_by_keys_impl(index_dir, keys, SOFT_DELETES_FILE)
+
+
+def un_soft_delete_by_keys(index_dir: str, keys: list[tuple[str, str, str]]) -> int:
+    """Recover soft-deleted docs by unique key (the reverse doc-value write;
+    impossible for hard tombstones). → #docs recovered."""
+    reader = IndexReader(index_dir)
+    sep = "\x00"
+    key_list = [sep.join(k) for k in keys]
+    n = 0
+    for s in reader.segments:
+        sd = reader.seg_dir(s["seg"])
+        existing = _segment_deletes(sd, SOFT_DELETES_FILE)
+        if len(existing) == 0:
+            continue
+        docs = pq.read_table(
+            os.path.join(sd, "docs.parquet"), columns=["repo", "path", "commit"]
+        )
+        joined = pc.binary_join_element_wise(
+            docs["repo"].cast(pa.string()), docs["path"].cast(pa.string()),
+            docs["commit"].cast(pa.string()), sep,
+        )
+        mask = pc.is_in(joined, value_set=pa.array(key_list, pa.string())).to_numpy(
+            zero_copy_only=False
+        )
+        hit = np.flatnonzero(mask).astype(np.int64)
+        kept = np.setdiff1d(existing, hit)
+        if len(kept) != len(existing):
+            n += len(existing) - len(kept)
+            _write_segment_deletes(sd, kept, SOFT_DELETES_FILE)
+    _commit_manifest(index_dir, reader, reader.manifest["segments"])
+    return n
+
+
+def delete_by_query(index_dir: str, query, use_ray: bool = True,
+                    file: str = DELETES_FILE) -> int:
     """Tombstone every doc matching ``query`` (deleteDocuments(Query)).
 
     Matching is scattered over segments (MatchFieldGroup 'ids' mode); the
@@ -411,12 +462,20 @@ def delete_by_query(index_dir: str, query, use_ray: bool = True) -> int:
     for seg, parts in per_seg.items():
         ids = np.concatenate(parts)
         sd = reader.seg_dir(seg)
-        existing = _segment_deletes(sd)
+        existing = _segment_deletes(sd, file)
         merged = np.union1d(existing, ids.astype(np.int64))
         n_new += len(merged) - len(existing)
-        _write_segment_deletes(sd, merged)
+        _write_segment_deletes(sd, merged, file)
     _commit_manifest(index_dir, reader, reader.manifest["segments"])
     return n_new
+
+
+def soft_delete_by_query(index_dir: str, query, use_ray: bool = True) -> int:
+    """Soft-delete every doc matching ``query`` — the query twin of
+    :func:`soft_delete_by_keys` (same scatter as delete_by_query; the ids
+    land in the soft sidecar instead of tombstones)."""
+    return delete_by_query(index_dir, query, use_ray=use_ray,
+                           file=SOFT_DELETES_FILE)
 
 
 def update_documents(index_dir: str, corpus, **add_kwargs) -> dict:

@@ -100,13 +100,7 @@ class ScoreSegmentGroup:
         norms = segment_norms_cached(seg_d)
         doc_values = _load_doc_values(
             seg_d, _dv_fields_for(seg_d, self.queries.values()))
-        live = None
-        del_path = os.path.join(seg_d, "deletes.parquet")
-        if os.path.exists(del_path):
-            deleted = pq.read_table(del_path)["local_id"].to_numpy()
-            if len(deleted):
-                live = np.ones(len(norms), dtype=bool)
-                live[deleted] = False
+        live = _load_live(seg_d, len(norms))
         lazy = build_lazy(group)
         base = self.doc_bases[seg]
 
@@ -322,12 +316,9 @@ class MatchFieldGroup:
             lazy=lazy, doc_values=doc_values, seg_dir=seg_d,
         )
         ids, scores = scorer.score_query(self.query)
-        del_path = os.path.join(seg_d, "deletes.parquet")
-        if os.path.exists(del_path) and len(ids):
-            deleted = pq.read_table(del_path)["local_id"].to_numpy()
-            if len(deleted):
-                live = np.ones(len(norms), dtype=bool)
-                live[deleted] = False
+        if len(ids):
+            live = _load_live(seg_d, len(norms))
+            if live is not None:
                 keep_live = live[ids]
                 ids = ids[keep_live]
                 scores = scores[keep_live]
@@ -583,6 +574,26 @@ def _dv_fields_for(seg_d: str, queries) -> list[str]:
     return sorted(
         f for f in all_f if f in nonrange or not points_available(seg_d, f)
     )
+
+
+def _load_live(seg_d: str, n: int) -> np.ndarray | None:
+    """liveDocs for one segment inside a worker task: hard tombstones
+    (``deletes.parquet``) ∧ soft deletes (``soft_deletes.parquet`` — the
+    SoftDeletesDirectoryReaderWrapper view, which every search/facet/sort
+    path uses). None when everything is live."""
+    import pyarrow.parquet as pq
+
+    live = None
+    for f in ("deletes.parquet", "soft_deletes.parquet"):
+        p = os.path.join(seg_d, f)
+        if not os.path.exists(p):
+            continue
+        deleted = pq.read_table(p)["local_id"].to_numpy()
+        if len(deleted):
+            if live is None:
+                live = np.ones(n, dtype=bool)
+            live[deleted] = False
+    return live
 
 
 def _load_field_column(seg_d: str, field: str) -> np.ndarray:
@@ -930,10 +941,11 @@ class Searcher:
         ]
         return ray.data.from_arrow_refs(refs)
 
-    def _matches_per_segment(self, query: Query):
+    def _matches_per_segment(self, query: Query, include_soft_deleted: bool = False):
         """→ iterator of (seg, doc_base, local match ids) — the LOCAL
         fallback for the field-sort / facet / delete paths (used for no-term
-        and MatchAll queries, and when use_ray=False)."""
+        and MatchAll queries, and when use_ray=False).
+        ``include_soft_deleted``: unwrapped-reader view (retention policy)."""
         query = rewrite(query, self.reader)
         pairs = sorted(query_terms(query))
         weights = self._weights(set(pairs))
@@ -957,7 +969,7 @@ class Searcher:
                 lazy=lazy, doc_values=doc_values, seg_dir=seg_d,
             )
             ids, _ = scorer.score_query(query)
-            live = self.reader.live_mask(seg)
+            live = self.reader.live_mask(seg, include_soft_deleted=include_soft_deleted)
             if live is not None and len(ids):
                 ids = ids[live[ids]]
             yield seg, s["doc_base"], ids

@@ -433,3 +433,92 @@ def test_update_doc_values_term_addressed(ray_session):
 
     # no matches → no-op
     assert update_doc_values(idir, "qqqnosuchterm", numeric={"field_len": 1}) == 0
+
+
+def test_soft_deletes_and_retention(ray_session):
+    """Soft deletes hide docs from every search path like tombstones, stay
+    recoverable (un_soft_delete) until a merge reclaims them, and the
+    SoftDeletesRetentionMergePolicy analog keeps retention-query matches
+    soft across the merge while hard-reclaiming the rest."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.corpus import write_corpus
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.index.merge import merge_index
+    from lucene_solr_ray.index.update import (
+        soft_delete_by_keys,
+        soft_delete_by_query,
+        un_soft_delete_by_keys,
+    )
+    from lucene_solr_ray.search import Searcher
+    from lucene_solr_ray.search.query import MatchAllQuery, TermQuery
+
+    cdir = tempfile.mkdtemp()
+    write_corpus(cdir, 160)
+    idir = tempfile.mkdtemp()
+    build_index(cdir, idir, docs_per_segment=40)
+
+    s = Searcher(idir)
+    base = s.search({"q": TermQuery("license")}, k=200, use_ray=False)
+    victims = base["doc_id"].to_pylist()[:4]
+    keys = [tuple(r) for r in s.reader.fetch_docs(
+        victims, columns=["repo", "path", "commit"]).to_pandas().itertuples(index=False)]
+
+    n = soft_delete_by_keys(idir, keys)
+    assert n == 4
+    # hidden from scoring, facets, and the ids path — both ray and local
+    for use_ray in (False, True):
+        got = Searcher(idir).search({"q": TermQuery("license")}, k=200, use_ray=use_ray)
+        assert not set(victims) & set(got["doc_id"].to_pylist())
+    # but the unwrapped reader view still sees them
+    r = Searcher(idir).reader
+    seen_soft = sum(
+        int((~m).sum()) for m in
+        (r.live_mask(e["seg"]) for e in r.segments) if m is not None)
+    seen_hard = sum(
+        int((~m).sum()) for m in
+        (r.live_mask(e["seg"], include_soft_deleted=True) for e in r.segments)
+        if m is not None)
+    assert seen_soft == 4 and seen_hard == 0
+
+    # recoverable: un-soft-delete two of them
+    back = un_soft_delete_by_keys(idir, keys[:2])
+    assert back == 2
+    got = Searcher(idir).search({"q": TermQuery("license")}, k=200, use_ray=False)
+    assert set(victims[:2]) <= set(got["doc_id"].to_pylist())
+    assert not set(victims[2:]) & set(got["doc_id"].to_pylist())
+
+    # query twin
+    n2 = soft_delete_by_query(idir, TermQuery("copyright"), use_ray=False)
+    assert n2 > 0
+
+    # retention merge: keep soft-deleted docs matching 'license'; docs only
+    # matching 'copyright' (and not license) get hard-reclaimed
+    lic_ids = set(victims[2:])
+    merge_index(idir, segs_per_tier=1, use_ray=False,
+                apply_soft_retention=True, soft_retention_query=TermQuery("license"))
+    r2 = Searcher(idir).reader
+    import os
+    soft_left = 0
+    for e in r2.segments:
+        p = os.path.join(r2.seg_dir(e["seg"]), "soft_deletes.parquet")
+        if os.path.exists(p):
+            soft_left += pq.read_table(p).num_rows
+    # every surviving soft delete matches the retention query; the two
+    # license victims are still recoverable
+    assert soft_left >= 2
+    # victims[:2] may have been re-soft-deleted by the copyright query
+    # (license docs usually contain both terms) and retained by the license
+    # retention — recover all four; at least the two license victims remain
+    rec = un_soft_delete_by_keys(idir, keys)
+    assert rec >= 2
+    got = Searcher(idir).search({"q": TermQuery("license")}, k=200, use_ray=False)
+    assert set(victims) <= set(got["doc_id"].to_pylist())
+    # reclaimed (copyright-only) docs are now hard tombstones: un-soft-delete
+    # can't resurrect them and they stay invisible
+    cop = Searcher(idir).search({"q": TermQuery("copyright")}, k=500, use_ray=False)
+    cop_ids = set(cop["doc_id"].to_pylist())
+    lic_now = set(got["doc_id"].to_pylist())
+    assert cop_ids <= lic_now  # only retention-protected docs still visible
