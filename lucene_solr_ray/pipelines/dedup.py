@@ -240,40 +240,48 @@ LAST_RUN_STATS: dict = {}
 def minhash_lsh_pairs(sf_dir: str,
                       max_bucket_reps: int = MAX_BUCKET_REPS) -> pa.Table:
     """(doc_a, doc_b): LSH candidates (equal band signature) verified at exact
-    Jaccard ≥ 0.5 via the integer test 2*inter ≥ union.
+    Jaccard >= 0.5 via the integer test 2*inter >= union.
 
-    Scale shape — every stage distributed, NOTHING corpus-sized touches the
-    driver, and the quadratic bucket blow-ups are bounded (round-3 review:
-    a mega-bucket of B near-identical docs emits B·(B−1)/2 join rows —
-    fatal when 10⁶ exact-dup boilerplate docs land in one bucket):
-    0. EXACT-DUP PRE-COLLAPSE: key = md5(normalized text); one
-       representative (min doc_id) per key enters LSH. Identical texts have
-       identical signatures, so every within-group / cross-member pair is
-       recovered EXACTLY by the expansion in step 7 — no verification
-       needed (Jaccard 1 within, rep-equivalent across). Signature
-       computation stays on the unshuffled full corpus (embarrassingly
-       parallel; cheaper than shuffling corpus text through a semi-join)
-       but every SHUFFLED stage sees representative rows only.
-    1. signatures: vectorized ``map_batches`` → (doc_id, band, h0..h{r-1})
-       rows — n_docs × n_bands tiny integer rows; semi-joined down to reps.
-    2. bucket census: ``groupby(band, h0..h3).count`` → keep buckets with
-       2..MAX_BUCKET_REPS reps; over-cap buckets are dropped with a logged
-       drop count (LAST_RUN_STATS / logger.warning — no silent caps).
-    3. pair-gen: one vectorized SELF-JOIN of the surviving rows on the
-       bucket key (Arrow hash join; per-bucket ``map_groups`` costs ~10 ms
-       of Python per group).
-    4. cross-band dedup: ``groupby(doc_a, doc_b).count``.
-    5. verify: ``map_batches``; each batch does ONE predicate-pushdown read
+    Scale shape — every corpus-sized stage distributed, quadratic bucket
+    blow-ups bounded (round-3 review: a mega-bucket of B near-identical docs
+    emits B*(B-1)/2 join rows — fatal when 10^6 boilerplate docs share a
+    bucket), and the stage count kept minimal (each Ray all-to-all costs
+    ~1.5 s of fixed overhead at bench scale — the first cut of the cap spent
+    3x wall-time on extra joins/shuffles):
+
+    1. ONE corpus pass -> (doc_id, band, h0..h{r-1}) int rows, with the
+       exact-dup key (md5 of normalized text) riding ONLY on each doc's
+       band-0 row (one key per doc, not per band row).
+    2. exact-dup pre-collapse: ``groupby(key)`` over the band-0 rows finds
+       duplicate-text groups; only MULTI-member groups matter and their
+       member lists are DUP-VOLUME-sized — strictly smaller than this
+       function's own gathered output (every member appears in an output
+       pair), so gathering them to the driver / broadcasting the non-rep id
+       set via ``ray.put`` introduces no new bound (same class as
+       dedup_clusters' union-find; documented). Non-representative dup
+       members are dropped from the signature rows by a broadcast-filter
+       ``map_batches`` — NO corpus-sized join.
+    3. bucket census over the rep-only rows: ``groupby(band, h0..h3)``;
+       only OVER-CAP bucket keys (normally zero, adversarially a handful)
+       are gathered, logged (no silent caps) and filtered out per batch.
+    4. pair-gen: one vectorized SELF-JOIN on the bucket key (Arrow hash
+       join; a per-bucket ``map_groups`` costs ~10 ms of Python per group —
+       23 s at a few thousand buckets; singleton buckets survive the join
+       harmlessly, their lone self-pair dropped by doc_a < doc_b).
+    5. cross-band dedup: BLOCK-LOCAL (np.unique per batch); global dedup
+       happens on the gathered verified pairs — verification is idempotent,
+       so the pair-dedup all-to-all of the first cut is unnecessary (the
+       same trick ngram_jaccard_pairs documents).
+    6. verify: ``map_batches``; each batch does ONE predicate-pushdown read
        of exactly its candidate docs' texts and the vectorized fixed-width
        Jaccard test — never a driver-side dict of the corpus.
-    6. within-group expansion: multi-member exact-dup groups (non-empty
-       shingles) emit their pairs via ``map_groups`` (dup-volume-sized).
-    7. cross-group expansion: verified rep pairs × member lists via two
-       distributed joins, min/max re-orient.
-    Only the final VERIFIED pairs (dup-volume-sized) are gathered.
+    7. exact-dup expansion on the gathered (dup-volume-sized) results:
+       within-group all-pairs + verified-rep-pair x member-list cartesian —
+       output-sized work, done in numpy on the driver.
     """
     import logging
 
+    import ray
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
     from ray.data.aggregate import Count, Min
@@ -281,118 +289,151 @@ def minhash_lsh_pairs(sf_dir: str,
     from .io import safe_join
 
     n_bands = N_PERM // BAND_R
-
-    # --- 0. exact-dup pre-collapse --------------------------------------
-    def keyed(batch: pa.Table) -> pa.Table:
-        norms = [normalize(t or "") for t in batch["text"].to_pylist()]
-        return pa.table({
-            "doc_id": batch["doc_id"].cast(pa.int64()),
-            "key": pa.array(
-                [hashlib.md5(n.encode("utf-8")).hexdigest() for n in norms],
-                pa.string()),
-            "nonempty": pa.array([len(n) > 0 for n in norms], pa.bool_()),
-        })
-
-    keyed_ds = _docs(sf_dir).map_batches(
-        keyed, batch_format="pyarrow").materialize()
-    reps = keyed_ds.groupby("key").aggregate(
-        Min("doc_id", alias_name="rep"), Count(alias_name="gsize"))
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64())})
+    key_cols = ["band", *_BAND_COLS]
+    LAST_RUN_STATS.clear()
+    LAST_RUN_STATS.update(dropped_buckets=0, dropped_rows=0)
 
-    member = safe_join(keyed_ds, reps, "inner", num_partitions=8, on=("key",))
-    if member is None:  # empty corpus
+    def done(tbl: pa.Table) -> pa.Table:
         _PAIRS_CACHE.clear()
-        _PAIRS_CACHE[_pairs_cache_key(sf_dir)] = empty
-        return empty
-    member = member.materialize()
+        _PAIRS_CACHE[_pairs_cache_key(sf_dir)] = tbl
+        return tbl
 
-    def rep_only(batch: pa.Table) -> pa.Table:
-        m = pc.and_(pc.equal(batch["doc_id"], batch["rep"]),
-                    batch["nonempty"])
-        return batch.filter(m).select(["doc_id"])
-
-    rep_ids = member.map_batches(rep_only, batch_format="pyarrow")
-
-    # --- 1. signatures (full corpus, no shuffle) → rep rows only --------
+    # --- 1. one corpus pass: band rows + band-0 exact-dup key -----------
     def sigs(batch: pa.Table) -> pa.Table:
-        ids, hs = [], []
+        ids, hs, keys = [], [], []
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            h = shingle_hashes(normalize(t or ""))
+            nt = normalize(t or "")
+            if not nt:
+                continue  # empty docs join no group and no bucket
+            h = shingle_hashes(nt)
             if len(h) == 0:
                 continue
             ids.append(d)
             hs.append(h)
+            keys.append(hashlib.md5(nt.encode("utf-8")).hexdigest())
         sig = batch_signatures(hs).astype(np.int64)  # (n, N_PERM)
         n = len(ids)
+        key_col = np.full(n * n_bands, "", dtype=object)
+        key_col[0::n_bands] = keys  # band-0 row carries the doc's key
         cols = {
             "doc_id": pa.array(np.repeat(np.asarray(ids, dtype=np.int64), n_bands), pa.int64()),
             "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int64), n), pa.int64()),
         }
         for j in range(BAND_R):
             cols[f"h{j}"] = pa.array(sig[:, j::BAND_R].reshape(-1), pa.int64())
+        cols["key"] = pa.array(key_col, pa.string())
         return pa.table(cols)
 
-    key_cols = ["band", *_BAND_COLS]
+    sig_full = _docs(sf_dir).map_batches(
+        sigs, batch_format="pyarrow").materialize()  # reused 3x
+    if sig_full.count() == 0:
+        return done(empty)
 
-    LAST_RUN_STATS.clear()
-    LAST_RUN_STATS.update(dropped_buckets=0, dropped_rows=0)
+    # --- 2. exact-dup groups over the band-0 rows ------------------------
+    def band0(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["band"], 0)).select(
+            ["doc_id", "key"])
 
-    sig_join = safe_join(
-        _docs(sf_dir).map_batches(sigs, batch_format="pyarrow"),
-        rep_ids, "inner", num_partitions=8, on=("doc_id",))
+    reps = sig_full.map_batches(band0, batch_format="pyarrow").groupby(
+        "key").aggregate(Min("doc_id", alias_name="rep"),
+                         Count(alias_name="gsize"))
+    multi_batches = [
+        b for b in reps.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["gsize"], 2)),
+            batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    bmap: dict[str, int] = {}  # key -> rep, MULTI groups only (dup-group-#)
+    for b in multi_batches:
+        bmap.update(zip(b["key"].to_pylist(), b["rep"].to_pylist()))
 
-    semi = None
-    if sig_join is not None:
-        sig_ds = sig_join.materialize()  # consumed twice (census + semi-join)
+    groups: dict[int, np.ndarray] = {}  # rep -> sorted member ids
+    sig_f = sig_full
+    if bmap:
+        bmap_ref = ray.put(bmap)
 
-        # --- 2. bucket census + cap -------------------------------------
-        counts = sig_ds.groupby(key_cols).count().materialize()
+        def multi_members(batch: pa.Table) -> pa.Table:
+            bm = ray.get(bmap_ref)
+            t = batch.filter(pc.equal(batch["band"], 0))
+            sel = [i for i, k in enumerate(t["key"].to_pylist()) if k in bm]
+            t = t.take(pa.array(sel, pa.int64()))
+            return pa.table({
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "rep": pa.array([bm[k] for k in t["key"].to_pylist()],
+                                pa.int64()),
+            })
 
-        def hot_ok(batch: pa.Table) -> pa.Table:
-            c = batch["count()"]
-            m = pc.and_(pc.greater_equal(c, 2),
-                        pc.less_equal(c, max_bucket_reps))
-            return batch.filter(m).select(key_cols)
-
-        def over_cap(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.greater(batch["count()"], max_bucket_reps))
-
-        over_batches = [
-            b for b in counts.map_batches(over_cap, batch_format="pyarrow")
+        memb_batches = [
+            b for b in sig_full.map_batches(
+                multi_members, batch_format="pyarrow")
             .iter_batches(batch_format="pyarrow") if b.num_rows
-        ]
-        over_tbl = pa.concat_tables(over_batches) if over_batches else None
-        dropped_buckets = over_tbl.num_rows if over_tbl is not None else 0
-        dropped_rows = (int(pc.sum(over_tbl["count()"]).as_py() or 0)
-                        if dropped_buckets else 0)
-        LAST_RUN_STATS.update(dropped_buckets=dropped_buckets,
+        ]  # dup-volume-sized gather (bounded by this function's own output)
+        memb = pa.concat_tables(memb_batches)
+        m_doc = memb["doc_id"].to_numpy().astype(np.int64)
+        m_rep = memb["rep"].to_numpy().astype(np.int64)
+        for r in np.unique(m_rep):
+            groups[int(r)] = np.sort(m_doc[m_rep == r])
+        nonrep_ref = ray.put(np.sort(m_doc[m_doc != m_rep]))
+
+        def rep_only(batch: pa.Table) -> pa.Table:
+            nr = ray.get(nonrep_ref)
+            ids = batch["doc_id"].to_numpy()
+            return batch.filter(pa.array(~np.isin(ids, nr)))
+
+        sig_f = sig_full.map_batches(rep_only, batch_format="pyarrow")
+
+    # --- 3. bucket census -> over-cap keys only (normally zero) ----------
+    counts = sig_f.groupby(key_cols).count()
+    over_batches = [
+        b for b in counts.map_batches(
+            lambda b: b.filter(pc.greater(b["count()"], max_bucket_reps)),
+            batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    if over_batches:
+        over_tbl = pa.concat_tables(over_batches)
+        dropped_rows = int(pc.sum(over_tbl["count()"]).as_py() or 0)
+        LAST_RUN_STATS.update(dropped_buckets=over_tbl.num_rows,
                               dropped_rows=dropped_rows)
-        if dropped_buckets:
-            logging.getLogger(__name__).warning(
-                "minhash_lsh_pairs: dropped %d over-cap LSH buckets "
-                "(%d rep rows > max_bucket_reps=%d) — candidate recall is "
-                "reduced for those buckets",
-                dropped_buckets, dropped_rows, max_bucket_reps)
+        logging.getLogger(__name__).warning(
+            "minhash_lsh_pairs: dropped %d over-cap LSH buckets "
+            "(%d rep rows > max_bucket_reps=%d) — candidate recall is "
+            "reduced for those buckets",
+            over_tbl.num_rows, dropped_rows, max_bucket_reps)
+        over_keys = over_tbl.select(key_cols)
+        over_ref = ray.put(over_keys)
 
-        hot = counts.map_batches(hot_ok, batch_format="pyarrow")
-        semi = safe_join(sig_ds, hot, "inner", num_partitions=8,
-                         on=tuple(key_cols))
+        def drop_over(batch: pa.Table) -> pa.Table:
+            ov = ray.get(over_ref)
+            keep = np.ones(batch.num_rows, dtype=bool)
+            band = batch["band"].to_numpy()
+            hv = [batch[c].to_numpy() for c in _BAND_COLS]
+            for i in range(ov.num_rows):  # exact tuple match per over-cap key
+                m = band == ov["band"][i].as_py()
+                for c, col in zip(_BAND_COLS, hv):
+                    m &= col == ov[c][i].as_py()
+                keep &= ~m
+            return batch.filter(pa.array(keep))
 
-    # --- 3. pair generation: one vectorized self-join on the bucket key --
-    if semi is not None:
-        semi = semi.materialize()
-        paired = safe_join(semi, semi, "inner", num_partitions=8,
-                           on=tuple(key_cols),
-                           left_suffix="", right_suffix="_r")
+        sig_f = sig_f.map_batches(drop_over, batch_format="pyarrow")
 
+    def drop_key(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", *key_cols])
+
+    sig_j = sig_f.map_batches(
+        drop_key, batch_format="pyarrow").materialize()  # both join sides
+
+    # --- 4-6. self-join -> block-local dedup -> verify -------------------
     def ordered(batch: pa.Table) -> pa.Table:
-        m = pa.compute.less(batch["doc_id"], batch["doc_id_r"])
-        t = batch.filter(m)
-        return pa.table({
-            "doc_a": t["doc_id"].cast(pa.int64()),
-            "doc_b": t["doc_id_r"].cast(pa.int64()),
-        })
+        t = batch.filter(pc.less(batch["doc_id"], batch["doc_id_r"]))
+        a = t["doc_id"].to_numpy().astype(np.int64)
+        b = t["doc_id_r"].to_numpy().astype(np.int64)
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0) if len(a) else \
+            np.empty((0, 2), dtype=np.int64)  # block-local dedup
+        return pa.table({"doc_a": pa.array(uniq[:, 0], pa.int64()),
+                         "doc_b": pa.array(uniq[:, 1], pa.int64())})
 
     doc_path = f"{sf_dir}/documents.parquet"
 
@@ -424,73 +465,50 @@ def minhash_lsh_pairs(sf_dir: str,
             }
         )
 
-    if semi is not None and paired is not None:
-        uniq_pairs = (
-            paired.map_batches(ordered, batch_format="pyarrow")
-            .groupby(["doc_a", "doc_b"]).count()
-        )
-        rep_pairs = uniq_pairs.select_columns(["doc_a", "doc_b"]).map_batches(
-            verify, batch_format="pyarrow"
-        ).materialize()
+    paired = safe_join(sig_j, sig_j, "inner", num_partitions=8,
+                       on=tuple(key_cols), left_suffix="", right_suffix="_r")
+    va = np.empty(0, dtype=np.int64)
+    vb = np.empty(0, dtype=np.int64)
+    if paired is not None:
+        verified = paired.map_batches(
+            ordered, batch_format="pyarrow").map_batches(
+            verify, batch_format="pyarrow")
+        vparts = [b for b in verified.iter_batches(batch_format="pyarrow")
+                  if b.num_rows]
+        if vparts:
+            vt = pa.concat_tables(vparts)
+            pairs2 = np.unique(np.stack(  # global cross-block dedup
+                [vt["doc_a"].to_numpy().astype(np.int64),
+                 vt["doc_b"].to_numpy().astype(np.int64)], axis=1), axis=0)
+            va, vb = pairs2[:, 0], pairs2[:, 1]
+
+    # --- 7. exact-dup expansion (output-sized, driver numpy) -------------
+    out_a, out_b = [], []
+    if groups:
+        multi_reps = np.fromiter(groups.keys(), dtype=np.int64,
+                                 count=len(groups))
+        has_multi = np.isin(va, multi_reps) | np.isin(vb, multi_reps)
+        out_a.append(va[~has_multi])
+        out_b.append(vb[~has_multi])
+        for x, y in zip(va[has_multi], vb[has_multi]):
+            A = groups.get(int(x), np.array([x], dtype=np.int64))
+            B = groups.get(int(y), np.array([y], dtype=np.int64))
+            ga = np.repeat(A, len(B))
+            gb = np.tile(B, len(A))
+            out_a.append(np.minimum(ga, gb))
+            out_b.append(np.maximum(ga, gb))
+        for mem in groups.values():  # within-group all-pairs (Jaccard 1)
+            iu, ju = np.triu_indices(len(mem), k=1)
+            out_a.append(mem[iu])
+            out_b.append(mem[ju])
     else:
-        import ray.data
-        rep_pairs = ray.data.from_arrow(empty).materialize()
-
-    # --- 6. within-group expansion (exact dups: Jaccard 1 by identity) ---
-    def multi_members(batch: pa.Table) -> pa.Table:
-        m = pc.and_(batch["nonempty"], pc.greater_equal(batch["gsize"], 2))
-        return batch.filter(m).select(["doc_id", "key"])
-
-    multi = member.map_batches(multi_members, batch_format="pyarrow")
-
-    def within_pairs(g: pa.Table) -> pa.Table:
-        ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
-        iu, ju = np.triu_indices(len(ids), k=1)
-        return pa.table({"doc_a": pa.array(ids[iu], pa.int64()),
-                         "doc_b": pa.array(ids[ju], pa.int64())})
-
-    multi = multi.materialize()
-
-    # --- 7. cross-group expansion: rep pairs × member lists --------------
-    def memb_as(rep_col: str, doc_col: str):
-        def f(batch: pa.Table) -> pa.Table:
-            return pa.table({rep_col: batch["rep"].cast(pa.int64()),
-                             doc_col: batch["doc_id"].cast(pa.int64())})
-        return f
-
-    def orient(batch: pa.Table) -> pa.Table:
-        a = batch["a_doc"].to_numpy().astype(np.int64)
-        b = batch["b_doc"].to_numpy().astype(np.int64)
-        return pa.table({"doc_a": pa.array(np.minimum(a, b), pa.int64()),
-                         "doc_b": pa.array(np.maximum(a, b), pa.int64())})
-
-    parts = [empty]
-    if multi.count():  # dup-volume-sized; empty joins lose their schema
-        within = multi.groupby("key").map_groups(
-            within_pairs, batch_format="pyarrow")
-        parts.extend(b.select(["doc_a", "doc_b"])
-                     for b in within.iter_batches(batch_format="pyarrow")
-                     if b.num_rows)
-    if rep_pairs.count():
-        memb_a = member.map_batches(memb_as("doc_a", "a_doc"),
-                                    batch_format="pyarrow")
-        memb_b = member.map_batches(memb_as("doc_b", "b_doc"),
-                                    batch_format="pyarrow")
-        x1 = safe_join(rep_pairs, memb_a, "inner", num_partitions=8,
-                       on=("doc_a",))
-        x2 = (safe_join(x1, memb_b, "inner", num_partitions=8, on=("doc_b",))
-              if x1 is not None else None)
-        if x2 is not None:
-            cross = x2.map_batches(orient, batch_format="pyarrow")
-            parts.extend(b.select(["doc_a", "doc_b"])
-                         for b in cross.iter_batches(batch_format="pyarrow")
-                         if b.num_rows)
-    tbl = pa.concat_tables(parts)
-    order = np.lexsort((tbl["doc_b"].to_numpy(), tbl["doc_a"].to_numpy()))
-    out = tbl.take(order)
-    _PAIRS_CACHE.clear()
-    _PAIRS_CACHE[_pairs_cache_key(sf_dir)] = out
-    return out
+        out_a.append(va)
+        out_b.append(vb)
+    a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+    b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+    order = np.lexsort((b, a))
+    return done(pa.table({"doc_a": pa.array(a[order], pa.int64()),
+                          "doc_b": pa.array(b[order], pa.int64())}))
 
 
 def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
