@@ -169,7 +169,9 @@ class StandardAnalyzer:
     edge_ngrams: tuple[int, int] | None = None
     #: PhoneticFilter replace=true (analysis/phonetic/PhoneticFilter.java +
     #: commons-codec Soundex): each term is replaced by its phonetic code
-    #: after stemming (the sounds-like field idiom). Value: "soundex".
+    #: after stemming (the sounds-like field idiom). Values: "soundex",
+    #: "metaphone", "refined_soundex", "caverphone", "nysiis", "cologne"
+    #: (1:1 replace), or "double_metaphone" / "dm_soundex" (replace+inject).
     phonetic: str | None = None
     #: ReversedWildcardFilter (solr/core/.../analysis/ReversedWildcardFilter
     #: Factory): ADD a marker-prefixed reversed twin of every kept token as a
@@ -1218,13 +1220,27 @@ def _term_mapper(analyzer: "StandardAnalyzer"):
         if analyzer.phonetic is not None:
             raise ValueError("keyword_repeat cannot combine with phonetic")
         return None
-    if analyzer.phonetic == "soundex":
-        from .phonetic import soundex
+    _REPLACE_ENCODERS = None
+    if analyzer.phonetic in ("soundex", "metaphone", "refined_soundex",
+                             "caverphone", "nysiis", "cologne"):
+        if analyzer.phonetic == "soundex":
+            from .phonetic import soundex as _REPLACE_ENCODERS
+        else:
+            from . import phonetic2
 
+            _REPLACE_ENCODERS = {
+                "metaphone": phonetic2.metaphone,
+                "refined_soundex": phonetic2.refined_soundex,
+                "caverphone": phonetic2.caverphone2,
+                "nysiis": phonetic2.nysiis,
+                "cologne": phonetic2.cologne,
+            }[analyzer.phonetic]
+    if _REPLACE_ENCODERS is not None:
+        enc = _REPLACE_ENCODERS
         if mapper is None:
-            return soundex
+            return enc
         stem_fn = mapper
-        return lambda t: soundex(stem_fn(t))
+        return lambda t: enc(stem_fn(t))
     if analyzer.phonetic is not None and analyzer.phonetic not in (
             "double_metaphone", "dm_soundex"):
         # multi-code encoders are handled as a replace+inject step AFTER the

@@ -411,7 +411,7 @@ def test_phonetic_filter_in_chain():
     assert sorted(st.terms.to_pylist() if hasattr(st.terms, "to_pylist")
                   else list(st.terms)) == ["R163", "S530"]
     with pytest.raises(ValueError, match="unknown phonetic"):
-        analyze_with_positions("x", StandardAnalyzer(phonetic="metaphone"))
+        analyze_with_positions("x", StandardAnalyzer(phonetic="beider_morse"))
 
 
 # ---------------------------------------------------------------------------
