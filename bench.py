@@ -93,6 +93,13 @@ def run_bench(ncpus: int) -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Ray Data reserves a CPU share PER OPERATOR (op_resource_reservation);
+    # with a 4-operator linear chain (read → analyze → sort → write) on a
+    # small CPU budget that caps each stage at ~cpus/4 concurrent tasks —
+    # measured 30 s → 21 s at 8 cpus / 400k docs with the reservation off.
+    # Our pipelines are simple chains with no starvation risk, so the bench
+    # (which owns its Ray session) disables it for every leg.
+    ctx.op_resource_reservation_enabled = False
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)

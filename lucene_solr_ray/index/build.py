@@ -230,6 +230,19 @@ def build_index(
             n_resumed += 1
     manifest_rows.sort(key=lambda r: r["seg"])
 
+    # hard invariant: actual rows per segment must equal the planned counts —
+    # a mismatch means the planning read and the Ray shuffle saw different
+    # file sets (sidecars / partial writes; ADVICE r1), and the doc-id bases
+    # derived from the plan would overlap. Fail loudly, never commit.
+    for r in manifest_rows:
+        planned = plan.counts[r["seg"]] if r["seg"] < len(plan.counts) else None
+        if planned is not None and r["doc_count"] != planned:
+            raise RuntimeError(
+                f"segment {r['seg']}: built {r['doc_count']} rows but the "
+                f"plan counted {planned} — corpus file set changed between "
+                "planning and build; delete plan.json (or the index dir) "
+                "and rebuild")
+
     stats = IndexStats(
         doc_count=sum(r["doc_count"] for r in manifest_rows),
         sum_ttf=sum(r["sum_ttf"] for r in manifest_rows),
