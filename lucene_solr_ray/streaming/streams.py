@@ -468,10 +468,25 @@ def _unique(expr: StreamExpression, sf_dir: str) -> StreamNode:
     def reduce_first(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        df = batch.to_pandas()
-        df = df.sort_values(sort_cols, ascending=asc, kind="mergesort")
-        return pa.Table.from_pandas(df.groupby(over, sort=False).head(1),
-                                    preserve_index=False, schema=batch.schema)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        order = [(c, "ascending" if a else "descending")
+                 for c, a in zip(sort_cols, asc)]
+        t = batch.sort_by(order)  # Arrow sort is stable
+        # first row per key group: a row starts a group iff ANY `over`
+        # column differs from the previous row (vectorized shift-compare)
+        keep = np.zeros(t.num_rows, dtype=bool)
+        keep[0] = True
+        for c in over:
+            col = t[c].combine_chunks()
+            neq = pc.fill_null(
+                pc.not_equal(col.slice(1), col.slice(0, len(col) - 1)), True)
+            nulls_differ = pc.xor(
+                pc.is_null(col.slice(1)), pc.is_null(col.slice(0, len(col) - 1)))
+            keep[1:] |= np.asarray(pc.or_(neq, nulls_differ).to_numpy(
+                zero_copy_only=False))
+        return t.filter(pa.array(keep))
 
     partial = src.ds.map_batches(reduce_first, batch_format="pyarrow", batch_size=None)
     out = partial.repartition(1).map_batches(
