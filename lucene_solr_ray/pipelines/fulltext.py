@@ -5330,3 +5330,43 @@ def ft_simple_parser(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def ft_field_analysis(sf_dir: str) -> pa.Table:
+    """FieldAnalysisRequestHandler analog (``solr/core/src/java/org/apache/
+    solr/handler/FieldAnalysisRequestHandler.java`` + ``AnalysisRequestHandlerBase
+    .analyzeValue``): the per-STAGE token stream of the default chain —
+    tokenize (UAX#29, maxTokenLength skip) → lowercase → stopfilter — for the
+    first 20 documents, as (doc_id, stage, pos, term). Positions are the
+    tokenizer indices; the stop stage keeps its survivors' original positions
+    (StopFilter's position-increment accumulation renders exactly so in the
+    handler's output). A 20-doc diagnostic handler is driver-sized by
+    definition (Solr serves it per request); the per-doc map is
+    map_batches-able verbatim if ever run corpus-wide."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from ..analysis.tokenizer import ENGLISH_STOP_WORDS, StandardAnalyzer, token_re
+
+    tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"], filter=pc.field("doc_id") < 20)
+    rex = token_re(StandardAnalyzer())
+    dids, stages, poss, terms = [], [], [], []
+    for d, text in sorted(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())):
+        toks = [t for t in rex.findall(text or "") if len(t) <= 255]
+        for stage, f in (("tokenize", lambda t: t),
+                         ("lowercase", str.lower)):
+            for i, t in enumerate(toks):
+                dids.append(d); stages.append(stage); poss.append(i); terms.append(f(t))
+        for i, t in enumerate(toks):
+            lt = t.lower()
+            if lt not in ENGLISH_STOP_WORDS:
+                dids.append(d); stages.append("stopfilter"); poss.append(i); terms.append(lt)
+    out = pa.table({
+        "doc_id": pa.array(dids, pa.int64()),
+        "stage": pa.array(stages, pa.string()),
+        "pos": pa.array(poss, pa.int64()),
+        "term": pa.array(terms, pa.string()),
+    })
+    return out.sort_by([("doc_id", "ascending"), ("stage", "ascending"),
+                        ("pos", "ascending")])

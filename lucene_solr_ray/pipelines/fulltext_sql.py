@@ -4303,3 +4303,26 @@ def sql_simple_parser() -> str:
         for qid, body in bodies.items()
     ]
     return prelude() + "," + _TOKPOS_CTES + " " + " UNION ALL ".join(parts)
+
+
+SQL_FIELD_ANALYSIS = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+base AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS ts FROM docs
+),
+posn AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(ts), 1))) AS i, ts
+  FROM base
+),
+tok AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS term
+  FROM posn WHERE len(ts) >= i AND length(ts[i]) <= 255
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'tokenize' AS stage, pos, term FROM tok
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'lowercase', pos, lower(term) FROM tok
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'stopfilter', pos, lower(term) FROM tok
+WHERE lower(term) NOT IN ({STOPLIST_SQL})
+ORDER BY doc_id, stage, pos
+"""

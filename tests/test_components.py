@@ -513,3 +513,21 @@ def test_classify_knn_fuzzy(built):
             boosts[cmap[g]] = boosts.get(cmap[g], 0.0) + v / top[0][1]
         exp = sorted(boosts, key=lambda c: (-round(boosts[c] / len(top), 9), c))[0]
         assert got[did] == exp
+
+
+def test_field_analysis_stages(ray_session):
+    """FieldAnalysisRequestHandler analog: three stages, stop stage keeps
+    original positions, lowercase stage is the tokenize stage lowered."""
+    from lucene_solr_ray.pipelines.fulltext import ft_field_analysis
+
+    t = ft_field_analysis("/root/testdata/sf0.001").to_pandas()
+    assert set(t.stage) == {"tokenize", "lowercase", "stopfilter"}
+    tok = t[t.stage == "tokenize"].set_index(["doc_id", "pos"]).term
+    low = t[t.stage == "lowercase"].set_index(["doc_id", "pos"]).term
+    assert (tok.str.lower() == low).all()
+    stop = t[t.stage == "stopfilter"].set_index(["doc_id", "pos"]).term
+    # stop survivors carry their tokenizer positions and values
+    assert (low.loc[stop.index] == stop).all()
+    assert len(stop) < len(low)  # something was actually removed
+    from lucene_solr_ray.analysis.tokenizer import ENGLISH_STOP_WORDS
+    assert not set(stop) & ENGLISH_STOP_WORDS
