@@ -30,6 +30,11 @@ def main() -> int:
 
     if not ray.is_initialized():
         ray.init(ignore_reinit_error=True, logging_level="ERROR")
+    # simple linear Ray Data chains: per-operator CPU reservation only
+    # throttles them (see bench.py) — job scripts own their session
+    from ray.data import DataContext
+
+    DataContext.get_current().op_resource_reservation_enabled = False
 
     from lucene_solr_ray.search import Searcher, parse_query
 
