@@ -302,3 +302,60 @@ def test_build_from_jsonl_and_csv_sources(ray_session, tmp_path):
     with _pytest.raises(Exception, match="missing columns"):
         build_index(read_corpus_jsonl(str(bad)), str(tmp_path / "idx_bad"),
                     docs_per_segment=60)
+
+
+def test_build_from_solr_xml_and_json_sources(ray_session, tmp_path):
+    """Solr XMLLoader / JsonLoader update-format analogs: the same corpus
+    posted as <add><doc> XML and as a JSON doc array builds indexes
+    identical to the parquet build."""
+    import json
+    from xml.sax.saxutils import escape
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.corpus import generate_corpus
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.query import parse_query
+    from lucene_solr_ray.search.searcher import Searcher
+    from lucene_solr_ray.sources import read_corpus_solr_json, read_corpus_solr_xml
+
+    tbl = generate_corpus(120)
+    rows = tbl.to_pylist()
+    pdir = tmp_path / "pq"
+    pdir.mkdir()
+    pq.write_table(tbl, pdir / "part.parquet")
+
+    # two XML files (files are the parallelism unit)
+    for i, chunk in enumerate((rows[:60], rows[60:])):
+        docs = "".join(
+            "<doc>" + "".join(
+                f'<field name="{k}">{escape(str(v))}</field>'
+                for k, v in r.items()) + "</doc>"
+            for r in chunk)
+        (tmp_path / f"upd{i}.xml").write_text(f"<add>{docs}</add>")
+    xml_src = read_corpus_solr_xml(
+        [str(tmp_path / "upd0.xml"), str(tmp_path / "upd1.xml")])
+
+    (tmp_path / "upd.json").write_text(json.dumps(rows))
+    json_src = read_corpus_solr_json(str(tmp_path / "upd.json"))
+
+    results = []
+    for tag, src in [("pq", str(pdir)), ("xml", xml_src), ("json", json_src)]:
+        idx = str(tmp_path / f"idx2_{tag}")
+        build_index(src, idx, docs_per_segment=50)
+        s = Searcher(idx)
+        got = s.search({"q": parse_query("license OR apache")}, k=25, use_ray=False)
+        results.append((got["doc_id"].to_pylist(), got["score"].to_pylist()))
+    assert results[0] == results[1] == results[2]
+
+    # command form: {"add": {"doc": {...}}}
+    (tmp_path / "one.json").write_text(json.dumps({"add": {"doc": rows[0]}}))
+    one = read_corpus_solr_json(str(tmp_path / "one.json"))
+    assert one.count() == 1
+
+    import pytest as _pytest
+
+    (tmp_path / "bad.xml").write_text(
+        '<add><doc><field name="repo">r</field></doc></add>')
+    with _pytest.raises(Exception, match="missing fields"):
+        read_corpus_solr_xml(str(tmp_path / "bad.xml")).materialize()
