@@ -239,3 +239,82 @@ SELECT CAST(c_custkey AS BIGINT) AS c_custkey, path_km3
 FROM dist WHERE path_km3 <= {PATH_BUFFER_KM!r}
 ORDER BY path_km3, c_custkey
 """
+
+
+#: convex spherical polygon CROSSING THE DATELINE — (lat, lon) CCW (viewed
+#: from outside the sphere); a band around ±180 that no planar lat/lon
+#: polygon test can express without splitting
+POLYGON3D = ((12.0, 165.0), (-12.0, 165.0), (-12.0, -165.0), (12.0, -165.0))
+
+
+def _xyz(lat, lon):
+    la, lo = np.radians(lat), np.radians(lon)
+    return np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo), np.sin(la)
+
+
+def _edge_normals(poly) -> list[tuple[float, float, float]]:
+    """Per-edge great-circle normals A×B; inside (for a CCW convex spherical
+    polygon) = dot(n, P) >= 0 for every edge — GeoConvexPolygon's
+    edge-plane sidedness test (`spatial3d/geom/GeoConvexPolygon.java`),
+    pure algebra (no trig on the hot path), dateline- and pole-safe."""
+    ns = []
+    for (lat1, lon1), (lat2, lon2) in zip(poly, poly[1:] + poly[:1]):
+        ax, ay, az = _xyz(np.array(lat1), np.array(lon1))
+        bx, by, bz = _xyz(np.array(lat2), np.array(lon2))
+        ns.append((float(ay * bz - az * by),
+                   float(az * bx - ax * bz),
+                   float(ax * by - ay * bx)))
+    return ns
+
+
+def geo3d_polygon(sf_dir: str) -> pa.Table:
+    """Geo3DPoint.newPolygonQuery analog over a DATELINE-CROSSING convex
+    spherical polygon: (c_custkey, lat, lon) for every customer inside.
+    Streaming full-scan filter, one fused vectorized map; the edge normals
+    are Python-computed constants (broadcast by value — 3 floats/edge)."""
+    normals = _edge_normals(list(POLYGON3D))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy()
+        lat, lon = _points(keys)
+        px, py, pz = _xyz(lat, lon)
+        m = np.ones(len(keys), dtype=bool)
+        for nx, ny, nz in normals:
+            m &= nx * px + ny * py + nz * pz >= 0.0
+        return pa.table({
+            "c_custkey": pa.array(keys[m].astype(np.int64), pa.int64()),
+            "lat": pa.array(lat[m], pa.float64()),
+            "lon": pa.array(lon[m], pa.float64()),
+        })
+
+    ds = _customers(sf_dir).map_batches(fn, batch_format="pyarrow")
+    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    return tbl.sort_by([("c_custkey", "ascending")])
+
+
+def _sql_polygon3d_conds() -> str:
+    conds = []
+    for nx, ny, nz in _edge_normals(list(POLYGON3D)):
+        conds.append(
+            f"({nx!r}) * cos(la)*cos(lo) + ({ny!r}) * cos(la)*sin(lo)"
+            f" + ({nz!r}) * sin(la) >= 0.0"
+        )
+    return " AND ".join(conds)
+
+
+SQL_GEO3D_POLYGON = f"""
+WITH ptsd AS (
+  SELECT c_custkey,
+         (CAST(('0x' || substr(md5('lat|' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1800000) / 10000.0 - 90 AS lat,
+         (CAST(('0x' || substr(md5('lon|' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 3600000) / 10000.0 - 180 AS lon
+  FROM customer
+),
+pts AS (
+  SELECT c_custkey, lat, lon, radians(lat) AS la, radians(lon) AS lo FROM ptsd
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, lat, lon
+FROM pts WHERE {_sql_polygon3d_conds()}
+ORDER BY c_custkey
+"""

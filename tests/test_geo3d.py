@@ -80,3 +80,19 @@ def test_path_query_matches_brute_force(ray_session):
     assert got.num_rows > 0
     # every match is genuinely within the buffer of SOME segment
     assert (np.asarray(got["path_km3"].to_pylist()) <= PATH_BUFFER_KM).all()
+
+
+def test_polygon_dateline_crossing(ray_session):
+    """The spherical-polygon band straddles ±180: matches exist on BOTH
+    sides of the dateline and every match is inside the lat band — the case
+    a planar lat/lon polygon test cannot express unsplit."""
+    from lucene_solr_ray.pipelines.geo3d import POLYGON3D, geo3d_polygon
+
+    t = geo3d_polygon("/root/testdata/sf0.01")
+    lat = np.asarray(t["lat"].to_pylist())
+    lon = np.asarray(t["lon"].to_pylist())
+    assert t.num_rows > 0
+    assert (np.abs(lat) <= max(abs(v[0]) for v in POLYGON3D) + 1e-9).all()
+    # only points near the dateline qualify — and from both sides
+    assert (np.abs(lon) >= 165.0 - 1e-9).all()
+    assert (lon > 0).any() and (lon < 0).any()
