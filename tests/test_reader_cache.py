@@ -103,3 +103,31 @@ def test_norms_cache_readonly_and_stable(ray_session, tmp_path):
     seg_d = s.reader.seg_dir(s.reader.segments[0]["seg"])
     n = segment_norms_cached(seg_d)
     assert segment_norms_cached(seg_d) is n  # cached object identity
+
+
+def test_term_stats_cache_point_in_time(ray_session, tmp_path):
+    """term_stats caches per READER INSTANCE: repeat calls are served from
+    the cache bit-identically; a rebuild at the same path gives a NEW reader
+    the new stats while the cache never crosses instances (DirectoryReader
+    point-in-time semantics)."""
+    from lucene_solr_ray.index.reader import IndexReader
+
+    d = str(tmp_path / "idx")
+    _build(d, docs=200)
+    r1 = IndexReader(d)
+    pairs = [("content", "license"), ("content", "apache"),
+             ("content", "zzz_absent")]
+    first = r1.term_stats(pairs)
+    assert first[("content", "zzz_absent")] == (0, 0)
+    assert first[("content", "license")][0] > 0
+    # cached: second call identical, cache populated
+    assert r1.term_stats(pairs) == first
+    assert ("content", "license") in r1._term_stats_cache
+
+    # same path, different corpus -> new reader sees new stats
+    _build(d, docs=120)
+    r2 = IndexReader(d)
+    second = r2.term_stats(pairs)
+    assert second[("content", "license")] != first[("content", "license")]
+    # the old instance keeps serving its own generation's numbers
+    assert r1.term_stats(pairs) == first
