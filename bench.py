@@ -211,6 +211,12 @@ def run_bench(ncpus: int) -> dict:
         t_query = time.time() - t0
         queries["bm25_topk_batch"] = round(t_query, 3)
         log(f"[bench] query batch ({len(qset)} queries): {t_query:.2f}s, rows={out.num_rows}")
+        # warm repeat: term stats + reader handles cached (the steady-state
+        # batch latency a query stream sees; cold - warm = stats-scan cost)
+        t0 = time.time()
+        searcher.search(qset, k=10, use_ray=True)
+        queries["bm25_topk_batch_warm"] = round(time.time() - t0, 3)
+        log(f"[bench] query batch warm: {queries['bm25_topk_batch_warm']:.2f}s")
 
         # single-query latency (local in-process path, the per-query floor)
         from lucene_solr_ray.search.query import TermQuery
