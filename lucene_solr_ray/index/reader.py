@@ -253,12 +253,30 @@ class IndexReader:
 
     def distinct_terms(self, flt=None, field: str = CONTENT_FIELD) -> pa.Array:
         """Distinct terms of one field across segments, optional pushdown
-        filter (term-dictionary scan; row-group stats prune term ranges)."""
+        filter (term-dictionary scan; row-group stats prune term ranges).
+
+        Cached per reader instance keyed on (field, repr(filter)) — the term
+        dictionary is immutable per generation, and multi-term queries
+        (prefix/wildcard/fuzzy/range) re-enumerate the same dictionary
+        slices on every search. Bounded at 64 cached slices (whole-vocab
+        scans included; at 10^12 scale the vocab slice per prefix is small,
+        the None-filter scan is the caller's responsibility)."""
+        cache = getattr(self, "_distinct_terms_cache", None)
+        if cache is None:
+            cache = self._distinct_terms_cache = {}
+        key = (field, repr(flt))
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
         ffilter = pc.field("field") == field
         flt = ffilter if flt is None else (ffilter & flt)
         dset = pads.dataset(self.postings_files())
         tbl = dset.to_table(columns=["term"], filter=flt)
-        return pc.unique(tbl["term"])
+        out = pc.unique(tbl["term"])
+        if len(cache) >= 64:
+            cache.clear()
+        cache[key] = out
+        return out
 
     def expand_terms(self, q) -> list[str]:
         """Multi-term query → concrete terms (AutomatonQuery-family rewrite,
