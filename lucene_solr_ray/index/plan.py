@@ -146,9 +146,14 @@ def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_00
             tbl = pads.dataset(corpus_path, format="parquet").to_table(
                 columns=key_cols)
             if len(tbl) != total:
-                # the two discovery paths disagree on the file set (sidecar
-                # files, partial writes) — fall back to the Ray-side read so
-                # boundary cuts stay consistent with `total`
+                # `total` comes from the same parquet footers when
+                # corpus_path is set, so this can only fire when the caller
+                # supplied its own Dataset + path that disagree (or the
+                # files changed mid-call) — fall back to the Ray-side read
+                # so boundary cuts stay consistent with `total`. The
+                # plan-vs-shuffle file-set divergence is ALSO enforced at
+                # build time: build_index refuses to commit when any built
+                # segment's rows differ from the planned counts.
                 tbl = None
         if tbl is None:
             tbl = (

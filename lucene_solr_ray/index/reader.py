@@ -244,9 +244,11 @@ class IndexReader:
                 if (f, t) in got:
                     d0, t0 = got[(f, t)]
                     got[(f, t)] = (d0 + int(df), t0 + int(ttf))
+            out = {p: cache.get(p, got.get(p, (0, 0))) for p in pairs}
             if len(cache) > 200_000:  # bound: distinct query terms per reader
                 cache.clear()
             cache.update(got)
+            return out
         return {p: cache[p] for p in pairs}
 
     MAX_EXPANSIONS = 65_536
@@ -377,31 +379,45 @@ class IndexReader:
         (``dv_updates_bin.parquet`` stacked sidecars — updateBinaryDocValue)
         are applied to string columns of the fetched rows; the result set is
         k docs, so the patch pass is driver-tiny."""
+        read_cols = columns
+        if columns is not None and "doc_id" not in columns:
+            read_cols = ["doc_id", *columns]  # patch pass keys on doc_id
         dset = pads.dataset(self.docs_files())
-        tbl = dset.to_table(columns=columns, filter=pc.field("doc_id").isin(doc_ids))
+        tbl = dset.to_table(columns=read_cols, filter=pc.field("doc_id").isin(doc_ids))
         if tbl.num_rows == 0:
-            return tbl
+            return tbl.select(columns) if columns is not None else tbl
+        fetched = set(tbl["doc_id"].to_pylist())
         overrides: dict[tuple[int, str], bytes] = {}
         for ent in self.segments:
             p = os.path.join(self.seg_dir(ent["seg"]), "dv_updates_bin.parquet")
             if not os.path.exists(p):
                 continue
-            u = pq.read_table(p)
+            # read only the fetched rows of the sidecar: the update volume is
+            # unbounded over time, the result set is k docs — pruning keeps
+            # the patch pass proportional to k, not to update history
+            base = ent["doc_base"]
+            local_wanted = [g - base for g in fetched
+                            if base <= g < base + ent["doc_count"]]
+            if not local_wanted:
+                continue
+            u = pq.read_table(p, filters=[("local_id", "in", local_wanted)])
             for lid, f, v in zip(u["local_id"].to_pylist(), u["field"].to_pylist(),
                                  u["value"].to_pylist()):
-                overrides[(ent["doc_base"] + lid, f)] = v
+                overrides[(base + lid, f)] = v
         if not overrides:
-            return tbl
+            return tbl.select(columns) if columns is not None else tbl
         gids = tbl["doc_id"].to_pylist()
         cols = {}
         for name in tbl.column_names:
             field = tbl[name]
-            if pa.types.is_string(field.type) and any((g, name) in overrides for g in gids):
+            is_str = pa.types.is_string(field.type) or pa.types.is_large_string(field.type)
+            if is_str and any((g, name) in overrides for g in gids):
                 vals = [
                     overrides[(g, name)].decode("utf-8") if (g, name) in overrides else v
                     for g, v in zip(gids, field.to_pylist())
                 ]
-                cols[name] = pa.array(vals, pa.string())
+                cols[name] = pa.array(vals, field.type)
             else:
                 cols[name] = field
-        return pa.table(cols)
+        out = pa.table(cols)
+        return out.select(columns) if columns is not None else out

@@ -447,7 +447,11 @@ def delete_by_query(index_dir: str, query, use_ray: bool = True,
     n_new = 0
     reader = searcher.reader
     per_seg: dict[int, list[np.ndarray]] = {}
-    scattered = searcher._scatter_match(query, "ids") if use_ray else None
+    # unwrapped-reader view: a hard delete must tombstone soft-deleted
+    # matches too, else un_soft_delete could resurrect hard-deleted docs
+    scattered = (searcher._scatter_match(query, "ids",
+                                         include_soft_deleted=True)
+                 if use_ray else None)
     if scattered is not None:
         for b in scattered.iter_batches(batch_format="pyarrow"):
             if len(b):
@@ -456,7 +460,8 @@ def delete_by_query(index_dir: str, query, use_ray: bool = True,
                 for sv in np.unique(segs):
                     per_seg.setdefault(int(sv), []).append(lids[segs == sv])
     else:
-        for seg, _base, ids in searcher._matches_per_segment(query):
+        for seg, _base, ids in searcher._matches_per_segment(
+                query, include_soft_deleted=True):
             if len(ids):
                 per_seg.setdefault(seg, []).append(ids.astype(np.int64))
     for seg, parts in per_seg.items():

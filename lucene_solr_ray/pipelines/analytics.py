@@ -214,7 +214,10 @@ def eval_mapping(ast, df: pd.DataFrame):
     if name == "string":
         v, ok = ev[0]
         if v.dtype.kind == "f" and np.all(np.equal(np.mod(v[ok], 1), 0)):
-            out = np.array([str(int(x)) for x in v], dtype=object)
+            # convert only VALID rows (invalid slots can hold NaN — int(nan)
+            # raises); invalid rows are masked out by `ok` downstream
+            out = np.full(size, "", dtype=object)
+            out[ok] = [str(int(x)) for x in v[ok]]
         else:
             out = v.astype(str).astype(object)
         return out, ok
@@ -225,10 +228,12 @@ def eval_mapping(ast, df: pd.DataFrame):
             sep = str(ev[0][0][0]) if size else ""
             parts = ev[1:]
         out = np.full(size, "", dtype=object)
-        for v, _ in parts:
-            first = out == ""
+        for i, (v, _) in enumerate(parts):
             sv = v if v.dtype == object else v.astype(str)
-            out = np.where(first, sv.astype(object), out + sep + sv.astype(object))
+            if i == 0:  # positional, NOT out=="" — empty-string values are
+                out = sv.astype(object).copy()  # legitimate parts
+            else:
+                out = out + sep + sv.astype(object)
         # reference ConcatFunction: missing arg → whole result missing
         return out, allvalid(*parts)
     if name == "fill_missing":

@@ -133,7 +133,10 @@ def geo3d_distance(sf_dir: str) -> pa.Table:
     dist: list[np.ndarray] = []
     scanned = 0
     for t in order:
-        if _tile_min_dist_km(t, olat, olon) > CIRCLE["radius_km"]:
+        # admit at radius + half the round(,3) grid: a point at true distance
+        # radius+0.0004 rounds INTO the oracle's result set, so the prune
+        # bound must not cut its tile
+        if _tile_min_dist_km(t, olat, olon) > CIRCLE["radius_km"] + 0.0005:
             break
         scanned += 1
         tbl = pads.dataset(tiles[t]).to_table(columns=["c_custkey", "lat", "lon"])

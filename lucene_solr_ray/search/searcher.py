@@ -236,6 +236,7 @@ def _match_segment_file(payload: dict, segs: list[int]) -> pa.Table:
             params=payload["params"],
             seg_dirs=payload["seg_dirs"],
             seg=seg,
+            include_soft_deleted=payload.get("include_soft_deleted", False),
         )
         out.append(g(_read_seg_postings(payload, seg)))
     return pa.concat_tables(out)
@@ -280,7 +281,9 @@ class MatchFieldGroup:
         seg_dirs: dict[int, str] | None = None,
         params: tuple | None = None,
         seg: int | None = None,
+        include_soft_deleted: bool = False,
     ):
+        self.include_soft_deleted = include_soft_deleted
         self.index_dir = index_dir
         self.query = query
         self.weights = weights
@@ -317,7 +320,8 @@ class MatchFieldGroup:
         )
         ids, scores = scorer.score_query(self.query)
         if len(ids):
-            live = _load_live(seg_d, len(norms))
+            live = _load_live(seg_d, len(norms),
+                              self.include_soft_deleted)
             if live is not None:
                 keep_live = live[ids]
                 ids = ids[keep_live]
@@ -576,15 +580,21 @@ def _dv_fields_for(seg_d: str, queries) -> list[str]:
     )
 
 
-def _load_live(seg_d: str, n: int) -> np.ndarray | None:
+def _load_live(seg_d: str, n: int,
+               include_soft_deleted: bool = False) -> np.ndarray | None:
     """liveDocs for one segment inside a worker task: hard tombstones
     (``deletes.parquet``) ∧ soft deletes (``soft_deletes.parquet`` — the
     SoftDeletesDirectoryReaderWrapper view, which every search/facet/sort
-    path uses). None when everything is live."""
+    path uses). ``include_soft_deleted=True`` is the UNWRAPPED-reader view
+    (deleteDocuments(Query) and the retention policy operate on it — a hard
+    delete must also tombstone currently-soft-deleted matches, else
+    un_soft_delete could resurrect them). None when everything is live."""
     import pyarrow.parquet as pq
 
+    files = (("deletes.parquet",) if include_soft_deleted
+             else ("deletes.parquet", "soft_deletes.parquet"))
     live = None
-    for f in ("deletes.parquet", "soft_deletes.parquet"):
+    for f in files:
         p = os.path.join(seg_d, f)
         if not os.path.exists(p):
             continue
@@ -876,7 +886,8 @@ class Searcher:
     # ------------------------------------------------------------------
     def _scatter_match(self, query: Query, mode: str, field: str | None = None,
                        k: int = 10, descending: bool = False,
-                       params: tuple | None = None):
+                       params: tuple | None = None,
+                       include_soft_deleted: bool = False):
         """Scatter the match computation over segments — one pruned-read
         ``ray.remote`` task per segment batch; returns the partials Dataset.
 
@@ -915,6 +926,7 @@ class Searcher:
             descending=descending,
             params=params,
             seg_dirs=self.reader.seg_dirs(),
+            include_soft_deleted=include_soft_deleted,
         )
         if _os.environ.get("LSR_SCORE_SCATTER") == "groupby":
             from ..index.reader import pairs_filter

@@ -455,6 +455,37 @@ def _fetch(expr: StreamExpression, sf_dir: str) -> StreamNode:
     return StreamNode(out, src.sort)
 
 
+def group_first(batch: pa.Table, sort_cols: list[str], asc: list[bool],
+                over: list[str]) -> pa.Table:
+    """Sort-order-first row per `over` key group — UniqueStream's
+    associative reduction kernel (stable Arrow sort + vectorized
+    shift-compare; adjacent null keys are ONE group)."""
+    if batch.num_rows == 0:
+        return batch
+    import numpy as np
+    import pyarrow.compute as pc
+
+    order = [(c, "ascending" if a else "descending")
+             for c, a in zip(sort_cols, asc)]
+    t = batch.sort_by(order)  # Arrow sort is stable
+    # first row per key group: a row starts a group iff ANY `over`
+    # column differs from the previous row (vectorized shift-compare)
+    keep = np.zeros(t.num_rows, dtype=bool)
+    keep[0] = True
+    for c in over:
+        col = t[c].combine_chunks()
+        # not_equal(null, null) is null → fill FALSE (two adjacent
+        # null keys are the SAME group); null-vs-value transitions are
+        # caught by the is_null xor term below
+        neq = pc.fill_null(
+            pc.not_equal(col.slice(1), col.slice(0, len(col) - 1)), False)
+        nulls_differ = pc.xor(
+            pc.is_null(col.slice(1)), pc.is_null(col.slice(0, len(col) - 1)))
+        keep[1:] |= np.asarray(pc.or_(neq, nulls_differ).to_numpy(
+            zero_copy_only=False))
+    return t.filter(pa.array(keep))
+
+
 def _unique(expr: StreamExpression, sf_dir: str) -> StreamNode:
     src = _build(_stream_subs(expr)[0], sf_dir)
     over = [c.strip() for c in expr.named["over"].split(",")]
@@ -466,27 +497,7 @@ def _unique(expr: StreamExpression, sf_dir: str) -> StreamNode:
     asc = [a for _, a in spec]
 
     def reduce_first(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        import numpy as np
-        import pyarrow.compute as pc
-
-        order = [(c, "ascending" if a else "descending")
-                 for c, a in zip(sort_cols, asc)]
-        t = batch.sort_by(order)  # Arrow sort is stable
-        # first row per key group: a row starts a group iff ANY `over`
-        # column differs from the previous row (vectorized shift-compare)
-        keep = np.zeros(t.num_rows, dtype=bool)
-        keep[0] = True
-        for c in over:
-            col = t[c].combine_chunks()
-            neq = pc.fill_null(
-                pc.not_equal(col.slice(1), col.slice(0, len(col) - 1)), True)
-            nulls_differ = pc.xor(
-                pc.is_null(col.slice(1)), pc.is_null(col.slice(0, len(col) - 1)))
-            keep[1:] |= np.asarray(pc.or_(neq, nulls_differ).to_numpy(
-                zero_copy_only=False))
-        return t.filter(pa.array(keep))
+        return group_first(batch, sort_cols, asc, over)
 
     partial = src.ds.map_batches(reduce_first, batch_format="pyarrow", batch_size=None)
     out = partial.repartition(1).map_batches(

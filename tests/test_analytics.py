@@ -152,3 +152,21 @@ def test_analytics_matches_oracle_exactly(ray_session, con, name, sql):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     e = exp[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+
+
+def test_string_of_nullable_int_column_no_crash():
+    """string() over a nullable numeric column: NaN slots must not reach
+    int() (review r4 — `int(nan)` ValueError); invalid rows stay masked."""
+    vals, ok = _ev("string(x)")
+    assert list(ok) == [True, True, False, True]
+    assert [v for v, o in zip(vals, ok) if o] == ["1", "2", "4"]
+
+
+def test_concat_sep_empty_string_part():
+    """concat_sep: an EMPTY first part still contributes its separator —
+    '' + sep + next, matching the reference ConcatFunction and the SQL
+    `a || sep || b` (review r4: out=='' misdetected continuation rows)."""
+    df = pd.DataFrame({"a": ["", "x"], "b": ["y", "z"]})
+    vals, ok = an.eval_mapping(an.parse_expr("concat_sep('|', a, b)"), df)
+    assert list(vals) == ["|y", "x|z"]
+    assert list(ok) == [True, True]

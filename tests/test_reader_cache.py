@@ -131,3 +131,43 @@ def test_term_stats_cache_point_in_time(ray_session, tmp_path):
     assert second[("content", "license")] != first[("content", "license")]
     # the old instance keeps serving its own generation's numbers
     assert r1.term_stats(pairs) == first
+
+
+def test_term_stats_eviction_mid_call_no_keyerror(ray_session, tmp_path):
+    """Cache eviction at the 200k bound must not drop entries the CURRENT
+    call is about to return (review r4: clear-before-read KeyError)."""
+    from lucene_solr_ray.index.reader import IndexReader
+
+    d = str(tmp_path / "idx")
+    _build(d, docs=150)
+    r = IndexReader(d)
+    cached = ("content", "license")
+    first = r.term_stats([cached])
+    # inflate the cache past the eviction bound with synthetic entries
+    r._term_stats_cache.update(
+        {("content", f"fake{i}"): (1, 1) for i in range(200_001)})
+    out = r.term_stats([cached, ("content", "apache")])  # mixed hit + miss
+    assert out[cached] == first[cached]
+    assert out[("content", "apache")][0] >= 0
+
+
+def test_fetch_docs_after_binary_update_edge_shapes(ray_session, tmp_path):
+    """After updateBinaryDocValue: fetch without doc_id in columns works,
+    and large_string columns (content) receive overrides too."""
+    from lucene_solr_ray.index.reader import IndexReader
+    from lucene_solr_ray.index.update import update_binary_doc_values
+
+    d = str(tmp_path / "idx")
+    tbl = generate_corpus(80)
+    build_index(ray.data.from_arrow(tbl), d, docs_per_segment=80,
+                store_content=True)  # content stored as large_string
+    update_binary_doc_values(
+        d, [(3, "lang", b"klingon"), (3, "content", b"patched body")])
+    r = IndexReader(d)
+    # columns WITHOUT doc_id: no crash, override visible, no doc_id leak
+    t = r.fetch_docs([3], columns=["lang"])
+    assert t.column_names == ["lang"]
+    assert t["lang"].to_pylist() == ["klingon"]
+    # large_string stored field receives the override as well
+    t2 = r.fetch_docs([3], columns=["doc_id", "content"])
+    assert t2["content"].to_pylist() == ["patched body"]

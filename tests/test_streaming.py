@@ -445,3 +445,21 @@ def test_score_nodes_idf_ordering(ray_session, con):
             "collection=orders, field=o_orderkey)",
             SF,
         )
+
+
+def test_unique_group_first_null_keys():
+    """UniqueStream kernel: adjacent null keys are ONE group (review r4 —
+    fill_null(True) used to emit every null-keyed row), null-vs-value
+    transitions still split, and empty-string keys are real groups."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.streaming.streams import group_first
+
+    t = pa.table({
+        "k": pa.array([None, None, "a", "a", "", None, "b"]),
+        "v": pa.array([5, 3, 2, 1, 9, 4, 7]),
+    })
+    out = group_first(t, ["k", "v"], [True, True], ["k"])
+    got = {(r["k"], r["v"]) for r in out.to_pylist()}
+    # one representative per distinct key incl. the null group and ""
+    assert got == {("", 9), ("a", 1), ("b", 7), (None, 3)}

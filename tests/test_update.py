@@ -522,3 +522,43 @@ def test_soft_deletes_and_retention(ray_session):
     cop_ids = set(cop["doc_id"].to_pylist())
     lic_now = set(got["doc_id"].to_pylist())
     assert cop_ids <= lic_now  # only retention-protected docs still visible
+
+
+def test_hard_delete_by_query_reaches_soft_deleted(ray_session):
+    """deleteDocuments(Query) operates on the UNWRAPPED reader: docs that
+    are currently soft-deleted but match a hard delete-by-query become
+    hard tombstones, so a later un_soft_delete cannot resurrect them."""
+    import tempfile
+
+    from lucene_solr_ray.corpus import write_corpus
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.index.update import (
+        delete_by_query,
+        soft_delete_by_keys,
+        un_soft_delete_by_keys,
+    )
+    from lucene_solr_ray.search import Searcher
+    from lucene_solr_ray.search.query import TermQuery
+
+    cdir = tempfile.mkdtemp()
+    write_corpus(cdir, 120)
+    idir = tempfile.mkdtemp()
+    build_index(cdir, idir, docs_per_segment=40)
+
+    s = Searcher(idir)
+    q = TermQuery("license")
+    matches = set(
+        s.search({"q": q}, k=500, use_ray=False)["doc_id"].to_pylist())
+    victim = sorted(matches)[0]
+    keys = [tuple(r) for r in s.reader.fetch_docs(
+        [victim], columns=["repo", "path", "commit"]).to_pandas()
+        .itertuples(index=False)]
+
+    assert soft_delete_by_keys(idir, keys) == 1
+    n_hard = delete_by_query(idir, q, use_ray=True)
+    # the soft-deleted victim was ALSO hard-tombstoned
+    assert n_hard == len(matches)
+    un_soft_delete_by_keys(idir, keys)
+    got = Searcher(idir).search({"q": q}, k=500, use_ray=False)
+    assert victim not in set(got["doc_id"].to_pylist())
+    assert got.num_rows == 0  # every match hard-deleted; none resurrected
