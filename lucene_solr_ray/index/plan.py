@@ -161,6 +161,11 @@ def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_00
                 if total
                 else pa.table({c: pa.array([], pa.string()) for c in key_cols})
             )
+            # the Ray-side read is what the build shuffle will see — cuts
+            # and bases must derive from ITS row count, not the stale
+            # footer total (an IndexError at keys[c-1] otherwise)
+            total = len(tbl)
+            n_segments = max(1, -(-total // docs_per_segment))
         keys = np.sort(sort_keys(tbl, key_cols)) if total else np.empty(0, dtype=object)
         cuts = [int(round(i * total / n_segments)) for i in range(1, n_segments)]
         boundaries = [str(keys[c - 1]) + SEP for c in cuts]  # key+SEP: upper-inclusive of keys[c-1]

@@ -297,7 +297,9 @@ def minhash_lsh_pairs(sf_dir: str,
 
     def done(tbl: pa.Table) -> pa.Table:
         _PAIRS_CACHE.clear()
-        _PAIRS_CACHE[_pairs_cache_key(sf_dir)] = tbl
+        # cap is part of the identity: a low-cap run must not serve its
+        # reduced-recall pairs to a default-cap consumer
+        _PAIRS_CACHE[(_pairs_cache_key(sf_dir), max_bucket_reps)] = tbl
         return tbl
 
     # --- 1. one corpus pass: band rows + band-0 exact-dup key -----------
@@ -724,7 +726,9 @@ def _pairs_cache_key(sf_dir: str):
 
 
 def minhash_lsh_pairs_cached(sf_dir: str) -> pa.Table:
-    hit = _PAIRS_CACHE.get(_pairs_cache_key(sf_dir))
+    # only a DEFAULT-cap run can satisfy the cache — a low-cap run's
+    # reduced-recall pairs must never be served here
+    hit = _PAIRS_CACHE.get((_pairs_cache_key(sf_dir), MAX_BUCKET_REPS))
     return hit if hit is not None else minhash_lsh_pairs(sf_dir)
 
 

@@ -5353,12 +5353,16 @@ def ft_field_analysis(sf_dir: str) -> pa.Table:
     rex = token_re(StandardAnalyzer())
     dids, stages, poss, terms = [], [], [], []
     for d, text in sorted(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())):
-        toks = [t for t in rex.findall(text or "") if len(t) <= 255]
+        # positions are the RAW tokenizer indices: a >255-char skip leaves a
+        # positional gap (maxTokenLength skip consumes a position), matching
+        # both the docstring and the oracle's unfiltered-array indexing
+        toks = [(i, t) for i, t in enumerate(rex.findall(text or ""))
+                if len(t) <= 255]
         for stage, f in (("tokenize", lambda t: t),
                          ("lowercase", str.lower)):
-            for i, t in enumerate(toks):
+            for i, t in toks:
                 dids.append(d); stages.append(stage); poss.append(i); terms.append(f(t))
-        for i, t in enumerate(toks):
+        for i, t in toks:
             lt = t.lower()
             if lt not in ENGLISH_STOP_WORDS:
                 dids.append(d); stages.append("stopfilter"); poss.append(i); terms.append(lt)

@@ -621,6 +621,19 @@ def _load_field_column(seg_d: str, field: str) -> np.ndarray:
     col = pq.read_table(os.path.join(seg_d, "docs.parquet"), columns=[field])[
         field
     ].to_numpy(zero_copy_only=False)
+    # numeric updates first (updateNumericDocValue sidecar) — facet/sort
+    # views must agree with the numeric-query view (_load_doc_values, which
+    # already applies this sidecar); review r4 follow-up
+    num_path = os.path.join(seg_d, "dv_updates.parquet")
+    if os.path.exists(num_path) and col.dtype != object:
+        u = pq.read_table(num_path)
+        hit = [i for i, f in enumerate(u["field"].to_pylist()) if f == field]
+        if hit:
+            col = col.copy()  # same assign-into-original-dtype semantics
+            lids = u["local_id"].to_numpy()  # as _load_doc_values
+            vals = u["value"].to_numpy()
+            for i in hit:
+                col[int(lids[i])] = vals[i]
     upd_path = os.path.join(seg_d, "dv_updates_bin.parquet")
     if os.path.exists(upd_path) and col.dtype == object:
         u = pq.read_table(upd_path)

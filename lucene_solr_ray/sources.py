@@ -107,7 +107,11 @@ def read_corpus_solr_json(paths: str | list[str]):
             if isinstance(data, list):
                 docs = data
             elif isinstance(data, dict):
-                add = data.get("add", [])
+                if "add" not in data:
+                    raise ValueError(
+                        "solr json update: dict payload has no 'add' key "
+                        "(only add commands and doc arrays are supported)")
+                add = data["add"]
                 if isinstance(add, dict):
                     add = [add]
                 docs = [a.get("doc", a) for a in add]

@@ -495,6 +495,13 @@ def _unique(expr: StreamExpression, sf_dir: str) -> StreamNode:
     # tuple per key — an associative reduction (min by trailing sort key).
     sort_cols = [c for c, _ in spec]
     asc = [a for _, a in spec]
+    # UniqueStream.java:64-70 REJECTS substreams whose comparator does not
+    # lead with the equalitor fields (the adjacency the run-dedup kernel
+    # depends on); silently emitting one row per RUN would be wrong
+    if set(over) - set(sort_cols[: len(over)]):
+        raise ValueError(
+            f"unique(over={over}): substream sort {sort_cols} must lead "
+            "with the over fields (UniqueStream comparator/equalitor check)")
 
     def reduce_first(batch: pa.Table) -> pa.Table:
         return group_first(batch, sort_cols, asc, over)

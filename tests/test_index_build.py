@@ -359,3 +359,15 @@ def test_build_from_solr_xml_and_json_sources(ray_session, tmp_path):
         '<add><doc><field name="repo">r</field></doc></add>')
     with _pytest.raises(Exception, match="missing fields"):
         read_corpus_solr_xml(str(tmp_path / "bad.xml")).materialize()
+
+
+def test_solr_json_dict_without_add_raises(ray_session, tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from lucene_solr_ray.sources import read_corpus_solr_json
+
+    (tmp_path / "del.json").write_text(json.dumps({"delete": {"id": "x"}}))
+    with _pytest.raises(Exception, match="no 'add' key"):
+        read_corpus_solr_json(str(tmp_path / "del.json")).materialize()

@@ -463,3 +463,17 @@ def test_unique_group_first_null_keys():
     got = {(r["k"], r["v"]) for r in out.to_pylist()}
     # one representative per distinct key incl. the null group and ""
     assert got == {("", 9), ("a", 1), ("b", 7), (None, 3)}
+
+
+def test_unique_rejects_sort_not_leading_with_over():
+    """UniqueStream.java:64-70 rejects substreams whose comparator does not
+    lead with the equalitor fields; silently deduping runs would be wrong."""
+    import pytest
+
+    from lucene_solr_ray.streaming import run_expression
+
+    with pytest.raises(ValueError, match="must lead"):
+        run_expression(
+            'unique(sort(search(orders, q=*:*, fl="o_custkey,o_totalprice",'
+            ' sort="o_custkey asc"), by="o_totalprice asc"),'
+            ' over="o_custkey")', "/root/testdata/sf0.001")

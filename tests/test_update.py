@@ -562,3 +562,27 @@ def test_hard_delete_by_query_reaches_soft_deleted(ray_session):
     got = Searcher(idir).search({"q": q}, k=500, use_ray=False)
     assert victim not in set(got["doc_id"].to_pylist())
     assert got.num_rows == 0  # every match hard-deleted; none resurrected
+
+
+def test_numeric_dv_update_visible_to_sort_by_field(ray_session):
+    """Numeric dv updates must be visible to the facet/sort-by-field column
+    loader, not just numeric queries (review r4 follow-up: the two read
+    paths disagreed about the same doc value)."""
+    import tempfile
+
+    from lucene_solr_ray.index.update import update_numeric_doc_values
+    from lucene_solr_ray.corpus import write_corpus
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import Searcher
+    from lucene_solr_ray.search.query import MatchAllQuery
+
+    cdir = tempfile.mkdtemp()
+    write_corpus(cdir, 60)
+    idir = tempfile.mkdtemp()
+    build_index(cdir, idir, docs_per_segment=30)
+
+    update_numeric_doc_values(idir, [(5, "field_len", 10_000_000)])
+    s = Searcher(idir)
+    top = s.search_by_field(MatchAllQuery(), k=1, field="field_len",
+                            descending=True, use_ray=False)
+    assert top["doc_id"].to_pylist() == [5]  # updated value dominates sort
