@@ -717,6 +717,11 @@ def an_mapping_row(sf_dir: str) -> pa.Table:
     asts = {k: parse_expr(v) for k, v in exprs.items()}
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        # partial min-100 by doc_id: map the expressions only over each
+        # batch's 100 lowest doc_ids and emit just those rows, so the driver
+        # merges O(100 × num_blocks) rows instead of the whole mapped corpus
+        # (ft_strdist pattern).
+        batch = batch.nsmallest(100, "doc_id")
         out = {"doc_id": batch["doc_id"].astype("int64")}
         for k, ast in asts.items():
             vals, ok = eval_mapping(ast, batch)
@@ -727,7 +732,7 @@ def an_mapping_row(sf_dir: str) -> pa.Table:
         return pd.DataFrame(out)
 
     ds = (
-        _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+        _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
         .map_batches(fn, batch_format="pandas")
     )
     tbl = pa.concat_tables(

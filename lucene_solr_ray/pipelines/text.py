@@ -33,12 +33,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns: list | None = None):
+    """Documents-table read; pass ``columns=`` at every call site that does
+    not tokenize so wide ``text`` bytes never leave the parquet footer —
+    especially ahead of a shuffle (pack_greedy / split_assign / sample_mix)."""
     import ray.data
 
     from .io import sized_read
 
-    return sized_read(f"{sf_dir}/documents.parquet")
+    return sized_read(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def token_count(sf_dir: str) -> pa.Table:
@@ -54,7 +57,7 @@ def token_count(sf_dir: str) -> pa.Table:
             }
         )
 
-    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
     return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
 
 
@@ -101,7 +104,7 @@ def lang_id(sf_dir: str) -> pa.Table:
             }
         )
 
-    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
     return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
 
 
@@ -160,7 +163,7 @@ def quality(sf_dir: str) -> pa.Table:
             }
         )
 
-    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
     return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
 
 
@@ -206,7 +209,7 @@ def fingerprint(sf_dir: str) -> pa.Table:
             }
         )
 
-    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
     return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
 
 
@@ -240,7 +243,7 @@ def scrub(sf_dir: str) -> pa.Table:
             "n_masked": pa.array(out_n, pa.int64()),
         })
 
-    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
     return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
 
 
@@ -275,7 +278,7 @@ def split_assign(sf_dir: str) -> pa.Table:
             "split": pa.array(split, pa.string()),
         })
 
-    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(fn, batch_format="pyarrow")
     return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
 
 
@@ -314,7 +317,13 @@ def pack_greedy(sf_dir: str) -> pa.Table:
         return pd.DataFrame({"doc_id": g["doc_id"].values,
                              "source": g["source"].values, "bin_id": bins})
 
-    ds = _docs(sf_dir).groupby("source").map_groups(pack, batch_format="pandas")
+    # prune to the three packing columns BEFORE the groupby all-to-all —
+    # the shuffle must move (doc_id, source, n_chars), never the text bytes
+    ds = (
+        _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+        .groupby("source")
+        .map_groups(pack, batch_format="pandas")
+    )
     tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
     return pa.table({
         "doc_id": tbl["doc_id"].cast(pa.int64()),
@@ -354,20 +363,31 @@ def bigram_stats(sf_dir: str) -> pa.Table:
     move, the driver merges tiny partials → (w1, w2, n)."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         flat, docs_np = _flat_tokens(batch)
-        flat_np = np.asarray(flat.to_pylist(), dtype=object)
-        if len(flat_np) < 2:
+        if len(flat) < 2:
             return pa.table({"w1": pa.array([], pa.string()),
                              "w2": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
+        # dictionary-encode once: the pair count runs on int codes (the
+        # decontaminate trick) — no per-token Python objects in the hot path
+        de = pc.dictionary_encode(flat)
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        codes = de.indices.to_numpy().astype(np.int64)
+        vocab = de.dictionary
+        V = np.int64(len(vocab))
         same = docs_np[:-1] == docs_np[1:]
-        w1, w2 = flat_np[:-1][same], flat_np[1:][same]
-        import pandas as pd
+        pair = codes[:-1][same] * V + codes[1:][same]
+        upair, n = np.unique(pair, return_counts=True)
+        return pa.table({
+            "w1": pc.take(vocab, pa.array(upair // V, pa.int64())).cast(pa.string()),
+            "w2": pc.take(vocab, pa.array(upair % V, pa.int64())).cast(pa.string()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        })
 
-        g = pd.DataFrame({"w1": w1, "w2": w2}).groupby(["w1", "w2"]).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
+    ds = _docs(sf_dir, columns=["text"]).map_batches(fn, batch_format="pyarrow", batch_size=None)
     parts = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
     g = pa.TableGroupBy(parts, ["w1", "w2"]).aggregate([("n", "sum")])
     import pandas as pd
@@ -479,7 +499,7 @@ def decontaminate(sf_dir: str) -> pa.Table:
 
     bench: set[str] = set()
     for b in (
-        _docs(sf_dir)
+        _docs(sf_dir, columns=["doc_id", "text"])
         .map_batches(bench_fn, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")
     ):
@@ -520,7 +540,7 @@ def decontaminate(sf_dir: str) -> pa.Table:
                 }
             )
 
-    ds = _docs(sf_dir).map_batches(
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         Flag, batch_format="pyarrow", concurrency=(1, 8), max_restarts=0
     )
     parts = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")) or [empty])
@@ -622,7 +642,7 @@ def gopher_quality(sf_dir: str) -> pa.Table:
             }
         )
 
-    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
     return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by("doc_id")
 
 
@@ -737,7 +757,7 @@ def freetext_suggest(sf_dir: str) -> pa.Table:
             "n": pa.array(out_n, pa.int64()),
         })
 
-    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["text"]).map_batches(fn, batch_format="pyarrow")
     parts = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
     merged = pa.TableGroupBy(parts, ["w1", "w2"]).aggregate([("n", "sum")]).to_pandas()
     tot = int(merged.loc[merged.w1 == "\x00total", "n_sum"].sum())
@@ -836,7 +856,7 @@ def sample_mix(sf_dir: str) -> pa.Table:
             "source": batch["source"].cast(pa.string()).filter(m),
         })
 
-    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "source"]).map_batches(fn, batch_format="pyarrow")
     return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by("doc_id")
 
 
@@ -898,7 +918,7 @@ def chunk_windows(sf_dir: str) -> pa.Table:
             "chunk_text": pa.array(out_text, pa.string()),
         })
 
-    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
     return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by(
         [("doc_id", "ascending"), ("chunk_id", "ascending")]
     )
@@ -963,7 +983,7 @@ def bpe_word_counts(sf_dir: str) -> pa.Table:
             }
         )
 
-    ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["text"]).map_batches(partial, batch_format="pyarrow")
     out = ds.groupby("word").aggregate(Sum("n", alias_name="n"))
     return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
 
@@ -1064,7 +1084,7 @@ def bpe_token_count(sf_dir: str) -> pa.Table:
                 }
             )
 
-    ds = _docs(sf_dir).map_batches(
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         Encoder, batch_format="pyarrow", concurrency=(1, 8), max_restarts=0
     )
     return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by("doc_id")
@@ -1142,7 +1162,7 @@ def ft_tag(sf_dir: str) -> pa.Table:
             }
         )
 
-    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
     batches = list(ds.iter_batches(batch_format="pyarrow"))
     if not batches:  # no phrase matched anywhere — Ray drops 0-row blocks
         return pa.table(

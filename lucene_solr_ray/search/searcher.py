@@ -966,6 +966,38 @@ class Searcher:
         ]
         return ray.data.from_arrow_refs(refs)
 
+    def _match_partials_local(self, query: Query, mode: str,
+                              field: str | None = None, k: int = 10,
+                              descending: bool = False,
+                              params: tuple | None = None,
+                              include_soft_deleted: bool = False) -> pa.Table:
+        """Local serial twin of :meth:`_scatter_match` — runs the SAME
+        ``_match_segment_file`` partial computation in-process over every
+        segment (identical per-segment partials, no Ray session). Used by
+        ``use_ray=False`` callers and the legacy ``LSR_SCORE_SCATTER=groupby``
+        escape for non-routable queries; replaces the former full-search +
+        whole-corpus docs-dict fallback, so no grouping path materializes
+        the corpus on the driver."""
+        query = rewrite(query, self.reader)
+        payload = dict(
+            index_dir=self.reader.index_dir,
+            query=query,
+            weights=self._weights(set(query_terms(query))),
+            cache=self.cache,
+            doc_bases={s["seg"]: s["doc_base"] for s in self.reader.segments},
+            sim_params=self.sim.spec(),
+            mode=mode,
+            field=field,
+            k=k,
+            descending=descending,
+            params=params,
+            seg_dirs=self.reader.seg_dirs(),
+            include_soft_deleted=include_soft_deleted,
+            pairs=sorted(query_terms(query)),
+            columns=_postings_columns([query]),
+        )
+        return _match_segment_file(payload, [s["seg"] for s in self.reader.segments])
+
     def _matches_per_segment(self, query: Query, include_soft_deleted: bool = False):
         """→ iterator of (seg, doc_base, local match ids) — the LOCAL
         fallback for the field-sort / facet / delete paths (used for no-term
@@ -1411,44 +1443,14 @@ class Searcher:
             scattered = self._scatter_match(query, "group1", field=group_field)
         else:
             scattered = None
-        if scattered is None:
-            # non-routable query (MatchAll) or local mode: brute force via a
-            # full search, grouped on the driver
-            full = self.search({"q": query}, k=self.reader.stats.doc_count,
-                               use_ray=False).to_pandas()
-            import pyarrow.parquet as pq_mod
-
-            import pyarrow.dataset as pads
-
-            docs = pads.dataset(self.reader.docs_files()).to_table(
-                columns=["doc_id", group_field]
-            )
-            fmap = dict(zip(docs["doc_id"].to_pylist(),
-                            (str(v) for v in docs[group_field].to_pylist())))
-            full["value"] = [fmap[d] for d in full["doc_id"]]
-            best = (
-                full.groupby("value")["score"].max().reset_index()
-                .sort_values(["score", "value"], ascending=[False, True])
-                .head(n_groups)
-            )
-            sel = best["value"].tolist()
-            rows = []
-            for gr, v in enumerate(sel):
-                sub = full[full["value"] == v].sort_values(["score", "doc_id"],
-                                                           ascending=[False, True])
-                for r, (_, row) in enumerate(sub.head(docs_per_group).iterrows()):
-                    rows.append((v, gr, r, int(row["doc_id"]), float(row["score"])))
-            return pa.table(
-                {
-                    "group": pa.array([r[0] for r in rows], pa.string()),
-                    "group_rank": pa.array([r[1] for r in rows], pa.int64()),
-                    "rank": pa.array([r[2] for r in rows], pa.int64()),
-                    "doc_id": pa.array([r[3] for r in rows], pa.int64()),
-                    "score": pa.array([r[4] for r in rows], pa.float64()),
-                }
-            )
+        # local mode (or the legacy groupby escape) runs the SAME two-pass
+        # partial computation serially per segment — no full-corpus fallback
+        batches1 = (scattered.iter_batches(batch_format="pyarrow")
+                    if scattered is not None
+                    else [self._match_partials_local(query, "group1",
+                                                     field=group_field)])
         best: dict[str, float] = {}
-        for b in scattered.iter_batches(batch_format="pyarrow"):
+        for b in batches1:
             for v, s in zip(b["value"].to_pylist(), b["best"].to_pylist()):
                 if v not in best or s > best[v]:
                     best[v] = s
@@ -1463,10 +1465,18 @@ class Searcher:
                     "score": pa.array([], pa.float64()),
                 }
             )
-        scattered2 = self._scatter_match(query, "group2", field=group_field,
-                                         params=(tuple(sel), docs_per_group))
+        if scattered is not None:
+            scattered2 = self._scatter_match(query, "group2", field=group_field,
+                                             params=(tuple(sel), docs_per_group))
+        else:
+            scattered2 = None
+        batches2 = (scattered2.iter_batches(batch_format="pyarrow")
+                    if scattered2 is not None
+                    else [self._match_partials_local(
+                        query, "group2", field=group_field,
+                        params=(tuple(sel), docs_per_group))])
         cand: dict[str, list[tuple[float, int]]] = {v: [] for v in sel}
-        for b in scattered2.iter_batches(batch_format="pyarrow"):
+        for b in batches2:
             for v, d, s in zip(b["value"].to_pylist(), b["doc_id"].to_pylist(),
                                b["score"].to_pylist()):
                 cand[v].append((s, d))

@@ -551,6 +551,25 @@ def test_search_grouped_two_pass_vs_brute(built):
     assert (np.diff(firsts.score.to_numpy()) <= 1e-12).all()
 
 
+def test_search_grouped_local_matchall(built):
+    """MatchAll grouping: the serial per-segment local path (use_ray=False,
+    no posting pairs → schema-empty postings per segment) must equal the
+    scattered two-pass path — pins the r5 removal of the full-corpus
+    driver-side fallback."""
+    from lucene_solr_ray.search.query import MatchAllQuery
+
+    d, _, _oracle, _tbl = built
+    searcher = Searcher(d)
+    q = MatchAllQuery()
+    local = searcher.search_grouped(q, "repo", n_groups=4, docs_per_group=2,
+                                    use_ray=False).to_pandas()
+    dist = searcher.search_grouped(q, "repo", n_groups=4, docs_per_group=2,
+                                   use_ray=True).to_pandas()
+    assert local[["group", "group_rank", "rank", "doc_id"]].values.tolist() == \
+        dist[["group", "group_rank", "rank", "doc_id"]].values.tolist()
+    np.testing.assert_allclose(local.score.to_numpy(), dist.score.to_numpy(), rtol=1e-6)
+
+
 def test_blended_term_query(built):
     """BlendedTermQuery: blended idf = min over the set; boolean rewrite sums
     per-term scores; dismax rewrite = max + tie*(sum-max)."""
