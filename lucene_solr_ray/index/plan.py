@@ -112,16 +112,18 @@ def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_00
                  corpus_path: str | None = None) -> BuildPlan:
     """Derive segment boundaries + exact per-segment counts.
 
-    Small corpora (≤ ``small_threshold`` rows, or ≤ LOCAL_PLAN_THRESHOLD when
-    ``corpus_path`` allows a column-pruned LOCAL parquet read): collect keys
-    driver-side and cut into exactly-balanced ranges — the local read of the
-    3 key columns costs ~0.9 s at 400k rows vs ~5 s for the two distributed
-    passes, which are pure serial wall time in every build (the Amdahl term
-    that capped 2→8 scaling at ~0.76). Large: hash-sampled quantile
-    boundaries (approximate balance) + an exact column-pruned counting pass.
+    Small corpora (≤ max(``small_threshold``, LOCAL_PLAN_THRESHOLD) rows):
+    collect keys driver-side and cut into exactly-balanced ranges — via a
+    column-pruned LOCAL parquet read when ``corpus_path`` is given (~0.9 s
+    at 400k rows vs ~5 s for the two distributed passes, the Amdahl term
+    that capped 2→8 scaling at ~0.76), else via a pruned Ray-side read of
+    the same key columns. Large: hash-sampled quantile boundaries
+    (approximate balance) + an exact column-pruned counting pass.
     Both are deterministic functions of the data alone, and the path choice
-    depends only on the row count — never on parallelism — so N and 4N
-    builds still produce identical plans.
+    depends only on the row count — never on parallelism or on whether the
+    input arrived as a parquet path or a Dataset (ADVICE r4: the same data
+    loaded from Solr XML/JSON sources must yield identical segment
+    boundaries and doc ids) — so N and 4N builds produce identical plans.
     """
     # count on the raw dataset: metadata-only for parquet reads (a count on
     # the projected dataset would execute a full scan); straight off the
@@ -138,7 +140,10 @@ def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_00
     n_segments = max(1, -(-total // docs_per_segment))
 
     local_cap = int(os.environ.get("LSR_LOCAL_PLAN_THRESHOLD", "2000000"))
-    if total <= small_threshold or (corpus_path is not None and total <= local_cap):
+    # row count ALONE picks the path (corpus_path only picks the cheaper
+    # read within it): a Dataset input between small_threshold and the local
+    # cap takes the same exact path through the Ray-side key read below
+    if total <= max(small_threshold, local_cap):
         tbl = None
         if total and corpus_path is not None:
             import pyarrow.dataset as pads

@@ -25,9 +25,10 @@ LSH_SEED = 42
 
 
 def _emb(sf_dir: str):
+    # all ANN consumers read exactly (vec_id, embedding) — label stays behind
     from .io import sized_read
 
-    return sized_read(f"{sf_dir}/embeddings.parquet")
+    return sized_read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:

@@ -53,9 +53,10 @@ JACCARD_NUM = 1  # threshold J >= 1/2 as integer test: 2*inter >= union
 
 
 def _docs(sf_dir: str):
+    # every dedup consumer reads exactly (doc_id, text) — prune at the read
     from .io import sized_read
 
-    return sized_read(f"{sf_dir}/documents.parquet")
+    return sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 # ---------------------------------------------------------------------------
@@ -899,7 +900,8 @@ def embed_dup_pairs(sf_dir: str) -> pa.Table:
 
     from .io import sized_read
 
-    ds = sized_read(f"{sf_dir}/embeddings.parquet")
+    ds = sized_read(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding", "label"])
 
     TILE = 2048  # bounds the sims matrix to TILE x TILE regardless of label size
 

@@ -60,7 +60,7 @@ def mm_payload_features(sf_dir: str) -> pa.Table:
 
     from .io import sized_read
 
-    ds = sized_read(f"{sf_dir}/documents.parquet").map_batches(
+    ds = sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
         PayloadFeaturizer,
         batch_format="pyarrow",
         batch_size=256,  # wide binary rows → small batches
@@ -122,7 +122,7 @@ def mm_frame_sample(sf_dir: str) -> pa.Table:
     frame of each payload."""
     from .io import sized_read
 
-    ds = sized_read(f"{sf_dir}/documents.parquet").map_batches(
+    ds = sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=(1, 8),
         max_restarts=0,
     )
@@ -169,7 +169,7 @@ def mm_resize(sf_dir: str) -> pa.Table:
     first RESIZE_SRC payload bytes."""
     from .io import sized_read
 
-    ds = sized_read(f"{sf_dir}/documents.parquet").map_batches(
+    ds = sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
         Resizer, batch_format="pyarrow", batch_size=256, concurrency=(1, 8),
         max_restarts=0,
     )

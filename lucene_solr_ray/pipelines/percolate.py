@@ -24,7 +24,7 @@ def percolate(sf_dir: str) -> pa.Table:
 
     from .io import sized_read
 
-    ds = sized_read(f"{sf_dir}/documents.parquet").select_columns(["doc_id", "text"])
+    ds = sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = run(ds, PERC_QUERIES)
     tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
     return tbl.sort_by([("query_id", "ascending"), ("doc_id", "ascending")])

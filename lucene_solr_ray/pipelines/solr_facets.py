@@ -135,7 +135,8 @@ def solr_json_facets(sf_dir: str) -> pa.Table:
             }
         )
 
-    ds = sized_read(f"{sf_dir}/documents.parquet").map_batches(partials, batch_format="pyarrow")
+    ds = sized_read(f"{sf_dir}/documents.parquet",
+                    columns=["lang", "source", "text"]).map_batches(partials, batch_format="pyarrow")
     parts = pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).to_pandas()
 
     out: dict[str, list] = {k: [] for k in (
@@ -275,8 +276,8 @@ def solr_json_nested(sf_dir: str) -> pa.Table:
             ["source", "lang"],
         ).aggregate([("__n", "sum"), ("n_chars", "sum")])
 
-    ds = sized_read(f"{sf_dir}/documents.parquet").select_columns(
-        ["source", "lang", "n_chars"]
+    ds = sized_read(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
     ).map_batches(partials, batch_format="pyarrow", batch_size=None)
     merged = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
     g = pa.TableGroupBy(merged, ["source", "lang"]).aggregate(
@@ -422,7 +423,7 @@ def percentile_tdigest(sf_dir: str) -> pa.Table:
 
     from .io import sized_read
 
-    ds = sized_read(f"{sf_dir}/events.parquet").select_columns(["value"]).map_batches(
+    ds = sized_read(f"{sf_dir}/events.parquet", columns=["value"]).map_batches(
         sketch, batch_format="pyarrow"
     )
     parts = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))

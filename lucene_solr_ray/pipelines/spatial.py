@@ -65,7 +65,7 @@ def _haversine_km(lat: np.ndarray, lon: np.ndarray, olat: float, olon: float) ->
 def _customers(sf_dir: str):
     from .io import sized_read
 
-    return sized_read(f"{sf_dir}/customer.parquet").select_columns(["c_custkey"])
+    return sized_read(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
 
 
 TILE_DEG = 10.0  # coarse grid: 18 lat bands × 36 lon bands = 648 tiles

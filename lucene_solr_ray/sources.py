@@ -69,8 +69,20 @@ def read_corpus_solr_xml(paths: str | list[str]):
             docs = root.iter("doc") if root.tag in ("add", "update") else (
                 [root] if root.tag == "doc" else root.iter("doc"))
             for doc in docs:
-                fields = {f.get("name"): (f.text or "")
-                          for f in doc.iter("field")}
+                # itertext() captures full element text (CDATA mixed with
+                # children); repeated <field name=...> raises — the corpus
+                # schema is single-valued, and silently keeping one value
+                # would drop data (Solr's XMLLoader appends multivalued
+                # fields; ADVICE r4)
+                fields: dict[str, str] = {}
+                for f in doc.iter("field"):
+                    name = f.get("name")
+                    if name in fields:
+                        raise ValueError(
+                            f"solr xml doc repeats single-valued field "
+                            f"{name!r} (corpus schema has no multivalued "
+                            f"fields)")
+                    fields[name] = "".join(f.itertext())
                 missing = [c for c in CORPUS_COLUMNS if c not in fields]
                 if missing:
                     raise ValueError(

@@ -361,6 +361,60 @@ def test_build_from_solr_xml_and_json_sources(ray_session, tmp_path):
         read_corpus_solr_xml(str(tmp_path / "bad.xml")).materialize()
 
 
+def test_solr_xml_repeated_field_and_cdata(ray_session, tmp_path):
+    """ADVICE r4: repeated single-valued <field> must raise (not silently
+    keep the last value), and CDATA mixed with child elements must be
+    captured in full via itertext()."""
+    import pytest as _pytest
+
+    from lucene_solr_ray.sources import read_corpus_solr_xml
+
+    (tmp_path / "dup.xml").write_text(
+        '<add><doc>'
+        '<field name="repo">r</field><field name="repo">r2</field>'
+        '<field name="path">p</field><field name="commit">c</field>'
+        '<field name="lang">py</field><field name="content">x</field>'
+        '</doc></add>')
+    with _pytest.raises(Exception, match="repeats single-valued field"):
+        read_corpus_solr_xml(str(tmp_path / "dup.xml")).materialize()
+
+    (tmp_path / "cdata.xml").write_text(
+        '<add><doc>'
+        '<field name="repo">r</field><field name="path">p</field>'
+        '<field name="commit">c</field><field name="lang">py</field>'
+        '<field name="content"><![CDATA[hello ]]>mixed<b> tail</b> end</field>'
+        '</doc></add>')
+    got = read_corpus_solr_xml(str(tmp_path / "cdata.xml")).take_all()
+    assert got[0]["content"] == "hello mixed tail end"
+
+
+def test_plan_path_identity_dataset_vs_path(ray_session, tmp_path):
+    """ADVICE r4 (plan.py): between small_threshold and the local cap, the
+    SAME data planned from a parquet path vs a Ray Dataset must yield
+    identical segment boundaries/counts — the path choice is a function of
+    row count alone."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_solr_ray.corpus import generate_corpus
+    from lucene_solr_ray.index.plan import compute_plan
+
+    tbl = generate_corpus(1200)
+    pdir = tmp_path / "pqp"
+    pdir.mkdir()
+    pq.write_table(tbl, pdir / "part.parquet")
+
+    ds_path = ray.data.read_parquet(str(pdir))
+    ds_mem = ray.data.from_arrow(tbl)
+    # small_threshold=500 < 1200 rows <= local cap → exact path both ways
+    p1 = compute_plan(ds_path, 300, small_threshold=500,
+                      corpus_path=str(pdir))
+    p2 = compute_plan(ds_mem, 300, small_threshold=500, corpus_path=None)
+    assert p1.boundaries == p2.boundaries
+    assert p1.counts == p2.counts
+    assert p1.bases == p2.bases
+
+
 def test_solr_json_dict_without_add_raises(ray_session, tmp_path):
     import json
 
