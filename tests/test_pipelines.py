@@ -120,6 +120,7 @@ FAST_ENTRIES = [
     "ft_common_grams",
     "ft_keepword",
     "events_facet_range",
+    "ft_mutation",
 ]
 
 

@@ -497,8 +497,14 @@ def test_soft_deletes_and_retention(ray_session):
     # retention merge: keep soft-deleted docs matching 'license'; docs only
     # matching 'copyright' (and not license) get hard-reclaimed
     lic_ids = set(victims[2:])
-    merge_index(idir, segs_per_tier=1, use_ray=False,
-                apply_soft_retention=True, soft_retention_query=TermQuery("license"))
+    # segs_per_tier must be >= 2 for any group to form (size-1 groups are
+    # no-op merges) — 4 force-merges all four segments, so the retention
+    # step REALLY runs (r5 fix: the former segs_per_tier=1 call merged
+    # nothing and the retention assertions passed vacuously)
+    res = merge_index(idir, segs_per_tier=4, use_ray=False,
+                      apply_soft_retention=True,
+                      soft_retention_query=TermQuery("license"))
+    assert res["merges"] >= 1 and res["segments_after"] < res["segments_before"]
     r2 = Searcher(idir).reader
     import os
     soft_left = 0
