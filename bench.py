@@ -218,15 +218,22 @@ def run_bench(ncpus: int) -> dict:
         queries["bm25_topk_batch_warm"] = round(time.time() - t0, 3)
         log(f"[bench] query batch warm: {queries['bm25_topk_batch_warm']:.2f}s")
 
-        # single-query latency (local in-process path, the per-query floor)
+        # single-query latency (local in-process path, the per-query floor):
+        # 48 samples cycling the term mix → p50 AND p99, so tail behavior is
+        # tracked round-over-round (VERDICT r4 next-round #9)
         from lucene_solr_ray.search.query import TermQuery
 
+        terms = ["license", "get_set1", "def", "apache", "hash_term3", "return"]
         lat = []
-        for t in ["license", "get_set1", "def"]:
+        for i in range(48):
             t0 = time.time()
-            searcher.search({"q": TermQuery(t)}, k=10, use_ray=False)
+            searcher.search({"q": TermQuery(terms[i % len(terms)])}, k=10, use_ray=False)
             lat.append(time.time() - t0)
-        queries["bm25_single_query_p50"] = round(sorted(lat)[len(lat) // 2], 4)
+        lat.sort()
+        queries["bm25_single_query_p50"] = round(lat[len(lat) // 2], 4)
+        queries["bm25_single_query_p99"] = round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 4)
+        log(f"[bench] single-query p50 {queries['bm25_single_query_p50']}s "
+            f"p99 {queries['bm25_single_query_p99']}s")
 
     # secondary: training-data pipelines over GRAFT_SF_DIR
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -323,6 +330,13 @@ def run_scaling() -> None:
                 "metric": "scaling_efficiency_index_build",
                 "value": round(eff, 3),
                 "unit": "ratio",
+                # which plan path the legs exercised: LSR_LOCAL_PLAN_THRESHOLD=0
+                # forces the two-pass DISTRIBUTED plan (the 100-TB code path)
+                "plan_path": (
+                    "distributed"
+                    if int(docs) > int(os.environ.get("LSR_LOCAL_PLAN_THRESHOLD", "2000000"))
+                    else "local"
+                ),
                 "cpus": [lo, hi],
                 f"sec_{lo}": t_lo,
                 f"sec_{hi}": t_hi,

@@ -221,6 +221,11 @@ def compute_plan(corpus_ds, docs_per_segment: int, small_threshold: int = 200_00
 
     counts = np.zeros(n_segments, dtype=np.int64)
     for b in keys_ds.map_batches(count_batch, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        counts[b["rid"].to_numpy()] += b["cnt"].to_numpy()
+        # np.add.at, NOT counts[rid] += cnt: iter_batches coalesces many
+        # per-input-batch partial tables into one block, so rid values REPEAT
+        # within a yielded batch — fancy-index += silently keeps only the
+        # last duplicate (r5: undercounted 800k→313k and doc_bases came out
+        # wrong on the distributed-plan path; the r4 build invariant caught it)
+        np.add.at(counts, b["rid"].to_numpy(), b["cnt"].to_numpy())
     bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
     return BuildPlan(list(boundaries), bases.tolist(), counts.tolist(), total, key_cols)

@@ -415,6 +415,32 @@ def test_plan_path_identity_dataset_vs_path(ray_session, tmp_path):
     assert p1.bases == p2.bases
 
 
+def test_distributed_plan_counts_exact(ray_session):
+    """r5 regression: the sampled (distributed) plan's counting pass must
+    accumulate duplicate range ids with np.add.at — iter_batches coalesces
+    many per-input-batch partial tables into one block, so range ids repeat
+    within a yielded batch and fancy-index += silently drops all but the
+    last duplicate (800k rows counted as 313k; doc_bases came out wrong on
+    the 100-TB code path). Many small input blocks force the coalescing."""
+    import numpy as np
+    import ray.data
+
+    from lucene_solr_ray.corpus import generate_corpus
+    from lucene_solr_ray.index.plan import compute_plan, sort_keys
+
+    tbl = generate_corpus(20_000)
+    ds = ray.data.from_arrow(tbl).repartition(50)
+    plan = compute_plan(ds, 500, small_threshold=1)  # force the sampled path
+    assert sum(plan.counts) == plan.total_rows == 20_000
+    keys = sort_keys(tbl, plan.key_cols)
+    rid = plan.range_ids(keys)
+    recount = np.bincount(rid, minlength=plan.n_segments).tolist()
+    assert recount == plan.counts
+    # bases are the exact prefix sum the shuffle will honor
+    assert plan.bases == np.concatenate(
+        [[0], np.cumsum(plan.counts)[:-1]]).tolist()
+
+
 def test_solr_json_dict_without_add_raises(ray_session, tmp_path):
     import json
 
