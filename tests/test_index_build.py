@@ -441,6 +441,49 @@ def test_distributed_plan_counts_exact(ray_session):
         [[0], np.cumsum(plan.counts)[:-1]]).tolist()
 
 
+def test_sampled_plan_build_query_identical(ray_session, tmp_path):
+    """Doc ids are dense key ranks over the whole corpus, so they are
+    invariant to WHERE the plan cuts segment boundaries: a build over the
+    sampled (distributed) plan must answer queries identically to the
+    exact-path build — segmentation differs, results don't."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.corpus import generate_corpus
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.plan import compute_plan
+    from lucene_solr_ray.search.query import parse_query
+    from lucene_solr_ray.search.searcher import Searcher
+
+    tbl = generate_corpus(3000)
+    pdir = tmp_path / "pq"
+    pdir.mkdir()
+    pq.write_table(tbl, pdir / "part.parquet")
+
+    idx_exact = str(tmp_path / "idx_exact")
+    build_index(str(pdir), idx_exact, docs_per_segment=400)
+
+    # pre-seed a SAMPLED plan (small_threshold=1 forces the large path) and
+    # let the build resume onto it — the only way to exercise the
+    # distributed-plan boundaries below the 200k threshold
+    import os
+
+    import ray.data
+
+    idx_s = str(tmp_path / "idx_sampled")
+    os.makedirs(idx_s, exist_ok=True)
+    plan = compute_plan(ray.data.read_parquet(str(pdir)), 400,
+                        small_threshold=1, corpus_path=str(pdir))
+    assert sum(plan.counts) == plan.total_rows == 3000
+    plan.save(os.path.join(idx_s, "plan.json"))
+    build_index(str(pdir), idx_s, docs_per_segment=400, resume=True)
+
+    for qs in ["license AND apache", "def OR return"]:
+        a = Searcher(idx_exact).search({"q": parse_query(qs)}, k=20, use_ray=False)
+        b = Searcher(idx_s).search({"q": parse_query(qs)}, k=20, use_ray=False)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
 def test_solr_json_dict_without_add_raises(ray_session, tmp_path):
     import json
 
