@@ -97,12 +97,13 @@ def _mut_index(sf_dir: str) -> str:
     update_documents(idx, delta_ds)
 
     # 2) Solr atomic update: append a sentinel token to one doc's content.
-    # repo = the doc's source value — a deterministic 1-row footer lookup
-    import duckdb
+    # repo = the doc's source value — a deterministic 1-row filtered read
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
 
-    src = duckdb.sql(
-        f"SELECT source FROM '{sf_dir}/documents.parquet' "
-        f"WHERE doc_id = {MUT_ATOMIC_ID}").fetchone()[0]
+    src = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["source"],
+        filter=pc.field("doc_id") == MUT_ATOMIC_ID)["source"][0].as_py()
     atomic_update(idx, (src, f"doc/{MUT_ATOMIC_ID}", f"{MUT_ATOMIC_ID:040x}"),
                   {"content": {"add": f"{MUT_SENTINEL} {MUT_QUERY_TERM}"}})
 
