@@ -360,9 +360,114 @@ def run_scaling() -> None:
     )
 
 
+def _query_index_dir(docs: str) -> str:
+    return f"/tmp/lsr_bench_qindex_{docs}"
+
+
+def run_query_leg(ncpus: int) -> dict:
+    """One query-throughput leg (fresh process): S concurrent batch streams
+    over a pre-built index for a fixed number of batches → qps."""
+    import ray
+
+    from lucene_solr_ray.util.mem import MALLOC_ENV
+
+    os.environ.update(MALLOC_ENV)
+    ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().op_resource_reservation_enabled = False
+
+    from lucene_solr_ray.search.searcher import Searcher
+
+    index_dir = _query_index_dir(os.environ.get("BENCH_DOCS", "400000"))
+    streams = int(os.environ.get("QUERY_STREAMS", "4"))
+    batches = int(os.environ.get("QUERY_BATCHES", "24"))
+    searcher = Searcher(index_dir)
+    qset = bench_query_set()
+    # warm: reader handles + term stats + worker heaps
+    searcher.search(qset, k=10, use_ray=True)
+    searcher.search(qset, k=10, use_ray=True)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one_batch(_: int) -> None:
+        searcher.search(qset, k=10, use_ray=True)
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=streams) as ex:
+        list(ex.map(one_batch, range(batches)))
+    wall = time.time() - t0
+    qps = batches * len(qset) / wall
+    ray.shutdown()
+    return {"num_cpus": ncpus, "qps": round(qps, 1), "wall_sec": round(wall, 2),
+            "batches": batches, "streams": streams, "queries_per_batch": len(qset)}
+
+
+def run_scaling_query() -> None:
+    """Query-throughput scaling: build the index ONCE (parallelism-invariant),
+    then run the concurrent-stream query workload at 2 and 8 cpus in fresh
+    processes — the server-shaped measurement from BENCH/BASELINE.md r4
+    (driver merge of one batch overlaps remote scoring of the next)."""
+    docs = os.environ.get("BENCH_DOCS", "400000")
+    lo = int(os.environ.get("SCALE_LO", "2"))
+    hi = int(os.environ.get("SCALE_HI", "8"))
+    index_dir = _query_index_dir(docs)
+
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        import ray
+
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        DataContext.get_current().op_resource_reservation_enabled = False
+        os.environ["BENCH_DOCS"] = docs
+        global BENCH_DOCS, CORPUS_DIR
+        BENCH_DOCS = int(docs)
+        CORPUS_DIR = f"/tmp/lsr_bench_corpus_{BENCH_DOCS}"
+        corpus = ensure_corpus()
+        from lucene_solr_ray.index.build import build_index
+
+        build_index(corpus, index_dir,
+                    docs_per_segment=max(2_000, int(docs) // 100), batch_size=512)
+        ray.shutdown()
+        log(f"[scaling-query] index built at {index_dir}")
+
+    def leg(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_DOCS=docs)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--query-leg"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo = leg(lo)
+    r_hi = leg(hi)
+    eff = (r_hi["qps"] / r_lo["qps"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency_query_throughput",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus": [lo, hi],
+        f"qps_{lo}": r_lo["qps"],
+        f"qps_{hi}": r_hi["qps"],
+        "streams": r_lo["streams"],
+        "bench_docs": int(docs),
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--scaling-query" in sys.argv:
+        run_scaling_query()
+    elif "--query-leg" in sys.argv:
+        ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
+        print(json.dumps(run_query_leg(ncpus)))
     else:
         ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_bench(ncpus)))
