@@ -570,6 +570,25 @@ def test_search_grouped_local_matchall(built):
     np.testing.assert_allclose(local.score.to_numpy(), dist.score.to_numpy(), rtol=1e-6)
 
 
+def test_search_grouped_legacy_groupby_matchall_escape(built, monkeypatch):
+    """Under the legacy LSR_SCORE_SCATTER=groupby path, a MatchAll grouping
+    query is non-routable (the groupby scatter can't see postings-less
+    segments) — the escape must fall back to the serial per-segment twin and
+    still produce the scattered-path result."""
+    from lucene_solr_ray.search.query import MatchAllQuery
+
+    d, _, _oracle, _tbl = built
+    searcher = Searcher(d)
+    q = MatchAllQuery()
+    dist = searcher.search_grouped(q, "repo", n_groups=3, docs_per_group=2,
+                                   use_ray=True).to_pandas()
+    monkeypatch.setenv("LSR_SCORE_SCATTER", "groupby")
+    legacy = Searcher(d).search_grouped(q, "repo", n_groups=3, docs_per_group=2,
+                                        use_ray=True).to_pandas()
+    assert legacy[["group", "group_rank", "rank", "doc_id"]].values.tolist() == \
+        dist[["group", "group_rank", "rank", "doc_id"]].values.tolist()
+
+
 def test_blended_term_query(built):
     """BlendedTermQuery: blended idf = min over the set; boolean rewrite sums
     per-term scores; dismax rewrite = max + tie*(sum-max)."""
