@@ -387,17 +387,24 @@ def bigram_stats(sf_dir: str) -> pa.Table:
             "n": pa.array(n.astype(np.int64), pa.int64()),
         })
 
-    ds = _docs(sf_dir, columns=["text"]).map_batches(fn, batch_format="pyarrow", batch_size=None)
-    parts = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
-    g = pa.TableGroupBy(parts, ["w1", "w2"]).aggregate([("n", "sum")])
-    import pandas as pd
+    from ray.data.aggregate import Sum
 
-    df = g.to_pandas().rename(columns={"n_sum": "n"})
-    df = df.sort_values(["n", "w1", "w2"], ascending=[False, True, True]).head(BIGRAM_TOPK)
+    # distributed final aggregate + top-k: the per-block pair partials are
+    # heavy-tailed (vocabulary²), so summing them on the driver is a 100-TB
+    # materialization hazard — the groupby shuffle reduces them where the
+    # data is and only BIGRAM_TOPK rows reach the driver (r5; the former
+    # driver-side concat+TableGroupBy was the entry's scale smell)
+    ds = _docs(sf_dir, columns=["text"]).map_batches(fn, batch_format="pyarrow", batch_size=None)
+    top = (
+        ds.groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "w1", "w2"], descending=[True, False, False])
+        .limit(BIGRAM_TOPK)
+    )
+    tbl = pa.concat_tables(top.iter_batches(batch_format="pyarrow"))
     return pa.table({
-        "w1": pa.array(df["w1"].tolist(), pa.string()),
-        "w2": pa.array(df["w2"].tolist(), pa.string()),
-        "n": pa.array(df["n"].astype("int64").tolist(), pa.int64()),
+        "w1": tbl["w1"].cast(pa.string()),
+        "w2": tbl["w2"].cast(pa.string()),
+        "n": tbl["n"].cast(pa.int64()),
     })
 
 
