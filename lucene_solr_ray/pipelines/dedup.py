@@ -985,6 +985,78 @@ def dedup_clusters(sf_dir: str) -> pa.Table:
     })
 
 
+def dedup_keep_best(sf_dir: str) -> pa.Table:
+    """(cluster_rep, kept_doc_id, cluster_size, n_chars) — canonical-document
+    selection: per near-dup cluster, keep the highest-quality member
+    (max n_chars, ties → min doc_id). The standard training-data dedup step
+    after clustering: drop every member except the kept one.
+
+    Scale shape: cluster membership ≪ corpus (same bound as
+    dedup_clusters), so the member-quality lookup is a broadcast-filtered
+    pruned read — only member rows leave the scan — and the argmax runs on
+    the cluster-sized table."""
+    import ray
+    import pyarrow.compute as pc
+
+    from .io import sized_read
+
+    clusters = dedup_clusters(sf_dir)
+    if clusters.num_rows == 0:
+        return pa.table({
+            "cluster_rep": pa.array([], pa.int64()),
+            "kept_doc_id": pa.array([], pa.int64()),
+            "cluster_size": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+        })
+    bref = ray.put(clusters["doc_id"].cast(pa.int64()).combine_chunks())
+
+    def members_only(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["doc_id"].cast(pa.int64()), value_set=ray.get(bref))
+        return batch.filter(m)
+
+    nch = pa.concat_tables(
+        sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+        .map_batches(members_only, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    df = clusters.to_pandas().merge(nch.to_pandas(), on="doc_id")
+    df = df.sort_values(["cluster_rep", "n_chars", "doc_id"],
+                        ascending=[True, False, True])
+    best = df.groupby("cluster_rep", as_index=False).first()
+    return pa.table({
+        "cluster_rep": pa.array(best["cluster_rep"].astype("int64"), pa.int64()),
+        "kept_doc_id": pa.array(best["doc_id"].astype("int64"), pa.int64()),
+        "cluster_size": pa.array(best["cluster_size"].astype("int64"), pa.int64()),
+        "n_chars": pa.array(best["n_chars"].astype("int64"), pa.int64()),
+    })
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_PAIRS_CTES},
+edges AS ({_PAIRS_SELECT}),
+nodes AS (SELECT doc_a AS n FROM edges UNION SELECT doc_b FROM edges),
+bidir AS (SELECT doc_a AS a, doc_b AS b FROM edges UNION SELECT doc_b, doc_a FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, b.b FROM reach r JOIN bidir b ON b.a = r.m
+),
+rep AS (SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n),
+scored AS (
+  SELECT r.cluster_rep, r.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY r.cluster_rep
+                            ORDER BY d.n_chars DESC, r.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY r.cluster_rep) AS sz
+  FROM rep r JOIN documents d ON d.doc_id = r.doc_id
+)
+SELECT CAST(cluster_rep AS BIGINT) AS cluster_rep,
+       CAST(doc_id AS BIGINT) AS kept_doc_id,
+       CAST(sz AS BIGINT) AS cluster_size,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM scored WHERE rn = 1 ORDER BY cluster_rep
+"""
+
+
 # ---------------------------------------------------------------------------
 # substring-level dedup (duplicated token windows)
 # ---------------------------------------------------------------------------
