@@ -121,6 +121,7 @@ FAST_ENTRIES = [
     "ft_keepword",
     "events_facet_range",
     "ft_mutation",
+    "dedup_keep_best",
 ]
 
 
